@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle compare (driver-side python
+is available in this container; this script is dev tooling only, not part
+of the Scala library).
+
+Usage: python3 scripts/check_oracle.py <verify_out_dir> <sf_dir>
+
+Reads each <name>/ parquet result written by graft.Verify, runs the
+matching oracle SQL from oracle_sql.json in DuckDB over the same parquet
+tables, sorts columns by name and rows by all columns, and compares.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def values_equal(a, b):
+    if a is None and b is None:
+        return True
+    try:
+        if isinstance(a, float) or isinstance(b, float):
+            if a is None or b is None:
+                return False
+            if math.isnan(a) and math.isnan(b):
+                return True
+            return a == b
+    except TypeError:
+        pass
+    return a == b
+
+
+def compare(name, spark_df, oracle_df):
+    if sorted(spark_df.columns) != sorted(oracle_df.columns):
+        return f"COLS spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}"
+    if len(spark_df) != len(oracle_df):
+        return f"ROWS spark={len(spark_df)} oracle={len(oracle_df)}"
+    s, o = canon(spark_df), canon(oracle_df)
+    for col in s.columns:
+        sv, ov = list(s[col]), list(o[col])
+        for i, (a, b) in enumerate(zip(sv, ov)):
+            if (a is None or (isinstance(a, float) and math.isnan(a))) and \
+               (b is None or (isinstance(b, float) and math.isnan(b))):
+                continue
+            if not values_equal(a, b):
+                return f"VAL col={col} row={i} spark={a!r} oracle={b!r}"
+    return None
+
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle_sql = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok = fail = 0
+    for name, sql in sorted(oracle_sql.items()):
+        try:
+            spark_df = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+        except Exception as ex:
+            print(f"FAIL {name}: no spark result ({str(ex)[:100]})")
+            fail += 1
+            continue
+        try:
+            oracle_df = con.execute(sql).fetchdf()
+        except Exception as ex:
+            print(f"FAIL {name}: oracle error {str(ex)[:200]}")
+            fail += 1
+            continue
+        # nullable-int columns: pandas may promote to float on one side
+        for c in spark_df.columns:
+            if c in oracle_df.columns:
+                try:
+                    if str(spark_df[c].dtype) != str(oracle_df[c].dtype):
+                        spark_df[c] = spark_df[c].astype("float64")
+                        oracle_df[c] = oracle_df[c].astype("float64")
+                except (TypeError, ValueError):
+                    pass
+        err = compare(name, spark_df, oracle_df)
+        if err:
+            print(f"FAIL {name}: {err}")
+            fail += 1
+        else:
+            print(f"ok   {name} ({len(spark_df)} rows)")
+            ok += 1
+    print(f"\n{ok} ok, {fail} fail")
+    return 1 if fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,13 +1,346 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see SURVEY.md §7 + FIXTURES.md §3.
+  *
+  * Every implemented operator from SURVEY.md §2 (plus the
+  * training-data-pipeline extensions) has a named entry in `queries`;
+  * each SQL-expressible one has a DuckDB oracle in `oracleSql` with
+  * IDENTICAL output column names. Queries without an oracle (hash-seeded
+  * MinHash/SimHash/LSH internals that DuckDB cannot reproduce) get the
+  * driver's rows-only check.
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - money aggregates via DECIMAL (exact, order-independent), cast to
+  *    double only at the output boundary;
+  *  - integer-valued outputs cast to BIGINT on both sides (DuckDB sums
+  *    of ints are HUGEINT, Spark's are LONG);
+  *  - set-valued outputs as sorted comma-joined strings;
+  *  - every LIMIT has a total ORDER BY (secondary key tie-break);
+  *  - timestamps formatted to strings (timezone-free compare).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core ----
+    "q1_agg"            -> (Relational.q1PricingSummary(_, _)),
+    "j1_region_revenue" -> (Relational.j1RegionRevenue(_, _)),
+    "j2_semi_join"      -> (Relational.j2SemiJoin(_, _)),
+    "j3_anti_join"      -> (Relational.j3AntiJoin(_, _)),
+    "w1_top_order_per_customer" -> (Relational.w1TopOrderPerCustomer(_, _)),
+    "w2_running_sum"    -> (Relational.w2RunningSum(_, _)),
+    "w3_lag_lead"       -> (Relational.w3LagLead(_, _)),
+    "g1_rollup"         -> (Relational.g1Rollup(_, _)),
+    "g2_cube"           -> (Relational.g2Cube(_, _)),
+    "set1_ops"          -> (Relational.set1Ops(_, _)),
+    "d1_monthly_revenue" -> (Relational.d1MonthlyRevenue(_, _)),
+    "d2_hourly_window"  -> (Relational.d2HourlyWindow(_, _)),
+    "str1_functions"    -> (Relational.str1Functions(_, _)),
+    "asof_event_orders" -> (AsOf.asofEventOrders(_, _)),
+    // ---- reference audit surface (SURVEY §2b) ----
+    "a1_group_count"    -> (Audits.a1GroupCount(_, _)),
+    "a2_key_buckets"    -> (Audits.a2KeyBuckets(_, _)),
+    "a4_user_counts"    -> (Audits.a4UserCounts(_, _)),
+    "a5_suffix_audit"   -> (Audits.a5SuffixAudit(_, _)),
+    "a7_distinct_set"   -> (Audits.a7DistinctSet(_, _)),
+    "a10_digit_audit"   -> (Audits.a10DigitAudit(_, _)),
+    // ---- reference cleaning/reshape surface (§2c/2d) ----
+    "c1_fix_suffix"     -> (Cleaning.c1FixSuffix(_, _)),
+    "c2_fix_lang"       -> (Cleaning.c2FixLang(_, _)),
+    "r1_reshape"        -> (Cleaning.r1Reshape(_, _)),
+    // ---- reference query surface (§2e) ----
+    "oq1_distinct_users" -> (Audits.oq1DistinctUsers(_, _)),
+    "oq2_type_counts"   -> (Audits.oq2TypeCounts(_, _)),
+    "oq3_pivot"         -> (Audits.oq3Pivot(_, _)),
+    "oq4_top_k"         -> (Audits.oq4TopK(_, _)),
+    "oq5_top_k"         -> (Audits.oq5TopK(_, _)),
+    "s6_sample"         -> (Audits.s6Sample(_, _)),
+    // ---- training-data pipeline: dedup ----
+    "dedup_exact"       -> (Dedup.exact(_, _)),
+    "dedup_normalized"  -> (Dedup.normalized(_, _)),
+    "dedup_jaccard"     -> (Dedup.jaccardPairs(_, _)),
+    "dedup_minhash_lsh" -> (Dedup.minhashLsh(_, _)),
+    "dedup_simhash"     -> (Dedup.simhash(_, _)),
+    "dedup_simhash_pairs" -> (Dedup.simhashPairs(_, _)),
+    // ---- training-data pipeline: similarity search ----
+    "sim_ann_brute"     -> (Similarity.annBruteForce(_, _)),
+    "sim_ann_lsh"       -> (Similarity.annLsh(_, _)),
+    "sim_near_dup"      -> (Similarity.embNearDup(_, _)),
+    "sim_centroids"     -> (Similarity.labelCentroids(_, _)),
+    // ---- training-data pipeline: text analysis ----
+    "text_lang_id"      -> (TextAnalysis.langId(_, _)),
+    "text_quality"      -> (TextAnalysis.qualityScore(_, _)),
+    "text_tokens"       -> (TextAnalysis.tokenCounts(_, _)),
+    "text_fingerprint"  -> (TextAnalysis.fingerprint(_, _)),
+    // ---- training-data pipeline: multimodal plumbing ----
+    "mm1_decode"        -> (Multimodal.decodeFeatures(_, _)),
+    "mm2_frames"        -> (Multimodal.frameSample(_, _)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+         round(avg(l_quantity), 6) AS avg_qty,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 2) AS avg_price,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "j1_region_revenue" ->
+      """SELECT r_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "j2_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""",
+    "j3_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "w1_top_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS top_price
+         FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
+         WHERE rn = 1""",
+    "w2_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+         sum(l_quantity) OVER (PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+         FROM lineitem""",
+    "w3_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+         date_diff('day',
+           lag(o_orderdate) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS days_since_prev
+         FROM orders""",
+    "g1_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+         count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "g2_cube" ->
+      """SELECT event_type, user_id % 3 AS user_bucket, count(*) AS n
+         FROM events GROUP BY CUBE (event_type, user_id % 3)""",
+    "set1_ops" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+              p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+              allops AS (
+                SELECT 'union' AS op, user_id FROM (SELECT user_id FROM c UNION SELECT user_id FROM p)
+                UNION ALL
+                SELECT 'intersect' AS op, user_id FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+                UNION ALL
+                SELECT 'except' AS op, user_id FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p))
+         SELECT op, count(*) AS n_users FROM allops GROUP BY op""",
+    "d1_monthly_revenue" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+         count(*) AS n_orders,
+         round(sqrt(CAST(count(*) AS DOUBLE)), 6) AS sqrt_n,
+         CAST(max(abs(CAST(o_totalprice AS DECIMAL(12,2)) - 100000)) AS DOUBLE) AS max_abs_dev
+         FROM orders GROUP BY 1""",
+    "d2_hourly_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "str1_functions" ->
+      """SELECT c_custkey,
+         upper(c_mktsegment) AS seg_upper,
+         substr(c_name, length(c_name) - 2, 3) AS name_tail,
+         lower(c_mktsegment) || '-' || CAST(c_custkey AS VARCHAR) AS tag,
+         CAST(length(c_name) AS BIGINT) AS name_len,
+         lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS key_pad,
+         trim('  x  ') AS trimmed,
+         string_split(c_name, '#')[1] AS name_prefix
+         FROM customer""",
+    "asof_event_orders" ->
+      """SELECT e.event_id,
+         (SELECT o.o_orderkey FROM orders o
+          WHERE o.o_custkey % 15 = e.user_id % 15 AND o.o_orderdate <= e.ts
+          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_orderkey
+         FROM events e""",
+    "a1_group_count" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    "a2_key_buckets" ->
+      """WITH k AS (SELECT CASE WHEN doc_id % 7 = 0 THEN source || '?'
+                               WHEN doc_id % 2 = 0 THEN source || ':' || lang
+                               ELSE source END AS key FROM documents)
+         SELECT CASE
+           WHEN regexp_matches(key, '[=\+/&<>;''"\?%#\$@\,\. \t\r\n]') THEN 'problemchars'
+           WHEN regexp_matches(key, '^[a-z0-9_]*:[a-z0-9_]*$') THEN 'lower_colon'
+           WHEN regexp_matches(key, '^[a-z0-9_]*$') THEN 'lower'
+           ELSE 'other' END AS bucket, count(*) AS n
+         FROM k GROUP BY 1""",
+    "a4_user_counts" ->
+      "SELECT user_id, count(*) AS n FROM events GROUP BY user_id",
+    "a5_suffix_audit" ->
+      """WITH s AS (SELECT doc_id, regexp_extract(text, '(\S+)\s*$', 1) AS stype
+                    FROM documents)
+         SELECT stype, count(*) AS n,
+           array_to_string(list_sort(list(DISTINCT doc_id))[1:20], ',') AS sample_ids
+         FROM s WHERE stype NOT IN ('the', 'a', 'data', 'table', 'row', 'join')
+         GROUP BY stype""",
+    "a7_distinct_set" -> "SELECT DISTINCT lang FROM documents",
+    "a10_digit_audit" ->
+      """WITH d AS (SELECT regexp_extract(props, '[0-9]+', 0) AS digits FROM events)
+         SELECT 'k' || CAST(length(digits) AS VARCHAR) AS bucket,
+           count(*) AS n,
+           CAST(sum(CASE WHEN length(digits) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           array_to_string(list_sort(list(DISTINCT digits)), ',') AS vals
+         FROM d GROUP BY 1""",
+    "c1_fix_suffix" ->
+      """WITH t AS (SELECT doc_id, text,
+             regexp_extract(text, '(\S+)\s*$', 1) AS last_token FROM documents),
+         m AS (SELECT *, CASE regexp_replace(lower(last_token), '\.$', '')
+             WHEN 'agg' THEN 'aggregate' WHEN 'fn' THEN 'function'
+             WHEN 'col' THEN 'column' WHEN 'tbl' THEN 'table'
+             WHEN 'qry' THEN 'query' WHEN 'window' THEN 'windowed'
+             WHEN 'join' THEN 'joined' WHEN 'scan' THEN 'scanned'
+             ELSE NULL END AS canon FROM t)
+         SELECT doc_id, last_token,
+           coalesce(canon, last_token) AS fixed_token,
+           CASE WHEN regexp_extract(text, '^\s*(\d+)', 1) <> ''
+                THEN regexp_extract(text, '^\s*(\d+)', 1) END AS housenum,
+           substr(regexp_replace(regexp_replace(text, '\S+\s*$', '') || coalesce(canon, last_token),
+             '^\s*\d+[^a-zA-Z]*', ''), 1, 60) AS cleaned_head
+         FROM m""",
+    "c2_fix_lang" ->
+      """SELECT CASE lower(string_split(lang, ' ')[1])
+           WHEN 'en' THEN 'english' WHEN 'fr' THEN 'french'
+           WHEN 'de' THEN 'german' WHEN 'es' THEN 'spanish'
+           WHEN 'zh' THEN 'chinese' ELSE lang END AS lang_fixed,
+         count(*) AS n
+         FROM documents GROUP BY 1""",
+    "r1_reshape" ->
+      """SELECT event_id, user_id AS created_user, event_type AS created_type,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS created_ts,
+         value AS pos_0, event_type AS tag_type
+         FROM events""",
+    "oq1_distinct_users" ->
+      "SELECT count(*) AS distinct_users FROM (SELECT DISTINCT user_id FROM events)",
+    "oq2_type_counts" ->
+      """SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+         FROM events""",
+    "oq3_pivot" ->
+      """SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+         FROM events""",
+    "oq4_top_k" ->
+      """SELECT user_id, count(*) AS n FROM events WHERE event_type = 'purchase'
+         GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 10""",
+    "oq5_top_k" ->
+      """SELECT p_brand, count(*) AS n FROM part
+         GROUP BY p_brand ORDER BY n DESC, p_brand ASC LIMIT 10""",
+    "s6_sample" ->
+      "SELECT event_id, event_type, user_id FROM events WHERE event_id % 10 = 0",
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies,
+         min(doc_id) AS canonical_id FROM documents GROUP BY 1""",
+    "dedup_normalized" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+           ' +', ' ', 'g'))) AS norm_hash,
+         count(*) AS n_copies, min(doc_id) AS canonical_id
+         FROM documents GROUP BY 1""",
+    "dedup_jaccard" ->
+      """WITH d AS (SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+               x -> len(x) > 0)) AS tset
+           FROM documents WHERE doc_id < 60)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.tset, b.tset))), 4) AS jaccard
+         FROM d a, d b
+         WHERE a.doc_id < b.doc_id
+           AND CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.tset, b.tset))) >= 0.6""",
+    "sim_ann_brute" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id, label,
+           round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cos_sim
+         FROM embeddings, q WHERE vec_id <> 0
+         ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
+    "sim_near_dup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+                    WHERE vec_id < 60)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+         FROM e a, e b
+         WHERE a.vec_id < b.vec_id
+           AND round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.3""",
+    "sim_centroids" ->
+      """SELECT label, CAST(r.range AS BIGINT) AS dim,
+         round(avg(CAST(embedding[r.range + 1] AS DOUBLE)), 6) AS centroid
+         FROM embeddings, range(0, 4) r GROUP BY 1, 2""",
+    "text_lang_id" ->
+      """WITH s AS (SELECT doc_id,
+           (len(string_split(text, ' the ')) - 1) + (len(string_split(text, ' a ')) - 1) AS score_en,
+           (len(string_split(text, ' query ')) - 1) + (len(string_split(text, ' table ')) - 1) + (len(string_split(text, ' join ')) - 1) AS score_ql,
+           (len(string_split(text, ' stream ')) - 1) + (len(string_split(text, ' batch ')) - 1) + (len(string_split(text, ' window ')) - 1) AS score_st
+           FROM documents)
+         SELECT doc_id, score_en, score_ql, score_st,
+           CASE WHEN score_en >= score_ql AND score_en >= score_st THEN 'en'
+                WHEN score_ql >= score_st THEN 'ql'
+                ELSE 'st' END AS predicted
+         FROM s""",
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_m,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+           (len(string_split(text, ' the ')) - 1) + (len(string_split(text, ' a ')) - 1) AS n_stop
+           FROM documents)
+         SELECT doc_id, n_chars_m, n_tokens,
+           round(CAST(n_chars_m AS DOUBLE) / n_tokens, 4) AS mean_tok_len,
+           round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+           round(least(1.0, CAST(n_tokens AS DOUBLE) / 100), 4) AS len_score
+         FROM t""",
+    "text_tokens" ->
+      """SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_ws_tokens,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars_m
+         FROM documents""",
+    "text_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(7 AS BIGINT),
+             list_transform(
+               list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0),
+               t -> CAST(length(t) * 17 + ascii(t) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 1000000000000000) AS fingerprint
+         FROM documents""",
+    "mm1_decode" ->
+      """SELECT doc_id, 'image/fake' AS mime,
+         (doc_id % 8) * 64 + 64 AS width,
+         (doc_id % 5) * 64 + 64 AS height,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS content_digest,
+         CAST(greatest(1, CAST(floor(octet_length(encode(text)) / 64) AS BIGINT)) AS BIGINT) AS n_frames
+         FROM documents""",
+    "mm2_frames" ->
+      """WITH f AS (SELECT doc_id,
+           CAST(greatest(1, CAST(floor(octet_length(encode(text)) / 64) AS BIGINT)) AS BIGINT) AS n_frames
+           FROM documents WHERE doc_id < 20)
+         SELECT doc_id, frame_idx,
+           md5(CAST(doc_id AS VARCHAR) || '#' || CAST(frame_idx AS VARCHAR)) AS frame_digest
+         FROM (SELECT doc_id, unnest(range(0, least(n_frames - 1, 7) + 1)) AS frame_idx FROM f)""",
+  )
 }

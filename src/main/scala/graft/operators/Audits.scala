@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's audit surface (SURVEY.md §2b) re-expressed over the
+  * driver's synthetic tables (FIXTURES.md §3 mapping). Each audit is a
+  * scan → (optional filter) → hash-aggregate; the reference ran these as
+  * separate passes over a decompressed file (openstreet_kolkata.py:657-683)
+  * — on Spark each is one job over a cached/columnar scan and the
+  * aggregation is partial (map-side combine) before the single shuffle.
+  *
+  * Set-valued audit outputs (`collect_set`) are emitted as sorted,
+  * comma-joined strings: deterministic for the DuckDB oracle's hash
+  * compare, and bounded-size by construction (distinct domain is small).
+  */
+object Audits {
+
+  /** A1 tag census (openstreet_kolkata.py:87-95): group-count over the
+    * element-type column. Classic hash aggregate; group cardinality ≤ 5.
+    */
+  def a1GroupCount(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+
+  /** A2 key classification (:114-137): priority-ordered regex buckets
+    * (problemchars > lower_colon > lower > other) as one conditional
+    * aggregation — a single scan, no UDF. The key column is synthesized
+    * from documents (source / source:lang / source?) to exercise all
+    * four buckets; bucket regexes extend the reference's `[a-z_]` classes
+    * with digits because the synthetic keys contain them (documented
+    * divergence, same priority semantics).
+    */
+  def a2KeyBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val key = when(col("doc_id") % 7 === 0, concat(col("source"), lit("?")))
+      .when(col("doc_id") % 2 === 0, concat(col("source"), lit(":"), col("lang")))
+      .otherwise(col("source"))
+    val bucket =
+      when(key.rlike("""[=\+/&<>;'"\?%#\$@\,\. \t\r\n]"""), "problemchars")
+        .when(key.rlike("^[a-z0-9_]*:[a-z0-9_]*$"), "lower_colon")
+        .when(key.rlike("^[a-z0-9_]*$"), "lower")
+        .otherwise("other")
+    d.select(bucket.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+  }
+
+  /** A4 per-user contribution counts (:149-166). The reference counts a
+    * `None` bucket for user-less elements; Spark `groupBy` keeps the null
+    * group natively so the semantics carry over unchanged.
+    */
+  def a4UserCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+
+  /** A5 street-type audit (:180-190): regex-extract the trailing token,
+    * anti-filter against an expected whitelist (a degenerate NOT-IN
+    * anti-join ⇒ `isin` filter, never a shuffle), then group + ordered
+    * distinct-set. Sample doc_ids are capped via slice() so a hot token
+    * cannot blow up a single aggregation buffer at scale.
+    */
+  def a5SuffixAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val expected = Seq("the", "a", "data", "table", "row", "join")
+    d.select(col("doc_id"),
+        regexp_extract(col("text"), """(\S+)\s*$""", 1).as("stype"))
+      .filter(!col("stype").isin(expected: _*))
+      .groupBy(col("stype"))
+      .agg(count(lit(1)).as("n"),
+        array_join(
+          transform(slice(sort_array(collect_set(col("doc_id"))), 1, 20),
+            x => x.cast("string")), ",")
+          .as("sample_ids"))
+  }
+
+  /** A7 distinct-value collection (:250-251): the set of distinct city
+    * names ⇒ distinct langs. */
+  def a7DistinctSet(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("lang")).distinct()
+
+  /** A9+A10 postcode audit (:270-289): extract the first digit-run,
+    * bucket by key+length, count validity, collect the ordered distinct
+    * value set per bucket.
+    */
+  def a10DigitAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val digits = regexp_extract(col("props"), "[0-9]+", 0)
+    e.select(digits.as("digits"))
+      .select(concat(lit("k"), length(col("digits"))).as("bucket"),
+        col("digits"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(length(col("digits")) === 2, 1).otherwise(0)).as("n_valid"),
+        array_join(sort_array(collect_set(col("digits"))), ",").as("vals"))
+  }
+
+  /** Q1 (:601): unique contributing users — distinct count including the
+    * null bucket (the reference's dict counts None as a user; Spark's
+    * count(distinct) drops nulls, so count the grouped rows instead).
+    */
+  def oq1DistinctUsers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("distinct_users"))
+  }
+
+  /** Q2 (:605-606): node/way counts ⇒ two equality-filter counts fused
+    * into one conditional-aggregation pass. */
+  def oq2TypeCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).agg(
+      sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_click"),
+      sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_view"))
+
+  /** Q3 (:610-626): the 7-amenity count battery as one pivot-style
+    * conditional aggregation — one scan instead of 7. */
+  def oq3Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).agg(
+      sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_click"),
+      sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_view"),
+      sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
+      sum(when(col("event_type") === "signup", 1).otherwise(0)).as("n_signup"),
+      sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"))
+
+  /** Q4 (:629-639): top-10 businesses ⇒ filter → group-count → top-k.
+    * Spark plans sort+limit as TakeOrderedAndProject (per-partition heap
+    * + driver merge of k rows — no global sort even at 100 TB). Tie-break
+    * pinned on the group key.
+    */
+  def oq4TopK(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id").asc)
+      .limit(10)
+
+  /** Q5 (:642-652): top-10 highway types ⇒ same shape, different key. */
+  def oq5TopK(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p_brand").asc)
+      .limit(10)
+
+  /** S6 systematic sampling (:54-77): keep every 10th element. The
+    * reference samples by stream position; position is not stable across
+    * a distributed scan, so we sample on the stable primary key — same
+    * 1-in-10 systematic semantics, reproducible on any engine.
+    */
+  def s6Sample(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_id") % 10 === 0)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+}

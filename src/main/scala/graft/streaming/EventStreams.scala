@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface. The reference is batch-only (SURVEY.md
+  * §2f) but its iterparse pipeline is shaped like a stream; these
+  * operators are the streaming face of the engine: watermarked windowed
+  * aggregation and custom sessionization state.
+  *
+  * Every transform takes a DataFrame, so the same code runs over
+  * `readStream` (incremental, stateful) or `read` (batch) — the batch
+  * run doubles as the oracle for the streaming run in tests.
+  */
+object EventStreams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-based stream over a directory of event parquet. At scale this
+    * is the landing-zone pattern: each micro-batch picks up newly landed
+    * files; state lives in the aggregation, not the source. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+
+  /** Watermarked tumbling-window count/sum per event type. The 2-hour
+    * watermark bounds state: windows older than (max ts − 2h) are
+    * finalized and evicted — without it, state grows unboundedly at
+    * 100 TB/day ingest. */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
+                          event_type: String)
+  case class Session(user_id: Long, n_events: Long, first_ts: Long,
+                     last_ts: Long)
+  // public: the state encoder's generated code constructs it reflectively
+  case class SessionState(n: Long, first: Long, last: Long)
+
+  /** Per-user sessionizer on the Spark 4 `transformWithState` API
+    * (StatefulProcessor + typed ValueState — the successor of
+    * mapGroupsWithState; requires the RocksDB state store provider).
+    * A session = events separated by < `gapMs`; a session is emitted
+    * when a later event of the same user breaks the gap. State per key is
+    * three longs — constant-size regardless of session length, the
+    * difference between "works" and "OOMs" for hot keys at 100 TB/day.
+    */
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, SessionEvent, Session] {
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
+                                 tv: TimerValues): Iterator[Session] = {
+      var closed = List.empty[Session]
+      var cur = if (state.exists()) Some(state.get()) else None
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last < gapMs =>
+            cur = Some(SessionState(s.n + 1, s.first, t))
+          case Some(s) =>
+            closed ::= Session(user, s.n, s.first, s.last)
+            cur = Some(SessionState(1, t, t))
+          case None =>
+            cur = Some(SessionState(1, t, t))
+        }
+      }
+      cur.foreach(state.update)
+      closed.reverseIterator
+    }
+  }
+
+  def sessionize(events: Dataset[SessionEvent],
+                 gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    // TimeMode.None: sessions close on the next event past the gap, not
+    // on wall-clock timers — and (critically) a micro-batch only runs
+    // when data arrives, so drain-style triggers can quiesce. With
+    // ProcessingTime timers every trigger has pending timer work and
+    // processAllAvailable never returns.
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

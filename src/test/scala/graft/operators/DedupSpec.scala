@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("minhash LSH recovers the injected mutant near-dup pairs") {
+    val pairs = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard")))
+    // every mutant pair (d, d+1e6) has shingle-jaccard near 1 and must be found
+    val mutantPairs = pairs.filter { case (a, b, _) => b == a + 1000000L }
+    assert(mutantPairs.length >= 45, s"found ${mutantPairs.length} of 50")
+    assert(mutantPairs.forall(_._3 >= 0.5))
+    // and no random word-salad pair sneaks past the jaccard verification
+    assert(pairs.forall { case (a, b, j) => b == a + 1000000L || j >= 0.5 })
+  }
+
+  test("simhash pairs find mutants within hamming radius") {
+    val pairs = Dedup.simhashPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming")))
+    val mutantPairs = pairs.filter { case (a, b, _) => b == a + 1000000L }
+    assert(mutantPairs.length >= 40, s"found ${mutantPairs.length} of 50")
+  }
+
+  test("simhash is deterministic across runs") {
+    val a = Dedup.simhash(spark, sf).orderBy("doc_id").limit(5).collect()
+    val b = Dedup.simhash(spark, sf).orderBy("doc_id").limit(5).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
+  test("exact dedup groups are singletons on the unique corpus") {
+    val d = Dedup.exact(spark, sf)
+    assert(d.agg(max(col("n_copies"))).collect().head.getLong(0) === 1)
+  }
+
+  test("ANN brute-force and LSH agree on bucket-mates") {
+    val brute = Similarity.annBruteForce(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id"))
+    val lsh = Similarity.annLsh(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    // LSH returns a subset of the corpus ranked identically where present
+    assert(lsh.nonEmpty || brute.nonEmpty)
+    // scores from both paths agree for shared ids
+    val bruteScores = Similarity.annBruteForce(spark, sf, k = 1000).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    lsh.foreach { case (id, s) => assert(bruteScores(id) === s) }
+  }
+}

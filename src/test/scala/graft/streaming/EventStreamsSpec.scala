@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventStreamsSpec extends SparkSpec {
+
+  test("streaming hourly counts == batch hourly counts (stream/batch parity)") {
+    import spark.implicits._
+    // Drive the *same* transform in streaming mode from a MemoryStream fed
+    // with the batch rows; after processAllAvailable the complete-mode
+    // aggregate must equal the batch aggregate.
+    val batch = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    val rows = batch.collect()
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val lookup = batch.cache()
+    // stream of event_ids joined back to rows: keeps the MemoryStream
+    // encoder trivial while the aggregation sees real event rows
+    val streamDf = mem.toDF().withColumnRenamed("value", "event_id")
+      .join(lookup, "event_id")
+    val agg = streamDf
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_test").start()
+    mem.addData(rows.map(_.getAs[Long]("event_id")).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("hourly_test")
+      .select(col("window_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.get(0), r.get(1)) -> r.getAs[Long]("n")).toMap
+    val expected = batch
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.get(0), r.get(1)) -> r.getAs[Long]("n")).toMap
+    assert(streamed === expected)
+  }
+
+  test("watermarked windowed aggregation runs with bounded state") {
+    import org.apache.spark.sql.streaming.Trigger
+    // File-source variant on the real parquet dir (nanos ts handled by
+    // Tables; here we stream the converted frame through a temp parquet).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    Tables.events(spark, sf).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream
+      .schema(Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp)
+    val q = EventStreams.hourlyTypeCounts(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wm_test").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000)
+    finally q.stop() // never leak the query — it would spam state-store
+                     // maintenance warnings for the rest of the JVM
+    // append mode emits only watermark-closed windows; the final window
+    // stays open, so just assert the query ran and produced a frame
+    assert(spark.table("wm_test").columns.toSeq ===
+      Seq("window_start", "event_type", "n", "sum_value"))
+  }
+
+  test("sessionization groups events by gap (transformWithState)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val mem = MemoryStream[(Long, Long, String)]
+    val events = mem.toDS()
+      .map { case (u, ms, et) => EventStreams.SessionEvent(u, t(ms), et) }
+    val q = EventStreams.sessionize(events, gapMs = 60000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_test").start()
+    try {
+      // user 1: two events 10s apart (one session), then 10min gap -> new
+      // session
+      mem.addData((1L, 0L, "a"), (1L, 10000L, "b"), (1L, 700000L, "c"),
+        (2L, 0L, "x"))
+      q.processAllAvailable()
+      mem.addData((1L, 720000L, "d"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val closed = spark.table("sess_test").as[EventStreams.Session].collect()
+    // the first session of user 1 must have closed with 2 events
+    assert(closed.exists(s => s.user_id == 1 && s.n_events == 2 &&
+      s.first_ts == 0 && s.last_ts == 10000))
+  }
+}
