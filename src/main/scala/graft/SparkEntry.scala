@@ -109,7 +109,9 @@ object SparkEntry {
                        WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""",
     "j3_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_totalprice > 300000.0)""",
     "w1_top_order_per_customer" ->
       """SELECT o_custkey, o_orderkey,
          CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS top_price

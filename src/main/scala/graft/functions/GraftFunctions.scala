@@ -1,0 +1,24 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Registry for graft's native Catalyst expressions. Operators call
+  * `register` (idempotent) and reference the functions by name via
+  * `call_function`; external users can instead attach
+  * [[graft.GraftExtensions]] at session build time.
+  */
+object GraftFunctions {
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim"    -> (es => CosineSimilarity(es(0), es(1))),
+    "simhash64"     -> (es => SimHash64(es.head)),
+    "minhash_sig16" -> (es => MinHashSig(es.head, 16)))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}

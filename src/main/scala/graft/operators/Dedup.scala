@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -86,25 +87,12 @@ object Dedup {
   private val hashParams: Seq[(Long, Long)] =
     (1 to 16).map(i => (2L * i * 104729L + 1L, i * 7919L))
 
-  /** MinHash signature: k = 16 permutation-minima over shingle hashes,
-    * as ONE fold — per shingle, hash once, then update all 16 running
-    * minima via zip_with. (The naive "16 × array_min(transform(...))"
-    * form re-evaluates the base-hash array 16×: Catalyst inlines common
-    * subexpressions across projection items, so share-by-construction.)
-    */
-  private def minhashSig(sh: Column): Column = {
-    val params = array(hashParams.map { case (a, b) =>
-      struct(lit(a).as("a"), lit(b).as("b"))
-    }: _*)
-    aggregate(
-      sh,
-      array_repeat(lit(P), 16),
-      (acc, x) => {
-        val h = pmod(xxhash64(x), lit(1000000000L))
-        zip_with(acc, params,
-          (m, p) => least(m, pmod(h * p.getField("a") + p.getField("b"), lit(P))))
-      })
-  }
+  /** MinHash signature: k = 16 permutation-minima over shingle hashes —
+    * the native MinHashSig expression (one pass, one hash per shingle,
+    * no per-shingle array allocation; see functions.MinHashSig and its
+    * equivalence test against the higher-order-function fold). */
+  private def minhashSig(sh: Column): Column =
+    call_function("minhash_sig16", sh)
 
   /** MinHash + LSH banding: 4 bands × 4 rows. Same band-slice hash ⇒
     * candidate pair; candidates are verified with exact shingle-Jaccard.
@@ -116,8 +104,14 @@ object Dedup {
     */
   def minhashLsh(s: SparkSession, dir: String,
                  threshold: Double = 0.5): DataFrame = {
+    GraftFunctions.register(s)
+    // cache: the shingle sets feed three subtrees (signatures + both
+    // sides of the verification join) — without it each recomputes the
+    // full tokenize+shingle pass. At cluster scale this is the
+    // checkpoint-the-intermediate pattern.
     val shDocs = withMutants(Tables.documents(s, dir))
       .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .cache()
     val bands = shDocs
       .select(col("doc_id"), minhashSig(col("sh")).as("sig"))
       // repartition = projection barrier + the "bucket once, probe many"
@@ -145,27 +139,13 @@ object Dedup {
 
   /** 64-bit SimHash per document: per-token xxhash64, each bit votes
     * ±1 (weighted by token frequency via repetition), sign of the vote
-    * vector becomes the fingerprint bit. Pure higher-order-function fold.
-    */
+    * vector becomes the fingerprint bit — via the native SimHash64
+    * expression (one pass, one vote buffer per row). */
   def simhash(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     val d = withMutants(Tables.documents(s, dir))
-    // fold over per-token hashes (hash each token ONCE, outside the
-    // 64-bit inner loop — inlining xxhash64 into the bit lambda would
-    // recompute it 64× per token)
-    val votes = aggregate(
-      transform(toks(col("text")), t => xxhash64(t)),
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          i => when(call_function("shiftright", h, i)
-            .bitwiseAND(1L) === 1L, 1).otherwise(-1)),
-        (x, y) => x + y))
-    val sig = aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i))
-          .otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-    d.select(col("doc_id"), sig.as("simhash"))
+    d.select(col("doc_id"),
+      call_function("simhash64", toks(col("text"))).as("simhash"))
   }
 
   /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit

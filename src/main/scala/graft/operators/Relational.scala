@@ -81,10 +81,12 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
   }
 
-  /** Left-anti join: customers with no orders at all (NOT EXISTS). */
+  /** Left-anti join (NOT EXISTS): customers who never placed a
+    * high-value order. (Plain "no orders at all" is empty on the
+    * synthetic data — every customer has orders.) */
   def j3AntiJoin(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
-    val o = Tables.orders(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0)
     c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
   }

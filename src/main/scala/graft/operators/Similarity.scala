@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,18 +15,18 @@ import org.apache.spark.sql.functions._
   * deterministic hash-derived planes, so no stored model is needed and
   * any executor can recompute them.
   *
-  * All math runs in double via higher-order functions (`zip_with` +
-  * `aggregate`) — codegen'd, no UDF, no driver collect of the corpus.
+  * All math runs in double — cosine through the native codegen'd
+  * CosineSimilarity expression, bucketing through literal-plane
+  * higher-order folds. No UDFs, no driver collect of the corpus.
   */
 object Similarity {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-
-  private def norm(a: Column): Column = sqrt(dot(a, a))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine via graft's native codegen'd expression (one fused loop —
+    * see functions.CosineSimilarity); requires GraftFunctions.register
+    * on the session, which every operator entry point does. */
+  def cosine(a: Column, b: Column): Column =
+    call_function("cosine_sim",
+      a.cast("array<double>"), b.cast("array<double>"))
 
   /** The query row: a fixed corpus vector (vec_id = 0) so results are
     * reproducible without external input. */
@@ -38,6 +39,7 @@ object Similarity {
     * no global sort). Ordering is on the rounded score with vec_id
     * tiebreak, pinned for the oracle. */
   def annBruteForce(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
     e.crossJoin(broadcast(queryVec(s, dir)))
       .select(col("vec_id"), col("label"),
@@ -67,6 +69,7 @@ object Similarity {
     * work per query is O(bucket), not O(corpus). */
   def annLsh(s: SparkSession, dir: String, k: Int = 10,
              bits: Int = 12): DataFrame = {
+    GraftFunctions.register(s)
     val bucket = (v: Column) =>
       aggregate(
         zip_with(planeLits(bits), sequence(lit(0), lit(bits - 1)),
@@ -91,6 +94,7 @@ object Similarity {
     * is the oracle-checkable exact face. */
   def embNearDup(s: SparkSession, dir: String,
                  threshold: Double = 0.3): DataFrame = {
+    GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir).filter(col("vec_id") < 60)
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators._
+
+/** Physical-plan assertions: the optimizations we design for at 100 TB
+  * must actually appear in the executed plan — filter/column pushdown
+  * into the parquet scan, broadcast joins for dims, per-partition top-k
+  * (TakeOrderedAndProject), whole-stage codegen coverage.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: ship-date filter and column pruning reach the parquet scan") {
+    val p = plan(Relational.q1PricingSummary(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // pruned read: quantity/price/discount/flags only, no orderkey/partkey
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_partkey"), "scan reads columns the query never uses")
+  }
+
+  test("q1: aggregation is partial (map-side combine) + final") {
+    val p = plan(Relational.q1PricingSummary(spark, sf))
+    assert(p.contains("HashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
+  }
+
+  test("j1: dimension joins broadcast, no shuffle of the dims") {
+    val p = plan(Relational.j1RegionRevenue(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"customer/nation/region should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j2/j3: semi and anti joins plan as (Broadcast)HashJoin, not join+distinct") {
+    val p2 = plan(Relational.j2SemiJoin(spark, sf))
+    val p3 = plan(Relational.j3AntiJoin(spark, sf))
+    assert(p2.contains("LeftSemi"), p2)
+    assert(p3.contains("LeftAnti"), p3)
+  }
+
+  test("oq4/oq5: top-k plans as TakeOrderedAndProject, never a global sort") {
+    val p4 = plan(Audits.oq4TopK(spark, sf))
+    val p5 = plan(Audits.oq5TopK(spark, sf))
+    assert(p4.contains("TakeOrderedAndProject"), p4)
+    assert(p5.contains("TakeOrderedAndProject"), p5)
+  }
+
+  test("s6: key-mod sampling keeps a single scan, no shuffle") {
+    val p = plan(Audits.s6Sample(spark, sf))
+    assert(!p.contains("Exchange"), s"sampling must be a narrow map:\n$p")
+  }
+
+  test("ann brute-force: query side broadcast + top-k, corpus never shuffled") {
+    val p = plan(Similarity.annBruteForce(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("dedup exact: partial aggregation before the shuffle (digests cross, not documents)") {
+    val p = plan(Dedup.exact(spark, sf))
+    assert(p.contains("partial_count"),
+      s"no map-side combine before the exchange:\n$p")
+    // the partial aggregate's output (digest key + partial counters) is
+    // what crosses the wire — the text column must not appear in it
+    val partialLine = p.linesIterator
+      .find(_.contains("partial_count")).getOrElse("")
+    assert(!partialLine.contains("text#"),
+      s"document text crosses the shuffle:\n$partialLine")
+  }
+
+  test("whole-stage codegen covers the q1 hot path") {
+    // AQE prints codegen spans only in the FINAL plan — execute first
+    val df = Relational.q1PricingSummary(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages print as "*(n) Operator" in the final plan
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"), p)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The native expressions must be bit-identical to the composed-builtin
+  * forms they replace (same fold order, same hash, same pmod semantics)
+  * — otherwise swapping them would silently change query results.
+  */
+class FunctionsSpec extends SparkSpec {
+
+  private def toks(c: org.apache.spark.sql.Column) =
+    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+
+  test("cosine_sim == zip_with/aggregate fold, bit for bit") {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf).limit(100)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    val both = e.crossJoin(q).select(
+      call_function("cosine_sim", col("embedding").cast("array<double>"),
+        col("q").cast("array<double>")).as("native"),
+      (dot(col("embedding"), col("q")) /
+        (sqrt(dot(col("embedding"), col("embedding"))) *
+          sqrt(dot(col("q"), col("q"))))).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("simhash64 == per-token vote fold, bit for bit") {
+    GraftFunctions.register(spark)
+    val d = Tables.documents(spark, sf).limit(100)
+    val votes = aggregate(
+      transform(toks(col("text")), t => xxhash64(t)),
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          i => when(call_function("shiftright", h, i)
+            .bitwiseAND(1L) === 1L, 1).otherwise(-1)),
+        (x, y) => x + y))
+    val hofSig = aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i))
+          .otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    val both = d.select(
+      call_function("simhash64", toks(col("text"))).as("native"),
+      hofSig.as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("minhash_sig16 == universal-hash fold, element for element") {
+    GraftFunctions.register(spark)
+    val P = 1000000007L
+    val params = array((1 to 16).map(i =>
+      struct(lit(2L * i * 104729L + 1L).as("a"), lit(i * 7919L).as("b"))): _*)
+    val d = Tables.documents(spark, sf).limit(100)
+      .select(col("doc_id"), array_distinct(toks(col("text"))).as("sh"))
+    val hofSig = aggregate(
+      col("sh"), array_repeat(lit(P), 16),
+      (acc, x) => {
+        val h = pmod(xxhash64(x), lit(1000000000L))
+        zip_with(acc, params, (m, p) =>
+          least(m, pmod(h * p.getField("a") + p.getField("b"), lit(P))))
+      })
+    val both = d.select(
+      call_function("minhash_sig16", col("sh")).as("native"),
+      hofSig.cast("array<bigint>").as("hof"))
+    assert(both.filter(to_json(col("native")) =!= to_json(col("hof"))).count() === 0)
+  }
+
+  test("cosine_sim survives whole-stage codegen (doGenCode path)") {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf).limit(10)
+    val df = e.crossJoin(
+        e.filter(col("vec_id") === 0).select(col("embedding").as("q")))
+      .select(call_function("cosine_sim",
+        col("embedding").cast("array<double>"),
+        col("q").cast("array<double>")).as("c"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages print as "*(n) Operator" in the final plan
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"), p)
+    // self-similarity sanity on the full corpus
+    val self = Tables.embeddings(spark, sf).select(
+      call_function("cosine_sim", col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")).as("c"))
+    assert(self.filter(abs(col("c") - 1.0) > 1e-12).count() === 0)
+  }
+}
