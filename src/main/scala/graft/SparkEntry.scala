@@ -50,6 +50,10 @@ object SparkEntry {
     "a5_suffix_audit"   -> (Audits.a5SuffixAudit(_, _)),
     "a7_distinct_set"   -> (Audits.a7DistinctSet(_, _)),
     "a10_digit_audit"   -> (Audits.a10DigitAudit(_, _)),
+    "a11_fused_audit"   -> (Audits.a11FusedAudit(_, _)),
+    "oq6_head_probe"    -> (Audits.oq6HeadProbe(_, _)),
+    "s4_json_lines"     -> (Audits.s4JsonLines(_, _)),
+    "skew1_salted_agg"  -> (Audits.skew1SaltedAgg(_, _)),
     // ---- reference cleaning/reshape surface (§2c/2d) ----
     "c1_fix_suffix"     -> (Cleaning.c1FixSuffix(_, _)),
     "c2_fix_lang"       -> (Cleaning.c2FixLang(_, _)),
@@ -205,6 +209,25 @@ object SparkEntry {
            CAST(sum(CASE WHEN length(digits) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
            array_to_string(list_sort(list(DISTINCT digits)), ',') AS vals
          FROM d GROUP BY 1""",
+    "a11_fused_audit" ->
+      """SELECT lang, count(*) AS n,
+         CAST(sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+         count(DISTINCT source) AS n_sources,
+         array_to_string(list_sort(list(DISTINCT regexp_extract(text, '(\S+)\s*$', 1)))[1:10], ',') AS suffixes
+         FROM documents GROUP BY lang""",
+    "oq6_head_probe" ->
+      """SELECT event_id, event_type, user_id,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+         FROM events ORDER BY event_id ASC LIMIT 1""",
+    "s4_json_lines" ->
+      """SELECT event_id,
+         to_json(struct_pack(event_id := event_id, event_type := event_type,
+           user_id := user_id)) AS json_line
+         FROM events""",
+    "skew1_salted_agg" ->
+      """SELECT user_id, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY user_id""",
     "c1_fix_suffix" ->
       """WITH t AS (SELECT doc_id, text,
              regexp_extract(text, '(\S+)\s*$', 1) AS last_token FROM documents),

@@ -139,6 +139,59 @@ object Audits {
       .orderBy(col("n").desc, col("p_brand").asc)
       .limit(10)
 
+  /** A11 fused multi-audit (:328-349): the reference re-scans the file
+    * once per audit family; here one scan feeds all the accumulator
+    * families (counts, validity ratios, distinct sets) in a single
+    * grouped aggregation — the shared-scan pattern that matters when the
+    * scan is 100 TB. */
+  def a11FusedAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("n_chars") > 300, 1).otherwise(0)).as("n_long"),
+        countDistinct(col("source")).as("n_sources"),
+        array_join(slice(sort_array(collect_set(
+          regexp_extract(col("text"), """(\S+)\s*$""", 1))), 1, 10), ",")
+          .as("suffixes"))
+  }
+
+  /** Q6 first-document probe (:593): find_one() ⇒ head(1) with a pinned
+    * total order so the probe is deterministic on any engine. */
+  def oq6HeadProbe(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .orderBy(col("event_id").asc)
+      .limit(1)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+
+  /** S4 ND-JSON serialization (:565-584): the reshape sink's row format
+    * as a projection — `to_json(struct(...))` is exactly one output line
+    * of `df.write.json` (the full sink round-trip is exercised in
+    * OsmShapeSpec). */
+  def s4JsonLines(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        to_json(struct(col("event_id"), col("event_type"), col("user_id")))
+          .as("json_line"))
+
+  /** Two-stage salted aggregation: the skew-mitigation pattern for hot
+    * keys (events has only 15 users ⇒ every key is hot). Stage 1
+    * aggregates on (key, salt) spreading each hot key over 8 reducers;
+    * stage 2 combines the partials. Result is provably identical to the
+    * direct groupBy — the oracle checks exactly that. */
+  def skew1SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.withColumn("salt", pmod(col("event_id"), lit(8)))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(count(lit(1)).as("partial_n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .as("partial_v"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("partial_n")).as("n"),
+        sum(col("partial_v")).cast("double").as("sum_value"))
+  }
+
   /** S6 systematic sampling (:54-77): keep every 10th element. The
     * reference samples by stream position; position is not stable across
     * a distributed scan, so we sample on the stable primary key — same
