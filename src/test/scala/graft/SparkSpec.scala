@@ -12,6 +12,9 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // keep saveAsTable (BucketingSpec) out of the repo working dir
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-warehouse-${java.util.UUID.randomUUID()}")
       // HDFS-backed store: no RocksDB maintenance threads / snapshot-lag
       // warnings in short-lived test queries
       .config("spark.sql.streaming.stateStore.providerClass",
