@@ -75,6 +75,7 @@ object SparkEntry {
     // ---- training-data pipeline: similarity search ----
     "sim_ann_brute"     -> (Similarity.annBruteForce(_, _)),
     "sim_ann_lsh"       -> (Similarity.annLsh(_, _)),
+    "sim_ann_ivf"       -> (Similarity.annIvf(_, _)),
     "sim_near_dup"      -> (Similarity.embNearDup(_, _)),
     "sim_centroids"     -> (Similarity.labelCentroids(_, _)),
     // ---- training-data pipeline: text analysis ----

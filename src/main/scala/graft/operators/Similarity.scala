@@ -104,6 +104,57 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** IVF-style ANN: coarse quantizer = per-label mean vectors (the
+    * labels stand in for k-means cells on this corpus); every corpus
+    * vector is assigned to its NEAREST centroid (not its own label —
+    * this is a real inverted-file assignment), the query probes its
+    * `nprobe` nearest cells, and only those cells are re-ranked
+    * exactly.
+    *
+    * Scale shape: centroids are a K-row broadcast; assignment is one
+    * narrow crossJoin(broadcast)+argmin pass (reusable across queries —
+    * the inverted file); each query touches ~corpus/K × nprobe rows.
+    * No driver collect: the "model" stays a DataFrame end to end.
+    */
+  def annIvf(s: SparkSession, dir: String, k: Int = 10,
+             nprobe: Int = 3): DataFrame = {
+    GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+    // K centroids as (cell, centroid: array<double>)
+    val centroids = e.select(col("label").as("cell"),
+        posexplode(col("embedding").cast("array<double>")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .getField("m").as("centroid"))
+    val byDist = (idCol: String) => Window.partitionBy(col(idCol))
+      .orderBy(col("dist").asc, col("cell").asc)
+    // inverted file: every vector assigned to its nearest centroid
+    val assigned = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        (lit(1.0) - cosine(col("embedding"), col("centroid"))).as("dist"))
+      .withColumn("rn", row_number().over(byDist("vec_id")))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    // query probes its nprobe nearest cells
+    val probes = queryVec(s, dir)
+      .crossJoin(broadcast(centroids))
+      .select(col("q"), col("cell"),
+        (lit(1.0) - cosine(col("q"), col("centroid"))).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("dist").asc, col("cell").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("q"), col("cell"))
+    assigned.join(broadcast(probes), "cell")
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Centroid per label — the IVF coarse-quantizer training step: mean
     * vector by class, emitted as (label, dim, value) long-form so the
     * oracle can check it without array equality. */

@@ -42,6 +42,15 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exactly-once dedup: drop re-delivered events by id within
+    * the watermark horizon. `dropDuplicatesWithinWatermark` keeps state
+    * only for `delay` of event time — bounded state, the streaming face
+    * of the batch digest-dedup in operators.Dedup. */
+  def dedupStream(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
                           event_type: String)
   case class Session(user_id: Long, n_events: Long, first_ts: Long,

@@ -36,6 +36,15 @@ class DedupSpec extends SparkSpec {
     assert(d.agg(max(col("n_copies"))).collect().head.getLong(0) === 1)
   }
 
+  test("ANN IVF probes cells and scores consistently with brute force") {
+    val ivf = Similarity.annIvf(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    assert(ivf.size === 10)
+    val bruteScores = Similarity.annBruteForce(spark, sf, k = 1000).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    ivf.foreach { case (id, s) => assert(bruteScores(id) === s, s"id $id") }
+  }
+
   test("ANN brute-force and LSH agree on bucket-mates") {
     val brute = Similarity.annBruteForce(spark, sf).collect()
       .map(_.getAs[Long]("vec_id"))

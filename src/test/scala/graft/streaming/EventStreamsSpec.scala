@@ -66,6 +66,27 @@ class EventStreamsSpec extends SparkSpec {
       Seq("window_start", "event_type", "n", "sum_value"))
   }
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val stream = mem.toDF()
+      .select(col("_1").as("event_id"),
+        timestamp_millis(col("_2")).as("ts"))
+    val q = EventStreams.dedupStream(stream, "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_test").start()
+    try {
+      mem.addData((1L, 1000L), (2L, 2000L), (1L, 1500L)) // 1 re-delivered
+      q.processAllAvailable()
+      mem.addData((2L, 3000L), (3L, 4000L))              // 2 re-delivered
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_test").collect()
+      .map(_.getAs[Long]("event_id")).toSeq
+    assert(ids.sorted === Seq(1L, 2L, 3L))
+  }
+
   test("sessionization groups events by gap (transformWithState)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
