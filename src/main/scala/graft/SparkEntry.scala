@@ -42,6 +42,7 @@ object SparkEntry {
     "d1_monthly_revenue" -> (Relational.d1MonthlyRevenue(_, _)),
     "d2_hourly_window"  -> (Relational.d2HourlyWindow(_, _)),
     "str1_functions"    -> (Relational.str1Functions(_, _)),
+    "stat1_percentiles" -> (Relational.stat1Percentiles(_, _)),
     "asof_event_orders" -> (AsOf.asofEventOrders(_, _)),
     // ---- reference audit surface (SURVEY §2b) ----
     "a1_group_count"    -> (Audits.a1GroupCount(_, _)),
@@ -69,6 +70,7 @@ object SparkEntry {
     "dedup_exact"       -> (Dedup.exact(_, _)),
     "dedup_normalized"  -> (Dedup.normalized(_, _)),
     "dedup_jaccard"     -> (Dedup.jaccardPairs(_, _)),
+    "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs(_, _)),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh(_, _)),
     "dedup_simhash"     -> (Dedup.simhash(_, _)),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs(_, _)),
@@ -298,6 +300,36 @@ object SparkEntry {
          WHERE a.doc_id < b.doc_id
            AND CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE) /
              len(list_distinct(list_concat(a.tset, b.tset))) >= 0.6""",
+    "stat1_percentiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.5), 4) AS p50,
+         round(quantile_cont(value, 0.9), 4) AS p90,
+         round(min(value), 4) AS v_min,
+         round(max(value), 4) AS v_max,
+         count(*) AS n
+         FROM events GROUP BY event_type""",
+    "dedup_ngram_jaccard" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents WHERE doc_id < 40
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id,
+                  regexp_replace(text, '^\S+\s*', '') AS text
+           FROM documents WHERE doc_id < 40),
+         t AS (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                   x -> len(x) > 0) AS tk FROM base),
+         s AS (SELECT doc_id,
+                 CASE WHEN len(tk) >= 3
+                   THEN list_distinct(list_transform(range(0, len(tk) - 2),
+                     i -> array_to_string(tk[i+1:i+3], ' ')))
+                   ELSE [array_to_string(tk, ' ')] END AS sh FROM t)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+         FROM s a, s b
+         WHERE a.doc_id < b.doc_id
+           AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5""",
     "sim_ann_brute" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
          SELECT vec_id, label,

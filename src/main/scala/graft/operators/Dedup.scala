@@ -70,6 +70,26 @@ object Dedup {
     base.unionByName(mut)
   }
 
+  /** n-gram (3-token-shingle) Jaccard pairs on the mutant-augmented
+    * bounded slice — the exact-similarity kernel at the shingle
+    * granularity MinHash approximates, small enough for the all-pairs
+    * oracle to verify literally. */
+  def ngramJaccardPairs(s: SparkSession, dir: String,
+                        threshold: Double = 0.5): DataFrame = {
+    val d = withMutants(Tables.documents(s, dir))
+      .filter(col("doc_id") < 40 ||
+        (col("doc_id") >= 1000000L && col("doc_id") < 1000040L))
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** 3-token shingles of a document, as strings. */
   private def shingles(c: Column, n: Int = 3): Column = {
     val ts = toks(c)

@@ -192,6 +192,21 @@ object Relational {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Order statistics: exact interpolated percentiles per group (the
+    * `percentile` aggregate sorts within the group — at scale prefer
+    * `percentile_approx` sketches; the exact form is the oracle-checkable
+    * face). */
+  def stat1Percentiles(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(min(col("value")), 4).as("v_min"),
+        round(max(col("value")), 4).as("v_max"),
+        count(lit(1)).as("n"))
+  }
+
   /** String-function battery over customer: substring / concat / pad /
     * case / trim / split — the reference's string surface (SURVEY §2f)
     * on a table the oracle can read.
