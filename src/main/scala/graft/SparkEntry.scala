@@ -36,6 +36,7 @@ object SparkEntry {
     "w1_top_order_per_customer" -> (Relational.w1TopOrderPerCustomer(_, _)),
     "w2_running_sum"    -> (Relational.w2RunningSum(_, _)),
     "w3_lag_lead"       -> (Relational.w3LagLead(_, _)),
+    "w4_range_frame"    -> (Relational.w4RangeFrame(_, _)),
     "g1_rollup"         -> (Relational.g1Rollup(_, _)),
     "g2_cube"           -> (Relational.g2Cube(_, _)),
     "set1_ops"          -> (Relational.set1Ops(_, _)),
@@ -137,6 +138,13 @@ object SparkEntry {
            lag(o_orderdate) OVER (PARTITION BY o_custkey
              ORDER BY o_orderdate, o_orderkey),
            o_orderdate) AS days_since_prev
+         FROM orders""",
+    "w4_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS rolling_30d_revenue
          FROM orders""",
     "g1_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

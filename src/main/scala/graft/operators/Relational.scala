@@ -119,6 +119,23 @@ object Relational {
       sum(col("l_quantity")).over(w).as("running_qty"))
   }
 
+  /** Range-frame window: rolling 30-day order revenue per customer.
+    * The frame is value-based (RANGE over event time), so all peers of
+    * a timestamp are included regardless of row order — deterministic
+    * under any partitioning, and the frame Spark evaluates with a
+    * sliding aggregate, not a per-row rescan. */
+  def w4RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    // o_orderdate reads as TIMESTAMP_NTZ, which has no direct long cast;
+    // go through TIMESTAMP (session tz is pinned UTC) to epoch seconds
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+      .rangeBetween(-30L * 86400, 0)
+    o.select(col("o_custkey"), col("o_orderkey"),
+      sum(dec(col("o_totalprice"))).over(w).cast("double")
+        .as("rolling_30d_revenue"))
+  }
+
   /** Lag/lead + gap math: days since the previous order per customer. */
   def w3LagLead(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
