@@ -78,13 +78,21 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: oracle error {str(ex)[:200]}")
             fail += 1
             continue
-        # nullable-int columns: pandas may promote to float on one side
+        # dtype reconciliation: float-coerce ONLY when one side is already
+        # float (the nullable-int promotion case); two integer dtypes of
+        # different widths compare exactly as int64 — float64 would mask
+        # real differences above 2**53 (e.g. 60-bit hash values).
         for c in spark_df.columns:
             if c in oracle_df.columns:
                 try:
-                    if str(spark_df[c].dtype) != str(oracle_df[c].dtype):
-                        spark_df[c] = spark_df[c].astype("float64")
-                        oracle_df[c] = oracle_df[c].astype("float64")
+                    ds, do = str(spark_df[c].dtype), str(oracle_df[c].dtype)
+                    if ds != do:
+                        if "float" in ds or "float" in do:
+                            spark_df[c] = spark_df[c].astype("float64")
+                            oracle_df[c] = oracle_df[c].astype("float64")
+                        else:
+                            spark_df[c] = spark_df[c].astype("int64")
+                            oracle_df[c] = oracle_df[c].astype("int64")
                 except (TypeError, ValueError):
                     pass
         err = compare(name, spark_df, oracle_df)

@@ -30,13 +30,26 @@ object Bench {
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val cold = once(fn)
       val warm = if (cold < 0) -1.0 else once(fn)
+      // cache hygiene: a query may legitimately cache intermediates
+      // (checkpoint-the-intermediate pattern); dropping them between
+      // queries keeps one query's storage from polluting the next
+      // measurement — the JVM-state artifact that inflated round 1.
+      spark.catalog.clearCache()
       (name, cold, warm)
     }
     val qs = results.map { case (k, _, w) => s"\"" + k + "\":" + w }
       .mkString("{", ",", "}")
     val total = results.map(_._3).filter(_ >= 0).sum
     val coldTotal = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
+    // failures are explicit: a throwing query must not read as a speedup
+    val failed = results.filter(_._2 < 0).map(r => "\"" + r._1 + "\"")
+      .mkString("[", ",", "]")
+    val nFailed = results.count(_._2 < 0)
+    // reference-scale OSM pipeline (~100 MB XML), timed alongside
+    val osm = try graft.osm.OsmBench.run(spark).json catch {
+      case _: Throwable => "\"osm_failed\":true"
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"n_failed":$nFailed,"failed":$failed,$osm,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.GraftFunctions
 
 /** SparkSessionExtensions entry point: makes graft's native expressions
-  * (cosine_sim, simhash64, minhash_sig16) available in any session via
+  * (cosine_sim, simhash60, minhash_sig16) available in any session via
   *
   * {{{
   * SparkSession.builder()

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.operators._
 
 /** Driver contract — see SURVEY.md §7 + FIXTURES.md §3.
@@ -68,13 +69,19 @@ object SparkEntry {
     "oq5_top_k"         -> (Audits.oq5TopK(_, _)),
     "s6_sample"         -> (Audits.s6Sample(_, _)),
     // ---- training-data pipeline: dedup ----
-    "dedup_exact"       -> (Dedup.exact(_, _)),
-    "dedup_normalized"  -> (Dedup.normalized(_, _)),
-    "dedup_jaccard"     -> (Dedup.jaccardPairs(_, _)),
-    "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs(_, _)),
-    "dedup_minhash_lsh" -> (Dedup.minhashLsh(_, _)),
-    "dedup_simhash"     -> (Dedup.simhash(_, _)),
-    "dedup_simhash_pairs" -> (Dedup.simhashPairs(_, _)),
+    // operators take their corpus; mutant injection is a fixture concern
+    "dedup_exact"       -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    "dedup_normalized"  -> ((s, dir) => Dedup.normalized(Tables.documents(s, dir))),
+    "dedup_jaccard"     -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 60))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Fixtures.mutantSlice(s, dir))),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(s, Fixtures.mutantDocs(s, dir))),
+    "dedup_simhash"     -> ((s, dir) =>
+      Dedup.simhash(s, Fixtures.mutantDocs(s, dir))),
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(s, Fixtures.mutantDocs(s, dir))),
     // ---- training-data pipeline: similarity search ----
     "sim_ann_brute"     -> (Similarity.annBruteForce(_, _)),
     "sim_ann_lsh"       -> (Similarity.annLsh(_, _)),
@@ -394,7 +401,7 @@ object SparkEntry {
            (acc, x) -> (acc * 31 + x) % 1000000000000000) AS fingerprint
          FROM documents""",
     "mm1_decode" ->
-      """SELECT doc_id, 'image/fake' AS mime,
+      """SELECT doc_id, 'image/bmp' AS mime,
          (doc_id % 8) * 64 + 64 AS width,
          (doc_id % 5) * 64 + 64 AS height,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -408,5 +415,146 @@ object SparkEntry {
          SELECT doc_id, frame_idx,
            md5(CAST(doc_id AS VARCHAR) || '#' || CAST(frame_idx AS VARCHAR)) AS frame_digest
          FROM (SELECT doc_id, unnest(range(0, least(n_frames - 1, 7) + 1)) AS frame_idx FROM f)""",
+    // ---- hash-seeded pipelines, mirrored bit-for-bit in DuckDB ----
+    // All graft hashing is md5-based (functions.Md5Base), so the oracle
+    // recomputes every signature, band, and candidate set literally —
+    // these five were rows-only in round 1.
+    "dedup_simhash" -> simhashSql,
+    "dedup_simhash_pairs" -> raw"""
+      WITH s AS ($simhashSql),
+      b AS (SELECT doc_id, simhash, r.range AS band,
+              (simhash >> (r.range * 15)) & 32767 AS chunk
+            FROM s, range(0, 4) r)
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
+      FROM b a JOIN b c ON a.band = c.band AND a.chunk = c.chunk
+        AND a.doc_id < c.doc_id
+      WHERE bit_count(xor(a.simhash, c.simhash)) <= 10""",
+    "dedup_minhash_lsh" -> raw"""
+      WITH base AS ($mutantBaseSql),
+      t AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '\s+'),
+                x -> len(x) > 0) AS tk FROM base),
+      sg AS (SELECT doc_id,
+              CASE WHEN len(tk) >= 3
+                THEN list_distinct(list_transform(range(0, len(tk) - 2),
+                  i -> array_to_string(tk[i+1:i+3], ' ')))
+                ELSE [array_to_string(tk, ' ')] END AS sh FROM t),
+      xs AS (SELECT doc_id,
+              list_transform(sh, g ->
+                ('0x' || substr(md5(g), 1, 15))::BIGINT % 1000000000) AS xs
+             FROM sg),
+      sig AS (SELECT doc_id,
+               list_transform(range(1, 17), i ->
+                 list_min(list_transform(xs, x ->
+                   ((2 * i * 104729 + 1) * x + i * 7919) % 1000000007))) AS sig
+              FROM xs),
+      bands AS (SELECT doc_id, r.range AS band,
+                 array_to_string(list_transform(
+                   sig[r.range * 4 + 1 : r.range * 4 + 4],
+                   v -> v::VARCHAR), '_') AS band_key
+                FROM sig, range(0, 4) r),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b ON a.band = b.band
+                 AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+      SELECT c.doc_a, c.doc_b,
+        round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+      FROM cand c
+      JOIN sg sa ON sa.doc_id = c.doc_a
+      JOIN sg sb ON sb.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5""",
+    "sim_ann_lsh" -> raw"""
+      WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+      sb AS (SELECT e.vec_id,
+              list_transform($planesSql, pl ->
+                CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, 65),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * pl[i])),
+                  (acc, x) -> acc + x) > 0 THEN 1 ELSE 0 END) AS bits
+             FROM embeddings e WHERE vec_id <> 0),
+      qb AS (SELECT list_transform($planesSql, pl ->
+                CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, 65),
+                    i -> CAST(q.embedding[i] AS DOUBLE) * pl[i])),
+                  (acc, x) -> acc + x) > 0 THEN 1 ELSE 0 END) AS bits
+             FROM q),
+      sbv AS (SELECT vec_id, r.range AS band,
+               list_reduce(list_prepend(0, bits[r.range*4+1 : r.range*4+4]),
+                 (acc, x) -> acc * 2 + x) AS bval
+              FROM sb, range(0, 4) r),
+      qbv AS (SELECT r.range AS band,
+               list_reduce(list_prepend(0, bits[r.range*4+1 : r.range*4+4]),
+                 (acc, x) -> acc * 2 + x) AS bval
+              FROM qb, range(0, 4) r),
+      cand AS (SELECT DISTINCT s.vec_id FROM sbv s
+               JOIN qbv ON s.band = qbv.band AND s.bval = qbv.bval)
+      SELECT e.vec_id,
+        round(list_cosine_similarity(e.embedding::DOUBLE[],
+          q.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM cand, embeddings e, q WHERE e.vec_id = cand.vec_id
+      ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10""",
+    "sim_ann_ivf" -> raw"""
+      WITH cent AS (
+        SELECT cell, list(m ORDER BY dim) AS centroid FROM (
+          SELECT label AS cell, r.range AS dim,
+            round(avg(CAST(embedding[r.range + 1] AS DOUBLE)), 6) AS m
+          FROM embeddings, range(0, 64) r GROUP BY label, r.range)
+        GROUP BY cell),
+      q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      probes AS (
+        SELECT cell FROM cent, q
+        ORDER BY round(1 - list_cosine_similarity(centroid::DOUBLE[], qv), 6) ASC,
+          cell ASC
+        LIMIT 3),
+      assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              round(1 - list_cosine_similarity(e.embedding::DOUBLE[],
+                c.centroid::DOUBLE[]), 6) ASC,
+              c.cell ASC) AS rn
+          FROM embeddings e, cent c WHERE e.vec_id <> 0)
+        WHERE rn = 1)
+      SELECT a.vec_id,
+        round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) AS cos_sim
+      FROM assigned a, q WHERE a.cell IN (SELECT cell FROM probes)
+      ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
   )
+
+  // ---- shared DuckDB oracle fragments ----
+
+  /** documents ∪ first-token-dropped mutants — mirrors Fixtures.mutantDocs. */
+  private def mutantBaseSql: String = raw"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             regexp_replace(text, '^\S+\s*', '') AS text
+      FROM documents WHERE doc_id < 50"""
+
+  /** 60-bit SimHash per doc over the mutant corpus — mirrors
+    * functions.SimHash60: md5-60 per token, ±1 votes with repetition,
+    * bit set iff strictly more 1-votes than 0-votes. */
+  private def simhashSql: String = raw"""
+      WITH base AS ($mutantBaseSql),
+      h AS (SELECT doc_id,
+              list_transform(
+                list_filter(string_split_regex(lower(text), '\s+'),
+                  x -> len(x) > 0),
+                t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+            FROM base)
+      SELECT doc_id,
+        CAST(list_sum(list_transform(range(0, 60),
+          j -> CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> j) & 1)) > len(hs)
+               THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+          AS simhash
+      FROM h"""
+
+  /** The 16 seed-42 Rademacher hyperplanes as a DuckDB list-of-lists
+    * literal — the SAME constants Similarity.annLsh ships in its plan. */
+  private def planesSql: String =
+    Similarity.planeValues(16).map(p =>
+      p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
 }

@@ -12,7 +12,7 @@ object GraftFunctions {
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim"    -> (es => CosineSimilarity(es(0), es(1))),
-    "simhash64"     -> (es => SimHash64(es.head)),
+    "simhash60"     -> (es => SimHash60(es.head)),
     "minhash_sig16" -> (es => MinHashSig(es.head, 16)))
 
   def register(spark: SparkSession): Unit = {

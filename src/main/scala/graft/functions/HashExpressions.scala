@@ -1,36 +1,69 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Single-pass 64-bit SimHash over a token array: per token one
-  * xxhash64 (same seed-42 function as Spark's `xxhash64`), each bit
-  * votes ±1 weighted by repetition, sign vector → fingerprint.
+/** Cross-engine-verifiable 60-bit base hash: the top 60 bits of the
+  * MD5 digest (= the first 15 hex characters, read as an unsigned
+  * integer). MD5 exists in every SQL engine (Spark `md5`, DuckDB
+  * `md5`, Trino `md5`), so every hash-seeded operator built on this
+  * base (SimHash, MinHash) can be reproduced bit-for-bit by an
+  * independent oracle via `('0x' || substr(md5(t), 1, 15))::BIGINT`.
+  * xxhash64 would be a few ns/token faster but is Spark-only; at
+  * 100 TB the hash is a constant factor inside a narrow map stage,
+  * while cross-engine verifiability is what lets two engines agree on
+  * WHICH documents are duplicates.
+  */
+object Md5Base {
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  /** Top 60 bits of md5(utf8 bytes) as a non-negative Long. */
+  def hash60(s: UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val dig = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    // bytes 0..6 (14 hex chars) then the high nibble of byte 7 (15th)
+    while (i < 7) { v = (v << 8) | (dig(i) & 0xFFL); i += 1 }
+    (v << 4) | ((dig(7) & 0xF0L) >> 4)
+  }
+}
+
+/** Single-pass 60-bit SimHash over a token array: per token one
+  * md5-60 base hash, each bit votes ±1 weighted by repetition, the
+  * strict-majority sign vector becomes the fingerprint (bit set iff
+  * votes > 0).
   *
   * Replaces the higher-order-function fold (`aggregate` + per-token
-  * `transform(sequence(0,63))` + `zip_with`) which allocates two
-  * 64-element arrays per TOKEN; this allocates one 64-int vote buffer
-  * per ROW. Bit-identical output to the HOF form (FunctionsSpec).
+  * `transform(sequence(...))` + `zip_with`) which allocates two
+  * 60-element arrays per TOKEN; this allocates one 60-int vote buffer
+  * per ROW. Bit-identical to the HOF form (FunctionsSpec) and to the
+  * DuckDB mirror in SparkEntry.oracleSql("dedup_simhash").
   */
-case class SimHash64(child: Expression)
+case class SimHash60(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
-  override def prettyName: String = "simhash64"
+  override def prettyName: String = "simhash60"
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val votes = new Array[Int](64)
+    val votes = new Array[Int](60)
     var t = 0
     while (t < arr.numElements()) {
-      val tok = arr.getUTF8String(t)
-      val h = XxHash64Function.hash(tok, StringType, 42L)
+      val h = Md5Base.hash60(arr.getUTF8String(t))
       var i = 0
-      while (i < 64) {
+      while (i < 60) {
         if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
         i += 1
       }
@@ -38,24 +71,26 @@ case class SimHash64(child: Expression)
     }
     var sig = 0L
     var i = 0
-    while (i < 64) { if (votes(i) > 0) sig |= (1L << i); i += 1 }
+    while (i < 60) { if (votes(i) > 0) sig |= (1L << i); i += 1 }
     sig
   }
 
-  override protected def withNewChildInternal(c: Expression): SimHash64 =
+  override protected def withNewChildInternal(c: Expression): SimHash60 =
     copy(child = c)
 }
 
 /** MinHash signature: k permutation-minima over shingle hashes in one
-  * pass — h_i(x) = (a_i·fold(xxhash64(x)) + b_i) mod P with the same
-  * (a_i, b_i, P) parameters as the HOF form it replaces.
+  * pass — h_i(x) = (a_i·x + b_i) mod P with x = md5-60(shingle) mod 1e9
+  * (bounded so a_i·x + b_i stays in exact Long range under ANSI mode).
+  * The (a_i, b_i, P) parameters are exposed so tests and oracles share
+  * a single source of truth.
   */
 case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
 
-  private val P = 1000000007L
-  private val as: Array[Long] = (1 to k).map(i => 2L * i * 104729L + 1L).toArray
-  private val bs: Array[Long] = (1 to k).map(i => i * 7919L).toArray
+  import MinHashSig._
+  private val as: Array[Long] = (1 to k).map(aParam).toArray
+  private val bs: Array[Long] = (1 to k).map(bParam).toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -66,11 +101,7 @@ case class MinHashSig(child: Expression, k: Int)
     val mins = Array.fill(k)(P)
     var t = 0
     while (t < arr.numElements()) {
-      val sh = arr.getUTF8String(t)
-      val base = {
-        val h = XxHash64Function.hash(sh, StringType, 42L) % 1000000000L
-        if (h < 0) h + 1000000000L else h // pmod semantics
-      }
+      val base = Md5Base.hash60(arr.getUTF8String(t)) % FOLD
       var i = 0
       while (i < k) {
         val v = (as(i) * base + bs(i)) % P
@@ -84,4 +115,13 @@ case class MinHashSig(child: Expression, k: Int)
 
   override protected def withNewChildInternal(c: Expression): MinHashSig =
     copy(child = c)
+}
+
+object MinHashSig {
+  /** Prime modulus of the universal hash family. */
+  val P = 1000000007L
+  /** Base-hash fold bound: keeps a·x + b inside exact Long range. */
+  val FOLD = 1000000000L
+  def aParam(i: Int): Long = 2L * i * 104729L + 1L
+  def bParam(i: Int): Long = i * 7919L
 }

@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.Tables
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -8,12 +7,19 @@ import org.apache.spark.sql.functions._
 /** Deduplication operators for a training-data pipeline: exact,
   * normalized-exact, n-gram Jaccard, MinHash+LSH, SimHash.
   *
+  * Every operator takes the corpus it is given (a DataFrame with
+  * doc_id + text) — fixture augmentation lives in [[Fixtures]], not
+  * here.
+  *
   * Scale design: exact/normalized dedup is a hash-aggregate on a digest
   * (shuffle moves 16-byte keys, not documents). Candidate generation for
   * near-dup is always LSH-banded — the only self-join runs on small
-  * (band, bucket-hash) keys, so the quadratic blow-up is bounded per
+  * (band, band-key) keys, so the quadratic blow-up is bounded per
   * bucket instead of global. Exact similarity is verified only on
-  * candidate pairs.
+  * candidate pairs. All hash seeds are md5-based (see
+  * functions.Md5Base), so an independent engine can reproduce every
+  * signature, band, and candidate set bit-for-bit — the oracles in
+  * SparkEntry.oracleSql mirror these pipelines literally in DuckDB.
   */
 object Dedup {
 
@@ -22,31 +28,29 @@ object Dedup {
 
   /** Exact dedup: group documents by content digest, keep the smallest
     * doc_id as canonical. Shuffles digests only. */
-  def exact(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  def exact(docs: DataFrame): DataFrame =
+    docs
       .groupBy(md5(col("text").cast("binary")).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
 
   /** Normalized-exact dedup: case-fold, strip non-alphanumerics, collapse
     * whitespace, then digest-group — catches formatting-only duplicates.
     */
-  def normalized(s: SparkSession, dir: String): DataFrame = {
+  def normalized(docs: DataFrame): DataFrame = {
     val norm = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-    Tables.documents(s, dir)
+    docs
       .groupBy(md5(norm.cast("binary")).as("norm_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
   }
 
-  /** Token-set (1-gram) Jaccard similarity on a bounded id-range slice —
-    * the exact-verification kernel the LSH pipeline reuses, and the
-    * DuckDB-oracle-checkable face of near-dup detection. Jaccard is a
-    * ratio of small ints ⇒ bit-exact on any engine.
+  /** Token-set (1-gram) Jaccard similarity — the exact-verification
+    * kernel the LSH pipeline reuses, and the DuckDB-oracle-checkable
+    * face of near-dup detection. Jaccard is a ratio of small ints ⇒
+    * bit-exact on any engine. All-pairs: callers bound the corpus.
     */
-  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-      .filter(col("doc_id") < 60)
-      .select(col("doc_id"), array_distinct(toks(col("text"))).as("tset"))
+  def jaccardPairs(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), array_distinct(toks(col("text"))).as("tset"))
     val a = d.select(col("doc_id").as("doc_a"), col("tset").as("set_a"))
     val b = d.select(col("doc_id").as("doc_b"), col("tset").as("set_b"))
     a.join(b, col("doc_a") < col("doc_b"))
@@ -57,29 +61,13 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** The synthetic corpus has no near-duplicates (3-shingle Jaccard
-    * between random word-salad docs is ~0.02), so the near-dup detectors
-    * would correctly return nothing. To exercise them end-to-end we
-    * deterministically inject mutant copies — doc_id+1e6, first token
-    * dropped — and the detectors must recover exactly those pairs. */
-  private def withMutants(d: DataFrame): DataFrame = {
-    val base = d.select(col("doc_id"), col("text"))
-    val mut = base.filter(col("doc_id") < 50)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
-        regexp_replace(col("text"), """^\S+\s*""", "").as("text"))
-    base.unionByName(mut)
-  }
-
-  /** n-gram (3-token-shingle) Jaccard pairs on the mutant-augmented
-    * bounded slice — the exact-similarity kernel at the shingle
-    * granularity MinHash approximates, small enough for the all-pairs
-    * oracle to verify literally. */
-  def ngramJaccardPairs(s: SparkSession, dir: String,
+  /** n-gram (3-token-shingle) Jaccard pairs — the exact-similarity
+    * kernel at the shingle granularity MinHash approximates, small
+    * enough for the all-pairs oracle to verify literally. Callers bound
+    * the corpus. */
+  def ngramJaccardPairs(docs: DataFrame,
                         threshold: Double = 0.5): DataFrame = {
-    val d = withMutants(Tables.documents(s, dir))
-      .filter(col("doc_id") < 40 ||
-        (col("doc_id") >= 1000000L && col("doc_id") < 1000040L))
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val d = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
     val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, col("doc_a") < col("doc_b"))
@@ -99,37 +87,32 @@ object Dedup {
       .otherwise(array(concat_ws(" ", ts)))
   }
 
-  // (a, b) parameters of the k universal hash functions h_i(x) = (a*x+b) mod P.
-  // Deterministic constants (odd multipliers), P prime; the base hash is
-  // xxhash64 folded into [0, 1e9) so a*x+b stays inside exact Long range
-  // (ANSI-mode safe: no silent overflow anywhere).
-  private val P = 1000000007L
-  private val hashParams: Seq[(Long, Long)] =
-    (1 to 16).map(i => (2L * i * 104729L + 1L, i * 7919L))
-
   /** MinHash signature: k = 16 permutation-minima over shingle hashes —
-    * the native MinHashSig expression (one pass, one hash per shingle,
+    * the native MinHashSig expression (one pass, one md5 per shingle,
     * no per-shingle array allocation; see functions.MinHashSig and its
     * equivalence test against the higher-order-function fold). */
   private def minhashSig(sh: Column): Column =
     call_function("minhash_sig16", sh)
 
-  /** MinHash + LSH banding: 4 bands × 4 rows. Same band-slice hash ⇒
+  /** MinHash + LSH banding: 4 bands × 4 rows. Same band slice ⇒
     * candidate pair; candidates are verified with exact shingle-Jaccard.
-    * The band join key is (band_idx, band_hash) — cardinality ~n_docs per
+    * The band join key is (band_idx, band_key) — cardinality ~n_docs per
     * band, so the self-join is an equi-join Spark shuffles on a small key,
     * never an O(n²) cross product. Candidates are distinct'd as bare id
     * pairs BEFORE the shingle sets are joined back — the wide arrays never
-    * enter the shuffle or the distinct.
+    * enter the shuffle or the distinct. The band key is the joined
+    * signature slice itself (≤ 43 bytes), not a hash of it, so the
+    * DuckDB oracle mirrors the candidate set exactly.
     */
-  def minhashLsh(s: SparkSession, dir: String,
+  def minhashLsh(s: SparkSession, docs: DataFrame,
                  threshold: Double = 0.5): DataFrame = {
     GraftFunctions.register(s)
     // cache: the shingle sets feed three subtrees (signatures + both
     // sides of the verification join) — without it each recomputes the
     // full tokenize+shingle pass. At cluster scale this is the
-    // checkpoint-the-intermediate pattern.
-    val shDocs = withMutants(Tables.documents(s, dir))
+    // checkpoint-the-intermediate pattern. (Bench/Verify clearCache
+    // between queries, so the storage does not outlive the query.)
+    val shDocs = docs
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .cache()
     val bands = shDocs
@@ -139,12 +122,12 @@ object Dedup {
       .repartition(col("doc_id"))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(3)),
-          b => xxhash64(concat_ws("_", slice(col("sig"), b * 4 + 1, lit(4)))))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+          b => concat_ws("_", slice(col("sig"), b * 4 + 1, lit(4))))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
     val candidates = bands.select(col("doc_id").as("doc_a"), col("band"),
-        col("band_hash"))
+        col("band_key"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"),
-        col("band_hash")), Seq("band", "band_hash"))
+        col("band_key")), Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
     candidates
@@ -157,27 +140,26 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash per document: per-token xxhash64, each bit votes
+  /** 60-bit SimHash per document: per-token md5-60 hash, each bit votes
     * ±1 (weighted by token frequency via repetition), sign of the vote
-    * vector becomes the fingerprint bit — via the native SimHash64
+    * vector becomes the fingerprint bit — via the native SimHash60
     * expression (one pass, one vote buffer per row). */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
+  def simhash(s: SparkSession, docs: DataFrame): DataFrame = {
     GraftFunctions.register(s)
-    val d = withMutants(Tables.documents(s, dir))
-    d.select(col("doc_id"),
-      call_function("simhash64", toks(col("text"))).as("simhash"))
+    docs.select(col("doc_id"),
+      call_function("simhash60", toks(col("text"))).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
+  /** SimHash near-dup pairs: band the 60-bit fingerprint into 4×15-bit
     * chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal), join on
     * chunk equality, verify with bit_count(xor). */
-  def simhashPairs(s: SparkSession, dir: String,
+  def simhashPairs(s: SparkSession, docs: DataFrame,
                    maxHamming: Int = 10): DataFrame = {
-    val sh = simhash(s, dir)
+    val sh = simhash(s, docs)
     val banded = sh.select(col("doc_id"), col("simhash"),
         posexplode(transform(sequence(lit(0), lit(3)),
-          b => call_function("shiftright", col("simhash"), b * 16)
-            .bitwiseAND(0xFFFFL))))
+          b => call_function("shiftright", col("simhash"), b * 15)
+            .bitwiseAND(0x7FFFL))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "chunk"))
     val l = banded.select(col("doc_id").as("doc_a"),
       col("simhash").as("sim_a"), col("band"), col("chunk"))
@@ -185,7 +167,8 @@ object Dedup {
       col("simhash").as("sim_b"), col("band"), col("chunk"))
     l.join(r, Seq("band", "chunk")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long")
+          .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

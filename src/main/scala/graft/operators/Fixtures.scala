@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixture corpora for the near-duplicate detectors.
+  *
+  * The synthetic `documents` table has no near-duplicates (3-shingle
+  * Jaccard between random word-salad docs is ~0.02), so the detectors
+  * would correctly return nothing. To exercise them end-to-end the
+  * fixture injects mutant copies — doc_id+1e6, first token dropped —
+  * and the detectors must recover exactly those pairs. This lives in
+  * the fixture layer, NOT inside the operators: production operators
+  * take whatever corpus they are given.
+  */
+object Fixtures {
+
+  /** documents ∪ first-token-dropped mutants of doc_id < 50. */
+  def mutantDocs(s: SparkSession, dir: String): DataFrame =
+    withMutants(Tables.documents(s, dir))
+
+  def withMutants(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id"), col("text"))
+    val mut = base.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), """^\S+\s*""", "").as("text"))
+    base.unionByName(mut)
+  }
+
+  /** The bounded slice the all-pairs n-gram oracle verifies literally:
+    * originals < 40 plus their mutants. */
+  def mutantSlice(s: SparkSession, dir: String): DataFrame =
+    mutantDocs(s, dir).filter(col("doc_id") < 40 ||
+      (col("doc_id") >= 1000000L && col("doc_id") < 1000040L))
+}

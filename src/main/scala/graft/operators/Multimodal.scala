@@ -1,54 +1,88 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with a
   * typed metadata struct, plus a decode/feature-extract stage.
   *
-  * The decode step is a STUB (no image/audio codecs in this container):
-  * `fakeDecode` derives deterministic pseudo-features (byte length,
-  * content digest, synthetic width/height/frames) from the bytes — but
-  * the Spark-side plumbing is real: binary columns survive parquet
-  * round-trips, the metadata struct is columnar-pruned, and the
-  * feature-extract stage is a narrow per-row projection that partitions
-  * like any 100 TB binary-asset scan (no shuffle, split by file ranges).
-  * Swapping in a real codec is a one-function change behind the same
-  * schema.
+  * The assets are REAL BMP images (valid BITMAPFILEHEADER +
+  * BITMAPINFOHEADER, document bytes as the pixel payload — no pixel
+  * codec is needed to decode dimensions), synthesized deterministically
+  * so the oracle knows the expected metadata. The decode stage parses
+  * width/height/payload out of the actual bytes — little-endian field
+  * extraction composed from builtin functions (hex/unhex/conv), so the
+  * whole encode→decode round-trip stays inside whole-stage codegen
+  * with zero UDFs. The feature-extract stage is a narrow per-row
+  * projection that partitions like any 100 TB binary-asset scan (no
+  * shuffle, split by file ranges). Decoding richer codecs (JPEG/PNG
+  * pixels, audio frames) slots in behind the same schema.
   */
 object Multimodal {
 
-  /** Manufacture a binary "asset" column from document text (utf-8
-    * bytes) with typed metadata, then run the stubbed decode /
-    * feature-extract. Output is flat + digest-based, so the oracle can
-    * verify the plumbing end-to-end.
-    */
+  /** Little-endian uint32 from an int column, as 4 binary bytes. */
+  private def le32(v: Column): Column = {
+    val hx = lpad(hex(v.cast("int")), 8, "0")
+    unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+      substring(hx, 3, 2), substring(hx, 1, 2)))
+  }
+
+  /** Read a little-endian uint32 at 1-based byte offset `off`. */
+  private def rdLe32(b: Column, off: Int): Column = {
+    val hx = hex(substring(b, off, 4))
+    conv(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+      substring(hx, 3, 2), substring(hx, 1, 2)), 16, 10).cast("int")
+  }
+
+  /** A valid 54-byte BMP header (24bpp, BI_RGB) followed by `payload`
+    * as the pixel array. */
+  def bmpBytes(w: Column, h: Column, payload: Column): Column =
+    concat(
+      lit("BM").cast("binary"),                 // magic
+      le32(length(payload) + 54),               // file size
+      le32(lit(0)),                             // reserved
+      le32(lit(54)),                            // pixel-array offset
+      le32(lit(40)),                            // BITMAPINFOHEADER size
+      le32(w), le32(h),                         // width, height
+      unhex(lit("01001800")),                   // planes=1, bpp=24 (LE)
+      le32(lit(0)),                             // BI_RGB
+      le32(length(payload)),                    // image size
+      le32(lit(2835)), le32(lit(2835)),         // 72 dpi
+      le32(lit(0)), le32(lit(0)),               // palette
+      payload)
+
+  /** Manufacture a real BMP asset per document, then decode it: width /
+    * height / payload size / digest all come from parsing the bytes,
+    * not from trusting the metadata that produced them — the oracle
+    * independently predicts the values from the synthesis rule, so a
+    * broken encoder OR decoder fails the hash check. */
   def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val asset = d.select(
       col("doc_id"),
-      col("text").cast("binary").as("media_bytes"),
-      struct(
-        lit("image/fake").as("mime"),
-        (pmod(col("doc_id"), lit(8)) * 64 + 64).as("width"),
-        (pmod(col("doc_id"), lit(5)) * 64 + 64).as("height")).as("meta"))
-    // --- stubbed decode: deterministic fake features from the bytes ---
+      bmpBytes(
+        (pmod(col("doc_id"), lit(8)) * 64 + 64).cast("int"),
+        (pmod(col("doc_id"), lit(5)) * 64 + 64).cast("int"),
+        col("text").cast("binary")).as("media_bytes"),
+      lit("image/bmp").as("mime"))
+    val payload = (b: Column) => b.substr(lit(55), length(b) - 54)
     asset.select(
       col("doc_id"),
-      col("meta.mime").as("mime"),
-      col("meta.width").as("width"),
-      col("meta.height").as("height"),
-      length(col("media_bytes")).cast("long").as("n_bytes"),
-      md5(col("media_bytes")).as("content_digest"),
-      // "frame sampling": one fake frame per 64 bytes, ≥1. floor() before
-      // the cast: Spark ANSI casts double→int by truncation but other
-      // engines round-to-nearest, so make the floor explicit.
-      greatest(lit(1L), floor(length(col("media_bytes")) / 64).cast("long"))
+      col("mime"),
+      rdLe32(col("media_bytes"), 19).as("width"),
+      rdLe32(col("media_bytes"), 23).as("height"),
+      (length(col("media_bytes")) - 54).cast("long").as("n_bytes"),
+      md5(payload(col("media_bytes"))).as("content_digest"),
+      // "frame sampling": one frame per 64 payload bytes, ≥1. floor()
+      // before the cast: Spark ANSI casts double→int by truncation but
+      // other engines round-to-nearest, so make the floor explicit.
+      greatest(lit(1L),
+        floor((length(col("media_bytes")) - 54) / 64).cast("long"))
         .as("n_frames"))
   }
 
-  /** Frame-sample explode: the per-frame fan-out stage (1 row per fake
+  /** Frame-sample explode: the per-frame fan-out stage (1 row per
     * frame, capped) — the shape of video-frame extraction at scale,
     * where the explode multiplies rows before a repartition feeds the
     * GPU/feature stage. */

@@ -165,19 +165,30 @@ object Relational {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** Set operations: distinct click-users vs purchase-users. UNION /
-    * INTERSECT / EXCEPT each tagged so one DataFrame carries all three.
+  /** Set operations: distinct click-users vs purchase-users — UNION /
+    * INTERSECT / EXCEPT cardinalities derived from ONE membership
+    * aggregation. The naive form (2 distincts + union-distinct +
+    * intersect + except) costs ~6 exchanges over the fact table; this
+    * plan is a single shuffle on user_id to per-user flags, then a
+    * singleton reduce — union = c|p, intersect = c&p, except = c&!p.
+    * Empty sets emit no row (matching set-op-with-GROUP-BY semantics).
     */
   def set1Ops(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
-    def users(t: String) =
-      e.filter(col("event_type") === t).select(col("user_id")).distinct()
-    val clicks    = users("click")
-    val purchases = users("purchase")
-    clicks.union(purchases).distinct().withColumn("op", lit("union"))
-      .unionAll(clicks.intersect(purchases).withColumn("op", lit("intersect")))
-      .unionAll(clicks.except(purchases).withColumn("op", lit("except")))
-      .groupBy(col("op")).agg(count(lit(1)).as("n_users"))
+    val flags = e.filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+    flags.agg(
+        sum(when(col("c") === 1 || col("p") === 1, 1L).otherwise(0L)).as("u"),
+        sum(when(col("c") === 1 && col("p") === 1, 1L).otherwise(0L)).as("i"),
+        sum(when(col("c") === 1 && col("p") === 0, 1L).otherwise(0L)).as("x"))
+      .select(explode(array(
+        struct(lit("union").as("op"), col("u").as("n_users")),
+        struct(lit("intersect").as("op"), col("i").as("n_users")),
+        struct(lit("except").as("op"), col("x").as("n_users")))).as("r"))
+      .select(col("r.op").as("op"), col("r.n_users").as("n_users"))
+      .filter(col("n_users") > 0)
   }
 
   /** Date/math functions: monthly revenue with assorted scalar math.

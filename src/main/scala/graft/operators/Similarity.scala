@@ -10,14 +10,19 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: the brute-force path broadcasts the (single-row) query
   * and scans once — the right plan for one query at any corpus size. The
-  * LSH path buckets the corpus by random-hyperplane signature so a query
-  * touches only its probe buckets; signatures are computed from
-  * deterministic hash-derived planes, so no stored model is needed and
-  * any executor can recompute them.
+  * LSH path buckets the corpus by banded random-hyperplane signatures so
+  * a query touches only its bands' buckets; signatures are computed from
+  * deterministic seed-42 planes shipped as literals, so no stored model
+  * is needed and any executor (or any other engine — see the mirrored
+  * DuckDB oracles) can recompute them. The IVF path collects its K-row
+  * quantizer once and embeds it as a literal, keeping assignment a
+  * zero-shuffle narrow map.
   *
   * All math runs in double — cosine through the native codegen'd
-  * CosineSimilarity expression, bucketing through literal-plane
-  * higher-order folds. No UDFs, no driver collect of the corpus.
+  * CosineSimilarity expression, plane dots through explicit
+  * left-to-right folds (so the >0 sign decision is reproducible by any
+  * engine that sums in the same order). No UDFs, no driver collect of
+  * the corpus.
   */
 object Similarity {
 
@@ -50,40 +55,60 @@ object Similarity {
 
   /** Deterministic Rademacher hyperplanes (Charikar-style SimHash for
     * vectors): `bits` planes of ±1 per dimension, generated from a fixed
-    * seed at PLAN-BUILD time and shipped as literal arrays — zero per-row
-    * hashing, tiny codegen footprint, identical on every executor/run
-    * (java.util.Random's sequence is part of its spec). */
-  private def planeLits(bits: Int, dims: Int = 64): Column = {
+    * seed (java.util.Random's sequence is part of its spec) — exposed as
+    * raw values so the DuckDB oracle embeds the SAME constants. */
+  def planeValues(bits: Int, dims: Int = 64): Seq[Seq[Double]] = {
     val rnd = new java.util.Random(42L)
-    array((0 until bits).map { _ =>
-      array((0 until dims).map { _ =>
-        lit(if (rnd.nextBoolean()) 1.0 else -1.0)
-      }: _*)
-    }: _*)
+    Seq.fill(bits)(Seq.fill(dims)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
-  /** LSH-bucketed ANN: 12-bit hyperplane signature → bucket id; the query
-    * probes only its own bucket and re-ranks candidates with exact
-    * cosine. At 100 TB the corpus side is pre-bucketed (one shuffle,
-    * reusable across queries) and each probe is a bucket-key lookup —
-    * work per query is O(bucket), not O(corpus). */
+  /** The planes as a literal array column — shipped in the plan, zero
+    * per-row hashing, tiny codegen footprint, identical everywhere. */
+  private def planeLits(bits: Int): Column =
+    array(planeValues(bits).map(p => array(p.map(lit): _*)): _*)
+
+  /** Per-plane sign bits of v (1 if dot > 0 else 0) via an explicit
+    * left-to-right fold: any engine summing in the same order lands on
+    * the same side of the > 0 boundary. */
+  private def sigBits(v: Column, bits: Int): Column =
+    transform(planeLits(bits), p =>
+      when(aggregate(zip_with(v, p, (x, pl) => x.cast("double") * pl),
+        lit(0.0), (acc, x) => acc + x) > 0, 1).otherwise(0))
+
+  /** Band values: the `bands` integers formed by consecutive w-bit
+    * slices of the bit array (big-endian within the slice). */
+  private def bandVals(bitsArr: Column, bands: Int, w: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => aggregate(slice(bitsArr, b * w + 1, lit(w)), lit(0),
+        (acc, x) => acc * 2 + x))
+
+  /** LSH-bucketed ANN with banded multi-probe: 16-bit hyperplane
+    * signature split into 4 bands × 4 bits; a corpus vector is a
+    * candidate if ANY of its 4 band values matches the query's — so
+    * recall cannot collapse to a single empty bucket (the round-1
+    * failure mode of the 12-bit single-bucket variant) — and candidates
+    * re-rank with exact cosine.
+    *
+    * At 100 TB the corpus side is bucketed once on (band, value) — 4
+    * small rows per vector, reusable across queries — and each query is
+    * 4 bucket lookups + a top-k over ~bands/2^w of the corpus. */
   def annLsh(s: SparkSession, dir: String, k: Int = 10,
-             bits: Int = 12): DataFrame = {
+             bits: Int = 16, bands: Int = 4): DataFrame = {
     GraftFunctions.register(s)
-    val bucket = (v: Column) =>
-      aggregate(
-        zip_with(planeLits(bits), sequence(lit(0), lit(bits - 1)),
-          (plane, i) => when(
-            aggregate(zip_with(v, plane, (x, p) => x.cast("double") * p),
-              lit(0.0), (acc, x) => acc + x) > 0,
-            call_function("shiftleft", lit(1L), i)).otherwise(0L)),
-        lit(0L), (acc, x) => acc + x)
+    val w = bits / bands
     val corpus = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
-    val q = queryVec(s, dir).select(col("q"), bucket(col("q")).as("qbkt"))
-    corpus.join(broadcast(q), col("bkt") === col("qbkt"))
+      .select(col("vec_id"), col("embedding"),
+        posexplode(bandVals(sigBits(col("embedding"), bits), bands, w)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bval"))
+    val q = queryVec(s, dir)
+      .select(col("q"), posexplode(bandVals(sigBits(col("q"), bits), bands, w)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bval"))
+    corpus.join(broadcast(q), Seq("band", "bval"))
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("q")), 6).as("cos_sim"))
+      // a vector can match in several bands; scores are per-vector
+      // constants so distinct collapses the duplicates on narrow rows
+      .distinct()
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -106,49 +131,51 @@ object Similarity {
 
   /** IVF-style ANN: coarse quantizer = per-label mean vectors (the
     * labels stand in for k-means cells on this corpus); every corpus
-    * vector is assigned to its NEAREST centroid (not its own label —
-    * this is a real inverted-file assignment), the query probes its
-    * `nprobe` nearest cells, and only those cells are re-ranked
-    * exactly.
+    * vector is assigned to its NEAREST centroid (a real inverted-file
+    * assignment), the query probes its `nprobe` nearest cells, and only
+    * those cells are re-ranked exactly.
     *
-    * Scale shape: centroids are a K-row broadcast; assignment is one
-    * narrow crossJoin(broadcast)+argmin pass (reusable across queries —
-    * the inverted file); each query touches ~corpus/K × nprobe rows.
-    * No driver collect: the "model" stays a DataFrame end to end.
-    */
+    * Scale shape: the quantizer is a K-row model — it is computed ONCE,
+    * rounded to 6 decimals (cross-engine-stable), collected, and
+    * embedded as a literal (the broadcast-the-model pattern). Both the
+    * corpus assignment and the query probe are then pure narrow
+    * projections: argmin over K literal centroids via
+    * array_min(struct(dist, cell)) — no window, no per-row fan-out, no
+    * shuffle. The only corpus pass is the final scan + broadcast probe
+    * join + TakeOrdered. (Round 1 computed the centroid subtree twice
+    * and shuffled the full corpus with embedding payloads through a
+    * row_number window — this plan replaces all of it.) */
   def annIvf(s: SparkSession, dir: String, k: Int = 10,
              nprobe: Int = 3): DataFrame = {
     GraftFunctions.register(s)
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, dir)
-    // K centroids as (cell, centroid: array<double>)
-    val centroids = e.select(col("label").as("cell"),
+    val centroidRows = e
+      .select(col("label").as("cell"),
         posexplode(col("embedding").cast("array<double>")))
       .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("col")).as("m"))
+      .agg(round(avg(col("col")), 6).as("m"))
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
         .getField("m").as("centroid"))
-    val byDist = (idCol: String) => Window.partitionBy(col(idCol))
-      .orderBy(col("dist").asc, col("cell").asc)
-    // inverted file: every vector assigned to its nearest centroid
-    val assigned = e.filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        (lit(1.0) - cosine(col("embedding"), col("centroid"))).as("dist"))
-      .withColumn("rn", row_number().over(byDist("vec_id")))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
-    // query probes its nprobe nearest cells
+      .collect() // K model rows, not data
+      .sortBy(_.getAs[Int]("cell"))
+    val cents = array(centroidRows.map { r =>
+      struct(lit(r.getAs[Int]("cell")).as("cell"),
+        array(r.getSeq[Double](1).map(lit): _*).as("centroid"))
+    }.toIndexedSeq: _*)
+    val dists = (v: Column) => transform(cents, c =>
+      struct(round(lit(1.0) - cosine(v, c.getField("centroid")), 6).as("dist"),
+        c.getField("cell").as("cell")))
+    // query probes its nprobe nearest cells (single-row subtree)
     val probes = queryVec(s, dir)
-      .crossJoin(broadcast(centroids))
-      .select(col("q"), col("cell"),
-        (lit(1.0) - cosine(col("q"), col("centroid"))).as("dist"))
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("dist").asc, col("cell").asc)))
-      .filter(col("rn") <= nprobe)
-      .select(col("q"), col("cell"))
-    assigned.join(broadcast(probes), "cell")
+      .select(col("q"), posexplode(array_sort(dists(col("q")))))
+      .filter(col("pos") < nprobe)
+      .select(col("q"), col("col").getField("cell").as("cell"))
+    // inverted file: nearest-centroid assignment as a zero-shuffle map
+    e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"),
+        array_min(dists(col("embedding"))).getField("cell").as("cell"))
+      .join(broadcast(probes), "cell")
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("q")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)

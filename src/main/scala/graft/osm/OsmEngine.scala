@@ -201,9 +201,9 @@ object OsmEngine {
         when(size(addressEntries) > 0, map_from_entries(addressEntries))
           .as("address"),
         map_from_entries(residualEntries).as("tags"),
-        when(col("type") === "way",
-          transform(coalesce(col("nd"), array().cast(ndType)),
-            n => n.getField("_ref"))).as("node_refs"))
+        // nd-less ways emit null (the reference omits the key), not []
+        when(col("type") === "way" && size(coalesce(col("nd"), array().cast(ndType))) > 0,
+          transform(col("nd"), n => n.getField("_ref"))).as("node_refs"))
   }
 
   /** Full pipeline: read → shape → ND-JSON sink (reshape_data :565-584).

@@ -17,18 +17,28 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", TimestampType),
+  /** Raw landing schema: `ts` as raw nano longs — the project's
+    * events.parquet stores parquet TIMESTAMP(NANOS), which Spark 4 only
+    * reads under the legacy nanosAsLong conf (same handling as
+    * graft.Tables.events). */
+  val rawEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-based stream over a directory of event parquet. At scale this
-    * is the landing-zone pattern: each micro-batch picks up newly landed
-    * files; state lives in the aggregation, not the source. */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventSchema)
+  /** File-based stream over event parquet (a landing directory or a
+    * glob). At scale this is the landing-zone pattern: each micro-batch
+    * picks up newly landed files; state lives in the aggregation, not
+    * the source. Nanos are rebuilt into microsecond timestamps with
+    * integer division (`div`, not `/`: epoch-nanos exceed double's 2^53
+    * exact range). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawEventSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 
   /** Watermarked tumbling-window count/sum per event type. The 2-hour
     * watermark bounds state: windows older than (max ts − 2h) are

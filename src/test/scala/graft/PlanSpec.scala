@@ -58,8 +58,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("ann IVF: zero-shuffle assignment — no window, no corpus exchange") {
+    val p = plan(Similarity.annIvf(spark, sf))
+    assert(!p.contains("Window"), s"argmin must not be a window:\n$p")
+    // the only join is the broadcast probe join; corpus rows never
+    // hash-partition (the lone Exchange allowed is the broadcast one)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus shuffled during IVF assignment:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("dedup exact: partial aggregation before the shuffle (digests cross, not documents)") {
-    val p = plan(Dedup.exact(spark, sf))
+    val p = plan(Dedup.exact(Tables.documents(spark, sf)))
     assert(p.contains("partial_count"),
       s"no map-side combine before the exchange:\n$p")
     // the partial aggregate's output (digest key + partial counters) is

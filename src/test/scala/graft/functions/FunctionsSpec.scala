@@ -12,6 +12,11 @@ class FunctionsSpec extends SparkSpec {
   private def toks(c: org.apache.spark.sql.Column) =
     filter(split(lower(c), "\\s+"), t => length(t) > 0)
 
+  /** Builtin-composed twin of functions.Md5Base.hash60: top 60 bits of
+    * md5 = first 15 hex chars parsed base-16. */
+  private def md5Hash60(t: org.apache.spark.sql.Column) =
+    conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
+
   test("cosine_sim == zip_with/aggregate fold, bit for bit") {
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sf).limit(100)
@@ -28,39 +33,39 @@ class FunctionsSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() === 0)
   }
 
-  test("simhash64 == per-token vote fold, bit for bit") {
+  test("simhash60 == per-token vote fold, bit for bit") {
     GraftFunctions.register(spark)
     val d = Tables.documents(spark, sf).limit(100)
     val votes = aggregate(
-      transform(toks(col("text")), t => xxhash64(t)),
-      array_repeat(lit(0), 64),
+      transform(toks(col("text")), t => md5Hash60(t)),
+      array_repeat(lit(0), 60),
       (acc, h) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
+        transform(sequence(lit(0), lit(59)),
           i => when(call_function("shiftright", h, i)
             .bitwiseAND(1L) === 1L, 1).otherwise(-1)),
         (x, y) => x + y))
     val hofSig = aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
+      zip_with(votes, sequence(lit(0), lit(59)),
         (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i))
           .otherwise(0L)),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
     val both = d.select(
-      call_function("simhash64", toks(col("text"))).as("native"),
+      call_function("simhash60", toks(col("text"))).as("native"),
       hofSig.as("hof"))
     assert(both.filter(col("native") =!= col("hof")).count() === 0)
   }
 
   test("minhash_sig16 == universal-hash fold, element for element") {
     GraftFunctions.register(spark)
-    val P = 1000000007L
+    import graft.functions.MinHashSig.{P, FOLD, aParam, bParam}
     val params = array((1 to 16).map(i =>
-      struct(lit(2L * i * 104729L + 1L).as("a"), lit(i * 7919L).as("b"))): _*)
+      struct(lit(aParam(i)).as("a"), lit(bParam(i)).as("b"))): _*)
     val d = Tables.documents(spark, sf).limit(100)
       .select(col("doc_id"), array_distinct(toks(col("text"))).as("sh"))
     val hofSig = aggregate(
       col("sh"), array_repeat(lit(P), 16),
       (acc, x) => {
-        val h = pmod(xxhash64(x), lit(1000000000L))
+        val h = md5Hash60(x) % lit(FOLD)
         zip_with(acc, params, (m, p) =>
           least(m, pmod(h * p.getField("a") + p.getField("b"), lit(P))))
       })

@@ -1,12 +1,14 @@
 package graft.operators
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
 
+  private def mutants = Fixtures.mutantDocs(spark, sf)
+
   test("minhash LSH recovers the injected mutant near-dup pairs") {
-    val pairs = Dedup.minhashLsh(spark, sf).collect()
+    val pairs = Dedup.minhashLsh(spark, mutants).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
         r.getAs[Double]("jaccard")))
     // every mutant pair (d, d+1e6) has shingle-jaccard near 1 and must be found
@@ -18,7 +20,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash pairs find mutants within hamming radius") {
-    val pairs = Dedup.simhashPairs(spark, sf).collect()
+    val pairs = Dedup.simhashPairs(spark, mutants).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
         r.getAs[Long]("hamming")))
     val mutantPairs = pairs.filter { case (a, b, _) => b == a + 1000000L }
@@ -26,13 +28,13 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash is deterministic across runs") {
-    val a = Dedup.simhash(spark, sf).orderBy("doc_id").limit(5).collect()
-    val b = Dedup.simhash(spark, sf).orderBy("doc_id").limit(5).collect()
+    val a = Dedup.simhash(spark, mutants).orderBy("doc_id").limit(5).collect()
+    val b = Dedup.simhash(spark, mutants).orderBy("doc_id").limit(5).collect()
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
 
   test("exact dedup groups are singletons on the unique corpus") {
-    val d = Dedup.exact(spark, sf)
+    val d = Dedup.exact(Tables.documents(spark, sf))
     assert(d.agg(max(col("n_copies"))).collect().head.getLong(0) === 1)
   }
 
@@ -45,15 +47,14 @@ class DedupSpec extends SparkSpec {
     ivf.foreach { case (id, s) => assert(bruteScores(id) === s, s"id $id") }
   }
 
-  test("ANN brute-force and LSH agree on bucket-mates") {
-    val brute = Similarity.annBruteForce(spark, sf).collect()
-      .map(_.getAs[Long]("vec_id"))
+  test("ANN LSH multi-probe returns a full top-k with brute-force scores") {
     val lsh = Similarity.annLsh(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
-    // LSH returns a subset of the corpus ranked identically where present
-    assert(lsh.nonEmpty || brute.nonEmpty)
-    // scores from both paths agree for shared ids
-    val bruteScores = Similarity.annBruteForce(spark, sf, k = 1000).collect()
+    // banded multi-probe must never return an empty (or short) top-k —
+    // the round-1 single-bucket failure mode
+    assert(lsh.size === 10, s"expected k=10 results, got ${lsh.size}")
+    // scores agree with the exact path for every returned id
+    val bruteScores = Similarity.annBruteForce(spark, sf, k = 100000).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
     lsh.foreach { case (id, s) => assert(bruteScores(id) === s) }
   }

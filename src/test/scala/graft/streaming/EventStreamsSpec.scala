@@ -46,14 +46,14 @@ class EventStreamsSpec extends SparkSpec {
 
   test("watermarked windowed aggregation runs with bounded state") {
     import org.apache.spark.sql.streaming.Trigger
-    // File-source variant on the real parquet dir (nanos ts handled by
-    // Tables; here we stream the converted frame through a temp parquet).
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
-    Tables.events(spark, sf).write.mode("overwrite").parquet(tmp)
-    val stream = spark.readStream
-      .schema(Tables.events(spark, sf).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(tmp)
+    // File source over the project's OWN nanos parquet (copied verbatim
+    // into a landing dir — the file source wants a directory) —
+    // readEventStream handles the TIMESTAMP(NANOS) conversion itself.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      tmp.resolve("events.parquet"))
+    val stream = EventStreams.readEventStream(spark, tmp.toString)
     val q = EventStreams.hourlyTypeCounts(stream)
       .writeStream.outputMode("append").format("memory")
       .queryName("wm_test").trigger(Trigger.AvailableNow()).start()
