@@ -68,9 +68,10 @@ object OsmEngine {
 
   // ---- source --------------------------------------------------------
 
-  private val tagType = ArrayType(StructType(Seq(
+  // public: the PBF source builds rows against the same shapes
+  val tagType: ArrayType = ArrayType(StructType(Seq(
     StructField("_k", StringType), StructField("_v", StringType))))
-  private val ndType = ArrayType(StructType(Seq(
+  val ndType: ArrayType = ArrayType(StructType(Seq(
     StructField("_ref", StringType))))
 
   private def attrFields(extra: StructField*): Seq[StructField] =

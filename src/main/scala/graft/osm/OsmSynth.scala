@@ -43,7 +43,8 @@ object OsmSynth {
       val open = s"""  <node id="$i" visible="true" version="${i % 5 + 1}" """ +
         s"""changeset="${i % 1000}" timestamp="2017-0${i % 9 + 1}-01T00:00:00Z" """ +
         s"""user="user_${i % Users}" uid="${i % Users}" """ +
-        s"""lat="${22.0 + (i % 10000) * 1e-5}" lon="${88.0 + (i % 9999) * 1e-5}""""
+        "lat=\"%.5f\" lon=\"%.5f\"".formatLocal(java.util.Locale.ROOT,
+          22.0 + (i % 10000) * 1e-5, 88.0 + (i % 9999) * 1e-5)
       if (!hasShop(i) && !hasAddr(i) && !hasPost(i)) w.write(open + "/>\n")
       else {
         w.write(open + ">\n")
