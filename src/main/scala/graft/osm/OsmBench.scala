@@ -1,48 +1,80 @@
 package graft.osm
 
+import graft.osm.pbf.PbfSource
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Benchmark over a reference-scale OSM document (~100 MB, the size of
-  * the extract the reference processed): text-scan census, full
-  * read→shape pipeline, then Q1–Q5 over the shaped cache. Generated
-  * once into /tmp and reused across runs. Also invoked from
+/** Benchmark over a reference-scale OSM extract (~100 MB XML, the size
+  * the reference processed) in BOTH formats:
+  *
+  *  - XML: text-scan census + read→shape→Q1–Q5. Spark's xml source is
+  *    NOT splittable, so a single big document parses as ONE task — the
+  *    measured seriality is the finding, and the reason planet-scale
+  *    pipelines ingest PBF.
+  *  - PBF: the same extract through PbfSource, which parallelizes by
+  *    blob like parquet row groups — the scale path, measured against
+  *    the XML numbers on identical data.
+  *
+  * Files are generated once into /tmp and reused. Invoked from
   * graft.Bench so the per-round BENCH json carries these numbers.
   */
 object OsmBench {
 
   final case class Result(mb: Double, auditSec: Double, shapeSec: Double,
-                          queriesSec: Double, rows: Long) {
+                          queriesSec: Double, rows: Long, pbfMb: Double,
+                          pbfShapeSec: Double, pbfQueriesSec: Double,
+                          pbfRows: Long) {
     def json: String =
       f""""osm_mb":$mb%.1f,"osm_audit_sec":$auditSec%.2f,""" +
         f""""osm_shape_sec":$shapeSec%.2f,"osm_queries_sec":$queriesSec%.2f,""" +
-        s""""osm_rows":$rows"""
+        f""""osm_rows":$rows,"osm_pbf_mb":$pbfMb%.1f,""" +
+        f""""osm_pbf_shape_sec":$pbfShapeSec%.2f,""" +
+        f""""osm_pbf_queries_sec":$pbfQueriesSec%.2f,"osm_pbf_rows":$pbfRows"""
+  }
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  private def queries(shaped: DataFrame): Unit = {
+    OsmEngine.q1UniqueUsers(shaped).count()
+    OsmEngine.q2TypeCounts(shaped).count()
+    OsmEngine.q3Amenities(shaped).count()
+    OsmEngine.q4TopShops(shaped).count()
+    OsmEngine.q5TopHighways(shaped).count()
   }
 
   def run(spark: SparkSession,
           nNodes: Int = 620000, nWays: Int = 62000): Result = {
-    val path = s"/tmp/graft_osm_${nNodes}_$nWays.osm"
-    if (!new java.io.File(path).exists())
-      OsmSynth.generate(path, nNodes, nWays)
-    val mb = new java.io.File(path).length() / 1e6
-    def time(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
-    val auditSec = time(OsmEngine.auditTags(spark, path).count())
+    val xmlPath = s"/tmp/graft_osm_${nNodes}_$nWays.osm"
+    val pbfPath = xmlPath + ".pbf"
+    if (!new java.io.File(xmlPath).exists())
+      OsmSynth.generate(xmlPath, nNodes, nWays)
+    if (!new java.io.File(pbfPath).exists())
+      OsmSynth.generatePbf(pbfPath, nNodes, nWays)
+    val mb = new java.io.File(xmlPath).length() / 1e6
+    val pbfMb = new java.io.File(pbfPath).length() / 1e6
+
+    val auditSec = time(OsmEngine.auditTags(spark, xmlPath).count())
     var shaped: DataFrame = null
     var rows = 0L
     val shapeSec = time {
-      shaped = OsmEngine.shape(OsmEngine.elements(spark, path)).cache()
+      shaped = OsmEngine.shape(OsmEngine.elements(spark, xmlPath)).cache()
       rows = shaped.count()
     }
-    val queriesSec = time {
-      OsmEngine.q1UniqueUsers(shaped).count()
-      OsmEngine.q2TypeCounts(shaped).count()
-      OsmEngine.q3Amenities(shaped).count()
-      OsmEngine.q4TopShops(shaped).count()
-      OsmEngine.q5TopHighways(shaped).count()
-    }
+    val queriesSec = time(queries(shaped))
     shaped.unpersist()
-    Result(mb, auditSec, shapeSec, queriesSec, rows)
+
+    var shapedP: DataFrame = null
+    var pbfRows = 0L
+    val pbfShapeSec = time {
+      shapedP = OsmEngine.shape(PbfSource.elements(spark, pbfPath)).cache()
+      pbfRows = shapedP.count()
+    }
+    val pbfQueriesSec = time(queries(shapedP))
+    shapedP.unpersist()
+
+    Result(mb, auditSec, shapeSec, queriesSec, rows,
+      pbfMb, pbfShapeSec, pbfQueriesSec, pbfRows)
   }
 
   def main(args: Array[String]): Unit = {

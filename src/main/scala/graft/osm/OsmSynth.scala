@@ -81,6 +81,46 @@ object OsmSynth {
     path
   }
 
+  /** The SAME synthetic extract as [[generate]], written as PBF via
+    * graft.osm.pbf.PbfWriter — integer nanodegree/epoch arithmetic
+    * mirrors the XML string formatting exactly, so the two files decode
+    * to identical element rows (asserted in PbfSpec). */
+  def generatePbf(path: String, nNodes: Int, nWays: Int): String = {
+    import graft.osm.pbf.PbfWriter
+    import graft.osm.pbf.PbfWriter.{PbfNode, PbfWay}
+    def tsMillis(month: Int, day: Int): Long =
+      java.time.Instant.parse(f"2017-$month%02d-$day%02dT00:00:00Z")
+        .toEpochMilli
+    val nodes = (1 to nNodes).map { i =>
+      val tags = Seq.newBuilder[(String, String)]
+      if (hasShop(i)) tags += ("shop" -> Shops((i / 10) % Shops.length))
+      if (hasAddr(i)) {
+        tags += ("addr:street" ->
+          s"${i % 50} Example ${Suffixes((i / 10) % Suffixes.length)}")
+        tags += ("addr:city" -> Cities((i / 10) % Cities.length))
+      }
+      if (hasPost(i)) tags += ("addr:postcode" -> s"${700000 + i % 100}")
+      PbfNode(id = i,
+        // "%.5f" of 22.0 + k·1e-5 is exactly 22.xxxxx ⇒ k·10⁴ nanodeg
+        latNano = 22000000000L + (i % 10000) * 10000L,
+        lonNano = 88000000000L + (i % 9999) * 10000L,
+        tags = tags.result(), version = i % 5 + 1,
+        tsMillis = tsMillis(i % 9 + 1, 1), changeset = i % 1000,
+        uid = i % Users, user = s"user_${i % Users}", visible = true)
+    }
+    val ways = (1 to nWays).map { j =>
+      PbfWay(id = nNodes + j,
+        refs = if (ndLess(j)) Seq.empty
+               else (0 until 4).map(k => ((j * 7 + k) % nNodes + 1).toLong),
+        tags = Seq("highway" -> Highways(j % Highways.length)),
+        version = j % 3 + 1, tsMillis = tsMillis(j % 9 + 1, 2),
+        changeset = j % 1000, uid = j % Users, user = s"user_${j % Users}",
+        visible = true)
+    }
+    PbfWriter.write(path, nodes, ways)
+    path
+  }
+
   // ---- exact expected values, derived from the same modular rules ----
 
   /** count of m in [1, max] with m % mod == rem */

@@ -3,12 +3,12 @@ package graft.osm.pbf
 import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
 import java.util.zip.Deflater
 
-/** Test-fixture OSM PBF encoder: enough of fileformat/osmformat to
-  * produce spec-conformant files (OSMHeader blob, zlib'd OSMData blobs,
-  * DenseNodes with full DenseInfo, delta-coded Ways) so PbfSource can be
-  * verified against a file it did not write the framing assumptions
-  * into. Exercises both blob payload encodings (raw for the header,
-  * zlib for data) and the delta/zigzag/string-table machinery.
+/** OSM PBF encoder (the sink side of PbfSource): enough of
+  * fileformat/osmformat to produce spec-conformant files — OSMHeader
+  * blob, zlib'd OSMData blobs, DenseNodes with full DenseInfo,
+  * delta/zigzag-coded Ways, per-block string tables. Used by the
+  * round-trip tests (PbfSpec) and by OsmSynth to materialize the
+  * benchmark corpus in both formats.
   */
 object PbfWriter {
 

@@ -84,6 +84,19 @@ class PbfSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("OsmSynth.generatePbf mirrors generate(): identical shaped rows") {
+    val dir = new java.io.File("target/tmp")
+    dir.mkdirs()
+    val synthPbf = new java.io.File(dir, "synth_direct.osm.pbf").getPath
+    OsmSynth.generatePbf(synthPbf, 3000, 300)
+    val a = OsmEngine.shape(OsmEngine.elements(spark, xmlPath))
+      .toJSON.collect().sorted
+    val b = OsmEngine.shape(PbfSource.elements(spark, synthPbf))
+      .toJSON.collect().sorted
+    assert(a.length === b.length)
+    assert(a.sameElements(b))
+  }
+
   test("PBF audits: A4 user counts match the XML path") {
     val pbfElems = PbfSource.elements(spark, xmlPath + ".pbf")
     val xmlCounts = OsmEngine.auditUsers(OsmEngine.elements(spark, xmlPath))
