@@ -45,9 +45,18 @@ object Bench {
     val failed = results.filter(_._2 < 0).map(r => "\"" + r._1 + "\"")
       .mkString("[", ",", "]")
     val nFailed = results.count(_._2 < 0)
-    // reference-scale OSM pipeline (~100 MB XML), timed alongside
-    val osm = try graft.osm.OsmBench.run(spark).json catch {
-      case _: Throwable => "\"osm_failed\":true"
+    // reference-scale OSM pipeline (~100 MB XML), timed alongside.
+    // Hard 240s cap: a contended host must degrade this section to an
+    // explicit marker, never hang the whole benchmark run.
+    val osm = try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future(graft.osm.OsmBench.run(spark).json), 240.seconds)
+    } catch {
+      case _: Throwable =>
+        spark.sparkContext.cancelAllJobs()
+        "\"osm_failed\":true"
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"n_failed":$nFailed,"failed":$failed,$osm,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

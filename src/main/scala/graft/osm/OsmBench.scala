@@ -2,6 +2,7 @@ package graft.osm
 
 import graft.osm.pbf.PbfSource
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /** Benchmark over a reference-scale OSM extract (~100 MB XML, the size
   * the reference processed) in BOTH formats:
@@ -43,8 +44,10 @@ object OsmBench {
     OsmEngine.q5TopHighways(shaped).count()
   }
 
+  /** Defaults mirror the reference extract exactly: 506,727 nodes and
+    * 59,642 ways (reference README.md:118-138), ~97 MB of XML. */
   def run(spark: SparkSession,
-          nNodes: Int = 620000, nWays: Int = 62000): Result = {
+          nNodes: Int = 506727, nWays: Int = 59642): Result = {
     val xmlPath = s"/tmp/graft_osm_${nNodes}_$nWays.osm"
     val pbfPath = xmlPath + ".pbf"
     if (!new java.io.File(xmlPath).exists())
@@ -55,23 +58,32 @@ object OsmBench {
     val pbfMb = new java.io.File(pbfPath).length() / 1e6
 
     val auditSec = time(OsmEngine.auditTags(spark, xmlPath).count())
-    var shaped: DataFrame = null
-    var rows = 0L
-    val shapeSec = time {
-      shaped = OsmEngine.shape(OsmEngine.elements(spark, xmlPath)).cache()
-      rows = shaped.count()
-    }
-    val queriesSec = time(queries(shaped))
-    shaped.unpersist()
-
+    // DISK_ONLY: the shaped cache is written once and read back per
+    // query — deterministic timing, no unified-memory interplay with
+    // the query phase (the in-heap columnar build showed multi-minute
+    // variance under G1 at large heaps). PBF is measured first so the
+    // parallel path's number is not polluted by the XML phase's heap
+    // churn; unpersists are blocking so one phase's storage never
+    // overlaps the next.
     var shapedP: DataFrame = null
     var pbfRows = 0L
     val pbfShapeSec = time {
-      shapedP = OsmEngine.shape(PbfSource.elements(spark, pbfPath)).cache()
+      shapedP = OsmEngine.shape(PbfSource.elements(spark, pbfPath))
+        .persist(StorageLevel.DISK_ONLY)
       pbfRows = shapedP.count()
     }
     val pbfQueriesSec = time(queries(shapedP))
-    shapedP.unpersist()
+    shapedP.unpersist(blocking = true)
+
+    var shaped: DataFrame = null
+    var rows = 0L
+    val shapeSec = time {
+      shaped = OsmEngine.shape(OsmEngine.elements(spark, xmlPath))
+        .persist(StorageLevel.DISK_ONLY)
+      rows = shaped.count()
+    }
+    val queriesSec = time(queries(shaped))
+    shaped.unpersist(blocking = true)
 
     Result(mb, auditSec, shapeSec, queriesSec, rows,
       pbfMb, pbfShapeSec, pbfQueriesSec, pbfRows)
