@@ -35,6 +35,8 @@ object SparkEntry {
     "j2_semi_join"      -> (Relational.j2SemiJoin(_, _)),
     "j3_anti_join"      -> (Relational.j3AntiJoin(_, _)),
     "w1_top_order_per_customer" -> (Relational.w1TopOrderPerCustomer(_, _)),
+    "w1b_top_order_maxby" -> (Relational.w1bTopOrderMaxBy(_, _)),
+    "rj1_range_join"    -> (Relational.rj1ValueTiers(_, _)),
     "w2_running_sum"    -> (Relational.w2RunningSum(_, _)),
     "w3_lag_lead"       -> (Relational.w3LagLead(_, _)),
     "w4_range_frame"    -> (Relational.w4RangeFrame(_, _)),
@@ -86,6 +88,7 @@ object SparkEntry {
     "sim_ann_brute"     -> (Similarity.annBruteForce(_, _)),
     "sim_ann_lsh"       -> (Similarity.annLsh(_, _)),
     "sim_ann_ivf"       -> (Similarity.annIvf(_, _)),
+    "sim_ann_sq"        -> (Similarity.annScalarQuant(_, _)),
     "sim_near_dup"      -> (Similarity.embNearDup(_, _)),
     "sim_centroids"     -> (Similarity.labelCentroids(_, _)),
     // ---- training-data pipeline: text analysis ----
@@ -133,6 +136,39 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
          WHERE rn = 1""",
+    "w1b_top_order_maxby" -> // same result as w1, aggregation plan
+      """SELECT o_custkey, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS top_price
+         FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
+         WHERE rn = 1""",
+    "rj1_range_join" ->
+      """SELECT t.tier, count(*) AS n,
+         CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         FROM events e
+         JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 100.0),
+               ('high', 100.0, 1000.0)) t(tier, lo, hi)
+           ON e.value >= t.lo AND e.value < t.hi
+         GROUP BY t.tier""",
+    "sim_ann_sq" -> raw"""
+      WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+      qq AS (SELECT list_transform(embedding::DOUBLE[],
+               x -> greatest(-127, least(127, CAST(round(x * 127) AS BIGINT)))) AS qv8
+             FROM q),
+      e8 AS (SELECT vec_id, embedding,
+               list_transform(embedding::DOUBLE[],
+                 x -> greatest(-127, least(127, CAST(round(x * 127) AS BIGINT)))) AS v8
+             FROM embeddings WHERE vec_id <> 0),
+      short AS (SELECT e8.vec_id, e8.embedding,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> v8[i] * qv8[i])) AS BIGINT) AS sq_score
+                FROM e8, qq
+                ORDER BY sq_score DESC, vec_id ASC LIMIT 50)
+      SELECT s.vec_id,
+        round(list_cosine_similarity(s.embedding::DOUBLE[],
+          q.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM short s, q
+      ORDER BY cos_sim DESC, s.vec_id ASC LIMIT 10""",
     "w2_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
          sum(l_quantity) OVER (PARTITION BY l_suppkey

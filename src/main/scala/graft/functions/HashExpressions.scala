@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -38,26 +38,15 @@ object Md5Base {
   }
 }
 
-/** Single-pass 60-bit SimHash over a token array: per token one
-  * md5-60 base hash, each bit votes ±1 weighted by repetition, the
-  * strict-majority sign vector becomes the fingerprint (bit set iff
-  * votes > 0).
-  *
-  * Replaces the higher-order-function fold (`aggregate` + per-token
-  * `transform(sequence(...))` + `zip_with`) which allocates two
-  * 60-element arrays per TOKEN; this allocates one 60-int vote buffer
-  * per ROW. Bit-identical to the HOF form (FunctionsSpec) and to the
-  * DuckDB mirror in SparkEntry.oracleSql("dedup_simhash").
-  */
-case class SimHash60(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+/** Shared eval kernels for the hash expressions. A top-level object so
+  * Scala emits static forwarders — generated whole-stage code calls
+  * `graft.functions.HashImpl.simhash60(...)` directly (the same shape
+  * as Spark's own hash expressions calling XxHash64Function). */
+object HashImpl {
 
-  override def dataType: DataType = LongType
-  override def nullIntolerant: Boolean = true
-  override def prettyName: String = "simhash60"
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Single-pass 60-bit SimHash: per token one md5-60 hash, each bit
+    * votes ±1 weighted by repetition, bit set iff votes > 0. */
+  def simhash60(arr: ArrayData): Long = {
     val votes = new Array[Int](60)
     var t = 0
     while (t < arr.numElements()) {
@@ -75,36 +64,17 @@ case class SimHash60(child: Expression)
     sig
   }
 
-  override protected def withNewChildInternal(c: Expression): SimHash60 =
-    copy(child = c)
-}
-
-/** MinHash signature: k permutation-minima over shingle hashes in one
-  * pass — h_i(x) = (a_i·x + b_i) mod P with x = md5-60(shingle) mod 1e9
-  * (bounded so a_i·x + b_i stays in exact Long range under ANSI mode).
-  * The (a_i, b_i, P) parameters are exposed so tests and oracles share
-  * a single source of truth.
-  */
-case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  import MinHashSig._
-  private val as: Array[Long] = (1 to k).map(aParam).toArray
-  private val bs: Array[Long] = (1 to k).map(bParam).toArray
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullIntolerant: Boolean = true
-  override def prettyName: String = "minhash_sig"
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** k permutation-minima in one pass — h_i(x) = (a_i·x + b_i) mod P
+    * with x = md5-60(shingle) mod 1e9 (exact Long range, ANSI-safe). */
+  def minhashSig(arr: ArrayData, k: Int): ArrayData = {
+    import MinHashSig.{FOLD, P}
     val mins = Array.fill(k)(P)
     var t = 0
     while (t < arr.numElements()) {
       val base = Md5Base.hash60(arr.getUTF8String(t)) % FOLD
       var i = 0
       while (i < k) {
-        val v = (as(i) * base + bs(i)) % P
+        val v = (MinHashSig.aParam(i + 1) * base + MinHashSig.bParam(i + 1)) % P
         if (v < mins(i)) mins(i) = v
         i += 1
       }
@@ -112,6 +82,50 @@ case class MinHashSig(child: Expression, k: Int)
     }
     new GenericArrayData(mins)
   }
+}
+
+/** Single-pass 60-bit SimHash over a token array — see
+  * [[HashImpl.simhash60]]. Replaces the higher-order-function fold
+  * (`aggregate` + per-token `transform(sequence(...))` + `zip_with`)
+  * which allocates two 60-element arrays per TOKEN; this allocates one
+  * 60-int vote buffer per ROW, and `doGenCode` keeps it inside the
+  * whole-stage span. Bit-identical to the HOF form (FunctionsSpec) and
+  * to the DuckDB mirror in SparkEntry.oracleSql("dedup_simhash").
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash60"
+
+  override def nullSafeEval(input: Any): Any =
+    HashImpl.simhash60(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.simhash60($c)")
+
+  override protected def withNewChildInternal(c: Expression): SimHash60 =
+    copy(child = c)
+}
+
+/** MinHash signature expression — see [[HashImpl.minhashSig]]. The
+  * (a_i, b_i, P) parameters are exposed from the companion so tests
+  * and oracles share a single source of truth.
+  */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    HashImpl.minhashSig(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashImpl.minhashSig($c, $k)")
 
   override protected def withNewChildInternal(c: Expression): MinHashSig =
     copy(child = c)

@@ -106,6 +106,44 @@ object Relational {
         dec(col("o_totalprice")).cast("double").as("top_price"))
   }
 
+  /** The SAME top-order-per-customer result as w1, as an aggregation:
+    * max_by over an ordering struct partial-aggregates map-side, so only
+    * one (key, best) candidate per partition crosses the exchange — vs
+    * the window form's full-table sort shuffle. At 100 TB that is
+    * |customers| partial rows on the wire instead of |orders| sorted
+    * rows; w1 stays the general tool when ranks > 1 are needed.
+    * Ordering (price DESC, orderkey ASC) is encoded as max of
+    * (price, -orderkey). Shares w1's oracle SQL. */
+  def w1bTopOrderMaxBy(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.groupBy(col("o_custkey"))
+      .agg(max_by(
+        struct(col("o_orderkey"),
+          dec(col("o_totalprice")).cast("double").as("p")),
+        struct(dec(col("o_totalprice")).as("price"),
+          (-col("o_orderkey")).as("nk"))).as("top"))
+      .select(col("o_custkey"), col("top.o_orderkey").as("o_orderkey"),
+        col("top.p").as("top_price"))
+  }
+
+  /** Range join: classify events into value tiers via a broadcast
+    * inequality join. The small side is a 3-row bounds table, so the
+    * plan is a BroadcastNestedLoopJoin — each fact row tests three
+    * predicates locally, the fact side never shuffles. (Big-big range
+    * joins bucket the range key instead; this is the dim-bounds face.)
+    */
+  def rj1ValueTiers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val tiers = s.createDataFrame(Seq(
+      ("low", 0.0, 10.0), ("mid", 10.0, 100.0), ("high", 100.0, 1000.0)))
+      .toDF("tier", "lo", "hi")
+    e.join(broadcast(tiers),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+  }
+
   /** Running (cumulative) aggregate per supplier in ship order. The frame
     * is rows-unbounded-preceding over a pinned total order, so every
     * prefix sum is computed in the same sequence on any engine — exact.

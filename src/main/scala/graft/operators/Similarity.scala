@@ -182,6 +182,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** Scalar-quantized ANN: embeddings quantized to int8 (clamped round
+    * of x·127 — the corpus is unit-scale), candidates ranked by the
+    * INTEGER dot product of quantized vectors, and the top `shortlist`
+    * re-ranked with exact cosine. The quantized scan is
+    * engine-independent by construction (no floating point until the
+    * re-rank) and at 100 TB the int8 corpus is 4× smaller than float32
+    * with a SIMD-friendly inner loop; exact math touches only the
+    * shortlist. */
+  def annScalarQuant(s: SparkSession, dir: String, k: Int = 10,
+                     shortlist: Int = 50): DataFrame = {
+    GraftFunctions.register(s)
+    val q8 = (v: Column) => transform(v.cast("array<double>"),
+      x => greatest(lit(-127L), least(lit(127L), round(x * 127).cast("long"))))
+    val e = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"), q8(col("embedding")).as("v8"))
+    val q = queryVec(s, dir).select(col("q"), q8(col("q")).as("qv8"))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"), col("q"),
+        aggregate(zip_with(col("v8"), col("qv8"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("sq_score"))
+      .orderBy(col("sq_score").desc, col("vec_id").asc)
+      .limit(shortlist)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Centroid per label — the IVF coarse-quantizer training step: mean
     * vector by class, emitted as (label, dim, value) long-form so the
     * oracle can check it without array equality. */

@@ -61,6 +61,26 @@ object EventStreams {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each view joined to the same user's
+    * clicks within 10 minutes after it. Both sides are watermarked AND
+    * the join condition bounds event-time distance, so state on both
+    * sides is evictable — without the interval bound a stream-stream
+    * join must retain every row forever. Works identically over batch
+    * frames (the test's oracle). */
+  def clickWithinViewWindow(views: DataFrame,
+                            clicks: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    v.join(c, expr("v_user = c_user AND click_ts >= view_ts AND " +
+        "click_ts <= view_ts + INTERVAL 10 MINUTES"))
+      .select(col("v_user").as("user_id"), col("view_id"),
+        col("click_id"), col("view_ts"), col("click_ts"))
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
                           event_type: String)
   case class Session(user_id: Long, n_events: Long, first_ts: Long,

@@ -58,6 +58,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("w1b: per-key top-1 as aggregation — no window, partial before exchange") {
+    val p = plan(Relational.w1bTopOrderMaxBy(spark, sf))
+    assert(!p.contains("Window"), s"max_by form must not sort-shuffle:\n$p")
+    assert("Aggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation before the exchange:\n$p")
+  }
+
+  test("rj1: range join broadcasts the bounds table") {
+    val p = plan(Relational.rj1ValueTiers(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("ann IVF: zero-shuffle assignment — no window, no corpus exchange") {
     val p = plan(Similarity.annIvf(spark, sf))
     assert(!p.contains("Window"), s"argmin must not be a window:\n$p")

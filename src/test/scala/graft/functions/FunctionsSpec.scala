@@ -75,6 +75,21 @@ class FunctionsSpec extends SparkSpec {
     assert(both.filter(to_json(col("native")) =!= to_json(col("hof"))).count() === 0)
   }
 
+  test("simhash60 / minhash_sig16 survive whole-stage codegen (doGenCode path)") {
+    GraftFunctions.register(spark)
+    val d = Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id"),
+        call_function("simhash60", toks(col("text"))).as("sh"),
+        call_function("minhash_sig16",
+          array_distinct(toks(col("text")))).as("sig"))
+    val rows = d.collect()
+    assert(rows.length === 50)
+    val p = d.queryExecution.executedPlan.toString
+    // codegen stages print as "*(n) Operator" in the final plan; a
+    // CodegenFallback expression would break the span over this project
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"), p)
+  }
+
   test("cosine_sim survives whole-stage codegen (doGenCode path)") {
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sf).limit(10)

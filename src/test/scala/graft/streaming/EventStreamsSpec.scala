@@ -87,6 +87,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(ids.sorted === Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream interval join: clicks within 10 min of a view") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def mkDf(mem: MemoryStream[(Long, Long, Long)]) = mem.toDF()
+      .select(col("_1").as("event_id"), timestamp_millis(col("_2")).as("ts"),
+        col("_3").as("user_id"))
+    val views = MemoryStream[(Long, Long, Long)]
+    val clicks = MemoryStream[(Long, Long, Long)]
+    val q = EventStreams.clickWithinViewWindow(mkDf(views), mkDf(clicks))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj_test").start()
+    try {
+      views.addData((1L, 60000L, 7L), (2L, 120000L, 8L))
+      clicks.addData((10L, 120000L, 7L),  // user 7, +1 min: match
+        (11L, 2000000L, 7L),              // user 7, +32 min: outside window
+        (12L, 180000L, 9L))               // no view for user 9
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssj_test").select("view_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L)))
+  }
+
   test("sessionization groups events by gap (transformWithState)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
