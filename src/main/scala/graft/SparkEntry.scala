@@ -36,6 +36,7 @@ object SparkEntry {
     "j3_anti_join"      -> (Relational.j3AntiJoin(_, _)),
     "w1_top_order_per_customer" -> (Relational.w1TopOrderPerCustomer(_, _)),
     "w1b_top_order_maxby" -> (Relational.w1bTopOrderMaxBy(_, _)),
+    "w1c_top_order_strategy" -> (Relational.w1cTopOrderStrategy(_, _)),
     "rj1_range_join"    -> (Relational.rj1ValueTiers(_, _)),
     "w2_running_sum"    -> (Relational.w2RunningSum(_, _)),
     "w3_lag_lead"       -> (Relational.w3LagLead(_, _)),
@@ -137,6 +138,12 @@ object SparkEntry {
                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
          WHERE rn = 1""",
     "w1b_top_order_maxby" -> // same result as w1, aggregation plan
+      """SELECT o_custkey, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS top_price
+         FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
+         WHERE rn = 1""",
+    "w1c_top_order_strategy" -> // w1 via the custom TopKPerKeyExec plan
       """SELECT o_custkey, o_orderkey,
          CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS top_price
          FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey

@@ -1,0 +1,166 @@
+package graft.plans
+
+import java.util.{Comparator, PriorityQueue => JPriorityQueue}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter,
+  LogicalPlan, Window => LWindow, WindowGroupLimit => LWindowGroupLimit}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator extension (charter preference (c)): per-key top-k
+  * with NO sorting anywhere.
+  *
+  * Spark's own optimizer already recognizes
+  * `row_number() OVER (PARTITION BY k ORDER BY o)` filtered to
+  * `rn <= n` and inserts WindowGroupLimit (partial + final) — but both
+  * phases SORT their partition before walking it, and the final Window
+  * sorts again. [[TopKPerKeyStrategy]] pattern-matches the same logical
+  * shape (stripping the inferred WindowGroupLimit) and plans two
+  * [[TopKPerKeyExec]] phases instead:
+  *
+  *   partial heaps (≤k rows per key per input partition, map-side)
+  *   → hash exchange on the keys
+  *   → final heaps (+ rank emission)
+  *
+  * O(n·log k) comparisons end to end, no sort buffers, and only the
+  * per-key survivors cross the shuffle — at 100 TB the removed
+  * per-partition sorts are the dominant cost of the rank-filter idiom.
+  *
+  * Registered per-session via [[GraftStrategies.register]] (the same
+  * opt-in pattern as GraftFunctions); user queries keep their
+  * declarative `row_number` form and silently plan through the custom
+  * operator. Memory: #distinct-keys-per-partition × k rows — the same
+  * envelope as hash aggregation on the key (a spillable variant would
+  * swap the HashMap for a SizeTracking map; out of scope here).
+  */
+object TopKPerKeyStrategy extends SparkStrategy {
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case LFilter(cond, w: LWindow)
+        if w.windowExpressions.size == 1 && w.partitionSpec.nonEmpty &&
+          w.orderSpec.nonEmpty =>
+      w.windowExpressions.head match {
+        case alias @ Alias(
+            WindowExpression(RowNumber(), _: WindowSpecDefinition), _) =>
+          limitFromCond(cond, alias.toAttribute) match {
+            case Some(k) if k >= 1 =>
+              // the optimizer may already have inserted its sort-based
+              // WindowGroupLimit below the Window — replace it too
+              val source = w.child match {
+                case wgl: LWindowGroupLimit => wgl.child
+                case c => c
+              }
+              val partial = TopKPerKeyExec(w.partitionSpec, w.orderSpec, k,
+                source.output, partial = true, planLater(source))
+              TopKPerKeyExec(w.partitionSpec, w.orderSpec, k, w.output,
+                partial = false, partial) :: Nil
+            case _ => Nil
+          }
+        case _ => Nil
+      }
+    case _ => Nil
+  }
+
+  /** `rn = 1`, `rn <= k`, `rn < k` — anything else falls back. */
+  private def limitFromCond(cond: Expression, rn: Attribute): Option[Int] = {
+    def lit(e: Expression): Option[Int] = e match {
+      case Literal(v: Int, _)  => Some(v)
+      case Literal(v: Long, _) => Some(v.toInt)
+      case _ => None
+    }
+    cond match {
+      case EqualTo(a: Attribute, l) if a.semanticEquals(rn) =>
+        lit(l).filter(_ == 1)
+      case LessThanOrEqual(a: Attribute, l) if a.semanticEquals(rn) => lit(l)
+      case LessThan(a: Attribute, l) if a.semanticEquals(rn) =>
+        lit(l).map(_ - 1)
+      case _ => None
+    }
+  }
+}
+
+/** One heap phase of per-key top-k. `partial = true` runs map-side on
+  * whatever partitioning the child has and emits the ≤k survivors per
+  * (key, partition) unranked; `partial = false` requires clustering on
+  * the keys (Spark inserts the hash exchange), merges, and emits the
+  * child row plus the 1-based rank — the same output contract as
+  * Window(row_number)+Filter. */
+case class TopKPerKeyExec(partitionExprs: Seq[Expression],
+                          order: Seq[SortOrder], k: Int,
+                          output: Seq[Attribute], partial: Boolean,
+                          child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    (if (partial) UnspecifiedDistribution
+     else ClusteredDistribution(partitionExprs)) :: Nil
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override def nodeName: String =
+    if (partial) "TopKPerKey (partial)" else "TopKPerKey (final)"
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val partExprs = partitionExprs
+    val sortOrder = order
+    val limit = k
+    val out = output
+    val isPartial = partial
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(partExprs, childOutput)
+      val ord = RowOrdering.create(sortOrder, childOutput)
+      // keep the k FIRST rows under ord ⇒ evict the LARGEST ⇒ max-heap
+      val cmp = ord.reverse.asInstanceOf[Comparator[InternalRow]]
+      val heaps =
+        new java.util.LinkedHashMap[UnsafeRow, JPriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new JPriorityQueue[InternalRow](limit + 1, cmp)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < limit) heap.add(row.copy())
+        else if (ord.compare(row, heap.peek()) < 0) {
+          heap.poll(); heap.add(row.copy())
+        }
+      }
+      if (isPartial) {
+        heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      } else {
+        val joined = new JoinedRow
+        val rnRow = new GenericInternalRow(1)
+        val outProj = UnsafeProjection.create(out, childOutput :+ out.last)
+        heaps.values().iterator().asScala.flatMap { heap =>
+          val arr = heap.toArray(new Array[InternalRow](heap.size))
+          java.util.Arrays.sort(arr, ord)
+          arr.iterator.zipWithIndex.map { case (r, i) =>
+            rnRow.setInt(0, i + 1)
+            outProj(joined(r, rnRow))
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
+    copy(child = c)
+}
+
+/** Session opt-in, mirroring GraftFunctions.register. */
+object GraftStrategies {
+  def register(spark: SparkSession): Unit = {
+    val em = spark.sessionState.experimentalMethods
+    if (!em.extraStrategies.contains(TopKPerKeyStrategy))
+      em.extraStrategies = em.extraStrategies :+ TopKPerKeyStrategy
+  }
+}

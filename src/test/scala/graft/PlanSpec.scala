@@ -58,6 +58,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("w1c: custom strategy plans Filter(rn=1)+Window as TopKPerKeyExec, no sort") {
+    val df = Relational.w1cTopOrderStrategy(spark, sf)
+    val p = plan(df)
+    // two heap phases (map-side partial + post-exchange final) ...
+    assert(p.contains("TopKPerKey (partial)"), s"no map-side phase:\n$p")
+    assert(p.contains("TopKPerKey (final)"), s"custom strategy did not fire:\n$p")
+    // ... replacing Window/WindowGroupLimit AND all their sorts
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort "), s"the whole point is removing the sort:\n$p")
+    // custom exec output must equal the independent aggregation plan's
+    val viaStrategy = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val viaMaxBy = Relational.w1bTopOrderMaxBy(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(viaStrategy.sameElements(viaMaxBy))
+  }
+
   test("w1b: per-key top-1 as aggregation — no window, partial before exchange") {
     val p = plan(Relational.w1bTopOrderMaxBy(spark, sf))
     assert(!p.contains("Window"), s"max_by form must not sort-shuffle:\n$p")
