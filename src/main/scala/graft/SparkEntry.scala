@@ -31,6 +31,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core ----
     "q1_agg"            -> (Relational.q1PricingSummary(_, _)),
+    "sql1_pricing_summary" -> (Relational.sql1PricingSummary(_, _)),
     "j1_region_revenue" -> (Relational.j1RegionRevenue(_, _)),
     "j2_semi_join"      -> (Relational.j2SemiJoin(_, _)),
     "j3_anti_join"      -> (Relational.j3AntiJoin(_, _)),
@@ -60,6 +61,7 @@ object SparkEntry {
     "oq6_head_probe"    -> (Audits.oq6HeadProbe(_, _)),
     "s4_json_lines"     -> (Audits.s4JsonLines(_, _)),
     "skew1_salted_agg"  -> (Audits.skew1SaltedAgg(_, _)),
+    "skew2_salted_join" -> (Relational.skew2SaltedJoin(_, _)),
     // ---- reference cleaning/reshape surface (§2c/2d) ----
     "c1_fix_suffix"     -> (Cleaning.c1FixSuffix(_, _)),
     "c2_fix_lang"       -> (Cleaning.c2FixLang(_, _)),
@@ -97,6 +99,7 @@ object SparkEntry {
     "text_quality"      -> (TextAnalysis.qualityScore(_, _)),
     "text_tokens"       -> (TextAnalysis.tokenCounts(_, _)),
     "text_fingerprint"  -> (TextAnalysis.fingerprint(_, _)),
+    "text_top_ngrams"   -> (TextAnalysis.topNgramsPerLang(_, _)),
     // ---- training-data pipeline: multimodal plumbing ----
     "mm1_decode"        -> (Multimodal.decodeFeatures(_, _)),
     "mm2_frames"        -> (Multimodal.frameSample(_, _)),
@@ -113,6 +116,37 @@ object SparkEntry {
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus""",
+    "sql1_pricing_summary" -> // spark.sql face of q1 — same oracle
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+         round(avg(l_quantity), 6) AS avg_qty,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 2) AS avg_price,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "skew2_salted_join" ->
+      """SELECT c.c_mktsegment, count(*) AS n,
+         CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         FROM events e JOIN customer c
+           ON c.c_custkey = e.user_id + 1 AND c.c_custkey <= 150
+         GROUP BY c.c_mktsegment""",
+    "text_top_ngrams" ->
+      """WITH t AS (SELECT lang,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> len(x) > 0) AS tk FROM documents),
+         g AS (SELECT lang, unnest(CASE WHEN len(tk) >= 3
+                 THEN list_transform(range(0, len(tk) - 2),
+                   i -> array_to_string(tk[i+1:i+3], ' '))
+                 ELSE [array_to_string(tk, ' ')] END) AS ngram FROM t),
+         c AS (SELECT lang, ngram, count(*) AS n FROM g GROUP BY 1, 2)
+         SELECT lang, ngram, n,
+           CAST(row_number() OVER (PARTITION BY lang
+             ORDER BY n DESC, ngram ASC) AS BIGINT) AS rank
+         FROM c
+         QUALIFY row_number() OVER (PARTITION BY lang
+           ORDER BY n DESC, ngram ASC) <= 5""",
     "j1_region_revenue" ->
       """SELECT r_name,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,

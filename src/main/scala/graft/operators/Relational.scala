@@ -136,6 +136,49 @@ object Relational {
         col("top.p").as("top_price"))
   }
 
+  /** The SQL entry point: the same flagship pricing summary through
+    * `spark.sql` over a temp view — Catalyst compiles both forms to the
+    * identical plan, demonstrating the engine's full SQL face. */
+  def sql1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+        sum(l_quantity) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+          AS sum_disc_price,
+        round(avg(l_quantity), 6) AS avg_qty,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+          / count(*), 2) AS avg_price,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus""")
+  }
+
+  /** Salted join: the fact side carries a deterministic salt and the
+    * dim side is replicated once per salt value, so a hot key's rows
+    * spread over `salts` reducers instead of one. (At this dim size
+    * Spark would broadcast and no salt would be needed — the query
+    * demonstrates the key-explosion pattern used when the dim exceeds
+    * broadcast and the fact key is skewed; AQE skew-join is the
+    * runtime-automatic variant.) Results are salt-invariant, which the
+    * plain-join oracle verifies. */
+  def skew2SaltedJoin(s: SparkSession, dir: String,
+                      salts: Int = 8): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("value"),
+        pmod(col("event_id"), lit(salts)).as("salt"))
+    val d = Tables.customer(s, dir).filter(col("c_custkey") <= 150)
+      .select((col("c_custkey") - 1).as("user_id"), col("c_mktsegment"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    e.join(d, Seq("user_id", "salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+  }
+
   /** Range join: classify events into value tiers via a broadcast
     * inequality join. The small side is a 3-row bounds table, so the
     * plan is a BroadcastNestedLoopJoin — each fact row tests three

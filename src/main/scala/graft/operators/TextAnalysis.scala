@@ -92,4 +92,31 @@ object TextAnalysis {
       (acc, t) => pmod(acc * 31L + length(t) * 17L + ascii(t), lit(1000000000000000L)))
     d.select(col("doc_id"), fp.as("fingerprint"))
   }
+
+  /** Top-k 3-gram shingles per language: explode → count → per-key
+    * rank-filter. The rank filter is the exact logical shape
+    * [[graft.plans.TopKPerKeyStrategy]] rewrites, so with the strategy
+    * registered this plans as the sort-free two-phase heap top-k; the
+    * explode/count stage is a standard map-side-combined aggregation.
+    * Corpus-level n-gram statistics are the workhorse of quality
+    * filtering and contamination checks in training-data pipelines. */
+  def topNgramsPerLang(s: SparkSession, dir: String, n: Int = 3,
+                       k: Int = 5): DataFrame = {
+    graft.plans.GraftStrategies.register(s)
+    val d = Tables.documents(s, dir)
+    val toks = tokens(lower(col("text")))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("ngram").asc)
+    d.select(col("lang"), explode(grams).as("ngram"))
+      .groupBy(col("lang"), col("ngram"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("ngram"), col("n"), col("rn").cast("long").as("rank"))
+  }
 }

@@ -81,6 +81,13 @@ object EventStreams {
         col("click_id"), col("view_ts"), col("click_ts"))
   }
 
+  /** Stream-static enrichment: a streaming fact joined to a batch
+    * dimension. The static side needs no watermark and no state — Spark
+    * re-plans it per micro-batch (broadcast at dim size), the canonical
+    * landing-zone enrichment shape. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), "user_id")
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
                           event_type: String)
   case class Session(user_id: Long, n_events: Long, first_ts: Long,

@@ -110,6 +110,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(got === Set((1L, 10L)))
   }
 
+  test("stream-static enrichment joins each micro-batch to the dim") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq((7L, "gold"), (8L, "silver")).toDF("user_id", "segment")
+    val mem = MemoryStream[Long]
+    val stream = mem.toDF().withColumnRenamed("value", "user_id")
+    val q = EventStreams.enrichWithDim(stream, dim)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_test").start()
+    try {
+      mem.addData(7L, 9L, 8L, 7L) // 9 has no dim row → dropped (inner)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("enrich_test").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("segment")))
+      .sorted.toSeq
+    assert(got === Seq((7L, "gold"), (7L, "gold"), (8L, "silver")))
+  }
+
   test("sessionization groups events by gap (transformWithState)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
