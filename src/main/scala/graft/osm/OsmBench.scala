@@ -23,13 +23,15 @@ object OsmBench {
   final case class Result(mb: Double, auditSec: Double, shapeSec: Double,
                           queriesSec: Double, rows: Long, pbfMb: Double,
                           pbfShapeSec: Double, pbfQueriesSec: Double,
-                          pbfRows: Long) {
+                          pbfRows: Long, xsShapeSec: Double,
+                          xsRows: Long) {
     def json: String =
       f""""osm_mb":$mb%.1f,"osm_audit_sec":$auditSec%.2f,""" +
         f""""osm_shape_sec":$shapeSec%.2f,"osm_queries_sec":$queriesSec%.2f,""" +
         f""""osm_rows":$rows,"osm_pbf_mb":$pbfMb%.1f,""" +
         f""""osm_pbf_shape_sec":$pbfShapeSec%.2f,""" +
-        f""""osm_pbf_queries_sec":$pbfQueriesSec%.2f,"osm_pbf_rows":$pbfRows"""
+        f""""osm_pbf_queries_sec":$pbfQueriesSec%.2f,"osm_pbf_rows":$pbfRows,""" +
+        f""""osm_xmlsplit_shape_sec":$xsShapeSec%.2f,"osm_xmlsplit_rows":$xsRows"""
   }
 
   private def time(f: => Unit): Double = {
@@ -75,6 +77,12 @@ object OsmBench {
     val pbfQueriesSec = time(queries(shapedP))
     shapedP.unpersist(blocking = true)
 
+    // range-parallel XML (graft's splittable reader) on the same file
+    var xsRows = 0L
+    val xsShapeSec = time {
+      xsRows = OsmEngine.shape(OsmXmlSplit.elements(spark, xmlPath)).count()
+    }
+
     var shaped: DataFrame = null
     var rows = 0L
     val shapeSec = time {
@@ -86,7 +94,7 @@ object OsmBench {
     shaped.unpersist(blocking = true)
 
     Result(mb, auditSec, shapeSec, queriesSec, rows,
-      pbfMb, pbfShapeSec, pbfQueriesSec, pbfRows)
+      pbfMb, pbfShapeSec, pbfQueriesSec, pbfRows, xsShapeSec, xsRows)
   }
 
   def main(args: Array[String]): Unit = {
