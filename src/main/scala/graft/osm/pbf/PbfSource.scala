@@ -38,6 +38,17 @@ object PbfSource {
       StructField("type", StringType),
       StructField("nd", OsmEngine.ndType)))
 
+  /** `<member type=… ref=… role=…>` children of a relation. */
+  val memberType: ArrayType = ArrayType(StructType(Seq(
+    StructField("_type", StringType), StructField("_ref", StringType),
+    StructField("_role", StringType))))
+
+  val relationSchema: StructType = StructType(Seq(
+    "_id", "_visible", "_version", "_changeset", "_timestamp", "_user",
+    "_uid").map(StructField(_, StringType)) ++ Seq(
+    StructField("tag", OsmEngine.tagType),
+    StructField("member", memberType)))
+
   /** Metadata-only framing scan: (offset, length, type) per blob. */
   def blobIndex(path: String): Seq[BlobRange] = {
     val raf = new RandomAccessFile(path, "r")
@@ -83,6 +94,27 @@ object PbfSource {
       }
     }
     spark.createDataFrame(rdd, elementSchema)
+  }
+
+  /** Relations as their own DataFrame (the shape pipeline skips them —
+    * openstreet_kolkata.py:466 processes only nodes/ways — but the
+    * format reader is complete). Same range-parallel execution. */
+  def relations(spark: SparkSession, path: String): DataFrame = {
+    val ranges = blobIndex(path).filter(_.blobType == "OSMData")
+    val par = math.max(1, math.min(ranges.size,
+      spark.sparkContext.defaultParallelism))
+    val rdd = spark.sparkContext.parallelize(ranges, par).mapPartitions { it =>
+      it.flatMap { br =>
+        val raf = new RandomAccessFile(path, "r")
+        try {
+          raf.seek(br.offset)
+          val bytes = new Array[Byte](br.length)
+          raf.readFully(bytes)
+          decodeRelations(inflate(bytes))
+        } finally raf.close()
+      }
+    }
+    spark.createDataFrame(rdd, relationSchema)
   }
 
   // ---- Blob ----------------------------------------------------------
@@ -156,9 +188,69 @@ object PbfSource {
       case (1, 2) => out += decodeNode(g.sub(), ctx)
       case (2, 2) => out ++= decodeDense(g.sub(), ctx)
       case (3, 2) => out += decodeWay(g.sub(), ctx)
-      case (_, w) => g.skip(w) // relations (4), changesets (5)
+      case (_, w) => g.skip(w) // relations (4) via decodeRelations
     }
     out.result()
+  }
+
+  private[pbf] def decodeRelations(block: Array[Byte]): Seq[Row] = {
+    val r = new ProtoReader(block, 0, block.length)
+    var strings = Array("")
+    val groups = Seq.newBuilder[ProtoReader]
+    var dateGranularity = 1000L
+    while (r.hasMore) r.readKey() match {
+      case (1, 2) =>
+        val st = r.sub()
+        val b = Array.newBuilder[String]
+        while (st.hasMore) st.readKey() match {
+          case (1, 2) => b += st.readBytesStr()
+          case (_, w) => st.skip(w)
+        }
+        strings = b.result()
+      case (2, 2)  => groups += r.sub()
+      case (18, 0) => dateGranularity = r.readVarint()
+      case (_, w)  => r.skip(w)
+    }
+    val ctx = BlockCtx(strings, 100L, 0L, 0L, dateGranularity)
+    val out = Seq.newBuilder[Row]
+    groups.result().foreach { g =>
+      while (g.hasMore) g.readKey() match {
+        case (4, 2) => out += decodeRelation(g.sub(), ctx)
+        case (_, w) => g.skip(w)
+      }
+    }
+    out.result()
+  }
+
+  private val MemberTypes = Array("node", "way", "relation")
+
+  private def decodeRelation(r: ProtoReader, ctx: BlockCtx): Row = {
+    var id = 0L
+    var keys = Array.empty[Long]; var vals = Array.empty[Long]
+    var roles = Array.empty[Long]; var memids = Array.empty[Long]
+    var types = Array.empty[Long]
+    var info = (null: String, null: String, null: String, null: String,
+      null: String, "true")
+    while (r.hasMore) r.readKey() match {
+      case (1, 0)  => id = r.readVarint()
+      case (2, 2)  => keys = r.packedLongs(zigzag = false)
+      case (3, 2)  => vals = r.packedLongs(zigzag = false)
+      case (4, 2)  => info = decodeInfo(r.sub(), ctx)
+      case (8, 2)  => roles = r.packedLongs(zigzag = false)
+      case (9, 2)  => memids = r.packedLongs(zigzag = true) // delta-coded
+      case (10, 2) => types = r.packedLongs(zigzag = false)
+      case (_, w)  => r.skip(w)
+    }
+    var ref = 0L
+    val members = memids.indices.map { i =>
+      ref += memids(i)
+      Row(MemberTypes(types(i).toInt), ref.toString,
+        ctx.strings(roles(i).toInt))
+    }
+    val (version, ts, changeset, uid, user, visible) = info
+    Row(id.toString, visible, version, changeset, ts, user, uid,
+      orNull(tagRows(ctx, keys, vals)),
+      if (members.isEmpty) null else members)
   }
 
   // ---- field helpers -------------------------------------------------

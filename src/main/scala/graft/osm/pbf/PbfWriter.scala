@@ -20,6 +20,12 @@ object PbfWriter {
                           tags: Seq[(String, String)], version: Int,
                           tsMillis: Long, changeset: Long, uid: Long,
                           user: String, visible: Boolean)
+  /** memberType: 0 = node, 1 = way, 2 = relation (osmformat enum). */
+  final case class PbfMember(memberType: Int, ref: Long, role: String)
+  final case class PbfRelation(id: Long, members: Seq[PbfMember],
+                               tags: Seq[(String, String)], version: Int,
+                               tsMillis: Long, changeset: Long, uid: Long,
+                               user: String, visible: Boolean)
 
   private def zz(v: Long): Long = (v << 1) ^ (v >> 63)
 
@@ -143,6 +149,28 @@ object PbfWriter {
     blockBytes(st, group)
   }
 
+  private def relationBlock(rels: Seq[PbfRelation]): Array[Byte] = {
+    val st = new StringTable
+    val group = new W
+    rels.foreach { rel =>
+      val m = new W
+      m.int(1, rel.id)
+      if (rel.tags.nonEmpty) {
+        m.packed(2, rel.tags.map(t => st(t._1)), zigzag = false)
+        m.packed(3, rel.tags.map(t => st(t._2)), zigzag = false)
+      }
+      m.msg(4, infoMsg(st, rel.version, rel.tsMillis, rel.changeset,
+        rel.uid, rel.user, rel.visible))
+      if (rel.members.nonEmpty) {
+        m.packed(8, rel.members.map(mm => st(mm.role)), zigzag = false)
+        m.packed(9, deltas(rel.members.map(_.ref)), zigzag = true)
+        m.packed(10, rel.members.map(_.memberType.toLong), zigzag = false)
+      }
+      group.msg(4, m)
+    }
+    blockBytes(st, group)
+  }
+
   /** PrimitiveBlock: string table + one group; granularity=1 (explicit,
     * nanodegree units), date_granularity left at the 1000 default. */
   private def blockBytes(st: StringTable, group: W): Array[Byte] = {
@@ -156,7 +184,8 @@ object PbfWriter {
   }
 
   def write(path: String, nodes: Seq[PbfNode], ways: Seq[PbfWay],
-            perBlob: Int = 4000): Unit = {
+            perBlob: Int = 4000,
+            relations: Seq[PbfRelation] = Seq.empty): Unit = {
     val out = new DataOutputStream(new BufferedOutputStream(
       new FileOutputStream(path)))
     try {
@@ -168,6 +197,8 @@ object PbfWriter {
         frame(out, "OSMData", zlibBlob(denseNodeBlock(g))))
       ways.grouped(perBlob).foreach(g =>
         frame(out, "OSMData", zlibBlob(wayBlock(g))))
+      relations.grouped(perBlob).foreach(g =>
+        frame(out, "OSMData", zlibBlob(relationBlock(g))))
     } finally out.close()
   }
 }

@@ -56,7 +56,12 @@ final class ProtoReader(val buf: Array[Byte], var pos: Int, val end: Int) {
   def skip(wire: Int): Unit = wire match {
     case 0 => readVarint()
     case 1 => pos += 8
-    case 2 => pos += readLen()
+    case 2 =>
+      // NOT `pos += readLen()`: the += form reads the STALE pos before
+      // readLen() advances it past the length varint (off-by-varint-
+      // width desync, caught by the relation-skip test)
+      val n = readLen()
+      pos += n
     case 5 => pos += 4
     case w => throw new IllegalArgumentException(s"wire type $w")
   }

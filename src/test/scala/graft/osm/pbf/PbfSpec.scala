@@ -97,6 +97,34 @@ class PbfSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("PBF relations decode: members, roles, delta refs") {
+    val dir = new java.io.File("target/tmp")
+    dir.mkdirs()
+    val p = new java.io.File(dir, "rels.osm.pbf").getPath
+    import PbfWriter._
+    val ts = 1488326400000L // 2017-03-01T00:00:00Z
+    val rels = Seq(
+      PbfRelation(900L, Seq(PbfMember(0, 17L, "stop"),
+        PbfMember(1, 42L, "path"), PbfMember(2, 7L, "")),
+        Seq("type" -> "route", "route" -> "bus"), 2, ts, 55L, 9L,
+        "user_9", visible = true),
+      PbfRelation(901L, Seq(PbfMember(1, 42L, "outer")),
+        Seq("type" -> "multipolygon"), 1, ts, 56L, 9L, "user_9",
+        visible = true))
+    PbfWriter.write(p, Seq.empty, Seq.empty, 4000, rels)
+    val rows = PbfSource.relations(spark, p).collect().sortBy(_.getString(0))
+    assert(rows.length === 2)
+    val r0 = rows.head
+    assert(r0.getString(0) === "900")
+    assert(r0.getAs[String]("_timestamp") === "2017-03-01T00:00:00Z")
+    val members = r0.getAs[collection.Seq[Row]]("member")
+      .map(m => (m.getString(0), m.getString(1), m.getString(2))).toSeq
+    assert(members ===
+      Seq(("node", "17", "stop"), ("way", "42", "path"), ("relation", "7", "")))
+    // the node/way reader ignores relation-only files
+    assert(PbfSource.elements(spark, p).count() === 0)
+  }
+
   test("PBF audits: A4 user counts match the XML path") {
     val pbfElems = PbfSource.elements(spark, xmlPath + ".pbf")
     val xmlCounts = OsmEngine.auditUsers(OsmEngine.elements(spark, xmlPath))
