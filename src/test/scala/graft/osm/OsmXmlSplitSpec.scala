@@ -33,6 +33,41 @@ class OsmXmlSplitSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("relations are skipped and entities decoded, same as the builtin source") {
+    val doc =
+      """<?xml version='1.0' encoding='UTF-8'?>
+        |<osm version="0.6" generator="hand">
+        |  <node id="1" visible="true" version="1" changeset="9" timestamp="2017-01-01T00:00:00Z" user="A &amp; B" uid="3" lat="10.5" lon="20.25">
+        |    <tag k="name" v="Caf&#233; &quot;X&quot; &lt;east&gt;"/>
+        |  </node>
+        |  <node id="2" visible="true" version="1" changeset="9" timestamp="2017-01-01T00:00:00Z" user="plain" uid="4" lat="11.0" lon="21.0"/>
+        |  <relation id="77" visible="true" version="1" changeset="9" timestamp="2017-01-01T00:00:00Z" user="plain" uid="4">
+        |    <member type="node" ref="1" role="stop"/>
+        |    <tag k="type" v="route"/>
+        |  </relation>
+        |  <way id="50" visible="true" version="1" changeset="9" timestamp="2017-01-01T00:00:00Z" user="plain" uid="4">
+        |    <nd ref="1"/>
+        |    <nd ref="2"/>
+        |    <tag k="highway" v="path/steps"/>
+        |  </way>
+        |  <way id="51" visible="true" version="1" changeset="9" timestamp="2017-01-02T00:00:00Z" user="plain" uid="4">
+        |    <tag k="highway" v="road"/>
+        |  </way>
+        |</osm>
+        |""".stripMargin
+    val dir = new java.io.File("target/tmp")
+    dir.mkdirs()
+    val f = new java.io.File(dir, "handmade.osm")
+    java.nio.file.Files.writeString(f.toPath, doc)
+    val a = OsmEngine.shape(OsmEngine.elements(spark, f.getPath))
+      .toJSON.collect().sorted
+    val b = OsmEngine.shape(OsmXmlSplit.elements(spark, f.getPath))
+      .toJSON.collect().sorted
+    assert(a.length === 4, a.mkString("\n")) // 2 nodes + 2 ways, no relation
+    assert(a.sameElements(b),
+      s"builtin:\n${a.mkString("\n")}\nsplit:\n${b.mkString("\n")}")
+  }
+
   test("XML entity unescape matches the builtin parser's semantics") {
     assert(OsmXmlSplit.unescape(
       "a &amp; b &lt;c&gt; &quot;d&quot; &apos;e&apos; &#65;") ===
