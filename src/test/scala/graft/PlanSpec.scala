@@ -20,6 +20,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_partkey"), "scan reads columns the query never uses")
   }
 
+  test("sql1: the spark.sql form compiles to the same plan shape as q1") {
+    val pSql = plan(Relational.sql1PricingSummary(spark, sf))
+    val pDf = plan(Relational.q1PricingSummary(spark, sf))
+    // same operator skeleton: scan with the pushed filter, partial+final
+    // hash aggregation — Catalyst erases the API difference
+    for (marker <- Seq("PushedFilters: [IsNotNull(l_shipdate)",
+        "HashAggregate", "FileScan parquet")) {
+      assert(pSql.contains(marker), s"sql plan missing $marker:\n$pSql")
+      assert(pDf.contains(marker), s"df plan missing $marker:\n$pDf")
+    }
+    assert("HashAggregate".r.findAllIn(pSql).size ===
+      "HashAggregate".r.findAllIn(pDf).size)
+  }
+
   test("q1: aggregation is partial (map-side combine) + final") {
     val p = plan(Relational.q1PricingSummary(spark, sf))
     assert(p.contains("HashAggregate"), p)
