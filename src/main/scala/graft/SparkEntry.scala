@@ -87,6 +87,9 @@ object SparkEntry {
       Dedup.simhash(s, Fixtures.mutantDocs(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(s, Fixtures.mutantDocs(s, dir))),
+    "dedup_clusters"    -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(Fixtures.mutantSlice(s, dir)))),
     // ---- training-data pipeline: similarity search ----
     "sim_ann_brute"     -> (Similarity.annBruteForce(_, _)),
     "sim_ann_lsh"       -> (Similarity.annLsh(_, _)),
@@ -94,12 +97,20 @@ object SparkEntry {
     "sim_ann_sq"        -> (Similarity.annScalarQuant(_, _)),
     "sim_near_dup"      -> (Similarity.embNearDup(_, _)),
     "sim_centroids"     -> (Similarity.labelCentroids(_, _)),
+    "sim_kmeans"        -> (Similarity.kmeansLloyd(_, _)),
     // ---- training-data pipeline: text analysis ----
     "text_lang_id"      -> (TextAnalysis.langId(_, _)),
     "text_quality"      -> (TextAnalysis.qualityScore(_, _)),
     "text_tokens"       -> (TextAnalysis.tokenCounts(_, _)),
     "text_fingerprint"  -> (TextAnalysis.fingerprint(_, _)),
     "text_top_ngrams"   -> (TextAnalysis.topNgramsPerLang(_, _)),
+    "text_pii_redact"   -> ((s, dir) =>
+      TextAnalysis.piiRedact(Fixtures.withPii(Tables.documents(s, dir)))),
+    "filter_gopher"     -> ((s, dir) =>
+      TextAnalysis.gopherFilter(Tables.documents(s, dir))),
+    "samp1_stratified"  -> ((s, dir) =>
+      Sampling.stratifiedByLang(Tables.documents(s, dir),
+        Map("en" -> 60, "de" -> 30, "zh" -> 10), 20)),
     // ---- training-data pipeline: multimodal plumbing ----
     "mm1_decode"        -> (Multimodal.decodeFeatures(_, _)),
     "mm2_frames"        -> (Multimodal.frameSample(_, _)),
@@ -400,28 +411,19 @@ object SparkEntry {
          round(max(value), 4) AS v_max,
          count(*) AS n
          FROM events GROUP BY event_type""",
-    "dedup_ngram_jaccard" ->
-      """WITH base AS (
-           SELECT doc_id, text FROM documents WHERE doc_id < 40
-           UNION ALL
-           SELECT doc_id + 1000000 AS doc_id,
-                  regexp_replace(text, '^\S+\s*', '') AS text
-           FROM documents WHERE doc_id < 40),
-         t AS (SELECT doc_id,
-                 list_filter(string_split_regex(lower(text), '\s+'),
-                   x -> len(x) > 0) AS tk FROM base),
-         s AS (SELECT doc_id,
-                 CASE WHEN len(tk) >= 3
-                   THEN list_distinct(list_transform(range(0, len(tk) - 2),
-                     i -> array_to_string(tk[i+1:i+3], ' ')))
-                   ELSE [array_to_string(tk, ' ')] END AS sh FROM t)
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-         FROM s a, s b
-         WHERE a.doc_id < b.doc_id
-           AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5""",
+    "dedup_ngram_jaccard" -> ngramPairsSql,
+    "dedup_clusters" -> raw"""
+      WITH RECURSIVE p AS ($ngramPairsSql),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+                UNION SELECT doc_b, doc_a FROM p),
+      reach AS (SELECT src AS doc_id, src AS r FROM edges
+                UNION
+                SELECT w.doc_id, e.dst FROM reach w
+                JOIN edges e ON e.src = w.r)
+      SELECT doc_id, min(r) AS component,
+        CAST(CASE WHEN doc_id = min(r) THEN 1 ELSE 0 END AS BIGINT)
+          AS is_canonical
+      FROM reach GROUP BY doc_id""",
     "sim_ann_brute" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
          SELECT vec_id, label,
@@ -492,6 +494,67 @@ object SparkEntry {
          SELECT doc_id, frame_idx,
            md5(CAST(doc_id AS VARCHAR) || '#' || CAST(frame_idx AS VARCHAR)) AS frame_digest
          FROM (SELECT doc_id, unnest(range(0, least(n_frames - 1, 7) + 1)) AS frame_idx FROM f)""",
+    "text_pii_redact" -> raw"""
+      WITH p AS (SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+          '@example.com via https://site' || CAST(doc_id AS VARCHAR) ||
+          '.example/path or call 555-01' ||
+          lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+          ' from 10.0.' || CAST(doc_id % 255 AS VARCHAR) || '.7' AS text
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        CAST(len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(text,
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        CAST(len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+          'https?://[^\s]+', '<URL>', 'g'),
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+          '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_hash
+      FROM p""",
+    "filter_gopher" -> raw"""
+      WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk,
+          (len(string_split(text, ' the ')) - 1) +
+          (len(string_split(text, ' a ')) - 1) +
+          (len(string_split(text, ' of ')) - 1) +
+          (len(string_split(text, ' in ')) - 1) +
+          (len(string_split(text, ' to ')) - 1) AS stop_n
+        FROM documents),
+      m AS (SELECT doc_id,
+          CAST(len(tk) AS BIGINT) AS n_words,
+          round(CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE) /
+            len(tk), 4) AS mean_word_len,
+          round(CAST(len(list_filter(tk,
+            x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tk), 4)
+            AS alpha_frac,
+          CAST(stop_n AS BIGINT) AS n_stop
+        FROM t)
+      SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop,
+        CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+          AS BIGINT) AS pass_len,
+        CAST(CASE WHEN mean_word_len BETWEEN 3 AND 10 THEN 1 ELSE 0 END
+          AS BIGINT) AS pass_mean_len,
+        CAST(CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS BIGINT)
+          AS pass_alpha,
+        CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass_stop,
+        CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+          AND mean_word_len BETWEEN 3 AND 10
+          AND alpha_frac >= 0.8 AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT)
+          AS keep
+      FROM m""",
+    "samp1_stratified" -> raw"""
+      WITH b AS (SELECT doc_id, lang, source,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+            AS bucket
+        FROM documents)
+      SELECT doc_id, lang, source, bucket FROM b
+      WHERE bucket < CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30
+        WHEN 'zh' THEN 10 ELSE 20 END""",
+    "sim_kmeans" -> kmeansSql,
     // ---- hash-seeded pipelines, mirrored bit-for-bit in DuckDB ----
     // All graft hashing is md5-based (functions.Md5Base), so the oracle
     // recomputes every signature, band, and candidate set literally —
@@ -602,6 +665,32 @@ object SparkEntry {
 
   // ---- shared DuckDB oracle fragments ----
 
+  /** Exact 3-gram-shingle Jaccard pairs ≥ 0.5 over the mutant slice —
+    * mirrors Dedup.ngramJaccardPairs(Fixtures.mutantSlice); reused as
+    * the edge set of the dedup_clusters connected-components oracle. */
+  private def ngramPairsSql: String = raw"""
+      WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 40
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               regexp_replace(text, '^\S+\s*', '') AS text
+        FROM documents WHERE doc_id < 40),
+      t AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '\s+'),
+                x -> len(x) > 0) AS tk FROM base),
+      s AS (SELECT doc_id,
+              CASE WHEN len(tk) >= 3
+                THEN list_distinct(list_transform(range(0, len(tk) - 2),
+                  i -> array_to_string(tk[i+1:i+3], ' ')))
+                ELSE [array_to_string(tk, ' ')] END AS sh FROM t)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+      FROM s a, s b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5"""
+
   /** documents ∪ first-token-dropped mutants — mirrors Fixtures.mutantDocs. */
   private def mutantBaseSql: String = raw"""
       SELECT doc_id, text FROM documents
@@ -627,6 +716,47 @@ object SparkEntry {
                THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
           AS simhash
       FROM h"""
+
+  /** One Lloyd assignment pass against centroid CTE `cents` (cell, c):
+    * per-vector nearest cell by squared-L2 rounded to 6dp, ties to the
+    * lower cell — mirrors Similarity.kmeansLloyd's left-to-right
+    * zip_with/aggregate fold and array_min(struct(dist, cell)) argmin. */
+  private def kmeansAssignSql(cents: String): String = raw"""
+      SELECT vec_id, v, cell, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY dist ASC, cell ASC) AS rn FROM (
+          SELECT e.vec_id, e.v, $cents.cell,
+            round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(1, 65),
+                i -> (e.v[i] - $cents.c[i]) * (e.v[i] - $cents.c[i]))),
+              (acc, x) -> acc + x), 6) AS dist
+          FROM e, $cents)) WHERE rn = 1"""
+
+  /** Lloyd update: per-cell per-dim mean rounded to 6dp, rebuilt into a
+    * centroid list — mirrors the posexplode → avg → collect_list step. */
+  private def kmeansUpdateSql(assign: String): String = raw"""
+      SELECT cell, list(m ORDER BY dim) AS c FROM (
+        SELECT $assign.cell, r.range AS dim,
+          round(avg($assign.v[r.range + 1]), 6) AS m
+        FROM $assign, range(0, 64) r GROUP BY 1, 2) GROUP BY cell"""
+
+  /** Two full Lloyd iterations from the deterministic first-8-vectors
+    * init, then a final assignment summarized per cluster — the literal
+    * DuckDB replay of Similarity.kmeansLloyd(k=8, iters=2). */
+  private def kmeansSql: String = raw"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cinit AS (SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS c
+                FROM e WHERE vec_id < 8),
+      a1 AS (${kmeansAssignSql("cinit")}),
+      cm1 AS (${kmeansUpdateSql("a1")}),
+      a2 AS (${kmeansAssignSql("cm1")}),
+      cm2 AS (${kmeansUpdateSql("a2")}),
+      af AS (${kmeansAssignSql("cm2")})
+      SELECT CAST(af.cell AS BIGINT) AS cell, count(*) AS n_members,
+        round(avg(af.dist), 6) AS mean_cost,
+        min(cm2.c[1]) AS c0, min(cm2.c[2]) AS c1
+      FROM af JOIN cm2 ON af.cell = cm2.cell
+      GROUP BY af.cell"""
 
   /** The 16 seed-42 Rademacher hyperplanes as a DuckDB list-of-lists
     * literal — the SAME constants Similarity.annLsh ships in its plan. */

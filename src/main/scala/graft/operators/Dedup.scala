@@ -140,6 +140,58 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Connected components over a near-duplicate pair list — the step
+    * that turns LSH/SimHash pair output into dedup clusters: every
+    * document gets the minimum doc_id of its component as the cluster
+    * label, and the label-owner is the canonical copy to keep.
+    *
+    * Algorithm: iterative min-label propagation (the Pregel/GraphX
+    * formulation) — each node starts as its own label and repeatedly
+    * takes the min over itself and its neighbors until no label changes;
+    * the fixpoint is the component minimum, reached in
+    * O(component diameter) rounds.
+    *
+    * Scale design: each round is one equi-join on node id plus one
+    * map-side-combined min-aggregation — both shuffle bare (id, label)
+    * longs, never text payloads. Lineage is cut every round with an
+    * eager localCheckpoint (an iterative plan otherwise doubles per
+    * round and replays from the source), and the edge list is persisted
+    * once and reused by every round. Near-dup graphs are overwhelmingly
+    * tiny star components, so the loop exits after ~2 rounds; for
+    * adversarial long-chain graphs the alternating large-star/small-star
+    * rewrite (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") brings rounds to O(log n) with this same loop skeleton.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .cache()
+    // seed label: min over self and direct neighbors (one round fused in)
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("doc_id"), least(col("doc_id"), col("mn")).as("component"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .select(col("src").as("doc_id"), col("component"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("doc_id").agg(min("component").as("component"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.component") < col("o.component")).count()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("component"),
+      (col("doc_id") === col("component")).cast("long").as("is_canonical"))
+  }
+
   /** 60-bit SimHash per document: per-token md5-60 hash, each bit votes
     * ±1 (weighted by token frequency via repetition), sign of the vote
     * vector becomes the fingerprint bit — via the native SimHash60

@@ -33,4 +33,18 @@ object Fixtures {
   def mutantSlice(s: SparkSession, dir: String): DataFrame =
     mutantDocs(s, dir).filter(col("doc_id") < 40 ||
       (col("doc_id") >= 1000000L && col("doc_id") < 1000040L))
+
+  /** Deterministic synthetic-PII augmentation: appends an email, a URL,
+    * a phone number and an IPv4 address derived from doc_id. The corpus
+    * itself is PII-free word salad, so this is the fixture face of
+    * [[TextAnalysis.piiRedact]] — the positions and values vary per
+    * document, and the DuckDB oracle rebuilds the identical text. */
+  def withPii(d: DataFrame): DataFrame = {
+    val id = col("doc_id").cast("string")
+    d.withColumn("text", concat(col("text"),
+      lit(" contact user"), id, lit("@example.com via https://site"), id,
+      lit(".example/path or call 555-01"),
+      lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+      lit(" from 10.0."), pmod(col("doc_id"), lit(255)).cast("string"), lit(".7")))
+  }
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sampling operators for a training-data pipeline.
+  *
+  * The reference's sampler (systematic 1-in-k, SURVEY §2 S6) lives in
+  * Audits.s6Sample; this adds the stratified variant a data-mixture
+  * pipeline needs: different keep-rates per stratum (language, source,
+  * quality bucket) applied in ONE pass.
+  *
+  * Scale design: membership is a pure function of the row key — a
+  * uniform md5-derived bucket in [0, 100) compared against the
+  * stratum's rate — so the sample is a narrow stateless filter: no
+  * shuffle, no per-stratum pre-counts, no driver state, reproducible
+  * on re-runs and across engines (the DuckDB oracle replays the same
+  * md5 arithmetic). `sampleBy` offers the same semantics but seeds its
+  * hash from a JVM RNG; deriving the bucket from the data keeps lineage
+  * stable when files are recomputed or backfilled.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, 100): top 60 bits of md5 of the key, mod 100
+    * — the same md5-hex bridge every graft hash pipeline uses
+    * (functions.Md5Base), so any engine reproduces membership exactly. */
+  private def bucket100(key: Column): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(100))
+
+  /** Stratified sample of `docs` by `lang`: keep `rates(lang)` percent
+    * of each stratum (`default` percent for unlisted strata). */
+  def stratifiedByLang(docs: DataFrame, rates: Map[String, Int],
+                       default: Int): DataFrame = {
+    val rate = rates.foldLeft(lit(default)) { case (acc, (lang, pct)) =>
+      when(col("lang") === lang, lit(pct)).otherwise(acc)
+    }
+    docs
+      .withColumn("bucket", bucket100(col("doc_id")))
+      .filter(col("bucket") < rate)
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+  }
+}

@@ -210,6 +210,67 @@ object Similarity {
       .limit(k)
   }
 
+  /** Lloyd's k-means over the embedding corpus — the actual quantizer
+    * training annIvf's per-label stand-in skips: `iters` rounds of
+    * assign-to-nearest / recompute-means from a deterministic init (the
+    * first k corpus vectors), then a per-cluster summary.
+    *
+    * Scale shape per round: the model is K rows — collected, rounded to
+    * 6 decimals (cross-engine-stable, see the mirrored DuckDB oracle)
+    * and re-shipped as a literal, so ASSIGNMENT is a zero-shuffle narrow
+    * map (argmin over K literal centroids via array_min(struct(dist,
+    * cell))), and the UPDATE is one map-side-combined aggregation whose
+    * shuffle carries K×dims partial sums, not vectors. Nothing driver-
+    * side ever holds data — only the K-row model. Empty clusters drop
+    * out of the model identically on every engine.
+    */
+  def kmeansLloyd(s: SparkSession, dir: String, k: Int = 8,
+                  iters: Int = 2): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // squared-L2 to each centroid of a literal model, rounded so the
+    // argmin decision is reproducible on any engine that folds
+    // left-to-right in double
+    def dists(model: Seq[(Int, Seq[Double])])(v: Column): Column = {
+      val cents = array(model.map { case (cell, c) =>
+        struct(lit(cell).as("cell"), array(c.map(lit): _*).as("c")) }: _*)
+      transform(cents, c =>
+        struct(round(aggregate(zip_with(v, c.getField("c"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x), 6)
+          .as("dist"), c.getField("cell").as("cell")))
+    }
+    var model: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < k)
+      .select(col("vec_id"), transform(col("v"), x => round(x, 6)).as("c"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getAs[collection.Seq[Double]]("c").toSeq))
+      .sortBy(_._1).toSeq
+    for (_ <- 1 to iters) {
+      model = e
+        .select(array_min(dists(model)(col("v"))).getField("cell").as("cell"),
+          posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .getField("m").as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getAs[collection.Seq[Double]]("c").toSeq))
+        .sortBy(_._1).toSeq
+    }
+    // final assignment + per-cluster summary (sizes, mean cost, first
+    // two centroid coordinates as a spot-check of the model itself)
+    val c0 = model.map { case (cell, c) =>
+      when(col("cell") === cell, lit(c.head)) }.reduceRight(_.otherwise(_))
+    val c1 = model.map { case (cell, c) =>
+      when(col("cell") === cell, lit(c(1))) }.reduceRight(_.otherwise(_))
+    e.select(array_min(dists(model)(col("v"))).as("a"))
+      .select(col("a.cell").as("cell"), col("a.dist").as("dist"))
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_members"), round(avg(col("dist")), 6).as("mean_cost"))
+      .withColumn("c0", c0).withColumn("c1", c1)
+  }
+
   /** Centroid per label — the IVF coarse-quantizer training step: mean
     * vector by class, emitted as (label, dim, value) long-form so the
     * oracle can check it without array equality. */

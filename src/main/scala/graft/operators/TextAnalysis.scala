@@ -93,6 +93,67 @@ object TextAnalysis {
     d.select(col("doc_id"), fp.as("fingerprint"))
   }
 
+  // PII patterns shared by the counter and the redactor. Plain ASCII
+  // regex that means the same thing to Java's engine and RE2 (DuckDB) —
+  // no lookaround, no unicode classes.
+  val UrlRe   = raw"https?://[^\s]+"
+  val EmailRe = raw"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+  val Ipv4Re  = raw"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+  val PhoneRe = raw"\b\d{3}-\d{4}\b"
+
+  /** PII redaction: count and scrub URLs, emails, IPv4s and phone
+    * numbers. Replacement runs in fixed precedence (URL → email → IP →
+    * phone) so a URL's digits can't be half-eaten by the narrower
+    * patterns; counts are taken on the original text. A pure narrow
+    * projection — regex state machines inside whole-stage codegen, no
+    * shuffle, linear scale-out. The redacted text is emitted as an md5
+    * digest so the full transform is hash-checkable without shipping
+    * the body. */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    def n(re: String) =
+      size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
+    val redacted =
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        UrlRe, "<URL>"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>")
+    docs.select(col("doc_id"),
+      n(UrlRe).as("n_urls"), n(EmailRe).as("n_emails"),
+      n(Ipv4Re).as("n_ips"), n(PhoneRe).as("n_phones"),
+      md5(redacted.cast("binary")).as("redacted_hash"))
+  }
+
+  /** Gopher-style quality-rule battery (Rae et al. 2021, §A1.1): word
+    * count bounds, mean-word-length bounds, alphabetic-word fraction,
+    * stopword presence — each emitted as its own flag plus the combined
+    * keep decision, so downstream can both filter and report per-rule
+    * rejection rates. One narrow projection; the token array is built
+    * once and every signal folds over it inside codegen. */
+  def gopherFilter(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nWords = size(toks).cast("long")
+    val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+      .cast("double") / nWords
+    val alphaFrac = size(filter(toks, t => t.rlike("[A-Za-z]")))
+      .cast("double") / nWords
+    val nStop = occ(col("text"), "the") + occ(col("text"), "a") +
+      occ(col("text"), "of") + occ(col("text"), "in") + occ(col("text"), "to")
+    docs.select(col("doc_id"), nWords.as("n_words"),
+        round(meanLen, 4).as("mean_word_len"),
+        round(alphaFrac, 4).as("alpha_frac"), nStop.as("n_stop"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("alpha_frac"), col("n_stop"),
+        (col("n_words") >= 50 && col("n_words") <= 100000).cast("long")
+          .as("pass_len"),
+        (col("mean_word_len") >= 3 && col("mean_word_len") <= 10).cast("long")
+          .as("pass_mean_len"),
+        (col("alpha_frac") >= 0.8).cast("long").as("pass_alpha"),
+        (col("n_stop") >= 2).cast("long").as("pass_stop"))
+      .withColumn("keep",
+        (col("pass_len") === 1 && col("pass_mean_len") === 1 &&
+          col("pass_alpha") === 1 && col("pass_stop") === 1).cast("long"))
+  }
+
   /** Top-k 3-gram shingles per language: explode → count → per-key
     * rank-filter. The rank filter is the exact logical shape
     * [[graft.plans.TopKPerKeyStrategy]] rewrites, so with the strategy

@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-3 training-data pipeline operators: dedup clustering, PII
+  * redaction, quality filtering, stratified sampling, k-means. */
+class PipelineOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("connectedComponents labels chains, stars and singleton pairs") {
+    // components: {1,2,3,4} (chain), {10,11,12} (star at 10), {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 1L, 1L), (2L, 1L, 0L), (3L, 1L, 0L), (4L, 1L, 0L),
+      (10L, 10L, 1L), (11L, 10L, 0L), (12L, 10L, 0L),
+      (20L, 20L, 1L), (21L, 20L, 0L)))
+  }
+
+  test("connectedComponents converges on a long chain (diameter > 2)") {
+    val n = 12
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+    assert(got.length === n)
+    assert(got.forall(_.getLong(1) === 1L), "all labels must reach the min id")
+    assert(got.count(_.getLong(2) === 1L) === 1, "exactly one canonical")
+  }
+
+  test("mutant corpus clusters: every mutant joins its original's component") {
+    val clusters = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(Fixtures.mutantSlice(spark, sf))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each (d, d+1e6) mutant pair is an edge, so both sides share a label
+    clusters.keys.filter(_ >= 1000000L).foreach { m =>
+      assert(clusters(m) === clusters(m - 1000000L), s"mutant $m")
+    }
+  }
+
+  test("piiRedact counts and scrubs every injected PII kind") {
+    val doc = Seq((7L, "hello world")).toDF("doc_id", "text")
+    val row = TextAnalysis.piiRedact(Fixtures.withPii(doc)).collect().head
+    assert(row.getAs[Long]("n_emails") === 1L)
+    assert(row.getAs[Long]("n_urls") === 1L)
+    assert(row.getAs[Long]("n_ips") === 1L)
+    assert(row.getAs[Long]("n_phones") === 1L)
+    // the digest equals md5 of the fully-scrubbed text
+    val expected = "hello world contact <EMAIL> via <URL> or call <PHONE> from <IP>"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(row.getAs[String]("redacted_hash") === md)
+  }
+
+  test("piiRedact leaves clean text untouched") {
+    val doc = Seq((1L, "no personal data here at all")).toDF("doc_id", "text")
+    val row = TextAnalysis.piiRedact(doc).collect().head
+    assert(Seq("n_emails", "n_urls", "n_ips", "n_phones")
+      .forall(c => row.getAs[Long](c) === 0L))
+  }
+
+  test("gopherFilter applies each rule independently") {
+    val docs = Seq(
+      // too short (fails len), has stopwords
+      (1L, "the cat sat on a mat of the in to the"),
+      // 60 words, mean len in range, stopwords present => keep
+      (2L, (Seq.fill(28)("the word") :+ "a to of in").mkString(" ")),
+      // 60 words but no stopwords => fails pass_stop only
+      (3L, Seq.fill(60)("zork").mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFilter(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("pass_len"), r.getAs[Long]("pass_stop"),
+          r.getAs[Long]("keep"))).toMap
+    assert(got(1L)._1 === 0L)
+    assert(got(1L)._3 === 0L)
+    assert(got(2L) === ((1L, 1L, 1L)))
+    assert(got(3L)._1 === 1L)
+    assert(got(3L)._2 === 0L)
+    assert(got(3L)._3 === 0L)
+  }
+
+  test("stratified sample rates approximate the per-stratum targets") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val rates = Map("en" -> 60, "de" -> 30, "zh" -> 10)
+    val sampled = Sampling.stratifiedByLang(docs, rates, 20)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, n) =>
+      val target = rates.getOrElse(lang, 20) / 100.0
+      val got = sampled.getOrElse(lang, 0L).toDouble / n
+      // md5 buckets are uniform; at ~100 docs/stratum allow wide slack
+      assert(math.abs(got - target) < 0.2, s"$lang: got $got want ~$target")
+    }
+  }
+
+  test("stratified sampling is deterministic across runs") {
+    val docs = Tables.documents(spark, sf)
+    val a = Sampling.stratifiedByLang(docs, Map("en" -> 50), 20)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val b = Sampling.stratifiedByLang(docs, Map("en" -> 50), 20)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(a === b)
+  }
+
+  test("kmeans cost is non-increasing with more Lloyd iterations") {
+    def weightedCost(iters: Int): Double = {
+      val rows = Similarity.kmeansLloyd(spark, sf, k = 4, iters = iters)
+        .collect()
+      val n = rows.map(_.getAs[Long]("n_members")).sum
+      rows.map(r => r.getAs[Long]("n_members") *
+        r.getAs[Double]("mean_cost")).sum / n
+    }
+    val c1 = weightedCost(1)
+    val c3 = weightedCost(3)
+    // Lloyd's algorithm never increases the quantization objective
+    // (6dp model rounding can add ~1e-6 noise; allow that slack)
+    assert(c3 <= c1 + 1e-5, s"cost went up: $c1 -> $c3")
+  }
+
+  test("kmeans covers the corpus and produces a real partition") {
+    val rows = Similarity.kmeansLloyd(spark, sf, k = 4, iters = 2).collect()
+    val total = rows.map(_.getAs[Long]("n_members")).sum
+    val corpus = Tables.embeddings(spark, sf).count()
+    assert(total === corpus, "every vector assigned exactly once")
+    assert(rows.length >= 2, "more than one surviving cluster")
+  }
+}
