@@ -36,11 +36,22 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * Registered per-session via [[GraftStrategies.register]] (the same
   * opt-in pattern as GraftFunctions); user queries keep their
   * declarative `row_number` form and silently plan through the custom
-  * operator. Memory: #distinct-keys-per-partition × k rows — the same
-  * envelope as hash aggregation on the key (a spillable variant would
-  * swap the HashMap for a SizeTracking map; out of scope here).
+  * operator.
+  *
+  * Memory bound: the partial phase holds at most
+  * `spark.graft.topk.partialMaxKeys` (default 4M) key heaps; when the
+  * budget fills, the current ≤k-per-key survivors are FLUSHED downstream
+  * and the map restarts. Multiple partial emissions per key are merged
+  * by the final phase, so flushing trades a little extra shuffle volume
+  * for a hard map-side memory cap — the same move hash aggregation makes
+  * when it falls back to sort-based merging, but without any sorting.
+  * The final phase holds #distinct-keys-in-its-hash-partition × k rows,
+  * the same envelope as hash aggregation on the key; sizing
+  * `spark.sql.shuffle.partitions` to the key cardinality bounds it.
   */
 object TopKPerKeyStrategy extends SparkStrategy {
+
+  val PartialMaxKeysConf = "spark.graft.topk.partialMaxKeys"
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case LFilter(cond, w: LWindow)
@@ -57,10 +68,13 @@ object TopKPerKeyStrategy extends SparkStrategy {
                 case wgl: LWindowGroupLimit => wgl.child
                 case c => c
               }
+              val maxKeys = math.max(1,
+                org.apache.spark.sql.internal.SQLConf.get
+                  .getConfString(PartialMaxKeysConf, (1 << 22).toString).toInt)
               val partial = TopKPerKeyExec(w.partitionSpec, w.orderSpec, k,
-                source.output, partial = true, planLater(source))
+                source.output, partial = true, maxKeys, planLater(source))
               TopKPerKeyExec(w.partitionSpec, w.orderSpec, k, w.output,
-                partial = false, partial) :: Nil
+                partial = false, maxKeys, partial) :: Nil
             case _ => Nil
           }
         case _ => Nil
@@ -88,13 +102,16 @@ object TopKPerKeyStrategy extends SparkStrategy {
 
 /** One heap phase of per-key top-k. `partial = true` runs map-side on
   * whatever partitioning the child has and emits the ≤k survivors per
-  * (key, partition) unranked; `partial = false` requires clustering on
-  * the keys (Spark inserts the hash exchange), merges, and emits the
-  * child row plus the 1-based rank — the same output contract as
-  * Window(row_number)+Filter. */
+  * (key, partition) unranked, flushing the heap map downstream whenever
+  * it reaches `maxPartialKeys` distinct keys (hard memory cap; the final
+  * phase merges repeated emissions); `partial = false` requires
+  * clustering on the keys (Spark inserts the hash exchange), merges, and
+  * emits the child row plus the 1-based rank — the same output contract
+  * as Window(row_number)+Filter. */
 case class TopKPerKeyExec(partitionExprs: Seq[Expression],
                           order: Seq[SortOrder], k: Int,
                           output: Seq[Attribute], partial: Boolean,
+                          maxPartialKeys: Int,
                           child: SparkPlan)
     extends UnaryExecNode {
 
@@ -114,6 +131,7 @@ case class TopKPerKeyExec(partitionExprs: Seq[Expression],
     val limit = k
     val out = output
     val isPartial = partial
+    val maxKeys = maxPartialKeys
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(partExprs, childOutput)
       val ord = RowOrdering.create(sortOrder, childOutput)
@@ -121,8 +139,7 @@ case class TopKPerKeyExec(partitionExprs: Seq[Expression],
       val cmp = ord.reverse.asInstanceOf[Comparator[InternalRow]]
       val heaps =
         new java.util.LinkedHashMap[UnsafeRow, JPriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
+      def ingest(row: InternalRow): Unit = {
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
@@ -135,8 +152,25 @@ case class TopKPerKeyExec(partitionExprs: Seq[Expression],
         }
       }
       if (isPartial) {
-        heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+        // streaming flush: ingest until the key budget fills (or input
+        // ends), emit the survivors, reset, repeat. Peak memory is
+        // maxKeys × k rows regardless of input key cardinality.
+        new Iterator[InternalRow] {
+          private var pending: java.util.Iterator[InternalRow] =
+            java.util.Collections.emptyIterator[InternalRow]()
+          private def fill(): Unit =
+            while (!pending.hasNext && (iter.hasNext || !heaps.isEmpty)) {
+              while (iter.hasNext && heaps.size() < maxKeys) ingest(iter.next())
+              val batch = new java.util.ArrayList[InternalRow]()
+              heaps.values().forEach(h => batch.addAll(h))
+              heaps.clear()
+              pending = batch.iterator()
+            }
+          override def hasNext: Boolean = { fill(); pending.hasNext }
+          override def next(): InternalRow = { fill(); pending.next() }
+        }
       } else {
+        while (iter.hasNext) ingest(iter.next())
         val joined = new JoinedRow
         val rnRow = new GenericInternalRow(1)
         val outProj = UnsafeProjection.create(out, childOutput :+ out.last)

@@ -89,6 +89,38 @@ class PlanSpec extends SparkSpec {
     assert(viaStrategy.sameElements(viaMaxBy))
   }
 
+  test("w1c: partial-phase key budget flushes without changing results") {
+    // a 2-key budget on ~1500 customers forces hundreds of mid-stream
+    // flushes per input partition; the final phase must merge the
+    // repeated partial emissions back to the exact window semantics
+    val conf = graft.plans.TopKPerKeyStrategy.PartialMaxKeysConf
+    spark.conf.set(conf, "2")
+    try {
+      val tiny = Relational.w1cTopOrderStrategy(spark, sf)
+      assert(plan(tiny).contains("TopKPerKey (partial)"))
+      val got = tiny.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      val want = Relational.w1TopOrderPerCustomer(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      assert(got.sameElements(want))
+    } finally spark.conf.unset(conf)
+  }
+
+  test("pii redact / gopher filter / stratified sample are narrow single-scan maps") {
+    val docs = Tables.documents(spark, sf)
+    Seq(
+      TextAnalysis.piiRedact(Fixtures.withPii(docs)),
+      TextAnalysis.gopherFilter(docs),
+      Sampling.stratifiedByLang(docs, Map("en" -> 50), 20)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Exchange"),
+        s"per-document op must not shuffle:\n$p")
+      // "*(n)" node prefixes = whole-stage-codegen'd spans
+      assert(p.contains("*("), s"op fell out of codegen:\n$p")
+    }
+  }
+
   test("w1b: per-key top-1 as aggregation — no window, partial before exchange") {
     val p = plan(Relational.w1bTopOrderMaxBy(spark, sf))
     assert(!p.contains("Window"), s"max_by form must not sort-shuffle:\n$p")
