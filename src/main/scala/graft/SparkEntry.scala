@@ -733,11 +733,14 @@ object SparkEntry {
           FROM e, $cents)) WHERE rn = 1"""
 
   /** Lloyd update: per-cell per-dim mean rounded to 6dp, rebuilt into a
-    * centroid list — mirrors the posexplode → avg → collect_list step. */
+    * centroid list — mirrors the posexplode → micro-sum → collect_list
+    * step (the mean is summed as exact integer micros so it cannot
+    * depend on float summation order, see Similarity.kmeansLloyd). */
   private def kmeansUpdateSql(assign: String): String = raw"""
       SELECT cell, list(m ORDER BY dim) AS c FROM (
         SELECT $assign.cell, r.range AS dim,
-          round(avg($assign.v[r.range + 1]), 6) AS m
+          round(CAST(CAST(sum(CAST(round($assign.v[r.range + 1] * 1000000)
+            AS BIGINT)) AS BIGINT) AS DOUBLE) / (count(*) * 1000000.0), 6) AS m
         FROM $assign, range(0, 64) r GROUP BY 1, 2) GROUP BY cell"""
 
   /** Two full Lloyd iterations from the deterministic first-8-vectors
@@ -753,7 +756,8 @@ object SparkEntry {
       cm2 AS (${kmeansUpdateSql("a2")}),
       af AS (${kmeansAssignSql("cm2")})
       SELECT CAST(af.cell AS BIGINT) AS cell, count(*) AS n_members,
-        round(avg(af.dist), 6) AS mean_cost,
+        round(CAST(CAST(sum(CAST(round(af.dist * 1000000) AS BIGINT))
+          AS BIGINT) AS DOUBLE) / (count(*) * 1000000.0), 6) AS mean_cost,
         min(cm2.c[1]) AS c0, min(cm2.c[2]) AS c1
       FROM af JOIN cm2 ON af.cell = cm2.cell
       GROUP BY af.cell"""

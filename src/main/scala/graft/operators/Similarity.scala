@@ -245,12 +245,19 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0).toInt, r.getAs[collection.Seq[Double]]("c").toSeq))
       .sortBy(_._1).toSeq
+    // order-independent mean: sum exact integer micros (6dp quantized),
+    // divide once — float summation order differs between engines (and
+    // between Spark's own partitionings), and a ~1e-12 drift can flip a
+    // 6dp rounding boundary (observed at sf0.1). Integer sums cannot.
+    def microMean(x: Column): Column =
+      round(sum(round(x * 1e6, 0).cast("long")).cast("double") /
+        (count(lit(1)).cast("double") * 1e6), 6)
     for (_ <- 1 to iters) {
       model = e
         .select(array_min(dists(model)(col("v"))).getField("cell").as("cell"),
           posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
-        .agg(round(avg(col("col")), 6).as("m"))
+        .agg(microMean(col("col")).as("m"))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
           .getField("m").as("c"))
@@ -267,7 +274,9 @@ object Similarity {
     e.select(array_min(dists(model)(col("v"))).as("a"))
       .select(col("a.cell").as("cell"), col("a.dist").as("dist"))
       .groupBy(col("cell").cast("long").as("cell"))
-      .agg(count(lit(1)).as("n_members"), round(avg(col("dist")), 6).as("mean_cost"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(round(col("dist") * 1e6, 0).cast("long")).cast("double") /
+          (count(lit(1)).cast("double") * 1e6), 6).as("mean_cost"))
       .withColumn("c0", c0).withColumn("c1", c1)
   }
 
