@@ -97,6 +97,7 @@ object SparkEntry {
     "sim_ann_sq"        -> (Similarity.annScalarQuant(_, _)),
     "sim_near_dup"      -> (Similarity.embNearDup(_, _)),
     "sim_centroids"     -> (Similarity.labelCentroids(_, _)),
+    "sim_near_dup_lsh"  -> (Similarity.nearDupLsh(_, _)),
     "sim_kmeans"        -> (Similarity.kmeansLloyd(_, _)),
     // ---- training-data pipeline: text analysis ----
     "text_lang_id"      -> (TextAnalysis.langId(_, _)),
@@ -605,6 +606,29 @@ object SparkEntry {
       JOIN sg sb ON sb.doc_id = c.doc_b
       WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
           len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5""",
+    "sim_near_dup_lsh" -> raw"""
+      WITH sb AS (SELECT vec_id,
+              list_transform($planesSql, pl ->
+                CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, 65),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * pl[i])),
+                  (acc, x) -> acc + x) > 0 THEN 1 ELSE 0 END) AS bits
+             FROM embeddings e),
+      sbv AS (SELECT vec_id, r.range AS band,
+               list_reduce(list_prepend(0, bits[r.range*4+1 : r.range*4+4]),
+                 (acc, x) -> acc * 2 + x) AS bval
+              FROM sb, range(0, 4) r),
+      cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+               FROM sbv a JOIN sbv b ON a.band = b.band
+                 AND a.bval = b.bval AND a.vec_id < b.vec_id)
+      SELECT c.vec_a, c.vec_b,
+        round(list_cosine_similarity(ea.embedding::DOUBLE[],
+          eb.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.vec_a
+      JOIN embeddings eb ON eb.vec_id = c.vec_b
+      WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+        eb.embedding::DOUBLE[]), 6) >= 0.4""",
     "sim_ann_lsh" -> raw"""
       WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
       sb AS (SELECT e.vec_id,

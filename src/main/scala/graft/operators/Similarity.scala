@@ -129,6 +129,43 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Embedding near-duplicate pairs at CORPUS scale — the pairwise
+    * application of annLsh's bucketing, and the unbounded-scale path the
+    * bounded exact kernel ([[embNearDup]]) stands in for: each vector
+    * gets 4 banded hyperplane-signature values; a pair is a candidate if
+    * ANY band matches; candidates are distinct'd as bare id pairs (the
+    * embeddings never enter the self-join or the distinct) and only then
+    * verified with exact cosine.
+    *
+    * Scale shape: the self-join is an equi-join on (band, bval) — the
+    * quadratic blow-up is per-bucket, never global — and the exact math
+    * touches candidates only. Recall is the standard LSH trade
+    * (1−(1−p^w)^bands); banding parameters trade recall against bucket
+    * sizes, and the DuckDB oracle replays the same planes so both
+    * engines agree on the exact candidate set. */
+  def nearDupLsh(s: SparkSession, dir: String, threshold: Double = 0.4,
+                 bits: Int = 16, bands: Int = 4): DataFrame = {
+    GraftFunctions.register(s)
+    val w = bits / bands
+    val e = Tables.embeddings(s, dir)
+    val sigs = e.select(col("vec_id"),
+        posexplode(bandVals(sigBits(col("embedding"), bits), bands, w)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bval"))
+    val cand = sigs.select(col("vec_id").as("vec_a"), col("band"), col("bval"))
+      .join(sigs.select(col("vec_id").as("vec_b"), col("band"), col("bval")),
+        Seq("band", "bval"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")),
+        "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")),
+        "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** IVF-style ANN: coarse quantizer = per-label mean vectors (the
     * labels stand in for k-means cells on this corpus); every corpus
     * vector is assigned to its NEAREST centroid (a real inverted-file

@@ -106,6 +106,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("nearDupLsh candidates are a subset of exact pairs, scores exact") {
+    val lsh = Similarity.nearDupLsh(spark, sf, threshold = 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.nonEmpty, "banded candidate gen found nothing at 0.2")
+    // exact all-pairs reference over the same corpus
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val exact = e.toDF("vec_a", "emb_a")
+      .join(e.toDF("vec_b", "emb_b"), col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(Similarity.cosine(col("emb_a"), col("emb_b")), 6).as("c"))
+      .filter(col("c") >= 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.foreach { case (pair, score) =>
+      assert(exact.get(pair).contains(score), s"pair $pair")
+    }
+  }
+
   test("kmeans cost is non-increasing with more Lloyd iterations") {
     def weightedCost(iters: Int): Double = {
       val rows = Similarity.kmeansLloyd(spark, sf, k = 4, iters = iters)
