@@ -266,15 +266,16 @@ object Similarity {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    // squared-L2 to each centroid of a literal model, rounded so the
-    // argmin decision is reproducible on any engine that folds
-    // left-to-right in double
+    // squared-L2 to each centroid of a literal model via the native
+    // codegen'd L2Squared kernel (the HOF zip_with/aggregate form is
+    // CodegenFallback — interpreted — and dominated the runtime),
+    // rounded so the argmin decision is reproducible on any engine that
+    // folds left-to-right in double
     def dists(model: Seq[(Int, Seq[Double])])(v: Column): Column = {
       val cents = array(model.map { case (cell, c) =>
         struct(lit(cell).as("cell"), array(c.map(lit): _*).as("c")) }: _*)
       transform(cents, c =>
-        struct(round(aggregate(zip_with(v, c.getField("c"),
-            (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x), 6)
+        struct(round(call_function("l2_sq", v, c.getField("c")), 6)
           .as("dist"), c.getField("cell").as("cell")))
     }
     var model: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < k)

@@ -33,6 +33,19 @@ class FunctionsSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() === 0)
   }
 
+  test("l2_sq == zip_with/aggregate fold, bit for bit") {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf).limit(100)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    val both = e.crossJoin(q).select(
+      call_function("l2_sq", col("embedding").cast("array<double>"),
+        col("q").cast("array<double>")).as("native"),
+      aggregate(zip_with(col("embedding").cast("array<double>"),
+          col("q").cast("array<double>"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
   test("simhash60 == per-token vote fold, bit for bit") {
     GraftFunctions.register(spark)
     val d = Tables.documents(spark, sf).limit(100)
