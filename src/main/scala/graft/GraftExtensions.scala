@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.GraftFunctions
 
 /** SparkSessionExtensions entry point: makes graft's native expressions
-  * (cosine_sim, simhash60, minhash_sig16) available in any session via
+  * (cosine_sim, l2_sq, simhash60, minhash_sig16) AND the TopKPerKey
+  * planner strategy available in any session via
   *
   * {{{
   * SparkSession.builder()
@@ -15,11 +16,13 @@ import graft.functions.GraftFunctions
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder))
     }
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+  }
 }

@@ -49,6 +49,7 @@ object SparkEntry {
     "d2_hourly_window"  -> (Relational.d2HourlyWindow(_, _)),
     "str1_functions"    -> (Relational.str1Functions(_, _)),
     "stat1_percentiles" -> (Relational.stat1Percentiles(_, _)),
+    "stat2_approx_distinct" -> (Relational.stat2ApproxDistinct(_, _)),
     "asof_event_orders" -> (AsOf.asofEventOrders(_, _)),
     // ---- reference audit surface (SURVEY §2b) ----
     "a1_group_count"    -> (Audits.a1GroupCount(_, _)),
@@ -112,6 +113,8 @@ object SparkEntry {
     "samp1_stratified"  -> ((s, dir) =>
       Sampling.stratifiedByLang(Tables.documents(s, dir),
         Map("en" -> 60, "de" -> 30, "zh" -> 10), 20)),
+    "samp2_topn_stratum" -> ((s, dir) =>
+      Sampling.topNPerStratum(s, Tables.documents(s, dir), 25)),
     // ---- training-data pipeline: multimodal plumbing ----
     "mm1_decode"        -> (Multimodal.decodeFeatures(_, _)),
     "mm2_frames"        -> (Multimodal.frameSample(_, _)),
@@ -555,6 +558,20 @@ object SparkEntry {
       SELECT doc_id, lang, source, bucket FROM b
       WHERE bucket < CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30
         WHEN 'zh' THEN 10 ELSE 20 END""",
+    "samp2_topn_stratum" -> raw"""
+      WITH h AS (SELECT doc_id, lang,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        FROM documents)
+      SELECT doc_id, lang,
+        CAST(row_number() OVER (PARTITION BY lang
+          ORDER BY hv ASC, doc_id ASC) AS BIGINT) AS rank
+      FROM h
+      QUALIFY row_number() OVER (PARTITION BY lang
+        ORDER BY hv ASC, doc_id ASC) <= 25""",
+    "stat2_approx_distinct" -> raw"""
+      SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        CAST(1 AS BIGINT) AS within_5pct
+      FROM events GROUP BY event_type""",
     "sim_kmeans" -> kmeansSql,
     // ---- hash-seeded pipelines, mirrored bit-for-bit in DuckDB ----
     // All graft hashing is md5-based (functions.Md5Base), so the oracle

@@ -326,6 +326,24 @@ object Relational {
         count(lit(1)).as("n"))
   }
 
+  /** Sketch-based distinct counting: HyperLogLog (Spark's DataSketches
+    * hll_sketch_agg) next to the exact count. Sketch bytes are
+    * engine-specific, so the portable, oracle-checkable contract is the
+    * sketch's own guarantee — the estimate lands within its error bound
+    * (≤5% at lgK=12 with huge margin) — emitted as a flag the oracle
+    * asserts true. At 100 TB the sketch is THE distinct-count plan:
+    * constant-size partials that merge associatively, against the exact
+    * form's full shuffle of the key space. */
+  def stat2ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("approx") - col("n_exact")).cast("double") /
+          col("n_exact") <= 0.05).cast("long").as("within_5pct"))
+  }
+
   /** String-function battery over customer: substring / concat / pad /
     * case / trim / split — the reference's string surface (SURVEY §2f)
     * on a table the oracle can read.

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sampling operators for a training-data pipeline.
@@ -39,5 +40,25 @@ object Sampling {
       .withColumn("bucket", bucket100(col("doc_id")))
       .filter(col("bucket") < rate)
       .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+  }
+
+  /** Exact-size per-stratum sample: the first `n` rows of each stratum
+    * in md5-hash order — a deterministic reservoir (uniform because the
+    * hash is, stable across runs and engines because nothing is
+    * seeded from a JVM RNG). The rank filter is the TopKPerKey logical
+    * shape, so with the strategy registered it plans as the sort-free
+    * two-phase heap top-k: ≤n rows per stratum per input partition
+    * cross the shuffle, no sort buffers — at 100 TB the sample, not the
+    * corpus, is what moves. */
+  def topNPerStratum(s: SparkSession, docs: DataFrame, n: Int): DataFrame = {
+    graft.plans.GraftStrategies.register(s)
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    docs
+      .withColumn("h", h)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("h").asc, col("doc_id").asc)))
+      .filter(col("rn") <= n)
+      .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rank"))
   }
 }

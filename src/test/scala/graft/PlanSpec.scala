@@ -121,6 +121,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("samp2: deterministic reservoir plans through TopKPerKeyExec, no sort") {
+    val p = plan(Sampling.topNPerStratum(spark,
+      Tables.documents(spark, sf), 5))
+    assert(p.contains("TopKPerKey (partial)"), p)
+    assert(!p.contains("Sort "), s"reservoir must not sort the corpus:\n$p")
+  }
+
   test("w1b: per-key top-1 as aggregation — no window, partial before exchange") {
     val p = plan(Relational.w1bTopOrderMaxBy(spark, sf))
     assert(!p.contains("Window"), s"max_by form must not sort-shuffle:\n$p")

@@ -124,6 +124,18 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("topNPerStratum takes exactly min(n, stratum size) per stratum") {
+    val docs = Tables.documents(spark, sf)
+    val sizes = Sampling.topNPerStratum(spark, docs, 7)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, n) =>
+      assert(sizes(lang) === math.min(7L, n), s"stratum $lang")
+    }
+  }
+
   test("kmeans cost is non-increasing with more Lloyd iterations") {
     def weightedCost(iters: Int): Double = {
       val rows = Similarity.kmeansLloyd(spark, sf, k = 4, iters = iters)
