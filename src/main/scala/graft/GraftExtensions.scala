@@ -24,5 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // declarative HOF vector folds → native codegen'd kernels
+    e.injectOptimizerRule(_ => graft.plans.NativeKernelRule)
   }
 }

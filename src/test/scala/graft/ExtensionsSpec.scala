@@ -35,6 +35,35 @@ class ExtensionsSpec extends SparkSpec {
       assert(df.queryExecution.executedPlan.toString.contains("TopKPerKey"),
         df.queryExecution.executedPlan.toString)
       assert(df.count() > 0)
+      // the optimizer rule rewrites declarative HOF vector folds into
+      // the native kernels — plan shows the native names, results are
+      // bit-equal (the kernels fold in the same order)
+      val emb = s2.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = emb.filter(col("vec_id") === 0).select(col("v").as("q"))
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      val hof = emb.crossJoin(q).select(col("vec_id"),
+        aggregate(zip_with(col("v"), col("q"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("l2"),
+        (dot(col("v"), col("q")) /
+          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("q"), col("q")))))
+          .as("cos"))
+      val p = hof.queryExecution.optimizedPlan.toString
+      assert(p.contains("l2_sq"), s"L2 fold not rewritten:\n$p")
+      assert(p.contains("cosine_sim"), s"cosine fold not rewritten:\n$p")
+      assert(!p.toLowerCase.contains("aggregate(zip_with"),
+        s"HOF fold survived the rewrite:\n$p")
+      // and the rewritten query returns the same values as the
+      // explicitly-native form
+      val viaRule = hof.orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      val native = emb.crossJoin(q).select(col("vec_id"),
+        call_function("l2_sq", col("v"), col("q")).as("l2"),
+        call_function("cosine_sim", col("v"), col("q")).as("cos"))
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      assert(viaRule.sameElements(native))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.setDefaultSession(base)
