@@ -115,6 +115,7 @@ object SparkEntry {
         Map("en" -> 60, "de" -> 30, "zh" -> 10), 20)),
     "samp2_topn_stratum" -> ((s, dir) =>
       Sampling.topNPerStratum(s, Tables.documents(s, dir), 25)),
+    "pipe1_preprocess"  -> (Preprocess.pipeline(_, _)),
     // ---- training-data pipeline: multimodal plumbing ----
     "mm1_decode"        -> (Multimodal.decodeFeatures(_, _)),
     "mm2_frames"        -> (Multimodal.frameSample(_, _)),
@@ -499,13 +500,7 @@ object SparkEntry {
            md5(CAST(doc_id AS VARCHAR) || '#' || CAST(frame_idx AS VARCHAR)) AS frame_digest
          FROM (SELECT doc_id, unnest(range(0, least(n_frames - 1, 7) + 1)) AS frame_idx FROM f)""",
     "text_pii_redact" -> raw"""
-      WITH p AS (SELECT doc_id,
-          text || ' contact user' || CAST(doc_id AS VARCHAR) ||
-          '@example.com via https://site' || CAST(doc_id AS VARCHAR) ||
-          '.example/path or call 555-01' ||
-          lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
-          ' from 10.0.' || CAST(doc_id % 255 AS VARCHAR) || '.7' AS text
-        FROM documents)
+      WITH p AS ($piiAugSql)
       SELECT doc_id,
         CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
         CAST(len(regexp_extract_all(text,
@@ -513,12 +508,52 @@ object SparkEntry {
         CAST(len(regexp_extract_all(text,
           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
         CAST(len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
-        md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-          'https?://[^\s]+', '<URL>', 'g'),
-          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-          '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_hash
+        md5($redactSql) AS redacted_hash
       FROM p""",
+    "pipe1_preprocess" -> raw"""
+      WITH aug AS ($piiAugSql),
+      t AS (SELECT doc_id, lang,
+          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk,
+          (len(string_split(text, ' the ')) - 1) +
+          (len(string_split(text, ' a ')) - 1) +
+          (len(string_split(text, ' of ')) - 1) +
+          (len(string_split(text, ' in ')) - 1) +
+          (len(string_split(text, ' to ')) - 1) AS stop_n
+        FROM aug),
+      g AS (SELECT doc_id, lang,
+          CASE WHEN len(tk) BETWEEN 50 AND 100000
+            AND round(CAST(list_sum(list_transform(tk, x -> len(x)))
+              AS DOUBLE) / len(tk), 4) BETWEEN 3 AND 10
+            AND round(CAST(len(list_filter(tk,
+              x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tk), 4)
+              >= 0.8
+            AND stop_n >= 2 THEN 1 ELSE 0 END AS keep
+        FROM t),
+      r AS (SELECT doc_id, md5($redactSql) AS redacted_hash,
+          len(regexp_extract_all(text, 'https?://[^\s]+')) +
+          len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+          len(regexp_extract_all(text,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) +
+          len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS n_pii
+        FROM aug),
+      c AS (SELECT min(doc_id) AS doc_id FROM r GROUP BY redacted_hash),
+      s AS (SELECT doc_id FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 100 < CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30
+                WHEN 'zh' THEN 10 ELSE 20 END)
+      SELECT g.lang, count(*) AS n_docs,
+        CAST(sum(g.keep) AS BIGINT) AS n_quality,
+        CAST(sum(r.n_pii) AS BIGINT) AS n_pii_hits,
+        CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_canonical,
+        CAST(sum(CASE WHEN g.keep = 1 AND c.doc_id IS NOT NULL
+          AND s.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+      FROM g
+      JOIN r ON r.doc_id = g.doc_id
+      LEFT JOIN c ON c.doc_id = g.doc_id
+      LEFT JOIN s ON s.doc_id = g.doc_id
+      GROUP BY g.lang""",
     "filter_gopher" -> raw"""
       WITH t AS (SELECT doc_id,
           list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk,
@@ -731,6 +766,25 @@ object SparkEntry {
       WHERE a.doc_id < b.doc_id
         AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
           len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5"""
+
+  /** PII-augmented corpus — mirrors Fixtures.withPii(documents). */
+  private def piiAugSql: String = raw"""
+      SELECT doc_id, lang,
+        text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        '@example.com via https://site' || CAST(doc_id AS VARCHAR) ||
+        '.example/path or call 555-01' ||
+        lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+        ' from 10.0.' || CAST(doc_id % 255 AS VARCHAR) || '.7' AS text
+      FROM documents"""
+
+  /** The 4-pattern precedence-ordered scrub of `text` — mirrors
+    * TextAnalysis.piiRedact's replacement chain. */
+  private def redactSql: String = raw"""
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        'https?://[^\s]+', '<URL>', 'g'),
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        '\b\d{3}-\d{4}\b', '<PHONE>', 'g')"""
 
   /** documents ∪ first-token-dropped mutants — mirrors Fixtures.mutantDocs. */
   private def mutantBaseSql: String = raw"""

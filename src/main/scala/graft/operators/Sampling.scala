@@ -25,7 +25,7 @@ object Sampling {
   /** Uniform bucket in [0, 100): top 60 bits of md5 of the key, mod 100
     * — the same md5-hex bridge every graft hash pipeline uses
     * (functions.Md5Base), so any engine reproduces membership exactly. */
-  private def bucket100(key: Column): Column =
+  def bucket100(key: Column): Column =
     pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
       lit(100))
 

@@ -101,26 +101,46 @@ object TextAnalysis {
   val Ipv4Re  = raw"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
   val PhoneRe = raw"\b\d{3}-\d{4}\b"
 
+  /** Occurrence count of one PII pattern in `t`. */
+  def piiCount(t: Column, re: String): Column =
+    size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
+
+  /** The precedence-ordered scrub (URL → email → IP → phone, so a URL's
+    * digits can't be half-eaten by the narrower patterns) as a plain
+    * column expression — reusable inside fused pipelines. */
+  def redact(t: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+      UrlRe, "<URL>"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** PII redaction: count and scrub URLs, emails, IPv4s and phone
-    * numbers. Replacement runs in fixed precedence (URL → email → IP →
-    * phone) so a URL's digits can't be half-eaten by the narrower
-    * patterns; counts are taken on the original text. A pure narrow
+    * numbers; counts are taken on the original text. A pure narrow
     * projection — regex state machines inside whole-stage codegen, no
     * shuffle, linear scale-out. The redacted text is emitted as an md5
     * digest so the full transform is hash-checkable without shipping
     * the body. */
   def piiRedact(docs: DataFrame): DataFrame = {
     val t = col("text")
-    def n(re: String) =
-      size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
-    val redacted =
-      regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-        UrlRe, "<URL>"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"),
-        PhoneRe, "<PHONE>")
     docs.select(col("doc_id"),
-      n(UrlRe).as("n_urls"), n(EmailRe).as("n_emails"),
-      n(Ipv4Re).as("n_ips"), n(PhoneRe).as("n_phones"),
-      md5(redacted.cast("binary")).as("redacted_hash"))
+      piiCount(t, UrlRe).as("n_urls"), piiCount(t, EmailRe).as("n_emails"),
+      piiCount(t, Ipv4Re).as("n_ips"), piiCount(t, PhoneRe).as("n_phones"),
+      md5(redact(t).cast("binary")).as("redacted_hash"))
+  }
+
+  /** The fused Gopher keep decision as one column expression (same
+    * rounded comparisons as [[gopherFilter]]'s flags) — for pipelines
+    * that gate on quality without materializing the per-rule report. */
+  def gopherKeep(t: Column): Column = {
+    val toks = tokens(t)
+    val nWords = size(toks).cast("long")
+    val meanLen = round(aggregate(toks, lit(0L), (a, x) => a + length(x))
+      .cast("double") / nWords, 4)
+    val alphaFrac = round(size(filter(toks, x => x.rlike("[A-Za-z]")))
+      .cast("double") / nWords, 4)
+    val nStop = occ(t, "the") + occ(t, "a") + occ(t, "of") +
+      occ(t, "in") + occ(t, "to")
+    (nWords >= 50 && nWords <= 100000 && meanLen >= 3 && meanLen <= 10 &&
+      alphaFrac >= 0.8 && nStop >= 2).cast("long")
   }
 
   /** Gopher-style quality-rule battery (Rae et al. 2021, §A1.1): word
