@@ -83,15 +83,33 @@ object OsmBench {
       xsRows = OsmEngine.shape(OsmXmlSplit.elements(spark, xmlPath)).count()
     }
 
-    var shaped: DataFrame = null
-    var rows = 0L
-    val shapeSec = time {
-      shaped = OsmEngine.shape(OsmEngine.elements(spark, xmlPath))
-        .persist(StorageLevel.DISK_ONLY)
-      rows = shaped.count()
+    // The builtin-XML phase is ONE task by construction (the source is
+    // not splittable — that seriality is the finding) and its wall time
+    // swings 10-200s with host contention. Give it its own budget and
+    // report -1 on overrun instead of sinking the whole OSM section:
+    // the parallel paths above are the engine's numbers; this phase is
+    // the baseline being beaten.
+    val (shapeSec, queriesSec, rows) = try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future {
+        var shaped: DataFrame = null
+        var n = 0L
+        val s = time {
+          shaped = OsmEngine.shape(OsmEngine.elements(spark, xmlPath))
+            .persist(StorageLevel.DISK_ONLY)
+          n = shaped.count()
+        }
+        val q = time(queries(shaped))
+        shaped.unpersist(blocking = true)
+        (s, q, n)
+      }, 180.seconds)
+    } catch {
+      case _: Throwable =>
+        spark.sparkContext.cancelAllJobs()
+        (-1.0, -1.0, -1L)
     }
-    val queriesSec = time(queries(shaped))
-    shaped.unpersist(blocking = true)
 
     Result(mb, auditSec, shapeSec, queriesSec, rows,
       pbfMb, pbfShapeSec, pbfQueriesSec, pbfRows, xsShapeSec, xsRows)
