@@ -61,13 +61,21 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** doc_id + 3-token shingles, tokenized ONCE into an attribute before
+    * the shingle lambda touches it — inlining the tokenizer into the
+    * slice lambda re-runs split+filter per shingle (O(tokens²) per
+    * document; the Catalyst common-subexpression inlining trap). */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), shingles(col("tk")).as("sh"))
+
   /** n-gram (3-token-shingle) Jaccard pairs — the exact-similarity
     * kernel at the shingle granularity MinHash approximates, small
     * enough for the all-pairs oracle to verify literally. Callers bound
     * the corpus. */
   def ngramJaccardPairs(docs: DataFrame,
                         threshold: Double = 0.5): DataFrame = {
-    val d = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val d = shingled(docs)
     val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, col("doc_a") < col("doc_b"))
@@ -78,14 +86,13 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 3-token shingles of a document, as strings. */
-  private def shingles(c: Column, n: Int = 3): Column = {
-    val ts = toks(c)
+  /** 3-token shingles from an already-materialized token array
+    * (attribute reads only inside the lambda — see [[shingled]]). */
+  private def shingles(ts: Column, n: Int = 3): Column =
     when(size(ts) >= n,
       array_distinct(transform(sequence(lit(0), size(ts) - n),
         i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
       .otherwise(array(concat_ws(" ", ts)))
-  }
 
   /** MinHash signature: k = 16 permutation-minima over shingle hashes —
     * the native MinHashSig expression (one pass, one md5 per shingle,
@@ -112,9 +119,7 @@ object Dedup {
     // full tokenize+shingle pass. At cluster scale this is the
     // checkpoint-the-intermediate pattern. (Bench/Verify clearCache
     // between queries, so the storage does not outlive the query.)
-    val shDocs = docs
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .cache()
+    val shDocs = shingled(docs).cache()
     val bands = shDocs
       .select(col("doc_id"), minhashSig(col("sh")).as("sig"))
       // repartition = projection barrier + the "bucket once, probe many"
