@@ -88,6 +88,28 @@ object EventStreams {
   def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), "user_id")
 
+  /** Streaming face of the document-preprocessing pipeline: the same
+    * COLUMN expressions the batch Preprocess uses (quality keep, PII
+    * scrub digest, PII counts, sample membership) applied to a document
+    * stream. Stateless narrow transforms need no watermark and no
+    * state — each micro-batch is a pure projection, so the landing-zone
+    * pattern (files arrive → scrub/score/stamp → append sink) runs at
+    * ingest parallelism with zero stream-specific code in the
+    * operators. Works identically over a batch frame (the test's
+    * parity oracle). */
+  def preprocessStream(docs: DataFrame): DataFrame = {
+    import graft.operators.{Sampling, TextAnalysis}
+    val t = col("text")
+    docs.select(col("doc_id"), col("lang"),
+      TextAnalysis.gopherKeep(t).as("keep"),
+      md5(TextAnalysis.redact(t).cast("binary")).as("redacted_hash"),
+      (TextAnalysis.piiCount(t, TextAnalysis.UrlRe) +
+        TextAnalysis.piiCount(t, TextAnalysis.EmailRe) +
+        TextAnalysis.piiCount(t, TextAnalysis.Ipv4Re) +
+        TextAnalysis.piiCount(t, TextAnalysis.PhoneRe)).as("n_pii"),
+      (Sampling.bucket100(col("doc_id")) < 20).cast("long").as("in_sample"))
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
                           event_type: String)
   case class Session(user_id: Long, n_events: Long, first_ts: Long,

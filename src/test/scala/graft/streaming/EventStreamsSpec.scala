@@ -44,6 +44,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === expected)
   }
 
+  test("streaming document preprocess == batch preprocess (parity)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).cache()
+    val mem = MemoryStream[Long]
+    val streamDf = mem.toDF().withColumnRenamed("value", "doc_id")
+      .join(docs, "doc_id")
+    val q = EventStreams.preprocessStream(streamDf)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("preproc_test").start()
+    try {
+      mem.addData(docs.collect().map(_.getAs[Long]("doc_id")).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("preproc_test").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.toSeq.tail).toMap
+    val batch = EventStreams.preprocessStream(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.toSeq.tail).toMap
+    assert(streamed.size === batch.size)
+    assert(streamed === batch)
+  }
+
   test("watermarked windowed aggregation runs with bounded state") {
     import org.apache.spark.sql.streaming.Trigger
     // File source over the project's OWN nanos parquet (copied verbatim
