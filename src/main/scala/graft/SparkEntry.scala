@@ -115,6 +115,7 @@ object SparkEntry {
         Map("en" -> 60, "de" -> 30, "zh" -> 10), 20)),
     "samp2_topn_stratum" -> ((s, dir) =>
       Sampling.topNPerStratum(s, Tables.documents(s, dir), 25)),
+    "text_contamination" -> (TextAnalysis.contamination(_, _)),
     "pipe1_preprocess"  -> (Preprocess.pipeline(_, _)),
     // ---- training-data pipeline: multimodal plumbing ----
     "mm1_decode"        -> (Multimodal.decodeFeatures(_, _)),
@@ -593,6 +594,27 @@ object SparkEntry {
       SELECT doc_id, lang, source, bucket FROM b
       WHERE bucket < CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30
         WHEN 'zh' THEN 10 ELSE 20 END""",
+    "text_contamination" -> raw"""
+      WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0) AS tk FROM documents),
+      g AS (SELECT doc_id,
+          CASE WHEN len(tk) >= 3
+            THEN list_distinct(list_transform(range(0, len(tk) - 2),
+              i -> array_to_string(tk[i+1:i+3], ' ')))
+            ELSE [array_to_string(tk, ' ')] END AS g FROM t),
+      ev AS (SELECT DISTINCT unnest(g) AS eg FROM g WHERE doc_id < 10),
+      c AS (SELECT doc_id, g FROM g WHERE doc_id >= 10),
+      u AS (SELECT doc_id, unnest(g) AS cg FROM c),
+      h AS (SELECT u.doc_id, count(*) AS n_hit
+            FROM u JOIN ev ON ev.eg = u.cg GROUP BY u.doc_id)
+      SELECT c.doc_id, CAST(len(c.g) AS BIGINT) AS n_ngrams,
+        CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / len(c.g), 4)
+          AS contamination,
+        CAST(CASE WHEN round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / len(c.g), 4)
+          >= 0.05 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+      FROM c LEFT JOIN h ON h.doc_id = c.doc_id""",
     "samp2_topn_stratum" -> raw"""
       WITH h AS (SELECT doc_id, lang,
           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv

@@ -174,6 +174,47 @@ object TextAnalysis {
           col("pass_alpha") === 1 && col("pass_stop") === 1).cast("long"))
   }
 
+  /** n-gram strings from a materialized token-array attribute (see the
+    * tokenize-once note in topNgramsPerLang). */
+  private def grams(tk: Column, n: Int, distinct: Boolean): Column = {
+    val g = when(size(tk) >= n,
+      transform(sequence(lit(0), size(tk) - n),
+        i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", tk)))
+    if (distinct) array_distinct(g) else g
+  }
+
+  /** Benchmark-contamination check — the decontamination step of a
+    * training-data pipeline: the fraction of each corpus document's
+    * distinct n-grams that appear in the evaluation set's n-gram set
+    * (here the eval set is the first `evalMaxId` documents, standing in
+    * for a benchmark suite).
+    *
+    * Scale shape: the eval n-gram set is a MODEL-sized artifact — built
+    * once, collected, and shipped as a literal array (the same
+    * broadcast-the-model pattern as the k-means quantizer), so the
+    * corpus check is a ZERO-SHUFFLE narrow map: tokenize → shingle →
+    * hash-set intersect per row, all in one projection. No explode, no
+    * join, no exchange of corpus data. */
+  def contamination(s: SparkSession, dir: String, n: Int = 3,
+                    evalMaxId: Long = 10): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val evalNgrams = d.filter(col("doc_id") < evalMaxId)
+      .select(tokens(lower(col("text"))).as("tk"))
+      .select(explode(grams(col("tk"), n, distinct = true)).as("g"))
+      .distinct().orderBy("g").collect().map(_.getString(0)).toIndexedSeq
+    val evalLit = array(evalNgrams.map(lit): _*)
+    d.filter(col("doc_id") >= evalMaxId)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
+      .select(col("doc_id"), grams(col("tk"), n, distinct = true).as("g"))
+      .select(col("doc_id"),
+        size(col("g")).cast("long").as("n_ngrams"),
+        size(array_intersect(col("g"), evalLit)).cast("long").as("n_hit"))
+      .withColumn("contamination",
+        round(col("n_hit").cast("double") / col("n_ngrams"), 4))
+      .withColumn("flagged", (col("contamination") >= 0.05).cast("long"))
+  }
+
   /** Top-k 3-gram shingles per language: explode → count → per-key
     * rank-filter. The rank filter is the exact logical shape
     * [[graft.plans.TopKPerKeyStrategy]] rewrites, so with the strategy

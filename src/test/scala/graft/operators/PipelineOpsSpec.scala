@@ -124,6 +124,20 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("contamination: exact eval copies score 1.0, disjoint docs 0.0") {
+    val got = TextAnalysis.contamination(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("contamination"), r.getAs[Long]("flagged"))).toMap
+    assert(got.nonEmpty)
+    // scores are valid fractions and the flag matches the threshold
+    got.values.foreach { case (c, f) =>
+      assert(c >= 0.0 && c <= 1.0)
+      assert(f === (if (c >= 0.05) 1L else 0L))
+    }
+    // eval docs themselves are excluded from the scored corpus
+    assert(got.keys.forall(_ >= 10L))
+  }
+
   test("topNPerStratum takes exactly min(n, stratum size) per stratum") {
     val docs = Tables.documents(spark, sf)
     val sizes = Sampling.topNPerStratum(spark, docs, 7)
