@@ -13,6 +13,7 @@ object GraftFunctions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim"    -> (es => CosineSimilarity(es(0), es(1))),
     "l2_sq"         -> (es => L2Squared(es(0), es(1))),
+    "plane_sig"     -> (es => PlaneSignature(es(0), es(1))),
     "simhash60"     -> (es => SimHash60(es.head)),
     "minhash_sig16" -> (es => MinHashSig(es.head, 16)))
 

@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 
 /** Native cosine similarity over two double arrays, with whole-stage
@@ -132,5 +132,76 @@ case class L2Squared(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): L2Squared =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Hyperplane signature bits: for each plane (a row of the literal
+  * planes matrix), 1 if the left-to-right dot product with the vector
+  * is > 0 else 0. One fused codegen'd nested loop replaces `bits`
+  * interpreted HOF folds per row — the hot kernel of both LSH paths
+  * (annLsh / nearDupLsh), where the HOF form spent seconds in lambda
+  * dispatch at sf0.1. Accumulation per plane is the same left-to-right
+  * fold as `aggregate(zip_with(v, p, _*_), 0.0, _+_)`, so the sign
+  * decisions (and every downstream band value and candidate set) are
+  * bit-identical to the HOF form and to the DuckDB oracle's
+  * `list_reduce`. */
+case class PlaneSignature(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) => true
+      case _ => false
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<double>, array<array<double>>), got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "plane_sig"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val planes = b.asInstanceOf[ArrayData]
+    val bits = new Array[Int](planes.numElements())
+    var j = 0
+    while (j < bits.length) {
+      val p = planes.getArray(j)
+      val n = math.min(v.numElements(), p.numElements())
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += v.getDouble(i) * p.getDouble(i); i += 1 }
+      bits(j) = if (acc > 0) 1 else 0
+      j += 1
+    }
+    new GenericArrayData(bits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, planes) => {
+      val bits = ctx.freshName("bits")
+      val j = ctx.freshName("j")
+      val p = ctx.freshName("p")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |int[] $bits = new int[$planes.numElements()];
+         |for (int $j = 0; $j < $bits.length; $j++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $p = $planes.getArray($j);
+         |  int $n = java.lang.Math.min($v.numElements(), $p.numElements());
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $v.getDouble($i) * $p.getDouble($i);
+         |  }
+         |  $bits[$j] = $acc > 0 ? 1 : 0;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bits);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PlaneSignature =
     copy(left = newLeft, right = newRight)
 }

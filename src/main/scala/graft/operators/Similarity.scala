@@ -67,13 +67,14 @@ object Similarity {
   private def planeLits(bits: Int): Column =
     array(planeValues(bits).map(p => array(p.map(lit): _*)): _*)
 
-  /** Per-plane sign bits of v (1 if dot > 0 else 0) via an explicit
-    * left-to-right fold: any engine summing in the same order lands on
-    * the same side of the > 0 boundary. */
+  /** Per-plane sign bits of v (1 if dot > 0 else 0) via the native
+    * codegen'd PlaneSignature kernel — one fused nested loop per row
+    * instead of `bits` interpreted HOF folds, accumulating in the same
+    * left-to-right order, so any engine summing in that order lands on
+    * the same side of the > 0 boundary (bit-equivalence vs the HOF form
+    * pinned in FunctionsSpec). */
   private def sigBits(v: Column, bits: Int): Column =
-    transform(planeLits(bits), p =>
-      when(aggregate(zip_with(v, p, (x, pl) => x.cast("double") * pl),
-        lit(0.0), (acc, x) => acc + x) > 0, 1).otherwise(0))
+    call_function("plane_sig", v.cast("array<double>"), planeLits(bits))
 
   /** Band values: the `bands` integers formed by consecutive w-bit
     * slices of the bit array (big-endian within the slice). */

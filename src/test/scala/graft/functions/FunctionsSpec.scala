@@ -46,6 +46,22 @@ class FunctionsSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() === 0)
   }
 
+  test("plane_sig == per-plane HOF fold, bit for bit") {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf).limit(100)
+    val planes = graft.operators.Similarity.planeValues(16)
+    val planeLits = array(planes.map(p => array(p.map(lit): _*)): _*)
+    val hofBits = transform(planeLits, p =>
+      when(aggregate(zip_with(col("embedding"), p,
+          (x, pl) => x.cast("double") * pl),
+        lit(0.0), (acc, x) => acc + x) > 0, 1).otherwise(0))
+    val both = e.select(
+      call_function("plane_sig", col("embedding").cast("array<double>"),
+        planeLits).as("native"),
+      hofBits.as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
   test("simhash60 == per-token vote fold, bit for bit") {
     GraftFunctions.register(spark)
     val d = Tables.documents(spark, sf).limit(100)
