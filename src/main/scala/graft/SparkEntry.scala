@@ -120,6 +120,7 @@ object SparkEntry {
     // ---- training-data pipeline: multimodal plumbing ----
     "mm1_decode"        -> (Multimodal.decodeFeatures(_, _)),
     "mm2_frames"        -> (Multimodal.frameSample(_, _)),
+    "mm3_audio"         -> (Multimodal.audioFeatures(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -500,6 +501,21 @@ object SparkEntry {
          SELECT doc_id, frame_idx,
            md5(CAST(doc_id AS VARCHAR) || '#' || CAST(frame_idx AS VARCHAR)) AS frame_digest
          FROM (SELECT doc_id, unnest(range(0, least(n_frames - 1, 7) + 1)) AS frame_idx FROM f)""",
+    "mm3_audio" -> raw"""
+      WITH m AS (SELECT doc_id,
+          CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+          CAST((doc_id % 3 + 1) * 8000 AS BIGINT) AS sample_rate,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          md5(text) AS content_digest
+        FROM documents)
+      SELECT doc_id, 'audio/wav' AS mime, channels, sample_rate,
+        CAST(16 AS BIGINT) AS bits_per_sample, n_bytes,
+        CAST(floor(CAST(n_bytes AS DOUBLE) / (channels * 2)) AS BIGINT)
+          AS n_samples,
+        CAST(floor(CAST(n_bytes AS DOUBLE) * 1000 /
+          (sample_rate * channels * 2)) AS BIGINT) AS duration_ms,
+        content_digest
+      FROM m""",
     "text_pii_redact" -> raw"""
       WITH p AS ($piiAugSql)
       SELECT doc_id,

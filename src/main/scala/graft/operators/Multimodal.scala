@@ -82,6 +82,72 @@ object Multimodal {
         .as("n_frames"))
   }
 
+  /** Little-endian uint16 from an int column, as 2 binary bytes. */
+  private def le16(v: Column): Column = {
+    val hx = lpad(hex(v.cast("int")), 4, "0")
+    unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+  }
+
+  /** Read a little-endian uint16 at 1-based byte offset `off`. */
+  private def rdLe16(b: Column, off: Int): Column = {
+    val hx = hex(substring(b, off, 2))
+    conv(concat(substring(hx, 3, 2), substring(hx, 1, 2)), 16, 10).cast("int")
+  }
+
+  /** A valid 44-byte RIFF/WAVE PCM header followed by `payload` as the
+    * sample data. */
+  def wavBytes(channels: Column, sampleRate: Column,
+               payload: Column): Column = {
+    val blockAlign = channels * 2 // 16-bit PCM
+    concat(
+      lit("RIFF").cast("binary"),
+      le32(length(payload) + 36),               // chunk size
+      lit("WAVE").cast("binary"),
+      lit("fmt ").cast("binary"),
+      le32(lit(16)),                            // fmt chunk size
+      le16(lit(1)),                             // PCM
+      le16(channels),
+      le32(sampleRate),
+      le32(sampleRate * blockAlign),            // byte rate
+      le16(blockAlign),
+      le16(lit(16)),                            // bits per sample
+      lit("data").cast("binary"),
+      le32(length(payload)),
+      payload)
+  }
+
+  /** Audio twin of [[decodeFeatures]]: manufacture a real WAV asset per
+    * document, then decode format/channels/rate/duration by parsing the
+    * bytes — the oracle independently predicts every field from the
+    * synthesis rule, so a broken encoder OR decoder fails the hash
+    * check. Same scale shape: narrow per-row projection, no shuffle,
+    * zero UDFs. */
+  def audioFeatures(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val asset = d.select(
+      col("doc_id"),
+      wavBytes(
+        (pmod(col("doc_id"), lit(2)) + 1).cast("int"),
+        ((pmod(col("doc_id"), lit(3)) + 1) * 8000).cast("int"),
+        col("text").cast("binary")).as("media_bytes"),
+      lit("audio/wav").as("mime"))
+    val b = col("media_bytes")
+    val dataSize = rdLe32(b, 41).cast("long")
+    val blockAlign = rdLe16(b, 33).cast("long")
+    val byteRate = rdLe32(b, 29).cast("long")
+    asset.select(
+      col("doc_id"), col("mime"),
+      rdLe16(b, 23).cast("long").as("channels"),
+      rdLe32(b, 25).cast("long").as("sample_rate"),
+      rdLe16(b, 35).cast("long").as("bits_per_sample"),
+      dataSize.as("n_bytes"),
+      floor(dataSize.cast("double") / blockAlign).cast("long")
+        .as("n_samples"),
+      floor(dataSize.cast("double") * 1000 / byteRate).cast("long")
+        .as("duration_ms"),
+      md5(b.substr(lit(45), length(b) - 44)).as("content_digest"))
+  }
+
   /** Frame-sample explode: the per-frame fan-out stage (1 row per
     * frame, capped) — the shape of video-frame extraction at scale,
     * where the explode multiplies rows before a repartition feeds the
