@@ -107,13 +107,28 @@ object TopKPerKeyStrategy extends SparkStrategy {
   * phase merges repeated emissions); `partial = false` requires
   * clustering on the keys (Spark inserts the hash exchange), merges, and
   * emits the child row plus the 1-based rank — the same output contract
-  * as Window(row_number)+Filter. */
+  * as Window(row_number)+Filter.
+  *
+  * The final phase is SPILLABLE: when its heap map reaches the same
+  * key budget with input remaining, the pruned heap contents and the
+  * rest of the input stream to 8 local hash-stripe files (all rows of a
+  * key land in one stripe, and pruning before spill is safe — a row
+  * outside a key's current top-k can never re-enter it), and each
+  * stripe is processed recursively with a deeper hash shift. Memory is
+  * therefore bounded by the key budget at EVERY level, like hash
+  * aggregation's external fallback — but still heap-based, no sorts.
+  * `spillRows` in the SQL metrics counts rows that went to disk. */
 case class TopKPerKeyExec(partitionExprs: Seq[Expression],
                           order: Seq[SortOrder], k: Int,
                           output: Seq[Attribute], partial: Boolean,
                           maxPartialKeys: Int,
                           child: SparkPlan)
     extends UnaryExecNode {
+
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
+    if (partial) Map.empty
+    else Map("spillRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "rows spilled to disk"))
 
   override def requiredChildDistribution: Seq[Distribution] =
     (if (partial) UnspecifiedDistribution
@@ -132,14 +147,17 @@ case class TopKPerKeyExec(partitionExprs: Seq[Expression],
     val out = output
     val isPartial = partial
     val maxKeys = maxPartialKeys
+    val spillMetric = if (partial) null else metrics("spillRows")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(partExprs, childOutput)
       val ord = RowOrdering.create(sortOrder, childOutput)
       // keep the k FIRST rows under ord ⇒ evict the LARGEST ⇒ max-heap
       val cmp = ord.reverse.asInstanceOf[Comparator[InternalRow]]
-      val heaps =
+      def newHeaps() =
         new java.util.LinkedHashMap[UnsafeRow, JPriorityQueue[InternalRow]]()
-      def ingest(row: InternalRow): Unit = {
+      def ingestInto(
+          heaps: java.util.LinkedHashMap[UnsafeRow, JPriorityQueue[InternalRow]],
+          row: InternalRow): Unit = {
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
@@ -152,6 +170,7 @@ case class TopKPerKeyExec(partitionExprs: Seq[Expression],
         }
       }
       if (isPartial) {
+        val heaps = newHeaps()
         // streaming flush: ingest until the key budget fills (or input
         // ends), emit the survivors, reset, repeat. Peak memory is
         // maxKeys × k rows regardless of input key cardinality.
@@ -160,7 +179,8 @@ case class TopKPerKeyExec(partitionExprs: Seq[Expression],
             java.util.Collections.emptyIterator[InternalRow]()
           private def fill(): Unit =
             while (!pending.hasNext && (iter.hasNext || !heaps.isEmpty)) {
-              while (iter.hasNext && heaps.size() < maxKeys) ingest(iter.next())
+              while (iter.hasNext && heaps.size() < maxKeys)
+                ingestInto(heaps, iter.next())
               val batch = new java.util.ArrayList[InternalRow]()
               heaps.values().forEach(h => batch.addAll(h))
               heaps.clear()
@@ -170,18 +190,91 @@ case class TopKPerKeyExec(partitionExprs: Seq[Expression],
           override def next(): InternalRow = { fill(); pending.next() }
         }
       } else {
-        while (iter.hasNext) ingest(iter.next())
         val joined = new JoinedRow
         val rnRow = new GenericInternalRow(1)
         val outProj = UnsafeProjection.create(out, childOutput :+ out.last)
-        heaps.values().iterator().asScala.flatMap { heap =>
-          val arr = heap.toArray(new Array[InternalRow](heap.size))
-          java.util.Arrays.sort(arr, ord)
-          arr.iterator.zipWithIndex.map { case (r, i) =>
-            rnRow.setInt(0, i + 1)
-            outProj(joined(r, rnRow))
+        val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+        val nFields = childOutput.length
+
+        def emit(heaps: java.util.LinkedHashMap[UnsafeRow,
+            JPriorityQueue[InternalRow]]): Iterator[InternalRow] =
+          heaps.values().iterator().asScala.flatMap { heap =>
+            val arr = heap.toArray(new Array[InternalRow](heap.size))
+            java.util.Arrays.sort(arr, ord)
+            arr.iterator.zipWithIndex.map { case (r, i) =>
+              rnRow.setInt(0, i + 1)
+              outProj(joined(r, rnRow))
+            }
+          }
+
+        // hash-stripe spill: all rows of a key share a stripe; the
+        // stripe index uses a level-shifted hash so recursion splits
+        // the surviving key set again at each depth
+        val stripes = 8
+        def stripeOf(key: UnsafeRow, level: Int): Int =
+          ((key.hashCode() >>> ((level * 3) % 28)) & 0x7fffffff) % stripes
+
+        def process(input: Iterator[InternalRow],
+                    level: Int): Iterator[InternalRow] = {
+          val heaps = newHeaps()
+          var spillFiles: Array[java.io.File] = null
+          var writers: Array[java.io.DataOutputStream] = null
+          def spillRow(row: InternalRow): Unit = {
+            val u = toUnsafe(row)
+            val s = stripeOf(keyProj(row), level)
+            val bytes = u.getBytes
+            writers(s).writeInt(bytes.length)
+            writers(s).write(bytes)
+            if (spillMetric != null) spillMetric.add(1)
+          }
+          while (input.hasNext && spillFiles == null) {
+            ingestInto(heaps, input.next())
+            // budget full with input remaining (and recursion still able
+            // to split): divert everything to disk stripes
+            if (heaps.size() >= maxKeys && input.hasNext && level < 9) {
+              spillFiles = Array.fill(stripes)(
+                java.io.File.createTempFile("graft-topk", ".spill"))
+              spillFiles.foreach(_.deleteOnExit())
+              writers = spillFiles.map(f => new java.io.DataOutputStream(
+                new java.io.BufferedOutputStream(
+                  new java.io.FileOutputStream(f), 1 << 16)))
+              // pruned heap contents spill too — a row outside its
+              // key's current top-k can never re-enter the top-k, so
+              // pruning before spilling is lossless
+              heaps.values().forEach(h => h.forEach(spillRow))
+              heaps.clear()
+              while (input.hasNext) spillRow(input.next())
+              writers.foreach(_.close())
+            }
+          }
+          if (spillFiles == null) emit(heaps)
+          else {
+            val files = spillFiles
+            files.iterator.flatMap { f =>
+              val rows = new Iterator[InternalRow] {
+                private val in = new java.io.DataInputStream(
+                  new java.io.BufferedInputStream(
+                    new java.io.FileInputStream(f), 1 << 16))
+                private var nextLen = readLen()
+                private def readLen(): Int =
+                  try in.readInt() catch {
+                    case _: java.io.EOFException => in.close(); f.delete(); -1
+                  }
+                override def hasNext: Boolean = nextLen >= 0
+                override def next(): InternalRow = {
+                  val bytes = new Array[Byte](nextLen)
+                  in.readFully(bytes)
+                  val row = new UnsafeRow(nFields)
+                  row.pointTo(bytes, nextLen)
+                  nextLen = readLen()
+                  row
+                }
+              }
+              process(rows, level + 1)
+            }
           }
         }
+        process(iter, 0)
       }
     }
   }

@@ -103,6 +103,22 @@ class PlanSpec extends SparkSpec {
       val want = Relational.w1TopOrderPerCustomer(spark, sf).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
       assert(got.sameElements(want))
+      // the 2-key budget must also have driven the FINAL phase to its
+      // disk stripes (~375 keys per hash partition vs budget 2) —
+      // proved by the spill metric, not just by surviving. AQE wraps
+      // stages, so walk through adaptive/stage nodes explicitly.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+        case q: QueryStageExec => p +: allNodes(q.plan)
+        case other => other +: other.children.flatMap(allNodes)
+      }
+      val spilled = allNodes(tiny.queryExecution.executedPlan).collect {
+        case t: graft.plans.TopKPerKeyExec if !t.partial =>
+          t.metrics("spillRows").value
+      }.sum
+      assert(spilled > 0, "final phase never spilled under a 2-key budget")
     } finally spark.conf.unset(conf)
   }
 
