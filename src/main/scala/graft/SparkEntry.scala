@@ -42,6 +42,7 @@ object SparkEntry {
     "w2_running_sum"    -> (Relational.w2RunningSum(_, _)),
     "w3_lag_lead"       -> (Relational.w3LagLead(_, _)),
     "w4_range_frame"    -> (Relational.w4RangeFrame(_, _)),
+    "w5_sessionize"     -> (Relational.w5Sessionize(_, _)),
     "g1_rollup"         -> (Relational.g1Rollup(_, _)),
     "g2_cube"           -> (Relational.g2Cube(_, _)),
     "set1_ops"          -> (Relational.set1Ops(_, _)),
@@ -248,6 +249,22 @@ object SparkEntry {
            RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
            AS rolling_30d_revenue
          FROM orders""",
+    "w5_sessionize" -> raw"""
+      WITH o AS (SELECT user_id, ts, event_id,
+          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+            THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (SELECT user_id, ts,
+          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM o)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        count(*) AS n_events,
+        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s
+      FROM s GROUP BY 1, 2""",
     "g1_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
          count(*) AS n

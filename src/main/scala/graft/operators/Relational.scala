@@ -227,6 +227,41 @@ object Relational {
         .as("rolling_30d_revenue"))
   }
 
+  /** Batch sessionization — the batch face of the streaming
+    * transformWithState sessionizer (EventStreams.sessionize), and the
+    * classic gaps-and-islands window composition: flag session starts
+    * with lag + gap compare, number sessions with a running sum of the
+    * flags, then aggregate per (user, session). Gap compares run on
+    * exact integer microseconds (unix_micros) so sub-second timestamps
+    * never straddle an engine-rounding boundary. Same session
+    * definition as the streaming processor: a gap >= `gapMin` minutes
+    * closes the session. */
+  def w5Sessionize(s: SparkSession, dir: String,
+                   gapMin: Int = 30): DataFrame =
+    sessionizeEvents(
+      Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_id")),
+      gapMin)
+
+  /** DataFrame-level core of [[w5Sessionize]] (events: user_id, ts,
+    * event_id) — also the batch oracle for the streaming sessionizer in
+    * tests. */
+  def sessionizeEvents(events: DataFrame, gapMin: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val prevUs = lag(unix_micros(col("ts")), 1).over(byUser)
+    val newSess = when(prevUs.isNull ||
+      unix_micros(col("ts")) - prevUs >= gapMin * 60L * 1000000L, 1L)
+      .otherwise(0L)
+    events
+      .withColumn("new_sess", newSess)
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("start_s"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("end_s"))
+  }
+
   /** Lag/lead + gap math: days since the previous order per customer. */
   def w3LagLead(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)

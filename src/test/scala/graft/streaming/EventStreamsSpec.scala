@@ -179,4 +179,44 @@ class EventStreamsSpec extends SparkSpec {
     assert(closed.exists(s => s.user_id == 1 && s.n_events == 2 &&
       s.first_ts == 0 && s.last_ts == 10000))
   }
+
+  test("batch gaps-and-islands sessions == streaming closed sessions") {
+    import graft.operators.Relational
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val data = Seq((1L, 0L, "a"), (1L, 10000L, "b"), (1L, 700000L, "c"),
+      (1L, 720000L, "d"), (1L, 9000000L, "e"),
+      (2L, 0L, "x"), (2L, 30000L, "y"), (2L, 10000000L, "z"))
+    // streaming: transformWithState sessionizer, 1-minute gap
+    val mem = MemoryStream[(Long, Long, String)]
+    val events = mem.toDS().map { case (u, ms, et) =>
+      EventStreams.SessionEvent(u, new java.sql.Timestamp(ms), et) }
+    val q = EventStreams.sessionize(events, gapMs = 60000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_parity").start()
+    try { mem.addData(data: _*); q.processAllAvailable() } finally q.stop()
+    def fmt(ms: Long) = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ms))
+    val streamed = spark.table("sess_parity").as[EventStreams.Session]
+      .collect()
+      .map(s => (s.user_id, s.n_events, fmt(s.first_ts), fmt(s.last_ts)))
+      .toSet
+    // batch: same rows through the gaps-and-islands window composition
+    val batchDf = data.toDF("user_id", "ms", "et")
+      .select(col("user_id"), timestamp_millis(col("ms")).as("ts"),
+        col("ms").as("event_id"))
+    val batch = Relational.sessionizeEvents(batchDf, gapMin = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+    // the stream emits a session only when a later event CLOSES it, so
+    // drop each user's final (still-open) batch session before comparing
+    val lastId = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val batchClosed = batch.filter(t => t._2 != lastId(t._1))
+      .map(t => (t._1, t._3, t._4, t._5)).toSet
+    assert(batchClosed === streamed)
+    assert(streamed.nonEmpty)
+  }
 }
