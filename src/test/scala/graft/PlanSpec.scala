@@ -137,6 +137,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pipe1: fused pipeline = digest agg + broadcast join + rollup only") {
+    val p = plan(Preprocess.pipeline(spark, sf))
+    // two narrow-key exchanges (digest dedup, per-lang rollup); the
+    // canonical set comes back as a broadcast, never a shuffled join
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("samp2: deterministic reservoir plans through TopKPerKeyExec, no sort") {
     val p = plan(Sampling.topNPerStratum(spark,
       Tables.documents(spark, sf), 5))
