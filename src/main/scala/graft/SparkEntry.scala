@@ -117,6 +117,7 @@ object SparkEntry {
     "samp2_topn_stratum" -> ((s, dir) =>
       Sampling.topNPerStratum(s, Tables.documents(s, dir), 25)),
     "text_contamination" -> (TextAnalysis.contamination(_, _)),
+    "text_unigram_lm"   -> (TextAnalysis.unigramLogProb(_, _)),
     "pipe1_preprocess"  -> (Preprocess.pipeline(_, _)),
     // ---- training-data pipeline: multimodal plumbing ----
     "mm1_decode"        -> (Multimodal.decodeFeatures(_, _)),
@@ -518,6 +519,24 @@ object SparkEntry {
          SELECT doc_id, frame_idx,
            md5(CAST(doc_id AS VARCHAR) || '#' || CAST(frame_idx AS VARCHAR)) AS frame_digest
          FROM (SELECT doc_id, unnest(range(0, least(n_frames - 1, 7) + 1)) AS frame_idx FROM f)""",
+    "text_unigram_lm" -> raw"""
+      WITH tk AS (SELECT doc_id,
+          unnest(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0)) AS tok
+        FROM documents),
+      m AS (SELECT tok, count(*) AS freq FROM tk GROUP BY tok),
+      n AS (SELECT count(*) AS total FROM tk),
+      sc AS (SELECT tk.doc_id,
+          CAST(round(ln(CAST(m.freq AS DOUBLE) / n.total) * 1000000)
+            AS BIGINT) AS lp
+        FROM tk JOIN m USING (tok), n)
+      SELECT doc_id, count(*) AS n_tokens,
+        round(CAST(CAST(sum(lp) AS BIGINT) AS DOUBLE) /
+          (count(*) * 1000000.0), 6) AS mean_logprob,
+        CAST(CASE WHEN round(CAST(CAST(sum(lp) AS BIGINT) AS DOUBLE) /
+          (count(*) * 1000000.0), 6) < -3.5 THEN 1 ELSE 0 END AS BIGINT)
+          AS low_quality
+      FROM sc GROUP BY doc_id""",
     "mm3_audio" -> raw"""
       WITH m AS (SELECT doc_id,
           CAST(doc_id % 2 + 1 AS BIGINT) AS channels,

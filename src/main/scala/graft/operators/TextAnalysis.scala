@@ -184,6 +184,38 @@ object TextAnalysis {
     if (distinct) array_distinct(g) else g
   }
 
+  /** Unigram language-model scoring — the perplexity-proxy quality
+    * filter (the CCNet/KenLM idea with the simplest possible LM): train
+    * corpus unigram frequencies, score each document by its mean token
+    * log-probability, flag the rare-token-heavy tail.
+    *
+    * Scale shape: the model IS a DataFrame (token → freq), joined back
+    * to the exploded corpus with an explicit broadcast — vocabulary is
+    * sublinear in corpus size, so the model side broadcasts while the
+    * corpus side stays a scan; the only wide shuffle is the final
+    * per-document re-aggregation of narrow (doc_id, micro-nat) rows.
+    * Log-probs are quantized to integer micro-nats BEFORE summation, so
+    * the mean is independent of partitioning and engine fold order
+    * (same trick as the k-means means). */
+  def unigramLogProb(s: SparkSession, dir: String,
+                     lowQualityNats: Double = -3.5): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val toksOf = d.select(col("doc_id"), explode(tokens(lower(col("text"))))
+      .as("tok"))
+    val model = toksOf.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(toksOf.select(count(lit(1)).as("n_total"))))
+    toksOf.join(broadcast(model), "tok")
+      .select(col("doc_id"),
+        round(log(col("freq").cast("double") / col("n_total")) * 1e6, 0)
+          .cast("long").as("lp_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lp_micro")).cast("double") /
+          (count(lit(1)).cast("double") * 1e6), 6).as("mean_logprob"))
+      .withColumn("low_quality",
+        (col("mean_logprob") < lowQualityNats).cast("long"))
+  }
+
   /** Benchmark-contamination check — the decontamination step of a
     * training-data pipeline: the fraction of each corpus document's
     * distinct n-grams that appear in the evaluation set's n-gram set
