@@ -62,6 +62,7 @@ object SparkEntry {
     "a11_fused_audit"   -> (Audits.a11FusedAudit(_, _)),
     "oq6_head_probe"    -> (Audits.oq6HeadProbe(_, _)),
     "s4_json_lines"     -> (Audits.s4JsonLines(_, _)),
+    "s8_format_roundtrip" -> (Audits.s8FormatRoundtrip(_, _)),
     "skew1_salted_agg"  -> (Audits.skew1SaltedAgg(_, _)),
     "skew2_salted_join" -> (Relational.skew2SaltedJoin(_, _)),
     // ---- reference cleaning/reshape surface (§2c/2d) ----
@@ -355,6 +356,11 @@ object SparkEntry {
          to_json(struct_pack(event_id := event_id, event_type := event_type,
            user_id := user_id)) AS json_line
          FROM events""",
+    "s8_format_roundtrip" ->
+      """SELECT event_type, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+         CAST(1 AS BIGINT) AS roundtrip_ok
+         FROM events GROUP BY event_type""",
     "skew1_salted_agg" ->
       """SELECT user_id, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value

@@ -175,6 +175,33 @@ object Audits {
         to_json(struct(col("event_id"), col("event_type"), col("user_id")))
           .as("json_line"))
 
+  /** S8 format round-trip: the same rows written through and read back
+    * from the ORC and CSV sinks, then aggregated from BOTH and compared
+    * — source/sink breadth as an oracle-checkable invariant. The
+    * `roundtrip_ok` flag is computed from the data, so a lossy writer
+    * or a mis-typed reader (CSV's stringly types are the classic trap)
+    * fails the hash check rather than silently passing through. Money
+    * math runs over DECIMAL on both branches, exact at any row order. */
+  def s8FormatRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val base = "/tmp/graft_fmt_roundtrip"
+    e.write.mode("overwrite").orc(s"$base/orc")
+    e.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    val orc = s.read.orc(s"$base/orc")
+    val csv = s.read.option("header", "true").schema(e.schema).csv(s"$base/csv")
+    def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+      df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum(col("value").cast("decimal(12,2)")).as(s"sum_$tag"))
+    agg(orc, "orc").join(agg(csv, "csv"), "event_type")
+      .select(col("event_type"),
+        col("n_orc").as("n_events"),
+        col("sum_orc").cast("double").as("sum_value"),
+        (col("n_orc") === col("n_csv") &&
+          col("sum_orc") === col("sum_csv")).cast("long").as("roundtrip_ok"))
+  }
+
   /** Two-stage salted aggregation: the skew-mitigation pattern for hot
     * keys (events has only 15 users ⇒ every key is hot). Stage 1
     * aggregates on (key, salt) spreading each hot key over 8 reducers;
