@@ -35,6 +35,8 @@ object SparkEntry {
     "j1_region_revenue" -> (Relational.j1RegionRevenue(_, _)),
     "j2_semi_join"      -> (Relational.j2SemiJoin(_, _)),
     "j3_anti_join"      -> (Relational.j3AntiJoin(_, _)),
+    "j4_bucketed_join"  -> (Relational.j4BucketedJoin(_, _)),
+    "sql2_ship_priority" -> (Relational.sql2ShipPriority(_, _)),
     "w1_top_order_per_customer" -> (Relational.w1TopOrderPerCustomer(_, _)),
     "w1b_top_order_maxby" -> (Relational.w1bTopOrderMaxBy(_, _)),
     "w1c_top_order_strategy" -> (Relational.w1cTopOrderStrategy(_, _)),
@@ -93,6 +95,9 @@ object SparkEntry {
     "dedup_clusters"    -> ((s, dir) =>
       Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(Fixtures.mutantSlice(s, dir)))),
+    "dedup_incremental" -> ((s, dir) =>
+      Dedup.incremental(s, Tables.documents(s, dir),
+        Fixtures.crawlBatch(Tables.documents(s, dir)))),
     // ---- training-data pipeline: similarity search ----
     "sim_ann_brute"     -> (Similarity.annBruteForce(_, _)),
     "sim_ann_lsh"       -> (Similarity.annLsh(_, _)),
@@ -177,6 +182,26 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name""",
+    "j4_bucketed_join" ->
+      """SELECT o_orderpriority,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderstatus = 'F'
+         GROUP BY o_orderpriority""",
+    "sql2_ship_priority" ->
+      """SELECT o_orderkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+         o_orderdate, o_orderpriority
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+         GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) DESC,
+           o_orderkey
+         LIMIT 10""",
     "j2_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
          WHERE EXISTS (SELECT 1 FROM orders
@@ -422,6 +447,16 @@ object SparkEntry {
            ' +', ' ', 'g'))) AS norm_hash,
          count(*) AS n_copies, min(doc_id) AS canonical_id
          FROM documents GROUP BY 1""",
+    "dedup_incremental" ->
+      """WITH batch AS (
+           SELECT doc_id + 2000000 AS doc_id, text
+           FROM documents WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id + 3000000 AS doc_id, text || ' edit v2' AS text
+           FROM documents WHERE doc_id % 7 = 0)
+         SELECT b.doc_id, md5(b.text) AS content_hash
+         FROM batch b
+         WHERE NOT EXISTS (SELECT 1 FROM documents h WHERE h.text = b.text)""",
     "dedup_jaccard" ->
       """WITH d AS (SELECT doc_id,
              list_distinct(list_filter(string_split_regex(lower(text), '\s+'),

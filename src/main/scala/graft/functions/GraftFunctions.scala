@@ -15,7 +15,18 @@ object GraftFunctions {
     "l2_sq"         -> (es => L2Squared(es(0), es(1))),
     "plane_sig"     -> (es => PlaneSignature(es(0), es(1))),
     "simhash60"     -> (es => SimHash60(es.head)),
-    "minhash_sig16" -> (es => MinHashSig(es.head, 16)))
+    "minhash_sig16" -> (es => MinHashSig(es.head, 16)),
+    // Spark ships bloom-filter expressions for its runtime join filters
+    // but does not register them as SQL functions; graft exposes them
+    // for explicit bloom pre-filters (incremental dedup's broadcast
+    // membership sketch). bloom_agg(longCol, estItems, numBits) →
+    // binary; bloom_might_contain(bf, longCol) → boolean.
+    "bloom_agg" -> (es =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(es(0), es(1), es(2))),
+    "bloom_might_contain" -> (es =>
+      new org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -34,6 +34,21 @@ object Fixtures {
     mutantDocs(s, dir).filter(col("doc_id") < 40 ||
       (col("doc_id") >= 1000000L && col("doc_id") < 1000040L))
 
+  /** Deterministic re-crawl batch against the full corpus as history:
+    * every 5th document comes back byte-identical under a fresh doc_id
+    * (the re-crawl case — a true duplicate) and every 7th comes back
+    * with an appended edit marker (changed content — genuinely new).
+    * [[Dedup.incremental]] must drop exactly the re-crawls. */
+  def crawlBatch(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id"), col("text"))
+    base.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      .unionByName(
+        base.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(col("text"), lit(" edit v2")).as("text")))
+  }
+
   /** Deterministic synthetic-PII augmentation: appends an email, a URL,
     * a phone number and an IPv4 address derived from doc_id. The corpus
     * itself is PII-free word salad, so this is the fixture face of

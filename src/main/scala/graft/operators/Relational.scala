@@ -91,6 +91,71 @@ object Relational {
       .select(col("c_custkey"), col("c_name"))
   }
 
+  /** Co-located join over bucketed tables — the physical-design answer
+    * to the shuffle a big-big join otherwise pays. Both tables are
+    * written bucketed (and sorted) by the join key into the same bucket
+    * count, so at read time rows with equal keys are already in the
+    * same bucket file and the join planner drops the Exchange on both
+    * sides entirely (asserted in PlanSpec with broadcast disabled). At
+    * 100 TB this is THE pattern for a fact table joined nightly on the
+    * same key: pay the shuffle once at write, never at read.
+    *
+    * The bucketed copies are written once per (session, dataset) — an
+    * ETL step, not a per-query cost — into /tmp-backed external tables;
+    * re-runs reuse them via the catalog. */
+  def j4BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val tag = math.abs(dir.hashCode).toString
+    val oTab = s"graft_bkt_orders_$tag"
+    val lTab = s"graft_bkt_lineitem_$tag"
+    if (!s.catalog.tableExists(oTab)) {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+        .write.mode("overwrite")
+        .option("path", s"/tmp/graft_bkt/$tag/orders")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(oTab)
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.mode("overwrite")
+        .option("path", s"/tmp/graft_bkt/$tag/lineitem")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lTab)
+    }
+    s.table(oTab).filter(col("o_orderstatus") === "F")
+      .join(s.table(lTab), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q3-shaped shipping-priority query via the SQL face: the
+    * ten still-unshipped order groups with the highest pending revenue
+    * in one market segment. Selective dim filter (one segment of five)
+    * broadcasts; ties broken by orderkey so the LIMIT set is engine-
+    * independent; money stays DECIMAL until after the sort. */
+  def sql2ShipPriority(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT o_orderkey,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+          AS DOUBLE) AS revenue,
+        o_orderdate, o_orderpriority
+      FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) DESC,
+        o_orderkey
+      LIMIT 10""")
+  }
+
   /** Window / top-N-per-group: each customer's single highest-value order.
     * `row_number` over (custkey → totalprice desc, orderkey asc) — the
     * orderkey tiebreak makes rank deterministic. One shuffle on custkey;

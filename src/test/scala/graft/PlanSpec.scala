@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators._
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan assertions: the optimizations we design for at 100 TB
   * must actually appear in the executed plan — filter/column pushdown
@@ -185,6 +186,39 @@ class PlanSpec extends SparkSpec {
       .find(_.contains("partial_count")).getOrElse("")
     assert(!partialLine.contains("text#"),
       s"document text crosses the shuffle:\n$partialLine")
+  }
+
+  test("j4: bucketed tables join with zero Exchange on either side") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      // force the join to actually exercise bucketing (a broadcast
+      // join would also skip the shuffle, but for the small-side
+      // reason, not the physical-design reason under test)
+      spark.conf.set(key, "-1")
+      val p = plan(Relational.j4BucketedJoin(spark, sf))
+      val cut = p.indexOf("SortMergeJoin") max p.indexOf("ShuffledHashJoin")
+      val joinSection = if (cut < 0) p else p.substring(cut)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(!joinSection.contains("Exchange"),
+        s"bucketed join still shuffles an input:\n$p")
+      assert(p.contains("Bucketed: true"), s"scan not bucket-aware:\n$p")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("dedup incremental: bloom gate is a scalar subquery, batch scan stays narrow") {
+    val df = Dedup.incremental(spark, Tables.documents(spark, sf),
+      Fixtures.crawlBatch(Tables.documents(spark, sf)))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("bloom_might_contain") || p.contains("Subquery"),
+      s"bloom prefilter missing from the plan:\n$p")
+    // exactness: bloom-pruned result ≡ the plain anti-join
+    val expected = Fixtures.crawlBatch(Tables.documents(spark, sf))
+      .join(Tables.documents(spark, sf).select(col("text")).distinct(),
+        Seq("text"), "left_anti")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val got = df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got === expected)
   }
 
   test("whole-stage codegen covers the q1 hot path") {
