@@ -122,6 +122,11 @@ object SparkEntry {
         Map("en" -> 60, "de" -> 30, "zh" -> 10), 20)),
     "samp2_topn_stratum" -> ((s, dir) =>
       Sampling.topNPerStratum(s, Tables.documents(s, dir), 25)),
+    "samp3_split"       -> ((s, dir) =>
+      Sampling.trainTestSplit(Tables.documents(s, dir))),
+    "sim_semdedup"      -> ((s, dir) =>
+      Similarity.semDedup(s,
+        Fixtures.embeddingMutants(Tables.embeddings(s, dir)))),
     "text_contamination" -> (TextAnalysis.contamination(_, _)),
     "text_unigram_lm"   -> (TextAnalysis.unigramLogProb(_, _)),
     "pipe1_preprocess"  -> (Preprocess.pipeline(_, _)),
@@ -687,6 +692,31 @@ object SparkEntry {
       SELECT doc_id, lang, source, bucket FROM b
       WHERE bucket < CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30
         WHEN 'zh' THEN 10 ELSE 20 END""",
+    "samp3_split" -> raw"""
+      WITH b AS (SELECT doc_id, lang,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+            AS bucket
+        FROM documents)
+      SELECT doc_id, lang,
+        CASE WHEN bucket < 80 THEN 'train'
+             WHEN bucket < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM b""",
+    "sim_semdedup" -> raw"""
+      WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, label,
+          list_prepend(embedding[1]::DOUBLE + 0.01,
+            (embedding::DOUBLE[])[2:64])
+        FROM embeddings WHERE vec_id < 30),
+      d AS (SELECT DISTINCT b.vec_id
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.995)
+      SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+        CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+          AS is_kept
+      FROM e LEFT JOIN d ON e.vec_id = d.vec_id""",
     "text_contamination" -> raw"""
       WITH t AS (SELECT doc_id,
           list_filter(string_split_regex(lower(text), '\s+'),

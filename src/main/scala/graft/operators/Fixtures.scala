@@ -34,6 +34,21 @@ object Fixtures {
     mutantDocs(s, dir).filter(col("doc_id") < 40 ||
       (col("doc_id") >= 1000000L && col("doc_id") < 1000040L))
 
+  /** Embedding corpus with injected semantic near-duplicates: vectors
+    * with vec_id < 30 reappear under vec_id+1e6, same label, first
+    * coordinate shifted by +0.01 — cosine ≈ 0.9999 to the original,
+    * far above anything two distinct synthetic vectors reach.
+    * [[Similarity.semDedup]] must drop exactly the mutants. */
+  def embeddingMutants(e: DataFrame): DataFrame = {
+    val base = e.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val mut = base.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+        concat(array(get(col("embedding"), lit(0)) + lit(0.01)),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+    base.unionByName(mut)
+  }
+
   /** Deterministic re-crawl batch against the full corpus as history:
     * every 5th document comes back byte-identical under a fresh doc_id
     * (the re-crawl case — a true duplicate) and every 7th comes back

@@ -42,6 +42,22 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
   }
 
+  /** Deterministic train/val/test split: membership is a pure function
+    * of the row key (md5 bucket), so the split is a narrow stateless
+    * projection — no shuffle, no RNG, no driver state — and re-running
+    * over a backfilled or recomputed corpus assigns every document to
+    * the SAME side. That stability is the leakage guarantee a training
+    * pipeline needs: a test document can never drift into train between
+    * runs, which is exactly the failure mode of `randomSplit` (JVM-seed
+    * RNG over a nondeterministic row order). */
+  def trainTestSplit(docs: DataFrame, trainPct: Int = 80,
+                     valPct: Int = 10): DataFrame =
+    docs.withColumn("bucket", bucket100(col("doc_id")))
+      .select(col("doc_id"), col("lang"),
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")).as("split"))
+
   /** Exact-size per-stratum sample: the first `n` rows of each stratum
     * in md5-hash order — a deterministic reservoir (uniform because the
     * hash is, stable across runs and engines because nothing is

@@ -118,6 +118,32 @@ object Similarity {
     * over vec_id < 60, keep pairs above threshold. The unbounded-scale
     * variant is annLsh's bucketing applied pairwise; this bounded kernel
     * is the oracle-checkable exact face. */
+  /** Semantic dedup (the SemDeDup recipe): prune embedding-space
+    * near-duplicates *within* semantic clusters rather than globally.
+    * The cluster id bounds the pairwise work — the self-join is an
+    * equi-join on the cluster key, so each cluster's quadratic cost is
+    * local to its bucket and nothing crosses buckets; at 100 TB you
+    * additionally cap cluster fan-in with the banded-LSH candidate path
+    * ([[nearDupLsh]]) inside each oversized cluster. Drop rule is
+    * deterministic: the higher vec_id of any pair ≥ threshold goes, so
+    * the kept set is reproducible on any engine (DuckDB oracle replays
+    * it literally). */
+  def semDedup(s: SparkSession, embs: DataFrame,
+               threshold: Double = 0.995): DataFrame = {
+    GraftFunctions.register(s)
+    val e = embs.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"))
+    val dropped = a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(round(cosine(col("va"), col("vb")), 6) >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    e.join(dropped.withColumn("dup", lit(1L)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        coalesce(lit(1L) - col("dup"), lit(1L)).as("is_kept"))
+  }
+
   def embNearDup(s: SparkSession, dir: String,
                  threshold: Double = 0.3): DataFrame = {
     GraftFunctions.register(s)

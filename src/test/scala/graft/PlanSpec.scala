@@ -128,7 +128,8 @@ class PlanSpec extends SparkSpec {
     Seq(
       TextAnalysis.piiRedact(Fixtures.withPii(docs)),
       TextAnalysis.gopherFilter(docs),
-      Sampling.stratifiedByLang(docs, Map("en" -> 50), 20)
+      Sampling.stratifiedByLang(docs, Map("en" -> 50), 20),
+      Sampling.trainTestSplit(docs)
     ).foreach { df =>
       val p = plan(df)
       assert(!p.contains("Exchange"),
