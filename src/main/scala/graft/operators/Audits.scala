@@ -185,7 +185,9 @@ object Audits {
   def s8FormatRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-    val base = "/tmp/graft_fmt_roundtrip"
+    // per-dataset scratch path: concurrent sessions over different SF
+    // dirs (a verify and a bench, say) must not clobber each other
+    val base = s"/tmp/graft_fmt_roundtrip_${math.abs(dir.hashCode)}"
     e.write.mode("overwrite").orc(s"$base/orc")
     e.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
     val orc = s.read.orc(s"$base/orc")

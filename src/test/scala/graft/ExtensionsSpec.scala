@@ -9,6 +9,16 @@ import org.apache.spark.sql.functions._
   * strategy with no per-operator register() calls. */
 class ExtensionsSpec extends SparkSpec {
 
+  test("Graft.attach wires functions, strategy, and optimizer rule into an existing session") {
+    Graft.attach(spark)
+    Graft.attach(spark) // idempotent
+    assert(spark.sql("SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+      .collect().head.getDouble(0) === 1.0)
+    val em = spark.sessionState.experimentalMethods
+    assert(em.extraStrategies.contains(plans.TopKPerKeyStrategy))
+    assert(em.extraOptimizations.count(_ == plans.NativeKernelRule) === 1)
+  }
+
   test("GraftExtensions injects functions and the top-k strategy at build") {
     val base = spark // materialize the shared session/context first
     SparkSession.clearActiveSession()
