@@ -128,6 +128,8 @@ object SparkEntry {
       Similarity.semDedup(s,
         Fixtures.embeddingMutants(Tables.embeddings(s, dir)))),
     "text_contamination" -> (TextAnalysis.contamination(_, _)),
+    "text_repetition"   -> ((s, dir) =>
+      TextAnalysis.repetition(Tables.documents(s, dir))),
     "text_unigram_lm"   -> (TextAnalysis.unigramLogProb(_, _)),
     "pipe1_preprocess"  -> (Preprocess.pipeline(_, _)),
     // ---- training-data pipeline: multimodal plumbing ----
@@ -692,6 +694,34 @@ object SparkEntry {
       SELECT doc_id, lang, source, bucket FROM b
       WHERE bucket < CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30
         WHEN 'zh' THEN 10 ELSE 20 END""",
+    "text_repetition" -> raw"""
+      WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk
+        FROM documents),
+      u AS (SELECT doc_id, len(tk) AS n_tokens,
+          len(list_distinct(tk)) AS n_distinct FROM t),
+      g AS (SELECT doc_id,
+          CASE WHEN len(tk) >= 2
+            THEN list_transform(range(0, len(tk) - 1),
+              i -> array_to_string(tk[i+1:i+2], ' '))
+            ELSE [array_to_string(tk, ' ')] END AS gs FROM t),
+      gc AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+      gn AS (SELECT doc_id, gram, count(*) AS c FROM gc GROUP BY 1, 2),
+      ga AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+               CAST(max(c) AS BIGINT) AS top_2gram_n,
+               CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                 AS dup_2gram_n
+             FROM gn GROUP BY 1)
+      SELECT u.doc_id, CAST(u.n_tokens AS BIGINT) AS n_tokens,
+        round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 4)
+          AS dup_token_frac,
+        round(CAST(top_2gram_n AS DOUBLE) / n_2grams, 4) AS top_2gram_frac,
+        round(CAST(dup_2gram_n AS DOUBLE) / n_2grams, 4) AS dup_2gram_frac,
+        CAST(round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 4) <= 0.3
+          AND round(CAST(top_2gram_n AS DOUBLE) / n_2grams, 4) <= 0.2
+          AND round(CAST(dup_2gram_n AS DOUBLE) / n_2grams, 4) <= 0.4
+          AS BIGINT) AS keep
+      FROM u JOIN ga ON u.doc_id = ga.doc_id""",
     "samp3_split" -> raw"""
       WITH b AS (SELECT doc_id, lang,
           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100

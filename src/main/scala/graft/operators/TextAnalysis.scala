@@ -174,6 +174,41 @@ object TextAnalysis {
           col("pass_alpha") === 1 && col("pass_stop") === 1).cast("long"))
   }
 
+  /** Gopher's repetition signals — the family of rules gopherFilter
+    * does not cover: repeated-token fraction, most-frequent-2-gram mass,
+    * and duplicated-2-gram mass per document.
+    *
+    * Scale shape: the per-document gram frequencies come from
+    * explode → two-level aggregation keyed on (doc_id, gram) — each
+    * document's grams land in the same partitions WITHOUT the document
+    * text traveling (only grams cross the wire, with map-side partial
+    * counts), and no per-row quadratic HOF scan. This is the same shape
+    * Spark gives word-count, which is exactly what the signal is. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val tk = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val uni = tk.select(col("doc_id"),
+      size(col("tk")).cast("long").as("n_tokens"),
+      size(array_distinct(col("tk"))).cast("long").as("n_distinct"))
+    val g2 = tk
+      .select(col("doc_id"), explode(grams(col("tk"), 2, distinct = false)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_2grams"),
+        max(col("c")).as("top_2gram_n"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_2gram_n"))
+    uni.join(g2, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_tokens"), 4).as("dup_token_frac"),
+        round(col("top_2gram_n").cast("double") / col("n_2grams"), 4)
+          .as("top_2gram_frac"),
+        round(col("dup_2gram_n").cast("double") / col("n_2grams"), 4)
+          .as("dup_2gram_frac"))
+      .withColumn("keep",
+        (col("dup_token_frac") <= 0.3 && col("top_2gram_frac") <= 0.2 &&
+          col("dup_2gram_frac") <= 0.4).cast("long"))
+  }
+
   /** n-gram strings from a materialized token-array attribute (see the
     * tokenize-once note in topNgramsPerLang). */
   private def grams(tk: Column, n: Int, distinct: Boolean): Column = {
