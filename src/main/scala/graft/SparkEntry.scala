@@ -130,6 +130,9 @@ object SparkEntry {
     "text_contamination" -> (TextAnalysis.contamination(_, _)),
     "text_repetition"   -> ((s, dir) =>
       TextAnalysis.repetition(Tables.documents(s, dir))),
+    "text_bm25"         -> ((s, dir) =>
+      TextAnalysis.bm25(Tables.documents(s, dir),
+        Seq("spark", "query", "filter"))),
     "text_unigram_lm"   -> (TextAnalysis.unigramLogProb(_, _)),
     "pipe1_preprocess"  -> (Preprocess.pipeline(_, _)),
     // ---- training-data pipeline: multimodal plumbing ----
@@ -722,6 +725,33 @@ object SparkEntry {
           AND round(CAST(dup_2gram_n AS DOUBLE) / n_2grams, 4) <= 0.4
           AS BIGINT) AS keep
       FROM u JOIN ga ON u.doc_id = ga.doc_id""",
+    "text_bm25" -> raw"""
+      WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk
+        FROM documents),
+      dl AS (SELECT doc_id, len(tk) AS dl FROM t),
+      stats AS (SELECT count(*) AS n, sum(dl) AS total FROM dl),
+      tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM (SELECT doc_id, unnest(tk) AS term FROM t)
+             WHERE term IN ('spark', 'query', 'filter')
+             GROUP BY 1, 2),
+      idf AS (SELECT term,
+               round(ln(((SELECT n FROM stats) - df + 0.5) / (df + 0.5)
+                 + 1.0), 6) AS idf
+              FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1)),
+      contrib AS (SELECT tf.doc_id,
+          round(idf.idf * (CAST(tf.tf AS DOUBLE) * 2.2) /
+            (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+              (CAST(dl.dl AS DOUBLE) /
+               (SELECT CAST(total AS DOUBLE) / CAST(n AS DOUBLE)
+                FROM stats)))), 6) AS c
+        FROM tf JOIN idf USING (term) JOIN dl USING (doc_id))
+      SELECT doc_id,
+        CAST(sum(CAST(round(c * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6
+          AS score,
+        count(*) AS n_terms
+      FROM contrib GROUP BY doc_id
+      ORDER BY score DESC, doc_id ASC LIMIT 10""",
     "samp3_split" -> raw"""
       WITH b AS (SELECT doc_id, lang,
           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100

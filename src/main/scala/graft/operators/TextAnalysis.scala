@@ -219,6 +219,47 @@ object TextAnalysis {
     if (distinct) array_distinct(g) else g
   }
 
+  /** BM25 retrieval scoring: rank documents against a bag of query
+    * terms (k1=1.2, b=0.75 — the classic constants, kept as literals so
+    * the DuckDB oracle replays the identical float expression).
+    *
+    * Scale shape: postings are exploded tokens FILTERED TO THE QUERY
+    * TERMS before any aggregation — the per-(doc, term) tf count only
+    * ever sees matching postings, so corpus size drives the scan but
+    * not the shuffle. Per-term idf is a tiny broadcast frame; corpus
+    * stats (N, avgdl) are a 1-row broadcast. Per-term contributions are
+    * 6dp-quantized and summed as integer micros, so the final score is
+    * independent of partition summation order (the float-sum lesson
+    * from k-means); top-k plans as TakeOrderedAndProject. */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame = {
+    val tk = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val dl = tk.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
+    val tf = tk.select(col("doc_id"), explode(col("tk")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6)
+          .as("idf"))
+    val avgdl = col("total").cast("double") / col("n").cast("double")
+    val contrib = tf.join(broadcast(idf), "term")
+      .join(dl, "doc_id").crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(col("idf") * (col("tf").cast("double") * 2.2) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") / avgdl))), 6)
+          .as("c"))
+    contrib.groupBy(col("doc_id"))
+      .agg((sum(round(col("c") * 1e6, 0).cast("long")).cast("double") / 1e6)
+          .as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Unigram language-model scoring — the perplexity-proxy quality
     * filter (the CCNet/KenLM idea with the simplest possible LM): train
     * corpus unigram frequencies, score each document by its mean token

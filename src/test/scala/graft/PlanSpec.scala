@@ -222,6 +222,21 @@ class PlanSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("bm25: term filter precedes the tf count, idf/stats broadcast, top-k per-partition") {
+    val df = TextAnalysis.bm25(Tables.documents(spark, sf),
+      Seq("spark", "query", "filter"))
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"idf/stats should broadcast:\n$p")
+    // the postings explode is filtered to query terms BEFORE the
+    // (doc, term) count — the optimized plan keeps the isin filter
+    // under the generate, not above the aggregate
+    val o = df.queryExecution.optimizedPlan.toString
+    assert(o.contains("term#") && o.contains("INSET") || o.contains("IN ("),
+      s"term filter missing from optimized plan:\n$o")
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // AQE prints codegen spans only in the FINAL plan — execute first
     val df = Relational.q1PricingSummary(spark, sf)
