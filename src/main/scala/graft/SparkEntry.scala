@@ -138,6 +138,7 @@ object SparkEntry {
     // ---- training-data pipeline: multimodal plumbing ----
     "mm1_decode"        -> (Multimodal.decodeFeatures(_, _)),
     "mm2_frames"        -> (Multimodal.frameSample(_, _)),
+    "mm3_resize"        -> (Multimodal.resize(_, _)),
     "mm3_audio"         -> (Multimodal.audioFeatures(_, _)),
   )
 
@@ -563,6 +564,19 @@ object SparkEntry {
          md5(text) AS content_digest,
          CAST(greatest(1, CAST(floor(octet_length(encode(text)) / 64) AS BIGINT)) AS BIGINT) AS n_frames
          FROM documents""",
+    "mm3_resize" -> raw"""
+      WITH p AS (SELECT doc_id, text AS px,
+          CAST(floor(octet_length(encode(text)) / 16) AS BIGINT) AS in_h
+        FROM documents),
+      o AS (SELECT doc_id, px, in_h,
+          CAST(floor((in_h + 1) / 2) AS BIGINT) AS out_h FROM p)
+      SELECT doc_id, CAST(16 AS BIGINT) AS in_w, in_h,
+        CAST(8 AS BIGINT) AS out_w, out_h,
+        md5(CASE WHEN out_h > 0 THEN array_to_string(
+          list_transform(range(0, CAST(out_h * 8 AS INT)),
+            i -> substr(px, CAST((i // 8) * 32 + (i % 8) * 2 + 1 AS INT), 1)),
+          '') ELSE '' END) AS resized_digest
+      FROM o""",
     "mm2_frames" ->
       """WITH f AS (SELECT doc_id,
            CAST(greatest(1, CAST(floor(octet_length(encode(text)) / 64) AS BIGINT)) AS BIGINT) AS n_frames

@@ -58,14 +58,7 @@ object Multimodal {
     * independently predicts the values from the synthesis rule, so a
     * broken encoder OR decoder fails the hash check. */
   def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    val asset = d.select(
-      col("doc_id"),
-      bmpBytes(
-        (pmod(col("doc_id"), lit(8)) * 64 + 64).cast("int"),
-        (pmod(col("doc_id"), lit(5)) * 64 + 64).cast("int"),
-        col("text").cast("binary")).as("media_bytes"),
-      lit("image/bmp").as("mime"))
+    val asset = decodeAssets(s, dir)
     val payload = (b: Column) => b.substr(lit(55), length(b) - 54)
     asset.select(
       col("doc_id"),
@@ -146,6 +139,51 @@ object Multimodal {
       floor(dataSize.cast("double") * 1000 / byteRate).cast("long")
         .as("duration_ms"),
       md5(b.substr(lit(45), length(b) - 44)).as("content_digest"))
+  }
+
+  /** Nearest-neighbor 2× downsample — the resize stage of the media
+    * pipeline, done with real byte arithmetic: the BMP payload is
+    * treated as an 8bpp row-major buffer (stride 16) and the output
+    * keeps every 2nd byte of every 2nd row. Everything is substring
+    * arithmetic + a higher-order fold over the output grid — a narrow
+    * per-row projection, no shuffle, no UDFs; a real pixel codec slots
+    * in behind the same decode→transform→digest shape. The oracle
+    * recomputes the identical selection in DuckDB and compares the
+    * digest of the resized buffer. */
+  def resize(s: SparkSession, dir: String): DataFrame = {
+    val asset = decodeAssets(s, dir)
+    val strideIn = 16
+    val outW = 8
+    asset
+      .select(col("doc_id"),
+        substring(col("media_bytes"), 55, 1 << 24).cast("string").as("px"))
+      .select(col("doc_id"), col("px"),
+        // floor() before the cast: `/` is double division, and explicit
+        // floor keeps the truncation engine-independent
+        floor(length(col("px")) / strideIn).cast("long").as("in_h"))
+      .select(col("doc_id"), col("px"), col("in_h"),
+        floor((col("in_h") + 1) / 2).cast("long").as("out_h"))
+      .select(col("doc_id"),
+        lit(strideIn.toLong).as("in_w"), col("in_h"),
+        lit(outW.toLong).as("out_w"), col("out_h"),
+        md5(when(col("out_h") > 0,
+          concat_ws("", flatten(transform(sequence(lit(0L), col("out_h") - 1),
+            y => transform(sequence(lit(0), lit(outW - 1)),
+              x => col("px").substr(
+                (y * 2 * strideIn + x * 2 + 1).cast("int"), lit(1)))))))
+          .otherwise(lit(""))).as("resized_digest"))
+  }
+
+  /** The BMP asset frame shared by [[decodeFeatures]] and [[resize]]. */
+  private def decodeAssets(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(
+      col("doc_id"),
+      bmpBytes(
+        (pmod(col("doc_id"), lit(8)) * 64 + 64).cast("int"),
+        (pmod(col("doc_id"), lit(5)) * 64 + 64).cast("int"),
+        col("text").cast("binary")).as("media_bytes"),
+      lit("image/bmp").as("mime"))
   }
 
   /** Frame-sample explode: the per-frame fan-out stage (1 row per
