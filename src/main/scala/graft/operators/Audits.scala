@@ -188,8 +188,13 @@ object Audits {
     // per-dataset scratch path: concurrent sessions over different SF
     // dirs (a verify and a bench, say) must not clobber each other
     val base = s"/tmp/graft_fmt_roundtrip_${math.abs(dir.hashCode)}"
-    e.write.mode("overwrite").orc(s"$base/orc")
-    e.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    // coalesce(4): the round-trip checks format fidelity, not write
+    // parallelism — 32 tiny files × 2 formats was pure filesystem
+    // churn (commit-protocol renames dominate at this data size) and
+    // the query's whole bench cost. A real 100 TB sink keeps the
+    // natural partitioning; this cap is sized to the test corpus.
+    e.coalesce(4).write.mode("overwrite").orc(s"$base/orc")
+    e.coalesce(4).write.mode("overwrite").option("header", "true").csv(s"$base/csv")
     val orc = s.read.orc(s"$base/orc")
     val csv = s.read.option("header", "true").schema(e.schema).csv(s"$base/csv")
     def agg(df: org.apache.spark.sql.DataFrame, tag: String) =

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private def tokens(c: Column): Column =
+  private[operators] def tokens(c: Column): Column =
     filter(split(c, "\\s+"), t => length(t) > 0)
 
   /** Marker-word occurrence count: how many times ` w ` appears.
@@ -270,6 +270,13 @@ object TextAnalysis {
     * sublinear in corpus size, so the model side broadcasts while the
     * corpus side stays a scan; the only wide shuffle is the final
     * per-document re-aggregation of narrow (doc_id, micro-nat) rows.
+    * The corpus token total comes from a narrow scan-agg
+    * (sum of per-row token counts — identical to counting the exploded
+    * rows, without the explode), and both broadcasts are independent
+    * top-level builds: nesting the total inside the model broadcast
+    * (the round-3 shape) made every execution run
+    * explode→agg→collect→re-broadcast twice, serially, which under
+    * host contention was this query's 60s bench tail.
     * Log-probs are quantized to integer micro-nats BEFORE summation, so
     * the mean is independent of partitioning and engine fold order
     * (same trick as the k-means means). */
@@ -279,8 +286,10 @@ object TextAnalysis {
     val toksOf = d.select(col("doc_id"), explode(tokens(lower(col("text"))))
       .as("tok"))
     val model = toksOf.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-      .crossJoin(broadcast(toksOf.select(count(lit(1)).as("n_total"))))
+    val nTotal = d.select(sum(size(tokens(lower(col("text")))).cast("long"))
+      .as("n_total"))
     toksOf.join(broadcast(model), "tok")
+      .crossJoin(broadcast(nTotal))
       .select(col("doc_id"),
         round(log(col("freq").cast("double") / col("n_total")) * 1e6, 0)
           .cast("long").as("lp_micro"))

@@ -38,6 +38,24 @@ object OsmBench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
+  /** Run one phase under its own wall-clock budget; overrun degrades
+    * THAT phase to `fallback` and cancels its Spark jobs, leaving the
+    * rest of the section intact. Round 3's single all-or-nothing outer
+    * timeout turned one contended phase into `osm_failed:true` for the
+    * whole section. */
+  private def budgeted[A](spark: SparkSession, seconds: Int, fallback: A)
+                         (f: => A): A = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    try Await.result(Future(f), seconds.seconds)
+    catch {
+      case _: Throwable =>
+        spark.sparkContext.cancelAllJobs()
+        fallback
+    }
+  }
+
   private def queries(shaped: DataFrame): Unit = {
     OsmEngine.q1UniqueUsers(shaped).count()
     OsmEngine.q2TypeCounts(shaped).count()
@@ -52,14 +70,27 @@ object OsmBench {
           nNodes: Int = 506727, nWays: Int = 59642): Result = {
     val xmlPath = s"/tmp/graft_osm_${nNodes}_$nWays.osm"
     val pbfPath = xmlPath + ".pbf"
-    if (!new java.io.File(xmlPath).exists())
-      OsmSynth.generate(xmlPath, nNodes, nWays)
-    if (!new java.io.File(pbfPath).exists())
-      OsmSynth.generatePbf(pbfPath, nNodes, nWays)
+    // generate via tmp-name + rename: a budget overrun mid-write must
+    // not leave a truncated file that passes the exists() check on the
+    // next round's run.
+    def genAtomic(path: String, gen: String => Unit): Boolean = {
+      if (new java.io.File(path).exists()) return true
+      val tmp = new java.io.File(path + ".tmp")
+      tmp.delete()
+      gen(tmp.getPath)
+      tmp.renameTo(new java.io.File(path))
+    }
+    val genOk = budgeted(spark, 90, false) {
+      genAtomic(xmlPath, OsmSynth.generate(_, nNodes, nWays)) &&
+        genAtomic(pbfPath, OsmSynth.generatePbf(_, nNodes, nWays))
+    }
+    if (!genOk)
+      return Result(-1, -1, -1, -1, -1L, -1, -1, -1, -1L, -1, -1L)
     val mb = new java.io.File(xmlPath).length() / 1e6
     val pbfMb = new java.io.File(pbfPath).length() / 1e6
 
-    val auditSec = time(OsmEngine.auditTags(spark, xmlPath).count())
+    val auditSec = budgeted(spark, 45, -1.0)(
+      time(OsmEngine.auditTags(spark, xmlPath).count()))
     // DISK_ONLY: the shaped cache is written once and read back per
     // query — deterministic timing, no unified-memory interplay with
     // the query phase (the in-heap columnar build showed multi-minute
@@ -67,20 +98,26 @@ object OsmBench {
     // parallel path's number is not polluted by the XML phase's heap
     // churn; unpersists are blocking so one phase's storage never
     // overlaps the next.
-    var shapedP: DataFrame = null
-    var pbfRows = 0L
-    val pbfShapeSec = time {
-      shapedP = OsmEngine.shape(PbfSource.elements(spark, pbfPath))
-        .persist(StorageLevel.DISK_ONLY)
-      pbfRows = shapedP.count()
+    val (pbfShapeSec, pbfQueriesSec, pbfRows) = budgeted(spark, 90, (-1.0, -1.0, -1L)) {
+      var shapedP: DataFrame = null
+      var n = 0L
+      val sSec = time {
+        shapedP = OsmEngine.shape(PbfSource.elements(spark, pbfPath))
+          .persist(StorageLevel.DISK_ONLY)
+        n = shapedP.count()
+      }
+      val qSec = time(queries(shapedP))
+      shapedP.unpersist(blocking = true)
+      (sSec, qSec, n)
     }
-    val pbfQueriesSec = time(queries(shapedP))
-    shapedP.unpersist(blocking = true)
 
     // range-parallel XML (graft's splittable reader) on the same file
-    var xsRows = 0L
-    val xsShapeSec = time {
-      xsRows = OsmEngine.shape(OsmXmlSplit.elements(spark, xmlPath)).count()
+    val (xsShapeSec, xsRows) = budgeted(spark, 90, (-1.0, -1L)) {
+      var n = 0L
+      val sSec = time {
+        n = OsmEngine.shape(OsmXmlSplit.elements(spark, xmlPath)).count()
+      }
+      (sSec, n)
     }
 
     // The builtin-XML phase is ONE task by construction (the source is
@@ -89,26 +126,17 @@ object OsmBench {
     // report -1 on overrun instead of sinking the whole OSM section:
     // the parallel paths above are the engine's numbers; this phase is
     // the baseline being beaten.
-    val (shapeSec, queriesSec, rows) = try {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration._
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(Future {
-        var shaped: DataFrame = null
-        var n = 0L
-        val s = time {
-          shaped = OsmEngine.shape(OsmEngine.elements(spark, xmlPath))
-            .persist(StorageLevel.DISK_ONLY)
-          n = shaped.count()
-        }
-        val q = time(queries(shaped))
-        shaped.unpersist(blocking = true)
-        (s, q, n)
-      }, 180.seconds)
-    } catch {
-      case _: Throwable =>
-        spark.sparkContext.cancelAllJobs()
-        (-1.0, -1.0, -1L)
+    val (shapeSec, queriesSec, rows) = budgeted(spark, 100, (-1.0, -1.0, -1L)) {
+      var shaped: DataFrame = null
+      var n = 0L
+      val s = time {
+        shaped = OsmEngine.shape(OsmEngine.elements(spark, xmlPath))
+          .persist(StorageLevel.DISK_ONLY)
+        n = shaped.count()
+      }
+      val q = time(queries(shaped))
+      shaped.unpersist(blocking = true)
+      (s, q, n)
     }
 
     Result(mb, auditSec, shapeSec, queriesSec, rows,
