@@ -134,6 +134,10 @@ object SparkEntry {
       TextAnalysis.bm25(Tables.documents(s, dir),
         Seq("spark", "query", "filter"))),
     "text_unigram_lm"   -> (TextAnalysis.unigramLogProb(_, _)),
+    "filter_dsir"       -> (TextAnalysis.dsirWeights(_, _)),
+    "pack1_sequences"   -> (Packing.packSequences(_, _)),
+    "chunk1_rag"        -> (Packing.ragChunks(_, _)),
+    "s9_partitioned_sink" -> (Audits.s9PartitionedSink(_, _)),
     "pipe1_preprocess"  -> (Preprocess.pipeline(_, _)),
     // ---- training-data pipeline: multimodal plumbing ----
     "mm1_decode"        -> (Multimodal.decodeFeatures(_, _)),
@@ -602,6 +606,66 @@ object SparkEntry {
           (count(*) * 1000000.0), 6) < -3.5 THEN 1 ELSE 0 END AS BIGINT)
           AS low_quality
       FROM sc GROUP BY doc_id""",
+    "filter_dsir" -> raw"""
+      WITH tk AS (SELECT doc_id, lang,
+          unnest(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0)) AS tok
+        FROM documents),
+      m AS (SELECT tok, count(*) AS fc,
+          CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS ft
+        FROM tk GROUP BY tok),
+      nc AS (SELECT count(*) AS nc FROM tk),
+      nt AS (SELECT count(*) AS nt FROM tk WHERE lang = 'de'),
+      v AS (SELECT count(*) AS v FROM m),
+      sc AS (SELECT tk.doc_id,
+          CAST(round((ln(CAST(m.ft + 1 AS DOUBLE) / (nt.nt + v.v)) -
+                      ln(CAST(m.fc + 1 AS DOUBLE) / (nc.nc + v.v)))
+            * 1000000) AS BIGINT) AS lr
+        FROM tk JOIN m USING (tok), nc, nt, v)
+      SELECT doc_id, count(*) AS n_tokens,
+        CAST(sum(lr) AS BIGINT) AS lr_total_micro,
+        CAST(CASE WHEN CAST(sum(lr) AS BIGINT) > 0 THEN 1 ELSE 0 END
+          AS BIGINT) AS keep
+      FROM sc GROUP BY doc_id""",
+    "pack1_sequences" -> raw"""
+      WITH base AS (SELECT doc_id, source,
+          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (SELECT *, COALESCE(sum(n_tokens) OVER (PARTITION BY source
+          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          0) AS cum_prev FROM base),
+      sq AS (SELECT *, CAST(floor(cum_prev / 256.0) AS BIGINT) AS seq_id
+        FROM c)
+      SELECT source, seq_id, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        CAST(max(CASE WHEN cum_prev + n_tokens > (seq_id + 1) * 256
+          THEN 1 ELSE 0 END) AS BIGINT) AS spans_next
+      FROM sq GROUP BY source, seq_id""",
+    "chunk1_rag" -> raw"""
+      WITH toks AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0) AS tk
+        FROM documents),
+      n AS (SELECT doc_id, tk,
+          greatest(CAST(floor((len(tk) + 47) / 48.0) AS BIGINT), 1)
+            AS n_chunks
+        FROM toks),
+      ch AS (SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_id, tk
+        FROM n)
+      SELECT doc_id, chunk_id,
+        CAST(len(list_slice(tk, chunk_id * 48 + 1, chunk_id * 48 + 64))
+          AS BIGINT) AS n_chunk_tokens,
+        md5(array_to_string(
+          list_slice(tk, chunk_id * 48 + 1, chunk_id * 48 + 64), ' '))
+          AS chunk_digest
+      FROM ch""",
+    "s9_partitioned_sink" -> raw"""
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        CAST(1 AS BIGINT) AS roundtrip_ok
+      FROM documents WHERE lang IN ('en', 'de') GROUP BY lang""",
     "mm3_audio" -> raw"""
       WITH m AS (SELECT doc_id,
           CAST(doc_id % 2 + 1 AS BIGINT) AS channels,

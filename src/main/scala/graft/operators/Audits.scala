@@ -209,6 +209,35 @@ object Audits {
           col("sum_orc") === col("sum_csv")).cast("long").as("roundtrip_ok"))
   }
 
+  /** Hive-style partitioned sink + pruned read-back — the data-layout
+    * step of a corpus pipeline (write once partitioned by a
+    * low-cardinality routing column, every downstream reader prunes to
+    * the partitions it needs). The read-back filters to two languages:
+    * with partitionBy(lang) layout that filter is a PARTITION filter —
+    * directories are skipped at planning time, zero data read from the
+    * others (asserted on the physical plan in AuditSpec). The returned
+    * row-set compares the pruned read-back against the direct corpus
+    * aggregate, so layout fidelity itself is the oracled check. */
+  def s9PartitionedSink(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val base = s"/tmp/graft_part_sink_${math.abs(dir.hashCode)}"
+    // coalesce(4): five ~100-row partition dirs need layout, not write
+    // parallelism (same file-churn reasoning as the s8 round-trip).
+    d.coalesce(4).write.mode("overwrite").partitionBy("lang").parquet(base)
+    val keep = Seq("en", "de")
+    val back = s.read.parquet(base).filter(col("lang").isin(keep: _*))
+    def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+      df.groupBy(col("lang"))
+        .agg(count(lit(1)).as(s"n_$tag"), sum(col("n_chars")).as(s"sum_$tag"))
+    agg(back, "back").join(agg(d.filter(col("lang").isin(keep: _*)), "dir"), "lang")
+      .select(col("lang"),
+        col("n_back").as("n_docs"),
+        col("sum_back").as("sum_chars"),
+        (col("n_back") === col("n_dir") &&
+          col("sum_back") === col("sum_dir")).cast("long").as("roundtrip_ok"))
+  }
+
   /** Two-stage salted aggregation: the skew-mitigation pattern for hot
     * keys (events has only 15 users ⇒ every key is hot). Stage 1
     * aggregates on (key, salt) spreading each hot key over 8 reducers;

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing and chunking — the two layout transforms between a
+  * cleaned corpus and a training/retrieval system:
+  *
+  *  - [[packSequences]]: concat-and-chunk packing, the standard LLM
+  *    pretraining layout (concatenate the shard's token stream, cut it
+  *    every `budget` tokens).
+  *  - [[ragChunks]]: overlapping fixed-width token windows, the
+  *    standard RAG/embedding ingestion layout.
+  *
+  * Both are deterministic (no RNG) so any engine reproduces them
+  * bit-for-bit — layout steps sit at the end of a pipeline where
+  * "which training sequence did this doc land in" must be auditable.
+  */
+object Packing {
+
+  /** Concat-and-chunk sequence packing, per source shard.
+    *
+    * Docs are laid out in doc_id order within their `source`; a doc's
+    * sequence is `floor(tokens-before-it / budget)`. Output is the
+    * per-sequence manifest: doc count, token count, doc-id range, and
+    * whether the sequence's last doc spills into the next sequence.
+    *
+    * Scale shape: the only wide operation is one shuffle on `source` —
+    * packing is per-shard by construction (exactly how production
+    * pretraining layouts pack: each input shard becomes its own
+    * sequence stream, embarrassingly parallel across shards). There is
+    * NO global sort: the window orders doc_id within a shard partition.
+    * At 100 TB with skewed shards you'd salt by (source, doc_id-range)
+    * blocks; the per-shard stream keeps that a local split decision.
+    */
+  def packSequences(s: SparkSession, dir: String, budget: Int = 256): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(lower(col("text")))).cast("long").as("n_tokens"))
+      .withColumn("cum_prev", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("cum_prev") / lit(budget.toLong)))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        max((col("cum_prev") + col("n_tokens") >
+          (col("seq_id") + 1) * budget).cast("long")).as("spans_next"))
+  }
+
+  /** Overlapping token chunks: windows of `width` tokens starting every
+    * `stride` tokens (start < n_tokens), the retrieval-ingestion
+    * layout. Emits one row per chunk with a content digest.
+    *
+    * Scale shape: tokenization happens ONCE into a real attribute via a
+    * separate select (a lambda over a non-attribute subtree re-evaluates
+    * it per element — the round-3 quadratic-retokenization lesson), the
+    * chunk fan-out is a narrow posexplode (no shuffle anywhere), and
+    * only the digest — not the chunk text — leaves the projection.
+    */
+  def ragChunks(s: SparkSession, dir: String,
+                width: Int = 64, stride: Int = 48): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val toks = d.select(col("doc_id"),
+      TextAnalysis.tokens(lower(col("text"))).as("tk"))
+    val nChunks = floor((size(col("tk")) + stride - 1) / lit(stride.toDouble))
+      .cast("int")
+    toks
+      .select(col("doc_id"), col("tk"), greatest(nChunks, lit(1)).as("n_chunks"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
+          i => slice(col("tk"), i * stride + 1, lit(width)))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        size(col("col")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("col")).cast("binary")).as("chunk_digest"))
+  }
+}

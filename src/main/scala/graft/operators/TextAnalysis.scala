@@ -301,6 +301,54 @@ object TextAnalysis {
         (col("mean_logprob") < lowQualityNats).cast("long"))
   }
 
+  /** Data-selection importance weights (the DSIR idea — Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling" — reduced to unigram features): score every corpus
+    * document by the log-ratio of its likelihood under a TARGET-domain
+    * unigram LM vs the corpus-wide LM. Positive mean log-ratio ⇒ the
+    * doc looks more like the target domain than the corpus average ⇒
+    * keep for domain-focused training. Both LMs are add-one smoothed
+    * over the corpus vocabulary, so the ratio is defined for every
+    * token.
+    *
+    * Scale shape: ONE model join — the corpus-frequency and
+    * target-frequency tables are fused into a single vocab-sized DF
+    * (left join target onto corpus vocab, coalesce 0) broadcast to the
+    * exploded-corpus probe; the three scalars (corpus tokens, target
+    * tokens, vocab size) ride along as independent broadcast
+    * crossJoins, never nested inside another broadcast build. Per-token
+    * log-ratios are quantized to integer micro-nats before the per-doc
+    * sum (fold-order independence, same as [[unigramLogProb]]).
+    */
+  def dsirWeights(s: SparkSession, dir: String,
+                  targetLang: String = "de"): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val toksOf = d.select(col("doc_id"), col("lang"),
+      explode(tokens(lower(col("text")))).as("tok"))
+    val model = toksOf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("fc"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ft"))
+    val nTokensOf = size(tokens(lower(col("text")))).cast("long")
+    val nc = d.select(sum(nTokensOf).as("nc"))
+    val nt = d.filter(col("lang") === targetLang)
+      .select(coalesce(sum(nTokensOf), lit(0L)).as("nt"))
+    val v = model.select(count(lit(1)).as("v"))
+    toksOf.join(broadcast(model), "tok")
+      .crossJoin(broadcast(nc)).crossJoin(broadcast(nt)).crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        round((log((col("ft") + 1).cast("double") / (col("nt") + col("v"))) -
+               log((col("fc") + 1).cast("double") / (col("nc") + col("v"))))
+          * 1e6, 0).cast("long").as("lr_micro"))
+      .groupBy(col("doc_id"))
+      // total stays in exact integer micro-nats: a 6dp-rounded mean sits
+      // on a half-up boundary for some docs (hit at sf0.1) and engines
+      // disagree there; the integer total is bit-exact everywhere and
+      // keep ≡ (mean > 0) ≡ (total > 0).
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lr_micro")).as("lr_total_micro"))
+      .withColumn("keep", (col("lr_total_micro") > 0L).cast("long"))
+  }
+
   /** Benchmark-contamination check — the decontamination step of a
     * training-data pipeline: the fraction of each corpus document's
     * distinct n-grams that appear in the evaluation set's n-gram set

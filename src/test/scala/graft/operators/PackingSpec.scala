@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Layout + selection operators: sequence packing, RAG chunking, DSIR
+  * importance weights, partitioned sink. Oracle hashes pin the exact
+  * values; these tests pin the SEMANTIC invariants a consumer relies
+  * on (tiling, coverage, monotonicity, pruning).
+  */
+class PackingSpec extends SparkSpec {
+
+  test("pack1: sequences tile each source's token stream exactly") {
+    val d = Tables.documents(spark, sf)
+    val packed = Packing.packSequences(spark, sf).collect()
+    val perSourceTokens = d
+      .select(col("source"),
+        size(TextAnalysis.tokens(lower(col("text")))).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("total"), count(lit(1)).as("docs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bySource = packed.groupBy(_.getString(0))
+    assert(bySource.keySet === perSourceTokens.keySet)
+    for ((src, rows) <- bySource) {
+      val (totTok, totDocs) = perSourceTokens(src)
+      assert(rows.map(_.getLong(3)).sum === totTok, s"token tiling broken for $src")
+      assert(rows.map(_.getLong(2)).sum === totDocs, s"doc partition broken for $src")
+      // first sequence starts at offset 0; doc-id ranges never overlap
+      // across sequences (packing is an order-preserving partition)
+      assert(rows.map(_.getLong(1)).min === 0L)
+      val sorted = rows.sortBy(_.getLong(1))
+      for (Array(a, b) <- sorted.sliding(2).map(_.toArray) if b != null && a != null)
+        assert(a.getLong(5) < b.getLong(4), s"doc ranges overlap in $src") // last_doc < next first_doc
+    }
+  }
+
+  test("chunk1: chunk widths match the width/stride arithmetic per doc") {
+    val out = Packing.ragChunks(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getLong(2).toInt).toSeq
+      }
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(lower(col("text")))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.keySet === toks.keySet)
+    for ((id, n) <- toks) {
+      val nChunks = math.max(1, (n + 47) / 48)
+      val expected = (0 until nChunks).map(i => math.min(64, math.max(0, n - i * 48)))
+      assert(out(id) === expected, s"doc $id: n=$n")
+    }
+  }
+
+  test("dsir: target-language docs score higher than the rest") {
+    val w = TextAnalysis.dsirWeights(spark, sf, targetLang = "de")
+      .join(Tables.documents(spark, sf).select("doc_id", "lang"), "doc_id")
+      .select(col("lang") === "de",
+        col("lr_total_micro").cast("double") / col("n_tokens"))
+      .collect().map(r => (r.getBoolean(0), r.getDouble(1)))
+    val (target, rest) = w.partition(_._1)
+    assert(target.nonEmpty && rest.nonEmpty)
+    val avgT = target.map(_._2).sum / target.length
+    val avgR = rest.map(_._2).sum / rest.length
+    assert(avgT > avgR,
+      s"target-domain mean log-ratio $avgT not above non-target $avgR")
+    // and the flag agrees with the sign of the total
+    val bad = TextAnalysis.dsirWeights(spark, sf)
+      .filter((col("keep") === 1L) =!= (col("lr_total_micro") > 0L)).count()
+    assert(bad === 0L)
+  }
+
+  test("s9: read-back is partition-pruned and round-trips exactly") {
+    val df = Audits.s9PartitionedSink(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("roundtrip_ok") == 1L))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("lang"),
+      s"lang filter did not become a partition filter:\n$p")
+  }
+}
