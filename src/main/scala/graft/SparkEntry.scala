@@ -37,6 +37,8 @@ object SparkEntry {
     "j3_anti_join"      -> (Relational.j3AntiJoin(_, _)),
     "j4_bucketed_join"  -> (Relational.j4BucketedJoin(_, _)),
     "sql2_ship_priority" -> (Relational.sql2ShipPriority(_, _)),
+    "sql3_local_volume" -> (Relational.sql3LocalVolume(_, _)),
+    "stat3_footer_stats" -> (Relational.stat3FooterStats(_, _)),
     "w1_top_order_per_customer" -> (Relational.w1TopOrderPerCustomer(_, _)),
     "w1b_top_order_maxby" -> (Relational.w1bTopOrderMaxBy(_, _)),
     "w1c_top_order_strategy" -> (Relational.w1cTopOrderStrategy(_, _)),
@@ -217,6 +219,23 @@ object SparkEntry {
          ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) DESC,
            o_orderkey
          LIMIT 10""",
+    "sql3_local_volume" ->
+      """SELECT n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY n_name""",
+    "stat3_footer_stats" ->
+      """SELECT count(*) AS n_orders,
+         round(CAST(min(o_totalprice) AS DOUBLE), 2) AS min_price,
+         round(CAST(max(o_totalprice) AS DOUBLE), 2) AS max_price
+         FROM orders""",
     "j2_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
          WHERE EXISTS (SELECT 1 FROM orders

@@ -444,6 +444,55 @@ object Relational {
           col("n_exact") <= 0.05).cast("long").as("within_5pct"))
   }
 
+  /** Footer-statistics aggregation: COUNT/MIN/MAX answered from parquet
+    * row-group metadata via Spark's aggregate pushdown — the scan reads
+    * ZERO data pages ("PushedAggregation" in the plan, asserted in
+    * PlanSpec). At 100 TB this is the difference between a metadata
+    * operation (footers only) and a full-table scan for the exact same
+    * answer; it's how table-stats collection stays cheap. Pushdown
+    * requires the V2 parquet source, so both confs are scoped to a
+    * child session (shared SparkContext, isolated SQL conf) — the rest
+    * of the engine keeps its default V1 scans. */
+  def stat3FooterStats(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    Tables.orders(s2, dir)
+      .agg(count(lit(1)).as("n_orders"),
+        round(min(col("o_totalprice")).cast("double"), 2).as("min_price"),
+        round(max(col("o_totalprice")).cast("double"), 2).as("max_price"))
+  }
+
+  /** TPC-H Q5 shape (local supplier volume): the 6-table star-with-
+    * cycle join — lineitem⋈orders⋈customer⋈supplier⋈nation⋈region plus
+    * the c_nationkey = s_nationkey closing edge. The plan the optimizer
+    * should pick at any scale: region/nation/supplier/customer all
+    * broadcast (each orders-of-magnitude smaller than the facts), the
+    * only shuffle joins lineitem to orders, and the date/region filters
+    * prune at the scans. Exercises Catalyst's join reordering across
+    * the densest join graph in the suite. */
+  def sql3LocalVolume(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer" -> Tables.customer(s, dir), "orders" -> Tables.orders(s, dir),
+      "lineitem" -> Tables.lineitem(s, dir), "supplier" -> Tables.supplier(s, dir),
+      "nation" -> Tables.nation(s, dir), "region" -> Tables.region(s, dir))
+      .foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    s.sql("""
+      SELECT n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+          AS DOUBLE) AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n_name""")
+  }
+
   /** String-function battery over customer: substring / concat / pad /
     * case / trim / split — the reference's string surface (SURVEY §2f)
     * on a table the oracle can read.

@@ -237,6 +237,44 @@ class PlanSpec extends SparkSpec {
       s"term filter missing from optimized plan:\n$o")
   }
 
+  test("pack1: one shuffle total — the aggregate reuses the window's partitioning") {
+    // Window partitions by source; groupBy(source, seq_id) requires
+    // clustering by a superset, so HashPartitioning(source) already
+    // satisfies it — EnsureRequirements must not add a second exchange.
+    val p = plan(Packing.packSequences(spark, sf))
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+    // tokenization collapses to a count BELOW the exchange: only
+    // (doc_id, source, n_tokens) narrow rows are shuffled. In the plan
+    // string the map-side child prints after the Exchange node.
+    assert(p.indexOf("Exchange") < p.indexOf("size(filter(split"),
+      s"tokenization not on the map side of the shuffle:\n$p")
+  }
+
+  test("chunk1: zero shuffles — chunk fan-out is a narrow posexplode") {
+    val p = plan(Packing.ragChunks(spark, sf))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate posexplode"), p)
+  }
+
+  test("sql3: dims broadcast, only the fact-fact join shuffles") {
+    val df = Relational.sql3LocalVolume(spark, sf)
+    df.collect() // let AQE finalize join strategies
+    val p = plan(df)
+    // customer/supplier/nation/region all join as broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the date filter reaches the orders scan
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+      p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("stat3: count/min/max answered from parquet footers, no data pages") {
+    val p = plan(Relational.stat3FooterStats(spark, sf))
+    assert(p.contains("PushedAggregation: [COUNT(*)"),
+      s"aggregate not pushed to the scan:\n$p")
+    assert(p.contains("MIN(o_totalprice)") && p.contains("MAX(o_totalprice)"), p)
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // AQE prints codegen spans only in the FINAL plan — execute first
     val df = Relational.q1PricingSummary(spark, sf)
