@@ -39,6 +39,12 @@ object SparkEntry {
     "sql2_ship_priority" -> (Relational.sql2ShipPriority(_, _)),
     "sql3_local_volume" -> (Relational.sql3LocalVolume(_, _)),
     "stat3_footer_stats" -> (Relational.stat3FooterStats(_, _)),
+    "merge1_upsert" -> ((s, dir) => {
+      val snap = Tables.orders(s, dir).select("o_orderkey", "o_custkey",
+        "o_totalprice", "o_orderstatus")
+      Relational.merge1Upsert(snap, Fixtures.orderUpdates(snap), "o_orderkey")
+    }),
+    "zorder1_layout" -> (Packing.zorderBlocks(_, _)),
     "w1_top_order_per_customer" -> (Relational.w1TopOrderPerCustomer(_, _)),
     "w1b_top_order_maxby" -> (Relational.w1bTopOrderMaxBy(_, _)),
     "w1c_top_order_strategy" -> (Relational.w1cTopOrderStrategy(_, _)),
@@ -231,6 +237,44 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          GROUP BY n_name""",
+    "merge1_upsert" ->
+      """WITH snap AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+           FROM orders),
+         upd AS (
+           SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DOUBLE) AS o_totalprice,
+             'U' AS o_orderstatus
+           FROM snap WHERE o_orderkey % 10 = 3
+           UNION ALL
+           SELECT o_orderkey + 1000000000, o_custkey, o_totalprice, 'N'
+           FROM snap WHERE o_orderkey % 100 = 7)
+         SELECT COALESCE(u.o_orderkey, s.o_orderkey) AS o_orderkey,
+           CASE WHEN u.o_orderkey IS NULL THEN 'keep'
+                WHEN s.o_orderkey IS NULL THEN 'insert'
+                ELSE 'update' END AS action,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey
+                ELSE s.o_custkey END AS o_custkey,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                ELSE s.o_totalprice END AS o_totalprice,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+                ELSE s.o_orderstatus END AS o_orderstatus
+         FROM snap s FULL OUTER JOIN upd u ON s.o_orderkey = u.o_orderkey""",
+    "zorder1_layout" -> {
+      val terms = (0 until 16).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH k AS (SELECT l_orderkey AS kx, l_partkey AS ky FROM lineitem),
+         mx AS (SELECT max(kx) AS x_max, max(ky) AS y_max FROM k),
+         b AS (SELECT
+             CAST(floor(CAST(kx AS DOUBLE) * 65535 / x_max) AS BIGINT) AS x,
+             CAST(floor(CAST(ky AS DOUBLE) * 65535 / y_max) AS BIGINT) AS y
+           FROM k, mx),
+         z AS (SELECT x, y, ($terms) AS z FROM b)
+         SELECT z >> 26 AS z_block, count(*) AS n_rows,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max
+         FROM z GROUP BY z_block"""
+    },
     "stat3_footer_stats" ->
       """SELECT count(*) AS n_orders,
          round(CAST(min(o_totalprice) AS DOUBLE), 2) AS min_price,

@@ -64,6 +64,23 @@ object Fixtures {
             concat(col("text"), lit(" edit v2")).as("text")))
   }
 
+  /** Deterministic CDC batch against the orders snapshot: every
+    * key ≡ 3 (mod 10) arrives as an update (re-priced, status 'U') and
+    * every key ≡ 7 (mod 100) arrives again as a brand-new order under a
+    * shifted key — the fixture face of [[Relational.merge1Upsert]]. */
+  def orderUpdates(o: DataFrame): DataFrame = {
+    o.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice").cast("decimal(12,2)") * 2).cast("double")
+          .as("o_totalprice"),
+        lit("U").as("o_orderstatus"))
+      .unionByName(
+        o.filter(pmod(col("o_orderkey"), lit(100)) === 7)
+          .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice"),
+            lit("N").as("o_orderstatus")))
+  }
+
   /** Deterministic synthetic-PII augmentation: appends an email, a URL,
     * a phone number and an IPv4 address derived from doc_id. The corpus
     * itself is PII-free word salad, so this is the fixture face of

@@ -493,6 +493,33 @@ object Relational {
       GROUP BY n_name""")
   }
 
+  /** MERGE INTO semantics over parquet snapshots — the CDC maintenance
+    * step every warehouse table needs: matched keys take the update's
+    * values, unmatched updates insert, unmatched snapshot rows carry
+    * over, and each output row is stamped with the action taken.
+    *
+    * Scale shape: one full-outer shuffle join on the key — the minimal
+    * plan for merge without a transactional table format underneath
+    * (this is exactly what Delta/Iceberg MERGE lowers to, minus their
+    * file-level skipping). The update batch is typically ≪ snapshot, so
+    * AQE turns its side into the build side; keys are the only thing
+    * wide about the exchange. */
+  def merge1Upsert(snapshot: DataFrame, updates: DataFrame,
+                   key: String): DataFrame = {
+    val s = snapshot.select(col(key),
+      struct(snapshot.columns.filter(_ != key).map(col): _*).as("s_row"))
+    val u = updates.select(col(key),
+      struct(updates.columns.filter(_ != key).map(col): _*).as("u_row"))
+    val merged = s.join(u, Seq(key), "full_outer")
+      .withColumn("action",
+        when(col("u_row").isNull, "keep")
+          .when(col("s_row").isNull, "insert")
+          .otherwise("update"))
+      .withColumn("row", coalesce(col("u_row"), col("s_row")))
+    merged.select(col(key) +: col("action") +:
+      snapshot.columns.filter(_ != key).map(c => col(s"row.$c").as(c)): _*)
+  }
+
   /** String-function battery over customer: substring / concat / pad /
     * case / trim / split — the reference's string surface (SURVEY §2f)
     * on a table the oracle can read.

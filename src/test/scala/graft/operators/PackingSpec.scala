@@ -68,6 +68,43 @@ class PackingSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("merge1: actions partition the keyspace and values follow the winner") {
+    val snap = Tables.orders(spark, sf).select("o_orderkey", "o_custkey",
+      "o_totalprice", "o_orderstatus")
+    val upd = Fixtures.orderUpdates(snap)
+    val out = Relational.merge1Upsert(snap, upd, "o_orderkey")
+    // cardinality: every snapshot key survives, every new key inserts
+    val nSnap = snap.count()
+    val nNew = upd.filter(col("o_orderstatus") === "N").count()
+    assert(out.count() === nSnap + nNew)
+    // updated keys carry the update's values, not the snapshot's
+    val wrong = out.filter(col("action") === "update")
+      .filter(col("o_orderstatus") =!= "U").count()
+    assert(wrong === 0L)
+    // keep-rows are bit-identical to the snapshot
+    val kept = out.filter(col("action") === "keep")
+      .drop("action")
+    assert(kept.exceptAll(snap.join(upd.select("o_orderkey"),
+      Seq("o_orderkey"), "left_anti")).count() === 0L)
+  }
+
+  test("zorder: block bounding boxes are tighter than the unclustered layout") {
+    val blocks = Packing.zorderBlocks(spark, sf).collect()
+    assert(blocks.nonEmpty)
+    // Z-order locality: the mean per-block x-range must be far below
+    // the global x-range (a random partition would span nearly all of
+    // it) — this is the file-skipping win the layout exists for.
+    val xSpans = blocks.map(r => r.getLong(3) - r.getLong(2))
+    val globalMin = blocks.map(_.getLong(2)).min
+    val globalMax = blocks.map(_.getLong(3)).max
+    val meanSpan = xSpans.sum.toDouble / xSpans.length
+    assert(meanSpan < (globalMax - globalMin) * 0.8,
+      s"blocks show no x locality: mean span $meanSpan of ${globalMax - globalMin}")
+    // row conservation
+    assert(blocks.map(_.getLong(1)).sum ===
+      Tables.lineitem(spark, sf).count())
+  }
+
   test("s9: read-back is partition-pruned and round-trips exactly") {
     val df = Audits.s9PartitionedSink(spark, sf)
     val rows = df.collect()
