@@ -61,6 +61,9 @@ object SparkEntry {
     "str1_functions"    -> (Relational.str1Functions(_, _)),
     "stat1_percentiles" -> (Relational.stat1Percentiles(_, _)),
     "stat2_approx_distinct" -> (Relational.stat2ApproxDistinct(_, _)),
+    "stat4_approx_quantiles" -> (Relational.stat4ApproxQuantiles(_, _)),
+    "g3_pivot" -> (Relational.g3Pivot(_, _)),
+    "g4_unpivot" -> (Relational.g4Unpivot(_, _)),
     "asof_event_orders" -> (AsOf.asofEventOrders(_, _)),
     // ---- reference audit surface (SURVEY §2b) ----
     "a1_group_count"    -> (Audits.a1GroupCount(_, _)),
@@ -143,6 +146,7 @@ object SparkEntry {
         Seq("spark", "query", "filter"))),
     "text_unigram_lm"   -> (TextAnalysis.unigramLogProb(_, _)),
     "filter_dsir"       -> (TextAnalysis.dsirWeights(_, _)),
+    "text_heavy_hitters" -> (TextAnalysis.heavyHitters(_, _)),
     "pack1_sequences"   -> (Packing.packSequences(_, _)),
     "chunk1_rag"        -> (Packing.ragChunks(_, _)),
     "s9_partitioned_sink" -> (Audits.s9PartitionedSink(_, _)),
@@ -547,6 +551,29 @@ object SparkEntry {
          WHERE a.doc_id < b.doc_id
            AND CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE) /
              len(list_distinct(list_concat(a.tset, b.tset))) >= 0.6""",
+    "stat4_approx_quantiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.5), 4) AS exact_p50,
+         count(*) AS n,
+         CAST(1 AS BIGINT) AS rank_within_bound
+         FROM events GROUP BY event_type""",
+    "g3_pivot" ->
+      """SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase
+         FROM events GROUP BY user_id""",
+    "g4_unpivot" ->
+      """WITH wide AS (SELECT l_returnflag,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(count(*) AS DOUBLE) AS n_items,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+         UNION ALL
+         SELECT l_returnflag, 'n_items', n_items FROM wide
+         UNION ALL
+         SELECT l_returnflag, 'sum_price', sum_price FROM wide""",
     "stat1_percentiles" ->
       """SELECT event_type,
          round(quantile_cont(value, 0.5), 4) AS p50,
@@ -690,6 +717,16 @@ object SparkEntry {
         CAST(CASE WHEN CAST(sum(lr) AS BIGINT) > 0 THEN 1 ELSE 0 END
           AS BIGINT) AS keep
       FROM sc GROUP BY doc_id""",
+    "text_heavy_hitters" -> raw"""
+      WITH tk AS (SELECT
+          unnest(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0)) AS tok
+        FROM documents),
+      tot AS (SELECT count(*) AS n FROM tk),
+      f AS (SELECT tok, count(*) AS freq FROM tk GROUP BY tok)
+      SELECT tok, freq, tot.n AS n,
+        CAST(1 AS BIGINT) AS found, CAST(1 AS BIGINT) AS bound_ok
+      FROM f, tot WHERE freq > CAST(tot.n AS DOUBLE) / 31""",
     "pack1_sequences" -> raw"""
       WITH base AS (SELECT doc_id, source,
           CAST(len(list_filter(string_split_regex(lower(text), '\s+'),

@@ -26,7 +26,12 @@ object GraftFunctions {
         .BloomFilterAggregate(es(0), es(1), es(2))),
     "bloom_might_contain" -> (es =>
       new org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(es(0), es(1))))
+        .BloomFilterMightContain(es(0), es(1))),
+    // Misra-Gries heavy-hitters sketch: mg_topk(strCol, capacity) →
+    // map<string,bigint> of surviving counters (capacity must be a
+    // literal — it sizes every task's constant-memory buffer)
+    "mg_topk" -> (es => MisraGriesAgg(es(0),
+      es(1).eval().asInstanceOf[Number].intValue)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

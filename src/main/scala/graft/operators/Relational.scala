@@ -356,6 +356,66 @@ object Relational {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Relational pivot via the dedicated `pivot()` operator (oq3 does
+    * the same reshaping as hand-written conditional aggregates — this
+    * is the declarative face). Pivot values are pinned explicitly:
+    * Catalyst then plans a SINGLE aggregation pass with one conditional
+    * agg per cell, no values-discovery pre-query and no second job —
+    * exactly the oq3 plan, derived instead of hand-built. */
+  def g3Pivot(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+  }
+
+  /** Unpivot/melt — the inverse reshape: wide per-flag aggregate
+    * columns back to (flag, metric, value) rows. Runs on the OUTPUT of
+    * an aggregation (6 rows), so the variable-to-rows fan-out costs
+    * nothing; at scale unpivot-before-aggregate is the layout for
+    * metric stores where each metric is its own row key. */
+  def g4Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val wide = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).cast("double").as("n_items"),
+        round(sum(dec(col("l_extendedprice"))).cast("double"), 2)
+          .as("sum_price"))
+    wide.unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty").cast("double").as("sum_qty"),
+          col("n_items"), col("sum_price")),
+        "metric", "value")
+  }
+
+  /** Approximate quantiles with the sketch's deterministic rank-error
+    * contract (GK summaries at accuracy a guarantee rank error
+    * ≤ n/a — a hard bound, not probabilistic). The sketch VALUE depends
+    * on merge order, so the portable, hash-stable output is the exact
+    * quantile plus the verified flag that the sketch answer's rank
+    * error sits inside the bound — same oracle pattern as the HLL
+    * sketch (stat2). At 100 TB the sketch is the only quantile plan:
+    * constant-size mergeable partials vs a full sort. */
+  def stat4ApproxQuantiles(s: SparkSession, dir: String,
+                           accuracy: Int = 100): DataFrame = {
+    val e = Tables.events(s, dir)
+    val sk = e.groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), lit(0.5), lit(accuracy))
+          .as("approx_p50"),
+        expr("percentile(value, 0.5)").as("exact_p50"),
+        count(lit(1)).as("n"))
+    // rank of the approx answer, exactly: one broadcast join back
+    val ranked = e.join(broadcast(sk), "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("exact_p50")).as("exact_p50"),
+        first(col("n")).as("n"),
+        sum((col("value") <= col("approx_p50")).cast("long")).as("rank_approx"))
+    ranked.select(col("event_type"),
+      round(col("exact_p50"), 4).as("exact_p50"), col("n"),
+      (abs(col("rank_approx") - col("n") / 2) <=
+        col("n") / accuracy + 1).cast("long").as("rank_within_bound"))
+  }
+
   /** Set operations: distinct click-users vs purchase-users — UNION /
     * INTERSECT / EXCEPT cardinalities derived from ONE membership
     * aggregation. The naive form (2 distincts + union-distinct +

@@ -349,6 +349,39 @@ object TextAnalysis {
       .withColumn("keep", (col("lr_total_micro") > 0L).cast("long"))
   }
 
+  /** Corpus heavy hitters through the native Misra-Gries sketch
+    * aggregate ([[graft.functions.MisraGriesAgg]], registered as
+    * `mg_topk`): constant-memory per-task counters, associative
+    * partial-sketch merges — the frequency plan that never shuffles
+    * the key space. The capacity (30) sits BELOW the corpus vocabulary
+    * (31+), so the sketch genuinely evicts and the guarantee — every
+    * token with true frequency above n/(capacity+1) survives with
+    * estimate error ≤ n/(capacity+1) — is exercised, not vacuous.
+    *
+    * Estimates are merge-order dependent, so the oracle-stable output
+    * is the exactly-computed heavy-hitter set with the two guaranteed
+    * flags (found / bound_ok), mirroring the stat2 HLL discipline. */
+  def heavyHitters(s: SparkSession, dir: String,
+                   capacity: Int = 30): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val d = Tables.documents(s, dir)
+    val toks = d.select(explode(tokens(lower(col("text")))).as("tok"))
+    val sketch = toks.agg(expr(s"mg_topk(tok, $capacity)").as("sk"))
+    val nTotal = d.select(sum(size(tokens(lower(col("text")))).cast("long"))
+      .as("n"))
+    val bound = col("n").cast("double") / (capacity + 1)
+    val est = element_at(col("sk"), col("tok"))
+    toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(nTotal))
+      .filter(col("freq") > bound)
+      .crossJoin(broadcast(sketch))
+      .select(col("tok"), col("freq"), col("n"),
+        est.isNotNull.cast("long").as("found"),
+        (est.isNotNull && est <= col("freq") &&
+          (col("freq") - est).cast("double") <= bound)
+          .cast("long").as("bound_ok"))
+  }
+
   /** Benchmark-contamination check — the decontamination step of a
     * training-data pipeline: the fraction of each corpus document's
     * distinct n-grams that appear in the evaluation set's n-gram set

@@ -137,4 +137,34 @@ class FunctionsSpec extends SparkSpec {
         col("embedding").cast("array<double>")).as("c"))
     assert(self.filter(abs(col("c") - 1.0) > 1e-12).count() === 0)
   }
+
+  test("mg_topk: capacity above cardinality recovers exact counts") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val data = Seq.tabulate(3000)(i => s"k${i % 17}").toDF("s")
+      .repartition(7) // force partial sketches + merges
+    val m = data.agg(expr("mg_topk(s, 64)")).collect()
+      .head.getAs[Map[String, Long]](0)
+    val exact = data.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === exact)
+  }
+
+  test("mg_topk: heavy hitter survives adversarial tail under eviction") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // one item at 30%, a 1000-distinct uniform tail; capacity 10 ⇒
+    // constant evictions, yet freq > n/11 guarantees survival with
+    // bounded undercount — across any partitioning/merge order
+    val rows = Seq.fill(3000)("hot") ++ Seq.tabulate(7000)(i => s"t${i % 1000}")
+    for (parts <- Seq(1, 5, 13)) {
+      val m = rows.toDF("s").repartition(parts)
+        .agg(expr("mg_topk(s, 10)")).collect()
+        .head.getAs[Map[String, Long]](0)
+      val est = m.getOrElse("hot", 0L)
+      assert(est > 0L, s"heavy hitter evicted at parts=$parts")
+      assert(est <= 3000L, s"overcount at parts=$parts: $est")
+      assert(3000L - est <= 10000L / 11 + 1, s"bound broken at parts=$parts: $est")
+    }
+  }
 }
