@@ -35,6 +35,26 @@ object Bench {
     // process's output, so every spurious digit of a 77-entry map costs
     // visibility of another entry.
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
+    // reference-scale OSM pipeline (~100 MB XML) runs FIRST, on the
+    // fresh JVM: after ~300 query executions the accumulated heap /
+    // codegen-cache state inflated the OSM phases 3-8x (measured 64s
+    // vs 10s isolated for the PBF shape). Query timings are immune to
+    // the ordering — each is min-of-N with clearCache between.
+    // Every phase inside OsmBench.run has its own budget (sum ≈ 415s)
+    // and degrades to -1 alone; this outer cap is only the backstop
+    // against a phase that ignores interruption — a contended host must
+    // degrade phases to explicit markers, never hang the whole run.
+    val osm = try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future(graft.osm.OsmBench.run(spark).json), 480.seconds)
+    } catch {
+      case _: Throwable =>
+        spark.sparkContext.cancelAllJobs()
+        "\"osm_failed\":true"
+    }
+    spark.catalog.clearCache() // no OSM residue in the first query's cold time
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val cold = once(fn)
       val warm = if (cold < 0) -1.0
@@ -64,21 +84,6 @@ object Bench {
     val failed = results.filter(r => r._2 < 0 || r._3 < 0).map(r => "\"" + r._1 + "\"")
       .mkString("[", ",", "]")
     val nFailed = results.count(r => r._2 < 0 || r._3 < 0)
-    // reference-scale OSM pipeline (~100 MB XML), timed alongside.
-    // Every phase inside OsmBench.run has its own budget (sum ≈ 415s)
-    // and degrades to -1 alone; this outer cap is only the backstop
-    // against a phase that ignores interruption — a contended host must
-    // degrade phases to explicit markers, never hang the whole run.
-    val osm = try {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration._
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(Future(graft.osm.OsmBench.run(spark).json), 480.seconds)
-    } catch {
-      case _: Throwable =>
-        spark.sparkContext.cancelAllJobs()
-        "\"osm_failed\":true"
-    }
     // Full-detail line: every query + every OSM phase. Too long to be
     // machine-parsed from a 2000-char output tail, but the judge reads
     // the tail by eye and most of this line stays visible in it.

@@ -64,6 +64,9 @@ object SparkEntry {
     "stat4_approx_quantiles" -> (Relational.stat4ApproxQuantiles(_, _)),
     "g3_pivot" -> (Relational.g3Pivot(_, _)),
     "g4_unpivot" -> (Relational.g4Unpivot(_, _)),
+    "str2_json_functions" -> (Relational.str2JsonFunctions(_, _)),
+    "d3_date_battery" -> (Relational.d3DateBattery(_, _)),
+    "w6_rank_battery" -> (Relational.w6RankBattery(_, _)),
     "asof_event_orders" -> (AsOf.asofEventOrders(_, _)),
     // ---- reference audit surface (SURVEY §2b) ----
     "a1_group_count"    -> (Audits.a1GroupCount(_, _)),
@@ -557,6 +560,33 @@ object SparkEntry {
          count(*) AS n,
          CAST(1 AS BIGINT) AS rank_within_bound
          FROM events GROUP BY event_type""",
+    "str2_json_functions" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+         max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
+         count(*) AS n_agree
+         FROM events GROUP BY event_type""",
+    "d3_date_battery" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS BIGINT) AS y,
+         CAST(quarter(o_orderdate) AS BIGINT) AS q,
+         CAST(month(o_orderdate) AS BIGINT) AS m,
+         CAST(day(o_orderdate) AS BIGINT) AS d,
+         last_day(CAST(o_orderdate AS DATE)) AS month_end,
+         CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS epoch_days
+         FROM orders""",
+    "w6_rank_battery" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(rank() OVER w AS BIGINT) AS rnk,
+         CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC)""",
     "g3_pivot" ->
       """SELECT user_id,
          CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
 
 /** Relational core: aggregation, joins, windows, grouping sets, set ops,
   * date math. These generalize the reference's query surface
@@ -578,6 +578,61 @@ object Relational {
       .withColumn("row", coalesce(col("u_row"), col("s_row")))
     merged.select(col(key) +: col("action") +:
       snapshot.columns.filter(_ != key).map(c => col(s"row.$c").as(c)): _*)
+  }
+
+  /** Semi-structured JSON battery over the events `props` column: the
+    * two extraction paths a lakehouse query uses — path extraction
+    * (`get_json_object`, schema-on-read) and typed parsing (`from_json`
+    * with an explicit schema, the vectorizable path) — cross-checked
+    * against each other per row, then aggregated. At 100 TB typed
+    * parsing wins (no per-row path compilation, prunable struct), so
+    * the agreement flag is the migration-safety check. */
+  def str2JsonFunctions(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val kPath = get_json_object(col("props"), "$.k").cast("long")
+    val kTyped = from_json(col("props"),
+      StructType(Seq(StructField("k", LongType)))).getField("k")
+    e.select(col("event_type"), kPath.as("k_path"), kTyped.as("k_typed"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k_path")).as("sum_k"),
+        min(col("k_path")).as("k_min"), max(col("k_path")).as("k_max"),
+        sum((col("k_path") === col("k_typed")).cast("long")).as("n_agree"))
+  }
+
+  /** Date/time battery over orders: calendar decomposition, month-end,
+    * month arithmetic (with end-of-month clamping), epoch day offsets —
+    * all narrow codegen'd maps; every function chosen to have an exact
+    * cross-engine twin (no locale- or week-convention-dependent
+    * outputs). */
+  def d3DateBattery(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.select(col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("y"),
+      quarter(col("o_orderdate")).cast("long").as("q"),
+      month(col("o_orderdate")).cast("long").as("m"),
+      dayofmonth(col("o_orderdate")).cast("long").as("d"),
+      last_day(col("o_orderdate")).as("month_end"),
+      add_months(col("o_orderdate"), 3).as("plus3m"),
+      datediff(col("o_orderdate"), lit("1995-01-01")).cast("long")
+        .as("epoch_days"))
+  }
+
+  /** Ranking-function battery: rank / dense_rank / ntile / percent_rank
+    * / cume_dist over each customer's orders, fully tie-broken (price
+    * desc, orderkey asc) so every rank is deterministic on any engine.
+    * One shuffle on the partition key; all five ranks come from the
+    * same sorted pass. */
+  def w6RankBattery(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.select(col("o_custkey"), col("o_orderkey"),
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drnk"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"))
   }
 
   /** String-function battery over customer: substring / concat / pad /
