@@ -159,6 +159,17 @@ object SparkEntry {
     "mm2_frames"        -> (Multimodal.frameSample(_, _)),
     "mm3_resize"        -> (Multimodal.resize(_, _)),
     "mm3_audio"         -> (Multimodal.audioFeatures(_, _)),
+    // ---- round-4b: subqueries, multisets, moments, BPE, span dedup ----
+    "sub1_subqueries"   -> (Relational.sub1Subqueries(_, _)),
+    "sql4_big_orders"   -> (Relational.sql4BigOrders(_, _)),
+    "set2_multiset"     -> (Relational.set2Multiset(_, _)),
+    "j5_null_safe_join" -> (Relational.j5NullSafeJoin(_, _)),
+    "stat5_moments"     -> (Relational.stat5Moments(_, _)),
+    "arr1_hof_battery"  -> (Similarity.hofBattery(_, _)),
+    "text_bpe_pairs"    -> (TextAnalysis.bpePairs(_, _)),
+    "mix1_domain_weights" -> (TextAnalysis.domainMix(_, _)),
+    "dedup_spans"       -> ((s, dir) =>
+      Dedup.dupSpans(Tables.documents(s, dir))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1150,6 +1161,118 @@ object SparkEntry {
         round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) AS cos_sim
       FROM assigned a, q WHERE a.cell IN (SELECT cell FROM probes)
       ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
+    // ---- round-4b ----
+    "sub1_subqueries" ->
+      """SELECT c.c_mktsegment,
+         count(*) AS n_customers,
+         CAST(sum(CASE WHEN EXISTS (
+           SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_with_filled,
+         CAST(sum(CASE WHEN NOT EXISTS (
+           SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive
+         FROM customer c
+         WHERE c.c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2)))
+                                     AS DOUBLE) / count(*) FROM customer)
+            OR c.c_custkey IN (SELECT o_custkey FROM orders
+                               WHERE o_totalprice > 100000)
+         GROUP BY c.c_mktsegment""",
+    "sql4_big_orders" ->
+      """SELECT c_name, o_orderkey,
+         CAST(o_totalprice AS DOUBLE) AS total_price,
+         CAST(h.sum_qty AS DOUBLE) AS sum_qty
+         FROM orders
+         JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+               FROM lineitem GROUP BY 1
+               HAVING sum(l_quantity) > 190) h ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY sum_qty DESC, o_orderkey ASC LIMIT 10""",
+    "set2_multiset" ->
+      """WITH c AS (SELECT user_id, CAST(floor(value) AS BIGINT) AS bucket
+                    FROM events WHERE event_type = 'click'),
+         v AS (SELECT user_id, CAST(floor(value) AS BIGINT) AS bucket
+               FROM events WHERE event_type = 'view')
+         SELECT 'intersect_all' AS op, count(*) AS n
+           FROM (SELECT * FROM c INTERSECT ALL SELECT * FROM v)
+         UNION ALL SELECT 'except_all', count(*)
+           FROM (SELECT * FROM c EXCEPT ALL SELECT * FROM v)
+         UNION ALL SELECT 'union_all', count(*)
+           FROM (SELECT * FROM c UNION ALL SELECT * FROM v)""",
+    "j5_null_safe_join" ->
+      """WITH l AS (SELECT nullif(user_id % 10, 0) AS bucket,
+                    count(*) AS n_clicks
+                    FROM events WHERE event_type = 'click' GROUP BY 1),
+         r AS (SELECT nullif(user_id % 10, 0) AS bucket,
+               count(*) AS n_purchases
+               FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT CAST(l.bucket AS BIGINT) AS bucket, n_clicks, n_purchases
+         FROM l JOIN r ON l.bucket IS NOT DISTINCT FROM r.bucket""",
+    "stat5_moments" ->
+      """WITH e AS (SELECT event_type, value,
+           CAST(user_id % 97 AS DOUBLE) AS x FROM events)
+         SELECT event_type,
+           round(corr(x, value), 5) AS corr_xy,
+           round(covar_samp(x, value), 4) AS covar,
+           round(stddev_samp(value), 4) AS sd_value,
+           round(var_samp(value), 3) AS var_value,
+           round(covar_samp(x, value) / var_samp(x), 6) AS slope,
+           count(*) AS n
+         FROM e GROUP BY event_type""",
+    "arr1_hof_battery" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                    FROM embeddings WHERE vec_id < 50)
+         SELECT vec_id,
+           round(list_aggregate(list_transform(emb, x -> abs(x)), 'sum'), 5)
+             AS l1_norm,
+           CAST(len(list_filter(emb, x -> x > 0)) AS BIGINT) AS n_positive,
+           round(list_aggregate(emb, 'max'), 6) AS max_component,
+           round(list_aggregate(
+             list_transform(range(1, len(emb) + 1),
+               i -> emb[i] * emb[len(emb) - i + 1]), 'sum'), 5) AS rev_dot
+         FROM e""",
+    "text_bpe_pairs" -> raw"""
+      WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                   x -> len(x) > 0) AS tk FROM documents),
+      g AS (SELECT unnest(CASE WHEN len(tk) >= 2
+              THEN list_transform(range(1, len(tk)),
+                i -> tk[i] || ' ' || tk[i+1])
+              ELSE CAST([] AS VARCHAR[]) END) AS pair FROM t)
+      SELECT pair, count(*) AS n FROM g GROUP BY 1
+      ORDER BY n DESC, pair ASC LIMIT 25""",
+    "mix1_domain_weights" -> raw"""
+      WITH d AS (SELECT lang AS domain,
+             CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0))) AS BIGINT) AS domain_tokens,
+             count(*) AS n_docs
+             FROM documents GROUP BY 1),
+      t AS (SELECT CAST(sum(domain_tokens) AS BIGINT) AS total_tokens,
+            count(*) AS n_domains FROM d)
+      SELECT domain, domain_tokens, n_docs,
+        round(domain_tokens / total_tokens, 6) AS share,
+        round(1.0 / n_domains, 6) AS target_share,
+        round((1.0 / n_domains) / (domain_tokens / total_tokens), 4)
+          AS weight,
+        CAST(ceil((1.0 / n_domains) * total_tokens / domain_tokens)
+          AS BIGINT) AS epochs_needed
+      FROM d, t""",
+    "dedup_spans" -> raw"""
+      WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> len(x) > 0) AS tk FROM documents),
+      s AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 8
+              THEN list_distinct(list_transform(range(0, len(tk) - 7),
+                i -> md5(array_to_string(tk[i+1:i+8], ' '))))
+              ELSE [md5(array_to_string(tk, ' '))] END) AS span FROM t),
+      f AS (SELECT span, count(*) AS df FROM s GROUP BY 1)
+      SELECT s.doc_id, count(*) AS n_spans,
+        CAST(sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_spans,
+        round(CAST(sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*), 6) AS dup_frac,
+        (sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) * 2 <= count(*)) AS keep
+      FROM s JOIN f ON s.span = f.span
+      GROUP BY s.doc_id""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -273,4 +273,36 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Duplicated-span detection (substring dedup, Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better",
+    * approximated at n-gram-span granularity): for each document, how
+    * many of its n-token spans also appear in ANOTHER document. Spans
+    * are keyed by md5 digest, so the two shuffles (span→doc-frequency,
+    * doc→rollup) carry fixed-width keys, never text — and the digest is
+    * engine-reproducible, which is what lets DuckDB replay the whole
+    * computation as the oracle. Distinct spans per doc first (a narrow
+    * array_distinct), so a span repeated inside one doc doesn't count
+    * itself as cross-doc. At 100 TB the span→count map is the big
+    * intermediate; both aggregations partial-aggregate map-side.
+    */
+  def dupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val tk = col("tk")
+    val spans = when(size(tk) >= n,
+      array_distinct(transform(sequence(lit(0), size(tk) - n),
+        i => md5(concat_ws(" ", slice(tk, i + 1, lit(n)))))))
+      .otherwise(array(md5(concat_ws(" ", tk))))
+    val docSpans = docs
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), explode(spans).as("span"))
+    val spanDf = docSpans.groupBy(col("span"))
+      .agg(count(lit(1)).as("df")) // distinct-per-doc ⇒ count == doc freq
+    docSpans.join(spanDf, "span")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans") / col("n_spans"), 6).as("dup_frac"),
+        (col("n_dup_spans") * 2 <= col("n_spans")).as("keep"))
+  }
 }

@@ -652,4 +652,123 @@ object Relational {
       trim(lit("  x  ")).as("trimmed"),
       element_at(split(col("c_name"), "#"), 1).as("name_prefix"))
   }
+
+  /** Subquery battery: scalar subquery, uncorrelated IN, correlated
+    * EXISTS and NOT EXISTS in one statement. Catalyst de-correlates all
+    * four (RewritePredicateSubquery → semi/anti joins, scalar subquery →
+    * one-row broadcast), so none of them becomes a per-row re-execution —
+    * the property that makes subqueries usable at 100 TB. The plan is
+    * asserted join-based in PlanSpec.
+    */
+  def sub1Subqueries(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT c.c_mktsegment,
+        count(*) AS n_customers,
+        CAST(sum(CASE WHEN EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_with_filled,
+        CAST(sum(CASE WHEN NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive
+      FROM customer c
+      -- exact-decimal sum / count: double avg is summation-order-
+      -- dependent and this threshold feeds a predicate, so the scalar
+      -- subquery must be bit-reproducible by the oracle engine
+      WHERE c.c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2)))
+                                  AS DOUBLE) / count(*) FROM customer)
+         OR c.c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 100000)
+      GROUP BY c.c_mktsegment""")
+  }
+
+  /** TPC-H Q18 shape (large-volume customers): pre-aggregate lineitem
+    * per order, HAVING-filter to the heavy tail, then join back to
+    * orders/customer. Aggregating BEFORE the join is the load-bearing
+    * choice: the join input shrinks from every lineitem row to one row
+    * per qualifying order, and customer broadcasts. Top-k is a pinned
+    * total order (TakeOrderedAndProject — no global sort).
+    */
+  def sql4BigOrders(s: SparkSession, dir: String, minQty: Int = 190,
+                    k: Int = 10): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val heavy = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    Tables.orders(s, dir)
+      .join(heavy, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("total_price"),
+        col("sum_qty").cast("double").as("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey").asc)
+      .limit(k)
+  }
+
+  /** Multiset (bag) set operations: INTERSECT ALL / EXCEPT ALL / UNION
+    * ALL with duplicate-preserving semantics, counted. Spark plans
+    * intersectAll/exceptAll as a single count-pairing aggregate per
+    * input plus one join — duplicates never expand (generate replays
+    * counts), so the exchange carries distinct rows + a count, the
+    * shape that survives a skewed bag at scale.
+    */
+  def set2Multiset(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    def bag(t: String) = e.filter(col("event_type") === t)
+      .select(col("user_id"), floor(col("value")).cast("long").as("bucket"))
+    val clicks = bag("click")
+    val views  = bag("view")
+    val rows = Seq(
+      ("intersect_all", clicks.intersectAll(views)),
+      ("except_all",    clicks.exceptAll(views)),
+      ("union_all",     clicks.unionAll(views)))
+      .map { case (op, df) =>
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      }
+    rows.reduce(_ unionAll _)
+  }
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): null keys
+    * match each other instead of vanishing. Null keys are synthesized
+    * deterministically (device bucket 0 → null) on both sides; the join
+    * stays a hash join — Spark hashes the null bucket like any other
+    * key value, so the plan is identical to a plain equi-join (no
+    * null-filter + union-of-two-joins rewrite needed).
+    */
+  def j5NullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    def side(t: String, out: String) = e
+      .filter(col("event_type") === t)
+      .groupBy(nullif(pmod(col("user_id"), lit(10L)), lit(0L)).as("bucket"))
+      .agg(count(lit(1)).as(out))
+    val l = side("click", "n_clicks")
+    val r = side("purchase", "n_purchases")
+    l.join(r, l("bucket") <=> r("bucket"))
+      .select(l("bucket").cast("long").as("bucket"),
+        col("n_clicks"), col("n_purchases"))
+  }
+
+  /** Second-moment statistics battery: correlation, sample covariance /
+    * variance / stddev, plus the regression slope derived from them —
+    * all single-pass streaming aggregates (Welford-style partial
+    * states merge associatively), so one scan + a tiny exchange of
+    * per-partition moment tuples regardless of input size.
+    */
+  def stat5Moments(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), col("value"),
+        (col("user_id") % 97).cast("double").as("x"))
+    e.groupBy(col("event_type"))
+      .agg(
+        round(corr(col("x"), col("value")), 5).as("corr_xy"),
+        round(covar_samp(col("x"), col("value")), 4).as("covar"),
+        round(stddev_samp(col("value")), 4).as("sd_value"),
+        round(var_samp(col("value")), 3).as("var_value"),
+        round(covar_samp(col("x"), col("value")) /
+          var_samp(col("x")), 6).as("slope"),
+        count(lit(1)).as("n"))
+  }
 }

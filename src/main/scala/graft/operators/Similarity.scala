@@ -355,4 +355,26 @@ object Similarity {
       .groupBy(col("label"), col("pos").cast("long").as("dim"))
       .agg(round(avg(col("col").cast("double")), 6).as("centroid"))
   }
+
+  /** Higher-order-function battery over the embedding column: L1 norm
+    * (transform+aggregate fold), positive-component count (filter),
+    * max component (array_max), and the self-reversed dot product
+    * (zip_with + fold). Everything is a narrow per-row projection —
+    * zero exchanges, zero UDFs — demonstrating that vector arithmetic
+    * belongs INSIDE the row pipeline, not in a driver loop or a Python
+    * worker. Folds run left-to-right in double so any engine that sums
+    * in array order reproduces them bit-for-bit.
+    */
+  def hofBattery(s: SparkSession, dir: String): DataFrame = {
+    val emb = col("embedding").cast("array<double>")
+    Tables.embeddings(s, dir).filter(col("vec_id") < 50)
+      .select(
+        col("vec_id"),
+        round(aggregate(transform(emb, x => abs(x)), lit(0.0d),
+          (acc, x) => acc + x), 5).as("l1_norm"),
+        size(filter(emb, x => x > 0)).cast("long").as("n_positive"),
+        round(array_max(emb), 6).as("max_component"),
+        round(aggregate(zip_with(emb, reverse(emb), (a, b) => a * b),
+          lit(0.0d), (acc, x) => acc + x), 5).as("rev_dot"))
+  }
 }

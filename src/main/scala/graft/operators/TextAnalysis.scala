@@ -446,4 +446,55 @@ object TextAnalysis {
       .filter(col("rn") <= k)
       .select(col("lang"), col("ngram"), col("n"), col("rn").cast("long").as("rank"))
   }
+
+  /** BPE pair counting — the inner loop of byte-pair-encoding tokenizer
+    * training: count adjacent symbol pairs across the corpus and take
+    * the top-k merge candidates. Tokenize once, form pairs as a narrow
+    * zip_with over two slices of the SAME token array (no self-join, no
+    * second tokenize), explode, then count. The count aggregate partial-
+    * aggregates before its exchange — at 100 TB the shuffle carries one
+    * (pair, partial_n) row per distinct pair per task, never the corpus.
+    * Top-k is TakeOrderedAndProject with a pinned tie order.
+    */
+  def bpePairs(s: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val tk = col("tk")
+    val pairs = when(size(tk) >= 2,
+      zip_with(slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+    d.select(tokens(lower(col("text"))).as("tk"))
+      .select(explode(pairs).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+  }
+
+  /** Domain-mixing weights (DoReMi/data-mixture flavor): per-domain
+    * token shares vs a target distribution, emitting the sampling
+    * multiplier and the epochs-over-domain needed to hit target. One
+    * narrow token-count projection + a tiny groupBy(domain) — the
+    * all-domain totals come from a single-row broadcast crossJoin, not
+    * a window over the corpus. Target here is uniform over domains;
+    * the operator takes any target map at call sites.
+    */
+  def domainMix(s: SparkSession, dir: String): DataFrame = {
+    val perDomain = Tables.documents(s, dir)
+      .select(col("lang").as("domain"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("domain"))
+      .agg(sum(col("n_tok")).as("domain_tokens"),
+        count(lit(1)).as("n_docs"))
+    val totals = perDomain.agg(
+      sum(col("domain_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_domains"))
+    perDomain.crossJoin(broadcast(totals))
+      .select(col("domain"), col("domain_tokens"), col("n_docs"),
+        round(col("domain_tokens") / col("total_tokens"), 6).as("share"),
+        round(lit(1.0) / col("n_domains"), 6).as("target_share"),
+        // sampling multiplier: how much to over/under-sample this domain
+        round((lit(1.0) / col("n_domains")) /
+          (col("domain_tokens") / col("total_tokens")), 4).as("weight"),
+        ceil((lit(1.0) / col("n_domains")) * col("total_tokens") /
+          col("domain_tokens")).cast("long").as("epochs_needed"))
+  }
 }
