@@ -170,6 +170,14 @@ object SparkEntry {
     "mix1_domain_weights" -> (TextAnalysis.domainMix(_, _)),
     "dedup_spans"       -> ((s, dir) =>
       Dedup.dupSpans(Tables.documents(s, dir))),
+    // ---- round-4c: event analytics, grouping sets, lateral, regex, maps ----
+    "g5_grouping_sets"  -> (Relational.g5GroupingSets(_, _)),
+    "sql5_lateral_topn" -> (Relational.sql5LateralTopN(_, _)),
+    "str3_regex"        -> (Relational.str3Regex(_, _)),
+    "map1_functions"    -> (Relational.map1Functions(_, _)),
+    "ev1_funnel"        -> (EventAnalytics.funnel(_, _)),
+    "ev2_cohort"        -> (EventAnalytics.cohortRetention(_, _)),
+    "ev3_gapfill"       -> (EventAnalytics.gapFill(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1273,6 +1281,88 @@ object SparkEntry {
         (sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) * 2 <= count(*)) AS keep
       FROM s JOIN f ON s.span = f.span
       GROUP BY s.doc_id""",
+    // ---- round-4c ----
+    "g5_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+         CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+         count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                 (o_orderstatus), (o_orderpriority), ())""",
+    "sql5_lateral_topn" ->
+      """SELECT o.o_orderkey, t.l_linenumber,
+         CAST(t.l_extendedprice AS DOUBLE) AS price
+         FROM orders o,
+         LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                  ORDER BY l_extendedprice DESC, l_linenumber ASC
+                  LIMIT 2) t
+         WHERE o.o_orderkey <= 200""",
+    "str3_regex" ->
+      """SELECT c_custkey,
+         coalesce(regexp_extract(c_name, '([0-9]+)', 1), '') AS name_digits,
+         CAST(len(regexp_extract_all(lower(c_mktsegment), '[aeiou]+', 0)) AS BIGINT)
+           AS n_vowel_runs,
+         regexp_matches(c_mktsegment, '^(BUILD|AUTO)') AS seg_flag,
+         regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked
+         FROM customer""",
+    "map1_functions" ->
+      """SELECT c_custkey,
+         'nation,segment' AS keys_sorted,
+         c_mktsegment AS segment,
+         CAST(2 AS BIGINT) AS map_size,
+         'std' AS tier
+         FROM customer""",
+    "ev1_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+               JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+               JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1),
+         s AS (SELECT '1_view' AS stage, count(*) AS n_users FROM v
+               UNION ALL SELECT '2_click', count(*) FROM c
+               UNION ALL SELECT '3_purchase', count(*) FROM p)
+         SELECT stage, n_users,
+           round(n_users / (SELECT count(*) FROM v), 6) AS conversion
+         FROM s""",
+    "ev2_cohort" ->
+      """WITH e AS (SELECT user_id, date_trunc('week', ts) AS week
+                    FROM events),
+         c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1)
+         SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+           strftime(e.week, '%Y-%m-%d') AS week,
+           CAST(floor(date_diff('day', c.cohort_week, e.week) / 7.0)
+             AS BIGINT) AS week_offset,
+           count(DISTINCT e.user_id) AS n_users
+         FROM e JOIN c ON e.user_id = c.user_id
+         GROUP BY c.cohort_week, e.week""",
+    "ev3_gapfill" ->
+      """WITH t0 AS (SELECT date_trunc('minute', min(ts)) AS t0 FROM events),
+         grid AS (SELECT event_type, unnest(generate_series(
+             t0.t0, t0.t0 + INTERVAL 119 MINUTE, INTERVAL 1 MINUTE))
+             AS minute
+           FROM (SELECT DISTINCT event_type FROM events), t0),
+         pm AS (SELECT event_type, date_trunc('minute', ts) AS minute,
+             round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+               / count(*), 6) AS avg_value,
+             count(*) AS n_events
+           FROM events, t0
+           WHERE date_trunc('minute', ts) < t0.t0 + INTERVAL 120 MINUTE
+           GROUP BY 1, 2)
+         SELECT g.event_type,
+           strftime(g.minute, '%Y-%m-%d %H:%M') AS minute,
+           coalesce(pm.n_events, 0) AS n_events,
+           pm.avg_value IS NULL AS filled,
+           last_value(pm.avg_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.minute
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+         FROM grid g LEFT JOIN pm
+           ON g.event_type = pm.event_type AND g.minute = pm.minute""",
   )
 
   // ---- shared DuckDB oracle fragments ----

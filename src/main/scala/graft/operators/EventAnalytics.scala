@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics: ordered funnels, cohort retention, and
+  * time-series gap filling — the OLAP layer a training-data pipeline's
+  * telemetry (and any product built on the engine) needs over the
+  * `events` table.
+  *
+  * Scale notes: every operator aggregates to user- or time-bucket
+  * granularity before anything wide happens; the per-user stages reuse
+  * one hash partitioning on user_id across consecutive aggregations.
+  * Scalar inputs (stream start, funnel base) stay DataFrames and reach
+  * the plan as single-row broadcasts — no driver round-trips.
+  */
+object EventAnalytics {
+
+  /** Ordered funnel view → click → purchase: a user counts for a stage
+    * only if the stage event happens strictly AFTER their entry into
+    * the previous stage (min-timestamp semantics). Three groupBys on
+    * user_id — same partitioning, so stages 2 and 3 shuffle nothing
+    * new; the stage joins stay co-partitioned. Emits one row per stage
+    * with the conversion rate from stage 1.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    val stages = Seq(("1_view", v), ("2_click", c), ("3_purchase", p))
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+      }.reduce(_ unionAll _)
+    val base = v.agg(count(lit(1)).as("base"))
+    stages.crossJoin(broadcast(base))
+      .select(col("stage"), col("n_users"),
+        round(col("n_users") / col("base"), 6).as("conversion"))
+  }
+
+  /** Cohort retention: users grouped by first-seen week, counted in each
+    * subsequent active week. Two aggregations — user→cohort (one
+    * shuffle on user_id) and (cohort, week)→count (tiny exchange of
+    * bucket pairs). Weeks emitted as date strings, timezone-free.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    e.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), col("week"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(
+        date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        date_format(col("week"), "yyyy-MM-dd").as("week"),
+        floor(datediff(col("week"), col("cohort_week")) / 7).cast("long")
+          .as("week_offset"),
+        col("n_users"))
+  }
+
+  /** Minute-grid gap filling with last-observation-carried-forward:
+    * build the dense minute grid with sequence+explode (no driver
+    * loop), left-join the per-minute aggregate, then LOCF via
+    * last(ignoreNulls) over an unbounded-preceding window per type.
+    * Bounded to the first `minutes` of the stream so the output is a
+    * fixture-sized face; the grid generation itself is O(grid), not
+    * O(events), and at scale is partitioned by (type, day).
+    */
+  def gapFill(s: SparkSession, dir: String, minutes: Int = 120): DataFrame = {
+    val e = Tables.events(s, dir)
+    val bounds = e.agg(date_trunc("minute", min(col("ts"))).as("t0"))
+    val step = expr("INTERVAL 1 MINUTE")
+    val grid = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), col("t0"), explode(sequence(
+        col("t0"), col("t0") + expr(s"INTERVAL ${minutes - 1} MINUTES"),
+        step)).as("minute"))
+    val perMin = e
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), date_trunc("minute", col("ts")).as("minute"),
+        col("value"), col("t0"))
+      .filter(col("minute") < col("t0") + expr(s"INTERVAL $minutes MINUTES"))
+      .groupBy(col("event_type"), col("minute"))
+      // avg as exact-decimal-sum / count: double summation order is
+      // engine-dependent and this value feeds LOCF, so drift would smear
+      .agg(round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast("double") / count(lit(1)), 6).as("avg_value"),
+        count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("minute"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perMin, Seq("event_type", "minute"), "left")
+      .select(col("event_type"),
+        date_format(col("minute"), "yyyy-MM-dd HH:mm").as("minute"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("avg_value").isNull.as("filled"),
+        last(col("avg_value"), ignoreNulls = true).over(w).as("value_locf"))
+  }
+}

@@ -751,6 +751,80 @@ object Relational {
         col("n_clicks"), col("n_purchases"))
   }
 
+  /** GROUPING SETS with grouping() disambiguation: one Expand+aggregate
+    * pass computes all four groupings (the same physical shape as
+    * rollup/cube, but with an explicit set list — the general form).
+    * grouping() flags distinguish "null because aggregated away" from
+    * "null in the data", which rollup consumers need at any scale.
+    */
+  def g5GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+        count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                              (o_orderstatus), (o_orderpriority), ())""")
+  }
+
+  /** Correlated LATERAL subquery: top-2 lineitems per order for a
+    * bounded order slice. Catalyst decorrelates the LIMIT-per-group
+    * into a window (DecorrelateInnerQuery + RewriteLateralSubquery) —
+    * per-group top-k without a per-row re-scan, the only join shape
+    * that survives when the outer side is billions of rows.
+    */
+  def sql5LateralTopN(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT o.o_orderkey, t.l_linenumber,
+        CAST(t.l_extendedprice AS DOUBLE) AS price
+      FROM orders o,
+      LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem l
+               WHERE l.l_orderkey = o.o_orderkey
+               ORDER BY l_extendedprice DESC, l_linenumber ASC
+               LIMIT 2) t
+      WHERE o.o_orderkey <= 200""")
+  }
+
+  /** Regex battery: extract / extract-all-count / match flag. Patterns
+    * stay in the common Java-regex ∩ RE2 dialect (no backrefs, no
+    * lookaround) so any engine reproduces them — the portability
+    * constraint a cross-engine pipeline puts on its regex library.
+    */
+  def str3Regex(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    c.select(
+      col("c_custkey"),
+      regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
+      size(regexp_extract_all(lower(col("c_mktsegment")), lit("[aeiou]+"), lit(0)))
+        .cast("long").as("n_vowel_runs"),
+      col("c_mktsegment").rlike("^(BUILD|AUTO)").as("seg_flag"),
+      regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"))
+  }
+
+  /** Map-typed column battery: build a map from scalar columns, then
+    * read it back out (keys, lookup, size, merged literal map). The
+    * map stays inside the row pipeline — MapType is Tungsten-encoded,
+    * so none of this leaves codegen or shuffles anything.
+    */
+  def map1Functions(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val m = map(
+      lit("segment"), col("c_mktsegment"),
+      lit("nation"), col("c_nationkey").cast("string"))
+    c.select(
+      col("c_custkey"),
+      concat_ws(",", array_sort(map_keys(m))).as("keys_sorted"),
+      element_at(m, "segment").as("segment"),
+      size(m).cast("long").as("map_size"),
+      element_at(map_concat(m, map(lit("tier"), lit("std"))), "tier")
+        .as("tier"))
+  }
+
   /** Second-moment statistics battery: correlation, sample covariance /
     * variance / stddev, plus the regression slope derived from them —
     * all single-pass streaming aggregates (Welford-style partial
