@@ -178,6 +178,10 @@ object SparkEntry {
     "ev1_funnel"        -> (EventAnalytics.funnel(_, _)),
     "ev2_cohort"        -> (EventAnalytics.cohortRetention(_, _)),
     "ev3_gapfill"       -> (EventAnalytics.gapFill(_, _)),
+    "stat6_sketch_union" -> (Relational.stat6SketchUnion(_, _)),
+    "sql6_nation_volume" -> (Relational.sql6NationVolume(_, _)),
+    "samp4_weighted"    -> ((s, dir) =>
+      Sampling.weightedSample(Tables.documents(s, dir))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1363,6 +1367,35 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
          FROM grid g LEFT JOIN pm
            ON g.event_type = pm.event_type AND g.minute = pm.minute""",
+    // contract oracle: the union-merged HLL estimate must sit within 5%
+    // of exact — DuckDB computes the exact side, the flag pins the bound
+    "stat6_sketch_union" ->
+      """SELECT 'all_types' AS scope,
+         count(DISTINCT user_id) AS n_exact,
+         CAST(1 AS BIGINT) AS within_5pct FROM events""",
+    "sql6_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+           AND sn.n_name IN ('NATION_3', 'NATION_7')
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+           AND cn.n_name IN ('NATION_3', 'NATION_7')
+         WHERE sn.n_name <> cn.n_name
+         GROUP BY 1, 2, 3""",
+    "samp4_weighted" ->
+      """SELECT doc_id, lang,
+         round(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           / 1152921504606846976.0, 6) AS u,
+         round(least(1.0, n_chars / 400.0), 6) AS weight,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           / 1152921504606846976.0) < least(1.0, n_chars / 400.0) AS kept
+         FROM documents""",
   )
 
   // ---- shared DuckDB oracle fragments ----

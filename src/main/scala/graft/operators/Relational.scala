@@ -504,6 +504,59 @@ object Relational {
           col("n_exact") <= 0.05).cast("long").as("within_5pct"))
   }
 
+  /** Sketch mergeability — the property that makes approximate distinct
+    * counting distributed: per-type HLL sketches are built in one scan,
+    * then the GLOBAL estimate comes from hll_union_agg over the sketch
+    * rows alone, never re-touching events. At 100 TB this is how
+    * per-partition / per-day sketches roll up to any coarser grain for
+    * free. The oracle is a contract check: the merged estimate must
+    * land within 5% of the exact global distinct (which union-merge
+    * guarantees: HLL union is lossless over sketch registers).
+    */
+  def stat6SketchUnion(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val perType = e.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val global = perType.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+    val exact = e.agg(countDistinct(col("user_id")).as("n_exact"))
+    global.crossJoin(exact)
+      .select(lit("all_types").as("scope"), col("n_exact"),
+        (abs(col("approx") - col("n_exact")).cast("double") /
+          col("n_exact") <= 0.05).cast("long").as("within_5pct"))
+  }
+
+  /** TPC-H Q7 shape (volume shipping between two nation pairs): the
+    * fact-fact lineitem⋈orders join shuffles once on orderkey; supplier,
+    * customer, and both nation legs broadcast. The nation-pair predicate
+    * applies symmetric filtering on BOTH dimension legs before the
+    * join, so the broadcast sides are pre-shrunk — the pattern for any
+    * "between groups A and B" analysis at scale.
+    */
+  def sql6NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_3", "NATION_7")
+    def nations(alias: String) = broadcast(
+      Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as(s"${alias}_key"),
+          col("n_name").as(s"${alias}_nation")))
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val su = broadcast(Tables.supplier(s, dir))
+    val c = broadcast(Tables.customer(s, dir))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(nations("supp"), col("s_nationkey") === col("supp_key"))
+      .join(nations("cust"), col("c_nationkey") === col("cust_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Footer-statistics aggregation: COUNT/MIN/MAX answered from parquet
     * row-group metadata via Spark's aggregate pushdown — the scan reads
     * ZERO data pages ("PushedAggregation" in the plan, asserted in

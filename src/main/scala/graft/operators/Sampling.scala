@@ -77,4 +77,24 @@ object Sampling {
       .filter(col("rn") <= n)
       .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rank"))
   }
+
+  /** Per-document weighted sampling: keep document i with probability
+    * w(i), where w is a data-derived quality proxy (here: length-capped
+    * at 1.0 — longer docs are likelier kept, the usual quality-weighted
+    * mixture step). The coin is the md5-derived uniform in [0,1) — a
+    * pure function of doc_id, so the sample is a narrow stateless
+    * filter (zero shuffles, zero RNG state), reproducible across
+    * re-runs, backfills, and engines. E[kept] = Σw without any
+    * pre-count pass.
+    */
+  def weightedSample(docs: DataFrame): DataFrame = {
+    // 60 bits of md5 / 2^60: an exact binary fraction — bit-identical
+    // in any engine that parses the same hex
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    val w = least(lit(1.0), col("n_chars") / lit(400.0))
+    docs.select(col("doc_id"), col("lang"),
+        round(u, 6).as("u"), round(w, 6).as("weight"),
+        (u < w).as("kept"))
+  }
 }

@@ -89,4 +89,37 @@ class Round4cSpec extends SparkSpec {
     assert(!plan(Relational.str3Regex(spark, sf)).contains("Exchange"))
     assert(!plan(Relational.map1Functions(spark, sf)).contains("Exchange"))
   }
+
+  test("stat6: merged HLL estimate honors the 5% contract; merge never rescans events") {
+    val df = Relational.stat6SketchUnion(spark, sf)
+    assert(df.collect().head.getLong(2) === 1L, "estimate out of bound")
+    // events is scanned twice total (sketch build + exact side), not
+    // per merge step: the union aggregates sketch ROWS. Count relations
+    // in the logical plan — the AQE physical string duplicates scans.
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.size
+    assert(scans <= 2, s"sketch union must not rescan the base table ($scans scans)")
+  }
+
+  test("sql6: both nation legs and supplier/customer broadcast; one fact-fact shuffle") {
+    val p = plan(Relational.sql6NationVolume(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, s"dims must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("samp4: weighted sample is a stateless narrow filter with E[kept]≈Σw") {
+    val df = Sampling.weightedSample(Tables.documents(spark, sf))
+    assert(!plan(df).contains("Exchange"), "sampling must not shuffle")
+    val rows = df.collect()
+    val kept = rows.count(_.getBoolean(4)).toDouble
+    val expected = rows.map(_.getDouble(3)).sum
+    // binomial concentration: |kept - Σw| within 4σ (σ² ≤ Σw)
+    assert(math.abs(kept - expected) <= 4 * math.sqrt(expected) + 1,
+      s"kept=$kept expected≈$expected")
+    // determinism: a re-run keeps exactly the same documents
+    val again = Sampling.weightedSample(Tables.documents(spark, sf)).collect()
+    assert(rows.map(r => (r.getLong(0), r.getBoolean(4))).toSet ===
+      again.map(r => (r.getLong(0), r.getBoolean(4))).toSet)
+  }
 }
