@@ -182,6 +182,11 @@ object SparkEntry {
     "sql6_nation_volume" -> (Relational.sql6NationVolume(_, _)),
     "samp4_weighted"    -> ((s, dir) =>
       Sampling.weightedSample(Tables.documents(s, dir))),
+    // ---- round-4d: Q17/Q11 shapes, SCD2, histogram ----
+    "sql7_avg_yearly"   -> (Relational.sql7AvgYearly(_, _)),
+    "sql8_value_share"  -> (Relational.sql8ValueShare(_, _)),
+    "scd2_dimension"    -> (Relational.scd2Dimension(_, _)),
+    "stat7_histogram"   -> (Relational.stat7Histogram(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1396,6 +1401,52 @@ object SparkEntry {
          (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
            / 1152921504606846976.0) < least(1.0, n_chars / 400.0) AS kept
          FROM documents""",
+    "sql7_avg_yearly" ->
+      """SELECT p.p_brand, count(*) AS n_small,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+           AS avg_yearly
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = l.l_partkey)
+         GROUP BY p.p_brand""",
+    "sql8_value_share" ->
+      """SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           AS part_value
+         FROM lineitem
+         GROUP BY l_partkey
+         HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) >
+           (SELECT 1.25 * CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                    AS DOUBLE) / count(DISTINCT l_partkey)
+            FROM lineitem)""",
+    // ordering pinned on (epoch micros, event_id) in BOTH engines: the
+    // parquet ts is nanos, Spark reads micros — ordering by the raw ns
+    // could disagree on sub-microsecond ties
+    "scd2_dimension" -> raw"""
+      WITH src AS (
+        SELECT user_id, ts, event_id,
+          CAST(floor(value / 20) AS BIGINT) AS tier
+        FROM events WHERE event_type = 'purchase'),
+      chg AS (
+        SELECT user_id, ts, event_id, tier,
+          lag(tier) OVER (PARTITION BY user_id
+                          ORDER BY epoch_us(ts), event_id) AS prev_tier
+        FROM src),
+      kept AS (SELECT user_id, ts, event_id, tier FROM chg
+               WHERE prev_tier IS NULL OR prev_tier <> tier)
+      SELECT user_id, tier,
+        strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        (lead(ts) OVER w IS NULL) AS is_current
+      FROM kept
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""",
+    "stat7_histogram" ->
+      """SELECT least(20, CAST(floor((o_totalprice - 0.0) * 20 / 500000.0)
+           AS BIGINT) + 1) AS bucket,
+         count(*) AS n, min(o_totalprice) AS lo_seen,
+         max(o_totalprice) AS hi_seen
+         FROM orders GROUP BY 1""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -878,6 +878,96 @@ object Relational {
         .as("tier"))
   }
 
+  /** TPC-H Q17 shape (small-quantity-order revenue): a correlated scalar
+    * AVG subquery gating the fact rows. Catalyst decorrelates it into a
+    * per-partkey aggregate joined back to the fact — ONE extra aggregate
+    * + one join, never a per-row re-scan of lineitem (the difference
+    * between O(n) and O(n²) when lineitem is 100 TB). The threshold uses
+    * avg over integral-valued doubles, so the predicate boundary is
+    * bit-identical in any engine; revenue sums as exact decimal.
+    */
+  def sql7AvgYearly(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.part(s, dir).createOrReplaceTempView("part")
+    s.sql("""
+      SELECT p.p_brand,
+        count(*) AS n_small,
+        CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+          AS avg_yearly
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = l.l_partkey)
+      GROUP BY p.p_brand""")
+  }
+
+  /** TPC-H Q11 shape (important stock identification): HAVING against a
+    * scalar subquery over the SAME aggregate — keep groups whose value
+    * exceeds a threshold derived from the global total. The threshold is
+    * 1.25× the MEAN per-part value (Q11's own spec scales its fraction
+    * by 1/SF for exactly this reason — a fixed fraction of the total
+    * selects nothing once the part count grows 10×). The global total is
+    * one scan + a one-row broadcast; sums stay exact DECIMAL and the
+    * final compare is the identical double expression in both engines.
+    */
+  def sql8ValueShare(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT l_partkey,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+          AS part_value
+      FROM lineitem
+      GROUP BY l_partkey
+      HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) >
+        (SELECT 1.25 * CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                 AS DOUBLE) / count(DISTINCT l_partkey)
+         FROM lineitem)""")
+  }
+
+  /** SCD Type-2 dimension build from an event/CDC stream: per key,
+    * compress consecutive identical states (lag), then derive validity
+    * intervals (lead) + the is_current flag. Both windows share ONE
+    * user_id hash partitioning — the filter between them is narrow, so
+    * the whole build is a single exchange regardless of history size.
+    * Ordering ties break on event_id at microsecond granularity, making
+    * the interval set reproducible across engines and re-runs (the
+    * property a dimension backfill needs).
+    */
+  def scd2Dimension(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") / 20).cast("long").as("tier"))
+      .withColumn("prev_tier", lag(col("tier"), 1).over(byUser))
+      .filter(col("prev_tier").isNull || col("prev_tier") =!= col("tier"))
+      .select(col("user_id"), col("tier"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(lead(col("ts"), 1).over(byUser), "yyyy-MM-dd HH:mm:ss")
+          .as("valid_to"),
+        lead(col("ts"), 1).over(byUser).isNull.as("is_current"))
+  }
+
+  /** Equi-width histogram: fixed literal bounds → the bucket id is a
+    * pure narrow expression ((x−lo)·nb/(hi−lo), floored and clamped),
+    * one hash aggregate over ≤nb+1 keys. The same arithmetic runs in
+    * any engine (width_bucket's edge semantics differ across engines,
+    * so the formula IS the contract). At 100 TB this is the profile
+    * pass that costs one scan and shuffles nb rows.
+    */
+  def stat7Histogram(s: SparkSession, dir: String,
+                     lo: Double = 0.0, hi: Double = 500000.0,
+                     nb: Int = 20): DataFrame = {
+    val x = col("o_totalprice")
+    val bucket = least(lit(nb.toLong),
+      floor((x - lit(lo)) * nb / (hi - lo)) + 1L).as("bucket")
+    Tables.orders(s, dir)
+      .groupBy(bucket)
+      .agg(count(lit(1)).as("n"),
+        min(x).as("lo_seen"), max(x).as("hi_seen"))
+  }
+
   /** Second-moment statistics battery: correlation, sample covariance /
     * variance / stddev, plus the regression slope derived from them —
     * all single-pass streaming aggregates (Welford-style partial
