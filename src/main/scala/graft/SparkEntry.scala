@@ -187,6 +187,13 @@ object SparkEntry {
     "sql8_value_share"  -> (Relational.sql8ValueShare(_, _)),
     "scd2_dimension"    -> (Relational.scd2Dimension(_, _)),
     "stat7_histogram"   -> (Relational.stat7Histogram(_, _)),
+    // ---- round-4e: PQ-ANN, attribution, winnowing, URL curation ----
+    "sim_ann_pq"        -> (Similarity.annPq(_, _)),
+    "ev4_attribution"   -> (EventAnalytics.lastTouchAttribution(_, _)),
+    "text_winnow"       -> ((s, dir) =>
+      TextAnalysis.winnow(Tables.documents(s, dir))),
+    "web1_url_normalize" -> ((s, dir) =>
+      TextAnalysis.urlNormalize(Fixtures.withUrls(Tables.documents(s, dir)))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1447,6 +1454,94 @@ object SparkEntry {
          count(*) AS n, min(o_totalprice) AS lo_seen,
          max(o_totalprice) AS hi_seen
          FROM orders GROUP BY 1""",
+    // ---- round-4e ----
+    // PQ replay: codebook = 6dp-rounded subvectors of vecs 1..16, encode
+    // by argmin L2² (left-to-right fold, tie → lower codeword), ADC sums
+    // as exact integer micros — the same arithmetic annPq ships
+    "sim_ann_pq" -> raw"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cb AS (SELECT vec_id - 1 AS j, list_transform(v, x -> round(x, 6)) AS c
+             FROM e WHERE vec_id BETWEEN 1 AND 16),
+      sub AS (SELECT j, m.range AS m, c[m.range*8+1 : m.range*8+8] AS sc
+              FROM cb, range(0, 8) m),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      ev AS (SELECT vec_id, m.range AS m, v[m.range*8+1 : m.range*8+8] AS sv
+             FROM e, range(0, 8) m WHERE vec_id <> 0),
+      enc AS (SELECT vec_id, m, j FROM (
+          SELECT ev.vec_id, ev.m, sub.j,
+            row_number() OVER (PARTITION BY ev.vec_id, ev.m ORDER BY
+              round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(1, 9),
+                  i -> (ev.sv[i] - sub.sc[i]) * (ev.sv[i] - sub.sc[i]))),
+                (acc, x) -> acc + x), 6) ASC, sub.j ASC) AS rn
+          FROM ev JOIN sub ON ev.m = sub.m) WHERE rn = 1),
+      qdt AS (SELECT sub.m, sub.j,
+          round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, 9),
+              i -> (q.qv[sub.m*8+i] - sub.sc[i]) * (q.qv[sub.m*8+i] - sub.sc[i]))),
+            (acc, x) -> acc + x), 6) AS dist
+        FROM sub, q),
+      adc AS (SELECT enc.vec_id,
+          CAST(sum(CAST(round(qdt.dist * 1000000) AS BIGINT)) AS DOUBLE)
+            / 1000000.0 AS adc_dist
+        FROM enc JOIN qdt ON enc.m = qdt.m AND enc.j = qdt.j
+        GROUP BY enc.vec_id),
+      short AS (SELECT vec_id, adc_dist FROM adc
+                ORDER BY adc_dist ASC, vec_id ASC LIMIT 50)
+      SELECT s.vec_id, s.adc_dist,
+        round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+      FROM short s JOIN e ON e.vec_id = s.vec_id, q
+      ORDER BY cos_sim DESC, s.vec_id ASC LIMIT 10""",
+    "ev4_attribution" -> raw"""
+      WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+                 FROM events),
+      t AS (SELECT *,
+        last_value(CASE WHEN event_type IN ('view', 'click')
+            THEN event_type END IGNORE NULLS) OVER w AS touch_type,
+        last_value(CASE WHEN event_type IN ('view', 'click')
+            THEN us END IGNORE NULLS) OVER w AS touch_us
+       FROM e
+       WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      SELECT event_id, user_id,
+        coalesce(touch_type, 'none') AS touch_type,
+        CAST((us - touch_us) // 1000000 AS BIGINT) AS gap_s
+      FROM t WHERE event_type = 'purchase'""",
+    "text_winnow" -> raw"""
+      WITH d AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0) AS tk
+        FROM documents),
+      h AS (SELECT doc_id,
+          list_transform(range(0, len(tk) - 3),
+            i -> ('0x' || substr(md5(array_to_string(tk[i+1:i+4], ' ')),
+              1, 15))::BIGINT) AS hs
+        FROM d WHERE len(tk) >= 7)
+      SELECT doc_id,
+        unnest(list_distinct(list_transform(range(0, len(hs) - 3),
+          i -> list_min(hs[i+1:i+4])))) AS fingerprint
+      FROM h""",
+    "web1_url_normalize" -> raw"""
+      WITH d AS (SELECT doc_id, text || ' see https://' ||
+          CASE doc_id % 4 WHEN 0 THEN 'Example.COM'
+                          WHEN 1 THEN 'www.News.example.org'
+                          WHEN 2 THEN 'CDN.media.example'
+                          ELSE 'shop.example.net' END ||
+          '/p/' || CAST(doc_id % 7 AS VARCHAR) ||
+          CASE WHEN doc_id % 3 = 0
+               THEN '?utm_source=feed&utm_campaign=c' ||
+                    CAST(doc_id % 5 AS VARCHAR) ELSE '' END ||
+          CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS text
+        FROM documents),
+      u AS (SELECT regexp_extract(text, 'https?://[^\s]+', 0) AS url FROM d),
+      c AS (SELECT regexp_replace(regexp_replace(url, '#[^\s]*', '', 'g'),
+          '[?&]utm_[a-z]+=[^&#\s]*', '', 'g') AS nt FROM u),
+      p AS (SELECT regexp_replace(lower(regexp_extract(nt,
+            '^https?://([^/]+)', 1)), '^www\.', '') AS host,
+          regexp_extract(nt, '^https?://[^/]+(/[^?#\s]*)', 1) AS path
+        FROM c)
+      SELECT host, count(*) AS n_pages, count(DISTINCT path) AS n_paths
+      FROM p WHERE host <> '' GROUP BY host""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -102,4 +102,32 @@ object EventAnalytics {
         col("avg_value").isNull.as("filled"),
         last(col("avg_value"), ignoreNulls = true).over(w).as("value_locf"))
   }
+
+  /** Last-touch attribution: every purchase is credited to the user's
+    * most recent STRICTLY-PRECEDING view/click (the touch). One window
+    * over user_id with a rows-frame ending at 1 PRECEDING does the whole
+    * job — no self-join, no per-purchase subquery, one exchange on
+    * user_id; the as-of join form ([[graft.operators.AsOf]]) is for
+    * touches and conversions living in different tables. Ordering is
+    * pinned on (epoch micros, event_id) so ties resolve identically in
+    * any engine; purchases with no prior touch attribute to 'none' with
+    * a null gap.
+    */
+  def lastTouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    val isTouch = col("event_type").isin("view", "click")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("touch_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("touch_us",
+        last(when(isTouch, col("us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("touch_type"), lit("none")).as("touch_type"),
+        ((col("us") - col("touch_us")) / 1000000L).cast("long").as("gap_s"))
+  }
 }

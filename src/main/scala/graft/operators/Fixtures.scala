@@ -86,6 +86,24 @@ object Fixtures {
     * itself is PII-free word salad, so this is the fixture face of
     * [[TextAnalysis.piiRedact]] — the positions and values vary per
     * document, and the DuckDB oracle rebuilds the identical text. */
+  /** Deterministic URL mix for the crawl-curation operators: every doc
+    * gets one URL whose host (mixed case, optional www.), path, tracking
+    * params (every 3rd doc) and fragment (every 4th doc) are pure
+    * functions of doc_id — the corpus itself is URL-free, and the DuckDB
+    * oracle rebuilds the same strings. */
+  def withUrls(d: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val host = element_at(array(lit("Example.COM"), lit("www.News.example.org"),
+      lit("CDN.media.example"), lit("shop.example.net")),
+      (pmod(id, lit(4)) + 1).cast("int"))
+    d.withColumn("text", concat(col("text"),
+      lit(" see https://"), host, lit("/p/"), pmod(id, lit(7)).cast("string"),
+      when(pmod(id, lit(3)) === 0,
+        concat(lit("?utm_source=feed&utm_campaign=c"),
+          pmod(id, lit(5)).cast("string"))).otherwise(lit("")),
+      when(pmod(id, lit(4)) === 0, lit("#frag")).otherwise(lit(""))))
+  }
+
   def withPii(d: DataFrame): DataFrame = {
     val id = col("doc_id").cast("string")
     d.withColumn("text", concat(col("text"),

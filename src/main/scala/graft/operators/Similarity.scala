@@ -274,6 +274,72 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product-quantized ANN (IVF-PQ's compression half): the 64-dim space
+    * splits into M=8 subspaces of 8 dims; each subspace gets a 16-entry
+    * codebook (deterministic sample init — corpus vectors 1..16, the
+    * standard PQ baseline init); every corpus vector is encoded as 8
+    * one-byte codes. The query builds an ADC (asymmetric distance
+    * computation) table — its distance to all 128 codewords — ONCE, and
+    * the corpus scan scores each row by 8 table lookups instead of 64
+    * multiplies. The top `shortlist` by ADC distance re-rank exactly.
+    *
+    * Scale shape: the codebook is a ~4 KB literal (broadcast-the-model),
+    * encoding is a zero-shuffle narrow map, and at 100 TB the stored
+    * 8-byte codes are a 32× compression of float32 vectors — the scan
+    * reads codes, not embeddings; only the shortlist touches full
+    * vectors. ADC sums accumulate as exact integer micros of 6dp-rounded
+    * subspace distances, so the shortlist boundary cannot drift between
+    * engines (the DuckDB oracle replays codebook, codes, and table
+    * bit-for-bit). */
+  def annPq(s: SparkSession, dir: String, k: Int = 10, m: Int = 8,
+            dsub: Int = 8, ksub: Int = 16, shortlist: Int = 50): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    // codebook: subspace slices of corpus vectors 1..ksub, 6dp-rounded
+    // (a K-row model collect, like annIvf's quantizer — never data)
+    val cbRows = e.filter(col("vec_id") >= 1 && col("vec_id") <= ksub)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"), x => round(x, 6))
+          .as("v"))
+      .collect().sortBy(_.getLong(0))
+    def book(mi: Int): Column = array(cbRows.zipWithIndex.map { case (r, j) =>
+      struct(lit(j).as("j"),
+        array(r.getSeq[Double](1).slice(mi * dsub, (mi + 1) * dsub)
+          .map(lit): _*).as("c"))
+    }.toIndexedSeq: _*)
+    def subv(v: Column, mi: Int): Column = slice(v, mi * dsub + 1, dsub)
+    def dist(a: Column, b: Column): Column =
+      round(call_function("l2_sq", a, b), 6)
+    // encode: per subspace, the nearest codeword id (tie → lower id)
+    def codes(v: Column): Column = array((0 until m).map { mi =>
+      array_min(transform(book(mi), c =>
+        struct(dist(subv(v, mi), c.getField("c")).as("d"),
+          c.getField("j").as("j")))).getField("j")
+    }: _*)
+    // ADC table: query distance to every codeword of every subspace
+    def dts(v: Column): Column = array((0 until m).map { mi =>
+      transform(book(mi), c => dist(subv(v, mi), c.getField("c")))
+    }: _*)
+    val q = queryVec(s, dir)
+      .select(col("q"), dts(col("q").cast("array<double>")).as("dt"))
+    e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"),
+        codes(col("embedding").cast("array<double>")).as("code"))
+      .crossJoin(broadcast(q))
+      // ADC score: 8 table lookups, summed as exact integer micros
+      .select(col("vec_id"), col("embedding"), col("q"),
+        (aggregate(zip_with(col("code"), col("dt"),
+          (c, t) => element_at(t, (c + 1).cast("int"))), lit(0L),
+          (acc, x) => acc + round(x * 1e6).cast("long")).cast("double") / 1e6)
+          .as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(shortlist)
+      .select(col("vec_id"), col("adc_dist"),
+        round(cosine(col("embedding"), col("q")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Lloyd's k-means over the embedding corpus — the actual quantizer
     * training annIvf's per-label stand-in skips: `iters` rounds of
     * assign-to-nearest / recompute-means from a deterministic init (the

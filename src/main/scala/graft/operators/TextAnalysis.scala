@@ -497,4 +497,58 @@ object TextAnalysis {
         ceil((lit(1.0) / col("n_domains")) * col("total_tokens") /
           col("domain_tokens")).cast("long").as("epochs_needed"))
   }
+
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme):
+    * hash every n-token shingle, slide a w-hash window, keep each
+    * window's MINIMUM hash — guaranteeing any match of length ≥ n+w−1
+    * tokens shares a fingerprint, with ~2/(w+1) of shingle hashes kept.
+    * This is the local-dedup/plagiarism selection rule MinHash's global
+    * signature can't express (MinHash answers "how similar are two
+    * docs", winnowing answers "WHERE do they overlap").
+    *
+    * Scale shape: tokenize once into an attribute, shingle-hash once
+    * into a second attribute (the slice lambda reads attributes only —
+    * never re-runs the tokenizer; the O(tokens²) inlining trap), then
+    * the window-min selection is a third narrow pass. Zero exchanges
+    * before the final distinct explode; hashes are md5-60 so the oracle
+    * replays them bit-for-bit.
+    */
+  def winnow(docs: DataFrame, n: Int = 4, w: Int = 4): DataFrame = {
+    val hash60 = (s: Column) =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+    docs
+      .select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
+      .filter(size(col("tk")) >= n + w - 1)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), size(col("tk")) - n),
+          i => hash60(concat_ws(" ", slice(col("tk"), i + 1, lit(n)))))
+          .as("hs"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(0), size(col("hs")) - w),
+            i => array_min(slice(col("hs"), i + 1, lit(w))))))
+          .as("fingerprint"))
+  }
+
+  /** URL canonicalization + host profile — the crawl-curation step that
+    * precedes URL-level dedup: extract the URL, drop the fragment and
+    * utm_* tracking params, case-fold the host and strip its `www.`
+    * prefix, then profile hosts (page count, distinct paths). Regexes
+    * stay in the Java ∩ RE2 dialect. All per-row work is one narrow
+    * codegen'd projection; the host profile shuffles only (host, path).
+    */
+  def urlNormalize(docs: DataFrame): DataFrame = {
+    val url = regexp_extract(col("text"), raw"https?://[^\s]+", 0)
+    val noTrack = regexp_replace(
+      regexp_replace(url, raw"#[^\s]*", ""), raw"[?&]utm_[a-z]+=[^&#\s]*", "")
+    val host = regexp_replace(
+      lower(regexp_extract(noTrack, raw"^https?://([^/]+)", 1)), raw"^www\.", "")
+    val path = regexp_extract(noTrack, raw"^https?://[^/]+(/[^?#\s]*)", 1)
+    docs
+      .select(host.as("host"), path.as("path"))
+      .filter(col("host") =!= "")
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_pages"),
+        countDistinct(col("path")).as("n_paths"))
+  }
 }
