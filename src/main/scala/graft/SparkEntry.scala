@@ -194,6 +194,10 @@ object SparkEntry {
       TextAnalysis.winnow(Tables.documents(s, dir))),
     "web1_url_normalize" -> ((s, dir) =>
       TextAnalysis.urlNormalize(Fixtures.withUrls(Tables.documents(s, dir)))),
+    // ---- round-4f: recursion, bucketized range join, bootstrap ----
+    "sql9_recursive"    -> (Relational.sql9Recursive(_, _)),
+    "rj2_bucketed_range" -> (Relational.rj2BucketedRange(_, _)),
+    "stat8_bootstrap"   -> (Relational.stat8Bootstrap(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1542,6 +1546,46 @@ object SparkEntry {
         FROM c)
       SELECT host, count(*) AS n_pages, count(DISTINCT path) AS n_paths
       FROM p WHERE host <> '' GROUP BY host""",
+    // ---- round-4f ----
+    "sql9_recursive" -> raw"""
+      WITH RECURSIVE tree AS (
+        SELECT c_custkey AS custkey, c_custkey AS root, 0 AS depth,
+               c_acctbal AS bal
+        FROM customer WHERE c_custkey < 10
+        UNION ALL
+        SELECT c.c_custkey, t.root, t.depth + 1, c.c_acctbal
+        FROM customer c JOIN tree t ON c.c_custkey // 10 = t.custkey
+        WHERE c.c_custkey >= 10)
+      SELECT root, CAST(depth AS BIGINT) AS depth, count(*) AS n_nodes,
+        CAST(sum(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+      FROM tree GROUP BY root, depth""",
+    // naive inequality join — same semantics the bucketized plan must hit
+    "rj2_bucketed_range" -> raw"""
+      WITH promos AS (
+        SELECT o_orderkey AS promo_id, epoch(o_orderdate) AS lo_s,
+               epoch(o_orderdate) + 3*86400 AS hi_s
+        FROM orders WHERE o_orderkey % 500 = 0)
+      SELECT p.promo_id, count(*) AS n_items, sum(l.l_quantity) AS sum_qty
+      FROM promos p JOIN lineitem l
+        ON epoch(l.l_shipdate) >= p.lo_s AND epoch(l.l_shipdate) < p.hi_s
+      GROUP BY p.promo_id""",
+    "stat8_bootstrap" -> raw"""
+      WITH x AS (SELECT o_orderkey, o_totalprice, r.range AS r
+                 FROM orders, range(0, 16) r),
+      wtd AS (SELECT r, o_totalprice,
+          (CASE WHEN u >= 0.3678794412 THEN 1 ELSE 0 END
+         + CASE WHEN u >= 0.7357588824 THEN 1 ELSE 0 END
+         + CASE WHEN u >= 0.9196986030 THEN 1 ELSE 0 END
+         + CASE WHEN u >= 0.9810118431 THEN 1 ELSE 0 END
+         + CASE WHEN u >= 0.9963401532 THEN 1 ELSE 0 END
+         + CASE WHEN u >= 0.9994058152 THEN 1 ELSE 0 END) AS w
+        FROM (SELECT *, ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+            || ':' || CAST(r AS VARCHAR)), 1, 15))::BIGINT
+            / 1152921504606846976.0 AS u FROM x))
+      SELECT CAST(r AS BIGINT) AS r, CAST(sum(w) AS BIGINT) AS n_eff,
+        round(CAST(sum(w * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+          / sum(w), 6) AS boot_mean
+      FROM wtd GROUP BY r""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -968,6 +968,92 @@ object Relational {
         min(x).as("lo_seen"), max(x).as("hi_seen"))
   }
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): walk a 10-ary hierarchy
+    * synthesized on customer keys (parent = key div 10) from the <10
+    * roots, carrying (root, depth), then aggregate balances per (root,
+    * depth). Each iteration is ONE equi-join of the frontier against the
+    * base table — the same iterate-until-empty shape as connected
+    * components ([[Dedup.connectedComponents]]), but planner-managed.
+    * Depth is bounded by the key width (log₁₀), so the recursion
+    * terminates structurally at any scale.
+    */
+  def sql9Recursive(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    s.sql("""
+      WITH RECURSIVE tree AS (
+        SELECT c_custkey AS custkey, c_custkey AS root, 0 AS depth,
+               c_acctbal AS bal
+        FROM customer WHERE c_custkey < 10
+        UNION ALL
+        SELECT c.c_custkey, t.root, t.depth + 1, c.c_acctbal
+        FROM customer c JOIN tree t ON c.c_custkey div 10 = t.custkey
+        WHERE c.c_custkey >= 10)
+      SELECT root, depth, count(*) AS n_nodes,
+        CAST(sum(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+      FROM tree GROUP BY root, depth""")
+  }
+
+  /** Big-big interval join via range bucketization — the non-broadcast
+    * scale path rj1's dim-bounds face stands in for: promotion windows
+    * (3 days from every 500th order) explode into the DAY buckets they
+    * cover, fact rows map to their single day bucket, and the join is a
+    * plain EQUI-join on day + a residual bounds filter. No
+    * BroadcastNestedLoopJoin, no O(n·m) — each fact row meets only the
+    * intervals sharing its bucket, and a (promo, item) pair can match in
+    * exactly one bucket (the item's), so no dedup is needed. This is
+    * what range-join "bin" hints lower to; the oracle runs the naive
+    * inequality join to pin identical semantics.
+    */
+  def rj2BucketedRange(s: SparkSession, dir: String): DataFrame = {
+    val daySecs = 86400L
+    val promos = Tables.orders(s, dir)
+      .filter(pmod(col("o_orderkey"), lit(500)) === 0)
+      .select(col("o_orderkey").as("promo_id"),
+        col("o_orderdate").cast("timestamp").cast("long").as("lo_s"))
+      .withColumn("hi_s", col("lo_s") + 3L * daySecs)
+      // covered buckets: floor(lo/day) .. floor((hi-1)/day) (hi exclusive)
+      .withColumn("day", explode(sequence(
+        (col("lo_s") / daySecs).cast("long"),
+        ((col("hi_s") - 1L) / daySecs).cast("long"))))
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_quantity"),
+        col("l_shipdate").cast("timestamp").cast("long").as("ship_s"))
+      .withColumn("day", (col("ship_s") / daySecs).cast("long"))
+    items.join(promos, Seq("day"))
+      .filter(col("ship_s") >= col("lo_s") && col("ship_s") < col("hi_s"))
+      .groupBy(col("promo_id"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+  }
+
+  /** Poisson bootstrap (the resampling scheme that works on one pass):
+    * each row enters replicate r with weight ~ Poisson(1), so a
+    * replicate mean needs no materialized resample — just a weighted
+    * aggregate. The Poisson draw is DETERMINISTIC: an md5-derived
+    * uniform per (row, replicate) inverted through the Poisson(1) CDF
+    * (literal thresholds), so any engine — and any re-run — produces
+    * the identical replicate set; the reps explode partial-aggregates
+    * before the exchange, which carries reps×3 numbers per partition
+    * regardless of input size.
+    */
+  def stat8Bootstrap(s: SparkSession, dir: String,
+                     reps: Int = 16): DataFrame = {
+    // P[Poisson(1) <= k] for k = 0..5, 10dp literals — the contract
+    val cdf = Seq(0.3678794412, 0.7357588824, 0.9196986030,
+      0.9810118431, 0.9963401532, 0.9994058152)
+    val u = conv(substring(md5(concat_ws(":",
+      col("o_orderkey"), col("r"))), 1, 15), 16, 10).cast("long") /
+      lit(1152921504606846976.0) // 2^60 — exact binary fraction
+    val w = cdf.map(t => when(u >= t, 1L).otherwise(0L)).reduce(_ + _)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("r", explode(sequence(lit(0), lit(reps - 1))))
+      .select(col("r").cast("long").as("r"), w.as("w"), col("o_totalprice"))
+      .groupBy(col("r"))
+      .agg(sum(col("w")).as("n_eff"),
+        round(sum(col("w") * dec(col("o_totalprice"))).cast("double") /
+          sum(col("w")), 6).as("boot_mean"))
+  }
+
   /** Second-moment statistics battery: correlation, sample covariance /
     * variance / stddev, plus the regression slope derived from them —
     * all single-pass streaming aggregates (Welford-style partial
