@@ -198,6 +198,9 @@ object SparkEntry {
     "sql9_recursive"    -> (Relational.sql9Recursive(_, _)),
     "rj2_bucketed_range" -> (Relational.rj2BucketedRange(_, _)),
     "stat8_bootstrap"   -> (Relational.stat8Bootstrap(_, _)),
+    // ---- round-4g: drift detection, Q22 shape ----
+    "stat9_ks_test"     -> (Relational.stat9KsTest(_, _)),
+    "sql10_global_sales" -> (Relational.sql10GlobalSales(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1586,6 +1589,41 @@ object SparkEntry {
         round(CAST(sum(w * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
           / sum(w), 6) AS boot_mean
       FROM wtd GROUP BY r""",
+    // ---- round-4g ----
+    "stat9_ks_test" -> raw"""
+      WITH counts AS (
+        SELECT value,
+          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY value),
+      tot AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+                     CAST(sum(b) AS BIGINT) AS nb FROM counts),
+      cum AS (SELECT sum(a) OVER w AS ca, sum(b) OVER w AS cb FROM counts
+              WINDOW w AS (ORDER BY value
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      d AS (SELECT na, nb, round(max(abs(
+              CAST(ca AS DOUBLE)/na - CAST(cb AS DOUBLE)/nb)), 6) AS ks_d
+            FROM cum, tot GROUP BY na, nb)
+      SELECT na, nb, ks_d,
+        round(1.358 * sqrt(CAST(na + nb AS DOUBLE)
+          / CAST(na * nb AS DOUBLE)), 6) AS crit_05,
+        ks_d > round(1.358 * sqrt(CAST(na + nb AS DOUBLE)
+          / CAST(na * nb AS DOUBLE)), 6) AS reject
+      FROM d""",
+    "sql10_global_sales" ->
+      """SELECT c_nationkey % 7 AS cntrycode, count(*) AS numcust,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+         FROM customer
+         WHERE c_nationkey % 7 IN (0, 1, 2, 3)
+           AND c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2)))
+                                   AS DOUBLE) / count(*)
+                            FROM customer
+                            WHERE c_acctbal > 0
+                              AND c_nationkey % 7 IN (0, 1, 2, 3))
+           AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+         GROUP BY c_nationkey % 7""",
   )
 
   // ---- shared DuckDB oracle fragments ----

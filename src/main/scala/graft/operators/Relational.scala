@@ -1054,6 +1054,66 @@ object Relational {
           sum(col("w")), 6).as("boot_mean"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov test — the distribution-drift monitor
+    * a data pipeline runs between yesterday's and today's feed. D =
+    * max |F_a(x) − F_b(x)| over the pooled support. Scale shape: the
+    * heavy step is a hash-aggregate on VALUE (per-value counts for both
+    * sides — the only thing that shuffles), and the ordered prefix-sum
+    * runs over the distinct-value domain, not the row count — bounded
+    * by the value grid (2dp here), however large the input. Emits D,
+    * the α=0.05 critical value, and the reject flag.
+    */
+  def stat9KsTest(s: SparkSession, dir: String,
+                  typeA: String = "click", typeB: String = "purchase")
+    : DataFrame = {
+    val counts = Tables.events(s, dir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("b"))
+    val wCum = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // totals as whole-frame window sums over the SAME single partition
+    // the cumulative window already requires — one events scan, no
+    // second aggregation subtree, no extra exchange
+    val wAll = Window.partitionBy()
+    val crit = round(lit(1.358) * sqrt((col("na") + col("nb")).cast("double") /
+      (col("na") * col("nb")).cast("double")), 6)
+    counts
+      .select(sum(col("a")).over(wCum).as("ca"), sum(col("b")).over(wCum).as("cb"),
+        sum(col("a")).over(wAll).as("na"), sum(col("b")).over(wAll).as("nb"))
+      .select(abs(col("ca").cast("double") / col("na") -
+        col("cb").cast("double") / col("nb")).as("d"), col("na"), col("nb"))
+      .groupBy(col("na"), col("nb"))
+      .agg(round(max(col("d")), 6).as("ks_d"))
+      .select(col("na"), col("nb"), col("ks_d"), crit.as("crit_05"),
+        (col("ks_d") > crit).as("reject"))
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): wealthy-but-inactive
+    * customers — balance above the positive-balance average of their
+    * code group, with NO orders (anti-join). The scalar average is one
+    * filtered scan + a one-row broadcast; the NOT EXISTS decorrelates to
+    * a left-anti hash join; sums stay exact decimal so the cut line and
+    * totals replay identically in any engine.
+    */
+  def sql10GlobalSales(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT c_nationkey % 7 AS cntrycode, count(*) AS numcust,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      FROM customer
+      WHERE c_nationkey % 7 IN (0, 1, 2, 3)
+        AND c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2)))
+                                AS DOUBLE) / count(*)
+                         FROM customer
+                         WHERE c_acctbal > 0 AND c_nationkey % 7 IN (0, 1, 2, 3))
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      GROUP BY c_nationkey % 7""")
+  }
+
   /** Second-moment statistics battery: correlation, sample covariance /
     * variance / stddev, plus the regression slope derived from them —
     * all single-pass streaming aggregates (Welford-style partial

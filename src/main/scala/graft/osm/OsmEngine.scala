@@ -332,4 +332,28 @@ object OsmEngine {
     * sampling (stream position is not stable under distributed scan). */
   def sample(elems: DataFrame, n: Int = 10): DataFrame =
     elems.filter(pmod(col("_id").cast("long"), lit(n)) === 0)
+
+  /** Way→node resolution: the join the reference stores the keys for
+    * (node_refs, :523-526) but never executes — SURVEY §2f names it the
+    * natural relational extension of the data model. Each way's refs
+    * explode to (way_id, ref) pairs and equi-join the node set on id;
+    * output is per-way resolution stats + the centroid of its resolved
+    * nodes. Geometry sums run per way over its own bounded ref list
+    * (collected positions, left-to-right fold), so the aggregation is a
+    * plain hash-agg on way_id — at planet scale (~109 GB PBF) this is a
+    * shuffle of (way_id, lat, lon) triples, the canonical OSM
+    * way-assembly job. */
+  def wayNodeJoin(shaped: DataFrame): DataFrame = {
+    val ways = shaped.filter(col("type") === "way" && col("node_refs").isNotNull)
+      .select(col("id").as("way_id"), explode(col("node_refs")).as("ref"))
+    val nodes = shaped.filter(col("type") === "node" && col("pos").isNotNull)
+      .select(col("id").as("ref"),
+        col("pos").getItem(0).as("lat"), col("pos").getItem(1).as("lon"))
+    ways.join(nodes, Seq("ref"), "left_outer")
+      .groupBy(col("way_id"))
+      .agg(count(lit(1)).as("n_refs"),
+        count(col("lat")).as("n_resolved"),
+        round(avg(col("lat")), 6).as("centroid_lat"),
+        round(avg(col("lon")), 6).as("centroid_lon"))
+  }
 }
