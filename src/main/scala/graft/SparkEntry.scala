@@ -201,6 +201,10 @@ object SparkEntry {
     // ---- round-4g: drift detection, Q22 shape ----
     "stat9_ks_test"     -> (Relational.stat9KsTest(_, _)),
     "sql10_global_sales" -> (Relational.sql10GlobalSales(_, _)),
+    // ---- round-4h: RFM, pixel stats, temperature mixture ----
+    "ev5_rfm"           -> (EventAnalytics.rfmScores(_, _)),
+    "mm4_pixel_stats"   -> (Multimodal.pixelStats(_, _)),
+    "mix2_temperature"  -> (TextAnalysis.temperatureMix(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1624,6 +1628,59 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM orders
                         WHERE o_custkey = c_custkey AND o_totalprice > 400000)
          GROUP BY c_nationkey % 7""",
+    // ---- round-4h ----
+    "ev5_rfm" -> raw"""
+      WITH pu AS (
+        SELECT user_id, max(epoch_us(ts)) AS last_us,
+          count(*) AS frequency,
+          CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      sc AS (SELECT user_id,
+          CAST((max(last_us) OVER () - last_us) // 86400000000
+            AS BIGINT) AS recency_days,
+          frequency, monetary,
+          ntile(4) OVER (ORDER BY last_us DESC, user_id ASC) AS r_score,
+          ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS f_score,
+          ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS m_score
+        FROM pu)
+      SELECT user_id, recency_days, CAST(frequency AS BIGINT) AS frequency,
+        monetary,
+        CAST(r_score AS BIGINT) AS r_score,
+        CAST(f_score AS BIGINT) AS f_score,
+        CAST(m_score AS BIGINT) AS m_score,
+        CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+          || CAST(m_score AS VARCHAR) AS segment
+      FROM sc""",
+    // predicted from the synthesis rule: the BMP payload IS the doc text
+    "mm4_pixel_stats" -> raw"""
+      WITH b AS (SELECT doc_id,
+          list_transform(range(1, length(text) + 1),
+            i -> ord(substr(text, i, 1))) AS bytes
+        FROM documents)
+      SELECT doc_id, CAST(len(bytes) AS BIGINT) AS n_px,
+        round(CAST(list_sum(bytes) AS DOUBLE) / len(bytes), 4) AS px_mean,
+        CAST(list_min(bytes) AS BIGINT) AS px_min,
+        CAST(list_max(bytes) AS BIGINT) AS px_max,
+        round(CAST(len(list_filter(bytes, x -> x < 64)) AS DOUBLE)
+          / len(bytes), 4) AS dark_frac
+      FROM b""",
+    "mix2_temperature" -> raw"""
+      WITH pd AS (SELECT lang AS domain,
+             CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0))) AS BIGINT) AS domain_tokens
+             FROM documents GROUP BY 1),
+      t AS (SELECT CAST(sum(domain_tokens) AS BIGINT) AS total_tokens
+            FROM pd),
+      si AS (SELECT domain, domain_tokens,
+          CAST(domain_tokens AS DOUBLE) / total_tokens AS share,
+          CAST(round(sqrt(CAST(domain_tokens AS DOUBLE) / total_tokens)
+            * 1000000) AS BIGINT) AS si
+        FROM pd, t),
+      st AS (SELECT CAST(sum(si) AS BIGINT) AS si_total FROM si)
+      SELECT domain, domain_tokens, round(share, 6) AS share,
+        round(CAST(si AS DOUBLE) / si_total, 6) AS temp_share,
+        round((CAST(si AS DOUBLE) / si_total) / share, 4) AS multiplier
+      FROM si, st""",
   )
 
   // ---- shared DuckDB oracle fragments ----

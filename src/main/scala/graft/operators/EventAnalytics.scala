@@ -130,4 +130,39 @@ object EventAnalytics {
         coalesce(col("touch_type"), lit("none")).as("touch_type"),
         ((col("us") - col("touch_us")) / 1000000L).cast("long").as("gap_s"))
   }
+
+  /** RFM (recency / frequency / monetary) customer scoring — the
+    * segmentation aggregate every telemetry warehouse ships. One
+    * hash-aggregate per user builds the three metrics; the quartile
+    * scoring (ntile) then ranks the aggregated USER dimension, not the
+    * event stream — the single-partition sort is over one row per user,
+    * bounded by the entity count however many events arrive. Recency is
+    * measured against the corpus max timestamp via a whole-frame window
+    * over the same aggregated rows (no second scan); monetary sums as
+    * exact decimal; every ntile ordering carries a user_id tie-break so
+    * the quartile boundaries are engine-independent.
+    */
+  def rfmScores(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast("double").as("monetary"))
+    val wAll = Window.partitionBy()
+    def quartile(ord: org.apache.spark.sql.Column*) =
+      ntile(4).over(Window.orderBy(ord: _*)).cast("long")
+    perUser
+      .withColumn("recency_days",
+        ((max(col("last_us")).over(wAll) - col("last_us")) /
+          (86400L * 1000000L)).cast("long"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        quartile(col("last_us").desc, col("user_id").asc).as("r_score"),
+        quartile(col("frequency").desc, col("user_id").asc).as("f_score"),
+        quartile(col("monetary").desc, col("user_id").asc).as("m_score"))
+      .withColumn("segment", concat(col("r_score"), col("f_score"),
+        col("m_score")))
+  }
 }

@@ -186,6 +186,32 @@ object Multimodal {
       lit("image/bmp").as("mime"))
   }
 
+  /** Per-image pixel statistics from the REAL asset bytes: the decoded
+    * BMP payload is profiled byte-wise (mean / min / max / a dark-pixel
+    * fraction) — the luminance-stats stage of an image-curation
+    * pipeline, composed entirely from substring arithmetic + one
+    * higher-order fold per row. Narrow projection, no shuffle, no UDFs;
+    * the oracle predicts every value from the synthesis rule alone, so
+    * a corrupted encode OR decode path fails the hash check. Mean
+    * accumulates as exact integer byte sums (order-free). */
+  def pixelStats(s: SparkSession, dir: String): DataFrame = {
+    val asset = decodeAssets(s, dir)
+    asset
+      .select(col("doc_id"),
+        substring(col("media_bytes"), 55, 1 << 24).cast("string").as("px"))
+      .select(col("doc_id"),
+        transform(sequence(lit(1), length(col("px"))),
+          i => ascii(col("px").substr(i, lit(1)))).as("bytes"))
+      .select(col("doc_id"),
+        size(col("bytes")).cast("long").as("n_px"),
+        round(aggregate(col("bytes"), lit(0L), (acc, x) => acc + x)
+          .cast("double") / size(col("bytes")), 4).as("px_mean"),
+        array_min(col("bytes")).cast("long").as("px_min"),
+        array_max(col("bytes")).cast("long").as("px_max"),
+        round(size(filter(col("bytes"), x => x < 64)).cast("double") /
+          size(col("bytes")), 4).as("dark_frac"))
+  }
+
   /** Frame-sample explode: the per-frame fan-out stage (1 row per
     * frame, capped) — the shape of video-frame extraction at scale,
     * where the explode multiplies rows before a repartition feeds the

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: language ID,
@@ -496,6 +497,34 @@ object TextAnalysis {
           (col("domain_tokens") / col("total_tokens")), 4).as("weight"),
         ceil((lit(1.0) / col("n_domains")) * col("total_tokens") /
           col("domain_tokens")).cast("long").as("epochs_needed"))
+  }
+
+  /** Temperature-scaled domain mixture (the multilingual-sampling rule:
+    * p_i ∝ share_i^α with α = 0.5): down-weights head domains, boosts
+    * the tail, without ever flattening to uniform. α = 0.5 is computed
+    * as sqrt — correctly-rounded IEEE, so identical in every engine,
+    * where a general pow() need not be. The α-shares quantize to
+    * integer micros before normalization, making the denominator (and
+    * thus every output) order-independent. Same scale shape as
+    * [[domainMix]]: per-domain aggregate + one single-row broadcast.
+    */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val perDomain = Tables.documents(s, dir)
+      .select(col("lang").as("domain"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("domain"))
+      .agg(sum(col("n_tok")).as("domain_tokens"))
+    val totals = perDomain.agg(sum(col("domain_tokens")).as("total_tokens"))
+    val share = col("domain_tokens").cast("double") / col("total_tokens")
+    val withSi = perDomain.crossJoin(broadcast(totals))
+      .withColumn("si", round(sqrt(share) * 1e6, 0).cast("long"))
+    withSi
+      .withColumn("si_total", sum(col("si")).over(Window.partitionBy()))
+      .select(col("domain"), col("domain_tokens"),
+        round(share, 6).as("share"),
+        round(col("si").cast("double") / col("si_total"), 6).as("temp_share"),
+        round((col("si").cast("double") / col("si_total")) / share, 4)
+          .as("multiplier"))
   }
 
   /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme):
