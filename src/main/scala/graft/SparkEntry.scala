@@ -205,6 +205,7 @@ object SparkEntry {
     "ev5_rfm"           -> (EventAnalytics.rfmScores(_, _)),
     "mm4_pixel_stats"   -> (Multimodal.pixelStats(_, _)),
     "mix2_temperature"  -> (TextAnalysis.temperatureMix(_, _)),
+    "typed1_revenue"    -> (Typed.typed1Revenue(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1681,6 +1682,12 @@ object SparkEntry {
         round(CAST(si AS DOUBLE) / si_total, 6) AS temp_share,
         round((CAST(si AS DOUBLE) / si_total) / share, 4) AS multiplier
       FROM si, st""",
+    "typed1_revenue" ->
+      """SELECT l_returnflag,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM lineitem WHERE l_quantity > 0 GROUP BY l_returnflag""",
   )
 
   // ---- shared DuckDB oracle fragments ----

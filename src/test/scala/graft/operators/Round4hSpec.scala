@@ -45,6 +45,15 @@ class Round4hSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"pixel stats must not shuffle:\n$p")
   }
 
+  test("typed1: the Dataset/Aggregator face still prunes the scan schema") {
+    val p = Typed.typed1Revenue(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the as[LineItem] projection narrows the read before
+    // deserialization — shipdate and the other 6 columns never load
+    assert(!p.contains("l_shipdate"), s"unpruned scan:\n$p")
+    assert(p.contains("l_returnflag"))
+  }
+
   test("mix2: temperature flattens the mixture toward (but not to) uniform") {
     val rows = TextAnalysis.temperatureMix(spark, sf).collect()
     val n = rows.length
