@@ -206,6 +206,7 @@ object SparkEntry {
     "mm4_pixel_stats"   -> (Multimodal.pixelStats(_, _)),
     "mix2_temperature"  -> (TextAnalysis.temperatureMix(_, _)),
     "typed1_revenue"    -> (Typed.typed1Revenue(_, _)),
+    "j6_dynamic_pruning" -> (Relational.j6DynamicPruning(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1688,6 +1689,14 @@ object SparkEntry {
            (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
          count(*) AS n_items
          FROM lineitem WHERE l_quantity > 0 GROUP BY l_returnflag""",
+    "j6_dynamic_pruning" -> raw"""
+      WITH dim AS (SELECT DISTINCT lang,
+          ('0x' || substr(md5(lang), 1, 15))::BIGINT % 2 AS tier
+        FROM documents)
+      SELECT d.lang, count(*) AS n_docs,
+        CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+      FROM documents d JOIN dim ON d.lang = dim.lang
+      WHERE dim.tier = 0 GROUP BY d.lang""",
   )
 
   // ---- shared DuckDB oracle fragments ----

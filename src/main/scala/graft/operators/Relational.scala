@@ -1114,6 +1114,35 @@ object Relational {
       GROUP BY c_nationkey % 7""")
   }
 
+  /** Dynamic Partition Pruning: join a hive-partitioned fact table on
+    * its PARTITION column against a selectively-filtered dim — Spark
+    * plans a dynamicpruningexpression into the scan's PartitionFilters,
+    * so only the partitions matching the dim's surviving keys are ever
+    * listed/read (asserted in Round4iSpec). At 100 TB this is the
+    * mechanism that turns "join against this week's dims" into a scan
+    * of this week's directories. The partitioned copy is written once
+    * per (session, dataset), same as the bucketed-join tables. The dim
+    * filter (md5-derived tier) is a pure function of the key, so the
+    * oracle reproduces the surviving partition set exactly.
+    */
+  def j6DynamicPruning(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_part_sink_${math.abs(dir.hashCode)}_dpp"
+    if (!new java.io.File(base).exists()) {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .coalesce(4).write.mode("overwrite").partitionBy("lang").parquet(base)
+    }
+    val fact = s.read.parquet(base)
+    val dim = Tables.documents(s, dir).select(col("lang")).distinct()
+      .withColumn("tier",
+        pmod(conv(substring(md5(col("lang")), 1, 15), 16, 10).cast("long"),
+          lit(2)))
+    fact.join(broadcast(dim.filter(col("tier") === 0)), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+  }
+
   /** Second-moment statistics battery: correlation, sample covariance /
     * variance / stddev, plus the regression slope derived from them —
     * all single-pass streaming aggregates (Welford-style partial

@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Round-4i: dynamic partition pruning and the Profile metrics reader. */
+class Round4iSpec extends SparkSpec {
+
+  test("j6: the fact scan carries a dynamic pruning partition filter") {
+    val df = Relational.j6DynamicPruning(spark, sf)
+    // DPP is injected at planning; visible in the initial physical plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"expected PartitionFilters: [dynamicpruningexpression(...)]:\n$p")
+    // semantics: only tier-0 langs survive, counts match a direct query
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Tables.documents(spark, sf).groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got.keySet.subsetOf(direct.keySet))
+    got.foreach { case (lang, n) => assert(n === direct(lang)) }
+  }
+
+  test("profile: executed metrics expose scan rows and shuffle volume") {
+    val df = Relational.q1PricingSummary(spark, sf)
+    df.collect()
+    val scanRows = Profile.total(df, "Scan", "numOutputRows")
+    assert(scanRows === Tables.lineitem(spark, sf).count(),
+      "scan metric should count every lineitem row")
+    val shuffleRecords = Profile.total(df, "Exchange", "shuffleRecordsWritten")
+    // partial aggregation: far fewer records cross than rows scanned
+    assert(shuffleRecords > 0 && shuffleRecords < scanRows / 10,
+      s"expected map-side combine: $shuffleRecords vs $scanRows")
+  }
+}
