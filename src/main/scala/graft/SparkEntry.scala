@@ -207,6 +207,10 @@ object SparkEntry {
     "mix2_temperature"  -> (TextAnalysis.temperatureMix(_, _)),
     "typed1_revenue"    -> (Typed.typed1Revenue(_, _)),
     "j6_dynamic_pruning" -> (Relational.j6DynamicPruning(_, _)),
+    // ---- round-4j: Q12/Q14 shapes, ANSI-safe scalar battery ----
+    "sql11_ship_mode"   -> (Relational.sql11ShipMode(_, _)),
+    "sql12_promo_share" -> (Relational.sql12PromoShare(_, _)),
+    "func1_try_battery" -> (Relational.func1TryBattery(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1697,6 +1701,40 @@ object SparkEntry {
         CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
       FROM documents d JOIN dim ON d.lang = dim.lang
       WHERE dim.tier = 0 GROUP BY d.lang""",
+    // ---- round-4j ----
+    "sql11_ship_mode" ->
+      """SELECT mode,
+         CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM (SELECT o_orderpriority,
+                 CASE l_suppkey % 3 WHEN 0 THEN 'AIR' WHEN 1 THEN 'RAIL'
+                   ELSE 'SHIP' END AS mode
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+                 AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00')
+         GROUP BY mode""",
+    "sql12_promo_share" ->
+      """SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+           THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (1 - CAST(l_discount AS DECIMAL(4,2)))
+           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6)
+         AS promo_revenue_pct,
+         count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1998-03-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'""",
+    "func1_try_battery" -> raw"""
+      SELECT event_id,
+        CASE WHEN user_id % 4 = 0 THEN NULL
+             ELSE round(value / (user_id % 4), 6) END AS safe_div,
+        TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k_val,
+        TRY_CAST(event_type AS BIGINT) AS type_num,
+        CAST(NULL AS VARCHAR) AS missing
+      FROM events""",
   )
 
   // ---- shared DuckDB oracle fragments ----

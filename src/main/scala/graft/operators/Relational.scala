@@ -1143,6 +1143,72 @@ object Relational {
         sum(col("n_chars").cast("long")).as("sum_chars"))
   }
 
+  /** TPC-H Q12 shape (shipping-mode priority): fact⋈dim join with a
+    * pushed date-window filter, then conditional counts per derived
+    * ship mode. The CASE counting (one pass, no pivot-discovery job)
+    * partial-aggregates map-side; the date filter reaches the parquet
+    * scan. Ship mode is derived (the schema has none) — a pure key
+    * function both engines compute identically.
+    */
+  def sql11ShipMode(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT mode,
+        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS high_line_count,
+        sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS low_line_count
+      FROM (SELECT o_orderpriority,
+              CASE l_suppkey % 3 WHEN 0 THEN 'AIR' WHEN 1 THEN 'RAIL'
+                ELSE 'SHIP' END AS mode
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00')
+      GROUP BY mode""")
+  }
+
+  /** TPC-H Q14 shape (promotion effect): the CASE-inside-aggregate
+    * ratio — promo revenue share of one ship month. Both sums stay
+    * exact DECIMAL; the single double division at the end is the same
+    * expression in both engines, so the percentage is bit-stable.
+    */
+  def sql12PromoShare(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("part")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+          THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (1 - CAST(l_discount AS DECIMAL(4,2)))
+          ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6)
+        AS promo_revenue_pct,
+        count(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1998-03-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'""")
+  }
+
+  /** ANSI-safe scalar battery: Spark 4 runs ANSI mode by default, so
+    * runtime faults (divide-by-zero, bad casts) THROW unless the
+    * pipeline opts into the `try_` forms — which return NULL instead,
+    * the behavior a bulk pipeline over dirty data needs. try_divide
+    * nulls the zero-divisor rows, try_cast nulls unparseable strings
+    * (here: a JSON-extracted numeric that parses, and an enum string
+    * that doesn't), try_element_at nulls the out-of-bounds probe. All
+    * narrow, zero-exchange (plan-asserted).
+    */
+  def func1TryBattery(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).select(
+      col("event_id"),
+      round(try_divide(col("value"),
+        pmod(col("user_id"), lit(4)).cast("double")), 6).as("safe_div"),
+      expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k_val"),
+      expr("try_cast(event_type AS BIGINT)").as("type_num"),
+      expr("try_element_at(split(event_type, ':'), 99)").as("missing"))
+  }
+
   /** Second-moment statistics battery: correlation, sample covariance /
     * variance / stddev, plus the regression slope derived from them —
     * all single-pass streaming aggregates (Welford-style partial

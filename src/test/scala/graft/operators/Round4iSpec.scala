@@ -20,6 +20,32 @@ class Round4iSpec extends SparkSpec {
     got.foreach { case (lang, n) => assert(n === direct(lang)) }
   }
 
+  test("func1: try_ forms null out faults instead of throwing under ANSI") {
+    val df = Relational.func1TryBattery(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"scalar battery must not shuffle:\n$p")
+    val rows = df.collect()
+    assert(rows.length === Tables.events(spark, sf).count().toInt)
+    rows.foreach { r =>
+      // divisor is user_id % 4: null exactly when it is 0
+      assert(r.isNullAt(r.fieldIndex("type_num")), "enum string never parses")
+      assert(r.isNullAt(r.fieldIndex("missing")), "out-of-bounds probe is null")
+      assert(!r.isNullAt(r.fieldIndex("k_val")), "JSON numeric always parses")
+    }
+    val nullDivs = rows.count(_.isNullAt(1))
+    assert(nullDivs > 0 && nullDivs < rows.length,
+      "divide-by-zero rows are null, the rest compute")
+  }
+
+  test("sql11/sql12: date windows are pushed into the lineitem scan") {
+    Seq(Relational.sql11ShipMode(spark, sf),
+      Relational.sql12PromoShare(spark, sf)).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+        s"shipdate window must reach the parquet scan:\n$p")
+    }
+  }
+
   test("profile: executed metrics expose scan rows and shuffle volume") {
     val df = Relational.q1PricingSummary(spark, sf)
     df.collect()
