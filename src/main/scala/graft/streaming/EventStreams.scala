@@ -110,6 +110,37 @@ object EventStreams {
       (Sampling.bucket100(col("doc_id")) < 20).cast("long").as("in_sample"))
   }
 
+  /** Streaming face of the bloom-prefiltered incremental dedup
+    * (operators.Dedup.incremental): the petabyte-scale HISTORY
+    * collapses ONCE into a bloom filter + exact-digest dim before the
+    * stream starts; each arriving micro-batch is then a narrow
+    * projection (bloom probe) plus a broadcast left-anti join for the
+    * bloom-positive sliver. No streaming state at all — the history is
+    * a static side, so there is no watermark to tune and re-delivered
+    * batches re-classify identically (the landing-zone dedup shape:
+    * new files in, never-seen documents out).
+    *
+    * The bloom ships as a materialized literal (collected once on the
+    * driver, like the IVF quantizer) because a scalar subquery cannot
+    * execute inside a streaming micro-batch plan. False positives cost
+    * only a join probe; false negatives cannot happen, so output is
+    * exactly the never-seen set. */
+  def dedupDocStream(s: SparkSession, history: DataFrame,
+                     docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val bloomBytes = history
+      .agg(expr("bloom_agg(xxhash64(text), 1000000L, 8000000L)"))
+      .collect().head.getAs[Array[Byte]](0)
+    val digests = history.select(md5(col("text")).as("h_digest")).distinct()
+    val tagged = docs.withColumn("maybe_dup",
+      call_function("bloom_might_contain", lit(bloomBytes), xxhash64(col("text"))))
+    tagged.filter(!col("maybe_dup"))
+      .unionByName(tagged.filter(col("maybe_dup"))
+        .join(broadcast(digests), md5(col("text")) === col("h_digest"),
+          "left_anti"))
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
                           event_type: String)
   case class Session(user_id: Long, n_events: Long, first_ts: Long,

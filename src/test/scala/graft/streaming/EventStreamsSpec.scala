@@ -219,4 +219,32 @@ class EventStreamsSpec extends SparkSpec {
     assert(batchClosed === streamed)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming bloom dedup emits exactly the never-seen documents") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).cache()
+    // history = docs 0..99; the stream re-delivers 50..149 → only
+    // 100..149 are new (plus: re-delivery of the same batch twice must
+    // not change the answer — stateless classification)
+    val history = docs.filter(col("doc_id") < 100)
+    val ids = (50L until 150L)
+    val mem = MemoryStream[Long]
+    val streamDf = mem.toDF().withColumnRenamed("value", "doc_id")
+      .join(docs, "doc_id")
+    val q = EventStreams.dedupDocStream(spark, history, streamDf)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bloom_dedup_test").start()
+    try {
+      mem.addData(ids: _*)
+      q.processAllAvailable()
+      mem.addData(ids: _*) // re-delivery: classified identically
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("bloom_dedup_test").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(emitted === (100L until 150L).toSet,
+      "bloom+digest must pass exactly the never-seen ids")
+  }
 }
