@@ -211,6 +211,10 @@ object SparkEntry {
     "sql11_ship_mode"   -> (Relational.sql11ShipMode(_, _)),
     "sql12_promo_share" -> (Relational.sql12PromoShare(_, _)),
     "func1_try_battery" -> (Relational.func1TryBattery(_, _)),
+    // ---- round-4k: Q10/Q16 shapes, transition mining ----
+    "sql13_returned_revenue" -> (Relational.sql13ReturnedRevenue(_, _)),
+    "sql14_supplier_variety" -> (Relational.sql14SupplierVariety(_, _)),
+    "ev6_transitions"   -> (EventAnalytics.transitionMatrix(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1735,6 +1739,44 @@ object SparkEntry {
         TRY_CAST(event_type AS BIGINT) AS type_num,
         CAST(NULL AS VARCHAR) AS missing
       FROM events""",
+    // ---- round-4k ----
+    "sql13_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM customer
+         JOIN orders   ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1998-04-01 00:00:00'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             (1 - CAST(l_discount AS DECIMAL(4,2)))) DESC, c_custkey ASC
+         LIMIT 20""",
+    "sql14_supplier_variety" ->
+      """SELECT p_brand, p_type,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt,
+         count(*) AS n_items
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand NOT IN ('Brand#1', 'Brand#2', 'Brand#3')
+           AND p_size >= 10
+         GROUP BY p_brand, p_type""",
+    "ev6_transitions" -> raw"""
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+                 FROM events),
+      nxt AS (SELECT event_type AS from_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY us, event_id) AS to_type
+        FROM e),
+      c AS (SELECT from_type, to_type, count(*) AS n FROM nxt
+            WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+        round(CAST(n AS DOUBLE) /
+          sum(n) OVER (PARTITION BY from_type), 6) AS p
+      FROM c""",
   )
 
   // ---- shared DuckDB oracle fragments ----

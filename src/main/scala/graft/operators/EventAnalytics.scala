@@ -131,6 +131,33 @@ object EventAnalytics {
         ((col("us") - col("touch_us")) / 1000000L).cast("long").as("gap_s"))
   }
 
+  /** Event-type transition mining (the Markov-chain estimation step of
+    * behavioral analytics): per user, each event pairs with its
+    * immediate successor via ONE lag window on the user_id exchange;
+    * transition counts and row-normalized probabilities come from a
+    * (from, to)-keyed aggregate — 9 keys however many events flow
+    * through. Ordering pinned on (epoch micros, event_id); the
+    * normalizing row total is a whole-frame window over the 9-row
+    * aggregate, not a second scan.
+    */
+  def transitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val counts = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("row_total"), 6).as("p"))
+  }
+
   /** RFM (recency / frequency / monetary) customer scoring — the
     * segmentation aggregate every telemetry warehouse ships. One
     * hash-aggregate per user builds the three metrics; the quartile

@@ -1209,6 +1209,55 @@ object Relational {
       expr("try_element_at(split(event_type, ':'), 99)").as("missing"))
   }
 
+  /** TPC-H Q10 shape (returned-item reporting): customers ranked by
+    * revenue lost to returns in a quarter. Fact⋈fact shuffle once on
+    * orderkey; customer/nation broadcast; deterministic top-20 via
+    * TakeOrderedAndProject with a custkey tie-break. The return-flag
+    * and date filters are pushed into both scans.
+    */
+  def sql13ReturnedRevenue(s: SparkSession, dir: String,
+                           k: Int = 20): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    s.sql(s"""
+      SELECT c_custkey, c_name, n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        count(*) AS n_items
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-04-01 00:00:00'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          (1 - CAST(l_discount AS DECIMAL(4,2)))) DESC, c_custkey ASC
+      LIMIT $k""")
+  }
+
+  /** TPC-H Q16 shape (parts/supplier variety): DISTINCT-aggregate per
+    * group plus a NOT-IN exclusion list. count(DISTINCT l_suppkey)
+    * expands each group's rows by the distinct key before the final
+    * aggregate (Spark's two-phase distinct-agg rewrite) — the shuffle
+    * carries (group, suppkey) pairs once each, not raw fact rows.
+    */
+  def sql14SupplierVariety(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("part")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT p_brand, p_type,
+        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt,
+        count(*) AS n_items
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand NOT IN ('Brand#1', 'Brand#2', 'Brand#3')
+        AND p_size >= 10
+      GROUP BY p_brand, p_type""")
+  }
+
   /** Second-moment statistics battery: correlation, sample covariance /
     * variance / stddev, plus the regression slope derived from them —
     * all single-pass streaming aggregates (Welford-style partial
