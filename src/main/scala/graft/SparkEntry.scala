@@ -215,6 +215,11 @@ object SparkEntry {
     "sql13_returned_revenue" -> (Relational.sql13ReturnedRevenue(_, _)),
     "sql14_supplier_variety" -> (Relational.sql14SupplierVariety(_, _)),
     "ev6_transitions"   -> (EventAnalytics.transitionMatrix(_, _)),
+    // ---- round-4l: Q15 shape, PSI drift, balanced sampling ----
+    "sql15_top_supplier" -> (Relational.sql15TopSupplier(_, _)),
+    "stat10_psi"        -> (Relational.stat10Psi(_, _)),
+    "samp5_balanced"    -> ((s, dir) =>
+      Sampling.balancedSample(s, Tables.documents(s, dir))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1777,6 +1782,55 @@ object SparkEntry {
         round(CAST(n AS DOUBLE) /
           sum(n) OVER (PARTITION BY from_type), 6) AS p
       FROM c""",
+    // ---- round-4l ----
+    "sql15_top_supplier" ->
+      """WITH revenue AS (
+           SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+         FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""",
+    "stat10_psi" -> raw"""
+      WITH counts AS (
+        SELECT least(20, CAST(floor(value * 20 / 500.0) AS BIGINT) + 1)
+            AS bucket,
+          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1),
+      t AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+                   CAST(sum(b) AS BIGINT) AS nb FROM counts),
+      terms AS (SELECT
+          CAST(round(ln(greatest(CAST(a AS DOUBLE)/na, 0.000001)
+                      / greatest(CAST(b AS DOUBLE)/nb, 0.000001))
+            * (greatest(CAST(a AS DOUBLE)/na, 0.000001)
+             - greatest(CAST(b AS DOUBLE)/nb, 0.000001)) * 1000000)
+            AS BIGINT) AS term_micro
+        FROM counts, t)
+      SELECT round(CAST(sum(term_micro) AS DOUBLE) / 1000000, 6) AS psi,
+        round(CAST(sum(term_micro) AS DOUBLE) / 1000000, 6) > 0.2
+          AS major_shift
+      FROM terms""",
+    "samp5_balanced" -> raw"""
+      WITH caps AS (
+        SELECT lang, count(*) AS n,
+          min(count(*)) OVER () AS cap
+        FROM documents GROUP BY lang),
+      ranked AS (
+        SELECT doc_id, lang,
+          row_number() OVER (PARTITION BY lang ORDER BY
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              ASC, doc_id ASC) AS rn
+        FROM documents)
+      SELECT r.doc_id, r.lang, CAST(r.rn AS BIGINT) AS rank
+      FROM ranked r JOIN caps c ON r.lang = c.lang
+      WHERE r.rn <= c.cap""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -1258,6 +1258,63 @@ object Relational {
       GROUP BY p_brand, p_type""")
   }
 
+  /** TPC-H Q15 shape (top supplier): a derived revenue view reused by
+    * both the outer query and a HAVING-equals-global-max scalar
+    * subquery. Spark computes the view's aggregate twice (no automatic
+    * CTE materialization for DataFrame reuse) but each pass is the same
+    * partial-agg shape; the max is a one-row broadcast. Exact decimal
+    * revenue means "equals the max" is an exact comparison — a
+    * double-valued max boundary would be engine lottery.
+    */
+  def sql15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    s.sql("""
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+          sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+            (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name,
+        CAST(total_revenue AS DOUBLE) AS total_revenue
+      FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""")
+  }
+
+  /** Population Stability Index — KS's companion drift metric (how much
+    * probability mass moved, not just the worst gap). Same scale shape
+    * as [[stat9KsTest]]: one hash-aggregate on the bucketed value is
+    * the only row-count-sized exchange; the PSI sum runs over ≤nb
+    * buckets. The log-ratio quantizes to integer micro-nats before
+    * summation (the unigram-LM trick) so bucket-order cannot perturb
+    * the total; zero-count buckets take the standard ε floor, applied
+    * identically in the oracle.
+    */
+  def stat10Psi(s: SparkSession, dir: String, nb: Int = 20,
+                typeA: String = "click", typeB: String = "purchase")
+    : DataFrame = {
+    val bucket = least(lit(nb.toLong),
+      floor(col("value") * nb / 500.0) + 1L).as("bucket")
+    val counts = Tables.events(s, dir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(bucket)
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("b"))
+    val wAll = Window.partitionBy()
+    val eps = 1e-6
+    val pa = greatest(col("a").cast("double") / sum(col("a")).over(wAll), lit(eps))
+    val pb = greatest(col("b").cast("double") / sum(col("b")).over(wAll), lit(eps))
+    counts
+      .select(round(log(pa / pb) * (pa - pb) * 1e6, 0).cast("long")
+        .as("term_micro"))
+      .agg(round(sum(col("term_micro")).cast("double") / 1e6, 6).as("psi"))
+      .select(col("psi"),
+        (col("psi") > 0.2).as("major_shift"))
+  }
+
   /** Second-moment statistics battery: correlation, sample covariance /
     * variance / stddev, plus the regression slope derived from them —
     * all single-pass streaming aggregates (Welford-style partial

@@ -97,4 +97,27 @@ object Sampling {
         round(u, 6).as("u"), round(w, 6).as("weight"),
         (u < w).as("kept"))
   }
+
+  /** Class-balanced downsampling: every stratum capped at the SMALLEST
+    * stratum's size, members chosen in md5-hash order (the
+    * deterministic reservoir of [[topNPerStratum]] with a data-derived
+    * n). The cap comes from a whole-frame window over the per-stratum
+    * count table (stratum-cardinality rows) broadcast back to the rank
+    * filter — no driver round-trip, no second corpus scan. The output
+    * is a perfectly balanced dataset, reproducible on any engine.
+    */
+  def balancedSample(s: SparkSession, docs: DataFrame): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val caps = docs.groupBy(col("lang")).count()
+      .withColumn("cap", min(col("count")).over(Window.partitionBy()))
+      .select(col("lang"), col("cap"))
+    docs
+      .withColumn("h", h)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("h").asc, col("doc_id").asc)))
+      .join(broadcast(caps), "lang")
+      .filter(col("rn") <= col("cap"))
+      .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rank"))
+  }
 }
