@@ -77,21 +77,26 @@ object PbfSource {
     } finally raf.close()
   }
 
+  /** Seek + inflate + decode one blob range — the per-task unit shared
+    * by the RDD path below and the DataSource V2 reader
+    * ([[graft.sources.PbfDataSource]]). */
+  def decodeRange(path: String, offset: Long, length: Int): Seq[Row] = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      raf.seek(offset)
+      val bytes = new Array[Byte](length)
+      raf.readFully(bytes)
+      decodeBlock(inflate(bytes))
+    } finally raf.close()
+  }
+
   /** All nodes+ways as one DataFrame in the XML `elements` schema. */
   def elements(spark: SparkSession, path: String): DataFrame = {
     val ranges = blobIndex(path).filter(_.blobType == "OSMData")
     val par = math.max(1, math.min(ranges.size,
       spark.sparkContext.defaultParallelism))
     val rdd = spark.sparkContext.parallelize(ranges, par).mapPartitions { it =>
-      it.flatMap { br =>
-        val raf = new RandomAccessFile(path, "r")
-        try {
-          raf.seek(br.offset)
-          val bytes = new Array[Byte](br.length)
-          raf.readFully(bytes)
-          decodeBlock(inflate(bytes))
-        } finally raf.close()
-      }
+      it.flatMap(br => decodeRange(path, br.offset, br.length))
     }
     spark.createDataFrame(rdd, elementSchema)
   }
