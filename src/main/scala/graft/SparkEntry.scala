@@ -220,6 +220,8 @@ object SparkEntry {
     "stat10_psi"        -> (Relational.stat10Psi(_, _)),
     "samp5_balanced"    -> ((s, dir) =>
       Sampling.balancedSample(s, Tables.documents(s, dir))),
+    "text_shingle_gen"  -> ((s, dir) =>
+      TextAnalysis.shingleRows(s, Tables.documents(s, dir))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1831,6 +1833,17 @@ object SparkEntry {
       SELECT r.doc_id, r.lang, CAST(r.rn AS BIGINT) AS rank
       FROM ranked r JOIN caps c ON r.lang = c.lang
       WHERE r.rn <= c.cap""",
+    "text_shingle_gen" -> raw"""
+      WITH d AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0) AS tk
+        FROM documents WHERE doc_id < 40)
+      SELECT doc_id, array_to_string(tk, ' ') AS shingle
+      FROM d WHERE len(tk) < 3 AND len(tk) > 0
+      UNION ALL
+      SELECT doc_id, unnest(list_transform(range(0, len(tk) - 2),
+          i -> array_to_string(tk[i+1:i+3], ' '))) AS shingle
+      FROM d WHERE len(tk) >= 3""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -31,6 +31,10 @@ object GraftFunctions {
     // map<string,bigint> of surviving counters (capacity must be a
     // literal — it sizes every task's constant-memory buffer)
     "mg_topk" -> (es => MisraGriesAgg(es(0),
+      es(1).eval().asInstanceOf[Number].intValue)),
+    // table-generating function (Generator): one output row per
+    // n-token shingle, streamed — no per-document shingle array
+    "shingle_gen" -> (es => ShingleGenerator(es(0),
       es(1).eval().asInstanceOf[Number].intValue)))
 
   def register(spark: SparkSession): Unit = {

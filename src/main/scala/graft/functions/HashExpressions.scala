@@ -92,6 +92,56 @@ object HashImpl {
   * whole-stage span. Bit-identical to the HOF form (FunctionsSpec) and
   * to the DuckDB mirror in SparkEntry.oracleSql("dedup_simhash").
   */
+/** Custom table-generating function (the `Generator` extension point —
+  * explode's API): emit each n-token shingle of a token array as its
+  * OWN OUTPUT ROW, never materializing the shingle array. The HOF form
+  * (`transform(sequence(...), i -> concat_ws(slice(...)))` + explode)
+  * allocates all shingles per document before the explode multiplies
+  * them; for a 1M-token document that array is the task's peak memory.
+  * The generator streams them: O(n) width per emitted row, O(1) extra
+  * state. Positional (duplicates preserved) — callers add distinct
+  * where set semantics are wanted.
+  */
+case class ShingleGenerator(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n >= 1, "shingle width must be >= 1")
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure("shingle_gen expects array<string>")
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("shingle", StringType)))
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null) return Nil
+    val numTok = arr.numElements()
+    if (numTok == 0) return Nil
+    val sep = UTF8String.fromString(" ")
+    def join(from: Int, len: Int): UTF8String = {
+      val parts = new Array[UTF8String](2 * len - 1)
+      var i = 0
+      while (i < len) {
+        parts(2 * i) = arr.getUTF8String(from + i)
+        if (i < len - 1) parts(2 * i + 1) = sep
+        i += 1
+      }
+      UTF8String.concat(parts: _*)
+    }
+    // mirror Dedup.shingles: short docs emit the whole-doc shingle
+    if (numTok < n)
+      return Seq(org.apache.spark.sql.catalyst.InternalRow(join(0, numTok)))
+    (0 to numTok - n).iterator.map(i =>
+      org.apache.spark.sql.catalyst.InternalRow(join(i, n)))
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleGenerator =
+    copy(child = c)
+}
+
 case class SimHash60(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType

@@ -527,6 +527,23 @@ object TextAnalysis {
           .as("multiplier"))
   }
 
+  /** Shingle fan-out through the custom table-generating function
+    * (`shingle_gen`, the charter's Generator extension point): one
+    * output row per 3-token shingle, STREAMED from the generator —
+    * no per-document shingle array is ever allocated, which is the
+    * memory difference on a million-token document. Bounded slice
+    * (doc_id < 40) keeps the oracle face small; positional duplicates
+    * are preserved (set semantics are the caller's distinct).
+    */
+  def shingleRows(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    docs.filter(col("doc_id") < 40)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
+      .createOrReplaceTempView("graft_shingle_src")
+    s.sql("""SELECT doc_id, shingle FROM graft_shingle_src
+             LATERAL VIEW shingle_gen(tk, 3) t AS shingle""")
+  }
+
   /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme):
     * hash every n-token shingle, slide a w-hash window, keep each
     * window's MINIMUM hash — guaranteeing any match of length ≥ n+w−1

@@ -36,6 +36,26 @@ class Round4lSpec extends SparkSpec {
     assert(self === 0.0)
   }
 
+  test("shingle_gen: generator output == HOF shingle form, plan has Generate") {
+    import org.apache.spark.sql.functions.{expr => sexpr}
+    val docs = Tables.documents(spark, sf)
+    val gen = TextAnalysis.shingleRows(spark, docs)
+    val p = gen.queryExecution.executedPlan.toString
+    assert(p.contains("Generate"), s"custom generator must plan a Generate:\n$p")
+    // reference: the array-materializing HOF form + explode
+    val hof = docs.filter(col("doc_id") < 40)
+      .select(col("doc_id"),
+        sexpr("filter(split(lower(text), '\\\\s+'), t -> length(t) > 0)").as("tk"))
+      .select(col("doc_id"), sexpr(
+        """explode(CASE WHEN size(tk) >= 3
+             THEN transform(sequence(0, size(tk) - 3),
+                    i -> concat_ws(' ', slice(tk, i + 1, 3)))
+             ELSE array(concat_ws(' ', tk)) END)""").as("shingle"))
+    val a = gen.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val b = hof.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(a.nonEmpty && a === b)
+  }
+
   test("samp5: output is perfectly balanced at the min stratum size") {
     val rows = Sampling.balancedSample(spark,
       Tables.documents(spark, sf)).collect()
