@@ -24,14 +24,16 @@ object OsmBench {
                           queriesSec: Double, rows: Long, pbfMb: Double,
                           pbfShapeSec: Double, pbfQueriesSec: Double,
                           pbfRows: Long, xsShapeSec: Double,
-                          xsRows: Long) {
+                          xsRows: Long, dsv2ShapeSec: Double = -1.0,
+                          dsv2Rows: Long = -1L) {
     def json: String =
       f""""osm_mb":$mb%.1f,"osm_audit_sec":$auditSec%.2f,""" +
         f""""osm_shape_sec":$shapeSec%.2f,"osm_queries_sec":$queriesSec%.2f,""" +
         f""""osm_rows":$rows,"osm_pbf_mb":$pbfMb%.1f,""" +
         f""""osm_pbf_shape_sec":$pbfShapeSec%.2f,""" +
         f""""osm_pbf_queries_sec":$pbfQueriesSec%.2f,"osm_pbf_rows":$pbfRows,""" +
-        f""""osm_xmlsplit_shape_sec":$xsShapeSec%.2f,"osm_xmlsplit_rows":$xsRows"""
+        f""""osm_xmlsplit_shape_sec":$xsShapeSec%.2f,"osm_xmlsplit_rows":$xsRows,""" +
+        f""""osm_pbf_dsv2_shape_sec":$dsv2ShapeSec%.2f,"osm_pbf_dsv2_rows":$dsv2Rows"""
   }
 
   private def time(f: => Unit): Double = {
@@ -120,6 +122,18 @@ object OsmBench {
       (sSec, n)
     }
 
+    // PBF through the DataSource V2 connector (same blobs, planned as
+    // BatchScan InputPartitions) — the connector's overhead vs the
+    // RDD-path number above is the integration cost being measured
+    val (dsv2ShapeSec, dsv2Rows) = budgeted(spark, 90, (-1.0, -1L)) {
+      var n = 0L
+      val sSec = time {
+        n = OsmEngine.shape(spark.read
+          .format("graft.sources.PbfDataSource").load(pbfPath)).count()
+      }
+      (sSec, n)
+    }
+
     // The builtin-XML phase is ONE task by construction (the source is
     // not splittable — that seriality is the finding) and its wall time
     // swings 10-200s with host contention. Give it its own budget and
@@ -140,7 +154,8 @@ object OsmBench {
     }
 
     Result(mb, auditSec, shapeSec, queriesSec, rows,
-      pbfMb, pbfShapeSec, pbfQueriesSec, pbfRows, xsShapeSec, xsRows)
+      pbfMb, pbfShapeSec, pbfQueriesSec, pbfRows, xsShapeSec, xsRows,
+      dsv2ShapeSec, dsv2Rows)
   }
 
   def main(args: Array[String]): Unit = {
