@@ -222,6 +222,9 @@ object SparkEntry {
       Sampling.balancedSample(s, Tables.documents(s, dir))),
     "text_shingle_gen"  -> ((s, dir) =>
       TextAnalysis.shingleRows(s, Tables.documents(s, dir))),
+    // ---- round-4m: Welch t-test, calendar dimension ----
+    "stat11_ttest"      -> (Relational.stat11TTest(_, _)),
+    "time1_calendar"    -> (Relational.time1Calendar(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1844,6 +1847,51 @@ object SparkEntry {
       SELECT doc_id, unnest(list_transform(range(0, len(tk) - 2),
           i -> array_to_string(tk[i+1:i+3], ' '))) AS shingle
       FROM d WHERE len(tk) >= 3""",
+    // ---- round-4m ----
+    "stat11_ttest" -> raw"""
+      WITH m AS (
+        SELECT event_type, count(*) AS n,
+          sum(CAST(round(value * 100) AS BIGINT)) AS s1,
+          sum(CAST(round(value * 100) AS BIGINT) *
+              CAST(round(value * 100) AS BIGINT)) AS s2
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1),
+      a AS (SELECT CAST(n AS BIGINT) AS na,
+              CAST(s1 AS DOUBLE) / n / 100.0 AS ma,
+              ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                / (n - 1)) / 10000.0 AS va
+            FROM m WHERE event_type = 'click'),
+      b AS (SELECT CAST(n AS BIGINT) AS nb,
+              CAST(s1 AS DOUBLE) / n / 100.0 AS mb,
+              ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                / (n - 1)) / 10000.0 AS vb
+            FROM m WHERE event_type = 'purchase')
+      SELECT na, nb, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        round((ma - mb) / sqrt(va/na + vb/nb), 6) AS t_stat,
+        round((va/na + vb/nb) * (va/na + vb/nb) /
+          ((va/na) * (va/na) / (na - 1) + (vb/nb) * (vb/nb) / (nb - 1)), 2)
+          AS df,
+        abs((ma - mb) / sqrt(va/na + vb/nb)) > 1.96 AS significant
+      FROM a, b""",
+    // DuckDB dayofweek is 0(Sun)-6(Sat); Spark's is 1-7 — shift by 1
+    "time1_calendar" -> raw"""
+      WITH bnd AS (SELECT date_trunc('day', min(o_orderdate)) AS d0,
+                  date_trunc('day', max(o_orderdate)) AS d1 FROM orders),
+      spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                  AS day FROM bnd),
+      daily AS (SELECT date_trunc('day', o_orderdate) AS day,
+          count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+            AS revenue
+        FROM orders GROUP BY 1)
+      SELECT strftime(s.day, '%Y-%m-%d') AS day,
+        CAST(dayofweek(s.day) + 1 AS BIGINT) AS dow,
+        CAST(month(s.day) AS BIGINT) AS month,
+        CAST(quarter(s.day) AS BIGINT) AS quarter,
+        dayofweek(s.day) IN (0, 6) AS is_weekend,
+        coalesce(d.n_orders, 0) AS n_orders,
+        coalesce(d.revenue, 0.0) AS revenue
+      FROM spine s LEFT JOIN daily d ON s.day = d.day""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -1315,6 +1315,73 @@ object Relational {
         (col("psi") > 0.2).as("major_shift"))
   }
 
+  /** Welch's two-sample t-test (unequal variances) — the
+    * hypothesis-testing face beside the KS/PSI drift monitors. The
+    * moment sums run in EXACT integer cents (value has 2dp, so
+    * value·100 is an exact integer and its square an exact long): one
+    * scan, one 2-row aggregate, every downstream double op the same
+    * expression in both engines. Emits t, the Welch–Satterthwaite df,
+    * and the |t| > 1.96 flag.
+    */
+  def stat11TTest(s: SparkSession, dir: String,
+                  typeA: String = "click", typeB: String = "purchase")
+    : DataFrame = {
+    val cents = round(col("value") * 100, 0).cast("long")
+    val m = Tables.events(s, dir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("s1"),
+        sum(cents * cents).as("s2"))
+      .select(col("event_type"), col("n"),
+        (col("s1").cast("double") / col("n") / 100.0).as("mean"),
+        // sample variance in dollars²: (Σx² − (Σx)²/n) / (n−1) / 100²
+        (((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1") / col("n")) /
+          (col("n") - 1)) / 10000.0).as("variance"))
+    val a = m.filter(col("event_type") === typeA)
+      .select(col("n").as("na"), col("mean").as("ma"), col("variance").as("va"))
+    val b = m.filter(col("event_type") === typeB)
+      .select(col("n").as("nb"), col("mean").as("mb"), col("variance").as("vb"))
+    val sa = col("va") / col("na")
+    val sb = col("vb") / col("nb")
+    a.crossJoin(b).select(
+      col("na"), col("nb"),
+      round(col("ma"), 6).as("mean_a"), round(col("mb"), 6).as("mean_b"),
+      round((col("ma") - col("mb")) / sqrt(sa + sb), 6).as("t_stat"),
+      round((sa + sb) * (sa + sb) /
+        (sa * sa / (col("na") - 1) + sb * sb / (col("nb") - 1)), 2).as("df"),
+      (abs((col("ma") - col("mb")) / sqrt(sa + sb)) > 1.96).as("significant"))
+  }
+
+  /** Calendar-dimension build + conformance join — the warehouse date
+    * spine: generate every day between the order min/max (sequence +
+    * explode off a 1-row broadcast bounds frame — no driver loop), stamp
+    * calendar attributes, left-join daily order aggregates so quiet days
+    * appear with zeros. At scale the spine is ~10k rows for 30 years —
+    * always the broadcast side of any conformance join.
+    */
+  def time1Calendar(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderdate").cast("timestamp").as("od"),
+        col("o_totalprice"))
+    val bounds = o.agg(date_trunc("day", min(col("od"))).as("d0"),
+      date_trunc("day", max(col("od"))).as("d1"))
+    val spine = bounds
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+    val daily = o.groupBy(date_trunc("day", col("od")).as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+    spine.join(daily, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        dayofweek(col("day")).cast("long").as("dow"),
+        month(col("day")).cast("long").as("month"),
+        quarter(col("day")).cast("long").as("quarter"),
+        dayofweek(col("day")).isin(1, 7).as("is_weekend"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+  }
+
   /** Second-moment statistics battery: correlation, sample covariance /
     * variance / stddev, plus the regression slope derived from them —
     * all single-pass streaming aggregates (Welford-style partial

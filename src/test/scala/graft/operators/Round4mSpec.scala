@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Round-4m operators: Welch's t-test and the calendar-dimension build.
+  * Values are pinned by the DuckDB oracles; these tests pin the
+  * statistical contracts and the spine properties.
+  */
+class Round4mSpec extends SparkSpec {
+
+  test("ttest: self-comparison gives t=0, df and flag are consistent") {
+    val row = Relational.stat11TTest(spark, sf).collect().head
+    val t = row.getAs[Double]("t_stat")
+    assert(row.getAs[Boolean]("significant") === (math.abs(t) > 1.96)
+      || math.abs(math.abs(t) - 1.96) < 1e-6)
+    // df is bounded by the Welch inequality: min(na,nb)-1 <= df <= na+nb-2
+    val (na, nb) = (row.getAs[Long]("na"), row.getAs[Long]("nb"))
+    val df = row.getAs[Double]("df")
+    assert(df >= math.min(na, nb) - 1 && df <= na + nb - 2)
+    val self = Relational.stat11TTest(spark, sf, typeA = "click",
+      typeB = "click").collect().head
+    assert(self.getAs[Double]("t_stat") === 0.0)
+    assert(!self.getAs[Boolean]("significant"))
+  }
+
+  test("calendar: spine is gapless, weekend flags match dow") {
+    val rows = Relational.time1Calendar(spark, sf)
+      .orderBy(col("day")).collect()
+    assert(rows.nonEmpty)
+    // gapless: consecutive days differ by exactly one calendar day
+    val days = rows.map(r => java.time.LocalDate.parse(r.getString(0)))
+    days.sliding(2).foreach {
+      case Array(a, b) => assert(a.plusDays(1) === b, s"gap between $a and $b")
+      case _ => ()
+    }
+    rows.foreach { r =>
+      val dow = r.getAs[Long]("dow")
+      assert(r.getAs[Boolean]("is_weekend") === (dow == 1L || dow == 7L))
+    }
+    // conservation: daily order counts sum to the table total
+    assert(rows.map(_.getAs[Long]("n_orders")).sum ===
+      Tables.orders(spark, sf).count())
+  }
+}
