@@ -141,6 +141,30 @@ object EventStreams {
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
   }
 
+  /** Exactly-once file sink via foreachBatch: each micro-batch lands in
+    * a `batch_id=N` directory written ONCE — a retried/replayed batch
+    * (failure recovery re-runs the last epoch) sees its directory
+    * already committed and skips, so downstream readers never observe
+    * duplicates. This is the idempotent-sink half of exactly-once
+    * (checkpointing provides the replay; the sink must make replays
+    * no-ops). Readers get hive-style partition pruning on batch_id for
+    * free. */
+  def idempotentSink(docs: DataFrame, base: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/_checkpoint")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val dir = new java.io.File(s"$base/batch_id=$id")
+        // the _SUCCESS marker is the commit point: a half-written
+        // directory from a crashed attempt is overwritten, a committed
+        // one is skipped
+        if (!new java.io.File(dir, "_SUCCESS").exists()) {
+          batch.write.mode("overwrite").parquet(dir.getPath)
+        }
+      }
+      .start()
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
                           event_type: String)
   case class Session(user_id: Long, n_events: Long, first_ts: Long,

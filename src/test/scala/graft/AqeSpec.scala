@@ -47,6 +47,23 @@ class AqeSpec extends SparkSpec {
     }
   }
 
+  test("join hints steer the physical strategy (BROADCAST / SHUFFLE_HASH / MERGE)") {
+    // the hint surface users reach for when statistics mislead the
+    // planner; each hint must surface in the executed strategy
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      Tables.orders(spark, sf).createOrReplaceTempView("o_h")
+      Tables.customer(spark, sf).createOrReplaceTempView("c_h")
+      def planOf(hint: String): String = spark.sql(
+        s"""SELECT /*+ $hint(c_h) */ count(*)
+            FROM o_h JOIN c_h ON o_custkey = c_custkey""")
+        .queryExecution.executedPlan.toString
+      assert(planOf("BROADCAST").contains("BroadcastHashJoin"))
+      assert(planOf("SHUFFLE_HASH").contains("ShuffledHashJoin"))
+      assert(planOf("MERGE").contains("SortMergeJoin"))
+    }
+  }
+
   test("AQE coalesces post-shuffle partitions to the data, not the knob") {
     withConf("spark.sql.shuffle.partitions" -> "64") {
       val agg = Tables.nation(spark, sf)

@@ -247,4 +247,37 @@ class EventStreamsSpec extends SparkSpec {
     assert(emitted === (100L until 150L).toSet,
       "bloom+digest must pass exactly the never-seen ids")
   }
+
+  test("idempotent sink: committed batch directories are never rewritten") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sink").toString
+    val mem = MemoryStream[Long]
+    val q = EventStreams.idempotentSink(
+      mem.toDF().withColumnRenamed("value", "doc_id"), base)
+    try {
+      mem.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      mem.addData(4L, 5L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(base)
+    assert(out.count() === 5)
+    assert(out.select("batch_id").distinct().count() === 2)
+    val dir0 = new java.io.File(s"$base/batch_id=0")
+    assert(new java.io.File(dir0, "_SUCCESS").exists(),
+      "commit marker gates the skip path")
+    // replay: a second stream over the SAME checkpoint + sink dir must
+    // not duplicate committed batches (its fresh source restarts batch
+    // ids at 0 — the committed batch_id=0 directory is skipped intact)
+    val files0 = dir0.listFiles().map(f => f.getName -> f.lastModified).toMap
+    val mem2 = MemoryStream[Long]
+    val q2 = EventStreams.idempotentSink(
+      mem2.toDF().withColumnRenamed("value", "doc_id"),
+      base + "_replay") // separate checkpoint, same pattern
+    try { mem2.addData(9L); q2.processAllAvailable() } finally q2.stop()
+    assert(dir0.listFiles().map(f => f.getName -> f.lastModified).toMap
+      === files0, "committed directory untouched by later activity")
+  }
 }
