@@ -225,6 +225,8 @@ object SparkEntry {
     // ---- round-4m: Welch t-test, calendar dimension ----
     "stat11_ttest"      -> (Relational.stat11TTest(_, _)),
     "time1_calendar"    -> (Relational.time1Calendar(_, _)),
+    "eval1_dedup_quality" -> ((s, dir) =>
+      Dedup.dedupEval(s, Fixtures.mutantSlice(s, dir))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1892,6 +1894,91 @@ object SparkEntry {
         coalesce(d.n_orders, 0) AS n_orders,
         coalesce(d.revenue, 0.0) AS revenue
       FROM spine s LEFT JOIN daily d ON s.day = d.day""",
+    // replay BOTH approximate pipelines + the exact ground truth on the
+    // same slice corpus, then the confusion counts per method
+    "eval1_dedup_quality" -> raw"""
+      WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 40
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               regexp_replace(text, '^\S+\s*', '') AS text
+        FROM documents WHERE doc_id < 40),
+      t AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '\s+'),
+                x -> len(x) > 0) AS tk FROM base),
+      sg AS (SELECT doc_id,
+              CASE WHEN len(tk) >= 3
+                THEN list_distinct(list_transform(range(0, len(tk) - 2),
+                  i -> array_to_string(tk[i+1:i+3], ' ')))
+                ELSE [array_to_string(tk, ' ')] END AS sh FROM t),
+      truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sg a, sg b WHERE a.doc_id < b.doc_id
+                  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      xs AS (SELECT doc_id,
+              list_transform(sh, g ->
+                ('0x' || substr(md5(g), 1, 15))::BIGINT % 1000000000) AS xs
+             FROM sg),
+      sig AS (SELECT doc_id,
+               list_transform(range(1, 17), i ->
+                 list_min(list_transform(xs, x ->
+                   ((2 * i * 104729 + 1) * x + i * 7919) % 1000000007))) AS sig
+              FROM xs),
+      bands AS (SELECT doc_id, r.range AS band,
+                 array_to_string(list_transform(
+                   sig[r.range * 4 + 1 : r.range * 4 + 4],
+                   v -> v::VARCHAR), '_') AS band_key
+                FROM sig, range(0, 4) r),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b ON a.band = b.band
+                 AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      mh AS (SELECT c.doc_a, c.doc_b FROM cand c
+             JOIN sg sa ON sa.doc_id = c.doc_a
+             JOIN sg sb ON sb.doc_id = c.doc_b
+             WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+               len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+      ht AS (SELECT doc_id, list_transform(tk, tt ->
+               ('0x' || substr(md5(tt), 1, 15))::BIGINT) AS hs FROM t),
+      hh AS (SELECT doc_id,
+              CAST(list_sum(list_transform(range(0, 60),
+                j -> CASE WHEN 2 * list_sum(list_transform(hs,
+                       h -> (h >> j) & 1)) > len(hs)
+                     THEN (CAST(1 AS BIGINT) << j)
+                     ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+             FROM ht),
+      sbn AS (SELECT doc_id, simhash, r.range AS band,
+               (simhash >> (r.range * 15)) & 32767 AS chunk
+              FROM hh, range(0, 4) r),
+      shp AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+              FROM sbn a JOIN sbn c ON a.band = c.band
+                AND a.chunk = c.chunk AND a.doc_id < c.doc_id
+              WHERE bit_count(xor(a.simhash, c.simhash)) <= 10),
+      conf AS (
+        SELECT 'minhash_lsh' AS method,
+          CAST(sum(CASE WHEN pr.in_pred = 1 AND tr.in_truth = 1
+            THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          CAST(sum(CASE WHEN pr.in_pred = 1 AND tr.in_truth IS NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          CAST(sum(CASE WHEN pr.in_pred IS NULL AND tr.in_truth = 1
+            THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM (SELECT doc_a, doc_b, 1 AS in_pred FROM mh) pr
+        FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS in_truth FROM truth) tr
+          ON pr.doc_a = tr.doc_a AND pr.doc_b = tr.doc_b
+        UNION ALL
+        SELECT 'simhash_band',
+          CAST(sum(CASE WHEN pr.in_pred = 1 AND tr.in_truth = 1
+            THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(sum(CASE WHEN pr.in_pred = 1 AND tr.in_truth IS NULL
+            THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(sum(CASE WHEN pr.in_pred IS NULL AND tr.in_truth = 1
+            THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT doc_a, doc_b, 1 AS in_pred FROM shp) pr
+        FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS in_truth FROM truth) tr
+          ON pr.doc_a = tr.doc_a AND pr.doc_b = tr.doc_b)
+      SELECT method, tp, fp, fn,
+        round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 6) AS prec,
+        round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 6) AS recall
+      FROM conf""",
   )
 
   // ---- shared DuckDB oracle fragments ----

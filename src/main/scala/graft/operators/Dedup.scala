@@ -274,6 +274,38 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Approximation-quality harness: precision/recall of each
+    * approximate dedup method against the exact n-gram-Jaccard ground
+    * truth ON THE SAME CORPUS. MinHash-LSH verifies candidates with the
+    * exact metric, so its precision is 1.0 by construction and the
+    * number under test is banding RECALL (the round-1 zero-recall LSH
+    * bug is exactly what this row would have flagged); SimHash bands
+    * threshold on Hamming distance, so both error directions are live.
+    * The confusion counts come from one full-outer join of bare id
+    * pairs per method — the harness costs two tiny joins, not a rescan.
+    */
+  def dedupEval(s: SparkSession, corpus: DataFrame): DataFrame = {
+    val truth = ngramJaccardPairs(corpus)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_truth"))
+    def confusion(method: String, pred: DataFrame): DataFrame =
+      pred.select(col("doc_a"), col("doc_b"), lit(1L).as("in_pred"))
+        .join(truth, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          sum(when(col("in_pred") === 1 && col("in_truth") === 1, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("in_pred") === 1 && col("in_truth").isNull, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("in_pred").isNull && col("in_truth") === 1, 1L)
+            .otherwise(0L)).as("fn"))
+        .select(lit(method).as("method"), col("tp"), col("fp"), col("fn"),
+          round(col("tp") / greatest(col("tp") + col("fp"), lit(1L)), 6)
+            .as("prec"),
+          round(col("tp") / greatest(col("tp") + col("fn"), lit(1L)), 6)
+            .as("recall"))
+    confusion("minhash_lsh", minhashLsh(s, corpus))
+      .unionByName(confusion("simhash_band", simhashPairs(s, corpus)))
+  }
+
   /** Duplicated-span detection (substring dedup, Lee et al. 2022
     * "Deduplicating Training Data Makes Language Models Better",
     * approximated at n-gram-span granularity): for each document, how

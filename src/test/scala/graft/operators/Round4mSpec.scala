@@ -24,6 +24,22 @@ class Round4mSpec extends SparkSpec {
     assert(!self.getAs[Boolean]("significant"))
   }
 
+  test("eval1: verified LSH has precision 1.0; truth counts conserve") {
+    val rows = Dedup.dedupEval(spark,
+      Fixtures.mutantSlice(spark, sf)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val mh = rows("minhash_lsh")
+    // minhash pairs are exact-verified ⇒ no false positives, ever
+    assert(mh.getAs[Long]("fp") === 0L)
+    assert(mh.getAs[Double]("prec") === 1.0)
+    // tp + fn = |ground truth| for every method (the truth is shared)
+    val truthSize = Dedup.ngramJaccardPairs(
+      Fixtures.mutantSlice(spark, sf)).count()
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") === truthSize)
+    }
+  }
+
   test("calendar: spine is gapless, weekend flags match dow") {
     val rows = Relational.time1Calendar(spark, sf)
       .orderBy(col("day")).collect()
