@@ -227,6 +227,9 @@ object SparkEntry {
     "time1_calendar"    -> (Relational.time1Calendar(_, _)),
     "eval1_dedup_quality" -> ((s, dir) =>
       Dedup.dedupEval(s, Fixtures.mutantSlice(s, dir))),
+    "text_entropy"      -> ((s, dir) =>
+      TextAnalysis.charEntropy(Tables.documents(s, dir))),
+    "ev7_anomaly"       -> (EventAnalytics.anomalyScores(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1979,6 +1982,47 @@ object SparkEntry {
         round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 6) AS prec,
         round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 6) AS recall
       FROM conf""",
+    "text_entropy" -> raw"""
+      WITH c AS (SELECT doc_id,
+          list_transform(range(0, 26), i ->
+            CAST(length(lower(text)) - length(regexp_replace(lower(text),
+              chr(CAST(97 + i AS INTEGER)), '', 'g')) AS BIGINT)) AS cnt
+        FROM documents),
+      n AS (SELECT doc_id, cnt,
+          CAST(list_sum(cnt) AS BIGINT) AS n_letters
+        FROM c),
+      e AS (SELECT doc_id, n_letters,
+          CAST(list_sum(list_transform(cnt, x ->
+            CASE WHEN x > 0 THEN CAST(round(
+              (CAST(x AS DOUBLE) / n_letters) *
+                (ln(CAST(x AS DOUBLE) / n_letters) / 0.6931471805599453)
+              * 1000000) AS BIGINT) ELSE 0 END)) AS DOUBLE) / -1000000
+            AS entropy_raw
+        FROM n WHERE n_letters > 0)
+      SELECT doc_id, n_letters, round(entropy_raw, 6) AS entropy_bits,
+        entropy_raw >= 3.5 AND entropy_raw <= 4.6 AS natural_text
+      FROM e""",
+    "ev7_anomaly" -> raw"""
+      WITH pm AS (SELECT event_type, date_trunc('minute', ts) AS minute,
+          count(*) AS n
+        FROM events GROUP BY 1, 2),
+      t AS (SELECT event_type, minute, n,
+          count(n) OVER w AS k,
+          sum(n) OVER w AS s1,
+          sum(n * n) OVER w AS s2
+        FROM pm
+        WINDOW w AS (PARTITION BY event_type ORDER BY minute
+                     ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING))
+      SELECT event_type, strftime(minute, '%Y-%m-%d %H:%M') AS minute,
+        CAST(n AS BIGINT) AS n,
+        round(CAST(s1 AS DOUBLE) / k, 6) AS trail_mean,
+        round((n - CAST(s1 AS DOUBLE) / k) /
+          sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k)
+            / (k - 1), 0.000001)), 6) AS z_score,
+        abs((n - CAST(s1 AS DOUBLE) / k) /
+          sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k)
+            / (k - 1), 0.000001))) > 3.0 AS anomaly
+      FROM t WHERE k >= 10""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -158,6 +158,40 @@ object EventAnalytics {
         round(col("n").cast("double") / col("row_total"), 6).as("p"))
   }
 
+  /** Trailing-window anomaly detection: per minute and event type, the
+    * z-score of the event count against the PRECEDING `trail` minutes
+    * (a frame ending at 1 PRECEDING — the current observation never
+    * contaminates its own baseline). Mean and variance come from
+    * sum / sum-of-squares over the frame in exact integers, so the
+    * flag is bit-stable anywhere. One exchange (event_type) over
+    * minute-grain aggregates — the monitoring query that runs forever
+    * at any scale because its input is already aggregated.
+    */
+  def anomalyScores(s: SparkSession, dir: String,
+                    trail: Int = 30, z: Double = 3.0): DataFrame = {
+    val perMin = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("minute"))
+      .rowsBetween(-trail, -1)
+    perMin
+      .withColumn("k", count(col("n")).over(w))
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .filter(col("k") >= 10) // need a baseline before judging
+      .select(col("event_type"),
+        date_format(col("minute"), "yyyy-MM-dd HH:mm").as("minute"),
+        col("n"),
+        round(col("s1").cast("double") / col("k"), 6).as("trail_mean"),
+        round((col("n") - col("s1").cast("double") / col("k")) /
+          sqrt(greatest(
+            (col("s2").cast("double") - col("s1").cast("double") *
+              col("s1") / col("k")) / (col("k") - 1), lit(1e-6))), 6)
+          .as("z_score"))
+      .withColumn("anomaly", abs(col("z_score")) > z)
+  }
+
   /** RFM (recency / frequency / monetary) customer scoring — the
     * segmentation aggregate every telemetry warehouse ships. One
     * hash-aggregate per user builds the three metrics; the quartile

@@ -544,6 +544,43 @@ object TextAnalysis {
              LATERAL VIEW shingle_gen(tk, 3) t AS shingle""")
   }
 
+  /** Character-entropy quality signal (gibberish / mojibake / binary-
+    * spill detector): Shannon entropy over the 26-letter distribution
+    * of the lowercased text. Letter counts come from 26 codegen'd
+    * `length − length(replace(...))` terms — no explode, no per-char
+    * rows; entropy terms quantize to integer micro-nats before the
+    * in-row fold so the score is bit-stable cross-engine. Natural text
+    * sits near ~4.2 bits; uniform noise near log₂26 ≈ 4.7; repeated
+    * single letters near 0 — the keep band is a narrow filter.
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val lc = lower(col("text"))
+    val letters = ('a' to 'z').map(_.toString)
+    val counts = array(letters.map(c =>
+      (length(lc) - length(regexp_replace(lc, c, ""))).cast("long")): _*)
+    docs
+      .select(col("doc_id"), counts.as("cnt"))
+      .select(col("doc_id"), col("cnt"),
+        aggregate(col("cnt"), lit(0L), (a, x) => a + x).as("n_letters"))
+      .filter(col("n_letters") > 0)
+      .select(col("doc_id"), col("n_letters"),
+        // -Σ p·log2(p), each term in integer micro-bits. log2 as
+        // ln/ln(2) with a literal divisor: both engines' natural log
+        // agree (pinned by the unigram-LM oracles); a built-in log2
+        // need not.
+        (aggregate(col("cnt"), lit(0L), (acc, x) =>
+          acc + when(x > 0, round(
+            (x.cast("double") / col("n_letters")) *
+              (log(x.cast("double") / col("n_letters")) /
+                lit(0.6931471805599453)) * 1e6, 0)
+            .cast("long")).otherwise(0L)).cast("double") / -1e6)
+          .as("entropy_raw"))
+      .select(col("doc_id"), col("n_letters"),
+        round(col("entropy_raw"), 6).as("entropy_bits"),
+        (col("entropy_raw") >= 3.5 && col("entropy_raw") <= 4.6)
+          .as("natural_text"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme):
     * hash every n-token shingle, slide a w-hash window, keep each
     * window's MINIMUM hash — guaranteeing any match of length ≥ n+w−1

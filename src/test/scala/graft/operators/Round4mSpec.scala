@@ -40,6 +40,34 @@ class Round4mSpec extends SparkSpec {
     }
   }
 
+  test("entropy: degenerate and natural texts separate, plan is narrow") {
+    import spark.implicits._
+    val probe = Seq(
+      (1L, "aaaa aaaa aaaa aaaa"),                    // ~0 bits
+      (2L, "the quick brown fox jumps over lazy dog") // natural-ish
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.charEntropy(probe).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Double]("entropy_bits") === 0.0)
+    assert(!rows(1L).getAs[Boolean]("natural_text"))
+    assert(rows(2L).getAs[Double]("entropy_bits") > 3.5)
+    val p = TextAnalysis.charEntropy(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"entropy must not shuffle:\n$p")
+  }
+
+  test("ev7: the baseline frame never includes the judged observation") {
+    val rows = EventAnalytics.anomalyScores(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // z finite and the flag consistent with |z| > 3
+      val z = r.getAs[Double]("z_score")
+      assert(!z.isNaN && !z.isInfinite)
+      assert(r.getAs[Boolean]("anomaly") === (math.abs(z) > 3.0) ||
+        math.abs(math.abs(z) - 3.0) < 1e-9)
+    }
+  }
+
   test("calendar: spine is gapless, weekend flags match dow") {
     val rows = Relational.time1Calendar(spark, sf)
       .orderBy(col("day")).collect()
