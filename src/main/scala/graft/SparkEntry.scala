@@ -230,6 +230,7 @@ object SparkEntry {
     "text_entropy"      -> ((s, dir) =>
       TextAnalysis.charEntropy(Tables.documents(s, dir))),
     "ev7_anomaly"       -> (EventAnalytics.anomalyScores(_, _)),
+    "sql16_market_share" -> (Relational.sql16MarketShare(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2023,6 +2024,25 @@ object SparkEntry {
           sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k)
             / (k - 1), 0.000001))) > 3.0 AS anomaly
       FROM t WHERE k >= 10""",
+    "sql16_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(sum(CASE WHEN n_name = 'NATION_3'
+           THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (1 - CAST(l_discount AS DECIMAL(4,2)))
+           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS mkt_share,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         WHERE r_name = (SELECT r_name FROM nation JOIN region
+                         ON n_regionkey = r_regionkey
+                         WHERE n_name = 'NATION_3')
+         GROUP BY year(o_orderdate)""",
   )
 
   // ---- shared DuckDB oracle fragments ----

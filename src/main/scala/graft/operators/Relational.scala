@@ -1382,6 +1382,40 @@ object Relational {
         coalesce(col("revenue"), lit(0.0)).as("revenue"))
   }
 
+  /** TPC-H Q8 shape (national market share): one nation's share of a
+    * region's yearly revenue — the ratio of a CONDITIONAL sum to the
+    * total over the same join graph, computed in one aggregation pass
+    * (no second scan for the denominator). Dims broadcast; both sums
+    * stay exact DECIMAL and divide once as doubles.
+    */
+  def sql16MarketShare(s: SparkSession, dir: String,
+                       nation: String = "NATION_3"): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    Tables.region(s, dir).createOrReplaceTempView("region")
+    s.sql(s"""
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        CAST(sum(CASE WHEN n_name = '$nation'
+          THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (1 - CAST(l_discount AS DECIMAL(4,2)))
+          ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+          AS mkt_share,
+        count(*) AS n_items
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = (SELECT r_name FROM nation JOIN region
+                      ON n_regionkey = r_regionkey
+                      WHERE n_name = '$nation')
+      GROUP BY year(o_orderdate)""")
+  }
+
   /** Second-moment statistics battery: correlation, sample covariance /
     * variance / stddev, plus the regression slope derived from them —
     * all single-pass streaming aggregates (Welford-style partial

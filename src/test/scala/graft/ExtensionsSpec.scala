@@ -37,6 +37,13 @@ class ExtensionsSpec extends SparkSpec {
         "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
         .collect().head.getDouble(0)
       assert(cos === 1.0)
+      // the custom Generator resolves and fans out through the
+      // injected registry too (LATERAL VIEW path)
+      val sh = s2.sql(
+        """SELECT shingle FROM (SELECT array('a','b','c','d') AS tk)
+           LATERAL VIEW shingle_gen(tk, 3) t AS shingle""")
+        .collect().map(_.getString(0)).toSeq
+      assert(sh === Seq("a b c", "b c d"))
       // the declarative rank-filter shape plans through the custom exec
       val df = s2.read.parquet(s"$sf/orders.parquet")
         .withColumn("rn", row_number().over(Window.partitionBy("o_custkey")
