@@ -68,6 +68,20 @@ class Round4mSpec extends SparkSpec {
     }
   }
 
+  test("sql16: numerator and denominator share ONE aggregation pass") {
+    val df = Relational.sql16MarketShare(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // one lineitem scan: the conditional sum rides the same aggregate
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(liScans === 1, s"denominator must not rescan lineitem:\n$p")
+    val rows = df.collect()
+    rows.foreach { r =>
+      val share = r.getAs[Double]("mkt_share")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
+
   test("calendar: spine is gapless, weekend flags match dow") {
     val rows = Relational.time1Calendar(spark, sf)
       .orderBy(col("day")).collect()
