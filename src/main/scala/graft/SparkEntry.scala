@@ -231,6 +231,10 @@ object SparkEntry {
       TextAnalysis.charEntropy(Tables.documents(s, dir))),
     "ev7_anomaly"       -> (EventAnalytics.anomalyScores(_, _)),
     "sql16_market_share" -> (Relational.sql16MarketShare(_, _)),
+    // ---- round-4n: Q19 shape, value windows, deterministic collect ----
+    "sql17_disjunctive" -> (Relational.sql17Disjunctive(_, _)),
+    "w7_value_battery"  -> (Relational.w7ValueBattery(_, _)),
+    "agg2_collect"      -> (Relational.agg2CollectBattery(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2043,6 +2047,34 @@ object SparkEntry {
                          ON n_regionkey = r_regionkey
                          WHERE n_name = 'NATION_3')
          GROUP BY year(o_orderdate)""",
+    // ---- round-4n ----
+    "sql17_disjunctive" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                  AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                  AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                  AND l_quantity BETWEEN 20 AND 30)""",
+    "w7_value_battery" ->
+      """SELECT o_custkey, o_orderkey,
+         first_value(o_orderkey) OVER w AS first_order,
+         last_value(o_orderkey) OVER w AS last_order,
+         nth_value(o_orderkey, 2) OVER w AS second_order
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    "agg2_collect" ->
+      """SELECT o_custkey,
+         array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+         array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+           AS statuses,
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+         FROM orders WHERE o_custkey <= 50 GROUP BY o_custkey""",
   )
 
   // ---- shared DuckDB oracle fragments ----

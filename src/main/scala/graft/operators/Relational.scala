@@ -1416,6 +1416,64 @@ object Relational {
       GROUP BY year(o_orderdate)""")
   }
 
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
+    * OR-of-ANDs across the join — the planner must still push the
+    * common join key and the per-branch ranges into the scans
+    * (disjunctions defeat naive pushdown; Spark pushes the full Or
+    * filter to parquet). One aggregation, no row multiplication.
+    */
+  def sql17Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("part")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        count(*) AS n_items
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)""")
+  }
+
+  /** Value-window battery: first / last / nth over an explicit frame —
+    * the positional window functions the rank battery (w6) and
+    * lag/lead (w3) don't cover. The frame is the WHOLE partition
+    * (unbounded both ways) so every row of a key sees the same
+    * first/last/nth — deterministic under the pinned total order.
+    */
+  def w7ValueBattery(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      first(col("o_orderkey")).over(w).as("first_order"),
+      last(col("o_orderkey")).over(w).as("last_order"),
+      nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+  }
+
+  /** Deterministic array-aggregation battery: collect_list is
+    * partition-order-dependent, so EVERY collected array is normalized
+    * with sort_array (or built pre-sorted) before leaving the operator
+    * — the only way array-valued results can be compared, hashed, or
+    * diffed across runs and engines.
+    */
+  def agg2CollectBattery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") <= 50)
+      .groupBy(col("o_custkey"))
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("o_orderkey"))))
+          .as("order_keys"),
+        concat_ws(",", sort_array(collect_set(col("o_orderstatus"))))
+          .as("statuses"),
+        size(collect_set(col("o_orderpriority"))).cast("long")
+          .as("n_priorities"))
+  }
+
   /** Second-moment statistics battery: correlation, sample covariance /
     * variance / stddev, plus the regression slope derived from them —
     * all single-pass streaming aggregates (Welford-style partial

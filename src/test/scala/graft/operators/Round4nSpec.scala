@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Round-4n operators: disjunctive-predicate pushdown, value windows,
+  * deterministic array aggregation. Values are pinned by the DuckDB
+  * oracles; these tests pin plans and invariants.
+  */
+class Round4nSpec extends SparkSpec {
+
+  test("sql17: the OR-of-ANDs predicate is pushed to the scans") {
+    val df = Relational.sql17Disjunctive(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // Spark pushes Or filters into parquet: both scans carry filters
+    assert(p.contains("PushedFilters") &&
+      (p.contains("Or(") || p.contains("In(p_brand")),
+      s"disjunction should reach the scan:\n$p")
+    val row = df.collect().head
+    assert(row.getAs[Long]("n_items") > 0)
+  }
+
+  test("w7: first/last/nth are partition constants under the total order") {
+    val rows = Relational.w7ValueBattery(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    rows.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("first_order")).distinct.length === 1)
+      assert(rs.map(_.getAs[Long]("last_order")).distinct.length === 1)
+      // nth(2) exists for every customer with >= 2 orders
+      if (rs.length >= 2)
+        assert(rs.head.getAs[Any]("second_order") != null)
+    }
+  }
+
+  test("agg2: collected arrays are order-normalized — rerun-identical") {
+    val a = Relational.agg2CollectBattery(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Relational.agg2CollectBattery(
+      spark, sf).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    // keys inside each array are ascending
+    a.values.foreach { s =>
+      val ks = s.split(",").map(_.toLong)
+      assert(ks.sorted.sameElements(ks))
+    }
+  }
+}
