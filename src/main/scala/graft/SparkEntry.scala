@@ -235,6 +235,7 @@ object SparkEntry {
     "sql17_disjunctive" -> (Relational.sql17Disjunctive(_, _)),
     "w7_value_battery"  -> (Relational.w7ValueBattery(_, _)),
     "agg2_collect"      -> (Relational.agg2CollectBattery(_, _)),
+    "ev8_dau_wau"       -> (EventAnalytics.dauWau(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2075,6 +2076,18 @@ object SparkEntry {
            AS statuses,
          CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
          FROM orders WHERE o_custkey <= 50 GROUP BY o_custkey""",
+    "ev8_dau_wau" -> raw"""
+      WITH e AS (SELECT user_id, date_trunc('day', ts) AS day,
+          date_trunc('week', ts) AS week FROM events),
+      d AS (SELECT day, week, count(DISTINCT user_id) AS dau
+            FROM e GROUP BY 1, 2),
+      w AS (SELECT week, count(DISTINCT user_id) AS wau
+            FROM e GROUP BY 1)
+      SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        strftime(d.week, '%Y-%m-%d') AS week,
+        CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+        round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+      FROM d JOIN w ON d.week = w.week""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -32,6 +32,18 @@ class Round4nSpec extends SparkSpec {
     }
   }
 
+  test("ev8: stickiness bounded by 1, DAU never exceeds its week's WAU") {
+    val rows = EventAnalytics.dauWau(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dau") <= r.getAs[Long]("wau"))
+      val st = r.getAs[Double]("stickiness")
+      assert(st > 0.0 && st <= 1.0)
+    }
+    // every event day appears exactly once
+    assert(rows.map(_.getString(0)).distinct.length === rows.length)
+  }
+
   test("agg2: collected arrays are order-normalized — rerun-identical") {
     val a = Relational.agg2CollectBattery(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
