@@ -236,6 +236,8 @@ object SparkEntry {
     "w7_value_battery"  -> (Relational.w7ValueBattery(_, _)),
     "agg2_collect"      -> (Relational.agg2CollectBattery(_, _)),
     "ev8_dau_wau"       -> (EventAnalytics.dauWau(_, _)),
+    "sql18_cust_distribution" -> (Relational.sql18CustDistribution(_, _)),
+    "mix3_js_divergence" -> (TextAnalysis.jsDivergence(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2088,6 +2090,44 @@ object SparkEntry {
         CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
         round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
       FROM d JOIN w ON d.week = w.week""",
+    "sql18_cust_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT OUTER JOIN orders
+                 ON c_custkey = o_custkey
+                    AND o_orderpriority <> '5-LOW'
+               GROUP BY c_custkey)
+         GROUP BY c_count""",
+    "mix3_js_divergence" -> raw"""
+      WITH tok AS (
+        SELECT lang AS domain, unnest(list_filter(
+            string_split_regex(lower(text), '\s+'), x -> len(x) > 0))
+          AS token
+        FROM documents),
+      dist AS (
+        SELECT domain, token,
+          CAST(count(*) AS DOUBLE) /
+            sum(count(*)) OVER (PARTITION BY domain) AS p
+        FROM tok GROUP BY domain, token),
+      doms AS (SELECT DISTINCT domain FROM dist),
+      pairs AS (SELECT a.domain AS dom_a, b.domain AS dom_b
+                FROM doms a, doms b WHERE a.domain < b.domain),
+      l AS (SELECT p2.dom_a, p2.dom_b, d.token, d.p AS pa
+            FROM pairs p2 JOIN dist d ON d.domain = p2.dom_a),
+      r AS (SELECT p2.dom_a, p2.dom_b, d.token, d.p AS pb
+            FROM pairs p2 JOIN dist d ON d.domain = p2.dom_b),
+      j AS (SELECT coalesce(l.dom_a, r.dom_a) AS dom_a,
+              coalesce(l.dom_b, r.dom_b) AS dom_b,
+              coalesce(l.pa, 0.0) AS pa, coalesce(r.pb, 0.0) AS pb
+            FROM l FULL OUTER JOIN r
+              ON l.dom_a = r.dom_a AND l.dom_b = r.dom_b
+                 AND l.token = r.token)
+      SELECT dom_a, dom_b,
+        round(CAST(sum(CAST(round((
+          (CASE WHEN pa > 0 THEN pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END
+         + CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END)
+          / 2) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS jsd
+      FROM j GROUP BY dom_a, dom_b""",
   )
 
   // ---- shared DuckDB oracle fragments ----

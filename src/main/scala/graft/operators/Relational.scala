@@ -1474,6 +1474,26 @@ object Relational {
           .as("n_priorities"))
   }
 
+  /** TPC-H Q13 shape (customer distribution): how many customers placed
+    * k orders, for every k — a GROUP BY over the result of another
+    * aggregate, with a LEFT OUTER join so zero-order customers land in
+    * the k=0 bucket instead of vanishing. Two aggregations; the second
+    * runs over one row per customer, and its key domain (distinct
+    * order counts) is tiny.
+    */
+  def sql18CustDistribution(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT c_count, count(*) AS custdist
+      FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey
+                 AND o_orderpriority <> '5-LOW'
+            GROUP BY c_custkey)
+      GROUP BY c_count""")
+  }
+
   /** Second-moment statistics battery: correlation, sample covariance /
     * variance / stddev, plus the regression slope derived from them —
     * all single-pass streaming aggregates (Welford-style partial

@@ -581,6 +581,50 @@ object TextAnalysis {
           .as("natural_text"))
   }
 
+  /** Jensen–Shannon divergence between every domain pair's unigram
+    * distributions — the symmetric, bounded ([0, ln 2]) mixture
+    * distance a data-mixing pipeline reports (how far apart are my
+    * domains?). Per-domain token distributions aggregate once; the
+    * pairwise JSD then runs over (domain × domain × vocab) JOINED rows
+    * — vocab-sized, never corpus-sized. Full outer join per pair keeps
+    * one-sided tokens (the other side contributes 0 probability); each
+    * log term micro-nat-quantizes before summation.
+    */
+  def jsDivergence(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("lang").as("domain"),
+        explode(tokens(lower(col("text")))).as("token"))
+      .groupBy(col("domain"), col("token")).agg(count(lit(1)).as("n"))
+      .withColumn("total",
+        sum(col("n")).over(Window.partitionBy(col("domain"))))
+      .select(col("domain"), col("token"),
+        (col("n").cast("double") / col("total")).as("p"))
+    // explicit pair frame: a token present in only ONE side of a pair
+    // must still contribute (the other side reads probability 0) — a
+    // bare token join cannot represent those rows
+    val doms = tok.select(col("domain")).distinct()
+    val pairs = doms.select(col("domain").as("dom_a"))
+      .crossJoin(doms.select(col("domain").as("dom_b")))
+      .filter(col("dom_a") < col("dom_b"))
+    val left = pairs.join(
+      tok.select(col("domain").as("dom_a"), col("token"), col("p").as("pa")),
+      Seq("dom_a"))
+    val right = pairs.join(
+      tok.select(col("domain").as("dom_b"), col("token"), col("p").as("pb")),
+      Seq("dom_b"))
+    val pa = coalesce(col("pa"), lit(0.0))
+    val pb = coalesce(col("pb"), lit(0.0))
+    val m = (pa + pb) / 2
+    val term = (c: Column) =>
+      when(c > 0, c * log(c / m)).otherwise(lit(0.0))
+    left.join(right, Seq("dom_a", "dom_b", "token"), "full_outer")
+      .select(col("dom_a"), col("dom_b"),
+        (round((term(pa) + term(pb)) / 2 * 1e6, 0).cast("long"))
+          .as("term_micro"))
+      .groupBy(col("dom_a"), col("dom_b"))
+      .agg(round(sum(col("term_micro")).cast("double") / 1e6, 6).as("jsd"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme):
     * hash every n-token shingle, slide a w-hash window, keep each
     * window's MINIMUM hash — guaranteeing any match of length ≥ n+w−1

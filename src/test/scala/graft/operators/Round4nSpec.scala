@@ -44,6 +44,26 @@ class Round4nSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).distinct.length === rows.length)
   }
 
+  test("sql18: distribution conserves customers, zero-order bucket kept") {
+    val rows = Relational.sql18CustDistribution(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("custdist")).sum
+    assert(total === Tables.customer(spark, sf).count(),
+      "every customer lands in exactly one order-count bucket")
+  }
+
+  test("mix3: JSD symmetric-bounded, all domain pairs present") {
+    val rows = TextAnalysis.jsDivergence(spark, sf).collect()
+    val nDoms = Tables.documents(spark, sf)
+      .select("lang").distinct().count().toInt
+    assert(rows.length === nDoms * (nDoms - 1) / 2)
+    rows.foreach { r =>
+      val jsd = r.getAs[Double]("jsd")
+      // bounded by ln 2 for natural-log JSD
+      assert(jsd >= 0.0 && jsd <= 0.6931472 + 1e-6)
+      assert(r.getString(0) < r.getString(1))
+    }
+  }
+
   test("agg2: collected arrays are order-normalized — rerun-identical") {
     val a = Relational.agg2CollectBattery(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
