@@ -238,6 +238,8 @@ object SparkEntry {
     "ev8_dau_wau"       -> (EventAnalytics.dauWau(_, _)),
     "sql18_cust_distribution" -> (Relational.sql18CustDistribution(_, _)),
     "mix3_js_divergence" -> (TextAnalysis.jsDivergence(_, _)),
+    "sql19_min_cost_supplier" -> (Relational.sql19MinCostSupplier(_, _)),
+    "stat12_gini"       -> (Relational.stat12Gini(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2128,6 +2130,29 @@ object SparkEntry {
          + CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END)
           / 2) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS jsd
       FROM j GROUP BY dom_a, dom_b""",
+    "sql19_min_cost_supplier" ->
+      """SELECT l.l_partkey, s.s_suppkey, s.s_name,
+         CAST(l.l_extendedprice AS DOUBLE) AS price
+         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         WHERE l.l_partkey < 200
+           AND CAST(l.l_extendedprice AS DECIMAL(12,2)) =
+             (SELECT min(CAST(l2.l_extendedprice AS DECIMAL(12,2)))
+              FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""",
+    "stat12_gini" -> raw"""
+      WITH pc AS (SELECT o_custkey,
+          sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1),
+      r AS (SELECT cents,
+          row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS i
+        FROM pc),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(cents) AS BIGINT) AS total_cents,
+          CAST(sum(i * cents) AS BIGINT) AS weighted FROM r)
+      SELECT n, round(CAST(total_cents AS DOUBLE) / 100, 2)
+          AS total_revenue,
+        round(2.0 * weighted / (n * total_cents)
+          - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+      FROM a""",
   )
 
   // ---- shared DuckDB oracle fragments ----

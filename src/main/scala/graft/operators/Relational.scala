@@ -1494,6 +1494,52 @@ object Relational {
       GROUP BY c_count""")
   }
 
+  /** TPC-H Q2 shape (minimum-cost supplier): a correlated equality
+    * against a per-group MIN — for each part, exactly the suppliers
+    * whose price EQUALS that part's minimum. Catalyst decorrelates the
+    * scalar MIN into one per-part aggregate joined back (sql7's AVG
+    * pattern with equality semantics: ties all qualify). Price compares
+    * as exact DECIMAL so the equality cannot drift.
+    */
+  def sql19MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    s.sql("""
+      SELECT l.l_partkey, s.s_suppkey, s.s_name,
+        CAST(l.l_extendedprice AS DOUBLE) AS price
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE l.l_partkey < 200
+        AND CAST(l.l_extendedprice AS DECIMAL(12,2)) =
+          (SELECT min(CAST(l2.l_extendedprice AS DECIMAL(12,2)))
+           FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""")
+  }
+
+  /** Gini coefficient of customer revenue — the inequality metric an
+    * account-concentration report leads with. The heavy input collapses
+    * to one row per customer first; the rank/cumulative math then runs
+    * over the ENTITY dimension (like RFM's ntile), with revenue as
+    * exact decimal cents so Σi·xᵢ is exact integer arithmetic until
+    * the one final division. G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    * ascending revenue with a custkey tie-break.
+    */
+  def stat12Gini(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        .as("cents"))
+    val w = Window.orderBy(col("cents").asc, col("o_custkey").asc)
+    perCust
+      .withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("total_cents"),
+        sum(col("i") * col("cents")).as("weighted_cents"))
+      .select(col("n"),
+        round(col("total_cents").cast("double") / 100, 2).as("total_revenue"),
+        round(lit(2.0) * col("weighted_cents") /
+          (col("n") * col("total_cents")) -
+          (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
+  }
+
   /** Second-moment statistics battery: correlation, sample covariance /
     * variance / stddev, plus the regression slope derived from them —
     * all single-pass streaming aggregates (Welford-style partial

@@ -64,6 +64,29 @@ class Round4nSpec extends SparkSpec {
     }
   }
 
+  test("sql19: every kept price equals its part's true minimum") {
+    val df = Relational.sql19MinCostSupplier(spark, sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("scalar-subquery"), s"min must decorrelate:\n$p")
+    val mins = Tables.lineitem(spark, sf)
+      .filter(col("l_partkey") < 200)
+      .groupBy(col("l_partkey"))
+      .agg(min(col("l_extendedprice")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    df.collect().foreach { r =>
+      assert(r.getAs[Double]("price") === mins(r.getLong(0)))
+    }
+  }
+
+  test("gini: bounded in [0,1), uniform data would be ~0, rerun-stable") {
+    val row = Relational.stat12Gini(spark, sf).collect().head
+    val g = row.getAs[Double]("gini")
+    assert(g >= 0.0 && g < 1.0)
+    val again = Relational.stat12Gini(spark, sf).collect().head
+    assert(again.getAs[Double]("gini") === g,
+      "entity-ranked prefix math must be partition-invariant")
+  }
+
   test("agg2: collected arrays are order-normalized — rerun-identical") {
     val a = Relational.agg2CollectBattery(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
