@@ -240,6 +240,7 @@ object SparkEntry {
     "mix3_js_divergence" -> (TextAnalysis.jsDivergence(_, _)),
     "sql19_min_cost_supplier" -> (Relational.sql19MinCostSupplier(_, _)),
     "stat12_gini"       -> (Relational.stat12Gini(_, _)),
+    "stat13_mann_whitney" -> (Relational.stat13MannWhitney(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2153,6 +2154,32 @@ object SparkEntry {
         round(2.0 * weighted / (n * total_cents)
           - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
       FROM a""",
+    "stat13_mann_whitney" -> raw"""
+      WITH counts AS (
+        SELECT value,
+          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY value),
+      t AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+                   CAST(sum(b) AS BIGINT) AS nb FROM counts),
+      rk AS (SELECT a, b,
+          coalesce(sum(a + b) OVER (ORDER BY value
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cum_prev
+        FROM counts),
+      agg AS (SELECT na, nb,
+          CAST(sum(a * (2 * cum_prev + a + b + 1)) AS BIGINT) AS ra2
+        FROM rk, t GROUP BY na, nb),
+      uu AS (SELECT na, nb,
+          CAST(ra2 - na * (na + 1) AS DOUBLE) / 2 AS u FROM agg)
+      SELECT na, nb, u,
+        round((u - CAST(na AS DOUBLE) * nb / 2) /
+          sqrt(CAST(na AS DOUBLE) * nb * (na + nb + 1) / 12), 6) AS z,
+        abs((u - CAST(na AS DOUBLE) * nb / 2) /
+          sqrt(CAST(na AS DOUBLE) * nb * (na + nb + 1) / 12)) > 1.96
+          AS significant
+      FROM uu""",
   )
 
   // ---- shared DuckDB oracle fragments ----

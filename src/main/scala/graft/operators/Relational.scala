@@ -1540,6 +1540,50 @@ object Relational {
           (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) — the nonparametric companion
+    * to Welch's t (stat11): compares distributions by rank, immune to
+    * outliers and non-normality. Same scale shape as the KS test: the
+    * only row-count-sized exchange is the per-value count aggregate;
+    * ranks come from a prefix sum over the bounded value domain, with
+    * midranks for ties — all half-integer arithmetic, carried as
+    * doubled integers so everything is EXACT until the final z
+    * denominator. Normal approximation without tie correction
+    * (documented; the tie term is second-order at these tie rates).
+    */
+  def stat13MannWhitney(s: SparkSession, dir: String,
+                        typeA: String = "click", typeB: String = "purchase")
+    : DataFrame = {
+    val counts = Tables.events(s, dir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("b"))
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    // midrank of a tied value group, DOUBLED to stay integer:
+    // 2·midrank = 2·cum_prev + (group_size + 1)
+    counts
+      .withColumn("cum_prev",
+        coalesce(sum(col("a") + col("b")).over(w), lit(0L)))
+      .withColumn("rank2",
+        lit(2L) * col("cum_prev") + col("a") + col("b") + 1L)
+      .withColumn("na", sum(col("a")).over(wAll))
+      .withColumn("nb", sum(col("b")).over(wAll))
+      .groupBy(col("na"), col("nb"))
+      .agg(sum(col("a") * col("rank2")).as("ra2"))
+      // U = R_a − na(na+1)/2, computed in doubled units then halved
+      .withColumn("u", (col("ra2") - col("na") * (col("na") + 1L))
+        .cast("double") / 2)
+      .select(col("na"), col("nb"), col("u"),
+        round((col("u") - col("na").cast("double") * col("nb") / 2) /
+          sqrt(col("na").cast("double") * col("nb") *
+            (col("na") + col("nb") + 1L) / 12), 6).as("z"),
+        (abs((col("u") - col("na").cast("double") * col("nb") / 2) /
+          sqrt(col("na").cast("double") * col("nb") *
+            (col("na") + col("nb") + 1L) / 12)) > 1.96).as("significant"))
+  }
+
   /** Second-moment statistics battery: correlation, sample covariance /
     * variance / stddev, plus the regression slope derived from them —
     * all single-pass streaming aggregates (Welford-style partial

@@ -87,6 +87,19 @@ class Round4nSpec extends SparkSpec {
       "entity-ranked prefix math must be partition-invariant")
   }
 
+  test("mann-whitney: U bounded by na*nb, self-comparison gives z=0") {
+    val row = Relational.stat13MannWhitney(spark, sf).collect().head
+    val (na, nb) = (row.getAs[Long]("na"), row.getAs[Long]("nb"))
+    val u = row.getAs[Double]("u")
+    assert(u >= 0.0 && u <= na.toDouble * nb)
+    assert(row.getAs[Boolean]("significant") ===
+      (math.abs(row.getAs[Double]("z")) > 1.96))
+    val self = Relational.stat13MannWhitney(spark, sf,
+      typeA = "view", typeB = "view").collect().head
+    // identical samples: midranks make U exactly na*nb/2 ⇒ z = 0
+    assert(self.getAs[Double]("z") === 0.0)
+  }
+
   test("agg2: collected arrays are order-normalized — rerun-identical") {
     val a = Relational.agg2CollectBattery(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
