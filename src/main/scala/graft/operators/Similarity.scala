@@ -357,8 +357,13 @@ object Similarity {
   def kmeansLloyd(s: SparkSession, dir: String, k: Int = 8,
                   iters: Int = 2): DataFrame = {
     GraftFunctions.register(s)
+    // cache: the corpus feeds iters+2 separate jobs (init collect, one
+    // assignment+update per round, final summary) — without it each
+    // round re-reads and re-casts the parquet. The checkpoint-the-
+    // intermediate pattern; Bench/Verify clearCache between queries.
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .cache()
     // squared-L2 to each centroid of a literal model via the native
     // codegen'd L2Squared kernel (the HOF zip_with/aggregate form is
     // CodegenFallback — interpreted — and dominated the runtime),
