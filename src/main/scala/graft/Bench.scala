@@ -44,7 +44,13 @@ object Bench {
     // and degrades to -1 alone; this outer cap is only the backstop
     // against a phase that ignores interruption — a contended host must
     // degrade phases to explicit markers, never hang the whole run.
-    val osm = try {
+    // dev-only isolation filter (comma-separated query names): rerun a
+    // handful of queries on a quiet host without the full battery or
+    // the OSM phase. The driver never sets it — recorded rounds always
+    // run everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val osm = if (only.isDefined) "\"osm_skipped\":true" else try {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -55,7 +61,11 @@ object Bench {
         "\"osm_failed\":true"
     }
     spark.catalog.clearCache() // no OSM residue in the first query's cold time
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val benchQueries = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None        => SparkEntry.queries
+    }
+    val results = benchQueries.toSeq.map { case (name, fn) =>
       val cold = once(fn)
       val warm = if (cold < 0) -1.0
       else {

@@ -15,6 +15,7 @@ object GraftFunctions {
     "l2_sq"         -> (es => L2Squared(es(0), es(1))),
     "plane_sig"     -> (es => PlaneSignature(es(0), es(1))),
     "simhash60"     -> (es => SimHash60(es.head)),
+    "md5_base60"    -> (es => Md5Base60(es.head)),
     "minhash_sig16" -> (es => MinHashSig(es.head, 16)),
     // Spark ships bloom-filter expressions for its runtime join filters
     // but does not register them as SQL functions; graft exposes them

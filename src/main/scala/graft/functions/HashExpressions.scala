@@ -84,6 +84,41 @@ object HashImpl {
   }
 }
 
+/** Scalar md5-60 — the native form of the composed chain
+  * `conv(substring(md5(s), 1, 15), 16, 10)`: digest bytes straight to a
+  * Long via [[Md5Base.hash60]], no 32-char hex string, no substring
+  * copy, no base-16 reparse. The composed chain allocates and parses
+  * those intermediates PER CALL — per shingle in winnow (the round-4
+  * bench tail), per (row, replicate) in the Poisson bootstrap, per
+  * document in every sampling coin. Bit-equality against the composed
+  * form is pinned in FunctionsSpec; the DuckDB oracle bridge
+  * `('0x' || substr(md5(x), 1, 15))::BIGINT` is unchanged, so every
+  * oracle replays the same 60 bits.
+  */
+case class Md5Base60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5_base60"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure("md5_base60 expects a string column")
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Base.hash60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Base.hash60($c)")
+
+  override protected def withNewChildInternal(c: Expression): Md5Base60 =
+    copy(child = c)
+}
+
 /** Single-pass 60-bit SimHash over a token array — see
   * [[HashImpl.simhash60]]. Replaces the higher-order-function fold
   * (`aggregate` + per-token `transform(sequence(...))` + `zip_with`)

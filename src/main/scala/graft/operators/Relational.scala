@@ -1040,8 +1040,7 @@ object Relational {
     // P[Poisson(1) <= k] for k = 0..5, 10dp literals — the contract
     val cdf = Seq(0.3678794412, 0.7357588824, 0.9196986030,
       0.9810118431, 0.9963401532, 0.9994058152)
-    val u = conv(substring(md5(concat_ws(":",
-      col("o_orderkey"), col("r"))), 1, 15), 16, 10).cast("long") /
+    val u = Sampling.hash60(concat_ws(":", col("o_orderkey"), col("r"))) /
       lit(1152921504606846976.0) // 2^60 — exact binary fraction
     val w = cdf.map(t => when(u >= t, 1L).otherwise(0L)).reduce(_ + _)
     Tables.orders(s, dir)
@@ -1134,9 +1133,7 @@ object Relational {
     }
     val fact = s.read.parquet(base)
     val dim = Tables.documents(s, dir).select(col("lang")).distinct()
-      .withColumn("tier",
-        pmod(conv(substring(md5(col("lang")), 1, 15), 16, 10).cast("long"),
-          lit(2)))
+      .withColumn("tier", pmod(Sampling.hash60(col("lang")), lit(2)))
     fact.join(broadcast(dim.filter(col("tier") === 0)), Seq("lang"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),

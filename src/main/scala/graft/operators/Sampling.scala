@@ -24,10 +24,18 @@ object Sampling {
 
   /** Uniform bucket in [0, 100): top 60 bits of md5 of the key, mod 100
     * — the same md5-hex bridge every graft hash pipeline uses
-    * (functions.Md5Base), so any engine reproduces membership exactly. */
+    * (functions.Md5Base), so any engine reproduces membership exactly.
+    * The hash is the native codegen'd md5_base60 expression (digest
+    * bytes → long; no hex-string round-trip per row). */
   def bucket100(key: Column): Column =
-    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
-      lit(100))
+    pmod(hash60(key.cast("string")), lit(100))
+
+  /** Native md5-60 as a Column (registers the function on the active
+    * session — idempotent; pure-Column helpers have no session handle). */
+  private[graft] def hash60(key: Column): Column = {
+    graft.functions.GraftFunctions.register(SparkSession.active)
+    call_function("md5_base60", key)
+  }
 
   /** Stratified sample of `docs` by `lang`: keep `rates(lang)` percent
     * of each stratum (`default` percent for unlisted strata). */
@@ -68,8 +76,7 @@ object Sampling {
     * corpus, is what moves. */
   def topNPerStratum(s: SparkSession, docs: DataFrame, n: Int): DataFrame = {
     graft.plans.GraftStrategies.register(s)
-    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val h = hash60(col("doc_id").cast("string"))
     docs
       .withColumn("h", h)
       .withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
@@ -90,7 +97,7 @@ object Sampling {
   def weightedSample(docs: DataFrame): DataFrame = {
     // 60 bits of md5 / 2^60: an exact binary fraction — bit-identical
     // in any engine that parses the same hex
-    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+    val u = hash60(col("doc_id").cast("string"))
       .cast("double") / lit(1152921504606846976.0) // 2^60
     val w = least(lit(1.0), col("n_chars") / lit(400.0))
     docs.select(col("doc_id"), col("lang"),
@@ -107,8 +114,7 @@ object Sampling {
     * is a perfectly balanced dataset, reproducible on any engine.
     */
   def balancedSample(s: SparkSession, docs: DataFrame): DataFrame = {
-    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val h = hash60(col("doc_id").cast("string"))
     val caps = docs.groupBy(col("lang")).count()
       .withColumn("cap", min(col("count")).over(Window.partitionBy()))
       .select(col("lang"), col("cap"))

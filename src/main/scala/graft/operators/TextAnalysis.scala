@@ -641,8 +641,10 @@ object TextAnalysis {
     * replays them bit-for-bit.
     */
   def winnow(docs: DataFrame, n: Int = 4, w: Int = 4): DataFrame = {
-    val hash60 = (s: Column) =>
-      conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+    // native md5-60 (digest bytes → long, codegen'd): the composed
+    // conv(substring(md5)) chain materialized a hex string PER SHINGLE
+    // and was the round-4 bench tail (7.6s)
+    val hash60 = (s: Column) => Sampling.hash60(s)
     docs
       .select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
       .filter(size(col("tk")) >= n + w - 1)

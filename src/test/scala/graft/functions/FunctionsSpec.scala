@@ -17,6 +17,23 @@ class FunctionsSpec extends SparkSpec {
   private def md5Hash60(t: org.apache.spark.sql.Column) =
     conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  test("md5_base60 == conv(substring(md5)) chain, bit for bit") {
+    GraftFunctions.register(spark)
+    val d = Tables.documents(spark, sf)
+    // per-token (the winnow/minhash shape) AND whole-doc (the sampling
+    // coin shape); native vs composed must agree on every value
+    val both = d.select(
+      explode(transform(toks(col("text")),
+        t => struct(call_function("md5_base60", t).as("native"),
+          md5Hash60(t).as("hof")))).as("p"))
+      .select(col("p.native"), col("p.hof"))
+      .union(d.select(
+        call_function("md5_base60", col("doc_id").cast("string")).as("native"),
+        md5Hash60(col("doc_id").cast("string")).as("hof")))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    assert(both.filter(col("native") < 0).count() === 0) // top-60-bit range
+  }
+
   test("cosine_sim == zip_with/aggregate fold, bit for bit") {
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sf).limit(100)
