@@ -1577,12 +1577,17 @@ object SparkEntry {
           '/p/' || CAST(doc_id % 7 AS VARCHAR) ||
           CASE WHEN doc_id % 3 = 0
                THEN '?utm_source=feed&utm_campaign=c' ||
-                    CAST(doc_id % 5 AS VARCHAR) ELSE '' END ||
+                    CAST(doc_id % 5 AS VARCHAR)
+               WHEN doc_id % 5 = 1
+               THEN '?utm_medium=email&page=' || CAST(doc_id % 7 AS VARCHAR)
+               ELSE '' END ||
           CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS text
         FROM documents),
       u AS (SELECT regexp_extract(text, 'https?://[^\s]+', 0) AS url FROM d),
-      c AS (SELECT regexp_replace(regexp_replace(url, '#[^\s]*', '', 'g'),
-          '[?&]utm_[a-z]+=[^&#\s]*', '', 'g') AS nt FROM u),
+      c AS (SELECT regexp_replace(
+          regexp_replace(regexp_replace(url, '#[^\s]*', '', 'g'),
+            '[?&]utm_[a-z]+=[^&#\s]*', '', 'g'),
+          '^([^?&]*)&', '\1?') AS nt FROM u),
       p AS (SELECT regexp_replace(lower(regexp_extract(nt,
             '^https?://([^/]+)', 1)), '^www\.', '') AS host,
           regexp_extract(nt, '^https?://[^/]+(/[^?#\s]*)', 1) AS path
@@ -2148,10 +2153,11 @@ object SparkEntry {
         FROM pc),
       a AS (SELECT CAST(count(*) AS BIGINT) AS n,
           CAST(sum(cents) AS BIGINT) AS total_cents,
-          CAST(sum(i * cents) AS BIGINT) AS weighted FROM r)
+          sum(CAST(i AS HUGEINT) * cents) AS weighted FROM r)
       SELECT n, round(CAST(total_cents AS DOUBLE) / 100, 2)
           AS total_revenue,
-        round(2.0 * weighted / (n * total_cents)
+        round(2.0 * CAST(weighted AS DOUBLE)
+          / (CAST(n AS DOUBLE) * CAST(total_cents AS DOUBLE))
           - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
       FROM a""",
     "stat13_mann_whitney" -> raw"""

@@ -114,12 +114,20 @@ object Dedup {
   def minhashLsh(s: SparkSession, docs: DataFrame,
                  threshold: Double = 0.5): DataFrame = {
     GraftFunctions.register(s)
-    // cache: the shingle sets feed three subtrees (signatures + both
-    // sides of the verification join) — without it each recomputes the
-    // full tokenize+shingle pass. At cluster scale this is the
-    // checkpoint-the-intermediate pattern. (Bench/Verify clearCache
-    // between queries, so the storage does not outlive the query.)
-    val shDocs = shingled(docs).cache()
+    // checkpoint-the-intermediate: the shingle sets feed three subtrees
+    // (signatures + both sides of the verification join) — without
+    // reuse each recomputes the full tokenize+shingle pass. Staged to
+    // storage (one eager write, three columnar reads), NOT .cache():
+    // a cache referenced by the RETURNED plan can never be unpersisted
+    // by the operator, so a long-lived session would accumulate
+    // executor storage (the round-1 bench artifact). At 100 TB a
+    // corpus-sized intermediate doesn't fit executor memory anyway —
+    // disk staging is the scale-true form.
+    // fixed path, overwritten per call (bounded disk, like the
+    // bucketed-join sinks); a real deployment keys this per job run
+    val shPath = "/tmp/graft_stage_minhash_sh"
+    shingled(docs).write.mode("overwrite").parquet(shPath)
+    val shDocs = s.read.parquet(shPath)
     val bands = shDocs
       .select(col("doc_id"), minhashSig(col("sh")).as("sig"))
       // repartition = projection barrier + the "bucket once, probe many"

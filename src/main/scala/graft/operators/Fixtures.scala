@@ -100,7 +100,13 @@ object Fixtures {
       lit(" see https://"), host, lit("/p/"), pmod(id, lit(7)).cast("string"),
       when(pmod(id, lit(3)) === 0,
         concat(lit("?utm_source=feed&utm_campaign=c"),
-          pmod(id, lit(5)).cast("string"))).otherwise(lit("")),
+          pmod(id, lit(5)).cast("string")))
+        // utm FIRST then a real param — the orphaned-'&' shape the
+        // normalizer must repair to '?page=N'
+        .when(pmod(id, lit(5)) === 1,
+          concat(lit("?utm_medium=email&page="),
+            pmod(id, lit(7)).cast("string")))
+        .otherwise(lit("")),
       when(pmod(id, lit(4)) === 0, lit("#frag")).otherwise(lit(""))))
   }
 

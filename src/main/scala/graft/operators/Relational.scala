@@ -1125,7 +1125,10 @@ object Relational {
     * oracle reproduces the surviving partition set exactly.
     */
   def j6DynamicPruning(s: SparkSession, dir: String): DataFrame = {
-    val base = s"/tmp/graft_part_sink_${math.abs(dir.hashCode)}_dpp"
+    // keyed on the full sanitized path (like the bucketed-join sinks) —
+    // abs(hashCode) risks cross-dir collisions and stays negative for
+    // Int.MinValue
+    val base = s"/tmp/graft_part_sink_${dir.replaceAll("[^A-Za-z0-9]", "_")}_dpp"
     if (!new java.io.File(base).exists()) {
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -1527,13 +1530,18 @@ object Relational {
     val w = Window.orderBy(col("cents").asc, col("o_custkey").asc)
     perCust
       .withColumn("i", row_number().over(w).cast("long"))
+      // Σi·xᵢ approaches Long range near sf1 (~1.5M customers × ~5e7
+      // cents) — accumulate as DECIMAL(38,0) (exact 128-bit, like the
+      // oracle's HUGEINT) and convert to double only for the one final
+      // division; n·Σx likewise multiplies as double, not long.
       .agg(count(lit(1)).as("n"),
         sum(col("cents")).as("total_cents"),
-        sum(col("i") * col("cents")).as("weighted_cents"))
+        sum((col("i").cast("decimal(38,0)") * col("cents")))
+          .as("weighted_cents"))
       .select(col("n"),
         round(col("total_cents").cast("double") / 100, 2).as("total_revenue"),
-        round(lit(2.0) * col("weighted_cents") /
-          (col("n") * col("total_cents")) -
+        round(lit(2.0) * col("weighted_cents").cast("double") /
+          (col("n").cast("double") * col("total_cents").cast("double")) -
           (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
   }
 

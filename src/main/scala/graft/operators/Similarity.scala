@@ -357,13 +357,15 @@ object Similarity {
   def kmeansLloyd(s: SparkSession, dir: String, k: Int = 8,
                   iters: Int = 2): DataFrame = {
     GraftFunctions.register(s)
-    // cache: the corpus feeds iters+2 separate jobs (init collect, one
-    // assignment+update per round, final summary) — without it each
-    // round re-reads and re-casts the parquet. The checkpoint-the-
-    // intermediate pattern; Bench/Verify clearCache between queries.
+    // cache: the corpus feeds iters+1 INTERNAL jobs (init collect, one
+    // assignment+update collect per round) — without it each round
+    // re-reads and re-casts the parquet. Unpersisted in the finally
+    // below, so no storage outlives the call (a long-lived session must
+    // not accumulate cached corpora); only the final one-pass summary
+    // recomputes from parquet.
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .cache()
+    e.cache()
     // squared-L2 to each centroid of a literal model via the native
     // codegen'd L2Squared kernel (the HOF zip_with/aggregate form is
     // CodegenFallback — interpreted — and dominated the runtime),
@@ -376,11 +378,6 @@ object Similarity {
         struct(round(call_function("l2_sq", v, c.getField("c")), 6)
           .as("dist"), c.getField("cell").as("cell")))
     }
-    var model: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < k)
-      .select(col("vec_id"), transform(col("v"), x => round(x, 6)).as("c"))
-      .collect()
-      .map(r => (r.getLong(0).toInt, r.getAs[collection.Seq[Double]]("c").toSeq))
-      .sortBy(_._1).toSeq
     // order-independent mean: sum exact integer micros (6dp quantized),
     // divide once — float summation order differs between engines (and
     // between Spark's own partitionings), and a ~1e-12 drift can flip a
@@ -388,19 +385,27 @@ object Similarity {
     def microMean(x: Column): Column =
       round(sum(round(x * 1e6, 0).cast("long")).cast("double") /
         (count(lit(1)).cast("double") * 1e6), 6)
-    for (_ <- 1 to iters) {
-      model = e
-        .select(array_min(dists(model)(col("v"))).getField("cell").as("cell"),
-          posexplode(col("v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(microMean(col("col")).as("m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-          .getField("m").as("c"))
+    var model: Seq[(Int, Seq[Double])] = Nil
+    try {
+      model = e.filter(col("vec_id") < k)
+        .select(col("vec_id"), transform(col("v"), x => round(x, 6)).as("c"))
         .collect()
-        .map(r => (r.getInt(0), r.getAs[collection.Seq[Double]]("c").toSeq))
+        .map(r => (r.getLong(0).toInt, r.getAs[collection.Seq[Double]]("c").toSeq))
         .sortBy(_._1).toSeq
-    }
+      for (_ <- 1 to iters) {
+        model = e
+          .select(array_min(dists(model)(col("v"))).getField("cell").as("cell"),
+            posexplode(col("v")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(microMean(col("col")).as("m"))
+          .groupBy(col("cell"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+            .getField("m").as("c"))
+          .collect()
+          .map(r => (r.getInt(0), r.getAs[collection.Seq[Double]]("c").toSeq))
+          .sortBy(_._1).toSeq
+      }
+    } finally e.unpersist(blocking = true)
     // final assignment + per-cluster summary (sizes, mean cost, first
     // two centroid coordinates as a spot-check of the model itself)
     val c0 = model.map { case (cell, c) =>

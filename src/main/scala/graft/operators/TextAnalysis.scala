@@ -668,8 +668,12 @@ object TextAnalysis {
     */
   def urlNormalize(docs: DataFrame): DataFrame = {
     val url = regexp_extract(col("text"), raw"https?://[^\s]+", 0)
-    val noTrack = regexp_replace(
+    val stripped = regexp_replace(
       regexp_replace(url, raw"#[^\s]*", ""), raw"[?&]utm_[a-z]+=[^&#\s]*", "")
+    // a LEADING utm param takes the '?' with it ("?utm=1&keep=2" →
+    // "&keep=2"); promote the orphaned '&' back to '?' — anchored, so
+    // only a '&' with no '?' before it matches (first occurrence only)
+    val noTrack = regexp_replace(stripped, raw"^([^?&]*)&", raw"$$1?")
     val host = regexp_replace(
       lower(regexp_extract(noTrack, raw"^https?://([^/]+)", 1)), raw"^www\.", "")
     val path = regexp_extract(noTrack, raw"^https?://[^/]+(/[^?#\s]*)", 1)

@@ -132,13 +132,25 @@ object EventStreams {
       .agg(expr("bloom_agg(xxhash64(text), 1000000L, 8000000L)"))
       .collect().head.getAs[Array[Byte]](0)
     val digests = history.select(md5(col("text")).as("h_digest")).distinct()
-    val tagged = docs.withColumn("maybe_dup",
-      call_function("bloom_might_contain", lit(bloomBytes), xxhash64(col("text"))))
-    tagged.filter(!col("maybe_dup"))
-      .unionByName(tagged.filter(col("maybe_dup"))
-        .join(broadcast(digests), md5(col("text")) === col("h_digest"),
-          "left_anti"))
-      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+    // cold start: BloomFilterAggregate over an EMPTY history returns
+    // NULL — bloom_might_contain(NULL, _) would be NULL and both filter
+    // branches would drop every row. No history means nothing can be a
+    // duplicate: skip the prefilter and rely on the (empty) exact
+    // digest anti-join alone.
+    val deduped =
+      if (bloomBytes == null)
+        docs.join(broadcast(digests), md5(col("text")) === col("h_digest"),
+          "left_anti")
+      else {
+        val tagged = docs.withColumn("maybe_dup",
+          call_function("bloom_might_contain", lit(bloomBytes),
+            xxhash64(col("text"))))
+        tagged.filter(!col("maybe_dup"))
+          .unionByName(tagged.filter(col("maybe_dup"))
+            .join(broadcast(digests), md5(col("text")) === col("h_digest"),
+              "left_anti"))
+      }
+    deduped.select(col("doc_id"), md5(col("text")).as("content_hash"))
   }
 
   /** Exactly-once file sink via foreachBatch: each micro-batch lands in
@@ -149,19 +161,26 @@ object EventStreams {
     * (checkpointing provides the replay; the sink must make replays
     * no-ops). Readers get hive-style partition pruning on batch_id for
     * free. */
+  /** The per-epoch commit body of [[idempotentSink]], visible so the
+    * replay path is directly testable: the _SUCCESS marker is the
+    * commit point — a half-written directory from a crashed attempt is
+    * overwritten, a committed one is skipped untouched (re-running a
+    * batch id is a no-op however different the replayed frame looks). */
+  def commitBatch(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                  id: Long, base: String): Unit = {
+    val dir = new java.io.File(s"$base/batch_id=$id")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      batch.write.mode("overwrite").parquet(dir.getPath)
+    }
+  }
+
   def idempotentSink(docs: DataFrame, base: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$base/_checkpoint")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val dir = new java.io.File(s"$base/batch_id=$id")
-        // the _SUCCESS marker is the commit point: a half-written
-        // directory from a crashed attempt is overwritten, a committed
-        // one is skipped
-        if (!new java.io.File(dir, "_SUCCESS").exists()) {
-          batch.write.mode("overwrite").parquet(dir.getPath)
-        }
+        commitBatch(batch, id, base)
       }
       .start()
 

@@ -19,6 +19,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b, j) => b == a + 1000000L || j >= 0.5 })
   }
 
+  test("no cached RDDs outlive the storage-hygiene operators") {
+    // a long-lived user session must not accumulate executor storage:
+    // minhashLsh stages its shingle intermediate to disk (not .cache),
+    // kmeansLloyd unpersists its corpus cache in a finally
+    spark.catalog.clearCache()
+    Dedup.minhashLsh(spark, mutants).count()
+    Similarity.kmeansLloyd(spark, sf, k = 4, iters = 2).count()
+    val live = spark.sparkContext.getPersistentRDDs
+    assert(live.isEmpty, s"leaked cached RDDs: ${live.values.map(_.name)}")
+  }
+
   test("simhash pairs find mutants within hamming radius") {
     val pairs = Dedup.simhashPairs(spark, mutants).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),

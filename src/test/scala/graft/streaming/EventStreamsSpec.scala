@@ -248,6 +248,30 @@ class EventStreamsSpec extends SparkSpec {
       "bloom+digest must pass exactly the never-seen ids")
   }
 
+  test("streaming bloom dedup cold start: empty history passes every doc") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // BloomFilterAggregate over zero rows returns NULL — the operator
+    // must degrade to the exact anti-join (which is empty), not
+    // NULL-filter everything away
+    val history = docs.filter(col("doc_id") < 0)
+    val mem = MemoryStream[Long]
+    val streamDf = mem.toDF().withColumnRenamed("value", "doc_id")
+      .join(docs, "doc_id")
+    val q = EventStreams.dedupDocStream(spark, history, streamDf)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bloom_cold_test").start()
+    try {
+      mem.addData(0L until 40L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("bloom_cold_test").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(emitted === (0L until 40L).toSet,
+      "cold start must emit the full never-seen set")
+  }
+
   test("idempotent sink: committed batch directories are never rewritten") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
@@ -268,16 +292,19 @@ class EventStreamsSpec extends SparkSpec {
     val dir0 = new java.io.File(s"$base/batch_id=0")
     assert(new java.io.File(dir0, "_SUCCESS").exists(),
       "commit marker gates the skip path")
-    // replay: a second stream over the SAME checkpoint + sink dir must
-    // not duplicate committed batches (its fresh source restarts batch
-    // ids at 0 — the committed batch_id=0 directory is skipped intact)
+    // replay: re-run the SAME batch id through the sink's own commit
+    // body (failure recovery re-executes the last epoch) with a
+    // DIFFERENT replayed frame — the committed batch_id=0 directory
+    // must be skipped intact, files and content unchanged
     val files0 = dir0.listFiles().map(f => f.getName -> f.lastModified).toMap
-    val mem2 = MemoryStream[Long]
-    val q2 = EventStreams.idempotentSink(
-      mem2.toDF().withColumnRenamed("value", "doc_id"),
-      base + "_replay") // separate checkpoint, same pattern
-    try { mem2.addData(9L); q2.processAllAvailable() } finally q2.stop()
+    EventStreams.commitBatch(Seq(99L).toDF("doc_id").toDF(), 0L, base)
     assert(dir0.listFiles().map(f => f.getName -> f.lastModified).toMap
-      === files0, "committed directory untouched by later activity")
+      === files0, "committed directory untouched by a replayed batch id")
+    assert(spark.read.parquet(dir0.getPath).collect()
+      .map(_.getAs[Long]("doc_id")).toSet === Set(1L, 2L, 3L),
+      "replayed data must not replace the committed epoch")
+    // an UNcommitted id still writes (the crash-recovery overwrite path)
+    EventStreams.commitBatch(Seq(99L).toDF("doc_id").toDF(), 7L, base)
+    assert(new java.io.File(s"$base/batch_id=7/_SUCCESS").exists())
   }
 }
