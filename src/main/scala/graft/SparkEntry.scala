@@ -241,6 +241,12 @@ object SparkEntry {
     "sql19_min_cost_supplier" -> (Relational.sql19MinCostSupplier(_, _)),
     "stat12_gini"       -> (Relational.stat12Gini(_, _)),
     "stat13_mann_whitney" -> (Relational.stat13MannWhitney(_, _)),
+    // ---- round-5: the remaining TPC-H faces ----
+    "sql20_order_priority"   -> (Relational.sql20OrderPriority(_, _)),
+    "sql21_forecast_revenue" -> (Relational.sql21ForecastRevenue(_, _)),
+    "sql22_product_profit"   -> (Relational.sql22ProductProfit(_, _)),
+    "sql23_excess_stock"     -> (Relational.sql23ExcessStock(_, _)),
+    "sql24_waiting_supplier" -> (Relational.sql24WaitingSupplier(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2186,6 +2192,69 @@ object SparkEntry {
           sqrt(CAST(na AS DOUBLE) * nb * (na + nb + 1) / 12)) > 1.96
           AS significant
       FROM uu""",
+    // ---- round-5: the remaining TPC-H faces (identical ANSI text on
+    // both engines; partsupp is the shared derived-dimension CTE) ----
+    "sql20_order_priority" -> raw"""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority""",
+    "sql21_forecast_revenue" -> raw"""
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_discount >= 0.05 AND l_discount <= 0.07
+        AND l_quantity < 24""",
+    "sql22_product_profit" -> (Relational.PartsuppCte + raw"""
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        CAST(round(
+          sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+              (1 - CAST(l_discount AS DECIMAL(4,2))))
+          - CAST(sum(ps_cost_cents * CAST(l_quantity AS BIGINT))
+                 AS BIGINT) * 0.01, 2) AS DOUBLE) AS profit
+      FROM lineitem
+      JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      JOIN part ON p_partkey = l_partkey AND p_name LIKE '%widget%'
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY n_name, year(o_orderdate)"""),
+    "sql23_excess_stock" -> (Relational.PartsuppCte + raw"""
+      SELECT s_suppkey, s_name
+      FROM supplier
+      WHERE s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        WHERE ps_partkey IN
+            (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND ps_availqty > (
+            SELECT 0.5 * sum(l_quantity) FROM lineitem
+            WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+              AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))"""),
+    "sql24_waiting_supplier" -> raw"""
+      SELECT s_name, count(*) AS numwait
+      FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          JOIN orders o2 ON o2.o_orderkey = l3.l_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o2.o_orderdate + INTERVAL 90 DAY)
+      GROUP BY s_name""",
   )
 
   // ---- shared DuckDB oracle fragments ----

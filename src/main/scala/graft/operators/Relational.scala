@@ -1514,6 +1514,156 @@ object Relational {
            FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""")
   }
 
+  /** Derived partsupp dimension — the testdata ships no partsupp table,
+    * so the TPC-H faces that need one (Q9, Q20) derive it
+    * DETERMINISTICALLY: each part gets 4 suppliers by modular stride
+    * over the supplier count (a scalar subquery, so the same text runs
+    * at every scale factor), with supply cost and available quantity as
+    * pure key functions. Plain ANSI SQL — the DuckDB oracle runs the
+    * IDENTICAL text, so both engines agree on every derived row. Scale
+    * shape: 4×|part| rows built from a VALUES cross — a dim-sized
+    * frame, broadcast-able against the lineitem fact.
+    */
+  val PartsuppCte: String = """
+      WITH i4(i) AS (VALUES (0), (1), (2), (3)),
+      ps0 AS (
+        SELECT p_partkey AS ps_partkey,
+          (p_partkey + i * 13) % (SELECT count(*) FROM supplier)
+            AS ps_suppkey
+        FROM part CROSS JOIN i4
+      ),
+      partsupp AS (
+        SELECT ps_partkey, ps_suppkey,
+          (ps_partkey * 31 + ps_suppkey * 17) % 50000 + 100
+            AS ps_cost_cents,
+          (ps_partkey * 17 + ps_suppkey * 29) % 1000 + 1 AS ps_availqty
+        FROM ps0
+      )"""
+
+  /** TPC-H Q4 shape (order priority checking): orders of one quarter
+    * with at least one LATE lineitem (shipped > 60 days after the order
+    * date — the schema has no commit/receipt dates), counted by
+    * priority. The EXISTS decorrelates to a LeftSemi hash join on
+    * l_orderkey (plan-asserted); the quarter window is pushed into the
+    * orders scan.
+    */
+  def sql20OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority""")
+  }
+
+  /** TPC-H Q6 (forecasting revenue change) — the canonical pushdown
+    * micro-benchmark: a single filtered aggregate whose every predicate
+    * is a scan-column comparison, so the whole WHERE clause must reach
+    * the parquet reader as PushedFilters (plan-asserted) and the scan
+    * reads 4 of 11 columns. Revenue is an exact decimal sum, cast to
+    * double at the boundary.
+    */
+  def sql21ForecastRevenue(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_discount >= 0.05 AND l_discount <= 0.07
+        AND l_quantity < 24""")
+  }
+
+  /** TPC-H Q9 shape (product type profit): profit per nation per year
+    * over a name-filtered part slice — revenue (exact decimal) minus
+    * supply cost (integer cents from the derived partsupp, × quantity),
+    * converted to double only at the output. One lineitem-sized shuffle
+    * (the orderkey join); part/partsupp/supplier/nation are dim-sized
+    * sides AQE broadcasts.
+    */
+  def sql22ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("part")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(PartsuppCte + """
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        CAST(round(
+          sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+              (1 - CAST(l_discount AS DECIMAL(4,2))))
+          - CAST(sum(ps_cost_cents * CAST(l_quantity AS BIGINT))
+                 AS BIGINT) * 0.01, 2) AS DOUBLE) AS profit
+      FROM lineitem
+      JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      JOIN part ON p_partkey = l_partkey AND p_name LIKE '%widget%'
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY n_name, year(o_orderdate)""")
+  }
+
+  /** TPC-H Q20 shape (potential part promotion): suppliers holding
+    * EXCESS stock of a name-filtered part family — available quantity
+    * above half of what they actually shipped in the year (a correlated
+    * scalar aggregate that decorrelates to one aggregated join). The
+    * quantity sum is exact (integral doubles below 2^53), so the cut
+    * line replays identically on any engine.
+    */
+  def sql23ExcessStock(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("part")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(PartsuppCte + """
+      SELECT s_suppkey, s_name
+      FROM supplier
+      WHERE s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        WHERE ps_partkey IN
+            (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND ps_availqty > (
+            SELECT 0.5 * sum(l_quantity) FROM lineitem
+            WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+              AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))""")
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the one
+    * lineitem whose supplier was the ONLY late shipper in a finished
+    * multi-supplier order ("late" = shipped > 90 days after the order
+    * date). The double-correlated EXISTS / NOT EXISTS pair decorrelates
+    * to a semi + anti join, all shuffling on l_orderkey.
+    */
+  def sql24WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT s_name, count(*) AS numwait
+      FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          JOIN orders o2 ON o2.o_orderkey = l3.l_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o2.o_orderdate + INTERVAL 90 DAY)
+      GROUP BY s_name""")
+  }
+
   /** Gini coefficient of customer revenue — the inequality metric an
     * account-concentration report leads with. The heavy input collapses
     * to one row per customer first; the rank/cumulative math then runs

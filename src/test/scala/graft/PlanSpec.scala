@@ -275,6 +275,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("MIN(o_totalprice)") && p.contains("MAX(o_totalprice)"), p)
   }
 
+  test("sql20 (TPC-H Q4): EXISTS decorrelates to a LeftSemi join; the " +
+      "quarter window is pushed to the orders scan") {
+    val p = plan(Relational.sql20OrderPriority(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") ||
+      p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
+  }
+
+  test("sql21 (TPC-H Q6): every predicate reaches the parquet scan; " +
+      "the read is pruned to the four referenced columns") {
+    // plan toString truncates PushedFilters — read the scan node's
+    // untruncated metadata instead
+    val df = Relational.sql21ForecastRevenue(spark, sf)
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    val scan = walk(df.queryExecution.executedPlan).collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no parquet scan in the plan"))
+    val pushed = scan.metadata("PushedFilters")
+    for (m <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity"))
+      assert(pushed.contains(m), s"predicate not pushed ($m): $pushed")
+    assert(scan.schema.fieldNames.toSet ===
+      Set("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"),
+      "scan must read exactly the four referenced columns")
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // AQE prints codegen spans only in the FINAL plan — execute first
     val df = Relational.q1PricingSummary(spark, sf)
