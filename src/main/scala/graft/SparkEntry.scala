@@ -241,6 +241,9 @@ object SparkEntry {
     "sql19_min_cost_supplier" -> (Relational.sql19MinCostSupplier(_, _)),
     "stat12_gini"       -> (Relational.stat12Gini(_, _)),
     "stat13_mann_whitney" -> (Relational.stat13MannWhitney(_, _)),
+    // ---- round-5 ----
+    "dedup_fuzzy" -> ((s, dir) =>
+      Dedup.fuzzyPairs(Fixtures.typoSlice(s, dir))),
     // ---- round-5: the remaining TPC-H faces ----
     "sql20_order_priority"   -> (Relational.sql20OrderPriority(_, _)),
     "sql21_forecast_revenue" -> (Relational.sql21ForecastRevenue(_, _)),
@@ -2192,6 +2195,28 @@ object SparkEntry {
           sqrt(CAST(na AS DOUBLE) * nb * (na + nb + 1) / 12)) > 1.96
           AS significant
       FROM uu""",
+    // q-gram candidate filtering is provably COMPLETE for ed <= d, and
+    // the operator verifies candidates with exact levenshtein — so the
+    // oracle is the plain quadratic form over the bounded typo slice
+    "dedup_fuzzy" -> raw"""
+      WITH base AS (SELECT doc_id, substr(lower(text), 1, 30) AS s
+                    FROM documents WHERE doc_id < 80),
+      mut AS (
+        SELECT doc_id + 1000000 AS doc_id,
+          substr(s, 1, doc_id % 15 + 4) || 'z' ||
+            substr(s, doc_id % 15 + 6, 100) AS s
+        FROM base WHERE doc_id < 40
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id,
+          substr(s, 1, doc_id % 15 + 4) || substr(s, doc_id % 15 + 6, 100)
+        FROM base WHERE doc_id >= 40),
+      alls AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+      flt AS (SELECT * FROM alls WHERE length(s) >= 8)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+      FROM flt a JOIN flt b
+        ON a.doc_id < b.doc_id AND abs(length(a.s) - length(b.s)) <= 2
+      WHERE levenshtein(a.s, b.s) <= 2""",
     // ---- round-5: the remaining TPC-H faces (identical ANSI text on
     // both engines; partsupp is the shared derived-dimension CTE) ----
     "sql20_order_priority" -> raw"""

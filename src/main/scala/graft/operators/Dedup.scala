@@ -153,6 +153,61 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Character-level fuzzy duplicate pairs — the typo-grade granularity
+    * the token-level family (shingles, MinHash, SimHash) cannot see:
+    * all pairs within edit distance ≤ d, found WITHOUT an all-pairs
+    * comparison.
+    *
+    * Candidate generation is multiset q-gram count filtering (Gravano
+    * et al., VLDB'01 — the signature scheme the ICDE'22
+    * string-similarity line builds on): ed(s,t) ≤ d implies the q-gram
+    * multisets share ≥ max(|s|,|t|) − q + 1 − d·q grams, so candidates
+    * come from an EQUI-JOIN on (gram, occurrence-rank) — the
+    * occurrence rank makes the join count Σ_g min(m_s(g), m_t(g)), the
+    * exact multiset intersection — followed by a count filter and a
+    * ±d length window. The condition is NECESSARY, so the candidate
+    * set provably contains every true pair; exact `levenshtein`
+    * (a Spark builtin, O(len²) per pair) then runs on candidates only.
+    * Output is therefore EXACTLY the ed ≤ d pairs — the oracle is the
+    * plain quadratic form, no signature replay needed.
+    *
+    * Scale shape: grams shuffle on (gram, k) — bounded skew since rank
+    * splits repeated grams — candidate pairs aggregate as bare id
+    * pairs, and the strings join back only for the verification sliver.
+    * Strings shorter than q·(d+1)+2 are excluded (the count bound
+    * degenerates below q·(d+1)); callers route short strings to an
+    * exact hash join instead.
+    */
+  def fuzzyPairs(docs: DataFrame, d: Int = 2, q: Int = 2): DataFrame = {
+    val strs = docs.select(col("doc_id"), col("s"))
+      .filter(length(col("s")) >= q * (d + 1) + 2)
+    val grams = strs.select(col("doc_id"), length(col("s")).as("len"),
+      explode(transform(sequence(lit(1), length(col("s")) - q + 1),
+        i => col("s").substr(i, lit(q)))).as("gram"))
+    val withOcc = grams
+      .groupBy(col("doc_id"), col("len"), col("gram"))
+      .agg(count(lit(1)).as("m"))
+      .select(col("doc_id"), col("len"), col("gram"),
+        explode(sequence(lit(1), col("m"))).as("k"))
+    val candidates = withOcc
+      .select(col("doc_id").as("doc_a"), col("len").as("len_a"),
+        col("gram"), col("k"))
+      .join(withOcc.select(col("doc_id").as("doc_b"),
+        col("len").as("len_b"), col("gram"), col("k")), Seq("gram", "k"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("len_a") - col("len_b")) <= d)
+      .groupBy(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >=
+        greatest(col("len_a"), col("len_b")) - lit(q - 1) - lit(d * q))
+    candidates
+      .join(strs.select(col("doc_id").as("doc_a"), col("s").as("s_a")), "doc_a")
+      .join(strs.select(col("doc_id").as("doc_b"), col("s").as("s_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+      .filter(col("dist") <= d)
+  }
+
   /** Connected components over a near-duplicate pair list — the step
     * that turns LSH/SimHash pair output into dedup clusters: every
     * document gets the minimum doc_id of its component as the cluster

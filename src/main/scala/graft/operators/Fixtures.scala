@@ -34,6 +34,29 @@ object Fixtures {
     mutantDocs(s, dir).filter(col("doc_id") < 40 ||
       (col("doc_id") >= 1000000L && col("doc_id") < 1000040L))
 
+  /** Typo-grade slice for the CHARACTER-level fuzzy join: 30-char
+    * lowercase prefixes of doc_id < 80, plus single-SUBSTITUTION
+    * mutants ('z' at a key-derived position, doc_id+1e6) of the first
+    * 40 and single-DELETION mutants (doc_id+2e6) of the rest — every
+    * mutant is within edit distance 1 of its base, far below the d=2
+    * join radius, while distinct word-salad prefixes sit far above it.
+    * Pure key functions, so the DuckDB oracle rebuilds the same
+    * strings. */
+  def typoSlice(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).filter(col("doc_id") < 80)
+      .select(col("doc_id"), substring(lower(col("text")), 1, 30).as("s"))
+    val p = pmod(col("doc_id"), lit(15)) + lit(5) // edit position, 1-based
+    val subs = base.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("s").substr(lit(1), p - 1), lit("z"),
+          col("s").substr(p + 1, lit(100))).as("s"))
+    val dels = base.filter(col("doc_id") >= 40)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("s").substr(lit(1), p - 1),
+          col("s").substr(p + 1, lit(100))).as("s"))
+    base.unionByName(subs).unionByName(dels)
+  }
+
   /** Embedding corpus with injected semantic near-duplicates: vectors
     * with vec_id < 30 reappear under vec_id+1e6, same label, first
     * coordinate shifted by +0.01 — cosine ≈ 0.9999 to the original,

@@ -19,6 +19,36 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b, j) => b == a + 1000000L || j >= 0.5 })
   }
 
+  test("fuzzy q-gram join recovers every typo mutant at its true distance") {
+    val pairs = Dedup.fuzzyPairs(Fixtures.typoSlice(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every substitution mutant (base+1e6) and deletion mutant (base+2e6)
+    // must pair with its base at distance <= 1
+    val subs = pairs.filter { case (a, b, _) => b == a + 1000000L }
+    val dels = pairs.filter { case (a, b, _) => b == a + 2000000L }
+    assert(subs.length === 40, s"substitution pairs: ${subs.length}")
+    assert(dels.length === 40, s"deletion pairs: ${dels.length}")
+    assert((subs ++ dels).forall(_._3 <= 1))
+    // exactness: recompute ed on every emitted pair via the builtin
+    val strs = Fixtures.typoSlice(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ed(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(a.length)
+    }
+    pairs.foreach { case (a, b, dist) =>
+      assert(ed(strs(a), strs(b)) === dist, s"pair ($a,$b)") }
+  }
+
   test("no cached RDDs outlive the storage-hygiene operators") {
     // a long-lived user session must not accumulate executor storage:
     // minhashLsh stages its shingle intermediate to disk (not .cache),
