@@ -213,51 +213,94 @@ object Dedup {
     * document gets the minimum doc_id of its component as the cluster
     * label, and the label-owner is the canonical copy to keep.
     *
-    * Algorithm: iterative min-label propagation (the Pregel/GraphX
-    * formulation) — each node starts as its own label and repeatedly
-    * takes the min over itself and its neighbors until no label changes;
-    * the fixpoint is the component minimum, reached in
-    * O(component diameter) rounds.
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14). Each
+    * round rewires every node's strictly-larger neighbors (large-star),
+    * then every node's smaller neighbors plus itself (small-star), to
+    * the minimum of the neighborhood; the edge set converges to one
+    * star per component — every node pointing at the component minimum
+    * — in O(log n) rounds on ANY graph shape, including the adversarial
+    * long-chain graphs where min-label propagation needs O(diameter).
     *
-    * Scale design: each round is one equi-join on node id plus one
-    * map-side-combined min-aggregation — both shuffle bare (id, label)
-    * longs, never text payloads. Lineage is cut every round with an
-    * eager localCheckpoint (an iterative plan otherwise doubles per
-    * round and replays from the source), and the edge list is persisted
-    * once and reused by every round. Near-dup graphs are overwhelmingly
-    * tiny star components, so the loop exits after ~2 rounds; for
-    * adversarial long-chain graphs the alternating large-star/small-star
-    * rewrite (Kiveris et al., "Connected Components in MapReduce and
-    * Beyond") brings rounds to O(log n) with this same loop skeleton.
+    * Scale design: each star operation is one map-side-combined min
+    * aggregation plus one equi-join, shuffling bare (src, dst) long
+    * pairs. Each round's edge set is staged to disk (the MapReduce
+    * formulation's own shape) — lineage is cut without localCheckpoint,
+    * so NO cached RDDs accumulate across rounds or outlive the call.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val edges = fwd
-      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    ccWithRounds(pairs, maxIter)._1
+
+  /** Large-star: for each node u, connect every strictly-larger
+    * neighbor to min(Γ(u) ∪ {u}). Edges always point high → low. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src"), least(col("src"), col("mn")).as("m"))
+    sym.join(mins, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
       .distinct()
-      .cache()
-    // seed label: min over self and direct neighbors (one round fused in)
-    var labels = edges.groupBy(col("src").as("doc_id"))
-      .agg(min(col("dst")).as("mn"))
-      .select(col("doc_id"), least(col("doc_id"), col("mn")).as("component"))
-      .localCheckpoint(true)
-    var changed = 1L
+  }
+
+  /** Small-star: for each node u, connect u and all its smaller
+    * neighbors to the minimum of that set. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val canon = e.select(greatest(col("src"), col("dst")).as("u"),
+      least(col("src"), col("dst")).as("v")).distinct()
+    val mins = canon.groupBy("u").agg(min("v").as("m"))
+    canon.join(mins, "u")
+      .select(col("v").as("src"), col("m").as("dst"))
+      .union(mins.select(col("u").as("src"), col("m").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** [[connectedComponents]] plus the round count the convergence spec
+    * asserts against the O(log n) bound. */
+  def ccWithRounds(pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
+    val s = pairs.sparkSession
+    val sc = s.sparkContext
+    // loop rounds materialize IN MEMORY (eager localCheckpoint — an
+    // iterative plan otherwise doubles per round and replays from the
+    // source); every checkpoint RDD is tracked and unpersisted before
+    // return, and the converged edge set is staged to disk ONCE so the
+    // returned plan depends on no transient storage. O(log n) rounds
+    // keeps the in-loop footprint to two edge-set snapshots.
+    val preexisting = sc.getPersistentRDDs.keySet
+    val nodes = pairs.select(col("doc_a").as("id"))
+      .union(pairs.select(col("doc_b").as("id"))).distinct()
+    val finalPath = "/tmp/graft_stage_cc"
     var rounds = 0
-    while (changed > 0 && rounds < maxIter) {
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .select(col("src").as("doc_id"), col("component"))
-      val next = labels.union(viaNeighbor)
-        .groupBy("doc_id").agg(min("component").as("component"))
+    try {
+      var cur = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
         .localCheckpoint(true)
-      changed = next.as("n").join(labels.as("o"), "doc_id")
-        .filter(col("n.component") < col("o.component")).count()
-      labels = next
-      rounds += 1
+      var done = cur.isEmpty
+      while (!done && rounds < maxIter) {
+        val next = smallStar(largeStar(cur)).localCheckpoint(true)
+        // && short-circuits: the except anti-join runs only on the
+        // (rare) rounds where the cardinality already matches
+        done = next.count() == cur.count() && next.except(cur).isEmpty
+        cur = next
+        rounds += 1
+      }
+      cur.write.mode("overwrite").parquet(finalPath)
+    } finally {
+      sc.getPersistentRDDs
+        .filterNot { case (id, _) => preexisting(id) }
+        .values.foreach(_.unpersist(blocking = false))
     }
-    edges.unpersist()
-    labels.select(col("doc_id"), col("component"),
-      (col("doc_id") === col("component")).cast("long").as("is_canonical"))
+    val stars = s.read.parquet(finalPath)
+    val lab = stars.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+    val labels = nodes
+      .join(lab, nodes("id") === lab("src"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("mn"), col("id")).as("component"))
+      .select(col("doc_id"), col("component"),
+        (col("doc_id") === col("component")).cast("long").as("is_canonical"))
+    (labels, rounds)
   }
 
   /** Incremental (cross-batch) dedup: keep only the batch documents

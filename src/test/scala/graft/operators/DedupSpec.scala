@@ -51,13 +51,40 @@ class DedupSpec extends SparkSpec {
 
   test("no cached RDDs outlive the storage-hygiene operators") {
     // a long-lived user session must not accumulate executor storage:
-    // minhashLsh stages its shingle intermediate to disk (not .cache),
-    // kmeansLloyd unpersists its corpus cache in a finally
+    // minhashLsh and connectedComponents stage intermediates to disk
+    // (not .cache/localCheckpoint), kmeansLloyd unpersists in a finally
     spark.catalog.clearCache()
     Dedup.minhashLsh(spark, mutants).count()
     Similarity.kmeansLloyd(spark, sf, k = 4, iters = 2).count()
+    import spark.implicits._
+    Dedup.connectedComponents((0L until 64L).map(i => (i, i + 1))
+      .toDF("doc_a", "doc_b")).count()
     val live = spark.sparkContext.getPersistentRDDs
     assert(live.isEmpty, s"leaked cached RDDs: ${live.values.map(_.name)}")
+  }
+
+  test("connected components: adversarial path graph converges in O(log n) rounds") {
+    import spark.implicits._
+    // a 1024-node chain is the worst case for min-label propagation
+    // (O(diameter) = 1023 rounds); large-star/small-star must close it
+    // within log2(n) + 2 alternations
+    val n = 1024
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1))
+      .toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.ccWithRounds(pairs)
+    val rows = labels.collect()
+    assert(rows.length === n)
+    assert(rows.forall(_.getAs[Long]("component") === 0L),
+      "every chain node must label to the component minimum")
+    assert(rows.count(_.getAs[Long]("is_canonical") === 1L) === 1)
+    assert(rounds <= (math.log(n) / math.log(2)).toInt + 2,
+      s"took $rounds rounds for a $n-node path")
+    // star components (the common near-dup shape) still close ~instantly
+    val stars = (0L until 50L).flatMap(c =>
+      (1L to 3L).map(i => (c * 100, c * 100 + i))).toDF("doc_a", "doc_b")
+    val (starLabels, starRounds) = Dedup.ccWithRounds(stars)
+    assert(starLabels.filter(col("component") % 100 =!= 0).count() === 0)
+    assert(starRounds <= 2, s"star graphs took $starRounds rounds")
   }
 
   test("simhash pairs find mutants within hamming radius") {
