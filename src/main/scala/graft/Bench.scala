@@ -40,7 +40,7 @@ object Bench {
     // codegen-cache state inflated the OSM phases 3-8x (measured 64s
     // vs 10s isolated for the PBF shape). Query timings are immune to
     // the ordering — each is min-of-N with clearCache between.
-    // Every phase inside OsmBench.run has its own budget (sum ≈ 415s)
+    // Every phase inside OsmBench.run has its own budget (sum ≈ 565s)
     // and degrades to -1 alone; this outer cap is only the backstop
     // against a phase that ignores interruption — a contended host must
     // degrade phases to explicit markers, never hang the whole run.
@@ -54,7 +54,7 @@ object Bench {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(Future(graft.osm.OsmBench.run(spark).json), 480.seconds)
+      Await.result(Future(graft.osm.OsmBench.run(spark).json), 620.seconds)
     } catch {
       case _: Throwable =>
         spark.sparkContext.cancelAllJobs()
