@@ -226,14 +226,22 @@ object EventAnalytics {
     * exact decimal; every ntile ordering carries a user_id tie-break so
     * the quartile boundaries are engine-independent.
     */
-  def rfmScores(s: SparkSession, dir: String): DataFrame = {
-    val perUser = Tables.events(s, dir)
+  def rfmScores(s: SparkSession, dir: String): DataFrame =
+    rfmRank(Tables.events(s, dir)
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(max(unix_micros(col("ts"))).as("last_us"),
         count(lit(1)).as("frequency"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
-          .cast("double").as("monetary"))
+          .cast("double").as("monetary")))
+
+  /** The ranking layer of [[rfmScores]] over an already-aggregated
+    * per-user frame (user_id, last_us, frequency, monetary) — exposed
+    * separately because the per-user state is the STREAMABLE half (see
+    * streaming.EventStreams.rfmStream): a stream maintains the three
+    * metrics incrementally, and this batch layer ranks the entity
+    * dimension at serving time. */
+  def rfmRank(perUser: DataFrame): DataFrame = {
     val wAll = Window.partitionBy()
     def quartile(ord: org.apache.spark.sql.Column*) =
       ntile(4).over(Window.orderBy(ord: _*)).cast("long")

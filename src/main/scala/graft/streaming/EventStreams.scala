@@ -228,6 +228,48 @@ object EventStreams {
     }
   }
 
+  case class PurchaseEvent(user_id: Long, us: Long, cents: Long)
+  // public: the state encoder's generated code constructs it reflectively
+  case class RfmState(last_us: Long, frequency: Long, monetary_cents: Long)
+  case class RfmUser(user_id: Long, last_us: Long, frequency: Long,
+                     monetary_cents: Long)
+
+  /** Streaming RFM state — the incremental half of the batch
+    * operators.EventAnalytics.rfmScores: per-user (last purchase,
+    * frequency, monetary cents) maintained as three longs of
+    * transformWithState ValueState, updated per micro-batch and emitted
+    * in Update mode. Money accumulates in integer CENTS so the stream
+    * is exactly the batch decimal sum however the arrival order
+    * interleaves. The quartile ranking stays a batch/serving-time layer
+    * (EventAnalytics.rfmRank) — ntile is a whole-population rank no
+    * per-key stream can maintain — and the parity test pins
+    * rank(streamed state) == the full batch operator. */
+  class RfmProcessor extends StatefulProcessor[Long, PurchaseEvent, RfmUser] {
+    @transient private var state: ValueState[RfmState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[RfmState]("rfm",
+        Encoders.product[RfmState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[PurchaseEvent],
+                                 tv: TimerValues): Iterator[RfmUser] = {
+      var s = if (state.exists()) state.get() else RfmState(Long.MinValue, 0L, 0L)
+      rows.foreach { e =>
+        s = RfmState(math.max(s.last_us, e.us), s.frequency + 1,
+          s.monetary_cents + e.cents)
+      }
+      state.update(s)
+      Iterator.single(RfmUser(user, s.last_us, s.frequency, s.monetary_cents))
+    }
+  }
+
+  def rfmStream(events: Dataset[PurchaseEvent]): Dataset[RfmUser] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RfmProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   def sessionize(events: Dataset[SessionEvent],
                  gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
     import events.sparkSession.implicits._

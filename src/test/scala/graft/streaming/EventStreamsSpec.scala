@@ -220,6 +220,46 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming RFM state + batch rank == the full batch RFM operator") {
+    import graft.operators.EventAnalytics
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the REAL purchase slice, in cents (exactly the batch decimal sum)
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)) *
+          100).cast("long").as("cents"))
+      .as[EventStreams.PurchaseEvent].collect()
+    assert(purchases.nonEmpty)
+    val mem = MemoryStream[EventStreams.PurchaseEvent]
+    val q = EventStreams.rfmStream(mem.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("rfm_stream_test").start()
+    try {
+      // two micro-batches: state must accumulate ACROSS batches
+      val (first, second) = purchases.splitAt(purchases.length / 2)
+      mem.addData(first.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // final state per user = the row with the highest frequency
+    // (frequency is strictly monotone across updates)
+    val finalStates = spark.table("rfm_stream_test")
+      .as[EventStreams.RfmUser].collect()
+      .groupBy(_.user_id).map(_._2.maxBy(_.frequency)).toSeq
+    val streamRfm = EventAnalytics.rfmRank(finalStates.toDF()
+      .select(col("user_id"), col("last_us"), col("frequency"),
+        (col("monetary_cents") / 100.0).as("monetary")))
+      .collect().map(_.toSeq).toSet
+    val batchRfm = EventAnalytics.rfmScores(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamRfm === batchRfm)
+  }
+
   test("streaming bloom dedup emits exactly the never-seen documents") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
