@@ -116,6 +116,7 @@ object SparkEntry {
     "sim_ann_brute"     -> (Similarity.annBruteForce(_, _)),
     "sim_ann_lsh"       -> (Similarity.annLsh(_, _)),
     "sim_ann_ivf"       -> (Similarity.annIvf(_, _)),
+    "sim_ann_ivf_indexed" -> (Similarity.annIvfIndexed(_, _)),
     "sim_ann_sq"        -> (Similarity.annScalarQuant(_, _)),
     "sim_near_dup"      -> (Similarity.embNearDup(_, _)),
     "sim_centroids"     -> (Similarity.labelCentroids(_, _)),
@@ -1215,32 +1216,10 @@ object SparkEntry {
           q.embedding::DOUBLE[]), 6) AS cos_sim
       FROM cand, embeddings e, q WHERE e.vec_id = cand.vec_id
       ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10""",
-    "sim_ann_ivf" -> raw"""
-      WITH cent AS (
-        SELECT cell, list(m ORDER BY dim) AS centroid FROM (
-          SELECT label AS cell, r.range AS dim,
-            round(avg(CAST(embedding[r.range + 1] AS DOUBLE)), 6) AS m
-          FROM embeddings, range(0, 64) r GROUP BY label, r.range)
-        GROUP BY cell),
-      q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-      probes AS (
-        SELECT cell FROM cent, q
-        ORDER BY round(1 - list_cosine_similarity(centroid::DOUBLE[], qv), 6) ASC,
-          cell ASC
-        LIMIT 3),
-      assigned AS (
-        SELECT vec_id, embedding, cell FROM (
-          SELECT e.vec_id, e.embedding, c.cell,
-            row_number() OVER (PARTITION BY e.vec_id ORDER BY
-              round(1 - list_cosine_similarity(e.embedding::DOUBLE[],
-                c.centroid::DOUBLE[]), 6) ASC,
-              c.cell ASC) AS rn
-          FROM embeddings e, cent c WHERE e.vec_id <> 0)
-        WHERE rn = 1)
-      SELECT a.vec_id,
-        round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) AS cos_sim
-      FROM assigned a, q WHERE a.cell IN (SELECT cell FROM probes)
-      ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
+    "sim_ann_ivf" -> ivfSql,
+    // the persisted-index variant is bit-identical to the in-session
+    // IVF (same quantizer math, same tie-breaks) — one shared oracle
+    "sim_ann_ivf_indexed" -> ivfSql,
     // ---- round-4b ----
     "sub1_subqueries" ->
       """SELECT c.c_mktsegment,
@@ -2283,6 +2262,35 @@ object SparkEntry {
   )
 
   // ---- shared DuckDB oracle fragments ----
+
+  /** IVF ANN oracle — shared by sim_ann_ivf and sim_ann_ivf_indexed
+    * (the persisted-index variant returns bit-identical results). */
+  private def ivfSql: String = raw"""
+      WITH cent AS (
+        SELECT cell, list(m ORDER BY dim) AS centroid FROM (
+          SELECT label AS cell, r.range AS dim,
+            round(avg(CAST(embedding[r.range + 1] AS DOUBLE)), 6) AS m
+          FROM embeddings, range(0, 64) r GROUP BY label, r.range)
+        GROUP BY cell),
+      q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      probes AS (
+        SELECT cell FROM cent, q
+        ORDER BY round(1 - list_cosine_similarity(centroid::DOUBLE[], qv), 6) ASC,
+          cell ASC
+        LIMIT 3),
+      assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              round(1 - list_cosine_similarity(e.embedding::DOUBLE[],
+                c.centroid::DOUBLE[]), 6) ASC,
+              c.cell ASC) AS rn
+          FROM embeddings e, cent c WHERE e.vec_id <> 0)
+        WHERE rn = 1)
+      SELECT a.vec_id,
+        round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) AS cos_sim
+      FROM assigned a, q WHERE a.cell IN (SELECT cell FROM probes)
+      ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""
 
   /** Exact 3-gram-shingle Jaccard pairs ≥ 0.5 over the mutant slice —
     * mirrors Dedup.ngramJaccardPairs(Fixtures.mutantSlice); reused as

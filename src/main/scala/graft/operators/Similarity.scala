@@ -209,27 +209,38 @@ object Similarity {
     * join + TakeOrdered. (Round 1 computed the centroid subtree twice
     * and shuffled the full corpus with embedding payloads through a
     * row_number window — this plan replaces all of it.) */
+  /** The per-label coarse quantizer as a DataFrame (cell, centroid) —
+    * 6dp-rounded means, cross-engine-stable. */
+  private def quantizer(e: DataFrame): DataFrame = e
+    .select(col("label").as("cell"),
+      posexplode(col("embedding").cast("array<double>")))
+    .groupBy(col("cell"), col("pos"))
+    .agg(round(avg(col("col")), 6).as("m"))
+    .groupBy(col("cell"))
+    .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+      .getField("m").as("centroid"))
+
+  /** K collected model rows → one literal array<struct<cell,centroid>>
+    * (the broadcast-the-model pattern). */
+  private def centLiteral(rows: Array[org.apache.spark.sql.Row]): Column =
+    array(rows.sortBy(_.getAs[Int]("cell")).map { r =>
+      struct(lit(r.getAs[Int]("cell")).as("cell"),
+        array(r.getSeq[Double](1).map(lit): _*).as("centroid"))
+    }.toIndexedSeq: _*)
+
+  /** Per-cell (dist, cell) structs for argmin/sort — the shared
+    * assignment/probe expression of the IVF family. */
+  private def distsTo(cents: Column)(v: Column): Column =
+    transform(cents, c =>
+      struct(round(lit(1.0) - cosine(v, c.getField("centroid")), 6).as("dist"),
+        c.getField("cell").as("cell")))
+
   def annIvf(s: SparkSession, dir: String, k: Int = 10,
              nprobe: Int = 3): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    val centroidRows = e
-      .select(col("label").as("cell"),
-        posexplode(col("embedding").cast("array<double>")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(round(avg(col("col")), 6).as("m"))
-      .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-        .getField("m").as("centroid"))
-      .collect() // K model rows, not data
-      .sortBy(_.getAs[Int]("cell"))
-    val cents = array(centroidRows.map { r =>
-      struct(lit(r.getAs[Int]("cell")).as("cell"),
-        array(r.getSeq[Double](1).map(lit): _*).as("centroid"))
-    }.toIndexedSeq: _*)
-    val dists = (v: Column) => transform(cents, c =>
-      struct(round(lit(1.0) - cosine(v, c.getField("centroid")), 6).as("dist"),
-        c.getField("cell").as("cell")))
+    val cents = centLiteral(quantizer(e).collect()) // K model rows, not data
+    val dists = distsTo(cents) _
     // query probes its nprobe nearest cells (single-row subtree)
     val probes = queryVec(s, dir)
       .select(col("q"), posexplode(array_sort(dists(col("q")))))
@@ -240,6 +251,53 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         array_min(dists(col("embedding"))).getField("cell").as("cell"))
       .join(broadcast(probes), "cell")
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** IVF with a PERSISTED inverted file — the incremental-ANN path (the
+    * "interactive query session" reuse the round-4 review listed as
+    * missing): quantizer and corpus cell assignment are built ONCE per
+    * (session, dataset) and staged as a cell-PARTITIONED parquet index
+    * plus a K-row model file; every subsequent query collects the model,
+    * picks its nprobe cells driver-side, and reads ONLY those cell
+    * directories — static partition pruning, plan-asserted. Results are
+    * bit-identical to [[annIvf]] (same quantizer math, same argmin
+    * tie-breaks), so both share one oracle. At 100 TB this turns
+    * per-query cost from a full corpus scan into an O(probed cells)
+    * read: the inverted file IS the partition layout, and the model
+    * build amortizes across the whole query session.
+    */
+  def annIvfIndexed(s: SparkSession, dir: String, k: Int = 10,
+                    nprobe: Int = 3): DataFrame = {
+    GraftFunctions.register(s)
+    val base = s"/tmp/graft_ivf_index_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val marker = new java.io.File(s"$base/_built")
+    if (!marker.exists()) {
+      val e = Tables.embeddings(s, dir)
+      quantizer(e).coalesce(1).write.mode("overwrite").parquet(s"$base/model")
+      val cents = centLiteral(
+        s.read.parquet(s"$base/model").select("cell", "centroid").collect())
+      e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          array_min(distsTo(cents)(col("embedding"))).getField("cell").as("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$base/cells")
+      marker.createNewFile()
+    }
+    val cents = centLiteral(
+      s.read.parquet(s"$base/model").select("cell", "centroid").collect())
+    // nprobe cell ids, collected driver-side (model-sized) so the index
+    // read is a STATIC IN-filter on the partition column
+    val probeCells = queryVec(s, dir)
+      .select(posexplode(array_sort(distsTo(cents)(col("q")))))
+      .filter(col("pos") < nprobe)
+      .select(col("col").getField("cell").as("cell"))
+      .collect().map(_.getInt(0))
+    s.read.parquet(s"$base/cells")
+      .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+      .crossJoin(broadcast(queryVec(s, dir)))
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("q")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)

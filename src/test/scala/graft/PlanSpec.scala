@@ -309,6 +309,21 @@ class PlanSpec extends SparkSpec {
       "scan must read exactly the four referenced columns")
   }
 
+  test("ann IVF indexed: query reads ONLY the probed cell partitions; " +
+      "results identical to the in-session IVF") {
+    val df = Similarity.annIvfIndexed(spark, sf)
+    val p = plan(df)
+    // the nprobe cell ids must land as a STATIC partition filter on the
+    // cell-partitioned index scan — the O(probed cells) read is the
+    // whole point of persisting the inverted file
+    assert("PartitionFilters: \\[cell#\\d+ IN".r.findFirstIn(p).isDefined,
+      s"no static partition pruning on the index scan:\n$p")
+    val indexed = df.collect().map(_.toSeq).toSeq
+    val inSession = Similarity.annIvf(spark, sf).collect().map(_.toSeq).toSeq
+    assert(indexed === inSession,
+      "persisted-index IVF must be bit-identical to the in-session IVF")
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // AQE prints codegen spans only in the FINAL plan — execute first
     val df = Relational.q1PricingSummary(spark, sf)
