@@ -168,11 +168,25 @@ object EventAnalytics {
     * at any scale because its input is already aggregated.
     */
   def anomalyScores(s: SparkSession, dir: String,
-                    trail: Int = 30, z: Double = 3.0): DataFrame = {
-    val perMin = Tables.events(s, dir)
-      .groupBy(col("event_type"),
-        date_trunc("minute", col("ts")).as("minute"))
-      .agg(count(lit(1)).as("n"))
+                    trail: Int = 30, z: Double = 3.0): DataFrame =
+    scoreAnomalies(
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("minute", col("ts")).as("minute"))
+        .agg(count(lit(1)).as("n")),
+      trail, z)
+
+  /** The serving-time scoring layer of [[anomalyScores]], over any
+    * (event_type, minute TIMESTAMP, n) frame — the batch operator feeds
+    * it the full-scan aggregate; the streaming twin
+    * (streaming.EventStreams.minuteTypeCounts) feeds it
+    * watermark-closed window counts. The z-score is a whole-history
+    * rank no per-key stream can maintain (each minute's baseline is the
+    * preceding `trail` minutes, which a late-closing window would
+    * retroactively change), so it stays batch — the same
+    * state-vs-serving split as the RFM quartiles. */
+  def scoreAnomalies(perMin: DataFrame,
+                     trail: Int = 30, z: Double = 3.0): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("minute"))
       .rowsBetween(-trail, -1)
     perMin

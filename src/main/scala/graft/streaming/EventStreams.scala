@@ -52,6 +52,25 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Minute-grain tumbling-window count per event type — the streaming
+    * half of the batch anomaly detector
+    * (operators.EventAnalytics.anomalyScores). Append mode: a
+    * (type, minute) row is emitted exactly once, when the watermark
+    * passes the window end, so downstream sees only FINAL counts — the
+    * property the trailing-window z-score needs (a baseline minute must
+    * never change after it is scored). State is one count per open
+    * (type, minute) and the 10-minute watermark evicts closed windows,
+    * so state size is O(types × 10) however fast events arrive. The
+    * scoring layer itself (EventAnalytics.scoreAnomalies) stays a
+    * serving-time batch over the landed counts — see its doc for why. */
+  def minuteTypeCounts(events: DataFrame,
+                       delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("window.start").as("minute"), col("n"))
+
   /** Streaming exactly-once dedup: drop re-delivered events by id within
     * the watermark horizon. `dropDuplicatesWithinWatermark` keeps state
     * only for `delay` of event time — bounded state, the streaming face
@@ -227,6 +246,9 @@ object EventStreams {
       closed.reverseIterator
     }
   }
+
+  // minimal minute-count input: the anomaly stream needs only (type, ts)
+  case class TypedTick(event_type: String, ts: java.sql.Timestamp)
 
   case class PurchaseEvent(user_id: Long, us: Long, cents: Long)
   // public: the state encoder's generated code constructs it reflectively

@@ -260,6 +260,43 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamRfm === batchRfm)
   }
 
+  test("streaming closed minute-counts + batch scoring == batch anomaly operator") {
+    import graft.operators.EventAnalytics
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // time-sorted so the second micro-batch never lands behind the
+    // watermark the first batch advanced (late rows would be dropped
+    // and parity would break for the wrong reason)
+    val ticks = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"))
+      .as[EventStreams.TypedTick].collect().sortBy(_.ts.getTime)
+    assert(ticks.nonEmpty)
+    val mem = MemoryStream[EventStreams.TypedTick]
+    val q = EventStreams.minuteTypeCounts(mem.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("minute_counts_test").start()
+    try {
+      // two micro-batches: per-window counts must accumulate across them
+      val (first, second) = ticks.splitAt(ticks.length / 2)
+      mem.addData(first.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // sentinel advances the watermark past every real window so they
+      // all close; its own window stays open and is never emitted
+      mem.addData(EventStreams.TypedTick("__wm_sentinel",
+        new java.sql.Timestamp(ticks.last.ts.getTime + 3600L * 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamScored = EventAnalytics.scoreAnomalies(
+      spark.table("minute_counts_test"))
+      .collect().map(_.toSeq).toSet
+    val batchScored = EventAnalytics.anomalyScores(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamScored === batchScored)
+    assert(streamScored.nonEmpty)
+  }
+
   test("streaming bloom dedup emits exactly the never-seen documents") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
