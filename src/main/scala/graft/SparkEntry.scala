@@ -251,6 +251,9 @@ object SparkEntry {
     "sql22_product_profit"   -> (Relational.sql22ProductProfit(_, _)),
     "sql23_excess_stock"     -> (Relational.sql23ExcessStock(_, _)),
     "sql24_waiting_supplier" -> (Relational.sql24WaitingSupplier(_, _)),
+    // ---- round-5: graph signals over the derived link graph ----
+    "graph_pagerank"  -> (Graphs.pagerank(_, _)),
+    "graph_triangles" -> (Graphs.triangleCounts(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2259,9 +2262,74 @@ object SparkEntry {
             AND l3.l_suppkey <> l1.l_suppkey
             AND l3.l_shipdate > o2.o_orderdate + INTERVAL 90 DAY)
       GROUP BY s_name""",
+    // ---- round-5: graph signals. The link graph derives from doc_id
+    // as pure key functions (the partsupp-derivation precedent), so
+    // both engines build the identical edge multiset. PageRank moves
+    // rank mass in integer micros — every cross-row sum is an integer
+    // sum, so the recursive-CTE replay is bit-identical to the
+    // distributed loop in any evaluation order.
+    "graph_pagerank" -> raw"""
+      WITH RECURSIVE $graphEdgesSql,
+      deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+      -- zero-weight self rows keep in-degree-0 nodes in every round
+      ew AS (SELECT src, dst, 1 AS w FROM edges
+             UNION ALL SELECT doc_id, doc_id, 0 FROM documents),
+      pr AS (
+        SELECT 0 AS iter, doc_id AS node,
+          CAST(round(1e6 / (SELECT n_docs FROM nn)) AS BIGINT) AS r
+        FROM documents
+        UNION ALL
+        SELECT p.iter + 1, e.dst,
+          CAST(round(0.15 * 1e6 / (SELECT n_docs FROM nn)) AS BIGINT)
+          + CAST(round(0.85 * sum(CASE WHEN e.w = 1
+              THEN CAST(round(CAST(p.r AS DOUBLE) / d.outdeg) AS BIGINT)
+              ELSE 0 END)) AS BIGINT)
+        FROM pr p
+        JOIN ew e ON e.src = p.node
+        LEFT JOIN deg d ON d.src = p.node
+        WHERE p.iter < 10
+        GROUP BY p.iter, e.dst)
+      SELECT node, r AS rank_micros FROM pr WHERE iter = 10""",
+    "graph_triangles" -> raw"""
+      WITH $graphEdgesSql,
+      und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM edges),
+      deg AS (SELECT v, count(*) AS d FROM
+                (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+              GROUP BY v),
+      o AS (
+        SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                 THEN u.a ELSE u.b END AS lo,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                 THEN u.b ELSE u.a END AS hi
+        FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b),
+      wedges AS (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+                 FROM o e1 JOIN o e2 ON e2.lo = e1.hi),
+      tri AS (SELECT ww.x, ww.y, ww.z FROM wedges ww
+              JOIN o oo ON oo.lo = ww.x AND oo.hi = ww.z)
+      SELECT node, CAST(count(*) AS BIGINT) AS triangles
+      FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+      GROUP BY node""",
   )
 
   // ---- shared DuckDB oracle fragments ----
+
+  /** The derived link graph (operators.Graphs.linkEdges) as a CTE
+    * fragment shared by graph_pagerank and graph_triangles: ring edges
+    * (i+1, i+2) plus a quadratic-residue hub edge, self-loops removed.
+    * Plain UNION ALL (no unnest) — DuckDB's binder hits an internal
+    * error re-inlining an unnest-projection CTE referenced down a long
+    * chain. */
+  private def graphEdgesSql: String = raw"""
+      nn AS (SELECT count(*) AS n_docs FROM documents),
+      alledges AS (
+        SELECT doc_id AS src, (doc_id + 1) % n_docs AS dst
+        FROM documents, nn
+        UNION ALL
+        SELECT doc_id, (doc_id + 2) % n_docs FROM documents, nn
+        UNION ALL
+        SELECT doc_id, (doc_id * doc_id + 3) % n_docs FROM documents, nn),
+      edges AS (SELECT src, dst FROM alledges WHERE dst <> src)"""
 
   /** IVF ANN oracle — shared by sim_ann_ivf and sim_ann_ivf_indexed
     * (the persisted-index variant returns bit-identical results). */

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph signals over the document corpus — the web-graph layer of a
+  * crawl-curation pipeline. PageRank is the classic link-quality prior
+  * (a page linked by high-rank pages is worth keeping; used to weight
+  * crawl frontiers and training-data mixtures), and triangle counts are
+  * the local-density signal behind community/spam detection (link farms
+  * are triangle-poor relative to degree; organic neighborhoods are
+  * triangle-rich).
+  *
+  * The testdata ships no link column, so the link graph derives from
+  * doc_id as pure key functions — the same deterministic-derivation
+  * precedent as the TPC-H partsupp emulation: each doc links to
+  * (i+1)%N and (i+2)%N (a ring lattice that guarantees triangles and
+  * full connectivity) and to (i*i+3)%N (quadratic-residue hubs whose
+  * uneven in-degree gives the rank vector real variance). Both engines
+  * derive the identical edge multiset from the identical arithmetic.
+  *
+  * Scale notes: PageRank is the canonical Pregel-style iteration — one
+  * shuffle per round on (node), ranks and edges co-partitioned after
+  * the first round, lineage cut per round by eager localCheckpoint
+  * (tracked and unpersisted before return; the converged vector stages
+  * to parquet once so the returned plan owns no transient storage).
+  * Rank mass moves in integer MICRO-units: per-edge contributions and
+  * the damped update round to whole micros each round, so every sum is
+  * an integer sum — order-independent across partitionings and engines
+  * (the same quantization discipline as the engine's other
+  * order-sensitive folds). Triangle counting orients each undirected
+  * edge from the (degree, id)-smaller endpoint to the larger, so every
+  * wedge is generated exactly once at its lowest-degree apex — the
+  * node-iterator bound that keeps intermediate wedge counts near
+  * m^(3/2) instead of Σd² on skewed graphs.
+  */
+object Graphs {
+
+  /** The derived directed link multiset (src, dst), self-loops removed.
+    * Out-degree is 2 or 3 (a quadratic dst may collide with a ring dst;
+    * the duplicate edge is kept — deterministically — as double
+    * weight). */
+  def linkEdges(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    // N rides along as a broadcast 1-row frame — no driver round-trip
+    docs
+      .crossJoin(broadcast(Tables.documents(s, dir)
+        .agg(count(lit(1)).as("n_docs"))))
+      .select(col("doc_id"), col("n_docs"),
+        explode(array(
+          (col("doc_id") + 1) % col("n_docs"),
+          (col("doc_id") + 2) % col("n_docs"),
+          (col("doc_id") * col("doc_id") + 3) % col("n_docs"))).as("dst"))
+      .filter(col("dst") =!= col("doc_id"))
+      .select(col("doc_id").as("src"), col("dst"))
+  }
+
+  /** PageRank, `iters` synchronous rounds at damping 0.85, rank mass in
+    * integer micros (initial mass 1e6/N per node). Output:
+    * (node, rank_micros) — bit-stable because every cross-row sum is an
+    * integer sum and every float op is a single IEEE multiply/divide on
+    * integers ≤ 2^53, identical in any evaluation order. */
+  def pagerank(s: SparkSession, dir: String, iters: Int = 10,
+               damping: Double = 0.85): DataFrame = {
+    val sc = s.sparkContext
+    val nodes = Tables.documents(s, dir).select(col("doc_id").as("node"))
+    val edges = linkEdges(s, dir)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val withDeg = edges.join(deg, "src")
+    val nTotal = broadcast(nodes.agg(count(lit(1)).as("n_docs")))
+    val finalPath =
+      s"/tmp/graft_stage_pr_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val preexisting = sc.getPersistentRDDs.keySet
+    try {
+      var ranks = nodes.crossJoin(nTotal)
+        .select(col("node"),
+          round(lit(1e6) / col("n_docs")).cast("long").as("r"))
+        .localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        val contrib = withDeg
+          .join(ranks, col("src") === col("node"))
+          .select(col("dst"),
+            round(col("r").cast("double") / col("outdeg"))
+              .cast("long").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+        ranks = nodes
+          .join(contrib, col("node") === col("dst"), "left")
+          .crossJoin(nTotal)
+          .select(col("node"),
+            (round(lit(0.15) * lit(1e6) / col("n_docs")).cast("long") +
+              round(lit(damping) * coalesce(col("in_mass"), lit(0L)))
+                .cast("long")).as("r"))
+          .localCheckpoint(true)
+      }
+      ranks.write.mode("overwrite").parquet(finalPath)
+    } finally {
+      sc.getPersistentRDDs
+        .filterNot { case (id, _) => preexisting(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
+    s.read.parquet(finalPath)
+      .select(col("node"), col("r").as("rank_micros"))
+  }
+
+  /** Per-node triangle participation over the undirected simple graph
+    * (dedup'd, self-loops out). Orientation: a→b iff
+    * (deg(a), a) < (deg(b), b); wedges join at the low end, the closing
+    * edge is probed in the oriented set, and each found triangle credits
+    * all three corners. Pure integer counting — no fp anywhere. */
+  def triangleCounts(s: SparkSession, dir: String): DataFrame = {
+    val und = linkEdges(s, dir)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val withDegs = und
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+    val oriented = withDegs.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b")).as("lo"),
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("b"))
+        .otherwise(col("a")).as("hi"))
+    val e1 = oriented.select(col("lo").as("u"), col("hi").as("v"))
+    val e2 = oriented.select(col("lo").as("v2"), col("hi").as("w"))
+    val wedges = e1.join(e2, col("v") === col("v2"))
+      .select(col("u"), col("v"), col("w"))
+    val closing = oriented.select(col("lo").as("u"), col("hi").as("w"))
+    val tris = wedges.join(closing, Seq("u", "w"))
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+}
