@@ -254,6 +254,8 @@ object SparkEntry {
     // ---- round-5: graph signals over the derived link graph ----
     "graph_pagerank"  -> (Graphs.pagerank(_, _)),
     "graph_triangles" -> (Graphs.triangleCounts(_, _)),
+    // ---- round-5: distributed training step ----
+    "ml1_linear_gd"   -> (Training.linearGd(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2310,6 +2312,52 @@ object SparkEntry {
       SELECT node, CAST(count(*) AS BIGINT) AS triangles
       FROM (SELECT unnest([x, y, z]) AS node FROM tri)
       GROUP BY node""",
+    // Full-batch GD replayed as a recursive CTE carrying the weight
+    // vector as a list. The trajectory runs in integer micros: per-doc
+    // predictions and gradient terms round to whole micros BEFORE any
+    // cross-row sum, so the oracle is bit-identical to the distributed
+    // loop in any evaluation order (operators.Training.linearGd).
+    "ml1_linear_gd" -> raw"""
+      WITH RECURSIVE
+      nn AS (SELECT count(*) AS n_docs FROM documents),
+      feats AS (
+        SELECT doc_id,
+          n_chars * 1000 AS x1,
+          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+            t -> len(t) > 0)) AS BIGINT) * 10000 AS x2,
+          CAST(round(1e6 * CAST(length(text) -
+              length(translate(text, 'aeiou', '')) AS DOUBLE) /
+            greatest(length(text), 1)) AS BIGINT) AS x3,
+          CAST(1000000 AS BIGINT) AS x4,
+          CASE WHEN lang = 'en' THEN CAST(1000000 AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS y
+        FROM documents),
+      wts AS (
+        SELECT 0 AS iter, [CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                           CAST(0 AS BIGINT), CAST(0 AS BIGINT)] AS w
+        UNION ALL
+        SELECT iter + 1, [
+          w[1] - CAST(round(0.05 * g1 / (SELECT n_docs FROM nn)) AS BIGINT),
+          w[2] - CAST(round(0.05 * g2 / (SELECT n_docs FROM nn)) AS BIGINT),
+          w[3] - CAST(round(0.05 * g3 / (SELECT n_docs FROM nn)) AS BIGINT),
+          w[4] - CAST(round(0.05 * g4 / (SELECT n_docs FROM nn)) AS BIGINT)]
+        FROM (
+          SELECT iter, w,
+            sum(CAST(round(CAST(r AS DOUBLE) * x1 / 1e6) AS BIGINT)) AS g1,
+            sum(CAST(round(CAST(r AS DOUBLE) * x2 / 1e6) AS BIGINT)) AS g2,
+            sum(CAST(round(CAST(r AS DOUBLE) * x3 / 1e6) AS BIGINT)) AS g3,
+            sum(CAST(round(CAST(r AS DOUBLE) * x4 / 1e6) AS BIGINT)) AS g4
+          FROM (
+            SELECT ww.iter, ww.w, f.x1, f.x2, f.x3, f.x4,
+              CAST(round(CAST(ww.w[1] * f.x1 + ww.w[2] * f.x2
+                + ww.w[3] * f.x3 + ww.w[4] * f.x4 AS DOUBLE) / 1e6)
+                AS BIGINT) - f.y AS r
+            FROM wts ww, feats f
+            WHERE ww.iter < 8)
+          GROUP BY iter, w))
+      SELECT unnest(['chars_k', 'tokens_h', 'vowel_ratio', 'bias']) AS feature,
+             unnest(w) AS weight_micros
+      FROM wts WHERE iter = 8""",
   )
 
   // ---- shared DuckDB oracle fragments ----

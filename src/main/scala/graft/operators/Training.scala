@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed model training steps. The pattern that matters at
+  * 100 TB: the DATA never moves — each optimization step is one narrow
+  * map-side-combined aggregation over a feature projection, and only
+  * the MODEL (here four longs) round-trips through the driver, exactly
+  * like the k-means codebook in [[Similarity]]. Features are projected
+  * and checkpointed once, so per-step cost is a columnar scan of four
+  * longs, not a re-tokenization of the corpus.
+  *
+  * Determinism: the whole GD trajectory runs in integer micro-units.
+  * Per-doc predictions and per-doc gradient contributions round to
+  * whole micros BEFORE any cross-row sum, so every aggregation is an
+  * integer sum — independent of partitioning, evaluation order, and
+  * engine. Every float op in the loop is a single IEEE multiply/divide
+  * on integers ≤ 2^53 (checked ranges in the Scaladoc below), which
+  * IEEE 754 makes bit-identical everywhere. The DuckDB oracle replays
+  * the identical trajectory as a recursive CTE carrying the weight
+  * vector as a list.
+  */
+object Training {
+
+  /** Round half away from zero — what SQL `round()` does in BOTH Spark
+    * and DuckDB. Scala's `math.round` is half-UP (toward +∞), which
+    * differs on negative halves, so the driver-side weight update must
+    * not use it. */
+  private def rnd(x: Double): Long =
+    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+
+  /** Full-batch gradient descent for a linear probe of lang='en' over
+    * three document features (chars/1000, tokens/100, vowel ratio) plus
+    * bias, all in integer micros. `iters` synchronous steps at learning
+    * rate `lr`; returns the trained weight vector as
+    * (feature, weight_micros).
+    *
+    * Value ranges (why every double op is exact-input): weights stay
+    * ~1e5 micros, features ≤ 6e6 micros → the 4-term dot ≤ ~1e13 (exact
+    * long, exact double); residuals ≤ ~3e6; per-doc gradient terms
+    * ≤ ~2e13 as an IEEE product of two exact doubles; per-feature
+    * gradient sums ≤ ~1e11 (exact long and double at any tested SF). */
+  def linearGd(s: SparkSession, dir: String, iters: Int = 8,
+               lr: Double = 0.05): DataFrame = {
+    val sc = s.sparkContext
+    val toks = filter(split(lower(col("text")), "\\s+"),
+      t => length(t) > lit(0))
+    val feats0 = Tables.documents(s, dir).select(
+      (col("n_chars") * 1000L).as("x1"),
+      (size(toks).cast("long") * 10000L).as("x2"),
+      round(lit(1e6) *
+        (length(col("text")) -
+          length(translate(col("text"), "aeiou", ""))).cast("double") /
+        greatest(length(col("text")), lit(1))).cast("long").as("x3"),
+      lit(1000000L).as("x4"),
+      when(col("lang") === "en", 1000000L).otherwise(0L).as("y"))
+    val preexisting = sc.getPersistentRDDs.keySet
+    val w =
+      try {
+        // tokenize ONCE; every GD step re-reads four long columns
+        val feats = feats0.localCheckpoint(true)
+        val n = feats.count()
+        val xs = Seq("x1", "x2", "x3", "x4")
+        var w = Array(0L, 0L, 0L, 0L)
+        for (_ <- 1 to iters) {
+          val dot = xs.zipWithIndex
+            .map { case (c, j) => lit(w(j)) * col(c) }
+            .reduce(_ + _)
+          val resid = (round(dot.cast("double") / lit(1e6)).cast("long") -
+            col("y")).as("r")
+          val g = feats.select(resid +: xs.map(col): _*)
+            .select(xs.map(c =>
+              sum(round(col("r").cast("double") * col(c) / lit(1e6))
+                .cast("long")).as(s"g_$c")): _*)
+            .head()
+          w = Array.tabulate(4)(j => w(j) - rnd(lr * g.getLong(j).toDouble / n))
+        }
+        w
+      } finally {
+        sc.getPersistentRDDs
+          .filterNot { case (id, _) => preexisting(id) }
+          .values.foreach(_.unpersist(blocking = false))
+      }
+    import s.implicits._
+    Seq(("chars_k", w(0)), ("tokens_h", w(1)),
+      ("vowel_ratio", w(2)), ("bias", w(3)))
+      .toDF("feature", "weight_micros")
+  }
+}
