@@ -256,6 +256,9 @@ object SparkEntry {
     "graph_triangles" -> (Graphs.triangleCounts(_, _)),
     // ---- round-5: distributed training step ----
     "ml1_linear_gd"   -> (Training.linearGd(_, _)),
+    // ---- round-5: feature engineering ----
+    "ml2_feature_hash" -> (Training.featureHash(_, _)),
+    "sim_rp_project"   -> (Similarity.randomProjection(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2358,6 +2361,40 @@ object SparkEntry {
       SELECT unnest(['chars_k', 'tokens_h', 'vowel_ratio', 'bias']) AS feature,
              unnest(w) AS weight_micros
       FROM wts WHERE iter = 8""",
+    // Hashing-trick vectorizer: md5-60 picks the bucket, an independent
+    // md5-60 parity picks the sign; signed integer counts per
+    // (doc, bucket), zero-weight slots dropped (Training.featureHash).
+    "ml2_feature_hash" -> raw"""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                 t -> len(t) > 0)) AS tok
+        FROM documents)
+      SELECT doc_id,
+        ('0x' || substr(md5('fh_' || tok), 1, 15))::BIGINT % 64 AS bucket,
+        CAST(sum(CASE WHEN ('0x' || substr(md5('fs_' || tok), 1, 15))::BIGINT
+                   % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+      FROM toks
+      GROUP BY doc_id, bucket
+      HAVING sum(CASE WHEN ('0x' || substr(md5('fs_' || tok), 1, 15))::BIGINT
+               % 2 = 0 THEN 1 ELSE -1 END) <> 0""",
+    // JL ±1 random projection 64→16: md5-parity sign matrix, per-row
+    // left-to-right fold, exact 0.25 scale, micros at the output
+    // boundary (Similarity.randomProjection).
+    "sim_rp_project" -> raw"""
+      WITH signs AS (
+        SELECT j, list(CASE WHEN ('0x' || substr(md5('rp_' || j || '_' || i),
+                 1, 15))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END
+               ORDER BY i) AS sgn
+        FROM (SELECT unnest(range(16)) AS j),
+             (SELECT unnest(range(64)) AS i)
+        GROUP BY j)
+      SELECT e.vec_id, s.j,
+        CAST(round(1e6 * list_reduce(
+            list_prepend(0.0, list_transform(range(64),
+              i -> e.embedding[i + 1]::DOUBLE * s.sgn[i + 1])),
+            (a, b) -> a + b) * 0.25) AS BIGINT) AS y_micros
+      FROM embeddings e, signs s""",
   )
 
   // ---- shared DuckDB oracle fragments ----

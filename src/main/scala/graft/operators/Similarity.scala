@@ -511,4 +511,36 @@ object Similarity {
         round(aggregate(zip_with(emb, reverse(emb), (a, b) => a * b),
           lit(0.0d), (acc, x) => acc + x), 5).as("rev_dot"))
   }
+
+  /** Johnson–Lindenstrauss random projection 64 → `outDim` dims — the
+    * standard pre-step before clustering/ANN on high-dim embeddings
+    * (Achlioptas ±1 projections preserve pairwise distances within
+    * 1±ε at outDim = O(log n / ε²)). The ±1 sign matrix derives from
+    * md5 parity, so it is a pure function both engines compute
+    * identically — no RNG state, no shipped model file. Shape at
+    * scale: the matrix is an `outDim`-row broadcast (the
+    * broadcast-the-model pattern); the projection itself is a narrow
+    * per-row zip_with/fold — zero exchanges over the corpus. Each
+    * output coordinate folds left-to-right in double (exact ±1 signs,
+    * exact float→double widening), is scaled by 1/√16 = 0.25 — exact
+    * in binary — and quantizes to integer micros only at the output
+    * boundary, so the DuckDB twin is bit-identical. */
+  def randomProjection(s: SparkSession, dir: String,
+                       outDim: Int = 16): DataFrame = {
+    GraftFunctions.register(s)
+    val signs = s.range(outDim).select(col("id").cast("int").as("j"))
+      .select(col("j"), transform(sequence(lit(0), lit(63)), i =>
+        when(call_function("md5_base60",
+          concat(lit("rp_"), col("j"), lit("_"), i)) % 2 === 0, lit(1.0d))
+          .otherwise(lit(-1.0d))).as("sgn"))
+    Tables.embeddings(s, dir)
+      .crossJoin(broadcast(signs))
+      .select(col("vec_id"), col("j").cast("long").as("j"),
+        round(lit(1e6) *
+          aggregate(
+            zip_with(col("embedding").cast("array<double>"), col("sgn"),
+              (x, g) => x * g),
+            lit(0.0d), (acc, v) => acc + v) * 0.25d)
+          .cast("long").as("y_micros"))
+  }
 }

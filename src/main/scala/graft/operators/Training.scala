@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -87,5 +88,34 @@ object Training {
     Seq(("chars_k", w(0)), ("tokens_h", w(1)),
       ("vowel_ratio", w(2)), ("bias", w(3)))
       .toDF("feature", "weight_micros")
+  }
+
+  /** Hashing-trick (feature-hashing) vectorizer: each token maps to one
+    * of `buckets` feature slots via md5 with an independent md5-parity
+    * sign, and a document's sparse vector is the signed count per slot
+    * (Weinberger et al., ICML'09 — the signed variant keeps collision
+    * noise zero-mean). The vocabulary-free shape a 100 TB corpus
+    * needs: no dictionary build, no second pass, no model state — just
+    * a pure hash. Pipeline-wise it is one narrow explode + one
+    * aggregation that partial-aggregates map-side, so at most
+    * `buckets` rows per document per partition reach the shuffle, not
+    * the token stream. Arithmetic is all-integer (signed counts), so
+    * determinism is free. Zero-weight slots (collision cancellation)
+    * drop, matching sparse-vector semantics. */
+  def featureHash(s: SparkSession, dir: String,
+                  buckets: Int = 64): DataFrame = {
+    GraftFunctions.register(s)
+    val toks = filter(split(lower(col("text")), "\\s+"),
+      t => length(t) > lit(0))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .select(col("doc_id"),
+        (call_function("md5_base60", concat(lit("fh_"), col("tok")))
+          % buckets).as("bucket"),
+        when(call_function("md5_base60", concat(lit("fs_"), col("tok")))
+          % 2 === 0, 1L).otherwise(-1L).as("sgn"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sgn")).as("weight"))
+      .filter(col("weight") =!= 0)
   }
 }
