@@ -64,15 +64,20 @@ object Graphs {
   def pagerank(s: SparkSession, dir: String, iters: Int = 10,
                damping: Double = 0.85): DataFrame = {
     val sc = s.sparkContext
-    val nodes = Tables.documents(s, dir).select(col("doc_id").as("node"))
-    val edges = linkEdges(s, dir)
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val withDeg = edges.join(deg, "src")
-    val nTotal = broadcast(nodes.agg(count(lit(1)).as("n_docs")))
     val finalPath =
       s"/tmp/graft_stage_pr_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     val preexisting = sc.getPersistentRDDs.keySet
     try {
+      // materialize the loop-invariant inputs ONCE — without this the
+      // edge derivation (documents scan + explode + degree join) and
+      // the node list replay inside every round's plan
+      val nodes = Tables.documents(s, dir).select(col("doc_id").as("node"))
+        .localCheckpoint(true)
+      val edges = linkEdges(s, dir)
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val withDeg = edges.join(deg, "src").localCheckpoint(true)
+      val nTotal = broadcast(nodes.agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint(true))
       var ranks = nodes.crossJoin(nTotal)
         .select(col("node"),
           round(lit(1e6) / col("n_docs")).cast("long").as("r"))
@@ -109,30 +114,45 @@ object Graphs {
     * edge is probed in the oriented set, and each found triangle credits
     * all three corners. Pure integer counting — no fp anywhere. */
   def triangleCounts(s: SparkSession, dir: String): DataFrame = {
-    val und = linkEdges(s, dir)
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct()
-    val deg = und.select(col("a").as("v"))
-      .union(und.select(col("b").as("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("d"))
-    val withDegs = und
-      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
-      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
-    val oriented = withDegs.select(
-      when(col("da") < col("db") ||
-        (col("da") === col("db") && col("a") < col("b")), col("a"))
-        .otherwise(col("b")).as("lo"),
-      when(col("da") < col("db") ||
-        (col("da") === col("db") && col("a") < col("b")), col("b"))
-        .otherwise(col("a")).as("hi"))
-    val e1 = oriented.select(col("lo").as("u"), col("hi").as("v"))
-    val e2 = oriented.select(col("lo").as("v2"), col("hi").as("w"))
-    val wedges = e1.join(e2, col("v") === col("v2"))
-      .select(col("u"), col("v"), col("w"))
-    val closing = oriented.select(col("lo").as("u"), col("hi").as("w"))
-    val tris = wedges.join(closing, Seq("u", "w"))
-    tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    val sc = s.sparkContext
+    val finalPath =
+      s"/tmp/graft_stage_tri_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val preexisting = sc.getPersistentRDDs.keySet
+    try {
+      val und = linkEdges(s, dir)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+        .localCheckpoint(true)
+      val deg = und.select(col("a").as("v"))
+        .union(und.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val withDegs = und
+        .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+      // materialized once — it feeds all three join roles below
+      val oriented = withDegs.select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("lo"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("hi"))
+        .localCheckpoint(true)
+      val e1 = oriented.select(col("lo").as("u"), col("hi").as("v"))
+      val e2 = oriented.select(col("lo").as("v2"), col("hi").as("w"))
+      val wedges = e1.join(e2, col("v") === col("v2"))
+        .select(col("u"), col("v"), col("w"))
+      val closing = oriented.select(col("lo").as("u"), col("hi").as("w"))
+      val tris = wedges.join(closing, Seq("u", "w"))
+      tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+        .write.mode("overwrite").parquet(finalPath)
+    } finally {
+      sc.getPersistentRDDs
+        .filterNot { case (id, _) => preexisting(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
+    s.read.parquet(finalPath)
   }
 }
