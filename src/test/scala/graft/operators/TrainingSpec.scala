@@ -40,4 +40,32 @@ class TrainingSpec extends SparkSpec {
     // the checkpointed feature projection is unpersisted before return
     assert(spark.sparkContext.getPersistentRDDs.keySet == pre)
   }
+
+  // md5-60 restated independently (MessageDigest, not the Catalyst expr)
+  private def md5_60(k: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  test("feature hashing equals a plain-Scala replay and conserves sign mass") {
+    val got = Training.featureHash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expect = collection.mutable.Map.empty[(Long, Long), Long]
+    var signSum = 0L
+    Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .foreach { r =>
+        for (t <- r.getString(1).toLowerCase.split("\\s+") if t.nonEmpty) {
+          val b = md5_60("fh_" + t) % 64
+          val sg = if (md5_60("fs_" + t) % 2 == 0) 1L else -1L
+          expect((r.getLong(0), b)) = expect.getOrElse((r.getLong(0), b), 0L) + sg
+          signSum += sg
+        }
+      }
+    assert(got == expect.filter(_._2 != 0L).toMap)
+    // dropped zero-weight slots are exactly the collision cancellations:
+    // total signed mass is conserved by the kept slots
+    assert(got.values.sum == signSum)
+    assert(got.values.exists(_ < 0L) && got.values.exists(_ > 1L))
+  }
 }
