@@ -259,6 +259,7 @@ object SparkEntry {
     // ---- round-5: feature engineering ----
     "ml2_feature_hash" -> (Training.featureHash(_, _)),
     "sim_rp_project"   -> (Similarity.randomProjection(_, _)),
+    "tok1_bpe_train"   -> (Training.bpeTrain(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2395,6 +2396,45 @@ object SparkEntry {
               i -> e.embedding[i + 1]::DOUBLE * s.sgn[i + 1])),
             (a, b) -> a + b) * 0.25) AS BIGINT) AS y_micros
       FROM embeddings e, signs s""",
+    // BPE merge loop replayed as a recursive CTE: the working table is
+    // the evolving vocab, the per-round argmax is an aggregate subquery
+    // over it, and the rule applied rides along on every row
+    // (Training.bpeTrain — 3-pass literal replace, count-desc/pair-asc
+    // tie-break, identical on both sides).
+    "tok1_bpe_train" -> raw"""
+      WITH RECURSIVE
+      vocab0 AS (
+        SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt,
+               ' ' || regexp_replace(tok, '(.)', '\1 ', 'g') AS seg
+        FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                t -> regexp_matches(t, '^[a-z]+$$'))) AS tok FROM documents)
+        GROUP BY tok),
+      bpe AS (
+        SELECT 0 AS iter, word, cnt, seg,
+               CAST(NULL AS VARCHAR) AS pair, CAST(NULL AS VARCHAR) AS merged,
+               CAST(NULL AS BIGINT) AS pair_count
+        FROM vocab0
+        UNION ALL
+        SELECT b.iter + 1, b.word, b.cnt,
+               replace(replace(replace(b.seg, best.pat, best.rep),
+                 best.pat, best.rep), best.pat, best.rep),
+               best.pair, best.merged, best.pc
+        FROM bpe b, (
+          SELECT pair, replace(pair, ' ', '') AS merged,
+                 ' ' || pair || ' ' AS pat,
+                 ' ' || replace(pair, ' ', '') || ' ' AS rep, pc
+          FROM (
+            SELECT u.p AS pair, CAST(sum(w.cnt) AS BIGINT) AS pc
+            FROM bpe w,
+              unnest(list_transform(range(len(string_split(trim(w.seg), ' ')) - 1),
+                i -> string_split(trim(w.seg), ' ')[i + 1] || ' ' ||
+                     string_split(trim(w.seg), ' ')[i + 2])) AS u(p)
+            GROUP BY u.p
+            ORDER BY pc DESC, pair ASC
+            LIMIT 1)) AS best
+        WHERE b.iter < 10)
+      SELECT DISTINCT iter, pair, merged, pair_count
+      FROM bpe WHERE iter >= 1""",
   )
 
   // ---- shared DuckDB oracle fragments ----

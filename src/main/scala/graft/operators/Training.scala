@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed model training steps. The pattern that matters at
@@ -117,5 +117,74 @@ object Training {
       .groupBy(col("doc_id"), col("bucket"))
       .agg(sum(col("sgn")).as("weight"))
       .filter(col("weight") =!= 0)
+  }
+
+  /** BPE tokenizer training (Sennrich et al., ACL'16): `merges`
+    * synchronous rounds of count-adjacent-pairs → merge-the-argmax,
+    * returning the learned merge table (iter, pair, merged,
+    * pair_count). The scale shape is what makes BPE trainable on a
+    * 100 TB corpus: after ONE corpus pass builds the (word, count)
+    * vocabulary, every round runs over the VOCAB table only — a
+    * map-side-combined pair-count shuffle plus a narrow merge
+    * projection — and the model that round-trips through the driver is
+    * a single rule per round (TakeOrderedAndProject limit 1, tie-break
+    * pinned count-desc then pair-asc).
+    *
+    * Merge semantics: a word's segmentation is the space-padded
+    * char-joined string, and applying a rule is THREE passes of literal
+    * (non-regex) replace of " a b " with " ab " — left-to-right
+    * non-overlapping literal replacement behaves identically in every
+    * engine (no regex dialect, no metachar escaping), and the bounded
+    * fixpoint differs from canonical greedy BPE only inside 4+-long
+    * alternating repeat runs. The DuckDB twin replays the identical
+    * loop as a recursive CTE whose per-round argmax is an aggregate
+    * subquery over the working table. All counts are integers —
+    * determinism is free. */
+  def bpeTrain(s: SparkSession, dir: String, merges: Int = 10): DataFrame = {
+    val sc = s.sparkContext
+    val preexisting = sc.getPersistentRDDs.keySet
+    val rules =
+      try {
+        val toks = filter(split(lower(col("text")), "\\s+"),
+          t => t.rlike("^[a-z]+$"))
+        var vocab = Tables.documents(s, dir)
+          .select(explode(toks).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          .select(col("word"), col("cnt"),
+            concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
+              .as("seg"))
+          .localCheckpoint(true)
+        val buf = collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+        for (r <- 1 to merges) {
+          val arr = split(trim(col("seg")), " ")
+          val pairs = zip_with(
+            slice(arr, lit(1), size(arr) - 1),
+            slice(arr, lit(2), size(arr) - 1),
+            (a, b) => concat(a, lit(" "), b))
+          val best = vocab.select(col("cnt"), explode(pairs).as("pair"))
+            .groupBy(col("pair")).agg(sum(col("cnt")).as("pc"))
+            .orderBy(col("pc").desc, col("pair").asc)
+            .limit(1).collect()
+          if (best.nonEmpty) {
+            val pair = best(0).getString(0)
+            val merged = pair.replace(" ", "")
+            buf += ((r, pair, merged, best(0).getLong(1)))
+            val pat = lit(" " + pair + " ")
+            val rep = lit(" " + merged + " ")
+            def once(c: Column): Column = call_function("replace", c, pat, rep)
+            vocab = vocab
+              .select(col("word"), col("cnt"),
+                once(once(once(col("seg")))).as("seg"))
+              .localCheckpoint(true)
+          }
+        }
+        buf.toList
+      } finally {
+        sc.getPersistentRDDs
+          .filterNot { case (id, _) => preexisting(id) }
+          .values.foreach(_.unpersist(blocking = false))
+      }
+    import s.implicits._
+    rules.toDF("iter", "pair", "merged", "pair_count")
   }
 }

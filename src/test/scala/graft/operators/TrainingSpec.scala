@@ -68,4 +68,46 @@ class TrainingSpec extends SparkSpec {
     assert(got.values.sum == signSum)
     assert(got.values.exists(_ < 0L) && got.values.exists(_ > 1L))
   }
+
+  test("BPE merge table equals a plain-Scala replay of the training loop") {
+    val got = Training.bpeTrain(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    // replay: vocab from raw string ops, merges via java.lang.String
+    // .replace (literal, left-to-right non-overlapping — same contract
+    // as the engine's replace function)
+    val vocab = collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      for (t <- r.getString(0).toLowerCase.split("\\s+")
+           if t.nonEmpty && t.forall(c => c >= 'a' && c <= 'z'))
+        vocab(t) = vocab.getOrElse(t, 0L) + 1L
+    }
+    var segs = vocab.toList.map { case (w, c) =>
+      (" " + w.map(_ + " ").mkString, c)
+    }
+    val expect = collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to 10) {
+      val pc = collection.mutable.Map.empty[String, Long]
+      for ((seg, c) <- segs) {
+        val parts = seg.trim.split(" ")
+        for (i <- 0 until parts.length - 1) {
+          val p = parts(i) + " " + parts(i + 1)
+          pc(p) = pc.getOrElse(p, 0L) + c
+        }
+      }
+      if (pc.nonEmpty) {
+        val (pair, cnt) = pc.toList.minBy { case (p, c) => (-c, p) }
+        val merged = pair.replace(" ", "")
+        expect += ((r, pair, merged, cnt))
+        val (pat, rep) = (" " + pair + " ", " " + merged + " ")
+        segs = segs.map { case (s, c) =>
+          (s.replace(pat, rep).replace(pat, rep).replace(pat, rep), c)
+        }
+      }
+    }
+    assert(got.toList == expect.toList)
+    assert(got.length == 10)
+    // rounds actually compound: some later rule merges an earlier output
+    assert(got.exists(r => r._2.split(" ").exists(_.length > 1)))
+  }
 }
