@@ -260,6 +260,7 @@ object SparkEntry {
     "ml2_feature_hash" -> (Training.featureHash(_, _)),
     "sim_rp_project"   -> (Similarity.randomProjection(_, _)),
     "tok1_bpe_train"   -> (Training.bpeTrain(_, _)),
+    "tok2_bpe_encode"  -> (Training.bpeEncode(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2402,6 +2403,29 @@ object SparkEntry {
     // (Training.bpeTrain — 3-pass literal replace, count-desc/pair-asc
     // tie-break, identical on both sides).
     "tok1_bpe_train" -> raw"""
+      $bpeSql
+      SELECT DISTINCT iter, pair, merged, pair_count
+      FROM bpe WHERE iter >= 1""",
+    // Encode = the same working table at its final iteration: each
+    // word's seg under all 10 merges, exploded into tokens with the
+    // word counts riding along (Training.bpeEncode never rescans the
+    // corpus either).
+    "tok2_bpe_encode" -> raw"""
+      $bpeSql
+      SELECT u.tok AS token,
+             CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+             CAST(sum(cnt) AS BIGINT) AS n_occurrences
+      FROM bpe, unnest(string_split(trim(seg), ' ')) AS u(tok)
+      WHERE iter = 10
+      GROUP BY u.tok""",
+  )
+
+  // ---- shared DuckDB oracle fragments ----
+
+  /** The BPE training loop (Training.bpeRun) as a recursive CTE,
+    * shared by tok1_bpe_train (reads the rule columns) and
+    * tok2_bpe_encode (reads the final-iteration segmentations). */
+  private def bpeSql: String = raw"""
       WITH RECURSIVE
       vocab0 AS (
         SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt,
@@ -2432,12 +2456,7 @@ object SparkEntry {
             GROUP BY u.p
             ORDER BY pc DESC, pair ASC
             LIMIT 1)) AS best
-        WHERE b.iter < 10)
-      SELECT DISTINCT iter, pair, merged, pair_count
-      FROM bpe WHERE iter >= 1""",
-  )
-
-  // ---- shared DuckDB oracle fragments ----
+        WHERE b.iter < 10)"""
 
   /** The derived link graph (operators.Graphs.linkEdges) as a CTE
     * fragment shared by graph_pagerank and graph_triangles: ring edges

@@ -141,50 +141,83 @@ object Training {
     * subquery over the working table. All counts are integers —
     * determinism is free. */
   def bpeTrain(s: SparkSession, dir: String, merges: Int = 10): DataFrame = {
-    val sc = s.sparkContext
-    val preexisting = sc.getPersistentRDDs.keySet
-    val rules =
-      try {
-        val toks = filter(split(lower(col("text")), "\\s+"),
-          t => t.rlike("^[a-z]+$"))
-        var vocab = Tables.documents(s, dir)
-          .select(explode(toks).as("word"))
-          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-          .select(col("word"), col("cnt"),
-            concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
-              .as("seg"))
-          .localCheckpoint(true)
-        val buf = collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
-        for (r <- 1 to merges) {
-          val arr = split(trim(col("seg")), " ")
-          val pairs = zip_with(
-            slice(arr, lit(1), size(arr) - 1),
-            slice(arr, lit(2), size(arr) - 1),
-            (a, b) => concat(a, lit(" "), b))
-          val best = vocab.select(col("cnt"), explode(pairs).as("pair"))
-            .groupBy(col("pair")).agg(sum(col("cnt")).as("pc"))
-            .orderBy(col("pc").desc, col("pair").asc)
-            .limit(1).collect()
-          if (best.nonEmpty) {
-            val pair = best(0).getString(0)
-            val merged = pair.replace(" ", "")
-            buf += ((r, pair, merged, best(0).getLong(1)))
-            val pat = lit(" " + pair + " ")
-            val rep = lit(" " + merged + " ")
-            def once(c: Column): Column = call_function("replace", c, pat, rep)
-            vocab = vocab
-              .select(col("word"), col("cnt"),
-                once(once(once(col("seg")))).as("seg"))
-              .localCheckpoint(true)
-          }
-        }
-        buf.toList
-      } finally {
-        sc.getPersistentRDDs
-          .filterNot { case (id, _) => preexisting(id) }
-          .values.foreach(_.unpersist(blocking = false))
-      }
+    val rules = bpeRun(s, dir, merges)((rules, _) => rules)
     import s.implicits._
     rules.toDF("iter", "pair", "merged", "pair_count")
+  }
+
+  /** BPE encoding of the corpus under the learned merges — the second
+    * half of the tokenizer story, and the half that dominates at
+    * 100 TB (train once, encode everything). The encode never rescans
+    * the corpus: the training loop's working table already carries
+    * every distinct word's segmentation under all applied merges, so
+    * the corpus-wide token table is one explode + hash-agg over the
+    * VOCAB with the word counts riding along (`n_occurrences` =
+    * Σ instances × word-count). Returns (token, n_words,
+    * n_occurrences); the table is tokenizer-vocabulary-sized — i.e.
+    * the MODEL — which is what licenses the driver round-trip. */
+  def bpeEncode(s: SparkSession, dir: String, merges: Int = 10): DataFrame = {
+    val toks = bpeRun(s, dir, merges) { (_, vocab) =>
+      vocab
+        .select(col("word"), col("cnt"),
+          explode(split(trim(col("seg")), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(countDistinct(col("word")).as("n_words"),
+          sum(col("cnt")).as("n_occurrences"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    }
+    import s.implicits._
+    toks.toDF("token", "n_words", "n_occurrences")
+  }
+
+  /** Shared merge loop: builds the (word, cnt, seg) vocabulary in one
+    * corpus pass, runs `merges` rounds, and hands (rules, final vocab)
+    * to `finish` while the checkpoints are still alive; everything this
+    * run persisted is unpersisted on the way out. */
+  private def bpeRun[T](s: SparkSession, dir: String, merges: Int)(
+      finish: (List[(Int, String, String, Long)], DataFrame) => T): T = {
+    val sc = s.sparkContext
+    val preexisting = sc.getPersistentRDDs.keySet
+    try {
+      val toks = filter(split(lower(col("text")), "\\s+"),
+        t => t.rlike("^[a-z]+$"))
+      var vocab = Tables.documents(s, dir)
+        .select(explode(toks).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .select(col("word"), col("cnt"),
+          concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
+            .as("seg"))
+        .localCheckpoint(true)
+      val buf = collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+      for (r <- 1 to merges) {
+        val arr = split(trim(col("seg")), " ")
+        val pairs = zip_with(
+          slice(arr, lit(1), size(arr) - 1),
+          slice(arr, lit(2), size(arr) - 1),
+          (a, b) => concat(a, lit(" "), b))
+        val best = vocab.select(col("cnt"), explode(pairs).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("pc"))
+          .orderBy(col("pc").desc, col("pair").asc)
+          .limit(1).collect()
+        if (best.nonEmpty) {
+          val pair = best(0).getString(0)
+          val merged = pair.replace(" ", "")
+          buf += ((r, pair, merged, best(0).getLong(1)))
+          val pat = lit(" " + pair + " ")
+          val rep = lit(" " + merged + " ")
+          def once(c: Column): Column = call_function("replace", c, pat, rep)
+          vocab = vocab
+            .select(col("word"), col("cnt"),
+              once(once(once(col("seg")))).as("seg"))
+            .localCheckpoint(true)
+        }
+      }
+      finish(buf.toList, vocab)
+    } finally {
+      sc.getPersistentRDDs
+        .filterNot { case (id, _) => preexisting(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
   }
 }

@@ -109,5 +109,25 @@ class TrainingSpec extends SparkSpec {
     assert(got.length == 10)
     // rounds actually compound: some later rule merges an earlier output
     assert(got.exists(r => r._2.split(" ").exists(_.length > 1)))
+
+    // encode: token table equals the replay's final segmentations,
+    // and is consistent with the training run (every merged rule
+    // symbol that survives to the final segs appears as a token)
+    val preRdds = spark.sparkContext.getPersistentRDDs.keySet
+    val enc = Training.bpeEncode(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expTok = collection.mutable.Map.empty[String, (Set[String], Long)]
+    for ((seg, c) <- segs; w = seg.trim.replace(" ", "");
+         t <- seg.trim.split(" ")) {
+      val (ws, n) = expTok.getOrElse(t, (Set.empty[String], 0L))
+      expTok(t) = (ws + w, n + c)
+    }
+    assert(enc == expTok.map { case (t, (ws, n)) => t -> (ws.size.toLong, n) })
+    // token mass conservation: Σ n_occurrences = Σ word-count × seg-len
+    assert(enc.values.map(_._2).sum ==
+      segs.map { case (s, c) => s.trim.split(" ").length * c }.sum)
+    // the loop's checkpoints are unpersisted before return
+    assert(spark.sparkContext.getPersistentRDDs.keySet == preRdds)
+    assert(enc.keys.exists(_.length > 1)) // merges reached the output
   }
 }
