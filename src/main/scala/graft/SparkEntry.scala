@@ -261,6 +261,11 @@ object SparkEntry {
     "sim_rp_project"   -> (Similarity.randomProjection(_, _)),
     "tok1_bpe_train"   -> (Training.bpeTrain(_, _)),
     "tok2_bpe_encode"  -> (Training.bpeEncode(_, _)),
+    "tok3_bpe_doc_tokens" -> (Training.bpeDocTokens(_, _)),
+    "text_quality_adaptive" -> (TextAnalysis.qualityAdaptive(_, _)),
+    "dedup_canonical"  -> ((s, dir) =>
+      Dedup.canonicalPick(Fixtures.mutantSlice(s, dir),
+        Dedup.ngramJaccardPairs(Fixtures.mutantSlice(s, dir)))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2418,6 +2423,65 @@ object SparkEntry {
       FROM bpe, unnest(string_split(trim(seg), ' ')) AS u(tok)
       WHERE iter = 10
       GROUP BY u.tok""",
+    // Corpus encode via the (word → token-count) model join
+    // (Training.bpeDocTokens).
+    "tok3_bpe_doc_tokens" -> raw"""
+      $bpeSql,
+      wl AS (SELECT word,
+               CAST(len(string_split(trim(seg), ' ')) AS BIGINT) AS n_tok
+             FROM bpe WHERE iter = 10),
+      dw AS (SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                 t -> regexp_matches(t, '^[a-z]+$$'))) AS word
+             FROM documents)
+      SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(wl.n_tok) AS BIGINT) AS n_bpe_tokens
+      FROM dw JOIN wl USING (word)
+      GROUP BY dw.doc_id""",
+    // Per-source exact-order-statistic filter, all-integer cutoff
+    // (TextAnalysis.qualityAdaptive).
+    "text_quality_adaptive" -> raw"""
+      WITH b AS (
+        SELECT doc_id, source,
+          CAST(len(list_filter(string_split_regex(text, '\s+'),
+            t -> len(t) > 0)) AS BIGINT) AS n_tokens
+        FROM documents),
+      r AS (
+        SELECT *,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY n_tokens ASC, doc_id ASC) AS BIGINT) AS q_rank,
+          count(*) OVER (PARTITION BY source) AS n_src
+        FROM b)
+      SELECT doc_id, source, n_tokens, q_rank
+      FROM r WHERE q_rank > (n_src * 20) // 100""",
+    // Cluster → best-member selection (Dedup.canonicalPick over the
+    // mutant-slice cluster oracle's own reach CTE).
+    "dedup_canonical" -> raw"""
+      WITH RECURSIVE p AS ($ngramPairsSql),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+                UNION SELECT doc_b, doc_a FROM p),
+      reach AS (SELECT src AS doc_id, src AS r FROM edges
+                UNION
+                SELECT w.doc_id, e.dst FROM reach w
+                JOIN edges e ON e.src = w.r),
+      comp AS (SELECT doc_id, min(r) AS component FROM reach GROUP BY doc_id),
+      base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 40
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               regexp_replace(text, '^\S+\s*', '') AS text
+        FROM documents WHERE doc_id < 40),
+      j AS (SELECT c.component, c.doc_id,
+              CAST(len(b.text) AS BIGINT) AS n_chars_m
+            FROM comp c JOIN base b USING (doc_id))
+      SELECT component, doc_id AS keep_doc, n_chars_m AS kept_chars,
+             n_members
+      FROM (SELECT *,
+              row_number() OVER (PARTITION BY component
+                ORDER BY n_chars_m DESC, doc_id ASC) AS rk,
+              count(*) OVER (PARTITION BY component) AS n_members
+            FROM j)
+      WHERE rk = 1""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -303,6 +303,37 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Canonical-representative selection: after near-dup clustering,
+    * the curation decision is WHICH member of each cluster to keep.
+    * min-doc_id (connectedComponents' `is_canonical`) is arbitrary;
+    * this picks the best-quality member — longest text, ties pinned to
+    * the smaller doc_id — and reports the cluster's size alongside.
+    *
+    * Scale shape: the cluster labels are (id, label) longs, quality is
+    * a narrow per-row projection of the corpus, and the argmax is one
+    * window partitioned by component — a single shuffle keyed on
+    * component labels, never on text. Singleton documents (no near-dup
+    * edge) don't reach the clustering and are implicitly kept; only
+    * actual dup groups appear here. */
+  def canonicalPick(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+      .select(col("doc_id"), col("component"))
+    val quality = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("n_chars_m").desc, col("doc_id").asc)
+    comp.join(quality, "doc_id")
+      .select(col("component"), col("doc_id"), col("n_chars_m"),
+        row_number().over(w).cast("long").as("rk"),
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("component")))
+          .as("n_members"))
+      .filter(col("rk") === 1L)
+      .select(col("component"), col("doc_id").as("keep_doc"),
+        col("n_chars_m").as("kept_chars"), col("n_members"))
+  }
+
   /** Incremental (cross-batch) dedup: keep only the batch documents
     * whose content is absent from an already-ingested history.
     *

@@ -66,6 +66,33 @@ object TextAnalysis {
           .as("len_score"))
   }
 
+  /** Adaptive per-source quality filtering: instead of one global
+    * threshold (wrong when sources differ systematically — a forum
+    * dump and an encyclopedia dump have different length profiles),
+    * each source keeps its top (1 - dropPct/100) of documents by token
+    * count. The cutoff is an exact order statistic, computed with pure
+    * integer arithmetic: rank docs within source (ties pinned by
+    * doc_id), drop ranks ≤ n_src·dropPct/100 under integer division —
+    * no float percentile, so every engine agrees bit-for-bit. One
+    * shuffle on `source` (the window), then a narrow filter; at 100 TB
+    * the per-source partitions are what AQE/salting already handle for
+    * any other groupBy. */
+  def qualityAdaptive(s: SparkSession, dir: String,
+                      dropPct: Int = 20): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val base = d.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val byQ = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens").asc, col("doc_id").asc)
+    val bySrc = Window.partitionBy(col("source"))
+    base
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        row_number().over(byQ).cast("long").as("q_rank"),
+        count(lit(1)).over(bySrc).as("n_src"))
+      .filter(col("q_rank") > expr(s"n_src * $dropPct DIV 100"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("q_rank"))
+  }
+
   /** Token counting: whitespace tokens plus a BPE-ish regex tokenizer
     * (letter runs / digit runs / single non-space symbols) — the two
     * counts disagree exactly where subword splitting would kick in.

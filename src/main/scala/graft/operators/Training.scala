@@ -171,6 +171,34 @@ object Training {
     toks.toDF("token", "n_words", "n_occurrences")
   }
 
+  /** Per-document token counts under the trained tokenizer — the
+    * encode-at-scale join shape. The MODEL here is the (word →
+    * token-count) map the training loop's final vocab already holds;
+    * encoding the corpus is one explode + broadcast join against it
+    * (word-level, so the big side never shuffles) + a per-doc hash-agg.
+    * At 100 TB the vocab may outgrow a broadcast — the same plan then
+    * runs as a shuffle join on `word`, nothing else changes. Only
+    * alphabetic words count (the trainer's own token universe), so
+    * every corpus word hits the model and the join is inner. */
+  def bpeDocTokens(s: SparkSession, dir: String,
+                   merges: Int = 10): DataFrame = {
+    val wordLens = bpeRun(s, dir, merges) { (_, vocab) =>
+      vocab.select(col("word"),
+          size(split(trim(col("seg")), " ")).cast("long").as("n_tok"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    }
+    import s.implicits._
+    val model = broadcast(wordLens.toDF("word", "n_tok"))
+    val words = filter(split(lower(col("text")), "\\s+"),
+      t => t.rlike("^[a-z]+$"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(words).as("word"))
+      .join(model, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_bpe_tokens"))
+  }
+
   /** Shared merge loop: builds the (word, cnt, seg) vocabulary in one
     * corpus pass, runs `merges` rounds, and hands (rules, final vocab)
     * to `finish` while the checkpoints are still alive; everything this

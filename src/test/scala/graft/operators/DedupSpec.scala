@@ -19,6 +19,42 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b, j) => b == a + 1000000L || j >= 0.5 })
   }
 
+  test("canonical pick keeps the longest member of every dup cluster") {
+    val slice = Fixtures.mutantSlice(spark, sf)
+    val got = Dedup.canonicalPick(slice, Dedup.ngramJaccardPairs(slice))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent replay: union-find over the collected pair list
+    // (plain Scala — no Spark machinery shared with the operator),
+    // then argmax by (length desc, doc_id asc) per component
+    val lens = slice.select(col("doc_id"), length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val edges = Dedup.ngramJaccardPairs(slice).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .groupBy(find)
+    val expect = members.map { case (root, ms) =>
+      val keep = ms.minBy(id => (-lens(id), id))
+      (root, keep, lens(keep), ms.length.toLong)
+    }.toSet
+    assert(got.toSet == expect)
+    assert(got.nonEmpty)
+    // mutants are strict prefixes-with-a-token-dropped: a mutant id
+    // must never be the keeper of a cluster that contains its original
+    assert(got.forall { case (_, keep, _, _) =>
+      keep < 1000000L || !members(find(keep)).contains(keep - 1000000L)
+    })
+  }
+
   test("fuzzy q-gram join recovers every typo mutant at its true distance") {
     val pairs = Dedup.fuzzyPairs(Fixtures.typoSlice(spark, sf)).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

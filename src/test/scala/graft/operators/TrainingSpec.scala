@@ -129,5 +129,48 @@ class TrainingSpec extends SparkSpec {
     // the loop's checkpoints are unpersisted before return
     assert(spark.sparkContext.getPersistentRDDs.keySet == preRdds)
     assert(enc.keys.exists(_.length > 1)) // merges reached the output
+
+    // doc-level encode: n_bpe_tokens = Σ over the doc's alpha words of
+    // that word's final segmentation length (replay from `segs`)
+    val segLen = segs.map { case (s2, _) =>
+      s2.trim.replace(" ", "") -> s2.trim.split(" ").length.toLong
+    }.toMap
+    val docTok = Training.bpeDocTokens(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expDoc = collection.mutable.Map.empty[Long, (Long, Long)]
+    Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .foreach { r =>
+        for (t <- r.getString(1).toLowerCase.split("\\s+")
+             if t.nonEmpty && t.forall(c => c >= 'a' && c <= 'z')) {
+          val (w, n) = expDoc.getOrElse(r.getLong(0), (0L, 0L))
+          expDoc(r.getLong(0)) = (w + 1, n + segLen(t))
+        }
+      }
+    assert(docTok == expDoc.toMap)
+    // encoding compresses: fewer BPE tokens than characters, more than
+    // (or equal to) whitespace words
+    assert(docTok.values.forall { case (w, n) => n >= w })
+  }
+
+  test("adaptive quality filter keeps exactly the per-source top 80%") {
+    import org.apache.spark.sql.functions.col
+    val got = TextAnalysis.qualityAdaptive(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split("\\s+").count(_.nonEmpty).toLong))
+    val expect = docs.groupBy(_._2).toList.flatMap { case (src, ds) =>
+      val ranked = ds.toList.sortBy(d => (d._3, d._1)).zipWithIndex
+        .map { case ((id, _, n), i) => (id, src, n, i + 1L) }
+      val cut = ranked.length * 20 / 100
+      ranked.filter(_._4 > cut)
+    }.toSet
+    assert(got.toSet == expect)
+    // the filter actually dropped the bottom slice of every source
+    val bySrc = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    val keptBySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+    for ((src, n) <- bySrc)
+      assert(keptBySrc.getOrElse(src, 0) == n - n * 20 / 100, src)
   }
 }
