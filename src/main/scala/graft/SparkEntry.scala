@@ -266,6 +266,8 @@ object SparkEntry {
     "dedup_canonical"  -> ((s, dir) =>
       Dedup.canonicalPick(Fixtures.mutantSlice(s, dir),
         Dedup.ngramJaccardPairs(Fixtures.mutantSlice(s, dir)))),
+    "eval2_ann_recall" -> (Similarity.annRecall(_, _)),
+    "mix4_token_budget" -> (TextAnalysis.tokenBudget(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -429,25 +431,7 @@ object SparkEntry {
                ('high', 100.0, 1000.0)) t(tier, lo, hi)
            ON e.value >= t.lo AND e.value < t.hi
          GROUP BY t.tier""",
-    "sim_ann_sq" -> raw"""
-      WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
-      qq AS (SELECT list_transform(embedding::DOUBLE[],
-               x -> greatest(-127, least(127, CAST(round(x * 127) AS BIGINT)))) AS qv8
-             FROM q),
-      e8 AS (SELECT vec_id, embedding,
-               list_transform(embedding::DOUBLE[],
-                 x -> greatest(-127, least(127, CAST(round(x * 127) AS BIGINT)))) AS v8
-             FROM embeddings WHERE vec_id <> 0),
-      short AS (SELECT e8.vec_id, e8.embedding,
-                 CAST(list_sum(list_transform(range(1, 65),
-                   i -> v8[i] * qv8[i])) AS BIGINT) AS sq_score
-                FROM e8, qq
-                ORDER BY sq_score DESC, vec_id ASC LIMIT 50)
-      SELECT s.vec_id,
-        round(list_cosine_similarity(s.embedding::DOUBLE[],
-          q.embedding::DOUBLE[]), 6) AS cos_sim
-      FROM short s, q
-      ORDER BY cos_sim DESC, s.vec_id ASC LIMIT 10""",
+    "sim_ann_sq" -> sqAnnSql,
     "w2_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
          sum(l_quantity) OVER (PARTITION BY l_suppkey
@@ -732,12 +716,7 @@ object SparkEntry {
         CAST(CASE WHEN doc_id = min(r) THEN 1 ELSE 0 END AS BIGINT)
           AS is_canonical
       FROM reach GROUP BY doc_id""",
-    "sim_ann_brute" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-         SELECT vec_id, label,
-           round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cos_sim
-         FROM embeddings, q WHERE vec_id <> 0
-         ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
+    "sim_ann_brute" -> bruteAnnSql,
     "sim_near_dup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
                     WHERE vec_id < 60)
@@ -1201,36 +1180,7 @@ object SparkEntry {
       JOIN embeddings eb ON eb.vec_id = c.vec_b
       WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
         eb.embedding::DOUBLE[]), 6) >= 0.4""",
-    "sim_ann_lsh" -> raw"""
-      WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
-      sb AS (SELECT e.vec_id,
-              list_transform($planesSql, pl ->
-                CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                  list_transform(range(1, 65),
-                    i -> CAST(e.embedding[i] AS DOUBLE) * pl[i])),
-                  (acc, x) -> acc + x) > 0 THEN 1 ELSE 0 END) AS bits
-             FROM embeddings e WHERE vec_id <> 0),
-      qb AS (SELECT list_transform($planesSql, pl ->
-                CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                  list_transform(range(1, 65),
-                    i -> CAST(q.embedding[i] AS DOUBLE) * pl[i])),
-                  (acc, x) -> acc + x) > 0 THEN 1 ELSE 0 END) AS bits
-             FROM q),
-      sbv AS (SELECT vec_id, r.range AS band,
-               list_reduce(list_prepend(0, bits[r.range*4+1 : r.range*4+4]),
-                 (acc, x) -> acc * 2 + x) AS bval
-              FROM sb, range(0, 4) r),
-      qbv AS (SELECT r.range AS band,
-               list_reduce(list_prepend(0, bits[r.range*4+1 : r.range*4+4]),
-                 (acc, x) -> acc * 2 + x) AS bval
-              FROM qb, range(0, 4) r),
-      cand AS (SELECT DISTINCT s.vec_id FROM sbv s
-               JOIN qbv ON s.band = qbv.band AND s.bval = qbv.bval)
-      SELECT e.vec_id,
-        round(list_cosine_similarity(e.embedding::DOUBLE[],
-          q.embedding::DOUBLE[]), 6) AS cos_sim
-      FROM cand, embeddings e, q WHERE e.vec_id = cand.vec_id
-      ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10""",
+    "sim_ann_lsh" -> lshAnnSql,
     "sim_ann_ivf" -> ivfSql,
     // the persisted-index variant is bit-identical to the in-session
     // IVF (same quantizer math, same tie-breaks) — one shared oracle
@@ -1508,40 +1458,7 @@ object SparkEntry {
     // PQ replay: codebook = 6dp-rounded subvectors of vecs 1..16, encode
     // by argmin L2² (left-to-right fold, tie → lower codeword), ADC sums
     // as exact integer micros — the same arithmetic annPq ships
-    "sim_ann_pq" -> raw"""
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      cb AS (SELECT vec_id - 1 AS j, list_transform(v, x -> round(x, 6)) AS c
-             FROM e WHERE vec_id BETWEEN 1 AND 16),
-      sub AS (SELECT j, m.range AS m, c[m.range*8+1 : m.range*8+8] AS sc
-              FROM cb, range(0, 8) m),
-      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-      ev AS (SELECT vec_id, m.range AS m, v[m.range*8+1 : m.range*8+8] AS sv
-             FROM e, range(0, 8) m WHERE vec_id <> 0),
-      enc AS (SELECT vec_id, m, j FROM (
-          SELECT ev.vec_id, ev.m, sub.j,
-            row_number() OVER (PARTITION BY ev.vec_id, ev.m ORDER BY
-              round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                list_transform(range(1, 9),
-                  i -> (ev.sv[i] - sub.sc[i]) * (ev.sv[i] - sub.sc[i]))),
-                (acc, x) -> acc + x), 6) ASC, sub.j ASC) AS rn
-          FROM ev JOIN sub ON ev.m = sub.m) WHERE rn = 1),
-      qdt AS (SELECT sub.m, sub.j,
-          round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-            list_transform(range(1, 9),
-              i -> (q.qv[sub.m*8+i] - sub.sc[i]) * (q.qv[sub.m*8+i] - sub.sc[i]))),
-            (acc, x) -> acc + x), 6) AS dist
-        FROM sub, q),
-      adc AS (SELECT enc.vec_id,
-          CAST(sum(CAST(round(qdt.dist * 1000000) AS BIGINT)) AS DOUBLE)
-            / 1000000.0 AS adc_dist
-        FROM enc JOIN qdt ON enc.m = qdt.m AND enc.j = qdt.j
-        GROUP BY enc.vec_id),
-      short AS (SELECT vec_id, adc_dist FROM adc
-                ORDER BY adc_dist ASC, vec_id ASC LIMIT 50)
-      SELECT s.vec_id, s.adc_dist,
-        round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
-      FROM short s JOIN e ON e.vec_id = s.vec_id, q
-      ORDER BY cos_sim DESC, s.vec_id ASC LIMIT 10""",
+    "sim_ann_pq" -> pqAnnSql,
     "ev4_attribution" -> raw"""
       WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
                  FROM events),
@@ -2482,9 +2399,138 @@ object SparkEntry {
               count(*) OVER (PARTITION BY component) AS n_members
             FROM j)
       WHERE rk = 1""",
+    // recall@10 of each approximate ANN method vs the brute-force
+    // truth — every method oracle reused verbatim (Similarity.annRecall).
+    "eval2_ann_recall" -> raw"""
+      SELECT m.method, CAST(count(*) AS BIGINT) AS hits,
+             round(count(*) / 10.0, 4) AS recall_at_10
+      FROM (          SELECT 'ivf' AS method, vec_id FROM ($ivfSql)
+            UNION ALL SELECT 'lsh' AS method, vec_id FROM ($lshAnnSql)
+            UNION ALL SELECT 'pq'  AS method, vec_id FROM ($pqAnnSql)
+            UNION ALL SELECT 'sq'  AS method, vec_id FROM ($sqAnnSql)) m
+      JOIN ($bruteAnnSql) t USING (vec_id)
+      GROUP BY m.method""",
+    // greedy per-source prefix under an integer token budget
+    // (TextAnalysis.tokenBudget).
+    "mix4_token_budget" -> raw"""
+      WITH b AS (
+        SELECT doc_id, source,
+          CAST(len(list_filter(string_split_regex(text, '\s+'),
+            t -> len(t) > 0)) AS BIGINT) AS n_tokens
+        FROM documents),
+      t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_src
+            FROM b)
+      SELECT doc_id, source, n_tokens, cum_tokens, src_budget
+      FROM (SELECT doc_id, source, n_tokens,
+              CAST(sum(n_tokens) OVER (PARTITION BY source
+                ORDER BY n_tokens DESC, doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_tokens,
+              ((total_tokens * 2) // 5) // n_src AS src_budget
+            FROM b, t)
+      WHERE cum_tokens <= src_budget""",
   )
 
   // ---- shared DuckDB oracle fragments ----
+
+  /** Brute-force exact top-10 — the eval2_ann_recall ground truth. */
+  private def bruteAnnSql: String =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+       SELECT vec_id, label,
+         round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cos_sim
+       FROM embeddings, q WHERE vec_id <> 0
+       ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""
+
+  /** LSH banded ANN — shared with eval2_ann_recall. */
+  private def lshAnnSql: String = raw"""
+      WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+      sb AS (SELECT e.vec_id,
+              list_transform($planesSql, pl ->
+                CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, 65),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * pl[i])),
+                  (acc, x) -> acc + x) > 0 THEN 1 ELSE 0 END) AS bits
+             FROM embeddings e WHERE vec_id <> 0),
+      qb AS (SELECT list_transform($planesSql, pl ->
+                CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, 65),
+                    i -> CAST(q.embedding[i] AS DOUBLE) * pl[i])),
+                  (acc, x) -> acc + x) > 0 THEN 1 ELSE 0 END) AS bits
+             FROM q),
+      sbv AS (SELECT vec_id, r.range AS band,
+               list_reduce(list_prepend(0, bits[r.range*4+1 : r.range*4+4]),
+                 (acc, x) -> acc * 2 + x) AS bval
+              FROM sb, range(0, 4) r),
+      qbv AS (SELECT r.range AS band,
+               list_reduce(list_prepend(0, bits[r.range*4+1 : r.range*4+4]),
+                 (acc, x) -> acc * 2 + x) AS bval
+              FROM qb, range(0, 4) r),
+      cand AS (SELECT DISTINCT s.vec_id FROM sbv s
+               JOIN qbv ON s.band = qbv.band AND s.bval = qbv.bval)
+      SELECT e.vec_id,
+        round(list_cosine_similarity(e.embedding::DOUBLE[],
+          q.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM cand, embeddings e, q WHERE e.vec_id = cand.vec_id
+      ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10"""
+
+  /** Scalar-quant ANN — shared with eval2_ann_recall. */
+  private def sqAnnSql: String = raw"""
+      WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+      qq AS (SELECT list_transform(embedding::DOUBLE[],
+               x -> greatest(-127, least(127, CAST(round(x * 127) AS BIGINT)))) AS qv8
+             FROM q),
+      e8 AS (SELECT vec_id, embedding,
+               list_transform(embedding::DOUBLE[],
+                 x -> greatest(-127, least(127, CAST(round(x * 127) AS BIGINT)))) AS v8
+             FROM embeddings WHERE vec_id <> 0),
+      short AS (SELECT e8.vec_id, e8.embedding,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> v8[i] * qv8[i])) AS BIGINT) AS sq_score
+                FROM e8, qq
+                ORDER BY sq_score DESC, vec_id ASC LIMIT 50)
+      SELECT s.vec_id,
+        round(list_cosine_similarity(s.embedding::DOUBLE[],
+          q.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM short s, q
+      ORDER BY cos_sim DESC, s.vec_id ASC LIMIT 10"""
+
+  /** PQ ANN — shared with eval2_ann_recall. */
+  private def pqAnnSql: String = raw"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cb AS (SELECT vec_id - 1 AS j, list_transform(v, x -> round(x, 6)) AS c
+             FROM e WHERE vec_id BETWEEN 1 AND 16),
+      sub AS (SELECT j, m.range AS m, c[m.range*8+1 : m.range*8+8] AS sc
+              FROM cb, range(0, 8) m),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      ev AS (SELECT vec_id, m.range AS m, v[m.range*8+1 : m.range*8+8] AS sv
+             FROM e, range(0, 8) m WHERE vec_id <> 0),
+      enc AS (SELECT vec_id, m, j FROM (
+          SELECT ev.vec_id, ev.m, sub.j,
+            row_number() OVER (PARTITION BY ev.vec_id, ev.m ORDER BY
+              round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(1, 9),
+                  i -> (ev.sv[i] - sub.sc[i]) * (ev.sv[i] - sub.sc[i]))),
+                (acc, x) -> acc + x), 6) ASC, sub.j ASC) AS rn
+          FROM ev JOIN sub ON ev.m = sub.m) WHERE rn = 1),
+      qdt AS (SELECT sub.m, sub.j,
+          round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, 9),
+              i -> (q.qv[sub.m*8+i] - sub.sc[i]) * (q.qv[sub.m*8+i] - sub.sc[i]))),
+            (acc, x) -> acc + x), 6) AS dist
+        FROM sub, q),
+      adc AS (SELECT enc.vec_id,
+          CAST(sum(CAST(round(qdt.dist * 1000000) AS BIGINT)) AS DOUBLE)
+            / 1000000.0 AS adc_dist
+        FROM enc JOIN qdt ON enc.m = qdt.m AND enc.j = qdt.j
+        GROUP BY enc.vec_id),
+      short AS (SELECT vec_id, adc_dist FROM adc
+                ORDER BY adc_dist ASC, vec_id ASC LIMIT 50)
+      SELECT s.vec_id, s.adc_dist,
+        round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+      FROM short s JOIN e ON e.vec_id = s.vec_id, q
+      ORDER BY cos_sim DESC, s.vec_id ASC LIMIT 10"""
+
 
   /** The BPE training loop (Training.bpeRun) as a recursive CTE,
     * shared by tok1_bpe_train (reads the rule columns) and

@@ -543,4 +543,30 @@ object Similarity {
             lit(0.0d), (acc, v) => acc + v) * 0.25d)
           .cast("long").as("y_micros"))
   }
+
+  /** ANN index-quality harness (the [[Dedup.dedupEval]] twin for
+    * similarity search): recall@10 of every approximate method — LSH,
+    * IVF, scalar-quant, PQ — against the brute-force exact top-10 on
+    * the same corpus and query. Each method's shortlist is ids-only
+    * and joins a 10-row broadcast truth set, so the harness costs four
+    * tiny joins on top of the methods themselves; a method whose
+    * banding/probing collapses (the round-1 zero-recall defect class)
+    * shows up as a missing or low row here, not as silent bad
+    * neighbors downstream. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = broadcast(annBruteForce(s, dir).select(col("vec_id")))
+    val shortlists = Seq(
+      ("ivf", annIvf(s, dir)),
+      ("lsh", annLsh(s, dir)),
+      ("pq", annPq(s, dir)),
+      ("sq", annScalarQuant(s, dir)))
+    shortlists.map { case (m, df) =>
+        df.select(lit(m).as("method"), col("vec_id"))
+      }.reduce(_ unionByName _)
+      .join(truth, "vec_id")
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("hits"))
+      .select(col("method"), col("hits"),
+        round(col("hits") / lit(10.0), 4).as("recall_at_10"))
+  }
 }

@@ -526,6 +526,33 @@ object TextAnalysis {
           col("domain_tokens")).cast("long").as("epochs_needed"))
   }
 
+  /** Budget-constrained mixture materialization — the step after
+    * [[domainMix]] decides the weights: actually PICK the documents.
+    * A token budget of 2/5 of the corpus is split evenly across
+    * sources (any weight vector plugs in the same way); within each
+    * source, docs are taken longest-first (quality proxy, ties pinned
+    * by doc_id) while the running token total stays inside the
+    * source's budget — a greedy prefix, i.e. one cumulative-sum window
+    * per source. All arithmetic is integer (budgets via DIV), so the
+    * kept set is bit-deterministic. Scale shape: one narrow token-count
+    * projection, a single-row broadcast for the totals, one window
+    * shuffle on `source` — the corpus text never moves. */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val base = d.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val totals = base.agg(sum(col("n_tokens")).as("total_tokens"),
+      countDistinct(col("source")).as("n_src"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        sum(col("n_tokens")).over(w).as("cum_tokens"),
+        expr("((total_tokens * 2) DIV 5) DIV n_src").as("src_budget"))
+      .filter(col("cum_tokens") <= col("src_budget"))
+  }
+
   /** Temperature-scaled domain mixture (the multilingual-sampling rule:
     * p_i ∝ share_i^α with α = 0.5): down-weights head domains, boosts
     * the tail, without ever flattening to uniform. α = 0.5 is computed

@@ -124,6 +124,69 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("annRecall grades every method against an independent exact top-10") {
+    val got = Similarity.annRecall(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // independent truth: exact cosine top-10 via a driver-side replay
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val q = e(0L)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val truth = e.toList.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        (id, BigDecimal(cos(v, q)).setScale(6, BigDecimal.RoundingMode.HALF_UP)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    // each reported hits count is the true overlap of that method's list
+    val methods = Map(
+      "ivf" -> Similarity.annIvf(spark, sf),
+      "lsh" -> Similarity.annLsh(spark, sf),
+      "pq" -> Similarity.annPq(spark, sf),
+      "sq" -> Similarity.annScalarQuant(spark, sf))
+    for ((m, df) <- methods) {
+      val ids = df.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val overlap = ids.intersect(truth).size.toLong
+      assert(got.get(m).map(_._1).contains(overlap), s"$m hits")
+      if (overlap > 0)
+        assert(got(m)._2 == overlap / 10.0, s"$m recall")
+    }
+    // the harness would catch a collapsed method: sq shortlists 50 of
+    // everything by int8 dot product — it must be near-perfect here
+    assert(got("sq")._1 >= 8L)
+  }
+
+  test("tokenBudget: greedy per-source prefix, never over budget") {
+    val got = TextAnalysis.tokenBudget(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split("\\s+").count(_.nonEmpty).toLong))
+    val total = docs.map(_._3).sum
+    val budget = total * 2 / 5 / docs.map(_._2).distinct.length
+    assert(got.forall(_._5 == budget))
+    // kept set per source = the longest-first greedy prefix
+    val expect = docs.groupBy(_._2).toList.flatMap { case (src, ds) =>
+      var cum = 0L
+      ds.toList.sortBy(d => (-d._3, d._1)).flatMap { case (id, _, n) =>
+        cum += n
+        if (cum <= budget) Some((id, src, n, cum, budget)) else None
+      }
+    }.toSet
+    assert(got.toSet == expect)
+    assert(got.nonEmpty)
+    // every source spent most of its budget (greedy can't leave more
+    // than the largest remaining doc unspent)
+    val maxDoc = docs.map(_._3).max
+    for ((src, rows) <- got.groupBy(_._2))
+      assert(rows.map(_._3).sum >= budget - maxDoc, src)
+  }
+
   test("contamination: exact eval copies score 1.0, disjoint docs 0.0") {
     val got = TextAnalysis.contamination(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
