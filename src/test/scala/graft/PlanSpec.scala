@@ -332,4 +332,35 @@ class PlanSpec extends SparkSpec {
     // codegen stages print as "*(n) Operator" in the final plan
     assert(p.contains("*(") || p.contains("WholeStageCodegen"), p)
   }
+
+  test("tok3: the corpus side joins the vocab model via broadcast, no corpus shuffle before the join") {
+    val df = Training.bpeDocTokens(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only Exchanges are the model broadcast + the final per-doc
+    // aggregate — the exploded corpus never hash-partitions by word
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Exchange hashpartitioning\\(word".r.findAllIn(p).isEmpty,
+      s"corpus shuffled on word:\n$p")
+  }
+
+  test("quality adaptive: one shuffle — rank and count share the source window partitioning") {
+    val p = plan(TextAnalysis.qualityAdaptive(spark, sf))
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+    // tokenize collapses to n_tokens below the exchange
+    assert(p.indexOf("Exchange") < p.indexOf("size(filter(split"),
+      s"tokenization not on the map side:\n$p")
+  }
+
+  test("mix4: totals broadcast as a single-row side; one window shuffle on source") {
+    val p = plan(TextAnalysis.tokenBudget(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the CORPUS path (everything above the BroadcastExchange node —
+    // the totals subtree prints below it and is 20-row scale) shuffles
+    // exactly once: the source window
+    val mainPath = p.substring(0, p.indexOf("BroadcastExchange"))
+    assert("Exchange hashpartitioning".r.findAllIn(mainPath).size === 1,
+      p)
+  }
 }
