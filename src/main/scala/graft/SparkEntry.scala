@@ -44,6 +44,11 @@ object SparkEntry {
         "o_totalprice", "o_orderstatus")
       Relational.merge1Upsert(snap, Fixtures.orderUpdates(snap), "o_orderkey")
     }),
+    "merge2_scd2" -> ((s, dir) => {
+      val snap = Tables.orders(s, dir).select("o_orderkey", "o_custkey",
+        "o_totalprice", "o_orderstatus")
+      Relational.merge2Scd2(snap, Fixtures.orderUpdates(snap), "o_orderkey")
+    }),
     "zorder1_layout" -> (Packing.zorderBlocks(_, _)),
     "w1_top_order_per_customer" -> (Relational.w1TopOrderPerCustomer(_, _)),
     "w1b_top_order_maxby" -> (Relational.w1bTopOrderMaxBy(_, _)),
@@ -375,6 +380,30 @@ object SparkEntry {
            CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
                 ELSE s.o_orderstatus END AS o_orderstatus
          FROM snap s FULL OUTER JOIN upd u ON s.o_orderkey = u.o_orderkey""",
+    // SCD2: version 0 = snapshot, version 1 = the same update batch,
+    // is_current from a per-key lead (Relational.merge2Scd2).
+    "merge2_scd2" ->
+      """WITH snap AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+           FROM orders),
+         upd AS (
+           SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DOUBLE) AS o_totalprice,
+             'U' AS o_orderstatus
+           FROM snap WHERE o_orderkey % 10 = 3
+           UNION ALL
+           SELECT o_orderkey + 1000000000, o_custkey, o_totalprice, 'N'
+           FROM snap WHERE o_orderkey % 100 = 7),
+         v AS (
+           SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+             CAST(0 AS BIGINT) AS version FROM snap
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+             CAST(1 AS BIGINT) AS version FROM upd)
+         SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, version,
+           CAST(CASE WHEN lead(version) OVER (PARTITION BY o_orderkey
+             ORDER BY version) IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_current
+         FROM v""",
     "zorder1_layout" -> {
       val terms = (0 until 16).map(i =>
         s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")

@@ -633,6 +633,26 @@ object Relational {
       snapshot.columns.filter(_ != key).map(c => col(s"row.$c").as(c)): _*)
   }
 
+  /** SCD Type-2 versioning — the lakehouse-dimension counterpart of
+    * [[merge1Upsert]]: instead of overwriting on merge, every change
+    * appends a new version row and the previous one closes. Batch
+    * formulation: snapshot rows are version 0, the update batch is
+    * version 1, and a per-key `lead` window derives `is_current` (the
+    * open version is the one with no successor). One shuffle on the
+    * business key; version chains of any length work unchanged (feed
+    * the output back as the next snapshot with version = max + 1).
+    * Updates ship full rows, so the window carries no text-sized
+    * payloads beyond the dimension columns themselves. */
+  def merge2Scd2(snapshot: DataFrame, updates: DataFrame,
+                 key: String): DataFrame = {
+    val all = snapshot.withColumn("version", lit(0L))
+      .unionByName(updates.withColumn("version", lit(1L)))
+    val w = Window.partitionBy(col(key)).orderBy(col("version"))
+    all
+      .withColumn("is_current",
+        lead(col("version"), 1).over(w).isNull.cast("long"))
+  }
+
   /** Semi-structured JSON battery over the events `props` column: the
     * two extraction paths a lakehouse query uses — path extraction
     * (`get_json_object`, schema-on-read) and typed parsing (`from_json`

@@ -88,6 +88,33 @@ class PackingSpec extends SparkSpec {
       Seq("o_orderkey"), "left_anti")).count() === 0L)
   }
 
+  test("merge2 SCD2: updated keys close version 0, exactly one current row per key") {
+    val snap = Tables.orders(spark, sf).select("o_orderkey", "o_custkey",
+      "o_totalprice", "o_orderstatus")
+    val upd = Fixtures.orderUpdates(snap)
+    val out = Relational.merge2Scd2(snap, upd, "o_orderkey")
+    assert(out.count() === snap.count() + upd.count())
+    // exactly one current version per key, always the max version
+    val bad = out.groupBy(col("o_orderkey"))
+      .agg(sum(col("is_current")).as("n_cur"),
+        max(col("version")).as("v_max"),
+        max(when(col("is_current") === 1, col("version"))).as("v_cur"))
+      .filter(col("n_cur") =!= 1 || col("v_cur") =!= col("v_max"))
+    assert(bad.count() === 0L)
+    // an updated key has its v0 closed and its v1 current with the
+    // re-priced value; an untouched key stays current at v0
+    val updated = out.filter(col("o_orderkey") % 10 === 3 &&
+      col("o_orderkey") < 1000000000L)
+    assert(updated.filter(col("version") === 0)
+      .filter(col("is_current") =!= 0).count() === 0L)
+    assert(updated.filter(col("version") === 1)
+      .filter(col("o_orderstatus") =!= "U").count() === 0L)
+    val untouched = out.filter(col("o_orderkey") % 10 =!= 3 &&
+      col("o_orderkey") % 100 =!= 7 && col("o_orderkey") < 1000000000L)
+    assert(untouched.filter(col("version") =!= 0 ||
+      col("is_current") =!= 1).count() === 0L)
+  }
+
   test("zorder: block bounding boxes are tighter than the unclustered layout") {
     val blocks = Packing.zorderBlocks(spark, sf).collect()
     assert(blocks.nonEmpty)
