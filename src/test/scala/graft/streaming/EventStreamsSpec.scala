@@ -297,6 +297,44 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamScored.nonEmpty)
   }
 
+  test("late data accounting: a row behind the watermark is dropped and METERED") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the operational contract at scale: late rows must not corrupt
+    // closed windows, and their count must be observable (the pipeline
+    // alarm for "our watermark is too tight"), not silently vanish
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def tick(tp: String, plusSec: Long) =
+      EventStreams.TypedTick(tp, new java.sql.Timestamp(t0.getTime + plusSec * 1000))
+    val mem = MemoryStream[EventStreams.TypedTick]
+    val q = EventStreams.minuteTypeCounts(mem.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("late_test").start()
+    try {
+      // batch 1: two events in minute 0, then advance the watermark
+      // 30 min past them so minute 0 is closed and emitted
+      mem.addData(tick("a", 1), tick("a", 2), tick("a", 1800))
+      q.processAllAvailable()
+      // batch 2: a LATE "a" event back in minute 0 — behind the
+      // watermark, must be dropped, and must show up in the metric
+      mem.addData(tick("a", 5))
+      q.processAllAvailable()
+      // sentinel closes everything still open
+      mem.addData(tick("__wm_sentinel", 7200))
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped === 1L, s"late-row drop not metered (dropped=$dropped)")
+    } finally q.stop()
+    val out = spark.table("late_test")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getLong(2)))
+    // minute 0 closed with the ON-TIME count only — the late row
+    // neither reopened the window nor double-emitted it
+    assert(out.count(x => x._1 == "a" && x._2 == t0.getTime) === 1)
+    assert(out.find(x => x._1 == "a" && x._2 == t0.getTime).get._3 === 2L)
+  }
+
   test("streaming bloom dedup emits exactly the never-seen documents") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
