@@ -273,6 +273,7 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(Fixtures.mutantSlice(s, dir)))),
     "eval2_ann_recall" -> (Similarity.annRecall(_, _)),
     "mix4_token_budget" -> (TextAnalysis.tokenBudget(_, _)),
+    "mix5_interleave"  -> (TextAnalysis.interleaveOrder(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2459,6 +2460,18 @@ object SparkEntry {
               ((total_tokens * 2) // 5) // n_src AS src_budget
             FROM b, t)
       WHERE cum_tokens <= src_budget""",
+    // interleaved global training order: per-source rank · n_src +
+    // source index (TextAnalysis.interleaveOrder — no global sort).
+    "mix5_interleave" -> raw"""
+      WITH si AS (
+        SELECT source,
+          CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS src_idx,
+          CAST(count(*) OVER () AS BIGINT) AS n_src
+        FROM (SELECT DISTINCT source FROM documents))
+      SELECT d.doc_id, d.source,
+        CAST((row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id)
+          - 1) * si.n_src + si.src_idx AS BIGINT) AS train_pos
+      FROM documents d JOIN si USING (source)""",
   )
 
   // ---- shared DuckDB oracle fragments ----

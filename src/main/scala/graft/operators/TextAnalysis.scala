@@ -553,6 +553,33 @@ object TextAnalysis {
       .filter(col("cum_tokens") <= col("src_budget"))
   }
 
+  /** Deterministic interleaved training order — how a 100 TB pipeline
+    * fixes the ORDER examples reach the trainer without a global sort:
+    * rank within source (one per-source window), then
+    * `train_pos = rank·n_src + src_idx`, an injection into a global
+    * round-robin over sources. Consecutive positions cycle through
+    * sources (no source-contiguous runs — the gradient-staleness
+    * failure of source-ordered data), the assignment is reproducible
+    * run-to-run, and nothing ever shuffles to a single partition: the
+    * source index table is aggregate-sized (one row per source,
+    * built with a window over 20 rows) and broadcasts back. Positions
+    * are dense per source, sparse globally when sources differ in
+    * size — an ORDER BY train_pos stays correct either way. */
+  def interleaveOrder(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val srcIdx = base.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .select(col("source"),
+        (row_number().over(Window.orderBy(col("source"))) - 1)
+          .cast("long").as("src_idx"),
+        count(lit(1)).over(Window.partitionBy()).cast("long").as("n_src"))
+      .drop("n_docs")
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    base.join(broadcast(srcIdx), "source")
+      .select(col("doc_id"), col("source"),
+        ((row_number().over(bySrc) - 1).cast("long") * col("n_src") +
+          col("src_idx")).as("train_pos"))
+  }
+
   /** Temperature-scaled domain mixture (the multilingual-sampling rule:
     * p_i ∝ share_i^α with α = 0.5): down-weights head domains, boosts
     * the tail, without ever flattening to uniform. α = 0.5 is computed

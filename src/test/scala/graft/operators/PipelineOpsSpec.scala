@@ -187,6 +187,36 @@ class PipelineOpsSpec extends SparkSpec {
       assert(rows.map(_._3).sum >= budget - maxDoc, src)
   }
 
+  test("interleaveOrder: unique positions, sources alternate, no global sort") {
+    val got = TextAnalysis.interleaveOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = got.length
+    assert(n > 0)
+    // positions are unique (an injection — sortable into a total order)
+    assert(got.map(_._3).distinct.length === n)
+    // within a source: positions strictly increase with doc_id and are
+    // congruent to the source's index mod n_src
+    val nSrc = got.map(_._2).distinct.length.toLong
+    val srcIdx = got.map(_._2).distinct.sorted.zipWithIndex.toMap
+    for ((src, rows) <- got.groupBy(_._2)) {
+      val sorted = rows.sortBy(_._1)
+      assert(sorted.map(_._3).toList ==
+        sorted.indices.map(i => i * nSrc + srcIdx(src)).toList, src)
+    }
+    // the global order round-robins: the first nSrc positions in rank
+    // order are nSrc DISTINCT sources
+    val firstCycle = got.sortBy(_._3).take(nSrc.toInt).map(_._2)
+    assert(firstCycle.distinct.length === nSrc.toInt)
+    // no single-partition exchange of the corpus in the plan (the
+    // 20-row source-index window is the only Exchange SinglePartition
+    // input, and it sits under a BroadcastExchange)
+    val p = TextAnalysis.interleaveOrder(spark, sf)
+      .queryExecution.executedPlan.toString
+    val mainPath = p.substring(0, p.indexOf("BroadcastExchange"))
+    assert(!mainPath.contains("Exchange SinglePartition"),
+      s"corpus funneled to one partition:\n$p")
+  }
+
   test("contamination: exact eval copies score 1.0, disjoint docs 0.0") {
     val got = TextAnalysis.contamination(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
