@@ -1525,6 +1525,7 @@ object SparkEntry {
                           WHEN 2 THEN 'CDN.media.example'
                           ELSE 'shop.example.net' END ||
           '/p/' || CAST(doc_id % 7 AS VARCHAR) ||
+          CASE WHEN doc_id % 11 = 2 THEN '&raw' ELSE '' END ||
           CASE WHEN doc_id % 3 = 0
                THEN '?utm_source=feed&utm_campaign=c' ||
                     CAST(doc_id % 5 AS VARCHAR)
@@ -1534,10 +1535,11 @@ object SparkEntry {
           CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS text
         FROM documents),
       u AS (SELECT regexp_extract(text, 'https?://[^\s]+', 0) AS url FROM d),
-      c AS (SELECT regexp_replace(
+      c AS (SELECT regexp_replace(regexp_replace(
           regexp_replace(regexp_replace(url, '#[^\s]*', '', 'g'),
-            '[?&]utm_[a-z]+=[^&#\s]*', '', 'g'),
-          '^([^?&]*)&', '\1?') AS nt FROM u),
+            '&utm_[a-z]+=[^&#\s]*', '', 'g'),
+          '\?utm_[a-z]+=[^&#\s]*&', '?'),
+          '\?utm_[a-z]+=[^&#\s]*', '') AS nt FROM u),
       p AS (SELECT regexp_replace(lower(regexp_extract(nt,
             '^https?://([^/]+)', 1)), '^www\.', '') AS host,
           regexp_extract(nt, '^https?://[^/]+(/[^?#\s]*)', 1) AS path

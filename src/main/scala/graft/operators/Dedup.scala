@@ -123,9 +123,13 @@ object Dedup {
     // executor storage (the round-1 bench artifact). At 100 TB a
     // corpus-sized intermediate doesn't fit executor memory anyway —
     // disk staging is the scale-true form.
-    // fixed path, overwritten per call (bounded disk, like the
-    // bucketed-join sinks); a real deployment keys this per job run
-    val shPath = "/tmp/graft_stage_minhash_sh"
+    // keyed by the input's semantic hash: a later call with DIFFERENT
+    // input stages elsewhere instead of clobbering the path this
+    // call's returned (lazy) plan still reads; same input re-stages
+    // the same content, so the overwrite is benign and disk stays
+    // bounded per distinct input
+    val shPath = "/tmp/graft_stage_minhash_sh_" +
+      Integer.toHexString(docs.queryExecution.analyzed.semanticHash())
     shingled(docs).write.mode("overwrite").parquet(shPath)
     val shDocs = s.read.parquet(shPath)
     val bands = shDocs
@@ -271,7 +275,11 @@ object Dedup {
     val preexisting = sc.getPersistentRDDs.keySet
     val nodes = pairs.select(col("doc_a").as("id"))
       .union(pairs.select(col("doc_b").as("id"))).distinct()
-    val finalPath = "/tmp/graft_stage_cc"
+    // keyed by the edge set's semantic hash — see minhashLsh's staging
+    // note (a second cc over different pairs must not clobber the
+    // parquet a still-live earlier result plan reads)
+    val finalPath = "/tmp/graft_stage_cc_" +
+      Integer.toHexString(pairs.queryExecution.analyzed.semanticHash())
     var rounds = 0
     try {
       var cur = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))

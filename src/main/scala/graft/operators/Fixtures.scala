@@ -121,6 +121,9 @@ object Fixtures {
       (pmod(id, lit(4)) + 1).cast("int"))
     d.withColumn("text", concat(col("text"),
       lit(" see https://"), host, lit("/p/"), pmod(id, lit(7)).cast("string"),
+      // a literal '&' INSIDE the path with no query string — the case
+      // an overeager orphan-'&' repair would corrupt into '?raw'
+      when(pmod(id, lit(11)) === 2, lit("&raw")).otherwise(lit("")),
       when(pmod(id, lit(3)) === 0,
         concat(lit("?utm_source=feed&utm_campaign=c"),
           pmod(id, lit(5)).cast("string")))

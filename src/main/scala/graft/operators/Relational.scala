@@ -635,18 +635,26 @@ object Relational {
 
   /** SCD Type-2 versioning — the lakehouse-dimension counterpart of
     * [[merge1Upsert]]: instead of overwriting on merge, every change
-    * appends a new version row and the previous one closes. Batch
-    * formulation: snapshot rows are version 0, the update batch is
-    * version 1, and a per-key `lead` window derives `is_current` (the
-    * open version is the one with no successor). One shuffle on the
-    * business key; version chains of any length work unchanged (feed
-    * the output back as the next snapshot with version = max + 1).
-    * Updates ship full rows, so the window carries no text-sized
-    * payloads beyond the dimension columns themselves. */
+    * appends a new version row and the previous one closes. A fresh
+    * snapshot enters at version 0; a snapshot that already carries a
+    * `version`/`is_current` history (this operator's own output) keeps
+    * it, and the update batch lands one version past the history's
+    * maximum — so chaining `merge2Scd2(merge2Scd2(snap, b1), b2)`
+    * accumulates a correct multi-version history. The update batch
+    * must be key-unique (the standard MERGE precondition; duplicate
+    * keys in ONE batch have no defined order). Per-key `lead` derives
+    * `is_current` (the open version has no successor); one shuffle on
+    * the business key. */
   def merge2Scd2(snapshot: DataFrame, updates: DataFrame,
                  key: String): DataFrame = {
-    val all = snapshot.withColumn("version", lit(0L))
-      .unionByName(updates.withColumn("version", lit(1L)))
+    val hist =
+      (if (snapshot.columns.contains("version")) snapshot
+       else snapshot.withColumn("version", lit(0L)))
+        .drop("is_current")
+    // one tiny driver scalar (max version so far) versions the batch —
+    // the model-sized round-trip, not a data collect
+    val nextV = hist.agg(max(col("version"))).head.getLong(0) + 1L
+    val all = hist.unionByName(updates.withColumn("version", lit(nextV)))
     val w = Window.partitionBy(col(key)).orderBy(col("version"))
     all
       .withColumn("is_current",

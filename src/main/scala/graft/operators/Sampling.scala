@@ -41,6 +41,7 @@ object Sampling {
     * of each stratum (`default` percent for unlisted strata). */
   def stratifiedByLang(docs: DataFrame, rates: Map[String, Int],
                        default: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val rate = rates.foldLeft(lit(default)) { case (acc, (lang, pct)) =>
       when(col("lang") === lang, lit(pct)).otherwise(acc)
     }
@@ -75,6 +76,7 @@ object Sampling {
     * cross the shuffle, no sort buffers — at 100 TB the sample, not the
     * corpus, is what moves. */
   def topNPerStratum(s: SparkSession, docs: DataFrame, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     graft.plans.GraftStrategies.register(s)
     val h = hash60(col("doc_id").cast("string"))
     docs
@@ -95,6 +97,7 @@ object Sampling {
     * pre-count pass.
     */
   def weightedSample(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     // 60 bits of md5 / 2^60: an exact binary fraction — bit-identical
     // in any engine that parses the same hex
     val u = hash60(col("doc_id").cast("string"))

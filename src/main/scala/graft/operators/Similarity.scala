@@ -273,7 +273,18 @@ object Similarity {
   def annIvfIndexed(s: SparkSession, dir: String, k: Int = 10,
                     nprobe: Int = 3): DataFrame = {
     GraftFunctions.register(s)
-    val base = s"/tmp/graft_ivf_index_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    // the index path is keyed by path AND a (size, mtime) fingerprint
+    // of the source parquet: regenerate the dataset and the old index
+    // is simply a different (ignored) directory — a stale index can
+    // never serve a changed corpus. Concurrent FIRST queries in
+    // separate JVMs can still race the build; a deployment puts a lock
+    // (or a scheduler-owned build step) in front, same as any shared
+    // index build.
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val fp = java.lang.Long.toHexString(src.length() ^
+      java.lang.Long.rotateLeft(src.lastModified(), 21))
+    val base =
+      s"/tmp/graft_ivf_index_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$fp"
     val marker = new java.io.File(s"$base/_built")
     if (!marker.exists()) {
       val e = Tables.embeddings(s, dir)
@@ -522,12 +533,14 @@ object Similarity {
     * broadcast-the-model pattern); the projection itself is a narrow
     * per-row zip_with/fold — zero exchanges over the corpus. Each
     * output coordinate folds left-to-right in double (exact ±1 signs,
-    * exact float→double widening), is scaled by 1/√16 = 0.25 — exact
-    * in binary — and quantizes to integer micros only at the output
-    * boundary, so the DuckDB twin is bit-identical. */
+    * exact float→double widening), is scaled by the JL factor
+    * 1/√outDim (= 0.25 exactly at the default 16) and quantizes to
+    * integer micros only at the output boundary, so the DuckDB twin
+    * is bit-identical. */
   def randomProjection(s: SparkSession, dir: String,
                        outDim: Int = 16): DataFrame = {
     GraftFunctions.register(s)
+    val scale = 1.0d / math.sqrt(outDim.toDouble)
     val signs = s.range(outDim).select(col("id").cast("int").as("j"))
       .select(col("j"), transform(sequence(lit(0), lit(63)), i =>
         when(call_function("md5_base60",
@@ -540,7 +553,7 @@ object Similarity {
           aggregate(
             zip_with(col("embedding").cast("array<double>"), col("sgn"),
               (x, g) => x * g),
-            lit(0.0d), (acc, v) => acc + v) * 0.25d)
+            lit(0.0d), (acc, v) => acc + v) * scale)
           .cast("long").as("y_micros"))
   }
 

@@ -722,6 +722,7 @@ object TextAnalysis {
     * replays them bit-for-bit.
     */
   def winnow(docs: DataFrame, n: Int = 4, w: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     // native md5-60 (digest bytes → long, codegen'd): the composed
     // conv(substring(md5)) chain materialized a hex string PER SHINGLE
     // and was the round-4 bench tail (7.6s)
@@ -749,12 +750,15 @@ object TextAnalysis {
     */
   def urlNormalize(docs: DataFrame): DataFrame = {
     val url = regexp_extract(col("text"), raw"https?://[^\s]+", 0)
-    val stripped = regexp_replace(
-      regexp_replace(url, raw"#[^\s]*", ""), raw"[?&]utm_[a-z]+=[^&#\s]*", "")
-    // a LEADING utm param takes the '?' with it ("?utm=1&keep=2" →
-    // "&keep=2"); promote the orphaned '&' back to '?' — anchored, so
-    // only a '&' with no '?' before it matches (first occurrence only)
-    val noTrack = regexp_replace(stripped, raw"^([^?&]*)&", raw"$$1?")
+    // utm stripping in three anchored steps, so ONLY actual utm params
+    // are touched (an unconditional orphan-'&' repair would corrupt
+    // URLs with a literal '&' in the path): drop non-leading utms,
+    // then a leading utm followed by a kept param hands its '?' over,
+    // then a leading utm with no successor leaves with its '?'
+    val noFrag = regexp_replace(url, raw"#[^\s]*", "")
+    val noTail = regexp_replace(noFrag, raw"&utm_[a-z]+=[^&#\s]*", "")
+    val noLead = regexp_replace(noTail, raw"\?utm_[a-z]+=[^&#\s]*&", "?")
+    val noTrack = regexp_replace(noLead, raw"\?utm_[a-z]+=[^&#\s]*", "")
     val host = regexp_replace(
       lower(regexp_extract(noTrack, raw"^https?://([^/]+)", 1)), raw"^www\.", "")
     val path = regexp_extract(noTrack, raw"^https?://[^/]+(/[^?#\s]*)", 1)

@@ -145,14 +145,24 @@ object OsmBench {
         (dSec, s1, math.min(s1, s2), qSec, n)
       }
 
-    // range-parallel XML (graft's splittable reader) on the same file
-    val (xsShapeSec, xsRows) = budgeted(spark, 90, (-1.0, -1L)) {
-      var n = 0L
-      val sSec = time {
-        n = OsmEngine.shape(OsmXmlSplit.elements(spark, xmlPath)).count()
+    // range-parallel XML (graft's splittable reader) on the same file.
+    // The Q1–Q5 battery and the row count run HERE, at full scale —
+    // these carry the osm_queries_sec / osm_rows keys, whose meaning
+    // (full-file numbers) must not drift across rounds; the serial
+    // phase below times ONLY the XML parse (its one finding).
+    val (xsShapeSec, queriesSec, xsRows) =
+      budgeted(spark, 120, (-1.0, -1.0, -1L)) {
+        var shapedX: DataFrame = null
+        var n = 0L
+        val sSec = time {
+          shapedX = OsmEngine.shape(OsmXmlSplit.elements(spark, xmlPath))
+            .persist(StorageLevel.DISK_ONLY)
+          n = shapedX.count()
+        }
+        val qSec = time(queries(shapedX))
+        shapedX.unpersist(blocking = true)
+        (sSec, qSec, n)
       }
-      (sSec, n)
-    }
 
     // PBF through the DataSource V2 connector (same blobs, planned as
     // BatchScan InputPartitions) — the connector's overhead vs the
@@ -174,23 +184,14 @@ object OsmBench {
     // file, with the raw slice measurement recorded alongside. The
     // parallel paths above are the engine's numbers; this phase is the
     // baseline being beaten.
-    val (sliceShapeSec, queriesSec, rows) = budgeted(spark, 100, (-1.0, -1.0, -1L)) {
-      var shaped: DataFrame = null
-      var n = 0L
-      val s = time {
-        shaped = OsmEngine.shape(OsmEngine.elements(spark, xmlSlicePath))
-          .persist(StorageLevel.DISK_ONLY)
-        n = shaped.count()
-      }
-      val q = time(queries(shaped))
-      shaped.unpersist(blocking = true)
-      (s, q, n)
+    val sliceShapeSec = budgeted(spark, 100, -1.0) {
+      time(OsmEngine.shape(OsmEngine.elements(spark, xmlSlicePath)).count())
     }
     val shapeSec =
       if (sliceShapeSec < 0 || sliceMb <= 0) -1.0
       else sliceShapeSec * mb / sliceMb
 
-    Result(mb, auditSec, shapeSec, queriesSec, rows,
+    Result(mb, auditSec, shapeSec, queriesSec, xsRows,
       pbfMb, pbfShapeSec, pbfQueriesSec, pbfRows, xsShapeSec, xsRows,
       dsv2ShapeSec, dsv2Rows, sliceMb, sliceShapeSec,
       pbfDecodeSec, pbfShapeColdSec)

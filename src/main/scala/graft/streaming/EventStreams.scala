@@ -117,6 +117,7 @@ object EventStreams {
     * operators. Works identically over a batch frame (the test's
     * parity oracle). */
   def preprocessStream(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     import graft.operators.{Sampling, TextAnalysis}
     val t = col("text")
     docs.select(col("doc_id"), col("lang"),

@@ -113,6 +113,17 @@ class PackingSpec extends SparkSpec {
       col("o_orderkey") % 100 =!= 7 && col("o_orderkey") < 1000000000L)
     assert(untouched.filter(col("version") =!= 0 ||
       col("is_current") =!= 1).count() === 0L)
+    // chaining: feeding the output back accumulates a THIRD version
+    // for re-updated keys, with exactly one current row still
+    val out2 = Relational.merge2Scd2(out,
+      upd.filter(col("o_orderstatus") === "U"), "o_orderkey")
+    val chained = out2.filter(col("o_orderkey") % 10 === 3 &&
+      col("o_orderkey") < 1000000000L)
+    assert(chained.groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n"), sum(col("is_current")).as("cur"),
+        max(col("version")).as("vmax"))
+      .filter(col("n") =!= 3 || col("cur") =!= 1 || col("vmax") =!= 2)
+      .count() === 0L)
   }
 
   test("zorder: block bounding boxes are tighter than the unclustered layout") {
