@@ -83,10 +83,17 @@ class Round4eSpec extends SparkSpec {
     assert(hosts === Set("example.com", "news.example.org",
       "cdn.media.example", "shop.example.net"))
     rows.foreach { r =>
-      // paths are /p/0../p/6 with no ?utm or #frag residue
-      assert(r.getAs[Long]("n_paths") <= 7)
+      // paths are /p/0../p/6 plus their '/p/N&raw' literal-'&'
+      // variants (doc_id % 11 == 2) — no ?utm or #frag residue
+      assert(r.getAs[Long]("n_paths") <= 14)
     }
     val total = rows.map(_.getAs[Long]("n_pages")).sum
     assert(total === Tables.documents(spark, sf).count())
+    // the literal-'&' path survives: the fixture injects it, so some
+    // host must profile MORE than the 7 base paths (the orphan-'&'
+    // repair firing on it would collapse '/p/N&raw' back to '/p/N')
+    assert(Fixtures.withUrls(Tables.documents(spark, sf))
+      .filter(col("text").contains("&raw")).count() > 0)
+    assert(rows.map(_.getAs[Long]("n_paths")).max > 7)
   }
 }
