@@ -199,53 +199,82 @@ object Training {
         sum(col("n_tok")).as("n_bpe_tokens"))
   }
 
-  /** Shared merge loop: builds the (word, cnt, seg) vocabulary in one
-    * corpus pass, runs `merges` rounds, and hands (rules, final vocab)
-    * to `finish` while the checkpoints are still alive; everything this
-    * run persisted is unpersisted on the way out. */
+  /** Shared merge loop with a PERSISTED model (the tokenizer twin of
+    * [[Similarity.annIvfIndexed]]'s index registry): the first call
+    * for a corpus trains — one vocabulary pass, `merges` synchronous
+    * rounds — and stages the merge table plus the final segmented
+    * vocab as parquet keyed by corpus path + (size, mtime)
+    * fingerprint; every later call (tok2's token table, tok3's corpus
+    * encode, a re-run of tok1 itself) reads the staged model instead
+    * of replaying the loop. That is the real 100 TB economics: BPE
+    * training is a once-per-corpus job, encoding is the recurring one,
+    * and the model a session ships around is KB-scale parquet. A
+    * regenerated corpus changes the fingerprint and retrains; results
+    * are bit-identical either way (the staged frames ARE the loop's
+    * output). Concurrent FIRST calls in separate JVMs can race the
+    * build — same deployment lock caveat as the IVF index.
+    * `finish` receives (rules, final vocab) with nothing cached —
+    * everything the loop persisted is unpersisted before staging
+    * completes. */
   private def bpeRun[T](s: SparkSession, dir: String, merges: Int)(
       finish: (List[(Int, String, String, Long)], DataFrame) => T): T = {
-    val sc = s.sparkContext
-    val preexisting = sc.getPersistentRDDs.keySet
-    try {
-      val toks = filter(split(lower(col("text")), "\\s+"),
-        t => t.rlike("^[a-z]+$"))
-      var vocab = Tables.documents(s, dir)
-        .select(explode(toks).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-        .select(col("word"), col("cnt"),
-          concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
-            .as("seg"))
-        .localCheckpoint(true)
-      val buf = collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
-      for (r <- 1 to merges) {
-        val arr = split(trim(col("seg")), " ")
-        val pairs = zip_with(
-          slice(arr, lit(1), size(arr) - 1),
-          slice(arr, lit(2), size(arr) - 1),
-          (a, b) => concat(a, lit(" "), b))
-        val best = vocab.select(col("cnt"), explode(pairs).as("pair"))
-          .groupBy(col("pair")).agg(sum(col("cnt")).as("pc"))
-          .orderBy(col("pc").desc, col("pair").asc)
-          .limit(1).collect()
-        if (best.nonEmpty) {
-          val pair = best(0).getString(0)
-          val merged = pair.replace(" ", "")
-          buf += ((r, pair, merged, best(0).getLong(1)))
-          val pat = lit(" " + pair + " ")
-          val rep = lit(" " + merged + " ")
-          def once(c: Column): Column = call_function("replace", c, pat, rep)
-          vocab = vocab
-            .select(col("word"), col("cnt"),
-              once(once(once(col("seg")))).as("seg"))
-            .localCheckpoint(true)
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val fp = java.lang.Long.toHexString(src.length() ^
+      java.lang.Long.rotateLeft(src.lastModified(), 21))
+    val base = s"/tmp/graft_bpe_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
+      s"_${merges}_$fp"
+    val marker = new java.io.File(s"$base/_built")
+    if (!marker.exists()) {
+      val sc = s.sparkContext
+      val preexisting = sc.getPersistentRDDs.keySet
+      try {
+        val toks = filter(split(lower(col("text")), "\\s+"),
+          t => t.rlike("^[a-z]+$"))
+        var vocab = Tables.documents(s, dir)
+          .select(explode(toks).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          .select(col("word"), col("cnt"),
+            concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
+              .as("seg"))
+          .localCheckpoint(true)
+        val buf = collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+        for (r <- 1 to merges) {
+          val arr = split(trim(col("seg")), " ")
+          val pairs = zip_with(
+            slice(arr, lit(1), size(arr) - 1),
+            slice(arr, lit(2), size(arr) - 1),
+            (a, b) => concat(a, lit(" "), b))
+          val best = vocab.select(col("cnt"), explode(pairs).as("pair"))
+            .groupBy(col("pair")).agg(sum(col("cnt")).as("pc"))
+            .orderBy(col("pc").desc, col("pair").asc)
+            .limit(1).collect()
+          if (best.nonEmpty) {
+            val pair = best(0).getString(0)
+            val merged = pair.replace(" ", "")
+            buf += ((r, pair, merged, best(0).getLong(1)))
+            val pat = lit(" " + pair + " ")
+            val rep = lit(" " + merged + " ")
+            def once(c: Column): Column = call_function("replace", c, pat, rep)
+            vocab = vocab
+              .select(col("word"), col("cnt"),
+                once(once(once(col("seg")))).as("seg"))
+              .localCheckpoint(true)
+          }
         }
+        import s.implicits._
+        buf.toList.toDF("iter", "pair", "merged", "pair_count")
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/rules")
+        vocab.write.mode("overwrite").parquet(s"$base/vocab")
+        marker.createNewFile()
+      } finally {
+        sc.getPersistentRDDs
+          .filterNot { case (id, _) => preexisting(id) }
+          .values.foreach(_.unpersist(blocking = false))
       }
-      finish(buf.toList, vocab)
-    } finally {
-      sc.getPersistentRDDs
-        .filterNot { case (id, _) => preexisting(id) }
-        .values.foreach(_.unpersist(blocking = false))
     }
+    val rules = s.read.parquet(s"$base/rules").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toList
+    finish(rules, s.read.parquet(s"$base/vocab"))
   }
 }
