@@ -259,6 +259,7 @@ object SparkEntry {
     // ---- round-5: graph signals over the derived link graph ----
     "graph_pagerank"  -> (Graphs.pagerank(_, _)),
     "graph_triangles" -> (Graphs.triangleCounts(_, _)),
+    "graph_communities" -> (Graphs.communities(_, _)),
     // ---- round-5: distributed training step ----
     "ml1_linear_gd"   -> (Training.linearGd(_, _)),
     // ---- round-5: feature engineering ----
@@ -2251,6 +2252,41 @@ object SparkEntry {
         WHERE p.iter < 10
         GROUP BY p.iter, e.dst)
       SELECT node, r AS rank_micros FROM pr WHERE iter = 10""",
+    // synchronous label propagation over the block graph, argmax
+    // encoded as one integer MAX key (Graphs.communities).
+    "graph_communities" -> raw"""
+      WITH RECURSIVE
+      nn AS (SELECT count(*) AS n_docs FROM documents),
+      be AS (
+        SELECT doc_id AS src,
+               (doc_id - doc_id % 50) + (doc_id % 50 + 1) % 50 AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id - doc_id % 50) + (doc_id % 50 + 2) % 50
+        FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id + 350) % n_docs
+        FROM documents, nn WHERE doc_id % 50 = 0),
+      beo AS (SELECT src, dst FROM be, nn
+              WHERE dst <> src AND dst < n_docs),
+      und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM beo),
+      nbrs AS (SELECT a AS node, b AS nbr FROM und
+               UNION ALL SELECT b, a FROM und
+               UNION ALL SELECT doc_id, doc_id FROM documents),
+      lp AS (
+        SELECT 0 AS iter, doc_id AS node, doc_id AS lbl FROM documents
+        UNION ALL
+        SELECT iter + 1, node,
+               99999999 - (max(cnt * 100000000 + (99999999 - nlbl))
+                 % 100000000)
+        FROM (SELECT l.iter AS iter, s.node AS node, l.lbl AS nlbl,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM nbrs s JOIN lp l ON l.node = s.nbr
+              WHERE l.iter < 15
+              GROUP BY l.iter, s.node, l.lbl)
+        GROUP BY iter, node)
+      SELECT node, lbl AS community FROM lp WHERE iter = 15""",
     "graph_triangles" -> raw"""
       WITH $graphEdgesSql,
       und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b

@@ -155,4 +155,90 @@ object Graphs {
     }
     s.read.parquet(finalPath)
   }
+
+  /** The block-community graph for label propagation: the ring+hub
+    * graph above has NO community structure (LPA would correctly find
+    * none), so the community detector gets its own derived graph with
+    * real modular structure — 50-node blocks, each an intra-block ring
+    * with ±1/±2 edges, plus one sparse cross-block edge per block head
+    * (i → i+350 mod N when i ≡ 0 mod 50). Same pure-key-function
+    * precedent as linkEdges: both engines derive the identical edge
+    * set. */
+  def blockEdges(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val base = (col("doc_id") - pmod(col("doc_id"), lit(50L)))
+    docs
+      .crossJoin(broadcast(Tables.documents(s, dir)
+        .agg(count(lit(1)).as("n_docs"))))
+      .select(col("doc_id"), col("n_docs"),
+        explode(array(
+          base + pmod(pmod(col("doc_id"), lit(50L)) + 1, lit(50L)),
+          base + pmod(pmod(col("doc_id"), lit(50L)) + 2, lit(50L)),
+          when(pmod(col("doc_id"), lit(50L)) === 0,
+            pmod(col("doc_id") + 350, col("n_docs")))
+            .otherwise(col("doc_id")))).as("dst"))
+      .filter(col("dst") =!= col("doc_id") && col("dst") < col("n_docs"))
+      .select(col("doc_id").as("src"), col("dst"))
+  }
+
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007) over [[blockEdges]]: every node starts as its own label;
+    * each round it adopts the most frequent label among itself and its
+    * (undirected) neighbors, ties broken toward the SMALLEST label —
+    * fully deterministic, no RNG. With min-label ties each block
+    * converges to its base id (the block's minimum), and the sparse
+    * cross-block edges lose every vote against four-plus intra-block
+    * neighbors, so the stable communities ARE the blocks; 15 rounds
+    * covers the ring diameter with margin.
+    *
+    * Scale shape: the canonical Pregel iteration again — each round is
+    * one (nbr ⋈ labels) join plus two integer hash-aggs over (node,
+    * label) longs, lineage cut per round, everything unpersisted on
+    * exit. The argmax is encoded in one integer key
+    * (count·1e8 + (1e8−1−label), labels < 1e8 by the corpus-id bound)
+    * so the per-node reduce is a plain MAX — map-side combinable,
+    * order-independent, and byte-identical in the DuckDB
+    * recursive-CTE replay. */
+  def communities(s: SparkSession, dir: String, iters: Int = 15): DataFrame = {
+    val sc = s.sparkContext
+    val finalPath =
+      s"/tmp/graft_stage_lpa_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val preexisting = sc.getPersistentRDDs.keySet
+    try {
+      val nodes = Tables.documents(s, dir).select(col("doc_id").as("node"))
+        .localCheckpoint(true)
+      val und = blockEdges(s, dir)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      // undirected neighborhoods INCLUDING self — the self row keeps an
+      // acquired minimum sticky instead of sliding past it
+      val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+        .union(und.select(col("b").as("node"), col("a").as("nbr")))
+        .union(nodes.select(col("node"), col("node").as("nbr")))
+        .localCheckpoint(true)
+      var labels = nodes.select(col("node"), col("node").as("lbl"))
+        .localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        labels = nbrs
+          .join(labels.withColumnRenamed("node", "ln"),
+            col("nbr") === col("ln"))
+          .groupBy(col("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("node"))
+          .agg(max(col("c") * 100000000L + (lit(99999999L) - col("lbl")))
+            .as("p"))
+          .select(col("node"),
+            (lit(99999999L) - pmod(col("p"), lit(100000000L))).as("lbl"))
+          .localCheckpoint(true)
+      }
+      labels.write.mode("overwrite").parquet(finalPath)
+    } finally {
+      sc.getPersistentRDDs
+        .filterNot { case (id, _) => preexisting(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
+    s.read.parquet(finalPath)
+      .select(col("node"), col("lbl").as("community"))
+  }
 }

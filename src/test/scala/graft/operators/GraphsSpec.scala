@@ -41,4 +41,18 @@ class GraphsSpec extends SparkSpec {
     assert(got.values.sum % 3 == 0) // every triangle credits 3 corners
     assert(got.values.sum > 0)
   }
+
+  test("label propagation converges to the planted block communities") {
+    val pre = spark.sparkContext.getPersistentRDDs.keySet
+    val got = Graphs.communities(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = graft.Tables.documents(spark, sf).count()
+    assert(got.size == n)
+    // the planted structure is recovered exactly: every node's stable
+    // label is its 50-block's minimum id, despite the cross-block edges
+    assert(got.forall { case (node, c) => c == node / 50 * 50 })
+    assert(got.values.toSet.size == (n / 50).toInt)
+    // the loop's checkpoints are unpersisted before return
+    assert(spark.sparkContext.getPersistentRDDs.keySet == pre)
+  }
 }
