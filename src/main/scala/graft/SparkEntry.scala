@@ -260,6 +260,7 @@ object SparkEntry {
     "graph_pagerank"  -> (Graphs.pagerank(_, _)),
     "graph_triangles" -> (Graphs.triangleCounts(_, _)),
     "graph_communities" -> (Graphs.communities(_, _)),
+    "graph_modularity" -> (Graphs.modularity(_, _)),
     // ---- round-5: distributed training step ----
     "ml1_linear_gd"   -> (Training.linearGd(_, _)),
     // ---- round-5: feature engineering ----
@@ -2255,38 +2256,37 @@ object SparkEntry {
     // synchronous label propagation over the block graph, argmax
     // encoded as one integer MAX key (Graphs.communities).
     "graph_communities" -> raw"""
-      WITH RECURSIVE
-      nn AS (SELECT count(*) AS n_docs FROM documents),
-      be AS (
-        SELECT doc_id AS src,
-               (doc_id - doc_id % 50) + (doc_id % 50 + 1) % 50 AS dst
-        FROM documents
-        UNION ALL
-        SELECT doc_id, (doc_id - doc_id % 50) + (doc_id % 50 + 2) % 50
-        FROM documents
-        UNION ALL
-        SELECT doc_id, (doc_id + 350) % n_docs
-        FROM documents, nn WHERE doc_id % 50 = 0),
-      beo AS (SELECT src, dst FROM be, nn
-              WHERE dst <> src AND dst < n_docs),
-      und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-              FROM beo),
-      nbrs AS (SELECT a AS node, b AS nbr FROM und
-               UNION ALL SELECT b, a FROM und
-               UNION ALL SELECT doc_id, doc_id FROM documents),
-      lp AS (
-        SELECT 0 AS iter, doc_id AS node, doc_id AS lbl FROM documents
-        UNION ALL
-        SELECT iter + 1, node,
-               99999999 - (max(cnt * 100000000 + (99999999 - nlbl))
-                 % 100000000)
-        FROM (SELECT l.iter AS iter, s.node AS node, l.lbl AS nlbl,
-                     CAST(count(*) AS BIGINT) AS cnt
-              FROM nbrs s JOIN lp l ON l.node = s.nbr
-              WHERE l.iter < 15
-              GROUP BY l.iter, s.node, l.lbl)
-        GROUP BY iter, node)
+      $lpaSql
       SELECT node, lbl AS community FROM lp WHERE iter = 15""",
+    // Newman modularity per community of the LPA partition
+    // (Graphs.modularity): Q_c = e_c/m − (D_c/2m)², micro-quantized.
+    "graph_modularity" -> raw"""
+      $lpaSql,
+      cm AS (SELECT node, lbl AS community FROM lp WHERE iter = 15),
+      u2 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             FROM beo),
+      mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM u2),
+      intra AS (SELECT ca.community,
+                  CAST(count(*) AS BIGINT) AS intra_edges
+                FROM u2
+                JOIN cm ca ON ca.node = u2.a
+                JOIN cm cb ON cb.node = u2.b
+                WHERE ca.community = cb.community
+                GROUP BY ca.community),
+      deg AS (SELECT v AS node, CAST(count(*) AS BIGINT) AS d
+              FROM (SELECT a AS v FROM u2 UNION ALL SELECT b FROM u2)
+              GROUP BY v),
+      bc AS (SELECT cm.community, CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(deg.d) AS BIGINT) AS degree_sum
+             FROM cm JOIN deg ON deg.node = cm.node
+             GROUP BY cm.community)
+      SELECT bc.community, bc.n_nodes, intra.intra_edges, bc.degree_sum,
+        CAST(round(1e6 *
+          (CAST(intra.intra_edges AS DOUBLE) / m -
+            (CAST(bc.degree_sum AS DOUBLE) / (m * 2)) *
+              (CAST(bc.degree_sum AS DOUBLE) / (m * 2)))) AS BIGINT)
+          AS q_contrib_micros
+      FROM bc JOIN intra ON intra.community = bc.community, mm""",
     "graph_triangles" -> raw"""
       WITH $graphEdgesSql,
       und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -2513,6 +2513,42 @@ object SparkEntry {
   )
 
   // ---- shared DuckDB oracle fragments ----
+
+  /** Label-propagation working table (Graphs.communities) — shared
+    * by graph_communities and graph_modularity. */
+  private def lpaSql: String = raw"""
+      WITH RECURSIVE
+      nn AS (SELECT count(*) AS n_docs FROM documents),
+      be AS (
+        SELECT doc_id AS src,
+               (doc_id - doc_id % 50) + (doc_id % 50 + 1) % 50 AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id - doc_id % 50) + (doc_id % 50 + 2) % 50
+        FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id + 350) % n_docs
+        FROM documents, nn WHERE doc_id % 50 = 0),
+      beo AS (SELECT src, dst FROM be, nn
+              WHERE dst <> src AND dst < n_docs),
+      und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM beo),
+      nbrs AS (SELECT a AS node, b AS nbr FROM und
+               UNION ALL SELECT b, a FROM und
+               UNION ALL SELECT doc_id, doc_id FROM documents),
+      lp AS (
+        SELECT 0 AS iter, doc_id AS node, doc_id AS lbl FROM documents
+        UNION ALL
+        SELECT iter + 1, node,
+               99999999 - (max(cnt * 100000000 + (99999999 - nlbl))
+                 % 100000000)
+        FROM (SELECT l.iter AS iter, s.node AS node, l.lbl AS nlbl,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM nbrs s JOIN lp l ON l.node = s.nbr
+              WHERE l.iter < 15
+              GROUP BY l.iter, s.node, l.lbl)
+        GROUP BY iter, node)"""
+
 
   /** Brute-force exact top-10 — the eval2_ann_recall ground truth. */
   private def bruteAnnSql: String =

@@ -241,4 +241,50 @@ object Graphs {
     s.read.parquet(finalPath)
       .select(col("node"), col("lbl").as("community"))
   }
+
+  /** Newman modularity of the label-propagation partition — the eval
+    * face of [[communities]] (measure the clustering, don't trust it):
+    * per community c over the undirected simple graph,
+    * Q_c = e_c/m − (D_c/2m)², reported as (community, n_nodes,
+    * intra_edges, degree_sum, q_contrib_micros); ΣQ_c is the partition
+    * modularity, strongly positive for the planted blocks. Everything
+    * until the final division is integer (edge counts, degree sums, a
+    * broadcast 1-row m), the two divisions and one square are IEEE
+    * ops on exact integer inputs, and the result micro-quantizes per
+    * community — deterministic in any evaluation order and engine.
+    * Scale: one (node ⋈ label) join per endpoint, integer hash-aggs
+    * on (community) — the labels are longs, the corpus never moves. */
+  def modularity(s: SparkSession, dir: String): DataFrame = {
+    val comm = communities(s, dir)
+    // the edge set replays into each consumer below: it is pure
+    // arithmetic over the doc_id column, cheaper to recompute than to
+    // stage (and a checkpoint the RETURNED lazy plan depends on could
+    // never be unpersisted by this operator)
+    val und = blockEdges(s, dir)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val m = broadcast(und.agg(count(lit(1)).as("m")))
+    val ca = comm.select(col("node").as("a"), col("community").as("comm_a"))
+    val cb = comm.select(col("node").as("b"), col("community").as("comm_b"))
+    val intra = und.join(ca, "a").join(cb, "b")
+      .filter(col("comm_a") === col("comm_b"))
+      .groupBy(col("comm_a").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val byComm = comm.join(deg, "node")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("degree_sum"))
+    byComm.join(intra, "community")
+      .crossJoin(m)
+      .select(col("community"), col("n_nodes"), col("intra_edges"),
+        col("degree_sum"),
+        round(lit(1e6) *
+          (col("intra_edges").cast("double") / col("m") -
+            (col("degree_sum").cast("double") / (col("m") * 2)) *
+              (col("degree_sum").cast("double") / (col("m") * 2))))
+          .cast("long").as("q_contrib_micros"))
+  }
 }

@@ -55,4 +55,37 @@ class GraphsSpec extends SparkSpec {
     // the loop's checkpoints are unpersisted before return
     assert(spark.sparkContext.getPersistentRDDs.keySet == pre)
   }
+
+  test("modularity of the planted partition is strongly positive and recomputes exactly") {
+    val rows = Graphs.modularity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length == 10) // 500 docs / 50-block communities
+    assert(rows.forall(_._2 == 50L))
+    // independent recompute from the raw edge arithmetic
+    val n = 500L
+    val und = (0L until n).flatMap { i =>
+      val base = i - i % 50
+      Seq(base + (i % 50 + 1) % 50, base + (i % 50 + 2) % 50) ++
+        (if (i % 50 == 0) Seq((i + 350) % n) else Nil)
+    }.zip((0L until n).flatMap(i =>
+      Seq(i, i) ++ (if (i % 50 == 0) Seq(i) else Nil)))
+      .collect { case (dst, src) if src != dst =>
+        (math.min(src, dst), math.max(src, dst)) }
+      .toSet
+    val m = und.size.toDouble
+    val deg = und.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (v, xs) => v -> xs.size }
+    for ((c, nn, ie, ds, q) <- rows) {
+      val expIntra = und.count(e => e._1 / 50 == c / 50 && e._2 / 50 == c / 50
+        && e._1 >= c && e._1 < c + 50 && e._2 < c + 50)
+      val expDs = (c until c + 50).map(deg(_).toLong).sum
+      assert(ie == expIntra, s"community $c intra")
+      assert(ds == expDs, s"community $c degree sum")
+      assert(q == math.rint(1e6 * (ie / m -
+        (ds / (2 * m)) * (ds / (2 * m)))).toLong)
+      assert(q > 50000L, s"community $c modularity contribution weak")
+      assert(nn == 50L)
+    }
+  }
 }
