@@ -2263,30 +2263,29 @@ object SparkEntry {
     "graph_modularity" -> raw"""
       $lpaSql,
       cm AS (SELECT node, lbl AS community FROM lp WHERE iter = 15),
-      u2 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-             FROM beo),
-      mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM u2),
+      mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
       intra AS (SELECT ca.community,
                   CAST(count(*) AS BIGINT) AS intra_edges
-                FROM u2
-                JOIN cm ca ON ca.node = u2.a
-                JOIN cm cb ON cb.node = u2.b
+                FROM und
+                JOIN cm ca ON ca.node = und.a
+                JOIN cm cb ON cb.node = und.b
                 WHERE ca.community = cb.community
                 GROUP BY ca.community),
       deg AS (SELECT v AS node, CAST(count(*) AS BIGINT) AS d
-              FROM (SELECT a AS v FROM u2 UNION ALL SELECT b FROM u2)
+              FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
               GROUP BY v),
       bc AS (SELECT cm.community, CAST(count(*) AS BIGINT) AS n_nodes,
                CAST(sum(deg.d) AS BIGINT) AS degree_sum
              FROM cm JOIN deg ON deg.node = cm.node
              GROUP BY cm.community)
-      SELECT bc.community, bc.n_nodes, intra.intra_edges, bc.degree_sum,
+      SELECT bc.community, bc.n_nodes,
+        COALESCE(intra.intra_edges, 0) AS intra_edges, bc.degree_sum,
         CAST(round(1e6 *
-          (CAST(intra.intra_edges AS DOUBLE) / m -
+          (CAST(COALESCE(intra.intra_edges, 0) AS DOUBLE) / m -
             (CAST(bc.degree_sum AS DOUBLE) / (m * 2)) *
               (CAST(bc.degree_sum AS DOUBLE) / (m * 2)))) AS BIGINT)
           AS q_contrib_micros
-      FROM bc JOIN intra ON intra.community = bc.community, mm""",
+      FROM bc LEFT JOIN intra ON intra.community = bc.community, mm""",
     "graph_triangles" -> raw"""
       WITH $graphEdgesSql,
       und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b

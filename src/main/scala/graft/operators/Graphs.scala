@@ -37,6 +37,30 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+
+  /** Staged-result registry shared by the iterative graph operators:
+    * results are deterministic per (corpus fingerprint, params), so
+    * each staging directory is written ONCE per key and reused — a
+    * later call (or another operator composing this one) can never
+    * overwrite part files that an earlier call's returned lazy plan
+    * still reads. `v1` is the algorithm version: bump it when the
+    * computation changes so stale models can't serve a new code
+    * version. Concurrent first calls in separate JVMs can race the
+    * build — the same deployment-lock caveat as the IVF index. */
+  private def staged(s: SparkSession, dir: String, tag: String,
+                     params: String)(build: String => Unit): DataFrame = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val fp = java.lang.Long.toHexString(src.length() ^
+      java.lang.Long.rotateLeft(src.lastModified(), 21))
+    val base = s"/tmp/graft_stage_${tag}_v1_" +
+      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${params}_$fp"
+    if (!new java.io.File(s"$base/_built").exists()) {
+      build(s"$base/data")
+      new java.io.File(s"$base/_built").createNewFile()
+    }
+    s.read.parquet(s"$base/data")
+  }
+
   /** The derived directed link multiset (src, dst), self-loops removed.
     * Out-degree is 2 or 3 (a quadratic dst may collide with a ring dst;
     * the duplicate edge is kept — deterministically — as double
@@ -62,10 +86,9 @@ object Graphs {
     * integer sum and every float op is a single IEEE multiply/divide on
     * integers ≤ 2^53, identical in any evaluation order. */
   def pagerank(s: SparkSession, dir: String, iters: Int = 10,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85): DataFrame = staged(s, dir, "pr",
+      s"${iters}_${math.round(damping * 1000)}") { finalPath =>
     val sc = s.sparkContext
-    val finalPath =
-      s"/tmp/graft_stage_pr_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     val preexisting = sc.getPersistentRDDs.keySet
     try {
       // materialize the loop-invariant inputs ONCE — without this the
@@ -104,19 +127,16 @@ object Graphs {
         .filterNot { case (id, _) => preexisting(id) }
         .values.foreach(_.unpersist(blocking = false))
     }
-    s.read.parquet(finalPath)
-      .select(col("node"), col("r").as("rank_micros"))
-  }
+  }.select(col("node"), col("r").as("rank_micros"))
 
   /** Per-node triangle participation over the undirected simple graph
     * (dedup'd, self-loops out). Orientation: a→b iff
     * (deg(a), a) < (deg(b), b); wedges join at the low end, the closing
     * edge is probed in the oriented set, and each found triangle credits
     * all three corners. Pure integer counting — no fp anywhere. */
-  def triangleCounts(s: SparkSession, dir: String): DataFrame = {
+  def triangleCounts(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "tri", "d") { finalPath =>
     val sc = s.sparkContext
-    val finalPath =
-      s"/tmp/graft_stage_tri_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     val preexisting = sc.getPersistentRDDs.keySet
     try {
       val und = linkEdges(s, dir)
@@ -153,7 +173,6 @@ object Graphs {
         .filterNot { case (id, _) => preexisting(id) }
         .values.foreach(_.unpersist(blocking = false))
     }
-    s.read.parquet(finalPath)
   }
 
   /** The block-community graph for label propagation: the ring+hub
@@ -199,14 +218,18 @@ object Graphs {
     * so the per-node reduce is a plain MAX — map-side combinable,
     * order-independent, and byte-identical in the DuckDB
     * recursive-CTE replay. */
-  def communities(s: SparkSession, dir: String, iters: Int = 15): DataFrame = {
+  def communities(s: SparkSession, dir: String, iters: Int = 15): DataFrame =
+    staged(s, dir, "lpa", s"$iters") { finalPath =>
     val sc = s.sparkContext
-    val finalPath =
-      s"/tmp/graft_stage_lpa_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     val preexisting = sc.getPersistentRDDs.keySet
     try {
       val nodes = Tables.documents(s, dir).select(col("doc_id").as("node"))
         .localCheckpoint(true)
+      // the packed-argmax encoding below reserves 8 decimal digits for
+      // the label field — fail fast instead of silently corrupting if
+      // a corpus ever exceeds it (one model-sized driver scalar)
+      require(nodes.agg(max(col("node"))).head.getLong(0) < 99999999L,
+        "LPA label encoding requires doc_id < 1e8; widen the field")
       val und = blockEdges(s, dir)
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
@@ -238,9 +261,7 @@ object Graphs {
         .filterNot { case (id, _) => preexisting(id) }
         .values.foreach(_.unpersist(blocking = false))
     }
-    s.read.parquet(finalPath)
-      .select(col("node"), col("lbl").as("community"))
-  }
+  }.select(col("node"), col("lbl").as("community"))
 
   /** Newman modularity of the label-propagation partition — the eval
     * face of [[communities]] (measure the clustering, don't trust it):
@@ -277,12 +298,15 @@ object Graphs {
     val byComm = comm.join(deg, "node")
       .groupBy(col("community"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("degree_sum"))
-    byComm.join(intra, "community")
+    // LEFT join: a community with zero internal edges still owes its
+    // −(D_c/2m)² term — dropping the row would overstate ΣQ_c
+    byComm.join(intra, Seq("community"), "left")
       .crossJoin(m)
-      .select(col("community"), col("n_nodes"), col("intra_edges"),
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
         col("degree_sum"),
         round(lit(1e6) *
-          (col("intra_edges").cast("double") / col("m") -
+          (coalesce(col("intra_edges"), lit(0L)).cast("double") / col("m") -
             (col("degree_sum").cast("double") / (col("m") * 2)) *
               (col("degree_sum").cast("double") / (col("m") * 2))))
           .cast("long").as("q_contrib_micros"))

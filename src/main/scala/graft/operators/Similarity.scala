@@ -283,8 +283,9 @@ object Similarity {
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val fp = java.lang.Long.toHexString(src.length() ^
       java.lang.Long.rotateLeft(src.lastModified(), 21))
+    // v1 = quantizer/algorithm version — bump on semantic change
     val base =
-      s"/tmp/graft_ivf_index_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$fp"
+      s"/tmp/graft_ivf_index_v1_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$fp"
     val marker = new java.io.File(s"$base/_built")
     if (!marker.exists()) {
       val e = Tables.embeddings(s, dir)

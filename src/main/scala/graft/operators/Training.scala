@@ -221,7 +221,9 @@ object Training {
     val src = new java.io.File(s"$dir/documents.parquet")
     val fp = java.lang.Long.toHexString(src.length() ^
       java.lang.Long.rotateLeft(src.lastModified(), 21))
-    val base = s"/tmp/graft_bpe_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
+    // v1 = algorithm version: bump when the training logic changes so
+    // a stale staged model can never serve a new code version
+    val base = s"/tmp/graft_bpe_v1_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
       s"_${merges}_$fp"
     val marker = new java.io.File(s"$base/_built")
     if (!marker.exists()) {

@@ -82,8 +82,10 @@ class GraphsSpec extends SparkSpec {
       val expDs = (c until c + 50).map(deg(_).toLong).sum
       assert(ie == expIntra, s"community $c intra")
       assert(ds == expDs, s"community $c degree sum")
-      assert(q == math.rint(1e6 * (ie / m -
-        (ds / (2 * m)) * (ds / (2 * m)))).toLong)
+      // half-AWAY rounding, matching Spark/DuckDB round (rint would
+      // diverge on exact .5)
+      val qx = 1e6 * (ie / m - (ds / (2 * m)) * (ds / (2 * m)))
+      assert(q == (if (qx >= 0) math.floor(qx + 0.5) else math.ceil(qx - 0.5)).toLong)
       assert(q > 50000L, s"community $c modularity contribution weak")
       assert(nn == 50L)
     }

@@ -129,13 +129,17 @@ class TrainingSpec extends SparkSpec {
     // the loop's checkpoints are unpersisted before return
     assert(spark.sparkContext.getPersistentRDDs.keySet == preRdds)
     assert(enc.keys.exists(_.length > 1)) // merges reached the output
-    // the trained model is STAGED (rules + vocab parquet): the encode
-    // calls above — and any later session over the same corpus — read
-    // it instead of replaying the loop, and their outputs matched the
-    // replay, which validates the cache-hit path end-to-end
-    assert(new java.io.File("/tmp").listFiles()
-      .exists(f => f.getName.startsWith("graft_bpe_") &&
-        new java.io.File(f, "_built").exists()))
+    // the trained model is STAGED (rules + vocab parquet) at THIS
+    // corpus's exact registry key: the encode calls above — and any
+    // later session over the same corpus — read it instead of
+    // replaying the loop, and their outputs matched the replay, which
+    // validates the cache-hit path end-to-end
+    val srcFile = new java.io.File(s"$sf/documents.parquet")
+    val fp = java.lang.Long.toHexString(srcFile.length() ^
+      java.lang.Long.rotateLeft(srcFile.lastModified(), 21))
+    val modelBase = s"/tmp/graft_bpe_v1_" +
+      s"${sf.replaceAll("[^A-Za-z0-9]", "_")}_10_$fp"
+    assert(new java.io.File(s"$modelBase/_built").exists(), modelBase)
 
     // doc-level encode: n_bpe_tokens = Σ over the doc's alpha words of
     // that word's final segmentation length (replay from `segs`)
