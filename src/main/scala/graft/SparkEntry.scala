@@ -269,6 +269,7 @@ object SparkEntry {
     "tok1_bpe_train"   -> (Training.bpeTrain(_, _)),
     "tok2_bpe_encode"  -> (Training.bpeEncode(_, _)),
     "tok3_bpe_doc_tokens" -> (Training.bpeDocTokens(_, _)),
+    "tok4_bpe_apply"   -> (Training.bpeApply(_, _)),
     "text_quality_adaptive" -> (TextAnalysis.qualityAdaptive(_, _)),
     "dedup_canonical"  -> ((s, dir) =>
       Dedup.canonicalPick(Fixtures.mutantSlice(s, dir),
@@ -2422,6 +2423,39 @@ object SparkEntry {
              CAST(sum(wl.n_tok) AS BIGINT) AS n_bpe_tokens
       FROM dw JOIN wl USING (word)
       GROUP BY dw.doc_id""",
+    // rule-replay encoding of corpus + guaranteed-OOV probe words —
+    // a second recursive CTE walks the rule list in merge order
+    // (Training.bpeApply).
+    "tok4_bpe_apply" -> raw"""
+      $bpeSql,
+      rules AS (SELECT DISTINCT iter AS it, ' ' || pair || ' ' AS pat,
+                       ' ' || merged || ' ' AS rep
+                FROM bpe WHERE iter >= 1),
+      words AS (
+        SELECT word, CAST(0 AS BIGINT) AS is_oov FROM (
+          SELECT DISTINCT
+            unnest(list_filter(string_split_regex(lower(text), '\s+'),
+              t -> regexp_matches(t, '^[a-z]+$$'))) AS word
+          FROM documents)
+        UNION ALL
+        SELECT DISTINCT 'zz' || chr(CAST(97 + doc_id % 26 AS INTEGER))
+          || chr(CAST(97 + (doc_id // 26) % 26 AS INTEGER))
+          || chr(CAST(97 + (doc_id // 676) % 26 AS INTEGER)),
+          CAST(1 AS BIGINT)
+        FROM documents),
+      ap AS (
+        SELECT 0 AS it, word, is_oov,
+               ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS seg
+        FROM words
+        UNION ALL
+        SELECT a.it + 1, a.word, a.is_oov,
+               replace(replace(replace(a.seg, r.pat, r.rep), r.pat, r.rep),
+                 r.pat, r.rep)
+        FROM ap a JOIN rules r ON r.it = a.it + 1
+        WHERE a.it < 10)
+      SELECT word, is_oov,
+             CAST(len(string_split(trim(seg), ' ')) AS BIGINT) AS n_tok
+      FROM ap WHERE it = 10""",
     // Per-source exact-order-statistic filter, all-integer cutoff
     // (TextAnalysis.qualityAdaptive).
     "text_quality_adaptive" -> raw"""

@@ -199,6 +199,47 @@ object Training {
         sum(col("n_tok")).as("n_bpe_tokens"))
   }
 
+  /** True BPE application — encode ARBITRARY words, including ones the
+    * trainer never saw, by replaying the learned merge rules in order
+    * (what a real tokenizer does at inference; the vocab-join of
+    * [[bpeDocTokens]] only covers the training corpus). Input is the
+    * corpus vocabulary plus injected out-of-vocabulary probe words
+    * (`zz`+letter-coded doc_id — guaranteed unseen); every word starts
+    * character-segmented and each of the 10 rules applies as the same
+    * 3-pass literal replace the trainer used. In-vocab words compress
+    * exactly as in training (the loop IS this fold); OOV words fall
+    * back toward character-level wherever no learned pair matches —
+    * the correct BPE generalization, not an error. The rule table
+    * comes from the staged model (driver-side, 10 rows); the fold is a
+    * narrow 30-replace projection over distinct words — no join, no
+    * shuffle beyond the distinct. Output (word, n_tok, is_oov). */
+  def bpeApply(s: SparkSession, dir: String, merges: Int = 10): DataFrame = {
+    val rules = bpeRun(s, dir, merges)((rules, _) => rules)
+    val corpusWords = Tables.documents(s, dir)
+      .select(explode(filter(split(lower(col("text")), "\\s+"),
+        t => t.rlike("^[a-z]+$"))).as("word"))
+      .distinct()
+      .select(col("word"), lit(0L).as("is_oov"))
+    val oovWords = Tables.documents(s, dir)
+      .select(concat(lit("zz"),
+        expr("char(97 + doc_id % 26)"),
+        expr("char(97 + (doc_id DIV 26) % 26)"),
+        expr("char(97 + (doc_id DIV 676) % 26)")).as("word"),
+        lit(1L).as("is_oov"))
+      .distinct()
+    val seg0 = concat(lit(" "),
+      regexp_replace(col("word"), "(.)", "$1 "))
+    val folded = rules.foldLeft(seg0) { case (seg, (_, pair, merged, _)) =>
+      val pat = lit(" " + pair + " ")
+      val rep = lit(" " + merged + " ")
+      def once(c: Column): Column = call_function("replace", c, pat, rep)
+      once(once(once(seg)))
+    }
+    corpusWords.unionByName(oovWords)
+      .select(col("word"), col("is_oov"),
+        size(split(trim(folded), " ")).cast("long").as("n_tok"))
+  }
+
   /** Shared merge loop with a PERSISTED model (the tokenizer twin of
     * [[Similarity.annIvfIndexed]]'s index registry): the first call
     * for a corpus trains — one vocabulary pass, `merges` synchronous

@@ -163,6 +163,55 @@ class TrainingSpec extends SparkSpec {
     assert(docTok.values.forall { case (w, n) => n >= w })
   }
 
+  test("bpeApply encodes in-vocab words like training and OOV words by rule replay") {
+    // replay the trainer (independent, as above) to get rules + segs
+    val vocab = collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      for (t <- r.getString(0).toLowerCase.split("\\s+")
+           if t.nonEmpty && t.forall(c => c >= 'a' && c <= 'z'))
+        vocab(t) = vocab.getOrElse(t, 0L) + 1L
+    }
+    var segs = vocab.toList.map { case (w, c) =>
+      (" " + w.map(_ + " ").mkString, c)
+    }
+    val rules = collection.mutable.ListBuffer.empty[(String, String)]
+    for (_ <- 1 to 10) {
+      val pc = collection.mutable.Map.empty[String, Long]
+      for ((seg, c) <- segs; parts = seg.trim.split(" ");
+           i <- 0 until parts.length - 1) {
+        val p = parts(i) + " " + parts(i + 1)
+        pc(p) = pc.getOrElse(p, 0L) + c
+      }
+      val (pair, _) = pc.toList.minBy { case (p, c) => (-c, p) }
+      rules += ((pair, pair.replace(" ", "")))
+      val (pat, rep) = (" " + pair + " ", " " + pair.replace(" ", "") + " ")
+      segs = segs.map { case (s2, c) =>
+        (s2.replace(pat, rep).replace(pat, rep).replace(pat, rep), c)
+      }
+    }
+    def applyRules(w: String): Long = {
+      var seg = " " + w.map(_ + " ").mkString
+      for ((pair, merged) <- rules) {
+        val (pat, rep) = (" " + pair + " ", " " + merged + " ")
+        seg = seg.replace(pat, rep).replace(pat, rep).replace(pat, rep)
+      }
+      seg.trim.split(" ").length.toLong
+    }
+    val got = Training.bpeApply(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // in-vocab rows equal the trainer's final segmentation lengths
+    val segLen = segs.map { case (s2, _) =>
+      s2.trim.replace(" ", "") -> s2.trim.split(" ").length.toLong }.toMap
+    for ((w, n) <- segLen) assert(got((w, 0L)) == n, w)
+    // OOV rows: genuinely unseen, encoded by the same rule replay
+    val oov = got.keys.filter(_._2 == 1L).map(_._1)
+    assert(oov.nonEmpty && oov.forall(w => !vocab.contains(w)))
+    for (w <- oov) assert(got((w, 1L)) == applyRules(w), w)
+    // OOV words fall back toward characters: no learned rule matches a
+    // zz-probe better than rarely, so mean OOV length ≈ word length
+    assert(oov.map(w => got((w, 1L))).sum >= oov.map(_.length.toLong).sum / 2)
+  }
+
   test("adaptive quality filter keeps exactly the per-source top 80%") {
     import org.apache.spark.sql.functions.col
     val got = TextAnalysis.qualityAdaptive(spark, sf).collect()
