@@ -224,6 +224,8 @@ object SparkEntry {
     // ---- round-4l: Q15 shape, PSI drift, balanced sampling ----
     "sql15_top_supplier" -> (Relational.sql15TopSupplier(_, _)),
     "stat10_psi"        -> (Relational.stat10Psi(_, _)),
+    "samp6_exact_k"     -> ((s, dir) =>
+      Sampling.exactKSample(Tables.documents(s, dir))),
     "samp5_balanced"    -> ((s, dir) =>
       Sampling.balancedSample(s, Tables.documents(s, dir))),
     "text_shingle_gen"  -> ((s, dir) =>
@@ -1812,6 +1814,13 @@ object SparkEntry {
       SELECT r.doc_id, r.lang, CAST(r.rn AS BIGINT) AS rank
       FROM ranked r JOIN caps c ON r.lang = c.lang
       WHERE r.rn <= c.cap""",
+    // exact-k deterministic uniform sample: k smallest md5-60 hashes
+    // (Sampling.exactKSample — TakeOrderedAndProject, no RNG).
+    "samp6_exact_k" -> raw"""
+      SELECT doc_id, lang,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM documents
+      ORDER BY h ASC, doc_id ASC LIMIT 100""",
     "text_shingle_gen" -> raw"""
       WITH d AS (SELECT doc_id,
           list_filter(string_split_regex(lower(text), '\s+'),

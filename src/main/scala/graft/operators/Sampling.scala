@@ -116,6 +116,26 @@ object Sampling {
     * filter — no driver round-trip, no second corpus scan. The output
     * is a perfectly balanced dataset, reproducible on any engine.
     */
+  /** EXACT-k uniform sample without RNG state — the distributed
+    * equivalent of reservoir sampling: keep the k documents with the
+    * smallest md5-60 key hashes. Hash order is uniform and independent
+    * of data order, so this is a uniform k-subset; it is also
+    * reproducible across re-runs, engines, AND incremental growth (a
+    * doc's hash never changes, so adding data only ever displaces
+    * current members — no reshuffling of survivors). Plans as
+    * TakeOrderedAndProject: per-partition k-heaps, only k rows per
+    * partition reach the driver-side merge — no global sort at any
+    * scale. The percentage samplers above can't promise an exact count
+    * (binomial spread); eval sets and benchmarks often must have one. */
+  def exactKSample(docs: DataFrame, k: Int = 100): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), col("lang"),
+        hash60(col("doc_id").cast("string")).as("h"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .limit(k)
+  }
+
   def balancedSample(s: SparkSession, docs: DataFrame): DataFrame = {
     val h = hash60(col("doc_id").cast("string"))
     val caps = docs.groupBy(col("lang")).count()

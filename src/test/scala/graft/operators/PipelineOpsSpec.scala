@@ -217,6 +217,35 @@ class PipelineOpsSpec extends SparkSpec {
       s"corpus funneled to one partition:\n$p")
   }
 
+  test("exactKSample: exactly k, hash-ordered, plans as TakeOrdered, growth-stable") {
+    val docs = Tables.documents(spark, sf)
+    val got = Sampling.exactKSample(docs, 100).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.length === 100)
+    // matches an independent driver-side recompute of the k smallest
+    def md5_60(k: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val all = docs.select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, md5_60(id.toString)))
+    val expect = all.sortBy { case (id, h) => (h, id) }.take(100)
+    assert(got.toList == expect.toList)
+    // incremental stability: on the half-corpus, the sample is exactly
+    // the k smallest of the remaining hashes — survivors never reshuffle
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val gotHalf = Sampling.exactKSample(half, 100).collect()
+      .map(r => r.getLong(0)).toSet
+    val expHalf = all.filter(_._1 % 2 == 0)
+      .sortBy { case (id, h) => (h, id) }.take(100).map(_._1).toSet
+    assert(gotHalf == expHalf)
+    // per-partition heaps, not a global sort
+    val p = Sampling.exactKSample(docs, 100)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("contamination: exact eval copies score 1.0, disjoint docs 0.0") {
     val got = TextAnalysis.contamination(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
