@@ -2411,11 +2411,13 @@ object SparkEntry {
     // corpus either).
     "tok2_bpe_encode" -> raw"""
       $bpeSql
+      ,fin AS (SELECT word, cnt, seg FROM (
+        SELECT *, row_number() OVER (PARTITION BY word ORDER BY iter DESC)
+          AS rk FROM bpe) WHERE rk = 1)
       SELECT u.tok AS token,
              CAST(count(DISTINCT word) AS BIGINT) AS n_words,
              CAST(sum(cnt) AS BIGINT) AS n_occurrences
-      FROM bpe, unnest(string_split(trim(seg), ' ')) AS u(tok)
-      WHERE iter = 10
+      FROM fin, unnest(string_split(trim(seg), ' ')) AS u(tok)
       GROUP BY u.tok""",
     // Corpus encode via the (word → token-count) model join
     // (Training.bpeDocTokens).
@@ -2423,7 +2425,9 @@ object SparkEntry {
       $bpeSql,
       wl AS (SELECT word,
                CAST(len(string_split(trim(seg), ' ')) AS BIGINT) AS n_tok
-             FROM bpe WHERE iter = 10),
+             FROM (SELECT *, row_number() OVER (PARTITION BY word
+                     ORDER BY iter DESC) AS rk FROM bpe)
+             WHERE rk = 1),
       dw AS (SELECT doc_id,
                unnest(list_filter(string_split_regex(lower(text), '\s+'),
                  t -> regexp_matches(t, '^[a-z]+$$'))) AS word
@@ -2464,7 +2468,9 @@ object SparkEntry {
         WHERE a.it < 10)
       SELECT word, is_oov,
              CAST(len(string_split(trim(seg), ' ')) AS BIGINT) AS n_tok
-      FROM ap WHERE it = 10""",
+      FROM (SELECT *, row_number() OVER (PARTITION BY word, is_oov
+              ORDER BY it DESC) AS rk FROM ap)
+      WHERE rk = 1""",
     // Per-source exact-order-statistic filter, all-integer cutoff
     // (TextAnalysis.qualityAdaptive).
     "text_quality_adaptive" -> raw"""

@@ -116,6 +116,20 @@ object Sampling {
     * filter — no driver round-trip, no second corpus scan. The output
     * is a perfectly balanced dataset, reproducible on any engine.
     */
+  def balancedSample(s: SparkSession, docs: DataFrame): DataFrame = {
+    val h = hash60(col("doc_id").cast("string"))
+    val caps = docs.groupBy(col("lang")).count()
+      .withColumn("cap", min(col("count")).over(Window.partitionBy()))
+      .select(col("lang"), col("cap"))
+    docs
+      .withColumn("h", h)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("h").asc, col("doc_id").asc)))
+      .join(broadcast(caps), "lang")
+      .filter(col("rn") <= col("cap"))
+      .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rank"))
+  }
+
   /** EXACT-k uniform sample without RNG state — the distributed
     * equivalent of reservoir sampling: keep the k documents with the
     * smallest md5-60 key hashes. Hash order is uniform and independent
@@ -136,17 +150,4 @@ object Sampling {
       .limit(k)
   }
 
-  def balancedSample(s: SparkSession, docs: DataFrame): DataFrame = {
-    val h = hash60(col("doc_id").cast("string"))
-    val caps = docs.groupBy(col("lang")).count()
-      .withColumn("cap", min(col("count")).over(Window.partitionBy()))
-      .select(col("lang"), col("cap"))
-    docs
-      .withColumn("h", h)
-      .withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
-        .orderBy(col("h").asc, col("doc_id").asc)))
-      .join(broadcast(caps), "lang")
-      .filter(col("rn") <= col("cap"))
-      .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rank"))
-  }
 }

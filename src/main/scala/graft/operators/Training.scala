@@ -214,12 +214,11 @@ object Training {
     * narrow 30-replace projection over distinct words — no join, no
     * shuffle beyond the distinct. Output (word, n_tok, is_oov). */
   def bpeApply(s: SparkSession, dir: String, merges: Int = 10): DataFrame = {
-    val rules = bpeRun(s, dir, merges)((rules, _) => rules)
-    val corpusWords = Tables.documents(s, dir)
-      .select(explode(filter(split(lower(col("text")), "\\s+"),
-        t => t.rlike("^[a-z]+$"))).as("word"))
-      .distinct()
-      .select(col("word"), lit(0L).as("is_oov"))
+    // the staged model already holds the distinct corpus vocabulary —
+    // no full-text rescan; only the narrow doc_id column is read again
+    // (for the probe-word derivation)
+    val (rules, vocab) = bpeRun(s, dir, merges)((r, v) => (r, v))
+    val corpusWords = vocab.select(col("word"), lit(0L).as("is_oov"))
     val oovWords = Tables.documents(s, dir)
       .select(concat(lit("zz"),
         expr("char(97 + doc_id % 26)"),

@@ -31,4 +31,13 @@ abstract class SparkSpec extends AnyFunSuite {
 
   def fixture(name: String): String =
     getClass.getClassLoader.getResource(name).getPath
+
+  /** md5-60 restated independently of the Catalyst expression
+    * (MessageDigest + hex), the one driver-side oracle every
+    * hash-pipeline replay spec shares. */
+  def md5_60(k: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
 }

@@ -223,11 +223,6 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2)))
     assert(got.length === 100)
     // matches an independent driver-side recompute of the k smallest
-    def md5_60(k: String): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(15), 16)
-    }
     val all = docs.select("doc_id").collect().map(_.getLong(0))
       .map(id => (id, md5_60(id.toString)))
     val expect = all.sortBy { case (id, h) => (h, id) }.take(100)

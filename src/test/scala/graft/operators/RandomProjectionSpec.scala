@@ -4,12 +4,6 @@ import graft.{SparkSpec, Tables}
 
 class RandomProjectionSpec extends SparkSpec {
 
-  private def md5_60(k: String): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.take(15), 16)
-  }
-
   private def rnd(x: Double): Long =
     if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
 

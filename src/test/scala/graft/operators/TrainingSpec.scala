@@ -41,13 +41,6 @@ class TrainingSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.keySet == pre)
   }
 
-  // md5-60 restated independently (MessageDigest, not the Catalyst expr)
-  private def md5_60(k: String): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.take(15), 16)
-  }
-
   test("feature hashing equals a plain-Scala replay and conserves sign mass") {
     val got = Training.featureHash(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
