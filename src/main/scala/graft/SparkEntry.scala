@@ -279,6 +279,9 @@ object SparkEntry {
     "eval2_ann_recall" -> (Similarity.annRecall(_, _)),
     "mix4_token_budget" -> (TextAnalysis.tokenBudget(_, _)),
     "mix5_interleave"  -> (TextAnalysis.interleaveOrder(_, _)),
+    // ---- round-6: profiling + data contracts ----
+    "prof1_column_profile" -> (Profiling.columnProfile(_, _)),
+    "prof2_expectations"   -> (Profiling.expectations(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2558,6 +2561,75 @@ object SparkEntry {
         CAST((row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id)
           - 1) * si.n_src + si.src_idx AS BIGINT) AS train_pos
       FROM documents d JOIN si USING (source)""",
+    // per-column profile in long format, min/max in native type then
+    // cast to string, avg length micro-quantized
+    // (operators.Profiling.columnProfile).
+    "prof1_column_profile" -> raw"""
+      WITH p AS (
+        SELECT 'doc_id' AS column_name, count(*) AS r,
+          sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS nn,
+          count(DISTINCT doc_id) AS nd,
+          CAST(min(doc_id) AS VARCHAR) AS mn, CAST(max(doc_id) AS VARCHAR) AS mx,
+          sum(length(CAST(doc_id AS VARCHAR))) AS sl
+        FROM documents
+        UNION ALL
+        SELECT 'text', count(*),
+          sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+          count(DISTINCT text), min(text), max(text), sum(length(text))
+        FROM documents
+        UNION ALL
+        SELECT 'lang', count(*),
+          sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+          count(DISTINCT lang), min(lang), max(lang), sum(length(lang))
+        FROM documents
+        UNION ALL
+        SELECT 'source', count(*),
+          sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+          count(DISTINCT source), min(source), max(source), sum(length(source))
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars', count(*),
+          sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+          count(DISTINCT n_chars),
+          CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
+          sum(length(CAST(n_chars AS VARCHAR)))
+        FROM documents)
+      SELECT column_name, CAST(r AS BIGINT) AS n_rows,
+        CAST(nn AS BIGINT) AS n_null, CAST(nd AS BIGINT) AS n_distinct,
+        mn AS min_str, mx AS max_str,
+        CAST(round(1e6 * CAST(sl AS DOUBLE) / (r - nn)) AS BIGINT)
+          AS avg_len_micros
+      FROM p""",
+    // data-contract rules, fail-closed on NULL operands
+    // (operators.Profiling.expectations).
+    "prof2_expectations" -> raw"""
+      WITH a AS (
+        SELECT count(*) AS n_rows,
+          sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v_id_null,
+          count(DISTINCT doc_id) AS id_distinct,
+          sum(CASE WHEN text IS NULL OR NOT length(text) > 0
+              THEN 1 ELSE 0 END) AS v_text_empty,
+          sum(CASE WHEN lang IS NULL
+                OR lang NOT IN ('en', 'de', 'fr', 'es', 'zh')
+              THEN 1 ELSE 0 END) AS v_lang,
+          sum(CASE WHEN source IS NULL
+                OR NOT regexp_matches(source, '^src[0-9]+$$')
+              THEN 1 ELSE 0 END) AS v_source,
+          sum(CASE WHEN n_chars IS NULL OR n_chars <> length(text)
+              THEN 1 ELSE 0 END) AS v_chars
+        FROM documents),
+      r AS (
+        SELECT 'doc_id_not_null' AS rule, n_rows AS n_checked,
+          v_id_null AS n_violations FROM a
+        UNION ALL SELECT 'doc_id_unique', n_rows, n_rows - id_distinct FROM a
+        UNION ALL SELECT 'text_non_empty', n_rows, v_text_empty FROM a
+        UNION ALL SELECT 'lang_in_contract', n_rows, v_lang FROM a
+        UNION ALL SELECT 'source_pattern', n_rows, v_source FROM a
+        UNION ALL SELECT 'n_chars_matches', n_rows, v_chars FROM a)
+      SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+        CAST(n_violations AS BIGINT) AS n_violations,
+        n_violations = 0 AS pass
+      FROM r""",
   )
 
   // ---- shared DuckDB oracle fragments ----

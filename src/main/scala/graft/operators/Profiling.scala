@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data profiling and contract validation — the quality gate every
+  * large-scale ingest pipeline runs BEFORE training-data curation:
+  * first profile what actually landed (null rates, cardinalities,
+  * ranges), then assert the data contract (typed rules with violation
+  * counts) so a bad upstream drop fails loudly instead of silently
+  * poisoning the mixture downstream.
+  *
+  * Scale shape: both operators are single-scan multi-aggregates — every
+  * statistic is a conditional count/sum/min/max folded in one pass with
+  * map-side partial aggregation, and only the final one-row (profile)
+  * or rules-row frame leaves the executors. The exact multi-column
+  * `count(DISTINCT ...)` in the profiler plans through Catalyst's
+  * Expand (one extra projected pass per distinct column, still a single
+  * scan); at 100 TB swap exact distincts for `approx_count_distinct`
+  * (the HLL face stat2 already covers) — the wide pivot-to-long shape
+  * stays identical.
+  */
+object Profiling {
+
+  /** Per-column profile of the documents table in long format:
+    * (column, n_rows, n_null, n_distinct, min_str, max_str,
+    * avg_len_micros). One aggregate row computes all 5×4 statistics in
+    * a single scan, then a `stack` unpivots it to one row per column.
+    *
+    * Determinism: min/max are computed in each column's NATIVE type
+    * (numeric min, not string min) and cast to string only for the
+    * uniform report schema; avg_len is Σlength/(non-null count) — two
+    * exact integer aggregates and one IEEE divide on exact inputs,
+    * micro-quantized.
+    */
+  def columnProfile(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"${c}_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_null"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"),
+        sum(length(col(c).cast("string")).cast("long")).as(s"${c}_len"))
+    }
+    val one = d.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', ${c}_rows, ${c}_null, ${c}_distinct, " +
+        s"${c}_min, ${c}_max, ${c}_len")
+      .mkString(", ")
+    one
+      .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_rows, n_null, n_distinct, min_str, max_str, sum_len)"))
+      .select(col("column_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_str"), col("max_str"),
+        round(lit(1e6) * col("sum_len").cast("double") /
+          (col("n_rows") - col("n_null"))).cast("long").as("avg_len_micros"))
+  }
+
+  /** Data-contract validation: named boolean rules over the documents
+    * table, each reported as (rule, n_checked, n_violations, pass).
+    * Row-level rules fold as conditional sums in ONE aggregate over one
+    * scan; the table-level uniqueness rule derives from the same pass
+    * (n_rows − n_distinct keys). A rule on a NULL operand counts as a
+    * violation (explicit null-safe predicates below) — contracts fail
+    * closed, never silently skip.
+    */
+  def expectations(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    def viol(okWhenNonNull: Column, c: Column): Column =
+      sum(when(c.isNull || !okWhenNonNull, 1L).otherwise(0L))
+    val one = d.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("v_id_null"),
+      countDistinct(col("doc_id")).as("id_distinct"),
+      viol(length(col("text")) > 0, col("text")).as("v_text_empty"),
+      viol(col("lang").isin(langs.map(lit): _*), col("lang")).as("v_lang"),
+      viol(col("source").rlike("^src[0-9]+$"), col("source")).as("v_source"),
+      viol(col("n_chars") === length(col("text")), col("n_chars"))
+        .as("v_chars"))
+    one
+      .select(expr("""stack(6,
+        'doc_id_not_null',  n_rows, v_id_null,
+        'doc_id_unique',    n_rows, n_rows - id_distinct,
+        'text_non_empty',   n_rows, v_text_empty,
+        'lang_in_contract', n_rows, v_lang,
+        'source_pattern',   n_rows, v_source,
+        'n_chars_matches',  n_rows, v_chars)
+        AS (rule, n_checked, n_violations)"""))
+      .select(col("rule"), col("n_checked"), col("n_violations"),
+        (col("n_violations") === 0).as("pass"))
+  }
+}

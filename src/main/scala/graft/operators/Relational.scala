@@ -104,7 +104,10 @@ object Relational {
     * ETL step, not a per-query cost — into /tmp-backed external tables;
     * re-runs reuse them via the catalog. */
   def j4BucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val tag = math.abs(dir.hashCode).toString
+    // keyed on the full sanitized path (same as the j6 partitioned
+    // sink) — abs(hashCode) risks cross-dir collisions and stays
+    // negative for Int.MinValue
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val oTab = s"graft_bkt_orders_$tag"
     val lTab = s"graft_bkt_lineitem_$tag"
     if (!s.catalog.tableExists(oTab)) {
