@@ -282,6 +282,9 @@ object SparkEntry {
     // ---- round-6: profiling + data contracts ----
     "prof1_column_profile" -> (Profiling.columnProfile(_, _)),
     "prof2_expectations"   -> (Profiling.expectations(_, _)),
+    // ---- round-6: count-min sketch ----
+    "stat14_cms_sketch"   -> (Sketches.cmsSketch(_, _)),
+    "stat15_cms_estimate" -> (Sketches.cmsEstimates(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2630,6 +2633,45 @@ object SparkEntry {
         CAST(n_violations AS BIGINT) AS n_violations,
         n_violations = 0 AS pass
       FROM r""",
+    // count-min sketch grid, d=4 md5-60 row hashes × w=256 buckets
+    // (operators.Sketches.cmsSketch).
+    "stat14_cms_sketch" -> raw"""
+      WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+          x -> len(x) > 0)) AS token FROM documents)
+      SELECT r.range AS row_id,
+        ('0x' || substr(md5('cms' || r.range || '_' || token), 1, 15))::BIGINT
+          % 256 AS bucket,
+        CAST(count(*) AS BIGINT) AS n
+      FROM toks, range(0, 4) r
+      GROUP BY 1, 2""",
+    // probe the sketch with the ten most frequent tokens; one-sided
+    // error vs exact counts (operators.Sketches.cmsEstimates).
+    "stat15_cms_estimate" -> raw"""
+      WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+          x -> len(x) > 0)) AS token FROM documents),
+      sk AS (
+        SELECT r.range AS row_id,
+          ('0x' || substr(md5('cms' || r.range || '_' || token), 1, 15))::BIGINT
+            % 256 AS bucket,
+          CAST(count(*) AS BIGINT) AS n
+        FROM toks, range(0, 4) r
+        GROUP BY 1, 2),
+      top AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS true_count
+        FROM toks GROUP BY token
+        ORDER BY true_count DESC, token ASC LIMIT 10),
+      probes AS (
+        SELECT token, true_count, r.range AS row_id,
+          ('0x' || substr(md5('cms' || r.range || '_' || token), 1, 15))::BIGINT
+            % 256 AS bucket
+        FROM top, range(0, 4) r)
+      SELECT p.token, p.true_count, CAST(min(sk.n) AS BIGINT) AS est_count,
+        CAST(min(sk.n) - p.true_count AS BIGINT) AS overcount
+      FROM probes p
+      JOIN sk ON sk.row_id = p.row_id AND sk.bucket = p.bucket
+      GROUP BY p.token, p.true_count""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch over the token stream — the fixed-memory frequency
+  * summary that complements the engine's other sketches (HLL distinct
+  * in stat2/stat6, Misra-Gries heavy hitters in text_heavy_hitters,
+  * bloom membership in dedup_incremental): point-queryable count
+  * ESTIMATES with a one-sided (over-count only) error of at most
+  * εN, ε = e/width, in d×w integers of state regardless of corpus
+  * size.
+  *
+  * Determinism: the d row-hashes derive from the engine's md5-60
+  * bridge (`md5_base60('cms<i>_' || token) mod w`) — the same
+  * seeded-digest discipline as MinHash/SimHash, so any engine (and the
+  * DuckDB oracle) rebuilds the identical cell grid; every cell value is
+  * an integer count.
+  *
+  * Scale shape: the sketch build is ONE hash-aggregate — tokens leave
+  * the mappers only as (row, bucket) int pairs with map-side partial
+  * sums, and the reduced state is d·w rows total (1 024 here) no matter
+  * the corpus. That inversion — state sized by the SKETCH, not the
+  * vocabulary — is the whole point at 100 TB: the exact token
+  * `groupBy` used by the probe face below would carry the vocabulary
+  * through the shuffle, the sketch never does. Per-executor partial
+  * grids union by cell-wise addition (count-min is a commutative
+  * monoid), which is exactly what the partial-agg already does.
+  */
+object Sketches {
+
+  val Depth = 4
+  val Width = 256
+
+  /** One (row, bucket) cell per token occurrence, d rows per token. */
+  private def cells(token: Column): Column = explode(array(
+    (0 until Depth).map { i =>
+      struct(lit(i.toLong).as("r"),
+        pmod(Sampling.hash60(concat(lit(s"cms${i}_"), token)),
+          lit(Width.toLong)).as("b"))
+    }: _*))
+
+  private def tokenStream(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(TextAnalysis.tokens(lower(col("text"))))
+        .as("token"))
+
+  /** The materialized sketch grid: (row_id, bucket, n) for every
+    * non-empty cell. */
+  def cmsSketch(s: SparkSession, dir: String): DataFrame =
+    tokenStream(s, dir)
+      .select(cells(col("token")).as("c"))
+      .groupBy(col("c.r").as("row_id"), col("c.b").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Probe face: estimate the ten most frequent tokens through the
+    * sketch and report the one-sided error against the exact counts.
+    * The exact `groupBy(token)` here exists only to pick probes and
+    * grade the estimate — a production pipeline probes the d·w grid
+    * directly with its query keys (the top frame is broadcast;
+    * `est ≥ true` always, by the count-min bound). */
+  def cmsEstimates(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokenStream(s, dir)
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("true_count"))
+      .orderBy(col("true_count").desc, col("token").asc)
+      .limit(10)
+    val probes = broadcast(top)
+      .select(col("token"), col("true_count"), cells(col("token")).as("c"))
+      .select(col("token"), col("true_count"),
+        col("c.r").as("row_id"), col("c.b").as("bucket"))
+    cmsSketch(s, dir)
+      .join(probes, Seq("row_id", "bucket"))
+      .groupBy(col("token"), col("true_count"))
+      .agg(min(col("n")).as("est_count"))
+      .select(col("token"), col("true_count"), col("est_count"),
+        (col("est_count") - col("true_count")).as("overcount"))
+  }
+}
