@@ -285,6 +285,8 @@ object SparkEntry {
     // ---- round-6: count-min sketch ----
     "stat14_cms_sketch"   -> (Sketches.cmsSketch(_, _)),
     "stat15_cms_estimate" -> (Sketches.cmsEstimates(_, _)),
+    // ---- round-6: k-hop BFS over the link graph ----
+    "graph_khop" -> (Graphs.khopDistances(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2672,6 +2674,23 @@ object SparkEntry {
       FROM probes p
       JOIN sk ON sk.row_id = p.row_id AND sk.bucket = p.bucket
       GROUP BY p.token, p.true_count""",
+    // distance-limited BFS from node 0 over the undirected simple link
+    // graph; UNION-dedup recursion bounded at 8 hops, min(dist) per
+    // node (operators.Graphs.khopDistances).
+    "graph_khop" -> raw"""
+      WITH RECURSIVE $graphEdgesSql,
+      und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM edges),
+      nbr AS (SELECT a AS node, b AS nbr FROM und
+              UNION ALL SELECT b, a FROM und),
+      bfs AS (
+        SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+        UNION
+        SELECT nbr.nbr, bfs.dist + 1
+        FROM bfs JOIN nbr ON nbr.node = bfs.node
+        WHERE bfs.dist < 8)
+      SELECT node, CAST(min(dist) AS BIGINT) AS dist
+      FROM bfs GROUP BY node""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -175,6 +175,55 @@ object Graphs {
     }
   }
 
+  /** Distance-limited BFS (the k-hop neighborhood) from `seed` over the
+    * UNDIRECTED simple link graph: (node, dist) for every node within
+    * `maxHops` hops, dist = exact shortest-path hop count. The bounded
+    * horizon is the production shape — crawl frontier expansion, spam
+    * neighborhood scoring, GNN sampling all want "everything within k",
+    * never the full diameter.
+    *
+    * Scale shape: per round one (frontier ⋈ nbrs) join plus an anti-join
+    * against the settled set — message-passing again, but the working
+    * set is the FRONTIER (nodes first reached this round), not the
+    * graph: settled nodes never re-expand (textbook BFS, not
+    * Bellman-Ford re-relaxation), so each round shuffles only (node)
+    * longs proportional to the hop ring. Lineage cut per round;
+    * everything unpersisted on exit. A fixed `maxHops` rounds run even
+    * after the frontier empties — each such round is a join between an
+    * empty frame and the neighbor list, metadata-only at any scale. */
+  def khopDistances(s: SparkSession, dir: String, seed: Long = 0L,
+                    maxHops: Int = 8): DataFrame =
+    staged(s, dir, "bfs", s"${seed}_$maxHops") { finalPath =>
+      val sc = s.sparkContext
+      val preexisting = sc.getPersistentRDDs.keySet
+      try {
+        val und = linkEdges(s, dir)
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+          .union(und.select(col("b").as("node"), col("a").as("nbr")))
+          .localCheckpoint(true)
+        var settled = s.range(1).select(lit(seed).as("node"),
+          lit(0L).as("dist")).localCheckpoint(true)
+        var frontier = settled
+        for (h <- 1 to maxHops) {
+          frontier = frontier
+            .join(nbrs, "node")
+            .select(col("nbr").as("node")).distinct()
+            .join(settled.select(col("node")), Seq("node"), "left_anti")
+            .select(col("node"), lit(h.toLong).as("dist"))
+            .localCheckpoint(true)
+          settled = settled.unionByName(frontier).localCheckpoint(true)
+        }
+        settled.write.mode("overwrite").parquet(finalPath)
+      } finally {
+        sc.getPersistentRDDs
+          .filterNot { case (id, _) => preexisting(id) }
+          .values.foreach(_.unpersist(blocking = false))
+      }
+    }
+
   /** The block-community graph for label propagation: the ring+hub
     * graph above has NO community structure (LPA would correctly find
     * none), so the community detector gets its own derived graph with

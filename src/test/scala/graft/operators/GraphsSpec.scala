@@ -90,4 +90,30 @@ class GraphsSpec extends SparkSpec {
       assert(nn == 50L)
     }
   }
+
+  test("k-hop distances equal a driver-side BFS and leak no storage") {
+    val pre = spark.sparkContext.getPersistentRDDs.keySet
+    val got = Graphs.khopDistances(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent BFS over the same derived undirected edge rule
+    val adj = edgeSet(500)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    var dist = Map(0L -> 0L)
+    var frontier = Set(0L)
+    for (h <- 1L to 8L) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty[Long]))
+        .diff(dist.keySet)
+      dist ++= frontier.map(_ -> h)
+    }
+    assert(got == dist)
+    assert(got(0L) == 0L)
+    // ring ±1/±2 edges put nodes 1..2 at hop 1; the quadratic hub
+    // shortcut must reach SOME far node early or the derivation is
+    // degenerate
+    assert(got(1L) == 1L && got(2L) == 1L)
+    assert(got.size > 100, "8 hops over ring+hub must cover a wide ball")
+    assert(spark.sparkContext.getPersistentRDDs.keySet == pre)
+  }
 }
