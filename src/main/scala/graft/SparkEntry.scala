@@ -287,6 +287,9 @@ object SparkEntry {
     "stat15_cms_estimate" -> (Sketches.cmsEstimates(_, _)),
     // ---- round-6: k-hop BFS over the link graph ----
     "graph_khop" -> (Graphs.khopDistances(_, _)),
+    // ---- round-6: feature scaling ----
+    "ml3_minmax_scale" -> (Training.minmaxScale(_, _)),
+    "ml4_l2_normalize" -> (Training.l2Normalize(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2691,6 +2694,47 @@ object SparkEntry {
         WHERE bfs.dist < 8)
       SELECT node, CAST(min(dist) AS BIGINT) AS dist
       FROM bfs GROUP BY node""",
+    // per-dimension min-max scaling summary; the scaled matrix is
+    // pinned by its per-dim integer checksum
+    // (operators.Training.minmaxScale).
+    "ml3_minmax_scale" -> raw"""
+      WITH el AS (
+        SELECT r.range AS dim,
+          CAST(round(CAST(embedding[r.range + 1] AS DOUBLE) * 1e6)
+            AS BIGINT) AS m
+        FROM embeddings, range(0, 64) r),
+      st AS (
+        SELECT dim, min(m) AS min_micros, max(m) AS max_micros,
+          CAST(count(*) AS BIGINT) AS n_vecs
+        FROM el GROUP BY dim)
+      SELECT el.dim, st.min_micros, st.max_micros,
+        CAST(sum(CASE WHEN st.max_micros > st.min_micros
+          THEN CAST(round(1e6 * (el.m - st.min_micros) /
+            (st.max_micros - st.min_micros)) AS BIGINT)
+          ELSE 0 END) AS BIGINT) AS sum_scaled,
+        st.n_vecs
+      FROM el JOIN st USING (dim)
+      GROUP BY el.dim, st.min_micros, st.max_micros, st.n_vecs""",
+    // per-vector L2 norm and normalized-vector integer checksum
+    // (operators.Training.l2Normalize).
+    "ml4_l2_normalize" -> raw"""
+      WITH el AS (
+        SELECT vec_id,
+          CAST(round(CAST(embedding[r.range + 1] AS DOUBLE) * 1e6)
+            AS BIGINT) AS m
+        FROM embeddings, range(0, 64) r),
+      nm AS (
+        SELECT vec_id,
+          CAST(round(sqrt(CAST(sum(m * m) AS DOUBLE))) AS BIGINT)
+            AS norm_micros
+        FROM el GROUP BY vec_id)
+      SELECT el.vec_id, nm.norm_micros,
+        CASE WHEN nm.norm_micros > 0
+          THEN CAST(sum(CAST(round(1e6 * el.m / nm.norm_micros)
+            AS BIGINT)) AS BIGINT)
+          ELSE CAST(0 AS BIGINT) END AS unit_checksum
+      FROM el JOIN nm USING (vec_id)
+      GROUP BY el.vec_id, nm.norm_micros""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -319,4 +319,59 @@ object Training {
       .sortBy(_._1).toList
     finish(rules, s.read.parquet(s"$base/vocab"))
   }
+
+  /** Per-dimension min-max scaling of the embedding matrix, reported as
+    * the 64-row verification summary (dim, min_micros, max_micros,
+    * sum_scaled, n_vecs) — sum_scaled is the integer checksum of the
+    * whole scaled column, so the entire N×64 scaled matrix is
+    * hash-pinned without materializing it.
+    *
+    * Two passes, as min-max inherently needs: pass 1 reduces the
+    * exploded (dim, micro) stream to a 64-row stats frame (map-side
+    * combined — only 64 partials per task cross the wire); pass 2
+    * re-streams the elements against the BROADCAST stats row, so no
+    * data-sized shuffle exists anywhere. Values micro-quantize on
+    * entry (float→double is exact, one IEEE multiply, round) and every
+    * scaled value is round(1e6·(m−min)/(max−min)) on exact integer
+    * inputs — deterministic in any order and engine. */
+  def minmaxScale(s: SparkSession, dir: String): DataFrame = {
+    val el = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("v").cast("double") * 1e6).cast("long").as("m"))
+    val stats = el.groupBy(col("dim")).agg(
+      min(col("m")).as("min_micros"), max(col("m")).as("max_micros"),
+      count(lit(1)).as("n_vecs"))
+    el.join(broadcast(stats), "dim")
+      .groupBy(col("dim"), col("min_micros"), col("max_micros"),
+        col("n_vecs"))
+      .agg(sum(when(col("max_micros") > col("min_micros"),
+          round(lit(1e6) * (col("m") - col("min_micros")) /
+            (col("max_micros") - col("min_micros"))).cast("long"))
+        .otherwise(0L)).as("sum_scaled"))
+      .select(col("dim"), col("min_micros"), col("max_micros"),
+        col("sum_scaled"), col("n_vecs"))
+  }
+
+  /** Per-vector L2 normalization: (vec_id, norm_micros, unit_checksum).
+    * Fully row-local — micro-quantize, Σx² (≤ 64·(1.1e6)² ≈ 7.7e13,
+    * exact long and double), one IEEE sqrt, and the normalized vector's
+    * integer checksum Σ round(1e6·x/‖x‖) — all inside ONE projection of
+    * higher-order functions over the array column. Zero shuffles, zero
+    * UDFs: the at-scale cost is exactly one columnar scan. */
+  def l2Normalize(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("ms"))
+      .select(col("vec_id"), col("ms"),
+        round(sqrt(aggregate(col("ms"), lit(0L),
+          (acc, x) => acc + x * x).cast("double"))).cast("long")
+          .as("norm_micros"))
+      .select(col("vec_id"), col("norm_micros"),
+        when(col("norm_micros") > 0,
+          aggregate(col("ms"), lit(0L),
+            (acc, x) => acc +
+              round(lit(1e6) * x / col("norm_micros")).cast("long")))
+          .otherwise(0L).as("unit_checksum"))
 }

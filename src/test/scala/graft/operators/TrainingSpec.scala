@@ -226,4 +226,50 @@ class TrainingSpec extends SparkSpec {
     for ((src, n) <- bySrc)
       assert(keptBySrc.getOrElse(src, 0) == n - n * 20 / 100, src)
   }
+
+  test("min-max scaling summary equals a driver-side replay") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val micros = vecs.map { case (_, v) =>
+      v.map(x => rnd(x.toDouble * 1e6))
+    }
+    val got = Training.minmaxScale(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == (0L until 64L).toSet)
+    for (d <- 0 until 64) {
+      val colVals = micros.map(_(d))
+      val (mn, mx) = (colVals.min, colVals.max)
+      val sumScaled =
+        if (mx > mn) colVals.map(m => rnd(1e6 * (m - mn) / (mx - mn))).sum
+        else 0L
+      assert(got(d.toLong) == ((mn, mx, sumScaled, vecs.length.toLong)),
+        s"dim $d")
+    }
+    // scaled values live in [0, 1e6]: the checksum is bounded by n·1e6
+    assert(got.values.forall { case (_, _, s, n) =>
+      s >= 0 && s <= n * 1000000L })
+  }
+
+  test("L2 normalization is exchange-free and equals a driver replay") {
+    val df = Training.l2Normalize(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"row-local normalization must not shuffle:\n$plan")
+    val got = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    for ((id, v) <- vecs) {
+      val ms = v.map(x => rnd(x.toDouble * 1e6))
+      val norm = rnd(math.sqrt(ms.map(m => m * m).sum.toDouble))
+      val cks = if (norm > 0) ms.map(m => rnd(1e6 * m / norm)).sum else 0L
+      assert(got(id) == ((norm, cks)), s"vec $id")
+      // a unit vector's micro-components square-sum to ~1e12
+      val unit = ms.map(m => 1e6 * m / norm)
+      assert(math.abs(unit.map(u => u * u).sum - 1e12) < 1e9)
+    }
+  }
 }
