@@ -26,6 +26,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Testdata-drift canary: record this round's physical schemas in the
+    // bench log; never fatal here (problems resurface as per-query -1s).
+    try TableProbe.printAndCheck(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[probe] $e") }
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count() catch { case _: Throwable => return -1.0 }

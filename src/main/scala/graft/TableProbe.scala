@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** Testdata-drift canary. The driver regenerates `/root/testdata` between
+  * rounds and has already changed physical types once (round 5: events.ts
+  * went parquet TIMESTAMP(NANOS) → TIMESTAMP_NTZ and silently killed 43
+  * queries). Print every fixture table's loaded schema at the top of each
+  * Verify/Bench run so the logs record what this round's data actually
+  * looks like, and return loud per-table problem strings when a load or a
+  * normalization invariant breaks.
+  *
+  * Deliberately does NOT throw: a drifted table must not zero the whole
+  * round — queries on unaffected tables should still run and pass, while
+  * the drift shows up both here and in the affected queries' own errors.
+  */
+object TableProbe {
+  private val tables = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Returns (table-or-check name → problem message) for anything broken. */
+  def printAndCheck(spark: SparkSession, dir: String): Map[String, String] = {
+    val problems = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    tables.foreach { t =>
+      try println(s"[probe] $t :: " + Tables.load(spark, dir, t).schema.simpleString)
+      catch { case e: Throwable =>
+        val msg = s"TESTDATA DRIFT: '$t' under $dir failed raw load " +
+          s"(physical schema changed?): ${e.getMessage}"
+        System.err.println(s"[probe] $msg")
+        problems(s"_probe_$t") = msg
+      }
+    }
+    // Normalized-loader invariant: events.ts must come out as a session-TZ
+    // timestamp whatever the physical encoding was (long nanos / NTZ / LTZ).
+    try {
+      val evTs = Tables.events(spark, dir).schema("ts").dataType
+      if (evTs != TimestampType && evTs != TimestampNTZType) {
+        val msg = s"TESTDATA DRIFT: Tables.events normalized ts to $evTs, " +
+          "expected a timestamp — update Tables.events for the new encoding"
+        System.err.println(s"[probe] $msg")
+        problems("_probe_events_ts") = msg
+      } else println(s"[probe] events.ts normalized -> $evTs")
+    } catch { case e: Throwable =>
+      val msg = s"TESTDATA DRIFT: Tables.events loader threw: ${e.getMessage}"
+      System.err.println(s"[probe] $msg")
+      problems("_probe_events_ts") = msg
+    }
+    problems.toMap
+  }
+}

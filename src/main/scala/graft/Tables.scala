@@ -22,15 +22,39 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs
-    * (legacy conf — only affects NANOS columns) and rebuild the
-    * microsecond timestamp with integer division (`div`, not `/`: the
-    * epoch-nano magnitude ~1.7e18 exceeds double's 2^53 exact range). */
+  /** events.parquet has shipped with three different physical types for
+    * `ts` across testdata generations, so the loader branches on the
+    * dtype it actually observes rather than assuming one:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark rejects the footer outright
+    *    ([PARQUET_TYPE_ILLEGAL]), so the initial read throws; retry under
+    *    `spark.sql.legacy.parquet.nanosAsLong` (scoped to that fallback,
+    *    not a permanent session mutation) and rebuild microseconds with
+    *    integer division (`div`, not `/`: epoch-nano magnitude ~1.7e18
+    *    exceeds double's 2^53 exact range).
+    *  - raw BIGINT nanos (a nanosAsLong read, or an int64 generation):
+    *    same `timestamp_micros(ts div 1000)` rebuild.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ: cast to
+    *    the session-local TimestampType; under the UTC session every
+    *    entry point sets, the instant is unchanged and downstream
+    *    `window`/`unix_timestamp` semantics match the DuckDB oracle.
+    *  - TIMESTAMP (LTZ): already what downstream expects. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw =
+      try load(s, d, "events")
+      catch { case _: org.apache.spark.SparkException | _: org.apache.spark.sql.AnalysisException =>
+        // Legacy TIMESTAMP(NANOS) files: the conf must stay set for the
+        // scan's execution phase, so it is only ever touched on this path.
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        load(s, d, "events")
+      }
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame =
     load(s, d, "documents")
