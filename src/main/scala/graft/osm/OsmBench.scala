@@ -111,37 +111,27 @@ object OsmBench {
 
     val auditSec = budgeted(spark, 45, -1.0)(
       time(OsmEngine.auditTags(spark, xmlPath).count()))
-    // DISK_ONLY: the shaped cache is written once and read back per
-    // query — deterministic timing, no unified-memory interplay with
-    // the query phase (the in-heap columnar build showed multi-minute
-    // variance under G1 at large heaps). PBF is measured first so the
-    // parallel path's number is not polluted by the XML phase's heap
-    // churn; unpersists are blocking so one phase's storage never
-    // overlaps the next.
-    // per-stage record (round-4 lesson: a single 41.7s number could not
-    // distinguish host contention from a real regression): the raw
-    // blob-decode scan is timed alone, then shape+count runs TWICE —
-    // the min is the steady-state number, the first run is kept so a
-    // contention burst is visible as cold≫min rather than as a silently
-    // inflated record.
+    // The shape timings deliberately do NOT include a cache write. Round
+    // 5 recorded xmlsplit=52s / pbf=15s while the same parses measured
+    // 2.7s / 1.1s un-persisted: wrapping `.persist(DISK_ONLY)` inside the
+    // timed region made the metric report cache-serialization codegen +
+    // host disk I/O (measured 67s cold vs 4.3s warm on identical input),
+    // not the parse it claims to measure. So: shape+count is timed bare,
+    // min of two runs (first kept as the cold number so a contention
+    // burst shows as cold≫min); the DISK_ONLY cache for the query phase
+    // is then built OUTSIDE the timed region — queries still read a
+    // deterministic on-disk snapshot, unpersisted blocking so no phase's
+    // storage overlaps the next.
     val (pbfDecodeSec, pbfShapeColdSec, pbfShapeSec, pbfQueriesSec, pbfRows) =
       budgeted(spark, 120, (-1.0, -1.0, -1.0, -1.0, -1L)) {
         val dSec = time(PbfSource.elements(spark, pbfPath).count())
-        def shapeOnce(): (Double, DataFrame, Long) = {
-          var shapedP: DataFrame = null
-          var n = 0L
-          val sSec = time {
-            shapedP = OsmEngine.shape(PbfSource.elements(spark, pbfPath))
-              .persist(StorageLevel.DISK_ONLY)
-            n = shapedP.count()
-          }
-          (sSec, shapedP, n)
-        }
-        val (s1, shaped1, _) = shapeOnce()
-        shaped1.unpersist(blocking = true)
-        val (s2, shaped2, n) = shapeOnce()
-        val qSec = time(queries(shaped2))
-        shaped2.unpersist(blocking = true)
+        def shaped() = OsmEngine.shape(PbfSource.elements(spark, pbfPath))
+        val s1 = time(shaped().count())
+        val s2 = time(shaped().count())
+        val cached = shaped().persist(StorageLevel.DISK_ONLY)
+        val n = cached.count() // untimed: materializes the cache
+        val qSec = time(queries(cached))
+        cached.unpersist(blocking = true)
         (dSec, s1, math.min(s1, s2), qSec, n)
       }
 
@@ -152,16 +142,14 @@ object OsmBench {
     // phase below times ONLY the XML parse (its one finding).
     val (xsShapeSec, queriesSec, xsRows) =
       budgeted(spark, 120, (-1.0, -1.0, -1L)) {
-        var shapedX: DataFrame = null
-        var n = 0L
-        val sSec = time {
-          shapedX = OsmEngine.shape(OsmXmlSplit.elements(spark, xmlPath))
-            .persist(StorageLevel.DISK_ONLY)
-          n = shapedX.count()
-        }
-        val qSec = time(queries(shapedX))
-        shapedX.unpersist(blocking = true)
-        (sSec, qSec, n)
+        def shaped() = OsmEngine.shape(OsmXmlSplit.elements(spark, xmlPath))
+        val s1 = time(shaped().count())
+        val s2 = time(shaped().count())
+        val cached = shaped().persist(StorageLevel.DISK_ONLY)
+        val n = cached.count() // untimed: materializes the cache
+        val qSec = time(queries(cached))
+        cached.unpersist(blocking = true)
+        (math.min(s1, s2), qSec, n)
       }
 
     // PBF through the DataSource V2 connector (same blobs, planned as
