@@ -416,26 +416,55 @@ object TextAnalysis {
     * (here the eval set is the first `evalMaxId` documents, standing in
     * for a benchmark suite).
     *
-    * Scale shape: the eval n-gram set is a MODEL-sized artifact — built
-    * once, collected, and shipped as a literal array (the same
-    * broadcast-the-model pattern as the k-means quantizer), so the
-    * corpus check is a ZERO-SHUFFLE narrow map: tokenize → shingle →
-    * hash-set intersect per row, all in one projection. No explode, no
-    * join, no exchange of corpus data. */
+    * Scale shape: the eval n-gram set is a MODEL-sized artifact — for a
+    * real benchmark suite, thousands-to-millions of n-grams, NOT corpus
+    * sized — so by default it is built once, collected, and shipped as a
+    * literal array (the same broadcast-the-model pattern as the k-means
+    * quantizer), making the corpus check a ZERO-SHUFFLE narrow map:
+    * tokenize → shingle → hash-set intersect per row, all in one
+    * projection. No explode, no join, no exchange of corpus data.
+    *
+    * That literal degenerates if someone points `evalMaxId` at a
+    * corpus-sized slice, so the eval set is COUNTED first (cheap one-time
+    * job) and logged; past `maxLiteralNgrams` the operator switches to
+    * the explode + broadcast-hash-join fallback — still no corpus
+    * shuffle of text (only (doc_id, gram) pairs to a map-side-combined
+    * re-agg), and the driver never collects the oversized set at all.
+    * Both paths are row-identical (spec-asserted). */
   def contamination(s: SparkSession, dir: String, n: Int = 3,
-                    evalMaxId: Long = 10): DataFrame = {
+                    evalMaxId: Long = 10,
+                    maxLiteralNgrams: Int = 100000): DataFrame = {
     val d = Tables.documents(s, dir)
-    val evalNgrams = d.filter(col("doc_id") < evalMaxId)
+    val evalDf = d.filter(col("doc_id") < evalMaxId)
       .select(tokens(lower(col("text"))).as("tk"))
       .select(explode(grams(col("tk"), n, distinct = true)).as("g"))
-      .distinct().orderBy("g").collect().map(_.getString(0)).toIndexedSeq
-    val evalLit = array(evalNgrams.map(lit): _*)
-    d.filter(col("doc_id") >= evalMaxId)
+      .distinct()
+    val corpus = d.filter(col("doc_id") >= evalMaxId)
       .select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
       .select(col("doc_id"), grams(col("tk"), n, distinct = true).as("g"))
-      .select(col("doc_id"),
-        size(col("g")).cast("long").as("n_ngrams"),
-        size(array_intersect(col("g"), evalLit)).cast("long").as("n_hit"))
+    val nEval = evalDf.count()
+    println(s"[contamination] eval n-gram set: $nEval distinct " +
+      s"(literal-array cutoff $maxLiteralNgrams)")
+    val counted =
+      if (nEval <= maxLiteralNgrams) {
+        val evalNgrams = evalDf.orderBy("g").collect()
+          .map(_.getString(0)).toIndexedSeq
+        val evalLit = array(evalNgrams.map(lit): _*)
+        corpus.select(col("doc_id"),
+          size(col("g")).cast("long").as("n_ngrams"),
+          size(array_intersect(col("g"), evalLit)).cast("long").as("n_hit"))
+      } else {
+        // Oversized eval set: explode the corpus grams and probe the
+        // eval set through a broadcast hash join (left; count of matched
+        // eval side = hits). explode_outer keeps zero-gram docs.
+        corpus
+          .select(col("doc_id"), size(col("g")).cast("long").as("n_ngrams"),
+            explode_outer(col("g")).as("cg"))
+          .join(broadcast(evalDf), col("cg") === evalDf("g"), "left")
+          .groupBy(col("doc_id"), col("n_ngrams"))
+          .agg(count(evalDf("g")).as("n_hit"))
+      }
+    counted
       .withColumn("contamination",
         round(col("n_hit").cast("double") / col("n_ngrams"), 4))
       .withColumn("flagged", (col("contamination") >= 0.05).cast("long"))

@@ -255,6 +255,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.keys.forall(_ >= 10L))
   }
 
+  test("contamination: broadcast-join fallback (oversized eval set) is row-identical to the literal path") {
+    // Force the fallback with a cutoff of 0: every doc scores the same
+    // under either plan — the guard changes the plan, never the result.
+    val lit = TextAnalysis.contamination(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_ngrams"),
+        r.getAs[Long]("n_hit"), r.getAs[Double]("contamination"),
+        r.getAs[Long]("flagged"))).sortBy(_._1)
+    val join = TextAnalysis.contamination(spark, sf, maxLiteralNgrams = 0)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_ngrams"),
+        r.getAs[Long]("n_hit"), r.getAs[Double]("contamination"),
+        r.getAs[Long]("flagged"))).sortBy(_._1)
+    assert(lit.nonEmpty)
+    assert(join.toSeq === lit.toSeq)
+  }
+
   test("topNPerStratum takes exactly min(n, stratum size) per stratum") {
     val docs = Tables.documents(spark, sf)
     val sizes = Sampling.topNPerStratum(spark, docs, 7)
