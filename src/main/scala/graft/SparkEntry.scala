@@ -560,7 +560,7 @@ object SparkEntry {
           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_orderkey
          FROM events e""",
     "a1_group_count" ->
-      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+      "SELECT source, count(*) AS n FROM documents GROUP BY source",
     "a2_key_buckets" ->
       """WITH k AS (SELECT CASE WHEN doc_id % 7 = 0 THEN source || '?'
                                WHEN doc_id % 2 = 0 THEN source || ':' || lang
@@ -572,7 +572,8 @@ object SparkEntry {
            ELSE 'other' END AS bucket, count(*) AS n
          FROM k GROUP BY 1""",
     "a4_user_counts" ->
-      "SELECT user_id, count(*) AS n FROM events GROUP BY user_id",
+      """SELECT CASE WHEN doc_id % 9 = 0 THEN NULL ELSE source END AS user_key,
+         count(*) AS n FROM documents GROUP BY 1""",
     "a5_suffix_audit" ->
       """WITH s AS (SELECT doc_id, regexp_extract(text, '(\S+)\s*$', 1) AS stype
                     FROM documents)
@@ -582,7 +583,7 @@ object SparkEntry {
          GROUP BY stype""",
     "a7_distinct_set" -> "SELECT DISTINCT lang FROM documents",
     "a10_digit_audit" ->
-      """WITH d AS (SELECT regexp_extract(props, '[0-9]+', 0) AS digits FROM events)
+      """WITH d AS (SELECT regexp_extract(source, '[0-9]+', 0) AS digits FROM documents)
          SELECT 'k' || CAST(length(digits) AS VARCHAR) AS bucket,
            count(*) AS n,
            CAST(sum(CASE WHEN length(digits) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
@@ -595,14 +596,13 @@ object SparkEntry {
          array_to_string(list_sort(list(DISTINCT regexp_extract(text, '(\S+)\s*$', 1)))[1:10], ',') AS suffixes
          FROM documents GROUP BY lang""",
     "oq6_head_probe" ->
-      """SELECT event_id, event_type, user_id,
-         strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
-         FROM events ORDER BY event_id ASC LIMIT 1""",
+      """SELECT doc_id, lang, source, n_chars
+         FROM documents ORDER BY doc_id ASC LIMIT 1""",
     "s4_json_lines" ->
-      """SELECT event_id,
-         to_json(struct_pack(event_id := event_id, event_type := event_type,
-           user_id := user_id)) AS json_line
-         FROM events""",
+      """SELECT doc_id,
+         to_json(struct_pack(doc_id := doc_id, lang := lang,
+           source := source)) AS json_line
+         FROM documents""",
     "s8_format_roundtrip" ->
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
@@ -636,31 +636,35 @@ object SparkEntry {
          count(*) AS n
          FROM documents GROUP BY 1""",
     "r1_reshape" ->
-      """SELECT event_id, user_id AS created_user, event_type AS created_type,
-         strftime(ts, '%Y-%m-%d %H:%M:%S') AS created_ts,
-         value AS pos_0, event_type AS tag_type
-         FROM events""",
+      """SELECT doc_id, source AS created_user, lang AS created_type,
+         n_chars AS created_len,
+         CAST(n_chars AS DOUBLE) AS pos_0, lang AS tag_lang
+         FROM documents""",
     "oq1_distinct_users" ->
-      "SELECT count(*) AS distinct_users FROM (SELECT DISTINCT user_id FROM events)",
+      """SELECT count(*) AS distinct_users FROM
+         (SELECT DISTINCT CASE WHEN doc_id % 9 = 0 THEN NULL ELSE source END
+          FROM documents)""",
     "oq2_type_counts" ->
-      """SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
-         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
-         FROM events""",
+      """SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de
+         FROM documents""",
     "oq3_pivot" ->
-      """SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
-         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
-         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
-         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
-         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
-         FROM events""",
+      """SELECT CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n_src1,
+         CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS n_src2,
+         CAST(sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS BIGINT) AS n_src3,
+         CAST(sum(CASE WHEN source = 'src4' THEN 1 ELSE 0 END) AS BIGINT) AS n_src4,
+         CAST(sum(CASE WHEN source = 'src5' THEN 1 ELSE 0 END) AS BIGINT) AS n_src5,
+         CAST(sum(CASE WHEN source = 'src6' THEN 1 ELSE 0 END) AS BIGINT) AS n_src6,
+         CAST(sum(CASE WHEN source = 'src7' THEN 1 ELSE 0 END) AS BIGINT) AS n_src7
+         FROM documents""",
     "oq4_top_k" ->
-      """SELECT user_id, count(*) AS n FROM events WHERE event_type = 'purchase'
-         GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 10""",
+      """SELECT source, count(*) AS n FROM documents WHERE lang = 'en'
+         GROUP BY source ORDER BY n DESC, source ASC LIMIT 10""",
     "oq5_top_k" ->
       """SELECT p_brand, count(*) AS n FROM part
          GROUP BY p_brand ORDER BY n DESC, p_brand ASC LIMIT 10""",
     "s6_sample" ->
-      "SELECT event_id, event_type, user_id FROM events WHERE event_id % 10 = 0",
+      "SELECT doc_id, lang, source FROM documents WHERE doc_id % 10 = 0",
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
          min(doc_id) AS canonical_id FROM documents GROUP BY 1""",

@@ -81,23 +81,24 @@ object Cleaning {
     * intermediate is exercised in OsmShapeSpec against real XML.
     */
   def r1Reshape(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-    val shaped = e.select(
-      col("event_id"),
+    val d = Tables.documents(s, dir)
+    val shaped = d.select(
+      col("doc_id"),
       struct(
-        col("user_id").as("user"),
-        col("event_type").as("type"),
-        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("timestamp"))
+        col("source").as("user"),
+        col("lang").as("type"),
+        col("n_chars").as("len"))
         .as("created"),
-      array(col("value"), col("event_id").cast("double")).as("pos"),
-      map(lit("type"), col("event_type"), lit("props"), col("props"))
+      array(col("n_chars").cast("double"), col("doc_id").cast("double"))
+        .as("pos"),
+      map(lit("lang"), col("lang"), lit("source"), col("source"))
         .as("tags"))
     shaped.select(
-      col("event_id"),
+      col("doc_id"),
       col("created.user").as("created_user"),
       col("created.type").as("created_type"),
-      col("created.timestamp").as("created_ts"),
+      col("created.len").as("created_len"),
       element_at(col("pos"), 1).as("pos_0"),
-      element_at(col("tags"), "type").as("tag_type"))
+      element_at(col("tags"), "lang").as("tag_lang"))
   }
 }
