@@ -290,6 +290,10 @@ object SparkEntry {
     // ---- round-6: feature scaling ----
     "ml3_minmax_scale" -> (Training.minmaxScale(_, _)),
     "ml4_l2_normalize" -> (Training.l2Normalize(_, _)),
+    // ---- round-6 ----
+    "ml5_robust_scale" -> (Training.robustScale(_, _)),
+    "samp7_cluster_split" -> ((s, dir) =>
+      Sampling.clusterSplit(Tables.documents(s, dir))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2739,6 +2743,56 @@ object SparkEntry {
           ELSE CAST(0 AS BIGINT) END AS unit_checksum
       FROM el JOIN nm USING (vec_id)
       GROUP BY el.vec_id, nm.norm_micros""",
+    // per-dim robust-scaling summary (operators.Training.robustScale):
+    // quartiles of exact micro-longs interpolate onto exact binary
+    // fractions, so fences and checksum replay bit-for-bit.
+    "ml5_robust_scale" -> raw"""
+      WITH el AS (
+        SELECT r.range AS dim,
+          CAST(round(CAST(embedding[r.range + 1] AS DOUBLE) * 1e6)
+            AS BIGINT) AS m
+        FROM embeddings, range(0, 64) r),
+      st AS (
+        SELECT dim,
+          quantile_cont(m, 0.25) AS q1_micros,
+          quantile_cont(m, 0.5)  AS med_micros,
+          quantile_cont(m, 0.75) AS q3_micros,
+          quantile_cont(m, 0.75) - quantile_cont(m, 0.25) AS iqr_micros
+        FROM el GROUP BY dim)
+      SELECT el.dim, st.q1_micros, st.med_micros, st.q3_micros,
+        st.iqr_micros,
+        CAST(sum(CASE WHEN el.m < st.q1_micros - 1.5 * st.iqr_micros
+                        OR el.m > st.q3_micros + 1.5 * st.iqr_micros
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        CAST(sum(CASE WHEN st.iqr_micros > 0
+          THEN CAST(round(1e6 * (el.m - st.med_micros) / st.iqr_micros)
+            AS BIGINT)
+          ELSE 0 END) AS BIGINT) AS sum_scaled
+      FROM el JOIN st USING (dim)
+      GROUP BY el.dim, st.q1_micros, st.med_micros, st.q3_micros,
+        st.iqr_micros""",
+    // leakage-safe split (operators.Sampling.clusterSplit): bucket
+    // hashes the normalized-content group's min doc_id.
+    "samp7_cluster_split" -> raw"""
+      WITH n AS (
+        SELECT doc_id, lang,
+          md5(trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+        FROM documents),
+      c AS (
+        SELECT doc_id, lang,
+          min(doc_id) OVER (PARTITION BY norm_hash) AS canonical_id
+        FROM n),
+      b AS (
+        SELECT doc_id, lang, canonical_id,
+          ('0x' || substr(md5(CAST(canonical_id AS VARCHAR)), 1, 15))::BIGINT
+            % 100 AS bucket
+        FROM c)
+      SELECT doc_id, lang, canonical_id,
+        CASE WHEN bucket < 80 THEN 'train'
+             WHEN bucket < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM b""",
   )
 
   // ---- shared DuckDB oracle fragments ----

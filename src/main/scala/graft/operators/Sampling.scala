@@ -67,6 +67,36 @@ object Sampling {
           .when(col("bucket") < trainPct + valPct, lit("val"))
           .otherwise(lit("test")).as("split"))
 
+  /** Leakage-safe train/val/test split: bucket membership hashes the
+    * CLUSTER canonical id, not the document id, so exact/normalized
+    * duplicates of the same content can never straddle a split boundary
+    * — the contamination mode [[trainTestSplit]] cannot prevent (doc-id
+    * hashing puts two copies of one document in train AND test, leaking
+    * eval content into training). Cluster key = min doc_id over the
+    * normalized-content group (the same normalization as
+    * `Dedup.normalized`, so split groups and dedup groups agree).
+    *
+    * Scale shape: ONE shuffle — the min-per-group runs as a window over
+    * the norm_hash partitioning (map-side partial via AQE); membership
+    * is then a pure projection of the canonical id. No join, no model
+    * collect, no RNG. */
+  def clusterSplit(docs: DataFrame, trainPct: Int = 80,
+                   valPct: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    docs
+      .select(col("doc_id"), col("lang"),
+        md5(norm.cast("binary")).as("norm_hash"))
+      .withColumn("canonical_id",
+        min(col("doc_id")).over(Window.partitionBy(col("norm_hash"))))
+      .withColumn("bucket", bucket100(col("canonical_id")))
+      .select(col("doc_id"), col("lang"), col("canonical_id"),
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
+
   /** Exact-size per-stratum sample: the first `n` rows of each stratum
     * in md5-hash order — a deterministic reservoir (uniform because the
     * hash is, stable across runs and engines because nothing is

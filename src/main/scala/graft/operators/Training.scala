@@ -353,6 +353,48 @@ object Training {
         col("sum_scaled"), col("n_vecs"))
   }
 
+  /** Per-dimension ROBUST scaling ((x − median) / IQR) — the outlier-
+    * immune sibling of [[minmaxScale]], reported as the 64-row summary
+    * (dim, q1/med/q3 in micros, iqr, n_outliers, sum_scaled).
+    *
+    * Determinism: values micro-quantize to exact longs on entry, so the
+    * linearly-interpolated quartiles land on exact binary fractions
+    * (.0/.25/.5/.75 of integer gaps — representable doubles on any
+    * engine), the 1.5·IQR fences are exact double arithmetic on those,
+    * and the scaled-column checksum is a per-element round summed as
+    * longs. Same two-pass shape as min-max (exact quantiles need the
+    * full column): pass 1 reduces to the 64-row stats frame via
+    * `percentile` (per-dim sort of a numeric column — at 100 TB swap in
+    * `percentile_approx`, same plan shape), pass 2 re-streams against
+    * the BROADCAST stats — no data-sized shuffle. */
+  def robustScale(s: SparkSession, dir: String): DataFrame = {
+    val el = Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("v").cast("double") * 1e6).cast("long").as("m"))
+    val stats = el.groupBy(col("dim")).agg(
+      expr("percentile(m, array(0.25D, 0.5D, 0.75D))").as("qs"))
+      .select(col("dim"),
+        element_at(col("qs"), 1).as("q1_micros"),
+        element_at(col("qs"), 2).as("med_micros"),
+        element_at(col("qs"), 3).as("q3_micros"))
+      .withColumn("iqr_micros", col("q3_micros") - col("q1_micros"))
+    el.join(broadcast(stats), "dim")
+      .groupBy(col("dim"), col("q1_micros"), col("med_micros"),
+        col("q3_micros"), col("iqr_micros"))
+      .agg(
+        sum(when(col("m") < col("q1_micros") - lit(1.5) * col("iqr_micros") ||
+            col("m") > col("q3_micros") + lit(1.5) * col("iqr_micros"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        sum(when(col("iqr_micros") > 0,
+            round(lit(1e6) * (col("m") - col("med_micros")) /
+              col("iqr_micros")).cast("long"))
+          .otherwise(0L)).as("sum_scaled"))
+      .select(col("dim"), col("q1_micros"), col("med_micros"),
+        col("q3_micros"), col("iqr_micros"), col("n_outliers"),
+        col("sum_scaled"))
+  }
+
   /** Per-vector L2 normalization: (vec_id, norm_micros, unit_checksum).
     * Fully row-local — micro-quantize, Σx² (≤ 64·(1.1e6)² ≈ 7.7e13,
     * exact long and double), one IEEE sqrt, and the normalized vector's

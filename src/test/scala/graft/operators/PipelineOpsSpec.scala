@@ -271,6 +271,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(join.toSeq === lit.toSeq)
   }
 
+  test("clusterSplit: normalized duplicates never straddle a split boundary") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    // append exact copies of 5 docs under new ids: every copy must land
+    // in the SAME split as its original (the leakage guarantee)
+    val copies = docs.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    val split = Sampling.clusterSplit(docs.unionByName(copies))
+    val perGroup = split.groupBy("canonical_id")
+      .agg(countDistinct("split").as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(perGroup === 0L)
+    // the copies resolve to their originals' canonical ids
+    val copyRows = split.filter(col("doc_id") >= 100000L).collect()
+    assert(copyRows.length === 5)
+    copyRows.foreach(r =>
+      assert(r.getAs[Long]("canonical_id") === r.getAs[Long]("doc_id") - 100000L))
+    // all three splits are populated at fixture scale
+    assert(split.select("split").distinct().count() === 3L)
+  }
+
+  test("robustScale: fences bound the quartiles and outliers are a minority") {
+    val rows = Training.robustScale(spark, sf).collect()
+    assert(rows.length === 64)
+    rows.foreach { r =>
+      val (q1, med, q3) = (r.getAs[Double]("q1_micros"),
+        r.getAs[Double]("med_micros"), r.getAs[Double]("q3_micros"))
+      assert(q1 <= med && med <= q3, s"dim ${r.getAs[Long]("dim")}")
+      assert(r.getAs[Double]("iqr_micros") === q3 - q1)
+      // 1.5-IQR fences flag at most a small tail on any real distribution
+      assert(r.getAs[Long]("n_outliers") <= 50, s"dim ${r.getAs[Long]("dim")}")
+    }
+  }
+
   test("topNPerStratum takes exactly min(n, stratum size) per stratum") {
     val docs = Tables.documents(spark, sf)
     val sizes = Sampling.topNPerStratum(spark, docs, 7)
