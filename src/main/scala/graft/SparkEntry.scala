@@ -294,6 +294,7 @@ object SparkEntry {
     "ml5_robust_scale" -> (Training.robustScale(_, _)),
     "samp7_cluster_split" -> ((s, dir) =>
       Sampling.clusterSplit(Tables.documents(s, dir))),
+    "sim_ann_ivfpq" -> (Similarity.annIvfPq(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2793,6 +2794,7 @@ object SparkEntry {
              WHEN bucket < 90 THEN 'val'
              ELSE 'test' END AS split
       FROM b""",
+    "sim_ann_ivfpq" -> ivfPqSql,
   )
 
   // ---- shared DuckDB oracle fragments ----
@@ -2930,6 +2932,78 @@ object SparkEntry {
       FROM short s JOIN e ON e.vec_id = s.vec_id, q
       ORDER BY cos_sim DESC, s.vec_id ASC LIMIT 10"""
 
+
+  /** IVF-PQ (Similarity.annIvfPq): the ivfSql coarse stages (cent /
+    * probes / assigned) feeding the pqAnnSql compressed-scoring stages,
+    * with PQ codebook and codes built from RESIDUALS against the
+    * assigned cell centroid and one ADC table per probed cell. */
+  private def ivfPqSql: String = raw"""
+      WITH cent AS (
+        SELECT cell, list(m ORDER BY dim) AS centroid FROM (
+          SELECT label AS cell, r.range AS dim,
+            round(avg(CAST(embedding[r.range + 1] AS DOUBLE)), 6) AS m
+          FROM embeddings, range(0, 64) r GROUP BY label, r.range)
+        GROUP BY cell),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      assigned AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT e.vec_id, e.v, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              round(1 - list_cosine_similarity(e.v, c.centroid::DOUBLE[]), 6)
+                ASC, c.cell ASC) AS rn
+          FROM e, cent c WHERE e.vec_id <> 0)
+        WHERE rn = 1),
+      res AS (
+        SELECT a.vec_id, a.cell,
+          list_transform(range(1, 65), i -> a.v[i] - c.centroid[i]) AS rv
+        FROM assigned a JOIN cent c ON a.cell = c.cell),
+      cb AS (
+        SELECT vec_id - 1 AS j, list_transform(rv, x -> round(x, 6)) AS c
+        FROM res WHERE vec_id BETWEEN 1 AND 16),
+      sub AS (SELECT j, m.range AS m, c[m.range*8+1 : m.range*8+8] AS sc
+              FROM cb, range(0, 8) m),
+      probes AS (
+        SELECT cell FROM cent, q
+        ORDER BY round(1 - list_cosine_similarity(centroid::DOUBLE[], qv), 6)
+          ASC, cell ASC
+        LIMIT 3),
+      qres AS (
+        SELECT p.cell,
+          list_transform(range(1, 65), i -> q.qv[i] - c.centroid[i]) AS qrv
+        FROM probes p JOIN cent c ON p.cell = c.cell, q),
+      ev AS (
+        SELECT r.vec_id, r.cell, m.range AS m,
+          r.rv[m.range*8+1 : m.range*8+8] AS sv
+        FROM res r, range(0, 8) m
+        WHERE r.cell IN (SELECT cell FROM probes)),
+      enc AS (SELECT vec_id, cell, m, j FROM (
+          SELECT ev.vec_id, ev.cell, ev.m, sub.j,
+            row_number() OVER (PARTITION BY ev.vec_id, ev.m ORDER BY
+              round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(1, 9),
+                  i -> (ev.sv[i] - sub.sc[i]) * (ev.sv[i] - sub.sc[i]))),
+                (acc, x) -> acc + x), 6) ASC, sub.j ASC) AS rn
+          FROM ev JOIN sub ON ev.m = sub.m) WHERE rn = 1),
+      qdt AS (SELECT qr.cell, sub.m, sub.j,
+          round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, 9),
+              i -> (qr.qrv[sub.m*8+i] - sub.sc[i]) *
+                   (qr.qrv[sub.m*8+i] - sub.sc[i]))),
+            (acc, x) -> acc + x), 6) AS dist
+        FROM sub, qres qr),
+      adc AS (SELECT enc.vec_id,
+          CAST(sum(CAST(round(qdt.dist * 1000000) AS BIGINT)) AS DOUBLE)
+            / 1000000.0 AS adc_dist
+        FROM enc JOIN qdt ON enc.cell = qdt.cell AND enc.m = qdt.m
+          AND enc.j = qdt.j
+        GROUP BY enc.vec_id),
+      short AS (SELECT vec_id, adc_dist FROM adc
+                ORDER BY adc_dist ASC, vec_id ASC LIMIT 50)
+      SELECT s.vec_id, s.adc_dist,
+        round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+      FROM short s JOIN e ON e.vec_id = s.vec_id, q
+      ORDER BY cos_sim DESC, s.vec_id ASC LIMIT 10"""
 
   /** The BPE training loop (Training.bpeRun) as a recursive CTE,
     * shared by tok1_bpe_train (reads the rule columns) and

@@ -410,6 +410,90 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ combined ANN — the two halves ([[annIvf]]'s coarse
+    * partition pruning, [[annPq]]'s compressed in-cell scoring) composed
+    * into the architecture a 100 TB vector store actually runs
+    * (FAISS IVFPQ): the coarse quantizer routes the query to `nprobe`
+    * cells, and within those cells rows are scored from M one-byte PQ
+    * codes of the RESIDUAL (vector − cell centroid) — residual encoding
+    * is what makes a shared codebook tight across cells, since residuals
+    * of every cell live near the origin. The query builds one ADC table
+    * per probed cell (its residual differs per cell); the top `shortlist`
+    * by ADC distance re-rank with exact cosine.
+    *
+    * Scale shape: centroids and codebook are K-row/16-row model literals
+    * (broadcast-the-model); assignment, residual, and encoding are
+    * zero-shuffle narrow maps; the probe join broadcasts nprobe
+    * single-row tables; the scan reads 8-byte codes, not vectors, and
+    * with the cell-partitioned layout of [[annIvfIndexed]] it would read
+    * only the probed partitions. Determinism: centroids 6dp-rounded,
+    * residuals exact double subtraction, codebook entries 6dp-rounded,
+    * subspace distances 6dp-rounded, ADC summed as exact integer micros
+    * — the DuckDB oracle replays every stage bit-for-bit. */
+  def annIvfPq(s: SparkSession, dir: String, k: Int = 10, nprobe: Int = 3,
+               m: Int = 8, dsub: Int = 8, ksub: Int = 16,
+               shortlist: Int = 50): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val cents = centLiteral(quantizer(e).collect()) // K model rows
+    val dists = distsTo(cents) _
+    def cellOf(v: Column): Column = array_min(dists(v)).getField("cell")
+    // residual against the assigned/probed cell's centroid
+    def resid(v: Column, cell: Column): Column =
+      zip_with(v.cast("array<double>"),
+        element_at(filter(cents, c => c.getField("cell") === cell), 1)
+          .getField("centroid"),
+        (x, mu) => x - mu)
+    // codebook: 6dp-rounded RESIDUALS of corpus vectors 1..ksub,
+    // computed through the same column expressions the corpus uses
+    // (collected as a 16-row model — bit-parity with the oracle by
+    // construction, never a driver-side re-implementation)
+    val cbRows = e.filter(col("vec_id") >= 1 && col("vec_id") <= ksub)
+      .select(col("vec_id"),
+        transform(resid(col("embedding"), cellOf(col("embedding"))),
+          x => round(x, 6)).as("rv"))
+      .collect().sortBy(_.getLong(0))
+    def book(mi: Int): Column = array(cbRows.zipWithIndex.map { case (r, j) =>
+      struct(lit(j).as("j"),
+        array(r.getSeq[Double](1).slice(mi * dsub, (mi + 1) * dsub)
+          .map(lit): _*).as("c"))
+    }.toIndexedSeq: _*)
+    def subv(v: Column, mi: Int): Column = slice(v, mi * dsub + 1, dsub)
+    def dist(a: Column, b: Column): Column =
+      round(call_function("l2_sq", a, b), 6)
+    def codes(rv: Column): Column = array((0 until m).map { mi =>
+      array_min(transform(book(mi), c =>
+        struct(dist(subv(rv, mi), c.getField("c")).as("d"),
+          c.getField("j").as("j")))).getField("j")
+    }: _*)
+    def dts(rv: Column): Column = array((0 until m).map { mi =>
+      transform(book(mi), c => dist(subv(rv, mi), c.getField("c")))
+    }: _*)
+    // probes: nprobe nearest cells, each carrying the query's
+    // PER-CELL residual ADC table
+    val probes = queryVec(s, dir)
+      .select(col("q"), posexplode(array_sort(dists(col("q")))))
+      .filter(col("pos") < nprobe)
+      .select(col("q"), col("col").getField("cell").as("cell"))
+      .withColumn("dt", dts(resid(col("q"), col("cell"))))
+    e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"),
+        cellOf(col("embedding")).as("cell"))
+      .withColumn("code", codes(resid(col("embedding"), col("cell"))))
+      .join(broadcast(probes), "cell")
+      .select(col("vec_id"), col("embedding"), col("q"),
+        (aggregate(zip_with(col("code"), col("dt"),
+          (c, t) => element_at(t, (c + 1).cast("int"))), lit(0L),
+          (acc, x) => acc + round(x * 1e6).cast("long")).cast("double") / 1e6)
+          .as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(shortlist)
+      .select(col("vec_id"), col("adc_dist"),
+        round(cosine(col("embedding"), col("q")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Lloyd's k-means over the embedding corpus — the actual quantizer
     * training annIvf's per-label stand-in skips: `iters` rounds of
     * assign-to-nearest / recompute-means from a deterministic init (the

@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Round-6 operators: IVF-PQ combined ANN. Values are pinned by the
+  * DuckDB oracle; these tests pin recall, exact-re-rank math, and the
+  * plan shape.
+  */
+class Round6Spec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("ivfpq: re-ranked scores are exact; candidates agree with plain IVF") {
+    val ipq = Similarity.annIvfPq(spark, sf).collect()
+    assert(ipq.length === 10)
+    // the re-rank is exact math: every returned cos_sim equals what
+    // brute force computes for the same vec_id (IVF-family convention —
+    // at tiny SF the probed cells need not hold the global top-1)
+    val bruteScores = Similarity.annBruteForce(spark, sf, k = 1000).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    ipq.foreach { r =>
+      assert(bruteScores(r.getLong(0)) === r.getAs[Double]("cos_sim"),
+        s"id ${r.getLong(0)}")
+    }
+    // composed vs coarse-only: same probed cells, so with a shortlist
+    // that covers the candidate pool the two top-10 sets largely agree
+    val ivf = Similarity.annIvf(spark, sf).collect().map(_.getLong(0)).toSet
+    val overlap = ipq.map(_.getLong(0)).count(ivf.contains)
+    assert(overlap >= 7, s"ivfpq/ivf top-10 overlap only $overlap")
+  }
+
+  test("ivfpq: assignment+encoding are narrow, probe join broadcasts — no corpus shuffle") {
+    val p = plan(Similarity.annIvfPq(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"IVF-PQ corpus path must not shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"probe join should broadcast the nprobe rows:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"shortlist must be heap-based:\n$p")
+  }
+}
