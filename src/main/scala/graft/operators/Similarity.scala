@@ -476,11 +476,14 @@ object Similarity {
       .filter(col("pos") < nprobe)
       .select(col("q"), col("col").getField("cell").as("cell"))
       .withColumn("dt", dts(resid(col("q"), col("cell"))))
+    // probe join BEFORE encoding: codes are per-row independent, so
+    // only candidate (probed-cell) rows pay the 1024-mult encode — in
+    // an indexed deployment codes are precomputed at build time anyway
     e.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("embedding"),
         cellOf(col("embedding")).as("cell"))
-      .withColumn("code", codes(resid(col("embedding"), col("cell"))))
       .join(broadcast(probes), "cell")
+      .withColumn("code", codes(resid(col("embedding"), col("cell"))))
       .select(col("vec_id"), col("embedding"), col("q"),
         (aggregate(zip_with(col("code"), col("dt"),
           (c, t) => element_at(t, (c + 1).cast("int"))), lit(0L),
