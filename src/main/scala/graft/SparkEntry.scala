@@ -2541,6 +2541,7 @@ object SparkEntry {
       SELECT m.method, CAST(count(*) AS BIGINT) AS hits,
              round(count(*) / 10.0, 4) AS recall_at_10
       FROM (          SELECT 'ivf' AS method, vec_id FROM ($ivfSql)
+            UNION ALL SELECT 'ivfpq' AS method, vec_id FROM ($ivfPqSql)
             UNION ALL SELECT 'lsh' AS method, vec_id FROM ($lshAnnSql)
             UNION ALL SELECT 'pq'  AS method, vec_id FROM ($pqAnnSql)
             UNION ALL SELECT 'sq'  AS method, vec_id FROM ($sqAnnSql)) m

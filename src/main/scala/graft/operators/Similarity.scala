@@ -658,6 +658,7 @@ object Similarity {
     val truth = broadcast(annBruteForce(s, dir).select(col("vec_id")))
     val shortlists = Seq(
       ("ivf", annIvf(s, dir)),
+      ("ivfpq", annIvfPq(s, dir)),
       ("lsh", annLsh(s, dir)),
       ("pq", annPq(s, dir)),
       ("sq", annScalarQuant(s, dir)))
