@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.TimestampType
 
 /** Testdata-drift canary. The driver regenerates `/root/testdata` between
   * rounds and has already changed physical types once (round 5: events.ts
@@ -26,19 +26,30 @@ object TableProbe {
     tables.foreach { t =>
       try println(s"[probe] $t :: " + Tables.load(spark, dir, t).schema.simpleString)
       catch { case e: Throwable =>
-        val msg = s"TESTDATA DRIFT: '$t' under $dir failed raw load " +
-          s"(physical schema changed?): ${e.getMessage}"
-        System.err.println(s"[probe] $msg")
-        problems(s"_probe_$t") = msg
+        // 'events' has a SUPPORTED legacy encoding (TIMESTAMP(NANOS))
+        // whose raw load is expected to fail — only a drift if the
+        // normalized loader below can't handle it either, so don't
+        // flag it here (the check below is authoritative for events).
+        if (t == "events")
+          println(s"[probe] events :: raw load failed (legacy NANOS " +
+            s"encoding? deferring to the Tables.events check): ${e.getMessage}")
+        else {
+          val msg = s"TESTDATA DRIFT: '$t' under $dir failed raw load " +
+            s"(physical schema changed?): ${e.getMessage}"
+          System.err.println(s"[probe] $msg")
+          problems(s"_probe_$t") = msg
+        }
       }
     }
-    // Normalized-loader invariant: events.ts must come out as a session-TZ
-    // timestamp whatever the physical encoding was (long nanos / NTZ / LTZ).
+    // Normalized-loader invariant: events.ts must come out as the
+    // session-TZ TimestampType whatever the physical encoding was (long
+    // nanos / NTZ / LTZ) — NTZ leaking through unconverted would make
+    // window/unix semantics silently depend on the session staying UTC.
     try {
       val evTs = Tables.events(spark, dir).schema("ts").dataType
-      if (evTs != TimestampType && evTs != TimestampNTZType) {
+      if (evTs != TimestampType) {
         val msg = s"TESTDATA DRIFT: Tables.events normalized ts to $evTs, " +
-          "expected a timestamp — update Tables.events for the new encoding"
+          "expected TimestampType — update Tables.events for the new encoding"
         System.err.println(s"[probe] $msg")
         problems("_probe_events_ts") = msg
       } else println(s"[probe] events.ts normalized -> $evTs")

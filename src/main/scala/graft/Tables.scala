@@ -42,11 +42,24 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val raw =
       try load(s, d, "events")
-      catch { case _: org.apache.spark.SparkException | _: org.apache.spark.sql.AnalysisException =>
-        // Legacy TIMESTAMP(NANOS) files: the conf must stay set for the
-        // scan's execution phase, so it is only ever touched on this path.
+      catch { case scala.util.control.NonFatal(_) =>
+        // Legacy TIMESTAMP(NANOS) files (PARQUET_TYPE_ILLEGAL at schema
+        // read — the concrete exception class varies by Spark version,
+        // so match any non-fatal failure). On a successful retry the
+        // conf must stay set for the scan's execution phase; if the
+        // retry ALSO fails (e.g. missing file) the prior value is
+        // restored so an unrelated error can't leave a lasting session
+        // mutation that would mask future NANOS columns as longs.
+        val prior = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        load(s, d, "events")
+        try load(s, d, "events")
+        catch { case scala.util.control.NonFatal(e2) =>
+          prior match {
+            case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+            case None => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+          }
+          throw e2
+        }
       }
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -33,16 +33,23 @@ object Dedup {
       .groupBy(md5(col("text").cast("binary")).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
 
-  /** Normalized-exact dedup: case-fold, strip non-alphanumerics, collapse
-    * whitespace, then digest-group — catches formatting-only duplicates.
-    */
-  def normalized(docs: DataFrame): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+  /** The normalized-content digest: case-fold, strip non-alphanumerics,
+    * collapse whitespace, md5. THE definition of "same content up to
+    * formatting" — shared by [[normalized]] and
+    * `Sampling.clusterSplit`, so dedup groups and leakage-safe split
+    * groups agree by construction (an edit here changes both). */
+  private[operators] def normHash(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+      .cast("binary"))
+
+  /** Normalized-exact dedup: [[normHash]]-group — catches
+    * formatting-only duplicates. */
+  def normalized(docs: DataFrame): DataFrame =
     docs
-      .groupBy(md5(norm.cast("binary")).as("norm_hash"))
+      .groupBy(normHash(col("text")).as("norm_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
-  }
 
   /** Token-set (1-gram) Jaccard similarity — the exact-verification
     * kernel the LSH pipeline reuses, and the DuckDB-oracle-checkable

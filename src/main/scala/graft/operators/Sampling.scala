@@ -83,11 +83,9 @@ object Sampling {
   def clusterSplit(docs: DataFrame, trainPct: Int = 80,
                    valPct: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
     docs
       .select(col("doc_id"), col("lang"),
-        md5(norm.cast("binary")).as("norm_hash"))
+        Dedup.normHash(col("text")).as("norm_hash"))
       .withColumn("canonical_id",
         min(col("doc_id")).over(Window.partitionBy(col("norm_hash"))))
       .withColumn("bucket", bucket100(col("canonical_id")))

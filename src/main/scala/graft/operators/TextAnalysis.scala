@@ -425,12 +425,13 @@ object TextAnalysis {
     * projection. No explode, no join, no exchange of corpus data.
     *
     * That literal degenerates if someone points `evalMaxId` at a
-    * corpus-sized slice, so the eval set is COUNTED first (cheap one-time
-    * job) and logged; past `maxLiteralNgrams` the operator switches to
-    * the explode + broadcast-hash-join fallback — still no corpus
-    * shuffle of text (only (doc_id, gram) pairs to a map-side-combined
-    * re-agg), and the driver never collects the oversized set at all.
-    * Both paths are row-identical (spec-asserted). */
+    * corpus-sized slice, so the collect is CAPPED at cutoff+1 rows (one
+    * action both sizes the set and, when small, supplies the model);
+    * past `maxLiteralNgrams` the operator switches to the explode +
+    * broadcast-hash-join fallback — still no corpus shuffle of text
+    * (only (doc_id, gram) pairs to a map-side-combined re-agg), and the
+    * driver never holds more than cutoff+1 eval rows. Both paths are
+    * row-identical (spec-asserted). */
   def contamination(s: SparkSession, dir: String, n: Int = 3,
                     evalMaxId: Long = 10,
                     maxLiteralNgrams: Int = 100000): DataFrame = {
@@ -442,14 +443,18 @@ object TextAnalysis {
     val corpus = d.filter(col("doc_id") >= evalMaxId)
       .select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
       .select(col("doc_id"), grams(col("tk"), n, distinct = true).as("g"))
-    val nEval = evalDf.count()
-    println(s"[contamination] eval n-gram set: $nEval distinct " +
-      s"(literal-array cutoff $maxLiteralNgrams)")
+    // ONE action decides the branch and (when small) supplies the model:
+    // collect at most cutoff+1 rows — bounded driver memory, and no
+    // separate count() job re-running the eval tokenize/shingle subtree
+    val sample = evalDf.limit(maxLiteralNgrams + 1).collect()
+      .map(_.getString(0))
+    println(s"[contamination] eval n-gram set: " +
+      (if (sample.length <= maxLiteralNgrams) s"${sample.length} distinct"
+       else s">$maxLiteralNgrams distinct") +
+      s" (literal-array cutoff $maxLiteralNgrams)")
     val counted =
-      if (nEval <= maxLiteralNgrams) {
-        val evalNgrams = evalDf.orderBy("g").collect()
-          .map(_.getString(0)).toIndexedSeq
-        val evalLit = array(evalNgrams.map(lit): _*)
+      if (sample.length <= maxLiteralNgrams) {
+        val evalLit = array(sample.sorted.toIndexedSeq.map(lit): _*)
         corpus.select(col("doc_id"),
           size(col("g")).cast("long").as("n_ngrams"),
           size(array_intersect(col("g"), evalLit)).cast("long").as("n_hit"))

@@ -17,27 +17,43 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Raw landing schema: `ts` as raw nano longs — the project's
-    * events.parquet stores parquet TIMESTAMP(NANOS), which Spark 4 only
-    * reads under the legacy nanosAsLong conf (same handling as
-    * graft.Tables.events). */
-  val rawEventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Raw landing schema for `ts` as physical type `tsType` — the
+    * events.parquet generations have shipped long nanos, TIMESTAMP_NTZ,
+    * and could ship TIMESTAMP (see graft.Tables.events). */
+  def rawEventSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
 
   /** File-based stream over event parquet (a landing directory or a
     * glob). At scale this is the landing-zone pattern: each micro-batch
     * picks up newly landed files; state lives in the aggregation, not
-    * the source. Nanos are rebuilt into microsecond timestamps with
-    * integer division (`div`, not `/`: epoch-nanos exceed double's 2^53
-    * exact range). */
+    * the source.
+    *
+    * A file stream needs an explicit schema, so the landing dir's
+    * CURRENT physical encoding is probed with one batch read and the
+    * same dtype-branched normalization as `Tables.events` applies: long
+    * nanos rebuild via integer division (`div`, not `/`: epoch-nanos
+    * exceed double's 2^53 exact range), NTZ casts to the session-UTC
+    * timestamp, LTZ passes through. An empty landing dir defaults to
+    * the current testdata generation (TIMESTAMP_NTZ). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawEventSchema)
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case scala.util.control.NonFatal(_) => TimestampNTZType }
+    val raw = spark.readStream.schema(rawEventSchema(tsType))
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    tsType match {
+      case LongType =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Watermarked tumbling-window count/sum per event type. The 2-hour

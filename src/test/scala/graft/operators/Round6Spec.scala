@@ -1,6 +1,6 @@
-package graft
+package graft.operators
 
-import graft.operators._
+import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** Round-6 operators: IVF-PQ combined ANN. Values are pinned by the

@@ -84,9 +84,32 @@ class EventStreamsSpec extends SparkSpec {
     finally q.stop() // never leak the query — it would spam state-store
                      // maintenance warnings for the rest of the JVM
     // append mode emits only watermark-closed windows; the final window
-    // stays open, so just assert the query ran and produced a frame
+    // stays open, but the month-long fixture closes hundreds
+    val rows = spark.table("wm_test").collect()
     assert(spark.table("wm_test").columns.toSeq ===
       Seq("window_start", "event_type", "n", "sum_value"))
+    assert(rows.nonEmpty, "watermark should have closed windows")
+    // event time must be REAL data time, not an epoch-1970 artifact of
+    // a mis-decoded ts column (the round-6 streaming-reader regression)
+    rows.foreach { r =>
+      val y = r.getAs[java.sql.Timestamp]("window_start")
+        .toLocalDateTime.getYear
+      assert(y >= 2020, s"window_start in $y — ts decoded wrong")
+    }
+    // stream agg must agree with the same aggregation over the batch
+    // loader's normalized ts (closed windows are a subset of batch)
+    val batchWindows = EventStreams.hourlyTypeCounts(
+        graft.Tables.events(spark, sf))
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+        r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toMap
+    rows.foreach { r =>
+      val k = (r.getAs[java.sql.Timestamp]("window_start"),
+        r.getAs[String]("event_type"))
+      assert(batchWindows.contains(k), s"stream window $k absent in batch")
+      assert(batchWindows(k)._1 === r.getAs[Long]("n"), s"count mismatch $k")
+    }
   }
 
   test("streaming dedup drops re-delivered events within the watermark") {
