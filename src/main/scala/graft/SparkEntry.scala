@@ -295,6 +295,8 @@ object SparkEntry {
     "samp7_cluster_split" -> ((s, dir) =>
       Sampling.clusterSplit(Tables.documents(s, dir))),
     "sim_ann_ivfpq" -> (Similarity.annIvfPq(_, _)),
+    "dedup_span_strip" -> ((s, dir) =>
+      Dedup.spanStrip(Tables.documents(s, dir))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2796,6 +2798,38 @@ object SparkEntry {
              ELSE 'test' END AS split
       FROM b""",
     "sim_ann_ivfpq" -> ivfPqSql,
+    // duplicated-span removal (operators.Dedup.spanStrip): spans with
+    // doc-frequency > 1 cover positions [i, i+8); uncovered tokens
+    // rebuild the cleaned text in position order.
+    "dedup_span_strip" -> raw"""
+      WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> len(x) > 0) AS tk FROM documents),
+      st AS (SELECT doc_id, u.i AS i, u.span AS span FROM (
+               SELECT doc_id, unnest(list_transform(range(0, len(tk) - 7),
+                 i -> struct_pack(i := i,
+                   span := md5(array_to_string(tk[i+1:i+8], ' '))))) AS u
+               FROM t WHERE len(tk) >= 8)),
+      dup AS (SELECT span FROM (
+                SELECT span, count(DISTINCT doc_id) AS df
+                FROM st GROUP BY 1) WHERE df > 1),
+      cov AS (SELECT DISTINCT doc_id, p FROM (
+                SELECT doc_id, unnest(range(i, i + 8)) AS p
+                FROM st JOIN dup USING (span))),
+      pos AS (SELECT doc_id, p, tk[p + 1] AS tok FROM (
+                SELECT doc_id, tk, unnest(range(len(tk))) AS p FROM t)),
+      kept AS (SELECT pos.doc_id, pos.p, pos.tok FROM pos
+               WHERE NOT EXISTS (SELECT 1 FROM cov
+                 WHERE cov.doc_id = pos.doc_id AND cov.p = pos.p)),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                string_agg(tok, ' ' ORDER BY p) AS clean
+              FROM kept GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+        coalesce(a.n_kept, 0) AS n_kept,
+        CAST(len(t.tk) AS BIGINT) - coalesce(a.n_kept, 0) AS n_removed,
+        md5(coalesce(a.clean, '')) AS clean_hash,
+        substr(coalesce(a.clean, ''), 1, 60) AS clean_head
+      FROM t LEFT JOIN agg a USING (doc_id)""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -470,6 +470,56 @@ object Dedup {
     * itself as cross-doc. At 100 TB the span→count map is the big
     * intermediate; both aggregations partial-aggregate map-side.
     */
+  /** Cross-document duplicated-span REMOVAL — the rewrite step behind
+    * [[dupSpans]]' accounting (substring-level dedup à la "Deduplicating
+    * Training Data Makes Language Models Better": an n-gram span that
+    * appears in more than one document is boilerplate; every token it
+    * covers is stripped and the per-doc cleaned text is rebuilt).
+    *
+    * Scale shape: span starts are a narrow posexplode (positions matter
+    * here, unlike dupSpans' distinct counting); doc-frequency is one
+    * map-side-combined aggregation over 16-byte span hashes; coverage
+    * explodes each duplicated occurrence into its n positions (bounded
+    * by n × dup occurrences); the strip is a left-anti join on
+    * (doc_id, pos) longs; the rebuild is one per-doc aggregation whose
+    * ordered array_sort keeps the result engine-independent. No text is
+    * ever shuffled except the kept tokens of the final rebuild — and a
+    * production pipeline would write those out anyway. */
+  def spanStrip(docs: DataFrame, n: Int = 8): DataFrame = {
+    val tokens = docs.select(col("doc_id"), toks(col("text")).as("tk"))
+    val starts = tokens
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("tk")) - n),
+          i => md5(concat_ws(" ", slice(col("tk"), i + 1, lit(n)))))))
+      .select(col("doc_id"), col("pos").cast("long").as("i"),
+        col("col").as("span"))
+    val dup = starts.select(col("doc_id"), col("span")).distinct()
+      .groupBy(col("span")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1)
+      .select(col("span"))
+    val covered = starts.join(dup, "span")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
+      .distinct()
+    val positions = tokens
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("tok"))
+    val kept = positions.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok"))).as("clean"))
+    tokens.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        md5(coalesce(col("clean"), lit("")).cast("binary")).as("clean_hash"),
+        substring(coalesce(col("clean"), lit("")), 1, 60).as("clean_head"))
+  }
+
   def dupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
     val tk = col("tk")
     val spans = when(size(tk) >= n,

@@ -31,6 +31,29 @@ class Round6Spec extends SparkSpec {
     assert(overlap >= 7, s"ivfpq/ivf top-10 overlap only $overlap")
   }
 
+  test("spanStrip: cloned text is fully stripped, unique text fully kept") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"alpha$i").mkString(" ")
+    val unique = (1 to 12).map(i => s"beta$i").mkString(" ")
+    val mixed = (1 to 4).map(i => s"gamma$i").mkString(" ") + " " + shared
+    val docs = Seq(
+      (1L, shared), (2L, shared),  // clone pair: every token span-covered
+      (3L, unique),                // no shared 8-gram anywhere
+      (4L, mixed)                  // unique 4-token prefix + shared tail
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanStrip(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_head"))).toMap
+    assert(out(1L)._2 === 0L, "clone must lose every covered token")
+    assert(out(2L)._2 === 0L)
+    assert(out(3L) === ((12L, 12L, unique.take(60))), "unique doc untouched")
+    // the mixed doc keeps ONLY its unique prefix: the shared 12-token
+    // tail is covered by spans duplicated against docs 1 and 2
+    assert(out(4L)._1 === 16L)
+    assert(out(4L)._3 === (1 to 4).map(i => s"gamma$i").mkString(" "))
+  }
+
   test("ivfpq: assignment+encoding are narrow, probe join broadcasts — no corpus shuffle") {
     val p = plan(Similarity.annIvfPq(spark, sf))
     assert(!p.contains("Exchange hashpartitioning"),
