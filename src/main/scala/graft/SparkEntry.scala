@@ -297,6 +297,8 @@ object SparkEntry {
     "sim_ann_ivfpq" -> (Similarity.annIvfPq(_, _)),
     "dedup_span_strip" -> ((s, dir) =>
       Dedup.spanStrip(Tables.documents(s, dir))),
+    "web2_url_dedup" -> ((s, dir) =>
+      TextAnalysis.urlDedup(Fixtures.withUrls(Tables.documents(s, dir)))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2830,6 +2832,40 @@ object SparkEntry {
         md5(coalesce(a.clean, '')) AS clean_hash,
         substr(coalesce(a.clean, ''), 1, 60) AS clean_head
       FROM t LEFT JOIN agg a USING (doc_id)""",
+    // URL-level dedup (TextAnalysis.urlDedup over the withUrls fixture):
+    // tracking/fragment variants collapse onto host||path; min doc_id
+    // survives.
+    "web2_url_dedup" -> raw"""
+      WITH d AS (SELECT doc_id, text || ' see https://' ||
+          CASE doc_id % 4 WHEN 0 THEN 'Example.COM'
+                          WHEN 1 THEN 'www.News.example.org'
+                          WHEN 2 THEN 'CDN.media.example'
+                          ELSE 'shop.example.net' END ||
+          '/p/' || CAST(doc_id % 7 AS VARCHAR) ||
+          CASE WHEN doc_id % 11 = 2 THEN '&raw' ELSE '' END ||
+          CASE WHEN doc_id % 3 = 0
+               THEN '?utm_source=feed&utm_campaign=c' ||
+                    CAST(doc_id % 5 AS VARCHAR)
+               WHEN doc_id % 5 = 1
+               THEN '?utm_medium=email&page=' || CAST(doc_id % 7 AS VARCHAR)
+               ELSE '' END ||
+          CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS text
+        FROM documents),
+      u AS (SELECT doc_id, regexp_extract(text, 'https?://[^\s]+', 0) AS url
+            FROM d),
+      c AS (SELECT doc_id, regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(url, '#[^\s]*', '', 'g'),
+            '&utm_[a-z]+=[^&#\s]*', '', 'g'),
+          '\?utm_[a-z]+=[^&#\s]*&', '?'),
+          '\?utm_[a-z]+=[^&#\s]*', '') AS nt FROM u),
+      p AS (SELECT doc_id, regexp_replace(lower(regexp_extract(nt,
+            '^https?://([^/]+)', 1)), '^www\.', '') AS host,
+          regexp_extract(nt, '^https?://[^/]+(/[^?#\s]*)', 1) AS path
+        FROM c)
+      SELECT host || path AS canonical_url,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        min(doc_id) AS canonical_id
+      FROM p WHERE host <> '' GROUP BY 1""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -782,13 +782,15 @@ object TextAnalysis {
     * stay in the Java ∩ RE2 dialect. All per-row work is one narrow
     * codegen'd projection; the host profile shuffles only (host, path).
     */
-  def urlNormalize(docs: DataFrame): DataFrame = {
+  /** The canonical (host, path) of each doc's first URL — the shared
+    * normalization of [[urlNormalize]] and [[urlDedup]].
+    * utm stripping in three anchored steps, so ONLY actual utm params
+    * are touched (an unconditional orphan-'&' repair would corrupt
+    * URLs with a literal '&' in the path): drop non-leading utms,
+    * then a leading utm followed by a kept param hands its '?' over,
+    * then a leading utm with no successor leaves with its '?'. */
+  private def hostPath(docs: DataFrame): DataFrame = {
     val url = regexp_extract(col("text"), raw"https?://[^\s]+", 0)
-    // utm stripping in three anchored steps, so ONLY actual utm params
-    // are touched (an unconditional orphan-'&' repair would corrupt
-    // URLs with a literal '&' in the path): drop non-leading utms,
-    // then a leading utm followed by a kept param hands its '?' over,
-    // then a leading utm with no successor leaves with its '?'
     val noFrag = regexp_replace(url, raw"#[^\s]*", "")
     val noTail = regexp_replace(noFrag, raw"&utm_[a-z]+=[^&#\s]*", "")
     val noLead = regexp_replace(noTail, raw"\?utm_[a-z]+=[^&#\s]*&", "?")
@@ -797,10 +799,26 @@ object TextAnalysis {
       lower(regexp_extract(noTrack, raw"^https?://([^/]+)", 1)), raw"^www\.", "")
     val path = regexp_extract(noTrack, raw"^https?://[^/]+(/[^?#\s]*)", 1)
     docs
-      .select(host.as("host"), path.as("path"))
+      .select(col("doc_id"), host.as("host"), path.as("path"))
       .filter(col("host") =!= "")
+  }
+
+  def urlNormalize(docs: DataFrame): DataFrame =
+    hostPath(docs)
       .groupBy(col("host"))
       .agg(count(lit(1)).as("n_pages"),
         countDistinct(col("path")).as("n_paths"))
-  }
+
+  /** URL-level dedup — the crawl-frontier step: tracking-param and
+    * fragment variants of one page collapse onto a canonical URL; the
+    * smallest doc_id per canonical URL survives. Same one-shuffle
+    * digest-group shape as exact content dedup, but keyed on the
+    * normalized URL instead of the text digest — at crawl scale this
+    * runs BEFORE fetching/deduping content, which is why it is its own
+    * operator and not a special case of [[Dedup.exact]]. */
+  def urlDedup(docs: DataFrame): DataFrame =
+    hostPath(docs)
+      .groupBy(concat(col("host"), col("path")).as("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("canonical_id"))
 }
