@@ -32,6 +32,26 @@ class TableProbeSpec extends SparkSpec {
     assert(problems("_probe_nation").contains("TESTDATA DRIFT"))
   }
 
+  test("events legacy branch: raw long nanos rebuild to the same instants") {
+    // write a fixture-shaped events table whose ts is raw BIGINT nanos —
+    // the loader's LongType branch must rebuild the exact instants the
+    // current-generation load produces
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nanos").toFile
+    val current = Tables.events(spark, sf)
+    current
+      .withColumn("ts", (unix_micros(col("ts")) * 1000L).cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/events.parquet")
+    val legacy = Tables.events(spark, tmp.toString)
+    assert(legacy.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    val a = current.select("event_id", "ts").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    val b = legacy.select("event_id", "ts").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    assert(a === b)
+  }
+
   test("events normalizes to TimestampType on the current generation") {
     assert(Tables.events(spark, sf).schema("ts").dataType ===
       org.apache.spark.sql.types.TimestampType)
