@@ -62,4 +62,18 @@ class Round6Spec extends SparkSpec {
       s"probe join should broadcast the nprobe rows:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"shortlist must be heap-based:\n$p")
   }
+
+  test("clusterSplit: exactly one shuffle (the norm-hash window), no join") {
+    val p = plan(graft.operators.Sampling.clusterSplit(
+      graft.Tables.documents(spark, sf)))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"split must be window-over-one-partitioning:\n$p")
+    assert(!p.contains("Join"), s"split must not join:\n$p")
+  }
+
+  test("ml5: stats side joins back via broadcast, no data-sized shuffle on pass 2") {
+    val p = plan(graft.operators.Training.robustScale(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"64-row stats frame must broadcast:\n$p")
+  }
 }
