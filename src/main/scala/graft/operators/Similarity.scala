@@ -236,10 +236,12 @@ object Similarity {
         c.getField("cell").as("cell")))
 
   def annIvf(s: SparkSession, dir: String, k: Int = 10,
-             nprobe: Int = 3): DataFrame = {
+             nprobe: Int = 3, sharedCents: Option[Column] = None): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    val cents = centLiteral(quantizer(e).collect()) // K model rows, not data
+    // K model rows, not data; callers running several IVF-family methods
+    // (annRecall) pass the collected model in so it builds once
+    val cents = sharedCents.getOrElse(centLiteral(quantizer(e).collect()))
     val dists = distsTo(cents) _
     // query probes its nprobe nearest cells (single-row subtree)
     val probes = queryVec(s, dir)
@@ -432,10 +434,11 @@ object Similarity {
     * — the DuckDB oracle replays every stage bit-for-bit. */
   def annIvfPq(s: SparkSession, dir: String, k: Int = 10, nprobe: Int = 3,
                m: Int = 8, dsub: Int = 8, ksub: Int = 16,
-               shortlist: Int = 50): DataFrame = {
+               shortlist: Int = 50,
+               sharedCents: Option[Column] = None): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    val cents = centLiteral(quantizer(e).collect()) // K model rows
+    val cents = sharedCents.getOrElse(centLiteral(quantizer(e).collect()))
     val dists = distsTo(cents) _
     def cellOf(v: Column): Column = array_min(dists(v)).getField("cell")
     // residual against the assigned/probed cell's centroid
@@ -656,9 +659,13 @@ object Similarity {
     * neighbors downstream. */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     val truth = broadcast(annBruteForce(s, dir).select(col("vec_id")))
+    // the IVF-family coarse quantizer is one model — collect it once and
+    // hand the literal to both methods instead of re-running the
+    // centroid aggregation per method
+    val cents = centLiteral(quantizer(Tables.embeddings(s, dir)).collect())
     val shortlists = Seq(
-      ("ivf", annIvf(s, dir)),
-      ("ivfpq", annIvfPq(s, dir)),
+      ("ivf", annIvf(s, dir, sharedCents = Some(cents))),
+      ("ivfpq", annIvfPq(s, dir, sharedCents = Some(cents))),
       ("lsh", annLsh(s, dir)),
       ("pq", annPq(s, dir)),
       ("sq", annScalarQuant(s, dir)))
