@@ -299,6 +299,8 @@ object SparkEntry {
       Dedup.spanStrip(Tables.documents(s, dir))),
     "web2_url_dedup" -> ((s, dir) =>
       TextAnalysis.urlDedup(Fixtures.withUrls(Tables.documents(s, dir)))),
+    "text_bm25_indexed" -> ((s, dir) =>
+      TextAnalysis.bm25Indexed(s, dir, Seq("spark", "query", "filter"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1078,33 +1080,11 @@ object SparkEntry {
           AND round(CAST(dup_2gram_n AS DOUBLE) / n_2grams, 4) <= 0.4
           AS BIGINT) AS keep
       FROM u JOIN ga ON u.doc_id = ga.doc_id""",
-    "text_bm25" -> raw"""
-      WITH t AS (SELECT doc_id,
-          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk
-        FROM documents),
-      dl AS (SELECT doc_id, len(tk) AS dl FROM t),
-      stats AS (SELECT count(*) AS n, sum(dl) AS total FROM dl),
-      tf AS (SELECT doc_id, term, count(*) AS tf
-             FROM (SELECT doc_id, unnest(tk) AS term FROM t)
-             WHERE term IN ('spark', 'query', 'filter')
-             GROUP BY 1, 2),
-      idf AS (SELECT term,
-               round(ln(((SELECT n FROM stats) - df + 0.5) / (df + 0.5)
-                 + 1.0), 6) AS idf
-              FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1)),
-      contrib AS (SELECT tf.doc_id,
-          round(idf.idf * (CAST(tf.tf AS DOUBLE) * 2.2) /
-            (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-              (CAST(dl.dl AS DOUBLE) /
-               (SELECT CAST(total AS DOUBLE) / CAST(n AS DOUBLE)
-                FROM stats)))), 6) AS c
-        FROM tf JOIN idf USING (term) JOIN dl USING (doc_id))
-      SELECT doc_id,
-        CAST(sum(CAST(round(c * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6
-          AS score,
-        count(*) AS n_terms
-      FROM contrib GROUP BY doc_id
-      ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    "text_bm25" -> bm25Sql,
+    // the persisted term-bucketed index is score-identical to the
+    // in-session BM25 (same integer tf/df/dl, same formula) — one
+    // shared oracle, like sim_ann_ivf / sim_ann_ivf_indexed
+    "text_bm25_indexed" -> bm25Sql,
     "samp3_split" -> raw"""
       WITH b AS (SELECT doc_id, lang,
           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
@@ -3003,6 +2983,37 @@ object SparkEntry {
       FROM short s JOIN e ON e.vec_id = s.vec_id, q
       ORDER BY cos_sim DESC, s.vec_id ASC LIMIT 10"""
 
+
+  /** BM25 over documents for terms (spark, query, filter) — shared by
+    * text_bm25 and text_bm25_indexed (TextAnalysis.bm25 / bm25Indexed;
+    * the index path is score-identical by construction). */
+  private def bm25Sql: String = raw"""
+      WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk
+        FROM documents),
+      dl AS (SELECT doc_id, len(tk) AS dl FROM t),
+      stats AS (SELECT count(*) AS n, sum(dl) AS total FROM dl),
+      tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM (SELECT doc_id, unnest(tk) AS term FROM t)
+             WHERE term IN ('spark', 'query', 'filter')
+             GROUP BY 1, 2),
+      idf AS (SELECT term,
+               round(ln(((SELECT n FROM stats) - df + 0.5) / (df + 0.5)
+                 + 1.0), 6) AS idf
+              FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1)),
+      contrib AS (SELECT tf.doc_id,
+          round(idf.idf * (CAST(tf.tf AS DOUBLE) * 2.2) /
+            (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+              (CAST(dl.dl AS DOUBLE) /
+               (SELECT CAST(total AS DOUBLE) / CAST(n AS DOUBLE)
+                FROM stats)))), 6) AS c
+        FROM tf JOIN idf USING (term) JOIN dl USING (doc_id))
+      SELECT doc_id,
+        CAST(sum(CAST(round(c * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6
+          AS score,
+        count(*) AS n_terms
+      FROM contrib GROUP BY doc_id
+      ORDER BY score DESC, doc_id ASC LIMIT 10"""
 
   /** IVF-PQ (Similarity.annIvfPq): the ivfSql coarse stages (cent /
     * probes / assigned) feeding the pqAnnSql compressed-scoring stages,

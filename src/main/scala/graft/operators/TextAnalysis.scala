@@ -288,6 +288,71 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BM25 over a PERSISTED, term-bucketed postings index — the text
+    * twin of `Similarity.annIvfIndexed`'s "index once, query many"
+    * path. The index stages (a) postings (term, doc_id, tf, dl —
+    * denormalized with the doc length, as search indexes do) PARTITIONED
+    * by `tb = md5_60(term) mod buckets`, and (b) a one-row corpus-stats
+    * model. A query hashes its terms driver-side (the same Md5Base
+    * kernel the expression uses), so the postings read carries a STATIC
+    * IN-filter on the partition column — only the query terms' bucket
+    * directories are touched. At 100 TB that turns per-query cost from
+    * a full corpus scan+explode into an O(matched buckets) read.
+    * Scores are bit-identical to [[bm25]] (integer tf/df/dl, one shared
+    * formula, micro-quantized sum), so both share one oracle. */
+  def bm25Indexed(s: SparkSession, dir: String, terms: Seq[String],
+                  k: Int = 10, buckets: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val fp = java.lang.Long.toHexString(src.length() ^
+      java.lang.Long.rotateLeft(src.lastModified(), 21))
+    val base =
+      s"/tmp/graft_bm25_index_v1_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$fp"
+    val marker = new java.io.File(s"$base/_built")
+    if (!marker.exists()) {
+      val tk = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+      val dl = tk.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+      tk.select(col("doc_id"), explode(col("tk")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .join(dl, "doc_id")
+        .withColumn("tb",
+          pmod(call_function("md5_base60", col("term")), lit(buckets.toLong)))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$base/postings")
+      dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/stats")
+      marker.createNewFile()
+    }
+    val stats = s.read.parquet(s"$base/stats").collect().head
+    val (n, total) = (stats.getAs[Long]("n"), stats.getAs[Long]("total"))
+    // query-term buckets via the SAME kernel the index-build expression
+    // used — driver-side, so the read plans a static partition filter
+    val tbs = terms.map(t => math.floorMod(graft.functions.Md5Base.hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)),
+      buckets.toLong)).distinct
+    val tf = s.read.parquet(s"$base/postings")
+      .filter(col("tb").isin(tbs: _*))
+      .filter(col("term").isin(terms: _*))
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .select(col("term"),
+        round(log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6)
+          .as("idf"))
+    val avgdl = lit(total).cast("double") / lit(n).cast("double")
+    tf.join(broadcast(idf), "term")
+      .select(col("doc_id"),
+        round(col("idf") * (col("tf").cast("double") * 2.2) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") / avgdl))), 6)
+          .as("c"))
+      .groupBy(col("doc_id"))
+      .agg((sum(round(col("c") * 1e6, 0).cast("long")).cast("double") / 1e6)
+          .as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Unigram language-model scoring — the perplexity-proxy quality
     * filter (the CCNet/KenLM idea with the simplest possible LM): train
     * corpus unigram frequencies, score each document by its mean token

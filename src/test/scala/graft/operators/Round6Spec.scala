@@ -76,4 +76,21 @@ class Round6Spec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"64-row stats frame must broadcast:\n$p")
   }
+
+  test("bm25 indexed: query reads ONLY the terms' bucket partitions; " +
+      "scores identical to the in-session BM25") {
+    val terms = Seq("spark", "query", "filter")
+    val df = TextAnalysis.bm25Indexed(spark, sf, terms)
+    val p = plan(df)
+    // the query terms' hash buckets must land as a STATIC partition
+    // filter on the bucketed postings scan — the O(matched buckets)
+    // read is the whole point of persisting the index
+    assert("PartitionFilters: \\[tb#\\d+L? IN".r.findFirstIn(p).isDefined,
+      s"no static partition pruning on the postings scan:\n$p")
+    val indexed = df.collect().map(_.toSeq).toSeq
+    val inSession = TextAnalysis.bm25(
+      graft.Tables.documents(spark, sf), terms).collect().map(_.toSeq).toSeq
+    assert(indexed === inSession,
+      "persisted-index BM25 must be score-identical to the in-session BM25")
+  }
 }
