@@ -470,28 +470,53 @@ object Dedup {
     * itself as cross-doc. At 100 TB the span→count map is the big
     * intermediate; both aggregations partial-aggregate map-side.
     */
+  /** Positional n-gram span digests of a token array: element i is
+    * md5(tokens[i..i+n)). THE span definition shared by [[dupSpans]]
+    * and [[spanStrip]] — their accounting/rewrite correspondence only
+    * holds while both key spans identically. */
+  private def spanHashes(tk: Column, n: Int): Column =
+    transform(sequence(lit(0), size(tk) - n),
+      i => md5(concat_ws(" ", slice(tk, i + 1, lit(n)))))
+
+  def dupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val tk = col("tk")
+    val spans = when(size(tk) >= n, array_distinct(spanHashes(tk, n)))
+      .otherwise(array(md5(concat_ws(" ", tk))))
+    val docSpans = docs
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), explode(spans).as("span"))
+    val spanDf = docSpans.groupBy(col("span"))
+      .agg(count(lit(1)).as("df")) // distinct-per-doc ⇒ count == doc freq
+    docSpans.join(spanDf, "span")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans") / col("n_spans"), 6).as("dup_frac"),
+        (col("n_dup_spans") * 2 <= col("n_spans")).as("keep"))
+  }
+
   /** Cross-document duplicated-span REMOVAL — the rewrite step behind
     * [[dupSpans]]' accounting (substring-level dedup à la "Deduplicating
     * Training Data Makes Language Models Better": an n-gram span that
     * appears in more than one document is boilerplate; every token it
     * covers is stripped and the per-doc cleaned text is rebuilt).
     *
-    * Scale shape: span starts are a narrow posexplode (positions matter
-    * here, unlike dupSpans' distinct counting); doc-frequency is one
-    * map-side-combined aggregation over 16-byte span hashes; coverage
-    * explodes each duplicated occurrence into its n positions (bounded
-    * by n × dup occurrences); the strip is a left-anti join on
-    * (doc_id, pos) longs; the rebuild is one per-doc aggregation whose
-    * ordered array_sort keeps the result engine-independent. No text is
-    * ever shuffled except the kept tokens of the final rebuild — and a
-    * production pipeline would write those out anyway. */
+    * Scale shape: span starts are a narrow posexplode of [[spanHashes]]
+    * (positions matter here, unlike dupSpans' distinct counting);
+    * doc-frequency is one map-side-combined aggregation over 16-byte
+    * span hashes; coverage explodes each duplicated occurrence into its
+    * n positions (bounded by n × dup occurrences); the strip is a
+    * left-anti join on (doc_id, pos) longs; the rebuild is one per-doc
+    * aggregation whose ordered array_sort keeps the result
+    * engine-independent. No text is ever shuffled except the kept
+    * tokens of the final rebuild — and a production pipeline would
+    * write those out anyway. */
   def spanStrip(docs: DataFrame, n: Int = 8): DataFrame = {
     val tokens = docs.select(col("doc_id"), toks(col("text")).as("tk"))
     val starts = tokens
       .filter(size(col("tk")) >= n)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("tk")) - n),
-          i => md5(concat_ws(" ", slice(col("tk"), i + 1, lit(n)))))))
+      .select(col("doc_id"), posexplode(spanHashes(col("tk"), n)))
       .select(col("doc_id"), col("pos").cast("long").as("i"),
         col("col").as("span"))
     val dup = starts.select(col("doc_id"), col("span")).distinct()
@@ -518,25 +543,5 @@ object Dedup {
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         md5(coalesce(col("clean"), lit("")).cast("binary")).as("clean_hash"),
         substring(coalesce(col("clean"), lit("")), 1, 60).as("clean_head"))
-  }
-
-  def dupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
-    val tk = col("tk")
-    val spans = when(size(tk) >= n,
-      array_distinct(transform(sequence(lit(0), size(tk) - n),
-        i => md5(concat_ws(" ", slice(tk, i + 1, lit(n)))))))
-      .otherwise(array(md5(concat_ws(" ", tk))))
-    val docSpans = docs
-      .select(col("doc_id"), toks(col("text")).as("tk"))
-      .select(col("doc_id"), explode(spans).as("span"))
-    val spanDf = docSpans.groupBy(col("span"))
-      .agg(count(lit(1)).as("df")) // distinct-per-doc ⇒ count == doc freq
-    docSpans.join(spanDf, "span")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
-      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
-        round(col("n_dup_spans") / col("n_spans"), 6).as("dup_frac"),
-        (col("n_dup_spans") * 2 <= col("n_spans")).as("keep"))
   }
 }

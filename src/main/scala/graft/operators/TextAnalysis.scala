@@ -306,8 +306,10 @@ object TextAnalysis {
     val src = new java.io.File(s"$dir/documents.parquet")
     val fp = java.lang.Long.toHexString(src.length() ^
       java.lang.Long.rotateLeft(src.lastModified(), 21))
-    val base =
-      s"/tmp/graft_bm25_index_v1_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$fp"
+    // the bucket count is part of the cache key: an index partitioned
+    // mod B is only valid for queries hashing mod the same B
+    val base = s"/tmp/graft_bm25_index_v1_b${buckets}_" +
+      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_$fp"
     val marker = new java.io.File(s"$base/_built")
     if (!marker.exists()) {
       val tk = Tables.documents(s, dir)
