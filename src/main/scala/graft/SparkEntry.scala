@@ -301,6 +301,7 @@ object SparkEntry {
       TextAnalysis.urlDedup(Fixtures.withUrls(Tables.documents(s, dir)))),
     "text_bm25_indexed" -> ((s, dir) =>
       TextAnalysis.bm25Indexed(s, dir, Seq("spark", "query", "filter"))),
+    "s10_corrupt_json" -> (Audits.s10CorruptJson(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2846,6 +2847,21 @@ object SparkEntry {
         CAST(count(*) AS BIGINT) AS n_docs,
         min(doc_id) AS canonical_id
       FROM p WHERE host <> '' GROUP BY 1""",
+    // corrupt-tolerant ND-JSON ingestion (Audits.s10CorruptJson): the
+    // deterministically truncated 1-in-13 lines land in the corrupt
+    // bucket, the rest parse and roll up per lang.
+    "s10_corrupt_json" -> raw"""
+      WITH l AS (SELECT CASE WHEN doc_id % 13 = 0
+            THEN '{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"lang":"'
+              || lang
+            ELSE CAST(to_json(struct_pack(doc_id := doc_id, lang := lang))
+              AS VARCHAR)
+          END AS line FROM documents)
+      SELECT json_extract_string(
+          CASE WHEN json_valid(line) THEN line
+               ELSE '{"lang":"__corrupt"}' END, '$$.lang') AS bucket,
+        count(*) AS n
+      FROM l GROUP BY 1""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -186,6 +186,33 @@ object Audits {
         to_json(struct(col("doc_id"), col("lang"), col("source")))
           .as("json_line"))
 
+  /** S10 corrupt-tolerant ND-JSON ingestion — the landing-zone reality
+    * at 100 TB: some fraction of lines is truncated/garbled and a
+    * pipeline must COUNT and QUARANTINE them, not die. A deterministic
+    * 1-in-13 of the synthesized lines is truncated mid-string;
+    * `from_json` runs PERMISSIVE with a `_corrupt_record` column
+    * (Spark's malformed-row contract), and the rollup reports good rows
+    * per lang plus the corrupt bucket. One narrow projection + one
+    * map-side-combined aggregation; bad data costs a column, never a
+    * job. */
+  def s10CorruptJson(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val good = to_json(struct(col("doc_id"), col("lang")))
+    val bad = concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+      lit(",\"lang\":\""), col("lang"))
+    val lines = d.select(
+      when(col("doc_id") % 13 === 0, bad).otherwise(good).as("line"))
+    val schema = "doc_id LONG, lang STRING, _corrupt_record STRING"
+    lines
+      .select(from_json(col("line"), schema,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("j"))
+      .select(
+        when(col("j._corrupt_record").isNotNull, lit("__corrupt"))
+          .otherwise(col("j.lang")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+  }
+
   /** S8 format round-trip: the same rows written through and read back
     * from the ORC and CSV sinks, then aggregated from BOTH and compared
     * — source/sink breadth as an oracle-checkable invariant. The
