@@ -302,6 +302,7 @@ object SparkEntry {
     "text_bm25_indexed" -> ((s, dir) =>
       TextAnalysis.bm25Indexed(s, dir, Seq("spark", "query", "filter"))),
     "s10_corrupt_json" -> (Audits.s10CorruptJson(_, _)),
+    "stat17_corr_matrix" -> (Relational.stat17CorrMatrix(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2862,6 +2863,22 @@ object SparkEntry {
                ELSE '{"lang":"__corrupt"}' END, '$$.lang') AS bucket,
         count(*) AS n
       FROM l GROUP BY 1""",
+    // one-pass pairwise correlation matrix (Relational.stat17CorrMatrix)
+    "stat17_corr_matrix" -> raw"""
+      WITH w AS (SELECT
+          round(corr(l_quantity, l_extendedprice), 5) AS qe,
+          round(corr(l_quantity, l_discount), 5) AS qd,
+          round(corr(l_quantity, l_tax), 5) AS qt,
+          round(corr(l_extendedprice, l_discount), 5) AS ed,
+          round(corr(l_extendedprice, l_tax), 5) AS et,
+          round(corr(l_discount, l_tax), 5) AS dt
+        FROM lineitem)
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, qe AS corr_r FROM w
+      UNION ALL SELECT 'l_quantity', 'l_discount', qd FROM w
+      UNION ALL SELECT 'l_quantity', 'l_tax', qt FROM w
+      UNION ALL SELECT 'l_extendedprice', 'l_discount', ed FROM w
+      UNION ALL SELECT 'l_extendedprice', 'l_tax', et FROM w
+      UNION ALL SELECT 'l_discount', 'l_tax', dt FROM w""",
   )
 
   // ---- shared DuckDB oracle fragments ----

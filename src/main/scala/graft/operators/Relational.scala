@@ -1790,4 +1790,25 @@ object Relational {
           var_samp(col("x")), 6).as("slope"),
         count(lit(1)).as("n"))
   }
+
+  /** Pairwise Pearson correlation matrix over the lineitem measures —
+    * the feature-redundancy screen of an ML pipeline, computed the way
+    * a 100 TB job must: ALL pairs in ONE scan (each corr is a set of
+    * map-side moment partials; six of them share the pass), then a
+    * stack() unpivot of the single wide row into (col_a, col_b, r)
+    * long form. Rounded at 5dp — the same cross-engine-stable moment
+    * discipline stat5 established. */
+  def stat17CorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 5).as(s"${a}__$b") }
+    Tables.lineitem(s, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${pairs.size}, " + pairs.map { case (a, b) =>
+        s"'$a', '$b', `${a}__$b`" }.mkString(", ") +
+        ") as (col_a, col_b, corr_r)"))
+  }
 }
