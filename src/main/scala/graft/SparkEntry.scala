@@ -303,6 +303,12 @@ object SparkEntry {
       TextAnalysis.bm25Indexed(s, dir, Seq("spark", "query", "filter"))),
     "s10_corrupt_json" -> (Audits.s10CorruptJson(_, _)),
     "stat17_corr_matrix" -> (Relational.stat17CorrMatrix(_, _)),
+    // ---- round-6 continuation ----
+    "ml7_target_encode" -> (Training.targetEncode(_, _)),
+    "prof3_drift_psi"   -> (Profiling.driftPsi(_, _)),
+    "stat18_mutual_info" -> (Profiling.mutualInfo(_, _)),
+    "text_readability"  -> (TextAnalysis.readability(_, _)),
+    "ts1_ewma"          -> (EventAnalytics.ewmaSpikes(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2879,6 +2885,151 @@ object SparkEntry {
       UNION ALL SELECT 'l_extendedprice', 'l_discount', ed FROM w
       UNION ALL SELECT 'l_extendedprice', 'l_tax', et FROM w
       UNION ALL SELECT 'l_discount', 'l_tax', dt FROM w""",
+    // out-of-fold target encoding (Training.targetEncode): fold =
+    // md5-bucket % 5; encoding excludes the fold's own rows, smoothed
+    // toward the global prior with m = 10 pseudo-rows.
+    "ml7_target_encode" -> raw"""
+      WITH d AS (
+        SELECT lang,
+          (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 100) % 5 AS fold,
+          n_chars
+        FROM documents),
+      bf AS (
+        SELECT lang, fold, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(n_chars) AS BIGINT) AS sum_target
+        FROM d GROUP BY lang, fold),
+      bl AS (
+        SELECT lang, CAST(sum(n_rows) AS BIGINT) AS n_lang,
+          CAST(sum(sum_target) AS BIGINT) AS sum_lang
+        FROM bf GROUP BY lang),
+      g AS (
+        SELECT CAST(sum(n_lang) AS BIGINT) AS n_all,
+          CAST(sum(sum_lang) AS BIGINT) AS sum_all
+        FROM bl)
+      SELECT bf.lang, bf.fold, bf.n_rows, bf.sum_target,
+        CAST(round(1e6 *
+          (CAST(bl.sum_lang - bf.sum_target AS DOUBLE) +
+            10.0 * (CAST(g.sum_all AS DOUBLE) / g.n_all)) /
+          (CAST(bl.n_lang - bf.n_rows AS DOUBLE) + 10.0)) AS BIGINT)
+          AS oof_enc_micros
+      FROM bf JOIN bl USING (lang) CROSS JOIN g""",
+    // PSI drift between md5-split halves (Profiling.driftPsi), +0.5
+    // Laplace smoothing, terms in integer micro-nats.
+    "prof3_drift_psi" -> raw"""
+      WITH cells AS (
+        SELECT lang,
+          CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+            1, 15))::BIGINT % 100 < 50 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_ref,
+          CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+            1, 15))::BIGINT % 100 < 50 THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_cur
+        FROM documents GROUP BY lang),
+      t AS (
+        SELECT lang, n_ref, n_cur,
+          CAST(sum(n_ref) OVER () AS BIGINT) AS tot_ref,
+          CAST(sum(n_cur) OVER () AS BIGINT) AS tot_cur,
+          CAST(count(*) OVER () AS BIGINT) AS k
+        FROM cells),
+      tm AS (
+        SELECT lang, n_ref, n_cur,
+          CAST(round(1e6 *
+            ((CAST(n_ref AS DOUBLE) + 0.5) /
+              (CAST(tot_ref AS DOUBLE) + 0.5 * k) -
+             (CAST(n_cur AS DOUBLE) + 0.5) /
+              (CAST(tot_cur AS DOUBLE) + 0.5 * k)) *
+            ln(((CAST(n_ref AS DOUBLE) + 0.5) /
+              (CAST(tot_ref AS DOUBLE) + 0.5 * k)) /
+              ((CAST(n_cur AS DOUBLE) + 0.5) /
+              (CAST(tot_cur AS DOUBLE) + 0.5 * k)))) AS BIGINT)
+            AS term_micronats
+        FROM t)
+      SELECT lang, n_ref, n_cur, term_micronats,
+        CAST(sum(term_micronats) OVER () AS BIGINT) AS psi_total_micronats
+      FROM tm""",
+    // lang × source mutual information (Profiling.mutualInfo), terms
+    // in integer micro-nats.
+    "stat18_mutual_info" -> raw"""
+      WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_xy
+        FROM documents GROUP BY lang, source),
+      m AS (
+        SELECT lang, source, n_xy,
+          CAST(sum(n_xy) OVER (PARTITION BY lang) AS BIGINT) AS n_x,
+          CAST(sum(n_xy) OVER (PARTITION BY source) AS BIGINT) AS n_y,
+          CAST(sum(n_xy) OVER () AS BIGINT) AS n_all
+        FROM cells),
+      tm AS (
+        SELECT lang, source, n_xy,
+          CAST(round(1e6 *
+            (CAST(n_xy AS DOUBLE) / n_all) *
+            ln(CAST(n_xy AS DOUBLE) * n_all /
+              (CAST(n_x AS DOUBLE) * n_y))) AS BIGINT) AS term_micronats
+        FROM m)
+      SELECT lang, source, n_xy, term_micronats,
+        CAST(sum(term_micronats) OVER () AS BIGINT) AS mi_total_micronats
+      FROM tm""",
+    // Flesch reading-ease battery (TextAnalysis.readability): vowel-
+    // group syllable proxy, terminal-punctuation sentences (min 1).
+    "text_readability" -> raw"""
+      WITH c AS (
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+            AS n_words,
+          CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+            AS BIGINT) AS n_sentences,
+          CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+            AS BIGINT) AS n_syllables
+        FROM documents)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+        CASE WHEN n_words > 0 THEN
+          CAST(round(1e6 * (206.835 -
+            1.015 * (CAST(n_words AS DOUBLE) / n_sentences) -
+            84.6 * (CAST(n_syllables AS DOUBLE) / n_words))) AS BIGINT)
+        ELSE NULL END AS flesch_micros
+      FROM c""",
+    // per-user truncated EWMA + spike flags (EventAnalytics.ewmaSpikes):
+    // 8-deep lag fan with exact 0.75^j weights.
+    "ts1_ewma" -> raw"""
+      WITH b AS (
+        SELECT event_id, user_id, ts,
+          CAST(round(value * 1e6) AS BIGINT) AS m
+        FROM events),
+      l AS (
+        SELECT event_id, user_id, m,
+          m AS l0,
+          lag(m, 1) OVER w AS l1, lag(m, 2) OVER w AS l2,
+          lag(m, 3) OVER w AS l3, lag(m, 4) OVER w AS l4,
+          lag(m, 5) OVER w AS l5, lag(m, 6) OVER w AS l6,
+          lag(m, 7) OVER w AS l7
+        FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      e AS (
+        SELECT event_id, user_id, m,
+          CAST(round((
+            CASE WHEN l0 IS NOT NULL THEN 1.0 * CAST(l0 AS DOUBLE) ELSE 0.0 END +
+            CASE WHEN l1 IS NOT NULL THEN 0.75 * CAST(l1 AS DOUBLE) ELSE 0.0 END +
+            CASE WHEN l2 IS NOT NULL THEN 0.5625 * CAST(l2 AS DOUBLE) ELSE 0.0 END +
+            CASE WHEN l3 IS NOT NULL THEN 0.421875 * CAST(l3 AS DOUBLE) ELSE 0.0 END +
+            CASE WHEN l4 IS NOT NULL THEN 0.31640625 * CAST(l4 AS DOUBLE) ELSE 0.0 END +
+            CASE WHEN l5 IS NOT NULL THEN 0.2373046875 * CAST(l5 AS DOUBLE) ELSE 0.0 END +
+            CASE WHEN l6 IS NOT NULL THEN 0.177978515625 * CAST(l6 AS DOUBLE) ELSE 0.0 END +
+            CASE WHEN l7 IS NOT NULL THEN 0.13348388671875 * CAST(l7 AS DOUBLE) ELSE 0.0 END
+          ) / (
+            CASE WHEN l0 IS NOT NULL THEN 1.0 ELSE 0.0 END +
+            CASE WHEN l1 IS NOT NULL THEN 0.75 ELSE 0.0 END +
+            CASE WHEN l2 IS NOT NULL THEN 0.5625 ELSE 0.0 END +
+            CASE WHEN l3 IS NOT NULL THEN 0.421875 ELSE 0.0 END +
+            CASE WHEN l4 IS NOT NULL THEN 0.31640625 ELSE 0.0 END +
+            CASE WHEN l5 IS NOT NULL THEN 0.2373046875 ELSE 0.0 END +
+            CASE WHEN l6 IS NOT NULL THEN 0.177978515625 ELSE 0.0 END +
+            CASE WHEN l7 IS NOT NULL THEN 0.13348388671875 ELSE 0.0 END
+          )) AS BIGINT) AS ewma_micros
+        FROM l)
+      SELECT event_id, user_id, m AS value_micros, ewma_micros,
+        CAST(CASE WHEN m > 2 * ewma_micros THEN 1 ELSE 0 END AS BIGINT)
+          AS spike
+      FROM e""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -271,4 +271,51 @@ object EventAnalytics {
       .withColumn("segment", concat(col("r_score"), col("f_score"),
         col("m_score")))
   }
+
+  /** Per-user EWMA + spike detection over the event-value series —
+    * the streaming-telemetry anomaly monitor, in batch form. The EWMA
+    * is the α=0.25 exponential average truncated to the last 8 events
+    * (a fixed-depth lag fan: num = Σⱼ 0.75ʲ·vₜ₋ⱼ / Σⱼ 0.75ʲ over
+    * present rows), so it is a FIXED-SHAPE expression rather than an
+    * unbounded recursion — replayable on any engine and equivalent to
+    * the geometric recursion to within 0.75⁸ ≈ 10% tail mass.
+    *
+    * Scale shape: one shuffle (hash by user_id) + per-user sort; the
+    * lag fan is a single window pass with an 8-row frame, state bounded
+    * per user. The streaming twin is transformWithState with an 8-deep
+    * ring buffer. Determinism: values micro-quantize to longs on entry;
+    * 0.75ʲ are exact binary doubles, so every product and the fixed
+    * left-to-right sum are identical IEEE sequences on any engine.
+    * Spike flag: current value > 2× the EWMA of its own window. */
+  def ewmaSpikes(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val depth = 8
+    val m = round(col("value") * 1e6).cast("long")
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), m.as("m"))
+    val lags = (0 until depth).map(j =>
+      if (j == 0) col("m").as("l0") else lag(col("m"), j).over(w).as(s"l$j"))
+    val lagged = base.select(col("event_id") +: col("user_id") +:
+      col("m") +: lags: _*)
+    // 0.75^j via iterated exact multiplication (3^j fits the mantissa),
+    // NOT math.pow (allowed 1-ulp error) — the oracle's decimal
+    // literals must equal these doubles bit-for-bit.
+    val wts = Iterator.iterate(1.0)(_ * 0.75).take(depth).toSeq
+    val num = (0 until depth).map(j =>
+        when(col(s"l$j").isNotNull,
+          lit(wts(j)) * col(s"l$j").cast("double"))
+          .otherwise(lit(0.0)))
+      .reduce(_ + _)
+    val den = (0 until depth).map(j =>
+        when(col(s"l$j").isNotNull, lit(wts(j)))
+          .otherwise(lit(0.0)))
+      .reduce(_ + _)
+    lagged
+      .withColumn("ewma_micros", round(num / den).cast("long"))
+      .withColumn("spike",
+        (col("m") > lit(2L) * col("ewma_micros")).cast("long"))
+      .select(col("event_id"), col("user_id"), col("m").as("value_micros"),
+        col("ewma_micros"), col("spike"))
+  }
 }

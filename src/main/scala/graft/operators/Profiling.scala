@@ -94,4 +94,77 @@ object Profiling {
       .select(col("rule"), col("n_checked"), col("n_violations"),
         (col("n_violations") === 0).as("pass"))
   }
+
+  /** Population-stability-index (PSI) drift check on the `lang`
+    * distribution between two deterministic halves of the corpus
+    * (md5-bucket < 50 = reference, else current) — the monitor a
+    * production ingest runs between yesterday's and today's landing to
+    * catch a mixture shift before it poisons training. Per-category
+    * term (p−q)·ln(p/q) with +0.5 Laplace smoothing (a category absent
+    * from one half must contribute a large finite term, not ±∞), plus
+    * the total over categories.
+    *
+    * Scale shape: one data-sized conditional aggregation (groupBy lang,
+    * map-side combined); the margins and total fold over the ≤|cats|
+    * result rows via windows. Determinism: counts are exact longs, the
+    * smoothed ratios are fixed-shape IEEE expressions, terms round to
+    * integer micro-nats before the total sum. */
+  def driftPsi(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .select(col("lang"),
+        (Sampling.bucket100(col("doc_id")) < 50).as("is_ref"))
+      .groupBy(col("lang")).agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy(lit(1))
+    val withTotals = cells
+      .withColumn("tot_ref", sum(col("n_ref")).over(all))
+      .withColumn("tot_cur", sum(col("n_cur")).over(all))
+      .withColumn("k", count(lit(1)).over(all))
+    val p = (col("n_ref").cast("double") + lit(0.5)) /
+      (col("tot_ref").cast("double") + lit(0.5) * col("k"))
+    val q = (col("n_cur").cast("double") + lit(0.5)) /
+      (col("tot_cur").cast("double") + lit(0.5) * col("k"))
+    withTotals
+      .withColumn("term_micronats",
+        round(lit(1e6) * (p - q) * log(p / q)).cast("long"))
+      .withColumn("psi_total_micronats",
+        sum(col("term_micronats")).over(all))
+      .select(col("lang"), col("n_ref"), col("n_cur"),
+        col("term_micronats"), col("psi_total_micronats"))
+  }
+
+  /** Mutual information between `lang` and `source` — the dependence
+    * profile between two categorical columns (0 ⇔ independent): for
+    * each joint cell, term = (n_xy/N)·ln(N·n_xy / (n_x·n_y)), summed to
+    * the total MI in nats. A curation pipeline uses this to detect when
+    * a "random" source split is secretly language-skewed.
+    *
+    * Scale shape: one data-sized (lang, source) aggregation; margins
+    * are window sums over the ≤|cells| frame, never a second scan.
+    * Determinism: all counts exact longs, terms round to micro-nats
+    * before the window total. */
+  def mutualInfo(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_xy"))
+    val all = Window.partitionBy(lit(1))
+    cells
+      .withColumn("n_x",
+        sum(col("n_xy")).over(Window.partitionBy(col("lang"))))
+      .withColumn("n_y",
+        sum(col("n_xy")).over(Window.partitionBy(col("source"))))
+      .withColumn("n_all", sum(col("n_xy")).over(all))
+      .withColumn("term_micronats",
+        round(lit(1e6) *
+          (col("n_xy").cast("double") / col("n_all")) *
+          log(col("n_xy").cast("double") * col("n_all") /
+            (col("n_x").cast("double") * col("n_y")))).cast("long"))
+      .withColumn("mi_total_micronats",
+        sum(col("term_micronats")).over(all))
+      .select(col("lang"), col("source"), col("n_xy"),
+        col("term_micronats"), col("mi_total_micronats"))
+  }
 }

@@ -888,4 +888,33 @@ object TextAnalysis {
       .groupBy(concat(col("host"), col("path")).as("canonical_url"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("canonical_id"))
+
+  /** Flesch reading-ease readability battery — the classic quality
+    * signal readability-based corpus filters (e.g. textbook-style
+    * selection) threshold on. Syllables are approximated by vowel-group
+    * runs (`[aeiouy]+` on the lowercased text), sentences by terminal
+    * punctuation runs (floored at 1), words by letter runs:
+    * score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+    *
+    * Scale shape: a pure narrow projection — three `regexp_count`s and
+    * one fixed IEEE polynomial per row, whole-stage codegen'd, zero
+    * shuffles; at 100 TB the cost is exactly the corpus scan.
+    * Determinism: counts are exact longs and the score expression has a
+    * fixed evaluation shape, micro-rounded per row. */
+  def readability(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val words = regexp_count(col("text"), lit("[A-Za-z]+")).cast("long")
+    val syll = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+    val sents = greatest(
+      regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L))
+    d.select(col("doc_id"), words.as("n_words"), sents.as("n_sentences"),
+        syll.as("n_syllables"))
+      .withColumn("flesch_micros",
+        when(col("n_words") > 0,
+          round(lit(1e6) * (lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
+            lit(84.6) * (col("n_syllables").cast("double") / col("n_words"))))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")))
+  }
 }

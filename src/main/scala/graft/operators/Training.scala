@@ -416,4 +416,45 @@ object Training {
             (acc, x) => acc +
               round(lit(1e6) * x / col("norm_micros")).cast("long")))
           .otherwise(0L).as("unit_checksum"))
+
+  /** Out-of-fold TARGET ENCODING of a categorical column — the
+    * leakage-safe way to turn `lang` into a numeric feature: each
+    * (category, fold) cell is encoded from the category's target sum
+    * EXCLUDING that fold's own rows, additively smoothed toward the
+    * global prior (m = 10 pseudo-rows), so no row's target ever leaks
+    * into its own encoding. Emits the 25-row (category × fold) encoder
+    * model (n_rows, sum_target, oof_enc_micros); applying it to the
+    * corpus is a broadcast join on (lang, fold).
+    *
+    * Scale shape: ONE data-sized aggregation (groupBy lang, fold —
+    * map-side combined to ≤ |cats|·|folds| partials per task); the
+    * per-category and global margins re-aggregate those 25 partial rows,
+    * never the data. Folds come from the md5-60 bucket of doc_id
+    * (Sampling.bucket100), so membership is reproducible on any engine.
+    *
+    * Determinism: target sums are exact longs (n_chars); the smoothed
+    * encoding is a fixed-shape IEEE expression on exact inputs —
+    * (sum_cat − sum_fold + m·prior) / (n_cat − n_fold + m) — evaluated
+    * identically by Spark and the oracle, then micro-rounded. */
+  def targetEncode(s: SparkSession, dir: String): DataFrame = {
+    val m = 10.0
+    val d = Tables.documents(s, dir).select(
+      col("lang"),
+      (Sampling.bucket100(col("doc_id")) % 5).as("fold"),
+      col("n_chars"))
+    val byFold = d.groupBy(col("lang"), col("fold")).agg(
+      count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_target"))
+    val byLang = byFold.groupBy(col("lang")).agg(
+      sum(col("n_rows")).as("n_lang"), sum(col("sum_target")).as("sum_lang"))
+    val global = byLang.agg(
+      sum(col("n_lang")).as("n_all"), sum(col("sum_lang")).as("sum_all"))
+    byFold.join(broadcast(byLang), "lang")
+      .crossJoin(broadcast(global))
+      .select(col("lang"), col("fold"), col("n_rows"), col("sum_target"),
+        round(lit(1e6) *
+          ((col("sum_lang") - col("sum_target")).cast("double") +
+            lit(m) * (col("sum_all").cast("double") / col("n_all"))) /
+          ((col("n_lang") - col("n_rows")).cast("double") + lit(m)))
+          .cast("long").as("oof_enc_micros"))
+  }
 }

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-6 continuation operators: out-of-fold target encoding, PSI
+  * drift, mutual information, readability, EWMA spikes. Values are
+  * pinned by the DuckDB oracle; these tests restate the math
+  * independently (driver-side Scala over the collected fixture) and pin
+  * the semantic invariants the oracle can't express.
+  */
+class Round6bSpec extends SparkSpec {
+
+  private lazy val docs: Seq[(Long, String, String, Long)] =
+    Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  test("targetEncode: encoding excludes the fold's own rows (driver replay)") {
+    val out = Training.targetEncode(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // independent replay: md5-60 fold assignment + exact long sums
+    val folded = docs.map { case (id, _, lang, nc) =>
+      (lang, (md5_60(id.toString) % 100) % 5, nc)
+    }
+    val byFold = folded.groupBy(t => (t._1, t._2))
+      .map { case (k, v) => k -> (v.size.toLong, v.map(_._3).sum) }
+    val byLang = folded.groupBy(_._1)
+      .map { case (k, v) => k -> (v.size.toLong, v.map(_._3).sum) }
+    val (nAll, sumAll) = (folded.size.toLong, folded.map(_._3).sum)
+    assert(out.keySet === byFold.keySet)
+    assert(out.values.map(_._1).sum === nAll, "cells partition the corpus")
+    byFold.foreach { case ((lang, fold), (nF, sumF)) =>
+      val (nL, sumL) = byLang(lang)
+      val expected = math.round(1e6 *
+        ((sumL - sumF).toDouble + 10.0 * (sumAll.toDouble / nAll)) /
+        ((nL - nF).toDouble + 10.0))
+      assert(out((lang, fold)) === ((nF, sumF, expected)), s"$lang/$fold")
+    }
+  }
+
+  test("driftPsi: halves partition the corpus; psi total matches driver replay") {
+    val rows = Profiling.driftPsi(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum + rows.map(_.getLong(2)).sum ===
+      docs.size.toLong)
+    val k = rows.length.toLong
+    val (totRef, totCur) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    val expectTerms = rows.map { r =>
+      val p = (r.getLong(1).toDouble + 0.5) / (totRef.toDouble + 0.5 * k)
+      val q = (r.getLong(2).toDouble + 0.5) / (totCur.toDouble + 0.5 * k)
+      math.round(1e6 * (p - q) * math.log(p / q))
+    }
+    assert(rows.map(_.getLong(3)).toSeq === expectTerms.toSeq)
+    val total = expectTerms.sum
+    rows.foreach(r => assert(r.getLong(4) === total))
+  }
+
+  test("mutualInfo: independent margins give MI ≈ 0 only when independent; replay is exact") {
+    val rows = Profiling.mutualInfo(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val nAll = rows.map(_._3).sum
+    val nx = rows.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val ny = rows.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val expect = rows.map { case (l, s2, nxy, _, _) =>
+      math.round(1e6 * (nxy.toDouble / nAll) *
+        math.log(nxy.toDouble * nAll / (nx(l).toDouble * ny(s2))))
+    }
+    assert(rows.map(_._4).toSeq === expect.toSeq)
+    val total = expect.sum
+    rows.foreach(t => assert(t._5 === total))
+    // MI is non-negative up to per-cell rounding (±1 micro-nat per cell)
+    assert(total >= -rows.length)
+  }
+
+  test("readability: counts and score match a driver-side regex replay") {
+    val out = TextAnalysis.readability(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    docs.foreach { case (id, text, _, _) =>
+      def cnt(s: String, pat: String): Long =
+        pat.r.findAllIn(s).length.toLong
+      val w = cnt(text, "[A-Za-z]+")
+      val sn = math.max(cnt(text, "[.!?]+"), 1L)
+      val sy = cnt(text.toLowerCase, "[aeiouy]+")
+      val r = out(id)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((w, sn, sy)), s"doc $id")
+      if (w > 0) {
+        val score = math.round(1e6 * (206.835 -
+          1.015 * (w.toDouble / sn) - 84.6 * (sy.toDouble / w)))
+        assert(r.getLong(4) === score, s"doc $id flesch")
+      }
+    }
+  }
+
+  test("ewmaSpikes: first-event EWMA equals the value; constant series never spikes") {
+    import spark.implicits._
+    val rows = EventAnalytics.ewmaSpikes(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // replay: group by user in (ts, event_id) order from the fixture
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 1e6).cast("long").as("m"))
+      .as[(Long, Long, java.sql.Timestamp, Long)].collect()
+    val byUser = evs.groupBy(_._1).map { case (u, v) =>
+      u -> v.sortBy(t => (t._3.getTime, t._3.getNanos, t._2))
+        .map(t => (t._2, t._4))
+    }
+    val out = rows.map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    val wts = Iterator.iterate(1.0)(_ * 0.75).take(8).toSeq
+    byUser.foreach { case (_, series) =>
+      // first event: no history → EWMA is the value itself, no spike
+      val (firstId, firstM) = series.head
+      assert(out(firstId) === ((firstM, 0L)), s"first event $firstId")
+      series.indices.foreach { i =>
+        val window = (0 until math.min(8, i + 1)).map(j => series(i - j)._2)
+        val num = window.zip(wts).map { case (m, w) => w * m.toDouble }
+          .foldLeft(0.0)(_ + _)
+        val den = wts.take(window.size).foldLeft(0.0)(_ + _)
+        assert(out(series(i)._1)._1 === math.round(num / den),
+          s"event ${series(i)._1}")
+      }
+    }
+  }
+}
