@@ -309,6 +309,9 @@ object SparkEntry {
     "stat18_mutual_info" -> (Profiling.mutualInfo(_, _)),
     "text_readability"  -> (TextAnalysis.readability(_, _)),
     "ts1_ewma"          -> (EventAnalytics.ewmaSpikes(_, _)),
+    "text_bigram_lm"    -> (TextAnalysis.bigramLogProb(_, _)),
+    "text_oov_rate"     -> (TextAnalysis.oovRate(_, _)),
+    "ev9_attribution"   -> (EventAnalytics.attribution(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3030,6 +3033,80 @@ object SparkEntry {
         CAST(CASE WHEN m > 2 * ewma_micros THEN 1 ELSE 0 END AS BIGINT)
           AS spike
       FROM e""",
+    // bigram LM perplexity proxy (TextAnalysis.bigramLogProb):
+    // add-0.5 smoothing over the follower vocabulary, micro-nat sums.
+    "text_bigram_lm" -> raw"""
+      WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0) AS toks
+        FROM documents),
+      pr AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT doc_id, toks,
+            unnest(range(1, len(toks))) AS i FROM t)),
+      m AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM pr GROUP BY w1, w2),
+      h AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM m GROUP BY w1),
+      v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM m),
+      sc AS (SELECT pr.doc_id,
+          CAST(round(ln((CAST(m.c12 AS DOUBLE) + 0.5) /
+            (CAST(h.c1 AS DOUBLE) + 0.5 * v.v)) * 1000000) AS BIGINT) AS lp
+        FROM pr JOIN m USING (w1, w2) JOIN h USING (w1), v),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          round(CAST(CAST(sum(lp) AS BIGINT) AS DOUBLE) /
+            (count(*) * 1000000.0), 6) AS mean_logprob
+        FROM sc GROUP BY doc_id)
+      SELECT d.doc_id, CAST(coalesce(agg.n_bigrams, 0) AS BIGINT)
+          AS n_bigrams,
+        agg.mean_logprob,
+        CAST(CASE WHEN agg.mean_logprob < -4.0 THEN 1 ELSE 0 END
+          AS BIGINT) AS low_quality
+      FROM documents d LEFT JOIN agg USING (doc_id)""",
+    // closed-vocab OOV rate vs the top-1000 corpus tokens
+    // (TextAnalysis.oovRate), ties broken lexicographically.
+    "text_oov_rate" -> raw"""
+      WITH tk AS (SELECT doc_id,
+          unnest(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0)) AS tok
+        FROM documents),
+      vc AS (SELECT tok, count(*) AS freq FROM tk GROUP BY tok),
+      vr AS (SELECT tok FROM (SELECT tok,
+          row_number() OVER (ORDER BY freq DESC, tok ASC) AS rk FROM vc)
+        WHERE rk <= 1000)
+      SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN vr.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_oov,
+        CAST(round(1e6 * CAST(sum(CASE WHEN vr.tok IS NULL THEN 1 ELSE 0
+          END) AS DOUBLE) / count(*)) AS BIGINT) AS oov_rate_micros
+      FROM tk LEFT JOIN vr ON tk.tok = vr.tok
+      GROUP BY tk.doc_id""",
+    // multi-touch purchase attribution (EventAnalytics.attribution):
+    // clicks since the previous purchase; first/last touch by the
+    // window ordinal; linear credit = value / n_touches in micros.
+    "ev9_attribution" -> raw"""
+      WITH st AS (
+        SELECT event_id, user_id, ts, event_type,
+          CAST(round(value * 1e6) AS BIGINT) AS vm,
+          row_number() OVER w AS rn,
+          coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+            END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      ck AS (
+        SELECT user_id, seg, CAST(count(*) AS BIGINT) AS n_touches,
+          CAST(min_by(event_id, rn) AS BIGINT) AS first_click_id,
+          CAST(max_by(event_id, rn) AS BIGINT) AS last_click_id
+        FROM st WHERE event_type = 'click' GROUP BY user_id, seg)
+      SELECT st.event_id AS purchase_id, st.user_id,
+        st.vm AS value_micros,
+        CAST(coalesce(ck.n_touches, 0) AS BIGINT) AS n_touches,
+        ck.first_click_id, ck.last_click_id,
+        CASE WHEN ck.n_touches IS NOT NULL
+          THEN CAST(round(CAST(st.vm AS DOUBLE) / ck.n_touches) AS BIGINT)
+          ELSE NULL END AS linear_credit_micros
+      FROM st LEFT JOIN ck
+        ON st.user_id = ck.user_id AND st.seg = ck.seg
+      WHERE st.event_type = 'purchase'""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -287,6 +287,49 @@ object EventAnalytics {
     * 0.75ʲ are exact binary doubles, so every product and the fixed
     * left-to-right sum are identical IEEE sequences on any engine.
     * Spike flag: current value > 2× the EWMA of its own window. */
+  /** Multi-touch purchase attribution: every purchase credits the
+    * CLICKS since the user's previous purchase — first-touch id,
+    * last-touch id, and the per-click linear credit (value split
+    * evenly). The segment assignment is the classic
+    * prior-purchase-count trick: a single window pass stamps every
+    * event with the number of purchases STRICTLY BEFORE it (rows
+    * unbounded-preceding to 1-preceding), so clicks and their following
+    * purchase share a (user, segment) key; no time-range self-join
+    * exists anywhere.
+    *
+    * Scale shape: one hash shuffle on user_id (window), then a
+    * (user, segment) click aggregation and an equi-join of two frames
+    * already partitioned by user — co-partitioned, no data-sized
+    * broadcast. Determinism: touch order is (ts, event_id) via the
+    * window's row_number, first/last via min_by/max_by on that unique
+    * ordinal; credits are micro-quantized before the divide. */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val stamped = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), round(col("value") * 1e6).cast("long").as("vm"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("seg", coalesce(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val clicks = stamped.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("seg"))
+      .agg(count(lit(1)).as("n_touches"),
+        min_by(col("event_id"), col("rn")).as("first_click_id"),
+        max_by(col("event_id"), col("rn")).as("last_click_id"))
+    stamped.filter(col("event_type") === "purchase")
+      .join(clicks, Seq("user_id", "seg"), "left")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("vm").as("value_micros"),
+        coalesce(col("n_touches"), lit(0L)).as("n_touches"),
+        col("first_click_id"), col("last_click_id"),
+        when(col("n_touches").isNotNull,
+          round(col("vm").cast("double") / col("n_touches")).cast("long"))
+          .as("linear_credit_micros"))
+  }
+
   def ewmaSpikes(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))

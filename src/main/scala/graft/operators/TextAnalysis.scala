@@ -889,6 +889,89 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("canonical_id"))
 
+  /** Bigram language-model perplexity proxy — the next step up from
+    * [[unigramLogProb]]: score every document by the mean log
+    * P(w₂|w₁) = (c(w₁,w₂) + k) / (c(w₁·) + k·V) with add-k smoothing
+    * (k = 0.5, V = follower-vocabulary size), trained on the corpus
+    * itself. Repetitive/templated text scores high, token salad scores
+    * low — the CCNet-style quality signal with first-order context.
+    *
+    * Scale shape: bigrams are built ROW-LOCALLY (one `transform` over
+    * the token array — no positional self-join); the model is one
+    * (w₁,w₂) aggregation, its head-marginal re-aggregates model rows,
+    * and scoring is a model-sized broadcast join back to the exploded
+    * corpus (word-bigram-vocab-sized; swap to a shuffle join if the
+    * model outgrows broadcast, same plan otherwise). Determinism:
+    * per-bigram log-probs quantize to integer micro-nats before the
+    * per-doc mean (order-independent sums, same as the unigram LM). */
+  def bigramLogProb(s: SparkSession, dir: String,
+                    lowQualityNats: Double = -4.0): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val toksCol = tokens(lower(col("text")))
+    val withPairs = d.select(col("doc_id"), toksCol.as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+          .as("pairs"))
+    val pairs = withPairs
+      .select(col("doc_id"), explode(col("pairs")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val model = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val heads = model.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = model.select(countDistinct(col("w2")).as("v"))
+    val scored = pairs
+      .join(broadcast(model), Seq("w1", "w2"))
+      .join(broadcast(heads), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log((col("c12").cast("double") + lit(0.5)) /
+          (col("c1").cast("double") + lit(0.5) * col("v"))) * 1e6, 0)
+          .cast("long").as("lp_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp_micro")).cast("double") /
+          (count(lit(1)).cast("double") * 1e6), 6).as("mean_logprob"))
+    d.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("mean_logprob"),
+        when(col("mean_logprob") < lowQualityNats, 1L).otherwise(0L)
+          .as("low_quality"))
+  }
+
+  /** Closed-vocabulary OOV rate: the fraction of each document's token
+    * occurrences NOT covered by the corpus's top-1000 most frequent
+    * tokens (ties broken lexicographically) — the coverage check run
+    * before committing to a fixed tokenizer vocabulary, and a strong
+    * gibberish signal on its own.
+    *
+    * Scale shape: the vocabulary is one token aggregation rank-filtered
+    * to 1000 rows (model-sized sort), then a broadcast LEFT join back
+    * to the exploded corpus — absent ⇒ OOV. The per-doc fold is exact
+    * integer counting; rate micro-rounds once per doc. */
+  def oovRate(s: SparkSession, dir: String, topK: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksOf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+    val vocab = toksOf.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(1))
+          .orderBy(col("freq").desc, col("tok").asc)))
+      .filter(col("rk") <= topK)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    toksOf.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(lit(1e6) * col("n_oov").cast("double") / col("n_tokens"))
+          .cast("long").as("oov_rate_micros"))
+  }
+
   /** Flesch reading-ease readability battery — the classic quality
     * signal readability-based corpus filters (e.g. textbook-style
     * selection) threshold on. Syllables are approximated by vowel-group

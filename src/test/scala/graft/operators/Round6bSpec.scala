@@ -94,6 +94,83 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  test("bigramLogProb: bigram counts and smoothed scores match a driver replay") {
+    val out = TextAnalysis.bigramLogProb(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    // replay: tokenize, build the bigram model, score
+    val toks = docs.map { case (id, text, _, _) =>
+      id -> text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    }.toMap
+    val allPairs = toks.toSeq.flatMap { case (id, ts) =>
+      ts.sliding(2).filter(_.size == 2).map(p => (id, (p(0), p(1)))).toSeq
+    }
+    val c12 = allPairs.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val v = c12.keySet.map(_._2).size.toLong
+    toks.foreach { case (id, ts) =>
+      val expected = math.max(ts.size - 1, 0).toLong
+      assert(out(id)._1 === expected, s"doc $id n_bigrams")
+      if (expected > 0) {
+        val lps = ts.sliding(2).filter(_.size == 2).map { p =>
+          val pair = (p(0), p(1))
+          math.round(math.log((c12(pair).toDouble + 0.5) /
+            (c1(pair._1).toDouble + 0.5 * v)) * 1e6)
+        }.toSeq
+        val mean = BigDecimal(lps.sum.toDouble / (lps.size.toDouble * 1e6))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(out(id)._2.contains(mean), s"doc $id mean_logprob")
+      } else assert(out(id)._2.isEmpty)
+    }
+  }
+
+  test("oovRate: top-1000 vocabulary coverage matches a driver replay") {
+    val out = TextAnalysis.oovRate(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val toks = docs.map { case (id, text, _, _) =>
+      id -> text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    }
+    val vocabTop = toks.flatMap(_._2).groupBy(identity)
+      .map { case (t, v) => (t, v.size) }.toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(1000).map(_._1).toSet
+    toks.foreach { case (id, ts) =>
+      val oov = ts.count(t => !vocabTop.contains(t)).toLong
+      assert(out(id) === ((ts.size.toLong, oov)), s"doc $id")
+    }
+  }
+
+  test("attribution: segments reset at each purchase; credits split evenly") {
+    val rows = EventAnalytics.attribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    import spark.implicits._
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        round(col("value") * 1e6).cast("long").as("vm"))
+      .as[(Long, Long, java.sql.Timestamp, String, Long)].collect()
+    val byUser = evs.groupBy(_._1).map { case (u, v) =>
+      u -> v.sortBy(t => (t._3.getTime, t._3.getNanos, t._2))
+    }
+    val out = rows.map(r => r.getLong(0) ->
+      (r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]))).toMap
+    var checked = 0
+    byUser.foreach { case (_, series) =>
+      var clicks = Vector.empty[Long] // click ids since last purchase
+      series.foreach { case (_, id, _, typ, _) =>
+        if (typ == "click") clicks :+= id
+        else if (typ == "purchase") {
+          val (n, first, last) = out(id)
+          assert(n === clicks.size.toLong, s"purchase $id n_touches")
+          assert(first === clicks.headOption, s"purchase $id first")
+          assert(last === clicks.lastOption, s"purchase $id last")
+          clicks = Vector.empty
+          checked += 1
+        }
+      }
+    }
+    assert(checked === rows.length, "every purchase row accounted for")
+  }
+
   test("ewmaSpikes: first-event EWMA equals the value; constant series never spikes") {
     import spark.implicits._
     val rows = EventAnalytics.ewmaSpikes(spark, sf).collect()
