@@ -312,6 +312,7 @@ object SparkEntry {
     "text_bigram_lm"    -> (TextAnalysis.bigramLogProb(_, _)),
     "text_oov_rate"     -> (TextAnalysis.oovRate(_, _)),
     "ev9_attribution"   -> (EventAnalytics.attribution(_, _)),
+    "sim_mmr_select"    -> (Similarity.mmrSelect(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3107,6 +3108,7 @@ object SparkEntry {
       FROM st LEFT JOIN ck
         ON st.user_id = ck.user_id AND st.seg = ck.seg
       WHERE st.event_type = 'purchase'""",
+    "sim_mmr_select" -> mmrSql,
   )
 
   // ---- shared DuckDB oracle fragments ----
@@ -3148,6 +3150,50 @@ object SparkEntry {
 
 
   /** Brute-force exact top-10 — the eval2_ann_recall ground truth. */
+  /** MMR oracle (Similarity.mmrSelect): relevance top-40 shortlist,
+    * 40×40 pairwise sims, then 8 greedy selection rounds as chained
+    * CTEs — each round joins the candidates to the max-sim against the
+    * selected-so-far union and takes the micro-quantized argmax. */
+  private def mmrSql: String = {
+    val rounds = (2 to 8).map { i =>
+      raw"""
+      m$i AS MATERIALIZED (SELECT ida AS vec_id, max(sim) AS max_sim FROM ps
+        WHERE idb IN (SELECT vec_id FROM u${i - 1})
+          AND ida NOT IN (SELECT vec_id FROM u${i - 1})
+        GROUP BY ida),
+      s$i AS MATERIALIZED (SELECT r.vec_id, r.rel, m.max_sim,
+          CAST(round(1e6 * (0.7 * r.rel - 0.3 * m.max_sim)) AS BIGINT)
+            AS mmr
+        FROM rel r JOIN m$i m USING (vec_id)
+        ORDER BY mmr DESC, r.vec_id ASC LIMIT 1),
+      u$i AS MATERIALIZED (SELECT vec_id FROM u${i - 1}
+        UNION ALL SELECT vec_id FROM s$i)"""
+    }.mkString(",")
+    val union = (2 to 8).map(i =>
+      s"UNION ALL SELECT CAST($i AS BIGINT), vec_id, rel, max_sim, mmr " +
+        s"FROM s$i").mkString("\n      ")
+    raw"""
+      WITH q AS MATERIALIZED (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        WHERE vec_id = 0),
+      rel AS MATERIALIZED (SELECT vec_id,
+          round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS rel,
+          embedding::DOUBLE[] AS emb
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY rel DESC, vec_id ASC LIMIT 40),
+      ps AS MATERIALIZED (SELECT a.vec_id AS ida, b.vec_id AS idb,
+          round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+        FROM rel a, rel b WHERE a.vec_id <> b.vec_id),
+      s1 AS MATERIALIZED (SELECT vec_id, rel, CAST(0.0 AS DOUBLE) AS max_sim,
+          CAST(round(1e6 * (0.7 * rel - 0.3 * 0.0)) AS BIGINT) AS mmr
+        FROM rel
+        ORDER BY CAST(round(1e6 * (0.7 * rel - 0.3 * 0.0)) AS BIGINT)
+          DESC, vec_id ASC LIMIT 1),
+      u1 AS MATERIALIZED (SELECT vec_id FROM s1),$rounds
+      SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, rel, max_sim,
+        mmr AS mmr_micros FROM s1
+      $union"""
+  }
+
   private def bruteAnnSql: String =
     """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
        SELECT vec_id, label,

@@ -678,4 +678,76 @@ object Similarity {
       .select(col("method"), col("hits"),
         round(col("hits") / lit(10.0), 4).as("recall_at_10"))
   }
+
+  /** Maximal-marginal-relevance selection: from the relevance top-40
+    * shortlist, greedily pick 8 results balancing query relevance
+    * against redundancy with what is already picked —
+    * score = 0.7·rel − 0.3·max_sim_to_selected. The diversity step
+    * every retrieval-augmented pipeline runs after ANN so near-
+    * duplicate hits don't crowd out coverage.
+    *
+    * Scale shape: the DATA-sized stage is the relevance scan +
+    * TakeOrderedAndProject shortlist (same plan as [[annBruteForce]] —
+    * at 100 TB swap in any indexed ANN face for the shortlist); the
+    * greedy loop then runs on the collected shortlist×dims MODEL
+    * (40×64 doubles — k-means-codebook-sized, never data). MMR is
+    * inherently sequential in its selection steps, so the right
+    * distribution is "distribute the shortlist, not the loop".
+    *
+    * Determinism: relevance and pairwise sims round to 6dp (the same
+    * cosine accumulation order as the native kernel), MMR scores
+    * quantize to micros before the argmax, ties break on vec_id — the
+    * oracle replays the identical 8 selection rounds in chained CTEs. */
+  def mmrSelect(s: SparkSession, dir: String, kSel: Int = 8,
+                shortlist: Int = 40): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val short = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(
+        e.filter(col("vec_id") === 0).select(col("embedding").as("q"))))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q")), 6).as("rel"),
+        col("embedding"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(shortlist)
+    val rows = short.collect()
+    val ids = rows.map(_.getLong(0))
+    val rel = rows.map(_.getDouble(1))
+    val vecs = rows.map(_.getSeq[Float](2).map(_.toDouble).toArray)
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // pairwise cosine, the native kernel's exact accumulation order
+    def sim6(a: Int, b: Int): Double = {
+      val (x, y) = (vecs(a), vecs(b))
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+      }
+      round6(dot / (math.sqrt(nx) * math.sqrt(ny)))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Double, Long)]
+    (1 to math.min(kSel, ids.length)).foreach { r =>
+      var best = -1; var bestScore = Long.MinValue; var bestMax = 0.0
+      ids.indices.foreach { c =>
+        if (!selected.contains(c)) {
+          val ms =
+            if (selected.isEmpty) 0.0 else selected.map(sim6(c, _)).max
+          // HALF_UP (away from zero) like SQL round(), NOT math.round
+          // (half toward +inf) — scores can be negative.
+          val score = BigDecimal(1e6 * (0.7 * rel(c) - 0.3 * ms))
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          if (score > bestScore ||
+              (score == bestScore && best >= 0 && ids(c) < ids(best))) {
+            best = c; bestScore = score; bestMax = ms
+          }
+        }
+      }
+      selected += best
+      out += ((r.toLong, ids(best), rel(best), bestMax, bestScore))
+    }
+    import s.implicits._
+    out.toSeq.toDF("sel_rank", "vec_id", "rel", "max_sim", "mmr_micros")
+  }
 }

@@ -171,6 +171,38 @@ class Round6bSpec extends SparkSpec {
     assert(checked === rows.length, "every purchase row accounted for")
   }
 
+  test("mmrSelect: ranks unique, top pick = brute top-1, sims match the native kernel") {
+    val out = Similarity.mmrSelect(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq === (1L to 8L))
+    assert(out.map(_.getLong(1)).distinct.length === 8, "no repeats")
+    val brute1 = Similarity.annBruteForce(spark, sf, k = 1)
+      .collect().head.getLong(0)
+    assert(out.head.getLong(1) === brute1, "rank 1 is pure relevance")
+    // cross-check the driver loop's pairwise sims against the native
+    // cosine kernel: for each rank ≥ 2, max_sim must equal the max
+    // kernel-computed similarity to all PRIOR selections
+    val ids = out.map(_.getLong(1))
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    import spark.implicits._
+    (1 until out.length).foreach { i =>
+      val prior = ids.take(i)
+      val kernelMax = prior.map { p =>
+        Seq((vecs(ids(i)).toArray, vecs(p).toArray)).toDF("a", "b")
+          .select(round(Similarity.cosine(col("a"), col("b")), 6))
+          .collect().head.getDouble(0)
+      }.max
+      assert(out(i).getDouble(3) === kernelMax, s"rank ${i + 1} max_sim")
+      // emitted score is consistent with its own columns
+      val expect = BigDecimal(1e6 *
+        (0.7 * out(i).getDouble(2) - 0.3 * out(i).getDouble(3)))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(out(i).getLong(4) === expect, s"rank ${i + 1} score")
+    }
+  }
+
   test("ewmaSpikes: first-event EWMA equals the value; constant series never spikes") {
     import spark.implicits._
     val rows = EventAnalytics.ewmaSpikes(spark, sf).collect()
