@@ -313,6 +313,7 @@ object SparkEntry {
     "text_oov_rate"     -> (TextAnalysis.oovRate(_, _)),
     "ev9_attribution"   -> (EventAnalytics.attribution(_, _)),
     "sim_mmr_select"    -> (Similarity.mmrSelect(_, _)),
+    "stat19_ks_test"    -> (Profiling.ksTest(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3109,6 +3110,39 @@ object SparkEntry {
         ON st.user_id = ck.user_id AND st.seg = ck.seg
       WHERE st.event_type = 'purchase'""",
     "sim_mmr_select" -> mmrSql,
+    // two-sample KS on n_chars between md5 halves (Profiling.ksTest):
+    // exact integer numerator max, fp only in the final micro report.
+    "stat19_ks_test" -> raw"""
+      WITH d AS (
+        SELECT n_chars,
+          CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+            ::BIGINT % 100 < 50 THEN 1 ELSE 0 END AS is_a
+        FROM documents),
+      cells AS (
+        SELECT n_chars, CAST(sum(is_a) AS BIGINT) AS ca,
+          CAST(sum(1 - is_a) AS BIGINT) AS cb
+        FROM d GROUP BY n_chars),
+      cum AS (
+        SELECT n_chars,
+          CAST(sum(ca) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+          CAST(sum(cb) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b,
+          CAST(sum(ca) OVER () AS BIGINT) AS n_a,
+          CAST(sum(cb) OVER () AS BIGINT) AS n_b
+        FROM cells),
+      df AS (
+        SELECT n_chars, abs(cum_a * n_b - cum_b * n_a) AS diff, n_a, n_b
+        FROM cum),
+      mx AS (SELECT max(diff) AS d_num, max(n_a) AS na, max(n_b) AS nb
+        FROM df)
+      SELECT mx.na AS n_a, mx.nb AS n_b, CAST(mx.d_num AS BIGINT) AS d_num,
+        CAST(mx.na * mx.nb AS BIGINT) AS d_denom,
+        CAST(min(df.n_chars) AS BIGINT) AS v_at_max,
+        CAST(round(1e6 * CAST(mx.d_num AS DOUBLE) / (mx.na * mx.nb))
+          AS BIGINT) AS d_micros
+      FROM df, mx WHERE df.diff = mx.d_num
+      GROUP BY mx.na, mx.nb, mx.d_num""",
   )
 
   // ---- shared DuckDB oracle fragments ----

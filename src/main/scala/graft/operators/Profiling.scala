@@ -167,4 +167,46 @@ object Profiling {
       .select(col("lang"), col("source"), col("n_xy"),
         col("term_micronats"), col("mi_total_micronats"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic on the `n_chars`
+    * distribution between the md5-split halves — the numeric-drift
+    * companion to [[driftPsi]]'s categorical check:
+    * D = max over v of |F_A(v) − F_B(v)|. ENTIRELY exact integer
+    * arithmetic until the final report: the max runs over
+    * |cumA·nB − cumB·nA| (longs), so the argmax value and numerator
+    * are engine-independent by construction, not by fp luck.
+    *
+    * Scale shape: one data-sized groupBy(n_chars) (map-side combined
+    * to ≤|distinct values| partials), then cumulative windows over the
+    * value-frame — distinct-value-sized, not data-sized; the final
+    * reduce emits one row. */
+  def ksTest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir).select(col("n_chars"),
+      (Sampling.bucket100(col("doc_id")) < 50).as("is_a"))
+    val cells = d.groupBy(col("n_chars")).agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+    val wcum = Window.partitionBy(lit(1)).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(1))
+    val cum = cells
+      .withColumn("cum_a", sum(col("ca")).over(wcum))
+      .withColumn("cum_b", sum(col("cb")).over(wcum))
+      .withColumn("n_a", sum(col("ca")).over(all))
+      .withColumn("n_b", sum(col("cb")).over(all))
+      .withColumn("diff",
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+    val dnum = cum.agg(max(col("diff")).as("d_num"),
+      max(col("n_a")).as("na"), max(col("n_b")).as("nb"))
+    cum.select(col("n_chars"), col("diff"))
+      .crossJoin(broadcast(dnum))
+      .filter(col("diff") === col("d_num"))
+      .groupBy(col("na"), col("nb"), col("d_num"))
+      .agg(min(col("n_chars")).as("v_at_max"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"), col("d_num"),
+        (col("na") * col("nb")).as("d_denom"), col("v_at_max"),
+        round(lit(1e6) * col("d_num").cast("double") /
+          (col("na") * col("nb"))).cast("long").as("d_micros"))
+  }
 }

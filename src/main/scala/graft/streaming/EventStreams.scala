@@ -309,6 +309,52 @@ object EventStreams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class EwmaEvent(user_id: Long, event_id: Long, us: Long, m: Long)
+  // public: the state encoder's generated code constructs it reflectively
+  case class EwmaBuf(ms: Seq[Long])
+  case class EwmaOut(event_id: Long, user_id: Long, value_micros: Long,
+                     ewma_micros: Long, spike: Long)
+
+  /** Streaming twin of operators.EventAnalytics.ewmaSpikes: the same
+    * 8-deep truncated EWMA maintained as a per-user ring buffer (≤ 8
+    * longs of ValueState — constant-size per key). Within a micro-batch
+    * rows sort by (us, event_id); across batches parity requires
+    * per-user in-order arrival, the same contract as the sessionizer.
+    * The fold order and HALF_UP rounding replicate the batch lag-fan
+    * expression exactly, so stream ≡ batch bit-for-bit. */
+  class EwmaProcessor extends StatefulProcessor[Long, EwmaEvent, EwmaOut] {
+    @transient private var state: ValueState[EwmaBuf] = _
+    private val wts = Iterator.iterate(1.0)(_ * 0.75).take(8).toSeq
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[EwmaBuf]("ewma",
+        Encoders.product[EwmaBuf], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[EwmaEvent],
+                                 tv: TimerValues): Iterator[EwmaOut] = {
+      var buf = if (state.exists()) state.get().ms else Seq.empty[Long]
+      val out = rows.toSeq.sortBy(e => (e.us, e.event_id)).map { e =>
+        buf = (e.m +: buf).take(8)
+        var num = 0.0; var den = 0.0
+        buf.indices.foreach { j =>
+          num += wts(j) * buf(j).toDouble; den += wts(j)
+        }
+        val ew = BigDecimal(num / den)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        EwmaOut(e.event_id, user, e.m, ew, if (e.m > 2 * ew) 1L else 0L)
+      }
+      state.update(EwmaBuf(buf))
+      out.iterator
+    }
+  }
+
+  def ewmaStream(events: Dataset[EwmaEvent]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new EwmaProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   def sessionize(events: Dataset[SessionEvent],
                  gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
     import events.sparkSession.implicits._

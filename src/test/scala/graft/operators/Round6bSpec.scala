@@ -203,6 +203,28 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  test("ksTest: D statistic matches an exact driver replay in integers") {
+    val r = Profiling.ksTest(spark, sf).collect().head
+    val halves = docs.map { case (id, _, _, nc) =>
+      (nc, md5_60(id.toString) % 100 < 50)
+    }
+    val nA = halves.count(_._2).toLong
+    val nB = halves.size - nA
+    val values = halves.map(_._1).distinct.sorted
+    var (cumA, cumB) = (0L, 0L)
+    var dNum = -1L; var vAt = -1L
+    values.foreach { v =>
+      cumA += halves.count(t => t._1 == v && t._2)
+      cumB += halves.count(t => t._1 == v && !t._2)
+      val diff = math.abs(cumA * nB - cumB * nA)
+      if (diff > dNum) { dNum = diff; vAt = v }
+    }
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((nA, nB, dNum, nA * nB, vAt)))
+    // the final cumulative point has F_A = F_B = 1 → diff 0: sanity
+    assert(cumA === nA && cumB === nB)
+  }
+
   test("ewmaSpikes: first-event EWMA equals the value; constant series never spikes") {
     import spark.implicits._
     val rows = EventAnalytics.ewmaSpikes(spark, sf).collect()

@@ -445,4 +445,38 @@ class EventStreamsSpec extends SparkSpec {
     EventStreams.commitBatch(Seq(99L).toDF("doc_id").toDF(), 7L, base)
     assert(new java.io.File(s"$base/batch_id=7/_SUCCESS").exists())
   }
+
+  test("streaming EWMA == batch ewmaSpikes (stream/batch parity)") {
+    import graft.operators.EventAnalytics
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the whole sf0.001 events fixture, in event-time order, split
+    // across three micro-batches (per-user in-order arrival — the
+    // processor's contract, same as the sessionizer)
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        round(col("value") * 1e6).cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+      .sortBy(t => (t._3, t._2))
+      .map(t => EventStreams.EwmaEvent(t._1, t._2, t._3, t._4))
+    val mem = MemoryStream[EventStreams.EwmaEvent]
+    val q = EventStreams.ewmaStream(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ewma_parity").start()
+    try {
+      evs.grouped(math.max(evs.length / 3, 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("ewma_parity").as[EventStreams.EwmaOut]
+      .collect()
+      .map(o => (o.event_id, o.user_id, o.value_micros, o.ewma_micros,
+        o.spike)).toSet
+    val batch = EventAnalytics.ewmaSpikes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(streamed === batch)
+  }
 }
