@@ -314,6 +314,7 @@ object SparkEntry {
     "ev9_attribution"   -> (EventAnalytics.attribution(_, _)),
     "sim_mmr_select"    -> (Similarity.mmrSelect(_, _)),
     "stat19_ks_test"    -> (Profiling.ksTest(_, _)),
+    "ml8_pca_power"     -> (Training.pcaPower(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3143,6 +3144,7 @@ object SparkEntry {
           AS BIGINT) AS d_micros
       FROM df, mx WHERE df.diff = mx.d_num
       GROUP BY mx.na, mx.nb, mx.d_num""",
+    "ml8_pca_power" -> pcaSql,
   )
 
   // ---- shared DuckDB oracle fragments ----
@@ -3184,6 +3186,41 @@ object SparkEntry {
 
 
   /** Brute-force exact top-10 — the eval2_ann_recall ground truth. */
+  /** PCA power-iteration oracle (Training.pcaPower): Gram matrix of
+    * micro-quantized embeddings, then five exact-integer iterations —
+    * per-term rounding before the integer matvec sum, rescale on the
+    * integer max, renormalize — as chained materialized CTEs. */
+  private def pcaSql: String = {
+    val iters = (1 to 5).map { k =>
+      val pv = if (k == 1) "v0" else s"v${k - 1}"
+      raw"""
+      w$k AS MATERIALIZED (SELECT g.i AS dim,
+          CAST(sum(CAST(round(CAST(g.g AS DOUBLE) * v.vm / 1000000.0)
+            AS BIGINT)) AS BIGINT) AS w
+        FROM g JOIN $pv v ON g.j = v.dim GROUP BY g.i),
+      m$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$k),
+      s$k AS MATERIALIZED (SELECT dim,
+          CAST(round(1000000.0 * CAST(w AS DOUBLE) / m.m) AS BIGINT) AS sv
+        FROM w$k, m$k m),
+      n$k AS MATERIALIZED (SELECT sqrt(CAST(sum(sv * sv) AS DOUBLE))
+          AS nrm FROM s$k),
+      v$k AS MATERIALIZED (SELECT dim,
+          CAST(round(1000000.0 * CAST(sv AS DOUBLE) / n.nrm) AS BIGINT)
+            AS vm
+        FROM s$k, n$k n)"""
+    }.mkString(",")
+    raw"""
+      WITH e AS MATERIALIZED (SELECT list_transform(embedding::DOUBLE[],
+          x -> CAST(round(x * 1e6) AS BIGINT)) AS ms FROM embeddings),
+      g AS MATERIALIZED (
+        SELECT i.range AS i, j.range AS j,
+          CAST(sum(ms[i.range + 1] * ms[j.range + 1]) AS BIGINT) AS g
+        FROM e, range(0, 64) i, range(0, 64) j GROUP BY 1, 2),
+      v0 AS MATERIALIZED (SELECT range AS dim,
+        CAST(125000 AS BIGINT) AS vm FROM range(0, 64)),$iters
+      SELECT CAST(dim AS BIGINT) AS dim, vm AS v_micros FROM v5"""
+  }
+
   /** MMR oracle (Similarity.mmrSelect): relevance top-40 shortlist,
     * 40×40 pairwise sims, then 8 greedy selection rounds as chained
     * CTEs — each round joins the candidates to the max-sim against the

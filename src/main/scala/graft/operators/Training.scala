@@ -436,6 +436,54 @@ object Training {
     * encoding is a fixed-shape IEEE expression on exact inputs —
     * (sum_cat − sum_fold + m·prior) / (n_cat − n_fold + m) — evaluated
     * identically by Spark and the oracle, then micro-rounded. */
+  /** Leading principal direction of the embedding GRAM matrix via
+    * power iteration — the PCA building block, in the repo's
+    * model-collect shape: the DATA-sized stage is ONE aggregation
+    * building G = Σ rows m·mᵀ (each row emits its 64×64 outer product
+    * row-locally, map-side combined to ≤4096 partials per task); the
+    * iterations then run on the collected 64×64 MODEL, never the data.
+    *
+    * Determinism (the interesting part): the whole iteration is
+    * exact-integer linear algebra — G entries are exact long sums of
+    * micro products, each matvec term rounds to a long BEFORE the
+    * (order-free) integer sum, the rescale pivots on the exact integer
+    * max, and the only IEEE ops per iteration are one divide per
+    * component and one sqrt on exact inputs. The oracle replays all
+    * five iterations in chained materialized CTEs bit-for-bit —
+    * impossible with a float accumulation whose sum order floats. */
+  def pcaPower(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    val g = Tables.embeddings(s, dir)
+      .select(transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long")).as("ms"))
+      .select(posexplode(col("ms")).as(Seq("i", "mi")), col("ms"))
+      .select(col("i"), col("mi"), posexplode(col("ms")).as(Seq("j", "mj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("mi") * col("mj")).as("g"))
+    val rows = g.collect()
+    val dims = rows.map(_.getInt(0)).max + 1
+    val gm = Array.ofDim[Long](dims, dims)
+    rows.foreach(r => gm(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    def halfUp(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    var v = Array.fill(dims)(halfUp(1e6 / math.sqrt(dims)))
+    (1 to iters).foreach { _ =>
+      val w = Array.tabulate(dims) { i =>
+        var acc = 0L
+        (0 until dims).foreach { j =>
+          acc += halfUp(gm(i)(j).toDouble * v(j) / 1e6)
+        }
+        acc
+      }
+      val m = w.map(math.abs).max
+      val sv = w.map(wi => halfUp(1e6 * wi.toDouble / m))
+      val norm = math.sqrt(sv.map(x => x * x).sum.toDouble)
+      v = sv.map(x => halfUp(1e6 * x.toDouble / norm))
+    }
+    import s.implicits._
+    v.zipWithIndex.map { case (vm, d) => (d.toLong, vm) }.toSeq
+      .toDF("dim", "v_micros")
+  }
+
   def targetEncode(s: SparkSession, dir: String): DataFrame = {
     val m = 10.0
     val d = Tables.documents(s, dir).select(

@@ -203,6 +203,42 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  test("pcaPower: unit direction, dominant over every axis, deterministic") {
+    val out = Training.pcaPower(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).map(_._2)
+    assert(out.length === 64)
+    // unit norm to within quantization
+    val norm2 = out.map(x => x.toDouble * x).sum
+    assert(math.abs(norm2 / 1e12 - 1.0) < 1e-3, s"norm² $norm2")
+    // Rayleigh quotient of the found direction beats every axis
+    // direction e_k (true for the dominant eigendirection; 5 rounds
+    // converge far past axis quality on this corpus)
+    val g = Tables.embeddings(spark, sf)
+      .select(transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long")).as("ms"))
+      .select(posexplode(col("ms")).as(Seq("i", "mi")), col("ms"))
+      .select(col("i"), col("mi"), posexplode(col("ms")).as(Seq("j", "mj")))
+      .groupBy(col("i"), col("j")).agg(sum(col("mi") * col("mj")).as("g"))
+      .collect()
+    val gm = Array.ofDim[Double](64, 64)
+    g.foreach(r => gm(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble)
+    def rayleigh(v: Array[Double]): Double = {
+      val gv = Array.tabulate(64)(i =>
+        (0 until 64).map(j => gm(i)(j) * v(j)).sum)
+      v.zip(gv).map { case (a, b) => a * b }.sum /
+        v.map(x => x * x).sum
+    }
+    val rv = rayleigh(out.map(_.toDouble))
+    (0 until 64).foreach { k =>
+      val e = Array.fill(64)(0.0); e(k) = 1.0
+      assert(rv >= rayleigh(e), s"axis $k beats the found direction")
+    }
+    // deterministic end to end
+    val again = Training.pcaPower(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).map(_._2)
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("ksTest: D statistic matches an exact driver replay in integers") {
     val r = Profiling.ksTest(spark, sf).collect().head
     val halves = docs.map { case (id, _, _, nc) =>
