@@ -315,6 +315,7 @@ object SparkEntry {
     "sim_mmr_select"    -> (Similarity.mmrSelect(_, _)),
     "stat19_ks_test"    -> (Profiling.ksTest(_, _)),
     "ml8_pca_power"     -> (Training.pcaPower(_, _)),
+    "graph_sssp"        -> (Graphs.ssspWeighted(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3145,6 +3146,30 @@ object SparkEntry {
       FROM df, mx WHERE df.diff = mx.d_num
       GROUP BY mx.na, mx.nb, mx.d_num""",
     "ml8_pca_power" -> pcaSql,
+    // hop-bounded weighted SSSP (Graphs.ssspWeighted): Bellman-Ford
+    // over the derived link graph, weight = 1 + (src+dst) % 7; the
+    // recursion enumerates ≤8-edge paths and takes the min per node.
+    "graph_sssp" -> raw"""
+      WITH RECURSIVE
+      nn AS (SELECT count(*) AS n_docs FROM documents),
+      edges AS (
+        SELECT src, dst, 1 + (src + dst) % 7 AS w FROM (
+          SELECT doc_id AS src, (doc_id + 1) % n_docs AS dst
+            FROM documents, nn
+          UNION ALL SELECT doc_id, (doc_id + 2) % n_docs
+            FROM documents, nn
+          UNION ALL SELECT doc_id, (doc_id * doc_id + 3) % n_docs
+            FROM documents, nn)
+        WHERE src <> dst),
+      bf AS (
+        SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost,
+          0 AS depth
+        UNION
+        SELECT e.dst, bf.cost + e.w, bf.depth + 1
+        FROM bf JOIN edges e ON bf.node = e.src
+        WHERE bf.depth < 8)
+      SELECT node, CAST(min(cost) AS BIGINT) AS cost
+      FROM bf GROUP BY node""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -224,6 +224,55 @@ object Graphs {
       }
     }
 
+  /** Weighted single-source shortest paths bounded to ≤ `maxHops`
+    * edges — Bellman-Ford rounds with the SPFA frontier optimization
+    * (only nodes improved last round relax their out-edges; a path
+    * whose prefix did not improve is dominated by a cheaper
+    * fewer-edge prefix, so the ≤k-edge minimum is still exact).
+    * Weights are the deterministic key function 1 + (src+dst) % 7 —
+    * same pure-arithmetic precedent as the link graph itself, so both
+    * engines derive the identical weighted instance.
+    *
+    * Scale shape: per round one equi-join frontier→edges plus a
+    * min-aggregation, all keyed on node — the Pregel message pattern;
+    * only (node, cost) longs shuffle; lineage cut per round via
+    * localCheckpoint (same discipline as PageRank/BFS). */
+  def ssspWeighted(s: SparkSession, dir: String, seed: Long = 0L,
+                   maxHops: Int = 8): DataFrame =
+    staged(s, dir, "sssp", s"${seed}_$maxHops") { finalPath =>
+      val sc = s.sparkContext
+      val preexisting = sc.getPersistentRDDs.keySet
+      try {
+        val edges = linkEdges(s, dir)
+          .select(col("src"), col("dst"),
+            (lit(1L) + (col("src") + col("dst")) % 7).as("w"))
+          .localCheckpoint(true)
+        var best = s.range(1).select(lit(seed).as("node"),
+          lit(0L).as("cost")).localCheckpoint(true)
+        var frontier = best
+        for (_ <- 1 to maxHops) {
+          val relaxed = frontier
+            .join(edges, col("node") === col("src"))
+            .select(col("dst").as("node"),
+              (col("cost") + col("w")).as("cost"))
+            .groupBy("node").agg(min("cost").as("cost"))
+          frontier = relaxed
+            .join(best.withColumnRenamed("cost", "old"), Seq("node"), "left")
+            .filter(col("old").isNull || col("cost") < col("old"))
+            .select(col("node"), col("cost"))
+            .localCheckpoint(true)
+          best = best.unionByName(frontier)
+            .groupBy("node").agg(min("cost").as("cost"))
+            .localCheckpoint(true)
+        }
+        best.write.mode("overwrite").parquet(finalPath)
+      } finally {
+        sc.getPersistentRDDs
+          .filterNot { case (id, _) => preexisting(id) }
+          .values.foreach(_.unpersist(blocking = false))
+      }
+    }
+
   /** The block-community graph for label propagation: the ring+hub
     * graph above has NO community structure (LPA would correctly find
     * none), so the community detector gets its own derived graph with

@@ -203,6 +203,17 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  test("plans: readability is shuffle-free; EWMA shuffles exactly once") {
+    val p1 = TextAnalysis.readability(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("Exchange"),
+      s"readability must be a pure narrow projection:\n$p1")
+    val p2 = EventAnalytics.ewmaSpikes(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p2).length
+    assert(hashEx === 1, s"EWMA must shuffle once (by user):\n$p2")
+  }
+
   test("pcaPower: unit direction, dominant over every axis, deterministic") {
     val out = Training.pcaPower(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).map(_._2)
@@ -237,6 +248,29 @@ class Round6bSpec extends SparkSpec {
     val again = Training.pcaPower(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).map(_._2)
     assert(again.toSeq === out.toSeq)
+  }
+
+  test("ssspWeighted: matches a driver Bellman-Ford replay; frontier opt is lossless") {
+    val out = Graphs.ssspWeighted(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = docs.size.toLong
+    val edges = docs.map(_._1).flatMap { i =>
+      Seq((i + 1) % n, (i + 2) % n, (i * i + 3) % n)
+        .filter(_ != i).map(d => (i, d, 1L + (i + d) % 7))
+    }
+    // classic full-relaxation Bellman-Ford, 8 rounds — NO frontier
+    // optimization, so agreement proves the optimization lossless
+    var dist = Map(0L -> 0L)
+    (1 to 8).foreach { _ =>
+      val next = scala.collection.mutable.Map(dist.toSeq: _*)
+      edges.foreach { case (s2, d2, w) =>
+        dist.get(s2).foreach { c =>
+          if (!next.contains(d2) || next(d2) > c + w) next(d2) = c + w
+        }
+      }
+      dist = next.toMap
+    }
+    assert(out === dist)
   }
 
   test("ksTest: D statistic matches an exact driver replay in integers") {
