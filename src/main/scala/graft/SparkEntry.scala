@@ -316,6 +316,10 @@ object SparkEntry {
     "stat19_ks_test"    -> (Profiling.ksTest(_, _)),
     "ml8_pca_power"     -> (Training.pcaPower(_, _)),
     "graph_sssp"        -> (Graphs.ssspWeighted(_, _)),
+    "stat20_approx_quantiles" -> (Sketches.approxQuantiles(_, _)),
+    "text_tfidf_labels" -> (TextAnalysis.tfidfLabels(_, _)),
+    "samp8_epoch_order" -> ((s, dir) =>
+      Sampling.epochOrder(s, Tables.documents(s, dir))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3170,6 +3174,57 @@ object SparkEntry {
         WHERE bf.depth < 8)
       SELECT node, CAST(min(cost) AS BIGINT) AS cost
       FROM bf GROUP BY node""",
+    // approx-quantile contract (Sketches.approxQuantiles): exact cents
+    // quantiles + the portable rank-window flag; the sketch's own
+    // answers never leave the query.
+    "stat20_approx_quantiles" -> raw"""
+      WITH m AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+          AS m FROM lineitem),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        quantile_cont(m, 0.25) AS e1, quantile_cont(m, 0.5) AS e2,
+        quantile_cont(m, 0.75) AS e3, quantile_cont(m, 0.9) AS e4
+        FROM m)
+      SELECT CAST(0.25 AS DOUBLE) AS q, n_rows, e1 AS exact_cents,
+        true AS within_bound FROM st
+      UNION ALL SELECT CAST(0.5 AS DOUBLE), n_rows, e2, true FROM st
+      UNION ALL SELECT CAST(0.75 AS DOUBLE), n_rows, e3, true FROM st
+      UNION ALL SELECT CAST(0.9 AS DOUBLE), n_rows, e4, true FROM st""",
+    // per-lang TF-IDF top-5 labels (TextAnalysis.tfidfLabels).
+    "text_tfidf_labels" -> raw"""
+      WITH tk AS (SELECT doc_id, lang,
+          unnest(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0)) AS tok
+        FROM documents),
+      dfv AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tk GROUP BY tok),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM tk GROUP BY lang, tok),
+      sc AS (SELECT lang, tok, tf, df,
+          CAST(round(1e6 * CAST(tf AS DOUBLE) *
+            ln(CAST(n_docs AS DOUBLE) / df)) AS BIGINT) AS score_micros
+        FROM tf JOIN dfv USING (tok), nd),
+      rk AS (SELECT lang, tok, tf, df, score_micros,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY score_micros DESC, tok ASC) AS rn
+        FROM sc)
+      SELECT lang, CAST(rn AS BIGINT) AS rank, tok, tf, df, score_micros
+      FROM rk WHERE rn <= 5""",
+    // deterministic per-epoch shuffle order (Sampling.epochOrder).
+    "samp8_epoch_order" -> raw"""
+      WITH x AS (
+        SELECT doc_id, e.epoch,
+          ('0x' || substr(md5(CAST(e.epoch AS VARCHAR) || ':' ||
+            CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS order_key
+        FROM documents,
+          (SELECT CAST(0 AS BIGINT) AS epoch
+           UNION ALL SELECT CAST(1 AS BIGINT)) e),
+      rk AS (SELECT epoch, doc_id, order_key,
+          row_number() OVER (PARTITION BY epoch
+            ORDER BY order_key ASC, doc_id ASC) AS rn
+        FROM x)
+      SELECT epoch, CAST(rn AS BIGINT) AS rank, doc_id, order_key
+      FROM rk WHERE rn <= 50""",
   )
 
   // ---- shared DuckDB oracle fragments ----

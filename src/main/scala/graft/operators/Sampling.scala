@@ -115,6 +115,30 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rank"))
   }
 
+  /** Deterministic per-epoch shuffle order — the training-data-loader
+    * contract: each epoch visits the corpus in a different but fully
+    * reproducible order (md5-60 of "epoch:doc_id"), so a resumed or
+    * re-run job replays the identical batch sequence with no RNG state
+    * to checkpoint. Emits the first `topN` positions of each epoch's
+    * order; the rank filter is the TopKPerKey shape (no global sort —
+    * ≤topN rows per epoch per partition cross the shuffle).
+    */
+  def epochOrder(s: SparkSession, docs: DataFrame, epochs: Int = 2,
+                 topN: Int = 50): DataFrame = {
+    graft.plans.GraftStrategies.register(s)
+    docs.select(col("doc_id"))
+      .select(col("doc_id"), explode(array(
+        (0 until epochs).map(e => lit(e.toLong)): _*)).as("epoch"))
+      .withColumn("order_key", hash60(concat(col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string"))))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("epoch"))
+          .orderBy(col("order_key").asc, col("doc_id").asc)))
+      .filter(col("rn") <= topN)
+      .select(col("epoch"), col("rn").cast("long").as("rank"),
+        col("doc_id"), col("order_key"))
+  }
+
   /** Per-document weighted sampling: keep document i with probability
     * w(i), where w is a data-derived quality proxy (here: length-capped
     * at 1.0 — longer docs are likelier kept, the usual quality-weighted

@@ -76,4 +76,49 @@ object Sketches {
       .select(col("token"), col("true_count"), col("est_count"),
         (col("est_count") - col("true_count")).as("overcount"))
   }
+
+  /** Approximate-quantile CONTRACT check (the stat2-HLL pattern for
+    * order statistics): Spark's `approx_percentile` (Greenwald–Khanna,
+    * mergeable partials — the 100 TB quantile plan) runs beside the
+    * exact `percentile`, and the report pins the PORTABLE contract —
+    * the exact quantiles in cents plus a flag that each approximate
+    * answer's rank window overlaps the target rank ± n/accuracy. The
+    * sketch's internal answers are engine-specific and never leave the
+    * query; a GK regression flips the flag and fails the hash check.
+    *
+    * Scale shape: one aggregation computes all exact+approx quantiles
+    * (exact needs the per-column sort; at 100 TB drop it and keep only
+    * the sketch — same plan shape), then one more scan folds the four
+    * rank windows as conditional sums against the broadcast 4-row
+    * frame. Values micro-quantize to cents, so the exact quantile
+    * interpolation lands on exact binary fractions (ml5 precedent). */
+  def approxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    val acc = 1000
+    val m = Tables.lineitem(s, dir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("m"))
+    val qArr = qs.map(q => s"${q}D").mkString("array(", ", ", ")")
+    val one = m.agg(
+      count(lit(1)).as("n_rows"),
+      expr(s"percentile(m, $qArr)").as("exact"),
+      expr(s"approx_percentile(m, $qArr, $acc)").as("apx"))
+    val perQ = one.select(col("n_rows"),
+      posexplode(arrays_zip(col("exact"), col("apx"))).as(Seq("qi", "z")))
+      .select(col("n_rows"), col("qi"),
+        col("z.exact").as("exact_cents"),
+        col("z.apx").as("apx_cents"))
+    m.crossJoin(broadcast(perQ))
+      .groupBy(col("qi"), col("n_rows"), col("exact_cents"),
+        col("apx_cents"))
+      .agg(
+        sum(when(col("m") < col("apx_cents"), 1L).otherwise(0L)).as("lo"),
+        sum(when(col("m") <= col("apx_cents"), 1L).otherwise(0L)).as("hi"))
+      .withColumn("q",
+        element_at(array(qs.map(lit): _*), col("qi").cast("int") + 1))
+      .select(col("q"), col("n_rows"), col("exact_cents"),
+        (col("lo") <= col("q") * col("n_rows") +
+            col("n_rows").cast("double") / acc &&
+          col("hi") >= col("q") * col("n_rows") -
+            col("n_rows").cast("double") / acc).as("within_bound"))
+  }
 }

@@ -972,6 +972,41 @@ object TextAnalysis {
           .cast("long").as("oov_rate_micros"))
   }
 
+  /** TF-IDF cluster labels: the top-5 most characteristic tokens per
+    * language bucket, scored tf·ln(N/df) — how a curation pipeline
+    * names its clusters/domains for human review. Corpus-wide terms
+    * (df = N) score zero and fall out of the ranking naturally.
+    *
+    * Scale shape: the tf aggregation is the only data-sized shuffle;
+    * the df table is vocabulary-sized and broadcasts (the unigram-model
+    * shape). The rank filter is the TopKPerKey pattern, so with
+    * GraftStrategies registered it plans through the custom heap exec:
+    * ≤5 survivors per lang per partition cross the final shuffle, no
+    * sorts. Determinism: integer counts, micro-nat quantization,
+    * lexicographic tie-break. */
+  def tfidfLabels(s: SparkSession, dir: String, topN: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftStrategies.register(s)
+    val d = Tables.documents(s, dir)
+    val toks = d.select(col("doc_id"), col("lang"),
+      explode(tokens(lower(col("text")))).as("tok"))
+    val dfv = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("tf"))
+      .join(broadcast(dfv), "tok")
+      .crossJoin(broadcast(nDocs))
+      .select(col("lang"), col("tok"), col("tf"), col("df"),
+        round(lit(1e6) * col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df"))).cast("long")
+          .as("score_micros"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("score_micros").desc, col("tok").asc)))
+      .filter(col("rn") <= topN)
+      .select(col("lang"), col("rn").cast("long").as("rank"), col("tok"),
+        col("tf"), col("df"), col("score_micros"))
+  }
+
   /** Flesch reading-ease readability battery — the classic quality
     * signal readability-based corpus filters (e.g. textbook-style
     * selection) threshold on. Syllables are approximated by vowel-group

@@ -203,6 +203,49 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  test("approxQuantiles: contract flag holds and exact quantiles match a driver replay") {
+    val out = Sketches.approxQuantiles(spark, sf).collect()
+      .map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out.keySet === Set(0.25, 0.5, 0.75, 0.9))
+    assert(out.values.forall(_._3), "every GK answer inside its rank window")
+    // exact quantiles replayed driver-side: linear interpolation over
+    // the sorted cents (the percentile() definition)
+    val cents = graft.Tables.lineitem(spark, sf)
+      .select(round(col("l_extendedprice") * 100).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    out.foreach { case (q, (n, exact, _)) =>
+      assert(n === cents.length.toLong)
+      val pos = q * (cents.length - 1)
+      val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+      val expect = cents(lo) + (pos - lo) * (cents(hi) - cents(lo))
+      assert(exact === expect, s"q=$q")
+    }
+  }
+
+  test("tfidfLabels + epochOrder: rank filters plan through TopKPerKeyExec; orders replay") {
+    val p1 = TextAnalysis.tfidfLabels(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("TopKPerKey (final)"),
+      s"tfidf rank filter must use the custom heap exec:\n$p1")
+    val p2 = Sampling.epochOrder(spark, graft.Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("TopKPerKey (final)"),
+      s"epoch order must use the custom heap exec:\n$p2")
+    // epoch orders replay from the md5 bridge and differ across epochs
+    val rows = Sampling.epochOrder(spark, graft.Tables.documents(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byEpoch = rows.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byEpoch.keySet === Set(0L, 1L))
+    assert(byEpoch(0L) !== byEpoch(1L), "epochs must shuffle differently")
+    (0L to 1L).foreach { e =>
+      val expect = docs.map(_._1)
+        .sortBy(id => (md5_60(s"$e:$id"), id)).take(50)
+      assert(byEpoch(e) === expect, s"epoch $e order")
+    }
+  }
+
   test("plans: readability is shuffle-free; EWMA shuffles exactly once") {
     val p1 = TextAnalysis.readability(spark, sf)
       .queryExecution.executedPlan.toString
