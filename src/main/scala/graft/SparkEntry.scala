@@ -320,6 +320,9 @@ object SparkEntry {
     "text_tfidf_labels" -> (TextAnalysis.tfidfLabels(_, _)),
     "samp8_epoch_order" -> ((s, dir) =>
       Sampling.epochOrder(s, Tables.documents(s, dir))),
+    "ml9_logistic_gd"   -> (Training.logisticGd(_, _)),
+    "ts2_rolling_slope" -> (EventAnalytics.rollingSlope(_, _)),
+    "mm5_shot_bounds"   -> (Multimodal.shotBounds(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3225,6 +3228,100 @@ object SparkEntry {
         FROM x)
       SELECT epoch, CAST(rn AS BIGINT) AS rank, doc_id, order_key
       FROM rk WHERE rn <= 50""",
+    // logistic GD (Training.logisticGd): ml1's features and loop with
+    // a sigmoid residual, probability micro-quantized per row.
+    "ml9_logistic_gd" -> raw"""
+      WITH RECURSIVE
+      nn AS (SELECT count(*) AS n_docs FROM documents),
+      feats AS (
+        SELECT doc_id,
+          n_chars * 1000 AS x1,
+          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+            t -> len(t) > 0)) AS BIGINT) * 10000 AS x2,
+          CAST(round(1e6 * CAST(length(text) -
+              length(translate(text, 'aeiou', '')) AS DOUBLE) /
+            greatest(length(text), 1)) AS BIGINT) AS x3,
+          CAST(1000000 AS BIGINT) AS x4,
+          CASE WHEN lang = 'en' THEN CAST(1000000 AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS y
+        FROM documents),
+      wts AS (
+        SELECT 0 AS iter, [CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                           CAST(0 AS BIGINT), CAST(0 AS BIGINT)] AS w
+        UNION ALL
+        SELECT iter + 1, [
+          w[1] - CAST(round(0.05 * g1 / (SELECT n_docs FROM nn)) AS BIGINT),
+          w[2] - CAST(round(0.05 * g2 / (SELECT n_docs FROM nn)) AS BIGINT),
+          w[3] - CAST(round(0.05 * g3 / (SELECT n_docs FROM nn)) AS BIGINT),
+          w[4] - CAST(round(0.05 * g4 / (SELECT n_docs FROM nn)) AS BIGINT)]
+        FROM (
+          SELECT iter, w,
+            sum(CAST(round(CAST(r AS DOUBLE) * x1 / 1e6) AS BIGINT)) AS g1,
+            sum(CAST(round(CAST(r AS DOUBLE) * x2 / 1e6) AS BIGINT)) AS g2,
+            sum(CAST(round(CAST(r AS DOUBLE) * x3 / 1e6) AS BIGINT)) AS g3,
+            sum(CAST(round(CAST(r AS DOUBLE) * x4 / 1e6) AS BIGINT)) AS g4
+          FROM (
+            SELECT ww.iter, ww.w, f.x1, f.x2, f.x3, f.x4,
+              CAST(round(1e6 / (1 + exp(-(CAST(ww.w[1] * f.x1
+                + ww.w[2] * f.x2 + ww.w[3] * f.x3 + ww.w[4] * f.x4
+                AS DOUBLE) / 1e12)))) AS BIGINT) - f.y AS r
+            FROM wts ww, feats f
+            WHERE ww.iter < 8)
+          GROUP BY iter, w))
+      SELECT unnest(['chars_k', 'tokens_h', 'vowel_ratio', 'bias'])
+          AS feature,
+        unnest(w) AS weight_micros
+      FROM wts WHERE iter = 8""",
+    // rolling OLS slope over the last 16 events per user
+    // (EventAnalytics.rollingSlope): exact integer frame sums.
+    "ts2_rolling_slope" -> raw"""
+      WITH b AS (
+        SELECT event_id, user_id, ts,
+          CAST(round(value * 1e6) AS BIGINT) AS y,
+          CAST(row_number() OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS BIGINT) AS x
+        FROM events),
+      f AS (
+        SELECT event_id, user_id, x, y,
+          CAST(count(*) OVER w AS BIGINT) AS n,
+          CAST(sum(x) OVER w AS BIGINT) AS sx,
+          CAST(sum(y) OVER w AS BIGINT) AS sy,
+          CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+          CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+        FROM b WINDOW w AS (PARTITION BY user_id ORDER BY x
+          ROWS BETWEEN 15 PRECEDING AND CURRENT ROW))
+      SELECT event_id, user_id, x AS ordinal, n AS frame_n,
+        CASE WHEN n * sxx - sx * sx > 0 THEN
+          CAST(round(1e6 * CAST(n * sxy - sx * sy AS DOUBLE) /
+            (n * sxx - sx * sx)) AS BIGINT)
+        ELSE NULL END AS slope_e6
+      FROM f""",
+    // shot-boundary detection over the frame stream
+    // (Multimodal.shotBounds): md5-60 luma stand-in, lag cut flags.
+    "mm5_shot_bounds" -> raw"""
+      WITH f AS (SELECT doc_id,
+          CAST(greatest(1, CAST(floor(octet_length(encode(text)) / 64)
+            AS BIGINT)) AS BIGINT) AS n_frames
+        FROM documents WHERE doc_id < 20),
+      fr AS (SELECT doc_id,
+          CAST(unnest(range(0, n_frames)) AS BIGINT) AS frame_idx FROM f),
+      lu AS (SELECT doc_id, frame_idx,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+            CAST(frame_idx AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS luma
+        FROM fr),
+      lg AS (SELECT doc_id, frame_idx, luma,
+          lag(luma, 1) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+            AS prev
+        FROM lu),
+      ct AS (SELECT doc_id, frame_idx,
+          CASE WHEN prev IS NOT NULL AND abs(luma - prev) > 500000
+            THEN 1 ELSE 0 END AS cut
+        FROM lg)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        CAST(sum(cut) + 1 AS BIGINT) AS n_shots,
+        CAST(min(CASE WHEN cut = 1 THEN frame_idx END) AS BIGINT)
+          AS first_cut_idx
+      FROM ct GROUP BY doc_id""",
   )
 
   // ---- shared DuckDB oracle fragments ----

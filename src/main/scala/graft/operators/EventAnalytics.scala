@@ -330,6 +330,41 @@ object EventAnalytics {
           .as("linear_credit_micros"))
   }
 
+  /** Rolling OLS trend over the last 16 events per user: slope of
+    * value-micros against the event ordinal, from the closed-form
+    * normal equations (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — the
+    * trend-detection companion to [[ewmaSpikes]]'s level monitor.
+    *
+    * Scale shape: one shuffle (hash by user), two window passes on the
+    * same partitioning (ordinal, then the 16-row frame sums). EVERY
+    * frame sum is an exact integer sum of bounded products (ordinal ≤
+    * per-user count, values in micros — far inside long range), so the
+    * slope is a single IEEE divide on exact integers per row. */
+  def rollingSlope(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 1e6).cast("long").as("y"))
+      .withColumn("x", row_number().over(wOrd).cast("long"))
+    val wFrame = Window.partitionBy(col("user_id")).orderBy(col("x"))
+      .rowsBetween(-15, Window.currentRow)
+    base
+      .withColumn("n", count(lit(1)).over(wFrame))
+      .withColumn("sx", sum(col("x")).over(wFrame))
+      .withColumn("sy", sum(col("y")).over(wFrame))
+      .withColumn("sxx", sum(col("x") * col("x")).over(wFrame))
+      .withColumn("sxy", sum(col("x") * col("y")).over(wFrame))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .select(col("event_id"), col("user_id"), col("x").as("ordinal"),
+        col("n").as("frame_n"),
+        when(col("den") > 0,
+          round(lit(1e6) *
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            col("den")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("slope_e6"))
+  }
+
   def ewmaSpikes(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))

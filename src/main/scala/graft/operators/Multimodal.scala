@@ -225,4 +225,36 @@ object Multimodal {
         md5(concat(col("doc_id").cast("string"), lit("#"),
           col("frame_idx").cast("string"))).as("frame_digest"))
   }
+
+  /** Shot-boundary detection over the sampled frame stream: a cut is a
+    * frame whose luma jumps more than 0.5 from its predecessor. The
+    * per-frame luma here is the deterministic stand-in the multimodal
+    * stubs use for the codec step (md5-60 of doc#frame, scaled to
+    * [0, 1e6) micros) — the Spark-side plumbing (frame explode, per-doc
+    * ordered lag, boundary fold) is the real shape a video pipeline
+    * runs, and a real decoder would only replace the luma expression.
+    *
+    * Scale shape: frames explode row-locally; one shuffle partitions by
+    * doc for the lag pass; the per-doc aggregate is map-side combined.
+    * All-integer arithmetic. */
+  def shotBounds(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    decodeFeatures(s, dir).filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+      .withColumn("luma",
+        pmod(call_function("md5_base60",
+          concat(col("doc_id").cast("string"), lit("#"),
+            col("frame_idx").cast("string"))), lit(1000000L)))
+      .withColumn("prev", lag(col("luma"), 1).over(w))
+      .withColumn("cut",
+        (col("prev").isNotNull &&
+          abs(col("luma") - col("prev")) > 500000L).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        (sum(col("cut")) + 1L).as("n_shots"),
+        min(when(col("cut") === 1L, col("frame_idx"))).as("first_cut_idx"))
+  }
 }

@@ -436,6 +436,62 @@ object Training {
     * encoding is a fixed-shape IEEE expression on exact inputs —
     * (sum_cat − sum_fold + m·prior) / (n_cat − n_fold + m) — evaluated
     * identically by Spark and the oracle, then micro-rounded. */
+  /** Logistic-regression GD — the classification twin of [[linearGd]]
+    * on the same four features and en-label: per step the residual is
+    * sigmoid(w·x) − y with the probability micro-quantized per row
+    * BEFORE the gradient products, so every cross-row sum stays an
+    * exact integer sum (the engine's GD determinism discipline); the
+    * only transcendental is one exp per row, identical IEEE shape on
+    * any engine. Model (4 longs) round-trips through the driver per
+    * step; data never moves. */
+  def logisticGd(s: SparkSession, dir: String, iters: Int = 8,
+                 lr: Double = 0.05): DataFrame = {
+    val sc = s.sparkContext
+    val toks = filter(split(lower(col("text")), "\\s+"),
+      t => length(t) > lit(0))
+    val feats0 = Tables.documents(s, dir).select(
+      (col("n_chars") * 1000L).as("x1"),
+      (size(toks).cast("long") * 10000L).as("x2"),
+      round(lit(1e6) *
+        (length(col("text")) -
+          length(translate(col("text"), "aeiou", ""))).cast("double") /
+        greatest(length(col("text")), lit(1))).cast("long").as("x3"),
+      lit(1000000L).as("x4"),
+      when(col("lang") === "en", 1000000L).otherwise(0L).as("y"))
+    val preexisting = sc.getPersistentRDDs.keySet
+    val w =
+      try {
+        val feats = feats0.localCheckpoint(true)
+        val n = feats.count()
+        val xs = Seq("x1", "x2", "x3", "x4")
+        var w = Array(0L, 0L, 0L, 0L)
+        for (_ <- 1 to iters) {
+          val dot = xs.zipWithIndex
+            .map { case (c, j) => lit(w(j)) * col(c) }
+            .reduce(_ + _)
+          // z on unit scale: micros·micros / 1e12
+          val p = lit(1e6) /
+            (lit(1.0) + exp(-(dot.cast("double") / lit(1e12))))
+          val resid = (round(p).cast("long") - col("y")).as("r")
+          val g = feats.select(resid +: xs.map(col): _*)
+            .select(xs.map(c =>
+              sum(round(col("r").cast("double") * col(c) / lit(1e6))
+                .cast("long")).as(s"g_$c")): _*)
+            .head()
+          w = Array.tabulate(4)(j => w(j) - rnd(lr * g.getLong(j).toDouble / n))
+        }
+        w
+      } finally {
+        sc.getPersistentRDDs
+          .filterNot { case (id, _) => preexisting(id) }
+          .values.foreach(_.unpersist(blocking = false))
+      }
+    import s.implicits._
+    Seq(("chars_k", w(0)), ("tokens_h", w(1)),
+      ("vowel_ratio", w(2)), ("bias", w(3)))
+      .toDF("feature", "weight_micros")
+  }
+
   /** Leading principal direction of the embedding GRAM matrix via
     * power iteration — the PCA building block, in the repo's
     * model-collect shape: the DATA-sized stage is ONE aggregation

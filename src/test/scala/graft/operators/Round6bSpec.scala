@@ -246,6 +246,81 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  test("logisticGd: training reduces log-loss vs the zero model; deterministic") {
+    val w = Training.logisticGd(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w.keySet === Set("chars_k", "tokens_h", "vowel_ratio", "bias"))
+    // replay features driver-side and compare log-loss before/after
+    val feats = docs.map { case (_, text, lang, nc) =>
+      val toks = text.toLowerCase.split("\\s+").count(_.nonEmpty)
+      val vowels = text.count("aeiou".contains(_))
+      val x3 = BigDecimal(1e6 * vowels.toDouble / math.max(text.length, 1))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (Array(nc * 1000L, toks * 10000L, x3, 1000000L),
+        if (lang == "en") 1.0 else 0.0)
+    }
+    def loss(wv: Array[Long]): Double = feats.map { case (x, y) =>
+      val z = x.zip(wv).map { case (a, b) => a.toDouble * b }.sum / 1e12
+      val p = 1.0 / (1.0 + math.exp(-z))
+      -(y * math.log(p) + (1 - y) * math.log(1 - p))
+    }.sum / feats.size
+    val trained = Array(w("chars_k"), w("tokens_h"), w("vowel_ratio"),
+      w("bias"))
+    assert(loss(trained) < loss(Array(0L, 0L, 0L, 0L)),
+      s"training must beat the zero model: ${loss(trained)}")
+    val again = Training.logisticGd(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === w)
+  }
+
+  test("rollingSlope: frame sums match a driver replay; constant series has zero slope") {
+    import spark.implicits._
+    val rows = EventAnalytics.rollingSlope(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 1e6).cast("long"))
+      .as[(Long, Long, java.sql.Timestamp, Long)].collect()
+    evs.groupBy(_._1).foreach { case (_, v) =>
+      val series = v.sortBy(t => (t._3.getTime, t._3.getNanos, t._2))
+        .map(t => (t._2, t._4))
+      series.indices.foreach { i =>
+        val frame = series.slice(math.max(0, i - 15), i + 1)
+        val xs = frame.indices.map(j =>
+          (math.max(0, i - 15) + j + 1).toLong)
+        val ys = frame.map(_._2)
+        val n = frame.size.toLong
+        val (sx, sy) = (xs.sum, ys.sum)
+        val sxx = xs.map(x => x * x).sum
+        val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+        val den = n * sxx - sx * sx
+        val expect =
+          if (den > 0)
+            Some(BigDecimal(1e6 * (n * sxy - sx * sy).toDouble / den)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+          else None
+        assert(rows(frame.last._1) === ((n, expect)),
+          s"event ${frame.last._1}")
+      }
+    }
+  }
+
+  test("shotBounds: cut flags match an md5 replay; shot count = cuts + 1") {
+    val out = Multimodal.shotBounds(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    docs.filter(_._1 < 20).foreach { case (id, text, _, _) =>
+      val nf = math.max(1L, text.getBytes("UTF-8").length / 64)
+      val lumas = (0L until nf).map(j => md5_60(s"$id#$j") % 1000000L)
+      val cuts = (1 until lumas.size)
+        .filter(j => math.abs(lumas(j) - lumas(j - 1)) > 500000L)
+      assert(out(id) === ((nf, cuts.size + 1L,
+        cuts.headOption.map(_.toLong))), s"doc $id")
+    }
+  }
+
   test("plans: readability is shuffle-free; EWMA shuffles exactly once") {
     val p1 = TextAnalysis.readability(spark, sf)
       .queryExecution.executedPlan.toString
