@@ -272,21 +272,6 @@ object EventAnalytics {
         col("m_score")))
   }
 
-  /** Per-user EWMA + spike detection over the event-value series —
-    * the streaming-telemetry anomaly monitor, in batch form. The EWMA
-    * is the α=0.25 exponential average truncated to the last 8 events
-    * (a fixed-depth lag fan: num = Σⱼ 0.75ʲ·vₜ₋ⱼ / Σⱼ 0.75ʲ over
-    * present rows), so it is a FIXED-SHAPE expression rather than an
-    * unbounded recursion — replayable on any engine and equivalent to
-    * the geometric recursion to within 0.75⁸ ≈ 10% tail mass.
-    *
-    * Scale shape: one shuffle (hash by user_id) + per-user sort; the
-    * lag fan is a single window pass with an 8-row frame, state bounded
-    * per user. The streaming twin is transformWithState with an 8-deep
-    * ring buffer. Determinism: values micro-quantize to longs on entry;
-    * 0.75ʲ are exact binary doubles, so every product and the fixed
-    * left-to-right sum are identical IEEE sequences on any engine.
-    * Spike flag: current value > 2× the EWMA of its own window. */
   /** Multi-touch purchase attribution: every purchase credits the
     * CLICKS since the user's previous purchase — first-touch id,
     * last-touch id, and the per-click linear credit (value split
@@ -365,6 +350,21 @@ object EventAnalytics {
           .otherwise(lit(null).cast("long")).as("slope_e6"))
   }
 
+  /** Per-user EWMA + spike detection over the event-value series —
+    * the streaming-telemetry anomaly monitor, in batch form. The EWMA
+    * is the α=0.25 exponential average truncated to the last 8 events
+    * (a fixed-depth lag fan: num = Σⱼ 0.75ʲ·vₜ₋ⱼ / Σⱼ 0.75ʲ over
+    * present rows), so it is a FIXED-SHAPE expression rather than an
+    * unbounded recursion — replayable on any engine and equivalent to
+    * the geometric recursion to within 0.75⁸ ≈ 10% tail mass.
+    *
+    * Scale shape: one shuffle (hash by user_id) + per-user sort; the
+    * lag fan is a single window pass with an 8-row frame, state bounded
+    * per user. The streaming twin is EventStreams.ewmaStream
+    * (transformWithState, 8-long ring). Determinism: values
+    * micro-quantize to longs on entry; 0.75ʲ are exact binary doubles,
+    * so every product and the fixed left-to-right sum are identical
+    * IEEE sequences on any engine. Spike: value > 2× its window EWMA. */
   def ewmaSpikes(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))

@@ -44,7 +44,19 @@ object Training {
     * ≤ ~2e13 as an IEEE product of two exact doubles; per-feature
     * gradient sums ≤ ~1e11 (exact long and double at any tested SF). */
   def linearGd(s: SparkSession, dir: String, iters: Int = 8,
-               lr: Double = 0.05): DataFrame = {
+               lr: Double = 0.05): DataFrame =
+    gdLoop(s, dir, iters, lr)(dot =>
+      round(dot.cast("double") / lit(1e6)).cast("long"))
+
+  /** Shared full-batch GD driver over the ml1 feature projection:
+    * `predict` maps the micro²-scale dot column to the per-row
+    * prediction in MICROS (linear: rescale+round; logistic: quantized
+    * sigmoid); the residual is prediction − label, so every gradient
+    * sum stays an exact integer sum. Features tokenize ONCE
+    * (localCheckpoint); each step re-reads four long columns and only
+    * the 4-long weight vector round-trips through the driver. */
+  private def gdLoop(s: SparkSession, dir: String, iters: Int, lr: Double)
+                    (predict: Column => Column): DataFrame = {
     val sc = s.sparkContext
     val toks = filter(split(lower(col("text")), "\\s+"),
       t => length(t) > lit(0))
@@ -60,7 +72,6 @@ object Training {
     val preexisting = sc.getPersistentRDDs.keySet
     val w =
       try {
-        // tokenize ONCE; every GD step re-reads four long columns
         val feats = feats0.localCheckpoint(true)
         val n = feats.count()
         val xs = Seq("x1", "x2", "x3", "x4")
@@ -69,8 +80,7 @@ object Training {
           val dot = xs.zipWithIndex
             .map { case (c, j) => lit(w(j)) * col(c) }
             .reduce(_ + _)
-          val resid = (round(dot.cast("double") / lit(1e6)).cast("long") -
-            col("y")).as("r")
+          val resid = (predict(dot) - col("y")).as("r")
           val g = feats.select(resid +: xs.map(col): _*)
             .select(xs.map(c =>
               sum(round(col("r").cast("double") * col(c) / lit(1e6))
@@ -417,25 +427,6 @@ object Training {
               round(lit(1e6) * x / col("norm_micros")).cast("long")))
           .otherwise(0L).as("unit_checksum"))
 
-  /** Out-of-fold TARGET ENCODING of a categorical column — the
-    * leakage-safe way to turn `lang` into a numeric feature: each
-    * (category, fold) cell is encoded from the category's target sum
-    * EXCLUDING that fold's own rows, additively smoothed toward the
-    * global prior (m = 10 pseudo-rows), so no row's target ever leaks
-    * into its own encoding. Emits the 25-row (category × fold) encoder
-    * model (n_rows, sum_target, oof_enc_micros); applying it to the
-    * corpus is a broadcast join on (lang, fold).
-    *
-    * Scale shape: ONE data-sized aggregation (groupBy lang, fold —
-    * map-side combined to ≤ |cats|·|folds| partials per task); the
-    * per-category and global margins re-aggregate those 25 partial rows,
-    * never the data. Folds come from the md5-60 bucket of doc_id
-    * (Sampling.bucket100), so membership is reproducible on any engine.
-    *
-    * Determinism: target sums are exact longs (n_chars); the smoothed
-    * encoding is a fixed-shape IEEE expression on exact inputs —
-    * (sum_cat − sum_fold + m·prior) / (n_cat − n_fold + m) — evaluated
-    * identically by Spark and the oracle, then micro-rounded. */
   /** Logistic-regression GD — the classification twin of [[linearGd]]
     * on the same four features and en-label: per step the residual is
     * sigmoid(w·x) − y with the probability micro-quantized per row
@@ -445,52 +436,12 @@ object Training {
     * any engine. Model (4 longs) round-trips through the driver per
     * step; data never moves. */
   def logisticGd(s: SparkSession, dir: String, iters: Int = 8,
-                 lr: Double = 0.05): DataFrame = {
-    val sc = s.sparkContext
-    val toks = filter(split(lower(col("text")), "\\s+"),
-      t => length(t) > lit(0))
-    val feats0 = Tables.documents(s, dir).select(
-      (col("n_chars") * 1000L).as("x1"),
-      (size(toks).cast("long") * 10000L).as("x2"),
-      round(lit(1e6) *
-        (length(col("text")) -
-          length(translate(col("text"), "aeiou", ""))).cast("double") /
-        greatest(length(col("text")), lit(1))).cast("long").as("x3"),
-      lit(1000000L).as("x4"),
-      when(col("lang") === "en", 1000000L).otherwise(0L).as("y"))
-    val preexisting = sc.getPersistentRDDs.keySet
-    val w =
-      try {
-        val feats = feats0.localCheckpoint(true)
-        val n = feats.count()
-        val xs = Seq("x1", "x2", "x3", "x4")
-        var w = Array(0L, 0L, 0L, 0L)
-        for (_ <- 1 to iters) {
-          val dot = xs.zipWithIndex
-            .map { case (c, j) => lit(w(j)) * col(c) }
-            .reduce(_ + _)
-          // z on unit scale: micros·micros / 1e12
-          val p = lit(1e6) /
-            (lit(1.0) + exp(-(dot.cast("double") / lit(1e12))))
-          val resid = (round(p).cast("long") - col("y")).as("r")
-          val g = feats.select(resid +: xs.map(col): _*)
-            .select(xs.map(c =>
-              sum(round(col("r").cast("double") * col(c) / lit(1e6))
-                .cast("long")).as(s"g_$c")): _*)
-            .head()
-          w = Array.tabulate(4)(j => w(j) - rnd(lr * g.getLong(j).toDouble / n))
-        }
-        w
-      } finally {
-        sc.getPersistentRDDs
-          .filterNot { case (id, _) => preexisting(id) }
-          .values.foreach(_.unpersist(blocking = false))
-      }
-    import s.implicits._
-    Seq(("chars_k", w(0)), ("tokens_h", w(1)),
-      ("vowel_ratio", w(2)), ("bias", w(3)))
-      .toDF("feature", "weight_micros")
-  }
+                 lr: Double = 0.05): DataFrame =
+    gdLoop(s, dir, iters, lr) { dot =>
+      // z on unit scale: micros·micros / 1e12
+      round(lit(1e6) /
+        (lit(1.0) + exp(-(dot.cast("double") / lit(1e12))))).cast("long")
+    }
 
   /** Leading principal direction of the embedding GRAM matrix via
     * power iteration — the PCA building block, in the repo's
@@ -540,6 +491,25 @@ object Training {
       .toDF("dim", "v_micros")
   }
 
+  /** Out-of-fold TARGET ENCODING of a categorical column — the
+    * leakage-safe way to turn `lang` into a numeric feature: each
+    * (category, fold) cell is encoded from the category's target sum
+    * EXCLUDING that fold's own rows, additively smoothed toward the
+    * global prior (m = 10 pseudo-rows), so no row's target ever leaks
+    * into its own encoding. Emits the 25-row (category × fold) encoder
+    * model (n_rows, sum_target, oof_enc_micros); applying it to the
+    * corpus is a broadcast join on (lang, fold).
+    *
+    * Scale shape: ONE data-sized aggregation (groupBy lang, fold —
+    * map-side combined to ≤ |cats|·|folds| partials per task); the
+    * per-category and global margins re-aggregate those 25 partial rows,
+    * never the data. Folds come from the md5-60 bucket of doc_id
+    * (Sampling.bucket100), so membership is reproducible on any engine.
+    *
+    * Determinism: target sums are exact longs (n_chars); the smoothed
+    * encoding is a fixed-shape IEEE expression on exact inputs —
+    * (sum_cat − sum_fold + m·prior) / (n_cat − n_fold + m) — evaluated
+    * identically by Spark and the oracle, then micro-rounded. */
   def targetEncode(s: SparkSession, dir: String): DataFrame = {
     val m = 10.0
     val d = Tables.documents(s, dir).select(

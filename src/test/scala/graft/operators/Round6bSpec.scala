@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   */
 class Round6bSpec extends SparkSpec {
 
+  /** Half away from zero — SQL round() in both Spark and DuckDB;
+    * Scala's math.round is half toward +∞ and differs on negative
+    * halves, so replays of micro-quantized scores must not use it. */
+  private def rnd6(x: Double): Long =
+    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+
   private lazy val docs: Seq[(Long, String, String, Long)] =
     Tables.documents(spark, sf)
       .select("doc_id", "text", "lang", "n_chars").collect()
@@ -34,7 +40,7 @@ class Round6bSpec extends SparkSpec {
     assert(out.values.map(_._1).sum === nAll, "cells partition the corpus")
     byFold.foreach { case ((lang, fold), (nF, sumF)) =>
       val (nL, sumL) = byLang(lang)
-      val expected = math.round(1e6 *
+      val expected = rnd6(1e6 *
         ((sumL - sumF).toDouble + 10.0 * (sumAll.toDouble / nAll)) /
         ((nL - nF).toDouble + 10.0))
       assert(out((lang, fold)) === ((nF, sumF, expected)), s"$lang/$fold")
@@ -50,7 +56,7 @@ class Round6bSpec extends SparkSpec {
     val expectTerms = rows.map { r =>
       val p = (r.getLong(1).toDouble + 0.5) / (totRef.toDouble + 0.5 * k)
       val q = (r.getLong(2).toDouble + 0.5) / (totCur.toDouble + 0.5 * k)
-      math.round(1e6 * (p - q) * math.log(p / q))
+      rnd6(1e6 * (p - q) * math.log(p / q))
     }
     assert(rows.map(_.getLong(3)).toSeq === expectTerms.toSeq)
     val total = expectTerms.sum
@@ -65,7 +71,7 @@ class Round6bSpec extends SparkSpec {
     val nx = rows.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
     val ny = rows.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
     val expect = rows.map { case (l, s2, nxy, _, _) =>
-      math.round(1e6 * (nxy.toDouble / nAll) *
+      rnd6(1e6 * (nxy.toDouble / nAll) *
         math.log(nxy.toDouble * nAll / (nx(l).toDouble * ny(s2))))
     }
     assert(rows.map(_._4).toSeq === expect.toSeq)
@@ -87,7 +93,7 @@ class Round6bSpec extends SparkSpec {
       val r = out(id)
       assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((w, sn, sy)), s"doc $id")
       if (w > 0) {
-        val score = math.round(1e6 * (206.835 -
+        val score = rnd6(1e6 * (206.835 -
           1.015 * (w.toDouble / sn) - 84.6 * (sy.toDouble / w)))
         assert(r.getLong(4) === score, s"doc $id flesch")
       }
@@ -114,7 +120,7 @@ class Round6bSpec extends SparkSpec {
       if (expected > 0) {
         val lps = ts.sliding(2).filter(_.size == 2).map { p =>
           val pair = (p(0), p(1))
-          math.round(math.log((c12(pair).toDouble + 0.5) /
+          rnd6(math.log((c12(pair).toDouble + 0.5) /
             (c1(pair._1).toDouble + 0.5 * v)) * 1e6)
         }.toSeq
         val mean = BigDecimal(lps.sum.toDouble / (lps.size.toDouble * 1e6))
@@ -437,7 +443,7 @@ class Round6bSpec extends SparkSpec {
         val num = window.zip(wts).map { case (m, w) => w * m.toDouble }
           .foldLeft(0.0)(_ + _)
         val den = wts.take(window.size).foldLeft(0.0)(_ + _)
-        assert(out(series(i)._1)._1 === math.round(num / den),
+        assert(out(series(i)._1)._1 === rnd6(num / den),
           s"event ${series(i)._1}")
       }
     }
