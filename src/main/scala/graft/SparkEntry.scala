@@ -323,6 +323,8 @@ object SparkEntry {
     "ml9_logistic_gd"   -> (Training.logisticGd(_, _)),
     "ts2_rolling_slope" -> (EventAnalytics.rollingSlope(_, _)),
     "mm5_shot_bounds"   -> (Multimodal.shotBounds(_, _)),
+    "ev10_markov"       -> (EventAnalytics.markovTransitions(_, _)),
+    "text_ngram_novelty" -> (TextAnalysis.ngramNovelty(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3322,6 +3324,45 @@ object SparkEntry {
         CAST(min(CASE WHEN cut = 1 THEN frame_idx END) AS BIGINT)
           AS first_cut_idx
       FROM ct GROUP BY doc_id""",
+    // event-type transition matrix (EventAnalytics.markovTransitions).
+    "ev10_markov" -> raw"""
+      WITH st AS (
+        SELECT event_type,
+          lead(event_type, 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS next_type
+        FROM events),
+      cells AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+          CAST(count(*) AS BIGINT) AS n
+        FROM st WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type),
+      m AS (
+        SELECT from_type, to_type, n,
+          CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from
+        FROM cells)
+      SELECT from_type, to_type, n,
+        CAST(round(1e6 * CAST(n AS DOUBLE) / n_from) AS BIGINT)
+          AS p_micros
+      FROM m""",
+    // first-occurrence 3-gram novelty (TextAnalysis.ngramNovelty).
+    "text_ngram_novelty" -> raw"""
+      WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0) AS toks
+        FROM documents),
+      g AS (SELECT DISTINCT doc_id,
+          toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+        FROM (SELECT doc_id, toks,
+            unnest(range(1, len(toks) - 1)) AS i FROM t)),
+      fs AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        CAST(sum(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_novel,
+        CAST(round(1e6 * CAST(sum(CASE WHEN fs.first_doc = g.doc_id
+          THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) AS BIGINT)
+          AS novelty_micros
+      FROM g JOIN fs USING (gram)
+      GROUP BY g.doc_id""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -350,6 +350,37 @@ object EventAnalytics {
           .otherwise(lit(null).cast("long")).as("slope_e6"))
   }
 
+  /** Event-type transition matrix (first-order Markov estimate):
+    * P(next | current) over each user's (ts, event_id)-ordered stream —
+    * the behavioral model behind next-action prediction and
+    * anomalous-sequence detection. Emits (from_type, to_type, n,
+    * p_micros) for every observed transition.
+    *
+    * Scale shape: one window pass (lead over the per-user ordering,
+    * same user_id shuffle every event operator reuses), then a
+    * type-pair aggregation — map-side combined to ≤|types|² partials;
+    * the row-probability folds over the tiny cell frame via a window.
+    * All-integer counts; one IEEE divide per cell, micro-rounded. */
+  def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cells = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(lit(1e6) * col("n").cast("double") / col("n_from"))
+          .cast("long").as("p_micros"))
+  }
+
   /** Per-user EWMA + spike detection over the event-value series —
     * the streaming-telemetry anomaly monitor, in batch form. The EWMA
     * is the α=0.25 exponential average truncated to the last 8 events

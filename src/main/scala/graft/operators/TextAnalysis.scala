@@ -972,6 +972,42 @@ object TextAnalysis {
           .cast("long").as("oov_rate_micros"))
   }
 
+  /** First-occurrence n-gram NOVELTY: the fraction of a document's
+    * distinct token 3-grams whose earliest appearance in the corpus
+    * (by doc_id) is this document — the contribution score a
+    * dedup-aware curation loop uses to rank what each new document
+    * actually adds. Boilerplate-heavy docs score near 0; the corpus's
+    * first doc scores 1 by construction.
+    *
+    * Scale shape: grams build ROW-LOCALLY (one transform over the
+    * token array), dedupe per doc, then ONE gram-keyed aggregation
+    * finds each gram's min doc_id and the ownership check is a
+    * co-partitioned join back on gram. At 100 TB "earliest" would key
+    * on an ingest timestamp instead of doc_id — identical plan.
+    * All-integer counting; one divide per doc, micro-rounded. */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) >= 3,
+          array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
+            i => concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2)))))
+          .otherwise(array().cast("array<string>")).as("grams"))
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    val firstSeen = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstSeen, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(lit(1e6) * col("n_novel").cast("double") / col("n_grams"))
+          .cast("long").as("novelty_micros"))
+  }
+
   /** TF-IDF cluster labels: the top-5 most characteristic tokens per
     * language bucket, scored tf·ln(N/df) — how a curation pipeline
     * names its clusters/domains for human review. Corpus-wide terms

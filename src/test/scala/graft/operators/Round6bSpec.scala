@@ -327,6 +327,44 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  test("markovTransitions: rows sum to transition counts; probabilities normalize") {
+    val rows = EventAnalytics.markovTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    import spark.implicits._
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[(Long, Long, java.sql.Timestamp, String)].collect()
+    val pairs = evs.groupBy(_._1).toSeq.flatMap { case (_, v) =>
+      val s2 = v.sortBy(t => (t._3.getTime, t._3.getNanos, t._2)).map(_._4)
+      s2.zip(s2.drop(1))
+    }
+    val expect = pairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(rows.map(t => (t._1, t._2) -> t._3).toMap === expect)
+    // each from-row's probabilities sum to ~1e6 (rounding ±1 per cell)
+    rows.groupBy(_._1).foreach { case (from, cells) =>
+      val tot = cells.map(_._4).sum
+      assert(math.abs(tot - 1000000L) <= cells.length, s"$from sums to $tot")
+    }
+  }
+
+  test("ngramNovelty: earliest doc owns its grams; replay is exact") {
+    val out = TextAnalysis.ngramNovelty(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val grams = docs.map { case (id, text, _, _) =>
+      val ts = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      id -> ts.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }
+    val firstSeen = grams.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (g, v) => g -> v.map(_._2).min }
+    grams.filter(_._2.nonEmpty).foreach { case (id, gs) =>
+      val novel = gs.count(g => firstSeen(g) == id).toLong
+      assert(out(id) === ((gs.size.toLong, novel)), s"doc $id")
+    }
+    // the corpus's first document is 100% novel by construction
+    val firstDoc = grams.filter(_._2.nonEmpty).map(_._1).min
+    assert(out(firstDoc)._1 === out(firstDoc)._2)
+  }
+
   test("plans: readability is shuffle-free; EWMA shuffles exactly once") {
     val p1 = TextAnalysis.readability(spark, sf)
       .queryExecution.executedPlan.toString
