@@ -325,6 +325,11 @@ object SparkEntry {
     "mm5_shot_bounds"   -> (Multimodal.shotBounds(_, _)),
     "ev10_markov"       -> (EventAnalytics.markovTransitions(_, _)),
     "text_ngram_novelty" -> (TextAnalysis.ngramNovelty(_, _)),
+    // ---- round-6 continuation (third session) ----
+    "ml10_auc"          -> (Profiling.rocAuc(_, _)),
+    "ml11_roc_points"   -> (Profiling.rocPoints(_, _)),
+    "graph_hits"        -> (Graphs.hits(_, _)),
+    "text_kn_bigrams"   -> (TextAnalysis.knBigrams(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3363,6 +3368,87 @@ object SparkEntry {
           AS novelty_micros
       FROM g JOIN fs USING (gram)
       GROUP BY g.doc_id""",
+    "ml10_auc" -> raw"""
+      WITH $aucCellsSql,
+      cum AS (SELECT bin, np, nn,
+          CAST(coalesce(sum(nn) OVER (ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS below
+        FROM cells)
+      SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        CAST(sum(nn) AS BIGINT) AS n_neg,
+        CAST(sum(np * (2 * below + nn)) AS BIGINT) AS u2,
+        CAST(round(1e6 * CAST(CAST(sum(np * (2 * below + nn)) AS BIGINT)
+            AS DOUBLE) /
+          CAST(CAST(2 * sum(np) * sum(nn) AS BIGINT) AS DOUBLE))
+          AS BIGINT) AS auc_micros
+      FROM cum""",
+    "ml11_roc_points" -> raw"""
+      WITH $aucCellsSql,
+      cum AS (SELECT bin,
+          CAST(sum(np) OVER (ORDER BY bin DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_tp,
+          CAST(sum(nn) OVER (ORDER BY bin DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_fp,
+          CAST(sum(np) OVER () AS BIGINT) AS n_pos,
+          CAST(sum(nn) OVER () AS BIGINT) AS n_neg
+        FROM cells)
+      SELECT bin AS threshold_bin, cum_tp, cum_fp,
+        CAST(round(1e6 * CAST(cum_tp AS DOUBLE) / CAST(n_pos AS DOUBLE))
+          AS BIGINT) AS tpr_micros,
+        CAST(round(1e6 * CAST(cum_fp AS DOUBLE) / CAST(n_neg AS DOUBLE))
+          AS BIGINT) AS fpr_micros
+      FROM cum""",
+    "graph_hits" -> raw"""
+      WITH RECURSIVE $graphEdgesSql,
+      h AS (
+        SELECT 0 AS iter, doc_id AS node, CAST(1000000 AS BIGINT) AS h
+        FROM documents
+        UNION ALL
+        SELECT p.iter + 1, e1.src, CAST(sum(p.h) AS BIGINT)
+        FROM h p
+        JOIN edges e2 ON e2.src = p.node
+        JOIN edges e1 ON e1.dst = e2.dst
+        WHERE p.iter < 4
+        GROUP BY p.iter, e1.src),
+      hfin AS (SELECT node, h FROM h WHERE iter = 4),
+      hprev AS (SELECT node, h FROM h WHERE iter = 3),
+      afin AS (SELECT e.dst AS node, CAST(sum(p.h) AS BIGINT) AS a
+        FROM hprev p JOIN edges e ON e.src = p.node GROUP BY e.dst),
+      mx AS (SELECT (SELECT max(h) FROM hfin) AS mh,
+                    (SELECT max(a) FROM afin) AS ma)
+      SELECT d.doc_id AS node,
+        CAST(round(1e6 * CAST(hf.h AS DOUBLE) / CAST(mh AS DOUBLE))
+          AS BIGINT) AS hub_micros,
+        CAST(round(1e6 * CAST(coalesce(af.a, 0) AS DOUBLE) /
+          CAST(ma AS DOUBLE)) AS BIGINT) AS auth_micros
+      FROM documents d
+      LEFT JOIN hfin hf ON hf.node = d.doc_id
+      LEFT JOIN afin af ON af.node = d.doc_id, mx""",
+    "text_kn_bigrams" -> raw"""
+      WITH t AS (SELECT
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0) AS toks
+        FROM documents),
+      pr AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)),
+      m AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM pr GROUP BY w1, w2),
+      h AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+          CAST(count(*) AS BIGINT) AS fw_types FROM m GROUP BY w1),
+      tl AS (SELECT w2, CAST(count(*) AS BIGINT) AS bw_types
+        FROM m GROUP BY w2),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM m)
+      SELECT w1, w2, c12, c1, fw_types, bw_types, t_types,
+        CAST(round(1e6 * ((CAST(c12 AS DOUBLE) - 0.75) /
+            CAST(c1 AS DOUBLE) +
+          0.75 * CAST(fw_types AS DOUBLE) / CAST(c1 AS DOUBLE) *
+            (CAST(bw_types AS DOUBLE) / CAST(t_types AS DOUBLE))))
+          AS BIGINT) AS pkn_micros
+      FROM m JOIN h USING (w1) JOIN tl USING (w2), tot
+      ORDER BY c12 DESC, w1, w2 LIMIT 200""",
   )
 
   // ---- shared DuckDB oracle fragments ----
@@ -3735,6 +3821,22 @@ object SparkEntry {
         UNION ALL
         SELECT doc_id, (doc_id * doc_id + 3) % n_docs FROM documents, nn),
       edges AS (SELECT src, dst FROM alledges WHERE dst <> src)"""
+
+  /** Binned score/label cells (Profiling.scoreBins) — shared by
+    * ml10_auc and ml11_roc_points. DuckDB lists are 1-based where the
+    * Spark apply is 0-based: embedding[1..8] here mirrors dims 0–7. */
+  private def aucCellsSql: String = {
+    val score = (1 to 8)
+      .map(k => s"CAST(round(CAST(embedding[$k] AS DOUBLE) * 1e6) AS BIGINT)")
+      .mkString(" + ")
+    raw"""sc AS (SELECT
+          CAST(floor(CAST(($score) AS DOUBLE) / 1000) AS BIGINT) AS bin,
+          CAST(label % 2 AS BIGINT) AS y
+        FROM embeddings),
+      cells AS (SELECT bin, CAST(sum(y) AS BIGINT) AS np,
+          CAST(sum(1 - y) AS BIGINT) AS nn
+        FROM sc GROUP BY bin)"""
+  }
 
   /** IVF ANN oracle — shared by sim_ann_ivf and sim_ann_ivf_indexed
     * (the persisted-index variant returns bit-identical results). */

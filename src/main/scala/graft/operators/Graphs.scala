@@ -409,4 +409,65 @@ object Graphs {
               (col("degree_sum").cast("double") / (col("m") * 2))))
           .cast("long").as("q_contrib_micros"))
   }
+
+  /** HITS hubs & authorities over the directed link multiset —
+    * PageRank's bipartite-reinforcement sibling (Kleinberg): auth(v) =
+    * Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v), `iters` synchronous
+    * double-steps from hub⁰ = 1e6. NO per-round normalization: every
+    * out-degree is 2–3, so after 4 rounds the exact integer masses stay
+    * ≤ ~1e10 (far inside long range) and the iteration is pure integer
+    * sums — bit-stable in any engine and order, which a per-round
+    * float-norm rescale could never be. One final normalization pivots
+    * each score on its exact integer max into micros.
+    *
+    * Scale shape: per round, two edge⋈score equi-joins + hash aggs on
+    * node keys (only (node, long) pairs shuffle); loop-invariant edges
+    * localCheckpoint once; duplicate edges deliberately carry double
+    * weight (the multiset semantics [[linkEdges]] documents). */
+  def hits(s: SparkSession, dir: String, iters: Int = 4): DataFrame =
+    staged(s, dir, "hits", s"$iters") { finalPath =>
+    val sc = s.sparkContext
+    val preexisting = sc.getPersistentRDDs.keySet
+    try {
+      val nodes = Tables.documents(s, dir).select(col("doc_id").as("node"))
+        .localCheckpoint(true)
+      val edges = linkEdges(s, dir).localCheckpoint(true)
+      var hub = nodes.select(col("node"), lit(1000000L).as("h"))
+        .localCheckpoint(true)
+      var auth = hub.select(col("node"), lit(0L).as("a"))
+      for (_ <- 1 to iters) {
+        auth = edges
+          .join(hub.withColumnRenamed("node", "hn"), col("src") === col("hn"))
+          .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
+          .localCheckpoint(true)
+        hub = edges
+          .join(auth.withColumnRenamed("node", "an"), col("dst") === col("an"))
+          .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
+          .localCheckpoint(true)
+      }
+      // every node has out-edges (out-degree 2-3) so hub covers all
+      // nodes; auth misses in-degree-0 nodes -> left join, 0 mass
+      nodes
+        .join(hub, Seq("node"), "left")
+        .join(auth, Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0L)).as("h"),
+          coalesce(col("a"), lit(0L)).as("a"))
+        .write.mode("overwrite").parquet(finalPath)
+    } finally {
+      sc.getPersistentRDDs
+        .filterNot { case (id, _) => preexisting(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
+  }.select(col("node"), col("h"), col("a"))
+    .withColumn("max_h",
+      max(col("h")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))))
+    .withColumn("max_a",
+      max(col("a")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))))
+    .select(col("node"),
+      round(lit(1e6) * col("h").cast("double") /
+        col("max_h").cast("double")).cast("long").as("hub_micros"),
+      round(lit(1e6) * col("a").cast("double") /
+        col("max_a").cast("double")).cast("long").as("auth_micros"))
 }

@@ -168,6 +168,77 @@ object Profiling {
         col("term_micronats"), col("mi_total_micronats"))
   }
 
+  /** Shared score/label frame for the classifier-evaluation metrics:
+    * score = Σ of the first 8 embedding dims in integer micros, binned
+    * to 1e3-micro resolution (the standard distributed-AUC contract —
+    * Spark MLlib's BinaryClassificationMetrics bins the same way:
+    * exact ranking over raw fp scores needs a global sort over
+    * near-unique keys, binned scores aggregate map-side to a bounded
+    * frame); label = embeddings.label mod 2. Bin division goes through
+    * floor on a double (|score| ≤ 8e6 — exact) so negative scores bin
+    * identically in any engine. */
+  private def scoreBins(s: SparkSession, dir: String): DataFrame = {
+    val score = (0 until 8)
+      .map(k => round(col("embedding")(k).cast("double") * 1e6).cast("long"))
+      .reduce(_ + _)
+    Tables.embeddings(s, dir)
+      .select(floor(score.cast("double") / 1000.0).cast("long").as("bin"),
+        (col("label") % 2).cast("long").as("y"))
+      .groupBy(col("bin"))
+      .agg(sum(col("y")).as("np"),
+        sum(lit(1L) - col("y")).as("nn"))
+  }
+
+  /** Exact ROC AUC over the binned score frame via the Mann–Whitney
+    * rank-sum identity: AUC = (Σ_pairs [s⁺ > s⁻] + ½[s⁺ = s⁻]) /
+    * (N⁺·N⁻), computed WITHOUT enumerating pairs — per score bin,
+    * positives beat every negative in a strictly lower bin and tie the
+    * negatives sharing their bin, so u2 = Σ_bins np·(2·cum_nn_below +
+    * nn) counts doubled wins exactly.
+    *
+    * Scale shape: one data-sized aggregation (groupBy bin, map-side
+    * combined to ≤|bins| partials), then cumulative windows over the
+    * bin frame — bounded by bin count, not data. Determinism: every
+    * sum is an exact integer sum; the single IEEE divide happens on
+    * exact longs at the end, micro-rounded. */
+  def rocAuc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wBelow = Window.partitionBy(lit(1)).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    scoreBins(s, dir)
+      .withColumn("cum_nn_below",
+        coalesce(sum(col("nn")).over(wBelow), lit(0L)))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cum_nn_below") + col("nn")))
+          .as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        round(lit(1e6) * col("u2").cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+          .cast("long").as("auc_micros"))
+  }
+
+  /** The ROC curve behind [[rocAuc]]: one operating point per distinct
+    * score bin, thresholding at "predict positive when bin ≥ t" —
+    * cumulative TP/FP from the high end plus micro-quantized TPR/FPR.
+    * Same bounded bin frame as the AUC; the threshold sweep is two
+    * cumulative windows, not |thresholds| passes over the data. */
+  def rocPoints(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAbove = Window.partitionBy(lit(1)).orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(1))
+    scoreBins(s, dir)
+      .withColumn("cum_tp", sum(col("np")).over(wAbove))
+      .withColumn("cum_fp", sum(col("nn")).over(wAbove))
+      .withColumn("n_pos", sum(col("np")).over(all))
+      .withColumn("n_neg", sum(col("nn")).over(all))
+      .select(col("bin").as("threshold_bin"), col("cum_tp"), col("cum_fp"),
+        round(lit(1e6) * col("cum_tp").cast("double") /
+          col("n_pos").cast("double")).cast("long").as("tpr_micros"),
+        round(lit(1e6) * col("cum_fp").cast("double") /
+          col("n_neg").cast("double")).cast("long").as("fpr_micros"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic on the `n_chars`
     * distribution between the md5-split halves — the numeric-drift
     * companion to [[driftPsi]]'s categorical check:

@@ -943,6 +943,59 @@ object TextAnalysis {
           .as("low_quality"))
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities (D = 0.75) over the
+    * corpus — the smoothing real n-gram LMs ship (KenLM's default), one
+    * rung above [[bigramLogProb]]'s add-k: P(w2|w1) = (c12−D)/c1 +
+    * D·N1+(w1,·)/c1 · N1+(·,w2)/T, where the continuation weight
+    * N1+(·,w2)/T asks "in how many distinct contexts does w2 appear"
+    * rather than "how often" — the fix for high-count-but-single-context
+    * tokens. Emits the top `k` bigrams by count (ties broken (w1, w2))
+    * with every model term exposed.
+    *
+    * Scale shape: one pair aggregation (map-side combined) builds the
+    * bigram model; ALL four KN statistics (c1, forward/backward type
+    * counts, total types) fold over that model frame via two tiny
+    * aggregations and one window — the corpus is scanned once.
+    * Determinism: counts are exact longs, D = 0.75 is an exact binary
+    * double, one fixed-shape IEEE expression per row, micro-rounded;
+    * the LIMIT is fully tie-broken. */
+  def knBigrams(s: SparkSession, dir: String, k: Int = 200,
+                d: Double = 0.75): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toksCol = tokens(lower(col("text")))
+    val pairs = docs.select(toksCol.as("toks"))
+      .select(
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+          .as("ps"))
+      .select(explode(col("ps")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val model = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    // per-head totals and forward type counts share one aggregation
+    val heads = model.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("fw_types"))
+    val tails = model.groupBy(col("w2")).agg(count(lit(1)).as("bw_types"))
+    val total = model.agg(count(lit(1)).as("t_types"))
+    model
+      .join(broadcast(heads), Seq("w1"))
+      .join(broadcast(tails), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("fw_types"), col("bw_types"), col("t_types"),
+        round(lit(1e6) * (
+          (col("c12").cast("double") - lit(d)) / col("c1").cast("double") +
+            lit(d) * col("fw_types").cast("double") /
+              col("c1").cast("double") *
+              (col("bw_types").cast("double") / col("t_types").cast("double"))))
+          .cast("long").as("pkn_micros"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Closed-vocabulary OOV rate: the fraction of each document's token
     * occurrences NOT covered by the corpus's top-1000 most frequent
     * tokens (ties broken lexicographically) — the coverage check run
