@@ -330,6 +330,10 @@ object SparkEntry {
     "ml11_roc_points"   -> (Profiling.rocPoints(_, _)),
     "graph_hits"        -> (Graphs.hits(_, _)),
     "text_kn_bigrams"   -> (TextAnalysis.knBigrams(_, _)),
+    "chunk2_cdc"        -> (Packing.cdcChunks(_, _)),
+    "stat21_hll_overlap" -> (Relational.stat21HllOverlap(_, _)),
+    "samp9_curriculum"  -> ((s, dir) =>
+      Sampling.curriculumOrder(s, Tables.documents(s, dir))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3449,6 +3453,53 @@ object SparkEntry {
           AS BIGINT) AS pkn_micros
       FROM m JOIN h USING (w1) JOIN tl USING (w2), tot
       ORDER BY c12 DESC, w1, w2 LIMIT 200""",
+    "chunk2_cdc" -> raw"""
+      WITH base AS (SELECT doc_id, text, len(text) AS n FROM documents),
+      pos AS (SELECT doc_id, text, n, unnest(range(8, n + 1)) AS i
+        FROM base WHERE n >= 8),
+      b AS (SELECT doc_id, i FROM pos
+        WHERE ('0x' || substr(md5(substr(text, CAST(i - 7 AS BIGINT), 8)),
+          1, 15))::BIGINT % 64 = 0),
+      ends AS (SELECT doc_id, i AS e FROM b
+        UNION SELECT doc_id, n FROM base),
+      spans AS (SELECT doc_id, e,
+          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS s
+        FROM ends)
+      SELECT sp.doc_id,
+        CAST(row_number() OVER (PARTITION BY sp.doc_id ORDER BY sp.e)
+          AS BIGINT) AS chunk_idx,
+        CAST(sp.s AS BIGINT) AS start_pos, CAST(sp.e AS BIGINT) AS end_pos,
+        CAST(sp.e - sp.s AS BIGINT) AS chunk_len,
+        md5(substr(t.text, CAST(sp.s + 1 AS BIGINT),
+          CAST(sp.e - sp.s AS BIGINT))) AS chunk_md5
+      FROM spans sp JOIN base t USING (doc_id) WHERE sp.e > sp.s""",
+    "stat21_hll_overlap" -> raw"""
+      WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+      n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd
+        FROM du GROUP BY event_type),
+      p AS (SELECT na.event_type AS type_a, nb.event_type AS type_b,
+          na.nd AS n_a, nb.nd AS n_b
+        FROM n na JOIN n nb ON na.event_type < nb.event_type),
+      ov AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+          CAST(count(*) AS BIGINT) AS n_overlap
+        FROM du a JOIN du b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+      SELECT p.type_a, p.type_b, p.n_a, p.n_b,
+        CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+        CAST(1 AS BIGINT) AS within_bounds
+      FROM p LEFT JOIN ov
+        ON ov.type_a = p.type_a AND ov.type_b = p.type_b""",
+    "samp9_curriculum" -> raw"""
+      WITH s AS (SELECT doc_id, n_chars,
+          CAST(ntile(5) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS stage,
+          ('0x' || substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 15))
+            ::BIGINT AS shuffle_key
+        FROM documents)
+      SELECT doc_id, n_chars, stage, shuffle_key,
+        CAST(row_number() OVER (ORDER BY stage, shuffle_key, doc_id)
+          AS BIGINT) AS position
+      FROM s""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -118,4 +118,53 @@ object Packing {
         size(col("col")).cast("long").as("n_chunk_tokens"),
         md5(concat_ws(" ", col("col")).cast("binary")).as("chunk_digest"))
   }
+
+  /** Content-defined chunking (rolling-hash boundaries à la
+    * FastCDC/rsync): a boundary falls AFTER character position i
+    * wherever the hash of the trailing 8-char window ≡ 0 (mod 64) —
+    * so an insertion early in a document only reshuffles chunks up to
+    * the next boundary, where [[ragChunks]]'s fixed stride would shift
+    * every downstream chunk. Window hash is the repo's md5-60 kernel
+    * (portable to the oracle bit-for-bit; a production gear-hash swaps
+    * in without changing any plumbing). Emits (doc_id, chunk_idx,
+    * start_pos, end_pos, chunk_len, chunk_md5); expected chunk length
+    * is the 64-char modulus.
+    *
+    * Scale shape: entirely row-local — boundary positions come from one
+    * HOF filter over the position sequence (text is a real attribute,
+    * so the lambda's substr doesn't re-evaluate a subtree), spans from
+    * an array zip, the fan-out a narrow posexplode; zero shuffles, and
+    * only digests leave the projection. Docs shorter than the 8-char
+    * window emit one whole-doc chunk. */
+  def cdcChunks(s: SparkSession, dir: String, mod: Int = 64): DataFrame =
+    cdcChunksOf(Tables.documents(s, dir), mod)
+
+  /** [[cdcChunks]] over any (doc_id, text) frame — the reusable face
+    * (and what the insertion-stability spec drives with synthetic
+    * edits). */
+  def cdcChunksOf(docs: DataFrame, mod: Int = 64): DataFrame = {
+    val n = length(col("text"))
+    val boundaries =
+      when(n >= 8,
+        filter(sequence(lit(8), n), i =>
+          pmod(Sampling.hash60(col("text").substr(i - 7, lit(8))),
+            lit(mod)) === 0))
+        .otherwise(array().cast("array<int>"))
+    docs
+      .select(col("doc_id"), col("text"),
+        array_union(boundaries, array(n)).as("ends"))
+      .select(col("doc_id"), col("text"), col("ends"),
+        concat(array(lit(0)),
+          slice(col("ends"), lit(1), size(col("ends")) - 1)).as("starts"))
+      .select(col("doc_id"), col("text"),
+        posexplode(zip_with(col("starts"), col("ends"),
+          (a, b) => struct(a.as("s"), b.as("e")))))
+      .filter(col("col.e") > col("col.s"))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_idx"),
+        col("col.s").cast("long").as("start_pos"),
+        col("col.e").cast("long").as("end_pos"),
+        (col("col.e") - col("col.s")).cast("long").as("chunk_len"),
+        md5(col("text").substr(col("col.s") + 1, col("col.e") - col("col.s"))
+          .cast("binary")).as("chunk_md5"))
+  }
 }

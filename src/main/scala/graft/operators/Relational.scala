@@ -529,6 +529,54 @@ object Relational {
           col("n_exact") <= 0.05).cast("long").as("within_5pct"))
   }
 
+  /** Sketch-based audience-overlap matrix: for every event-type pair,
+    * the distinct-user intersection estimated by HLL
+    * inclusion–exclusion — |A∩B| ≈ est(A) + est(B) − est(A∪B), where
+    * the union estimate MERGES the two per-type sketches
+    * (hll_union) without re-touching events. This is how cross-segment
+    * overlap runs at 100 TB: k constant-size sketches from one scan,
+    * then all k² pair estimates from the k-row sketch frame alone.
+    *
+    * The portable contract (sketch bytes are engine-specific, as in
+    * [[stat2ApproxDistinct]]): exact per-type and pair-intersection
+    * counts, plus a flag that the sketch estimate lands within
+    * 5%-of-union + 5 absolute of the exact overlap — wide enough for
+    * inclusion–exclusion's compounded error, tight enough to catch a
+    * broken merge. Exact side: one distinct (type, user) reduction,
+    * self-joined per pair — the verification query, data-sized only in
+    * the distinct reduction. */
+  def stat21HllOverlap(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val perType = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        hll_sketch_agg(col("user_id")).as("sk"))
+    val pairs = perType.select(col("event_type").as("type_a"),
+        col("n_exact").as("n_a"), col("sk").as("sk_a"))
+      .crossJoin(perType.select(col("event_type").as("type_b"),
+        col("n_exact").as("n_b"), col("sk").as("sk_b")))
+      .filter(col("type_a") < col("type_b"))
+    val du = e.select(col("event_type"), col("user_id")).distinct()
+    val overlap = du.select(col("event_type").as("type_a"), col("user_id"))
+      .join(du.select(col("event_type").as("type_b"), col("user_id")),
+        "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_overlap"))
+    pairs
+      .join(overlap, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (hll_sketch_estimate(col("sk_a")) +
+          hll_sketch_estimate(col("sk_b")) -
+          hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+          .as("est"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_overlap"),
+        (abs(col("est") - col("n_overlap")) <=
+          lit(0.05) * (col("n_a") + col("n_b")).cast("double") + lit(5.0))
+          .cast("long").as("within_bounds"))
+  }
+
   /** TPC-H Q7 shape (volume shipping between two nation pairs): the
     * fact-fact lineitem⋈orders join shuffles once on orderkey; supplier,
     * customer, and both nation legs broadcast. The nation-pair predicate

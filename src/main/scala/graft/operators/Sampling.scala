@@ -139,6 +139,34 @@ object Sampling {
         col("doc_id"), col("order_key"))
   }
 
+  /** Curriculum ordering — the staged data-loader schedule: documents
+    * sort into `stages` difficulty quintiles (proxy: n_chars, doc_id
+    * tie-break) and train easy→hard, with a deterministic md5 shuffle
+    * INSIDE each stage (curriculum fixes the macro order; intra-stage
+    * order must still decorrelate batches). Emits every doc with its
+    * stage and global curriculum position.
+    *
+    * Scale shape: ntile here ranks the corpus in one window — at 100 TB
+    * the stage boundary comes from approx_percentile cutoffs broadcast
+    * as a literal (the ml5 robust-scale pattern) and the global position
+    * from (stage-size partials → offset join), identical output
+    * contract. Fully deterministic: both orderings are totally
+    * tie-broken, no RNG state anywhere. */
+  def curriculumOrder(s: SparkSession, docs: DataFrame,
+                      stages: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), col("n_chars"))
+      .withColumn("stage", ntile(stages).over(
+        Window.orderBy(col("n_chars").asc, col("doc_id").asc)).cast("long"))
+      .withColumn("shuffle_key",
+        hash60(concat(lit("cur:"), col("doc_id").cast("string"))))
+      .withColumn("position", row_number().over(
+        Window.orderBy(col("stage").asc, col("shuffle_key").asc,
+          col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("n_chars"), col("stage"),
+        col("shuffle_key"), col("position"))
+  }
+
   /** Per-document weighted sampling: keep document i with probability
     * w(i), where w is a data-derived quality proxy (here: length-capped
     * at 1.0 — longer docs are likelier kept, the usual quality-weighted

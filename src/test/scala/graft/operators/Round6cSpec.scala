@@ -118,4 +118,88 @@ class Round6cSpec extends SparkSpec {
     out.foreach(r => assert(r.getAs[Long]("pkn_micros") > 0L &&
       r.getAs[Long]("pkn_micros") <= 1000000L))
   }
+
+  test("cdcChunks: chunks tile each document exactly") {
+    val chunks = Packing.cdcChunks(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("start_pos"), r.getAs[Long]("end_pos")))
+      .groupBy(_._1)
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.keySet === lens.keySet.filter(lens(_) > 0))
+    chunks.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 === 0L, "first chunk starts at 0")
+      assert(sorted.last._4 === lens(doc), "last chunk ends at len")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 === b._3, s"contiguous spans in doc $doc")
+        case _ => ()
+      }
+    }
+  }
+
+  test("cdcChunks: a prefix insertion only disturbs chunks up to the next boundary") {
+    import spark.implicits._
+    val baseText = Tables.documents(spark, sf)
+      .orderBy(col("doc_id")).select(col("text")).head.getString(0)
+    val edited = "XYZ-INSERTED-" + baseText
+    val two = Seq((0L, baseText), (1L, edited)).toDF("doc_id", "text")
+    val out = Packing.cdcChunksOf(two).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[String]("chunk_md5")))
+    val a = out.filter(_._1 == 0L).sortBy(_._2).map(_._3)
+    val b = out.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    // all chunks after the first boundary past the edit are untouched:
+    // the two digest sequences share their entire tail
+    val shared = a.reverse.zip(b.reverse).takeWhile { case (x, y) => x == y }
+    assert(shared.nonEmpty,
+      "content-defined boundaries must re-synchronize after an edit")
+    assert(shared.length >= a.length - 2,
+      s"only the head chunk(s) may differ (shared ${shared.length} of ${a.length})")
+  }
+
+  test("stat21HllOverlap: exact overlaps replay; every estimate is in bounds") {
+    val out = Relational.stat21HllOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val du = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = du.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val types = byType.keys.toSeq.sorted
+    val expectPairs = (for {
+      a <- types; b <- types if a < b
+    } yield (a, b)).toSet
+    assert(out.map(t => (t._1, t._2)).toSet === expectPairs)
+    out.foreach { case (a, b, na, nb, ov, within) =>
+      assert(na === byType(a).size.toLong)
+      assert(nb === byType(b).size.toLong)
+      assert(ov === (byType(a) & byType(b)).size.toLong, s"$a x $b")
+      assert(within === 1L, s"estimate out of bounds for $a x $b")
+    }
+  }
+
+  test("curriculumOrder: balanced stages, easy-to-hard, position follows (stage, key)") {
+    val out = Sampling.curriculumOrder(spark,
+      Tables.documents(spark, sf)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("stage"), r.getAs[Long]("shuffle_key"),
+        r.getAs[Long]("position")))
+    val n = out.length
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.values.max - sizes.values.min <= 1, "ntile balance")
+    assert(sizes.values.sum === n)
+    // stage ordering respects the (n_chars, doc_id) total order
+    val byStage = out.groupBy(_._3)
+    (1L until 5L).foreach { k =>
+      val maxK = byStage(k).map(t => (t._2, t._1)).max
+      val minK1 = byStage(k + 1).map(t => (t._2, t._1)).min
+      assert(Ordering[(Long, Long)].lt(maxK, minK1), s"stage $k boundary")
+    }
+    val expected = out.sortBy(t => (t._3, t._4, t._1)).zipWithIndex
+      .map { case (t, i) => t._1 -> (i + 1).toLong }.toMap
+    out.foreach(t => assert(t._5 === expected(t._1), s"position of ${t._1}"))
+  }
 }
