@@ -334,6 +334,9 @@ object SparkEntry {
     "stat21_hll_overlap" -> (Relational.stat21HllOverlap(_, _)),
     "samp9_curriculum"  -> ((s, dir) =>
       Sampling.curriculumOrder(s, Tables.documents(s, dir))),
+    "ev11_paths"        -> (EventAnalytics.sessionPaths(_, _)),
+    "ml12_calibration"  -> (Profiling.calibrationBins(_, _)),
+    "mm6_phash_pairs"   -> (Multimodal.phashPairs(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3500,6 +3503,52 @@ object SparkEntry {
         CAST(row_number() OVER (ORDER BY stage, shuffle_key, doc_id)
           AS BIGINT) AS position
       FROM s""",
+    "ev11_paths" -> raw"""
+      WITH o AS (SELECT user_id, ts, event_id, event_type,
+          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+            THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (SELECT user_id, event_type, ts, event_id,
+          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM o),
+      p AS (SELECT user_id, session_id,
+          string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM s GROUP BY 1, 2)
+      SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      FROM p GROUP BY path
+      ORDER BY n_sessions DESC, path LIMIT 20""",
+    "ml12_calibration" -> raw"""
+      WITH sc AS (SELECT
+          CAST(round(1e6 * (1.0 / (1.0 +
+            exp(-(CAST(($embScoreSql) AS DOUBLE) / 1e6))))) AS BIGINT) AS pm,
+          CAST(label % 2 AS BIGINT) AS y
+        FROM embeddings),
+      b AS (SELECT least(CAST(floor(CAST(pm AS DOUBLE) / 100000)
+          AS BIGINT), 9) AS bin, pm, y FROM sc),
+      cells AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(pm) AS BIGINT) AS sum_pm,
+          CAST(sum(y) AS BIGINT) AS n_pos
+        FROM b GROUP BY bin),
+      m AS (SELECT bin, n, n_pos,
+          CAST(round(CAST(sum_pm AS DOUBLE) / n) AS BIGINT)
+            AS mean_p_micros,
+          CAST(round(1e6 * CAST(n_pos AS DOUBLE) / n) AS BIGINT)
+            AS frac_pos_micros
+        FROM cells)
+      SELECT bin, n, n_pos, mean_p_micros, frac_pos_micros,
+        abs(mean_p_micros - frac_pos_micros) AS gap_micros,
+        CAST(round(CAST(CAST(sum(n * abs(mean_p_micros - frac_pos_micros))
+            OVER () AS BIGINT) AS DOUBLE) /
+          CAST(sum(n) OVER () AS BIGINT)) AS BIGINT) AS ece_micros
+      FROM m""",
+    "mm6_phash_pairs" -> raw"""
+      WITH $phashSql
+      SELECT doc_a, doc_b,
+        CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(ha, hb)) <= 6""",
   )
 
   // ---- shared DuckDB oracle fragments ----
@@ -3873,20 +3922,45 @@ object SparkEntry {
         SELECT doc_id, (doc_id * doc_id + 3) % n_docs FROM documents, nn),
       edges AS (SELECT src, dst FROM alledges WHERE dst <> src)"""
 
+  /** The classifier-score sum (first 8 embedding dims in micros) shared
+    * by ml10/ml11/ml12. DuckDB lists are 1-based where the Spark apply
+    * is 0-based: embedding[1..8] here mirrors dims 0–7. */
+  private def embScoreSql: String = (1 to 8)
+    .map(k => s"CAST(round(CAST(embedding[$k] AS DOUBLE) * 1e6) AS BIGINT)")
+    .mkString(" + ")
+
   /** Binned score/label cells (Profiling.scoreBins) — shared by
-    * ml10_auc and ml11_roc_points. DuckDB lists are 1-based where the
-    * Spark apply is 0-based: embedding[1..8] here mirrors dims 0–7. */
-  private def aucCellsSql: String = {
-    val score = (1 to 8)
-      .map(k => s"CAST(round(CAST(embedding[$k] AS DOUBLE) * 1e6) AS BIGINT)")
-      .mkString(" + ")
+    * ml10_auc and ml11_roc_points. */
+  private def aucCellsSql: String =
     raw"""sc AS (SELECT
-          CAST(floor(CAST(($score) AS DOUBLE) / 1000) AS BIGINT) AS bin,
+          CAST(floor(CAST(($embScoreSql) AS DOUBLE) / 1000) AS BIGINT) AS bin,
           CAST(label % 2 AS BIGINT) AS y
         FROM embeddings),
       cells AS (SELECT bin, CAST(sum(y) AS BIGINT) AS np,
           CAST(sum(1 - y) AS BIGINT) AS nn
         FROM sc GROUP BY bin)"""
+
+  /** dHash candidate pairs (Multimodal.phashPairs): 6×11 md5-luma grid
+    * (planted base image per doc_id div 7 group, +3 perturbation) →
+    * 60-bit gradient hash → 4×15-bit band buckets. */
+  private def phashSql: String = {
+    def lum(i: Int) =
+      s"((('0x' || substr(md5(CAST(doc_id // 7 AS VARCHAR) || '#$i'), " +
+        s"1, 15))::BIGINT + " +
+        s"(CASE WHEN $i % 9 = doc_id % 7 THEN 3 ELSE 0 END)) % 256)"
+    val h = (for { r <- 0 until 6; c <- 0 until 10 } yield
+      s"(CASE WHEN ${lum(r * 11 + c)} > ${lum(r * 11 + c + 1)} " +
+        s"THEN CAST(${1L << (r * 10 + c)} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    raw"""ph AS (SELECT doc_id, CAST($h AS BIGINT) AS phash
+        FROM documents),
+      bands AS (SELECT doc_id, phash, t.range AS band,
+          (phash >> CAST(15 * t.range AS INT)) & 32767 AS bval
+        FROM ph, range(0, 4) t),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          x.phash AS ha, y.phash AS hb
+        FROM bands x JOIN bands y ON x.band = y.band AND x.bval = y.bval
+          AND x.doc_id < y.doc_id)"""
   }
 
   /** IVF ANN oracle — shared by sim_ann_ivf and sim_ann_ivf_indexed

@@ -381,6 +381,44 @@ object EventAnalytics {
           .cast("long").as("p_micros"))
   }
 
+  /** Top-k session paths: the behavioral-path mining query ("what do
+    * users actually do in a visit") — sessions form with the SAME
+    * gaps-and-islands definition as w5_sessionize (gap ≥ 30 min closes
+    * a session), each session folds its (ts, event_id)-ordered
+    * event-type sequence into a '>'-joined path string, and paths rank
+    * by session count.
+    *
+    * Scale shape: one user_id shuffle covers both window passes AND
+    * the per-session aggregation (same partitioning); the path fold is
+    * array_sort over a collected session — bounded by session length,
+    * not user history — and only (path, count) partials reach the final
+    * tiny aggregation. Fully tie-broken LIMIT. */
+  def sessionPaths(s: SparkSession, dir: String, k: Int = 20,
+                   gapMin: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("us", unix_micros(col("ts")))
+    val prevUs = lag(col("us"), 1).over(byUser)
+    e
+      .withColumn("new_sess",
+        when(prevUs.isNull ||
+          col("us") - prevUs >= gapMin * 60L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("us"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   /** Per-user EWMA + spike detection over the event-value series —
     * the streaming-telemetry anomaly monitor, in batch form. The EWMA
     * is the α=0.25 exponential average truncated to the last 8 events

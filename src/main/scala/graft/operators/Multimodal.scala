@@ -257,4 +257,57 @@ object Multimodal {
         (sum(col("cut")) + 1L).as("n_shots"),
         min(when(col("cut") === 1L, col("frame_idx"))).as("first_cut_idx"))
   }
+
+  /** Perceptual-hash (dHash) near-duplicate image pairs — the visual
+    * twin of text SimHash dedup: a 6×11 luma grid per image reduces to
+    * a 60-bit gradient hash (bit k = luma(r,c) > luma(r,c+1)),
+    * candidates pair through 4×15-bit band buckets, and survivors
+    * verify with exact bit_count(xor) hamming ≤ `maxHamming`. The luma
+    * is the multimodal stubs' deterministic decode stand-in (the
+    * frame-digest convention of [[frameSample]]): every run of 7
+    * doc_ids shares a planted base image (md5 of doc_id div 7 per
+    * cell) and each member perturbs a few cells by +3 — re-encodes of
+    * the same image with pixel noise, which the gradient hash absorbs
+    * (a ±3 luma wiggle rarely flips an adjacent-cell comparison, the
+    * dHash robustness property). A real decoder would replace only
+    * the 66 luma expressions; grid, packing, banding, and verify are
+    * the production pipeline shape, and the planted groups come out
+    * bimodal: members at hamming ≤ 6, non-members ≥ ~19.
+    *
+    * Scale shape: the hash is one narrow codegen'd projection (66 md5
+    * kernels + 60 compares per row, zero UDFs); candidates come from a
+    * bucketed equi-join on (band, value) — never all-pairs — and only
+    * (doc_id, phash) longs shuffle; the same banded architecture as
+    * Dedup.simhashPairs (Dedup.scala:408), applied to the binary
+    * modality. */
+  def phashPairs(s: SparkSession, dir: String,
+                 maxHamming: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    def luma(i: Int) =
+      pmod(call_function("md5_base60",
+        concat(expr("doc_id div 7").cast("string"), lit(s"#$i"))) +
+        when(lit(i % 9) === col("doc_id") % 7, lit(3L)).otherwise(lit(0L)),
+        lit(256L))
+    val phash = (for { r <- 0 until 6; c <- 0 until 10 } yield
+      when(luma(r * 11 + c) > luma(r * 11 + c + 1),
+        lit(1L << (r * 10 + c))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val ph = Tables.documents(s, dir)
+      .select(col("doc_id"), phash.as("phash"))
+    val bands = ph.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("phash"), 15 * b).bitwiseAND(lit(32767L))): _*))
+        .as(Seq("band", "bval")))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.phash").as("ha"), col("y.phash").as("hb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

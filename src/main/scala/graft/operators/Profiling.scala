@@ -239,6 +239,50 @@ object Profiling {
           col("n_neg").cast("double")).cast("long").as("fpr_micros"))
   }
 
+  /** Calibration / reliability profile of a probabilistic classifier —
+    * the companion check to [[rocAuc]] (AUC measures ranking,
+    * calibration measures whether p=0.8 MEANS 80%): predicted
+    * probability p = σ(score/1e6) micro-quantizes, bins into deciles,
+    * and each bin reports mean predicted vs empirical positive rate
+    * plus its |gap|; the expected calibration error
+    * ECE = Σ nᵦ/N·|meanᵦ−fracᵦ| rides along as a total column.
+    *
+    * Scale shape: one data-sized aggregation to ≤10 bins (map-side
+    * combined), the ECE a window fold over the bin frame. Determinism:
+    * p quantizes to micros per row BEFORE any aggregation, so every
+    * cross-row sum is an exact integer sum (the σ itself is one exp +
+    * divide — a fixed IEEE sequence, the ml9 precedent); gaps are
+    * integer, and the single ECE divide runs on exact longs. */
+  def calibrationBins(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val score = (0 until 8)
+      .map(k => round(col("embedding")(k).cast("double") * 1e6).cast("long"))
+      .reduce(_ + _)
+    val p = lit(1.0) / (lit(1.0) + exp(-(score.cast("double") / lit(1e6))))
+    val all = Window.partitionBy(lit(1))
+    Tables.embeddings(s, dir)
+      .select(round(lit(1e6) * p).cast("long").as("pm"),
+        (col("label") % 2).cast("long").as("y"))
+      .withColumn("bin",
+        least(floor(col("pm").cast("double") / 100000.0).cast("long"),
+          lit(9L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pm")).as("sum_pm"),
+        sum(col("y")).as("n_pos"))
+      .withColumn("mean_p_micros",
+        round(col("sum_pm").cast("double") / col("n")).cast("long"))
+      .withColumn("frac_pos_micros",
+        round(lit(1e6) * col("n_pos").cast("double") / col("n"))
+          .cast("long"))
+      .withColumn("gap_micros",
+        abs(col("mean_p_micros") - col("frac_pos_micros")))
+      .withColumn("ece_micros",
+        round(sum(col("n") * col("gap_micros")).over(all).cast("double") /
+          sum(col("n")).over(all)).cast("long"))
+      .select(col("bin"), col("n"), col("n_pos"), col("mean_p_micros"),
+        col("frac_pos_micros"), col("gap_micros"), col("ece_micros"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic on the `n_chars`
     * distribution between the md5-split halves — the numeric-drift
     * companion to [[driftPsi]]'s categorical check:

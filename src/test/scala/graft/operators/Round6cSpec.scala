@@ -202,4 +202,69 @@ class Round6cSpec extends SparkSpec {
       .map { case (t, i) => t._1 -> (i + 1).toLong }.toMap
     out.foreach(t => assert(t._5 === expected(t._1), s"position of ${t._1}"))
   }
+
+  test("sessionPaths: top paths replay from a driver-side sessionization") {
+    val out = EventAnalytics.sessionPaths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = ev.groupBy(_._1).values.flatMap { es =>
+      val ordered = es.sortBy(e => (e._2, e._3))
+      // gaps-and-islands: split where gap >= 30 min
+      val sessions = ordered.foldLeft(List.empty[List[(Long, Long, Long, String)]]) {
+        case (acc, e) => acc match {
+          case (cur @ (last :: _)) :: rest
+              if e._2 - last._2 < 30L * 60 * 1000000 =>
+            (e :: cur) :: rest
+          case _ => List(e) :: acc
+        }
+      }
+      sessions.map(_.reverse.map(_._4).mkString(">"))
+    }.toSeq
+    val counts = paths.groupBy(identity).map { case (p, v) => (p, v.size.toLong) }
+    val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(out.toSeq === expect)
+  }
+
+  test("calibrationBins: bins partition the corpus; ECE replays exactly") {
+    val out = Profiling.calibrationBins(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_pos"), r.getAs[Long]("mean_p_micros"),
+        r.getAs[Long]("frac_pos_micros"), r.getAs[Long]("gap_micros"),
+        r.getAs[Long]("ece_micros")))
+    val pms = Tables.embeddings(spark, sf)
+      .select(col("embedding"), col("label")).collect()
+      .map { r =>
+        val e = r.getSeq[Float](0)
+        val s = (0 until 8).map(k => rnd6(e(k).toDouble * 1e6)).sum
+        val p = 1.0 / (1.0 + math.exp(-(s.toDouble / 1e6)))
+        (rnd6(1e6 * p), (r.getInt(1) % 2).toLong)
+      }
+    assert(out.map(_._2).sum === pms.length.toLong, "bins partition rows")
+    out.foreach { case (bin, n, nPos, meanP, fracPos, gap, _) =>
+      val inBin = pms.filter(t =>
+        math.min(math.floor(t._1.toDouble / 100000.0).toLong, 9L) == bin)
+      assert(n === inBin.length.toLong, s"bin $bin size")
+      assert(nPos === inBin.map(_._2).sum, s"bin $bin positives")
+      assert(meanP === rnd6(inBin.map(_._1).sum.toDouble / n))
+      assert(fracPos === rnd6(1e6 * nPos.toDouble / n))
+      assert(gap === math.abs(meanP - fracPos))
+    }
+    val eceExpect = rnd6(
+      out.map(t => t._2 * t._6).sum.toDouble / out.map(_._2).sum)
+    out.foreach(t => assert(t._7 === eceExpect, "same ECE on every row"))
+  }
+
+  test("phashPairs: planted groups come out bimodal — all survivors in-group, low hamming") {
+    val out = Multimodal.phashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty, "the planted near-dup groups must be found")
+    out.foreach { case (a, b, h) =>
+      assert(a / 7 === b / 7, s"pair ($a,$b) crosses planted groups")
+      assert(h <= 6L, s"pair ($a,$b) hamming $h above threshold")
+    }
+    assert(out.exists(_._3 === 0L), "some re-encodes hash identically")
+  }
 }
