@@ -337,6 +337,14 @@ object SparkEntry {
     "ev11_paths"        -> (EventAnalytics.sessionPaths(_, _)),
     "ml12_calibration"  -> (Profiling.calibrationBins(_, _)),
     "mm6_phash_pairs"   -> (Multimodal.phashPairs(_, _)),
+    // ---- round-6 continuation (fourth session) ----
+    "graph_link_pred"   -> (Graphs.linkPredict(_, _)),
+    "ts3_autocorr"      -> (EventAnalytics.autocorr(_, _)),
+    "text_zipf"         -> (TextAnalysis.zipfFit(_, _)),
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Fixtures.mutantSlice(s, dir))),
+    "ml13_knn"          -> (Similarity.knnClassify(_, _)),
+    "s11_schema_evolution" -> (Audits.s11SchemaEvolution(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3549,6 +3557,157 @@ object SparkEntry {
       SELECT doc_a, doc_b,
         CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
       FROM cand WHERE bit_count(xor(ha, hb)) <= 6""",
+    // Common-neighbor link prediction (operators.Graphs.linkPredict):
+    // undirected distinct edges, wedge join on the shared neighbor,
+    // anti-filter on existing edges, exact integer floor-divided
+    // Jaccard (DuckDB // and Spark div agree on positive operands).
+    "graph_link_pred" -> raw"""
+      WITH $graphEdgesSql,
+      und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM edges),
+      nbrs AS (SELECT a AS node, b AS nbr FROM und
+               UNION ALL SELECT b, a FROM und),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+              FROM nbrs GROUP BY node),
+      pairs AS (SELECT x.node AS u, y.node AS v, CAST(count(*) AS BIGINT) AS cn
+                FROM nbrs x JOIN nbrs y ON x.nbr = y.nbr AND x.node < y.node
+                GROUP BY 1, 2
+                HAVING count(*) >= 2),
+      cand AS (SELECT u, v, cn FROM pairs p
+               WHERE NOT EXISTS (SELECT 1 FROM und
+                                 WHERE und.a = p.u AND und.b = p.v))
+      SELECT c.u AS node_a, c.v AS node_b, c.cn,
+        CAST((1000000 * c.cn) // (du.deg + dv.deg - c.cn) AS BIGINT)
+          AS jaccard_micros
+      FROM cand c JOIN deg du ON du.node = c.u
+        JOIN deg dv ON dv.node = c.v""",
+    // Daily-count autocorrelation (operators.EventAnalytics.autocorr):
+    // integer-scaled deviations dv = n*x - sum(x); exact integer
+    // num/den sums, one IEEE divide rounded to 6dp.
+    "ts3_autocorr" -> raw"""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+          CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx FROM daily),
+      dev AS (SELECT d, n * x - sx AS dv FROM daily, st),
+      lagged AS (SELECT dv,
+          lag(dv, 1) OVER (ORDER BY d) AS l1,
+          lag(dv, 2) OVER (ORDER BY d) AS l2,
+          lag(dv, 3) OVER (ORDER BY d) AS l3,
+          lag(dv, 4) OVER (ORDER BY d) AS l4,
+          lag(dv, 5) OVER (ORDER BY d) AS l5,
+          lag(dv, 6) OVER (ORDER BY d) AS l6,
+          lag(dv, 7) OVER (ORDER BY d) AS l7
+        FROM dev),
+      a AS (SELECT CAST(sum(dv * dv) AS BIGINT) AS den,
+          CAST(sum(dv * l1) AS BIGINT) AS num1,
+          CAST(sum(dv * l2) AS BIGINT) AS num2,
+          CAST(sum(dv * l3) AS BIGINT) AS num3,
+          CAST(sum(dv * l4) AS BIGINT) AS num4,
+          CAST(sum(dv * l5) AS BIGINT) AS num5,
+          CAST(sum(dv * l6) AS BIGINT) AS num6,
+          CAST(sum(dv * l7) AS BIGINT) AS num7
+        FROM lagged)
+      SELECT CAST(lag_k AS BIGINT) AS lag_k, num, den,
+        round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+      FROM (
+        SELECT 1 AS lag_k, num1 AS num, den FROM a
+        UNION ALL SELECT 2, num2, den FROM a
+        UNION ALL SELECT 3, num3, den FROM a
+        UNION ALL SELECT 4, num4, den FROM a
+        UNION ALL SELECT 5, num5, den FROM a
+        UNION ALL SELECT 6, num6, den FROM a
+        UNION ALL SELECT 7, num7, den FROM a)""",
+    // Zipf OLS fit (operators.TextAnalysis.zipfFit): micro-nat
+    // quantized ln(rank)/ln(freq), exact integer normal-equation sums,
+    // fixed IEEE divide chain mirrored verbatim.
+    "text_zipf" -> raw"""
+      WITH f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(list_filter(
+            string_split_regex(lower(text), '\s+'),
+            t -> len(t) > 0)) AS tok FROM documents)
+        GROUP BY tok),
+      r AS (SELECT freq,
+          row_number() OVER (ORDER BY freq DESC, tok ASC) AS rk FROM f),
+      p AS (SELECT CAST(round(1e6 * ln(CAST(rk AS DOUBLE))) AS BIGINT) AS xm,
+          CAST(round(1e6 * ln(CAST(freq AS DOUBLE))) AS BIGINT) AS ym
+        FROM r WHERE rk <= 100),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(xm) AS BIGINT) AS sx, CAST(sum(ym) AS BIGINT) AS sy,
+          CAST(sum(xm * ym) AS BIGINT) AS sxy,
+          CAST(sum(xm * xm) AS BIGINT) AS sxx
+        FROM p)
+      SELECT n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+        round(CAST(n * sxy - sx * sy AS DOUBLE) /
+          CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) -
+          (CAST(n * sxy - sx * sy AS DOUBLE) /
+            CAST(n * sxx - sx * sx AS DOUBLE)) *
+          (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 1e6, 6)
+          AS intercept_nats
+      FROM a""",
+    // Shingle containment pairs over the mutant slice
+    // (operators.Dedup.containmentPairs on Fixtures.mutantSlice):
+    // postings self-join on the shared shingle = exact |A∩B|.
+    "dedup_containment" -> raw"""
+      WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 40
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               regexp_replace(text, '^\S+\s*', '') AS text
+        FROM documents WHERE doc_id < 40),
+      t AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '\s+'),
+                x -> len(x) > 0) AS tk FROM base),
+      s AS (SELECT doc_id,
+              CASE WHEN len(tk) >= 3
+                THEN list_distinct(list_transform(range(0, len(tk) - 2),
+                  i -> array_to_string(tk[i+1:i+3], ' ')))
+                ELSE [array_to_string(tk, ' ')] END AS sh FROM t),
+      post AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      inter AS (SELECT a.doc_id AS doc_src, b.doc_id AS doc_tgt,
+          CAST(count(*) AS BIGINT) AS inter
+        FROM post a JOIN post b
+          ON a.g = b.g AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2),
+      sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz FROM s)
+      SELECT doc_src, doc_tgt, inter, sz,
+        round(CAST(inter AS DOUBLE) / sz, 4) AS containment
+      FROM inter JOIN sz ON sz.doc_id = inter.doc_src
+      WHERE CAST(inter AS DOUBLE) / sz >= 0.8""",
+    // kNN majority-vote classification
+    // (operators.Similarity.knnClassify): exact cosine, 6dp rounding
+    // before the rank, vec_id tiebreak, k=5 majority.
+    "ml13_knn" -> raw"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qv,
+          CAST(label % 2 AS BIGINT) AS true_label
+        FROM embeddings WHERE vec_id < 32),
+      sc AS (SELECT q.q_id, q.true_label,
+          CAST(e.label % 2 AS BIGINT) AS nl, e.vec_id,
+          round(list_cosine_similarity(
+            e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cs
+        FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+      top AS (SELECT *, row_number() OVER (PARTITION BY q_id
+          ORDER BY cs DESC, vec_id ASC) AS rk FROM sc)
+      SELECT q_id, true_label, CAST(sum(nl) AS BIGINT) AS votes,
+        CAST(CASE WHEN sum(nl) * 2 > 5 THEN 1 ELSE 0 END AS BIGINT)
+          AS pred_label,
+        CAST(CASE WHEN (CASE WHEN sum(nl) * 2 > 5 THEN 1 ELSE 0 END)
+          = true_label THEN 1 ELSE 0 END AS BIGINT) AS correct
+      FROM top WHERE rk <= 5 GROUP BY q_id, true_label""",
+    // Schema-evolution mergeSchema read
+    // (operators.Audits.s11SchemaEvolution): generation membership is
+    // doc_id parity, so the merged lake re-derives from the base table.
+    "s11_schema_evolution" -> raw"""
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT)
+          AS n_lang,
+        CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+          AS n_nchars,
+        CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)
+          AS BIGINT) AS sum_nchars,
+        CAST(sum(length(text)) AS BIGINT) AS sum_textlen
+      FROM documents""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -302,4 +302,35 @@ object Audits {
     Tables.documents(s, dir)
       .filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("lang"), col("source"))
+
+  /** Schema-evolution read: two parquet generations with DIFFERENT
+    * physical schemas (gen1 carries `lang` but no `n_chars`, gen2 the
+    * reverse — the live-pipeline case of a column added mid-stream and
+    * one retired) unified by `mergeSchema`; absent columns surface as
+    * nulls, audited per-lang with per-generation null counts. This is
+    * the read-side contract a long-lived 100 TB lake needs: old files
+    * are never rewritten when the schema grows.
+    *
+    * The staging write is part of the operator (same /tmp convention as
+    * the s8/s9 sinks); gen membership is the deterministic doc_id
+    * parity so the oracle re-derives both generations from the base
+    * table. */
+  def s11SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val base = s"/tmp/graft_schema_evo_${math.abs(dir.hashCode)}"
+    d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .coalesce(2).write.mode("overwrite").parquet(s"$base/g1")
+    d.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .coalesce(2).write.mode("overwrite").parquet(s"$base/g2")
+    val merged = s.read.option("mergeSchema", "true")
+      .parquet(s"$base/g1", s"$base/g2")
+    merged.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("lang")).as("n_lang"),
+      count(col("n_chars")).as("n_nchars"),
+      sum(coalesce(col("n_chars"), lit(0L))).as("sum_nchars"),
+      sum(length(col("text")).cast("long")).as("sum_textlen"))
+  }
 }

@@ -93,6 +93,38 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs — |A∩B| / |A| per ordered
+    * pair, the sub-document-duplication signal Jaccard misses: a
+    * paragraph pasted into a much longer page scores ~1.0 containment
+    * but near-0 Jaccard. Emits (doc_src, doc_tgt, containment) where
+    * ≥ `threshold` of doc_src's shingles also occur in doc_tgt.
+    *
+    * Scale shape: UNLIKE the all-pairs Jaccard baseline above, this is
+    * the bucketed-candidate plan — explode to (shingle, doc) postings,
+    * self-equi-join on the shingle key (cost Σ_g df(g)², bounded per
+    * gram, never global n²), count per ordered pair = |A∩B| exactly
+    * (shingle arrays are distinct per doc), then one join back to the
+    * |A| sizes. A pair with zero shared shingles never materializes —
+    * lossless for any threshold > 0. At 100 TB add a df cap on the
+    * posting list (drop grams with df > D) — standard prefix-filter
+    * hygiene; not needed at fixture scale. */
+  def containmentPairs(docs: DataFrame,
+                       threshold: Double = 0.8): DataFrame = {
+    val d = shingled(docs)
+    val post = d.select(col("doc_id"), explode(col("sh")).as("g"))
+    val inter = post.select(col("g"), col("doc_id").as("doc_src"))
+      .join(post.select(col("g"), col("doc_id").as("doc_tgt")), Seq("g"))
+      .filter(col("doc_src") =!= col("doc_tgt"))
+      .groupBy(col("doc_src"), col("doc_tgt"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = d.select(col("doc_id").as("doc_src"),
+      size(col("sh")).cast("long").as("sz"))
+    inter.join(sizes, Seq("doc_src"))
+      .filter(col("inter").cast("double") / col("sz") >= threshold)
+      .select(col("doc_src"), col("doc_tgt"), col("inter"), col("sz"),
+        round(col("inter").cast("double") / col("sz"), 4).as("containment"))
+  }
+
   /** 3-token shingles from an already-materialized token array
     * (attribute reads only inside the lambda — see [[shingled]]). */
   private def shingles(ts: Column, n: Int = 3): Column =

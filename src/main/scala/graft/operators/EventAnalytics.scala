@@ -465,4 +465,41 @@ object EventAnalytics {
       .select(col("event_id"), col("user_id"), col("m").as("value_micros"),
         col("ewma_micros"), col("spike"))
   }
+
+  /** Sample autocorrelation of the daily event-count series at lags
+    * 1..`maxLag` — the periodicity probe for ingest telemetry (a weekly
+    * cycle shows as a lag-7 peak, a dying pipeline as fast decay).
+    *
+    * Scale shape: ONE data-sized aggregation (count per UTC day — the
+    * same map-side-partial shape as a word count); everything after
+    * runs on the ≤#days-row model frame, so the global-order window is
+    * a model sort, not a data sort. Determinism: deviations are scaled
+    * to integers (devₜ = n·xₜ − Σx, so no fractional mean appears);
+    * numerator and denominator are exact integer sums of their
+    * products, and the single IEEE divide rounds to 6dp. Products are
+    * bounded by (n·max_day)² · n — overflow-safe while daily counts
+    * stay under ~2 × 10⁹/√n̄ (far past any fixture SF; at real scale
+    * pre-scale counts to thousands). */
+  def autocorr(s: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val stats = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val dev = daily.crossJoin(broadcast(stats))
+      .select(col("d"), (col("n") * col("x") - col("sx")).as("dv"))
+    val w = Window.orderBy(col("d")) // model-sized frame (≤ #days rows)
+    val lagged = dev.select(col("dv") +:
+      (1 to maxLag).map(k => lag(col("dv"), k).over(w).as(s"l$k")): _*)
+    val agg = lagged.agg(
+      sum(col("dv") * col("dv")).as("den"),
+      (1 to maxLag).map(k =>
+        sum(col("dv") * col(s"l$k")).as(s"num$k")): _*)
+    val stacked = expr(s"stack($maxLag, " +
+      (1 to maxLag).map(k => s"${k}L, num$k").mkString(", ") +
+      ") as (lag_k, num)")
+    agg.select(stacked, col("den"))
+      .select(col("lag_k"), col("num"), col("den"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("acf"))
+  }
 }

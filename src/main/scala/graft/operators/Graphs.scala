@@ -470,4 +470,40 @@ object Graphs {
         col("max_h").cast("double")).cast("long").as("hub_micros"),
       round(lit(1e6) * col("a").cast("double") /
         col("max_a").cast("double")).cast("long").as("auth_micros"))
+
+  /** Common-neighbor link prediction over the undirected link graph:
+    * for every NON-adjacent pair with ≥2 shared neighbors, the shared
+    * count plus the neighbor-set Jaccard (the two classic proximity
+    * scores for "should this edge exist?").
+    *
+    * Scale shape: candidates come from a wedge join bucketed on the
+    * SHARED neighbor — cost is Σ_w deg(w)², bounded by the square of
+    * the max degree per bucket, never an all-pairs product. Jaccard
+    * needs no set materialization: |A∪B| = deg(a) + deg(b) − |A∩B|,
+    * so only (node, long) pairs shuffle. The score is emitted as an
+    * exact integer floor division (1e6·cn div union) — no float
+    * rounding to disagree on. Existing edges leave via a left-anti
+    * join on the same (a, b) key. */
+  def linkPredict(s: SparkSession, dir: String): DataFrame = {
+    val und = linkEdges(s, dir)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(true) // feeds nbrs twice + the anti join
+    val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = nbrs.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val pairs = nbrs.select(col("nbr").as("w"), col("node").as("u"))
+      .join(nbrs.select(col("nbr").as("w"), col("node").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= 2)
+    pairs
+      .join(und, pairs("u") === und("a") && pairs("v") === und("b"),
+        "left_anti")
+      .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .select(col("u").as("node_a"), col("v").as("node_b"), col("cn"),
+        expr("(1000000 * cn) div (deg_u + deg_v - cn)").as("jaccard_micros"))
+  }
 }

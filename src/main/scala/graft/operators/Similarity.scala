@@ -750,4 +750,44 @@ object Similarity {
     import s.implicits._
     out.toSeq.toDF("sel_rank", "vec_id", "rel", "max_sim", "mmr_micros")
   }
+
+  /** k-NN classification over the embedding corpus: for each query
+    * vector (a capped deterministic slice, the eval convention), the
+    * majority label of its `k` exact-cosine nearest neighbours
+    * (self excluded). The label-propagation eval that closes the ANN
+    * loop: recall (eval2) says the index finds the neighbours, this
+    * says the neighbours carry signal.
+    *
+    * Scale shape: the query side broadcasts (n_q rows) against ONE
+    * corpus scan; the top-k rank filter compiles through the
+    * TopKPerKey heap exec, so ≤k rows per query survive the shuffle —
+    * never a global sort. At 100 TB the scan side swaps for the
+    * partition-pruned IVF index face (sim_ann_ivf_indexed); the
+    * voting stage is unchanged. Determinism: scores round to 6dp
+    * before ranking, vec_id breaks ties; k odd ⇒ no vote tie. */
+  def knnClassify(s: SparkSession, dir: String, nQueries: Int = 32,
+                  k: Int = 5): DataFrame = {
+    GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+    val q = broadcast(e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        (col("label") % 2).cast("long").as("true_label")))
+    val scored = e.crossJoin(q)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("true_label"),
+        (col("label") % 2).cast("long").as("nl"),
+        col("vec_id"),
+        round(cosine(col("embedding"), col("qv")), 6).as("cs"))
+    val top = scored
+      .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cs").desc, col("vec_id").asc)))
+      .filter(col("rk") <= k)
+    top.groupBy(col("q_id"), col("true_label"))
+      .agg(sum(col("nl")).as("votes"))
+      .select(col("q_id"), col("true_label"), col("votes"),
+        (col("votes") * 2 > k).cast("long").as("pred_label"))
+      .withColumn("correct",
+        (col("pred_label") === col("true_label")).cast("long"))
+  }
 }

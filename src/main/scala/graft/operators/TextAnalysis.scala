@@ -1124,4 +1124,47 @@ object TextAnalysis {
             .cast("long"))
           .otherwise(lit(null).cast("long")))
   }
+
+  /** Zipf-law fit over the top-`topK` corpus tokens: OLS of
+    * ln(freq) on ln(rank) — a natural-language corpus sits near slope
+    * −1; a slope far off flags boilerplate floods or synthetic spam
+    * before they poison a tokenizer vocabulary.
+    *
+    * Scale shape: ONE token-count aggregation (map-side partials on
+    * token keys) is the only data-sized stage; the rank window and the
+    * regression run on the topK-row model. Determinism: ln(rank) and
+    * ln(freq) micro-quantize to longs per row, the normal-equation
+    * sums are exact integer sums (bounded: (1.5e7)²·topK ≈ 2e16 ≪
+    * 2⁶³), and slope/intercept are a FIXED sequence of IEEE divides on
+    * those integers — mirrored literally by the oracle, then 6dp
+    * rounding on top. */
+  def zipfFit(s: SparkSession, dir: String, topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freqs = Tables.documents(s, dir)
+      .select(explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(1))
+          .orderBy(col("freq").desc, col("tok").asc)))
+      .filter(col("rk") <= topK)
+    val pts = freqs.select(
+      round(lit(1e6) * log(col("rk").cast("double"))).cast("long").as("xm"),
+      round(lit(1e6) * log(col("freq").cast("double"))).cast("long").as("ym"))
+    pts.agg(
+        count(lit(1)).as("n"),
+        sum(col("xm")).as("sx"), sum(col("ym")).as("sy"),
+        sum(col("xm") * col("ym")).as("sxy"),
+        sum(col("xm") * col("xm")).as("sxx"))
+      .select(col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
+        col("sx"), col("sy"))
+      .select(col("n"), col("num"), col("den"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("slope"),
+        round((col("sy").cast("double") / col("n").cast("double") -
+          (col("num").cast("double") / col("den").cast("double")) *
+            (col("sx").cast("double") / col("n").cast("double"))) / 1e6, 6)
+          .as("intercept_nats"))
+  }
 }
