@@ -345,6 +345,12 @@ object SparkEntry {
       Dedup.containmentPairs(Fixtures.mutantSlice(s, dir))),
     "ml13_knn"          -> (Similarity.knnClassify(_, _)),
     "s11_schema_evolution" -> (Audits.s11SchemaEvolution(_, _)),
+    "ev12_windowed_funnel" -> (EventAnalytics.windowedFunnel(_, _)),
+    "ts4_theil_sen"     -> (EventAnalytics.theilSen(_, _)),
+    "stat22_mad_outliers" -> (Relational.stat22MadOutliers(_, _)),
+    "graph_assortativity" -> (Graphs.assortativity(_, _)),
+    "ml14_confusion"    -> (Profiling.confusion(_, _)),
+    "mix6_dedup_weights" -> (TextAnalysis.dedupAwareMix(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3708,6 +3714,131 @@ object SparkEntry {
           AS BIGINT) AS sum_nchars,
         CAST(sum(length(text)) AS BIGINT) AS sum_textlen
       FROM documents""",
+    // Time-bounded funnel (operators.EventAnalytics.windowedFunnel):
+    // ev1 with a 1-hour attribution window per stage transition.
+    "ev12_windowed_funnel" -> raw"""
+      WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+            JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+              AND e.ts <= v.t_view + INTERVAL 1 HOUR GROUP BY 1),
+      p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+            JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+              AND e.ts <= c.t_click + INTERVAL 1 HOUR GROUP BY 1),
+      s AS (SELECT '1_view' AS stage, count(*) AS n_users FROM v
+            UNION ALL SELECT '2_click', count(*) FROM c
+            UNION ALL SELECT '3_purchase', count(*) FROM p)
+      SELECT stage, n_users,
+        round(n_users / (SELECT count(*) FROM v), 6) AS conversion
+      FROM s""",
+    // Theil-Sen daily trend (operators.EventAnalytics.theilSen):
+    // integer floor-divided pairwise slopes, lower-median selection.
+    "ts4_theil_sen" -> raw"""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+          CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+      idx AS (SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+          x FROM daily),
+      sl AS (SELECT CAST(((b.x - a.x) * 1000000) // (b.i - a.i) AS BIGINT)
+          AS slope_micros
+        FROM idx a JOIN idx b ON b.i > a.i),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM sl),
+      r AS (SELECT slope_micros,
+          CAST(row_number() OVER (ORDER BY slope_micros) AS BIGINT) AS rk
+        FROM sl)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+        m.m AS n_pairs, r.slope_micros
+      FROM r, m WHERE r.rk = (m.m + 1) // 2""",
+    // Median/MAD outlier screen (operators.Relational.stat22MadOutliers):
+    // cents histogram, lower-median selections, integer fence compare.
+    "stat22_mad_outliers" -> raw"""
+      WITH hist AS (SELECT CAST(round(value * 100) AS BIGINT) AS vc,
+          CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+      medt AS (SELECT min(vc) AS med
+        FROM (SELECT vc, CAST(sum(c) OVER (ORDER BY vc) AS BIGINT) AS cum
+              FROM hist) h, tot
+        WHERE cum >= (n + 1) // 2),
+      adh AS (SELECT abs(vc - med) AS ad, CAST(sum(c) AS BIGINT) AS c
+              FROM hist, medt GROUP BY 1),
+      madt AS (SELECT min(ad) AS mad
+        FROM (SELECT ad, CAST(sum(c) OVER (ORDER BY ad) AS BIGINT) AS cum
+              FROM adh) h2, tot
+        WHERE cum >= (n + 1) // 2)
+      SELECT tot.n AS n, medt.med AS med_cents, madt.mad AS mad_cents,
+        CAST(sum(CASE WHEN abs(vc - med) * 10000 > mad * 44478
+          THEN c ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM hist, medt, madt, tot
+      GROUP BY tot.n, medt.med, madt.mad""",
+    // Degree assortativity (operators.Graphs.assortativity): Pearson r
+    // of endpoint degrees over both edge orientations; exact integer
+    // moment sums, one IEEE divide/sqrt chain mirrored verbatim.
+    "graph_assortativity" -> raw"""
+      WITH $graphEdgesSql,
+      und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM edges),
+      ends AS (SELECT a AS x, b AS y FROM und
+               UNION ALL SELECT b, a FROM und),
+      deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS deg
+              FROM ends GROUP BY 1),
+      p AS (SELECT dx.deg AS dx, dy.deg AS dy FROM ends
+            JOIN deg dx ON dx.node = ends.x
+            JOIN deg dy ON dy.node = ends.y),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+          CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+          CAST(sum(dx * dy) AS BIGINT) AS sxy,
+          CAST(sum(dx * dx) AS BIGINT) AS sxx,
+          CAST(sum(dy * dy) AS BIGINT) AS syy
+        FROM p)
+      SELECT m2, m2 * sxy - sx * sy AS num,
+        m2 * sxx - sx * sx AS varx, m2 * syy - sy * sy AS vary,
+        round(CAST(m2 * sxy - sx * sy AS DOUBLE) /
+          sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE) *
+            CAST(m2 * syy - sy * sy AS DOUBLE)), 6) AS assortativity
+      FROM a""",
+    // Binary confusion + P/R/F1/accuracy (operators.Profiling.confusion)
+    // on the shared ml10-ml12 embedding score.
+    "ml14_confusion" -> raw"""
+      WITH sc AS (SELECT (($embScoreSql) > 0) AS pred,
+          (label % 2 = 1) AS y FROM embeddings),
+      cells AS (SELECT
+          CAST(sum(CASE WHEN pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          CAST(sum(CASE WHEN pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          CAST(sum(CASE WHEN NOT pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+          CAST(sum(CASE WHEN NOT pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM sc)
+      SELECT tp, fp, fn, tn,
+        round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+          AS "precision",
+        round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall,
+        round(2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) *
+            (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)) /
+          ((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) +
+            (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))), 6) AS f1,
+        round(CAST(tp + tn AS DOUBLE) /
+          CAST(tp + fp + fn + tn AS DOUBLE), 6) AS accuracy
+      FROM cells""",
+    // Dedup-aware mixture weights (operators.TextAnalysis.dedupAwareMix):
+    // mix1 recomputed on the exact-dedup canonical set, per source.
+    "mix6_dedup_weights" -> raw"""
+      WITH d AS (SELECT doc_id, source,
+          CAST(len(list_filter(string_split_regex(text, '\s+'),
+            x -> len(x) > 0)) AS BIGINT) AS n_tok,
+          md5(text) AS h FROM documents),
+      canon AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY h),
+      raw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw,
+          CAST(sum(n_tok) AS BIGINT) AS tok_raw FROM d GROUP BY 1),
+      cn AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_canon,
+          CAST(sum(d.n_tok) AS BIGINT) AS tok_canon
+        FROM d JOIN canon ON d.doc_id = canon.doc_id GROUP BY 1),
+      t AS (SELECT CAST(sum(tok_canon) AS BIGINT) AS total_canon FROM cn)
+      SELECT r.source, n_raw, n_canon, tok_raw, tok_canon,
+        round(1.0 - CAST(n_canon AS DOUBLE) / CAST(n_raw AS DOUBLE), 6)
+          AS dup_rate,
+        round(CAST(tok_canon AS DOUBLE) / CAST(total_canon AS DOUBLE), 6)
+          AS canon_share
+      FROM raw r JOIN cn ON r.source = cn.source CROSS JOIN t""",
   )
 
   // ---- shared DuckDB oracle fragments ----

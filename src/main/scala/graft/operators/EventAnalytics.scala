@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,15 +25,32 @@ object EventAnalytics {
     * new; the stage joins stay co-partitioned. Emits one row per stage
     * with the conversion rate from stage 1.
     */
-  def funnel(s: SparkSession, dir: String): DataFrame = {
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    funnelFrom(s, dir, within = None)
+
+  /** Time-BOUNDED funnel: each stage must fire within `within` of
+    * entering the previous stage (the attribution-window form every
+    * product funnel actually uses — an unbounded funnel credits a
+    * purchase to a view from weeks earlier). Same plan shape as the
+    * unbounded [[funnel]]: the window bound is one extra pushed-down
+    * filter predicate, no new shuffle. */
+  def windowedFunnel(s: SparkSession, dir: String): DataFrame =
+    funnelFrom(s, dir, within = Some("1 HOUR"))
+
+  private def funnelFrom(s: SparkSession, dir: String,
+                         within: Option[String]): DataFrame = {
     val e = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    def after(prev: Column): Column = within match {
+      case Some(iv) => col("ts") > prev && col("ts") <= prev + expr(s"INTERVAL $iv")
+      case None     => col("ts") > prev
+    }
     val v = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
     val c = e.filter(col("event_type") === "click")
-      .join(v, "user_id").filter(col("ts") > col("t_view"))
+      .join(v, "user_id").filter(after(col("t_view")))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
     val p = e.filter(col("event_type") === "purchase")
-      .join(c, "user_id").filter(col("ts") > col("t_click"))
+      .join(c, "user_id").filter(after(col("t_click")))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
     val stages = Seq(("1_view", v), ("2_click", c), ("3_purchase", p))
       .map { case (name, df) =>
@@ -501,5 +518,39 @@ object EventAnalytics {
       .select(col("lag_k"), col("num"), col("den"),
         round(col("num").cast("double") / col("den").cast("double"), 6)
           .as("acf"))
+  }
+
+  /** Theil–Sen robust trend of the daily event-count series: the
+    * median over all pairwise slopes (xⱼ−xᵢ)/(j−i) — immune to the
+    * outlier days that wreck an OLS trend (the robust twin of
+    * ts2's rolling OLS).
+    *
+    * Scale shape: the data-sized stage is the same daily-count
+    * aggregation as ts3; the O(days²) pair enumeration runs on the
+    * ≤#days model frame (≤ ~500 pairs per month of telemetry) — at any
+    * horizon the day count, not the event count, bounds it. Exactness:
+    * each slope is an integer floor division of micro-day units
+    * (truncation toward zero — Spark `div` and DuckDB `//` agree), and
+    * the median is the LOWER order statistic at rank (m+1) div 2 — a
+    * selection, not an average, so no fractional midpoint exists. */
+  def theilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val idx = daily.select(
+      row_number().over(Window.orderBy(col("d"))).cast("long").as("i"),
+      col("x"))
+    val slopes = idx.select(col("i").as("ia"), col("x").as("xa"))
+      .join(idx.select(col("i").as("ib"), col("x").as("xb")),
+        col("ib") > col("ia"))
+      .select(expr("((xb - xa) * 1000000) div (ib - ia)").as("slope_micros"))
+    val m = slopes.agg(count(lit(1)).as("m"))
+    slopes
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("slope_micros"))).cast("long"))
+      .crossJoin(broadcast(m))
+      .filter(col("rk") === expr("(m + 1) div 2"))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
+      .select(col("n_days"), col("m").as("n_pairs"), col("slope_micros"))
   }
 }

@@ -506,4 +506,43 @@ object Graphs {
       .select(col("u").as("node_a"), col("v").as("node_b"), col("cn"),
         expr("(1000000 * cn) div (deg_u + deg_v - cn)").as("jaccard_micros"))
   }
+
+  /** Degree assortativity of the undirected link graph: the Pearson
+    * correlation of endpoint degrees over every edge (both
+    * orientations, the standard Newman definition) — positive means
+    * hubs attach to hubs, the one-number structural fingerprint that
+    * flags when a "random" document link graph has secretly gone
+    * preferential.
+    *
+    * Scale shape: distinct edges + a degree count + two co-partitioned
+    * joins back on the endpoint key; the correlation itself is one
+    * aggregation of exact integer sums (degrees are small ints — the
+    * products sit far below 2⁶³ until ~10¹² edges) with a FIXED IEEE
+    * divide/sqrt chain at the end, mirrored verbatim by the oracle. */
+  def assortativity(s: SparkSession, dir: String): DataFrame = {
+    val und = linkEdges(s, dir)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val ends = und.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(und.select(col("b").as("x"), col("a").as("y")))
+    val deg = ends.groupBy(col("x").as("node")).agg(count(lit(1)).as("deg"))
+    val pairs = ends
+      .join(deg.select(col("node").as("x"), col("deg").as("dx")), Seq("x"))
+      .join(deg.select(col("node").as("y"), col("deg").as("dy")), Seq("y"))
+    pairs.agg(
+        count(lit(1)).as("m2"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("m2"),
+        (col("m2") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("m2") * col("sxx") - col("sx") * col("sx")).as("varx"),
+        (col("m2") * col("syy") - col("sy") * col("sy")).as("vary"))
+      .select(col("m2"), col("num"), col("varx"), col("vary"),
+        round(col("num").cast("double") /
+          sqrt(col("varx").cast("double") * col("vary").cast("double")), 6)
+          .as("assortativity"))
+  }
 }

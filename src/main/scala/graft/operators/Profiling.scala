@@ -324,4 +324,36 @@ object Profiling {
         round(lit(1e6) * col("d_num").cast("double") /
           (col("na") * col("nb"))).cast("long").as("d_micros"))
   }
+
+  /** Binary confusion matrix + derived metrics for the shared
+    * embedding classifier (score > 0 ⇒ positive, same integer-micro
+    * score ml10–ml12 rank and calibrate): TP/FP/FN/TN counts, then
+    * precision, recall, F1, accuracy — the eval row every model
+    * comparison table starts from.
+    *
+    * Scale shape: a single scan + one 4-cell aggregation (map-side
+    * partials). Determinism: cells are exact integer sums; each metric
+    * is a FIXED IEEE expression over those longs (the F1 reuses the
+    * same two divides), mirrored verbatim by the oracle, 6dp-rounded. */
+  def confusion(s: SparkSession, dir: String): DataFrame = {
+    val score = (0 until 8)
+      .map(k => round(col("embedding")(k).cast("double") * 1e6).cast("long"))
+      .reduce(_ + _)
+    val cells = Tables.embeddings(s, dir)
+      .select((score > 0).as("pred"), (col("label") % 2 === 1).as("y"))
+      .agg(
+        sum(when(col("pred") && col("y"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("y"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("y"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred") && !col("y"), 1L).otherwise(0L)).as("tn"))
+    val p = col("tp").cast("double") / (col("tp") + col("fp")).cast("double")
+    val r = col("tp").cast("double") / (col("tp") + col("fn")).cast("double")
+    cells.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      round(p, 6).as("precision"),
+      round(r, 6).as("recall"),
+      round(lit(2.0) * p * r / (p + r), 6).as("f1"),
+      round((col("tp") + col("tn")).cast("double") /
+        (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"), 6)
+        .as("accuracy"))
+  }
 }

@@ -1859,4 +1859,43 @@ object Relational {
         s"'$a', '$b', `${a}__$b`" }.mkString(", ") +
         ") as (col_a, col_b, corr_r)"))
   }
+
+  /** Robust outlier screen on `events.value`: median / MAD fences
+    * (|x − med| > 3·1.4826·MAD, the robust z-score) — the anomaly
+    * gate that, unlike mean/stddev fences, outliers cannot drag.
+    *
+    * Scale shape: ONE data-sized aggregation builds the cents-quantized
+    * value histogram; the median, the MAD (whose histogram derives from
+    * the value histogram by |v − med| re-keying — no second data pass),
+    * and the outlier count are all DOMAIN-sized cumulative windows over
+    * distinct cents values. Exactness: order statistics are LOWER
+    * medians at rank (n+1) div 2 — pure selection on integers; the
+    * fence compares 10000·|x−med| > 44478·MAD, the 3·1.4826 constant
+    * pre-scaled to an exact integer — zero float ops anywhere. */
+  def stat22MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(s, dir)
+      .select(round(col("value") * 100).cast("long").as("vc"))
+      .groupBy(col("vc")).agg(count(lit(1)).as("c"))
+    val tot = hist.agg(sum(col("c")).as("n"))
+    val cumW = Window.orderBy(col("vc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = hist.withColumn("cum", sum(col("c")).over(cumW))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .agg(min(col("vc")).as("med"))
+    val adHist = hist.crossJoin(broadcast(med))
+      .groupBy(abs(col("vc") - col("med")).as("ad"))
+      .agg(sum(col("c")).as("c"))
+    val cumAdW = Window.orderBy(col("ad"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mad = adHist.withColumn("cum", sum(col("c")).over(cumAdW))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .agg(min(col("ad")).as("mad"))
+    hist.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .agg(sum(col("c")).as("n"),
+        max(col("med")).as("med_cents"), max(col("mad")).as("mad_cents"),
+        sum(when(abs(col("vc") - col("med")) * 10000 >
+          col("mad") * 44478, col("c")).otherwise(0L)).as("n_outliers"))
+  }
 }

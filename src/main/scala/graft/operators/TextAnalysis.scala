@@ -627,6 +627,40 @@ object TextAnalysis {
           col("domain_tokens")).cast("long").as("epochs_needed"))
   }
 
+  /** Dedup-AWARE mixture weights: [[domainMix]] recomputed on the
+    * exact-dedup canonical set — the order matters in a real curation
+    * pipeline because a source that is 40% duplicates looks 40% bigger
+    * than the data it actually contributes, and weighting before
+    * dedup over-samples exactly the sources that padded themselves.
+    * Emits raw vs canonical doc/token counts, the per-source dup rate,
+    * and the canonical token share the mixture should actually use.
+    *
+    * Scale shape: canonical selection is the dedup_exact digest
+    * aggregation (16-byte keys shuffle, min doc_id wins); the
+    * canonical flag rides back on a doc_id-keyed join; both per-source
+    * rollups share one partitioning on source. */
+  def dedupAwareMix(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        md5(col("text").cast("binary")).as("h"))
+    val canonIds = d.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val raw = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"), sum(col("n_tok")).as("tok_raw"))
+    val canon = d.join(canonIds, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_canon"), sum(col("n_tok")).as("tok_canon"))
+    val total = canon.agg(sum(col("tok_canon")).as("total_canon"))
+    raw.join(canon, Seq("source")).crossJoin(broadcast(total))
+      .select(col("source"), col("n_raw"), col("n_canon"),
+        col("tok_raw"), col("tok_canon"),
+        round(lit(1.0) - col("n_canon").cast("double") /
+          col("n_raw").cast("double"), 6).as("dup_rate"),
+        round(col("tok_canon").cast("double") /
+          col("total_canon").cast("double"), 6).as("canon_share"))
+  }
+
   /** Budget-constrained mixture materialization — the step after
     * [[domainMix]] decides the weights: actually PICK the documents.
     * A token budget of 2/5 of the corpus is split evenly across
