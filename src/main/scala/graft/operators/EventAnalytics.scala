@@ -498,9 +498,12 @@ object EventAnalytics {
     * stay under ~2 × 10⁹/√n̄ (far past any fixture SF; at real scale
     * pre-scale counts to thousands). */
   def autocorr(s: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    // materialized once (≤ #days rows): feeds the totals AND the
+    // deviation frame — one events scan, not two.
     val daily = Tables.events(s, dir)
       .groupBy(to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true)
     val stats = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
     val dev = daily.crossJoin(broadcast(stats))
       .select(col("d"), (col("n") * col("x") - col("sx")).as("dv"))
@@ -534,9 +537,12 @@ object EventAnalytics {
     * the median is the LOWER order statistic at rank (m+1) div 2 — a
     * selection, not an average, so no fractional midpoint exists. */
   def theilSen(s: SparkSession, dir: String): DataFrame = {
+    // materialized once (≤ #days rows): feeds the pair join twice plus
+    // the n_days count — one events scan, not four.
     val daily = Tables.events(s, dir)
       .groupBy(to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true)
     val idx = daily.select(
       row_number().over(Window.orderBy(col("d"))).cast("long").as("i"),
       col("x"))

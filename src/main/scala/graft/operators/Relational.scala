@@ -1873,9 +1873,13 @@ object Relational {
     * fence compares 10000·|x−med| > 44478·MAD, the 3·1.4826 constant
     * pre-scaled to an exact integer — zero float ops anywhere. */
   def stat22MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    // materialized once (domain-sized — distinct cents values): the
+    // histogram feeds four subtrees (total, median, MAD re-key, fence
+    // count); without the checkpoint each would re-scan events.
     val hist = Tables.events(s, dir)
       .select(round(col("value") * 100).cast("long").as("vc"))
       .groupBy(col("vc")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val tot = hist.agg(sum(col("c")).as("n"))
     val cumW = Window.orderBy(col("vc"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

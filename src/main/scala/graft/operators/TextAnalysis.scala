@@ -640,10 +640,16 @@ object TextAnalysis {
     * canonical flag rides back on a doc_id-keyed join; both per-source
     * rollups share one partitioning on source. */
   def dedupAwareMix(s: SparkSession, dir: String): DataFrame = {
+    // tokenize + digest ONCE: the narrow (id, source, n_tok, h) frame
+    // feeds three subtrees (canonical selection + both rollups);
+    // without the checkpoint each re-scans and re-tokenizes documents.
+    // ~50 bytes/row materialized vs 3 full text passes — the same
+    // reuse-the-intermediate call minhashLsh makes.
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tok"),
         md5(col("text").cast("binary")).as("h"))
+      .localCheckpoint(true)
     val canonIds = d.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val raw = d.groupBy(col("source"))

@@ -363,4 +363,33 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(mainPath).size === 1,
       p)
   }
+
+  test("link prediction: wedge candidates via equi-join, never cartesian") {
+    val p = plan(Graphs.linkPredict(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("containment: shingle-keyed postings equi-join, never cartesian") {
+    val p = plan(Dedup.containmentPairs(Fixtures.mutantSlice(spark, sf)))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("knn: query side broadcasts; rank filter plans through TopKPerKey") {
+    val p = plan(Similarity.knnClassify(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"query side must broadcast:\n$p")
+    assert(p.contains("TopKPerKey (partial)"),
+      s"per-query top-k must heap, not sort:\n$p")
+    assert(!p.contains("Sort "), p)
+  }
+
+  test("mad outliers: one events scan feeding the checkpointed histogram") {
+    val p = plan(Relational.stat22MadOutliers(spark, sf))
+    // every downstream branch reads the materialized histogram, so the
+    // executed plan contains NO parquet scan of events at all
+    assert(!p.contains("FileScan parquet"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
 }
