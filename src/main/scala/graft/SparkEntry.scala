@@ -351,6 +351,11 @@ object SparkEntry {
     "graph_assortativity" -> (Graphs.assortativity(_, _)),
     "ml14_confusion"    -> (Profiling.confusion(_, _)),
     "mix6_dedup_weights" -> (TextAnalysis.dedupAwareMix(_, _)),
+    "ev13_streaks"      -> (EventAnalytics.streaks(_, _)),
+    "ts5_runs_test"     -> (EventAnalytics.runsTest(_, _)),
+    "stat23_benford"    -> (Relational.stat23Benford(_, _)),
+    "tok5_coverage_curve" -> (TextAnalysis.coverageCurve(_, _)),
+    "ml15_lift"         -> (Profiling.liftDeciles(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3839,6 +3844,114 @@ object SparkEntry {
         round(CAST(tok_canon AS DOUBLE) / CAST(total_canon AS DOUBLE), 6)
           AS canon_share
       FROM raw r JOIN cn ON r.source = cn.source CROSS JOIN t""",
+    // Gaps-and-islands streaks (operators.EventAnalytics.streaks):
+    // island key = epoch-day - per-user row_number.
+    "ev13_streaks" -> raw"""
+      WITH dd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                  FROM events),
+      i AS (SELECT user_id, d,
+          CAST(d - DATE '1970-01-01' AS BIGINT) -
+          CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+            AS BIGINT) AS grp
+        FROM dd),
+      st AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+          min(d) AS start FROM i GROUP BY 1, 2),
+      r AS (SELECT user_id, len, start,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY len DESC, start ASC) AS rk,
+          CAST(sum(len) OVER (PARTITION BY user_id) AS BIGINT)
+            AS n_active_days
+        FROM st)
+      SELECT user_id, n_active_days, len AS max_streak,
+        strftime(start, '%Y-%m-%d') AS streak_start
+      FROM r WHERE rk = 1""",
+    // Wald-Wolfowitz runs test (operators.EventAnalytics.runsTest):
+    // lower-median split, exact run/sign counts, fixed IEEE z chain.
+    "ts5_runs_test" -> raw"""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+          CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+      nn2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+      medt AS (SELECT x AS med FROM
+        (SELECT x, d, row_number() OVER (ORDER BY x, d) AS rk
+         FROM daily) tt, nn2
+        WHERE rk = (n + 1) // 2),
+      signs AS (SELECT d, CASE WHEN x > med THEN 1 ELSE 0 END AS s
+                FROM daily, medt WHERE x <> med),
+      l AS (SELECT s, lag(s) OVER (ORDER BY d) AS prev FROM signs),
+      a AS (SELECT
+          CAST(sum(CASE WHEN prev IS NULL OR prev <> s THEN 1 ELSE 0 END)
+            AS BIGINT) AS runs,
+          CAST(sum(s) AS BIGINT) AS n1,
+          CAST(sum(1 - s) AS BIGINT) AS n2
+        FROM l)
+      SELECT runs, n1, n2,
+        round(1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) /
+          (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)), 6) AS expected_runs,
+        round((CAST(runs AS DOUBLE) -
+          (1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) /
+            (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))) /
+          sqrt((2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) *
+              (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) -
+                CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))) /
+            ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) *
+              (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) *
+              (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))), 6) AS z
+      FROM a""",
+    // Benford first-digit audit (operators.Relational.stat23Benford):
+    // the reference probs are the SAME build-time integer literals.
+    "stat23_benford" -> raw"""
+      WITH vcs AS (SELECT CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events WHERE CAST(round(value * 100) AS BIGINT) > 0),
+      obs AS (SELECT CAST(substr(CAST(vc AS VARCHAR), 1, 1) AS BIGINT)
+            AS digit, CAST(count(*) AS BIGINT) AS n_obs
+        FROM vcs GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+      ref AS (SELECT * FROM (VALUES
+          ${Relational.BenfordMicros.zipWithIndex.map { case (p, i) =>
+            s"(${i + 1}, ${p})" }.mkString(", ")})
+        AS t(digit, benford_micros))
+      SELECT o.digit, o.n_obs,
+        CAST(round(1e6 * CAST(n_obs AS DOUBLE) / n) AS BIGINT)
+          AS freq_micros,
+        CAST(benford_micros AS BIGINT) AS benford_micros,
+        CAST(round(1e6 * CAST(n_obs AS DOUBLE) / n) AS BIGINT) -
+          CAST(benford_micros AS BIGINT) AS dev_micros
+      FROM obs o CROSS JOIN tot JOIN ref ON ref.digit = o.digit""",
+    // Vocabulary coverage curve (operators.TextAnalysis.coverageCurve).
+    "tok5_coverage_curve" -> raw"""
+      WITH f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(list_filter(
+            string_split_regex(lower(text), '\s+'),
+            t -> len(t) > 0)) AS tok FROM documents)
+        GROUP BY tok),
+      r AS (SELECT freq,
+          CAST(row_number() OVER (ORDER BY freq DESC, tok ASC) AS BIGINT)
+            AS rk,
+          CAST(sum(freq) OVER (ORDER BY freq DESC, tok ASC) AS BIGINT)
+            AS cum
+        FROM f),
+      t AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM f)
+      SELECT rk AS vocab_size, cum AS cum_tokens, total AS total_tokens,
+        CAST(round(1e6 * CAST(cum AS DOUBLE) / total) AS BIGINT)
+          AS coverage_micros
+      FROM r, t WHERE rk % 5 = 0 AND rk <= 50""",
+    // Decile lift table (operators.Profiling.liftDeciles): ntile over
+    // the (score desc, vec_id) total order; exact integer floor-divided
+    // rate and lift.
+    "ml15_lift" -> raw"""
+      WITH sc AS (SELECT ($embScoreSql) AS sm,
+          CAST(label % 2 AS BIGINT) AS y, vec_id FROM embeddings),
+      d AS (SELECT CAST(ntile(10) OVER (ORDER BY sm DESC, vec_id ASC)
+          AS BIGINT) AS decile, y FROM sc),
+      cells AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(y) AS BIGINT) AS n_pos FROM d GROUP BY 1),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+          CAST(sum(n_pos) AS BIGINT) AS pos_tot FROM cells)
+      SELECT decile, n, n_pos,
+        CAST((1000000 * n_pos) // n AS BIGINT) AS rate_micros,
+        CAST((1000000 * n_pos * n_tot) // (n * pos_tot) AS BIGINT)
+          AS lift_micros
+      FROM cells, t""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -497,13 +497,18 @@ object EventAnalytics {
     * bounded by (n·max_day)² · n — overflow-safe while daily counts
     * stay under ~2 × 10⁹/√n̄ (far past any fixture SF; at real scale
     * pre-scale counts to thousands). */
-  def autocorr(s: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
-    // materialized once (≤ #days rows): feeds the totals AND the
-    // deviation frame — one events scan, not two.
-    val daily = Tables.events(s, dir)
+  /** The daily event-count series — the shared data-sized stage of
+    * every ts-family operator (ts3/ts4/ts5): one word-count-shaped
+    * aggregation to ≤ #days rows, materialized once because every
+    * consumer reads it from several subtrees. */
+  private def dailyCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
       .groupBy(to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("x"))
       .localCheckpoint(true)
+
+  def autocorr(s: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    val daily = dailyCounts(s, dir)
     val stats = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
     val dev = daily.crossJoin(broadcast(stats))
       .select(col("d"), (col("n") * col("x") - col("sx")).as("dv"))
@@ -537,12 +542,7 @@ object EventAnalytics {
     * the median is the LOWER order statistic at rank (m+1) div 2 — a
     * selection, not an average, so no fractional midpoint exists. */
   def theilSen(s: SparkSession, dir: String): DataFrame = {
-    // materialized once (≤ #days rows): feeds the pair join twice plus
-    // the n_days count — one events scan, not four.
-    val daily = Tables.events(s, dir)
-      .groupBy(to_date(col("ts")).as("d"))
-      .agg(count(lit(1)).as("x"))
-      .localCheckpoint(true)
+    val daily = dailyCounts(s, dir)
     val idx = daily.select(
       row_number().over(Window.orderBy(col("d"))).cast("long").as("i"),
       col("x"))
@@ -558,5 +558,67 @@ object EventAnalytics {
       .filter(col("rk") === expr("(m + 1) div 2"))
       .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
       .select(col("n_days"), col("m").as("n_pairs"), col("slope_micros"))
+  }
+
+  /** Longest per-user daily-activity streak — gaps-and-islands: after
+    * one distinct (user, day) aggregation, consecutive days share an
+    * island key (epoch-day − per-user row_number), so each streak is
+    * one group. Emits each user's active-day count, longest streak,
+    * and that streak's start (earliest start wins ties).
+    *
+    * Scale shape: the distinct and every window/aggregation after it
+    * share ONE hash partitioning on user_id — a single shuffle of
+    * (user, date) pairs, bounded by users × days, not events. */
+  def streaks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val islands = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .withColumn("grp",
+        datediff(col("d"), lit("1970-01-01").cast("date")).cast("long") -
+          row_number().over(w).cast("long"))
+    val st = islands.groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("d")).as("start"))
+    st
+      .withColumn("n_active_days",
+        sum(col("len")).over(Window.partitionBy(col("user_id"))))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("len").desc, col("start").asc)))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("n_active_days"),
+        col("len").as("max_streak"),
+        date_format(col("start"), "yyyy-MM-dd").as("streak_start"))
+  }
+
+  /** Wald–Wolfowitz runs test on the daily series: is the
+    * above/below-median sign sequence random, or does the pipeline
+    * have regime drift? Signs split at the LOWER median (ties on the
+    * median excluded, the standard treatment); the run count, n₁, n₂
+    * are exact integers and the z-score is a fixed IEEE chain over
+    * them, mirrored verbatim by the oracle. All post-aggregation work
+    * is on the ≤ #days model frame. */
+  def runsTest(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCounts(s, dir)
+    val med = daily
+      .withColumn("rk", row_number().over(Window.orderBy(col("x"), col("d"))))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n"))))
+      .filter(col("rk") === expr("(n + 1) div 2"))
+      .select(col("x").as("med"))
+    val signs = daily.crossJoin(broadcast(med))
+      .filter(col("x") =!= col("med"))
+      .select(col("d"), (col("x") > col("med")).cast("long").as("s"))
+    val runsCol = signs
+      .withColumn("prev", lag(col("s"), 1).over(Window.orderBy(col("d"))))
+      .agg(
+        (sum(when(col("prev").isNull || col("prev") =!= col("s"), 1L)
+          .otherwise(0L))).as("runs"),
+        sum(col("s")).as("n1"),
+        sum(lit(1L) - col("s")).as("n2"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val mu = lit(1.0) + lit(2.0) * n1 * n2 / (n1 + n2)
+    val va = (lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2)) /
+      ((n1 + n2) * (n1 + n2) * (n1 + n2 - lit(1.0)))
+    runsCol.select(col("runs"), col("n1"), col("n2"),
+      round(mu, 6).as("expected_runs"),
+      round((col("runs").cast("double") - mu) / sqrt(va), 6).as("z"))
   }
 }

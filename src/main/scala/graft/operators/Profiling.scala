@@ -356,4 +356,35 @@ object Profiling {
         (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"), 6)
         .as("accuracy"))
   }
+
+  /** Decile lift table for the shared embedding classifier: rank by
+    * score (vec_id tiebreak — a total order, so ntile is
+    * deterministic), 10 equal buckets, per-decile positive rate and
+    * lift vs the base rate. The campaign-targeting eval: "how much
+    * better than random is the top 10%?"
+    *
+    * Exactness: lift = (n_pos·N)/(n·N_pos) is rational — emitted as an
+    * exact integer floor division in micros (bounded: 10⁶·n_pos·N
+    * needs n_pos·N < 9·10¹² — pre-divide at planet scale), same for
+    * the rate. The decile shuffle moves (score, label) longs only. */
+  def liftDeciles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val score = (0 until 8)
+      .map(k => round(col("embedding")(k).cast("double") * 1e6).cast("long"))
+      .reduce(_ + _)
+    val dec = Tables.embeddings(s, dir)
+      .select(score.as("sm"), (col("label") % 2).cast("long").as("y"),
+        col("vec_id"))
+      .withColumn("decile", ntile(10).over(Window.partitionBy(lit(1))
+        .orderBy(col("sm").desc, col("vec_id").asc)).cast("long"))
+    val cells = dec.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    cells
+      .crossJoin(broadcast(cells.agg(sum(col("n")).as("n_tot"),
+        sum(col("n_pos")).as("pos_tot"))))
+      .select(col("decile"), col("n"), col("n_pos"),
+        expr("(1000000 * n_pos) div n").as("rate_micros"),
+        expr("(1000000 * n_pos * n_tot) div (n * pos_tot)")
+          .as("lift_micros"))
+  }
 }

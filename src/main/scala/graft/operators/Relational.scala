@@ -1902,4 +1902,41 @@ object Relational {
         sum(when(abs(col("vc") - col("med")) * 10000 >
           col("mad") * 44478, col("c")).otherwise(0L)).as("n_outliers"))
   }
+
+  /** Benford first-digit reference probabilities, micro-quantized from
+    * log₁₀(1 + 1/d) ONCE at build time — the same integer literals are
+    * interpolated into the DuckDB oracle, so no runtime log appears in
+    * either engine. */
+  val BenfordMicros: Seq[Long] =
+    Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+
+  /** Benford's-law audit of `events.value`: observed first-significant-
+    * digit frequencies vs the log₁₀(1+1/d) reference — the classic
+    * fabricated-numbers screen for an ingested fact column. (A bounded
+    * uniform-ish value column SHOULD deviate — the deviation row is the
+    * signal either way.)
+    *
+    * Scale shape: one narrow scan → 9-cell aggregation with map-side
+    * partials; reference probs join as a 9-row broadcast literal
+    * frame. Determinism: counts are exact; the single micro-rounded
+    * divide per digit is the shared oov_rate pattern. */
+  def stat23Benford(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(s, dir)
+      .select(round(col("value") * 100).cast("long").as("vc"))
+      .filter(col("vc") > 0)
+      .select(substring(col("vc").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val ref = s.range(1, 10).select(col("id").as("digit"),
+      expr(s"element_at(array(${BenfordMicros.mkString("L, ")}L), " +
+        "cast(id as int))").as("benford_micros"))
+    obs.crossJoin(broadcast(obs.agg(sum(col("n_obs")).as("n"))))
+      .join(broadcast(ref), Seq("digit"))
+      .select(col("digit"), col("n_obs"),
+        round(lit(1e6) * col("n_obs").cast("double") / col("n"))
+          .cast("long").as("freq_micros"),
+        col("benford_micros"))
+      .withColumn("dev_micros", col("freq_micros") - col("benford_micros"))
+  }
 }

@@ -1165,6 +1165,37 @@ object TextAnalysis {
           .otherwise(lit(null).cast("long")))
   }
 
+  /** Vocabulary coverage curve: what fraction of all corpus token
+    * OCCURRENCES a top-k frequency vocabulary covers, sampled every
+    * `step` ranks up to `maxK` — the sizing curve a tokenizer budget
+    * decision reads (the [[oovRate]] integral, one row per candidate
+    * cutoff instead of one fixed cutoff). Defaults fit the fixture's
+    * 31-token synthetic vocabulary; a real corpus would sample
+    * hundreds-of-thousands-of-ranks with the same plan.
+    *
+    * Scale shape: one data-sized token-count aggregation; the rank
+    * window and cumulative sum run on the vocab-sized frame (corpus
+    * vocabulary ≪ corpus — the same bound oovRate's top-k selection
+    * rides). Exact integer counts; one micro-rounded divide per row. */
+  def coverageCurve(s: SparkSession, dir: String, step: Int = 5,
+                    maxK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freqs = Tables.documents(s, dir)
+      .select(explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val rankW = Window.partitionBy(lit(1))
+      .orderBy(col("freq").desc, col("tok").asc)
+    val cum = freqs
+      .withColumn("rk", row_number().over(rankW).cast("long"))
+      .withColumn("cum", sum(col("freq")).over(rankW))
+    cum.filter(col("rk") % step === 0 && col("rk") <= maxK)
+      .crossJoin(broadcast(freqs.agg(sum(col("freq")).as("total"))))
+      .select(col("rk").as("vocab_size"), col("cum").as("cum_tokens"),
+        col("total").as("total_tokens"),
+        round(lit(1e6) * col("cum").cast("double") / col("total"))
+          .cast("long").as("coverage_micros"))
+  }
+
   /** Zipf-law fit over the top-`topK` corpus tokens: OLS of
     * ln(freq) on ln(rank) — a natural-language corpus sits near slope
     * −1; a slope far off flags boilerplate floods or synthetic spam
