@@ -356,6 +356,10 @@ object SparkEntry {
     "stat23_benford"    -> (Relational.stat23Benford(_, _)),
     "tok5_coverage_curve" -> (TextAnalysis.coverageCurve(_, _)),
     "ml15_lift"         -> (Profiling.liftDeciles(_, _)),
+    "ev14_seasonality"  -> (EventAnalytics.seasonality(_, _)),
+    "ev15_gaps"         -> (EventAnalytics.interEventGaps(_, _)),
+    "text_burstiness"   -> (TextAnalysis.burstiness(_, _)),
+    "j7_interval_overlap" -> (Relational.j7IntervalOverlap(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3952,6 +3956,84 @@ object SparkEntry {
         CAST((1000000 * n_pos * n_tot) // (n * pos_tot) AS BIGINT)
           AS lift_micros
       FROM cells, t""",
+    // Hour-of-week chi-square profile
+    // (operators.EventAnalytics.seasonality). DuckDB dayofweek is
+    // 0-based Sunday; Spark is 1-based — the +1 bridges.
+    "ev14_seasonality" -> raw"""
+      WITH obs AS (SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+          CAST(hour(ts) AS BIGINT) AS hr, CAST(count(*) AS BIGINT) AS obs
+        FROM events GROUP BY 1, 2),
+      grid AS (SELECT CAST(dd.d AS BIGINT) AS dow, CAST(hh.h AS BIGINT) AS hr
+        FROM (SELECT unnest(range(1, 8)) AS d) dd,
+             (SELECT unnest(range(0, 24)) AS h) hh),
+      fullg AS (SELECT g.dow, g.hr,
+          CAST(coalesce(o.obs, 0) AS BIGINT) AS obs
+        FROM grid g LEFT JOIN obs o ON o.dow = g.dow AND o.hr = g.hr),
+      tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM fullg),
+      dv AS (SELECT CAST(sum((168 * obs - n) * (168 * obs - n))
+          AS BIGINT) AS devsq FROM fullg, tot)
+      SELECT dow, hr, obs,
+        CAST(round(1e6 * CAST(devsq AS DOUBLE) /
+          (168.0 * CAST(n AS DOUBLE))) AS BIGINT) AS chi2_micros
+      FROM fullg, tot, dv""",
+    // Inter-event gap quantiles per type
+    // (operators.EventAnalytics.interEventGaps).
+    "ev15_gaps" -> raw"""
+      WITH g AS (SELECT event_type,
+          epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+            AS gap_us
+        FROM events)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        round(quantile_cont(gap_us, 0.5) / 1e6, 4) AS p50_s,
+        round(quantile_cont(gap_us, 0.9) / 1e6, 4) AS p90_s,
+        round(CAST(max(gap_us) AS DOUBLE) / 1e6, 4) AS max_s
+      FROM g WHERE gap_us IS NOT NULL GROUP BY 1""",
+    // Token burstiness / variance-to-mean over all docs
+    // (operators.TextAnalysis.burstiness).
+    "text_burstiness" -> raw"""
+      WITH pd AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '\s+'),
+            t -> len(t) > 0)) AS tok FROM documents)
+        GROUP BY 1, 2),
+      pt AS (SELECT tok, CAST(count(*) AS BIGINT) AS df,
+          CAST(sum(c) AS BIGINT) AS total,
+          CAST(sum(c * c) AS BIGINT) AS sumsq FROM pd GROUP BY 1),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      r AS (SELECT *, row_number() OVER (ORDER BY total DESC, tok ASC)
+          AS rk FROM pt)
+      SELECT tok, df, total,
+        CAST(round(1e6 *
+          CAST(n_docs * sumsq - total * total AS DOUBLE) /
+          CAST(n_docs * total AS DOUBLE)) AS BIGINT) AS vmr_micros
+      FROM r, nn WHERE rk <= 20""",
+    // Interval-overlap join (operators.Relational.j7IntervalOverlap):
+    // the oracle verifies the bucketed plan against the DIRECT overlap
+    // predicate — equivalence proves the hour-grid expansion lossless.
+    "j7_interval_overlap" -> raw"""
+      WITH o AS (SELECT user_id, ts, event_id,
+          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+            THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      se AS (SELECT user_id,
+          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_id,
+          epoch_us(ts) AS us FROM o),
+      sess AS (SELECT user_id, session_id, min(us) AS s_lo,
+          max(us) AS s_hi FROM se GROUP BY 1, 2),
+      promos AS (SELECT CAST(d - DATE '1970-01-01' AS BIGINT) AS promo_id,
+          epoch_us(CAST(d AS TIMESTAMP)) + 9 * 3600000000 AS p_lo,
+          epoch_us(CAST(d AS TIMESTAMP)) + 15 * 3600000000 AS p_hi
+        FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)),
+      pairs AS (SELECT DISTINCT s.user_id, s.session_id, p.promo_id
+        FROM sess s JOIN promos p
+        ON s.s_lo < p.p_hi AND p.p_lo <= s.s_hi)
+      SELECT promo_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM pairs GROUP BY 1""",
   )
 
   // ---- shared DuckDB oracle fragments ----

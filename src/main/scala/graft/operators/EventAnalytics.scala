@@ -621,4 +621,63 @@ object EventAnalytics {
       round(mu, 6).as("expected_runs"),
       round((col("runs").cast("double") - mu) / sqrt(va), 6).as("z"))
   }
+
+  /** Hour-of-week seasonality profile + χ² uniformity: event counts
+    * over the full 7×24 grid (absent cells materialize as ZERO rows —
+    * dropping them silently biases the χ² toward uniform) with the
+    * chi-square statistic against the flat profile.
+    *
+    * Scale shape: one 168-cell aggregation with map-side partials; the
+    * grid is a 168-row broadcast built engine-side (spark.range cross).
+    * Exactness: χ² = Σ(168·obs − n)² / (168·n) — the numerator is an
+    * exact integer sum (the n/168 expected value never materializes as
+    * a fraction), one micro-rounded divide at the end. */
+  def seasonality(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(s, dir)
+      .select(dayofweek(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"))
+      .groupBy(col("dow"), col("hr")).agg(count(lit(1)).as("obs"))
+    val grid = s.range(1, 8).select(col("id").as("dow"))
+      .crossJoin(s.range(0, 24).select(col("id").as("hr")))
+    val full = grid.join(obs, Seq("dow", "hr"), "left")
+      .select(col("dow"), col("hr"),
+        coalesce(col("obs"), lit(0L)).as("obs"))
+      .localCheckpoint(true) // 168 rows; feeds totals + devs + output
+    val tot = full.agg(sum(col("obs")).as("n"))
+    val devs = full.crossJoin(broadcast(tot))
+      .select((lit(168L) * col("obs") - col("n")).as("dev"))
+      .agg(sum(col("dev") * col("dev")).as("devsq"))
+    full.crossJoin(broadcast(tot)).crossJoin(broadcast(devs))
+      .select(col("dow"), col("hr"), col("obs"),
+        round(lit(1e6) * col("devsq").cast("double") /
+          (lit(168.0) * col("n").cast("double"))).cast("long")
+          .as("chi2_micros"))
+  }
+
+  /** Inter-event gap distribution per event type: for each user's
+    * consecutive events OF THAT TYPE, the gap in seconds — then p50 /
+    * p90 / max per type. The arrival-process profile that separates
+    * organic traffic (heavy-tailed gaps) from scripted traffic
+    * (metronome gaps).
+    *
+    * Scale shape: one shuffle partitions (user, type) streams for the
+    * lag; the percentile aggregation reuses the exact-sort form
+    * (stat1's contract — at 100 TB swap in percentile_approx partials,
+    * same plan otherwise). Gap micros are exact longs; the two
+    * interpolated quantiles and the /1e6 rescale are the only IEEE
+    * ops, 4dp-rounded like stat1. */
+  def interEventGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap_us, 0.5)") / 1e6, 4).as("p50_s"),
+        round(expr("percentile(gap_us, 0.9)") / 1e6, 4).as("p90_s"),
+        round(max(col("gap_us")).cast("double") / 1e6, 4).as("max_s"))
+  }
 }

@@ -1903,6 +1903,56 @@ object Relational {
           col("mad") * 44478, col("c")).otherwise(0L)).as("n_outliers"))
   }
 
+  /** Interval-OVERLAP join: user sessions (intervals derived by the
+    * w5 sessionizer) against daily promo windows (09:00–15:00 UTC,
+    * derived deterministically from the active dates) — "how many
+    * sessions touched each promo window", where BOTH sides are
+    * intervals, not points (rj1/rj2 cover the point-in-interval case).
+    *
+    * Scale shape: the classic grid-bucket expansion — each interval
+    * explodes to its covered hour buckets, candidates come from an
+    * hour-keyed EQUI-join (cost Σ_bucket |s||p| per bucket, never a
+    * cross product), the exact overlap predicate then filters and the
+    * (session, promo) pair distinct-s before counting. Lossless: an
+    * overlapping pair always shares at least one hour bucket. Session
+    * intervals are closed, promo windows half-open [lo, hi). */
+  def j7IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val prevUs = lag(unix_micros(col("ts")), 1).over(byUser)
+    val sessions = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("new_sess", when(prevUs.isNull ||
+        unix_micros(col("ts")) - prevUs >= 30L * 60L * 1000000L, 1L)
+        .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(unix_micros(col("ts"))).as("s_lo"),
+        max(unix_micros(col("ts"))).as("s_hi"))
+    val promos = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("d")).distinct()
+      .select(datediff(col("d"), lit("1970-01-01").cast("date"))
+        .cast("long").as("promo_id"),
+        unix_micros(col("d").cast("timestamp")).as("day_us"))
+      .select(col("promo_id"),
+        (col("day_us") + 9L * hourUs).as("p_lo"),
+        (col("day_us") + 15L * hourUs).as("p_hi"))
+    val sB = sessions.withColumn("bucket", explode(sequence(
+      (col("s_lo") / hourUs).cast("long"),
+      (col("s_hi") / hourUs).cast("long"))))
+    val pB = promos.withColumn("bucket", explode(sequence(
+      (col("p_lo") / hourUs).cast("long"),
+      ((col("p_hi") - 1L) / hourUs).cast("long"))))
+    sB.join(pB, Seq("bucket"))
+      .filter(col("s_lo") < col("p_hi") && col("p_lo") <= col("s_hi"))
+      .select(col("user_id"), col("session_id"), col("promo_id")).distinct()
+      .groupBy(col("promo_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Benford first-digit reference probabilities, micro-quantized from
     * log₁₀(1 + 1/d) ONCE at build time — the same integer literals are
     * interpolated into the DuckDB oracle, so no runtime log appears in

@@ -1196,6 +1196,40 @@ object TextAnalysis {
           .cast("long").as("coverage_micros"))
   }
 
+  /** Token BURSTINESS: the variance-to-mean ratio of each token's
+    * per-document count over ALL documents (zeros included — that is
+    * the point: topical tokens concentrate in few docs, function words
+    * spread evenly). VMR ≈ 1 is Poisson/function-word; VMR ≫ 1 is
+    * bursty/topical — the signal that separates content terms from
+    * glue for stopword lists and keyword extraction.
+    *
+    * Scale shape: one (token, doc) count aggregation, one token-level
+    * rollup, and the top-20 rank filter plans through the TopKPerKey
+    * heap. Zero-count docs never materialize: VMR derives from N, Σc,
+    * Σc² alone — VMR = (N·Σc² − (Σc)²) / (N·Σc), exact integers with
+    * one micro-rounded divide. */
+  def burstiness(s: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val perTok = perDoc.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("total"),
+        sum(col("c") * col("c")).as("sumsq"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    perTok
+      .withColumn("rk", row_number().over(Window.partitionBy(lit(1))
+        .orderBy(col("total").desc, col("tok").asc)))
+      .filter(col("rk") <= topK)
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok"), col("df"), col("total"),
+        round(lit(1e6) *
+          (col("n_docs") * col("sumsq") - col("total") * col("total"))
+            .cast("double") /
+          (col("n_docs") * col("total")).cast("double")).cast("long")
+          .as("vmr_micros"))
+  }
+
   /** Zipf-law fit over the top-`topK` corpus tokens: OLS of
     * ln(freq) on ln(rank) — a natural-language corpus sits near slope
     * −1; a slope far off flags boilerplate floods or synthetic spam
