@@ -360,6 +360,9 @@ object SparkEntry {
     "ev15_gaps"         -> (EventAnalytics.interEventGaps(_, _)),
     "text_burstiness"   -> (TextAnalysis.burstiness(_, _)),
     "j7_interval_overlap" -> (Relational.j7IntervalOverlap(_, _)),
+    "ts6_cusum"         -> (EventAnalytics.cusum(_, _)),
+    "prof4_freq_items"  -> (Profiling.freqItems(_, _)),
+    "ml16_dim_drift"    -> (Profiling.dimDrift(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4034,6 +4037,80 @@ object SparkEntry {
       SELECT promo_id, CAST(count(*) AS BIGINT) AS n_sessions,
         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       FROM pairs GROUP BY 1""",
+    // CUSUM change-point scan (operators.EventAnalytics.cusum):
+    // integer-scaled deviations, recursion replayed as a recursive CTE.
+    "ts6_cusum" -> raw"""
+      WITH RECURSIVE daily AS (SELECT CAST(ts AS DATE) AS d,
+          CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx FROM daily),
+      idx AS (SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+          d, x FROM daily),
+      c AS (
+        SELECT i, d, x, greatest(CAST(0 AS BIGINT), n * x - sx) AS cusum
+        FROM idx CROSS JOIN st WHERE i = 1
+        UNION ALL
+        SELECT idx.i, idx.d, idx.x,
+          greatest(CAST(0 AS BIGINT), c.cusum + st.n * idx.x - st.sx)
+        FROM c JOIN idx ON idx.i = c.i + 1 CROSS JOIN st),
+      m AS (SELECT max(cusum) AS mx FROM c)
+      SELECT strftime(d, '%Y-%m-%d') AS d, x, cusum,
+        CAST(CASE WHEN cusum = mx THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+      FROM c CROSS JOIN m""",
+    // Frequent categorical values, support >= 1%
+    // (operators.Profiling.freqItems).
+    "prof4_freq_items" -> raw"""
+      WITH e AS (SELECT CAST(event_type AS VARCHAR) AS value,
+          CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+      et AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM events),
+      dl AS (SELECT CAST(lang AS VARCHAR) AS value,
+          CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+      ds AS (SELECT CAST(source AS VARCHAR) AS value,
+          CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+      dt AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM documents)
+      SELECT 'events.event_type' AS column_name, value, n,
+        CAST((1000000 * n) // tot AS BIGINT) AS support_micros
+      FROM e, et WHERE n * 100 >= tot
+      UNION ALL SELECT 'documents.lang', value, n,
+        CAST((1000000 * n) // tot AS BIGINT)
+      FROM dl, dt WHERE n * 100 >= tot
+      UNION ALL SELECT 'documents.source', value, n,
+        CAST((1000000 * n) // tot AS BIGINT)
+      FROM ds, dt WHERE n * 100 >= tot""",
+    // Per-dimension smoothed PSI between label groups
+    // (operators.Profiling.dimDrift) — prof3's term math per dim.
+    "ml16_dim_drift" -> raw"""
+      WITH rows0 AS (
+        SELECT dim, least(greatest(CAST(floor(
+            (CAST(embedding[dim + 1] AS DOUBLE) + 0.5) * 10) AS BIGINT),
+            0), 9) AS bin,
+          (label % 2 = 0) AS is_ref
+        FROM embeddings, (SELECT unnest(range(0, 8)) AS dim)),
+      cells AS (SELECT CAST(dim AS BIGINT) AS dim, bin,
+          CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+          CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_cur
+        FROM rows0 GROUP BY 1, 2),
+      t AS (SELECT *,
+          CAST(sum(n_ref) OVER (PARTITION BY dim) AS BIGINT) AS tot_ref,
+          CAST(sum(n_cur) OVER (PARTITION BY dim) AS BIGINT) AS tot_cur,
+          CAST(count(*) OVER (PARTITION BY dim) AS BIGINT) AS k
+        FROM cells),
+      terms AS (SELECT dim, n_ref, n_cur,
+          CAST(round(1e6 *
+            ((CAST(n_ref AS DOUBLE) + 0.5) /
+              (CAST(tot_ref AS DOUBLE) + 0.5 * k) -
+             (CAST(n_cur AS DOUBLE) + 0.5) /
+              (CAST(tot_cur AS DOUBLE) + 0.5 * k)) *
+            ln(((CAST(n_ref AS DOUBLE) + 0.5) /
+              (CAST(tot_ref AS DOUBLE) + 0.5 * k)) /
+              ((CAST(n_cur AS DOUBLE) + 0.5) /
+              (CAST(tot_cur AS DOUBLE) + 0.5 * k)))) AS BIGINT) AS term
+        FROM t)
+      SELECT dim, CAST(sum(n_ref) AS BIGINT) AS n_ref,
+        CAST(sum(n_cur) AS BIGINT) AS n_cur,
+        CAST(sum(term) AS BIGINT) AS psi_micronats
+      FROM terms GROUP BY 1""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -654,6 +654,38 @@ object EventAnalytics {
           .as("chi2_micros"))
   }
 
+  /** CUSUM change-point scan over the daily series: Sₜ = max(0,
+    * Sₜ₋₁ + devₜ) with integer-scaled deviations devₜ = n·xₜ − Σx (the
+    * mean never materializes as a fraction) — the standard
+    * drift-onset detector; the peak day flags where the level shift
+    * concentrates.
+    *
+    * Scale shape: the data-sized stage is the shared dailyCounts
+    * aggregation; the inherently-sequential recursion runs on the
+    * collected ≤ #days model (the mmrSelect convention — model-sized
+    * collects only, never data). Every step is exact integer
+    * arithmetic; the DuckDB oracle replays the recursion as a
+    * recursive CTE bit-for-bit. */
+  def cusum(s: SparkSession, dir: String): DataFrame = {
+    // dates collect as ISO strings: a DateType row can't decode off the
+    // checkpointed frame (EXPRESSION_DECODING_FAILED), and the output
+    // emits strings anyway
+    val rows = dailyCounts(s, dir)
+      .select(date_format(col("d"), "yyyy-MM-dd").as("d"), col("x"))
+      .orderBy(col("d")).collect()
+    val n = rows.length.toLong
+    val sx = rows.map(_.getLong(1)).sum
+    var acc = 0L
+    val out = rows.map { r =>
+      acc = math.max(0L, acc + n * r.getLong(1) - sx)
+      (r.getString(0), r.getLong(1), acc)
+    }.toSeq
+    val mx = out.map(_._3).max
+    import s.implicits._
+    out.toDF("d", "x", "cusum")
+      .withColumn("is_peak", (col("cusum") === lit(mx)).cast("long"))
+  }
+
   /** Inter-event gap distribution per event type: for each user's
     * consecutive events OF THAT TYPE, the gap in seconds — then p50 /
     * p90 / max per type. The arrival-process profile that separates

@@ -357,6 +357,66 @@ object Profiling {
         .as("accuracy"))
   }
 
+  /** Frequent categorical values across the lake's low-cardinality
+    * columns (support ≥ 1%) — the profile row a catalog page shows per
+    * column. Exact counting (these columns are genuinely
+    * low-cardinality; for an unbounded column swap in the Misra–Gries
+    * UDAF the heavy-hitters query already carries). Support is an
+    * exact integer floor division; the ≥1% gate compares 100·n ≥ N in
+    * integers. */
+  def freqItems(s: SparkSession, dir: String): DataFrame = {
+    def top(df: org.apache.spark.sql.DataFrame, c: String,
+            tag: String): org.apache.spark.sql.DataFrame =
+      df.groupBy(col(c).cast("string").as("value"))
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(df.agg(count(lit(1)).as("tot"))))
+        .filter(col("n") * 100L >= col("tot"))
+        .select(lit(tag).as("column_name"), col("value"), col("n"),
+          expr("(1000000 * n) div tot").as("support_micros"))
+    top(Tables.events(s, dir), "event_type", "events.event_type")
+      .unionAll(top(Tables.documents(s, dir), "lang", "documents.lang"))
+      .unionAll(top(Tables.documents(s, dir), "source", "documents.source"))
+  }
+
+  /** Per-dimension PSI drift of the first 8 embedding dims between the
+    * two label groups — feature-level drift (prof3 is
+    * distribution-level): each dim bins into 10 fixed-width cells over
+    * [−0.5, 0.5] (clamped), then the prof3 smoothed-PSI math runs per
+    * dim. A dim with high PSI separates the classes — the same table
+    * doubles as a univariate feature-importance screen.
+    *
+    * Scale shape: the 8-dim explode is row-local; ONE (dim, bin)
+    * aggregation; margins are windows per dim over the ≤80-cell frame.
+    * Same micro-nat term quantization as prof3. */
+  def dimDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+    val rows = (0 until 8).map { k =>
+      e.select(lit(k.toLong).as("dim"),
+        least(greatest(floor((col("embedding")(k).cast("double") +
+          lit(0.5)) * 10).cast("long"), lit(0L)), lit(9L)).as("bin"),
+        (col("label") % 2 === 0).as("is_ref"))
+    }.reduce(_ unionAll _)
+    val cells = rows.groupBy(col("dim"), col("bin")).agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    val perDim = Window.partitionBy(col("dim"))
+    val withTotals = cells
+      .withColumn("tot_ref", sum(col("n_ref")).over(perDim))
+      .withColumn("tot_cur", sum(col("n_cur")).over(perDim))
+      .withColumn("k", count(lit(1)).over(perDim))
+    val p = (col("n_ref").cast("double") + lit(0.5)) /
+      (col("tot_ref").cast("double") + lit(0.5) * col("k"))
+    val q = (col("n_cur").cast("double") + lit(0.5)) /
+      (col("tot_cur").cast("double") + lit(0.5) * col("k"))
+    withTotals
+      .withColumn("term_micronats",
+        round(lit(1e6) * (p - q) * log(p / q)).cast("long"))
+      .groupBy(col("dim"))
+      .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"),
+        sum(col("term_micronats")).as("psi_micronats"))
+  }
+
   /** Decile lift table for the shared embedding classifier: rank by
     * score (vec_id tiebreak — a total order, so ntile is
     * deterministic), 10 equal buckets, per-decile positive rate and

@@ -355,6 +355,56 @@ object EventStreams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class DayTick(user_id: Long, epoch_day: Long)
+  // public: the state encoder's generated code constructs it reflectively
+  case class StreakState(last_day: Long, cur_len: Long, cur_start: Long,
+                         max_len: Long, max_start: Long, n_active: Long)
+  case class StreakOut(user_id: Long, n_active_days: Long,
+                       max_streak: Long, streak_start: Long)
+
+  /** Streaming twin of operators.EventAnalytics.streaks: per-user
+    * longest daily-activity streak maintained as six longs of
+    * ValueState (constant per key — no day set ever materializes).
+    * Day ticks must arrive in per-user nondecreasing order (the same
+    * contract as the sessionizer); repeats of the current day are
+    * no-ops, the next day extends, any jump resets. `max_start` only
+    * moves on a STRICTLY longer streak, so the earliest-start
+    * tie-break matches the batch operator exactly. Emitted in Update
+    * mode; the parity test pins stream-final state == batch. */
+  class StreakProcessor extends StatefulProcessor[Long, DayTick, StreakOut] {
+    @transient private var state: ValueState[StreakState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[StreakState]("streak",
+        Encoders.product[StreakState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[DayTick],
+                                 tv: TimerValues): Iterator[StreakOut] = {
+      var s = if (state.exists()) state.get()
+        else StreakState(Long.MinValue, 0L, 0L, 0L, 0L, 0L)
+      rows.toSeq.sortBy(_.epoch_day).foreach { t =>
+        val d = t.epoch_day
+        if (d != s.last_day) {
+          val (len, start) =
+            if (d == s.last_day + 1) (s.cur_len + 1, s.cur_start)
+            else (1L, d)
+          val (mLen, mStart) =
+            if (len > s.max_len) (len, start) else (s.max_len, s.max_start)
+          s = StreakState(d, len, start, mLen, mStart, s.n_active + 1)
+        }
+      }
+      state.update(s)
+      Iterator.single(StreakOut(user, s.n_active, s.max_len, s.max_start))
+    }
+  }
+
+  def streakStream(ticks: Dataset[DayTick]): Dataset[StreakOut] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.user_id)
+      .transformWithState(new StreakProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   def sessionize(events: Dataset[SessionEvent],
                  gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
     import events.sparkSession.implicits._

@@ -479,4 +479,40 @@ class EventStreamsSpec extends SparkSpec {
         r.getLong(4))).toSet
     assert(streamed === batch)
   }
+
+  test("streaming streaks == batch streaks (stream/batch parity)") {
+    import graft.operators.EventAnalytics
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // per-user nondecreasing day ticks (the processor's contract),
+    // three micro-batches across the fixture's whole time range
+    val ticks = graft.Tables.events(spark, sf)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long"))
+      .as[(Long, Long)].collect().sortBy(_._2)
+      .map(t => EventStreams.DayTick(t._1, t._2))
+    val mem = MemoryStream[EventStreams.DayTick]
+    val q = EventStreams.streakStream(mem.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("streak_parity").start()
+    try {
+      ticks.grouped(math.max(ticks.length / 3, 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // final state = the per-user update with the highest progress
+    val streamed = spark.table("streak_parity")
+      .as[EventStreams.StreakOut].collect()
+      .groupBy(_.user_id).values.map(_.maxBy(o =>
+        (o.n_active_days, o.max_streak))).map(o =>
+        (o.user_id, o.n_active_days, o.max_streak,
+          java.time.LocalDate.ofEpochDay(o.streak_start).toString)).toSet
+    val batch = EventAnalytics.streaks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(streamed === batch)
+  }
 }
