@@ -363,6 +363,9 @@ object SparkEntry {
     "ts6_cusum"         -> (EventAnalytics.cusum(_, _)),
     "prof4_freq_items"  -> (Profiling.freqItems(_, _)),
     "ml16_dim_drift"    -> (Profiling.dimDrift(_, _)),
+    "dedup_prefix_filter" -> ((s, dir) =>
+      Dedup.prefixFilterPairs(Fixtures.mutantSlice(s, dir))),
+    "ev16_lifecycle"    -> (EventAnalytics.lifecycle(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4111,6 +4114,49 @@ object SparkEntry {
         CAST(sum(n_cur) AS BIGINT) AS n_cur,
         CAST(sum(term) AS BIGINT) AS psi_micronats
       FROM terms GROUP BY 1""",
+    // Prefix-filtered Jaccard pairs (operators.Dedup.prefixFilterPairs):
+    // the oracle is the UNFILTERED all-pairs join at the same
+    // threshold, so hash-equality proves the prefix filter lossless.
+    "dedup_prefix_filter" -> raw"""
+      WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 40
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               regexp_replace(text, '^\S+\s*', '') AS text
+        FROM documents WHERE doc_id < 40),
+      d AS (SELECT doc_id,
+          list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0)) AS tset FROM base)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        round(CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE) /
+          len(list_distinct(list_concat(a.tset, b.tset))), 4) AS jaccard
+      FROM d a, d b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE) /
+          len(list_distinct(list_concat(a.tset, b.tset))) >= 0.7""",
+    // Weekly lifecycle transitions (operators.EventAnalytics.lifecycle).
+    "ev16_lifecycle" -> raw"""
+      WITH active AS (SELECT DISTINCT user_id,
+          date_trunc('week', ts) AS wk FROM events),
+      weeks AS (SELECT DISTINCT wk FROM active),
+      first0 AS (SELECT user_id, min(wk) AS first_wk
+                 FROM active GROUP BY 1),
+      grid AS (SELECT f.user_id, w.wk, f.first_wk
+               FROM first0 f JOIN weeks w ON w.wk >= f.first_wk),
+      st AS (SELECT g.user_id, g.wk, g.first_wk,
+          CASE WHEN a.user_id IS NULL THEN 0 ELSE 1 END AS act
+        FROM grid g LEFT JOIN active a
+          ON a.user_id = g.user_id AND a.wk = g.wk),
+      l AS (SELECT *, lag(act) OVER (PARTITION BY user_id ORDER BY wk)
+          AS prev_act FROM st)
+      SELECT strftime(wk, '%Y-%m-%d') AS week,
+        CASE WHEN wk = first_wk THEN 'new'
+             WHEN act = 1 AND prev_act = 1 THEN 'retained'
+             WHEN act = 1 THEN 'resurrected'
+             WHEN prev_act = 1 THEN 'churned'
+             ELSE 'dormant' END AS state,
+        CAST(count(*) AS BIGINT) AS n_users
+      FROM l GROUP BY 1, 2""",
   )
 
   // ---- shared DuckDB oracle fragments ----

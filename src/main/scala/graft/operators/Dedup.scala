@@ -93,6 +93,56 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** PREFIX-FILTERED exact Jaccard pairs (AllPairs/PPJoin candidate
+    * generation, Bayardo et al. / Chaudhuri et al.): tokens get a
+    * global rarity order (df asc, token asc); each doc's candidate
+    * PREFIX is its first |X| − ⌈t·|X|⌉ + 1 tokens in that order, and
+    * two docs can clear Jaccard ≥ t only if their prefixes share a
+    * token — so the candidate join runs on prefix postings (the rare
+    * end of the vocabulary) instead of every token. Candidates then
+    * verify with exact set Jaccard.
+    *
+    * This is the lossless fast path of the plain postings join: the
+    * DuckDB oracle computes the UNFILTERED all-pairs Jaccard ≥ t, so
+    * hash-equality per round is a standing proof the prefix filter
+    * drops no pair. Scale: candidate cost concentrates on rare tokens
+    * (df ≈ 1–2) — frequent tokens fall outside every prefix, which is
+    * exactly the df-cap hygiene containmentPairs documents, derived
+    * instead of tuned. The rank window is vocab-sized. */
+  def prefixFilterPairs(docs: DataFrame,
+                        threshold: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs
+      .select(col("doc_id"), array_distinct(toks(col("text"))).as("tset"))
+      .localCheckpoint(true) // feeds postings + both verify sides
+    val post = d.select(col("doc_id"), explode(col("tset")).as("tok"))
+    val rank = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumn("trk", row_number().over(Window.partitionBy(lit(1))
+        .orderBy(col("df").asc, col("tok").asc)))
+      .select(col("tok"), col("trk"))
+    val prefix = post.join(broadcast(rank), Seq("tok"))
+      .withColumn("p", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("trk"))))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("p") <=
+        col("sz") - ceil(col("sz") * threshold) + lit(1))
+      .select(col("tok"), col("doc_id"))
+    val cand = prefix.select(col("tok"), col("doc_id").as("doc_a"))
+      .join(prefix.select(col("tok"), col("doc_id").as("doc_b")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("tset").as("set_a")),
+        Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("tset").as("set_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Asymmetric n-gram CONTAINMENT pairs — |A∩B| / |A| per ordered
     * pair, the sub-document-duplication signal Jaccard misses: a
     * paragraph pasted into a much longer page scores ~1.0 containment

@@ -654,6 +654,44 @@ object EventAnalytics {
           .as("chi2_micros"))
   }
 
+  /** Weekly user-lifecycle transition counts — new / retained /
+    * resurrected / churned / dormant per calendar week, the growth-
+    * accounting table every retention dashboard is built on. A user's
+    * state in week w: `new` in their first active week, `retained` if
+    * active now and last week, `resurrected` if active after a gap,
+    * `churned` the first week inactive after an active one, `dormant`
+    * otherwise.
+    *
+    * Scale shape: one distinct (user, week) aggregation; the
+    * user×week grid materializes only from each user's FIRST week on
+    * (a broadcast of the ≤#weeks list, not a full cross product over
+    * time); the state machine is one lag window on the grid's
+    * user partitioning. Counts are exact; weeks emit as date strings
+    * (timezone-free, the ev2 convention). */
+  def lifecycle(s: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+      .localCheckpoint(true) // feeds first-week, week list, and the flag join
+    val weeks = active.select(col("wk")).distinct()
+    val first = active.groupBy(col("user_id")).agg(min(col("wk")).as("first_wk"))
+    val grid = first.join(broadcast(weeks), col("wk") >= col("first_wk"))
+    val st = grid
+      .join(active.withColumn("act", lit(1L)), Seq("user_id", "wk"), "left")
+      .select(col("user_id"), col("wk"), col("first_wk"),
+        coalesce(col("act"), lit(0L)).as("act"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    val prevAct = lag(col("act"), 1).over(w)
+    st.withColumn("state",
+        when(col("wk") === col("first_wk"), "new")
+          .when(col("act") === 1L && prevAct === 1L, "retained")
+          .when(col("act") === 1L, "resurrected")
+          .when(prevAct === 1L, "churned")
+          .otherwise("dormant"))
+      .groupBy(date_format(col("wk"), "yyyy-MM-dd").as("week"), col("state"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** CUSUM change-point scan over the daily series: Sₜ = max(0,
     * Sₜ₋₁ + devₜ) with integer-scaled deviations devₜ = n·xₜ − Σx (the
     * mean never materializes as a fraction) — the standard
