@@ -366,6 +366,11 @@ object SparkEntry {
     "dedup_prefix_filter" -> ((s, dir) =>
       Dedup.prefixFilterPairs(Fixtures.mutantSlice(s, dir))),
     "ev16_lifecycle"    -> (EventAnalytics.lifecycle(_, _)),
+    "ml17_pr_auc"       -> (Profiling.prAuc(_, _)),
+    "ev17_rfm"          -> (EventAnalytics.rfm(_, _)),
+    "stat24_gini"       -> (Relational.stat24Gini(_, _)),
+    "ml18_naive_bayes"  -> (Training.naiveBayes(_, _)),
+    "graph_kcore"       -> (Graphs.kcore(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4157,9 +4162,162 @@ object SparkEntry {
              ELSE 'dormant' END AS state,
         CAST(count(*) AS BIGINT) AS n_users
       FROM l GROUP BY 1, 2""",
+    // Precision-recall curve + average precision (Profiling.prAuc) on
+    // the shared ml10-ml12 score bins.
+    "ml17_pr_auc" -> raw"""
+      WITH $aucCellsSql,
+      cum AS (SELECT bin, np,
+          CAST(sum(np) OVER (ORDER BY bin DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_tp,
+          CAST(sum(nn) OVER (ORDER BY bin DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_fp,
+          CAST(sum(np) OVER () AS BIGINT) AS n_pos
+        FROM cells),
+      p AS (SELECT *,
+          CAST(round(1e6 * CAST(cum_tp AS DOUBLE) /
+            CAST(cum_tp + cum_fp AS DOUBLE)) AS BIGINT) AS prec_micros
+        FROM cum)
+      SELECT bin AS threshold_bin, cum_tp, cum_fp, prec_micros,
+        CAST(round(1e6 * CAST(cum_tp AS DOUBLE) / CAST(n_pos AS DOUBLE))
+          AS BIGINT) AS recall_micros,
+        CAST(round(CAST(CAST(sum(np * prec_micros) OVER () AS BIGINT)
+            AS DOUBLE) / CAST(n_pos AS DOUBLE)) AS BIGINT) AS ap_micros
+      FROM p""",
+    // RFM quintile grid (EventAnalytics.rfm). Both engines share the
+    // ceil-first ntile remainder rule; every order carries user_id.
+    "ev17_rfm" -> raw"""
+      WITH mx AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events),
+      pu AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS frequency,
+          CAST(sum(CASE WHEN event_type = 'purchase'
+            THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS monetary_cents
+        FROM events GROUP BY 1),
+      f AS (SELECT user_id,
+          CAST(date_diff('day', last_day, max_day) AS BIGINT)
+            AS recency_days,
+          frequency, monetary_cents
+        FROM pu, mx),
+      q AS (SELECT *,
+          CAST(ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC)
+            AS BIGINT) AS r_q,
+          CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id ASC)
+            AS BIGINT) AS f_q,
+          CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, user_id ASC)
+            AS BIGINT) AS m_q
+        FROM f)
+      SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_users,
+        CAST(sum(monetary_cents) AS BIGINT) AS cell_monetary_cents
+      FROM q GROUP BY 1, 2, 3""",
+    // Gini concentration of per-user value (Relational.stat24Gini).
+    "stat24_gini" -> raw"""
+      WITH pu AS (SELECT user_id,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1),
+      rk AS (SELECT cents,
+          CAST(row_number() OVER (ORDER BY cents ASC, user_id ASC)
+            AS BIGINT) AS i
+        FROM pu),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+          CAST(sum(cents) AS BIGINT) AS total_cents,
+          CAST(sum(i * cents) AS BIGINT) AS rwc
+        FROM rk)
+      SELECT n_users, total_cents,
+        CAST(round(1e6 *
+          CAST(2 * rwc - (n_users + 1) * total_cents AS DOUBLE) /
+          CAST(n_users * total_cents AS DOUBLE)) AS BIGINT) AS gini_micros
+      FROM agg""",
+    // Naive-Bayes lang confusion matrix (Training.naiveBayes): the
+    // absent-term identity keeps the scorer an inner join vs the
+    // model; every ln term quantizes to micro-nats before summation.
+    "ml18_naive_bayes" -> raw"""
+      WITH tk AS (SELECT doc_id, lang,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0) AS tk,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 100 < 50 AS is_train
+        FROM documents),
+      trtok AS (SELECT lang, unnest(tk) AS tok FROM tk WHERE is_train),
+      model AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+        FROM trtok GROUP BY 1, 2),
+      nl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_l
+        FROM model GROUP BY 1),
+      voc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM trtok),
+      ntr AS (SELECT CAST(count(*) AS BIGINT) AS n_tr
+        FROM tk WHERE is_train),
+      pri AS (SELECT p.lang,
+          CAST(round(1e6 * ln(CAST(p.n_docs AS DOUBLE) / ntr.n_tr))
+            AS BIGINT) AS prior_micros,
+          CAST(round(1e6 * ln(CAST(nl.n_l + voc.v AS DOUBLE)))
+            AS BIGINT) AS pen_micros
+        FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+              FROM tk WHERE is_train GROUP BY 1) p
+        JOIN nl ON nl.lang = p.lang, ntr, voc),
+      te AS (SELECT doc_id, lang AS lang_true,
+          CAST(len(tk) AS BIGINT) AS n_toks, tk
+        FROM tk WHERE NOT is_train),
+      tetok AS (SELECT doc_id, unnest(tk) AS tok FROM te),
+      s1 AS (SELECT t.doc_id, m.lang,
+          CAST(sum(CAST(round(1e6 * ln(CAST(m.c AS DOUBLE) + 1))
+            AS BIGINT)) AS BIGINT) AS s1
+        FROM tetok t JOIN model m ON m.tok = t.tok GROUP BY 1, 2),
+      sc AS (SELECT te.doc_id, te.lang_true, pri.lang,
+          coalesce(s1.s1, 0) - te.n_toks * pri.pen_micros +
+            pri.prior_micros AS score
+        FROM te CROSS JOIN pri
+        LEFT JOIN s1 ON s1.doc_id = te.doc_id AND s1.lang = pri.lang),
+      pred AS (SELECT doc_id, lang_true, lang AS lang_pred,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, lang ASC) AS rn
+        FROM sc)
+      SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+      FROM pred WHERE rn = 1 GROUP BY 1, 2""",
+    // Bounded k-core peel (Graphs.kcore): 10 unrolled rounds over the
+    // md5-seeded irregular graph — idempotent after fixpoint (fixture
+    // converges in <= 6), so the bounded unroll equals Spark's
+    // early-exited loop. MATERIALIZED hints stop DuckDB from
+    // exponentially re-inlining the round chain (the MMR precedent).
+    "graph_kcore" -> kcoreSql,
   )
 
   // ---- shared DuckDB oracle fragments ----
+
+  /** 10-round k-core peel oracle (Graphs.kcore, k = 4): the round
+    * chain is generated so oracle and operator can never disagree on
+    * round count; every round CTE is MATERIALIZED (each is referenced
+    * three times — without the hint DuckDB re-inlines the chain
+    * exponentially). */
+  private def kcoreSql: String = {
+    val k = 4
+    val rounds = (1 to 10).map { r =>
+      val p = s"e${r - 1}"
+      raw"""k$r AS MATERIALIZED (SELECT node FROM
+          (SELECT a AS node FROM $p UNION ALL SELECT b FROM $p)
+        GROUP BY 1 HAVING count(*) >= $k),
+      e$r AS MATERIALIZED (SELECT e.a, e.b FROM $p e
+        JOIN k$r x ON x.node = e.a JOIN k$r y ON y.node = e.b)"""
+    }.mkString(",\n      ")
+    raw"""
+      WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      dg AS (SELECT doc_id,
+          1 + ('0x' || substr(md5('kc:' || CAST(doc_id AS VARCHAR)),
+            1, 15))::BIGINT % 5 AS outdeg
+        FROM documents),
+      raw0 AS (SELECT doc_id AS src,
+          ('0x' || substr(md5('kc:' || CAST(doc_id AS VARCHAR) || ':' ||
+            CAST(j AS VARCHAR)), 1, 15))::BIGINT % n AS dst
+        FROM (SELECT doc_id, unnest(range(0, outdeg)) AS j FROM dg), nn),
+      e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+          greatest(src, dst) AS b
+        FROM raw0 WHERE src <> dst),
+      $rounds
+      SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+      FROM (SELECT a AS node FROM e10 UNION ALL SELECT b FROM e10)
+      GROUP BY 1"""
+  }
 
   /** Label-propagation working table (Graphs.communities) — shared
     * by graph_communities and graph_modularity. */

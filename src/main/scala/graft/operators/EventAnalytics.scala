@@ -750,4 +750,53 @@ object EventAnalytics {
         round(expr("percentile(gap_us, 0.9)") / 1e6, 4).as("p90_s"),
         round(max(col("gap_us")).cast("double") / 1e6, 4).as("max_s"))
   }
+
+  /** RFM (recency / frequency / monetary) segmentation — the classic
+    * customer-value grid a growth team cuts its user base into:
+    * recency = days since the user's last event (vs the corpus max
+    * day), frequency = purchase count, monetary = purchase value in
+    * exact cents; each dimension quintiled and the base profiled per
+    * (r, f, m) cell. Users who never purchased stay in the grid with
+    * f = m = 0 (they ARE the win-back segment, dropping them is the
+    * classic RFM bug).
+    *
+    * Scale shape: one user-keyed aggregation over events (map-side
+    * combined), then three ntile windows + the cell rollup over the
+    * USER-cardinality frame — the global sort each ntile needs is on
+    * user-count rows, not events (at 100 TB of events the user frame
+    * is the small one; if users themselves outgrow a sort, swap ntile
+    * for percentile_approx rank cuts — same grid, approximate
+    * boundaries). Determinism: cents are exact longs; every ntile
+    * order carries user_id as the final tiebreak, and Spark and DuckDB
+    * share the ceil-first ntile remainder rule. */
+  def rfm(s: SparkSession, dir: String): DataFrame = {
+    val corpusMax = Tables.events(s, dir)
+      .agg(max(to_date(col("ts"))).as("max_day"))
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("frequency"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("monetary_cents"))
+      .crossJoin(broadcast(corpusMax))
+      .select(col("user_id"),
+        datediff(col("max_day"), col("last_day")).cast("long")
+          .as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    val rQ = Window.partitionBy(lit(1))
+      .orderBy(col("recency_days").asc, col("user_id").asc)
+    val fQ = Window.partitionBy(lit(1))
+      .orderBy(col("frequency").desc, col("user_id").asc)
+    val mQ = Window.partitionBy(lit(1))
+      .orderBy(col("monetary_cents").desc, col("user_id").asc)
+    perUser
+      .withColumn("r_q", ntile(5).over(rQ).cast("long"))
+      .withColumn("f_q", ntile(5).over(fQ).cast("long"))
+      .withColumn("m_q", ntile(5).over(mQ).cast("long"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("monetary_cents")).as("cell_monetary_cents"))
+  }
 }

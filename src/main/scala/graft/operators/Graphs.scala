@@ -545,4 +545,83 @@ object Graphs {
           sqrt(col("varx").cast("double") * col("vary").cast("double")), 6)
           .as("assortativity"))
   }
+
+  /** Bounded k-core peel — the density backbone extraction behind
+    * spam/link-farm filtering and community seeding: repeatedly delete
+    * nodes of degree < k (each deletion can expose new under-degree
+    * nodes) until fixpoint, here bounded at `rounds` synchronous
+    * passes so BOTH engines compute the identical well-defined
+    * "r-round peel" even if a future corpus needs more rounds (peeling
+    * is idempotent after fixpoint, and the fixture converges in ≤ 6).
+    *
+    * The ring-lattice link graph is degree-regular (k-core degenerates
+    * to all-or-nothing on it), so this operator derives its own
+    * md5-seeded irregular graph: node i emits 1 + (h60("kc:i") mod 5)
+    * edges to h60("kc:i:j") mod N — both engines derive the identical
+    * multiset through the md5-60 bridge.
+    *
+    * Scale shape: per round one degree aggregation (map-side combined)
+    * + two semi-joins of the edge set against the surviving nodes, all
+    * hash-partitioned on node ids — (node, node) longs only, never
+    * payloads. Rounds materialize via eager localCheckpoint (tracked,
+    * unpersisted on exit; converged set staged to parquet once) — the
+    * ccWithRounds loop discipline. Early-exits when the edge count is
+    * stable: peeling is monotone, so count equality IS fixpoint. */
+  def kcore(s: SparkSession, dir: String, k: Int = 4,
+            rounds: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sc = s.sparkContext
+    val preexisting = sc.getPersistentRDDs.keySet
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val raw = docs
+      .crossJoin(broadcast(Tables.documents(s, dir)
+        .agg(count(lit(1)).as("n_docs"))))
+      .select(col("doc_id"), col("n_docs"),
+        explode(sequence(lit(0L),
+          pmod(call_function("md5_base60",
+            concat(lit("kc:"), col("doc_id"))), lit(5L)))).as("j"))
+      .select(col("doc_id").as("src"),
+        pmod(call_function("md5_base60",
+          concat(lit("kc:"), col("doc_id"), lit(":"), col("j"))),
+          col("n_docs")).as("dst"))
+      .filter(col("dst") =!= col("src"))
+    val finalPath = s"/tmp/graft_stage_kcore_v1_k${k}_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    try {
+      var live = raw
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+        .localCheckpoint(true)
+      var n = live.count()
+      var r = 0
+      var done = false
+      while (!done && r < rounds) {
+        val keep = live.select(col("a").as("node"))
+          .unionAll(live.select(col("b").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .select(col("node"))
+        val next = live
+          .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+          .localCheckpoint(true)
+        val nNext = next.count()
+        done = nNext == n
+        live = next
+        n = nNext
+        r += 1
+      }
+      live.write.mode("overwrite").parquet(finalPath)
+    } finally {
+      sc.getPersistentRDDs
+        .filterNot { case (id, _) => preexisting(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
+    val core = s.read.parquet(finalPath)
+    core.select(col("a").as("node"))
+      .unionAll(core.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+  }
 }

@@ -239,6 +239,42 @@ object Profiling {
           col("n_neg").cast("double")).cast("long").as("fpr_micros"))
   }
 
+  /** Precision–recall curve + average precision over the same binned
+    * score frame as [[rocAuc]] — the ranking metric that matters when
+    * positives are rare (a curation classifier fishing 1% good docs
+    * out of a crawl lives on PR, not ROC: ROC's FPR denominator is the
+    * huge negative class, so a flood of false accepts barely moves
+    * it). One operating point per score bin, thresholding "accept when
+    * bin ≥ t"; AP is the step-interpolated Σ ΔR·P over descending
+    * thresholds.
+    *
+    * Scale shape: identical to [[rocAuc]] — one data-sized map-side-
+    * combined aggregation to the bounded bin frame, then cumulative
+    * windows over bins. Determinism: per-bin precision quantizes to
+    * micros BEFORE the AP sum, so the only cross-row folds are exact
+    * integer sums; one IEEE divide per output value. */
+  def prAuc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAbove = Window.partitionBy(lit(1)).orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(1))
+    scoreBins(s, dir)
+      .withColumn("cum_tp", sum(col("np")).over(wAbove))
+      .withColumn("cum_fp", sum(col("nn")).over(wAbove))
+      .withColumn("n_pos", sum(col("np")).over(all))
+      .withColumn("prec_micros",
+        round(lit(1e6) * col("cum_tp").cast("double") /
+          (col("cum_tp") + col("cum_fp")).cast("double")).cast("long"))
+      .withColumn("ap_micros",
+        round(sum(col("np") * col("prec_micros")).over(all).cast("double") /
+          col("n_pos").cast("double")).cast("long"))
+      .select(col("bin").as("threshold_bin"), col("cum_tp"), col("cum_fp"),
+        col("prec_micros"),
+        round(lit(1e6) * col("cum_tp").cast("double") /
+          col("n_pos").cast("double")).cast("long").as("recall_micros"),
+        col("ap_micros"))
+  }
+
   /** Calibration / reliability profile of a probabilistic classifier —
     * the companion check to [[rocAuc]] (AUC measures ranking,
     * calibration measures whether p=0.8 MEANS 80%): predicted

@@ -1989,4 +1989,37 @@ object Relational {
         col("benford_micros"))
       .withColumn("dev_micros", col("freq_micros") - col("benford_micros"))
   }
+
+  /** Gini coefficient of per-user total event value — the one-number
+    * concentration audit (0 = perfectly even, →1 = one whale carries
+    * everything) a marketplace or usage-billing pipeline tracks
+    * release-over-release. Computed from the sorted-rank identity
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) with x ascending, i = 1..n.
+    *
+    * Scale shape: one user-keyed aggregation over events (map-side
+    * combined), then a single rank window + final fold over the
+    * USER-cardinality frame — the global sort ranks users, never
+    * events. Determinism: values aggregate in exact cents; Σ i·x and
+    * Σx are exact integer sums (rank ties broken by user_id, though
+    * the identity's value is tie-order-independent for equal x); the
+    * single IEEE divide runs on exact longs, micro-rounded. */
+  def stat24Gini(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val rk = Window.partitionBy(lit(1))
+      .orderBy(col("cents").asc, col("user_id").asc)
+    perUser
+      .withColumn("i", row_number().over(rk).cast("long"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("cents")).as("total_cents"),
+        sum(col("i") * col("cents")).as("rank_weighted_cents"))
+      .select(col("n_users"), col("total_cents"),
+        round(lit(1e6) *
+          (lit(2L) * col("rank_weighted_cents") -
+            (col("n_users") + 1L) * col("total_cents")).cast("double") /
+          (col("n_users") * col("total_cents")).cast("double"))
+          .cast("long").as("gini_micros"))
+  }
 }

@@ -531,4 +531,71 @@ object Training {
           ((col("n_lang") - col("n_rows")).cast("double") + lit(m)))
           .cast("long").as("oof_enc_micros"))
   }
+
+  /** Multinomial naive-Bayes language classifier trained on the
+    * deterministic md5 train half and evaluated as a confusion matrix
+    * on the held-out half — the classic fast supervised baseline a
+    * curation pipeline trains on weak labels (here the lang column)
+    * before paying for anything neural. Laplace-smoothed scores via
+    * the absent-term identity: ln((c+1)/(N_l+V)) summed over doc
+    * tokens = Σ_matched ln(c+1) − n_tokens·ln(N_l+V), so tokens a
+    * language never saw contribute exactly 0 to the first sum and the
+    * scorer is an INNER join against the model — no (token × lang)
+    * grid of zeros ever materializes.
+    *
+    * Scale shape: training is one (lang, token) word-count aggregation
+    * (map-side combined); the model is vocab-sized and BROADCASTS to
+    * the test-token scorer; per-(doc, lang) sums are the one
+    * data-sized shuffle; the lang grid completes through a ≤|langs|
+    * broadcast. Determinism: every ln term quantizes to integer
+    * micro-nats before summation (the PSI/MI convention); the
+    * per-lang penalty quantizes ONCE on the model frame and scales by
+    * exact token counts; argmax ties break on lang ascending. */
+  def naiveBayes(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = (c: Column) =>
+      filter(split(lower(c), "\\s+"), t => length(t) > 0)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"),
+        (Sampling.bucket100(col("doc_id")) < 50).as("is_train"))
+    val trainTok = docs.filter(col("is_train"))
+      .select(col("lang"), explode(col("tk")).as("tok"))
+    val model = trainTok.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val nl = model.groupBy(col("lang")).agg(sum(col("c")).as("n_l"))
+    val vocab = trainTok.agg(countDistinct(col("tok")).as("v"))
+    val priors = docs.filter(col("is_train"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(
+        docs.filter(col("is_train")).agg(count(lit(1)).as("n_tr"))))
+      .join(nl, Seq("lang"))
+      .crossJoin(broadcast(vocab))
+      .select(col("lang"),
+        round(lit(1e6) * log(col("n_docs").cast("double") /
+          col("n_tr").cast("double"))).cast("long").as("prior_micros"),
+        round(lit(1e6) * log((col("n_l") + col("v")).cast("double")))
+          .cast("long").as("pen_micros"))
+    val test = docs.filter(!col("is_train"))
+      .select(col("doc_id"), col("lang").as("lang_true"),
+        size(col("tk")).cast("long").as("n_toks"), col("tk"))
+    val matched = test
+      .select(col("doc_id"), explode(col("tk")).as("tok"))
+      .join(broadcast(model), Seq("tok"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(round(lit(1e6) * log(col("c").cast("double") + 1.0))
+        .cast("long")).as("s1"))
+    val scored = test.select(col("doc_id"), col("lang_true"), col("n_toks"))
+      .crossJoin(broadcast(priors))
+      .join(matched, Seq("doc_id", "lang"), "left")
+      .select(col("doc_id"), col("lang_true"), col("lang"),
+        (coalesce(col("s1"), lit(0L)) - col("n_toks") * col("pen_micros") +
+          col("prior_micros")).as("score_micros"))
+    val rk = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micros").desc, col("lang").asc)
+    scored
+      .withColumn("rn", row_number().over(rk))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang_true"), col("lang").as("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+  }
 }
