@@ -371,6 +371,11 @@ object SparkEntry {
     "stat24_gini"       -> (Relational.stat24Gini(_, _)),
     "ml18_naive_bayes"  -> (Training.naiveBayes(_, _)),
     "graph_kcore"       -> (Graphs.kcore(_, _)),
+    "ev18_retention"    -> (EventAnalytics.retention(_, _)),
+    "ts7_holt"          -> (EventAnalytics.holt(_, _)),
+    "stat25_cramers_v"  -> (Profiling.cramersV(_, _)),
+    "tok6_fertility"    -> (Training.bpeFertility(_, _)),
+    "text_ndcg"         -> (TextAnalysis.ndcgBm25(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4281,6 +4286,106 @@ object SparkEntry {
     // early-exited loop. MATERIALIZED hints stop DuckDB from
     // exponentially re-inlining the round chain (the MMR precedent).
     "graph_kcore" -> kcoreSql,
+    // Cohort retention matrix (EventAnalytics.retention).
+    "ev18_retention" -> raw"""
+      WITH active AS (SELECT DISTINCT user_id,
+          date_trunc('week', ts) AS wk FROM events),
+      first0 AS (SELECT user_id, min(wk) AS cohort
+        FROM active GROUP BY 1),
+      cells AS (SELECT f.cohort,
+          CAST(date_diff('day', CAST(f.cohort AS DATE), CAST(a.wk AS DATE))
+            // 7 AS BIGINT) AS off,
+          CAST(count(*) AS BIGINT) AS n_active
+        FROM active a JOIN first0 f USING (user_id) GROUP BY 1, 2),
+      sizes AS (SELECT cohort, n_active AS cohort_size
+        FROM cells WHERE off = 0)
+      SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_week,
+        c.off AS "offset", c.n_active, s.cohort_size,
+        CAST(round(1e6 * CAST(c.n_active AS DOUBLE) / s.cohort_size)
+          AS BIGINT) AS retained_micros
+      FROM cells c JOIN sizes s USING (cohort)""",
+    // Holt level+trend recursion in exact integer micros
+    // (EventAnalytics.holt); div truncates toward zero in both
+    // engines (verified on negative operands).
+    "ts7_holt" -> raw"""
+      WITH RECURSIVE daily AS (SELECT CAST(ts AS DATE) AS d,
+          CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+      idx AS (SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+          strftime(d, '%Y-%m-%d') AS d, x FROM daily),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+      h AS (
+        SELECT i, d, x, x * 1000000 AS l,
+          CASE WHEN (SELECT n FROM nn) > 1
+            THEN (SELECT x FROM idx WHERE i = 2) * 1000000 - x * 1000000
+            ELSE CAST(0 AS BIGINT) END AS b
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT o.i, o.d, o.x,
+          (o.x * 1000000 + h.l + h.b) // 2,
+          (3 * h.b + ((o.x * 1000000 + h.l + h.b) // 2 - h.l)) // 4
+        FROM h JOIN idx o ON o.i = h.i + 1),
+      lastrow AS (SELECT l + 7 * b AS fc FROM h
+        WHERE i = (SELECT n FROM nn))
+      SELECT d, x, CAST(l AS BIGINT) AS level_micros,
+        CAST(b AS BIGINT) AS trend_micros,
+        CAST(fc AS BIGINT) AS forecast_h7_micros
+      FROM h CROSS JOIN lastrow""",
+    // Chi-square + Cramer's V over the COMPLETED lang x source grid
+    // (Profiling.cramersV).
+    "stat25_cramers_v" -> raw"""
+      WITH lx AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_x
+        FROM documents GROUP BY 1),
+      sy AS (SELECT source, CAST(count(*) AS BIGINT) AS n_y
+        FROM documents GROUP BY 1),
+      ob AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_obs
+        FROM documents GROUP BY 1, 2),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      grid AS (SELECT lx.lang, sy.source, lx.n_x, sy.n_y,
+          coalesce(ob.n_obs, 0) AS n_xy, nn.n
+        FROM lx CROSS JOIN sy
+        LEFT JOIN ob ON ob.lang = lx.lang AND ob.source = sy.source
+        CROSS JOIN nn),
+      terms AS (SELECT *,
+          CAST(round(1e6 *
+            CAST((n * n_xy - n_x * n_y) * (n * n_xy - n_x * n_y)
+              AS DOUBLE) /
+            CAST(n * n_x * n_y AS DOUBLE)) AS BIGINT) AS term_micros
+        FROM grid),
+      tot AS (SELECT CAST(sum(term_micros) AS BIGINT) AS chi2_micros,
+          CAST(least(count(DISTINCT lang), count(DISTINCT source)) - 1
+            AS BIGINT) AS k
+        FROM terms)
+      SELECT t.lang, t.source, t.n_xy, t.term_micros, tot.chi2_micros,
+        CAST(round(1e6 * sqrt((CAST(tot.chi2_micros AS DOUBLE) / 1e6) /
+          CAST(t.n * tot.k AS DOUBLE))) AS BIGINT) AS v_micros
+      FROM terms t CROSS JOIN tot""",
+    // Per-lang BPE fertility (Training.bpeFertility) — the tok3
+    // per-doc frame rolled up by lang.
+    "tok6_fertility" -> raw"""
+      $bpeSql,
+      wl AS (SELECT word,
+               CAST(len(string_split(trim(seg), ' ')) AS BIGINT) AS n_tok
+             FROM (SELECT *, row_number() OVER (PARTITION BY word
+                     ORDER BY iter DESC) AS rk FROM bpe)
+             WHERE rk = 1),
+      dw AS (SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                 t -> regexp_matches(t, '^[a-z]+$$'))) AS word
+             FROM documents),
+      perdoc AS (SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(wl.n_tok) AS BIGINT) AS n_bpe_tokens
+        FROM dw JOIN wl USING (word) GROUP BY dw.doc_id)
+      SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(p.n_words) AS BIGINT) AS n_words,
+        CAST(sum(p.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+        CAST(round(1e6 * CAST(sum(p.n_bpe_tokens) AS DOUBLE) /
+          CAST(sum(p.n_words) AS DOUBLE)) AS BIGINT) AS fertility_micros
+      FROM perdoc p JOIN documents d USING (doc_id)
+      GROUP BY d.lang""",
+    // NDCG@10 of the BM25 ranking vs graded term coverage
+    // (TextAnalysis.ndcgBm25); rank discounts are build-time integer
+    // literals shared with the operator.
+    "text_ndcg" -> ndcgSql,
   )
 
   // ---- shared DuckDB oracle fragments ----
@@ -4562,6 +4667,56 @@ object SparkEntry {
         count(*) AS n_terms
       FROM contrib GROUP BY doc_id
       ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+  /** NDCG@10 oracle (TextAnalysis.ndcgBm25): the bm25Sql ranking as a
+    * CTE, graded relevance from distinct-term coverage, and the
+    * operator's own NdcgDiscMicros literals interpolated so both
+    * engines discount from the identical integer table. */
+  private def ndcgSql: String = {
+    raw"""
+      WITH ranked AS (
+        SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+            AS BIGINT) AS rnk
+        FROM ($bm25Sql)),
+      rel AS (SELECT doc_id,
+          least(CAST(count(DISTINCT t) AS BIGINT), 3) AS rel
+        FROM (SELECT doc_id,
+            unnest(list_filter(string_split_regex(text, '\s+'),
+              x -> len(x) > 0)) AS t
+          FROM documents)
+        WHERE t IN ('spark', 'query', 'filter')
+        GROUP BY doc_id),
+      dt AS (SELECT * FROM (VALUES ${
+        graft.operators.TextAnalysis.NdcgDiscMicros.zipWithIndex
+          .map { case (d, i) => s"(${i + 1}, ${d})" }.mkString(", ")})
+        AS t(i, disc_micros)),
+      gains AS (SELECT * FROM (VALUES (0, 0), (1, 1), (2, 3), (3, 7))
+        AS t(rel, gain)),
+      ideal AS (SELECT CAST(sum(g.gain * dt.disc_micros) AS BIGINT)
+          AS idcg_micros
+        FROM (SELECT rel, CAST(row_number() OVER (ORDER BY rel DESC,
+              doc_id ASC) AS BIGINT) AS irank
+            FROM rel) ir
+        JOIN gains g ON g.rel = ir.rel
+        JOIN dt ON dt.i = ir.irank
+        WHERE ir.irank <= 10),
+      rr AS (SELECT r.rnk AS rank, r.doc_id,
+          coalesce(rel.rel, 0) AS rel
+        FROM ranked r LEFT JOIN rel ON rel.doc_id = r.doc_id),
+      terms AS (SELECT rr.rank, rr.doc_id, rr.rel,
+          CAST(g.gain AS BIGINT) AS gain, CAST(dt.disc_micros AS BIGINT)
+            AS disc_micros
+        FROM rr JOIN gains g ON g.rel = rr.rel
+        JOIN dt ON dt.i = rr.rank),
+      dcg AS (SELECT CAST(sum(gain * disc_micros) AS BIGINT)
+          AS dcg_micros FROM terms)
+      SELECT t.rank, t.doc_id, t.rel, t.gain, t.disc_micros,
+        dcg.dcg_micros, ideal.idcg_micros,
+        CAST(round(1e6 * CAST(dcg.dcg_micros AS DOUBLE) /
+          CAST(ideal.idcg_micros AS DOUBLE)) AS BIGINT) AS ndcg_micros
+      FROM terms t CROSS JOIN dcg CROSS JOIN ideal"""
+  }
 
   /** IVF-PQ (Similarity.annIvfPq): the ivfSql coarse stages (cent /
     * probes / assigned) feeding the pqAnnSql compressed-scoring stages,

@@ -751,6 +751,81 @@ object EventAnalytics {
         round(max(col("gap_us")).cast("double") / 1e6, 4).as("max_s"))
   }
 
+  /** Cohort retention matrix — the growth-analytics triangle: users
+    * grouped by first-active week, each cohort's share still active at
+    * every later week offset. [[lifecycle]] labels week-over-week
+    * TRANSITIONS; this tracks each cohort's survival CURVE — the two
+    * views a retention review reads side by side.
+    *
+    * Scale shape: one distinct (user, week) aggregation, a user-keyed
+    * join to the cohort label (both sides hash-partitioned on
+    * user_id), then a (cohort, offset)-keyed count — all map-side
+    * combinable; the cohort-size join exchanges ≤ #weeks rows.
+    * Determinism: offsets are exact integer floor-divisions of day
+    * differences; the single percentage divide runs on exact longs,
+    * micro-rounded. */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+      .localCheckpoint(true) // feeds the cohort label and the matrix
+    val first = active.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort"))
+    val cells = active.join(first, Seq("user_id"))
+      .select(col("cohort"),
+        (datediff(to_date(col("wk")), to_date(col("cohort"))) / 7)
+          .cast("long").as("offset"))
+      .groupBy(col("cohort"), col("offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cells.filter(col("offset") === 0L)
+      .select(col("cohort"), col("n_active").as("cohort_size"))
+    cells.join(broadcast(sizes), Seq("cohort"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        col("offset"), col("n_active"), col("cohort_size"),
+        round(lit(1e6) * col("n_active").cast("double") /
+          col("cohort_size").cast("double")).cast("long")
+          .as("retained_micros"))
+  }
+
+  /** Holt double-exponential (level + trend) smoothing of the daily
+    * event-count series plus a 7-day-ahead forecast — the one-rung-up
+    * from [[ewmaSpikes]]' level-only EWMA that a capacity planner
+    * actually projects with. α = 1/2, β = 1/4 as exact rational
+    * integer updates: lₜ = (xₜ·1e6 + lₜ₋₁ + bₜ₋₁) div 2,
+    * bₜ = (3·bₜ₋₁ + (lₜ − lₜ₋₁)) div 4, seeded l₁ = x₁·1e6,
+    * b₁ = x₂·1e6 − x₁·1e6 — every state transition is integer
+    * arithmetic (div truncates toward zero in Spark, Scala AND DuckDB
+    * `//`, verified on negatives), so the whole trajectory is
+    * engine-exact with zero float ops.
+    *
+    * Scale shape: the data-sized stage is the shared dailyCounts
+    * aggregation; the inherently-sequential recursion runs on the
+    * collected ≤ #days model (the cusum convention) and the oracle
+    * replays it as a recursive CTE bit-for-bit. */
+  def holt(s: SparkSession, dir: String, horizon: Int = 7): DataFrame = {
+    val rows = dailyCounts(s, dir)
+      .select(date_format(col("d"), "yyyy-MM-dd").as("d"), col("x"))
+      .orderBy(col("d")).collect()
+    var l = 0L
+    var b = 0L
+    val out = rows.zipWithIndex.map { case (r, i) =>
+      val xm = r.getLong(1) * 1000000L
+      if (i == 0) {
+        l = xm
+        b = if (rows.length > 1) rows(1).getLong(1) * 1000000L - xm else 0L
+      } else {
+        val lPrev = l
+        l = (xm + lPrev + b) / 2L
+        b = (3L * b + (l - lPrev)) / 4L
+      }
+      (r.getString(0), r.getLong(1), l, b)
+    }.toSeq
+    import s.implicits._
+    out.toDF("d", "x", "level_micros", "trend_micros")
+      .withColumn("forecast_h7_micros",
+        lit(out.last._3 + horizon * out.last._4))
+  }
+
   /** RFM (recency / frequency / monetary) segmentation — the classic
     * customer-value grid a growth team cuts its user base into:
     * recency = days since the user's last event (vs the corpus max

@@ -145,6 +145,54 @@ object Profiling {
     * are window sums over the ≤|cells| frame, never a second scan.
     * Determinism: all counts exact longs, terms round to micro-nats
     * before the window total. */
+  /** χ² independence test + Cramér's V of lang × source — the
+    * bounded-[0,1] companion to [[mutualInfo]] (MI is unbounded, so
+    * dashboards threshold V instead): χ² = Σ (N·n_xy − n_x·n_y)² /
+    * (N·n_x·n_y), V = √(χ² / (N·min(r−1, c−1))). The grid COMPLETES
+    * with zero cells before the sum (a (lang, source) combination that
+    * never co-occurs still has positive expectation — dropping it
+    * biases χ² toward independence, the ev14 lesson).
+    *
+    * Scale shape: one data-sized (lang, source) aggregation; the grid
+    * completion is a ≤(r·c)-row broadcast cross of the two margin
+    * frames. Determinism: the χ² numerator/denominator are exact
+    * integer products (bounded by N⁴ — fine for any N < ~50k cells·
+    * counts; at larger N swap the term to the double form, same
+    * output to 6dp), each cell term micro-rounds before the total. */
+  def cramersV(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+    val obs = d.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_obs"))
+    val langs = d.groupBy(col("lang")).agg(count(lit(1)).as("n_x"))
+    val srcs = d.groupBy(col("source")).agg(count(lit(1)).as("n_y"))
+    val all = Window.partitionBy(lit(1))
+    // grid dims ride along as a broadcast 1-row frame (a DISTINCT
+    // window is unsupported; these are margin-frame counts anyway)
+    val dims = broadcast(langs.agg(count(lit(1)).as("r"))
+      .crossJoin(srcs.agg(count(lit(1)).as("c"))))
+    broadcast(langs).crossJoin(broadcast(srcs))
+      .join(obs, Seq("lang", "source"), "left")
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("n"))))
+      .crossJoin(dims)
+      .select(col("lang"), col("source"), col("n_x"), col("n_y"),
+        coalesce(col("n_obs"), lit(0L)).as("n_xy"), col("n"),
+        (least(col("r"), col("c")) - 1L).as("k"))
+      .withColumn("term_micros",
+        round(lit(1e6) *
+          ((col("n") * col("n_xy") - col("n_x") * col("n_y")) *
+            (col("n") * col("n_xy") - col("n_x") * col("n_y")))
+            .cast("double") /
+          (col("n") * col("n_x") * col("n_y")).cast("double"))
+          .cast("long"))
+      .withColumn("chi2_micros", sum(col("term_micros")).over(all))
+      .select(col("lang"), col("source"), col("n_xy"), col("term_micros"),
+        col("chi2_micros"),
+        round(lit(1e6) * sqrt((col("chi2_micros").cast("double") / 1e6) /
+          (col("n") * col("k")).cast("double"))).cast("long")
+          .as("v_micros"))
+  }
+
   def mutualInfo(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cells = Tables.documents(s, dir)

@@ -307,6 +307,67 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** 1e6-scaled NDCG rank discounts, round(1e6 / log₂(i+1)) for ranks
+    * 1..10 — BUILD-TIME literals interpolated into both engines (the
+    * BenfordMicros convention), so no runtime log parity question
+    * exists. */
+  val NdcgDiscMicros: IndexedSeq[Long] = (1 to 10).map(i =>
+    math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** NDCG@10 of the BM25 ranking against a graded term-coverage
+    * relevance oracle (rel = distinct query terms present, capped 3) —
+    * the retrieval-quality eval that closes the BM25 loop the way
+    * eval2 closes ANN: the score says documents rank high, this says
+    * the ranking agrees with an independent relevance signal. Gains
+    * are the standard 2^rel − 1 ∈ {0,1,3,7}; discounts come from the
+    * integer literal table, so DCG and IDCG are exact integer sums
+    * and the single NDCG divide runs on exact longs.
+    *
+    * Scale shape: relevance is one filtered explode + distinct (the
+    * BM25 postings shape); both rank windows operate on ≤ k rows
+    * (BM25's TakeOrdered shortlist, and the ideal ranking drawn from
+    * the ≤ #relevant-docs frame). */
+  def ndcgBm25(s: SparkSession, dir: String,
+               terms: Seq[String] = Seq("spark", "query", "filter"),
+               k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    // same tokenization as bm25 (exact-case tokens)
+    val rel = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .select(col("doc_id"), col("t")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(least(count(lit(1)), lit(3L)).as("rel"))
+    val gainOf = (r: Column) => element_at(
+      array(lit(0L), lit(1L), lit(3L), lit(7L)), (r + 1).cast("int"))
+    val discOf = (i: Column) => element_at(
+      array(NdcgDiscMicros.map(lit): _*), i.cast("int"))
+    val wRank = Window.partitionBy(lit(1))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val wIdeal = Window.partitionBy(lit(1))
+      .orderBy(col("rel").desc, col("doc_id").asc)
+    val all = Window.partitionBy(lit(1))
+    val ideal = rel
+      .withColumn("irank", row_number().over(wIdeal).cast("long"))
+      .filter(col("irank") <= k)
+      .agg(sum(gainOf(col("rel")) * discOf(col("irank")))
+        .as("idcg_micros"))
+    bm25(docs, terms, k)
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .join(rel, Seq("doc_id"), "left")
+      .select(col("rank"), col("doc_id"),
+        coalesce(col("rel"), lit(0L)).as("rel"))
+      .withColumn("gain", gainOf(col("rel")))
+      .withColumn("disc_micros", discOf(col("rank")))
+      .withColumn("dcg_micros", sum(col("gain") * col("disc_micros")).over(all))
+      .crossJoin(broadcast(ideal))
+      .select(col("rank"), col("doc_id"), col("rel"), col("gain"),
+        col("disc_micros"), col("dcg_micros"), col("idcg_micros"),
+        round(lit(1e6) * col("dcg_micros").cast("double") /
+          col("idcg_micros").cast("double")).cast("long")
+          .as("ndcg_micros"))
+  }
+
   /** BM25 over a PERSISTED, term-bucketed postings index — the text
     * twin of `Similarity.annIvfIndexed`'s "index once, query many"
     * path. The index stages (a) postings (term, doc_id, tf, dl —

@@ -209,6 +209,33 @@ object Training {
         sum(col("n_tok")).as("n_bpe_tokens"))
   }
 
+  /** Per-language BPE fertility — average subword tokens per
+    * whitespace word, the first metric a tokenizer review reads (a
+    * lang with fertility 2× another pays 2× the context budget per
+    * word; the signal that drives vocab rebalancing). Builds on
+    * [[bpeDocTokens]]' per-doc counts, so the staged merge model is
+    * reused, not retrained.
+    *
+    * Scale shape: the per-doc frame's word-explode is the data-sized
+    * stage (shared with tok3); the lang rollup re-aggregates
+    * doc-cardinality rows. Determinism: exact integer token/word
+    * sums, one IEEE divide per lang, micro-rounded. */
+  def bpeFertility(s: SparkSession, dir: String,
+                   merges: Int = 10): DataFrame = {
+    val perDoc = bpeDocTokens(s, dir, merges)
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"),
+        round(lit(1e6) * col("n_bpe_tokens").cast("double") /
+          col("n_words").cast("double")).cast("long")
+          .as("fertility_micros"))
+  }
+
   /** True BPE application — encode ARBITRARY words, including ones the
     * trainer never saw, by replaying the learned merge rules in order
     * (what a real tokenizer does at inference; the vocab-join of
