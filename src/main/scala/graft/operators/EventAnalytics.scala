@@ -826,14 +826,16 @@ object EventAnalytics {
         lit(out.last._3 + horizon * out.last._4))
   }
 
-  /** RFM (recency / frequency / monetary) segmentation — the classic
-    * customer-value grid a growth team cuts its user base into:
-    * recency = days since the user's last event (vs the corpus max
-    * day), frequency = purchase count, monetary = purchase value in
-    * exact cents; each dimension quintiled and the base profiled per
-    * (r, f, m) cell. Users who never purchased stay in the grid with
-    * f = m = 0 (they ARE the win-back segment, dropping them is the
-    * classic RFM bug).
+  /** RFM cell-grid rollup — the SEGMENT-level view beside
+    * [[rfmScores]]' per-user scores (ev5 answers "what is this user's
+    * RFM?", this answers "how big and how valuable is each segment?"
+    * — the marketing-planning cut): recency = days since the user's
+    * last event of ANY type (vs the corpus max day), frequency =
+    * purchase count, monetary = purchase value in exact cents; each
+    * dimension quintiled and the base profiled per (r, f, m) cell.
+    * Unlike ev5's purchase-filtered frame, users who never purchased
+    * stay in the grid with f = m = 0 (they ARE the win-back segment,
+    * dropping them is the classic RFM bug).
     *
     * Scale shape: one user-keyed aggregation over events (map-side
     * combined), then three ntile windows + the cell rollup over the

@@ -392,4 +392,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("FileScan parquet"), p)
     assert(p.contains("Scan ExistingRDD"), p)
   }
+
+  test("naive bayes: model and priors broadcast; the only data-sized " +
+    "shuffles are the train word-count and the per-(doc, lang) sum") {
+    val p = plan(graft.operators.Training.naiveBayes(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"token scorer must broadcast the vocab-sized model:\n$p")
+    // the confusion rollup and argmax run on doc-cardinality frames;
+    // no cartesian anywhere (the lang grid completes via broadcast)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("rfm grid: one user-keyed aggregation, quintiles rank the user " +
+    "frame (single-partition windows over users, never events)") {
+    val p = plan(graft.operators.EventAnalytics.rfm(spark, sf))
+    // the three ntile windows must sit above the per-user aggregate,
+    // so exactly one events scan feeds everything
+    assert(p.split("FileScan parquet").length - 1 <= 2,
+      s"events must scan at most twice (corpus max + per-user):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ngram novelty: final join exchanges doc-keyed aggregates, " +
+    "not the gram table") {
+    val p = plan(graft.operators.TextAnalysis.ngramNovelty(spark, sf))
+    // both join inputs are HashAggregates (per-doc totals and
+    // first-seen counts); the gram-level frame never re-joins
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+    // token_ngrams is native: no interpreted size() filter duplicates
+    // the gram computation below the explode
+    assert(!p.contains("Filter (size(token_ngrams"), p)
+    assert(p.contains("token_ngrams"), p)
+  }
 }
