@@ -4148,7 +4148,9 @@ object SparkEntry {
     "ev16_lifecycle" -> raw"""
       WITH active AS (SELECT DISTINCT user_id,
           date_trunc('week', ts) AS wk FROM events),
-      weeks AS (SELECT DISTINCT wk FROM active),
+      weeks AS (SELECT unnest(generate_series(w0, w1, INTERVAL 7 DAY))
+          AS wk
+        FROM (SELECT min(wk) AS w0, max(wk) AS w1 FROM active)),
       first0 AS (SELECT user_id, min(wk) AS first_wk
                  FROM active GROUP BY 1),
       grid AS (SELECT f.user_id, w.wk, f.first_wk

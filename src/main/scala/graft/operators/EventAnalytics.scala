@@ -668,12 +668,24 @@ object EventAnalytics {
     * time); the state machine is one lag window on the grid's
     * user partitioning. Counts are exact; weeks emit as date strings
     * (timezone-free, the ev2 convention). */
-  def lifecycle(s: SparkSession, dir: String): DataFrame = {
-    val active = Tables.events(s, dir)
+  def lifecycle(s: SparkSession, dir: String): DataFrame =
+    lifecycleFrom(Tables.events(s, dir)
       .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
       .distinct()
-      .localCheckpoint(true) // feeds first-week, week list, and the flag join
-    val weeks = active.select(col("wk")).distinct()
+      .localCheckpoint(true)) // feeds first-week, week span, flag join
+
+  /** [[lifecycle]] over an already-distinct (user_id, wk) activity
+    * frame — exposed so the corpus-gap semantics (an inactive calendar
+    * week between active ones) are testable; the fixture's events span
+    * has no such gap. */
+  private[operators] def lifecycleFrom(active: DataFrame): DataFrame = {
+    // COMPLETE calendar axis min..max week — deriving weeks from
+    // observed activity alone skips a corpus-wide inactive week, which
+    // shifts the per-user lag across the gap and mislabels the states
+    // around it (a returning user would read 'retained' instead of
+    // 'resurrected', and the 'churned' week would never materialize)
+    val weeks = active.agg(min(col("wk")).as("w0"), max(col("wk")).as("w1"))
+      .select(explode(expr("sequence(w0, w1, interval 7 day)")).as("wk"))
     val first = active.groupBy(col("user_id")).agg(min(col("wk")).as("first_wk"))
     val grid = first.join(broadcast(weeks), col("wk") >= col("first_wk"))
     val st = grid
@@ -711,6 +723,10 @@ object EventAnalytics {
     val rows = dailyCounts(s, dir)
       .select(date_format(col("d"), "yyyy-MM-dd").as("d"), col("x"))
       .orderBy(col("d")).collect()
+    import s.implicits._
+    if (rows.isEmpty) // empty table degrades to an empty frame, not
+      return Seq.empty[(String, Long, Long, Long)] // empty.max crash
+        .toDF("d", "x", "cusum", "is_peak")
     val n = rows.length.toLong
     val sx = rows.map(_.getLong(1)).sum
     var acc = 0L
@@ -719,7 +735,6 @@ object EventAnalytics {
       (r.getString(0), r.getLong(1), acc)
     }.toSeq
     val mx = out.map(_._3).max
-    import s.implicits._
     out.toDF("d", "x", "cusum")
       .withColumn("is_peak", (col("cusum") === lit(mx)).cast("long"))
   }
@@ -806,6 +821,12 @@ object EventAnalytics {
     val rows = dailyCounts(s, dir)
       .select(date_format(col("d"), "yyyy-MM-dd").as("d"), col("x"))
       .orderBy(col("d")).collect()
+    if (rows.isEmpty) { // empty table degrades to an empty frame, not
+      import s.implicits._ // an out.last crash on the driver
+      return Seq.empty[(String, Long, Long, Long, Long)]
+        .toDF("d", "x", "level_micros", "trend_micros",
+          "forecast_h7_micros")
+    }
     var l = 0L
     var b = 0L
     val out = rows.zipWithIndex.map { case (r, i) =>
@@ -847,9 +868,11 @@ object EventAnalytics {
     * order carries user_id as the final tiebreak, and Spark and DuckDB
     * share the ceil-first ntile remainder rule. */
   def rfm(s: SparkSession, dir: String): DataFrame = {
-    val corpusMax = Tables.events(s, dir)
-      .agg(max(to_date(col("ts"))).as("max_day"))
-    val perUser = Tables.events(s, dir)
+    // ONE events scan: the corpus max day is max(last_day) over the
+    // per-user aggregate (every event belongs to a user), so the
+    // recency anchor re-aggregates the checkpointed user-cardinality
+    // frame instead of scanning events a second time
+    val perUserRaw = Tables.events(s, dir)
       .groupBy(col("user_id"))
       .agg(max(to_date(col("ts"))).as("last_day"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
@@ -857,7 +880,9 @@ object EventAnalytics {
         sum(when(col("event_type") === "purchase",
           round(col("value") * 100).cast("long")).otherwise(0L))
           .as("monetary_cents"))
-      .crossJoin(broadcast(corpusMax))
+      .localCheckpoint(true)
+    val perUser = perUserRaw
+      .crossJoin(broadcast(perUserRaw.agg(max(col("last_day")).as("max_day"))))
       .select(col("user_id"),
         datediff(col("max_day"), col("last_day")).cast("long")
           .as("recency_days"),

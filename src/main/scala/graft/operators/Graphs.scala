@@ -49,15 +49,8 @@ object Graphs {
     * build — the same deployment-lock caveat as the IVF index. */
   private def staged(s: SparkSession, dir: String, tag: String,
                      params: String)(build: String => Unit): DataFrame = {
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val fp = java.lang.Long.toHexString(src.length() ^
-      java.lang.Long.rotateLeft(src.lastModified(), 21))
-    val base = s"/tmp/graft_stage_${tag}_v1_" +
-      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${params}_$fp"
-    if (!new java.io.File(s"$base/_built").exists()) {
-      build(s"$base/data")
-      new java.io.File(s"$base/_built").createNewFile()
-    }
+    val base = Staging.base(s"stage_${tag}_v1", dir, params, "documents")
+    Staging.buildOnce(base)(build(s"$base/data"))
     s.read.parquet(s"$base/data")
   }
 
@@ -459,12 +452,14 @@ object Graphs {
         .values.foreach(_.unpersist(blocking = false))
     }
   }.select(col("node"), col("h"), col("a"))
-    .withColumn("max_h",
-      max(col("h")).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(1))))
-    .withColumn("max_a",
-      max(col("a")).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(1))))
+    // normalization maxima as a 1-row broadcast agg, not single-
+    // partition whole-frame windows: no total order is needed for two
+    // scalar maxima, so the final projection stays fully parallel
+    // (the seasonality/ksTest totals convention)
+    .transform { scored =>
+      scored.crossJoin(broadcast(
+        scored.agg(max(col("h")).as("max_h"), max(col("a")).as("max_a"))))
+    }
     .select(col("node"),
       round(lit(1e6) * col("h").cast("double") /
         col("max_h").cast("double")).cast("long").as("hub_micros"),

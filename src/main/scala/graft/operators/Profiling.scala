@@ -135,16 +135,6 @@ object Profiling {
         col("term_micronats"), col("psi_total_micronats"))
   }
 
-  /** Mutual information between `lang` and `source` — the dependence
-    * profile between two categorical columns (0 ⇔ independent): for
-    * each joint cell, term = (n_xy/N)·ln(N·n_xy / (n_x·n_y)), summed to
-    * the total MI in nats. A curation pipeline uses this to detect when
-    * a "random" source split is secretly language-skewed.
-    *
-    * Scale shape: one data-sized (lang, source) aggregation; margins
-    * are window sums over the ≤|cells| frame, never a second scan.
-    * Determinism: all counts exact longs, terms round to micro-nats
-    * before the window total. */
   /** χ² independence test + Cramér's V of lang × source — the
     * bounded-[0,1] companion to [[mutualInfo]] (MI is unbounded, so
     * dashboards threshold V instead): χ² = Σ (N·n_xy − n_x·n_y)² /
@@ -193,6 +183,16 @@ object Profiling {
           .as("v_micros"))
   }
 
+  /** Mutual information between `lang` and `source` — the dependence
+    * profile between two categorical columns (0 ⇔ independent): for
+    * each joint cell, term = (n_xy/N)·ln(N·n_xy / (n_x·n_y)), summed to
+    * the total MI in nats. A curation pipeline uses this to detect when
+    * a "random" source split is secretly language-skewed.
+    *
+    * Scale shape: one data-sized (lang, source) aggregation; margins
+    * are window sums over the ≤|cells| frame, never a second scan.
+    * Determinism: all counts exact longs, terms round to micro-nats
+    * before the window total. */
   def mutualInfo(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cells = Tables.documents(s, dir)
@@ -225,10 +225,16 @@ object Profiling {
     * frame); label = embeddings.label mod 2. Bin division goes through
     * floor on a double (|score| ≤ 8e6 — exact) so negative scores bin
     * identically in any engine. */
+  /** THE shared classifier score (Σ of the first 8 embedding dims in
+    * integer micros) used by every ml1x metric — one definition on the
+    * Spark side to mirror the single $embScoreSql on the oracle side;
+    * a change here must change there, and nowhere else. */
+  private def embScore: Column = (0 until 8)
+    .map(k => round(col("embedding")(k).cast("double") * 1e6).cast("long"))
+    .reduce(_ + _)
+
   private def scoreBins(s: SparkSession, dir: String): DataFrame = {
-    val score = (0 until 8)
-      .map(k => round(col("embedding")(k).cast("double") * 1e6).cast("long"))
-      .reduce(_ + _)
+    val score = embScore
     Tables.embeddings(s, dir)
       .select(floor(score.cast("double") / 1000.0).cast("long").as("bin"),
         (col("label") % 2).cast("long").as("y"))
@@ -339,9 +345,7 @@ object Profiling {
     * integer, and the single ECE divide runs on exact longs. */
   def calibrationBins(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val score = (0 until 8)
-      .map(k => round(col("embedding")(k).cast("double") * 1e6).cast("long"))
-      .reduce(_ + _)
+    val score = embScore
     val p = lit(1.0) / (lit(1.0) + exp(-(score.cast("double") / lit(1e6))))
     val all = Window.partitionBy(lit(1))
     Tables.embeddings(s, dir)
@@ -420,9 +424,7 @@ object Profiling {
     * is a FIXED IEEE expression over those longs (the F1 reuses the
     * same two divides), mirrored verbatim by the oracle, 6dp-rounded. */
   def confusion(s: SparkSession, dir: String): DataFrame = {
-    val score = (0 until 8)
-      .map(k => round(col("embedding")(k).cast("double") * 1e6).cast("long"))
-      .reduce(_ + _)
+    val score = embScore
     val cells = Tables.embeddings(s, dir)
       .select((score > 0).as("pred"), (col("label") % 2 === 1).as("y"))
       .agg(
@@ -513,9 +515,7 @@ object Profiling {
     * the rate. The decile shuffle moves (score, label) longs only. */
   def liftDeciles(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val score = (0 until 8)
-      .map(k => round(col("embedding")(k).cast("double") * 1e6).cast("long"))
-      .reduce(_ + _)
+    val score = embScore
     val dec = Tables.embeddings(s, dir)
       .select(score.as("sm"), (col("label") % 2).cast("long").as("y"),
         col("vec_id"))

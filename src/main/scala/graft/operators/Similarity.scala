@@ -282,12 +282,8 @@ object Similarity {
     // separate JVMs can still race the build; a deployment puts a lock
     // (or a scheduler-owned build step) in front, same as any shared
     // index build.
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    val fp = java.lang.Long.toHexString(src.length() ^
-      java.lang.Long.rotateLeft(src.lastModified(), 21))
     // v1 = quantizer/algorithm version — bump on semantic change
-    val base =
-      s"/tmp/graft_ivf_index_v1_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$fp"
+    val base = Staging.base("ivf_index_v1", dir, "", "embeddings")
     val marker = new java.io.File(s"$base/_built")
     if (!marker.exists()) {
       val e = Tables.embeddings(s, dir)

@@ -383,13 +383,9 @@ object TextAnalysis {
   def bm25Indexed(s: SparkSession, dir: String, terms: Seq[String],
                   k: Int = 10, buckets: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val fp = java.lang.Long.toHexString(src.length() ^
-      java.lang.Long.rotateLeft(src.lastModified(), 21))
     // the bucket count is part of the cache key: an index partitioned
     // mod B is only valid for queries hashing mod the same B
-    val base = s"/tmp/graft_bm25_index_v1_b${buckets}_" +
-      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_$fp"
+    val base = Staging.base("bm25_index_v1", dir, s"b$buckets", "documents")
     val marker = new java.io.File(s"$base/_built")
     if (!marker.exists()) {
       val tk = Tables.documents(s, dir)

@@ -295,13 +295,9 @@ object Training {
     * completes. */
   private def bpeRun[T](s: SparkSession, dir: String, merges: Int)(
       finish: (List[(Int, String, String, Long)], DataFrame) => T): T = {
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val fp = java.lang.Long.toHexString(src.length() ^
-      java.lang.Long.rotateLeft(src.lastModified(), 21))
     // v1 = algorithm version: bump when the training logic changes so
     // a stale staged model can never serve a new code version
-    val base = s"/tmp/graft_bpe_v1_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
-      s"_${merges}_$fp"
+    val base = Staging.base("bpe_v1", dir, s"$merges", "documents")
     val marker = new java.io.File(s"$base/_built")
     if (!marker.exists()) {
       val sc = s.sparkContext
@@ -494,6 +490,10 @@ object Training {
       .groupBy(col("i"), col("j"))
       .agg(sum(col("mi") * col("mj")).as("g"))
     val rows = g.collect()
+    if (rows.isEmpty) { // empty corpus degrades to an empty frame,
+      import s.implicits._ // not a driver-side empty.max crash
+      return Seq.empty[(Long, Long)].toDF("dim", "v_micros")
+    }
     val dims = rows.map(_.getInt(0)).max + 1
     val gm = Array.ofDim[Long](dims, dims)
     rows.foreach(r => gm(r.getInt(0))(r.getInt(1)) = r.getLong(2))

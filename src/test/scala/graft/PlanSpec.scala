@@ -403,13 +403,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("rfm grid: one user-keyed aggregation, quintiles rank the user " +
-    "frame (single-partition windows over users, never events)") {
+  test("rfm grid: single events scan; quintiles rank the checkpointed " +
+    "user frame, never events") {
     val p = plan(graft.operators.EventAnalytics.rfm(spark, sf))
-    // the three ntile windows must sit above the per-user aggregate,
-    // so exactly one events scan feeds everything
-    assert(p.split("FileScan parquet").length - 1 <= 2,
-      s"events must scan at most twice (corpus max + per-user):\n$p")
+    // the per-user aggregate checkpoints, so downstream (recency
+    // anchor + quintiles + cell rollup) reads NO parquet at all
+    assert(!p.contains("FileScan parquet"),
+      s"everything after the checkpointed per-user frame must be scan-free:\n$p")
+    assert(p.contains("Scan ExistingRDD"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 

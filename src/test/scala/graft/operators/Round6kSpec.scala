@@ -52,6 +52,23 @@ class Round6kSpec extends SparkSpec {
     assert(got.forall(_.getLong(4) === fc))
   }
 
+  test("lifecycle labels correctly across a corpus-wide inactive week") {
+    import spark.implicits._
+    // user 10 active W1+W3, user 20 active W1 only; NO user active in
+    // W2 — the gap week the observed-weeks axis used to skip
+    val w1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val w2 = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
+    val w3 = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val active = Seq((10L, w1), (10L, w3), (20L, w1)).toDF("user_id", "wk")
+    val got = EventAnalytics.lifecycleFrom(active).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("2024-01-01", "new") -> 2L,        // both users born in W1
+      ("2024-01-08", "churned") -> 2L,    // both inactive in the gap week
+      ("2024-01-15", "resurrected") -> 1L, // user 10 returns after a gap
+      ("2024-01-15", "dormant") -> 1L))   // user 20 stays gone
+  }
+
   test("cramersV: zero cells present, chi2 sums terms, V in [0,1]") {
     val rows = Profiling.cramersV(spark, sf).collect()
     val nLang = Tables.documents(spark, sf)
