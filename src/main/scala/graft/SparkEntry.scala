@@ -376,6 +376,9 @@ object SparkEntry {
     "stat25_cramers_v"  -> (Profiling.cramersV(_, _)),
     "tok6_fertility"    -> (Training.bpeFertility(_, _)),
     "text_ndcg"         -> (TextAnalysis.ndcgBm25(_, _)),
+    "ts8_stl"           -> (EventAnalytics.stlDecompose(_, _)),
+    "ev20_user_entropy" -> (EventAnalytics.userEntropy(_, _)),
+    "text_jsd_sources"  -> (TextAnalysis.jsdSources(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4388,6 +4391,84 @@ object SparkEntry {
     // (TextAnalysis.ndcgBm25); rank discounts are build-time integer
     // literals shared with the operator.
     "text_ndcg" -> ndcgSql,
+    // Moving-average seasonal-trend decomposition of the daily series
+    // (EventAnalytics.stlDecompose); dow = epoch-day mod 7 in both
+    // engines (builtin dow functions disagree on Sunday's index).
+    "ts8_stl" -> raw"""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+          CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+      tr AS (SELECT d, x,
+          CAST(round(1e6 * CAST(sum(x) OVER w AS DOUBLE) /
+            CAST(count(*) OVER w AS DOUBLE)) AS BIGINT) AS trend_micros
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      dt AS (SELECT *, x * 1000000 - trend_micros AS detr_micros,
+          CAST(date_diff('day', DATE '1970-01-01', d) % 7 AS BIGINT) AS dow
+        FROM tr),
+      se AS (SELECT dow,
+          CAST(round(CAST(sum(detr_micros) AS DOUBLE) / count(*))
+            AS BIGINT) AS seasonal_micros
+        FROM dt GROUP BY 1)
+      SELECT strftime(dt.d, '%Y-%m-%d') AS d, dt.x, dt.trend_micros,
+        se.seasonal_micros,
+        CAST(dt.detr_micros - se.seasonal_micros AS BIGINT)
+          AS residual_micros
+      FROM dt JOIN se USING (dow)""",
+    // Per-user event-type entropy (EventAnalytics.userEntropy).
+    "ev20_user_entropy" -> raw"""
+      WITH cells AS (SELECT user_id, event_type,
+          CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      t AS (SELECT *,
+          CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+          CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS k
+        FROM cells)
+      SELECT user_id, max(n) AS n_events, max(k) AS n_types,
+        CAST(sum(CAST(round(-1e6 * (CAST(c AS DOUBLE) / n) *
+          ln(CAST(c AS DOUBLE) / n)) AS BIGINT)) AS BIGINT)
+          AS entropy_micronats
+      FROM t GROUP BY user_id""",
+    // Pairwise source JSD via the absent-term closed form
+    // (TextAnalysis.jsdSources).
+    "text_jsd_sources" -> raw"""
+      WITH tk AS (SELECT source,
+          unnest(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0)) AS tok
+        FROM documents),
+      counts AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        FROM tk GROUP BY 1, 2),
+      totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        FROM counts GROUP BY 1),
+      inter AS (SELECT a.source AS src_a, b.source AS src_b,
+          a.c AS ca, b.c AS cb, ta.n AS na, tb.n AS nb
+        FROM counts a JOIN counts b
+          ON a.tok = b.tok AND a.source < b.source
+        JOIN totals ta ON ta.source = a.source
+        JOIN totals tb ON tb.source = b.source),
+      pi AS (SELECT src_a, src_b,
+          CAST(count(*) AS BIGINT) AS shared_tokens,
+          CAST(sum(ca) AS BIGINT) AS inter_ca,
+          CAST(sum(cb) AS BIGINT) AS inter_cb,
+          CAST(sum(CAST(round(1e6 *
+            ((CAST(ca AS DOUBLE) / na) / 2 *
+              ln(2 * (CAST(ca AS DOUBLE) / na) /
+                (CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb)) +
+             (CAST(cb AS DOUBLE) / nb) / 2 *
+              ln(2 * (CAST(cb AS DOUBLE) / nb) /
+                (CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb))))
+            AS BIGINT)) AS BIGINT) AS inter_micronats
+        FROM inter GROUP BY 1, 2),
+      grid AS (SELECT ta.source AS src_a, tb.source AS src_b,
+          ta.n AS na, tb.n AS nb
+        FROM totals ta CROSS JOIN totals tb WHERE ta.source < tb.source)
+      SELECT g.src_a, g.src_b,
+        coalesce(pi.shared_tokens, 0) AS shared_tokens,
+        CAST(coalesce(pi.inter_micronats, 0) +
+          CAST(round(1e6 * (ln(2) / 2) *
+            (CAST(g.na - coalesce(pi.inter_ca, 0) AS DOUBLE) / g.na +
+             CAST(g.nb - coalesce(pi.inter_cb, 0) AS DOUBLE) / g.nb))
+            AS BIGINT) AS BIGINT) AS jsd_micronats
+      FROM grid g
+      LEFT JOIN pi ON pi.src_a = g.src_a AND pi.src_b = g.src_b""",
   )
 
   // ---- shared DuckDB oracle fragments ----

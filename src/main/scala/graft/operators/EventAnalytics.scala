@@ -766,6 +766,68 @@ object EventAnalytics {
         round(max(col("gap_us")).cast("double") / 1e6, 4).as("max_s"))
   }
 
+  /** Classical seasonal-trend decomposition of the daily event-count
+    * series (the moving-average STL ancestor): trend = centered 7-day
+    * mean (partial windows at the edges), seasonal = day-of-week mean
+    * of the detrended series, residual = the rest — the
+    * anomaly-vs-seasonality separation [[seasonality]]'s χ² only
+    * scores in aggregate.
+    *
+    * Scale shape: the data-sized stage is the shared dailyCounts
+    * aggregation; the decomposition is two windows + one 7-row
+    * aggregate over the ≤ #days frame. Determinism: day-of-week is
+    * epoch-day mod 7 (engine-independent — the builtin dow functions
+    * disagree on 0- vs 1-based Sunday); every window numerator is an
+    * exact integer sum and each mean is one IEEE divide on exact
+    * longs, micro-rounded before the next stage reads it. */
+  def stlDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCounts(s, dir)
+    val wTrend = Window.orderBy(col("d")).rowsBetween(-3, 3)
+    val detrended = daily
+      .withColumn("trend_micros",
+        round(lit(1e6) * sum(col("x")).over(wTrend).cast("double") /
+          count(lit(1)).over(wTrend).cast("double")).cast("long"))
+      .withColumn("detr_micros", col("x") * 1000000L - col("trend_micros"))
+      .withColumn("dow",
+        pmod(datediff(col("d"), lit("1970-01-01").cast("date")), lit(7))
+          .cast("long"))
+      .localCheckpoint(true) // feeds the dow means and the final join
+    val seasonal = detrended.groupBy(col("dow"))
+      .agg(round(sum(col("detr_micros")).cast("double") /
+        count(lit(1)).cast("double")).cast("long").as("seasonal_micros"))
+    detrended.join(broadcast(seasonal), Seq("dow"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("d"), col("x"),
+        col("trend_micros"), col("seasonal_micros"),
+        (col("detr_micros") - col("seasonal_micros")).as("residual_micros"))
+  }
+
+  /** Per-user event-type entropy — the behavioral-diversity score
+    * separating single-action accounts (H = 0: pure scripted traffic,
+    * or a user who only ever views) from organically mixed activity;
+    * the per-entity face of [[TextAnalysis]]'s corpus-level entropy.
+    *
+    * Scale shape: one (user, type) aggregation (map-side combined);
+    * totals fold over the same frame via a user-partitioned window —
+    * bounded by |users|·|types|, no second events scan. Determinism:
+    * counts are exact longs; each plogp term micro-rounds before the
+    * per-user sum (the PSI/MI convention). */
+  def userEntropy(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val wU = Window.partitionBy(col("user_id"))
+    cells
+      .withColumn("n", sum(col("c")).over(wU))
+      .withColumn("k", count(lit(1)).over(wU))
+      .withColumn("term_micronats",
+        round(lit(-1e6) * (col("c").cast("double") / col("n")) *
+          log(col("c").cast("double") / col("n"))).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n_events"),
+        max(col("k")).as("n_types"),
+        sum(col("term_micronats")).as("entropy_micronats"))
+  }
+
   /** Cohort retention matrix — the growth-analytics triangle: users
     * grouped by first-active week, each cohort's share still active at
     * every later week offset. [[lifecycle]] labels week-over-week

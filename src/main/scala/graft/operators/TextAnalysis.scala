@@ -307,6 +307,65 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Pairwise Jensen–Shannon divergence between per-source unigram
+    * distributions — the corpus-similarity matrix a mixture designer
+    * reads before weighting sources (two sources with near-zero JSD
+    * are redundant; a high-JSD outlier is either valuable diversity or
+    * contamination). JSD(P,Q) = ½Σ p·ln(2p/(p+q)) + ½Σ q·ln(2q/(p+q));
+    * tokens absent from the other source contribute exactly
+    * (p/2)·ln 2, so the whole complement folds into ONE closed-form
+    * term from exact integer count remainders — the scorer only ever
+    * joins the token INTERSECTION (the naive-Bayes absent-term trick).
+    *
+    * Scale shape: one (source, token) aggregation, then a
+    * token-keyed equi-join between source slices of the same
+    * checkpointed frame (postings shape, never cartesian); the pair
+    * grid completes via a ≤|sources|² broadcast cross. Determinism:
+    * per-token terms micro-round before the pair sum; the complement
+    * term is one fixed IEEE expression on exact long remainders. */
+  def jsdSources(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds totals and both join sides
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val inter = counts
+      .select(col("source").as("src_a"), col("tok"), col("c").as("ca"))
+      .join(counts.select(col("source").as("src_b"), col("tok"),
+        col("c").as("cb")), Seq("tok"))
+      .filter(col("src_a") < col("src_b"))
+      .join(broadcast(totals.select(col("source").as("src_a"),
+        col("n").as("na"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("source").as("src_b"),
+        col("n").as("nb"))), Seq("src_b"))
+    val p = col("ca").cast("double") / col("na").cast("double")
+    val q = col("cb").cast("double") / col("nb").cast("double")
+    val pairInter = inter
+      .select(col("src_a"), col("src_b"), col("ca"), col("cb"),
+        round(lit(1e6) * (p / 2 * log(lit(2.0) * p / (p + q)) +
+          q / 2 * log(lit(2.0) * q / (p + q)))).cast("long")
+          .as("term_micronats"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_tokens"),
+        sum(col("ca")).as("inter_ca"), sum(col("cb")).as("inter_cb"),
+        sum(col("term_micronats")).as("inter_micronats"))
+    // complete pair grid: a no-overlap pair still has JSD = ln 2
+    broadcast(totals.select(col("source").as("src_a"), col("n").as("na")))
+      .crossJoin(broadcast(totals.select(col("source").as("src_b"),
+        col("n").as("nb"))))
+      .filter(col("src_a") < col("src_b"))
+      .join(pairInter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("shared_tokens"), lit(0L)).as("shared_tokens"),
+        (coalesce(col("inter_micronats"), lit(0L)) +
+          round(lit(1e6) * lit(math.log(2.0) / 2.0) *
+            ((col("na") - coalesce(col("inter_ca"), lit(0L))).cast("double")
+              / col("na").cast("double") +
+             (col("nb") - coalesce(col("inter_cb"), lit(0L))).cast("double")
+              / col("nb").cast("double"))).cast("long"))
+          .as("jsd_micronats"))
+  }
+
   /** 1e6-scaled NDCG rank discounts, round(1e6 / log₂(i+1)) for ranks
     * 1..10 — BUILD-TIME literals interpolated into both engines (the
     * BenfordMicros convention), so no runtime log parity question
