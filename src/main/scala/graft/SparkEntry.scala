@@ -379,6 +379,8 @@ object SparkEntry {
     "ts8_stl"           -> (EventAnalytics.stlDecompose(_, _)),
     "ev20_user_entropy" -> (EventAnalytics.userEntropy(_, _)),
     "text_jsd_sources"  -> (TextAnalysis.jsdSources(_, _)),
+    "text_collocations" -> (TextAnalysis.collocations(_, _)),
+    "text_keyness"      -> (TextAnalysis.keyness(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4469,6 +4471,58 @@ object SparkEntry {
             AS BIGINT) AS BIGINT) AS jsd_micronats
       FROM grid g
       LEFT JOIN pi ON pi.src_a = g.src_a AND pi.src_b = g.src_b""",
+    // PMI collocations (TextAnalysis.collocations): 1-based DuckDB
+    // list indexing mirrors the zip_with shifted slices.
+    "text_collocations" -> raw"""
+      WITH tk AS (SELECT list_filter(string_split_regex(lower(text),
+          '\s+'), x -> len(x) > 0) AS toks FROM documents),
+      pairs AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tk)),
+      uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY 1),
+      big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5),
+      nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc),
+      bb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM pairs)
+      SELECT big.w1, big.w2, big.c12, u1.c AS c1, u2.c AS c2,
+        CAST(round(1e6 * ln(
+          (CAST(big.c12 AS DOUBLE) * CAST(n AS DOUBLE) *
+            CAST(n AS DOUBLE)) /
+          (CAST(b AS DOUBLE) * CAST(u1.c AS DOUBLE) *
+            CAST(u2.c AS DOUBLE)))) AS BIGINT) AS pmi_micros
+      FROM big JOIN uc u1 ON u1.w = big.w1
+      JOIN uc u2 ON u2.w = big.w2, nn, bb
+      ORDER BY pmi_micros DESC, w1 ASC, w2 ASC LIMIT 20""",
+    // Dunning G-squared keyness per source (TextAnalysis.keyness).
+    "text_keyness" -> raw"""
+      WITH cells AS (SELECT source,
+          unnest(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0)) AS tok
+        FROM documents),
+      a0 AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS a
+        FROM cells GROUP BY 1, 2),
+      tt AS (SELECT tok, CAST(sum(a) AS BIGINT) AS ct FROM a0 GROUP BY 1),
+      st AS (SELECT source, CAST(sum(a) AS BIGINT) AS ns
+        FROM a0 GROUP BY 1),
+      nn AS (SELECT CAST(sum(ns) AS BIGINT) AS n FROM st),
+      sc AS (SELECT a0.source, a0.tok, a0.a, tt.ct - a0.a AS b,
+          CAST(round(2e6 * (
+            CAST(a0.a AS DOUBLE) * ln(CAST(a0.a AS DOUBLE) /
+              (CAST(st.ns AS DOUBLE) * CAST(tt.ct AS DOUBLE) /
+                CAST(nn.n AS DOUBLE))) +
+            CASE WHEN tt.ct - a0.a > 0 THEN
+              CAST(tt.ct - a0.a AS DOUBLE) *
+                ln(CAST(tt.ct - a0.a AS DOUBLE) /
+                  (CAST(nn.n - st.ns AS DOUBLE) * CAST(tt.ct AS DOUBLE) /
+                    CAST(nn.n AS DOUBLE)))
+            ELSE 0 END)) AS BIGINT) AS g2_micros
+        FROM a0 JOIN tt USING (tok) JOIN st USING (source), nn),
+      rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+          ORDER BY g2_micros DESC, tok ASC) AS BIGINT) AS rank
+        FROM sc)
+      SELECT source, rank, tok, a AS n_in_source, b AS n_elsewhere,
+        g2_micros
+      FROM rk WHERE rank <= 5""",
   )
 
   // ---- shared DuckDB oracle fragments ----

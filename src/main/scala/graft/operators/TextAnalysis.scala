@@ -307,6 +307,102 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** PMI-ranked bigram collocations — the phrase-mining step that
+    * finds multiword units ("new york", "machine learning") worth
+    * atomizing before tokenizer training: PMI = ln(p₁₂/(p₁·p₂)) =
+    * ln(c₁₂·N² / (B·c₁·c₂)) over the corpus bigram/unigram models,
+    * min-count filtered (rare pairs have inflated PMI — the classic
+    * artifact) and top-k by score.
+    *
+    * Scale shape: one bigram aggregation + one unigram aggregation
+    * (both map-side combined, the kn_bigrams shape); scoring joins the
+    * bigram model against the BROADCAST unigram model twice; the top-k
+    * is a TakeOrdered over the model frame. Determinism: exact integer
+    * counts into one fixed IEEE ln, micro-rounded before the fully
+    * tie-broken rank. */
+  def collocations(s: SparkSession, dir: String, minCount: Int = 5,
+                   k: Int = 20): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toksCol = tokens(lower(col("text")))
+    val pairs = docs.select(toksCol.as("toks"))
+      .select(explode(bigramPairs(col("toks"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .localCheckpoint(true) // feeds bigram counts AND the B total
+    val uni = docs.select(explode(toksCol).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds both unigram joins AND the N total
+    val big = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    big
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))),
+        Seq("w2"))
+      .crossJoin(broadcast(uni.agg(sum(col("c")).as("n"))))
+      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("b"))))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        // per-factor double casts BEFORE the products: the integer
+        // products would overflow long once N reaches billions of
+        // tokens; the double sequence is identical in both engines
+        round(lit(1e6) * log(
+          (col("c12").cast("double") * col("n").cast("double") *
+            col("n").cast("double")) /
+          (col("b").cast("double") * col("c1").cast("double") *
+            col("c2").cast("double"))))
+          .cast("long").as("pmi_micros"))
+      .orderBy(col("pmi_micros").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /** Dunning log-likelihood (G²) keyness — each source's signature
+    * vocabulary vs the rest of the corpus, the corpus-linguistics
+    * standard for domain fingerprinting (what IS this source about,
+    * statistically): per (source, token) the 2-cell G² =
+    * 2·(a·ln(a/E_a) + b·ln(b/E_b)) with expectations from the margins,
+    * top-k per source. Zero cells contribute 0 (the x·ln x → 0 limit).
+    *
+    * Scale shape: one (source, token) aggregation; token totals are a
+    * BROADCAST vocab-sized frame; the per-source rank filter plans
+    * through the TopKPerKey heap exec (≤ k survivors per source cross
+    * the final shuffle, no global sort). Determinism: all counts
+    * exact longs; each G² term micro-rounds from one fixed IEEE
+    * expression; ranks fully tie-broken. */
+  def keyness(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftStrategies.register(s)
+    val cells = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("a"))
+      .localCheckpoint(true) // feeds token totals, source totals, scorer
+    val tokTot = cells.groupBy(col("tok")).agg(sum(col("a")).as("ct"))
+    val srcTot = cells.groupBy(col("source")).agg(sum(col("a")).as("ns"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("g2_micros").desc, col("tok").asc)
+    val aD = col("a").cast("double")
+    val bD = col("b").cast("double")
+    // cast-first products (see collocations): long ns·ct overflows at
+    // corpus scale; the double sequence replays identically
+    val ea = col("ns").cast("double") * col("ct").cast("double") /
+      col("n").cast("double")
+    val eb = (col("n") - col("ns")).cast("double") *
+      col("ct").cast("double") / col("n").cast("double")
+    cells
+      .join(broadcast(tokTot), Seq("tok"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(srcTot.agg(sum(col("ns")).as("n"))))
+      .withColumn("b", col("ct") - col("a"))
+      .withColumn("g2_micros",
+        round(lit(2e6) * (aD * log(aD / ea) +
+          when(col("b") > 0L, bD * log(bD / eb)).otherwise(lit(0.0))))
+          .cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("rn").cast("long").as("rank"), col("tok"),
+        col("a").as("n_in_source"), col("b").as("n_elsewhere"),
+        col("g2_micros"))
+  }
+
   /** Pairwise Jensen–Shannon divergence between per-source unigram
     * distributions — the corpus-similarity matrix a mixture designer
     * reads before weighting sources (two sources with near-zero JSD

@@ -58,6 +58,60 @@ class Round6lSpec extends SparkSpec {
     }
   }
 
+  test("collocations: PMI replays from collected counts; min-count holds") {
+    val rows = TextAnalysis.collocations(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val toks = Tables.documents(spark, sf).select(col("text")).collect()
+      .map(_.getString(0).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.length.toLong)
+    val pairsAll = toks.flatMap(t => t.zip(t.drop(1)))
+    val big = pairsAll.groupBy(identity).view.mapValues(_.length.toLong)
+    val n = toks.map(_.length.toLong).sum
+    val b = pairsAll.length.toLong
+    rows.foreach { r =>
+      val (w1, w2, c12) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(c12 >= 5L && big((w1, w2)) === c12)
+      assert(r.getLong(3) === uni(w1) && r.getLong(4) === uni(w2))
+      assert(r.getLong(5) === rnd(1e6 * math.log(
+        (c12.toDouble * n.toDouble * n.toDouble) /
+        (b.toDouble * uni(w1).toDouble * uni(w2).toDouble))))
+    }
+    // descending with full tie-break
+    assert(rows.map(r => (-r.getLong(5), r.getString(0), r.getString(1)))
+      .toSeq === rows.map(r => (-r.getLong(5), r.getString(0),
+        r.getString(1))).sortBy(identity).toSeq)
+  }
+
+  test("keyness: top-k per source, G2 replays, zero-b guarded") {
+    val rows = TextAnalysis.keyness(spark, sf).collect()
+    val bySrc = rows.groupBy(_.getString(0))
+    bySrc.values.foreach { g =>
+      assert(g.length <= 5)
+      assert(g.map(_.getLong(1)).sorted.toSeq ===
+        (1L to g.length.toLong).toSeq)
+    }
+    // replay one source's top token from collected counts
+    val r0 = rows.minBy(r => (r.getString(0), r.getLong(1)))
+    val cells = Tables.documents(spark, sf)
+      .select(col("source"),
+        explode(filter(split(lower(col("text")), "\\s+"),
+          t => length(t) > 0)).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("a"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val a = cells.filter(c => c._1 == r0.getString(0) &&
+      c._2 == r0.getString(2)).map(_._3).sum
+    val ct = cells.filter(_._2 == r0.getString(2)).map(_._3).sum
+    val ns = cells.filter(_._1 == r0.getString(0)).map(_._3).sum
+    val n = cells.map(_._3).sum
+    val bb = ct - a
+    val ea = ns.toDouble * ct.toDouble / n.toDouble
+    val eb = (n - ns).toDouble * ct.toDouble / n.toDouble
+    val g2 = rnd(2e6 * (a.toDouble * math.log(a.toDouble / ea) +
+      (if (bb > 0) bb.toDouble * math.log(bb.toDouble / eb) else 0.0)))
+    assert(r0.getLong(3) === a && r0.getLong(4) === bb)
+    assert(r0.getLong(5) === g2)
+  }
+
   test("jsdSources: symmetric-by-construction pairs, bounded by ln 2, replay") {
     val rows = TextAnalysis.jsdSources(spark, sf).collect()
     val nSrc = Tables.documents(spark, sf)
