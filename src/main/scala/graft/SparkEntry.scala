@@ -381,6 +381,8 @@ object SparkEntry {
     "text_jsd_sources"  -> (TextAnalysis.jsdSources(_, _)),
     "text_collocations" -> (TextAnalysis.collocations(_, _)),
     "text_keyness"      -> (TextAnalysis.keyness(_, _)),
+    "ev21_stationary"   -> (EventAnalytics.markovStationary(_, _)),
+    "tok7_merge_impact" -> (Training.bpeMergeImpact(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4523,6 +4525,56 @@ object SparkEntry {
       SELECT source, rank, tok, a AS n_in_source, b AS n_elsewhere,
         g2_micros
       FROM rk WHERE rank <= 5""",
+    // Stationary distribution of the ev10 Markov chain
+    // (EventAnalytics.markovStationary): 20 integer-micro power
+    // iterations replayed as a recursive CTE.
+    "ev21_stationary" -> raw"""
+      WITH RECURSIVE st AS (
+        SELECT event_type,
+          lead(event_type, 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS next_type
+        FROM events),
+      cells AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+          CAST(count(*) AS BIGINT) AS n
+        FROM st WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type),
+      trans AS (
+        SELECT from_type, to_type, n,
+          CAST(round(1e6 * CAST(n AS DOUBLE) /
+            CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT))
+            AS BIGINT) AS p_micros
+        FROM cells),
+      states AS (SELECT DISTINCT from_type AS state FROM trans),
+      k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+      pi AS (
+        SELECT 0 AS it, state, CAST(1000000 // k AS BIGINT) AS p
+        FROM states, k
+        UNION ALL
+        SELECT pi.it + 1, t.to_type,
+          CAST(round(CAST(sum(pi.p * t.p_micros) AS BIGINT) / 1e6)
+            AS BIGINT)
+        FROM pi JOIN trans t ON t.from_type = pi.state
+        WHERE pi.it < 20
+        GROUP BY 1, 2)
+      SELECT state, p AS pi_micros, CAST(20 AS BIGINT) AS n_iters
+      FROM pi WHERE it = 20""",
+    // Per-rule BPE compression impact (Training.bpeMergeImpact) —
+    // cnt-weighted segment lengths at every iteration of the bpe CTE.
+    "tok7_merge_impact" -> raw"""
+      $bpeSql,
+      totals AS (SELECT iter,
+          CAST(sum(cnt * len(string_split(trim(seg), ' '))) AS BIGINT)
+            AS toks
+        FROM bpe GROUP BY iter),
+      rules AS (SELECT DISTINCT iter, pair, merged, pair_count
+        FROM bpe WHERE iter >= 1)
+      SELECT CAST(r.iter AS BIGINT) AS iter, r.pair, r.merged,
+        r.pair_count, tb.toks AS tokens_before, ta.toks AS tokens_after,
+        CAST(tb.toks - ta.toks AS BIGINT) AS tokens_saved
+      FROM rules r
+      JOIN totals tb ON tb.iter = r.iter - 1
+      JOIN totals ta ON ta.iter = r.iter""",
   )
 
   // ---- shared DuckDB oracle fragments ----

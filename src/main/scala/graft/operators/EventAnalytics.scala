@@ -398,6 +398,48 @@ object EventAnalytics {
           .cast("long").as("p_micros"))
   }
 
+  /** Stationary distribution of the [[markovTransitions]] chain —
+    * where user behavior settles long-run (the equilibrium share of
+    * each event type), closing the Markov pair the way eval2 closes
+    * ANN: the transition estimate says where users go NEXT, this says
+    * where the chain LIVES. Power iteration π ← πP, 20 rounds, on the
+    * collected ≤|types|² transition model (the cusum/mmr convention) —
+    * all-integer micro arithmetic: π₀ = 1e6 div k uniform, each update
+    * πⱼ = round(Σᵢ πᵢ·pᵢⱼ / 1e6) on exact long products, so the oracle
+    * replays the identical trajectory as a recursive CTE.
+    *
+    * Scale shape: the data-sized stage is markovTransitions' one
+    * lead-window pass + pair aggregation; the iteration runs on a
+    * ≤ k² model. Mass stays within k/2 micros of 1e6 per round
+    * (rounding drift only — asserted in the spec). */
+  def markovStationary(s: SparkSession, dir: String,
+                       iters: Int = 20): DataFrame = {
+    val trans = markovTransitions(s, dir)
+      .select(col("from_type"), col("to_type"), col("p_micros"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    import s.implicits._
+    if (trans.isEmpty)
+      return Seq.empty[(String, Long, Long)]
+        .toDF("state", "pi_micros", "n_iters")
+    val states = trans.map(_._1).distinct.sorted
+    val p = trans.groupBy(_._1).map { case (f, ts) =>
+      f -> ts.map(t => t._2 -> t._3).toMap }
+    var pi: Map[String, Long] =
+      states.map(_ -> 1000000L / states.length).toMap
+    for (_ <- 1 to iters) {
+      val next = states.map { j =>
+        val acc = states.map(i =>
+          pi(i) * p.getOrElse(i, Map.empty).getOrElse(j, 0L)).sum
+        j -> BigDecimal(acc.toDouble / 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.toMap
+      pi = next
+    }
+    states.map(st => (st, pi(st), iters.toLong)).toSeq
+      .toDF("state", "pi_micros", "n_iters")
+  }
+
   /** Top-k session paths: the behavioral-path mining query ("what do
     * users actually do in a visit") — sessions form with the SAME
     * gaps-and-islands definition as w5_sessionize (gap ≥ 30 min closes

@@ -209,6 +209,51 @@ object Training {
         sum(col("n_tok")).as("n_bpe_tokens"))
   }
 
+  /** Per-merge-rule compression impact — which BPE rules actually pay:
+    * for each learned rule, the corpus token total before and after it
+    * applies (cnt-weighted over the training vocabulary) and the
+    * tokens it saved. The tokenizer-budget view that justifies (or
+    * kills) growing the merge table — late rules with near-zero
+    * savings are vocab slots wasted.
+    *
+    * Scale shape: rules come from the staged model (driver-side, 10
+    * rows); the vocabulary re-derives in one corpus scan, and ALL
+    * per-rule segment lengths compute in ONE narrow projection (the
+    * cumulative 3-pass replace chain, one column per rule) folded by a
+    * single aggregate — never a pass per rule over the corpus.
+    * Determinism: replays the trainer's own replace semantics on exact
+    * integer counts; zero float ops. */
+  def bpeMergeImpact(s: SparkSession, dir: String,
+                     merges: Int = 10): DataFrame = {
+    val (rules, _) = bpeRun(s, dir, merges)((r, v) => (r, v))
+    val toks = filter(split(lower(col("text")), "\\s+"),
+      t => t.rlike("^[a-z]+$"))
+    val vocab0 = Tables.documents(s, dir)
+      .select(explode(toks).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    var seg: Column = concat(lit(" "),
+      regexp_replace(col("word"), "(.)", "$1 "))
+    var lenCols = Vector(size(split(trim(seg), " ")).cast("long").as("l0"))
+    rules.foreach { case (it, pair, merged, _) =>
+      val pat = lit(" " + pair + " ")
+      val rep = lit(" " + merged + " ")
+      def once(c: Column): Column = call_function("replace", c, pat, rep)
+      seg = once(once(once(seg)))
+      lenCols :+= size(split(trim(seg), " ")).cast("long").as(s"l$it")
+    }
+    val aggs = (0 to rules.length).map(i =>
+      sum(col("cnt") * col(s"l$i")).as(s"t$i"))
+    val totRow = vocab0.select(col("cnt") +: lenCols: _*)
+      .agg(aggs.head, aggs.tail: _*).collect()(0)
+    import s.implicits._
+    rules.map { case (it, pair, merged, pc) =>
+      val before = totRow.getLong(it - 1)
+      val after = totRow.getLong(it)
+      (it.toLong, pair, merged, pc, before, after, before - after)
+    }.toDF("iter", "pair", "merged", "pair_count",
+      "tokens_before", "tokens_after", "tokens_saved")
+  }
+
   /** Per-language BPE fertility — average subword tokens per
     * whitespace word, the first metric a tokenizer review reads (a
     * lang with fertility 2× another pays 2× the context budget per

@@ -112,6 +112,48 @@ class Round6lSpec extends SparkSpec {
     assert(r0.getLong(5) === g2)
   }
 
+  test("markovStationary: mass conserved to rounding, fixpoint of P") {
+    val pi = EventAnalytics.markovStationary(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pi.nonEmpty)
+    // total mass within k/2 micros of 1e6 (rounding drift only)
+    assert(math.abs(pi.values.sum - 1000000L) <= pi.size.toLong)
+    // one more integer-micro power step is a no-op (converged)
+    val trans = EventAnalytics.markovTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    val states = pi.keys.toSeq.sorted
+    val next = states.map { j =>
+      val acc = states.map(i => pi(i) * trans.getOrElse((i, j), 0L)).sum
+      j -> rnd(acc.toDouble / 1e6)
+    }.toMap
+    assert(next === pi, "20 rounds must reach the integer fixpoint")
+  }
+
+  test("bpeMergeImpact: totals chain, savings positive and rank-plausible") {
+    val rows = Training.bpeMergeImpact(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length === 10)
+    // consecutive rules chain: after(r) == before(r+1)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(5) === b.getLong(4))
+      case _ =>
+    }
+    // every learned rule saves at least one token, never more than its
+    // training-time pair count (overlaps can only reduce application)
+    rows.foreach { r =>
+      assert(r.getLong(6) >= 1L, r.toString)
+      assert(r.getLong(6) <= r.getLong(3), r.toString)
+    }
+    // before-totals replay against tok3's whole-corpus token count at
+    // iter 0: chars of the filtered vocab, cnt-weighted
+    val t0 = rows.head.getLong(4)
+    val charTotal = Tables.documents(spark, sf)
+      .select(explode(filter(split(lower(col("text")), "\\s+"),
+        t => t.rlike("^[a-z]+$"))).as("w"))
+      .agg(sum(length(col("w")))).collect()(0).getLong(0)
+    assert(t0 === charTotal, "iter-0 segmentation is one token per char")
+  }
+
   test("jsdSources: symmetric-by-construction pairs, bounded by ln 2, replay") {
     val rows = TextAnalysis.jsdSources(spark, sf).collect()
     val nSrc = Tables.documents(spark, sf)
