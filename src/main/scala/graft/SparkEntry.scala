@@ -383,6 +383,8 @@ object SparkEntry {
     "text_keyness"      -> (TextAnalysis.keyness(_, _)),
     "ev21_stationary"   -> (EventAnalytics.markovStationary(_, _)),
     "tok7_merge_impact" -> (Training.bpeMergeImpact(_, _)),
+    "ev22_conversion_ci" -> (EventAnalytics.conversionCi(_, _)),
+    "tok8_neg_sampling" -> (Training.negativeSampling(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4575,6 +4577,63 @@ object SparkEntry {
       FROM rules r
       JOIN totals tb ON tb.iter = r.iter - 1
       JOIN totals ta ON ta.iter = r.iter""",
+    // Daily conversion Wilson intervals (EventAnalytics.conversionCi);
+    // z = 1.96 literals, the identical IEEE expression shape.
+    "ev22_conversion_ci" -> raw"""
+      WITH pud AS (SELECT CAST(ts AS DATE) AS d, user_id,
+          CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS converted
+        FROM events GROUP BY 1, 2),
+      daily AS (SELECT d, CAST(count(*) AS BIGINT) AS n_users,
+          CAST(sum(converted) AS BIGINT) AS n_conv
+        FROM pud GROUP BY 1)
+      SELECT strftime(d, '%Y-%m-%d') AS d, n_users, n_conv,
+        round(CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+          AS p_hat,
+        round((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) +
+            (1.96 * 1.96) / (2.0 * CAST(n_users AS DOUBLE))) /
+          (1.0 + (1.96 * 1.96) / CAST(n_users AS DOUBLE)) -
+          (1.96 * sqrt(
+            CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) *
+              (1.0 - CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)) /
+              CAST(n_users AS DOUBLE) +
+            (1.96 * 1.96) / (4.0 * CAST(n_users AS DOUBLE) *
+              CAST(n_users AS DOUBLE)))) /
+          (1.0 + (1.96 * 1.96) / CAST(n_users AS DOUBLE)), 6)
+          AS wilson_lo,
+        round((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) +
+            (1.96 * 1.96) / (2.0 * CAST(n_users AS DOUBLE))) /
+          (1.0 + (1.96 * 1.96) / CAST(n_users AS DOUBLE)) +
+          (1.96 * sqrt(
+            CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) *
+              (1.0 - CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)) /
+              CAST(n_users AS DOUBLE) +
+            (1.96 * 1.96) / (4.0 * CAST(n_users AS DOUBLE) *
+              CAST(n_users AS DOUBLE)))) /
+          (1.0 + (1.96 * 1.96) / CAST(n_users AS DOUBLE)), 6)
+          AS wilson_hi
+      FROM daily""",
+    // Unigram^0.75 negative-sampling weights (Training.negativeSampling)
+    // — the 3/4 power as exp(0.75 ln c) on both engines (libm pow's
+    // last ulp differs across implementations; exp/ln parity is
+    // already load-bearing repo-wide).
+    "tok8_neg_sampling" -> raw"""
+      WITH uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
+            '\s+'), x -> len(x) > 0)) AS tok FROM documents)
+        GROUP BY 1),
+      rk AS (SELECT tok, c,
+          CAST(row_number() OVER (ORDER BY c DESC, tok ASC) AS BIGINT)
+            AS rank
+        FROM uc),
+      top AS (SELECT *, CAST(round(1e6 * exp(0.75 *
+            ln(CAST(c AS DOUBLE)))) AS BIGINT) AS s_micros
+        FROM rk WHERE rank <= 100)
+      SELECT rank, tok, c, s_micros,
+        CAST(round(1e6 * CAST(s_micros AS DOUBLE) /
+          CAST(CAST(sum(s_micros) OVER () AS BIGINT) AS DOUBLE))
+          AS BIGINT) AS weight_micros
+      FROM top""",
   )
 
   // ---- shared DuckDB oracle fragments ----

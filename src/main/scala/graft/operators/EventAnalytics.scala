@@ -398,6 +398,38 @@ object EventAnalytics {
           .cast("long").as("p_micros"))
   }
 
+  /** Daily conversion rate with Wilson score intervals — the
+    * uncertainty-aware funnel readout (a 30%-conversion day on 10
+    * users is NOT a signal; the Wilson band says so): per day, active
+    * users n, purchasers k, p̂ = k/n, and the z = 1.96 Wilson bounds —
+    * the interval that behaves at small n and p near 0/1 where the
+    * normal approximation collapses.
+    *
+    * Scale shape: one distinct (user, day, purchased-flag) rollup →
+    * one day-keyed aggregation; the interval math is a fixed IEEE
+    * expression per day row (z² literals, one sqrt), 6dp-rounded like
+    * the BM25 score chain. */
+  def conversionCi(s: SparkSession, dir: String): DataFrame = {
+    val z = 1.96
+    val perUserDay = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"), col("user_id"))
+      .agg(max((col("event_type") === "purchase").cast("long"))
+        .as("converted"))
+    val daily = perUserDay.groupBy(col("d"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+    val n = col("n_users").cast("double")
+    val p = col("n_conv").cast("double") / n
+    val z2 = lit(z * z)
+    val center = (p + z2 / (lit(2.0) * n)) / (lit(1.0) + z2 / n)
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      z2 / (lit(4.0) * n * n))) / (lit(1.0) + z2 / n)
+    daily.select(date_format(col("d"), "yyyy-MM-dd").as("d"),
+      col("n_users"), col("n_conv"),
+      round(p, 6).as("p_hat"),
+      round(center - half, 6).as("wilson_lo"),
+      round(center + half, 6).as("wilson_hi"))
+  }
+
   /** Stationary distribution of the [[markovTransitions]] chain —
     * where user behavior settles long-run (the equilibrium share of
     * each event type), closing the Markov pair the way eval2 closes

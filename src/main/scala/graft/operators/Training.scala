@@ -209,6 +209,44 @@ object Training {
         sum(col("n_tok")).as("n_bpe_tokens"))
   }
 
+  /** Unigram^0.75 negative-sampling table — the noise distribution
+    * word2vec/SGNS training draws negatives from (the 3/4 power lifts
+    * the tail so rare words are sampled enough to learn): top-k corpus
+    * tokens with their dampened sampling weights. The power computes
+    * as exp(0.75·ln c) EXPLICITLY on both engines — `pow` is the one
+    * libm entry point whose last-ulp behavior differs across
+    * implementations, while exp/ln parity is already load-bearing
+    * repo-wide. Each dampened score quantizes to micros BEFORE the
+    * normalizing sum, so the total is an order-independent exact
+    * integer.
+    *
+    * Scale shape: one token-count aggregation; the top-k rank filter
+    * plans through TopKPerKey; normalization is a window sum over the
+    * ≤ k survivors. */
+  def negativeSampling(s: SparkSession, dir: String,
+                       k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftStrategies.register(s)
+    val toks = filter(split(lower(col("text")), "\\s+"),
+      t => length(t) > 0)
+    val w = Window.partitionBy(lit(1))
+      .orderBy(col("c").desc, col("tok").asc)
+    val all = Window.partitionBy(lit(1))
+    Tables.documents(s, dir)
+      .select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .withColumn("s_micros",
+        round(lit(1e6) * exp(lit(0.75) * log(col("c").cast("double"))))
+          .cast("long"))
+      .withColumn("weight_micros",
+        round(lit(1e6) * col("s_micros").cast("double") /
+          sum(col("s_micros")).over(all).cast("double")).cast("long"))
+      .select(col("rank"), col("tok"), col("c"), col("s_micros"),
+        col("weight_micros"))
+  }
+
   /** Per-merge-rule compression impact — which BPE rules actually pay:
     * for each learned rule, the corpus token total before and after it
     * applies (cnt-weighted over the training vocabulary) and the

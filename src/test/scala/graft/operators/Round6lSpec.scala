@@ -112,6 +112,47 @@ class Round6lSpec extends SparkSpec {
     assert(r0.getLong(5) === g2)
   }
 
+  test("conversionCi: bounds bracket p_hat inside [0,1]; replay one day") {
+    val rows = EventAnalytics.conversionCi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(lo <= p + 1e-9 && p <= hi + 1e-9, r.toString)
+      assert(lo >= -1e-9 && hi <= 1.0 + 1e-9, r.toString)
+    }
+    // replay the Wilson math for the first day from its own counts
+    val r0 = rows.minBy(_.getString(0))
+    val (n, k) = (r0.getLong(1).toDouble, r0.getLong(2).toDouble)
+    val z = 1.96; val z2 = z * z
+    val p = k / n
+    val center = (p + z2 / (2.0 * n)) / (1.0 + z2 / n)
+    val half = (z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))) /
+      (1.0 + z2 / n)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r0.getDouble(4) === r6(center - half))
+    assert(r0.getDouble(5) === r6(center + half))
+  }
+
+  test("negativeSampling: weights normalize, dampening flattens the head") {
+    val rows = Training.negativeSampling(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    // weights sum to 1e6 within per-row rounding drift
+    assert(math.abs(rows.map(_.getLong(4)).sum - 1000000L) <=
+      rows.length.toLong)
+    // dampened: the head token's weight share is LESS than its raw
+    // count share (that's what the 3/4 power is for)
+    val cTot = rows.map(_.getLong(2)).sum.toDouble
+    val head = rows.head
+    assert(head.getLong(4).toDouble / 1e6 < head.getLong(2) / cTot)
+    // s_micros replays exp(0.75 ln c)
+    rows.foreach { r =>
+      assert(r.getLong(3) ===
+        rnd(1e6 * math.exp(0.75 * math.log(r.getLong(2).toDouble))))
+    }
+  }
+
   test("markovStationary: mass conserved to rounding, fixpoint of P") {
     val pi = EventAnalytics.markovStationary(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
