@@ -385,6 +385,8 @@ object SparkEntry {
     "tok7_merge_impact" -> (Training.bpeMergeImpact(_, _)),
     "ev22_conversion_ci" -> (EventAnalytics.conversionCi(_, _)),
     "tok8_neg_sampling" -> (Training.negativeSampling(_, _)),
+    "eval3_ivf_recall_curve" -> (Similarity.ivfRecallCurve(_, _)),
+    "mix7_epoch_alloc"  -> (TextAnalysis.dataConstrainedEpochs(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4634,6 +4636,35 @@ object SparkEntry {
           CAST(CAST(sum(s_micros) OVER () AS BIGINT) AS DOUBLE))
           AS BIGINT) AS weight_micros
       FROM top""",
+    // IVF recall-vs-nprobe curve (Similarity.ivfRecallCurve): one
+    // parameterized ivf block per probe depth, each joined to the
+    // brute-force truth; a zero-hit depth still emits its row.
+    "eval3_ivf_recall_curve" -> (1 to 4).map(np => raw"""
+      SELECT CAST($np AS BIGINT) AS nprobe,
+        CAST(count(t.vec_id) AS BIGINT) AS hits,
+        round(count(t.vec_id) / 10.0, 4) AS recall_at_10
+      FROM (${ivfSqlN(np)}) s JOIN ($bruteAnnSql) t USING (vec_id)""")
+      .mkString("\nUNION ALL\n"),
+    // Equal-share data-constrained epoch allocation
+    // (TextAnalysis.dataConstrainedEpochs).
+    "mix7_epoch_alloc" -> raw"""
+      WITH ps AS (SELECT source,
+          CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+            t -> len(t) > 0))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1),
+      tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+          CAST(count(*) AS BIGINT) AS n_src FROM ps)
+      SELECT source, n_tokens,
+        CAST((total * 2) // n_src AS BIGINT) AS share_tokens,
+        CAST(least(4 * n_tokens, (total * 2) // n_src) AS BIGINT)
+          AS alloc_tokens,
+        CAST(round(1e6 *
+          CAST(least(4 * n_tokens, (total * 2) // n_src) AS DOUBLE) /
+          CAST(n_tokens AS DOUBLE)) AS BIGINT) AS epochs_micros,
+        CAST((total * 2) // n_src -
+          least(4 * n_tokens, (total * 2) // n_src) AS BIGINT)
+          AS unfilled_tokens
+      FROM ps, tt""",
   )
 
   // ---- shared DuckDB oracle fragments ----
@@ -5134,7 +5165,11 @@ object SparkEntry {
 
   /** IVF ANN oracle — shared by sim_ann_ivf and sim_ann_ivf_indexed
     * (the persisted-index variant returns bit-identical results). */
-  private def ivfSql: String = raw"""
+  private def ivfSql: String = ivfSqlN(3)
+
+  /** IVF oracle parameterized by probe count — shared by sim_ann_ivf
+    * (nprobe = 3) and the eval3 recall curve (nprobe = 1..4). */
+  private def ivfSqlN(nprobe: Int): String = raw"""
       WITH cent AS (
         SELECT cell, list(m ORDER BY dim) AS centroid FROM (
           SELECT label AS cell, r.range AS dim,
@@ -5146,7 +5181,7 @@ object SparkEntry {
         SELECT cell FROM cent, q
         ORDER BY round(1 - list_cosine_similarity(centroid::DOUBLE[], qv), 6) ASC,
           cell ASC
-        LIMIT 3),
+        LIMIT $nprobe),
       assigned AS (
         SELECT vec_id, embedding, cell FROM (
           SELECT e.vec_id, e.embedding, c.cell,

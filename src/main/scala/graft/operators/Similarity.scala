@@ -675,6 +675,35 @@ object Similarity {
         round(col("hits") / lit(10.0), 4).as("recall_at_10"))
   }
 
+  /** IVF recall-vs-nprobe curve — THE index-tuning artifact: recall@10
+    * against the brute-force truth at every probe depth 1..4, read to
+    * pick the accuracy/latency point (each +1 probe reads one more
+    * cell partition — [[annIvfIndexed]]'s cost model is linear in
+    * nprobe, so this curve IS the tradeoff). Shares one collected
+    * coarse quantizer across all depths (the [[annRecall]]
+    * convention); the truth set broadcasts; the probe grid left-joins
+    * so a zero-recall depth still emits its row.
+    */
+  def ivfRecallCurve(s: SparkSession, dir: String,
+                     probes: Seq[Int] = 1 to 4): DataFrame = {
+    import s.implicits._
+    val truth = broadcast(annBruteForce(s, dir).select(col("vec_id")))
+    val cents = centLiteral(quantizer(Tables.embeddings(s, dir)).collect())
+    val hits = probes.map { np =>
+      annIvf(s, dir, nprobe = np, sharedCents = Some(cents))
+        .select(lit(np.toLong).as("nprobe"), col("vec_id"))
+    }.reduce(_ unionByName _)
+      .join(truth, "vec_id")
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("h"))
+    probes.map(_.toLong).toDF("nprobe")
+      .join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe"),
+        coalesce(col("h"), lit(0L)).as("hits"),
+        round(coalesce(col("h"), lit(0L)) / lit(10.0), 4)
+          .as("recall_at_10"))
+  }
+
   /** Maximal-marginal-relevance selection: from the relevance top-40
     * shortlist, greedily pick 8 results balancing query relevance
     * against redundancy with what is already picked —

@@ -407,11 +407,15 @@ object TextAnalysis {
     * distributions — the corpus-similarity matrix a mixture designer
     * reads before weighting sources (two sources with near-zero JSD
     * are redundant; a high-JSD outlier is either valuable diversity or
-    * contamination). JSD(P,Q) = ½Σ p·ln(2p/(p+q)) + ½Σ q·ln(2q/(p+q));
-    * tokens absent from the other source contribute exactly
-    * (p/2)·ln 2, so the whole complement folds into ONE closed-form
-    * term from exact integer count remainders — the scorer only ever
-    * joins the token INTERSECTION (the naive-Bayes absent-term trick).
+    * contamination). The SCALE-PATH twin of [[jsDivergence]] (mix3,
+    * lang-keyed): mix3 materializes one row per (pair, token-in-
+    * either-side) so zero-probability sides appear explicitly — exact
+    * but O(pairs·vocab) rows; here tokens absent from the other
+    * source contribute exactly (p/2)·ln 2, so the whole complement
+    * folds into ONE closed-form term from exact integer count
+    * remainders and the scorer only ever joins the token INTERSECTION
+    * (the naive-Bayes absent-term trick). Same metric, the join never
+    * grows past observed co-occurrences.
     *
     * Scale shape: one (source, token) aggregation, then a
     * token-keyed equi-join between source slices of the same
@@ -912,6 +916,40 @@ object TextAnalysis {
         sum(col("n_tokens")).over(w).as("cum_tokens"),
         expr("((total_tokens * 2) DIV 5) DIV n_src").as("src_budget"))
       .filter(col("cum_tokens") <= col("src_budget"))
+  }
+
+  /** Data-constrained epoch allocation — the "how many times may each
+    * source repeat" calculation a token-budgeted training run makes
+    * (à la data-constrained scaling: past ~4 epochs, repeated tokens
+    * stop paying): the budget (budgetX × corpus tokens) splits into
+    * EQUAL per-source shares (the equal-voice mixture — proportional
+    * shares would trivially give every source budgetX epochs), each
+    * source draws min(cap·Tₛ, share) tokens, and the report shows the
+    * epoch count plus the unfilled remainder a redistribution pass
+    * would hand to uncapped sources.
+    *
+    * Scale shape: one per-source token aggregation; everything after
+    * operates on the ≤|sources| frame with a broadcast totals row.
+    * Determinism: shares and allocations are integer floor divisions;
+    * the single epochs divide runs on exact longs, micro-rounded. */
+  def dataConstrainedEpochs(s: SparkSession, dir: String,
+                            budgetX: Int = 2, cap: Int = 4): DataFrame = {
+    val perSrc = Tables.documents(s, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long")
+        .as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+    val totals = perSrc.agg(sum(col("n_tokens")).as("total"),
+      count(lit(1)).as("n_src"))
+    perSrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_tokens"),
+        expr(s"(total * $budgetX) DIV n_src").as("share_tokens"))
+      .withColumn("alloc_tokens",
+        least(lit(cap.toLong) * col("n_tokens"), col("share_tokens")))
+      .withColumn("epochs_micros",
+        round(lit(1e6) * col("alloc_tokens").cast("double") /
+          col("n_tokens").cast("double")).cast("long"))
+      .withColumn("unfilled_tokens",
+        col("share_tokens") - col("alloc_tokens"))
   }
 
   /** Deterministic interleaved training order — how a 100 TB pipeline

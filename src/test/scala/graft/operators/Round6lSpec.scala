@@ -112,6 +112,36 @@ class Round6lSpec extends SparkSpec {
     assert(r0.getLong(5) === g2)
   }
 
+  test("ivfRecallCurve: monotone nondecreasing in nprobe, full grid") {
+    val rows = Similarity.ivfRecallCurve(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    // more probes can only add candidates: recall is nondecreasing
+    assert(rows.map(_.getLong(1)).sliding(2).forall {
+      case Array(a, b) => a <= b; case _ => true })
+    // nprobe=3 must agree with the standalone sim_ann_ivf recall
+    val ivf3 = Similarity.annIvf(spark, sf)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val truth = Similarity.annBruteForce(spark, sf)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(rows(2).getLong(1) === (ivf3 & truth).size.toLong)
+  }
+
+  test("epochAlloc: caps bind, shares conserve, epochs replay") {
+    val rows = TextAnalysis.dataConstrainedEpochs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t, share, alloc, em, unfilled) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(alloc === math.min(4L * t, share))
+      assert(unfilled === share - alloc)
+      assert(em <= 4000000L) // the repeat cap is the ceiling
+      assert(em === rnd(1e6 * alloc.toDouble / t))
+    }
+    // every source gets the same share (equal-voice split)
+    assert(rows.map(_.getLong(2)).toSet.size === 1)
+  }
+
   test("conversionCi: bounds bracket p_hat inside [0,1]; replay one day") {
     val rows = EventAnalytics.conversionCi(spark, sf).collect()
     assert(rows.nonEmpty)
