@@ -387,6 +387,9 @@ object SparkEntry {
     "tok8_neg_sampling" -> (Training.negativeSampling(_, _)),
     "eval3_ivf_recall_curve" -> (Similarity.ivfRecallCurve(_, _)),
     "mix7_epoch_alloc"  -> (TextAnalysis.dataConstrainedEpochs(_, _)),
+    "ml19_threshold_opt" -> (Profiling.thresholdOpt(_, _)),
+    "eval4_minhash_error" -> ((s, dir) =>
+      Dedup.minhashErrorProfile(s, Fixtures.mutantDocs(s, dir))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4665,6 +4668,78 @@ object SparkEntry {
           least(4 * n_tokens, (total * 2) // n_src) AS BIGINT)
           AS unfilled_tokens
       FROM ps, tt""",
+    // F1-optimal threshold over the shared score bins
+    // (Profiling.thresholdOpt).
+    "ml19_threshold_opt" -> raw"""
+      WITH $aucCellsSql,
+      cum AS (SELECT bin,
+          CAST(sum(np) OVER (ORDER BY bin DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS tp,
+          CAST(sum(nn) OVER (ORDER BY bin DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS fp,
+          CAST(sum(np) OVER () AS BIGINT) -
+          CAST(sum(np) OVER (ORDER BY bin DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS fn
+        FROM cells),
+      f AS (SELECT *,
+          CAST(round(1e6 * CAST(2 * tp AS DOUBLE) /
+            CAST(2 * tp + fp + fn AS DOUBLE)) AS BIGINT) AS f1_micros
+        FROM cum),
+      best AS (SELECT * FROM f
+        ORDER BY f1_micros DESC, bin ASC LIMIT 1)
+      SELECT bin AS threshold_bin, tp, fp, fn,
+        CAST(round(1e6 * CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+          AS BIGINT) AS precision_micros,
+        CAST(round(1e6 * CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+          AS BIGINT) AS recall_micros,
+        f1_micros
+      FROM best""",
+    // MinHash estimator-error histogram over the banded candidates
+    // (Dedup.minhashErrorProfile).
+    "eval4_minhash_error" -> raw"""
+      WITH base AS ($mutantBaseSql),
+      t AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '\s+'),
+                x -> len(x) > 0) AS tk FROM base),
+      sg AS (SELECT doc_id,
+              CASE WHEN len(tk) >= 3
+                THEN list_distinct(list_transform(range(0, len(tk) - 2),
+                  i -> array_to_string(tk[i+1:i+3], ' ')))
+                ELSE [array_to_string(tk, ' ')] END AS sh FROM t),
+      xs AS (SELECT doc_id,
+              list_transform(sh, g ->
+                ('0x' || substr(md5(g), 1, 15))::BIGINT % 1000000000) AS xs
+             FROM sg),
+      sig AS (SELECT doc_id,
+               list_transform(range(1, 17), i ->
+                 list_min(list_transform(xs, x ->
+                   ((2 * i * 104729 + 1) * x + i * 7919) % 1000000007))) AS sig
+              FROM xs),
+      bands AS (SELECT doc_id, r.range AS band,
+                 array_to_string(list_transform(
+                   sig[r.range * 4 + 1 : r.range * 4 + 4],
+                   v -> v::VARCHAR), '_') AS band_key
+                FROM sig, range(0, 4) r),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b ON a.band = b.band
+                 AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      errs AS (SELECT
+          CAST(least(floor(abs(
+            len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))
+              / 16.0 -
+            CAST(len(list_intersect(sha.sh, shb.sh)) AS DOUBLE) /
+              len(list_distinct(list_concat(sha.sh, shb.sh)))) * 10), 9)
+            AS BIGINT) AS err_decile
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b
+        JOIN sg sha ON sha.doc_id = c.doc_a
+        JOIN sg shb ON shb.doc_id = c.doc_b)
+      SELECT err_decile, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM errs GROUP BY 1""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -203,6 +203,58 @@ object Dedup {
     * signature slice itself (≤ 43 bytes), not a hash of it, so the
     * DuckDB oracle mirrors the candidate set exactly.
     */
+  /** MinHash estimator-error calibration — the sketch-quality check
+    * behind every LSH threshold choice: over the banded candidate
+    * pairs, compare the signature's similarity estimate (matching
+    * coordinates / 16) against the exact shingle Jaccard and histogram
+    * the absolute error in deciles. A healthy k=16 sketch concentrates
+    * in the first two buckets (σ = √(s(1−s)/16) ≈ 0.125 at s = 0.5);
+    * mass in the tail means the banding threshold is lying.
+    *
+    * Scale shape: identical to [[minhashLsh]] (staged shingles, banded
+    * candidate equi-join — never all-pairs) plus one signature join;
+    * the histogram is a ≤10-row aggregate. Determinism: est = k/16 is
+    * exact binary; the exact Jaccard divide and the decile floor are
+    * the same IEEE ops in both engines. */
+  def minhashErrorProfile(s: SparkSession, docs: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    val shPath = "/tmp/graft_stage_mherr_sh_" +
+      Integer.toHexString(docs.queryExecution.analyzed.semanticHash())
+    shingled(docs).write.mode("overwrite").parquet(shPath)
+    val shDocs = s.read.parquet(shPath)
+    val sigs = shDocs.select(col("doc_id"), minhashSig(col("sh")).as("sig"))
+      .repartition(col("doc_id"))
+      .localCheckpoint(true) // feeds the bands AND both pair sides
+    val bands = sigs
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => concat_ws("_", slice(col("sig"), b * 4 + 1, lit(4))))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+    val candidates = bands.select(col("doc_id").as("doc_a"), col("band"),
+        col("band_key"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"),
+        col("band_key")), Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    candidates
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        "doc_b")
+      .join(shDocs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(shDocs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .select(
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), v => v)).cast("double") / 16.0).as("est"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("exact"))
+      .select(least(floor(abs(col("est") - col("exact")) * 10), lit(9.0))
+        .cast("long").as("err_decile"))
+      .groupBy(col("err_decile")).agg(count(lit(1)).as("n_pairs"))
+  }
+
   def minhashLsh(s: SparkSession, docs: DataFrame,
                  threshold: Double = 0.5): DataFrame = {
     GraftFunctions.register(s)

@@ -329,6 +329,44 @@ object Profiling {
         col("ap_micros"))
   }
 
+  /** F1-optimal decision threshold — the step that turns the ml10-17
+    * RANKING metrics into a deployable classifier: sweep every score
+    * bin as the accept cutoff, compute F1 from exact cumulative
+    * counts, keep the argmax (ties to the lower bin). One row out:
+    * the chosen threshold with its confusion counts and P/R/F1.
+    *
+    * Scale shape: the same bounded bin frame as [[rocAuc]]; the sweep
+    * is two cumulative windows, the argmax one row_number. F1 =
+    * 2tp/(2tp+fp+fn) stays in exact longs until one final micro-round
+    * per metric. */
+  def thresholdOpt(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAbove = Window.partitionBy(lit(1)).orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(1))
+    val pick = Window.partitionBy(lit(1))
+      .orderBy(col("f1_micros").desc, col("bin").asc)
+    scoreBins(s, dir)
+      .withColumn("tp", sum(col("np")).over(wAbove))
+      .withColumn("fp", sum(col("nn")).over(wAbove))
+      .withColumn("fn", sum(col("np")).over(all) - col("tp"))
+      .withColumn("f1_micros",
+        round(lit(1e6) * (lit(2L) * col("tp")).cast("double") /
+          (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+          .cast("long"))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("bin").as("threshold_bin"), col("tp"), col("fp"),
+        col("fn"),
+        round(lit(1e6) * col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double")).cast("long")
+          .as("precision_micros"),
+        round(lit(1e6) * col("tp").cast("double") /
+          (col("tp") + col("fn")).cast("double")).cast("long")
+          .as("recall_micros"),
+        col("f1_micros"))
+  }
+
   /** Calibration / reliability profile of a probabilistic classifier —
     * the companion check to [[rocAuc]] (AUC measures ranking,
     * calibration measures whether p=0.8 MEANS 80%): predicted

@@ -112,6 +112,39 @@ class Round6lSpec extends SparkSpec {
     assert(r0.getLong(5) === g2)
   }
 
+  test("thresholdOpt: F1 replays and is the max over the full sweep") {
+    val r = Profiling.thresholdOpt(spark, sf).collect()
+    assert(r.length === 1)
+    val (tp, fp, fn) = (r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+    assert(r(0).getLong(6) ===
+      rnd(1e6 * (2.0 * tp) / (2.0 * tp + fp + fn)))
+    assert(r(0).getLong(4) === rnd(1e6 * tp.toDouble / (tp + fp)))
+    assert(r(0).getLong(5) === rnd(1e6 * tp.toDouble / (tp + fn)))
+    // no other operating point on the curve beats it
+    val pts = Profiling.prAuc(spark, sf).collect()
+    val best = pts.map { p =>
+      val (ctp, cfp) = (p.getLong(1), p.getLong(2))
+      val nPos = math.round(ctp / (p.getLong(4) / 1e6)) // recall = tp/n_pos
+      rnd(1e6 * (2.0 * ctp) / (2.0 * ctp + cfp + (nPos - ctp)))
+    }.max
+    assert(r(0).getLong(6) === best)
+  }
+
+  test("minhashErrorProfile: histogram covers all candidates, head-heavy") {
+    val docs = Fixtures.mutantDocs(spark, sf)
+    val hist = Dedup.minhashErrorProfile(spark, docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist.keys.forall(k => k >= 0L && k <= 9L))
+    // bucket mass equals the banded candidate-pair count (nothing lost)
+    val nCands = Dedup.minhashLsh(spark, docs, threshold = 0.0).count()
+    assert(hist.values.sum === nCands)
+    // k=16 sketch: more mass within |err| < 0.2 than outside (the
+    // sketch would be useless otherwise)
+    val head = hist.getOrElse(0L, 0L) + hist.getOrElse(1L, 0L)
+    assert(head > hist.values.sum - head,
+      s"estimator errors must concentrate near zero: $hist")
+  }
+
   test("ivfRecallCurve: monotone nondecreasing in nprobe, full grid") {
     val rows = Similarity.ivfRecallCurve(spark, sf).collect()
       .sortBy(_.getLong(0))
