@@ -390,6 +390,9 @@ object SparkEntry {
     "ml19_threshold_opt" -> (Profiling.thresholdOpt(_, _)),
     "eval4_minhash_error" -> ((s, dir) =>
       Dedup.minhashErrorProfile(s, Fixtures.mutantDocs(s, dir))),
+    "eval5_dedup_curve"  -> ((s, dir) =>
+      Dedup.dedupThresholdCurve(s, Fixtures.mutantDocs(s, dir))),
+    "mm7_pixel_hist"    -> (Multimodal.pixelHistogram(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4740,6 +4743,59 @@ object SparkEntry {
         JOIN sg shb ON shb.doc_id = c.doc_b)
       SELECT err_decile, CAST(count(*) AS BIGINT) AS n_pairs
       FROM errs GROUP BY 1""",
+    // Dedup threshold sensitivity curve (Dedup.dedupThresholdCurve):
+    // candidate pairs per Jaccard cutoff, zero-cutoffs kept.
+    "eval5_dedup_curve" -> raw"""
+      WITH base AS ($mutantBaseSql),
+      t AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '\s+'),
+                x -> len(x) > 0) AS tk FROM base),
+      sg AS (SELECT doc_id,
+              CASE WHEN len(tk) >= 3
+                THEN list_distinct(list_transform(range(0, len(tk) - 2),
+                  i -> array_to_string(tk[i+1:i+3], ' ')))
+                ELSE [array_to_string(tk, ' ')] END AS sh FROM t),
+      xs AS (SELECT doc_id,
+              list_transform(sh, g ->
+                ('0x' || substr(md5(g), 1, 15))::BIGINT % 1000000000) AS xs
+             FROM sg),
+      sig AS (SELECT doc_id,
+               list_transform(range(1, 17), i ->
+                 list_min(list_transform(xs, x ->
+                   ((2 * i * 104729 + 1) * x + i * 7919) % 1000000007))) AS sig
+              FROM xs),
+      bands AS (SELECT doc_id, r.range AS band,
+                 array_to_string(list_transform(
+                   sig[r.range * 4 + 1 : r.range * 4 + 4],
+                   v -> v::VARCHAR), '_') AS band_key
+                FROM sig, range(0, 4) r),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b ON a.band = b.band
+                 AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      jc AS (SELECT round(
+          CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+        FROM cand c
+        JOIN sg sa ON sa.doc_id = c.doc_a
+        JOIN sg sb ON sb.doc_id = c.doc_b),
+      grid AS (SELECT unnest([50, 60, 70, 80, 90]) AS threshold_pct)
+      SELECT CAST(g.threshold_pct AS BIGINT) AS threshold_pct,
+        CAST(count(j.jaccard) AS BIGINT) AS n_pairs
+      FROM grid g LEFT JOIN jc j
+        ON j.jaccard >= CAST(g.threshold_pct AS DOUBLE) / 100.0
+      GROUP BY 1""",
+    // Per-image 16-bin pixel histogram (Multimodal.pixelHistogram) —
+    // the BMP payload is the doc text, so the oracle histograms the
+    // text bytes directly.
+    "mm7_pixel_hist" -> raw"""
+      WITH e AS (SELECT doc_id, text,
+          unnest(range(1, len(text) + 1)) AS i
+        FROM documents WHERE doc_id < 200)
+      SELECT doc_id,
+        CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) // 16 AS BIGINT)
+          AS bin,
+        CAST(count(*) AS BIGINT) AS n_px
+      FROM e GROUP BY 1, 2""",
   )
 
   // ---- shared DuckDB oracle fragments ----

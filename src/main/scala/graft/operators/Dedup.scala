@@ -255,6 +255,29 @@ object Dedup {
       .groupBy(col("err_decile")).agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Dedup threshold curve — how many near-dup pairs each Jaccard
+    * cutoff would act on, the sensitivity sweep a curation team reads
+    * before COMMITTING to a threshold (0.5 keeps templates together,
+    * 0.9 only exact-ish copies; the knee of this curve is the
+    * decision): per threshold in {0.5 .. 0.9}, the count of banded
+    * candidate pairs at or above it. One candidate pass
+    * ([[minhashLsh]] at threshold 0) feeds every cutoff via a
+    * broadcast threshold grid; a cutoff with zero pairs still emits
+    * its row.
+    */
+  def dedupThresholdCurve(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val pairs = minhashLsh(s, docs, threshold = 0.0)
+    val grid = Seq(50L, 60L, 70L, 80L, 90L).toDF("threshold_pct")
+    val counts = pairs.crossJoin(broadcast(grid))
+      .filter(col("jaccard") >=
+        col("threshold_pct").cast("double") / 100.0)
+      .groupBy(col("threshold_pct")).agg(count(lit(1)).as("c"))
+    grid.join(counts, Seq("threshold_pct"), "left")
+      .select(col("threshold_pct"),
+        coalesce(col("c"), lit(0L)).as("n_pairs"))
+  }
+
   def minhashLsh(s: SparkSession, docs: DataFrame,
                  threshold: Double = 0.5): DataFrame = {
     GraftFunctions.register(s)

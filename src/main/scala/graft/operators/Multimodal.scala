@@ -212,6 +212,31 @@ object Multimodal {
           size(col("bytes")), 4).as("dark_frac"))
   }
 
+  /** Per-image pixel-intensity histogram (16 bins) — the channel-
+    * statistics stage a vision pipeline runs before normalization /
+    * augmentation (a collapsed histogram flags dead assets; a shifted
+    * one flags exposure drift). [[pixelStats]] gives the moments, this
+    * gives the SHAPE. The pixel string materializes once (eager
+    * checkpoint of the capped asset slice) so the per-byte explode
+    * reads an attribute, never re-decodes the asset per element.
+    *
+    * Scale shape: the explode is row-local fan-out (one row per byte,
+    * the frame-sample pattern); the histogram aggregation is map-side
+    * combined to ≤16 bins per doc. All-integer. */
+  def pixelHistogram(s: SparkSession, dir: String): DataFrame = {
+    val px = decodeAssets(s, dir)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        substring(col("media_bytes"), 55, 1 << 24).cast("string").as("px"))
+      .localCheckpoint(true)
+    px.select(col("doc_id"), col("px"),
+        explode(sequence(lit(1), length(col("px")))).as("i"))
+      .select(col("doc_id"),
+        expr("ascii(substr(px, i, 1)) DIV 16").as("bin"))
+      .groupBy(col("doc_id"), col("bin"))
+      .agg(count(lit(1)).as("n_px"))
+  }
+
   /** Frame-sample explode: the per-frame fan-out stage (1 row per
     * frame, capped) — the shape of video-frame extraction at scale,
     * where the explode multiplies rows before a repartition feeds the

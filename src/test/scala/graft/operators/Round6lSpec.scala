@@ -112,6 +112,36 @@ class Round6lSpec extends SparkSpec {
     assert(r0.getLong(5) === g2)
   }
 
+  test("dedupThresholdCurve: monotone nonincreasing, anchored to minhashLsh") {
+    val docs = Fixtures.mutantDocs(spark, sf)
+    val curve = Dedup.dedupThresholdCurve(spark, docs).collect()
+      .sortBy(_.getLong(0))
+    assert(curve.map(_.getLong(0)).toSeq === Seq(50L, 60L, 70L, 80L, 90L))
+    // a higher cutoff can only drop pairs
+    assert(curve.map(_.getLong(1)).sliding(2).forall {
+      case Array(a, b) => a >= b; case _ => true })
+    // the 0.5 point equals the standalone operator's default output
+    assert(curve.head.getLong(1) ===
+      Dedup.minhashLsh(spark, docs).count())
+  }
+
+  test("pixelHistogram: bins partition every byte; replay one doc") {
+    val hist = Multimodal.pixelHistogram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(hist.keys.forall { case (_, b) => b >= 0L && b <= 15L })
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // total binned bytes == total payload bytes
+    assert(hist.values.sum === docs.map(_._2.length.toLong).sum)
+    // full replay of the first doc's histogram
+    val (d0, t0) = docs.minBy(_._1)
+    val expect = t0.map(c => (c.toInt / 16).toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    expect.foreach { case (b, n) => assert(hist((d0, b)) === n) }
+  }
+
   test("thresholdOpt: F1 replays and is the max over the full sweep") {
     val r = Profiling.thresholdOpt(spark, sf).collect()
     assert(r.length === 1)
