@@ -393,6 +393,10 @@ object SparkEntry {
     "eval5_dedup_curve"  -> ((s, dir) =>
       Dedup.dedupThresholdCurve(s, Fixtures.mutantDocs(s, dir))),
     "mm7_pixel_hist"    -> (Multimodal.pixelHistogram(_, _)),
+    "ev23_time_to_convert" -> (EventAnalytics.timeToConvert(_, _)),
+    "dedup_cluster_sizes" -> ((s, dir) =>
+      Dedup.clusterSizes(Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(Fixtures.mutantSlice(s, dir))))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4796,6 +4800,43 @@ object SparkEntry {
           AS bin,
         CAST(count(*) AS BIGINT) AS n_px
       FROM e GROUP BY 1, 2""",
+    // Signup-to-purchase conversion latency (EventAnalytics
+    // .timeToConvert).
+    "ev23_time_to_convert" -> raw"""
+      WITH su AS (SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT)
+          AS s_us
+        FROM events WHERE event_type = 'signup' GROUP BY 1),
+      ns AS (SELECT CAST(count(*) AS BIGINT) AS n_signup FROM su),
+      fc AS (SELECT p.user_id,
+          CAST(min(p.p_us) - su.s_us AS BIGINT) AS delta_us
+        FROM (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS p_us
+              FROM events WHERE event_type = 'purchase') p
+        JOIN su ON su.user_id = p.user_id
+        WHERE p.p_us >= su.s_us
+        GROUP BY p.user_id, su.s_us)
+      SELECT ns.n_signup, CAST(count(*) AS BIGINT) AS n_converted,
+        CAST(round(1e6 * CAST(count(*) AS DOUBLE) /
+          CAST(ns.n_signup AS DOUBLE)) AS BIGINT) AS conv_micros,
+        round(quantile_cont(delta_us, 0.5) / 1e6, 4) AS p50_s,
+        round(quantile_cont(delta_us, 0.9) / 1e6, 4) AS p90_s,
+        round(CAST(max(delta_us) AS DOUBLE) / 1e6, 4) AS max_s
+      FROM fc, ns GROUP BY ns.n_signup""",
+    // Near-dup cluster-size histogram (Dedup.clusterSizes over the
+    // dedup_clusters component labels).
+    "dedup_cluster_sizes" -> raw"""
+      WITH RECURSIVE p AS ($ngramPairsSql),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+                UNION SELECT doc_b, doc_a FROM p),
+      reach AS (SELECT src AS doc_id, src AS r FROM edges
+                UNION
+                SELECT w.doc_id, e.dst FROM reach w
+                JOIN edges e ON e.src = w.r),
+      comp AS (SELECT doc_id, min(r) AS component
+               FROM reach GROUP BY doc_id),
+      sz AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+             FROM comp GROUP BY 1)
+      SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+      FROM sz GROUP BY 1""",
   )
 
   // ---- shared DuckDB oracle fragments ----

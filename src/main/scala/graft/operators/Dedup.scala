@@ -255,6 +255,19 @@ object Dedup {
       .groupBy(col("err_decile")).agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Cluster-size histogram of the near-dup components — the shape
+    * check after clustering ([[connectedComponents]] labels documents;
+    * this says whether dedup found scattered pairs or a few giant
+    * template families — a size-100 cluster usually means boilerplate,
+    * not plagiarism, and wants a different treatment than pair
+    * removal). Two model-frame aggregations over the labels.
+    */
+  def clusterSizes(labels: DataFrame): DataFrame =
+    labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
   /** Dedup threshold curve — how many near-dup pairs each Jaccard
     * cutoff would act on, the sensitivity sweep a curation team reads
     * before COMMITTING to a threshold (0.5 keeps templates together,

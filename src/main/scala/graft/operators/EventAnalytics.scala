@@ -398,6 +398,46 @@ object EventAnalytics {
           .cast("long").as("p_micros"))
   }
 
+  /** Signup→purchase conversion latency — the time-to-convert
+    * distribution behind every activation funnel review ([[lifecycle]]
+    * says WHO converts, this says HOW LONG it takes): per signed-up
+    * user, the delay from first signup to the first purchase at or
+    * after it, rolled up to conversion rate + p50/p90/max latency.
+    * A purchase BEFORE any signup does not count as a conversion (the
+    * attribution guard).
+    *
+    * Scale shape: two filtered user-keyed aggregations + one
+    * co-partitioned join on user_id; the percentile aggregation reuses
+    * stat1's exact-sort contract (swap percentile_approx at 100 TB,
+    * same plan). One output row. */
+  def timeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val signups = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("s_us"))
+      .localCheckpoint(true) // feeds the base count AND the join
+    val firstConv = signups
+      .join(e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us")),
+        Seq("user_id"))
+      .filter(col("p_us") >= col("s_us"))
+      .groupBy(col("user_id"), col("s_us"))
+      .agg(min(col("p_us")).as("p_us"))
+      .select(col("user_id"), (col("p_us") - col("s_us")).as("delta_us"))
+    firstConv
+      .crossJoin(broadcast(signups.agg(count(lit(1)).as("n_signup"))))
+      .groupBy(col("n_signup"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(delta_us, 0.5)") / 1e6, 4).as("p50_s"),
+        round(expr("percentile(delta_us, 0.9)") / 1e6, 4).as("p90_s"),
+        round(max(col("delta_us")).cast("double") / 1e6, 4).as("max_s"))
+      .select(col("n_signup"), col("n_converted"),
+        round(lit(1e6) * col("n_converted").cast("double") /
+          col("n_signup").cast("double")).cast("long")
+          .as("conv_micros"),
+        col("p50_s"), col("p90_s"), col("max_s"))
+  }
+
   /** Daily conversion rate with Wilson score intervals — the
     * uncertainty-aware funnel readout (a 30%-conversion day on 10
     * users is NOT a signal; the Wilson band says so): per day, active

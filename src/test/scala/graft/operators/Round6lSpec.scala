@@ -112,6 +112,44 @@ class Round6lSpec extends SparkSpec {
     assert(r0.getLong(5) === g2)
   }
 
+  test("timeToConvert: replays from collected events, rate consistent") {
+    val r = EventAnalytics.timeToConvert(spark, sf).collect()
+    assert(r.length === 1)
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val su = evs.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._3).min }
+    val deltas = su.flatMap { case (u, s) =>
+      val ps = evs.filter(e => e._1 == u && e._2 == "purchase" &&
+        e._3 >= s).map(_._3)
+      if (ps.isEmpty) None else Some(ps.min - s)
+    }.toSeq
+    assert(r(0).getLong(0) === su.size.toLong)
+    assert(r(0).getLong(1) === deltas.length.toLong)
+    assert(r(0).getLong(2) ===
+      rnd(1e6 * deltas.length.toDouble / su.size))
+    // max latency replays exactly
+    assert(r(0).getDouble(5) ===
+      BigDecimal(deltas.max.toDouble / 1e6)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("clusterSizes: histogram conserves docs and clusters") {
+    val labels = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(Fixtures.mutantSlice(spark, sf)))
+    val hist = Dedup.clusterSizes(labels).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = labels.collect()
+    // Σ size·count == total labeled docs; Σ count == distinct components
+    assert(hist.map { case (sz, n) => sz * n }.sum === rows.length.toLong)
+    assert(hist.values.sum ===
+      rows.map(_.getLong(1)).distinct.length.toLong)
+    // no singleton "clusters": every component came from a pair
+    assert(hist.keys.forall(_ >= 2L))
+  }
+
   test("dedupThresholdCurve: monotone nonincreasing, anchored to minhashLsh") {
     val docs = Fixtures.mutantDocs(spark, sf)
     val curve = Dedup.dedupThresholdCurve(spark, docs).collect()
