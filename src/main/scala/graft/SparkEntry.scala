@@ -397,6 +397,8 @@ object SparkEntry {
     "dedup_cluster_sizes" -> ((s, dir) =>
       Dedup.clusterSizes(Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(Fixtures.mutantSlice(s, dir))))),
+    "tok9_heaps_growth"  -> (TextAnalysis.heapsGrowth(_, _)),
+    "stat26_chao1"       -> (TextAnalysis.chao1(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4837,6 +4839,57 @@ object SparkEntry {
              FROM comp GROUP BY 1)
       SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
       FROM sz GROUP BY 1""",
+    // Heaps'-law vocabulary growth + log-log OLS slope
+    // (TextAnalysis.heapsGrowth).
+    "tok9_heaps_growth" -> raw"""
+      WITH fs AS (SELECT tok, CAST(min(doc_id) AS BIGINT) AS first_doc
+        FROM (SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0)) AS tok FROM documents)
+        GROUP BY 1),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      bounds AS (SELECT CAST(d AS BIGINT) AS decile,
+          CAST((d * n) // 10 AS BIGINT) AS n_docs
+        FROM (SELECT unnest(range(1, 11)) AS d), nn),
+      curve AS (SELECT b.decile, b.n_docs,
+          CAST(count(*) AS BIGINT) AS vocab_size
+        FROM fs JOIN bounds b ON fs.first_doc < b.n_docs
+        GROUP BY 1, 2),
+      pts AS (SELECT *,
+          CAST(round(1e6 * ln(CAST(n_docs AS DOUBLE))) AS BIGINT) AS x,
+          CAST(round(1e6 * ln(CAST(vocab_size AS DOUBLE))) AS BIGINT)
+            AS y
+        FROM curve),
+      fit AS (SELECT CAST(count(*) AS BIGINT) AS k,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x * y) AS BIGINT) AS sxy,
+          CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM pts)
+      SELECT p.decile, p.n_docs, p.vocab_size,
+        CAST(round(1e6 *
+          CAST(f.k * f.sxy - f.sx * f.sy AS DOUBLE) /
+          CAST(f.k * f.sxx - f.sx * f.sx AS DOUBLE)) AS BIGINT)
+          AS heaps_beta_micros
+      FROM pts p CROSS JOIN fit f""",
+    // Chao1 vocabulary-richness estimate (TextAnalysis.chao1).
+    "stat26_chao1" -> raw"""
+      WITH uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
+            '\s+'), x -> len(x) > 0)) AS tok FROM documents)
+        GROUP BY 1),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS v_obs,
+          CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+          CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        FROM uc)
+      SELECT v_obs, f1, f2,
+        CAST(CASE WHEN f2 > 0 THEN
+          round(1e6 * (CAST(v_obs AS DOUBLE) +
+            CAST(f1 * f1 AS DOUBLE) / CAST(2 * f2 AS DOUBLE)))
+        ELSE
+          round(1e6 * (CAST(v_obs AS DOUBLE) +
+            CAST(f1 * (f1 - 1) AS DOUBLE) / 2.0))
+        END AS BIGINT) AS chao1_micros
+      FROM agg""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -307,6 +307,79 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Heaps'-law vocabulary growth — distinct vocabulary size at ten
+    * corpus-prefix checkpoints plus the fitted log-log slope (the
+    * Heaps exponent β ≈ how fast new types keep arriving; the
+    * companion to [[zipfFit]]'s frequency law, and the number that
+    * sizes a tokenizer vocab for a corpus 100× larger). The growth
+    * curve computes from ONE aggregation: each token's FIRST document
+    * (min doc_id), then each checkpoint counts tokens first seen
+    * before it — never ten prefix re-scans.
+    *
+    * Scale shape: one (token → min doc) aggregation (map-side
+    * combined, vocab-sized result); the checkpoint counts and OLS fit
+    * fold over vocab-sized and 10-row frames. Determinism: the zipf
+    * convention — micro-nat quantization per point, exact integer
+    * normal equations, one IEEE divide for the slope. */
+  def heapsGrowth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+    val firstSeen = d
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+    val bounds = d.agg(count(lit(1)).as("n"))
+      .select(explode(sequence(lit(1L), lit(10L))).as("decile"), col("n"))
+      .select(col("decile"), expr("(decile * n) DIV 10").as("n_docs"))
+    val curve = firstSeen
+      .join(broadcast(bounds), col("first_doc") < col("n_docs"))
+      .groupBy(col("decile"), col("n_docs"))
+      .agg(count(lit(1)).as("vocab_size"))
+    val all = Window.partitionBy(lit(1))
+    curve
+      .withColumn("x", round(lit(1e6) *
+        log(col("n_docs").cast("double"))).cast("long"))
+      .withColumn("y", round(lit(1e6) *
+        log(col("vocab_size").cast("double"))).cast("long"))
+      .withColumn("k", count(lit(1)).over(all))
+      .withColumn("sx", sum(col("x")).over(all))
+      .withColumn("sy", sum(col("y")).over(all))
+      .withColumn("sxy", sum(col("x") * col("y")).over(all))
+      .withColumn("sxx", sum(col("x") * col("x")).over(all))
+      .select(col("decile"), col("n_docs"), col("vocab_size"),
+        round(lit(1e6) *
+          (col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .cast("long").as("heaps_beta_micros"))
+  }
+
+  /** Chao1 species-richness estimate of the vocabulary — "how many
+    * distinct tokens exist beyond this sample": V̂ = V + f₁²/(2f₂)
+    * from the singleton/doubleton counts (the ecology estimator corpus
+    * linguists borrowed; the honest answer to "is the vocab saturated"
+    * that raw distinct-counts can't give). The bias-corrected
+    * f₁(f₁−1)/2 form applies when no doubletons exist.
+    *
+    * Scale shape: one token-count aggregation, then a 3-number fold
+    * over the vocab-sized frame. Exact integers into one final IEEE
+    * divide, micro-rounded. */
+  def chao1(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("v_obs"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("v_obs"), col("f1"), col("f2"),
+        when(col("f2") > 0L,
+          round(lit(1e6) * (col("v_obs").cast("double") +
+            (col("f1") * col("f1")).cast("double") /
+            (lit(2L) * col("f2")).cast("double"))))
+          .otherwise(
+            round(lit(1e6) * (col("v_obs").cast("double") +
+              (col("f1") * (col("f1") - 1L)).cast("double") / 2.0)))
+          .cast("long").as("chao1_micros"))
+  }
+
   /** PMI-ranked bigram collocations — the phrase-mining step that
     * finds multiword units ("new york", "machine learning") worth
     * atomizing before tokenizer training: PMI = ln(p₁₂/(p₁·p₂)) =

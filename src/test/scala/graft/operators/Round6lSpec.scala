@@ -112,6 +112,45 @@ class Round6lSpec extends SparkSpec {
     assert(r0.getLong(5) === g2)
   }
 
+  test("heapsGrowth: curve monotone, endpoint = full vocab, slope replays") {
+    val rows = TextAnalysis.heapsGrowth(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 10L).toSeq)
+    // vocabulary can only grow with the prefix
+    assert(rows.map(_.getLong(2)).sliding(2).forall {
+      case Array(a, b) => a <= b; case _ => true })
+    // the last checkpoint covers every doc => the full corpus vocab
+    val fullVocab = Tables.documents(spark, sf)
+      .select(explode(filter(split(lower(col("text")), "\\s+"),
+        t => length(t) > 0)).as("t"))
+      .select(col("t")).distinct().count()
+    assert(rows.last.getLong(2) === fullVocab)
+    // slope replays from the micro-quantized points
+    val pts = rows.map(r => (rnd(1e6 * math.log(r.getLong(1).toDouble)),
+      rnd(1e6 * math.log(r.getLong(2).toDouble))))
+    val k = pts.length.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val beta = rnd(1e6 * (k * sxy - sx * sy).toDouble /
+      (k * sxx - sx * sx).toDouble)
+    assert(rows.forall(_.getLong(3) === beta))
+    // β ∈ [0, 1): the fixture's ~31-token vocab saturates inside the
+    // first decile, so β = 0 here is the CORRECT reading (a natural
+    // corpus sits around 0.4-0.6); sublinearity is the invariant
+    assert(beta >= 0L && beta < 1000000L)
+  }
+
+  test("chao1: estimate >= observed vocab, replays from counts") {
+    val r = TextAnalysis.chao1(spark, sf).collect()(0)
+    val (v, f1, f2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val est =
+      if (f2 > 0) rnd(1e6 * (v.toDouble + (f1 * f1).toDouble / (2 * f2)))
+      else rnd(1e6 * (v.toDouble + (f1 * (f1 - 1)).toDouble / 2.0))
+    assert(r.getLong(3) === est)
+    assert(r.getLong(3) >= v * 1000000L) // the estimator only adds
+  }
+
   test("timeToConvert: replays from collected events, rate consistent") {
     val r = EventAnalytics.timeToConvert(spark, sf).collect()
     assert(r.length === 1)
