@@ -399,6 +399,8 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(Fixtures.mutantSlice(s, dir))))),
     "tok9_heaps_growth"  -> (TextAnalysis.heapsGrowth(_, _)),
     "stat26_chao1"       -> (TextAnalysis.chao1(_, _)),
+    "text_lexdiv"        -> (TextAnalysis.lexicalDiversity(_, _)),
+    "stat27_spearman"    -> (Relational.stat27Spearman(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4889,6 +4891,47 @@ object SparkEntry {
           round(1e6 * (CAST(v_obs AS DOUBLE) +
             CAST(f1 * (f1 - 1) AS DOUBLE) / 2.0))
         END AS BIGINT) AS chao1_micros
+      FROM agg""",
+    // Per-source type-token ratio + hapax share
+    // (TextAnalysis.lexicalDiversity).
+    "text_lexdiv" -> raw"""
+      WITH st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT source, unnest(list_filter(
+            string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0)) AS tok FROM documents)
+        GROUP BY 1, 2)
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        CAST(count(*) AS BIGINT) AS n_types,
+        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_hapax,
+        CAST(round(1e6 * CAST(count(*) AS DOUBLE) /
+          CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)) AS BIGINT)
+          AS ttr_micros,
+        CAST(round(1e6 *
+          CAST(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+          AS hapax_micros
+      FROM st GROUP BY source""",
+    // Spearman rank correlation over pinned total orders
+    // (Relational.stat27Spearman).
+    "stat27_spearman" -> raw"""
+      WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+            AS cents
+        FROM events GROUP BY 1),
+      rk AS (SELECT
+          CAST(row_number() OVER (ORDER BY n_events ASC, user_id ASC)
+            AS BIGINT) AS ra,
+          CAST(row_number() OVER (ORDER BY cents ASC, user_id ASC)
+            AS BIGINT) AS rb
+        FROM pu),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+          CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
+        FROM rk)
+      SELECT n_users, sum_d2,
+        CAST(round(1e6 * (1.0 - CAST(6 * sum_d2 AS DOUBLE) /
+          CAST(n_users * (n_users * n_users - 1) AS DOUBLE)))
+          AS BIGINT) AS spearman_micros
       FROM agg""",
   )
 

@@ -1990,6 +1990,42 @@ object Relational {
       .withColumn("dev_micros", col("freq_micros") - col("benford_micros"))
   }
 
+  /** Spearman rank correlation between per-user event count and total
+    * value — the monotone-association check Pearson can't give when
+    * the relationship is nonlinear or heavy-tailed (a whale with 2
+    * events breaks Pearson, not Spearman): ρ = 1 − 6·Σd²/(n(n²−1))
+    * over fully tie-broken ranks. One user-keyed aggregation, two rank
+    * windows over the user frame, one exact-integer Σd² fold.
+    *
+    * Determinism: both rank orders carry user_id as the final
+    * tiebreak, so d² is exact; the single IEEE divide runs on exact
+    * longs, micro-rounded. (With ties broken deterministically rather
+    * than midranked, this is Spearman over a pinned total order — the
+    * engine-reproducible variant; midranks would need the tie-group
+    * average and a second window.) */
+  def stat27Spearman(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    val rA = Window.partitionBy(lit(1))
+      .orderBy(col("n_events").asc, col("user_id").asc)
+    val rB = Window.partitionBy(lit(1))
+      .orderBy(col("cents").asc, col("user_id").asc)
+    perUser
+      .withColumn("ra", row_number().over(rA).cast("long"))
+      .withColumn("rb", row_number().over(rB).cast("long"))
+      .agg(count(lit(1)).as("n_users"),
+        sum((col("ra") - col("rb")) * (col("ra") - col("rb")))
+          .as("sum_d2"))
+      .select(col("n_users"), col("sum_d2"),
+        round(lit(1e6) * (lit(1.0) -
+          (lit(6L) * col("sum_d2")).cast("double") /
+          (col("n_users") * (col("n_users") * col("n_users") - 1L))
+            .cast("double"))).cast("long").as("spearman_micros"))
+  }
+
   /** Gini coefficient of per-user total event value — the one-number
     * concentration audit (0 = perfectly even, →1 = one whale carries
     * everything) a marketplace or usage-billing pipeline tracks

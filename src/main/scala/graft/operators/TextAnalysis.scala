@@ -352,6 +352,33 @@ object TextAnalysis {
           .cast("long").as("heaps_beta_micros"))
   }
 
+  /** Per-source lexical diversity — type-token ratio and hapax share,
+    * the two quick lexical-health numbers beside [[keyness]]'s
+    * signature view (a template-farm source shows low TTR and few
+    * hapax; scraped natural prose shows the opposite): per source,
+    * token count, type count, TTR = types/tokens and the share of
+    * types occurring once.
+    *
+    * Scale shape: one (source, token) aggregation, then a source-keyed
+    * rollup of the vocab-sized frame. Exact integer counts, two IEEE
+    * divides per source row, micro-rounded. */
+  def lexicalDiversity(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        round(lit(1e6) * col("n_types").cast("double") /
+          col("n_tokens").cast("double")).cast("long").as("ttr_micros"),
+        round(lit(1e6) * col("n_hapax").cast("double") /
+          col("n_types").cast("double")).cast("long")
+          .as("hapax_micros"))
+  }
+
   /** Chao1 species-richness estimate of the vocabulary — "how many
     * distinct tokens exist beyond this sample": V̂ = V + f₁²/(2f₂)
     * from the singleton/doubleton counts (the ecology estimator corpus

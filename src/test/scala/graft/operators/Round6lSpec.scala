@@ -141,6 +141,38 @@ class Round6lSpec extends SparkSpec {
     assert(beta >= 0L && beta < 1000000L)
   }
 
+  test("lexicalDiversity: ratios replay, hapax bounded by types") {
+    val rows = TextAnalysis.lexicalDiversity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nt, ty, hx) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ty <= nt && hx <= ty, r.toString)
+      assert(r.getLong(4) === rnd(1e6 * ty.toDouble / nt))
+      assert(r.getLong(5) === rnd(1e6 * hx.toDouble / ty))
+    }
+  }
+
+  test("stat27Spearman: replays from collected per-user ranks") {
+    val r = Relational.stat27Spearman(spark, sf).collect()(0)
+    val pu = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val ra = pu.sortBy(u => (u._2, u._1)).zipWithIndex
+      .map { case (u, i) => u._1 -> (i + 1L) }.toMap
+    val rb = pu.sortBy(u => (u._3, u._1)).zipWithIndex
+      .map { case (u, i) => u._1 -> (i + 1L) }.toMap
+    val n = pu.length.toLong
+    val d2 = pu.map(u => { val d = ra(u._1) - rb(u._1); d * d }).sum
+    assert(r.getLong(0) === n)
+    assert(r.getLong(1) === d2)
+    assert(r.getLong(2) ===
+      rnd(1e6 * (1.0 - (6L * d2).toDouble / (n * (n * n - 1L)))))
+    // event count and spend are positively associated by construction
+    assert(r.getLong(2) > 0L)
+  }
+
   test("chao1: estimate >= observed vocab, replays from counts") {
     val r = TextAnalysis.chao1(spark, sf).collect()(0)
     val (v, f1, f2) = (r.getLong(0), r.getLong(1), r.getLong(2))
