@@ -401,6 +401,9 @@ object SparkEntry {
     "stat26_chao1"       -> (TextAnalysis.chao1(_, _)),
     "text_lexdiv"        -> (TextAnalysis.lexicalDiversity(_, _)),
     "stat27_spearman"    -> (Relational.stat27Spearman(_, _)),
+    "mm8_aspect_profile" -> (Multimodal.aspectProfile(_, _)),
+    "graph_reciprocity"  -> (Graphs.reciprocity(_, _)),
+    "samp10_neyman"      -> (Sampling.neymanAllocation(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4933,6 +4936,44 @@ object SparkEntry {
           CAST(n_users * (n_users * n_users - 1) AS DOUBLE)))
           AS BIGINT) AS spearman_micros
       FROM agg""",
+    // Resolution/aspect profile from the BMP synthesis rule
+    // (Multimodal.aspectProfile) — the oracle predicts the decoded
+    // headers independently, the mm1 convention.
+    "mm8_aspect_profile" -> raw"""
+      WITH a AS (SELECT
+          CAST((doc_id % 8) * 64 + 64 AS BIGINT) AS width,
+          CAST((doc_id % 5) * 64 + 64 AS BIGINT) AS height
+        FROM documents)
+      SELECT width, height, CAST(count(*) AS BIGINT) AS n_assets,
+        CAST(round(1e6 * CAST(width AS DOUBLE) / CAST(height AS DOUBLE))
+          AS BIGINT) AS aspect_micros
+      FROM a GROUP BY 1, 2""",
+    // Directed reciprocity of the link graph (Graphs.reciprocity).
+    "graph_reciprocity" -> raw"""
+      WITH $graphEdgesSql,
+      de AS (SELECT DISTINCT src, dst FROM edges),
+      m AS (SELECT a.src, a.dst FROM de a
+            JOIN de b ON b.src = a.dst AND b.dst = a.src)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM de) AS n_edges,
+        CAST(count(*) AS BIGINT) AS n_mutual,
+        CAST(round(1e6 * CAST(count(*) AS DOUBLE) /
+          CAST((SELECT count(*) FROM de) AS DOUBLE)) AS BIGINT)
+          AS reciprocity_micros
+      FROM m""",
+    // Neyman stratified-sample allocation (Sampling.neymanAllocation).
+    "samp10_neyman" -> raw"""
+      WITH mo AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s,
+          CAST(sum(n_chars) AS BIGINT) AS sx,
+          CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+        FROM documents GROUP BY 1),
+      w AS (SELECT *, CAST(round(sqrt(
+          CAST(n_s * sxx - sx * sx AS DOUBLE))) AS BIGINT) AS w_chars
+        FROM mo),
+      tot AS (SELECT CAST(sum(w_chars) AS BIGINT) AS tw FROM w)
+      SELECT source, n_s, w_chars,
+        CAST(round(100 * CAST(w_chars AS DOUBLE) / CAST(tw AS DOUBLE))
+          AS BIGINT) AS alloc
+      FROM w, tot""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -541,6 +541,28 @@ object Graphs {
           .as("assortativity"))
   }
 
+  /** Directed-graph reciprocity — the fraction of directed edges whose
+    * reverse edge also exists (near 0 = broadcast/citation structure,
+    * near 1 = mutual-follow structure): the one-number directionality
+    * fingerprint beside [[assortativity]]'s degree mixing. Distinct
+    * edges first (the multiset would double-count the ring overlaps),
+    * then one self-equi-join on the REVERSED key — hash-partitioned on
+    * the join key, never all-pairs.
+    */
+  def reciprocity(s: SparkSession, dir: String): DataFrame = {
+    val e = linkEdges(s, dir).distinct()
+      .localCheckpoint(true) // feeds the count and both join sides
+    val mutual = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(mutual.agg(count(lit(1)).as("n_mutual"))))
+      .select(col("n_edges"), col("n_mutual"),
+        round(lit(1e6) * col("n_mutual").cast("double") /
+          col("n_edges").cast("double")).cast("long")
+          .as("reciprocity_micros"))
+  }
+
   /** Bounded k-core peel — the density backbone extraction behind
     * spam/link-farm filtering and community seeding: repeatedly delete
     * nodes of degree < k (each deletion can expose new under-degree

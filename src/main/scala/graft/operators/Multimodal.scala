@@ -212,6 +212,26 @@ object Multimodal {
           size(col("bytes")), 4).as("dark_frac"))
   }
 
+  /** Resolution / aspect-ratio profile of the decoded assets — the
+    * first report a vision-curation pipeline reads before fixing a
+    * resize policy (which buckets dominate decides letterbox vs crop;
+    * an unexpected bucket flags a scraper pulling thumbnails): per
+    * (width, height) decoded FROM THE BYTES (never trusted metadata),
+    * the asset count and the micro-quantized aspect ratio.
+    *
+    * Scale shape: the header parse is a narrow codegen'd byte
+    * projection; one (w, h) aggregation, grid-bounded output. */
+  def aspectProfile(s: SparkSession, dir: String): DataFrame = {
+    decodeFeatures(s, dir)
+      .groupBy(col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+      .agg(count(lit(1)).as("n_assets"))
+      .select(col("width"), col("height"), col("n_assets"),
+        round(lit(1e6) * col("width").cast("double") /
+          col("height").cast("double")).cast("long")
+          .as("aspect_micros"))
+  }
+
   /** Per-image pixel-intensity histogram (16 bins) — the channel-
     * statistics stage a vision pipeline runs before normalization /
     * augmentation (a collapsed histogram flags dead assets; a shifted

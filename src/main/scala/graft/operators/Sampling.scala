@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -230,4 +231,35 @@ object Sampling {
       .limit(k)
   }
 
+  /** Neyman allocation for a stratified sample — the survey-sampling
+    * optimum the proportional split (samp1) ignores: budget n
+    * allocated per stratum ∝ Nₛ·σₛ (big AND noisy strata get more),
+    * which minimizes the estimator variance at fixed cost. Strata are
+    * sources, the measured variable is n_chars; σ comes from exact
+    * integer moment sums (population form, the KS/moments convention).
+    *
+    * Scale shape: one source-keyed moment aggregation; the allocation
+    * normalizes over the ≤|strata| frame via a window. Determinism:
+    * weights quantize to integer micros BEFORE the normalizing sum
+    * (the tok8 convention), and the final allocation is one divide on
+    * exact longs. */
+  def neymanAllocation(s: SparkSession, dir: String,
+                       budget: Int = 100): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_s"),
+        sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+      // Nₛ·σₛ = Nₛ·√(NₛΣx²−(Σx)²)/Nₛ = √(NₛΣx²−(Σx)²) — the
+      // population-σ normalizer cancels, so the weight is one sqrt of
+      // an exact integer, rounded to integer char units
+      .withColumn("w_chars",
+        round(sqrt((col("n_s") * col("sxx") - col("sx") * col("sx"))
+          .cast("double"))).cast("long"))
+      .withColumn("alloc",
+        round(lit(budget.toLong) * col("w_chars").cast("double") /
+          sum(col("w_chars")).over(all).cast("double")).cast("long"))
+      .select(col("source"), col("n_s"), col("w_chars"), col("alloc"))
+  }
 }

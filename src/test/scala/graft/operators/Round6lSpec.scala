@@ -141,6 +141,43 @@ class Round6lSpec extends SparkSpec {
     assert(beta >= 0L && beta < 1000000L)
   }
 
+  test("aspectProfile: decoded headers match the synthesis rule exactly") {
+    val prof = Multimodal.aspectProfile(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expect = Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+      .map(id => ((id % 8) * 64 + 64, (id % 5) * 64 + 64))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(prof === expect)
+  }
+
+  test("reciprocity: bounded ratio replays from the collected edge set") {
+    val r = Graphs.reciprocity(spark, sf).collect()(0)
+    val edges = Graphs.linkEdges(spark, sf).distinct().collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val mutual = edges.count { case (a, b) => edges.contains((b, a)) }
+    assert(r.getLong(0) === edges.size.toLong)
+    assert(r.getLong(1) === mutual.toLong)
+    assert(r.getLong(2) === rnd(1e6 * mutual.toDouble / edges.size))
+  }
+
+  test("neymanAllocation: weights replay; allocation tracks the budget") {
+    val rows = Sampling.neymanAllocation(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { r =>
+      val xs = docs.filter(_._1 == r.getString(0)).map(_._2)
+      val n = xs.length.toLong
+      val (sx, sxx) = (xs.sum, xs.map(x => x * x).sum)
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === rnd(math.sqrt((n * sxx - sx * sx).toDouble)))
+    }
+    // rounding drift only: total allocation within ±|strata|/2 of 100
+    assert(math.abs(rows.map(_.getLong(3)).sum - 100L) <=
+      rows.length.toLong / 2 + 1)
+  }
+
   test("lexicalDiversity: ratios replay, hapax bounded by types") {
     val rows = TextAnalysis.lexicalDiversity(spark, sf).collect()
     assert(rows.nonEmpty)
