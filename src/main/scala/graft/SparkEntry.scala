@@ -1265,32 +1265,7 @@ object SparkEntry {
         AND a.doc_id < c.doc_id
       WHERE bit_count(xor(a.simhash, c.simhash)) <= 10""",
     "dedup_minhash_lsh" -> raw"""
-      WITH base AS ($mutantBaseSql),
-      t AS (SELECT doc_id,
-              list_filter(string_split_regex(lower(text), '\s+'),
-                x -> len(x) > 0) AS tk FROM base),
-      sg AS (SELECT doc_id,
-              CASE WHEN len(tk) >= 3
-                THEN list_distinct(list_transform(range(0, len(tk) - 2),
-                  i -> array_to_string(tk[i+1:i+3], ' ')))
-                ELSE [array_to_string(tk, ' ')] END AS sh FROM t),
-      xs AS (SELECT doc_id,
-              list_transform(sh, g ->
-                ('0x' || substr(md5(g), 1, 15))::BIGINT % 1000000000) AS xs
-             FROM sg),
-      sig AS (SELECT doc_id,
-               list_transform(range(1, 17), i ->
-                 list_min(list_transform(xs, x ->
-                   ((2 * i * 104729 + 1) * x + i * 7919) % 1000000007))) AS sig
-              FROM xs),
-      bands AS (SELECT doc_id, r.range AS band,
-                 array_to_string(list_transform(
-                   sig[r.range * 4 + 1 : r.range * 4 + 4],
-                   v -> v::VARCHAR), '_') AS band_key
-                FROM sig, range(0, 4) r),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-               FROM bands a JOIN bands b ON a.band = b.band
-                 AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+      WITH $minhashCandSql
       SELECT c.doc_a, c.doc_b,
         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
           len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
@@ -4560,13 +4535,27 @@ object SparkEntry {
           CAST(count(*) AS BIGINT) AS n
         FROM st WHERE next_type IS NOT NULL
         GROUP BY event_type, next_type),
-      trans AS (
+      trans0 AS (
         SELECT from_type, to_type, n,
           CAST(round(1e6 * CAST(n AS DOUBLE) /
             CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT))
             AS BIGINT) AS p_micros
         FROM cells),
-      states AS (SELECT DISTINCT from_type AS state FROM trans),
+      -- no top-level UNION here: inside WITH RECURSIVE, DuckDB treats
+      -- a CTE shaped `SELECT .. UNION SELECT ..` as a recursive
+      -- anchor/step pair even without self-reference (verified:
+      -- `WITH RECURSIVE a AS (SELECT 1 UNION SELECT 1)` yields 2 rows)
+      states AS (SELECT DISTINCT state FROM
+        (SELECT from_type AS state FROM trans0
+         UNION ALL SELECT to_type FROM trans0)),
+      -- absorbing-state guard: a state with no outgoing transitions
+      -- keeps its mass via a unit self-loop (mirrors the operator)
+      trans AS (
+        SELECT from_type, to_type, p_micros FROM trans0
+        UNION ALL
+        SELECT s.state, s.state, CAST(1000000 AS BIGINT)
+        FROM states s
+        WHERE s.state NOT IN (SELECT DISTINCT from_type FROM trans0)),
       k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
       pi AS (
         SELECT 0 AS it, state, CAST(1000000 // k AS BIGINT) AS p
@@ -4578,8 +4567,11 @@ object SparkEntry {
         FROM pi JOIN trans t ON t.from_type = pi.state
         WHERE pi.it < 20
         GROUP BY 1, 2)
-      SELECT state, p AS pi_micros, CAST(20 AS BIGINT) AS n_iters
-      FROM pi WHERE it = 20""",
+      SELECT s.state, CAST(coalesce(f.p, 0) AS BIGINT) AS pi_micros,
+        CAST(20 AS BIGINT) AS n_iters
+      FROM states s
+      LEFT JOIN (SELECT state, p FROM pi WHERE it = 20) f
+        ON f.state = s.state""",
     // Per-rule BPE compression impact (Training.bpeMergeImpact) —
     // cnt-weighted segment lengths at every iteration of the bpe CTE.
     "tok7_merge_impact" -> raw"""
@@ -4714,32 +4706,7 @@ object SparkEntry {
     // MinHash estimator-error histogram over the banded candidates
     // (Dedup.minhashErrorProfile).
     "eval4_minhash_error" -> raw"""
-      WITH base AS ($mutantBaseSql),
-      t AS (SELECT doc_id,
-              list_filter(string_split_regex(lower(text), '\s+'),
-                x -> len(x) > 0) AS tk FROM base),
-      sg AS (SELECT doc_id,
-              CASE WHEN len(tk) >= 3
-                THEN list_distinct(list_transform(range(0, len(tk) - 2),
-                  i -> array_to_string(tk[i+1:i+3], ' ')))
-                ELSE [array_to_string(tk, ' ')] END AS sh FROM t),
-      xs AS (SELECT doc_id,
-              list_transform(sh, g ->
-                ('0x' || substr(md5(g), 1, 15))::BIGINT % 1000000000) AS xs
-             FROM sg),
-      sig AS (SELECT doc_id,
-               list_transform(range(1, 17), i ->
-                 list_min(list_transform(xs, x ->
-                   ((2 * i * 104729 + 1) * x + i * 7919) % 1000000007))) AS sig
-              FROM xs),
-      bands AS (SELECT doc_id, r.range AS band,
-                 array_to_string(list_transform(
-                   sig[r.range * 4 + 1 : r.range * 4 + 4],
-                   v -> v::VARCHAR), '_') AS band_key
-                FROM sig, range(0, 4) r),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-               FROM bands a JOIN bands b ON a.band = b.band
-                 AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      WITH $minhashCandSql,
       errs AS (SELECT
           CAST(least(floor(abs(
             len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))
@@ -4757,35 +4724,10 @@ object SparkEntry {
     // Dedup threshold sensitivity curve (Dedup.dedupThresholdCurve):
     // candidate pairs per Jaccard cutoff, zero-cutoffs kept.
     "eval5_dedup_curve" -> raw"""
-      WITH base AS ($mutantBaseSql),
-      t AS (SELECT doc_id,
-              list_filter(string_split_regex(lower(text), '\s+'),
-                x -> len(x) > 0) AS tk FROM base),
-      sg AS (SELECT doc_id,
-              CASE WHEN len(tk) >= 3
-                THEN list_distinct(list_transform(range(0, len(tk) - 2),
-                  i -> array_to_string(tk[i+1:i+3], ' ')))
-                ELSE [array_to_string(tk, ' ')] END AS sh FROM t),
-      xs AS (SELECT doc_id,
-              list_transform(sh, g ->
-                ('0x' || substr(md5(g), 1, 15))::BIGINT % 1000000000) AS xs
-             FROM sg),
-      sig AS (SELECT doc_id,
-               list_transform(range(1, 17), i ->
-                 list_min(list_transform(xs, x ->
-                   ((2 * i * 104729 + 1) * x + i * 7919) % 1000000007))) AS sig
-              FROM xs),
-      bands AS (SELECT doc_id, r.range AS band,
-                 array_to_string(list_transform(
-                   sig[r.range * 4 + 1 : r.range * 4 + 4],
-                   v -> v::VARCHAR), '_') AS band_key
-                FROM sig, range(0, 4) r),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-               FROM bands a JOIN bands b ON a.band = b.band
-                 AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-      jc AS (SELECT round(
+      WITH $minhashCandSql,
+      jc AS (SELECT
           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-          len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+          len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
         FROM cand c
         JOIN sg sa ON sa.doc_id = c.doc_a
         JOIN sg sb ON sb.doc_id = c.doc_b),
@@ -5504,6 +5446,38 @@ object SparkEntry {
         round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) AS cos_sim
       FROM assigned a, q WHERE a.cell IN (SELECT cell FROM probes)
       ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""
+
+  /** MinHash shingle -> signature -> band -> candidate CTE chain over
+    * the mutant corpus (CTEs base/t/sg/xs/sig/bands/cand) — ONE
+    * definition shared by dedup_minhash_lsh, eval4_minhash_error and
+    * eval5_dedup_curve so a hash/band tweak cannot silently
+    * desynchronize one of them. */
+  private def minhashCandSql: String = raw"""base AS ($mutantBaseSql),
+      t AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '\s+'),
+                x -> len(x) > 0) AS tk FROM base),
+      sg AS (SELECT doc_id,
+              CASE WHEN len(tk) >= 3
+                THEN list_distinct(list_transform(range(0, len(tk) - 2),
+                  i -> array_to_string(tk[i+1:i+3], ' ')))
+                ELSE [array_to_string(tk, ' ')] END AS sh FROM t),
+      xs AS (SELECT doc_id,
+              list_transform(sh, g ->
+                ('0x' || substr(md5(g), 1, 15))::BIGINT % 1000000000) AS xs
+             FROM sg),
+      sig AS (SELECT doc_id,
+               list_transform(range(1, 17), i ->
+                 list_min(list_transform(xs, x ->
+                   ((2 * i * 104729 + 1) * x + i * 7919) % 1000000007))) AS sig
+              FROM xs),
+      bands AS (SELECT doc_id, r.range AS band,
+                 array_to_string(list_transform(
+                   sig[r.range * 4 + 1 : r.range * 4 + 4],
+                   v -> v::VARCHAR), '_') AS band_key
+                FROM sig, range(0, 4) r),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b ON a.band = b.band
+                 AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"""
 
   /** Exact 3-gram-shingle Jaccard pairs ≥ 0.5 over the mutant slice —
     * mirrors Dedup.ngramJaccardPairs(Fixtures.mutantSlice); reused as

@@ -218,25 +218,11 @@ object Dedup {
     * the same IEEE ops in both engines. */
   def minhashErrorProfile(s: SparkSession, docs: DataFrame): DataFrame = {
     GraftFunctions.register(s)
-    val shPath = "/tmp/graft_stage_mherr_sh_" +
-      Integer.toHexString(docs.queryExecution.analyzed.semanticHash())
-    shingled(docs).write.mode("overwrite").parquet(shPath)
-    val shDocs = s.read.parquet(shPath)
+    val shDocs = stagedShingles(s, docs)
     val sigs = shDocs.select(col("doc_id"), minhashSig(col("sh")).as("sig"))
       .repartition(col("doc_id"))
       .localCheckpoint(true) // feeds the bands AND both pair sides
-    val bands = sigs
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          b => concat_ws("_", slice(col("sig"), b * 4 + 1, lit(4))))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
-    val candidates = bands.select(col("doc_id").as("doc_a"), col("band"),
-        col("band_key"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("band"),
-        col("band_key")), Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    candidates
+    bandedCandidates(sigs)
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
         "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
@@ -280,10 +266,13 @@ object Dedup {
     */
   def dedupThresholdCurve(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val pairs = minhashLsh(s, docs, threshold = 0.0)
+    // RAW jaccard, the same value minhashLsh thresholds on — sweeping
+    // the 4dp-ROUNDED output column instead would count a boundary
+    // pair (e.g. 0.49996 → 0.5000) that minhashLsh(0.5) excludes
+    val pairs = candidateJaccardRaw(s, docs)
     val grid = Seq(50L, 60L, 70L, 80L, 90L).toDF("threshold_pct")
     val counts = pairs.crossJoin(broadcast(grid))
-      .filter(col("jaccard") >=
+      .filter(col("jaccard_raw") >=
         col("threshold_pct").cast("double") / 100.0)
       .groupBy(col("threshold_pct")).agg(count(lit(1)).as("c"))
     grid.join(counts, Seq("threshold_pct"), "left")
@@ -291,51 +280,69 @@ object Dedup {
         coalesce(col("c"), lit(0L)).as("n_pairs"))
   }
 
-  def minhashLsh(s: SparkSession, docs: DataFrame,
-                 threshold: Double = 0.5): DataFrame = {
-    GraftFunctions.register(s)
-    // checkpoint-the-intermediate: the shingle sets feed three subtrees
-    // (signatures + both sides of the verification join) — without
-    // reuse each recomputes the full tokenize+shingle pass. Staged to
-    // storage (one eager write, three columnar reads), NOT .cache():
-    // a cache referenced by the RETURNED plan can never be unpersisted
-    // by the operator, so a long-lived session would accumulate
-    // executor storage (the round-1 bench artifact). At 100 TB a
-    // corpus-sized intermediate doesn't fit executor memory anyway —
-    // disk staging is the scale-true form.
-    // keyed by the input's semantic hash: a later call with DIFFERENT
-    // input stages elsewhere instead of clobbering the path this
-    // call's returned (lazy) plan still reads; same input re-stages
-    // the same content, so the overwrite is benign and disk stays
-    // bounded per distinct input
+  /** Staged per-doc shingle sets — checkpoint-the-intermediate: the
+    * shingle sets feed three subtrees (signatures + both verification
+    * sides). Staged to storage (one eager write, columnar reads), NOT
+    * .cache(): a cache referenced by a RETURNED plan can never be
+    * unpersisted by the operator, so a long-lived session would
+    * accumulate executor storage (the round-1 bench artifact); at
+    * 100 TB a corpus-sized intermediate doesn't fit executor memory
+    * anyway. Keyed by the input's semantic hash so a different input
+    * stages elsewhere; the same input re-stages identical content
+    * (benign overwrite, disk bounded per distinct input). ONE path
+    * shared by every MinHash-family operator on the same input. */
+  private def stagedShingles(s: SparkSession, docs: DataFrame): DataFrame = {
     val shPath = "/tmp/graft_stage_minhash_sh_" +
       Integer.toHexString(docs.queryExecution.analyzed.semanticHash())
     shingled(docs).write.mode("overwrite").parquet(shPath)
-    val shDocs = s.read.parquet(shPath)
-    val bands = shDocs
-      .select(col("doc_id"), minhashSig(col("sh")).as("sig"))
-      // repartition = projection barrier + the "bucket once, probe many"
-      // layout the same pipeline uses at scale
-      .repartition(col("doc_id"))
+    s.read.parquet(shPath)
+  }
+
+  /** Banded LSH candidate pairs from a (doc_id, sig) frame — 4 bands ×
+    * 4 rows, equi-join on (band, band_key), ordered distinct pairs.
+    * THE candidate generator shared by [[minhashLsh]],
+    * [[minhashErrorProfile]] and [[dedupThresholdCurve]]. */
+  private def bandedCandidates(sigs: DataFrame): DataFrame = {
+    val bands = sigs
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(3)),
           b => concat_ws("_", slice(col("sig"), b * 4 + 1, lit(4))))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
-    val candidates = bands.select(col("doc_id").as("doc_a"), col("band"),
-        col("band_key"))
+    bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"),
         col("band_key")), Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    candidates
-      .join(shDocs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(shDocs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+  }
+
+  /** Candidate pairs with the RAW (un-rounded) exact shingle Jaccard —
+    * the value every cutoff decision compares against; callers round
+    * only at their output boundary. */
+  private def candidateJaccardRaw(s: SparkSession,
+                                  docs: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    val shDocs = stagedShingles(s, docs)
+    val sigs = shDocs
+      .select(col("doc_id"), minhashSig(col("sh")).as("sig"))
+      // repartition = projection barrier + the "bucket once, probe
+      // many" layout the same pipeline uses at scale
+      .repartition(col("doc_id"))
+    bandedCandidates(sigs)
+      .join(shDocs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(shDocs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard_raw"))
   }
+
+  def minhashLsh(s: SparkSession, docs: DataFrame,
+                 threshold: Double = 0.5): DataFrame =
+    candidateJaccardRaw(s, docs)
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard_raw"), 4).as("jaccard"))
 
   /** Character-level fuzzy duplicate pairs — the typo-grade granularity
     * the token-level family (shingles, MinHash, SimHash) cannot see:

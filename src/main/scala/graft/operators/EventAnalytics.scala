@@ -494,15 +494,23 @@ object EventAnalytics {
     if (trans.isEmpty)
       return Seq.empty[(String, Long, Long)]
         .toDF("state", "pi_micros", "n_iters")
-    val states = trans.map(_._1).distinct.sorted
+    // state space = from ∪ to types: a type that only ever ends user
+    // histories (appears as to_type, never from_type) must keep the
+    // mass flowing into it — it gets the standard absorbing-state
+    // SELF-LOOP (p = 1), the same in-degree-0/out-degree-0 guard the
+    // pagerank oracle carries. Iterating from-states only would leak
+    // that mass each round AND disagree with the recursive oracle's
+    // to_type-keyed row set.
+    val states = (trans.map(_._1) ++ trans.map(_._2)).distinct.sorted
     val p = trans.groupBy(_._1).map { case (f, ts) =>
       f -> ts.map(t => t._2 -> t._3).toMap }
+    def pOf(i: String): Map[String, Long] =
+      p.getOrElse(i, Map(i -> 1000000L))
     var pi: Map[String, Long] =
       states.map(_ -> 1000000L / states.length).toMap
     for (_ <- 1 to iters) {
       val next = states.map { j =>
-        val acc = states.map(i =>
-          pi(i) * p.getOrElse(i, Map.empty).getOrElse(j, 0L)).sum
+        val acc = states.map(i => pi(i) * pOf(i).getOrElse(j, 0L)).sum
         j -> BigDecimal(acc.toDouble / 1e6)
           .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
       }.toMap

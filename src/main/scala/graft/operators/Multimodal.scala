@@ -248,6 +248,9 @@ object Multimodal {
       .filter(col("doc_id") < 200)
       .select(col("doc_id"),
         substring(col("media_bytes"), 55, 1 << 24).cast("string").as("px"))
+      // sequence(1, 0) would DESCEND ([1, 0]) for an empty payload and
+      // emit two phantom bin-0 rows the oracle doesn't have
+      .filter(length(col("px")) > 0)
       .localCheckpoint(true)
     px.select(col("doc_id"), col("px"),
         explode(sequence(lit(1), length(col("px")))).as("i"))

@@ -227,13 +227,11 @@ object Training {
                        k: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.plans.GraftStrategies.register(s)
-    val toks = filter(split(lower(col("text")), "\\s+"),
-      t => length(t) > 0)
     val w = Window.partitionBy(lit(1))
       .orderBy(col("c").desc, col("tok").asc)
     val all = Window.partitionBy(lit(1))
     Tables.documents(s, dir)
-      .select(explode(toks).as("tok"))
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
