@@ -3,7 +3,11 @@
 is available in this container; this script is dev tooling only, not part
 of the Scala library).
 
-Usage: python3 scripts/check_oracle.py <verify_out_dir> <sf_dir>
+Usage: python3 scripts/check_oracle.py <verify_out_dir> <sf_dir> [names]
+
+Optional [names] is a comma-separated query subset — the dev loop for
+checking a subset Verify run without 280 spurious "no spark result"
+lines.
 
 Reads each <name>/ parquet result written by graft.Verify, runs the
 matching oracle SQL from oracle_sql.json in DuckDB over the same parquet
@@ -57,12 +61,15 @@ def compare(name, spark_df, oracle_df):
     return None
 
 
-def main(out_dir, sf_dir):
+def main(out_dir, sf_dir, names=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle_sql = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if names:
+        keep = {n.strip() for n in names.split(",") if n.strip()}
+        oracle_sql = {k: v for k, v in oracle_sql.items() if k in keep}
     ok = fail = 0
     for name, sql in sorted(oracle_sql.items()):
         try:
@@ -107,4 +114,5 @@ def main(out_dir, sf_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))

@@ -120,6 +120,7 @@ object SparkEntry {
     // ---- training-data pipeline: similarity search ----
     "sim_ann_brute"     -> (Similarity.annBruteForce(_, _)),
     "sim_ann_lsh"       -> (Similarity.annLsh(_, _)),
+    "sim_ann_lsh_indexed" -> (Similarity.annLshIndexed(_, _)),
     "sim_ann_ivf"       -> (Similarity.annIvf(_, _)),
     "sim_ann_ivf_indexed" -> (Similarity.annIvfIndexed(_, _)),
     "sim_ann_sq"        -> (Similarity.annScalarQuant(_, _)),
@@ -1298,6 +1299,10 @@ object SparkEntry {
       WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
         eb.embedding::DOUBLE[]), 6) >= 0.4""",
     "sim_ann_lsh" -> lshAnnSql,
+    // the persisted banded-signature index is bit-identical to the
+    // in-session LSH (same planes, same band math, same tie-breaks) —
+    // one shared oracle, like sim_ann_ivf / sim_ann_ivf_indexed
+    "sim_ann_lsh_indexed" -> lshAnnSql,
     "sim_ann_ivf" -> ivfSql,
     // the persisted-index variant is bit-identical to the in-session
     // IVF (same quantizer math, same tie-breaks) — one shared oracle
@@ -2605,6 +2610,7 @@ object SparkEntry {
       FROM (          SELECT 'ivf' AS method, vec_id FROM ($ivfSql)
             UNION ALL SELECT 'ivfpq' AS method, vec_id FROM ($ivfPqSql)
             UNION ALL SELECT 'lsh' AS method, vec_id FROM ($lshAnnSql)
+            UNION ALL SELECT 'lsh_idx' AS method, vec_id FROM ($lshAnnSql)
             UNION ALL SELECT 'pq'  AS method, vec_id FROM ($pqAnnSql)
             UNION ALL SELECT 'sq'  AS method, vec_id FROM ($sqAnnSql)) m
       JOIN ($bruteAnnSql) t USING (vec_id)

@@ -114,6 +114,58 @@ object Similarity {
       .limit(k)
   }
 
+  /** LSH with a PERSISTED banded-signature index — the [[annIvfIndexed]]
+    * treatment applied to [[annLsh]]: the corpus's (band, bval,
+    * embedding) rows are staged ONCE per (dataset, params) as a parquet
+    * table PARTITIONED by (band, bval) — at the default 4 bands × 4 bits
+    * that is ≤ 64 directories — and every subsequent query computes its
+    * own 4 band values driver-side (a 1-row plan over the query vector)
+    * and reads ONLY the matching partition directories: a STATIC
+    * partition filter, plan-asserted in PlanSpec. Bit-identical to
+    * [[annLsh]] (same plane literals, same band arithmetic, same
+    * distinct/tie-break/limit), so both share one oracle.
+    *
+    * At 100 TB this is the difference between re-hashing the whole
+    * corpus per query (annLsh) and an O(matched buckets) read: the
+    * banded signature table IS the partition layout, built once and
+    * amortized across the query session — exactly the FAISS-style
+    * "index build then probe" split annIvfIndexed/bm25Indexed use. */
+  def annLshIndexed(s: SparkSession, dir: String, k: Int = 10,
+                    bits: Int = 16, bands: Int = 4): DataFrame = {
+    GraftFunctions.register(s)
+    val w = bits / bands
+    // v1 = plane-seed/band-arithmetic version — bump on semantic change
+    val base = Staging.base("lsh_index_v1", dir, s"b${bits}x$bands",
+      "embeddings")
+    Staging.buildOnce(base) {
+      Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          posexplode(bandVals(sigBits(col("embedding"), bits), bands, w)))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bval"))
+        .write.mode("overwrite").partitionBy("band", "bval")
+        .parquet(s"$base/bands")
+    }
+    // the query's band values, collected driver-side (4 ints — a
+    // model-sized collect) so the index read is a static OR-of-equalities
+    // over BOTH partition columns
+    val qBands = queryVec(s, dir)
+      .select(posexplode(bandVals(sigBits(col("q"), bits), bands, w)))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val probe = qBands.map { case (b, v) =>
+      col("band") === b && col("bval") === v
+    }.reduce(_ || _)
+    s.read.parquet(s"$base/bands")
+      .filter(probe)
+      .crossJoin(broadcast(queryVec(s, dir)))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q")), 6).as("cos_sim"))
+      // same dedup as annLsh: a vector matching in several bands scores
+      // identically, so distinct on the narrow (id, score) pair
+      .distinct()
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs on a bounded slice: all-pairs cosine
     * over vec_id < 60, keep pairs above threshold. The unbounded-scale
     * variant is annLsh's bucketing applied pairwise; this bounded kernel
@@ -663,6 +715,7 @@ object Similarity {
       ("ivf", annIvf(s, dir, sharedCents = Some(cents))),
       ("ivfpq", annIvfPq(s, dir, sharedCents = Some(cents))),
       ("lsh", annLsh(s, dir)),
+      ("lsh_idx", annLshIndexed(s, dir)),
       ("pq", annPq(s, dir)),
       ("sq", annScalarQuant(s, dir)))
     shortlists.map { case (m, df) =>

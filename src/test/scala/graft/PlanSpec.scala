@@ -324,6 +324,23 @@ class PlanSpec extends SparkSpec {
       "persisted-index IVF must be bit-identical to the in-session IVF")
   }
 
+  test("ann LSH indexed: query reads ONLY its bands' bucket partitions; " +
+      "results identical to the in-session LSH") {
+    val df = Similarity.annLshIndexed(spark, sf)
+    val p = plan(df)
+    // the query's 4 (band, bval) pairs must land as a STATIC partition
+    // filter on the (band, bval)-partitioned signature table — the
+    // O(matched buckets) read is the point of persisting the index
+    assert("PartitionFilters: \\[\\(*\\(+band#\\d+".r.findFirstIn(p).isDefined,
+      s"no static partition pruning on the signature index scan:\n$p")
+    assert("bval#\\d+ = ".r.findFirstIn(p).isDefined,
+      s"bval not part of the static partition filter:\n$p")
+    val indexed = df.collect().map(_.toSeq).toSeq
+    val inSession = Similarity.annLsh(spark, sf).collect().map(_.toSeq).toSeq
+    assert(indexed === inSession,
+      "persisted-index LSH must be bit-identical to the in-session LSH")
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // AQE prints codegen spans only in the FINAL plan — execute first
     val df = Relational.q1PricingSummary(spark, sf)
