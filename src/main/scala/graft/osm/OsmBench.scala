@@ -29,7 +29,9 @@ object OsmBench {
                           sliceShapeSec: Double = -1.0,
                           pbfDecodeSec: Double = -1.0,
                           pbfShapeColdSec: Double = -1.0,
-                          xsShapeColdSec: Double = -1.0) {
+                          xsShapeColdSec: Double = -1.0,
+                          pbfQueriesColdSec: Double = -1.0,
+                          queriesColdSec: Double = -1.0) {
     def json: String =
       f""""osm_mb":$mb%.1f,"osm_audit_sec":$auditSec%.2f,""" +
         f""""osm_shape_sec":$shapeSec%.2f,"osm_queries_sec":$queriesSec%.2f,""" +
@@ -42,7 +44,9 @@ object OsmBench {
         f""""osm_serial_slice_shape_sec":$sliceShapeSec%.2f,""" +
         f""""osm_pbf_decode_sec":$pbfDecodeSec%.2f,""" +
         f""""osm_pbf_shape_cold_sec":$pbfShapeColdSec%.2f,""" +
-        f""""osm_xmlsplit_shape_cold_sec":$xsShapeColdSec%.2f"""
+        f""""osm_xmlsplit_shape_cold_sec":$xsShapeColdSec%.2f,""" +
+        f""""osm_pbf_queries_cold_sec":$pbfQueriesColdSec%.2f,""" +
+        f""""osm_queries_cold_sec":$queriesColdSec%.2f"""
   }
 
   private def time(f: => Unit): Double = {
@@ -124,17 +128,24 @@ object OsmBench {
     // is then built OUTSIDE the timed region — queries still read a
     // deterministic on-disk snapshot, unpersisted blocking so no phase's
     // storage overlaps the next.
-    val (pbfDecodeSec, pbfShapeColdSec, pbfShapeSec, pbfQueriesSec, pbfRows) =
-      budgeted(spark, 120, (-1.0, -1.0, -1.0, -1.0, -1L)) {
+    // query batteries are min-of-2 like every other phase: round 6's
+    // driver record showed 35.2s here (vs 1.8s isolated) because a
+    // host-contention burst landed in the ONE phase still measured
+    // with a single run; the first run is kept as the cold number so
+    // a burst is triageable as cold >> min, never invisible.
+    val (pbfDecodeSec, pbfShapeColdSec, pbfShapeSec,
+         pbfQueriesColdSec, pbfQueriesSec, pbfRows) =
+      budgeted(spark, 150, (-1.0, -1.0, -1.0, -1.0, -1.0, -1L)) {
         val dSec = time(PbfSource.elements(spark, pbfPath).count())
         def shaped() = OsmEngine.shape(PbfSource.elements(spark, pbfPath))
         val s1 = time(shaped().count())
         val s2 = time(shaped().count())
         val cached = shaped().persist(StorageLevel.DISK_ONLY)
         val n = cached.count() // untimed: materializes the cache
-        val qSec = time(queries(cached))
+        val q1 = time(queries(cached))
+        val q2 = time(queries(cached))
         cached.unpersist(blocking = true)
-        (dSec, s1, math.min(s1, s2), qSec, n)
+        (dSec, s1, math.min(s1, s2), q1, math.min(q1, q2), n)
       }
 
     // range-parallel XML (graft's splittable reader) on the same file.
@@ -142,18 +153,19 @@ object OsmBench {
     // these carry the osm_queries_sec / osm_rows keys, whose meaning
     // (full-file numbers) must not drift across rounds; the serial
     // phase below times ONLY the XML parse (its one finding).
-    val (xsShapeColdSec, xsShapeSec, queriesSec, xsRows) =
-      budgeted(spark, 120, (-1.0, -1.0, -1.0, -1L)) {
+    val (xsShapeColdSec, xsShapeSec, queriesColdSec, queriesSec, xsRows) =
+      budgeted(spark, 150, (-1.0, -1.0, -1.0, -1.0, -1L)) {
         def shaped() = OsmEngine.shape(OsmXmlSplit.elements(spark, xmlPath))
         val s1 = time(shaped().count())
         val s2 = time(shaped().count())
         val cached = shaped().persist(StorageLevel.DISK_ONLY)
         val n = cached.count() // untimed: materializes the cache
-        val qSec = time(queries(cached))
+        val q1 = time(queries(cached))
+        val q2 = time(queries(cached))
         cached.unpersist(blocking = true)
         // cold kept alongside the min: a contention burst must be
         // triageable from the record as cold >> min, not invisible
-        (s1, math.min(s1, s2), qSec, n)
+        (s1, math.min(s1, s2), q1, math.min(q1, q2), n)
       }
 
     // PBF through the DataSource V2 connector (same blobs, planned as
@@ -186,7 +198,8 @@ object OsmBench {
     Result(mb, auditSec, shapeSec, queriesSec, xsRows,
       pbfMb, pbfShapeSec, pbfQueriesSec, pbfRows, xsShapeSec, xsRows,
       dsv2ShapeSec, dsv2Rows, sliceMb, sliceShapeSec,
-      pbfDecodeSec, pbfShapeColdSec, xsShapeColdSec)
+      pbfDecodeSec, pbfShapeColdSec, xsShapeColdSec,
+      pbfQueriesColdSec, queriesColdSec)
   }
 
   def main(args: Array[String]): Unit = {
