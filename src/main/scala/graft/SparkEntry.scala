@@ -4768,14 +4768,18 @@ object SparkEntry {
               FROM events WHERE event_type = 'purchase') p
         JOIN su ON su.user_id = p.user_id
         WHERE p.p_us >= su.s_us
-        GROUP BY p.user_id, su.s_us)
-      SELECT ns.n_signup, CAST(count(*) AS BIGINT) AS n_converted,
-        CAST(round(1e6 * CAST(count(*) AS DOUBLE) /
-          CAST(ns.n_signup AS DOUBLE)) AS BIGINT) AS conv_micros,
+        GROUP BY p.user_id, su.s_us),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS n_converted,
         round(quantile_cont(delta_us, 0.5) / 1e6, 4) AS p50_s,
         round(quantile_cont(delta_us, 0.9) / 1e6, 4) AS p90_s,
         round(CAST(max(delta_us) AS DOUBLE) / 1e6, 4) AS max_s
-      FROM fc, ns GROUP BY ns.n_signup""",
+        FROM fc)
+      SELECT ns.n_signup, st.n_converted,
+        CAST(round(1e6 * CAST(st.n_converted AS DOUBLE) /
+          nullif(CAST(ns.n_signup AS DOUBLE), 0)) AS BIGINT)
+          AS conv_micros,
+        st.p50_s, st.p90_s, st.max_s
+      FROM ns, st""",
     // Near-dup cluster-size histogram (Dedup.clusterSizes over the
     // dedup_clusters component labels).
     "dedup_cluster_sizes" -> raw"""

@@ -65,6 +65,12 @@ object NGramImpl {
     var tail = 0 // exclusive
     var i = 0
     while (i < n) {
+      // getLong on a null slot silently yields 0 — a nullable input
+      // would corrupt window minima with no error, so fail fast here
+      // (call sites guarantee non-null only by convention)
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"rolling_min: null element at index $i")
       val v = arr.getLong(i)
       while (tail > head && arr.getLong(deque(tail - 1)) >= v) tail -= 1
       deque(tail) = i; tail += 1
@@ -127,8 +133,9 @@ case class RollingMin(child: Expression, w: Int) extends UnaryExpression {
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       // containsNull may be true on transform() output even when the
-      // lambda can't produce nulls — accept it; eval assumes non-null
-      // elements (getLong), matching every call site
+      // lambda can't produce nulls — accept it; eval rejects an actual
+      // null ELEMENT at runtime (fail-fast in rollingMin) rather than
+      // reading it as 0
       case ArrayType(LongType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult

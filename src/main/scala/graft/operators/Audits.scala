@@ -317,7 +317,11 @@ object Audits {
     * table. */
   def s11SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val base = s"/tmp/graft_schema_evo_${math.abs(dir.hashCode)}"
+    // Staging.base, not a bare dir.hashCode: the slug+fingerprint path
+    // can't collide across distinct corpora (Int hashCode can) and a
+    // regenerated corpus lands in a fresh directory instead of racing
+    // another session's g1/g2 overwrites under a mergeSchema read
+    val base = Staging.base("schema_evo_v1", dir, "", "documents")
     d.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("lang"), col("text"))
       .coalesce(2).write.mode("overwrite").parquet(s"$base/g1")

@@ -424,16 +424,21 @@ object EventAnalytics {
       .groupBy(col("user_id"), col("s_us"))
       .agg(min(col("p_us")).as("p_us"))
       .select(col("user_id"), (col("p_us") - col("s_us")).as("delta_us"))
-    firstConv
-      .crossJoin(broadcast(signups.agg(count(lit(1)).as("n_signup"))))
-      .groupBy(col("n_signup"))
-      .agg(count(lit(1)).as("n_converted"),
-        round(expr("percentile(delta_us, 0.5)") / 1e6, 4).as("p50_s"),
-        round(expr("percentile(delta_us, 0.9)") / 1e6, 4).as("p90_s"),
-        round(max(col("delta_us")).cast("double") / 1e6, 4).as("max_s"))
+    // aggregate each side GLOBALLY, then cross the two one-row frames:
+    // a global agg over an empty converted frame still yields its one
+    // row (n_converted = 0, null latencies), so a zero-conversion
+    // corpus reports conv_micros = 0 instead of an empty result —
+    // grouping on the converted side would silently drop the report
+    val convStats = firstConv.agg(count(lit(1)).as("n_converted"),
+      round(expr("percentile(delta_us, 0.5)") / 1e6, 4).as("p50_s"),
+      round(expr("percentile(delta_us, 0.9)") / 1e6, 4).as("p90_s"),
+      round(max(col("delta_us")).cast("double") / 1e6, 4).as("max_s"))
+    signups.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(broadcast(convStats))
       .select(col("n_signup"), col("n_converted"),
-        round(lit(1e6) * col("n_converted").cast("double") /
-          col("n_signup").cast("double")).cast("long")
+        when(col("n_signup") > 0,
+          round(lit(1e6) * col("n_converted").cast("double") /
+            col("n_signup").cast("double")).cast("long"))
           .as("conv_micros"),
         col("p50_s"), col("p90_s"), col("max_s"))
   }

@@ -575,8 +575,10 @@ object TextAnalysis {
     * 1..10 — BUILD-TIME literals interpolated into both engines (the
     * BenfordMicros convention), so no runtime log parity question
     * exists. */
-  val NdcgDiscMicros: IndexedSeq[Long] = (1 to 10).map(i =>
-    math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+  private def ndcgDiscMicro(i: Int): Long =
+    math.round(1e6 / (math.log(i + 1.0) / math.log(2.0)))
+
+  val NdcgDiscMicros: IndexedSeq[Long] = (1 to 10).map(ndcgDiscMicro)
 
   /** NDCG@10 of the BM25 ranking against a graded term-coverage
     * relevance oracle (rel = distinct query terms present, capped 3) —
@@ -604,8 +606,12 @@ object TextAnalysis {
       .agg(least(count(lit(1)), lit(3L)).as("rel"))
     val gainOf = (r: Column) => element_at(
       array(lit(0L), lit(1L), lit(3L), lit(7L)), (r + 1).cast("int"))
+    // discounts derive from k, not from the fixed 10-entry constant:
+    // a k > 10 call must extend the table, not null out ranks 11..k
+    // (NdcgDiscMicros stays as the k=10 literal face the oracle embeds)
+    val discMicros = (1 to k).map(ndcgDiscMicro)
     val discOf = (i: Column) => element_at(
-      array(NdcgDiscMicros.map(lit): _*), i.cast("int"))
+      array(discMicros.map(lit): _*), i.cast("int"))
     val wRank = Window.partitionBy(lit(1))
       .orderBy(col("score").desc, col("doc_id").asc)
     val wIdeal = Window.partitionBy(lit(1))
