@@ -318,6 +318,10 @@ object SparkEntry {
     "ml8_pca_power"     -> (Training.pcaPower(_, _)),
     "graph_sssp"        -> (Graphs.ssspWeighted(_, _)),
     "stat20_approx_quantiles" -> (Sketches.approxQuantiles(_, _)),
+    // production quantile face (sketch only; GK answers are
+    // engine-specific, so no oracle — rows-only check)
+    "stat28_quantiles_sketch_only" ->
+      (Sketches.approxQuantilesSketchOnly(_, _)),
     "text_tfidf_labels" -> (TextAnalysis.tfidfLabels(_, _)),
     "samp8_epoch_order" -> ((s, dir) =>
       Sampling.epochOrder(s, Tables.documents(s, dir))),

@@ -86,12 +86,42 @@ object Sketches {
     * sketch's internal answers are engine-specific and never leave the
     * query; a GK regression flips the flag and fails the hash check.
     *
-    * Scale shape: one aggregation computes all exact+approx quantiles
-    * (exact needs the per-column sort; at 100 TB drop it and keep only
-    * the sketch — same plan shape), then one more scan folds the four
-    * rank windows as conditional sums against the broadcast 4-row
-    * frame. Values micro-quantize to cents, so the exact quantile
-    * interpolation lands on exact binary fractions (ml5 precedent). */
+    * EVAL FACE — NOT a production path. The exact `percentile` half of
+    * the aggregation buffers the whole column per group (a
+    * memory-unbounded aggregate) and exists ONLY to validate the
+    * sketch's rank contract at oracle scale; at 100 TB swap in
+    * [[approxQuantilesSketchOnly]], which keeps the Greenwald–Khanna
+    * sketch alone — mergeable bounded-size partials ahead of a single
+    * exchange, plan-asserted shuffle-bounded in PlanSpec (the same
+    * swap-at-scale convention as timeToConvert's percentile and the
+    * stat2 HLL-vs-exact check).
+    *
+    * Scale shape: one aggregation computes all exact+approx quantiles,
+    * then one more scan folds the four rank windows as conditional
+    * sums against the broadcast 4-row frame. Values micro-quantize to
+    * cents, so the exact quantile interpolation lands on exact binary
+    * fractions (ml5 precedent). */
+  /** The PRODUCTION quantile path stat20 validates: `approx_percentile`
+    * alone — per-partition GK sketches of bounded size (~accuracy
+    * entries) merge through ONE exchange; no exact percentile, no
+    * full-column buffering, nothing data-sized crosses the wire.
+    * PlanSpec asserts exactly one exchange with a partial sketch
+    * aggregate below it. */
+  def approxQuantilesSketchOnly(s: SparkSession, dir: String,
+                                acc: Int = 1000): DataFrame = {
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    val qArr = qs.map(q => s"${q}D").mkString("array(", ", ", ")")
+    Tables.lineitem(s, dir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("m"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr(s"approx_percentile(m, $qArr, $acc)").as("apx"))
+      .select(col("n_rows"),
+        posexplode(col("apx")).as(Seq("qi", "apx_cents")))
+      .select(element_at(array(qs.map(lit): _*), col("qi").cast("int") + 1)
+          .as("q"),
+        col("n_rows"), col("apx_cents"))
+  }
+
   def approxQuantiles(s: SparkSession, dir: String): DataFrame = {
     val qs = Seq(0.25, 0.5, 0.75, 0.9)
     val acc = 1000

@@ -341,6 +341,26 @@ class PlanSpec extends SparkSpec {
       "persisted-index LSH must be bit-identical to the in-session LSH")
   }
 
+  test("stat20's production quantile path is shuffle-bounded: " +
+      "one exchange, partial GK sketch below it, no exact percentile") {
+    val df = Sketches.approxQuantilesSketchOnly(spark, sf)
+    df.collect()
+    // AQE echoes the pre-adaptive plan under "== Initial Plan ==" —
+    // count operators in the final section only
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // partial sketch aggregation runs BEFORE the shuffle, so only
+    // bounded ~accuracy-entry sketches cross the wire
+    assert("partial_approx_percentile".r.findFirstIn(p).isDefined,
+      s"no map-side partial sketch aggregate:\n$p")
+    // exactly one data exchange (the partial->final merge); the exact
+    // percentile's memory-unbounded buffering must not appear
+    assert("Exchange".r.findAllIn(p).size === 1,
+      s"expected exactly one exchange:\n$p")
+    assert("(?<!approx_)percentile\\(m".r.findFirstIn(p).isEmpty,
+      s"exact percentile leaked into the production path:\n$p")
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // AQE prints codegen spans only in the FINAL plan — execute first
     val df = Relational.q1PricingSummary(spark, sf)
