@@ -283,6 +283,81 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamRfm === batchRfm)
   }
 
+  test("checkpoint restart: query killed mid-stream resumes from its " +
+      "checkpoint with no lost or duplicated state") {
+    // The other half of the exactly-once claim: parity tests prove the
+    // state math, THIS proves the state survives a crash. The query is
+    // stopped while input is pending, a NEW query incarnation starts
+    // from the same checkpoint dir, and the final per-user RFM state
+    // must still equal the batch operator's: lost state would shrink
+    // frequencies (RocksDB snapshot not restored), replayed input
+    // applied twice would inflate them (offset log ignored).
+    import graft.operators.EventAnalytics
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)) *
+          100).cast("long").as("cents"))
+      .as[EventStreams.PurchaseEvent].collect()
+    assert(purchases.length >= 3)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_rfm_restart_").toString
+    // foreachBatch appends to a driver-side buffer that OUTLIVES the
+    // query incarnations (a memory-sink table would be truncated by the
+    // restart); a replayed batch may append duplicates — exactly what
+    // the maxBy(frequency) fold below must be robust to
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[EventStreams.RfmUser]
+    val batchIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[EventStreams.PurchaseEvent]
+    def start() = EventStreams.rfmStream(mem.toDS())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (ds: org.apache.spark.sql.Dataset[EventStreams.RfmUser],
+         id: Long) =>
+          val rows = ds.collect()
+          seen.synchronized { seen ++= rows; batchIds += id }
+          ()
+      }.start()
+    val (c1, rest) = purchases.splitAt(purchases.length / 3)
+    val (c2, c3) = rest.splitAt(rest.length / 2)
+    val q1 = start()
+    try { mem.addData(c1.toIndexedSeq: _*); q1.processAllAvailable() }
+    finally q1.stop() // the kill — c2 arrives while the query is down
+    val idsFirstRun = seen.synchronized(batchIds.toList)
+    assert(idsFirstRun.nonEmpty)
+    mem.addData(c2.toIndexedSeq: _*)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      mem.addData(c3.toIndexedSeq: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // the second incarnation RESUMED batch numbering from the offset
+    // log — a from-scratch restart would begin again at batch 0
+    val idsSecondRun = seen.synchronized(batchIds.toList)
+      .drop(idsFirstRun.length)
+    assert(idsSecondRun.nonEmpty && idsSecondRun.min > idsFirstRun.max,
+      s"restart did not resume from checkpoint: $idsFirstRun then $idsSecondRun")
+    // final state per user = highest-frequency row (monotone across
+    // updates, idempotent under sink-side replay)
+    val finalStates = seen.synchronized(seen.toList)
+      .groupBy(_.user_id).map(_._2.maxBy(_.frequency)).toSeq
+    val streamRfm = EventAnalytics.rfmRank(finalStates.toDF()
+      .select(col("user_id"), col("last_us"), col("frequency"),
+        (col("monetary_cents") / 100.0).as("monetary")))
+      .collect().map(_.toSeq).toSet
+    val batchRfm = EventAnalytics.rfmScores(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamRfm === batchRfm,
+      "state after kill+restart diverged from the batch operator")
+  }
+
   test("streaming closed minute-counts + batch scoring == batch anomaly operator") {
     import graft.operators.EventAnalytics
     import spark.implicits._
