@@ -187,18 +187,21 @@ object Training {
     * encoding the corpus is one explode + broadcast join against it
     * (word-level, so the big side never shuffles) + a per-doc hash-agg.
     * At 100 TB the vocab may outgrow a broadcast — the same plan then
-    * runs as a shuffle join on `word`, nothing else changes. Only
+    * runs as a shuffle join on `word`, nothing else changes
+    * (`broadcastModel = false` takes that exact path; Round7Spec pins
+    * result equality and the shuffle-join plan shape). Only
     * alphabetic words count (the trainer's own token universe), so
     * every corpus word hits the model and the join is inner. */
-  def bpeDocTokens(s: SparkSession, dir: String,
-                   merges: Int = 10): DataFrame = {
+  def bpeDocTokens(s: SparkSession, dir: String, merges: Int = 10,
+                   broadcastModel: Boolean = true): DataFrame = {
     val wordLens = bpeRun(s, dir, merges) { (_, vocab) =>
       vocab.select(col("word"),
           size(split(trim(col("seg")), " ")).cast("long").as("n_tok"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toList
     }
     import s.implicits._
-    val model = broadcast(wordLens.toDF("word", "n_tok"))
+    val modelDf = wordLens.toDF("word", "n_tok")
+    val model = if (broadcastModel) broadcast(modelDf) else modelDf
     val words = filter(split(lower(col("text")), "\\s+"),
       t => t.rlike("^[a-z]+$"))
     Tables.documents(s, dir)

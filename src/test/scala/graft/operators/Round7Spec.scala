@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Round-7 batch: the documented degradation paths get their tests —
+  * the BPE encode join when the vocabulary outgrows a broadcast, per
+  * the scaladoc contract on [[Training.bpeDocTokens]].
+  */
+class Round7Spec extends SparkSpec {
+
+  test("bpe encode: the shuffle-join fallback (vocab too big to " +
+      "broadcast) is plan-shaped as claimed and bit-identical") {
+    // the documented 100 TB degradation: drop the broadcast hint and
+    // (with auto-broadcast off, simulating an oversized vocab) the SAME
+    // plan must run as a shuffle join on `word` with identical results
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fallback = Training.bpeDocTokens(spark, sf,
+        broadcastModel = false)
+      fallback.collect()
+      val p = fallback.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!p.contains("BroadcastHashJoin"),
+        s"fallback still broadcasts:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"fallback is not a shuffle join:\n$p")
+      assert("Exchange hashpartitioning\\(word".r.findFirstIn(p).isDefined,
+        s"no hash partitioning on the join key:\n$p")
+      val got = fallback.collect().map(_.toSeq).toSet
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      val want = Training.bpeDocTokens(spark, sf).collect()
+        .map(_.toSeq).toSet
+      assert(got === want,
+        "shuffle-join fallback diverged from the broadcast path")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+}
