@@ -296,6 +296,7 @@ object SparkEntry {
     "samp7_cluster_split" -> ((s, dir) =>
       Sampling.clusterSplit(Tables.documents(s, dir))),
     "sim_ann_ivfpq" -> (Similarity.annIvfPq(_, _)),
+    "sim_ann_ivfpq_indexed" -> (Similarity.annIvfPqIndexed(_, _)),
     "dedup_span_strip" -> ((s, dir) =>
       Dedup.spanStrip(Tables.documents(s, dir))),
     "web2_url_dedup" -> ((s, dir) =>
@@ -2613,6 +2614,7 @@ object SparkEntry {
              round(count(*) / 10.0, 4) AS recall_at_10
       FROM (          SELECT 'ivf' AS method, vec_id FROM ($ivfSql)
             UNION ALL SELECT 'ivfpq' AS method, vec_id FROM ($ivfPqSql)
+            UNION ALL SELECT 'ivfpq_idx' AS method, vec_id FROM ($ivfPqSql)
             UNION ALL SELECT 'lsh' AS method, vec_id FROM ($lshAnnSql)
             UNION ALL SELECT 'lsh_idx' AS method, vec_id FROM ($lshAnnSql)
             UNION ALL SELECT 'pq'  AS method, vec_id FROM ($pqAnnSql)
@@ -2868,6 +2870,9 @@ object SparkEntry {
              ELSE 'test' END AS split
       FROM b""",
     "sim_ann_ivfpq" -> ivfPqSql,
+    // the persisted-index IVF-PQ shares PqKit with the in-session form
+    // (stored codes == recomputed codes by construction) — one oracle
+    "sim_ann_ivfpq_indexed" -> ivfPqSql,
     // duplicated-span removal (operators.Dedup.spanStrip): spans with
     // doc-frequency > 1 cover positions [i, i+8); uncovered tokens
     // rebuild the cleaned text in position order.

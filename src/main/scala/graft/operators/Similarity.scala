@@ -480,14 +480,17 @@ object Similarity {
     * residuals exact double subtraction, codebook entries 6dp-rounded,
     * subspace distances 6dp-rounded, ADC summed as exact integer micros
     * — the DuckDB oracle replays every stage bit-for-bit. */
-  def annIvfPq(s: SparkSession, dir: String, k: Int = 10, nprobe: Int = 3,
-               m: Int = 8, dsub: Int = 8, ksub: Int = 16,
-               shortlist: Int = 50,
-               sharedCents: Option[Column] = None): DataFrame = {
-    GraftFunctions.register(s)
-    val e = Tables.embeddings(s, dir)
-    val cents = sharedCents.getOrElse(centLiteral(quantizer(e).collect()))
-    val dists = distsTo(cents) _
+  /** The PQ machinery shared by [[annIvfPq]] and [[annIvfPqIndexed]] —
+    * ONE definition of cell assignment, residual computation, codebook
+    * literals, encoding and ADC tables, so the persisted index's stored
+    * codes are bit-identical to the in-session computation by
+    * construction (the Dedup.stagedShingles single-kernel convention).
+    * The codebook is the 6dp-rounded RESIDUALS of corpus vectors
+    * 1..ksub, computed through the same column expressions the corpus
+    * uses and collected as a ksub-row model. */
+  private final class PqKit(e: DataFrame, val cents: Column,
+                            m: Int, dsub: Int, ksub: Int) {
+    val dists: Column => Column = distsTo(cents)
     def cellOf(v: Column): Column = array_min(dists(v)).getField("cell")
     // residual against the assigned/probed cell's centroid
     def resid(v: Column, cell: Column): Column =
@@ -495,22 +498,21 @@ object Similarity {
         element_at(filter(cents, c => c.getField("cell") === cell), 1)
           .getField("centroid"),
         (x, mu) => x - mu)
-    // codebook: 6dp-rounded RESIDUALS of corpus vectors 1..ksub,
-    // computed through the same column expressions the corpus uses
-    // (collected as a 16-row model — bit-parity with the oracle by
-    // construction, never a driver-side re-implementation)
-    val cbRows = e.filter(col("vec_id") >= 1 && col("vec_id") <= ksub)
+    private val cbRows = e
+      .filter(col("vec_id") >= 1 && col("vec_id") <= ksub)
       .select(col("vec_id"),
         transform(resid(col("embedding"), cellOf(col("embedding"))),
           x => round(x, 6)).as("rv"))
-      .collect().sortBy(_.getLong(0))
-    def book(mi: Int): Column = array(cbRows.zipWithIndex.map { case (r, j) =>
-      struct(lit(j).as("j"),
-        array(r.getSeq[Double](1).slice(mi * dsub, (mi + 1) * dsub)
-          .map(lit): _*).as("c"))
-    }.toIndexedSeq: _*)
-    def subv(v: Column, mi: Int): Column = slice(v, mi * dsub + 1, dsub)
-    def dist(a: Column, b: Column): Column =
+      .collect().sortBy(_.getLong(0)).toIndexedSeq
+    private def book(mi: Int): Column = array(
+      cbRows.zipWithIndex.map { case (r, j) =>
+        struct(lit(j).as("j"),
+          array(r.getSeq[Double](1).slice(mi * dsub, (mi + 1) * dsub)
+            .map(lit): _*).as("c"))
+      }: _*)
+    private def subv(v: Column, mi: Int): Column =
+      slice(v, mi * dsub + 1, dsub)
+    private def dist(a: Column, b: Column): Column =
       round(call_function("l2_sq", a, b), 6)
     def codes(rv: Column): Column = array((0 until m).map { mi =>
       array_min(transform(book(mi), c =>
@@ -520,21 +522,96 @@ object Similarity {
     def dts(rv: Column): Column = array((0 until m).map { mi =>
       transform(book(mi), c => dist(subv(rv, mi), c.getField("c")))
     }: _*)
+  }
+
+  def annIvfPq(s: SparkSession, dir: String, k: Int = 10, nprobe: Int = 3,
+               m: Int = 8, dsub: Int = 8, ksub: Int = 16,
+               shortlist: Int = 50,
+               sharedCents: Option[Column] = None): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val cents = sharedCents.getOrElse(centLiteral(quantizer(e).collect()))
+    val kit = new PqKit(e, cents, m, dsub, ksub)
     // probes: nprobe nearest cells, each carrying the query's
     // PER-CELL residual ADC table
     val probes = queryVec(s, dir)
-      .select(col("q"), posexplode(array_sort(dists(col("q")))))
+      .select(col("q"), posexplode(array_sort(kit.dists(col("q")))))
       .filter(col("pos") < nprobe)
       .select(col("q"), col("col").getField("cell").as("cell"))
-      .withColumn("dt", dts(resid(col("q"), col("cell"))))
+      .withColumn("dt", kit.dts(kit.resid(col("q"), col("cell"))))
     // probe join BEFORE encoding: codes are per-row independent, so
     // only candidate (probed-cell) rows pay the 1024-mult encode — in
-    // an indexed deployment codes are precomputed at build time anyway
+    // an indexed deployment codes are precomputed at build time
+    // ([[annIvfPqIndexed]] IS that deployment)
     e.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("embedding"),
-        cellOf(col("embedding")).as("cell"))
+        kit.cellOf(col("embedding")).as("cell"))
       .join(broadcast(probes), "cell")
-      .withColumn("code", codes(resid(col("embedding"), col("cell"))))
+      .withColumn("code",
+        kit.codes(kit.resid(col("embedding"), col("cell"))))
+      .select(col("vec_id"), col("embedding"), col("q"),
+        (aggregate(zip_with(col("code"), col("dt"),
+          (c, t) => element_at(t, (c + 1).cast("int"))), lit(0L),
+          (acc, x) => acc + round(x * 1e6).cast("long")).cast("double") / 1e6)
+          .as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(shortlist)
+      .select(col("vec_id"), col("adc_dist"),
+        round(cosine(col("embedding"), col("q")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** IVF-PQ with a PERSISTED index — the full FAISS deployment shape
+    * ([[annIvfIndexed]]'s partition-pruned inverted file + stored PQ
+    * codes): the build stage writes (a) the K-row coarse quantizer
+    * model, (b) the corpus rows WITH THEIR PRECOMPUTED RESIDUAL PQ
+    * CODES, partitioned by cell. A query collects the model, picks its
+    * nprobe cells driver-side (static partition filter, plan-asserted),
+    * and scores the pruned read from the STORED codes against its
+    * per-cell ADC tables — the encode cost paid once at build time,
+    * never per query. Shares [[PqKit]] with [[annIvfPq]], so results
+    * are bit-identical and one oracle covers both. At 100 TB this is
+    * the deployment architecture: per-query cost = O(probed cells)
+    * read of 8-byte codes + a shortlist-sized exact re-rank. */
+  def annIvfPqIndexed(s: SparkSession, dir: String, k: Int = 10,
+                      nprobe: Int = 3, m: Int = 8, dsub: Int = 8,
+                      ksub: Int = 16, shortlist: Int = 50): DataFrame = {
+    GraftFunctions.register(s)
+    // v1 = quantizer/codebook/encode version — bump on semantic change
+    val base = Staging.base("ivfpq_index_v1", dir, s"m${m}d${dsub}k$ksub",
+      "embeddings")
+    Staging.buildOnce(base) {
+      val e = Tables.embeddings(s, dir)
+      quantizer(e).coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/model")
+      val cents = centLiteral(
+        s.read.parquet(s"$base/model").select("cell", "centroid").collect())
+      val kit = new PqKit(e, cents, m, dsub, ksub)
+      e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          kit.cellOf(col("embedding")).as("cell"))
+        .withColumn("code",
+          kit.codes(kit.resid(col("embedding"), col("cell"))))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$base/cells")
+    }
+    val cents = centLiteral(
+      s.read.parquet(s"$base/model").select("cell", "centroid").collect())
+    val kit = new PqKit(Tables.embeddings(s, dir), cents, m, dsub, ksub)
+    // nprobe cell ids, collected driver-side (model-sized) so the index
+    // read is a STATIC IN-filter on the partition column
+    val probeCells = queryVec(s, dir)
+      .select(posexplode(array_sort(kit.dists(col("q")))))
+      .filter(col("pos") < nprobe)
+      .select(col("col").getField("cell").as("cell"))
+      .collect().map(_.getInt(0))
+    val probes = queryVec(s, dir)
+      .select(col("q"),
+        explode(array(probeCells.toIndexedSeq.map(lit): _*)).as("cell"))
+      .withColumn("dt", kit.dts(kit.resid(col("q"), col("cell"))))
+    s.read.parquet(s"$base/cells")
+      .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+      .join(broadcast(probes), "cell")
       .select(col("vec_id"), col("embedding"), col("q"),
         (aggregate(zip_with(col("code"), col("dt"),
           (c, t) => element_at(t, (c + 1).cast("int"))), lit(0L),
@@ -714,6 +791,7 @@ object Similarity {
     val shortlists = Seq(
       ("ivf", annIvf(s, dir, sharedCents = Some(cents))),
       ("ivfpq", annIvfPq(s, dir, sharedCents = Some(cents))),
+      ("ivfpq_idx", annIvfPqIndexed(s, dir)),
       ("lsh", annLsh(s, dir)),
       ("lsh_idx", annLshIndexed(s, dir)),
       ("pq", annPq(s, dir)),

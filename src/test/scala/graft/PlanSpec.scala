@@ -341,6 +341,18 @@ class PlanSpec extends SparkSpec {
       "persisted-index LSH must be bit-identical to the in-session LSH")
   }
 
+  test("ann IVF-PQ indexed: query reads ONLY the probed cell partitions " +
+      "with stored codes; results identical to the in-session IVF-PQ") {
+    val df = Similarity.annIvfPqIndexed(spark, sf)
+    val p = plan(df)
+    assert("PartitionFilters: \\[cell#\\d+ IN".r.findFirstIn(p).isDefined,
+      s"no static partition pruning on the IVF-PQ index scan:\n$p")
+    val indexed = df.collect().map(_.toSeq).toSeq
+    val inSession = Similarity.annIvfPq(spark, sf).collect().map(_.toSeq).toSeq
+    assert(indexed === inSession,
+      "persisted-index IVF-PQ must be bit-identical to the in-session form")
+  }
+
   test("stat20's production quantile path is shuffle-bounded: " +
       "one exchange, partial GK sketch below it, no exact percentile") {
     val df = Sketches.approxQuantilesSketchOnly(spark, sf)
