@@ -392,6 +392,7 @@ object SparkEntry {
     "ev22_conversion_ci" -> (EventAnalytics.conversionCi(_, _)),
     "tok8_neg_sampling" -> (Training.negativeSampling(_, _)),
     "eval3_ivf_recall_curve" -> (Similarity.ivfRecallCurve(_, _)),
+    "eval6_lsh_band_curve" -> (Similarity.lshBandCurve(_, _)),
     "mix7_epoch_alloc"  -> (TextAnalysis.dataConstrainedEpochs(_, _)),
     "ml19_threshold_opt" -> (Profiling.thresholdOpt(_, _)),
     "eval4_minhash_error" -> ((s, dir) =>
@@ -4669,6 +4670,15 @@ object SparkEntry {
         round(count(t.vec_id) / 10.0, 4) AS recall_at_10
       FROM (${ivfSqlN(np)}) s JOIN ($bruteAnnSql) t USING (vec_id)""")
       .mkString("\nUNION ALL\n"),
+    // LSH recall-vs-band-depth curve (Similarity.lshBandCurve): one
+    // parameterized LSH block per probed-band count, each joined to
+    // the brute-force truth (eval3's shape for the signature index).
+    "eval6_lsh_band_curve" -> (1 to 4).map(b => raw"""
+      SELECT CAST($b AS BIGINT) AS n_bands,
+        CAST(count(t.vec_id) AS BIGINT) AS hits,
+        round(count(t.vec_id) / 10.0, 4) AS recall_at_10
+      FROM (${lshAnnSqlAt(b)}) s JOIN ($bruteAnnSql) t USING (vec_id)""")
+      .mkString("\nUNION ALL\n"),
     // Equal-share data-constrained epoch allocation
     // (TextAnalysis.dataConstrainedEpochs).
     "mix7_epoch_alloc" -> raw"""
@@ -5097,7 +5107,12 @@ object SparkEntry {
        ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""
 
   /** LSH banded ANN — shared with eval2_ann_recall. */
-  private def lshAnnSql: String = raw"""
+  private def lshAnnSql: String = lshAnnSqlAt(4)
+
+  /** LSH ANN oracle parameterized by probed band count — `b` = 4 is
+    * the full sim_ann_lsh query; lower depths feed eval6's band
+    * curve (only qbv shrinks: the corpus banding is depth-blind). */
+  private def lshAnnSqlAt(b: Int): String = raw"""
       WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
       sb AS (SELECT e.vec_id,
               list_transform($planesSql, pl ->
@@ -5119,7 +5134,7 @@ object SparkEntry {
       qbv AS (SELECT r.range AS band,
                list_reduce(list_prepend(0, bits[r.range*4+1 : r.range*4+4]),
                  (acc, x) -> acc * 2 + x) AS bval
-              FROM qb, range(0, 4) r),
+              FROM qb, range(0, $b) r),
       cand AS (SELECT DISTINCT s.vec_id FROM sbv s
                JOIN qbv ON s.band = qbv.band AND s.bval = qbv.bval)
       SELECT e.vec_id,

@@ -94,16 +94,21 @@ object Similarity {
     * small rows per vector, reusable across queries — and each query is
     * 4 bucket lookups + a top-k over ~bands/2^w of the corpus. */
   def annLsh(s: SparkSession, dir: String, k: Int = 10,
-             bits: Int = 16, bands: Int = 4): DataFrame = {
+             bits: Int = 16, bands: Int = 4,
+             probeBands: Int = Int.MaxValue): DataFrame = {
     GraftFunctions.register(s)
     val w = bits / bands
     val corpus = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("embedding"),
         posexplode(bandVals(sigBits(col("embedding"), bits), bands, w)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bval"))
+    // probeBands < bands probes only the first b bands — the knob
+    // [[lshBandCurve]] sweeps (fewer probed buckets = cheaper query,
+    // lower recall); default probes all bands
     val q = queryVec(s, dir)
       .select(col("q"), posexplode(bandVals(sigBits(col("q"), bits), bands, w)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bval"))
+      .filter(col("band") < math.min(probeBands, bands))
     corpus.join(broadcast(q), Seq("band", "bval"))
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("q")), 6).as("cos_sim"))
@@ -830,6 +835,32 @@ object Similarity {
     probes.map(_.toLong).toDF("nprobe")
       .join(hits, Seq("nprobe"), "left")
       .select(col("nprobe"),
+        coalesce(col("h"), lit(0L)).as("hits"),
+        round(coalesce(col("h"), lit(0L)) / lit(10.0), 4)
+          .as("recall_at_10"))
+  }
+
+  /** LSH band-depth recall curve — [[ivfRecallCurve]]'s twin for the
+    * banded-signature index: recall@10 against the brute-force truth
+    * when only the first 1..bands query bands are probed. Each +1 band
+    * is one more (band, bval) bucket lookup — [[annLshIndexed]]'s cost
+    * model is linear in probed bands, so this curve IS the
+    * accuracy/latency tradeoff for the persisted signature index. The
+    * probe grid left-joins so a zero-recall depth still emits. */
+  def lshBandCurve(s: SparkSession, dir: String,
+                   depths: Seq[Int] = 1 to 4): DataFrame = {
+    import s.implicits._
+    val truth = broadcast(annBruteForce(s, dir).select(col("vec_id")))
+    val hits = depths.map { b =>
+      annLsh(s, dir, probeBands = b)
+        .select(lit(b.toLong).as("n_bands"), col("vec_id"))
+    }.reduce(_ unionByName _)
+      .join(truth, "vec_id")
+      .groupBy(col("n_bands"))
+      .agg(count(lit(1)).as("h"))
+    depths.map(_.toLong).toDF("n_bands")
+      .join(hits, Seq("n_bands"), "left")
+      .select(col("n_bands"),
         coalesce(col("h"), lit(0L)).as("hits"),
         round(coalesce(col("h"), lit(0L)) / lit(10.0), 4)
           .as("recall_at_10"))

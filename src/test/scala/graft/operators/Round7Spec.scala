@@ -36,4 +36,20 @@ class Round7Spec extends SparkSpec {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
+
+  test("lsh band curve: recall is monotone in probed bands; the full " +
+      "depth matches annLsh's own recall") {
+    val rows = Similarity.lshBandCurve(spark, sf)
+      .orderBy("n_bands").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    val hits = rows.map(_.getLong(1)).toSeq
+    // each +1 probed band can only ADD candidate buckets
+    assert(hits === hits.sorted, s"recall not monotone: $hits")
+    // depth 4 == the production annLsh: same candidates, same recall
+    val truth = Similarity.annBruteForce(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val full = Similarity.annLsh(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).count(truth)
+    assert(hits.last === full.toLong)
+  }
 }
