@@ -123,6 +123,8 @@ object SparkEntry {
     "sim_ann_lsh_indexed" -> (Similarity.annLshIndexed(_, _)),
     "sim_ann_ivf"       -> (Similarity.annIvf(_, _)),
     "sim_ann_ivf_indexed" -> (Similarity.annIvfIndexed(_, _)),
+    "sim_ann_ivf_incremental" ->
+      (Similarity.annIvfIndexedIncremental(_, _)),
     "sim_ann_sq"        -> (Similarity.annScalarQuant(_, _)),
     "sim_near_dup"      -> (Similarity.embNearDup(_, _)),
     "sim_centroids"     -> (Similarity.labelCentroids(_, _)),
@@ -1313,6 +1315,7 @@ object SparkEntry {
     // the persisted-index variant is bit-identical to the in-session
     // IVF (same quantizer math, same tie-breaks) — one shared oracle
     "sim_ann_ivf_indexed" -> ivfSql,
+    "sim_ann_ivf_incremental" -> ivfIncrSql,
     // ---- round-4b ----
     "sub1_subqueries" ->
       """SELECT c.c_mktsegment,
@@ -5452,14 +5455,22 @@ object SparkEntry {
     * (the persisted-index variant returns bit-identical results). */
   private def ivfSql: String = ivfSqlN(3)
 
+  /** IVF oracle with the quantizer restricted to the BASE corpus slice
+    * (vec_id ≤ max/2) while assignment/scan cover the full corpus —
+    * the frozen-model contract sim_ann_ivf_incremental's staged
+    * base-build + delta-append must reproduce bit-for-bit. */
+  private def ivfIncrSql: String = ivfSqlN(3,
+    "WHERE vec_id <= (SELECT max(vec_id) // 2 FROM embeddings)")
+
   /** IVF oracle parameterized by probe count — shared by sim_ann_ivf
     * (nprobe = 3) and the eval3 recall curve (nprobe = 1..4). */
-  private def ivfSqlN(nprobe: Int): String = raw"""
+  private def ivfSqlN(nprobe: Int, quantWhere: String = ""): String = raw"""
       WITH cent AS (
         SELECT cell, list(m ORDER BY dim) AS centroid FROM (
           SELECT label AS cell, r.range AS dim,
             round(avg(CAST(embedding[r.range + 1] AS DOUBLE)), 6) AS m
-          FROM embeddings, range(0, 64) r GROUP BY label, r.range)
+          FROM embeddings, range(0, 64) r $quantWhere
+          GROUP BY label, r.range)
         GROUP BY cell),
       q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
       probes AS (

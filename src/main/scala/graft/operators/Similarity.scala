@@ -287,6 +287,12 @@ object Similarity {
 
   /** Per-cell (dist, cell) structs for argmin/sort — the shared
     * assignment/probe expression of the IVF family. */
+  /** Quantizer literal for a corpus (slice) — the collected model as a
+    * shippable Column; spec/harness access to the private
+    * quantizer+centLiteral pair. */
+  private[graft] def centsOf(e: DataFrame): Column =
+    centLiteral(quantizer(e).collect())
+
   private def distsTo(cents: Column)(v: Column): Column =
     transform(cents, c =>
       struct(round(lit(1.0) - cosine(v, c.getField("centroid")), 6).as("dist"),
@@ -357,6 +363,67 @@ object Similarity {
       s.read.parquet(s"$base/model").select("cell", "centroid").collect())
     // nprobe cell ids, collected driver-side (model-sized) so the index
     // read is a STATIC IN-filter on the partition column
+    val probeCells = queryVec(s, dir)
+      .select(posexplode(array_sort(distsTo(cents)(col("q")))))
+      .filter(col("pos") < nprobe)
+      .select(col("col").getField("cell").as("cell"))
+      .collect().map(_.getInt(0))
+    s.read.parquet(s"$base/cells")
+      .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+      .crossJoin(broadcast(queryVec(s, dir)))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** INCREMENTAL maintenance of the persisted IVF index — the
+    * "new crawl batch arrives" path a 100 TB vector store lives on:
+    * the inverted file is built ONCE over the base corpus
+    * (vec_id ≤ max/2 here — a deterministic stand-in for "yesterday's
+    * data"), and the delta batch is APPENDED by assigning each new
+    * vector under the FROZEN base quantizer and writing additional
+    * files into the existing cell partitions — no rebuild, no
+    * retraining, no touch of the base files. Queries are identical to
+    * [[annIvfIndexed]]'s (model collect → driver-side probe cells →
+    * statically-pruned read), and the result is bit-identical to
+    * running [[annIvf]] over the FULL corpus with the base-only
+    * quantizer (the frozen-model contract: appends never shift
+    * existing assignments) — which is exactly what the shared oracle
+    * replays. The quantizer-drift question ("when do appended deltas
+    * justify retraining?") is [[ivfRecallCurve]]'s territory; this
+    * operator pins that the append MECHANISM loses nothing. */
+  def annIvfIndexedIncremental(s: SparkSession, dir: String, k: Int = 10,
+                               nprobe: Int = 3): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val splitAt = e.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val base = Staging.base("ivf_incr_v1", dir, s"s$splitAt", "embeddings")
+    def assignWith(cents: Column, rows: DataFrame): DataFrame =
+      rows.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          array_min(distsTo(cents)(col("embedding"))).getField("cell")
+            .as("cell"))
+    // base build: quantizer + inverted file over the base slice only
+    Staging.buildOnce(base) {
+      quantizer(e.filter(col("vec_id") <= splitAt))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/model")
+      val cents = centLiteral(
+        s.read.parquet(s"$base/model").select("cell", "centroid").collect())
+      assignWith(cents, e.filter(col("vec_id") <= splitAt))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$base/cells")
+    }
+    // delta append, exactly once (its own marker): frozen model, new
+    // files appended into the existing cell partition directories
+    Staging.buildOnce(s"$base/delta_applied") {
+      new java.io.File(s"$base/delta_applied").mkdirs()
+      val cents = centLiteral(
+        s.read.parquet(s"$base/model").select("cell", "centroid").collect())
+      assignWith(cents, e.filter(col("vec_id") > splitAt))
+        .write.mode("append").partitionBy("cell").parquet(s"$base/cells")
+    }
+    val cents = centLiteral(
+      s.read.parquet(s"$base/model").select("cell", "centroid").collect())
     val probeCells = queryVec(s, dir)
       .select(posexplode(array_sort(distsTo(cents)(col("q")))))
       .filter(col("pos") < nprobe)

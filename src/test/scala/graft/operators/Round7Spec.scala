@@ -37,6 +37,26 @@ class Round7Spec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("incremental IVF index: base build + frozen-model delta append " +
+      "== in-session IVF over the full corpus with the base quantizer") {
+    import org.apache.spark.sql.functions._
+    val df = Similarity.annIvfIndexedIncremental(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[cell#\\d+ IN".r.findFirstIn(p).isDefined,
+      s"no static partition pruning on the incremental index scan:\n$p")
+    val got = df.collect().map(_.toSeq).toSeq
+    // the in-session twin: full-corpus IVF under the base-only
+    // quantizer (frozen-model contract — appends shift nothing)
+    val e = graft.Tables.embeddings(spark, sf)
+    val splitAt = e.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val baseCents = Similarity.centsOf(
+      e.filter(col("vec_id") <= splitAt))
+    val want = Similarity.annIvf(spark, sf,
+      sharedCents = Some(baseCents)).collect().map(_.toSeq).toSeq
+    assert(got === want,
+      "append path diverged from the frozen-quantizer in-session IVF")
+  }
+
   test("lsh band curve: recall is monotone in probed bands; the full " +
       "depth matches annLsh's own recall") {
     val rows = Similarity.lshBandCurve(spark, sf)
