@@ -67,10 +67,16 @@ def main(out_dir, sf_dir, names=None):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle_sql = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok = fail = 0
     if names:
         keep = {n.strip() for n in names.split(",") if n.strip()}
+        unknown = keep - set(oracle_sql)
+        if unknown:
+            # a typo'd name must not read as "subset passed"
+            print(f"FAIL unknown query name(s): {sorted(unknown)} "
+                  f"(rows-only queries have no oracle entry)")
+            fail += len(unknown)
         oracle_sql = {k: v for k, v in oracle_sql.items() if k in keep}
-    ok = fail = 0
     for name, sql in sorted(oracle_sql.items()):
         try:
             spark_df = con.execute(

@@ -44,7 +44,7 @@ object Bench {
     // codegen-cache state inflated the OSM phases 3-8x (measured 64s
     // vs 10s isolated for the PBF shape). Query timings are immune to
     // the ordering — each is min-of-N with clearCache between.
-    // Every phase inside OsmBench.run has its own budget (sum ≈ 565s)
+    // Every phase inside OsmBench.run has its own budget (sum ≈ 655s)
     // and degrades to -1 alone; this outer cap is only the backstop
     // against a phase that ignores interruption — a contended host must
     // degrade phases to explicit markers, never hang the whole run.
@@ -102,11 +102,14 @@ object Bench {
     // >2x their recorded warm time (and >0.5s absolute — min-of-N noise
     // floor on sub-second queries) surface as `regressions` instead of
     // relying on a judge's by-eye diff of truncated tails.
+    // prior must be the SAME sf: diffing an sf0.01 record against an
+    // sf0.1 run would flood (or mask) the regression list
     val prior: Map[String, Double] = try {
       import scala.jdk.CollectionConverters._
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = om.readTree(new java.io.File(detailPath)).get("queries")
-      node.fields().asScala
+      val root = om.readTree(new java.io.File(detailPath))
+      if (root.get("sf").asText() != sfDir) Map.empty
+      else root.get("queries").fields().asScala
         .map(e => e.getKey -> e.getValue.get("warm").asDouble()).toMap
     } catch { case _: Throwable => Map.empty }
     val regressions = results.flatMap { case (k, _, w) =>
@@ -129,8 +132,11 @@ object Bench {
     // machine-parsed from a 2000-char output tail, but the judge reads
     // the tail by eye and most of this line stays visible in it.
     println(s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"n_failed":$nFailed,"failed":$failed,$osm,"queries":$qs,"sf":"$sfDir"}""")
-    // the durable per-query artifact (see detailPath comment above)
-    try {
+    // the durable per-query artifact (see detailPath comment above).
+    // A SPARK_GRAFT_ONLY dev subset must not clobber the committed
+    // full-battery baseline — subset runs only write when an explicit
+    // detail path was given.
+    if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_DETAIL")) try {
       val qDetail = results.map { case (k, c, w) =>
         s"\"" + k + s"\":{\"cold\":${r3(c)},\"warm\":${r3(w)}}"
       }.mkString("{", ",", "}")

@@ -285,14 +285,14 @@ object Similarity {
         array(r.getSeq[Double](1).map(lit): _*).as("centroid"))
     }.toIndexedSeq: _*)
 
-  /** Per-cell (dist, cell) structs for argmin/sort — the shared
-    * assignment/probe expression of the IVF family. */
   /** Quantizer literal for a corpus (slice) — the collected model as a
     * shippable Column; spec/harness access to the private
     * quantizer+centLiteral pair. */
   private[graft] def centsOf(e: DataFrame): Column =
     centLiteral(quantizer(e).collect())
 
+  /** Per-cell (dist, cell) structs for argmin/sort — the shared
+    * assignment/probe expression of the IVF family. */
   private def distsTo(cents: Column)(v: Column): Column =
     transform(cents, c =>
       struct(round(lit(1.0) - cosine(v, c.getField("centroid")), 6).as("dist"),
@@ -386,19 +386,26 @@ object Similarity {
     * files into the existing cell partitions — no rebuild, no
     * retraining, no touch of the base files. Queries are identical to
     * [[annIvfIndexed]]'s (model collect → driver-side probe cells →
-    * statically-pruned read), and the result is bit-identical to
-    * running [[annIvf]] over the FULL corpus with the base-only
-    * quantizer (the frozen-model contract: appends never shift
-    * existing assignments) — which is exactly what the shared oracle
-    * replays. The quantizer-drift question ("when do appended deltas
-    * justify retraining?") is [[ivfRecallCurve]]'s territory; this
-    * operator pins that the append MECHANISM loses nothing. */
+    * statically-pruned read over BOTH generations), and the result is
+    * bit-identical to running [[annIvf]] over the FULL corpus with the
+    * base-only quantizer (the frozen-model contract: appends never
+    * shift existing assignments) — which is exactly what the shared
+    * oracle replays. The delta lands in its OWN cell-partitioned
+    * generation directory written with mode=overwrite — the LSM
+    * shape — because an append into the base directory would not be
+    * crash-idempotent (a retry after the job commits but before the
+    * marker lands would double every delta row); Staging's
+    * "rebuilding identical content is benign" guarantee holds only
+    * for overwrite writes. The quantizer-drift question ("when do
+    * appended deltas justify retraining?") is [[ivfRecallCurve]]'s
+    * territory; this operator pins that the append MECHANISM loses
+    * nothing. */
   def annIvfIndexedIncremental(s: SparkSession, dir: String, k: Int = 10,
                                nprobe: Int = 3): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
     val splitAt = e.agg(max(col("vec_id"))).head().getLong(0) / 2
-    val base = Staging.base("ivf_incr_v1", dir, s"s$splitAt", "embeddings")
+    val base = Staging.base("ivf_incr_v2", dir, s"s$splitAt", "embeddings")
     def assignWith(cents: Column, rows: DataFrame): DataFrame =
       rows.filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("embedding"),
@@ -413,14 +420,16 @@ object Similarity {
       assignWith(cents, e.filter(col("vec_id") <= splitAt))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$base/cells")
     }
-    // delta append, exactly once (its own marker): frozen model, new
-    // files appended into the existing cell partition directories
-    Staging.buildOnce(s"$base/delta_applied") {
-      new java.io.File(s"$base/delta_applied").mkdirs()
+    // delta generation, exactly once (its own marker): frozen model,
+    // a SEPARATE overwrite-mode cell-partitioned directory — a crashed
+    // build retries idempotently (same input ⇒ same bytes), which an
+    // append into $base/cells could not guarantee
+    Staging.buildOnce(s"$base/delta") {
       val cents = centLiteral(
         s.read.parquet(s"$base/model").select("cell", "centroid").collect())
       assignWith(cents, e.filter(col("vec_id") > splitAt))
-        .write.mode("append").partitionBy("cell").parquet(s"$base/cells")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$base/delta/cells")
     }
     val cents = centLiteral(
       s.read.parquet(s"$base/model").select("cell", "centroid").collect())
@@ -429,8 +438,14 @@ object Similarity {
       .filter(col("pos") < nprobe)
       .select(col("col").getField("cell").as("cell"))
       .collect().map(_.getInt(0))
-    s.read.parquet(s"$base/cells")
-      .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+    // each generation is its own cell-partitioned root (Spark rejects
+    // nested multi-root partition discovery) — two statically-pruned
+    // scans unioned, exactly the LSM read shape
+    Seq(s"$base/cells", s"$base/delta/cells").map { p =>
+      s.read.parquet(p)
+        .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+        .select(col("vec_id"), col("embedding"))
+    }.reduce(_ unionByName _)
       .crossJoin(broadcast(queryVec(s, dir)))
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("q")), 6).as("cos_sim"))
@@ -560,22 +575,23 @@ object Similarity {
     * The codebook is the 6dp-rounded RESIDUALS of corpus vectors
     * 1..ksub, computed through the same column expressions the corpus
     * uses and collected as a ksub-row model. */
-  private final class PqKit(e: DataFrame, val cents: Column,
-                            m: Int, dsub: Int, ksub: Int) {
+  /** Nearest-cell assignment under a centroid-literal model. */
+  private def pqCellOf(cents: Column)(v: Column): Column =
+    array_min(distsTo(cents)(v)).getField("cell")
+
+  /** Residual against the assigned/probed cell's centroid. */
+  private def pqResid(cents: Column)(v: Column, cell: Column): Column =
+    zip_with(v.cast("array<double>"),
+      element_at(filter(cents, c => c.getField("cell") === cell), 1)
+        .getField("centroid"),
+      (x, mu) => x - mu)
+
+  private final class PqKit(val cents: Column,
+                            cbRows: IndexedSeq[org.apache.spark.sql.Row],
+                            m: Int, dsub: Int) {
     val dists: Column => Column = distsTo(cents)
-    def cellOf(v: Column): Column = array_min(dists(v)).getField("cell")
-    // residual against the assigned/probed cell's centroid
-    def resid(v: Column, cell: Column): Column =
-      zip_with(v.cast("array<double>"),
-        element_at(filter(cents, c => c.getField("cell") === cell), 1)
-          .getField("centroid"),
-        (x, mu) => x - mu)
-    private val cbRows = e
-      .filter(col("vec_id") >= 1 && col("vec_id") <= ksub)
-      .select(col("vec_id"),
-        transform(resid(col("embedding"), cellOf(col("embedding"))),
-          x => round(x, 6)).as("rv"))
-      .collect().sortBy(_.getLong(0)).toIndexedSeq
+    def cellOf(v: Column): Column = pqCellOf(cents)(v)
+    def resid(v: Column, cell: Column): Column = pqResid(cents)(v, cell)
     private def book(mi: Int): Column = array(
       cbRows.zipWithIndex.map { case (r, j) =>
         struct(lit(j).as("j"),
@@ -596,6 +612,22 @@ object Similarity {
     }: _*)
   }
 
+  /** The (vec_id, 6dp residual) codebook frame — written to parquet by
+    * the indexed build, collected directly by the in-session form. */
+  private def pqCodebookDf(e: DataFrame, cents: Column,
+                           ksub: Int): DataFrame =
+    e.filter(col("vec_id") >= 1 && col("vec_id") <= ksub)
+      .select(col("vec_id"),
+        transform(
+          pqResid(cents)(col("embedding"), pqCellOf(cents)(col("embedding"))),
+          x => round(x, 6)).as("rv"))
+
+  private def pqKit(e: DataFrame, cents: Column, m: Int, dsub: Int,
+                    ksub: Int): PqKit =
+    new PqKit(cents,
+      pqCodebookDf(e, cents, ksub).collect().sortBy(_.getLong(0))
+        .toIndexedSeq, m, dsub)
+
   def annIvfPq(s: SparkSession, dir: String, k: Int = 10, nprobe: Int = 3,
                m: Int = 8, dsub: Int = 8, ksub: Int = 16,
                shortlist: Int = 50,
@@ -603,7 +635,7 @@ object Similarity {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
     val cents = sharedCents.getOrElse(centLiteral(quantizer(e).collect()))
-    val kit = new PqKit(e, cents, m, dsub, ksub)
+    val kit = pqKit(e, cents, m, dsub, ksub)
     // probes: nprobe nearest cells, each carrying the query's
     // PER-CELL residual ADC table
     val probes = queryVec(s, dir)
@@ -650,8 +682,10 @@ object Similarity {
                       nprobe: Int = 3, m: Int = 8, dsub: Int = 8,
                       ksub: Int = 16, shortlist: Int = 50): DataFrame = {
     GraftFunctions.register(s)
-    // v1 = quantizer/codebook/encode version — bump on semantic change
-    val base = Staging.base("ivfpq_index_v1", dir, s"m${m}d${dsub}k$ksub",
+    // v2 = quantizer/codebook/encode version — bump on semantic change
+    // (v2: the codebook is persisted beside the model, so queries read
+    // a ksub-row file instead of scanning the corpus for it)
+    val base = Staging.base("ivfpq_index_v2", dir, s"m${m}d${dsub}k$ksub",
       "embeddings")
     Staging.buildOnce(base) {
       val e = Tables.embeddings(s, dir)
@@ -659,7 +693,9 @@ object Similarity {
         .parquet(s"$base/model")
       val cents = centLiteral(
         s.read.parquet(s"$base/model").select("cell", "centroid").collect())
-      val kit = new PqKit(e, cents, m, dsub, ksub)
+      pqCodebookDf(e, cents, ksub).coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/codebook")
+      val kit = pqKit(e, cents, m, dsub, ksub)
       e.filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("embedding"),
           kit.cellOf(col("embedding")).as("cell"))
@@ -669,7 +705,11 @@ object Similarity {
     }
     val cents = centLiteral(
       s.read.parquet(s"$base/model").select("cell", "centroid").collect())
-    val kit = new PqKit(Tables.embeddings(s, dir), cents, m, dsub, ksub)
+    // the persisted codebook: a ksub-row model read — the query never
+    // scans the corpus (the build paid the encode AND codebook cost)
+    val kit = new PqKit(cents,
+      s.read.parquet(s"$base/codebook").collect().sortBy(_.getLong(0))
+        .toIndexedSeq, m, dsub)
     // nprobe cell ids, collected driver-side (model-sized) so the index
     // read is a STATIC IN-filter on the partition column
     val probeCells = queryVec(s, dir)
