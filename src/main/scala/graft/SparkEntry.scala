@@ -310,6 +310,10 @@ object SparkEntry {
     // ---- round-6 continuation ----
     "ml7_target_encode" -> (Training.targetEncode(_, _)),
     "prof3_drift_psi"   -> (Profiling.driftPsi(_, _)),
+    "prof4_snapshot_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Profiling.snapshotDiff(d, Fixtures.crawlSnapshot(d))
+    }),
     "stat18_mutual_info" -> (Profiling.mutualInfo(_, _)),
     "text_readability"  -> (TextAnalysis.readability(_, _)),
     "ts1_ewma"          -> (EventAnalytics.ewmaSpikes(_, _)),
@@ -1316,6 +1320,30 @@ object SparkEntry {
     // IVF (same quantizer math, same tie-breaks) — one shared oracle
     "sim_ann_ivf_indexed" -> ivfSql,
     "sim_ann_ivf_incremental" -> ivfIncrSql,
+    // crawl-over-crawl diff (Profiling.snapshotDiff) on the rebuilt
+    // fixture snapshot — md5 is lowercase hex on both engines
+    "prof4_snapshot_diff" -> raw"""
+      WITH newsnap AS (
+        SELECT doc_id, text, source FROM documents
+          WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id, text || ' rev2', source FROM documents
+          WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 4000000, text, source FROM documents
+          WHERE doc_id % 11 = 0),
+      o AS (SELECT doc_id, source AS osource, md5(text) AS oh
+            FROM documents),
+      n AS (SELECT doc_id, source AS nsource, md5(text) AS nh
+            FROM newsnap),
+      j AS (SELECT coalesce(o.osource, n.nsource) AS source,
+          CASE WHEN o.oh IS NULL THEN 'added'
+               WHEN n.nh IS NULL THEN 'removed'
+               WHEN o.oh <> n.nh THEN 'changed'
+               ELSE 'unchanged' END AS change_type
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      SELECT source, change_type, CAST(count(*) AS BIGINT) AS n_docs
+      FROM j GROUP BY 1, 2""",
     // ---- round-4b ----
     "sub1_subqueries" ->
       """SELECT c.c_mktsegment,

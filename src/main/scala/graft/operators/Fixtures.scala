@@ -87,6 +87,22 @@ object Fixtures {
             concat(col("text"), lit(" edit v2")).as("text")))
   }
 
+  /** Deterministic NEXT crawl snapshot of the documents corpus — the
+    * crawl-over-crawl face of [[Profiling.snapshotDiff]]: every 5th
+    * document disappears (removed), every remaining 7th comes back
+    * with appended content (changed), every 11th also arrives under a
+    * brand-new doc_id (added), everything else is byte-identical.
+    * Pure key functions, so the DuckDB oracle rebuilds the identical
+    * snapshot. */
+  def crawlSnapshot(d: DataFrame): DataFrame = {
+    val kept = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    kept.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .unionByName(kept.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .withColumn("text", concat(col("text"), lit(" rev2"))))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .withColumn("doc_id", col("doc_id") + 4000000L))
+  }
+
   /** Deterministic CDC batch against the orders snapshot: every
     * key ≡ 3 (mod 10) arrives as an update (re-priced, status 'U') and
     * every key ≡ 7 (mod 100) arrives again as a brand-new order under a

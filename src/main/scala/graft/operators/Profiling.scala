@@ -23,6 +23,33 @@ import org.apache.spark.sql.functions._
   */
 object Profiling {
 
+  /** Crawl-over-crawl snapshot diff — the corpus-lifecycle report
+    * every recurring ingestion runs before promoting a new snapshot:
+    * per (source, change_type) document counts, where change_type ∈
+    * added (new doc_id), removed (doc_id gone), changed (same doc_id,
+    * different content hash), unchanged. Content comparison is by md5
+    * computed BEFORE the join, so only (doc_id, source, 32-char hash)
+    * rows shuffle — never the text — and the full-outer join
+    * co-partitions on doc_id; at 100 TB this is one narrow shuffle of
+    * key+hash per side regardless of document size. The md5 is
+    * engine-portable (lowercase hex both engines), so the oracle
+    * replays the classification bit-for-bit on the rebuilt fixture
+    * snapshot ([[Fixtures.crawlSnapshot]]). */
+  def snapshotDiff(old: DataFrame, neu: DataFrame): DataFrame = {
+    val o = old.select(col("doc_id"), col("source").as("osource"),
+      md5(col("text")).as("oh"))
+    val n = neu.select(col("doc_id"), col("source").as("nsource"),
+      md5(col("text")).as("nh"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("osource"), col("nsource")).as("source"),
+        when(col("oh").isNull, lit("added"))
+          .when(col("nh").isNull, lit("removed"))
+          .when(col("oh") =!= col("nh"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change_type"))
+      .groupBy(col("source"), col("change_type"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Per-column profile of the documents table in long format:
     * (column, n_rows, n_null, n_distinct, min_str, max_str,
     * avg_len_micros). One aggregate row computes all 5×4 statistics in

@@ -57,6 +57,23 @@ class Round7Spec extends SparkSpec {
       "append path diverged from the frozen-quantizer in-session IVF")
   }
 
+  test("snapshot diff: class counts conserve against the fixture's " +
+      "own membership rules") {
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.documents(spark, sf)
+    val byType = Profiling.snapshotDiff(d, Fixtures.crawlSnapshot(d))
+      .groupBy("change_type").agg(sum("n_docs").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n5 = d.filter(pmod(col("doc_id"), lit(5)) === 0).count()
+    val n7 = d.filter(pmod(col("doc_id"), lit(5)) =!= 0 &&
+      pmod(col("doc_id"), lit(7)) === 0).count()
+    val n11 = d.filter(pmod(col("doc_id"), lit(11)) === 0).count()
+    assert(byType("removed") === n5)
+    assert(byType("changed") === n7)
+    assert(byType("added") === n11)
+    assert(byType.values.sum === d.count() + n11)
+  }
+
   test("lsh band curve: recall is monotone in probed bands; the full " +
       "depth matches annLsh's own recall") {
     val rows = Similarity.lshBandCurve(spark, sf)
