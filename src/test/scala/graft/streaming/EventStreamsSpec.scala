@@ -358,6 +358,76 @@ class EventStreamsSpec extends SparkSpec {
       "state after kill+restart diverged from the batch operator")
   }
 
+  test("checkpoint restart: windowed aggregation resumes mid-window — " +
+      "closed windows still match the batch operator") {
+    // the builtin-stateful-operator twin of the transformWithState
+    // restart test: windows whose events STRADDLE the kill must come
+    // back with full counts (restored aggregation buffers), and no
+    // window may emit twice with different counts (restored watermark)
+    import graft.operators.EventAnalytics
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ticks = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"))
+      .as[EventStreams.TypedTick].collect().sortBy(_.ts.getTime)
+    assert(ticks.length >= 3)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_win_restart_").toString
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    val batchIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var schema: org.apache.spark.sql.types.StructType = null
+    val mem = MemoryStream[EventStreams.TypedTick]
+    def start() = EventStreams.minuteTypeCounts(mem.toDF())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (ds: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) =>
+          val rows = ds.collect()
+          seen.synchronized {
+            schema = ds.schema; seen ++= rows; batchIds += id
+          }
+          ()
+      }.start()
+    val (a, rest) = ticks.splitAt(ticks.length / 3)
+    val (b, c) = rest.splitAt(rest.length / 2)
+    val q1 = start()
+    try { mem.addData(a.toIndexedSeq: _*); q1.processAllAvailable() }
+    finally q1.stop() // kill mid-window: open windows live only in state
+    val idsFirst = seen.synchronized(batchIds.toList)
+    mem.addData(b.toIndexedSeq: _*) // arrives while the query is down
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      mem.addData(c.toIndexedSeq: _*)
+      q2.processAllAvailable()
+      // sentinel closes every real window (its own stays open)
+      mem.addData(EventStreams.TypedTick("__wm_sentinel",
+        new java.sql.Timestamp(ticks.last.ts.getTime + 3600L * 1000)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val idsSecond = seen.synchronized(batchIds.toList).drop(idsFirst.length)
+    assert(idsSecond.nonEmpty && idsSecond.min > idsFirst.max,
+      s"restart did not resume from checkpoint: $idsFirst then $idsSecond")
+    // append-mode emits each closed window once; a replayed sink batch
+    // appends byte-identical rows, which the Set collapses — but a
+    // LOST buffer would emit a partial count and break batch parity
+    val emitted = seen.synchronized(seen.toList)
+    val df = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(emitted: _*)), schema)
+      // a replayed sink batch appends byte-identical rows; the scorer
+      // aggregates, so collapse replays before scoring
+      .distinct()
+    val streamScored = EventAnalytics.scoreAnomalies(df)
+      .collect().map(_.toSeq).toSet
+    val batchScored = EventAnalytics.anomalyScores(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamScored === batchScored,
+      "windowed state after kill+restart diverged from the batch operator")
+    assert(streamScored.nonEmpty)
+  }
+
   test("streaming closed minute-counts + batch scoring == batch anomaly operator") {
     import graft.operators.EventAnalytics
     import spark.implicits._
