@@ -305,6 +305,8 @@ object SparkEntry {
       TextAnalysis.urlDedup(Fixtures.withUrls(Tables.documents(s, dir)))),
     "text_bm25_indexed" -> ((s, dir) =>
       TextAnalysis.bm25Indexed(s, dir, Seq("spark", "query", "filter"))),
+    "text_bm25_incremental" -> ((s, dir) =>
+      TextAnalysis.bm25Incremental(s, dir, Seq("spark", "query", "filter"))),
     "s10_corrupt_json" -> (Audits.s10CorruptJson(_, _)),
     "stat17_corr_matrix" -> (Relational.stat17CorrMatrix(_, _)),
     // ---- round-6 continuation ----
@@ -1201,6 +1203,9 @@ object SparkEntry {
     // in-session BM25 (same integer tf/df/dl, same formula) — one
     // shared oracle, like sim_ann_ivf / sim_ann_ivf_indexed
     "text_bm25_indexed" -> bm25Sql,
+    // base + delta postings generations with exactly-merged stats
+    // reproduce full-corpus BM25 bit-for-bit — one shared oracle
+    "text_bm25_incremental" -> bm25Sql,
     "samp3_split" -> raw"""
       WITH b AS (SELECT doc_id, lang,
           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100

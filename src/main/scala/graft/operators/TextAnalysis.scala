@@ -673,14 +673,39 @@ object TextAnalysis {
     }
     val stats = s.read.parquet(s"$base/stats").collect().head
     val (n, total) = (stats.getAs[Long]("n"), stats.getAs[Long]("total"))
-    // query-term buckets via the SAME kernel the index-build expression
-    // used — driver-side, so the read plans a static partition filter
-    val tbs = terms.map(t => math.floorMod(graft.functions.Md5Base.hash60(
+    bm25ScoreFromPostings(
+      indexedPostings(s, Seq(base), terms, buckets), n, total, k)
+  }
+
+  /** Query-term bucket ids via the SAME kernel the index-build
+    * expression used — driver-side, so the read plans a static
+    * partition filter. */
+  private def termBuckets(terms: Seq[String], buckets: Int): Seq[Long] =
+    terms.map(t => math.floorMod(graft.functions.Md5Base.hash60(
         org.apache.spark.unsafe.types.UTF8String.fromString(t)),
       buckets.toLong)).distinct
-    val tf = s.read.parquet(s"$base/postings")
-      .filter(col("tb").isin(tbs: _*))
-      .filter(col("term").isin(terms: _*))
+
+  /** Statically-pruned postings read over one or more index
+    * GENERATIONS, unioned (doc sets are disjoint by construction). */
+  private def indexedPostings(s: SparkSession, gens: Seq[String],
+                              terms: Seq[String], buckets: Int)
+  : DataFrame = {
+    val tbs = termBuckets(terms, buckets)
+    gens.map { g =>
+      s.read.parquet(s"$g/postings")
+        .filter(col("tb").isin(tbs: _*))
+        .filter(col("term").isin(terms: _*))
+        .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The ONE BM25 scoring kernel over (doc_id, term, tf, dl) postings
+    * plus collected corpus stats — shared by [[bm25Indexed]] and
+    * [[bm25Incremental]] so every indexed face scores bit-identically
+    * to [[bm25]] (same integer tf/df/dl, same formula, same
+    * micro-quantized sum). */
+  private def bm25ScoreFromPostings(tf: DataFrame, n: Long, total: Long,
+                                    k: Int): DataFrame = {
     val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .select(col("term"),
         round(log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6)
@@ -699,6 +724,57 @@ object TextAnalysis {
         count(lit(1)).as("n_terms"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** INCREMENTAL maintenance of the BM25 index — the text twin of
+    * `Similarity.annIvfIndexedIncremental`: the base postings are
+    * built once over the base corpus slice (doc_id ≤ max/2), and a
+    * new document batch lands as its OWN term-bucketed postings
+    * generation (overwrite-mode — crash-idempotent, base files never
+    * touched). The subtlety BM25 adds over IVF: corpus stats (N,
+    * Σdl) and df are APPEND-VARIANT — a new batch changes every
+    * score. So each generation stages its own one-row stats model and
+    * the query SUMS them (exact integer merge), while df aggregates
+    * over the unioned generation postings; nothing is stale, and the
+    * result is bit-identical to [[bm25]] over the full corpus — the
+    * shared oracle proves the merge loses nothing. At 100 TB: per
+    * batch, one postings write of the DELTA only; per query, an
+    * O(matched buckets × generations) read. */
+  def bm25Incremental(s: SparkSession, dir: String, terms: Seq[String],
+                      k: Int = 10, buckets: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val d = Tables.documents(s, dir)
+    val splitAt = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val base = Staging.base("bm25_incr_v1", dir, s"b${buckets}s$splitAt",
+      "documents")
+    def buildGen(docs: DataFrame, path: String): Unit = {
+      val tk = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      val dl = tk.select(col("doc_id"),
+        size(col("tk")).cast("long").as("dl"))
+      tk.select(col("doc_id"), explode(col("tk")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .join(dl, "doc_id")
+        .withColumn("tb",
+          pmod(call_function("md5_base60", col("term")),
+            lit(buckets.toLong)))
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(s"$path/postings")
+      dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    }
+    Staging.buildOnce(base) {
+      buildGen(d.filter(col("doc_id") <= splitAt), base)
+    }
+    Staging.buildOnce(s"$base/delta") {
+      buildGen(d.filter(col("doc_id") > splitAt), s"$base/delta")
+    }
+    val gens = Seq(base, s"$base/delta")
+    // merged corpus stats: per-generation one-row models sum exactly
+    val statRows = gens.map(g => s.read.parquet(s"$g/stats").collect().head)
+    val n = statRows.map(_.getAs[Long]("n")).sum
+    val total = statRows.map(_.getAs[Long]("total")).sum
+    bm25ScoreFromPostings(
+      indexedPostings(s, gens, terms, buckets), n, total, k)
   }
 
   /** Unigram language-model scoring — the perplexity-proxy quality

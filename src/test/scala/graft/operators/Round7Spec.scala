@@ -57,6 +57,16 @@ class Round7Spec extends SparkSpec {
       "append path diverged from the frozen-quantizer in-session IVF")
   }
 
+  test("incremental BM25: both postings generations are statically " +
+      "pruned to the query terms' buckets") {
+    val df = TextAnalysis.bm25Incremental(spark, sf,
+      Seq("spark", "query", "filter"))
+    val p = df.queryExecution.executedPlan.toString
+    // one pruned scan per generation (base + delta)
+    assert("PartitionFilters: \\[tb#\\d+ IN".r.findAllIn(p).size >= 2,
+      s"expected tb partition pruning on both generation scans:\n$p")
+  }
+
   test("snapshot diff: class counts conserve against the fixture's " +
       "own membership rules") {
     import org.apache.spark.sql.functions._
