@@ -121,6 +121,7 @@ object SparkEntry {
     "sim_ann_brute"     -> (Similarity.annBruteForce(_, _)),
     "sim_ann_lsh"       -> (Similarity.annLsh(_, _)),
     "sim_ann_lsh_indexed" -> (Similarity.annLshIndexed(_, _)),
+    "sim_ann_lsh_incremental" -> (Similarity.annLshIncremental(_, _)),
     "sim_ann_ivf"       -> (Similarity.annIvf(_, _)),
     "sim_ann_ivf_indexed" -> (Similarity.annIvfIndexed(_, _)),
     "sim_ann_ivf_incremental" ->
@@ -309,6 +310,10 @@ object SparkEntry {
       TextAnalysis.bm25Incremental(s, dir, Seq("spark", "query", "filter"))),
     "s10_corrupt_json" -> (Audits.s10CorruptJson(_, _)),
     "stat17_corr_matrix" -> (Relational.stat17CorrMatrix(_, _)),
+    // ---- spatial: grid-cell bucketed candidate joins ----
+    "geo1_radius_pairs" -> (Spatial.radiusPairs(_, _)),
+    "geo2_cell_density" -> (Spatial.cellDensity(_, _)),
+    "geo3_knn_join"     -> (Spatial.knnJoin(_, _)),
     // ---- round-6 continuation ----
     "ml7_target_encode" -> (Training.targetEncode(_, _)),
     "prof3_drift_psi"   -> (Profiling.driftPsi(_, _)),
@@ -401,6 +406,7 @@ object SparkEntry {
     "tok8_neg_sampling" -> (Training.negativeSampling(_, _)),
     "eval3_ivf_recall_curve" -> (Similarity.ivfRecallCurve(_, _)),
     "eval6_lsh_band_curve" -> (Similarity.lshBandCurve(_, _)),
+    "eval7_index_freshness" -> (Similarity.indexFreshness(_, _)),
     "mix7_epoch_alloc"  -> (TextAnalysis.dataConstrainedEpochs(_, _)),
     "ml19_threshold_opt" -> (Profiling.thresholdOpt(_, _)),
     "eval4_minhash_error" -> ((s, dir) =>
@@ -1320,11 +1326,44 @@ object SparkEntry {
     // in-session LSH (same planes, same band math, same tie-breaks) —
     // one shared oracle, like sim_ann_ivf / sim_ann_ivf_indexed
     "sim_ann_lsh_indexed" -> lshAnnSql,
+    "sim_ann_lsh_incremental" -> lshAnnSql,
     "sim_ann_ivf" -> ivfSql,
     // the persisted-index variant is bit-identical to the in-session
     // IVF (same quantizer math, same tie-breaks) — one shared oracle
     "sim_ann_ivf_indexed" -> ivfSql,
     "sim_ann_ivf_incremental" -> ivfIncrSql,
+    // Spatial radius join (Spatial.radiusPairs): the oracle is the
+    // UNFILTERED all-pairs quadratic join — hash-equality against the
+    // grid-cell stencil join is a standing losslessness proof (the
+    // prefix-filter convention applied geometrically). All-integer
+    // micro-unit coordinates: no FP distance anywhere.
+    "geo1_radius_pairs" -> raw"""
+      WITH pts AS ($geoPtsSql)
+      SELECT a.id AS id_a, b.id AS id_b,
+        CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2
+      FROM pts a JOIN pts b ON a.id < b.id
+      WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+        <= 2000000::BIGINT * 2000000""",
+    // Spatial histogram (Spatial.cellDensity): densest 15 grid cells.
+    "geo2_cell_density" -> raw"""
+      WITH pts AS ($geoPtsSql)
+      SELECT x // 2000000 AS cx, y // 2000000 AS cy,
+        CAST(count(*) AS BIGINT) AS n_points
+      FROM pts GROUP BY 1, 2
+      ORDER BY n_points DESC, cx ASC, cy ASC LIMIT 15""",
+    // kNN join (Spatial.knnJoin): 5 nearest neighbors per query point,
+    // integer-distance ranking with id tie-breaks.
+    "geo3_knn_join" -> raw"""
+      WITH pts AS ($geoPtsSql),
+      q AS (SELECT id AS qid, x AS qx, y AS qy FROM pts
+        WHERE id % 150 = 7),
+      r AS (SELECT qid, p.id,
+          CAST((qx-p.x)*(qx-p.x) + (qy-p.y)*(qy-p.y) AS BIGINT) AS dist2,
+          row_number() OVER (PARTITION BY qid ORDER BY
+            (qx-p.x)*(qx-p.x) + (qy-p.y)*(qy-p.y) ASC, p.id ASC) AS rn
+        FROM q JOIN pts p ON p.id <> q.qid)
+      SELECT qid, id AS neighbor_id, dist2, CAST(rn AS BIGINT) AS knn_rank
+      FROM r WHERE rn <= 5""",
     // crawl-over-crawl diff (Profiling.snapshotDiff) on the rebuilt
     // fixture snapshot — md5 is lowercase hex on both engines
     "prof4_snapshot_diff" -> raw"""
@@ -4715,6 +4754,19 @@ object SparkEntry {
         round(count(t.vec_id) / 10.0, 4) AS recall_at_10
       FROM (${lshAnnSqlAt(b)}) s JOIN ($bruteAnnSql) t USING (vec_id)""")
       .mkString("\nUNION ALL\n"),
+    // Index-freshness eval (Similarity.indexFreshness): recall of the
+    // frozen base-slice quantizer serving the full corpus (the
+    // incremental index's append shape) vs a retrained-full quantizer,
+    // both against the brute-force truth; the gap is the staleness
+    // cost of skipping the rebuild. Reuses the ivfSqlN kernel with and
+    // without the base-slice quantizer restriction.
+    "eval7_index_freshness" -> Seq(
+      ("frozen_base", ivfIncrSql), ("retrained", ivfSqlN(3))).map {
+        case (m, sql) => raw"""
+      SELECT '$m' AS variant, CAST(count(t.vec_id) AS BIGINT) AS hits,
+        round(count(t.vec_id) / 10.0, 4) AS recall_at_10
+      FROM ($sql) s JOIN ($bruteAnnSql) t USING (vec_id)"""
+      }.mkString("\nUNION ALL\n"),
     // Equal-share data-constrained epoch allocation
     // (TextAnalysis.dataConstrainedEpochs).
     "mix7_epoch_alloc" -> raw"""
@@ -5483,6 +5535,17 @@ object SparkEntry {
         FROM bands x JOIN bands y ON x.band = y.band AND x.bval = y.bval
           AND x.doc_id < y.doc_id)"""
   }
+
+  /** Deterministic spatial point cloud (Spatial.points): integer
+    * micro-unit coordinates in [0, 1e8) hashed from salted customer
+    * keys with the md5-60 kernel — shared by all three geo oracles. */
+  private def geoPtsSql: String = raw"""
+      SELECT c_custkey AS id,
+        ('0x' || substr(md5('x:' || c_custkey), 1, 15))::BIGINT
+          % 100000000 AS x,
+        ('0x' || substr(md5('y:' || c_custkey), 1, 15))::BIGINT
+          % 100000000 AS y
+      FROM customer"""
 
   /** IVF ANN oracle — shared by sim_ann_ivf and sim_ann_ivf_indexed
     * (the persisted-index variant returns bit-identical results). */

@@ -171,6 +171,64 @@ object Similarity {
       .limit(k)
   }
 
+  /** INCREMENTAL maintenance of the persisted LSH signature index —
+    * completing the maintenance family beside
+    * [[annIvfIndexedIncremental]] and `TextAnalysis.bm25Incremental`:
+    * the banded signature table is built ONCE over the base corpus
+    * slice (vec_id ≤ max/2), and a new vector batch lands as its OWN
+    * (band, bval)-partitioned generation directory (overwrite-mode —
+    * crash-idempotent, base files never touched; the LSM shape).
+    *
+    * LSH is the EASY case of the family: the hash planes are fixed by
+    * seed, so band values are APPEND-INVARIANT — no frozen-model
+    * contract (IVF's quantizer) and no append-variant corpus stats
+    * (BM25's N/Σdl) to manage. A delta build touches only the delta
+    * rows, and the query unions two statically-pruned generation scans
+    * before the shared distinct/tie-break/limit. Bit-identical to
+    * [[annLsh]] over the full corpus, so all three LSH faces share one
+    * oracle. At 100 TB: per batch, one signature write of the DELTA
+    * only; per query, an O(matched buckets × generations) read. */
+  def annLshIncremental(s: SparkSession, dir: String, k: Int = 10,
+                        bits: Int = 16, bands: Int = 4): DataFrame = {
+    GraftFunctions.register(s)
+    val w = bits / bands
+    val e = Tables.embeddings(s, dir)
+    val splitAt = e.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val base = Staging.base("lsh_incr_v1", dir, s"b${bits}x${bands}s$splitAt",
+      "embeddings")
+    def buildGen(rows: DataFrame, path: String): Unit =
+      rows.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          posexplode(bandVals(sigBits(col("embedding"), bits), bands, w)))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bval"))
+        .write.mode("overwrite").partitionBy("band", "bval")
+        .parquet(s"$path/bands")
+    Staging.buildOnce(base) {
+      buildGen(e.filter(col("vec_id") <= splitAt), base)
+    }
+    Staging.buildOnce(s"$base/delta") {
+      buildGen(e.filter(col("vec_id") > splitAt), s"$base/delta")
+    }
+    val qBands = queryVec(s, dir)
+      .select(posexplode(bandVals(sigBits(col("q"), bits), bands, w)))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val probe = qBands.map { case (b, v) =>
+      col("band") === b && col("bval") === v
+    }.reduce(_ || _)
+    // each generation is its own (band, bval)-partitioned root — two
+    // statically-pruned scans unioned, exactly the LSM read shape
+    Seq(s"$base/bands", s"$base/delta/bands").map { p =>
+      s.read.parquet(p).filter(probe)
+        .select(col("vec_id"), col("embedding"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(queryVec(s, dir)))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q")), 6).as("cos_sim"))
+      .distinct()
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs on a bounded slice: all-pairs cosine
     * over vec_id < 60, keep pairs above threshold. The unbounded-scale
     * variant is annLsh's bucketing applied pairwise; this bounded kernel
@@ -968,6 +1026,40 @@ object Similarity {
     depths.map(_.toLong).toDF("n_bands")
       .join(hits, Seq("n_bands"), "left")
       .select(col("n_bands"),
+        coalesce(col("h"), lit(0L)).as("hits"),
+        round(coalesce(col("h"), lit(0L)) / lit(10.0), 4)
+          .as("recall_at_10"))
+  }
+
+  /** Index-freshness eval — the "when do appended deltas justify
+    * retraining?" question [[annIvfIndexedIncremental]]'s scaladoc
+    * defers, answered with data: recall@10 against the brute-force
+    * truth for (a) the FROZEN base-slice quantizer serving the full
+    * corpus (exactly what the incremental index's frozen-model append
+    * produces) vs (b) a quantizer RETRAINED over everything. The gap
+    * between the two rows is the staleness cost of skipping the
+    * rebuild; an operator owner reads this table to decide whether the
+    * delta volume has drifted the cell structure enough to pay for
+    * retraining. Same harness conventions as [[annRecall]]: broadcast
+    * truth set, shared collected quantizers, left-joined variant grid
+    * so a zero-recall variant still emits. */
+  def indexFreshness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val truth = broadcast(annBruteForce(s, dir).select(col("vec_id")))
+    val e = Tables.embeddings(s, dir)
+    val splitAt = e.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val variants = Seq(
+      ("frozen_base", centsOf(e.filter(col("vec_id") <= splitAt))),
+      ("retrained", centsOf(e)))
+    val hits = variants.map { case (m, cents) =>
+        annIvf(s, dir, sharedCents = Some(cents))
+          .select(lit(m).as("variant"), col("vec_id"))
+      }.reduce(_ unionByName _)
+      .join(truth, "vec_id")
+      .groupBy(col("variant")).agg(count(lit(1)).as("h"))
+    variants.map(_._1).toDF("variant")
+      .join(hits, Seq("variant"), "left")
+      .select(col("variant"),
         coalesce(col("h"), lit(0L)).as("hits"),
         round(coalesce(col("h"), lit(0L)) / lit(10.0), 4)
           .as("recall_at_10"))

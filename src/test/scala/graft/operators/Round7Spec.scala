@@ -67,6 +67,22 @@ class Round7Spec extends SparkSpec {
       s"expected tb partition pruning on both generation scans:\n$p")
   }
 
+  test("incremental LSH index: base + delta signature generations are " +
+      "statically pruned and bit-identical to in-session annLsh") {
+    val df = Similarity.annLshIncremental(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // one band/bval-pruned scan per generation — band values are
+    // append-invariant so full-corpus annLsh is the exact twin (no
+    // frozen-model caveat); the only other scan is the 1-row query
+    // vector read, which is legitimately unpartitioned
+    assert("PartitionFilters: \\[\\(+band#\\d+".r.findAllIn(p).size >= 2,
+      s"expected band partition pruning on both generation scans:\n$p")
+    val got = df.collect().map(_.toSeq).toSeq
+    val want = Similarity.annLsh(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got === want,
+      "incremental LSH diverged from the in-session annLsh")
+  }
+
   test("snapshot diff: class counts conserve against the fixture's " +
       "own membership rules") {
     import org.apache.spark.sql.functions._

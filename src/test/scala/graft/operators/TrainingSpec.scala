@@ -127,11 +127,7 @@ class TrainingSpec extends SparkSpec {
     // later session over the same corpus — read it instead of
     // replaying the loop, and their outputs matched the replay, which
     // validates the cache-hit path end-to-end
-    val srcFile = new java.io.File(s"$sf/documents.parquet")
-    val fp = java.lang.Long.toHexString(srcFile.length() ^
-      java.lang.Long.rotateLeft(srcFile.lastModified(), 21))
-    val modelBase = s"/tmp/graft_bpe_v1_" +
-      s"${sf.replaceAll("[^A-Za-z0-9]", "_")}_10_$fp"
+    val modelBase = Staging.base("bpe_v1", sf, "10", "documents")
     assert(new java.io.File(s"$modelBase/_built").exists(), modelBase)
 
     // doc-level encode: n_bpe_tokens = Σ over the doc's alpha words of
