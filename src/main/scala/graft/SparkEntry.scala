@@ -117,6 +117,9 @@ object SparkEntry {
     "dedup_incremental" -> ((s, dir) =>
       Dedup.incremental(s, Tables.documents(s, dir),
         Fixtures.crawlBatch(Tables.documents(s, dir)))),
+    "dedup_cross_near"  -> ((s, dir) =>
+      Dedup.nearDupCross(s, Tables.documents(s, dir),
+        Fixtures.crawlBatch(Tables.documents(s, dir)))),
     // ---- training-data pipeline: similarity search ----
     "sim_ann_brute"     -> (Similarity.annBruteForce(_, _)),
     "sim_ann_lsh"       -> (Similarity.annLsh(_, _)),
@@ -1298,6 +1301,34 @@ object SparkEntry {
       JOIN sg sb ON sb.doc_id = c.doc_b
       WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
           len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5""",
+    // Cross-corpus near-dup (Dedup.nearDupCross): the minhash chain
+    // runs over history ∪ batch (ids ≥ 2M are the batch side, mirroring
+    // Fixtures.crawlBatch), candidates are history×batch band matches
+    // only, verified with exact shingle Jaccard before the per-doc
+    // rollup.
+    "dedup_cross_near" -> raw"""
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text FROM documents
+          WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id, text || ' edit v2' AS text
+        FROM documents WHERE doc_id % 7 = 0),
+      $minhashChainSql,
+      cand AS (SELECT DISTINCT h.doc_id AS hist_doc, n.doc_id AS doc_id
+               FROM bands h JOIN bands n ON h.band = n.band
+                 AND h.band_key = n.band_key
+               WHERE h.doc_id < 2000000 AND n.doc_id >= 2000000),
+      v AS (SELECT c.doc_id,
+              CAST(len(list_intersect(hs.sh, bs.sh)) AS DOUBLE) /
+                len(list_distinct(list_concat(hs.sh, bs.sh))) AS j
+            FROM cand c
+            JOIN sg hs ON hs.doc_id = c.hist_doc
+            JOIN sg bs ON bs.doc_id = c.doc_id)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dups,
+        round(max(j), 4) AS best_jaccard
+      FROM v WHERE j >= 0.5 GROUP BY doc_id""",
     "sim_near_dup_lsh" -> raw"""
       WITH sb AS (SELECT vec_id,
               list_transform($planesSql, pl ->
@@ -5594,7 +5625,16 @@ object SparkEntry {
     * eval5_dedup_curve so a hash/band tweak cannot silently
     * desynchronize one of them. */
   private def minhashCandSql: String = raw"""base AS ($mutantBaseSql),
-      t AS (SELECT doc_id,
+      $minhashChainSql,
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b ON a.band = b.band
+                 AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"""
+
+  /** The shingle → signature → band CTE chain (t/sg/xs/sig/bands) over
+    * whatever `base` CTE precedes it — the kernel [[minhashCandSql]]
+    * instantiates for the mutant corpus and the cross-corpus dedup
+    * oracle instantiates for history ∪ batch. */
+  private def minhashChainSql: String = raw"""t AS (SELECT doc_id,
               list_filter(string_split_regex(lower(text), '\s+'),
                 x -> len(x) > 0) AS tk FROM base),
       sg AS (SELECT doc_id,
@@ -5615,10 +5655,7 @@ object SparkEntry {
                  array_to_string(list_transform(
                    sig[r.range * 4 + 1 : r.range * 4 + 4],
                    v -> v::VARCHAR), '_') AS band_key
-                FROM sig, range(0, 4) r),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-               FROM bands a JOIN bands b ON a.band = b.band
-                 AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"""
+                FROM sig, range(0, 4) r)"""
 
   /** Exact 3-gram-shingle Jaccard pairs ≥ 0.5 over the mutant slice —
     * mirrors Dedup.ngramJaccardPairs(Fixtures.mutantSlice); reused as

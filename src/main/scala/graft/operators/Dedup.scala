@@ -573,6 +573,57 @@ object Dedup {
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
   }
 
+  /** Cross-corpus NEAR-duplicate classification — the fuzzy twin of
+    * [[incremental]]: a new crawl batch is checked against the indexed
+    * HISTORY for MinHash-LSH near-duplicates (not just byte-identical
+    * content). Candidates come from an equi-join of the batch's band
+    * table against the history's band table — never history × batch —
+    * and are verified with the exact shingle Jaccard before the
+    * per-document rollup (how many history docs it near-duplicates,
+    * and the best score). Same signature/banding kernel as
+    * [[minhashLsh]], so the DuckDB oracle replays both sides from one
+    * CTE chain over history ∪ batch.
+    *
+    * At 100 TB the history band table is the INDEX: staged once,
+    * partitioned by band, reused across batches (the bm25Indexed
+    * pattern); each arriving batch computes only its own signatures
+    * and probes matched band buckets. The streaming face
+    * (`EventStreams.nearDupDocStream`) applies exactly this function
+    * per micro-batch via foreachBatch. */
+  def nearDupCross(s: SparkSession, history: DataFrame, batch: DataFrame,
+                   threshold: Double = 0.5): DataFrame = {
+    GraftFunctions.register(s)
+    def sides(docs: DataFrame): (DataFrame, DataFrame) = {
+      val sh = shingled(docs)
+      val bands = sh
+        .select(col("doc_id"), minhashSig(col("sh")).as("sig"))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(3)),
+            b => concat_ws("_", slice(col("sig"), b * 4 + 1, lit(4))))))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+      (sh, bands)
+    }
+    val (hSh, hBands) = sides(history)
+    val (bSh, bBands) = sides(batch)
+    // bare id pairs before the wide shingle arrays join back — the
+    // minhashLsh discipline (arrays never enter the candidate shuffle)
+    val cand = hBands
+      .select(col("doc_id").as("hist_doc"), col("band"), col("band_key"))
+      .join(bBands, Seq("band", "band_key"))
+      .select(col("hist_doc"), col("doc_id")).distinct()
+    val jRaw = size(array_intersect(col("sh_h"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_h"), col("sh_b")))
+    cand
+      .join(hSh.select(col("doc_id").as("hist_doc"), col("sh").as("sh_h")),
+        "hist_doc")
+      .join(bSh.select(col("doc_id"), col("sh").as("sh_b")), "doc_id")
+      .select(col("doc_id"), jRaw.as("j_raw"))
+      .filter(col("j_raw") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dups"),
+        round(max(col("j_raw")), 4).as("best_jaccard"))
+  }
+
   /** 60-bit SimHash per document: per-token md5-60 hash, each bit votes
     * ±1 (weighted by token frequency via repetition), sign of the vote
     * vector becomes the fingerprint bit — via the native SimHash60

@@ -220,6 +220,34 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming face of the cross-corpus NEAR-dup classifier
+    * (operators.Dedup.nearDupCross) — the fuzzy sibling of
+    * [[dedupDocStream]]: each arriving micro-batch of documents is
+    * checked against the static HISTORY for MinHash-LSH
+    * near-duplicates and the per-doc rollup lands in a `batch_id=N`
+    * idempotent directory ([[commitBatch]] — replays are no-ops, so
+    * the sink stays exactly-once). Runs through foreachBatch because
+    * the verify-and-rollup is a per-batch aggregation, not a running
+    * one: every batch is classified against the SAME frozen history,
+    * so batch semantics inside the epoch are exactly the operator's
+    * batch semantics — which is what the parity spec pins.
+    *
+    * At 100 TB the history's band table is staged once, partitioned by
+    * band (the bm25Indexed pattern), and each epoch probes it instead
+    * of re-hashing history — the frame passed as `history` here would
+    * be that staged read. */
+  def nearDupDocStream(s: SparkSession, history: DataFrame,
+                       docs: DataFrame, base: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/_checkpoint")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        commitBatch(graft.operators.Dedup.nearDupCross(s, history,
+          batch.toDF()), id, base)
+      }
+      .start()
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
                           event_type: String)
   case class Session(user_id: Long, n_events: Long, first_ts: Long,

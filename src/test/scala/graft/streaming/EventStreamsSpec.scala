@@ -660,4 +660,37 @@ class EventStreamsSpec extends SparkSpec {
       .toSet
     assert(streamed === batch)
   }
+
+  test("streaming near-dup: micro-batched LSH classification against " +
+      "static history == the batch nearDupCross twin") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val history = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val crawl = graft.operators.Fixtures.crawlBatch(history)
+    val rows = crawl.collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_neardup_stream").toString
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = EventStreams.nearDupDocStream(spark, history, streamDf, base)
+    try {
+      // two micro-batches: classification is per-epoch against the
+      // same frozen history, so the union must equal the batch twin
+      val (fst, snd) = rows.splitAt(rows.length / 2)
+      mem.addData(fst.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(snd.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(base)
+      .select("doc_id", "n_dups", "best_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = graft.operators.Dedup.nearDupCross(spark, history, crawl)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(streamed === want,
+      "per-epoch near-dup classification diverged from the batch twin")
+    assert(want.nonEmpty, "fixture produced no near-duplicates")
+  }
 }
