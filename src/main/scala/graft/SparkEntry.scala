@@ -129,6 +129,8 @@ object SparkEntry {
     "sim_ann_ivf_indexed" -> (Similarity.annIvfIndexed(_, _)),
     "sim_ann_ivf_incremental" ->
       (Similarity.annIvfIndexedIncremental(_, _)),
+    "sim_ann_ivf_compacted" -> (Similarity.annIvfCompacted(_, _)),
+    "sim_ann_lsh_compacted" -> (Similarity.annLshCompacted(_, _)),
     "sim_ann_sq"        -> (Similarity.annScalarQuant(_, _)),
     "sim_near_dup"      -> (Similarity.embNearDup(_, _)),
     "sim_centroids"     -> (Similarity.labelCentroids(_, _)),
@@ -311,6 +313,8 @@ object SparkEntry {
       TextAnalysis.bm25Indexed(s, dir, Seq("spark", "query", "filter"))),
     "text_bm25_incremental" -> ((s, dir) =>
       TextAnalysis.bm25Incremental(s, dir, Seq("spark", "query", "filter"))),
+    "text_bm25_compacted" -> ((s, dir) =>
+      TextAnalysis.bm25Compacted(s, dir, Seq("spark", "query", "filter"))),
     "s10_corrupt_json" -> (Audits.s10CorruptJson(_, _)),
     "stat17_corr_matrix" -> (Relational.stat17CorrMatrix(_, _)),
     // ---- spatial: grid-cell bucketed candidate joins ----
@@ -1215,6 +1219,7 @@ object SparkEntry {
     // base + delta postings generations with exactly-merged stats
     // reproduce full-corpus BM25 bit-for-bit — one shared oracle
     "text_bm25_incremental" -> bm25Sql,
+    "text_bm25_compacted" -> bm25Sql,
     "samp3_split" -> raw"""
       WITH b AS (SELECT doc_id, lang,
           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
@@ -1363,6 +1368,11 @@ object SparkEntry {
     // IVF (same quantizer math, same tie-breaks) — one shared oracle
     "sim_ann_ivf_indexed" -> ivfSql,
     "sim_ann_ivf_incremental" -> ivfIncrSql,
+    // compaction faces: pure co-location rewrites, so each shares its
+    // incremental sibling's oracle (IVF keeps the frozen base
+    // quantizer; LSH signatures are append-invariant)
+    "sim_ann_ivf_compacted" -> ivfIncrSql,
+    "sim_ann_lsh_compacted" -> lshAnnSql,
     // Spatial radius join (Spatial.radiusPairs): the oracle is the
     // UNFILTERED all-pairs quadratic join — hash-equality against the
     // grid-cell stencil join is a standing losslessness proof (the

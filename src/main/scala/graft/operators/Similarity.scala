@@ -189,7 +189,36 @@ object Similarity {
     * oracle. At 100 TB: per batch, one signature write of the DELTA
     * only; per query, an O(matched buckets × generations) read. */
   def annLshIncremental(s: SparkSession, dir: String, k: Int = 10,
-                        bits: Int = 16, bands: Int = 4): DataFrame = {
+                        bits: Int = 16, bands: Int = 4): DataFrame =
+    lshIncrQuery(s, dir, k, bits, bands,
+      base => Seq(s"$base/bands", s"$base/delta/bands"))
+
+  /** COMPACTION of the incremental LSH signature index — the LSH face
+    * of [[annIvfCompacted]]: base + delta band generations rewrite
+    * once into a single (band, bval)-partitioned generation and the
+    * query's statically-pruned read collapses from a union to one
+    * scan. Signatures are append-invariant (fixed planes), so
+    * compaction is a pure co-location rewrite; bit-identical to
+    * [[annLsh]], same shared oracle. */
+  def annLshCompacted(s: SparkSession, dir: String, k: Int = 10,
+                      bits: Int = 16, bands: Int = 4): DataFrame =
+    lshIncrQuery(s, dir, k, bits, bands, { base =>
+      Staging.buildOnce(s"$base/compact") {
+        Seq(s"$base/bands", s"$base/delta/bands")
+          .map(p => s.read.parquet(p).select(col("vec_id"),
+            col("embedding"), col("band"), col("bval")))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").partitionBy("band", "bval")
+          .parquet(s"$base/compact/bands")
+      }
+      Seq(s"$base/compact/bands")
+    })
+
+  /** Shared staging + query kernel of the incremental-LSH faces —
+    * `gens` picks the generation roots the query unions. */
+  private def lshIncrQuery(s: SparkSession, dir: String, k: Int,
+                           bits: Int, bands: Int,
+                           gens: String => Seq[String]): DataFrame = {
     GraftFunctions.register(s)
     val w = bits / bands
     val e = Tables.embeddings(s, dir)
@@ -215,9 +244,9 @@ object Similarity {
     val probe = qBands.map { case (b, v) =>
       col("band") === b && col("bval") === v
     }.reduce(_ || _)
-    // each generation is its own (band, bval)-partitioned root — two
+    // each generation is its own (band, bval)-partitioned root —
     // statically-pruned scans unioned, exactly the LSM read shape
-    Seq(s"$base/bands", s"$base/delta/bands").map { p =>
+    gens(base).map { p =>
       s.read.parquet(p).filter(probe)
         .select(col("vec_id"), col("embedding"))
     }.reduce(_ unionByName _)
@@ -459,7 +488,46 @@ object Similarity {
     * territory; this operator pins that the append MECHANISM loses
     * nothing. */
   def annIvfIndexedIncremental(s: SparkSession, dir: String, k: Int = 10,
-                               nprobe: Int = 3): DataFrame = {
+                               nprobe: Int = 3): DataFrame =
+    ivfIncrQuery(s, dir, k, nprobe,
+      base => Seq(s"$base/cells", s"$base/delta/cells"))
+
+  /** COMPACTION of the incremental IVF index — the third LSM verb
+    * (build, append, [[annIvfIndexedIncremental]]; now merge): the
+    * base and delta cell generations are rewritten ONCE into a single
+    * compacted cell-partitioned generation (no re-assignment — the
+    * quantizer stays frozen, rows just co-locate), and every
+    * subsequent query reads ONE statically-pruned scan instead of a
+    * generation union. Bit-identical to the two-generation read (rows
+    * are the same set), so all incremental faces share one oracle. At
+    * 100 TB this is the background maintenance job that bounds read
+    * amplification: generations accumulate per append batch, queries
+    * degrade O(generations), and compaction resets that to 1 without
+    * touching the model or the live generations (the compact dir is
+    * its own overwrite-mode root — crash-idempotent like every other
+    * generation build). */
+  def annIvfCompacted(s: SparkSession, dir: String, k: Int = 10,
+                      nprobe: Int = 3): DataFrame =
+    ivfIncrQuery(s, dir, k, nprobe, { base =>
+      Staging.buildOnce(s"$base/compact") {
+        Seq(s"$base/cells", s"$base/delta/cells")
+          .map(p => s.read.parquet(p)
+            .select(col("vec_id"), col("embedding"), col("cell")))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$base/compact/cells")
+      }
+      Seq(s"$base/compact/cells")
+    })
+
+  /** Shared staging + query kernel of the incremental-IVF faces: base
+    * build (quantizer + base-slice inverted file) and frozen-model
+    * delta generation land exactly once; `gens` picks which
+    * generation roots the query unions (the append face reads both,
+    * the compacted face first merges then reads one). */
+  private def ivfIncrQuery(s: SparkSession, dir: String, k: Int,
+                           nprobe: Int,
+                           gens: String => Seq[String]): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
     val splitAt = e.agg(max(col("vec_id"))).head().getLong(0) / 2
@@ -497,9 +565,9 @@ object Similarity {
       .select(col("col").getField("cell").as("cell"))
       .collect().map(_.getInt(0))
     // each generation is its own cell-partitioned root (Spark rejects
-    // nested multi-root partition discovery) — two statically-pruned
+    // nested multi-root partition discovery) — statically-pruned
     // scans unioned, exactly the LSM read shape
-    Seq(s"$base/cells", s"$base/delta/cells").map { p =>
+    gens(base).map { p =>
       s.read.parquet(p)
         .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
         .select(col("vec_id"), col("embedding"))

@@ -741,7 +741,48 @@ object TextAnalysis {
     * batch, one postings write of the DELTA only; per query, an
     * O(matched buckets × generations) read. */
   def bm25Incremental(s: SparkSession, dir: String, terms: Seq[String],
-                      k: Int = 10, buckets: Int = 64): DataFrame = {
+                      k: Int = 10, buckets: Int = 64): DataFrame =
+    bm25IncrQuery(s, dir, terms, k, buckets,
+      base => Seq(base, s"$base/delta"))
+
+  /** COMPACTION of the incremental BM25 index — the text face of
+    * `Similarity.annIvfCompacted`: postings generations rewrite once
+    * into a single term-bucketed generation, and the per-generation
+    * one-row stats models merge by exact integer sum into one stats
+    * file — so the compacted generation is indistinguishable from an
+    * index built over the full corpus in one shot, and the query's
+    * pruned read collapses from a union to one scan. Same shared
+    * oracle as [[bm25]] (the merge is provably lossless: tf rows are
+    * a set union, N and Σdl are associative sums). */
+  def bm25Compacted(s: SparkSession, dir: String, terms: Seq[String],
+                    k: Int = 10, buckets: Int = 64): DataFrame =
+    bm25IncrQuery(s, dir, terms, k, buckets, { base =>
+      Staging.buildOnce(s"$base/compact") {
+        Seq(base, s"$base/delta")
+          .map(g => s.read.parquet(s"$g/postings")
+            .select(col("doc_id"), col("term"), col("tf"), col("dl"),
+              col("tb")))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").partitionBy("tb")
+          .parquet(s"$base/compact/postings")
+        val statRows = Seq(base, s"$base/delta")
+          .map(g => s.read.parquet(s"$g/stats").collect().head)
+        import s.implicits._
+        Seq((statRows.map(_.getAs[Long]("n")).sum,
+            statRows.map(_.getAs[Long]("total")).sum))
+          .toDF("n", "total")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$base/compact/stats")
+      }
+      Seq(s"$base/compact")
+    })
+
+  /** Shared staging + query kernel of the incremental-BM25 faces —
+    * `gens` picks the generation roots whose postings union and whose
+    * one-row stats models sum (exact integer merge). */
+  private def bm25IncrQuery(s: SparkSession, dir: String,
+                            terms: Seq[String], k: Int, buckets: Int,
+                            gens: String => Seq[String]): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val d = Tables.documents(s, dir)
     val splitAt = d.agg(max(col("doc_id"))).head().getLong(0) / 2
@@ -768,13 +809,13 @@ object TextAnalysis {
     Staging.buildOnce(s"$base/delta") {
       buildGen(d.filter(col("doc_id") > splitAt), s"$base/delta")
     }
-    val gens = Seq(base, s"$base/delta")
+    val roots = gens(base)
     // merged corpus stats: per-generation one-row models sum exactly
-    val statRows = gens.map(g => s.read.parquet(s"$g/stats").collect().head)
+    val statRows = roots.map(g => s.read.parquet(s"$g/stats").collect().head)
     val n = statRows.map(_.getAs[Long]("n")).sum
     val total = statRows.map(_.getAs[Long]("total")).sum
     bm25ScoreFromPostings(
-      indexedPostings(s, gens, terms, buckets), n, total, k)
+      indexedPostings(s, roots, terms, buckets), n, total, k)
   }
 
   /** Unigram language-model scoring — the perplexity-proxy quality

@@ -83,6 +83,46 @@ class Round7Spec extends SparkSpec {
       "incremental LSH diverged from the in-session annLsh")
   }
 
+  test("compacted indexes: one pruned scan instead of a generation " +
+      "union, results bit-identical to the two-generation read") {
+    // IVF: compaction keeps the frozen quantizer, so the compacted
+    // read must equal the incremental (append) read exactly
+    val ivfC = Similarity.annIvfCompacted(spark, sf)
+    val pIvf = ivfC.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[cell#\\d+ IN".r.findAllIn(pIvf).size === 1,
+      s"compacted IVF should read exactly one pruned generation:\n$pIvf")
+    assert(!pIvf.contains("Union"), s"compacted IVF still unions:\n$pIvf")
+    assert(ivfC.collect().map(_.toSeq).toSeq ===
+      Similarity.annIvfIndexedIncremental(spark, sf)
+        .collect().map(_.toSeq).toSeq)
+    // LSH: signatures append-invariant ⇒ compacted == annLsh
+    val lshC = Similarity.annLshCompacted(spark, sf)
+    val pLsh = lshC.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[\\(+band#\\d+".r.findAllIn(pLsh).size === 1,
+      s"compacted LSH should read exactly one pruned generation:\n$pLsh")
+    assert(lshC.collect().map(_.toSeq).toSeq ===
+      Similarity.annLsh(spark, sf).collect().map(_.toSeq).toSeq)
+    // BM25: merged stats + unioned postings == full-corpus bm25
+    val bmC = TextAnalysis.bm25Compacted(spark, sf,
+      Seq("spark", "query", "filter"))
+    val pBm = bmC.queryExecution.executedPlan.toString
+    // the scoring kernel legitimately reads the postings twice (df agg
+    // + tf join) — the compaction claim is about WHICH generation, not
+    // how many reads: every scan must hit the compact root only
+    assert("PartitionFilters: \\[tb#\\d+ IN".r.findAllIn(pBm).size === 2,
+      s"expected two pruned reads of ONE compacted generation:\n$pBm")
+    // the incremental sibling reads each of its two generations twice
+    // — the 4-vs-2 scan count is the read-amplification win compaction
+    // exists for
+    val pBmIncr = TextAnalysis.bm25Incremental(spark, sf,
+      Seq("spark", "query", "filter"))
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[tb#\\d+ IN".r.findAllIn(pBmIncr).size === 4)
+    assert(bmC.collect().map(_.toSeq).toSeq ===
+      TextAnalysis.bm25(graft.Tables.documents(spark, sf),
+        Seq("spark", "query", "filter")).collect().map(_.toSeq).toSeq)
+  }
+
   test("snapshot diff: class counts conserve against the fixture's " +
       "own membership rules") {
     import org.apache.spark.sql.functions._
