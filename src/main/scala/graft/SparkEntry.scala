@@ -125,6 +125,7 @@ object SparkEntry {
     "sim_ann_lsh"       -> (Similarity.annLsh(_, _)),
     "sim_ann_lsh_indexed" -> (Similarity.annLshIndexed(_, _)),
     "sim_ann_lsh_incremental" -> (Similarity.annLshIncremental(_, _)),
+    "sim_ann_lsh_multiprobe" -> (Similarity.annLshMultiprobe(_, _)),
     "sim_ann_ivf"       -> (Similarity.annIvf(_, _)),
     "sim_ann_ivf_indexed" -> (Similarity.annIvfIndexed(_, _)),
     "sim_ann_ivf_incremental" ->
@@ -269,6 +270,7 @@ object SparkEntry {
     "sql24_waiting_supplier" -> (Relational.sql24WaitingSupplier(_, _)),
     // ---- round-5: graph signals over the derived link graph ----
     "graph_pagerank"  -> (Graphs.pagerank(_, _)),
+    "graph_ppr"       -> (Graphs.personalizedPagerank(_, _)),
     "graph_triangles" -> (Graphs.triangleCounts(_, _)),
     "graph_communities" -> (Graphs.communities(_, _)),
     "graph_modularity" -> (Graphs.modularity(_, _)),
@@ -1363,6 +1365,7 @@ object SparkEntry {
     // one shared oracle, like sim_ann_ivf / sim_ann_ivf_indexed
     "sim_ann_lsh_indexed" -> lshAnnSql,
     "sim_ann_lsh_incremental" -> lshAnnSql,
+    "sim_ann_lsh_multiprobe" -> lshMultiprobeSql,
     "sim_ann_ivf" -> ivfSql,
     // the persisted-index variant is bit-identical to the in-session
     // IVF (same quantizer math, same tie-breaks) — one shared oracle
@@ -2472,6 +2475,36 @@ object SparkEntry {
         WHERE p.iter < 10
         GROUP BY p.iter, e.dst)
       SELECT node, r AS rank_micros FROM pr WHERE iter = 10""",
+    // personalized PageRank (Graphs.personalizedPagerank): identical
+    // mass recursion to graph_pagerank, teleport restricted to the
+    // doc_id % 97 = 0 seed set.
+    "graph_ppr" -> raw"""
+      WITH RECURSIVE $graphEdgesSql,
+      deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+      sd AS (SELECT CAST(count(*) AS BIGINT) AS n_seeds
+             FROM documents WHERE doc_id % 97 = 0),
+      ew AS (SELECT src, dst, 1 AS w FROM edges
+             UNION ALL SELECT doc_id, doc_id, 0 FROM documents),
+      pr AS (
+        SELECT 0 AS iter, doc_id AS node,
+          CASE WHEN doc_id % 97 = 0
+            THEN CAST(round(1e6 / (SELECT n_seeds FROM sd)) AS BIGINT)
+            ELSE 0 END AS r
+        FROM documents
+        UNION ALL
+        SELECT p.iter + 1, e.dst,
+          CASE WHEN e.dst % 97 = 0
+            THEN CAST(round(0.15 * 1e6 / (SELECT n_seeds FROM sd)) AS BIGINT)
+            ELSE 0 END
+          + CAST(round(0.85 * sum(CASE WHEN e.w = 1
+              THEN CAST(round(CAST(p.r AS DOUBLE) / d.outdeg) AS BIGINT)
+              ELSE 0 END)) AS BIGINT)
+        FROM pr p
+        JOIN ew e ON e.src = p.node
+        LEFT JOIN deg d ON d.src = p.node
+        WHERE p.iter < 10
+        GROUP BY p.iter, e.dst)
+      SELECT node, r AS ppr_micros FROM pr WHERE iter = 10""",
     // synchronous label propagation over the block graph, argmax
     // encoded as one integer MAX key (Graphs.communities).
     "graph_communities" -> raw"""
@@ -2734,6 +2767,8 @@ object SparkEntry {
             UNION ALL SELECT 'ivfpq_idx' AS method, vec_id FROM ($ivfPqSql)
             UNION ALL SELECT 'lsh' AS method, vec_id FROM ($lshAnnSql)
             UNION ALL SELECT 'lsh_idx' AS method, vec_id FROM ($lshAnnSql)
+            UNION ALL SELECT 'lsh_multi' AS method, vec_id
+              FROM ($lshMultiprobeSql)
             UNION ALL SELECT 'pq'  AS method, vec_id FROM ($pqAnnSql)
             UNION ALL SELECT 'sq'  AS method, vec_id FROM ($sqAnnSql)) m
       JOIN ($bruteAnnSql) t USING (vec_id)
@@ -5237,6 +5272,46 @@ object SparkEntry {
 
   /** LSH banded ANN — shared with eval2_ann_recall. */
   private def lshAnnSql: String = lshAnnSqlAt(4)
+
+  /** Multi-probe LSH oracle (Similarity.annLshMultiprobe): identical
+    * to [[lshAnnSqlAt]] except the query-band CTE expands each band's
+    * bucket to itself plus its four Hamming-1 neighbors (one flipped
+    * signature bit per probe — masks 1/2/4/8 over the 4-bit band
+    * value). */
+  private def lshMultiprobeSql: String = raw"""
+      WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+      sb AS (SELECT e.vec_id,
+              list_transform($planesSql, pl ->
+                CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, 65),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * pl[i])),
+                  (acc, x) -> acc + x) > 0 THEN 1 ELSE 0 END) AS bits
+             FROM embeddings e WHERE vec_id <> 0),
+      qb AS (SELECT list_transform($planesSql, pl ->
+                CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, 65),
+                    i -> CAST(q.embedding[i] AS DOUBLE) * pl[i])),
+                  (acc, x) -> acc + x) > 0 THEN 1 ELSE 0 END) AS bits
+             FROM q),
+      sbv AS (SELECT vec_id, r.range AS band,
+               list_reduce(list_prepend(0, bits[r.range*4+1 : r.range*4+4]),
+                 (acc, x) -> acc * 2 + x) AS bval
+              FROM sb, range(0, 4) r),
+      qbv0 AS (SELECT r.range AS band,
+               list_reduce(list_prepend(0, bits[r.range*4+1 : r.range*4+4]),
+                 (acc, x) -> acc * 2 + x) AS bval
+              FROM qb, range(0, 4) r),
+      qbv AS (SELECT band, bval FROM qbv0
+              UNION
+              SELECT band, xor(bval, m) AS bval
+              FROM qbv0, unnest([1, 2, 4, 8]) AS t(m)),
+      cand AS (SELECT DISTINCT s.vec_id FROM sbv s
+               JOIN qbv ON s.band = qbv.band AND s.bval = qbv.bval)
+      SELECT e.vec_id,
+        round(list_cosine_similarity(e.embedding::DOUBLE[],
+          q.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM cand, embeddings e, q WHERE e.vec_id = cand.vec_id
+      ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10"""
 
   /** LSH ANN oracle parameterized by probed band count — `b` = 4 is
     * the full sim_ann_lsh query; lower depths feed eval6's band

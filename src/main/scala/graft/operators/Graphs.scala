@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph signals over the document corpus — the web-graph layer of a
@@ -121,6 +121,63 @@ object Graphs {
         .values.foreach(_.unpersist(blocking = false))
     }
   }.select(col("node"), col("r").as("rank_micros"))
+
+  /** PERSONALIZED PageRank — [[pagerank]] with the teleport mass
+    * restricted to a seed set (doc_id ≡ 0 mod `seedMod`): the random
+    * surfer restarts at the seeds instead of uniformly, so ranks
+    * measure proximity TO the seeds — the "more like these documents"
+    * retrieval/expansion primitive (GraphSAGE-era recommendation, seed
+    * expansion for crawl targeting). Same integer-micro mass
+    * arithmetic, same loop-invariant staging and localCheckpoint
+    * lineage cuts as [[pagerank]]; only the teleport term is
+    * conditional, so the scale shape is unchanged (one narrow
+    * contrib shuffle per round). */
+  def personalizedPagerank(s: SparkSession, dir: String, iters: Int = 10,
+                           damping: Double = 0.85,
+                           seedMod: Int = 97): DataFrame = staged(s, dir,
+      "ppr", s"${iters}_${math.round(damping * 1000)}_$seedMod") { finalPath =>
+    val sc = s.sparkContext
+    val preexisting = sc.getPersistentRDDs.keySet
+    try {
+      val nodes = Tables.documents(s, dir).select(col("doc_id").as("node"))
+        .localCheckpoint(true)
+      val edges = linkEdges(s, dir)
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val withDeg = edges.join(deg, "src").localCheckpoint(true)
+      val isSeed = pmod(col("node"), lit(seedMod.toLong)) === 0L
+      val nSeeds = broadcast(nodes.filter(isSeed)
+        .agg(count(lit(1)).as("n_seeds")).localCheckpoint(true))
+      def teleport: Column =
+        when(isSeed, round(lit(0.15) * lit(1e6) / col("n_seeds"))
+          .cast("long")).otherwise(lit(0L))
+      var ranks = nodes.crossJoin(nSeeds)
+        .select(col("node"),
+          when(isSeed, round(lit(1e6) / col("n_seeds")).cast("long"))
+            .otherwise(lit(0L)).as("r"))
+        .localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        val contrib = withDeg
+          .join(ranks, col("src") === col("node"))
+          .select(col("dst"),
+            round(col("r").cast("double") / col("outdeg"))
+              .cast("long").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+        ranks = nodes
+          .join(contrib, col("node") === col("dst"), "left")
+          .crossJoin(nSeeds)
+          .select(col("node"),
+            (teleport +
+              round(lit(damping) * coalesce(col("in_mass"), lit(0L)))
+                .cast("long")).as("r"))
+          .localCheckpoint(true)
+      }
+      ranks.write.mode("overwrite").parquet(finalPath)
+    } finally {
+      sc.getPersistentRDDs
+        .filterNot { case (id, _) => preexisting(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
+  }.select(col("node"), col("r").as("ppr_micros"))
 
   /** Per-node triangle participation over the undirected simple graph
     * (dedup'd, self-loops out). Orientation: a→b iff

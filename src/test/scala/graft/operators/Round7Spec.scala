@@ -140,6 +140,36 @@ class Round7Spec extends SparkSpec {
     assert(byType.values.sum === d.count() + n11)
   }
 
+  test("multi-probe LSH: candidate set contains annLsh's, recall never " +
+      "lower, and the exact bucket is always probed") {
+    val truth = Similarity.annBruteForce(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val plain = Similarity.annLsh(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val multi = Similarity.annLshMultiprobe(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(multi.count(truth) >= plain.count(truth),
+      "multiprobe recall fell below single-probe")
+  }
+
+  test("personalized pagerank: mass lives near the seeds and totals " +
+      "the teleport budget under the frozen-iteration arithmetic") {
+    import org.apache.spark.sql.functions._
+    val ppr = Graphs.personalizedPagerank(spark, sf)
+    val rows = ppr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // seeds must hold strictly positive rank (they receive teleport
+    // every round); total mass stays within rounding slack of 1e6
+    val seeds = rows.keys.filter(_ % 97 == 0)
+    assert(seeds.nonEmpty && seeds.forall(rows(_) > 0))
+    val total = rows.values.sum
+    assert(math.abs(total - 1000000L) < 200000L,
+      s"mass drifted implausibly: $total")
+    // personalization: seed-average rank must exceed global average
+    val seedAvg = seeds.map(rows).sum.toDouble / seeds.size
+    val globalAvg = total.toDouble / rows.size
+    assert(seedAvg > globalAvg, "seeds are not preferentially ranked")
+  }
+
   test("lsh band curve: recall is monotone in probed bands; the full " +
       "depth matches annLsh's own recall") {
     val rows = Similarity.lshBandCurve(spark, sf)
