@@ -358,6 +358,7 @@ object SparkEntry {
     "ml11_roc_points"   -> (Profiling.rocPoints(_, _)),
     "graph_hits"        -> (Graphs.hits(_, _)),
     "text_kn_bigrams"   -> (TextAnalysis.knBigrams(_, _)),
+    "text_kn_doc_score" -> (TextAnalysis.knDocScore(_, _)),
     "chunk2_cdc"        -> (Packing.cdcChunks(_, _)),
     "stat21_hll_overlap" -> (Relational.stat21HllOverlap(_, _)),
     "samp9_curriculum"  -> ((s, dir) =>
@@ -3665,6 +3666,43 @@ object SparkEntry {
           AS BIGINT) AS pkn_micros
       FROM m JOIN h USING (w1) JOIN tl USING (w2), tot
       ORDER BY c12 DESC, w1, w2 LIMIT 200""",
+    // KN-perplexity doc scoring (TextAnalysis.knDocScore): the
+    // kn_bigrams model un-truncated, scored back onto each document's
+    // bigrams; log-probs quantize to micro-nats before the per-doc
+    // mean.
+    "text_kn_doc_score" -> raw"""
+      WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0) AS toks
+        FROM documents),
+      dp AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+              FROM t)),
+      m AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM dp GROUP BY w1, w2),
+      h AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+          CAST(count(*) AS BIGINT) AS fw_types FROM m GROUP BY w1),
+      tl AS (SELECT w2, CAST(count(*) AS BIGINT) AS bw_types
+        FROM m GROUP BY w2),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM m),
+      sc AS (SELECT w1, w2,
+          greatest(CAST(round(1e6 * ((CAST(c12 AS DOUBLE) - 0.75) /
+              CAST(c1 AS DOUBLE) +
+            0.75 * CAST(fw_types AS DOUBLE) / CAST(c1 AS DOUBLE) *
+              (CAST(bw_types AS DOUBLE) / CAST(t_types AS DOUBLE))))
+            AS BIGINT), 1) AS pkn_micros
+        FROM m JOIN h USING (w1) JOIN tl USING (w2), tot),
+      lp AS (SELECT dp.doc_id,
+          CAST(round(ln(CAST(pkn_micros AS DOUBLE) / 1e6) * 1e6)
+            AS BIGINT) AS lp_micro
+        FROM dp JOIN sc USING (w1, w2))
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        round(CAST(sum(lp_micro) AS DOUBLE) /
+          (count(*) * 1e6), 6) AS mean_kn_logprob,
+        CAST(CASE WHEN round(CAST(sum(lp_micro) AS DOUBLE) /
+          (count(*) * 1e6), 6) < -7.0 THEN 1 ELSE 0 END AS BIGINT)
+          AS high_perplexity
+      FROM lp GROUP BY doc_id""",
     "chunk2_cdc" -> raw"""
       WITH base AS (SELECT doc_id, text, len(text) AS n FROM documents),
       pos AS (SELECT doc_id, text, n, unnest(range(8, n + 1)) AS i

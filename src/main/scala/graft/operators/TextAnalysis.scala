@@ -1482,6 +1482,63 @@ object TextAnalysis {
     * Determinism: counts are exact longs, D = 0.75 is an exact binary
     * double, one fixed-shape IEEE expression per row, micro-rounded;
     * the LIMIT is fully tie-broken. */
+  /** KN-perplexity DOCUMENT scoring — the CCNet/KenLM quality filter
+    * with the real smoothing: each document's bigrams are scored under
+    * the corpus-trained Kneser-Ney model ([[knBigrams]]' exact
+    * arithmetic, un-truncated), and the document's quality signal is
+    * its mean bigram log-probability in nats; the rare-construction
+    * tail (mean below `highPerpNats`) is flagged the way a perplexity
+    * threshold flags machine-generated/boilerplate text. In-corpus
+    * scoring, so every doc bigram exists in the model (no backoff
+    * path); docs with < 2 tokens have no bigrams and no row — the
+    * oracle excludes them identically.
+    *
+    * Scale shape: the model is a (w1, w2)-keyed frame, SUBLINEAR in
+    * corpus size but not broadcast-sized at 100 TB — the score join
+    * shuffles on the bigram key (both sides partition on (w1, w2));
+    * the stats sides (heads/tails/total) stay model-sized broadcasts.
+    * Log-probs quantize to integer micro-nats BEFORE the per-doc sum
+    * (the [[unigramLogProb]] determinism trick), so the mean is
+    * partitioning- and fold-order-independent. */
+  def knDocScore(s: SparkSession, dir: String, d: Double = 0.75,
+                 highPerpNats: Double = -7.0): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val docPairs = docs
+      .select(col("doc_id"), bigramPairs(tokens(lower(col("text")))).as("ps"))
+      .select(col("doc_id"), explode(col("ps")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val model = docPairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val heads = model.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("fw_types"))
+    val tails = model.groupBy(col("w2")).agg(count(lit(1)).as("bw_types"))
+    val total = model.agg(count(lit(1)).as("t_types"))
+    val scored = model
+      .join(broadcast(heads), Seq("w1"))
+      .join(broadcast(tails), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"),
+        // greatest(…, 1) guards the log against a micro-rounded zero
+        // (only reachable when a head exceeds ~4M occurrences)
+        greatest(round(lit(1e6) * (
+          (col("c12").cast("double") - lit(d)) / col("c1").cast("double") +
+            lit(d) * col("fw_types").cast("double") /
+              col("c1").cast("double") *
+              (col("bw_types").cast("double") /
+                col("t_types").cast("double")))).cast("long"), lit(1L))
+          .as("pkn_micros"))
+    docPairs.join(scored, Seq("w1", "w2"))
+      .select(col("doc_id"),
+        round(log(col("pkn_micros").cast("double") / 1e6) * 1e6, 0)
+          .cast("long").as("lp_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp_micro")).cast("double") /
+          (count(lit(1)).cast("double") * 1e6), 6).as("mean_kn_logprob"))
+      .withColumn("high_perplexity",
+        (col("mean_kn_logprob") < highPerpNats).cast("long"))
+  }
+
   def knBigrams(s: SparkSession, dir: String, k: Int = 200,
                 d: Double = 0.75): DataFrame = {
     val docs = Tables.documents(s, dir)
