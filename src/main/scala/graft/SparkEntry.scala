@@ -323,6 +323,7 @@ object SparkEntry {
     "geo1_radius_pairs" -> (Spatial.radiusPairs(_, _)),
     "geo2_cell_density" -> (Spatial.cellDensity(_, _)),
     "geo3_knn_join"     -> (Spatial.knnJoin(_, _)),
+    "geo4_grid_knn"     -> (Spatial.gridKnn(_, _)),
     // ---- round-6 continuation ----
     "ml7_target_encode" -> (Training.targetEncode(_, _)),
     "prof3_drift_psi"   -> (Profiling.driftPsi(_, _)),
@@ -1407,6 +1408,26 @@ object SparkEntry {
           row_number() OVER (PARTITION BY qid ORDER BY
             (qx-p.x)*(qx-p.x) + (qy-p.y)*(qy-p.y) ASC, p.id ASC) AS rn
         FROM q JOIN pts p ON p.id <> q.qid)
+      SELECT qid, id AS neighbor_id, dist2, CAST(rn AS BIGINT) AS knn_rank
+      FROM r WHERE rn <= 5""",
+    // Grid-bounded approximate kNN (Spatial.gridKnn): the oracle
+    // replays the SAME 3x3 stencil restriction — candidates-only
+    // contract; geo3 is the exact reference.
+    "geo4_grid_knn" -> raw"""
+      WITH pts AS ($geoPtsSql),
+      h AS (SELECT id, x, y, x // 2000000 AS cx, y // 2000000 AS cy
+            FROM pts),
+      q AS (SELECT id AS qid, x AS qx, y AS qy, cx AS hx, cy AS hy
+            FROM h WHERE id % 150 = 7),
+      cand AS (SELECT q.qid, q.qx, q.qy, h.id, h.x, h.y
+               FROM q JOIN h ON h.cx BETWEEN q.hx - 1 AND q.hx + 1
+                 AND h.cy BETWEEN q.hy - 1 AND q.hy + 1
+                 AND h.id <> q.qid),
+      r AS (SELECT qid, id,
+          CAST((qx-x)*(qx-x) + (qy-y)*(qy-y) AS BIGINT) AS dist2,
+          row_number() OVER (PARTITION BY qid ORDER BY
+            (qx-x)*(qx-x) + (qy-y)*(qy-y) ASC, id ASC) AS rn
+        FROM cand)
       SELECT qid, id AS neighbor_id, dist2, CAST(rn AS BIGINT) AS knn_rank
       FROM r WHERE rn <= 5""",
     // crawl-over-crawl diff (Profiling.snapshotDiff) on the rebuilt

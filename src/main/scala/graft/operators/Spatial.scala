@@ -87,6 +87,42 @@ object Spatial {
         dist2(col("ax"), col("ay"), col("bx"), col("by")).as("dist2"))
   }
 
+  /** Grid-bounded approximate kNN — the scale face of [[knnJoin]]
+    * (exact/bounded dichotomy, same contract as the ANN family's
+    * brute/LSH split): neighbors are ranked only among CANDIDATES from
+    * the query's 3×3 cell stencil, so the corpus-side work is an
+    * equi-join on the cell key instead of a broadcast full scan. A true
+    * neighbor farther than one cell away is missed by construction —
+    * the oracle replays the SAME stencil restriction (candidates-only
+    * contract), and [[knnJoin]] is the exact reference the recall
+    * conversation happens against. Queries with fewer than k stencil
+    * candidates emit fewer rows. */
+  def gridKnn(s: SparkSession, dir: String, k: Int = 5,
+              rMicros: Long = 2000000L): DataFrame = {
+    val p = points(s, dir)
+    val cellx = floor(col("x") / rMicros)
+    val celly = floor(col("y") / rMicros)
+    val home = p.select(col("id"), col("x"), col("y"),
+      cellx.as("cx"), celly.as("cy"))
+    val q = home.filter(pmod(col("id"), lit(150L)) === 7L)
+      .select(col("id").as("qid"), col("x").as("qx"), col("y").as("qy"),
+        col("cx").as("hx"), col("cy").as("hy"))
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("qid"), col("qx"), col("qy"),
+        (col("hx") + col("dx")).as("cx"), (col("hy") + col("dy")).as("cy"))
+    home.join(broadcast(q), Seq("cx", "cy"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        dist2(col("qx"), col("qy"), col("x"), col("y")).as("dist2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("dist2").asc, col("id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("id").as("neighbor_id"), col("dist2"),
+        col("rn").cast("long").as("knn_rank"))
+  }
+
   /** Spatial histogram: point count per r-sized grid cell, densest 15
     * cells (ties broken on cell coordinates). The "where is the data"
     * profile a partitioner reads before choosing cell sizes. */
