@@ -1402,7 +1402,7 @@ object SparkEntry {
     "geo3_knn_join" -> raw"""
       WITH pts AS ($geoPtsSql),
       q AS (SELECT id AS qid, x AS qx, y AS qy FROM pts
-        WHERE id % 150 = 7),
+        WHERE id % 150 = 7 AND id < 15000),
       r AS (SELECT qid, p.id,
           CAST((qx-p.x)*(qx-p.x) + (qy-p.y)*(qy-p.y) AS BIGINT) AS dist2,
           row_number() OVER (PARTITION BY qid ORDER BY
@@ -1418,7 +1418,7 @@ object SparkEntry {
       h AS (SELECT id, x, y, x // 2000000 AS cx, y // 2000000 AS cy
             FROM pts),
       q AS (SELECT id AS qid, x AS qx, y AS qy, cx AS hx, cy AS hy
-            FROM h WHERE id % 150 = 7),
+            FROM h WHERE id % 150 = 7 AND id < 15000),
       cand AS (SELECT q.qid, q.qx, q.qy, h.id, h.x, h.y
                FROM q JOIN h ON h.cx BETWEEN q.hx - 1 AND q.hx + 1
                  AND h.cy BETWEEN q.hy - 1 AND q.hy + 1
