@@ -317,6 +317,10 @@ object SparkEntry {
       TextAnalysis.bm25Incremental(s, dir, Seq("spark", "query", "filter"))),
     "text_bm25_compacted" -> ((s, dir) =>
       TextAnalysis.bm25Compacted(s, dir, Seq("spark", "query", "filter"))),
+    // ---- hybrid retrieval: sparse + dense fusion ----
+    "ret1_rrf_fusion"    -> (Retrieval.rrfFusion(_, _)),
+    "ret2_rrf_indexed"   -> (Retrieval.rrfFusionIndexed(_, _)),
+    "ret3_hybrid_minmax" -> (Retrieval.hybridMinMax(_, _)),
     "s10_corrupt_json" -> (Audits.s10CorruptJson(_, _)),
     "stat17_corr_matrix" -> (Relational.stat17CorrMatrix(_, _)),
     // ---- spatial: grid-cell bucketed candidate joins ----
@@ -426,6 +430,10 @@ object SparkEntry {
       Dedup.dedupThresholdCurve(s, Fixtures.mutantDocs(s, dir))),
     "mm7_pixel_hist"    -> (Multimodal.pixelHistogram(_, _)),
     "ev23_time_to_convert" -> (EventAnalytics.timeToConvert(_, _)),
+    // ---- privacy governance: release-gate audits ----
+    "priv1_k_anonymity"   -> (Privacy.kAnonymity(_, _)),
+    "priv2_l_diversity"   -> (Privacy.lDiversity(_, _)),
+    "priv3_generalization" -> (Privacy.generalizationLadder(_, _)),
     "dedup_cluster_sizes" -> ((s, dir) =>
       Dedup.clusterSizes(Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(Fixtures.mutantSlice(s, dir))))),
@@ -1224,6 +1232,12 @@ object SparkEntry {
     // reproduce full-corpus BM25 bit-for-bit — one shared oracle
     "text_bm25_incremental" -> bm25Sql,
     "text_bm25_compacted" -> bm25Sql,
+    // fusion arms replay each arm's own oracle kernel at armK=20 —
+    // ret2's dense arm is the IVF probe replay (approximation mirrored
+    // exactly, not approximated twice)
+    "ret1_rrf_fusion" -> rrfSql(bm25SqlK(20), bruteAnnSqlK(20)),
+    "ret2_rrf_indexed" -> rrfSql(bm25SqlK(20), ivfSqlN(3, "", 20)),
+    "ret3_hybrid_minmax" -> hybridMinmaxSql,
     "samp3_split" -> raw"""
       WITH b AS (SELECT doc_id, lang,
           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
@@ -4997,6 +5011,56 @@ object SparkEntry {
           AS bin,
         CAST(count(*) AS BIGINT) AS n_px
       FROM e GROUP BY 1, 2""",
+    // Privacy release-gate audits (operators/Privacy.scala): the
+    // shared per-user profile CTE (first-activity date, modal event
+    // type with alphabetical tie-break, log10 spend tier) feeds all
+    // three reports.
+    "priv1_k_anonymity" -> raw"""
+      WITH $privProfileSql,
+      cls AS (SELECT first_day, top_type, count(*) AS sz
+        FROM prof GROUP BY 1, 2)
+      SELECT CAST(sum(sz) AS BIGINT) AS n_users,
+        count(*) AS n_classes,
+        CAST(min(sz) AS BIGINT) AS k_min,
+        CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_classes_at_risk,
+        CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+          AS n_users_at_risk,
+        CAST(round(1e6 *
+          CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE) /
+          CAST(sum(sz) AS DOUBLE)) AS BIGINT) AS risk_micros
+      FROM cls""",
+    "priv2_l_diversity" -> raw"""
+      WITH $privProfileSql,
+      cls AS (SELECT first_day, top_type, count(*) AS sz,
+          count(DISTINCT spend_tier) AS l
+        FROM prof GROUP BY 1, 2)
+      SELECT count(*) AS n_classes,
+        CAST(min(l) AS BIGINT) AS l_min,
+        CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_homogeneous,
+        CAST(sum(CASE WHEN l = 1 THEN sz ELSE 0 END) AS BIGINT)
+          AS n_users_exposed,
+        CAST(round(1e6 *
+          CAST(sum(CASE WHEN l = 1 THEN sz ELSE 0 END) AS DOUBLE) /
+          CAST(sum(sz) AS DOUBLE)) AS BIGINT) AS exposure_micros
+      FROM cls""",
+    "priv3_generalization" -> raw"""
+      WITH $privProfileSql,
+      lv AS (
+        SELECT user_id, top_type, '1_day' AS level, first_day AS qi_date
+          FROM prof
+        UNION ALL SELECT user_id, top_type, '2_week',
+          date_trunc('week', first_day) FROM prof
+        UNION ALL SELECT user_id, top_type, '3_month',
+          date_trunc('month', first_day) FROM prof),
+      cls AS (SELECT level, qi_date, top_type, count(*) AS sz
+        FROM lv GROUP BY 1, 2, 3)
+      SELECT level, count(*) AS n_classes,
+        CAST(min(sz) AS BIGINT) AS k_min,
+        CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+          AS n_users_at_risk
+      FROM cls GROUP BY level ORDER BY level""",
     // Signup-to-purchase conversion latency (EventAnalytics
     // .timeToConvert).
     "ev23_time_to_convert" -> raw"""
@@ -5322,12 +5386,14 @@ object SparkEntry {
       $union"""
   }
 
-  private def bruteAnnSql: String =
-    """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+  private def bruteAnnSql: String = bruteAnnSqlK(10)
+
+  private def bruteAnnSqlK(k: Int): String =
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
        SELECT vec_id, label,
          round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cos_sim
        FROM embeddings, q WHERE vec_id <> 0
-       ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""
+       ORDER BY cos_sim DESC, vec_id ASC LIMIT $k"""
 
   /** LSH banded ANN — shared with eval2_ann_recall. */
   private def lshAnnSql: String = lshAnnSqlAt(4)
@@ -5467,7 +5533,71 @@ object SparkEntry {
   /** BM25 over documents for terms (spark, query, filter) — shared by
     * text_bm25 and text_bm25_indexed (TextAnalysis.bm25 / bm25Indexed;
     * the index path is score-identical by construction). */
-  private def bm25Sql: String = raw"""
+  /** Per-user privacy profile CTE (Privacy.profiles): first-activity
+    * date, order-of-magnitude spend tier from integer spend-cents, and
+    * the modal event type with alphabetical tie-break. */
+  private def privProfileSql: String = raw"""
+      fs AS (SELECT user_id, CAST(min(ts) AS DATE) AS first_day,
+          CAST(floor(log10(1.0 +
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)))
+            AS BIGINT) AS spend_tier
+        FROM events GROUP BY user_id),
+      md AS (SELECT user_id, event_type AS top_type FROM (
+          SELECT user_id, event_type,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY count(*) DESC, event_type ASC) AS rn
+          FROM events GROUP BY user_id, event_type)
+        WHERE rn = 1),
+      prof AS (SELECT fs.user_id, first_day, spend_tier, top_type
+        FROM fs JOIN md USING (user_id))"""
+
+  /** RRF fusion oracle (Retrieval.rrfFuse): rank each arm subquery by
+    * its own pinned ordering, full-outer on the shared id space
+    * (vec_id ≡ doc_id in the fixtures), integer-micro RRF at the
+    * k = 60 constant the operator embeds. */
+  private def rrfSql(sparseArm: String, denseArm: String): String = raw"""
+      WITH bm AS (SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+            AS BIGINT) AS r
+        FROM ($sparseArm)),
+      dn AS (SELECT vec_id AS doc_id,
+          CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC)
+            AS BIGINT) AS r
+        FROM ($denseArm))
+      SELECT coalesce(bm.doc_id, dn.doc_id) AS doc_id,
+        bm.r AS bm25_rank, dn.r AS dense_rank,
+        coalesce(CAST(round(1e6 / (60 + bm.r)) AS BIGINT), 0) +
+          coalesce(CAST(round(1e6 / (60 + dn.r)) AS BIGINT), 0)
+          AS rrf_micros
+      FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id
+      ORDER BY rrf_micros DESC, doc_id ASC LIMIT 10"""
+
+  /** Min-max score fusion oracle (Retrieval.hybridMinMax): each arm's
+    * top-20 scores normalize to [0, 1e6] micros within the arm frame
+    * (constant arm → 1e6), missing arm contributes 0. */
+  private def hybridMinmaxSql: String = raw"""
+      WITH bm AS (SELECT doc_id,
+          CASE WHEN max(score) OVER () > min(score) OVER ()
+            THEN CAST(round(1e6 * (score - min(score) OVER ()) /
+              (max(score) OVER () - min(score) OVER ())) AS BIGINT)
+            ELSE 1000000 END AS bm25_norm
+        FROM (${bm25SqlK(20)})),
+      dn AS (SELECT vec_id AS doc_id,
+          CASE WHEN max(cos_sim) OVER () > min(cos_sim) OVER ()
+            THEN CAST(round(1e6 * (cos_sim - min(cos_sim) OVER ()) /
+              (max(cos_sim) OVER () - min(cos_sim) OVER ())) AS BIGINT)
+            ELSE 1000000 END AS dense_norm
+        FROM (${bruteAnnSqlK(20)}))
+      SELECT coalesce(bm.doc_id, dn.doc_id) AS doc_id,
+        bm.bm25_norm, dn.dense_norm,
+        coalesce(bm.bm25_norm, 0) + coalesce(dn.dense_norm, 0)
+          AS hyb_micros
+      FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id
+      ORDER BY hyb_micros DESC, doc_id ASC LIMIT 10"""
+
+  private def bm25Sql: String = bm25SqlK(10)
+
+  private def bm25SqlK(k: Int): String = raw"""
       WITH t AS (SELECT doc_id,
           list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk
         FROM documents),
@@ -5493,7 +5623,7 @@ object SparkEntry {
           AS score,
         count(*) AS n_terms
       FROM contrib GROUP BY doc_id
-      ORDER BY score DESC, doc_id ASC LIMIT 10"""
+      ORDER BY score DESC, doc_id ASC LIMIT $k"""
 
   /** NDCG@10 oracle (TextAnalysis.ndcgBm25): the bm25Sql ranking as a
     * CTE, graded relevance from distinct-term coverage, and the
@@ -5735,7 +5865,8 @@ object SparkEntry {
 
   /** IVF oracle parameterized by probe count — shared by sim_ann_ivf
     * (nprobe = 3) and the eval3 recall curve (nprobe = 1..4). */
-  private def ivfSqlN(nprobe: Int, quantWhere: String = ""): String = raw"""
+  private def ivfSqlN(nprobe: Int, quantWhere: String = "",
+                      limit: Int = 10): String = raw"""
       WITH cent AS (
         SELECT cell, list(m ORDER BY dim) AS centroid FROM (
           SELECT label AS cell, r.range AS dim,
@@ -5761,7 +5892,7 @@ object SparkEntry {
       SELECT a.vec_id,
         round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) AS cos_sim
       FROM assigned a, q WHERE a.cell IN (SELECT cell FROM probes)
-      ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""
+      ORDER BY cos_sim DESC, vec_id ASC LIMIT $limit"""
 
   /** MinHash shingle -> signature -> band -> candidate CTE chain over
     * the mutant corpus (CTEs base/t/sg/xs/sig/bands/cand) — ONE

@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval — the fusion layer that turns the engine's sparse
+  * (BM25, TextAnalysis.bm25) and dense (cosine ANN, Similarity) arms
+  * into ONE ranked answer, the standard RAG retrieval stack: each arm
+  * produces its top-k candidates independently, then a tiny fusion
+  * step merges them. The `embeddings` fixture is the documents
+  * corpus's dense twin (vec_id ≡ doc_id, verified 1:1 in the driver
+  * fixtures), so the two arms rank the same id space.
+  *
+  * Scale design: fusion NEVER touches the corpus — each arm ends in a
+  * TakeOrderedAndProject (or a statically-pruned index read for the
+  * indexed arms), so the fuse join sees two ≤ armK row frames
+  * regardless of corpus size. At 100 TB the cost profile is exactly
+  * the arms' own: BM25 postings filtered to query terms, ANN reads
+  * nprobe index partitions; the RRF/min-max arithmetic is O(armK).
+  *
+  * Determinism: arm ranks are row_number over (6dp-rounded score DESC,
+  * id ASC) — the same pinned ordering each arm's own oracle uses — and
+  * fused scores are integer micros, so both engines land on identical
+  * longs.
+  */
+object Retrieval {
+
+  /** Reciprocal-rank-fusion constant (Cormack & Clarke's k = 60 — the
+    * published default that damps rank-1 dominance). */
+  val RrfK = 60
+
+  /** round(1e6 / (RrfK + rank)) as a long — the integer-micros RRF
+    * contribution of one arm; null rank (id absent from that arm)
+    * contributes 0 via the caller's coalesce. */
+  private def rrfMicros(rank: Column): Column =
+    round(lit(1e6) / (lit(RrfK) + rank.cast("double"))).cast("long")
+
+  /** Normalize an arm frame to (doc_id, rank): row_number over the
+    * arm's own pinned ordering. The single-partition window is safe BY
+    * CONSTRUCTION — the input is an arm's top-armK frame (≤ 20 rows),
+    * never a corpus-sized set. */
+  private def ranked(arm: DataFrame, id: String, score: String,
+                     rankName: String): DataFrame = {
+    val w = Window.partitionBy(lit(1))
+      .orderBy(col(score).desc, col("doc_id").asc)
+    arm.select(col(id).as("doc_id"), col(score))
+      .withColumn(rankName, row_number().over(w).cast("long"))
+      .select(col("doc_id"), col(rankName), col(score))
+  }
+
+  /** RRF-fuse two ranked arms: full-outer on doc_id (an id may appear
+    * in only one arm), score = Σ round(1e6/(60+rank)) over present
+    * arms, re-rank, top k. */
+  private def rrfFuse(sparse: DataFrame, dense: DataFrame,
+                      k: Int): DataFrame = {
+    val bm = ranked(sparse, "doc_id", "score", "bm25_rank")
+      .drop("score")
+    val dn = ranked(dense, "vec_id", "cos_sim", "dense_rank")
+      .drop("cos_sim")
+    bm.join(dn, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_rank"), col("dense_rank"),
+        (coalesce(rrfMicros(col("bm25_rank")), lit(0L)) +
+          coalesce(rrfMicros(col("dense_rank")), lit(0L)))
+          .as("rrf_micros"))
+      .orderBy(col("rrf_micros").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** `ret1_rrf_fusion` — reciprocal rank fusion of the in-session
+    * arms: BM25 top-20 over documents text + brute-cosine top-20 over
+    * the embedding twin. The exact-fusion baseline the indexed form
+    * below must reproduce. */
+  def rrfFusion(s: SparkSession, dir: String,
+                terms: Seq[String] = Seq("spark", "query", "filter"),
+                armK: Int = 20, k: Int = 10): DataFrame =
+    rrfFuse(
+      TextAnalysis.bm25(Tables.documents(s, dir), terms, armK),
+      Similarity.annBruteForce(s, dir, armK).select("vec_id", "cos_sim"),
+      k)
+
+  /** `ret2_rrf_indexed` — the SERVING shape of [[rrfFusion]]: the
+    * sparse arm reads the persisted term-bucketed BM25 index and the
+    * dense arm the persisted cell-partitioned IVF index, both through
+    * static partition pruning — per query, O(query terms + nprobe
+    * cells) read, zero corpus scans. The dense arm is IVF (approximate
+    * at nprobe=3), so the fused list is the index stack's answer, and
+    * its oracle composes the arms' own mirrored SQL (bm25 + IVF probe
+    * replay) — approximation replayed exactly, not fudged. */
+  def rrfFusionIndexed(s: SparkSession, dir: String,
+                       terms: Seq[String] = Seq("spark", "query", "filter"),
+                       armK: Int = 20, k: Int = 10): DataFrame =
+    rrfFuse(
+      TextAnalysis.bm25Indexed(s, dir, terms, armK),
+      Similarity.annIvfIndexed(s, dir, armK).select("vec_id", "cos_sim"),
+      k)
+
+  /** Min-max normalize an arm's scores to [0, 1e6] integer micros
+    * within its top-armK frame (the convex-combination fusion's
+    * comparable scale; a constant-score arm normalizes to 1e6 — every
+    * member equally best). */
+  private def minMaxMicros(arm: DataFrame, id: String, score: String,
+                           normName: String): DataFrame = {
+    val w = Window.partitionBy(lit(1))
+    arm.select(col(id).as("doc_id"), col(score))
+      .withColumn("mn", min(col(score)).over(w))
+      .withColumn("mx", max(col(score)).over(w))
+      .select(col("doc_id"),
+        when(col("mx") > col("mn"),
+          round(lit(1e6) * (col(score) - col("mn")) /
+            (col("mx") - col("mn"))).cast("long"))
+          .otherwise(lit(1000000L)).as(normName))
+  }
+
+  /** `ret3_hybrid_minmax` — weighted score fusion, RRF's main
+    * alternative: each arm's top-20 scores min-max-normalize to
+    * integer micros, missing-arm ids contribute 0, and the hybrid
+    * score is the equal-weight sum (monotone-equivalent to the 0.5/0.5
+    * convex combination, kept integral so both engines agree bit-for-
+    * bit). Rank fusion (ret1) ignores score GAPS; score fusion keeps
+    * them — a doc barely inside one arm's top-20 scores near 0 here
+    * but 1/(60+20) there. Shipping both is the standard ablation. */
+  def hybridMinMax(s: SparkSession, dir: String,
+                   terms: Seq[String] = Seq("spark", "query", "filter"),
+                   armK: Int = 20, k: Int = 10): DataFrame = {
+    val bm = minMaxMicros(
+      TextAnalysis.bm25(Tables.documents(s, dir), terms, armK),
+      "doc_id", "score", "bm25_norm")
+    val dn = minMaxMicros(
+      Similarity.annBruteForce(s, dir, armK).select("vec_id", "cos_sim"),
+      "vec_id", "cos_sim", "dense_norm")
+    bm.join(dn, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_norm"), col("dense_norm"),
+        (coalesce(col("bm25_norm"), lit(0L)) +
+          coalesce(col("dense_norm"), lit(0L))).as("hyb_micros"))
+      .orderBy(col("hyb_micros").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}
