@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Privacy-governance audits over the events table — the release
+  * gate a training-data pipeline runs before user-derived data leaves
+  * the boundary. The subject table is the per-user PROFILE (one row
+  * per user_id), its quasi-identifiers the attributes a re-identifier
+  * could link on: the user's first-activity date and modal event type.
+  * Sweeney's k-anonymity asks how small the smallest identical-QI
+  * crowd is; Machanavajjhala's l-diversity asks whether a crowd is
+  * homogeneous in the SENSITIVE attribute (here: spend tier) so
+  * membership alone leaks it; the generalization ladder quantifies the
+  * standard remediation (coarsen dates day → week → month) as a
+  * k-vs-utility curve.
+  *
+  * Scale shape: one user-keyed profile build (two map-side-combinable
+  * aggregations + a user-partitioned modal window — never global),
+  * then QI-keyed class rollups a couple of orders smaller; every
+  * report is a handful of rows. At 100 TB of events this is two
+  * user-hash shuffles and one tiny class shuffle — the same plan
+  * family as ev17_rfm.
+  *
+  * Determinism: modal ties break alphabetically, risk shares are
+  * integer micros, spend tiers are integer floors of a 2dp-rounded
+  * sum — both engines land on identical longs.
+  */
+object Privacy {
+
+  /** The k in k-anonymity reports: classes smaller than this are "at
+    * risk" (the conventional release bar). */
+  val K = 5
+
+  /** Per-user profile: first-activity date + modal event type (tie →
+    * alphabetical), plus the sensitive spend tier — floor(log10 of
+    * 1 + total 2dp-rounded spend-cents) bucketing total `value` into
+    * order-of-magnitude tiers. */
+  private[operators] def profiles(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val firstSpend = e.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("first_day"),
+        floor(log10(lit(1.0) +
+          sum(round(col("value") * 100).cast("long")).cast("double")))
+          .cast("long").as("spend_tier"))
+    val modal = e.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("cnt").desc, col("event_type").asc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("top_type"))
+    firstSpend.join(modal, "user_id")
+  }
+
+  /** `priv1_k_anonymity` — the one-row release report: users, QI
+    * classes, the smallest class (the dataset's k), classes below
+    * [[K]] and the user share inside them. */
+  def kAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val classes = profiles(s, dir)
+      .groupBy(col("first_day"), col("top_type"))
+      .agg(count(lit(1)).as("sz"))
+    classes.agg(
+      sum(col("sz")).as("n_users"),
+      count(lit(1)).as("n_classes"),
+      min(col("sz")).as("k_min"),
+      sum(when(col("sz") < K, 1L).otherwise(0L)).as("n_classes_at_risk"),
+      sum(when(col("sz") < K, col("sz")).otherwise(0L))
+        .as("n_users_at_risk"))
+      .select(col("n_users"), col("n_classes"), col("k_min"),
+        col("n_classes_at_risk"), col("n_users_at_risk"),
+        round(lit(1e6) * col("n_users_at_risk").cast("double") /
+          col("n_users").cast("double")).cast("long").as("risk_micros"))
+  }
+
+  /** `priv2_l_diversity` — homogeneity audit of the sensitive spend
+    * tier within each QI class: the dataset's l (min distinct tiers
+    * per class), homogeneous classes (l = 1 — membership alone
+    * discloses the tier) and the users inside them. */
+  def lDiversity(s: SparkSession, dir: String): DataFrame = {
+    val perClass = profiles(s, dir)
+      .groupBy(col("first_day"), col("top_type"))
+      .agg(count(lit(1)).as("sz"),
+        count_distinct(col("spend_tier")).as("l"))
+    perClass.agg(
+      count(lit(1)).as("n_classes"),
+      min(col("l")).as("l_min"),
+      sum(when(col("l") === 1, 1L).otherwise(0L)).as("n_homogeneous"),
+      sum(when(col("l") === 1, col("sz")).otherwise(0L))
+        .as("n_users_exposed"),
+      sum(col("sz")).as("n_users"))
+      .select(col("n_classes"), col("l_min"), col("n_homogeneous"),
+        col("n_users_exposed"),
+        round(lit(1e6) * col("n_users_exposed").cast("double") /
+          col("n_users").cast("double")).cast("long")
+          .as("exposure_micros"))
+  }
+
+  /** `priv3_generalization` — the remediation curve: k-anonymity
+    * re-measured with the date QI generalized day → week → month (one
+    * profile build, the three levels exploded from it — never three
+    * event scans). Utility loss is the class-count collapse; the row
+    * where n_users_at_risk reaches 0 is the release-able level. */
+  def generalizationLadder(s: SparkSession, dir: String): DataFrame = {
+    val p = profiles(s, dir)
+    val leveled = p.select(col("user_id"), col("top_type"),
+      explode(array(
+        struct(lit("1_day").as("level"), col("first_day").as("qi_date")),
+        struct(lit("2_week").as("level"),
+          to_date(date_trunc("week", col("first_day"))).as("qi_date")),
+        struct(lit("3_month").as("level"),
+          trunc(col("first_day"), "month").as("qi_date")))).as("g"))
+      .select(col("user_id"), col("top_type"),
+        col("g.level").as("level"), col("g.qi_date").as("qi_date"))
+    leveled.groupBy(col("level"), col("qi_date"), col("top_type"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_classes"),
+        min(col("sz")).as("k_min"),
+        sum(when(col("sz") < K, col("sz")).otherwise(0L))
+          .as("n_users_at_risk"))
+      .orderBy(col("level").asc)
+  }
+}
