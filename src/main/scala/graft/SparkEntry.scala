@@ -321,6 +321,8 @@ object SparkEntry {
     "ret1_rrf_fusion"    -> (Retrieval.rrfFusion(_, _)),
     "ret2_rrf_indexed"   -> (Retrieval.rrfFusionIndexed(_, _)),
     "ret3_hybrid_minmax" -> (Retrieval.hybridMinMax(_, _)),
+    "ret4_prf_rm3"       -> (Retrieval.prfRm3(_, _)),
+    "eval8_fusion_overlap" -> (Retrieval.fusionOverlap(_, _)),
     "s10_corrupt_json" -> (Audits.s10CorruptJson(_, _)),
     "stat17_corr_matrix" -> (Relational.stat17CorrMatrix(_, _)),
     // ---- spatial: grid-cell bucketed candidate joins ----
@@ -1238,6 +1240,60 @@ object SparkEntry {
     "ret1_rrf_fusion" -> rrfSql(bm25SqlK(20), bruteAnnSqlK(20)),
     "ret2_rrf_indexed" -> rrfSql(bm25SqlK(20), ivfSqlN(3, "", 20)),
     "ret3_hybrid_minmax" -> hybridMinmaxSql,
+    // RM3 feedback replay: the expansion-term CTE chain mirrors
+    // Retrieval.prfRm3's integer-micro relevance weights, then the
+    // shared bm25 kernel runs with the widened predicate
+    "ret4_prf_rm3" -> raw"""
+      WITH fb AS (SELECT doc_id FROM (${bm25SqlK(10)})),
+      prf_t AS (SELECT doc_id,
+          unnest(list_filter(string_split_regex(text, '\s+'),
+            x -> len(x) > 0)) AS term
+        FROM documents),
+      prf_dl AS (SELECT doc_id, count(*) AS dl FROM prf_t GROUP BY 1),
+      prf_fw AS (SELECT term,
+          CAST(sum(CAST(round(1e6 * CAST(tf AS DOUBLE) /
+            CAST(dl AS DOUBLE)) AS BIGINT)) AS BIGINT) AS relw
+        FROM (SELECT term, doc_id, count(*) AS tf FROM prf_t
+              WHERE doc_id IN (SELECT doc_id FROM fb) GROUP BY 1, 2)
+        JOIN prf_dl USING (doc_id) GROUP BY term),
+      prf_df AS (SELECT term, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM prf_t)
+        WHERE term IN (SELECT term FROM prf_fw) GROUP BY 1),
+      prf_n AS (SELECT count(*) AS n FROM documents),
+      prf_idf AS (SELECT term,
+          round(ln(((SELECT n FROM prf_n) - df + 0.5) / (df + 0.5)
+            + 1.0), 6) AS idf
+        FROM prf_df),
+      prf_exp AS (SELECT term FROM (
+          SELECT prf_fw.term, CAST(round(idf * relw) AS BIGINT) AS wt
+          FROM prf_fw JOIN prf_idf USING (term)
+          WHERE prf_fw.term NOT IN ('spark', 'query', 'filter')
+          ORDER BY wt DESC, term ASC LIMIT 5))
+      SELECT * FROM (${bm25SqlPred(
+        "(term IN ('spark', 'query', 'filter') OR " +
+          "term IN (SELECT term FROM prf_exp))", 10)})""",
+    // fusion ablation: every method list replays its own kernel
+    "eval8_fusion_overlap" -> raw"""
+      WITH r1 AS (SELECT doc_id
+          FROM (${rrfSql(bm25SqlK(20), bruteAnnSqlK(20))})),
+      b AS (SELECT doc_id FROM (${bm25SqlK(10)})),
+      d AS (SELECT vec_id AS doc_id FROM (${bruteAnnSqlK(10)})),
+      ri AS (SELECT doc_id
+          FROM (${rrfSql(bm25SqlK(20), ivfSqlN(3, "", 20))})),
+      mm AS (SELECT doc_id FROM ($hybridMinmaxSql)),
+      ov AS (
+        SELECT '1_rrf_vs_bm25' AS pair,
+          (SELECT count(*) FROM r1 JOIN b USING (doc_id)) AS c
+        UNION ALL SELECT '2_rrf_vs_dense',
+          (SELECT count(*) FROM r1 JOIN d USING (doc_id))
+        UNION ALL SELECT '3_rrf_vs_indexed',
+          (SELECT count(*) FROM r1 JOIN ri USING (doc_id))
+        UNION ALL SELECT '4_rrf_vs_minmax',
+          (SELECT count(*) FROM r1 JOIN mm USING (doc_id)))
+      SELECT pair, CAST(c AS BIGINT) AS n_common,
+        CAST(round(1e6 * CAST(c AS DOUBLE) / CAST(20 - c AS DOUBLE))
+          AS BIGINT) AS jaccard_micros
+      FROM ov ORDER BY pair""",
     "samp3_split" -> raw"""
       WITH b AS (SELECT doc_id, lang,
           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
@@ -5597,7 +5653,10 @@ object SparkEntry {
 
   private def bm25Sql: String = bm25SqlK(10)
 
-  private def bm25SqlK(k: Int): String = raw"""
+  private def bm25SqlK(k: Int): String =
+    bm25SqlPred("term IN ('spark', 'query', 'filter')", k)
+
+  private def bm25SqlPred(termsPred: String, k: Int): String = raw"""
       WITH t AS (SELECT doc_id,
           list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk
         FROM documents),
@@ -5605,7 +5664,7 @@ object SparkEntry {
       stats AS (SELECT count(*) AS n, sum(dl) AS total FROM dl),
       tf AS (SELECT doc_id, term, count(*) AS tf
              FROM (SELECT doc_id, unnest(tk) AS term FROM t)
-             WHERE term IN ('spark', 'query', 'filter')
+             WHERE $termsPred
              GROUP BY 1, 2),
       idf AS (SELECT term,
                round(ln(((SELECT n FROM stats) - df + 0.5) / (df + 0.5)

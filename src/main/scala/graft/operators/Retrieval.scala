@@ -96,6 +96,56 @@ object Retrieval {
       Similarity.annIvfIndexed(s, dir, armK).select("vec_id", "cos_sim"),
       k)
 
+  /** `ret4_prf_rm3` — RM3-style pseudo-relevance feedback, the
+    * query-EXPANSION half of the retrieval stack (fusion widens the
+    * arms, PRF widens the query): run the seed query, treat its top
+    * fbK docs as pseudo-relevant, score every candidate term by
+    * relevance weight × idf (relevance weight = Σ over feedback docs
+    * of round(1e6·tf/dl) — integer micros, so the cross-doc sum is
+    * partition-order-independent), take the top `expand` non-seed
+    * terms and re-run BM25 with the widened query.
+    *
+    * Scale shape: the feedback set is fbK ids (broadcast); candidate
+    * term stats are one token-keyed aggregation SEMI-JOINED to the
+    * feedback docs' vocabulary before any wide work; the expansion
+    * list is a ≤ `expand`-row model collect (the k-means quantizer
+    * convention) re-shipped as a literal predicate into the final
+    * BM25 pass. Two corpus scans total (feedback pass + final pass) —
+    * at 100 TB both are the BM25 postings shape, and the indexed arm
+    * would serve both. */
+  def prfRm3(s: SparkSession, dir: String,
+             seed: Seq[String] = Seq("spark", "query", "filter"),
+             fbK: Int = 10, expand: Int = 5, k: Int = 10): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val fb = TextAnalysis.bm25(docs, seed, fbK).select("doc_id")
+    val tkn = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val dl = tkn.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val fw = tkn.join(broadcast(fb), "doc_id")
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+      .select(col("term"),
+        round(lit(1e6) * col("tf").cast("double") /
+          col("dl").cast("double")).cast("long").as("c"))
+      .groupBy(col("term")).agg(sum(col("c")).as("relw"))
+    val df = tkn.select(col("doc_id"), col("term")).distinct()
+      .join(broadcast(fw.select(col("term"))), "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n"))
+    val idf = df.crossJoin(broadcast(stats))
+      .select(col("term"),
+        round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5)
+          + 1.0), 6).as("idf"))
+    val expTerms = fw.join(idf, "term")
+      .filter(!col("term").isin(seed: _*))
+      .select(col("term"),
+        round(col("idf") * col("relw")).cast("long").as("wt_micros"))
+      .orderBy(col("wt_micros").desc, col("term").asc)
+      .limit(expand)
+      .collect().map(_.getString(0)).toSeq // ≤expand-row model collect
+    TextAnalysis.bm25(docs, seed ++ expTerms, k)
+  }
+
   /** Min-max normalize an arm's scores to [0, 1e6] integer micros
     * within its top-armK frame (the convex-combination fusion's
     * comparable scale; a constant-score arm normalizes to 1e6 — every
@@ -136,5 +186,33 @@ object Retrieval {
           coalesce(col("dense_norm"), lit(0L))).as("hyb_micros"))
       .orderBy(col("hyb_micros").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** `eval8_fusion_overlap` — the fusion ablation readout: top-10
+    * set overlap (count + Jaccard micros) of the RRF fusion against
+    * each arm alone and against its indexed / score-fusion variants.
+    * Reads: how much each arm shapes the fused list, and how far the
+    * served (indexed, IVF-approximate) stack drifts from the exact
+    * one. All six lists are 10-row frames (localCheckpointed so no
+    * branch recomputes its fusion); the overlap joins are 10×10. */
+  def fusionOverlap(s: SparkSession, dir: String): DataFrame = {
+    val r1 = rrfFusion(s, dir).select("doc_id").localCheckpoint(true)
+    val arms: Seq[(String, DataFrame)] = Seq(
+      ("1_rrf_vs_bm25",
+        TextAnalysis.bm25(Tables.documents(s, dir),
+          Seq("spark", "query", "filter"), 10).select("doc_id")),
+      ("2_rrf_vs_dense",
+        Similarity.annBruteForce(s, dir, 10)
+          .select(col("vec_id").as("doc_id"))),
+      ("3_rrf_vs_indexed", rrfFusionIndexed(s, dir).select("doc_id")),
+      ("4_rrf_vs_minmax", hybridMinMax(s, dir).select("doc_id")))
+    arms.map { case (name, other) =>
+      r1.join(other.localCheckpoint(true), "doc_id")
+        .agg(count(lit(1)).as("n_common"))
+        .select(lit(name).as("pair"), col("n_common"),
+          round(lit(1e6) * col("n_common").cast("double") /
+            (lit(20) - col("n_common")).cast("double")).cast("long")
+            .as("jaccard_micros"))
+    }.reduce(_.unionAll(_)).orderBy(col("pair").asc)
   }
 }

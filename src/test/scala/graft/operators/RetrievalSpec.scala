@@ -90,6 +90,63 @@ class RetrievalSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("ret4: RM3 expansion terms re-derive from collected tokens and " +
+      "the widened query equals bm25 over seed ∪ expansion") {
+    val seed = Seq("spark", "query", "filter")
+    val docs = Tables.documents(spark, sf)
+    val toks = docs.selectExpr("doc_id",
+      "filter(split(text, '\\\\s+'), x -> length(x) > 0) AS tk")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getSeq[String](1)))
+    val fb = TextAnalysis.bm25(docs, seed, 10).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val dl = toks.map { case (id, tk) => id -> tk.length }.toMap
+    val relw = toks.filter(t => fb(t._1))
+      .flatMap { case (id, tk) =>
+        tk.groupBy(identity).map { case (t, xs) =>
+          (t, math.round(1e6 * xs.length.toDouble / dl(id))) }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val dfc = toks.flatMap { case (_, tk) => tk.distinct }
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val n = toks.length
+    val exp = relw.keys.filterNot(seed.contains).toSeq
+      .map { t =>
+        val idf = BigDecimal(math.log((n - dfc(t) + 0.5) /
+          (dfc(t) + 0.5) + 1.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (t, math.round(idf * relw(t)))
+      }
+      .sortBy { case (t, w) => (-w, t) }.take(5).map(_._1)
+    val want = TextAnalysis.bm25(docs, seed ++ exp, 10).collect()
+      .map(_.toSeq).toSeq
+    val got = Retrieval.prfRm3(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got === want)
+    assert(exp.nonEmpty, "feedback docs must yield expansion terms")
+  }
+
+  test("eval8: overlap rows re-derive from the methods' own lists") {
+    val r1 = Retrieval.rrfFusion(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val lists = Seq(
+      "1_rrf_vs_bm25" -> TextAnalysis.bm25(Tables.documents(spark, sf),
+        Seq("spark", "query", "filter"), 10).collect()
+        .map(_.getAs[Long]("doc_id")).toSet,
+      "2_rrf_vs_dense" -> Similarity.annBruteForce(spark, sf, 10)
+        .collect().map(_.getAs[Long]("vec_id")).toSet,
+      "3_rrf_vs_indexed" -> Retrieval.rrfFusionIndexed(spark, sf)
+        .collect().map(_.getAs[Long]("doc_id")).toSet,
+      "4_rrf_vs_minmax" -> Retrieval.hybridMinMax(spark, sf)
+        .collect().map(_.getAs[Long]("doc_id")).toSet)
+    val want = lists.map { case (name, other) =>
+      val c = (r1 & other).size.toLong
+      (name, c, math.round(1e6 * c.toDouble / (20 - c)))
+    }
+    val got = Retrieval.fusionOverlap(spark, sf).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("n_common"),
+        r.getAs[Long]("jaccard_micros"))).toSeq
+    assert(got === want)
+  }
+
   test("fusion plans never touch the corpus: both ret1 arms end in a " +
       "top-k before the fuse join sees them") {
     val df: DataFrame = Retrieval.rrfFusion(spark, sf)
