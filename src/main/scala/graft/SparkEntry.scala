@@ -323,6 +323,7 @@ object SparkEntry {
     "ret3_hybrid_minmax" -> (Retrieval.hybridMinMax(_, _)),
     "ret4_prf_rm3"       -> (Retrieval.prfRm3(_, _)),
     "eval8_fusion_overlap" -> (Retrieval.fusionOverlap(_, _)),
+    "text_textrank"      -> (TextAnalysis.textrank(_, _)),
     "s10_corrupt_json" -> (Audits.s10CorruptJson(_, _)),
     "stat17_corr_matrix" -> (Relational.stat17CorrMatrix(_, _)),
     // ---- spatial: grid-cell bucketed candidate joins ----
@@ -5117,6 +5118,41 @@ object SparkEntry {
         CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
           AS n_users_at_risk
       FROM cls GROUP BY level ORDER BY level""",
+    // TextRank keywords (TextAnalysis.textrank): weighted-PageRank
+    // mass recursion over the symmetrized bigram graph, the
+    // graph_pagerank integer-micro convention re-keyed by term.
+    "text_textrank" -> raw"""
+      WITH RECURSIVE tkl AS (SELECT
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0) AS tk
+        FROM documents),
+      prp AS (SELECT p['a'] AS a, p['b'] AS b FROM (
+          SELECT unnest(list_transform(range(1, len(tk)),
+            i -> {'a': tk[i], 'b': tk[i + 1]})) AS p
+          FROM tkl WHERE len(tk) >= 2)
+        WHERE p['a'] <> p['b']),
+      und AS (SELECT a, b FROM prp UNION ALL SELECT b, a FROM prp),
+      e AS (SELECT a AS src, b AS dst, count(*) AS w
+        FROM und GROUP BY 1, 2),
+      wo AS (SELECT src, sum(w) AS wout FROM e GROUP BY 1),
+      nd AS (SELECT DISTINCT src AS term FROM e),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd),
+      tr AS (
+        SELECT 0 AS iter, term,
+          CAST(round(1e6 / (SELECT n FROM nn)) AS BIGINT) AS r
+        FROM nd
+        UNION ALL
+        SELECT t.iter + 1, e.dst,
+          CAST(round(0.15 * 1e6 / (SELECT n FROM nn)) AS BIGINT)
+          + CAST(round(0.85 * sum(CAST(round(CAST(t.r AS DOUBLE) * e.w
+              / wo.wout) AS BIGINT))) AS BIGINT)
+        FROM tr t
+        JOIN e ON e.src = t.term
+        JOIN wo ON wo.src = t.term
+        WHERE t.iter < 10
+        GROUP BY t.iter, e.dst)
+      SELECT term, r AS rank_micros FROM tr WHERE iter = 10
+      ORDER BY r DESC, term ASC LIMIT 20""",
     // Signup-to-purchase conversion latency (EventAnalytics
     // .timeToConvert).
     "ev23_time_to_convert" -> raw"""

@@ -1813,4 +1813,84 @@ object TextAnalysis {
             (col("sx").cast("double") / col("n").cast("double"))) / 1e6, 6)
           .as("intercept_nats"))
   }
+
+  /** `text_textrank` — TextRank keyword extraction (Mihalcea & Tarau):
+    * weighted PageRank over the word co-occurrence graph, the
+    * graph-centrality answer to "which terms MATTER in this corpus"
+    * beside [[keyness]]'s frequency-contrast answer. Nodes are corpus
+    * terms, edges adjacent-token bigrams symmetrized with count
+    * weights; rank mass flows proportionally to edge weight over the
+    * source's total outgoing weight, damping 0.85, 10 rounds, top-20.
+    *
+    * Scale shape: the graph build is one exploded-bigram aggregation
+    * (vocab²-bounded but corpus-sparse — only observed bigrams
+    * materialize); each round is ONE narrow contrib shuffle over
+    * vocab-sized frames with localCheckpoint lineage cuts, the
+    * [[Graphs.pagerank]] loop shape re-keyed by term. The converged
+    * ranks stage once per (dataset fingerprint, params) so repeated
+    * queries are an index read. Symmetrization means every node has
+    * in-edges — no dangling-mass handling needed.
+    *
+    * Determinism: the pagerank convention — per-edge contributions
+    * round to integer micros BEFORE the cross-partition sum, teleport
+    * and damping terms round separately, so 10 rounds of IEEE math
+    * land on identical longs in any engine. */
+  def textrank(s: SparkSession, dir: String, iters: Int = 10,
+               damping: Double = 0.85, k: Int = 20): DataFrame = {
+    val base = Staging.base("stage_textrank_v1", dir,
+      s"${iters}_${math.round(damping * 1000)}", "documents")
+    Staging.buildOnce(base) {
+      val sc = s.sparkContext
+      val preexisting = sc.getPersistentRDDs.keySet
+      try {
+        val tk = Tables.documents(s, dir)
+          .select(tokens(lower(col("text"))).as("tk"))
+          .filter(size(col("tk")) >= 2)
+        val pairs = tk
+          .select(slice(col("tk"), lit(1), size(col("tk")) - 1).as("l"),
+            slice(col("tk"), lit(2), size(col("tk")) - 1).as("r"))
+          .select(explode(arrays_zip(col("l"), col("r"))).as("p"))
+          .select(col("p.l").as("a"), col("p.r").as("b"))
+          .filter(col("a") =!= col("b"))
+        val und = pairs
+          .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+        val edges = und.groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("w"))
+          .select(col("a").as("src"), col("b").as("dst"), col("w"))
+        val wout = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+        val withW = edges.join(wout, "src").localCheckpoint(true)
+        val nodes = edges.select(col("src").as("term")).distinct()
+          .localCheckpoint(true)
+        val nTotal = broadcast(nodes.agg(count(lit(1)).as("n"))
+          .localCheckpoint(true))
+        var ranks = nodes.crossJoin(nTotal)
+          .select(col("term"),
+            round(lit(1e6) / col("n")).cast("long").as("r"))
+          .localCheckpoint(true)
+        for (_ <- 1 to iters) {
+          val contrib = withW.join(ranks, col("src") === col("term"))
+            .select(col("dst"),
+              round(col("r").cast("double") * col("w") / col("wout"))
+                .cast("long").as("c"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+          ranks = nodes.join(contrib, col("term") === col("dst"), "left")
+            .crossJoin(nTotal)
+            .select(col("term"),
+              (round(lit(0.15) * lit(1e6) / col("n")).cast("long") +
+                round(lit(damping) * coalesce(col("in_mass"), lit(0L)))
+                  .cast("long")).as("r"))
+            .localCheckpoint(true)
+        }
+        ranks.write.mode("overwrite").parquet(s"$base/data")
+      } finally {
+        sc.getPersistentRDDs
+          .filterNot { case (id, _) => preexisting(id) }
+          .values.foreach(_.unpersist(blocking = false))
+      }
+    }
+    s.read.parquet(s"$base/data")
+      .select(col("term"), col("r").as("rank_micros"))
+      .orderBy(col("rank_micros").desc, col("term").asc)
+      .limit(k)
+  }
 }
