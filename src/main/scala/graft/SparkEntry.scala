@@ -324,6 +324,7 @@ object SparkEntry {
     "ret4_prf_rm3"       -> (Retrieval.prfRm3(_, _)),
     "eval8_fusion_overlap" -> (Retrieval.fusionOverlap(_, _)),
     "text_textrank"      -> (TextAnalysis.textrank(_, _)),
+    "sim_hard_negatives" -> (Similarity.hardNegatives(_, _)),
     "s10_corrupt_json" -> (Audits.s10CorruptJson(_, _)),
     "stat17_corr_matrix" -> (Relational.stat17CorrMatrix(_, _)),
     // ---- spatial: grid-cell bucketed candidate joins ----
@@ -5118,6 +5119,22 @@ object SparkEntry {
         CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
           AS n_users_at_risk
       FROM cls GROUP BY level ORDER BY level""",
+    // Hard-negative mining (Similarity.hardNegatives): top-5
+    // cross-label neighbors per fixed-batch anchor.
+    "sim_hard_negatives" -> raw"""
+      WITH a AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb,
+          label AS q_label
+        FROM embeddings WHERE vec_id % 83 = 1 AND vec_id < 830),
+      sc AS (SELECT a.q_id, a.q_label, e.vec_id AS neg_id,
+          e.label AS neg_label,
+          round(list_cosine_similarity(e.embedding::DOUBLE[], a.q_emb),
+            6) AS cos_sim
+        FROM embeddings e, a WHERE e.label <> a.q_label)
+      SELECT q_id, q_label, rnk, neg_id, neg_label, cos_sim FROM (
+        SELECT sc.*, CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY cos_sim DESC, neg_id ASC) AS BIGINT) AS rnk
+        FROM sc)
+      WHERE rnk <= 5""",
     // TextRank keywords (TextAnalysis.textrank): weighted-PageRank
     // mass recursion over the symmetrized bigram graph, the
     // graph_pagerank integer-micro convention re-keyed by term.

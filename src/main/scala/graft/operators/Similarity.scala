@@ -1280,4 +1280,41 @@ object Similarity {
       .withColumn("correct",
         (col("pred_label") === col("true_label")).cast("long"))
   }
+
+  /** `sim_hard_negatives` — hard-negative mining for contrastive
+    * training (the DPR/SimCSE data op): for each anchor in a FIXED
+    * query batch, the top-`k` most-similar vectors carrying a
+    * DIFFERENT label — maximally confusable cross-class pairs, the
+    * negatives that actually move an embedding model (random negatives
+    * are trivially separable). Anchors are `vec_id ≡ 1 mod 83` capped
+    * below 830 — a fixed ≤10-row batch at every SF (the spatial-kNN
+    * capping convention), so the scan cost is O(corpus × |batch|)
+    * LINEAR in the corpus, one broadcast-nested-loop pass; a serving
+    * deployment would swap the scan for the IVF index per anchor,
+    * exactly like annIvfIndexed.
+    *
+    * Determinism: 6dp-rounded cosine, (sim DESC, vec_id ASC)
+    * row_number per anchor — the pinned-ordering convention. */
+  def hardNegatives(s: SparkSession, dir: String, k: Int = 5,
+                    qMod: Int = 83, qCap: Int = 830): DataFrame = {
+    GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+    val anchors = e.filter(col("vec_id") % qMod === 1 &&
+        col("vec_id") < qCap)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val scored = e.crossJoin(broadcast(anchors))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("neg_id").asc)).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("q_label"), col("rnk"), col("neg_id"),
+        col("neg_label"), col("cos_sim"))
+  }
 }

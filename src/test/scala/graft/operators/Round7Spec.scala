@@ -185,4 +185,45 @@ class Round7Spec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).count(truth)
     assert(hits.last === full.toLong)
   }
+
+  test("hard negatives: every row is cross-label, ranks are dense per " +
+      "anchor, and no unlisted cross-label vector beats a listed one") {
+    val got = Similarity.hardNegatives(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("q_label"),
+        r.getAs[Long]("rnk"), r.getAs[Long]("neg_id"),
+        r.getAs[Int]("neg_label"), r.getAs[Double]("cos_sim")))
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, ql, _, _, nl, _) => ql != nl })
+    val byAnchor = got.groupBy(_._1)
+    byAnchor.foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length))
+      // listed negatives are in descending-sim order
+      val sims = rows.sortBy(_._3).map(_._6)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    // exhaustive floor check against raw vectors: the 5th-ranked sim
+    // per anchor is >= the sim of every unlisted cross-label vector
+    val all = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getAs[Int]("label")))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    byAnchor.foreach { case (qid, rows) =>
+      val (_, qemb, qlab) = all.find(_._1 == qid).get
+      val listed = rows.map(_._4).toSet
+      val floor = rows.map(_._6).min
+      val bestUnlisted = all
+        .filter(v => v._3 != qlab && !listed(v._1))
+        .map(v => cos(qemb, v._2))
+      assert(bestUnlisted.isEmpty || bestUnlisted.max <= floor,
+        s"anchor $qid: an unlisted cross-label vector beats rank-5")
+    }
+  }
 }
