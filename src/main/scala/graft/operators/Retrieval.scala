@@ -128,8 +128,11 @@ object Retrieval {
         round(lit(1e6) * col("tf").cast("double") /
           col("dl").cast("double")).cast("long").as("c"))
       .groupBy(col("term")).agg(sum(col("c")).as("relw"))
-    val df = tkn.select(col("doc_id"), col("term")).distinct()
-      .join(broadcast(fw.select(col("term"))), "term")
+    // candidate-term semi-join BEFORE the distinct: the (doc, term)
+    // dedup shuffle only ever sees postings of the feedback docs'
+    // vocabulary, not the whole corpus token stream
+    val df = tkn.join(broadcast(fw.select(col("term"))), "term")
+      .select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n"))
     val idf = df.crossJoin(broadcast(stats))
@@ -173,13 +176,16 @@ object Retrieval {
     * but 1/(60+20) there. Shipping both is the standard ablation. */
   def hybridMinMax(s: SparkSession, dir: String,
                    terms: Seq[String] = Seq("spark", "query", "filter"),
-                   armK: Int = 20, k: Int = 10): DataFrame = {
-    val bm = minMaxMicros(
+                   armK: Int = 20, k: Int = 10): DataFrame =
+    minMaxFuse(
       TextAnalysis.bm25(Tables.documents(s, dir), terms, armK),
-      "doc_id", "score", "bm25_norm")
-    val dn = minMaxMicros(
       Similarity.annBruteForce(s, dir, armK).select("vec_id", "cos_sim"),
-      "vec_id", "cos_sim", "dense_norm")
+      k)
+
+  private def minMaxFuse(sparse: DataFrame, dense: DataFrame,
+                         k: Int): DataFrame = {
+    val bm = minMaxMicros(sparse, "doc_id", "score", "bm25_norm")
+    val dn = minMaxMicros(dense, "vec_id", "cos_sim", "dense_norm")
     bm.join(dn, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("bm25_norm"), col("dense_norm"),
         (coalesce(col("bm25_norm"), lit(0L)) +
@@ -196,18 +202,26 @@ object Retrieval {
     * one. All six lists are 10-row frames (localCheckpointed so no
     * branch recomputes its fusion); the overlap joins are 10×10. */
   def fusionOverlap(s: SparkSession, dir: String): DataFrame = {
-    val r1 = rrfFusion(s, dir).select("doc_id").localCheckpoint(true)
+    // each arm is scanned ONCE: the @10 lists and both fusion variants
+    // all derive from the same cached top-20 frames (top-10 of the
+    // pinned @20 ordering ≡ the @10 query, so results are bit-identical
+    // to running each method standalone — the shared-kernel convention)
+    val bm20 = TextAnalysis.bm25(Tables.documents(s, dir),
+      Seq("spark", "query", "filter"), 20).localCheckpoint(true)
+    val dn20 = Similarity.annBruteForce(s, dir, 20)
+      .select("vec_id", "cos_sim").localCheckpoint(true)
+    val r1 = rrfFuse(bm20, dn20, 10).select("doc_id").localCheckpoint(true)
     val arms: Seq[(String, DataFrame)] = Seq(
       ("1_rrf_vs_bm25",
-        TextAnalysis.bm25(Tables.documents(s, dir),
-          Seq("spark", "query", "filter"), 10).select("doc_id")),
+        bm20.orderBy(col("score").desc, col("doc_id").asc).limit(10)
+          .select("doc_id")),
       ("2_rrf_vs_dense",
-        Similarity.annBruteForce(s, dir, 10)
+        dn20.orderBy(col("cos_sim").desc, col("vec_id").asc).limit(10)
           .select(col("vec_id").as("doc_id"))),
       ("3_rrf_vs_indexed", rrfFusionIndexed(s, dir).select("doc_id")),
-      ("4_rrf_vs_minmax", hybridMinMax(s, dir).select("doc_id")))
+      ("4_rrf_vs_minmax", minMaxFuse(bm20, dn20, 10).select("doc_id")))
     arms.map { case (name, other) =>
-      r1.join(other.localCheckpoint(true), "doc_id")
+      r1.join(broadcast(other), "doc_id")
         .agg(count(lit(1)).as("n_common"))
         .select(lit(name).as("pair"), col("n_common"),
           round(lit(1e6) * col("n_common").cast("double") /
