@@ -120,10 +120,15 @@ object Retrieval {
     val fb = TextAnalysis.bm25(docs, seed, fbK).select("doc_id")
     val tkn = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("term"))
-    val dl = tkn.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val fw = tkn.join(broadcast(fb), "doc_id")
+    // everything relevance-weighted lives on the fbK feedback docs:
+    // filter the token stream FIRST so doc lengths and tf counts never
+    // shuffle corpus-sized frames (dl of a feedback doc computed from
+    // its own filtered tokens is exactly its full length)
+    val tknFb = tkn.join(broadcast(fb), "doc_id").localCheckpoint(true)
+    val dlFb = tknFb.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val fw = tknFb
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .join(dl, "doc_id")
+      .join(broadcast(dlFb), "doc_id")
       .select(col("term"),
         round(lit(1e6) * col("tf").cast("double") /
           col("dl").cast("double")).cast("long").as("c"))
@@ -199,8 +204,9 @@ object Retrieval {
     * each arm alone and against its indexed / score-fusion variants.
     * Reads: how much each arm shapes the fused list, and how far the
     * served (indexed, IVF-approximate) stack drifts from the exact
-    * one. All six lists are 10-row frames (localCheckpointed so no
-    * branch recomputes its fusion); the overlap joins are 10×10. */
+    * one. Jaccard denominators assume two 10-deep lists (|A∪B| =
+    * 20 − |A∩B|), which every arm guarantees past trivial corpora;
+    * the overlap joins are 10×10 broadcasts. */
   def fusionOverlap(s: SparkSession, dir: String): DataFrame = {
     // each arm is scanned ONCE: the @10 lists and both fusion variants
     // all derive from the same cached top-20 frames (top-10 of the
