@@ -1285,15 +1285,19 @@ object SparkEntry {
       mm AS (SELECT doc_id FROM ($hybridMinmaxSql)),
       ov AS (
         SELECT '1_rrf_vs_bm25' AS pair,
-          (SELECT count(*) FROM r1 JOIN b USING (doc_id)) AS c
+          (SELECT count(*) FROM r1 JOIN b USING (doc_id)) AS c,
+          (SELECT count(*) FROM r1) + (SELECT count(*) FROM b) AS t
         UNION ALL SELECT '2_rrf_vs_dense',
-          (SELECT count(*) FROM r1 JOIN d USING (doc_id))
+          (SELECT count(*) FROM r1 JOIN d USING (doc_id)),
+          (SELECT count(*) FROM r1) + (SELECT count(*) FROM d)
         UNION ALL SELECT '3_rrf_vs_indexed',
-          (SELECT count(*) FROM r1 JOIN ri USING (doc_id))
+          (SELECT count(*) FROM r1 JOIN ri USING (doc_id)),
+          (SELECT count(*) FROM r1) + (SELECT count(*) FROM ri)
         UNION ALL SELECT '4_rrf_vs_minmax',
-          (SELECT count(*) FROM r1 JOIN mm USING (doc_id)))
+          (SELECT count(*) FROM r1 JOIN mm USING (doc_id)),
+          (SELECT count(*) FROM r1) + (SELECT count(*) FROM mm))
       SELECT pair, CAST(c AS BIGINT) AS n_common,
-        CAST(round(1e6 * CAST(c AS DOUBLE) / CAST(20 - c AS DOUBLE))
+        CAST(round(1e6 * CAST(c AS DOUBLE) / CAST(t - c AS DOUBLE))
           AS BIGINT) AS jaccard_micros
       FROM ov ORDER BY pair""",
     "samp3_split" -> raw"""
@@ -5648,7 +5652,8 @@ object SparkEntry {
   private def privProfileSql: String = raw"""
       fs AS (SELECT user_id, CAST(min(ts) AS DATE) AS first_day,
           CAST(floor(log10(1.0 +
-            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)))
+            CAST(greatest(sum(CAST(round(value * 100) AS BIGINT)), 0)
+              AS DOUBLE)))
             AS BIGINT) AS spend_tier
         FROM events GROUP BY user_id),
       md AS (SELECT user_id, event_type AS top_type FROM (

@@ -81,6 +81,9 @@ object Graphs {
   def pagerank(s: SparkSession, dir: String, iters: Int = 10,
                damping: Double = 0.85): DataFrame = staged(s, dir, "pr",
       s"${iters}_${math.round(damping * 1000)}") { finalPath =>
+    // decimal-exact 1 - damping: the IEEE expression 1 - 0.85 sits one
+    // ulp off the 0.15 literal the oracle embeds (see textrank)
+    val teleport = (BigDecimal(1) - BigDecimal(damping.toString)).toDouble
     val sc = s.sparkContext
     val preexisting = sc.getPersistentRDDs.keySet
     try {
@@ -109,7 +112,7 @@ object Graphs {
           .join(contrib, col("node") === col("dst"), "left")
           .crossJoin(nTotal)
           .select(col("node"),
-            (round(lit(0.15) * lit(1e6) / col("n_docs")).cast("long") +
+            (round(lit(teleport) * lit(1e6) / col("n_docs")).cast("long") +
               round(lit(damping) * coalesce(col("in_mass"), lit(0L)))
                 .cast("long")).as("r"))
           .localCheckpoint(true)
@@ -147,8 +150,10 @@ object Graphs {
       val isSeed = pmod(col("node"), lit(seedMod.toLong)) === 0L
       val nSeeds = broadcast(nodes.filter(isSeed)
         .agg(count(lit(1)).as("n_seeds")).localCheckpoint(true))
+      // decimal-exact 1 - damping (see pagerank)
+      val tp = (BigDecimal(1) - BigDecimal(damping.toString)).toDouble
       def teleport: Column =
-        when(isSeed, round(lit(0.15) * lit(1e6) / col("n_seeds"))
+        when(isSeed, round(lit(tp) * lit(1e6) / col("n_seeds"))
           .cast("long")).otherwise(lit(0L))
       var ranks = nodes.crossJoin(nSeeds)
         .select(col("node"),

@@ -40,10 +40,13 @@ object Privacy {
     * order-of-magnitude tiers. */
   private[operators] def profiles(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
+    // spend-cents clamp at 0: a refund-heavy user must land in tier 0,
+    // not diverge (Spark log10 of a negative is NULL, DuckDB throws)
     val firstSpend = e.groupBy(col("user_id"))
       .agg(to_date(min(col("ts"))).as("first_day"),
         floor(log10(lit(1.0) +
-          sum(round(col("value") * 100).cast("long")).cast("double")))
+          greatest(sum(round(col("value") * 100).cast("long")), lit(0L))
+            .cast("double")))
           .cast("long").as("spend_tier"))
     val modal = e.groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))

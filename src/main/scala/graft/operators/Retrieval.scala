@@ -47,7 +47,7 @@ object Retrieval {
       .orderBy(col(score).desc, col("doc_id").asc)
     arm.select(col(id).as("doc_id"), col(score))
       .withColumn(rankName, row_number().over(w).cast("long"))
-      .select(col("doc_id"), col(rankName), col(score))
+      .select(col("doc_id"), col(rankName))
   }
 
   /** RRF-fuse two ranked arms: full-outer on doc_id (an id may appear
@@ -56,9 +56,7 @@ object Retrieval {
   private def rrfFuse(sparse: DataFrame, dense: DataFrame,
                       k: Int): DataFrame = {
     val bm = ranked(sparse, "doc_id", "score", "bm25_rank")
-      .drop("score")
     val dn = ranked(dense, "vec_id", "cos_sim", "dense_rank")
-      .drop("cos_sim")
     bm.join(dn, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("bm25_rank"), col("dense_rank"),
         (coalesce(rrfMicros(col("bm25_rank")), lit(0L)) +
@@ -109,10 +107,13 @@ object Retrieval {
     * term stats are one token-keyed aggregation SEMI-JOINED to the
     * feedback docs' vocabulary before any wide work; the expansion
     * list is a ≤ `expand`-row model collect (the k-means quantizer
-    * convention) re-shipped as a literal predicate into the final
-    * BM25 pass. Two corpus scans total (feedback pass + final pass) —
-    * at 100 TB both are the BM25 postings shape, and the indexed arm
-    * would serve both. */
+    * convention) re-shipped as a literal predicate into the final BM25
+    * pass. The corpus token stream is scanned three times (feedback
+    * BM25, the df branch, the final BM25) plus one footer-cheap count —
+    * every scan is the BM25 postings shape (explode + filter, shuffles
+    * bounded by matching postings), and a 100 TB serving deployment
+    * replaces all three with reads of the persisted term-bucketed
+    * index, exactly as bm25Indexed does. */
   def prfRm3(s: SparkSession, dir: String,
              seed: Seq[String] = Seq("spark", "query", "filter"),
              fbK: Int = 10, expand: Int = 5, k: Int = 10): DataFrame = {
@@ -204,9 +205,10 @@ object Retrieval {
     * each arm alone and against its indexed / score-fusion variants.
     * Reads: how much each arm shapes the fused list, and how far the
     * served (indexed, IVF-approximate) stack drifts from the exact
-    * one. Jaccard denominators assume two 10-deep lists (|A∪B| =
-    * 20 − |A∩B|), which every arm guarantees past trivial corpora;
-    * the overlap joins are 10×10 broadcasts. */
+    * one. Jaccard denominators count each list (|A∪B| = |A| + |B| −
+    * |A∩B|) — a short list (a sparse IVF cell, a tiny corpus) yields
+    * the true Jaccard, not a silently-deflated one; the overlap joins
+    * are ≤10×10 broadcasts. */
   def fusionOverlap(s: SparkSession, dir: String): DataFrame = {
     // each arm is scanned ONCE: the @10 lists and both fusion variants
     // all derive from the same cached top-20 frames (top-10 of the
@@ -226,13 +228,18 @@ object Retrieval {
           .select(col("vec_id").as("doc_id"))),
       ("3_rrf_vs_indexed", rrfFusionIndexed(s, dir).select("doc_id")),
       ("4_rrf_vs_minmax", minMaxFuse(bm20, dn20, 10).select("doc_id")))
+    val nA = broadcast(r1.agg(count(lit(1)).as("n_a"))
+      .localCheckpoint(true))
     arms.map { case (name, other) =>
-      r1.join(broadcast(other), "doc_id")
+      val o = other.localCheckpoint(true) // referenced twice below
+      r1.join(broadcast(o), "doc_id")
         .agg(count(lit(1)).as("n_common"))
+        .crossJoin(nA)
+        .crossJoin(broadcast(o.agg(count(lit(1)).as("n_b"))))
         .select(lit(name).as("pair"), col("n_common"),
           round(lit(1e6) * col("n_common").cast("double") /
-            (lit(20) - col("n_common")).cast("double")).cast("long")
-            .as("jaccard_micros"))
+            (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+            .cast("long").as("jaccard_micros"))
     }.reduce(_.unionAll(_)).orderBy(col("pair").asc)
   }
 }

@@ -1837,6 +1837,10 @@ object TextAnalysis {
     * land on identical longs in any engine. */
   def textrank(s: SparkSession, dir: String, iters: Int = 10,
                damping: Double = 0.85, k: Int = 20): DataFrame = {
+    // teleport = 1 - damping derived through DECIMAL arithmetic: the
+    // IEEE expression 1 - 0.85 is one ulp away from the 0.15 literal
+    // the oracle embeds, and that ulp can flip a round() boundary
+    val teleport = (BigDecimal(1) - BigDecimal(damping.toString)).toDouble
     val base = Staging.base("stage_textrank_v1", dir,
       s"${iters}_${math.round(damping * 1000)}", "documents")
     Staging.buildOnce(base) {
@@ -1852,10 +1856,16 @@ object TextAnalysis {
           .select(explode(arrays_zip(col("l"), col("r"))).as("p"))
           .select(col("p.l").as("a"), col("p.r").as("b"))
           .filter(col("a") =!= col("b"))
-        val und = pairs
-          .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
-        val edges = und.groupBy(col("a"), col("b"))
+        // aggregate the DIRECTED bigrams first (one corpus explode),
+        // then symmetrize the vocab²-bounded count frame — identical
+        // edge weights at half the corpus-scan and shuffle cost of
+        // symmetrizing the raw token stream
+        val directed = pairs.groupBy(col("a"), col("b"))
           .agg(count(lit(1)).as("w"))
+        val edges = directed
+          .unionAll(directed.select(col("b").as("a"), col("a").as("b"),
+            col("w")))
+          .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
           .select(col("a").as("src"), col("b").as("dst"), col("w"))
         val wout = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
         val withW = edges.join(wout, "src").localCheckpoint(true)
@@ -1876,7 +1886,7 @@ object TextAnalysis {
           ranks = nodes.join(contrib, col("term") === col("dst"), "left")
             .crossJoin(nTotal)
             .select(col("term"),
-              (round(lit(0.15) * lit(1e6) / col("n")).cast("long") +
+              (round(lit(teleport) * lit(1e6) / col("n")).cast("long") +
                 round(lit(damping) * coalesce(col("in_mass"), lit(0L)))
                   .cast("long")).as("r"))
             .localCheckpoint(true)

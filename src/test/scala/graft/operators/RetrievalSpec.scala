@@ -139,7 +139,7 @@ class RetrievalSpec extends SparkSpec {
         .collect().map(_.getAs[Long]("doc_id")).toSet)
     val want = lists.map { case (name, other) =>
       val c = (r1 & other).size.toLong
-      (name, c, math.round(1e6 * c.toDouble / (20 - c)))
+      (name, c, math.round(1e6 * c.toDouble / (r1.size + other.size - c)))
     }
     val got = Retrieval.fusionOverlap(spark, sf).collect()
       .map(r => (r.getAs[String]("pair"), r.getAs[Long]("n_common"),
