@@ -298,6 +298,7 @@ object SparkEntry {
     "stat15_cms_estimate" -> (Sketches.cmsEstimates(_, _)),
     // ---- round-6: k-hop BFS over the link graph ----
     "graph_khop" -> (Graphs.khopDistances(_, _)),
+    "graph_closeness" -> (Graphs.harmonicCloseness(_, _)),
     // ---- round-6: feature scaling ----
     "ml3_minmax_scale" -> (Training.minmaxScale(_, _)),
     "ml4_l2_normalize" -> (Training.l2Normalize(_, _)),
@@ -323,6 +324,7 @@ object SparkEntry {
     "ret3_hybrid_minmax" -> (Retrieval.hybridMinMax(_, _)),
     "ret4_prf_rm3"       -> (Retrieval.prfRm3(_, _)),
     "eval8_fusion_overlap" -> (Retrieval.fusionOverlap(_, _)),
+    "eval9_prf_shift"    -> (Retrieval.prfShift(_, _)),
     "text_textrank"      -> (TextAnalysis.textrank(_, _)),
     "sim_hard_negatives" -> (Similarity.hardNegatives(_, _)),
     "s10_corrupt_json" -> (Audits.s10CorruptJson(_, _)),
@@ -1245,35 +1247,32 @@ object SparkEntry {
     // RM3 feedback replay: the expansion-term CTE chain mirrors
     // Retrieval.prfRm3's integer-micro relevance weights, then the
     // shared bm25 kernel runs with the widened predicate
-    "ret4_prf_rm3" -> raw"""
-      WITH fb AS (SELECT doc_id FROM (${bm25SqlK(10)})),
-      prf_t AS (SELECT doc_id,
-          unnest(list_filter(string_split_regex(text, '\s+'),
-            x -> len(x) > 0)) AS term
-        FROM documents),
-      prf_dl AS (SELECT doc_id, count(*) AS dl FROM prf_t GROUP BY 1),
-      prf_fw AS (SELECT term,
-          CAST(sum(CAST(round(1e6 * CAST(tf AS DOUBLE) /
-            CAST(dl AS DOUBLE)) AS BIGINT)) AS BIGINT) AS relw
-        FROM (SELECT term, doc_id, count(*) AS tf FROM prf_t
-              WHERE doc_id IN (SELECT doc_id FROM fb) GROUP BY 1, 2)
-        JOIN prf_dl USING (doc_id) GROUP BY term),
-      prf_df AS (SELECT term, count(*) AS df
-        FROM (SELECT DISTINCT doc_id, term FROM prf_t)
-        WHERE term IN (SELECT term FROM prf_fw) GROUP BY 1),
-      prf_n AS (SELECT count(*) AS n FROM documents),
-      prf_idf AS (SELECT term,
-          round(ln(((SELECT n FROM prf_n) - df + 0.5) / (df + 0.5)
-            + 1.0), 6) AS idf
-        FROM prf_df),
-      prf_exp AS (SELECT term FROM (
-          SELECT prf_fw.term, CAST(round(idf * relw) AS BIGINT) AS wt
-          FROM prf_fw JOIN prf_idf USING (term)
-          WHERE prf_fw.term NOT IN ('spark', 'query', 'filter')
-          ORDER BY wt DESC, term ASC LIMIT 5))
-      SELECT * FROM (${bm25SqlPred(
-        "(term IN ('spark', 'query', 'filter') OR " +
-          "term IN (SELECT term FROM prf_exp))", 10)})""",
+    "ret4_prf_rm3" -> prfRm3Sql,
+    // PRF ablation: rank shift between the seed-only and RM3-expanded
+    // top-10 lists (Retrieval.prfShift)
+    "eval9_prf_shift" -> raw"""
+      WITH sd AS (SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+            AS BIGINT) AS r
+        FROM (${bm25SqlK(10)})),
+      ex AS (SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+            AS BIGINT) AS r
+        FROM ($prfRm3Sql)),
+      j AS (SELECT sd.r AS rs, ex.r AS re
+        FROM sd FULL OUTER JOIN ex ON sd.doc_id = ex.doc_id)
+      SELECT
+        CAST(sum(CASE WHEN rs IS NOT NULL AND re IS NOT NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+        CAST(sum(CASE WHEN rs IS NULL AND re IS NOT NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_new_docs,
+        CAST(round(1e6 *
+          CAST(sum(CASE WHEN rs IS NOT NULL AND re IS NOT NULL
+            THEN 1 ELSE 0 END) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE)) AS BIGINT) AS jaccard_micros,
+        CAST(sum(CASE WHEN rs IS NOT NULL AND re IS NOT NULL
+          THEN abs(rs - re) ELSE 0 END) AS BIGINT) AS footrule
+      FROM j""",
     // fusion ablation: every method list replays its own kernel
     "eval8_fusion_overlap" -> raw"""
       WITH r1 AS (SELECT doc_id
@@ -3028,6 +3027,27 @@ object SparkEntry {
         WHERE bfs.dist < 8)
       SELECT node, CAST(min(dist) AS BIGINT) AS dist
       FROM bfs GROUP BY node""",
+    // harmonic closeness of the PPR seed set (Graphs
+    // .harmonicCloseness): the khop BFS recursion with the seed riding
+    // along, min-dist per (seed, node), Σ round(1e6/d) per seed.
+    "graph_closeness" -> raw"""
+      WITH RECURSIVE $graphEdgesSql,
+      und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM edges),
+      nbr AS (SELECT a AS node, b AS nbr FROM und
+              UNION ALL SELECT b, a FROM und),
+      bfs AS (
+        SELECT doc_id AS seed, doc_id AS node, 0 AS dist
+        FROM documents WHERE doc_id % 97 = 0
+        UNION
+        SELECT bfs.seed, nbr.nbr, bfs.dist + 1
+        FROM bfs JOIN nbr ON nbr.node = bfs.node
+        WHERE bfs.dist < 8),
+      md AS (SELECT seed, node, min(dist) AS dist FROM bfs GROUP BY 1, 2)
+      SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+        CAST(sum(CAST(round(1e6 / dist) AS BIGINT)) AS BIGINT)
+          AS harmonic_micros
+      FROM md WHERE dist > 0 GROUP BY seed ORDER BY seed""",
     // per-dimension min-max scaling summary; the scaled matrix is
     // pinned by its per-dim integer checksum
     // (operators.Training.minmaxScale).
@@ -5664,6 +5684,40 @@ object SparkEntry {
         WHERE rn = 1),
       prof AS (SELECT fs.user_id, first_day, spend_tier, top_type
         FROM fs JOIN md USING (user_id))"""
+
+  /** RM3 feedback replay (Retrieval.prfRm3): the expansion-term CTE
+    * chain mirrors the operator's integer-micro relevance weights,
+    * then the shared bm25 kernel runs with the widened predicate.
+    * Shared by ret4_prf_rm3 and eval9_prf_shift. */
+  private def prfRm3Sql: String = raw"""
+      WITH fb AS (SELECT doc_id FROM (${bm25SqlK(10)})),
+      prf_t AS (SELECT doc_id,
+          unnest(list_filter(string_split_regex(text, '\s+'),
+            x -> len(x) > 0)) AS term
+        FROM documents),
+      prf_dl AS (SELECT doc_id, count(*) AS dl FROM prf_t GROUP BY 1),
+      prf_fw AS (SELECT term,
+          CAST(sum(CAST(round(1e6 * CAST(tf AS DOUBLE) /
+            CAST(dl AS DOUBLE)) AS BIGINT)) AS BIGINT) AS relw
+        FROM (SELECT term, doc_id, count(*) AS tf FROM prf_t
+              WHERE doc_id IN (SELECT doc_id FROM fb) GROUP BY 1, 2)
+        JOIN prf_dl USING (doc_id) GROUP BY term),
+      prf_df AS (SELECT term, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM prf_t)
+        WHERE term IN (SELECT term FROM prf_fw) GROUP BY 1),
+      prf_n AS (SELECT count(*) AS n FROM documents),
+      prf_idf AS (SELECT term,
+          round(ln(((SELECT n FROM prf_n) - df + 0.5) / (df + 0.5)
+            + 1.0), 6) AS idf
+        FROM prf_df),
+      prf_exp AS (SELECT term FROM (
+          SELECT prf_fw.term, CAST(round(idf * relw) AS BIGINT) AS wt
+          FROM prf_fw JOIN prf_idf USING (term)
+          WHERE prf_fw.term NOT IN ('spark', 'query', 'filter')
+          ORDER BY wt DESC, term ASC LIMIT 5))
+      SELECT * FROM (${bm25SqlPred(
+        "(term IN ('spark', 'query', 'filter') OR " +
+          "term IN (SELECT term FROM prf_exp))", 10)})"""
 
   /** RRF fusion oracle (Retrieval.rrfFuse): rank each arm subquery by
     * its own pinned ordering, full-outer on the shared id space

@@ -292,6 +292,63 @@ object Graphs {
     * min-aggregation, all keyed on node — the Pregel message pattern;
     * only (node, cost) longs shuffle; lineage cut per round via
     * localCheckpoint (same discipline as PageRank/BFS). */
+  /** `graph_closeness` — harmonic closeness centrality of the PPR
+    * seed set (doc_id ≡ 0 mod `seedMod`): per seed, Σ 1/d(seed, v)
+    * over nodes reached within `maxHops` undirected hops, in integer
+    * micros, plus the reach count. Harmonic (not classic) closeness so
+    * unreachable nodes contribute 0 instead of poisoning the mean —
+    * the robust variant for graphs that aren't strongly connected.
+    * Beside [[personalizedPagerank]] (proximity TO the seeds under
+    * random-walk mass), this is proximity FROM the seeds under
+    * shortest paths — the two standard seed-centrality readouts.
+    *
+    * Scale shape: multi-source BFS keyed (seed, node) — the khop
+    * frontier loop with the seed riding along, so per round one
+    * equi-join + distinct + anti-join, all on narrow long pairs;
+    * frontier size is bounded by |seeds| × frontier width. The ≤
+    * |seeds|-row summary stages once per (dataset, params). */
+  def harmonicCloseness(s: SparkSession, dir: String, seedMod: Int = 97,
+                        maxHops: Int = 8): DataFrame =
+    staged(s, dir, "close", s"${seedMod}_$maxHops") { finalPath =>
+      val sc = s.sparkContext
+      val preexisting = sc.getPersistentRDDs.keySet
+      try {
+        val und = linkEdges(s, dir)
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+          .union(und.select(col("b").as("node"), col("a").as("nbr")))
+          .localCheckpoint(true)
+        val seeds = Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(seedMod.toLong)) === 0L)
+          .select(col("doc_id").as("seed"))
+        var settled = seeds
+          .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+          .localCheckpoint(true)
+        var frontier = settled
+        for (h <- 1 to maxHops) {
+          frontier = frontier.join(nbrs, "node")
+            .select(col("seed"), col("nbr").as("node")).distinct()
+            .join(settled.select(col("seed"), col("node")),
+              Seq("seed", "node"), "left_anti")
+            .select(col("seed"), col("node"), lit(h.toLong).as("dist"))
+            .localCheckpoint(true)
+          settled = settled.unionByName(frontier).localCheckpoint(true)
+        }
+        settled.filter(col("dist") > 0)
+          .groupBy(col("seed"))
+          .agg(count(lit(1)).as("n_reached"),
+            sum(round(lit(1e6) / col("dist")).cast("long"))
+              .as("harmonic_micros"))
+          .write.mode("overwrite").parquet(finalPath)
+      } finally {
+        sc.getPersistentRDDs
+          .filterNot { case (id, _) => preexisting(id) }
+          .values.foreach(_.unpersist(blocking = false))
+      }
+    }.orderBy(col("seed").asc)
+
   def ssspWeighted(s: SparkSession, dir: String, seed: Long = 0L,
                    maxHops: Int = 8): DataFrame =
     staged(s, dir, "sssp", s"${seed}_$maxHops") { finalPath =>

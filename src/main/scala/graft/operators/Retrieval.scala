@@ -155,6 +155,34 @@ object Retrieval {
     TextAnalysis.bm25(docs, seed ++ expTerms, k)
   }
 
+  /** `eval9_prf_shift` — the PRF ablation readout (eval8's twin for
+    * the expansion half): how far does RM3 move the top-10? One row:
+    * docs shared by the seed-only and expanded lists, docs only the
+    * expansion surfaced, Jaccard of the two lists, and the Spearman
+    * footrule (Σ |rank delta| over shared docs) — zero footrule and
+    * ten common docs means the expansion changed nothing; a large
+    * footrule with few new docs means it mostly reshuffled. The union
+    * size comes straight from the full-outer row count. */
+  def prfShift(s: SparkSession, dir: String): DataFrame = {
+    val both = col("rs").isNotNull && col("re").isNotNull
+    ranked(TextAnalysis.bm25(Tables.documents(s, dir),
+        Seq("spark", "query", "filter"), 10), "doc_id", "score", "rs")
+      .join(ranked(prfRm3(s, dir), "doc_id", "score", "re"),
+        Seq("doc_id"), "full_outer")
+      .agg(
+        sum(when(both, 1L).otherwise(0L)).as("n_common"),
+        sum(when(col("rs").isNull && col("re").isNotNull, 1L)
+          .otherwise(0L)).as("n_new_docs"),
+        sum(when(both, abs(col("rs") - col("re"))).otherwise(0L))
+          .as("footrule"),
+        count(lit(1)).as("n_union"))
+      .select(col("n_common"), col("n_new_docs"),
+        round(lit(1e6) * col("n_common").cast("double") /
+          col("n_union").cast("double")).cast("long")
+          .as("jaccard_micros"),
+        col("footrule"))
+  }
+
   /** Min-max normalize an arm's scores to [0, 1e6] integer micros
     * within its top-armK frame (the convex-combination fusion's
     * comparable scale; a constant-score arm normalizes to 1e6 — every

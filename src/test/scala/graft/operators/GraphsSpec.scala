@@ -116,4 +116,32 @@ class GraphsSpec extends SparkSpec {
     assert(got.size > 100, "8 hops over ring+hub must cover a wide ball")
     assert(spark.sparkContext.getPersistentRDDs.keySet == pre)
   }
+
+  test("harmonic closeness equals a driver-side multi-source BFS " +
+      "and leaks no storage") {
+    val pre = spark.sparkContext.getPersistentRDDs.keySet
+    val got = Graphs.harmonicCloseness(spark, sf).collect()
+      .map(r => (r.getAs[Long]("seed"), r.getAs[Long]("n_reached"),
+        r.getAs[Long]("harmonic_micros")))
+    val adj = edgeSet(500)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val seeds = (0L until 500L).filter(_ % 97 == 0)
+    val want = seeds.map { s =>
+      var dist = Map(s -> 0L)
+      var frontier = Set(s)
+      for (h <- 1L to 8L) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty[Long]))
+          .diff(dist.keySet)
+        dist ++= frontier.map(_ -> h)
+      }
+      val reached = dist.filter(_._2 > 0)
+      (s, reached.size.toLong,
+        reached.values.map(d => math.round(1e6 / d)).sum)
+    }
+    assert(got.toSeq === want)
+    assert(got.nonEmpty && got.forall(_._2 > 100))
+    assert(spark.sparkContext.getPersistentRDDs.keySet == pre)
+  }
 }

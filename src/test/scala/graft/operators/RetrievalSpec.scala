@@ -147,6 +147,27 @@ class RetrievalSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("eval9: PRF shift report equals the driver-side rank diff of " +
+      "the seed-only and expanded lists") {
+    def rankList(rows: Array[(Long, Double)]): Map[Long, Long] =
+      rows.sortBy { case (id, s) => (-s, id) }
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val sd = rankList(TextAnalysis.bm25(Tables.documents(spark, sf),
+      Seq("spark", "query", "filter"), 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))))
+    val ex = rankList(Retrieval.prfRm3(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))))
+    val common = sd.keySet & ex.keySet
+    val union = (sd.keySet ++ ex.keySet).size
+    val r = Retrieval.prfShift(spark, sf).collect().head
+    assert(r.getAs[Long]("n_common") === common.size)
+    assert(r.getAs[Long]("n_new_docs") === (ex.keySet -- sd.keySet).size)
+    assert(r.getAs[Long]("jaccard_micros") ===
+      math.round(1e6 * common.size.toDouble / union))
+    assert(r.getAs[Long]("footrule") ===
+      common.toSeq.map(id => math.abs(sd(id) - ex(id))).sum)
+  }
+
   test("fusion plans never touch the corpus: both ret1 arms end in a " +
       "top-k before the fuse join sees them") {
     val df: DataFrame = Retrieval.rrfFusion(spark, sf)
