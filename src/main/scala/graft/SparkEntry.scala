@@ -299,6 +299,7 @@ object SparkEntry {
     // ---- round-6: k-hop BFS over the link graph ----
     "graph_khop" -> (Graphs.khopDistances(_, _)),
     "graph_closeness" -> (Graphs.harmonicCloseness(_, _)),
+    "graph_walks" -> (Graphs.randomWalks(_, _)),
     // ---- round-6: feature scaling ----
     "ml3_minmax_scale" -> (Training.minmaxScale(_, _)),
     "ml4_l2_normalize" -> (Training.l2Normalize(_, _)),
@@ -336,6 +337,9 @@ object SparkEntry {
     "geo4_grid_knn"     -> (Spatial.gridKnn(_, _)),
     // ---- round-6 continuation ----
     "ml7_target_encode" -> (Training.targetEncode(_, _)),
+    "ml20_woe_iv" -> (Training.ml20WoeIv(_, _)),
+    "rec1_item_cooccur" -> (Recommend.itemCooccur(_, _)),
+    "inc1_agg_merge" -> (Relational.inc1AggMerge(_, _)),
     "prof3_drift_psi"   -> (Profiling.driftPsi(_, _)),
     "prof4_snapshot_diff" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -3048,6 +3052,32 @@ object SparkEntry {
         CAST(sum(CAST(round(1e6 / dist) AS BIGINT)) AS BIGINT)
           AS harmonic_micros
       FROM md WHERE dist > 0 GROUP BY seed ORDER BY seed""",
+    // DeepWalk corpus replay (Graphs.randomWalks): ranked out-neighbor
+    // table from the shared edge derivation, each hop picks rank
+    // 1 + md5_60("walk:step:node") % outdeg — the identical md5
+    // arithmetic as the Spark expression.
+    "graph_walks" -> raw"""
+      WITH RECURSIVE $graphEdgesSql,
+      de AS (SELECT DISTINCT src, dst FROM edges),
+      rk AS (SELECT src, dst,
+          CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
+            AS BIGINT) AS rk,
+          CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS outdeg
+        FROM de),
+      ks AS (SELECT unnest([0, 1]) AS k),
+      walk AS (
+        SELECT doc_id * 2 + k AS walk_id, CAST(0 AS BIGINT) AS step,
+          doc_id AS node
+        FROM documents, ks WHERE doc_id % 97 = 0
+        UNION ALL
+        SELECT w.walk_id, w.step + 1, r.dst
+        FROM walk w JOIN rk r ON r.src = w.node
+         AND r.rk = 1 + ('0x' || substr(md5(
+             CAST(w.walk_id AS VARCHAR) || ':' ||
+             CAST(w.step + 1 AS VARCHAR) || ':' ||
+             CAST(w.node AS VARCHAR)), 1, 15))::BIGINT % r.outdeg
+        WHERE w.step < 8)
+      SELECT walk_id, step, node FROM walk ORDER BY walk_id, step""",
     // per-dimension min-max scaling summary; the scaled matrix is
     // pinned by its per-dim integer checksum
     // (operators.Training.minmaxScale).
@@ -3269,6 +3299,84 @@ object SparkEntry {
           (CAST(bl.n_lang - bf.n_rows AS DOUBLE) + 10.0)) AS BIGINT)
           AS oof_enc_micros
       FROM bf JOIN bl USING (lang) CROSS JOIN g""",
+    // WOE/IV feature screen (Training.ml20WoeIv): urgent-order label
+    // per customer, per-(feature, category) ln-ratio at the shared
+    // round-6dp convention, IV terms quantized to micros then summed.
+    "ml20_woe_iv" -> raw"""
+      WITH lbl AS (SELECT o_custkey AS c_custkey,
+          CAST(max(CASE WHEN o_orderpriority = '1-URGENT'
+            THEN 1 ELSE 0 END) AS BIGINT) AS label
+        FROM orders GROUP BY 1),
+      cust AS (SELECT c.c_nationkey, c.c_mktsegment,
+          COALESCE(l.label, 0) AS label
+        FROM customer c LEFT JOIN lbl l USING (c_custkey)),
+      feats AS (
+        SELECT 'mktsegment' AS feature, c_mktsegment AS category, label
+        FROM cust
+        UNION ALL
+        SELECT 'nation', n.n_name, label
+        FROM cust c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      bc AS (SELECT feature, category,
+          CAST(sum(label) AS BIGINT) AS n_pos,
+          CAST(sum(1 - label) AS BIGINT) AS n_neg
+        FROM feats GROUP BY 1, 2),
+      wt AS (SELECT *,
+          CAST(sum(n_pos) OVER (PARTITION BY feature) AS BIGINT)
+            AS pos_tot,
+          CAST(sum(n_neg) OVER (PARTITION BY feature) AS BIGINT)
+            AS neg_tot
+        FROM bc),
+      w6 AS (SELECT *,
+          round(ln(((n_pos + 0.5) / pos_tot) /
+            ((n_neg + 0.5) / neg_tot)), 6) AS woe6
+        FROM wt),
+      iv AS (SELECT *,
+          CAST(round(1e6 * (n_pos / pos_tot - n_neg / neg_tot) * woe6)
+            AS BIGINT) AS iv_term
+        FROM w6)
+      SELECT feature, category, n_pos, n_neg,
+        CAST(round(1e6 * woe6) AS BIGINT) AS woe_micros,
+        CAST(sum(iv_term) OVER (PARTITION BY feature) AS BIGINT)
+          AS iv_micros
+      FROM iv""",
+    // basket co-occurrence (Recommend.itemCooccur): distinct
+    // (order, part) self-join, support-pruned, lift/cosine from exact
+    // integer counts, deterministic top-100 cut.
+    "rec1_item_cooccur" -> raw"""
+      WITH it AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item
+        FROM lineitem),
+      no AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders
+        FROM it),
+      cnt AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+        FROM it GROUP BY 1),
+      p AS (SELECT a.item AS item_a, b.item AS item_b,
+          CAST(count(*) AS BIGINT) AS n_ab
+        FROM it a JOIN it b ON a.okey = b.okey AND a.item < b.item
+        GROUP BY 1, 2)
+      SELECT item_a, item_b, n_ab, ca.n_item AS n_a, cb.n_item AS n_b,
+        CAST(round(1e6 * CAST(n_ab * n_orders AS DOUBLE) /
+          CAST(ca.n_item * cb.n_item AS DOUBLE)) AS BIGINT)
+          AS lift_micros,
+        CAST(round(1e6 * CAST(n_ab AS DOUBLE) /
+          sqrt(CAST(ca.n_item * cb.n_item AS DOUBLE))) AS BIGINT)
+          AS cosine_micros
+      FROM p JOIN cnt ca ON p.item_a = ca.item
+             JOIN cnt cb ON p.item_b = cb.item, no
+      WHERE n_ab >= 2
+      ORDER BY n_ab DESC, item_a ASC, item_b ASC LIMIT 100""",
+    // incremental agg maintenance (Relational.inc1AggMerge): the
+    // oracle is the FULL recompute — hash equality proves the staged
+    // base + delta merge is lossless.
+    "inc1_agg_merge" -> raw"""
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+          AS revenue,
+        count(*) AS n_orders,
+        CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+          AS min_price,
+        CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+          AS max_price
+      FROM orders GROUP BY 1""",
     // PSI drift between md5-split halves (Profiling.driftPsi), +0.5
     // Laplace smoothing, terms in integer micro-nats.
     "prof3_drift_psi" -> raw"""

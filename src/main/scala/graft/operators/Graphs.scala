@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph signals over the document corpus — the web-graph layer of a
@@ -348,6 +349,67 @@ object Graphs {
           .values.foreach(_.unpersist(blocking = false))
       }
     }.orderBy(col("seed").asc)
+
+  /** `graph_walks` — DeepWalk-style random-walk corpus generation
+    * (Perozzi et al. 2014): `nWalks` truncated walks of `walkLen`
+    * steps from each seed node, the sentence corpus a skip-gram graph
+    * embedding trains on. The walk is DERANDOMIZED the way every
+    * sampling operator here is: at step t the walker at node v takes
+    * the out-neighbor whose per-node rank (row_number over dst) equals
+    * `md5_base60("walkId:t:v") mod outdeg(v)` — a pure function of
+    * (walk, step, node), so walks are reproducible across engines,
+    * re-runs and partitionings, and the DuckDB oracle replays every
+    * hop from the same md5 arithmetic.
+    *
+    * Scale shape: the ranked out-neighbor table builds once (one
+    * window over the edge list, checkpointed); each step is one
+    * equi-join of the (walk_id, node) frontier — |seeds|×nWalks rows,
+    * independent of graph size — against it, Pregel's message shape
+    * with a bounded frontier. Walk count, not graph size, drives every
+    * intermediate; the emitted corpus is (walks × steps) rows of three
+    * longs. Output staged once per (dataset, params). */
+  def randomWalks(s: SparkSession, dir: String, seedMod: Int = 97,
+                  walkLen: Int = 8, nWalks: Int = 2): DataFrame =
+    staged(s, dir, "walks", s"${seedMod}_${walkLen}_$nWalks") { finalPath =>
+      graft.functions.GraftFunctions.register(s)
+      val sc = s.sparkContext
+      val preexisting = sc.getPersistentRDDs.keySet
+      try {
+        val de = linkEdges(s, dir).distinct()
+        val bySrc = Window.partitionBy(col("src"))
+        val ranked = de.select(col("src"), col("dst"),
+            row_number().over(bySrc.orderBy(col("dst"))).cast("long")
+              .as("rk"),
+            count(lit(1)).over(bySrc).as("outdeg"))
+          .localCheckpoint(true)
+        var cur = Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(seedMod.toLong)) === 0L)
+          .select(col("doc_id").as("seed"),
+            explode(array((0 until nWalks).map(k => lit(k.toLong)): _*))
+              .as("k"))
+          .select((col("seed") * lit(nWalks.toLong) + col("k"))
+            .as("walk_id"), col("seed").as("node"))
+          .localCheckpoint(true)
+        var acc = cur.select(col("walk_id"), lit(0L).as("step"),
+          col("node"))
+        for (t <- 1 to walkLen) {
+          cur = cur.join(ranked, col("node") === col("src"))
+            .filter(col("rk") === pmod(call_function("md5_base60",
+              concat_ws(":", col("walk_id"), lit(t.toLong), col("node"))),
+              col("outdeg")) + 1L)
+            .select(col("walk_id"), col("dst").as("node"))
+            .localCheckpoint(true)
+          acc = acc.unionByName(
+            cur.select(col("walk_id"), lit(t.toLong).as("step"),
+              col("node")))
+        }
+        acc.write.mode("overwrite").parquet(finalPath)
+      } finally {
+        sc.getPersistentRDDs
+          .filterNot { case (id, _) => preexisting(id) }
+          .values.foreach(_.unpersist(blocking = false))
+      }
+    }.orderBy(col("walk_id").asc, col("step").asc)
 
   def ssspWeighted(s: SparkSession, dir: String, seed: Long = 0L,
                    maxHops: Int = 8): DataFrame =

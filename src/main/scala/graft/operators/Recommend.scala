@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Co-occurrence mining over order baskets — the counting kernel under
+  * association rules, item-item collaborative filtering and
+  * "frequently bought together": which part pairs appear in the same
+  * order more often than chance. The reference has no joins at all
+  * (SURVEY §2f); this is the charter's training-data extension of the
+  * basket-shaped data the TPC-H tables already carry.
+  */
+object Recommend {
+
+  /** `rec1_item_cooccur` — item-item co-occurrence with lift and
+    * cosine association scores: distinct (order, part) pairs self-join
+    * on the order key (a < b so each unordered pair counts once),
+    * support-pruned at `minSupport` co-occurrences, ranked by
+    * (count desc, pair asc) and cut to `topK`.
+    *
+    * Scale shape: the self-join is an equi-join on l_orderkey — the
+    * key both tables would be bucketed by at 100 TB, so co-located and
+    * shuffle-free there; pair explosion is bounded by basket size
+    * squared (TPC-H baskets are ≤ ~13 lines, so ≤ ~80 pairs/basket —
+    * linear in orders, never corpus-quadratic). Pair counting
+    * partial-aggregates map-side on (a, b); the per-item support table
+    * is item-cardinality-sized and BROADCAST to the aggregated pairs;
+    * the final cut is TakeOrderedAndProject, never a global sort.
+    * Scores are integer micros from single IEEE ops on exact integer
+    * counts, so the DuckDB oracle reproduces them bit-for-bit:
+    * lift = n_ab·N / (n_a·n_b), cosine = n_ab / √(n_a·n_b). */
+  def itemCooccur(s: SparkSession, dir: String, minSupport: Int = 2,
+                  topK: Int = 100): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
+      .distinct()
+    val nOrders = items.agg(
+      countDistinct(col("okey")).as("n_orders"))
+    val support = items.groupBy(col("item"))
+      .agg(count(lit(1)).as("n_item"))
+    val pairs = items.as("a")
+      .join(items.as("b"), col("a.okey") === col("b.okey"))
+      .filter(col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(broadcast(support.select(col("item").as("item_a"),
+        col("n_item").as("n_a"))), "item_a")
+      .join(broadcast(support.select(col("item").as("item_b"),
+        col("n_item").as("n_b"))), "item_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        round(lit(1e6) * (col("n_ab") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).cast("long")
+          .as("lift_micros"),
+        round(lit(1e6) * col("n_ab").cast("double") /
+          sqrt((col("n_a") * col("n_b")).cast("double"))).cast("long")
+          .as("cosine_micros"))
+      .orderBy(col("n_ab").desc, col("item_a").asc, col("item_b").asc)
+      .limit(topK)
+  }
+}

