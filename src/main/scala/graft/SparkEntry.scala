@@ -339,6 +339,7 @@ object SparkEntry {
     "ml7_target_encode" -> (Training.targetEncode(_, _)),
     "ml20_woe_iv" -> (Training.ml20WoeIv(_, _)),
     "rec1_item_cooccur" -> (Recommend.itemCooccur(_, _)),
+    "rec2_assoc_rules" -> (Recommend.assocRules(_, _)),
     "inc1_agg_merge" -> (Relational.inc1AggMerge(_, _)),
     "prof3_drift_psi"   -> (Profiling.driftPsi(_, _)),
     "prof4_snapshot_diff" -> ((s, dir) => {
@@ -454,6 +455,7 @@ object SparkEntry {
     "mm8_aspect_profile" -> (Multimodal.aspectProfile(_, _)),
     "graph_reciprocity"  -> (Graphs.reciprocity(_, _)),
     "samp10_neyman"      -> (Sampling.neymanAllocation(_, _)),
+    "samp11_gumbel_topk" -> (Sampling.gumbelTopK(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1026,27 +1028,23 @@ object SparkEntry {
           (count(*) * 1000000.0), 6) < -3.5 THEN 1 ELSE 0 END AS BIGINT)
           AS low_quality
       FROM sc GROUP BY doc_id""",
-    "filter_dsir" -> raw"""
-      WITH tk AS (SELECT doc_id, lang,
-          unnest(list_filter(string_split_regex(lower(text), '\s+'),
-            x -> len(x) > 0)) AS tok
-        FROM documents),
-      m AS (SELECT tok, count(*) AS fc,
-          CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS ft
-        FROM tk GROUP BY tok),
-      nc AS (SELECT count(*) AS nc FROM tk),
-      nt AS (SELECT count(*) AS nt FROM tk WHERE lang = 'de'),
-      v AS (SELECT count(*) AS v FROM m),
-      sc AS (SELECT tk.doc_id,
-          CAST(round((ln(CAST(m.ft + 1 AS DOUBLE) / (nt.nt + v.v)) -
-                      ln(CAST(m.fc + 1 AS DOUBLE) / (nc.nc + v.v)))
-            * 1000000) AS BIGINT) AS lr
-        FROM tk JOIN m USING (tok), nc, nt, v)
-      SELECT doc_id, count(*) AS n_tokens,
-        CAST(sum(lr) AS BIGINT) AS lr_total_micro,
-        CAST(CASE WHEN CAST(sum(lr) AS BIGINT) > 0 THEN 1 ELSE 0 END
-          AS BIGINT) AS keep
-      FROM sc GROUP BY doc_id""",
+    "filter_dsir" -> dsirSql,
+    // Gumbel-top-k importance resampling (Sampling.gumbelTopK): the
+    // dsir weights feed key = round(w,6) + round(-ln(-ln(u)),6) with
+    // u derandomized from md5, deterministic top-50.
+    "samp11_gumbel_topk" -> raw"""
+      WITH d AS ($dsirSql),
+      key AS (SELECT doc_id, n_tokens, lr_total_micro,
+          round(CAST(lr_total_micro AS DOUBLE) /
+            CAST(n_tokens * 1000000 AS DOUBLE), 6) AS w6,
+          round(-ln(-ln((('0x' || substr(md5('gum:' ||
+              CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 + 0.5)
+            / 1000000.0)), 6) AS g6
+        FROM d)
+      SELECT doc_id, n_tokens, lr_total_micro,
+        CAST(round(1e6 * (w6 + g6)) AS BIGINT) AS key_micros
+      FROM key
+      ORDER BY key_micros DESC, doc_id ASC LIMIT 50""",
     "text_heavy_hitters" -> raw"""
       WITH tk AS (SELECT
           unnest(list_filter(string_split_regex(lower(text), '\s+'),
@@ -3364,6 +3362,36 @@ object SparkEntry {
              JOIN cnt cb ON p.item_b = cb.item, no
       WHERE n_ab >= 2
       ORDER BY n_ab DESC, item_a ASC, item_b ASC LIMIT 100""",
+    // association rules (Recommend.assocRules): both directions of the
+    // supported pairs, confidence/lift micros, confidence-ranked cut.
+    "rec2_assoc_rules" -> raw"""
+      WITH it AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item
+        FROM lineitem),
+      no AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders
+        FROM it),
+      cnt AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+        FROM it GROUP BY 1),
+      p AS (SELECT a.item AS item_a, b.item AS item_b,
+          CAST(count(*) AS BIGINT) AS n_ab
+        FROM it a JOIN it b ON a.okey = b.okey AND a.item < b.item
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      rules AS (
+        SELECT item_a AS antecedent, item_b AS consequent, n_ab FROM p
+        UNION ALL
+        SELECT item_b, item_a, n_ab FROM p)
+      SELECT antecedent, consequent, n_ab,
+        ca.n_item AS n_ant, cc.n_item AS n_cons,
+        CAST(round(1e6 * CAST(n_ab AS DOUBLE) /
+          CAST(ca.n_item AS DOUBLE)) AS BIGINT) AS conf_micros,
+        CAST(round(1e6 * CAST(n_ab * n_orders AS DOUBLE) /
+          CAST(ca.n_item * cc.n_item AS DOUBLE)) AS BIGINT)
+          AS lift_micros
+      FROM rules r JOIN cnt ca ON r.antecedent = ca.item
+                   JOIN cnt cc ON r.consequent = cc.item, no
+      WHERE CAST(round(1e6 * CAST(n_ab AS DOUBLE) /
+          CAST(ca.n_item AS DOUBLE)) AS BIGINT) >= 100000
+      ORDER BY conf_micros DESC, antecedent ASC, consequent ASC
+      LIMIT 100""",
     // incremental agg maintenance (Relational.inc1AggMerge): the
     // oracle is the FULL recompute — hash equality proves the staged
     // base + delta merge is lossless.
@@ -5792,6 +5820,30 @@ object SparkEntry {
         WHERE rn = 1),
       prof AS (SELECT fs.user_id, first_day, spend_tier, top_type
         FROM fs JOIN md USING (user_id))"""
+
+  /** DSIR importance-weight replay (TextAnalysis.dsirWeights) —
+    * shared by filter_dsir and samp11_gumbel_topk. */
+  private def dsirSql: String = raw"""
+      WITH tk AS (SELECT doc_id, lang,
+          unnest(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0)) AS tok
+        FROM documents),
+      m AS (SELECT tok, count(*) AS fc,
+          CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS ft
+        FROM tk GROUP BY tok),
+      nc AS (SELECT count(*) AS nc FROM tk),
+      nt AS (SELECT count(*) AS nt FROM tk WHERE lang = 'de'),
+      v AS (SELECT count(*) AS v FROM m),
+      sc AS (SELECT tk.doc_id,
+          CAST(round((ln(CAST(m.ft + 1 AS DOUBLE) / (nt.nt + v.v)) -
+                      ln(CAST(m.fc + 1 AS DOUBLE) / (nc.nc + v.v)))
+            * 1000000) AS BIGINT) AS lr
+        FROM tk JOIN m USING (tok), nc, nt, v)
+      SELECT doc_id, count(*) AS n_tokens,
+        CAST(sum(lr) AS BIGINT) AS lr_total_micro,
+        CAST(CASE WHEN CAST(sum(lr) AS BIGINT) > 0 THEN 1 ELSE 0 END
+          AS BIGINT) AS keep
+      FROM sc GROUP BY doc_id"""
 
   /** RM3 feedback replay (Retrieval.prfRm3): the expansion-term CTE
     * chain mirrors the operator's integer-micro relevance weights,

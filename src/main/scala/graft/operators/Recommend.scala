@@ -62,4 +62,57 @@ object Recommend {
       .orderBy(col("n_ab").desc, col("item_a").asc, col("item_b").asc)
       .limit(topK)
   }
+
+  /** `rec2_assoc_rules` — association rules from the same basket
+    * counts: both directions of every supported pair become candidate
+    * rules antecedent → consequent, scored by
+    * confidence = n_ab / n_ant (integer micros) and kept when
+    * confidence ≥ `minConfMicros`; ranked by (confidence desc, pair
+    * asc), cut to `topK`. Confidence is the deployment signal ("of
+    * orders containing A, this share also had B"); lift rides along so
+    * high-confidence-only-because-B-is-everywhere rules are visible.
+    *
+    * Scale shape: identical to [[itemCooccur]] up to the pair counts
+    * (one bounded self-join + partial agg); the direction flip is a
+    * narrow 2× union of the AGGREGATED pair table (pair-cardinality
+    * sized, never basket rows), supports broadcast on, final cut
+    * TakeOrderedAndProject. */
+  def assocRules(s: SparkSession, dir: String, minSupport: Int = 2,
+                 minConfMicros: Long = 100000L, topK: Int = 100)
+  : DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
+      .distinct()
+    val nOrders = items.agg(countDistinct(col("okey")).as("n_orders"))
+    val support = items.groupBy(col("item"))
+      .agg(count(lit(1)).as("n_item"))
+    val pairs = items.as("a")
+      .join(items.as("b"), col("a.okey") === col("b.okey"))
+      .filter(col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    val rules = pairs
+      .select(col("item_a").as("antecedent"),
+        col("item_b").as("consequent"), col("n_ab"))
+      .unionByName(pairs.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("n_ab")))
+    rules
+      .join(broadcast(support.select(col("item").as("antecedent"),
+        col("n_item").as("n_ant"))), "antecedent")
+      .join(broadcast(support.select(col("item").as("consequent"),
+        col("n_item").as("n_cons"))), "consequent")
+      .crossJoin(broadcast(nOrders))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        col("n_ant"), col("n_cons"),
+        round(lit(1e6) * col("n_ab").cast("double") /
+          col("n_ant").cast("double")).cast("long").as("conf_micros"),
+        round(lit(1e6) * (col("n_ab") * col("n_orders")).cast("double") /
+          (col("n_ant") * col("n_cons")).cast("double")).cast("long")
+          .as("lift_micros"))
+      .filter(col("conf_micros") >= minConfMicros)
+      .orderBy(col("conf_micros").desc, col("antecedent").asc,
+        col("consequent").asc)
+      .limit(topK)
+  }
 }

@@ -262,4 +262,38 @@ object Sampling {
           sum(col("w_chars")).over(all).cast("double")).cast("long"))
       .select(col("source"), col("n_s"), col("w_chars"), col("alloc"))
   }
+
+  /** `samp11_gumbel_topk` — the RESAMPLING half of DSIR (Xie et al.
+    * 2023 select documents with probability ∝ exp(importance weight);
+    * [[TextAnalysis.dsirWeights]] computes the weights, this draws the
+    * sample): the Gumbel-top-k trick turns weighted sampling WITHOUT
+    * replacement into a deterministic top-k — key_i = w_i + Gumbel_i,
+    * take the k largest (Vieira 2014). The Gumbel noise is
+    * derandomized the usual way: u_i = (md5_60("gum:" + doc_id) mod
+    * 1e6 + ½) / 1e6 ∈ (0,1), g_i = −ln(−ln u_i) — a pure function of
+    * the key, so the drawn sample is reproducible across engines,
+    * re-runs and backfills (the failure `randomSplit`-style JVM
+    * seeding has). w_i is the per-token mean importance in nats
+    * (exact integer micro-nat total / tokens); both w and g round to
+    * 6dp before the micro-quantized sum, the shared ln convention.
+    *
+    * Scale shape: everything after the weight computation is a narrow
+    * map over doc-count rows plus one TakeOrderedAndProject — the
+    * sampler adds zero shuffles to the weigher. */
+  def gumbelTopK(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val u = (pmod(call_function("md5_base60",
+        concat_ws("", lit("gum:"), col("doc_id"))), lit(1000000L))
+      .cast("double") + lit(0.5)) / lit(1000000.0)
+    TextAnalysis.dsirWeights(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("lr_total_micro"))
+      .withColumn("w6", round(col("lr_total_micro").cast("double") /
+        (col("n_tokens") * lit(1000000L)).cast("double"), 6))
+      .withColumn("g6", round(-log(-log(u)), 6))
+      .select(col("doc_id"), col("n_tokens"), col("lr_total_micro"),
+        round(lit(1e6) * (col("w6") + col("g6"))).cast("long")
+          .as("key_micros"))
+      .orderBy(col("key_micros").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

@@ -788,28 +788,46 @@ object TextAnalysis {
     val splitAt = d.agg(max(col("doc_id"))).head().getLong(0) / 2
     val base = Staging.base("bm25_incr_v1", dir, s"b${buckets}s$splitAt",
       "documents")
-    def buildGen(docs: DataFrame, path: String): Unit = {
-      val tk = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
-      val dl = tk.select(col("doc_id"),
-        size(col("tk")).cast("long").as("dl"))
-      tk.select(col("doc_id"), explode(col("tk")).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .join(dl, "doc_id")
-        .withColumn("tb",
-          pmod(call_function("md5_base60", col("term")),
-            lit(buckets.toLong)))
-        .write.mode("overwrite").partitionBy("tb")
-        .parquet(s"$path/postings")
-      dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    }
     Staging.buildOnce(base) {
-      buildGen(d.filter(col("doc_id") <= splitAt), base)
+      bm25BuildGen(d.filter(col("doc_id") <= splitAt), base, buckets)
     }
     Staging.buildOnce(s"$base/delta") {
-      buildGen(d.filter(col("doc_id") > splitAt), s"$base/delta")
+      bm25BuildGen(d.filter(col("doc_id") > splitAt), s"$base/delta",
+        buckets)
     }
-    val roots = gens(base)
+    bm25QueryGens(s, gens(base), terms, k, buckets)
+  }
+
+  /** One postings GENERATION of the incremental BM25 index: the
+    * term-bucketed (doc_id, term, tf, dl) table plus the one-row
+    * (n, Σdl) stats model. Shared by the batch incremental faces and
+    * the streaming ingestion face (streaming.EventStreams
+    * .bm25IngestStream), so a streamed generation is bit-identical to
+    * a batch-built one over the same rows. */
+  private[graft] def bm25BuildGen(docs: DataFrame, path: String,
+                                  buckets: Int): Unit = {
+    val tk = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val dl = tk.select(col("doc_id"),
+      size(col("tk")).cast("long").as("dl"))
+    tk.select(col("doc_id"), explode(col("tk")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+      .withColumn("tb",
+        pmod(call_function("md5_base60", col("term")),
+          lit(buckets.toLong)))
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$path/postings")
+    dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Query over any set of generation roots: per-generation one-row
+    * stats models merge by exact integer sum, postings union under the
+    * static term-bucket pruning, the shared scoring kernel ranks. */
+  private[graft] def bm25QueryGens(s: SparkSession, roots: Seq[String],
+                                   terms: Seq[String], k: Int,
+                                   buckets: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     // merged corpus stats: per-generation one-row models sum exactly
     val statRows = roots.map(g => s.read.parquet(s"$g/stats").collect().head)
     val n = statRows.map(_.getAs[Long]("n")).sum

@@ -248,6 +248,38 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming INDEX ingestion — the missing arrival half of the
+    * BM25 LSM story (batch faces: text_bm25_incremental builds a
+    * delta generation nightly, text_bm25_compacted rewrites; this is
+    * the landing zone feeding them): every arriving document
+    * micro-batch becomes its OWN postings generation directory via the
+    * shared [[graft.operators.TextAnalysis.bm25BuildGen]] kernel, so a
+    * streamed generation is bit-identical to a batch-built one over
+    * the same rows, and `bm25QueryGens` serves queries over base ∪
+    * streamed generations with zero rebuild. A `_done` marker commits
+    * each generation AFTER its build (the overwrite-mode write plus
+    * marker = crash-idempotent replays, same discipline as
+    * [[commitBatch]]); the checkpoint dir makes batch ids stable
+    * across restarts, so a replayed epoch rewrites the same directory
+    * with the same bytes. */
+  def bm25IngestStream(s: SparkSession, docs: DataFrame, base: String,
+                       buckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/_checkpoint")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.functions.GraftFunctions.register(s)
+        val gen = new java.io.File(s"$base/gen_$id")
+        if (!new java.io.File(gen, "_done").exists()) {
+          graft.operators.TextAnalysis.bm25BuildGen(batch.toDF(),
+            gen.getPath, buckets)
+          new java.io.File(gen, "_done").createNewFile()
+        }
+        ()
+      }
+      .start()
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
                           event_type: String)
   case class Session(user_id: Long, n_events: Long, first_ts: Long,

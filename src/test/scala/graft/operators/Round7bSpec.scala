@@ -53,19 +53,21 @@ class Round7bSpec extends SparkSpec {
     }
   }
 
+  // driver-side basket replay shared by the rec1/rec2 tests
+  private lazy val baskets = Tables.lineitem(spark, sf)
+    .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+    .map(r => (r.getLong(0), r.getLong(1)))
+  private lazy val nOrders = baskets.map(_._1).distinct.length.toLong
+  private lazy val support = baskets.groupBy(_._2).map { case (i, xs) =>
+    i -> xs.length.toLong }
+  private lazy val pairCounts = baskets.groupBy(_._1).values.flatMap { b =>
+    val items = b.map(_._2).distinct.sorted
+    for (i <- items.indices; j <- i + 1 until items.length)
+      yield (items(i), items(j))
+  }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+
   test("item co-occurrence equals a driver-side basket recount") {
     val rows = Recommend.itemCooccur(spark, sf).collect()
-    val baskets = Tables.lineitem(spark, sf)
-      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    val nOrders = baskets.map(_._1).distinct.length.toLong
-    val support = baskets.groupBy(_._2).map { case (i, xs) =>
-      i -> xs.length.toLong }
-    val pairCounts = baskets.groupBy(_._1).values.flatMap { b =>
-      val items = b.map(_._2).distinct.sorted
-      for (i <- items.indices; j <- i + 1 until items.length)
-        yield (items(i), items(j))
-    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
     val want = pairCounts.toSeq.filter(_._2 >= 2)
       .sortBy { case ((a, b), c) => (-c, a, b) }.take(100)
       .map { case ((a, b), nAb) =>
@@ -81,6 +83,25 @@ class Round7bSpec extends SparkSpec {
     val plan = Recommend.itemCooccur(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("association rules restate from the same basket counts") {
+    val got = Recommend.assocRules(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val want = pairCounts.toSeq.filter(_._2 >= 2)
+      .flatMap { case ((a, b), nAb) => Seq((a, b, nAb), (b, a, nAb)) }
+      .map { case (ant, cons, nAb) =>
+        val (na, nc) = (support(ant), support(cons))
+        (ant, cons, nAb, na, nc,
+          math.round(1e6 * nAb.toDouble / na.toDouble),
+          math.round(1e6 * (nAb * nOrders).toDouble / (na * nc).toDouble))
+      }
+      .filter(_._6 >= 100000L)
+      .sortBy { case (ant, cons, _, _, _, conf, _) => (-conf, ant, cons) }
+      .take(100)
+    assert(got === want)
+    assert(got.nonEmpty, "support/confidence thresholds pruned everything")
   }
 
   test("incremental agg merge is bit-identical to the full recompute") {
@@ -106,6 +127,30 @@ class Round7bSpec extends SparkSpec {
     val o = Tables.orders(spark, sf)
     assert(o.filter(col("o_orderdate") < lit("2000-01-01")).count() > 0)
     assert(o.filter(col("o_orderdate") >= lit("2000-01-01")).count() > 0)
+  }
+
+  test("gumbel top-k restates from the dsir weights and the md5 noise") {
+    val w = TextAnalysis.dsirWeights(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("lr_total_micro")))
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val keyed = w.map { case (id, nt, lr) =>
+      val w6 = r6(lr.toDouble / (nt * 1000000L).toDouble)
+      val u = (md5_60(s"gum:$id") % 1000000L + 0.5) / 1000000.0
+      val g6 = r6(-math.log(-math.log(u)))
+      (id, nt, lr, math.round(1e6 * (w6 + g6)))
+    }
+    val want = keyed.sortBy { case (id, _, _, k) => (-k, id) }.take(50)
+    val got = Sampling.gumbelTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === want.toSeq)
+    // the noise must actually perturb membership vs the pure arg-top of
+    // w — otherwise this is a threshold filter, not a sampler
+    val pureTop = w
+      .sortBy { case (id, nt, lr) => (-(lr.toDouble / (nt * 1e6)), id) }
+      .take(50).map(_._1).toSet
+    assert(want.map(_._1).toSet != pureTop)
   }
 
   test("WOE/IV restates from the category counts; IV is consistent") {

@@ -693,4 +693,38 @@ class EventStreamsSpec extends SparkSpec {
       "per-epoch near-dup classification diverged from the batch twin")
     assert(want.nonEmpty, "fixture produced no near-duplicates")
   }
+
+  test("streaming BM25 ingestion: queries over streamed generations " +
+      "are bit-identical to the one-shot in-session BM25") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+    val rows = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bm25_stream").toString
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = EventStreams.bm25IngestStream(spark, streamDf, base)
+    try {
+      val (fst, snd) = rows.splitAt(rows.length / 2)
+      mem.addData(fst.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(snd.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val gens = new java.io.File(base).listFiles
+      .filter(_.getName.startsWith("gen_")).map(_.getPath).sorted.toSeq
+    assert(gens.length == 2, s"expected 2 generations, got $gens")
+    gens.foreach(g => assert(new java.io.File(g, "_done").exists()))
+    val terms = Seq("spark", "query", "filter")
+    val got = graft.operators.TextAnalysis
+      .bm25QueryGens(spark, gens, terms, 10, 64).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+    val want = graft.operators.TextAnalysis.bm25(docs, terms, 10)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+    assert(got === want,
+      "streamed-generation index diverged from the one-shot scorer")
+    assert(want.size == 10)
+  }
 }
