@@ -335,6 +335,7 @@ object SparkEntry {
     "geo2_cell_density" -> (Spatial.cellDensity(_, _)),
     "geo3_knn_join"     -> (Spatial.knnJoin(_, _)),
     "geo4_grid_knn"     -> (Spatial.gridKnn(_, _)),
+    "geo5_dbscan"       -> (Spatial.dbscan(_, _)),
     // ---- round-6 continuation ----
     "ml7_target_encode" -> (Training.targetEncode(_, _)),
     "ml20_woe_iv" -> (Training.ml20WoeIv(_, _)),
@@ -1467,6 +1468,46 @@ object SparkEntry {
       FROM pts a JOIN pts b ON a.id < b.id
       WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
         <= 2000000::BIGINT * 2000000""",
+    // DBSCAN over the capped cloud (Spatial.dbscan): quadratic radius
+    // join, degree threshold, transitive closure over core-core edges
+    // (min-id labels — the dedup_clusters reach pattern), border
+    // attachment to the smallest core-neighbor label.
+    "geo5_dbscan" -> raw"""
+      WITH RECURSIVE pts AS ($geoPtsSql),
+      cap AS (SELECT * FROM pts WHERE id <= 2000),
+      pr AS (SELECT a.id AS ia, b.id AS ib
+        FROM cap a JOIN cap b ON a.id < b.id
+        WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+          <= 2000000::BIGINT * 2000000),
+      sym AS (SELECT ia AS id, ib AS nbr FROM pr
+              UNION ALL SELECT ib, ia FROM pr),
+      deg AS (SELECT c.id, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_nbrs
+        FROM cap c LEFT JOIN (SELECT id, count(*) AS n FROM sym
+          GROUP BY 1) d ON c.id = d.id),
+      core AS (SELECT id FROM deg WHERE n_nbrs + 1 >= 4),
+      ce AS (SELECT ia, ib FROM pr
+        WHERE ia IN (SELECT id FROM core)
+          AND ib IN (SELECT id FROM core)),
+      edges AS (SELECT ia AS src, ib AS dst FROM ce
+                UNION SELECT ib, ia FROM ce),
+      reach AS (SELECT src AS id, src AS r FROM edges
+                UNION
+                SELECT w.id, e.dst FROM reach w
+                JOIN edges e ON e.src = w.r),
+      comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1),
+      corecomp AS (SELECT c.id, COALESCE(m.comp, c.id) AS comp
+        FROM core c LEFT JOIN comp m ON c.id = m.id),
+      bord AS (SELECT s.id, min(cc.comp) AS comp FROM sym s
+        JOIN corecomp cc ON s.nbr = cc.id
+        WHERE s.id NOT IN (SELECT id FROM core) GROUP BY s.id)
+      SELECT d.id, d.n_nbrs,
+        CASE WHEN c2.id IS NOT NULL THEN 'core'
+             WHEN b.id IS NOT NULL THEN 'border'
+             ELSE 'noise' END AS role,
+        CAST(COALESCE(c2.comp, b.comp, -1) AS BIGINT) AS cluster
+      FROM deg d
+      LEFT JOIN corecomp c2 ON d.id = c2.id
+      LEFT JOIN bord b ON d.id = b.id""",
     // Spatial histogram (Spatial.cellDensity): densest 15 grid cells.
     "geo2_cell_density" -> raw"""
       WITH pts AS ($geoPtsSql)

@@ -67,8 +67,13 @@ object Spatial {
     * (a, b) is emitted once — b's home cell is unique and a's nine
     * stencil cells are distinct — so no dedup pass is needed. */
   def radiusPairs(s: SparkSession, dir: String,
-                  rMicros: Long = 2000000L): DataFrame = {
-    val p = points(s, dir)
+                  rMicros: Long = 2000000L): DataFrame =
+    pairsWithin(points(s, dir), rMicros)
+
+  /** The grid-stencil radius join over an arbitrary (id, x, y) frame —
+    * shared by [[radiusPairs]] (full cloud) and [[dbscan]] (capped
+    * cloud). */
+  private def pairsWithin(p: DataFrame, rMicros: Long): DataFrame = {
     val cellx = floor(col("x") / rMicros)
     val celly = floor(col("y") / rMicros)
     val home = p.select(col("id").as("id_b"), col("x").as("bx"),
@@ -161,5 +166,58 @@ object Spatial {
       .select(col("qid"), col("id").as("neighbor_id"), col("dist2"),
         col("rn").cast("long").as("knn_rank"))
     ranked
+  }
+
+  /** `geo5_dbscan` — DBSCAN density clustering over the point cloud
+    * (Ester et al. 1996): a point with ≥ `minPts` neighbors within `r`
+    * (itself included) is CORE; core points within `r` of each other
+    * share a cluster (connected components over the core-core radius
+    * graph, min-id labels); a non-core point within `r` of a core is a
+    * BORDER member of its smallest-labelled core neighbor's cluster;
+    * everything else is NOISE (cluster −1).
+    *
+    * Scale shape: the ε-neighbor graph comes from the SAME grid-cell
+    * stencil join as [[radiusPairs]] (equi-join on cell keys — the 2D
+    * band join), degrees are one partial-aggregated count over (id)
+    * longs, and the clustering reuses the alternating large/small-star
+    * [[Dedup.connectedComponents]] — O(log n) rounds of (id, label)
+    * longs. The point set is capped to a FIXED id range (the geo3/geo4
+    * convention) so the cloud's density — which decides where DBSCAN
+    * sits relative to the percolation threshold — does not drift with
+    * SF, and the oracle's transitive-closure replay stays bounded. */
+  def dbscan(s: SparkSession, dir: String, idCap: Long = 2000L,
+             rMicros: Long = 2000000L, minPts: Int = 4): DataFrame = {
+    val pts = points(s, dir).filter(col("id") <= idCap)
+    val pr = pairsWithin(pts, rMicros).select(col("id_a"), col("id_b"))
+    val sym = pr.select(col("id_a").as("id"), col("id_b").as("nbr"))
+      .unionByName(pr.select(col("id_b").as("id"), col("id_a").as("nbr")))
+    val deg = pts.select(col("id"))
+      .join(sym.groupBy(col("id")).agg(count(lit(1)).as("n_nbrs")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"))
+    val core = deg.filter(col("n_nbrs") + 1L >= minPts).select(col("id"))
+    val coreEdges = pr
+      .join(core.select(col("id").as("id_a")), "id_a")
+      .join(core.select(col("id").as("id_b")), "id_b")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    // cores absent from every core-core edge are singleton clusters
+    val coreComp = core
+      .join(Dedup.connectedComponents(coreEdges)
+        .select(col("doc_id").as("id"), col("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id"))
+        .as("core_comp"))
+    val borderComp = sym
+      .join(coreComp.select(col("id").as("nbr"),
+        col("core_comp").as("nbr_comp")), "nbr")
+      .groupBy(col("id")).agg(min(col("nbr_comp")).as("border_comp"))
+    deg
+      .join(coreComp, Seq("id"), "left")
+      .join(borderComp, Seq("id"), "left")
+      .select(col("id"), col("n_nbrs"),
+        when(col("core_comp").isNotNull, lit("core"))
+          .when(col("border_comp").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("core_comp"), col("border_comp"), lit(-1L))
+          .as("cluster"))
   }
 }

@@ -63,4 +63,50 @@ class SpatialSpec extends SparkSpec {
       assert(r.getLong(1) >= 0 && r.getLong(1) < cells)
     }
   }
+
+  test("dbscan equals a driver-side replay and produces real clusters") {
+    // larger radius than the driver default: the sf0.001 cloud is too
+    // sparse at r=2e6 to exercise the core/border/noise trichotomy
+    val r = 8000000L
+    val minPts = 3
+    val got = Spatial.dbscan(spark, sf, idCap = 2000L, rMicros = r,
+        minPts = minPts).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        x.getLong(3))).toSet
+    val pts = Spatial.points(spark, sf).filter(col("id") <= 2000L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    def d2(a: (Long, Long, Long), b: (Long, Long, Long)): Long =
+      (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+    val nbrs = pts.map { p =>
+      p._1 -> pts.filter(q => q._1 != p._1 && d2(p, q) <= r * r)
+        .map(_._1).toSet
+    }.toMap
+    val core = pts.map(_._1).filter(id => nbrs(id).size + 1 >= minPts).toSet
+    // components over core-core edges by label propagation to min id
+    var comp = core.map(id => id -> id).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      for (id <- core) {
+        val m = (nbrs(id).intersect(core) + id).map(comp).min
+        if (m < comp(id)) { comp += id -> m; changed = true }
+      }
+    }
+    val want = pts.map { p =>
+      val id = p._1
+      val nn = nbrs(id).size.toLong
+      if (core(id)) (id, nn, "core", comp(id))
+      else {
+        val coreNbrs = nbrs(id).intersect(core)
+        if (coreNbrs.nonEmpty) (id, nn, "border", coreNbrs.map(comp).min)
+        else (id, nn, "noise", -1L)
+      }
+    }.toSet
+    assert(got === want)
+    val roles = got.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(roles.getOrElse("core", 0) > 0, s"no cores: $roles")
+    assert(roles.getOrElse("noise", 0) > 0, s"no noise: $roles")
+    assert(got.filter(_._3 == "core").map(_._4).size > 1,
+      "degenerate single-cluster outcome")
+  }
 }
