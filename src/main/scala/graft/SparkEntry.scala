@@ -137,6 +137,7 @@ object SparkEntry {
     "sim_centroids"     -> (Similarity.labelCentroids(_, _)),
     "sim_near_dup_lsh"  -> (Similarity.nearDupLsh(_, _)),
     "sim_kmeans"        -> (Similarity.kmeansLloyd(_, _)),
+    "sim_kmeanspp"      -> (Similarity.kmeansppInit(_, _)),
     // ---- training-data pipeline: text analysis ----
     "text_lang_id"      -> (TextAnalysis.langId(_, _)),
     "text_quality"      -> (TextAnalysis.qualityScore(_, _)),
@@ -1363,6 +1364,7 @@ object SparkEntry {
         CAST(1 AS BIGINT) AS within_5pct
       FROM events GROUP BY event_type""",
     "sim_kmeans" -> kmeansSql,
+    "sim_kmeanspp" -> kmeansppSql(6),
     // ---- hash-seeded pipelines, mirrored bit-for-bit in DuckDB ----
     // All graft hashing is md5-based (functions.Md5Base), so the oracle
     // recomputes every signature, band, and candidate set literally —
@@ -6404,6 +6406,51 @@ object SparkEntry {
   /** Two full Lloyd iterations from the deterministic first-8-vectors
     * init, then a final assignment summarized per cluster — the literal
     * DuckDB replay of Similarity.kmeansLloyd(k=8, iters=2). */
+  /** k-means++ seeding replay (Similarity.kmeansppInit): per round a
+    * min-distance CTE against the accumulated center set, the Gumbel
+    * key argmax (LIMIT 1 with the vec_id tie-break), and the center
+    * union — then the final assignment report. */
+  private def kmeansppSql(k: Int): String = {
+    def g(j: Int, ref: String) =
+      s"round(-ln(-ln((('0x' || substr(md5('kpp:$j:' || " +
+        s"CAST($ref AS VARCHAR)), 1, 15))::BIGINT % 1000000 + 0.5) / " +
+        "1000000.0)), 6)"
+    def l2(v: String, c: String) =
+      s"round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, 65), i -> ($v[i] - $c[i]) * " +
+        s"($v[i] - $c[i]))), (acc, x) -> acc + x), 6)"
+    val rounds = (1 until k).map { j =>
+      s"""d$j AS (SELECT r.vec_id, min(${l2("r.v", "cs.c")}) AS d2
+        FROM r, cs${j - 1} cs GROUP BY r.vec_id),
+      k$j AS (SELECT r.vec_id, r.c,
+          round(ln(d$j.d2 + 1e-6), 6) + ${g(j, "r.vec_id")} AS ky
+        FROM r JOIN d$j ON r.vec_id = d$j.vec_id),
+      s$j AS (SELECT vec_id, c FROM k$j
+        ORDER BY ky DESC, vec_id ASC LIMIT 1),
+      cs$j AS (SELECT * FROM cs${j - 1}
+        UNION ALL SELECT $j, vec_id, c FROM s$j)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      r AS (SELECT vec_id, v, list_transform(v, x -> round(x, 6)) AS c
+        FROM e),
+      k0 AS (SELECT vec_id, c, ${g(0, "vec_id")} AS ky FROM r),
+      s0 AS (SELECT vec_id, c FROM k0 ORDER BY ky DESC, vec_id ASC LIMIT 1),
+      cs0 AS (SELECT CAST(0 AS BIGINT) AS idx, vec_id, c FROM s0),
+      $rounds,
+      af AS (SELECT vec_id, cell, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY dist ASC, cell ASC) AS rn FROM (
+          SELECT e.vec_id, cs.idx AS cell, ${l2("e.v", "cs.c")} AS dist
+          FROM e, cs${k - 1} cs)) WHERE rn = 1)
+      SELECT af.cell AS center_idx, cs.vec_id AS center_vec_id,
+        count(*) AS n_members,
+        CAST(sum(CAST(round(af.dist * 1000000) AS BIGINT)) AS BIGINT)
+          AS sum_d2_micros
+      FROM af JOIN cs${k - 1} cs ON af.cell = cs.idx
+      GROUP BY 1, 2"""
+  }
+
   private def kmeansSql: String = raw"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       cinit AS (SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS c

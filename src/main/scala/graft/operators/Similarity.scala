@@ -979,6 +979,74 @@ object Similarity {
       .withColumn("c0", c0).withColumn("c1", c1)
   }
 
+  /** `sim_kmeanspp` — k-means++ seeding (Arthur & Vassilvitskii 2007)
+    * with the probabilistic D²-weighted draw DERANDOMIZED by the same
+    * Gumbel-argmax device as samp11: round j picks
+    * argmax[ round(ln(D²+1e-6), 6) + Gumbel_j(id) ] where D² is the
+    * (6dp-rounded) squared distance to the nearest already-chosen
+    * center and Gumbel_j(id) = −ln(−ln u) from md5("kpp:j:id") — a
+    * point at an existing center (D² = 0, up to ε) is effectively
+    * never picked, far points are overwhelmingly likely, and the draw
+    * is a pure function of the data, reproducible on any engine. The
+    * first pick is the pure-Gumbel argmax (a uniform draw). This is
+    * the init [[kmeansLloyd]]'s first-k-vectors stand-in skips — the
+    * piece that makes Lloyd robust to adversarial layouts.
+    *
+    * Scale shape: k driver rounds, each ONE argmax over the corpus
+    * (TakeOrderedAndProject on a narrow key projection) against a
+    * ≤k-center literal model — the kmeansLloyd collect discipline;
+    * distances via the codegen'd l2_sq kernel; the final report is one
+    * assignment pass + a k-row aggregation with exact integer-micro
+    * cost sums. */
+  def kmeansppInit(s: SparkSession, dir: String, k: Int = 6): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    e.cache()
+    def gumbel(round: Int): Column =
+      org.apache.spark.sql.functions.round(-log(-log(
+        (pmod(call_function("md5_base60",
+          concat_ws("", lit(s"kpp:$round:"), col("vec_id"))),
+          lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0))), 6)
+    var model = Seq.empty[(Long, Seq[Double])]
+    try {
+      def pick(key: Column): (Long, Seq[Double]) = {
+        val r = e.select(col("vec_id"),
+            transform(col("v"), x => round(x, 6)).as("c"), key.as("key"))
+          .orderBy(col("key").desc, col("vec_id").asc).limit(1)
+          .collect().head
+        (r.getLong(0), r.getAs[collection.Seq[Double]]("c").toSeq)
+      }
+      model = Seq(pick(gumbel(0)))
+      for (j <- 1 until k) {
+        val cents = array(model.map { case (_, c) =>
+          array(c.map(lit): _*) }: _*)
+        val d2min = array_min(transform(cents, c =>
+          round(call_function("l2_sq", col("v"), c), 6)))
+        model = model :+ pick(
+          round(log(d2min + lit(1e-6)), 6) + gumbel(j))
+      }
+    } finally e.unpersist(blocking = true)
+    // report: each chosen center with its final D² partition
+    val cents = array(model.zipWithIndex.map { case ((_, c), i) =>
+      struct(lit(i.toLong).as("cell"), array(c.map(lit): _*).as("c")) }: _*)
+    val assign = array_min(transform(cents, c =>
+      struct(round(call_function("l2_sq", col("v"), c.getField("c")), 6)
+        .as("dist"), c.getField("cell").as("cell"))))
+    val centerIds = model.zipWithIndex.map { case ((id, _), i) =>
+      when(col("center_idx") === i.toLong, lit(id)) }
+      .reduceRight(_.otherwise(_))
+    Tables.embeddings(s, dir)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .select(assign.as("a"))
+      .groupBy(col("a.cell").as("center_idx"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(round(col("a.dist") * 1e6, 0).cast("long"))
+          .as("sum_d2_micros"))
+      .select(col("center_idx"), centerIds.as("center_vec_id"),
+        col("n_members"), col("sum_d2_micros"))
+  }
+
   /** Centroid per label — the IVF coarse-quantizer training step: mean
     * vector by class, emitted as (label, dim, value) long-form so the
     * oracle can check it without array equality. */

@@ -153,6 +153,52 @@ class Round7bSpec extends SparkSpec {
     assert(want.map(_._1).toSet != pureTop)
   }
 
+  test("kmeans++ seeding replays the Gumbel-argmax D2 chain exactly") {
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def gumbel(j: Int, id: Long): Double = {
+      val u = (md5_60(s"kpp:$j:$id") % 1000000L + 0.5) / 1000000.0
+      r6(-math.log(-math.log(u)))
+    }
+    def l2(v: Array[Double], c: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) { acc += (v(i) - c(i)) * (v(i) - c(i)); i += 1 }
+      r6(acc)
+    }
+    var centers = Vector.empty[(Long, Array[Double])]
+    for (j <- 0 until 6) {
+      val picked = vecs.map { case (id, v) =>
+        val key =
+          if (j == 0) gumbel(0, id)
+          else {
+            val d2 = centers.map(c => l2(v, c._2)).min
+            r6(math.log(d2 + 1e-6)) + gumbel(j, id)
+          }
+        (id, v, key)
+      }.maxBy { case (id, _, key) => (key, -id) }
+      centers :+= ((picked._1, picked._2.map(r6)))
+    }
+    val assign = vecs.map { case (_, v) =>
+      centers.zipWithIndex
+        .map { case ((_, c), i) => (l2(v, c), i.toLong) }.min
+    }
+    val want = assign.groupBy(_._2).map { case (idx, xs) =>
+      (idx, centers(idx.toInt)._1, xs.length.toLong,
+        xs.map(d => math.round(d._1 * 1e6)).sum)
+    }.toSet
+    val got = Similarity.kmeansppInit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === want)
+    assert(centers.map(_._1).distinct.size == 6,
+      "a center was picked twice — the D2 damping is not working")
+  }
+
   test("WOE/IV restates from the category counts; IV is consistent") {
     val rows = Training.ml20WoeIv(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
