@@ -447,6 +447,8 @@ object SparkEntry {
     "priv1_k_anonymity"   -> (Privacy.kAnonymity(_, _)),
     "priv2_l_diversity"   -> (Privacy.lDiversity(_, _)),
     "priv3_generalization" -> (Privacy.generalizationLadder(_, _)),
+    "priv4_dp_counts" -> (Privacy.dpCounts(_, _)),
+    "graph_walk_pairs" -> (Graphs.walkSkipgramPairs(_, _)),
     "dedup_cluster_sizes" -> ((s, dir) =>
       Dedup.clusterSizes(Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(Fixtures.mutantSlice(s, dir))))),
@@ -3098,27 +3100,17 @@ object SparkEntry {
     // 1 + md5_60("walk:step:node") % outdeg — the identical md5
     // arithmetic as the Spark expression.
     "graph_walks" -> raw"""
-      WITH RECURSIVE $graphEdgesSql,
-      de AS (SELECT DISTINCT src, dst FROM edges),
-      rk AS (SELECT src, dst,
-          CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
-            AS BIGINT) AS rk,
-          CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS outdeg
-        FROM de),
-      ks AS (SELECT unnest([0, 1]) AS k),
-      walk AS (
-        SELECT doc_id * 2 + k AS walk_id, CAST(0 AS BIGINT) AS step,
-          doc_id AS node
-        FROM documents, ks WHERE doc_id % 97 = 0
-        UNION ALL
-        SELECT w.walk_id, w.step + 1, r.dst
-        FROM walk w JOIN rk r ON r.src = w.node
-         AND r.rk = 1 + ('0x' || substr(md5(
-             CAST(w.walk_id AS VARCHAR) || ':' ||
-             CAST(w.step + 1 AS VARCHAR) || ':' ||
-             CAST(w.node AS VARCHAR)), 1, 15))::BIGINT % r.outdeg
-        WHERE w.step < 8)
+      $walksCteSql
       SELECT walk_id, step, node FROM walk ORDER BY walk_id, step""",
+    // skip-gram pairs from the walk corpus (Graphs.walkSkipgramPairs):
+    // offset-bounded self-join on walk_id, pair counts.
+    "graph_walk_pairs" -> raw"""
+      $walksCteSql,
+      pr AS (SELECT a.node AS center, b.node AS context
+        FROM walk a JOIN walk b ON a.walk_id = b.walk_id
+         AND a.step <> b.step AND abs(a.step - b.step) <= 2)
+      SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pr GROUP BY 1, 2""",
     // per-dimension min-max scaling summary; the scaled matrix is
     // pinned by its per-dim integer checksum
     // (operators.Training.minmaxScale).
@@ -5306,6 +5298,25 @@ object SparkEntry {
           CAST(sum(CASE WHEN l = 1 THEN sz ELSE 0 END) AS DOUBLE) /
           CAST(sum(sz) AS DOUBLE)) AS BIGINT) AS exposure_micros
       FROM cls""",
+    // Laplace-mechanism release (Privacy.dpCounts): distinct-user
+    // counts + inverse-CDF Laplace noise from the md5-derived uniform,
+    // epsilon ledger per row.
+    "priv4_dp_counts" -> raw"""
+      WITH c AS (SELECT event_type,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1),
+      n AS (SELECT *, round(-2.0 * sign(u - 0.5) *
+            ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise
+        FROM (SELECT *,
+            (('0x' || substr(md5('dp:' || event_type), 1, 15))::BIGINT
+              % 1000000 + 0.5) / 1000000.0 AS u
+          FROM c))
+      SELECT event_type, n_users,
+        CAST(round(noise * 1e6) AS BIGINT) AS noise_micros,
+        n_users + CAST(round(noise) AS BIGINT) AS released_count,
+        CAST(500000 AS BIGINT) AS epsilon_micros,
+        CAST(1 AS BIGINT) AS sensitivity
+      FROM n""",
     "priv3_generalization" -> raw"""
       WITH $privProfileSql,
       lv AS (
@@ -5863,6 +5874,33 @@ object SparkEntry {
         WHERE rn = 1),
       prof AS (SELECT fs.user_id, first_day, spend_tier, top_type
         FROM fs JOIN md USING (user_id))"""
+
+  /** DeepWalk corpus replay (Graphs.randomWalks) — the full WITH
+    * clause ending in `walk(walk_id, step, node)`; shared by
+    * graph_walks and graph_walk_pairs. Each hop picks out-neighbor
+    * rank 1 + md5_60("walk:step:node") % outdeg — the identical md5
+    * arithmetic as the Spark expression. */
+  private def walksCteSql: String = raw"""
+      WITH RECURSIVE $graphEdgesSql,
+      de AS (SELECT DISTINCT src, dst FROM edges),
+      rk AS (SELECT src, dst,
+          CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
+            AS BIGINT) AS rk,
+          CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS outdeg
+        FROM de),
+      ks AS (SELECT unnest([0, 1]) AS k),
+      walk AS (
+        SELECT doc_id * 2 + k AS walk_id, CAST(0 AS BIGINT) AS step,
+          doc_id AS node
+        FROM documents, ks WHERE doc_id % 97 = 0
+        UNION ALL
+        SELECT w.walk_id, w.step + 1, r.dst
+        FROM walk w JOIN rk r ON r.src = w.node
+         AND r.rk = 1 + ('0x' || substr(md5(
+             CAST(w.walk_id AS VARCHAR) || ':' ||
+             CAST(w.step + 1 AS VARCHAR) || ':' ||
+             CAST(w.node AS VARCHAR)), 1, 15))::BIGINT % r.outdeg
+        WHERE w.step < 8)"""
 
   /** DSIR importance-weight replay (TextAnalysis.dsirWeights) —
     * shared by filter_dsir and samp11_gumbel_topk. */

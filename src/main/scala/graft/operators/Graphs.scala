@@ -411,6 +411,30 @@ object Graphs {
       }
     }.orderBy(col("walk_id").asc, col("step").asc)
 
+  /** `graph_walk_pairs` — skip-gram training pairs from the
+    * [[randomWalks]] corpus: every (center, context) node pair within
+    * `window` steps of each other on the same walk, aggregated to
+    * (center, context, n_pairs) — exactly the co-occurrence table a
+    * DeepWalk/node2vec embedding trains on (and the input
+    * tok8_neg_sampling-style negative tables complement). Both
+    * directions emerge naturally from the symmetric step-offset join.
+    *
+    * Scale shape: one self-equi-join of the walk table on walk_id
+    * (walk-corpus sized, tiny relative to the graph), offset-bounded
+    * so each row joins ≤ 2·window partners, then one partial-agg
+    * count keyed (center, context) — word-count's plan on node ids. */
+  def walkSkipgramPairs(s: SparkSession, dir: String,
+                        window: Int = 2): DataFrame = {
+    val w = randomWalks(s, dir)
+    w.select(col("walk_id"), col("step").as("sa"), col("node").as("center"))
+      .join(w.select(col("walk_id"), col("step").as("sb"),
+        col("node").as("context")), "walk_id")
+      .filter(col("sa") =!= col("sb") &&
+        abs(col("sa") - col("sb")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   def ssspWeighted(s: SparkSession, dir: String, seed: Long = 0L,
                    maxHops: Int = 8): DataFrame =
     staged(s, dir, "sssp", s"${seed}_$maxHops") { finalPath =>

@@ -126,4 +126,45 @@ object Privacy {
           .as("n_users_at_risk"))
       .orderBy(col("level").asc)
   }
+
+  /** `priv4_dp_counts` — the Laplace mechanism over per-type user
+    * counts: the differential-privacy release face beside the
+    * k-anonymity/l-diversity audits. Each category releases
+    * n_users + Laplace(1/ε) noise; counting DISTINCT users caps any
+    * one user's contribution at 1 per category (sensitivity 1), and
+    * the ε ledger rides along per row so a release pipeline can do
+    * composition accounting across queries. The noise is derandomized
+    * the repo way — u from md5("dp:" + category), Laplace via the
+    * inverse CDF −b·sgn(u−½)·ln(1−2|u−½|) — a SEEDED release: same
+    * data, same noise, reproducible audits (the common reproducible-
+    * release deployment; fresh entropy per release is a config choice,
+    * not a plan change).
+    *
+    * Scale shape: one distinct-aggregation keyed (category, user) —
+    * partial-agg friendly — then a category-sized narrow projection.
+    * Noise math is single IEEE ops rounded at 6dp, bit-equal in the
+    * oracle. */
+  def dpCounts(s: SparkSession, dir: String,
+               epsilonMicros: Long = 500000L): DataFrame = {
+    val b = 1e6 / epsilonMicros.toDouble // Laplace scale 1/ε
+    val u = (pmod(call_function("md5_base60",
+        concat_ws("", lit("dp:"), col("event_type"))), lit(1000000L))
+      .cast("double") + lit(0.5)) / lit(1000000.0)
+    graft.functions.GraftFunctions.register(s)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .withColumn("u", u)
+      .select(col("event_type"), col("n_users"),
+        round(lit(-b) * signum(col("u") - lit(0.5)) *
+          log(lit(1.0) - lit(2.0) * abs(col("u") - lit(0.5))), 6)
+          .as("noise"),
+        lit(epsilonMicros).as("epsilon_micros"),
+        lit(1L).as("sensitivity"))
+      .select(col("event_type"), col("n_users"),
+        round(col("noise") * lit(1e6)).cast("long").as("noise_micros"),
+        (col("n_users") + round(col("noise")).cast("long"))
+          .as("released_count"),
+        col("epsilon_micros"), col("sensitivity"))
+  }
 }

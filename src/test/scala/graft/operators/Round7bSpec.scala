@@ -53,6 +53,47 @@ class Round7bSpec extends SparkSpec {
     }
   }
 
+  test("skip-gram pairs restate from the collected walk corpus") {
+    val walks = Graphs.randomWalks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = walks.toSeq.groupBy(_._1).values.toSeq.flatMap { steps =>
+      for {
+        a <- steps; b <- steps
+        if a._2 != b._2 && math.abs(a._2 - b._2) <= 2
+      } yield (a._3, b._3)
+    }.groupBy(identity).map { case (p, xs) => (p._1, p._2, xs.size.toLong) }
+      .toSet
+    val got = Graphs.walkSkipgramPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("dp counts: Laplace noise restates from the md5 uniform and " +
+      "the release is the noised distinct-user count") {
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val trueCounts = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Privacy.dpCounts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.map(_._1).toSet === trueCounts.keySet)
+    got.foreach { case (et, n, noiseMicros, released, eps, sens) =>
+      assert(n === trueCounts(et))
+      val u = (md5_60(s"dp:$et") % 1000000L + 0.5) / 1000000.0
+      val noise = r6(-2.0 * math.signum(u - 0.5) *
+        math.log(1.0 - 2.0 * math.abs(u - 0.5)))
+      assert(noiseMicros === math.round(noise * 1e6))
+      assert(released === n + math.round(noise))
+      assert(eps === 500000L && sens === 1L)
+    }
+    // the seeded noise must actually perturb at least one category
+    assert(got.exists { case (_, n, _, released, _, _) => released != n })
+  }
+
   // driver-side basket replay shared by the rec1/rec2 tests
   private lazy val baskets = Tables.lineitem(spark, sf)
     .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
