@@ -460,6 +460,13 @@ object SparkEntry {
     "graph_reciprocity"  -> (Graphs.reciprocity(_, _)),
     "samp10_neyman"      -> (Sampling.neymanAllocation(_, _)),
     "samp11_gumbel_topk" -> (Sampling.gumbelTopK(_, _)),
+    // ---- round-7 continuation, part 4 ----
+    "ret5_ql_dirichlet"  -> (Retrieval.qlDirichlet(_, _)),
+    "rec3_als_step"      -> (Recommend.alsUserStep(_, _)),
+    "stat29_anova"       -> (Relational.stat29Anova(_, _)),
+    "stat30_kendall"     -> (Relational.stat30Kendall(_, _)),
+    "priv5_t_closeness"  -> (Privacy.tCloseness(_, _)),
+    "ml21_stump"         -> (Training.ml21Stump(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5555,6 +5562,228 @@ object SparkEntry {
         CAST(round(100 * CAST(w_chars AS DOUBLE) / CAST(tw AS DOUBLE))
           AS BIGINT) AS alloc
       FROM w, tot""",
+    // Dirichlet query-likelihood (Retrieval.qlDirichlet): μ=2000,
+    // candidates = docs with ≥1 matching posting, absent terms
+    // contribute their smoothed mass via the left join.
+    "ret5_ql_dirichlet" -> raw"""
+      WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)
+            AS tk
+        FROM documents),
+      dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM t),
+      ctot AS (SELECT CAST(sum(dl) AS BIGINT) AS c_total FROM dl),
+      fp AS (SELECT doc_id, term FROM
+          (SELECT doc_id, unnest(tk) AS term FROM t)
+        WHERE term IN ('spark', 'query', 'filter')),
+      stats AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM fp
+        GROUP BY 1),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM fp GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT doc_id FROM tf),
+      contrib AS (SELECT cand.doc_id, tf.tf,
+          round(ln((CAST(COALESCE(tf.tf, 0) AS DOUBLE) +
+              2000.0 * CAST(s.cf AS DOUBLE) /
+                CAST((SELECT c_total FROM ctot) AS DOUBLE)) /
+            (CAST(dl.dl AS DOUBLE) + 2000.0)), 6) AS c
+        FROM cand CROSS JOIN stats s
+        LEFT JOIN tf ON tf.doc_id = cand.doc_id AND tf.term = s.term
+        JOIN dl ON dl.doc_id = cand.doc_id)
+      SELECT doc_id,
+        CAST(sum(CAST(round(c * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6
+          AS score,
+        CAST(sum(CASE WHEN tf IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_match
+      FROM contrib GROUP BY doc_id
+      ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    // ALS user half-step (Recommend.alsUserStep): md5-derandomized
+    // milli-unit item factors, exact integer normal-equation sums,
+    // one IEEE 2x2 solve per user.
+    "rec3_als_step" -> raw"""
+      WITH ratings AS (SELECT o.o_custkey AS custkey, l.l_partkey,
+          CAST(sum(l.l_quantity) AS BIGINT) AS r
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2),
+      q AS (SELECT custkey, r,
+          ('0x' || substr(md5('alsq1:' || CAST(l_partkey AS VARCHAR)),
+            1, 15))::BIGINT % 2001 - 1000 AS q1,
+          ('0x' || substr(md5('alsq2:' || CAST(l_partkey AS VARCHAR)),
+            1, 15))::BIGINT % 2001 - 1000 AS q2
+        FROM ratings),
+      sums AS (SELECT custkey, CAST(count(*) AS BIGINT) AS n_items,
+          CAST(sum(q1 * q1) AS BIGINT) AS s11,
+          CAST(sum(q1 * q2) AS BIGINT) AS s12,
+          CAST(sum(q2 * q2) AS BIGINT) AS s22,
+          CAST(sum(r * q1) AS BIGINT) AS t1,
+          CAST(sum(r * q2) AS BIGINT) AS t2
+        FROM q GROUP BY 1),
+      m AS (SELECT custkey, n_items,
+          CAST(s11 AS DOUBLE) / 1e6 + 0.1 * CAST(n_items AS DOUBLE)
+            AS a11,
+          CAST(s12 AS DOUBLE) / 1e6 AS a12,
+          CAST(s22 AS DOUBLE) / 1e6 + 0.1 * CAST(n_items AS DOUBLE)
+            AS a22,
+          CAST(t1 AS DOUBLE) / 1e3 AS b1,
+          CAST(t2 AS DOUBLE) / 1e3 AS b2
+        FROM sums)
+      SELECT custkey, n_items,
+        CAST(round(1e6 * (a22 * b1 - a12 * b2) /
+          (a11 * a22 - a12 * a12)) AS BIGINT) AS p1_micros,
+        CAST(round(1e6 * (a11 * b2 - a12 * b1) /
+          (a11 * a22 - a12 * a12)) AS BIGINT) AS p2_micros
+      FROM m""",
+    // One-way ANOVA F over return flags (Relational.stat29Anova):
+    // exact cents sufficient statistics, per-group between term
+    // quantized to cents^2 longs before the k-row integer sum.
+    "stat29_anova" -> raw"""
+      WITH g AS (SELECT l_returnflag AS grp,
+          CAST(count(*) AS BIGINT) AS n_g,
+          CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+            AS s_g,
+          CAST(sum(CAST(round(l_quantity * 100) AS BIGINT) *
+            CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS ss_g
+        FROM lineitem GROUP BY 1),
+      b AS (SELECT n_g, s_g, ss_g,
+          CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) /
+            CAST(n_g AS DOUBLE)) AS BIGINT) AS bterm
+        FROM g),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+          CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(s_g) AS BIGINT) AS s,
+          CAST(sum(ss_g) AS BIGINT) AS ss,
+          CAST(sum(bterm) AS BIGINT) AS bsum
+        FROM b)
+      SELECT k, n,
+        round((CAST(bsum AS DOUBLE) - CAST(s AS DOUBLE) *
+          CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1e4, 2) AS ssb_qty2,
+        round((CAST(ss AS DOUBLE) - CAST(bsum AS DOUBLE)) / 1e4, 2)
+          AS ssw_qty2,
+        CAST(round(1e6 * ((CAST(bsum AS DOUBLE) - CAST(s AS DOUBLE) *
+            CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+            CAST(k - 1 AS DOUBLE)) /
+          ((CAST(ss AS DOUBLE) - CAST(bsum AS DOUBLE)) /
+            CAST(n - k AS DOUBLE))) AS BIGINT) AS f_micros
+      FROM tot""",
+    // Kendall tau-b over the 1995 daily (orders, revenue) series
+    // (Relational.stat30Kendall): bounded 365-row pair join.
+    "stat30_kendall" -> raw"""
+      WITH daily AS (SELECT o_orderdate AS day,
+          CAST(count(*) AS BIGINT) AS x,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS y
+        FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+      p AS (SELECT
+          CASE WHEN a.x > b.x THEN 1 WHEN a.x < b.x THEN -1 ELSE 0 END
+            AS sx,
+          CASE WHEN a.y > b.y THEN 1 WHEN a.y < b.y THEN -1 ELSE 0 END
+            AS sy
+        FROM daily a JOIN daily b ON a.day < b.day),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+          CAST(sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS c,
+          CAST(sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS d,
+          CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+          CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+        FROM p)
+      SELECT n0, c, d, tx, ty,
+        CAST(round(1e6 * CAST(c - d AS DOUBLE) /
+          sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE))) AS BIGINT)
+          AS tau_b_micros
+      FROM agg""",
+    // t-closeness release audit (Privacy.tCloseness): ordered-EMD
+    // per QI class vs the global spend-tier distribution.
+    "priv5_t_closeness" -> raw"""
+      WITH $privProfileSql,
+      ccnt AS (SELECT first_day, top_type, spend_tier,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM prof GROUP BY 1, 2, 3),
+      csz AS (SELECT first_day, top_type, CAST(sum(cnt) AS BIGINT) AS sz
+        FROM ccnt GROUP BY 1, 2),
+      gdist AS (SELECT spend_tier, CAST(count(*) AS BIGINT) AS gcnt
+        FROM prof GROUP BY 1),
+      gcum AS (SELECT spend_tier,
+          CAST(sum(gcnt) OVER (ORDER BY spend_tier ASC) AS BIGINT)
+            AS gcum,
+          CAST(sum(gcnt) OVER () AS BIGINT) AS n,
+          CAST(count(*) OVER () AS BIGINT) AS m
+        FROM gdist),
+      grid AS (SELECT csz.first_day, csz.top_type, csz.sz,
+          g.spend_tier, g.gcum, g.n, g.m, COALESCE(ccnt.cnt, 0) AS cnt
+        FROM csz CROSS JOIN gcum g
+        LEFT JOIN ccnt ON ccnt.first_day = csz.first_day
+          AND ccnt.top_type = csz.top_type
+          AND ccnt.spend_tier = g.spend_tier),
+      gaps AS (SELECT first_day, top_type, sz, m,
+          round(abs(CAST(sum(cnt) OVER (PARTITION BY first_day, top_type
+              ORDER BY spend_tier ASC) AS DOUBLE) /
+              CAST(sz AS DOUBLE) -
+            CAST(gcum AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS gap
+        FROM grid),
+      emd AS (SELECT sz, m,
+          CASE WHEN m > 1 THEN CAST(round(
+            CAST(sum(CAST(round(gap * 1e6, 0) AS BIGINT)) AS DOUBLE) /
+            CAST(m - 1 AS DOUBLE)) AS BIGINT) ELSE 0 END AS emd_micros
+        FROM gaps GROUP BY first_day, top_type, sz, m)
+      SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        CAST(max(m) AS BIGINT) AS n_tiers,
+        CAST(max(emd_micros) AS BIGINT) AS t_max_micros,
+        CAST(sum(CASE WHEN emd_micros > 200000 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_classes_over_t,
+        CAST(sum(CASE WHEN emd_micros > 200000 THEN sz ELSE 0 END)
+          AS BIGINT) AS n_users_over_t,
+        CAST(200000 AS BIGINT) AS t_micros
+      FROM emd""",
+    // Best decision stump per feature (Training.ml21Stump): binned
+    // boundary sweep via window cumsums, Gini gain in micros.
+    "ml21_stump" -> raw"""
+      WITH o AS (SELECT o_orderkey, o_totalprice,
+          CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+            AS label
+        FROM orders),
+      lc AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem GROUP BY 1),
+      feats AS (
+        SELECT 'totalprice_k10' AS feature,
+          CAST(floor(o_totalprice / 10000) AS BIGINT) AS bin, label
+        FROM o
+        UNION ALL
+        SELECT 'linecount', n_lines, label
+        FROM o JOIN lc ON o.o_orderkey = lc.l_orderkey),
+      binned AS (SELECT feature, bin, CAST(count(*) AS BIGINT) AS n_b,
+          CAST(sum(label) AS BIGINT) AS pos_b
+        FROM feats GROUP BY 1, 2),
+      sw AS (SELECT feature, bin,
+          CAST(sum(n_b) OVER (PARTITION BY feature ORDER BY bin ASC)
+            AS BIGINT) AS n_l,
+          CAST(sum(pos_b) OVER (PARTITION BY feature ORDER BY bin ASC)
+            AS BIGINT) AS pos_l,
+          CAST(sum(n_b) OVER (PARTITION BY feature) AS BIGINT) AS n,
+          CAST(sum(pos_b) OVER (PARTITION BY feature) AS BIGINT) AS pos
+        FROM binned),
+      sc AS (SELECT feature, bin, n_l, n - n_l AS n_r,
+          CAST(round(1e6 * (
+            (1.0 - (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) *
+              (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) -
+              (CAST(n - pos AS DOUBLE) / CAST(n AS DOUBLE)) *
+              (CAST(n - pos AS DOUBLE) / CAST(n AS DOUBLE))) -
+            (CAST(n_l AS DOUBLE) / CAST(n AS DOUBLE)) *
+              (1.0 - (CAST(pos_l AS DOUBLE) / CAST(n_l AS DOUBLE)) *
+                (CAST(pos_l AS DOUBLE) / CAST(n_l AS DOUBLE)) -
+                (CAST(n_l - pos_l AS DOUBLE) / CAST(n_l AS DOUBLE)) *
+                (CAST(n_l - pos_l AS DOUBLE) / CAST(n_l AS DOUBLE))) -
+            (CAST(n - n_l AS DOUBLE) / CAST(n AS DOUBLE)) *
+              (1.0 - (CAST(pos - pos_l AS DOUBLE) /
+                  CAST(n - n_l AS DOUBLE)) *
+                (CAST(pos - pos_l AS DOUBLE) / CAST(n - n_l AS DOUBLE)) -
+                (CAST((n - n_l) - (pos - pos_l) AS DOUBLE) /
+                  CAST(n - n_l AS DOUBLE)) *
+                (CAST((n - n_l) - (pos - pos_l) AS DOUBLE) /
+                  CAST(n - n_l AS DOUBLE))))) AS BIGINT) AS gain_micros
+        FROM sw WHERE n_l < n)
+      SELECT feature, bin AS threshold_bin, n_l AS n_left,
+        n_r AS n_right, gain_micros
+      FROM (SELECT sc.*, row_number() OVER (PARTITION BY feature
+          ORDER BY gain_micros DESC, bin ASC) AS rn FROM sc)
+      WHERE rn = 1""",
   )
 
   // ---- shared DuckDB oracle fragments ----

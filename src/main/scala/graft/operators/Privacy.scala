@@ -144,6 +144,70 @@ object Privacy {
     * partial-agg friendly — then a category-sized narrow projection.
     * Noise math is single IEEE ops rounded at 6dp, bit-equal in the
     * oracle. */
+  /** `priv5_t_closeness` — the third classical release audit beside
+    * k-anonymity and l-diversity (Li, Li & Venkatasubramanian 2007):
+    * l-diversity only counts DISTINCT sensitive values per QI class;
+    * t-closeness asks how far each class's sensitive DISTRIBUTION
+    * drifts from the global one. For an ORDERED sensitive attribute
+    * (the spend tier), the published distance is the Earth Mover's
+    * Distance under unit ground distance — which collapses to
+    * (1/(m−1))·Σᵢ |P̂ᵢ − Q̂ᵢ| over the m−1 cumulative-distribution
+    * prefixes. One row: the dataset's t (max class EMD), classes/users
+    * beyond the release threshold.
+    *
+    * Scale shape: the same profile build as priv1-3 (two user-keyed
+    * aggregations), then class×tier rollups; the tier grid is an
+    * m-row BROADCAST crossed onto the class frame (m = distinct tiers
+    * ≈ spend orders of magnitude, ≤ ~10 by construction), cumulatives
+    * are per-class windows (never global), and the report is one row.
+    *
+    * Determinism: each prefix gap |P̂−Q̂| is 6dp-rounded to micros
+    * before the per-class INTEGER sum (partition-order-independent);
+    * the 1/(m−1) normalization is one integer-rounded divide. */
+  def tCloseness(s: SparkSession, dir: String,
+                 tMicros: Long = 200000L): DataFrame = {
+    val p = profiles(s, dir)
+    val classCnt = p.groupBy(col("first_day"), col("top_type"),
+        col("spend_tier"))
+      .agg(count(lit(1)).as("cnt"))
+    val classSz = classCnt.groupBy(col("first_day"), col("top_type"))
+      .agg(sum(col("cnt")).as("sz"))
+    val wTier = Window.partitionBy(lit(1)).orderBy(col("spend_tier").asc)
+    val global = p.groupBy(col("spend_tier"))
+      .agg(count(lit(1)).as("gcnt"))
+      .withColumn("gcum", sum(col("gcnt")).over(wTier))
+      .withColumn("n", sum(col("gcnt")).over(Window.partitionBy(lit(1))))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(lit(1))))
+    val wClass = Window.partitionBy(col("first_day"), col("top_type"))
+      .orderBy(col("spend_tier").asc)
+    val emd = classSz.crossJoin(broadcast(global))
+      .join(classCnt, Seq("first_day", "top_type", "spend_tier"), "left")
+      .withColumn("ccum",
+        sum(coalesce(col("cnt"), lit(0L))).over(wClass))
+      .select(col("first_day"), col("top_type"), col("sz"), col("m"),
+        round(abs(col("ccum").cast("double") / col("sz").cast("double") -
+          col("gcum").cast("double") / col("n").cast("double")), 6)
+          .as("gap"))
+      .groupBy(col("first_day"), col("top_type"), col("sz"), col("m"))
+      .agg(sum(round(col("gap") * 1e6, 0).cast("long")).as("gap_sum"))
+      .select(col("sz"), col("m"),
+        when(col("m") > 1,
+          round(col("gap_sum").cast("double") /
+            (col("m") - 1L).cast("double")).cast("long"))
+          .otherwise(lit(0L)).as("emd_micros"))
+    emd.agg(
+      count(lit(1)).as("n_classes"),
+      max(col("m")).as("n_tiers"),
+      max(col("emd_micros")).as("t_max_micros"),
+      sum(when(col("emd_micros") > tMicros, 1L).otherwise(0L))
+        .as("n_classes_over_t"),
+      sum(when(col("emd_micros") > tMicros, col("sz")).otherwise(0L))
+        .as("n_users_over_t"))
+      .select(col("n_classes"), col("n_tiers"), col("t_max_micros"),
+        col("n_classes_over_t"), col("n_users_over_t"),
+        lit(tMicros).as("t_micros"))
+  }
+
   def dpCounts(s: SparkSession, dir: String,
                epsilonMicros: Long = 500000L): DataFrame = {
     val b = 1e6 / epsilonMicros.toDouble // Laplace scale 1/ε

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Co-occurrence mining over order baskets — the counting kernel under
@@ -114,5 +114,71 @@ object Recommend {
       .orderBy(col("conf_micros").desc, col("antecedent").asc,
         col("consequent").asc)
       .limit(topK)
+  }
+
+  /** `rec3_als_step` — one exact half-step of alternating least
+    * squares matrix factorization (Koren/Hu-Koren-Volinsky; the
+    * explicit-feedback normal-equations form), the collaborative-
+    * filtering layer above [[itemCooccur]]'s counting kernel: with
+    * item factors held FIXED, each user's k=2 latent vector has a
+    * CLOSED FORM — p_u = (Σ_i q_i·q_iᵀ + λI)⁻¹ · Σ_i r_ui·q_i — so the
+    * whole user-side update is one grouped aggregation plus a 2×2
+    * matrix inverse done in plain column arithmetic. This is exactly
+    * how distributed ALS iterates at scale (each half-step is a
+    * shuffle-by-user then shuffle-by-item aggregation; no gradient
+    * loop, no driver state beyond λ), demonstrated here as one
+    * verifiable step.
+    *
+    * Ratings are Σ quantity per (customer, part) from lineitem ⋈
+    * orders — the orderkey equi-join both tables are bucketed by at
+    * 100 TB. Item factors are the derandomized init every graft
+    * iterative model uses: q_c = (md5_60("alsq<c>:" + partkey) mod
+    * 2001 − 1000) milli-units ∈ [−1, 1], a pure function of the item
+    * key, so step 1 is reproducible across engines and restarts.
+    *
+    * Determinism: all five per-user sums (S11=Σq1², S12=Σq1q2,
+    * S22=Σq2², T1=Σr·q1, T2=Σr·q2) are EXACT integer sums in milli-
+    * unit space (partition-order-independent); the inverse runs as
+    * single IEEE ops on those exact longs and rounds to micros. λ
+    * enters as λ·n_items·I — the confidence-weighted regularization of
+    * the published implicit-ALS variant, kept integral (λ=0.1 → 100
+    * milli² per rating). det > 0 always: A is positive-definite for
+    * λ > 0. */
+  def alsUserStep(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    def qInit(comp: String): Column =
+      (pmod(call_function("md5_base60",
+        concat_ws("", lit(s"alsq$comp:"), col("l_partkey"))),
+        lit(2001L)) - lit(1000L))
+    val ratings = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("custkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("r"))
+      .withColumn("q1", qInit("1"))
+      .withColumn("q2", qInit("2"))
+    val sums = ratings.groupBy(col("custkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("q1") * col("q1")).as("s11"),
+        sum(col("q1") * col("q2")).as("s12"),
+        sum(col("q2") * col("q2")).as("s22"),
+        sum(col("r") * col("q1")).as("t1"),
+        sum(col("r") * col("q2")).as("t2"))
+    // real units: A11 = s11/1e6 + λ·n, A12 = s12/1e6, b = t/1e3 —
+    // doubles built from the exact longs with one IEEE expression per
+    // output, the repo convention (both engines evaluate identically).
+    val a11 = (col("s11").cast("double") / 1e6) +
+      lit(0.1) * col("n_items").cast("double")
+    val a12 = col("s12").cast("double") / 1e6
+    val a22 = (col("s22").cast("double") / 1e6) +
+      lit(0.1) * col("n_items").cast("double")
+    val b1 = col("t1").cast("double") / 1e3
+    val b2 = col("t2").cast("double") / 1e3
+    val det = a11 * a22 - a12 * a12
+    sums.select(col("custkey"), col("n_items"),
+        round(lit(1e6) * (a22 * b1 - a12 * b2) / det).cast("long")
+          .as("p1_micros"),
+        round(lit(1e6) * (a11 * b2 - a12 * b1) / det).cast("long")
+          .as("p2_micros"))
   }
 }

@@ -2103,4 +2103,84 @@ object Relational {
         col("min_merged").cast("double").as("min_price"),
         col("max_merged").cast("double").as("max_price"))
   }
+
+  /** `stat29_anova` — one-way ANOVA F-test: does mean lineitem
+    * quantity differ across return flags? The variance-decomposition
+    * sibling of stat11's two-sample t-test (k groups, one test —
+    * instead of k(k−1)/2 pairwise t-tests at inflated α). F = (SSB/(k−1)) /
+    * (SSW/(N−k)) with SSB = Σ_g S_g²/n_g − S²/N and SSW = SS_total −
+    * Σ_g S_g²/n_g, all from ONE grouped pass collecting (n, Σx, Σx²)
+    * per group — the textbook sufficient statistics.
+    *
+    * Scale shape: one map-side-combinable aggregation to k=3 rows,
+    * then driver-free arithmetic on the tiny frame. Quantities are
+    * exact cents longs (Σx and Σx² overflow-safe: cents ≤ 5000,
+    * cents² ≤ 2.5e7, ×10¹⁰ rows still < 2⁶³); each group's S_g²/n_g
+    * is one IEEE expression rounded to a cents² long before the
+    * k-row INTEGER sum, so F is partition-order-independent. */
+  def stat29Anova(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("l_quantity") * 100).cast("long")
+    val grp = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("grp"), cents.as("x"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"),
+        sum(col("x") * col("x")).as("ss_g"))
+      .select(col("n_g"), col("s_g"), col("ss_g"),
+        // per-group between-groups term, quantized to cents² longs
+        round(col("s_g").cast("double") * col("s_g").cast("double") /
+          col("n_g").cast("double")).cast("long").as("bterm"))
+    grp.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("s_g")).as("s"), sum(col("ss_g")).as("ss"),
+        sum(col("bterm")).as("bsum"))
+      .select(col("k"), col("n"),
+        (col("bsum").cast("double") -
+          col("s").cast("double") * col("s").cast("double") /
+            col("n").cast("double")).as("ssb"),
+        (col("ss").cast("double") - col("bsum").cast("double"))
+          .as("ssw"))
+      .select(col("k"), col("n"),
+        round(col("ssb") / 1e4, 2).as("ssb_qty2"),
+        round(col("ssw") / 1e4, 2).as("ssw_qty2"),
+        round(lit(1e6) * (col("ssb") / (col("k") - 1L).cast("double")) /
+          (col("ssw") / (col("n") - col("k")).cast("double")))
+          .cast("long").as("f_micros"))
+  }
+
+  /** `stat30_kendall` — Kendall's τ-b between daily order count and
+    * daily revenue over one calendar year: the concordant/discordant-
+    * pair sibling of stat27's Spearman (rank distance measures
+    * monotone association only through rank VALUES; τ counts pair
+    * ORDER inversions, the statistic behind "swap distance"). τ-b =
+    * (C − D) / √((n₀−n_x)(n₀−n_y)) — the tie-corrected form, needed
+    * here because small daily counts tie often.
+    *
+    * Scale shape: the pair join is over the DAILY series — bounded at
+    * 365 rows BY CONSTRUCTION (one year), so the self-join is ≤ 66k
+    * pairs regardless of corpus size; the series itself is one
+    * map-side-combinable date rollup. The d1 < d2 predicate halves the
+    * join; C/D/tie counts are exact integer sums. */
+  def stat30Kendall(s: SparkSession, dir: String,
+                    yr: Int = 1995): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === yr)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+      .localCheckpoint(true)
+    val sgn = (a: Column, b: Column) =>
+      when(a > b, 1).when(a < b, -1).otherwise(0)
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.day") < col("b.day"))
+      .select(sgn(col("a.x"), col("b.x")).as("sx"),
+        sgn(col("a.y"), col("b.y")).as("sy"))
+    pairs.agg(count(lit(1)).as("n0"),
+        sum(when(col("sx") * col("sy") === 1, 1L).otherwise(0L)).as("c"),
+        sum(when(col("sx") * col("sy") === -1, 1L).otherwise(0L)).as("d"),
+        sum(when(col("sx") === 0, 1L).otherwise(0L)).as("tx"),
+        sum(when(col("sy") === 0, 1L).otherwise(0L)).as("ty"))
+      .select(col("n0"), col("c"), col("d"), col("tx"), col("ty"),
+        round(lit(1e6) * (col("c") - col("d")).cast("double") /
+          sqrt(((col("n0") - col("tx")) * (col("n0") - col("ty")))
+            .cast("double"))).cast("long").as("tau_b_micros"))
+  }
 }

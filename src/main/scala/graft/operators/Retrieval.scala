@@ -183,6 +183,61 @@ object Retrieval {
         col("footrule"))
   }
 
+  /** Dirichlet-smoothing pseudo-count for [[qlDirichlet]] (Zhai &
+    * Lafferty's μ = 2000 — the published default for short queries). */
+  val DirichletMu = 2000.0
+
+  /** `ret5_ql_dirichlet` — query-likelihood retrieval with Dirichlet
+    * smoothing, the language-modeling alternative to BM25 (Zhai &
+    * Lafferty 2001): score(d) = Σ_t ln((tf(t,d) + μ·P(t|C)) /
+    * (dl_d + μ)) over the query terms, P(t|C) the collection unigram
+    * model. A term ABSENT from the doc still contributes its smoothed
+    * mass ln(μ·P(t|C)/(dl+μ)) — that is the whole point of smoothing —
+    * so candidates carry all |q| terms via a left join against the
+    * broadcast query-term stats, tf coalesced to 0. Candidate set is
+    * the standard practical one: docs containing ≥1 query term (a doc
+    * with zero matches ranks below every candidate by construction —
+    * its score is the all-smoothed floor minus nothing — so the
+    * restriction never changes the top-k for k ≤ candidates).
+    * Query terms absent from the corpus (cf = 0) drop from the scoring
+    * bag — ln 0 is not a score; the standard OOV-term convention.
+    *
+    * Scale shape: identical family to [[TextAnalysis.bm25]] — postings
+    * filtered to query terms before any shuffle, collection stats a
+    * |q|-row broadcast, per-term contributions 6dp-quantized and
+    * integer-summed (partition-order-independent), top-k as
+    * TakeOrderedAndProject. */
+  def qlDirichlet(s: SparkSession, dir: String,
+                  terms: Seq[String] = Seq("spark", "query", "filter"),
+                  k: Int = 10): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tk = docs.select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("tk"))
+    val dl = tk.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+    val posts = tk.select(col("doc_id"), explode(col("tk")).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val stats = posts.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+      .crossJoin(broadcast(dl.agg(sum(col("dl")).as("c_total"))))
+      .filter(col("cf") > 0)
+    val tf = posts.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val cand = tf.select(col("doc_id")).distinct()
+    cand.crossJoin(broadcast(stats))
+      .join(tf, Seq("doc_id", "term"), "left")
+      .join(dl, "doc_id")
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(log((coalesce(col("tf"), lit(0L)).cast("double") +
+            lit(DirichletMu) * col("cf").cast("double") /
+              col("c_total").cast("double")) /
+          (col("dl").cast("double") + lit(DirichletMu))), 6).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((sum(round(col("c") * 1e6, 0).cast("long")).cast("double") / 1e6)
+          .as("score"),
+        sum(when(col("tf").isNotNull, 1L).otherwise(0L)).as("n_match"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Min-max normalize an arm's scores to [0, 1e6] integer micros
     * within its top-armK frame (the convex-combination fusion's
     * comparable scale; a constant-score arm normalizes to 1e6 — every

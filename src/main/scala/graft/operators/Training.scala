@@ -763,4 +763,74 @@ object Training {
         round(lit(1e6) * col("woe6")).cast("long").as("woe_micros"),
         col("iv_micros"))
   }
+
+  /** `ml21_stump` — exact best-split search for a depth-1 decision
+    * tree (the boosting/GBDT base learner, and one tree node of the
+    * histogram algorithm every distributed GBDT uses — XGBoost's
+    * `approx`, LightGBM's binned split finder): per feature, order the
+    * value BINS, sweep every boundary once via cumulative sums, and
+    * keep the threshold with the largest Gini impurity gain for the
+    * urgent-order label. Candidate thresholds are HISTOGRAM BINS, not
+    * raw values — exactly the trick that makes the sweep scale: the
+    * shuffle carries (feature, bin) aggregates (≤ a few hundred rows),
+    * never the orders.
+    *
+    * Features: o_totalprice in 10k-wide bins, and the order's
+    * lineitem count (1..7) via the orderkey equi-join both tables are
+    * bucketed by at 100 TB. Split semantics: left = bin ≤ threshold;
+    * the top boundary (empty right side) is excluded.
+    *
+    * Determinism: cum sums are exact longs off a pinned (feature, bin)
+    * window order; each candidate's gain is ONE IEEE expression over
+    * those longs, 6dp-rounded to micros; argmax ties break on the
+    * smaller threshold. */
+  def ml21Stump(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("label"))
+    val lc = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+    val feats = o
+      .select(lit("totalprice_k10").as("feature"),
+        floor(col("o_totalprice") / 10000).cast("long").as("bin"),
+        col("label"))
+      .unionByName(o
+        .join(lc, col("o_orderkey") === col("l_orderkey"))
+        .select(lit("linecount").as("feature"),
+          col("n_lines").as("bin"), col("label")))
+    val byFeat = Window.partitionBy(col("feature"))
+    val sweep = Window.partitionBy(col("feature"))
+      .orderBy(col("bin").asc)
+    val binned = feats.groupBy(col("feature"), col("bin"))
+      .agg(count(lit(1)).as("n_b"), sum(col("label")).as("pos_b"))
+      .withColumn("n_l", sum(col("n_b")).over(sweep))
+      .withColumn("pos_l", sum(col("pos_b")).over(sweep))
+      .withColumn("n", sum(col("n_b")).over(byFeat))
+      .withColumn("pos", sum(col("pos_b")).over(byFeat))
+      .filter(col("n_l") < col("n")) // top boundary: empty right side
+    def gini(p: Column, n: Column): Column =
+      lit(1.0) - (p.cast("double") / n.cast("double")) *
+        (p.cast("double") / n.cast("double")) -
+        ((n - p).cast("double") / n.cast("double")) *
+        ((n - p).cast("double") / n.cast("double"))
+    val nR = col("n") - col("n_l")
+    val posR = col("pos") - col("pos_l")
+    val scored = binned.select(col("feature"), col("bin"),
+      col("n_l"), nR.as("n_r"),
+      round(lit(1e6) * (gini(col("pos"), col("n")) -
+        (col("n_l").cast("double") / col("n").cast("double")) *
+          gini(col("pos_l"), col("n_l")) -
+        (nR.cast("double") / col("n").cast("double")) *
+          gini(posR, nR))).cast("long").as("gain_micros"))
+    scored
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("feature"))
+        .orderBy(col("gain_micros").desc, col("bin").asc)))
+      .filter(col("rn") === 1)
+      .select(col("feature"), col("bin").as("threshold_bin"),
+        col("n_l").as("n_left"), col("n_r").as("n_right"),
+        col("gain_micros"))
+  }
 }

@@ -90,12 +90,17 @@ class DedupSpec extends SparkSpec {
     // minhashLsh and connectedComponents stage intermediates to disk
     // (not .cache/localCheckpoint), kmeansLloyd unpersists in a finally
     spark.catalog.clearCache()
+    // snapshot first: earlier suites' localCheckpoint RDDs linger in
+    // getPersistentRDDs until the ContextCleaner GCs them — only RDDs
+    // persisted BY the operators under test count as leaks
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     Dedup.minhashLsh(spark, mutants).count()
     Similarity.kmeansLloyd(spark, sf, k = 4, iters = 2).count()
     import spark.implicits._
     Dedup.connectedComponents((0L until 64L).map(i => (i, i + 1))
       .toDF("doc_a", "doc_b")).count()
     val live = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !before.contains(id) }
     assert(live.isEmpty, s"leaked cached RDDs: ${live.values.map(_.name)}")
   }
 

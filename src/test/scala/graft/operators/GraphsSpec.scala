@@ -24,7 +24,7 @@ class GraphsSpec extends SparkSpec {
     // degenerate at this SF
     assert(rows.map(_.getLong(1)).distinct.length > 100)
     // every checkpoint RDD from the loop is unpersisted before return
-    assert(spark.sparkContext.getPersistentRDDs.keySet == pre)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- pre).isEmpty)
   }
 
   test("triangle counts equal an independent brute-force recount") {
@@ -53,7 +53,7 @@ class GraphsSpec extends SparkSpec {
     assert(got.forall { case (node, c) => c == node / 50 * 50 })
     assert(got.values.toSet.size == (n / 50).toInt)
     // the loop's checkpoints are unpersisted before return
-    assert(spark.sparkContext.getPersistentRDDs.keySet == pre)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- pre).isEmpty)
   }
 
   test("modularity of the planted partition is strongly positive and recomputes exactly") {
@@ -114,7 +114,7 @@ class GraphsSpec extends SparkSpec {
     // degenerate
     assert(got(1L) == 1L && got(2L) == 1L)
     assert(got.size > 100, "8 hops over ring+hub must cover a wide ball")
-    assert(spark.sparkContext.getPersistentRDDs.keySet == pre)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- pre).isEmpty)
   }
 
   test("harmonic closeness equals a driver-side multi-source BFS " +
@@ -142,6 +142,6 @@ class GraphsSpec extends SparkSpec {
     }
     assert(got.toSeq === want)
     assert(got.nonEmpty && got.forall(_._2 > 100))
-    assert(spark.sparkContext.getPersistentRDDs.keySet == pre)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- pre).isEmpty)
   }
 }

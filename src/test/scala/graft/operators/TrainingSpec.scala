@@ -38,7 +38,7 @@ class TrainingSpec extends SparkSpec {
       "vowel_ratio" -> w(2), "bias" -> w(3)))
     assert(w.exists(_ != 0L)) // the probe actually moved
     // the checkpointed feature projection is unpersisted before return
-    assert(spark.sparkContext.getPersistentRDDs.keySet == pre)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- pre).isEmpty)
   }
 
   test("feature hashing equals a plain-Scala replay and conserves sign mass") {
@@ -120,7 +120,7 @@ class TrainingSpec extends SparkSpec {
     assert(enc.values.map(_._2).sum ==
       segs.map { case (s, c) => s.trim.split(" ").length * c }.sum)
     // the loop's checkpoints are unpersisted before return
-    assert(spark.sparkContext.getPersistentRDDs.keySet == preRdds)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- preRdds).isEmpty)
     assert(enc.keys.exists(_.length > 1)) // merges reached the output
     // the trained model is STAGED (rules + vocab parquet) at THIS
     // corpus's exact registry key: the encode calls above — and any
