@@ -467,6 +467,10 @@ object SparkEntry {
     "stat30_kendall"     -> (Relational.stat30Kendall(_, _)),
     "priv5_t_closeness"  -> (Privacy.tCloseness(_, _)),
     "ml21_stump"         -> (Training.ml21Stump(_, _)),
+    "stat31_permutation" -> (Relational.stat31Permutation(_, _)),
+    "eval10_als_fit"     -> (Recommend.alsFitEval(_, _)),
+    "ml22_gbdt_round"    -> (Training.ml22GbdtRound(_, _)),
+    "rec4_cooccur_indexed" -> (Recommend.cooccurIndexed(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5599,38 +5603,8 @@ object SparkEntry {
     // milli-unit item factors, exact integer normal-equation sums,
     // one IEEE 2x2 solve per user.
     "rec3_als_step" -> raw"""
-      WITH ratings AS (SELECT o.o_custkey AS custkey, l.l_partkey,
-          CAST(sum(l.l_quantity) AS BIGINT) AS r
-        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        GROUP BY 1, 2),
-      q AS (SELECT custkey, r,
-          ('0x' || substr(md5('alsq1:' || CAST(l_partkey AS VARCHAR)),
-            1, 15))::BIGINT % 2001 - 1000 AS q1,
-          ('0x' || substr(md5('alsq2:' || CAST(l_partkey AS VARCHAR)),
-            1, 15))::BIGINT % 2001 - 1000 AS q2
-        FROM ratings),
-      sums AS (SELECT custkey, CAST(count(*) AS BIGINT) AS n_items,
-          CAST(sum(q1 * q1) AS BIGINT) AS s11,
-          CAST(sum(q1 * q2) AS BIGINT) AS s12,
-          CAST(sum(q2 * q2) AS BIGINT) AS s22,
-          CAST(sum(r * q1) AS BIGINT) AS t1,
-          CAST(sum(r * q2) AS BIGINT) AS t2
-        FROM q GROUP BY 1),
-      m AS (SELECT custkey, n_items,
-          CAST(s11 AS DOUBLE) / 1e6 + 0.1 * CAST(n_items AS DOUBLE)
-            AS a11,
-          CAST(s12 AS DOUBLE) / 1e6 AS a12,
-          CAST(s22 AS DOUBLE) / 1e6 + 0.1 * CAST(n_items AS DOUBLE)
-            AS a22,
-          CAST(t1 AS DOUBLE) / 1e3 AS b1,
-          CAST(t2 AS DOUBLE) / 1e3 AS b2
-        FROM sums)
-      SELECT custkey, n_items,
-        CAST(round(1e6 * (a22 * b1 - a12 * b2) /
-          (a11 * a22 - a12 * a12)) AS BIGINT) AS p1_micros,
-        CAST(round(1e6 * (a11 * b2 - a12 * b1) /
-          (a11 * a22 - a12 * a12)) AS BIGINT) AS p2_micros
-      FROM m""",
+      WITH $alsCoreSql
+      SELECT custkey, n_items, p1_micros, p2_micros FROM f""",
     // One-way ANOVA F over return flags (Relational.stat29Anova):
     // exact cents sufficient statistics, per-group between term
     // quantized to cents^2 longs before the k-row integer sum.
@@ -5784,6 +5758,186 @@ object SparkEntry {
       FROM (SELECT sc.*, row_number() OVER (PARTITION BY feature
           ORDER BY gain_micros DESC, bin ASC) AS rn FROM sc)
       WHERE rn = 1""",
+    // Two-sample permutation test (Relational.stat31Permutation):
+    // md5-derandomized Bernoulli-half relabeling, B=100.
+    "stat31_permutation" -> raw"""
+      WITH o AS (SELECT o_orderkey AS okey,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+          CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+        FROM orders),
+      obs AS (SELECT
+          CAST(sum(CASE WHEN y = 1 THEN cents ELSE 0 END) AS BIGINT)
+            AS s1,
+          CAST(sum(y) AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN y = 0 THEN cents ELSE 0 END) AS BIGINT)
+            AS s0,
+          CAST(sum(1 - y) AS BIGINT) AS n0
+        FROM o),
+      og AS (SELECT n1, n0,
+          CAST(round(1e6 * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+            CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))) AS BIGINT)
+            AS gap_obs
+        FROM obs),
+      pm AS (SELECT t.b, o.cents,
+          ('0x' || substr(md5('perm:' || CAST(t.b AS VARCHAR) || ':' ||
+            CAST(o.okey AS VARCHAR)), 1, 15))::BIGINT % 2 AS lbl
+        FROM o CROSS JOIN (SELECT unnest(range(0, 100)) AS b) t),
+      pg AS (SELECT b,
+          CAST(round(1e6 * (
+            CAST(sum(CASE WHEN lbl = 1 THEN cents ELSE 0 END) AS DOUBLE)
+              / CAST(sum(lbl) AS DOUBLE) -
+            CAST(sum(CASE WHEN lbl = 0 THEN cents ELSE 0 END) AS DOUBLE)
+              / CAST(sum(1 - lbl) AS DOUBLE))) AS BIGINT) AS gap_b
+        FROM pm GROUP BY b)
+      SELECT (SELECT n1 + n0 FROM og) AS n_orders,
+        (SELECT n1 FROM og) AS n_urgent,
+        (SELECT gap_obs FROM og) AS gap_obs_micros,
+        CAST(count(*) AS BIGINT) AS n_perms,
+        CAST(sum(CASE WHEN abs(gap_b) >= abs((SELECT gap_obs FROM og))
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+        CAST(round(1e6 * CAST(sum(CASE WHEN abs(gap_b) >=
+            abs((SELECT gap_obs FROM og)) THEN 1 ELSE 0 END) + 1
+            AS DOUBLE) /
+          CAST(count(*) + 1 AS DOUBLE)) AS BIGINT) AS p_micros
+      FROM pg""",
+    // ALS fit readout (Recommend.alsFitEval): SSE before/after the
+    // user half-step, factors replayed via the shared ALS core.
+    "eval10_als_fit" -> raw"""
+      WITH $alsCoreSql,
+      e AS (SELECT q.r, q.r * q.r * 1000000 AS e0,
+          CAST(round(1e6 *
+            (CAST(q.r AS DOUBLE) -
+              CAST(f.p1_micros * q.q1 + f.p2_micros * q.q2 AS DOUBLE)
+                / 1e9) *
+            (CAST(q.r AS DOUBLE) -
+              CAST(f.p1_micros * q.q1 + f.p2_micros * q.q2 AS DOUBLE)
+                / 1e9)) AS BIGINT) AS e1
+        FROM q JOIN f USING (custkey))
+      SELECT CAST(count(*) AS BIGINT) AS n_ratings,
+        CAST(sum(e0) AS BIGINT) AS sse0_micros,
+        CAST(sum(e1) AS BIGINT) AS sse1_micros,
+        CAST(round(1e6 * (1.0 - CAST(sum(e1) AS DOUBLE) /
+          CAST(sum(e0) AS DOUBLE))) AS BIGINT) AS improvement_micros
+      FROM e""",
+    // Two boosting rounds with stump base learners
+    // (Training.ml22GbdtRound): exact micro-unit residuals, 1-row
+    // split models, MSE trajectory.
+    "ml22_gbdt_round" -> raw"""
+      WITH lc AS (SELECT l_orderkey,
+          CAST(count(*) AS BIGINT) AS bin2
+        FROM lineitem GROUP BY 1),
+      base AS (SELECT CAST(floor(o_totalprice / 10000) AS BIGINT)
+            AS bin1, lc.bin2,
+          CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+        FROM orders JOIN lc ON orders.o_orderkey = lc.l_orderkey),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(round(1e6 * CAST(sum(y) AS DOUBLE) /
+            CAST(count(*) AS DOUBLE)) AS BIGINT) AS f0
+        FROM base),
+      r1 AS (SELECT bin1, bin2,
+          CAST(y * 1000000 - (SELECT f0 FROM st) AS BIGINT) AS r1
+        FROM base),
+      b1 AS (SELECT bin1, CAST(count(*) AS BIGINT) AS n_b,
+          CAST(sum(r1) AS BIGINT) AS s_b
+        FROM r1 GROUP BY 1),
+      sw1 AS (SELECT bin1,
+          CAST(sum(n_b) OVER (ORDER BY bin1 ASC) AS BIGINT) AS n_l,
+          CAST(sum(s_b) OVER (ORDER BY bin1 ASC) AS BIGINT) AS s_l,
+          CAST(sum(n_b) OVER () AS BIGINT) AS n,
+          CAST(sum(s_b) OVER () AS BIGINT) AS s
+        FROM b1),
+      best1 AS (SELECT bin1 AS t1,
+          CAST(round(0.5 * CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE))
+            AS BIGINT) AS lv1l,
+          CAST(round(0.5 * CAST(s - s_l AS DOUBLE) /
+            CAST(n - n_l AS DOUBLE)) AS BIGINT) AS lv1r
+        FROM sw1 WHERE n_l < n
+        ORDER BY CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE) /
+            CAST(n_l AS DOUBLE) +
+          CAST(s - s_l AS DOUBLE) * CAST(s - s_l AS DOUBLE) /
+            CAST(n - n_l AS DOUBLE) DESC, bin1 ASC
+        LIMIT 1),
+      r2 AS (SELECT bin2, r1,
+          CAST(r1 - CASE WHEN bin1 <= (SELECT t1 FROM best1)
+            THEN (SELECT lv1l FROM best1)
+            ELSE (SELECT lv1r FROM best1) END AS BIGINT) AS r2
+        FROM r1),
+      b2 AS (SELECT bin2, CAST(count(*) AS BIGINT) AS n_b,
+          CAST(sum(r2) AS BIGINT) AS s_b
+        FROM r2 GROUP BY 1),
+      sw2 AS (SELECT bin2,
+          CAST(sum(n_b) OVER (ORDER BY bin2 ASC) AS BIGINT) AS n_l,
+          CAST(sum(s_b) OVER (ORDER BY bin2 ASC) AS BIGINT) AS s_l,
+          CAST(sum(n_b) OVER () AS BIGINT) AS n,
+          CAST(sum(s_b) OVER () AS BIGINT) AS s
+        FROM b2),
+      best2 AS (SELECT bin2 AS t2,
+          CAST(round(0.5 * CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE))
+            AS BIGINT) AS lv2l,
+          CAST(round(0.5 * CAST(s - s_l AS DOUBLE) /
+            CAST(n - n_l AS DOUBLE)) AS BIGINT) AS lv2r
+        FROM sw2 WHERE n_l < n
+        ORDER BY CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE) /
+            CAST(n_l AS DOUBLE) +
+          CAST(s - s_l AS DOUBLE) * CAST(s - s_l AS DOUBLE) /
+            CAST(n - n_l AS DOUBLE) DESC, bin2 ASC
+        LIMIT 1),
+      r3 AS (SELECT r1, r2,
+          CAST(r2 - CASE WHEN bin2 <= (SELECT t2 FROM best2)
+            THEN (SELECT lv2l FROM best2)
+            ELSE (SELECT lv2r FROM best2) END AS BIGINT) AS r3
+        FROM r2),
+      ms AS (SELECT
+          CAST(round(CAST(sum(r1 * r1) AS DOUBLE) /
+            CAST((SELECT n FROM st) AS DOUBLE)) AS BIGINT) AS m0,
+          CAST(round(CAST(sum(r2 * r2) AS DOUBLE) /
+            CAST((SELECT n FROM st) AS DOUBLE)) AS BIGINT) AS m1,
+          CAST(round(CAST(sum(r3 * r3) AS DOUBLE) /
+            CAST((SELECT n FROM st) AS DOUBLE)) AS BIGINT) AS m2
+        FROM r3)
+      SELECT CAST(0 AS BIGINT) AS step, 'const_f0' AS feature,
+        CAST(-1 AS BIGINT) AS threshold_bin,
+        (SELECT f0 FROM st) AS left_value_micros,
+        (SELECT f0 FROM st) AS right_value_micros,
+        (SELECT m0 FROM ms) AS mse_micro2
+      UNION ALL SELECT CAST(1 AS BIGINT), 'totalprice_k10',
+        (SELECT t1 FROM best1), (SELECT lv1l FROM best1),
+        (SELECT lv1r FROM best1), (SELECT m1 FROM ms)
+      UNION ALL SELECT CAST(2 AS BIGINT), 'linecount',
+        (SELECT t2 FROM best2), (SELECT lv2l FROM best2),
+        (SELECT lv2r FROM best2), (SELECT m2 FROM ms)""",
+    // Persisted co-occurrence index roundtrip
+    // (Recommend.cooccurIndexed): the oracle recomputes everything
+    // from scratch — hash equality proves the index lossless.
+    "rec4_cooccur_indexed" -> raw"""
+      WITH it AS (SELECT DISTINCT l_orderkey AS okey,
+          l_partkey AS item FROM lineitem),
+      no AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders
+        FROM it),
+      sup AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+        FROM it GROUP BY 1),
+      pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+          CAST(count(*) AS BIGINT) AS n_ab
+        FROM it a JOIN it b ON a.okey = b.okey AND a.item < b.item
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      sym AS (SELECT item_a AS item, item_b AS nbr, n_ab FROM pairs
+        UNION ALL SELECT item_b, item_a, n_ab FROM pairs),
+      head AS (SELECT item FROM (SELECT item,
+            CAST(sum(n_ab) AS BIGINT) AS mass
+          FROM sym GROUP BY 1)
+        ORDER BY mass DESC, item ASC LIMIT 5),
+      sc AS (SELECT s.item, s.nbr, s.n_ab,
+          CAST(round(1e6 *
+            CAST(s.n_ab * (SELECT n_orders FROM no) AS DOUBLE) /
+            CAST(si.n_item * sn.n_item AS DOUBLE)) AS BIGINT)
+            AS lift_micros
+        FROM sym s JOIN sup si ON si.item = s.item
+        JOIN sup sn ON sn.item = s.nbr
+        WHERE s.item IN (SELECT item FROM head)),
+      r AS (SELECT sc.*, CAST(row_number() OVER (PARTITION BY item
+          ORDER BY n_ab DESC, nbr ASC) AS BIGINT) AS rnk FROM sc)
+      SELECT item, rnk, nbr, n_ab, lift_micros FROM r
+      WHERE rnk <= 5""",
   )
 
   // ---- shared DuckDB oracle fragments ----
@@ -6088,6 +6242,44 @@ object SparkEntry {
   /** Per-user privacy profile CTE (Privacy.profiles): first-activity
     * date, order-of-magnitude spend tier from integer spend-cents, and
     * the modal event type with alphabetical tie-break. */
+  /** ALS shared CTE chain (Recommend.alsRatings + the user solve),
+    * ending in `f(custkey, n_items, p1_micros, p2_micros)`; shared by
+    * rec3_als_step and eval10_als_fit so the factor replay cannot
+    * drift between them. */
+  private def alsCoreSql: String = raw"""
+      ratings AS (SELECT o.o_custkey AS custkey, l.l_partkey,
+          CAST(sum(l.l_quantity) AS BIGINT) AS r
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2),
+      q AS (SELECT custkey, r,
+          ('0x' || substr(md5('alsq1:' || CAST(l_partkey AS VARCHAR)),
+            1, 15))::BIGINT % 2001 - 1000 AS q1,
+          ('0x' || substr(md5('alsq2:' || CAST(l_partkey AS VARCHAR)),
+            1, 15))::BIGINT % 2001 - 1000 AS q2
+        FROM ratings),
+      sums AS (SELECT custkey, CAST(count(*) AS BIGINT) AS n_items,
+          CAST(sum(q1 * q1) AS BIGINT) AS s11,
+          CAST(sum(q1 * q2) AS BIGINT) AS s12,
+          CAST(sum(q2 * q2) AS BIGINT) AS s22,
+          CAST(sum(r * q1) AS BIGINT) AS t1,
+          CAST(sum(r * q2) AS BIGINT) AS t2
+        FROM q GROUP BY 1),
+      m AS (SELECT custkey, n_items,
+          CAST(s11 AS DOUBLE) / 1e6 + 0.1 * CAST(n_items AS DOUBLE)
+            AS a11,
+          CAST(s12 AS DOUBLE) / 1e6 AS a12,
+          CAST(s22 AS DOUBLE) / 1e6 + 0.1 * CAST(n_items AS DOUBLE)
+            AS a22,
+          CAST(t1 AS DOUBLE) / 1e3 AS b1,
+          CAST(t2 AS DOUBLE) / 1e3 AS b2
+        FROM sums),
+      f AS (SELECT custkey, n_items,
+          CAST(round(1e6 * (a22 * b1 - a12 * b2) /
+            (a11 * a22 - a12 * a12)) AS BIGINT) AS p1_micros,
+          CAST(round(1e6 * (a11 * b2 - a12 * b1) /
+            (a11 * a22 - a12 * a12)) AS BIGINT) AS p2_micros
+        FROM m)"""
+
   private def privProfileSql: String = raw"""
       fs AS (SELECT user_id, CAST(min(ts) AS DATE) AS first_day,
           CAST(floor(log10(1.0 +

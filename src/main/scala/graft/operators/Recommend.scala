@@ -116,6 +116,24 @@ object Recommend {
       .limit(topK)
   }
 
+  /** (custkey, l_partkey, r, q1, q2): summed quantities with the
+    * md5-derandomized milli-unit item factors attached — the shared
+    * input of [[alsUserStep]] and [[alsFitEval]]. */
+  private def alsRatings(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    def qInit(comp: String): Column =
+      (pmod(call_function("md5_base60",
+        concat_ws("", lit(s"alsq$comp:"), col("l_partkey"))),
+        lit(2001L)) - lit(1000L))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("custkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("r"))
+      .withColumn("q1", qInit("1"))
+      .withColumn("q2", qInit("2"))
+  }
+
   /** `rec3_als_step` — one exact half-step of alternating least
     * squares matrix factorization (Koren/Hu-Koren-Volinsky; the
     * explicit-feedback normal-equations form), the collaborative-
@@ -145,18 +163,7 @@ object Recommend {
     * milli² per rating). det > 0 always: A is positive-definite for
     * λ > 0. */
   def alsUserStep(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    def qInit(comp: String): Column =
-      (pmod(call_function("md5_base60",
-        concat_ws("", lit(s"alsq$comp:"), col("l_partkey"))),
-        lit(2001L)) - lit(1000L))
-    val ratings = Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir).select(col("o_orderkey"),
-        col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("custkey"), col("l_partkey"))
-      .agg(sum(col("l_quantity")).cast("long").as("r"))
-      .withColumn("q1", qInit("1"))
-      .withColumn("q2", qInit("2"))
+    val ratings = alsRatings(s, dir)
     val sums = ratings.groupBy(col("custkey"))
       .agg(count(lit(1)).as("n_items"),
         sum(col("q1") * col("q1")).as("s11"),
@@ -180,5 +187,127 @@ object Recommend {
           .as("p1_micros"),
         round(lit(1e6) * (a11 * b2 - a12 * b1) / det).cast("long")
           .as("p2_micros"))
+  }
+
+  /** `eval10_als_fit` — the fit readout for [[alsUserStep]]: training
+    * SSE of the rating model before the step (all-zero user vectors →
+    * prediction 0 → SSE₀ = Σr²) versus after it (p̂·q predictions),
+    * plus the relative improvement. One half-step against a FIXED
+    * random item side must already explain a large share of the
+    * variance — if it doesn't, the normal-equation solve is wrong;
+    * this is the assertion that makes rec3 a learning step rather
+    * than arithmetic.
+    *
+    * Scale shape: the factor frame is user-keyed and joins back to
+    * ratings on custkey (the same hash partitioning the sums pass
+    * used — co-located); predictions are per-row integer products
+    * (micros × milli-units = nano-units, exact longs), the squared
+    * error is one IEEE expression per row quantized to micros before
+    * the integer-style sum (DECIMAL(38,0) accumulator, so a 100 TB
+    * row count cannot overflow the error mass). */
+  def alsFitEval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ratings = alsRatings(s, dir)
+    val err = col("r").cast("double") -
+      (col("p1_micros") * col("q1") + col("p2_micros") * col("q2"))
+        .cast("double") / 1e9
+    ratings.join(alsUserStep(s, dir).select(col("custkey"),
+        col("p1_micros"), col("p2_micros")), "custkey")
+      .select(col("r"),
+        (col("r") * col("r") * 1000000L).as("e0_micros"),
+        round(lit(1e6) * err * err).cast("long").as("e1_micros"))
+      .agg(count(lit(1)).as("n_ratings"),
+        sum(col("e0_micros").cast(DecimalType(38, 0))).as("sse0"),
+        sum(col("e1_micros").cast(DecimalType(38, 0))).as("sse1"))
+      .select(col("n_ratings"),
+        col("sse0").cast("long").as("sse0_micros"),
+        col("sse1").cast("long").as("sse1_micros"),
+        round(lit(1e6) * (lit(1.0) -
+          col("sse1").cast("double") / col("sse0").cast("double")))
+          .cast("long").as("improvement_micros"))
+  }
+
+  /** Bucket count of the persisted co-occurrence index. */
+  val CoocBuckets = 16
+
+  /** `rec4_cooccur_indexed` — the SERVING face of [[itemCooccur]],
+    * the same staged-index treatment its BM25/IVF siblings got
+    * (TextAnalysis.bm25Indexed, Similarity.annIvfIndexed): the
+    * symmetrized neighbor postings (item → nbr, n_ab, lift) are built
+    * ONCE per corpus fingerprint and written partitioned by
+    * bucket = item % 16; a "customers also bought" lookup for a batch
+    * of items then reads ONLY those items' bucket directories via a
+    * static partition filter — per query, O(query buckets) of the
+    * index, zero corpus scans, zero joins. Top-k per item re-ranks
+    * inside the pruned read (n_ab desc, nbr asc — pinned).
+    *
+    * The demo query batch is the HEAD-ITEMS list every co-occurrence
+    * serving deployment keeps beside the postings: the build stage
+    * also writes the top-64 items by postings mass (one 64-row file),
+    * and the query collects its first `nQuery` rows — a model-sized
+    * read that stays O(1) as the corpus grows and is non-empty at
+    * every SF (a fixed literal id list goes stale as the id space
+    * scales; mass-ranked heads do not).
+    *
+    * The driver oracle recomputes the whole pair table AND the head
+    * selection from scratch in DuckDB, so hash equality is a standing
+    * losslessness proof of the index roundtrip (the inc1 convention). */
+  def cooccurIndexed(s: SparkSession, dir: String, nQuery: Int = 5,
+                     k: Int = 5, minSupport: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Staging.base("cooc_index_v2", dir, "", "lineitem")
+    Staging.buildOnce(base) {
+      val it = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
+        .distinct()
+      val nOrders = it.agg(countDistinct(col("okey")).as("n_orders"))
+      val support = it.groupBy(col("item"))
+        .agg(count(lit(1)).as("n_item"))
+      val pairs = it.as("a")
+        .join(it.as("b"), col("a.okey") === col("b.okey"))
+        .filter(col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= minSupport)
+      val sym = pairs
+        .select(col("item_a").as("item"), col("item_b").as("nbr"),
+          col("n_ab"))
+        .unionByName(pairs.select(col("item_b").as("item"),
+          col("item_a").as("nbr"), col("n_ab")))
+      val posts = sym
+        .join(broadcast(support.select(col("item"),
+          col("n_item").as("n_i"))), "item")
+        .join(broadcast(support.select(col("item").as("nbr"),
+          col("n_item").as("n_n"))), "nbr")
+        .crossJoin(broadcast(nOrders))
+        .select(col("item"), col("nbr"), col("n_ab"),
+          round(lit(1e6) * (col("n_ab") * col("n_orders")).cast("double") /
+            (col("n_i") * col("n_n")).cast("double")).cast("long")
+            .as("lift_micros"),
+          pmod(col("item"), lit(CoocBuckets.toLong)).as("bucket"))
+      posts.write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$base/postings")
+      // head-items sidecar: top-64 items by postings mass
+      s.read.parquet(s"$base/postings")
+        .groupBy(col("item")).agg(sum(col("n_ab")).as("mass"))
+        .orderBy(col("mass").desc, col("item").asc).limit(64)
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/topitems")
+      ()
+    }
+    // query batch = first nQuery head items (64-row file, model-sized
+    // collect); their buckets become STATIC partition-pruning literals
+    val items = s.read.parquet(s"$base/topitems")
+      .orderBy(col("mass").desc, col("item").asc).limit(nQuery)
+      .collect().map(_.getLong(0)).toSeq
+    val wantBuckets = items.map(_ % CoocBuckets).distinct
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("n_ab").desc, col("nbr").asc)
+    s.read.parquet(s"$base/postings")
+      .filter(col("bucket").isin(wantBuckets: _*) &&
+        col("item").isin(items: _*))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("item"), col("rnk"), col("nbr"), col("n_ab"),
+        col("lift_micros"))
   }
 }

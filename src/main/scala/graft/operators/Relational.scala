@@ -2183,4 +2183,70 @@ object Relational {
           sqrt(((col("n0") - col("tx")) * (col("n0") - col("ty")))
             .cast("double"))).cast("long").as("tau_b_micros"))
   }
+
+  /** `stat31_permutation` — two-sample permutation test for the
+    * urgent-vs-rest gap in mean order value, the exact-inference
+    * sibling of stat11's parametric t-test (no normality assumption;
+    * the null is "labels are exchangeeable"): re-label every order
+    * under B pseudo-permutations, recompute the mean gap each time,
+    * and report the share of permuted gaps at least as extreme as the
+    * observed one (the add-one p estimator (1+#extreme)/(B+1), Davison
+    * & Hinkley). The relabeling is the RANDOM-RELABELING null
+    * (Bernoulli-½ labels rather than a global label shuffle — the
+    * large-n equivalent, and the variant that needs no global sort),
+    * derandomized the repo way: label_b(i) = md5_60("perm:b:okey") %
+    * 2, a pure function of (b, row), so both engines draw identical
+    * permutations.
+    *
+    * Scale shape: the B-fold expansion is an explode over a literal
+    * sequence — B×N rows flow through ONE map-side-combinable
+    * aggregation to B rows, then a 1-row broadcast comparison; no
+    * shuffle carries more than B rows. Exact cents sums; each gap is
+    * one IEEE expression rounded to micro-cents. */
+  def stat31Permutation(s: SparkSession, dir: String,
+                        nPerm: Int = 100): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey").as("okey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+        .as("y"))
+    def gap(s1: Column, n1: Column, s0: Column, n0: Column): Column =
+      round(lit(1e6) * (s1.cast("double") / n1.cast("double") -
+        s0.cast("double") / n0.cast("double"))).cast("long")
+    val obs = o.agg(
+      sum(when(col("y") === 1, col("cents")).otherwise(0L)).as("s1"),
+      sum(col("y")).as("n1"),
+      sum(when(col("y") === 0, col("cents")).otherwise(0L)).as("s0"),
+      sum(lit(1L) - col("y")).as("n0"))
+      .select(col("n1"), col("n0"),
+        gap(col("s1"), col("n1"), col("s0"), col("n0"))
+          .as("gap_obs_micros"))
+    val perm = o
+      .select(col("okey"), col("cents"),
+        explode(sequence(lit(0), lit(nPerm - 1))).as("b"))
+      .withColumn("lbl", pmod(call_function("md5_base60",
+        concat_ws("", lit("perm:"), col("b"), lit(":"), col("okey"))),
+        lit(2L)))
+      .groupBy(col("b"))
+      .agg(
+        sum(when(col("lbl") === 1, col("cents")).otherwise(0L)).as("s1"),
+        sum(col("lbl")).as("n1"),
+        sum(when(col("lbl") === 0, col("cents")).otherwise(0L)).as("s0"),
+        sum(lit(1L) - col("lbl")).as("n0"))
+      .select(col("b"),
+        gap(col("s1"), col("n1"), col("s0"), col("n0")).as("gap_b"))
+    perm.crossJoin(broadcast(obs))
+      .agg(max(col("n1") + col("n0")).as("n_orders"),
+        max(col("n1")).as("n_urgent"),
+        max(col("gap_obs_micros")).as("gap_obs_micros"),
+        count(lit(1)).as("n_perms"),
+        sum(when(abs(col("gap_b")) >= abs(col("gap_obs_micros")), 1L)
+          .otherwise(0L)).as("n_extreme"))
+      .select(col("n_orders"), col("n_urgent"), col("gap_obs_micros"),
+        col("n_perms"), col("n_extreme"),
+        round(lit(1e6) * (col("n_extreme") + 1L).cast("double") /
+          (col("n_perms") + 1L).cast("double")).cast("long")
+          .as("p_micros"))
+  }
 }

@@ -833,4 +833,99 @@ object Training {
         col("n_l").as("n_left"), col("n_r").as("n_right"),
         col("gain_micros"))
   }
+
+  /** `ml22_gbdt_round` — two rounds of gradient boosting with
+    * squared loss and depth-1 trees (Friedman 2001; [[ml21Stump]] is
+    * the base learner, this is the ensemble loop): start from the
+    * constant model F₀ = ȳ, fit a stump to the RESIDUALS on feature
+    * 1, shrink its leaf values by ν = 0.5, update the residuals, fit
+    * a second stump on feature 2, and report the training-MSE
+    * trajectory — which must strictly decrease or the boosting
+    * arithmetic is wrong. For squared loss the residual fit maximizes
+    * Σ_side S²/n (variance reduction), swept over histogram-bin
+    * boundaries exactly like ml21.
+    *
+    * Scale/determinism: residuals live in EXACT micro-units
+    * (r₁ = y·1e6 − F₀-micros — integral because F₀ is quantized
+    * once), so every sweep statistic is an exact integer cum-sum off
+    * a pinned bin order; split scores are single IEEE expressions
+    * over those longs (compared as doubles — identical in both
+    * engines, ties broken bin-asc); each round's model is a 1-ROW
+    * collect (threshold + two shrunk leaf micros) re-shipped as
+    * literals — the kmeansLloyd discipline. The squared-residual mass
+    * accumulates in DECIMAL(38,0) so no row count overflows it. */
+  def ml22GbdtRound(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val lc = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("bin2"))
+    val base = Tables.orders(s, dir)
+      .join(lc, col("o_orderkey") === col("l_orderkey"))
+      .select(floor(col("o_totalprice") / 10000).cast("long").as("bin1"),
+        col("bin2"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("y"))
+      .localCheckpoint(true) // feeds 2 sweeps + 3 MSE folds
+    val st = base.agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+      .select(col("n"), round(lit(1e6) * col("p").cast("double") /
+        col("n").cast("double")).cast("long").as("f0"))
+      .collect()(0) // 1-row model collect
+    val (n, f0) = (st.getLong(0), st.getLong(1))
+    // fit one stump to the residual column over `binCol` bins: returns
+    // (threshold, shrunk left leaf micros, shrunk right leaf micros)
+    def fitStump(frame: DataFrame, binCol: String,
+                 resCol: String): (Long, Long, Long) = {
+      val all = Window.partitionBy(lit(1))
+      val sweep = all.orderBy(col(binCol).asc)
+      val sL = col("s_l").cast("double")
+      val sR = (col("s") - col("s_l")).cast("double")
+      val nL = col("n_l").cast("double")
+      val nR = (col("n") - col("n_l")).cast("double")
+      val best = frame.groupBy(col(binCol))
+        .agg(count(lit(1)).as("n_b"), sum(col(resCol)).as("s_b"))
+        .withColumn("n_l", sum(col("n_b")).over(sweep))
+        .withColumn("s_l", sum(col("s_b")).over(sweep))
+        .withColumn("n", sum(col("n_b")).over(all))
+        .withColumn("s", sum(col("s_b")).over(all))
+        .filter(col("n_l") < col("n"))
+        .select(col(binCol),
+          (sL * sL / nL + sR * sR / nR).as("score"),
+          round(lit(0.5) * sL / nL).cast("long").as("lv_l"),
+          round(lit(0.5) * sR / nR).cast("long").as("lv_r"))
+        .orderBy(col("score").desc, col(binCol).asc)
+        .limit(1).collect()(0) // 1-row model collect
+      (best.getLong(0), best.getLong(2), best.getLong(3))
+    }
+    def mse(resCol: String): Column =
+      (sum((col(resCol) * col(resCol)).cast(DecimalType(38, 0)))
+        .cast("double") / lit(n).cast("double"))
+    val r1 = base.withColumn("r1", col("y") * 1000000L - lit(f0))
+    val (t1, lv1l, lv1r) = fitStump(r1, "bin1", "r1")
+    val r2 = r1.withColumn("r2", col("r1") -
+      when(col("bin1") <= t1, lv1l).otherwise(lv1r))
+      .localCheckpoint(true) // feeds stage-2 sweep + 2 MSE folds
+    val (t2, lv2l, lv2r) = fitStump(r2, "bin2", "r2")
+    val r3 = r2.withColumn("r3", col("r2") -
+      when(col("bin2") <= t2, lv2l).otherwise(lv2r))
+    r3.agg(
+        round(mse("r1")).cast("long").as("m0"),
+        round(mse("r2")).cast("long").as("m1"),
+        round(mse("r3")).cast("long").as("m2"))
+      .select(explode(array(
+        struct(lit(0L).as("step"), lit("const_f0").as("feature"),
+          lit(-1L).as("threshold_bin"), lit(f0).as("left_value_micros"),
+          lit(f0).as("right_value_micros"), col("m0").as("mse_micro2")),
+        struct(lit(1L).as("step"), lit("totalprice_k10").as("feature"),
+          lit(t1).as("threshold_bin"), lit(lv1l).as("left_value_micros"),
+          lit(lv1r).as("right_value_micros"), col("m1").as("mse_micro2")),
+        struct(lit(2L).as("step"), lit("linecount").as("feature"),
+          lit(t2).as("threshold_bin"), lit(lv2l).as("left_value_micros"),
+          lit(lv2r).as("right_value_micros"), col("m2").as("mse_micro2"))
+        )).as("r"))
+      .select(col("r.step").as("step"), col("r.feature").as("feature"),
+        col("r.threshold_bin").as("threshold_bin"),
+        col("r.left_value_micros").as("left_value_micros"),
+        col("r.right_value_micros").as("right_value_micros"),
+        col("r.mse_micro2").as("mse_micro2"))
+  }
 }
