@@ -471,6 +471,8 @@ object SparkEntry {
     "eval10_als_fit"     -> (Recommend.alsFitEval(_, _)),
     "ml22_gbdt_round"    -> (Training.ml22GbdtRound(_, _)),
     "rec4_cooccur_indexed" -> (Recommend.cooccurIndexed(_, _)),
+    "graph_betweenness"  -> (Graphs.betweenness(_, _)),
+    "ts9_snaive"         -> (EventAnalytics.snaiveBacktest(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5938,6 +5940,102 @@ object SparkEntry {
           ORDER BY n_ab DESC, nbr ASC) AS BIGINT) AS rnk FROM sc)
       SELECT item, rnk, nbr, n_ab, lift_micros FROM r
       WHERE rnk <= 5""",
+    // Sampled depth-capped Brandes betweenness (Graphs.betweenness):
+    // forward sigma levels and backward dependency accumulation
+    // unrolled as chained CTEs (maxDepth=4), terms micro-quantized
+    // before every integer sum.
+    "graph_betweenness" -> raw"""
+      WITH $graphEdgesSql,
+      und AS (SELECT DISTINCT least(src, dst) AS a,
+          greatest(src, dst) AS b FROM edges),
+      nbr AS (SELECT a AS node, b AS nbr FROM und
+        UNION ALL SELECT b, a FROM und),
+      l0 AS (SELECT doc_id AS seed, doc_id AS node,
+          CAST(1 AS BIGINT) AS sigma
+        FROM documents WHERE doc_id % 97 = 0),
+      v0 AS (SELECT seed, node FROM l0),
+      l1 AS (SELECT l0.seed, nbr.nbr AS node,
+          CAST(sum(l0.sigma) AS BIGINT) AS sigma
+        FROM l0 JOIN nbr ON nbr.node = l0.node
+        WHERE NOT EXISTS (SELECT 1 FROM v0
+          WHERE v0.seed = l0.seed AND v0.node = nbr.nbr)
+        GROUP BY 1, 2),
+      v1 AS (SELECT seed, node FROM v0
+        UNION ALL SELECT seed, node FROM l1),
+      l2 AS (SELECT l1.seed, nbr.nbr AS node,
+          CAST(sum(l1.sigma) AS BIGINT) AS sigma
+        FROM l1 JOIN nbr ON nbr.node = l1.node
+        WHERE NOT EXISTS (SELECT 1 FROM v1
+          WHERE v1.seed = l1.seed AND v1.node = nbr.nbr)
+        GROUP BY 1, 2),
+      v2 AS (SELECT seed, node FROM v1
+        UNION ALL SELECT seed, node FROM l2),
+      l3 AS (SELECT l2.seed, nbr.nbr AS node,
+          CAST(sum(l2.sigma) AS BIGINT) AS sigma
+        FROM l2 JOIN nbr ON nbr.node = l2.node
+        WHERE NOT EXISTS (SELECT 1 FROM v2
+          WHERE v2.seed = l2.seed AND v2.node = nbr.nbr)
+        GROUP BY 1, 2),
+      v3 AS (SELECT seed, node FROM v2
+        UNION ALL SELECT seed, node FROM l3),
+      l4 AS (SELECT l3.seed, nbr.nbr AS node,
+          CAST(sum(l3.sigma) AS BIGINT) AS sigma
+        FROM l3 JOIN nbr ON nbr.node = l3.node
+        WHERE NOT EXISTS (SELECT 1 FROM v3
+          WHERE v3.seed = l3.seed AND v3.node = nbr.nbr)
+        GROUP BY 1, 2),
+      bk3 AS (SELECT l3.seed, l3.node,
+          CAST(sum(CAST(round(CAST(l3.sigma AS DOUBLE) /
+            CAST(l4.sigma AS DOUBLE) * CAST(1000000 AS DOUBLE))
+            AS BIGINT)) AS BIGINT) AS delta
+        FROM l3 JOIN nbr ON nbr.node = l3.node
+        JOIN l4 ON l4.seed = l3.seed AND l4.node = nbr.nbr
+        GROUP BY 1, 2),
+      bk2 AS (SELECT l2.seed, l2.node,
+          CAST(sum(CAST(round(CAST(l2.sigma AS DOUBLE) /
+            CAST(l3.sigma AS DOUBLE) *
+            CAST(1000000 + COALESCE(bk3.delta, 0) AS DOUBLE))
+            AS BIGINT)) AS BIGINT) AS delta
+        FROM l2 JOIN nbr ON nbr.node = l2.node
+        JOIN l3 ON l3.seed = l2.seed AND l3.node = nbr.nbr
+        LEFT JOIN bk3 ON bk3.seed = l3.seed AND bk3.node = l3.node
+        GROUP BY 1, 2),
+      bk1 AS (SELECT l1.seed, l1.node,
+          CAST(sum(CAST(round(CAST(l1.sigma AS DOUBLE) /
+            CAST(l2.sigma AS DOUBLE) *
+            CAST(1000000 + COALESCE(bk2.delta, 0) AS DOUBLE))
+            AS BIGINT)) AS BIGINT) AS delta
+        FROM l1 JOIN nbr ON nbr.node = l1.node
+        JOIN l2 ON l2.seed = l1.seed AND l2.node = nbr.nbr
+        LEFT JOIN bk2 ON bk2.seed = l2.seed AND bk2.node = l2.node
+        GROUP BY 1, 2),
+      tot AS (SELECT node, CAST(sum(delta) AS BIGINT) AS bc_micros
+        FROM (SELECT seed, node, delta FROM bk1
+          UNION ALL SELECT seed, node, delta FROM bk2
+          UNION ALL SELECT seed, node, delta FROM bk3) u
+        GROUP BY 1)
+      SELECT node, bc_micros FROM tot
+      ORDER BY bc_micros DESC, node ASC LIMIT 100""",
+    // Seasonal-naive backtest + MASE (EventAnalytics.snaiveBacktest).
+    "ts9_snaive" -> raw"""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+          CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+      lg AS (SELECT x,
+          abs(x - lag(x, 7) OVER (ORDER BY d)) AS e7,
+          abs(x - lag(x, 1) OVER (ORDER BY d)) AS e1
+        FROM daily)
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+        CAST(count(e7) AS BIGINT) AS n_scored,
+        CAST(round(1e6 * CAST(sum(e7) AS DOUBLE) /
+          CAST(count(e7) AS DOUBLE)) AS BIGINT) AS mae_snaive_micros,
+        CAST(round(1e6 * CAST(sum(e1) AS DOUBLE) /
+          CAST(count(e1) AS DOUBLE)) AS BIGINT) AS mae_naive_micros,
+        CAST(round(1e6 * (CAST(sum(e7) AS DOUBLE) /
+            CAST(count(e7) AS DOUBLE)) /
+          (CAST(sum(e1) AS DOUBLE) / CAST(count(e1) AS DOUBLE)))
+          AS BIGINT) AS mase_micros
+      FROM lg""",
   )
 
   // ---- shared DuckDB oracle fragments ----

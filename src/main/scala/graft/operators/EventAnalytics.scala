@@ -1090,4 +1090,41 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"),
         sum(col("monetary_cents")).as("cell_monetary_cents"))
   }
+
+  /** `ts9_snaive` — the seasonal-naive backtest + MASE readout every
+    * forecasting pipeline runs BEFORE fitting anything (Hyndman &
+    * Koehler 2006): forecast each day's event count with the value
+    * seven days back (one weekly season), score it with MAE, and
+    * normalize by the one-step-naive MAE — MASE < 1e6 micros means
+    * the weekly pattern genuinely predicts beyond mere persistence,
+    * and it is the scale-free yardstick later models (ts7's Holt,
+    * ts8's STL) must beat.
+    *
+    * Scale shape: the data-sized stage is the shared dailyCounts
+    * aggregation; both error columns are row-lags over the ≤ #days
+    * frame. Determinism: absolute errors are exact integer counts;
+    * the two means and their ratio are single IEEE expressions on the
+    * exact sums, micro-rounded. */
+  def snaiveBacktest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("d")) // model-sized frame (≤ #days rows)
+    dailyCounts(s, dir)
+      .withColumn("e7", abs(col("x") - lag(col("x"), 7).over(w)))
+      .withColumn("e1", abs(col("x") - lag(col("x"), 1).over(w)))
+      .agg(count(lit(1)).as("n_days"),
+        count(col("e7")).as("n_scored"),
+        sum(col("e7")).as("sum_e7"),
+        count(col("e1")).as("n_naive"),
+        sum(col("e1")).as("sum_e1"))
+      .select(col("n_days"), col("n_scored"),
+        round(lit(1e6) * col("sum_e7").cast("double") /
+          col("n_scored").cast("double")).cast("long")
+          .as("mae_snaive_micros"),
+        round(lit(1e6) * col("sum_e1").cast("double") /
+          col("n_naive").cast("double")).cast("long")
+          .as("mae_naive_micros"),
+        round(lit(1e6) * (col("sum_e7").cast("double") /
+          col("n_scored").cast("double")) /
+          (col("sum_e1").cast("double") / col("n_naive").cast("double")))
+          .cast("long").as("mase_micros"))
+  }
 }

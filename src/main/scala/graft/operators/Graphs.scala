@@ -846,4 +846,107 @@ object Graphs {
       .unionAll(core.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
   }
+
+  /** `graph_betweenness` — sampled, depth-capped betweenness
+    * centrality via Brandes' dependency accumulation (Brandes 2001;
+    * the k-bounded pivot-sample approximation of Bader et al. / the
+    * "k-betweenness" variant): sources are the PPR seed set (doc_id ≡
+    * 0 mod `seedMod`), shortest paths capped at `maxDepth` hops. Per
+    * source, a forward BFS computes each node's level and its
+    * shortest-path COUNT σ (the σ of a node is the sum of its
+    * level-(h−1) predecessors' σ — one grouped join per level, pure
+    * integers); the backward pass then accumulates the dependency
+    * δ(v) = Σ_{w ∈ succ(v)} σ_v/σ_w · (1 + δ(w)) level by level.
+    * A node's centrality is Σ over sources of δ — the share of
+    * sampled shortest paths flowing THROUGH it, the standard
+    * "bridge" readout missing from degree/PageRank-style scores.
+    *
+    * Scale shape: every forward and backward step is one equi-join
+    * keyed (seed, node) plus a partial-aggregated sum — the Pregel
+    * message pattern the PageRank/BFS/SSSP loops already use; only
+    * (seed, node, long) triples shuffle, the loop is 2·maxDepth
+    * rounds regardless of graph size, and work is bounded by the
+    * sampled seeds' depth-capped balls, not the full graph.
+    *
+    * Determinism: σ is exactly integral; each backward term quantizes
+    * σ_v/σ_w·(1e6 + δ_w) to micros BEFORE the per-node integer sum
+    * (partition-order-independent), so δ is a pure integer function
+    * of the graph; final ranking ties break node-asc. The DuckDB twin
+    * unrolls the same levels as chained CTEs. */
+  def betweenness(s: SparkSession, dir: String, seedMod: Int = 97,
+                  maxDepth: Int = 4, topK: Int = 100): DataFrame =
+    staged(s, dir, "betw", s"${seedMod}_${maxDepth}_$topK") { finalPath =>
+      val sc = s.sparkContext
+      val preexisting = sc.getPersistentRDDs.keySet
+      try {
+        val und = linkEdges(s, dir)
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+          .union(und.select(col("b").as("node"), col("a").as("nbr")))
+          .localCheckpoint(true)
+        val seeds = Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(seedMod.toLong)) === 0L)
+          .select(col("doc_id").as("seed"))
+        // forward: levels(h) = (seed, node, sigma) of nodes FIRST
+        // reached at depth h, sigma = #shortest paths from seed
+        var levels = Vector(seeds
+          .select(col("seed"), col("seed").as("node"),
+            lit(1L).as("sigma")).localCheckpoint(true))
+        var settled = levels(0).select(col("seed"), col("node"))
+          .localCheckpoint(true)
+        for (_ <- 1 to maxDepth) {
+          val nxt = levels.last.join(nbrs, "node")
+            .select(col("seed"), col("nbr").as("node"), col("sigma"))
+            .join(settled, Seq("seed", "node"), "left_anti")
+            .groupBy(col("seed"), col("node"))
+            .agg(sum(col("sigma")).as("sigma"))
+            .localCheckpoint(true)
+          settled = settled
+            .unionByName(nxt.select(col("seed"), col("node")))
+            .localCheckpoint(true)
+          levels = levels :+ nxt
+        }
+        // backward: delta(h) carries only nonzero-dependency nodes;
+        // a successor absent from delta(h+1) has delta 0 (coalesce)
+        var delta = levels(maxDepth)
+          .select(col("seed"), col("node"), lit(0L).as("delta"))
+          .filter(lit(false)) // empty frame with the right schema
+          .localCheckpoint(true)
+        var acc = Vector.empty[DataFrame]
+        for (h <- (maxDepth - 1) to 1 by -1) {
+          val succ = levels(h + 1)
+            .select(col("seed"), col("node").as("w"),
+              col("sigma").as("sigma_w"))
+            .join(delta.select(col("seed"), col("node").as("w"),
+              col("delta").as("delta_w")), Seq("seed", "w"), "left")
+            .select(col("seed"), col("w"), col("sigma_w"),
+              coalesce(col("delta_w"), lit(0L)).as("delta_w"))
+          val dl = levels(h).join(nbrs, "node")
+            .select(col("seed"), col("node"), col("sigma"),
+              col("nbr").as("w"))
+            .join(succ, Seq("seed", "w"))
+            .select(col("seed"), col("node"),
+              round(col("sigma").cast("double") /
+                col("sigma_w").cast("double") *
+                (lit(1000000L) + col("delta_w")).cast("double"))
+                .cast("long").as("term"))
+            .groupBy(col("seed"), col("node"))
+            .agg(sum(col("term")).as("delta"))
+            .localCheckpoint(true)
+          acc = acc :+ dl
+          delta = dl
+        }
+        acc.reduce(_ unionByName _)
+          .groupBy(col("node")).agg(sum(col("delta")).as("bc_micros"))
+          .orderBy(col("bc_micros").desc, col("node").asc)
+          .limit(topK)
+          .write.mode("overwrite").parquet(finalPath)
+      } finally {
+        sc.getPersistentRDDs
+          .filterNot { case (id, _) => preexisting(id) }
+          .values.foreach(_.unpersist(blocking = false))
+      }
+    }.orderBy(col("bc_micros").desc, col("node").asc)
 }
