@@ -473,6 +473,8 @@ object SparkEntry {
     "rec4_cooccur_indexed" -> (Recommend.cooccurIndexed(_, _)),
     "graph_betweenness"  -> (Graphs.betweenness(_, _)),
     "ts9_snaive"         -> (EventAnalytics.snaiveBacktest(_, _)),
+    "priv6_dp_median"    -> (Privacy.dpMedian(_, _)),
+    "prof5_partition_anomaly" -> (Profiling.partitionAnomaly(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6036,6 +6038,65 @@ object SparkEntry {
           (CAST(sum(e1) AS DOUBLE) / CAST(count(e1) AS DOUBLE)))
           AS BIGINT) AS mase_micros
       FROM lg""",
+    // Exponential-mechanism DP median via the Gumbel-argmax identity
+    // (Privacy.dpMedian): utility -|2cum-n|/2, eps=0.5, noise from
+    // md5("dpm:type:candidate").
+    "priv6_dp_median" -> raw"""
+      WITH pu AS (SELECT event_type, user_id,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      h AS (SELECT event_type, c, CAST(count(*) AS BIGINT) AS freq
+        FROM pu GROUP BY 1, 2),
+      sc AS (SELECT event_type, c,
+          CAST(sum(freq) OVER (PARTITION BY event_type ORDER BY c
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum,
+          CAST(sum(freq) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM h),
+      k AS (SELECT event_type, c, cum, n,
+          round(-0.125 * CAST(abs(2 * cum - n) AS DOUBLE), 6) AS s6,
+          round(-ln(-ln((('0x' || substr(md5('dpm:' || event_type ||
+              ':' || CAST(c AS VARCHAR)), 1, 15))::BIGINT % 1000000
+            + 0.5) / 1000000.0)), 6) AS g6
+        FROM sc),
+      key AS (SELECT event_type, c, cum, n,
+          CAST(round(1e6 * (s6 + g6)) AS BIGINT) AS key_micros
+        FROM k),
+      tm AS (SELECT event_type, CAST(min(c) AS BIGINT) AS true_median
+        FROM key WHERE cum >= (n + 1) // 2 GROUP BY 1),
+      win AS (SELECT event_type, c, n FROM (SELECT key.*,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY key_micros DESC, c ASC) AS rn FROM key)
+        WHERE rn = 1)
+      SELECT w.event_type, w.c AS released_median, tm.true_median,
+        w.n AS n_users, CAST(500000 AS BIGINT) AS epsilon_micros
+      FROM win w JOIN tm ON tm.event_type = w.event_type""",
+    // Per-partition ingest anomaly audit (Profiling.partitionAnomaly):
+    // (type, day) cell counts vs the per-type lower-median/MAD fence.
+    "prof5_partition_anomaly" -> raw"""
+      WITH cells AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 1, 2),
+      med AS (SELECT event_type, n_rows AS med FROM (
+          SELECT event_type, day, n_rows,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY n_rows ASC, day ASC) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n_cells
+          FROM cells) WHERE rn = (n_cells + 1) // 2),
+      dev AS (SELECT c.event_type, c.day, c.n_rows, m.med,
+          abs(c.n_rows - m.med) AS ad
+        FROM cells c JOIN med m ON m.event_type = c.event_type),
+      mad AS (SELECT event_type, ad AS mad FROM (
+          SELECT event_type, day, ad,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY ad ASC, day ASC) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n_cells
+          FROM dev) WHERE rn = (n_cells + 1) // 2)
+      SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+        d.n_rows, d.med, m2.mad,
+        CAST(CASE WHEN d.ad * 10000 > m2.mad * 44478 THEN 1 ELSE 0 END
+          AS BIGINT) AS flagged
+      FROM dev d JOIN mad m2 ON m2.event_type = d.event_type""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -208,6 +208,60 @@ object Privacy {
         lit(tMicros).as("t_micros"))
   }
 
+  /** `priv6_dp_median` — the EXPONENTIAL MECHANISM (McSherry & Talwar
+    * 2007), the second classical DP primitive beside priv4's Laplace:
+    * release each event type's median per-user activity count by
+    * sampling a candidate value with probability ∝ exp(ε·u/2), where
+    * the utility u(c) = −|rank(c) − n/2| (median utility, sensitivity
+    * 1 — written as −|2·cum − n|/2 so it stays integral). The
+    * exponential draw is DERANDOMIZED by the Gumbel-argmax identity
+    * (the same device as samp11): argmax of score + Gumbel noise IS a
+    * sample from the softmax, and the noise comes from
+    * md5("dpm:type:candidate") — a seeded, reproducible release.
+    * The true (lower) median rides along so the utility loss is
+    * auditable.
+    *
+    * Scale shape: one user-keyed aggregation, then per-type candidate
+    * histograms (distinct activity counts — bounded), a per-type
+    * cumulative window, one argmax row_number. Nothing bigger than
+    * the candidate sets shuffles after the first aggregation. */
+  def dpMedian(s: SparkSession, dir: String,
+               epsilonMicros: Long = 500000L): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val eps = epsilonMicros.toDouble / 1e6
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val hist = perUser.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("freq"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wType = Window.partitionBy(col("event_type"))
+    val u = (pmod(call_function("md5_base60",
+        concat_ws("", lit("dpm:"), col("event_type"), lit(":"),
+          col("c"))), lit(1000000L))
+      .cast("double") + lit(0.5)) / lit(1000000.0)
+    val scored = hist
+      .withColumn("cum", sum(col("freq")).over(wCum))
+      .withColumn("n", sum(col("freq")).over(wType))
+      .withColumn("s6", round(lit(-eps / 4.0) *
+        abs(lit(2L) * col("cum") - col("n")).cast("double"), 6))
+      .withColumn("g6", round(-log(-log(u)), 6))
+      .withColumn("key_micros",
+        round(lit(1e6) * (col("s6") + col("g6"))).cast("long"))
+    val trueMed = scored
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy(col("event_type")).agg(min(col("c")).as("true_median"))
+    scored
+      .withColumn("rn", row_number().over(wType
+        .orderBy(col("key_micros").desc, col("c").asc)))
+      .filter(col("rn") === 1)
+      .join(trueMed, "event_type")
+      .select(col("event_type"), col("c").as("released_median"),
+        col("true_median"), col("n").as("n_users"),
+        lit(epsilonMicros).as("epsilon_micros"))
+  }
+
   def dpCounts(s: SparkSession, dir: String,
                epsilonMicros: Long = 500000L): DataFrame = {
     val b = 1e6 / epsilonMicros.toDouble // Laplace scale 1/ε

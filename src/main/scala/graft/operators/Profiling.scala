@@ -596,4 +596,48 @@ object Profiling {
         expr("(1000000 * n_pos * n_tot) div (n * pos_tot)")
           .as("lift_micros"))
   }
+
+  /** `prof5_partition_anomaly` — per-ingest-partition volume anomaly
+    * detection, the data-quality gate a 100 TB pipeline runs after
+    * every load: the (event_type, day) cell grid's row counts are
+    * scored against each type's robust center — |count − median| >
+    * 3·1.4826·MAD flags a cell (the stat22 fence, reused at partition
+    * granularity, where a broken ingest shows up as a day-cell
+    * collapse or spike long before any content-level check fires).
+    * Emits every cell with its flag so the report is non-empty and
+    * the healthy baseline is visible.
+    *
+    * Scale shape: one map-side-combinable (type, day) rollup — cells,
+    * not rows, shuffle after it (types × days, tiny); medians are the
+    * exact lower-median convention via per-type rank windows over the
+    * cell frame. All-integer arithmetic — determinism is free. */
+  def partitionAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_rows"))
+    val wType = Window.partitionBy(col("event_type"))
+    // exact lower median of the ≤ #days cell counts per type: k-th
+    // order statistic at k = (n_cells + 1) div 2 over a pinned order
+    val med = cells
+      .withColumn("rn", row_number().over(wType
+        .orderBy(col("n_rows").asc, col("day").asc)))
+      .withColumn("n_cells", count(lit(1)).over(wType))
+      .filter(col("rn") === expr("(n_cells + 1) div 2"))
+      .select(col("event_type"), col("n_rows").as("med"))
+    val dev = cells.join(med, "event_type")
+      .withColumn("ad", abs(col("n_rows") - col("med")))
+    val mad = dev
+      .withColumn("rn", row_number().over(wType
+        .orderBy(col("ad").asc, col("day").asc)))
+      .withColumn("n_cells", count(lit(1)).over(wType))
+      .filter(col("rn") === expr("(n_cells + 1) div 2"))
+      .select(col("event_type"), col("ad").as("mad"))
+    dev.join(mad, "event_type")
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_rows"), col("med"), col("mad"),
+        when(col("ad") * 10000 > col("mad") * 44478, 1L).otherwise(0L)
+          .as("flagged"))
+  }
 }

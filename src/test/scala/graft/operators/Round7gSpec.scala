@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-7 batch 7: exponential-mechanism DP median and the
+  * partition-volume anomaly audit, restated driver-side.
+  */
+class Round7gSpec extends SparkSpec {
+
+  private def rnd(x: Double): Long =
+    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def typeDayCounts: Map[(String, java.time.LocalDate), Long] =
+    Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("d"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+
+  test("DP median equals the Gumbel-argmax exponential-mechanism replay") {
+    val byTypeUser = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val want = byTypeUser.keys.map(_._1).toSeq.distinct.map { t =>
+      val counts = byTypeUser.filter(_._1._1 == t).values.toSeq
+      val hist = counts.groupBy(identity).toSeq
+        .map { case (c, v) => (c, v.size.toLong) }.sortBy(_._1)
+      val n = counts.size.toLong
+      val cums = hist.scanLeft(0L)(_ + _._2).tail
+      val cands = hist.map(_._1).zip(cums)
+      val keyed = cands.map { case (c, cum) =>
+        val s6 = r6(-0.125 * math.abs(2 * cum - n).toDouble)
+        val u = (md5_60(s"dpm:$t:$c") % 1000000L + 0.5) / 1000000.0
+        val g6 = r6(-math.log(-math.log(u)))
+        (c, rnd(1e6 * (s6 + g6)))
+      }
+      val released = keyed.sortBy { case (c, k) => (-k, c) }.head._1
+      val trueMed = cands.find(_._2 >= (n + 1) / 2).get._1
+      (t, released, trueMed, n, 500000L)
+    }.toSet
+    val got = Privacy.dpMedian(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === want)
+    // the mechanism is utility-seeking: every release lands on a real
+    // candidate, and with eps=0.5 it should rarely stray far — assert
+    // it at least stays within the candidate range
+    got.foreach { case (_, rel, tm, _, _) =>
+      assert(rel >= 1L && tm >= 1L)
+    }
+  }
+
+  test("partition anomaly audit equals the median/MAD fence replay") {
+    val cells = typeDayCounts
+    val want = cells.keys.map(_._1).toSeq.distinct.flatMap { t =>
+      val tc = cells.filter(_._1._1 == t).toSeq
+        .map { case ((_, d), n) => (d, n) }
+      val k = (tc.size + 1) / 2
+      val med = tc.sortBy { case (d, n) => (n, d.toEpochDay) }
+        .apply(k - 1)._2
+      val mad = tc.map { case (d, n) => (d, math.abs(n - med)) }
+        .sortBy { case (d, ad) => (ad, d.toEpochDay) }.apply(k - 1)._2
+      tc.map { case (d, n) =>
+        (t, d.toString, n, med, mad,
+          if (math.abs(n - med) * 10000 > mad * 44478) 1L else 0L)
+      }
+    }.toSet
+    val got = Profiling.partitionAnomaly(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got === want)
+    assert(got.size == cells.size)
+  }
+}
