@@ -475,6 +475,7 @@ object SparkEntry {
     "ts9_snaive"         -> (EventAnalytics.snaiveBacktest(_, _)),
     "priv6_dp_median"    -> (Privacy.dpMedian(_, _)),
     "prof5_partition_anomaly" -> (Profiling.partitionAnomaly(_, _)),
+    "ev25_absorption"    -> (EventAnalytics.markovAbsorption(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5033,37 +5034,7 @@ object SparkEntry {
     // (EventAnalytics.markovStationary): 20 integer-micro power
     // iterations replayed as a recursive CTE.
     "ev21_stationary" -> raw"""
-      WITH RECURSIVE st AS (
-        SELECT event_type,
-          lead(event_type, 1) OVER (PARTITION BY user_id
-            ORDER BY ts, event_id) AS next_type
-        FROM events),
-      cells AS (
-        SELECT event_type AS from_type, next_type AS to_type,
-          CAST(count(*) AS BIGINT) AS n
-        FROM st WHERE next_type IS NOT NULL
-        GROUP BY event_type, next_type),
-      trans0 AS (
-        SELECT from_type, to_type, n,
-          CAST(round(1e6 * CAST(n AS DOUBLE) /
-            CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT))
-            AS BIGINT) AS p_micros
-        FROM cells),
-      -- no top-level UNION here: inside WITH RECURSIVE, DuckDB treats
-      -- a CTE shaped `SELECT .. UNION SELECT ..` as a recursive
-      -- anchor/step pair even without self-reference (verified:
-      -- `WITH RECURSIVE a AS (SELECT 1 UNION SELECT 1)` yields 2 rows)
-      states AS (SELECT DISTINCT state FROM
-        (SELECT from_type AS state FROM trans0
-         UNION ALL SELECT to_type FROM trans0)),
-      -- absorbing-state guard: a state with no outgoing transitions
-      -- keeps its mass via a unit self-loop (mirrors the operator)
-      trans AS (
-        SELECT from_type, to_type, p_micros FROM trans0
-        UNION ALL
-        SELECT s.state, s.state, CAST(1000000 AS BIGINT)
-        FROM states s
-        WHERE s.state NOT IN (SELECT DISTINCT from_type FROM trans0)),
+      WITH RECURSIVE $markovChainSql,
       k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
       pi AS (
         SELECT 0 AS it, state, CAST(1000000 // k AS BIGINT) AS p
@@ -6097,6 +6068,30 @@ object SparkEntry {
         CAST(CASE WHEN d.ad * 10000 > m2.mad * 44478 THEN 1 ELSE 0 END
           AS BIGINT) AS flagged
       FROM dev d JOIN mad m2 ON m2.event_type = d.event_type""",
+    // Absorbing-chain expected steps (EventAnalytics.markovAbsorption):
+    // truncated Neumann series t_{k+1} = 1 + Q t_k over the transient
+    // block, target = 'purchase', horizon 40.
+    "ev25_absorption" -> raw"""
+      WITH RECURSIVE $markovChainSql,
+      trstates AS (SELECT state FROM states WHERE state <> 'purchase'),
+      transq AS (
+        SELECT from_type, to_type, p_micros FROM trans
+        WHERE from_type <> 'purchase' AND to_type <> 'purchase'
+        UNION ALL
+        SELECT state, state, CAST(0 AS BIGINT) FROM trstates),
+      tt AS (
+        SELECT state, 0 AS it, CAST(0 AS BIGINT) AS t FROM trstates
+        UNION ALL
+        SELECT q.from_type, tt.it + 1,
+          CAST(1000000 + CAST(round(
+            CAST(sum(q.p_micros * tt.t) AS BIGINT) / 1e6) AS BIGINT)
+            AS BIGINT)
+        FROM tt JOIN transq q ON q.to_type = tt.state
+        WHERE tt.it < 40
+        GROUP BY 1, 2)
+      SELECT state, t AS exp_steps_micros,
+        CAST(40 AS BIGINT) AS horizon
+      FROM tt WHERE it = 40""",
   )
 
   // ---- shared DuckDB oracle fragments ----
@@ -6401,6 +6396,43 @@ object SparkEntry {
   /** Per-user privacy profile CTE (Privacy.profiles): first-activity
     * date, order-of-magnitude spend tier from integer spend-cents, and
     * the modal event type with alphabetical tie-break. */
+  /** Markov-chain shared CTEs (EventAnalytics.markovTransitions +
+    * the state space and absorbing-state self-loop guard), ending in
+    * `trans(from_type, to_type, p_micros)` and `states(state)`;
+    * shared by ev21_stationary and ev25_absorption. NOTE: no
+    * top-level UNION in any CTE here — inside WITH RECURSIVE, DuckDB
+    * treats a CTE shaped `SELECT .. UNION SELECT ..` as a recursive
+    * anchor/step pair even without self-reference (verified:
+    * `WITH RECURSIVE a AS (SELECT 1 UNION SELECT 1)` yields 2 rows). */
+  private def markovChainSql: String = raw"""
+      st AS (
+        SELECT event_type,
+          lead(event_type, 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS next_type
+        FROM events),
+      cells AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+          CAST(count(*) AS BIGINT) AS n
+        FROM st WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type),
+      trans0 AS (
+        SELECT from_type, to_type, n,
+          CAST(round(1e6 * CAST(n AS DOUBLE) /
+            CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT))
+            AS BIGINT) AS p_micros
+        FROM cells),
+      states AS (SELECT DISTINCT state FROM
+        (SELECT from_type AS state FROM trans0
+         UNION ALL SELECT to_type FROM trans0)),
+      -- absorbing-state guard: a state with no outgoing transitions
+      -- keeps its mass via a unit self-loop (mirrors the operator)
+      trans AS (
+        SELECT from_type, to_type, p_micros FROM trans0
+        UNION ALL
+        SELECT s.state, s.state, CAST(1000000 AS BIGINT)
+        FROM states s
+        WHERE s.state NOT IN (SELECT DISTINCT from_type FROM trans0))"""
+
   /** ALS shared CTE chain (Recommend.alsRatings + the user solve),
     * ending in `f(custkey, n_items, p1_micros, p2_micros)`; shared by
     * rec3_als_step and eval10_als_fit so the factor replay cannot

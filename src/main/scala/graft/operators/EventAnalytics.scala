@@ -525,6 +525,54 @@ object EventAnalytics {
       .toDF("state", "pi_micros", "n_iters")
   }
 
+  /** `ev25_absorption` — expected steps to absorption in the event
+    * Markov chain (the absorbing-chain companion of ev21's stationary
+    * vector): with `target` as the absorbing state, the expected
+    * visit count t = (I − Q)⁻¹·1 is computed as the truncated Neumann
+    * series t_{k+1} = 1 + Q·t_k over the transient block — the
+    * power-iteration discipline ev21 already uses, which needs no
+    * matrix inverse and stays exact-integer per step. t_h reads as
+    * "expected steps spent before absorption, truncated at horizon
+    * h": a state that cannot reach the target saturates at h·1e6
+    * micros — the visible "never converts" sentinel, not an error.
+    *
+    * Scale/determinism: the DATA-sized stage is the one transition
+    * count (user-keyed window + cell rollup, shared with ev10/ev21);
+    * the chain itself is a ≤ #event-types model COLLECT (the kmeans
+    * discipline) iterated driver-side; each step's mass sum is an
+    * exact integer sum, scaled back once per state per round with the
+    * shared HALF_UP micro-round. The DuckDB twin replays the same
+    * iteration as a recursive CTE over the shared chain CTEs. */
+  def markovAbsorption(s: SparkSession, dir: String,
+                       target: String = "purchase",
+                       horizon: Int = 40): DataFrame = {
+    val trans = markovTransitions(s, dir)
+      .select(col("from_type"), col("to_type"), col("p_micros"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    import s.implicits._
+    if (trans.isEmpty)
+      return Seq.empty[(String, Long, Long)]
+        .toDF("state", "exp_steps_micros", "horizon")
+    val states = (trans.map(_._1) ++ trans.map(_._2)).distinct.sorted
+    val p = trans.groupBy(_._1).map { case (f, ts) =>
+      f -> ts.map(t => t._2 -> t._3).toMap }
+    // same absorbing-state self-loop guard as ev21
+    def pOf(i: String): Map[String, Long] =
+      p.getOrElse(i, Map(i -> 1000000L))
+    val transient = states.filterNot(_ == target)
+    var t: Map[String, Long] = transient.map(_ -> 0L).toMap
+    for (_ <- 1 to horizon) {
+      t = transient.map { i =>
+        val acc = transient.map(j => pOf(i).getOrElse(j, 0L) * t(j)).sum
+        i -> (1000000L + BigDecimal(acc.toDouble / 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      }.toMap
+    }
+    transient.map(st => (st, t(st), horizon.toLong)).toSeq
+      .toDF("state", "exp_steps_micros", "horizon")
+  }
+
   /** Top-k session paths: the behavioral-path mining query ("what do
     * users actually do in a visit") — sessions form with the SAME
     * gaps-and-islands definition as w5_sessionize (gap ≥ 30 min closes

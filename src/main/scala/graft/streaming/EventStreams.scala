@@ -116,6 +116,29 @@ object EventStreams {
         col("click_id"), col("view_ts"), col("click_ts"))
   }
 
+  /** LEFT-OUTER variant of [[clickWithinViewWindow]] — the
+    * "views that did NOT convert" stream, the half outer-join state
+    * management exists for: a view with no click inside its window
+    * emits exactly once, with null click columns, and only after BOTH
+    * watermarks pass the window end (before that the match could
+    * still arrive — emitting earlier would be wrong, never emitting
+    * would leak the unmatched rows). State stays evictable for the
+    * same reason as the inner form: the interval bound caps how long
+    * either side must be retained. */
+  def clickWithinViewWindowOuter(views: DataFrame,
+                                 clicks: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    v.join(c, expr("v_user = c_user AND click_ts >= view_ts AND " +
+        "click_ts <= view_ts + INTERVAL 10 MINUTES"), "left_outer")
+      .select(col("v_user").as("user_id"), col("view_id"),
+        col("click_id"), col("view_ts"), col("click_ts"))
+  }
+
   /** Stream-static enrichment: a streaming fact joined to a batch
     * dimension. The static side needs no watermark and no state — Spark
     * re-plans it per micro-batch (broadcast at dim size), the canonical

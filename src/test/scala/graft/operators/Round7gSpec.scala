@@ -54,6 +54,42 @@ class Round7gSpec extends SparkSpec {
     }
   }
 
+  test("absorption times equal an independent Neumann-series replay") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getLong(2), r.getString(3)))
+    val cells = ev.groupBy(_._1).values.toSeq.flatMap { xs =>
+      val seq = xs.sortBy(x => (x._2, x._3)).map(_._4)
+      seq.zip(seq.drop(1))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val outTot = cells.groupBy(_._1._1)
+      .map { case (f, m) => f -> m.values.sum }
+    val p = cells.map { case ((f, t), n) =>
+      (f, t) -> rnd(1e6 * n.toDouble / outTot(f).toDouble) }
+    val states = (cells.keys.map(_._1) ++ cells.keys.map(_._2))
+      .toSeq.distinct.sorted
+    def pOf(i: String, j: String): Long =
+      if (outTot.contains(i)) p.getOrElse((i, j), 0L)
+      else if (i == j) 1000000L else 0L
+    val transient = states.filterNot(_ == "purchase")
+    var t = transient.map(_ -> 0L).toMap
+    for (_ <- 1 to 40) {
+      t = transient.map { i =>
+        val acc = transient.map(j => pOf(i, j) * t(j)).sum
+        i -> (1000000L + rnd(acc.toDouble / 1e6))
+      }.toMap
+    }
+    val got = EventAnalytics.markovAbsorption(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === transient.map(st => (st, t(st), 40L)).toSet)
+    // every transient state converts eventually in this fixture, so
+    // no state saturates at the horizon sentinel
+    assert(got.forall(_._2 < 40L * 1000000L))
+    assert(got.forall(_._2 >= 1000000L)) // at least one step
+  }
+
   test("partition anomaly audit equals the median/MAD fence replay") {
     val cells = typeDayCounts
     val want = cells.keys.map(_._1).toSeq.distinct.flatMap { t =>

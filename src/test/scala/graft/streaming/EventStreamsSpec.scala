@@ -156,6 +156,49 @@ class EventStreamsSpec extends SparkSpec {
     assert(got === Set((1L, 10L)))
   }
 
+  test("left-outer stream-stream join emits unmatched views exactly " +
+      "once after both watermarks pass") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def mkDf(mem: MemoryStream[(Long, Long, Long)]) = mem.toDF()
+      .select(col("_1").as("event_id"), timestamp_millis(col("_2")).as("ts"),
+        col("_3").as("user_id"))
+    val views = MemoryStream[(Long, Long, Long)]
+    val clicks = MemoryStream[(Long, Long, Long)]
+    val q = EventStreams.clickWithinViewWindowOuter(
+        mkDf(views), mkDf(clicks))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj_outer_test").start()
+    try {
+      views.addData((1L, 60000L, 7L),   // will match
+        (2L, 120000L, 8L))              // will NOT match
+      clicks.addData((10L, 120000L, 7L))
+      q.processAllAvailable()
+      // before the watermarks pass view 2's window end, the unmatched
+      // row must NOT have been emitted (the match could still arrive)
+      val early = spark.table("ssj_outer_test")
+        .select("view_id").collect().map(_.getLong(0)).toSet
+      assert(early === Set(1L), s"premature outer emission: $early")
+      // advance BOTH event-time watermarks far past view 2's window
+      views.addData((3L, 3600000L, 9L))
+      clicks.addData((11L, 3600000L, 9L))
+      q.processAllAvailable()
+      // one more batch so the state eviction from the advanced
+      // watermark lands in the sink
+      views.addData((4L, 7200000L, 9L))
+      clicks.addData((12L, 7200000L, 9L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssj_outer_test")
+      .select("view_id", "click_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    // view 1 matched click 10; view 2 emitted once with null click
+    assert(got.contains((1L, 10L)))
+    assert(got.contains((2L, -1L)), s"unmatched view never emitted: $got")
+    assert(got.count(_._1 == 2L) === 1, s"view 2 emitted twice: $got")
+  }
+
   test("stream-static enrichment joins each micro-batch to the dim") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
