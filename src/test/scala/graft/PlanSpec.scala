@@ -463,6 +463,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ql dirichlet: broadcast stats, top-k as TakeOrderedAndProject") {
+    val p = plan(graft.operators.Retrieval.qlDirichlet(spark, sf))
+    // the |q|-row term-stats frame and the 1-row corpus total reach
+    // the candidates as broadcasts; the ranking never global-sorts
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("permutation test: the BxN expansion partial-aggregates " +
+    "map-side — only B rows reach the shuffle") {
+    val p = plan(graft.operators.Relational
+      .stat31Permutation(spark, sf))
+    // explode(sequence) is a narrow map; the per-b aggregation must
+    // show a partial_sum before its exchange, and the observed-gap
+    // frame arrives as a broadcast, never a join shuffle
+    assert(p.contains("Generate explode"), p)
+    assert("partial_sum".r.findFirstIn(p).isDefined ||
+      p.contains("HashAggregate"), p)
+    assert(!p.contains("SortMergeJoin"), s"obs must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("gbdt stump sweep: bin aggregates shuffle, never orders") {
+    val p = plan(graft.operators.Training.ml21Stump(spark, sf))
+    // the sweep windows run over (feature, bin) aggregates — the only
+    // sorts in the plan are the window's bin-ordered ones, and no
+    // cartesian anything
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("ngram novelty: final join exchanges doc-keyed aggregates, " +
     "not the gram table") {
     val p = plan(graft.operators.TextAnalysis.ngramNovelty(spark, sf))
