@@ -481,6 +481,8 @@ object SparkEntry {
       TextAnalysis.bm25MaxScore(Tables.documents(s, dir),
         Seq("spark", "query", "filter"))),
     "ev26_survival"      -> (EventAnalytics.kmSurvival(_, _)),
+    "stat32_bh_fdr"      -> (Relational.stat32BhFdr(_, _)),
+    "stat33_levene"      -> (Relational.stat33Levene(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6148,6 +6150,91 @@ object SparkEntry {
         CAST(round(1e6 * exp(CAST(cum_lf AS DOUBLE) / 1e6)) AS BIGINT)
           AS surv_micros
       FROM cum WHERE d > 0""",
+    // BH step-up over per-type permutation p-values
+    // (Relational.stat32BhFdr): the p's are exact rationals in micro
+    // space, so the whole correction replays integer-exact.
+    "stat32_bh_fdr" -> raw"""
+      WITH e AS (SELECT event_id AS eid, event_type,
+          CAST(round(value * 100) AS BIGINT) AS cents,
+          CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS y
+        FROM events),
+      obs AS (SELECT event_type,
+          CAST(round(1e6 * (
+            CAST(sum(CASE WHEN y = 1 THEN cents ELSE 0 END) AS DOUBLE)
+              / CAST(sum(y) AS DOUBLE) -
+            CAST(sum(CASE WHEN y = 0 THEN cents ELSE 0 END) AS DOUBLE)
+              / CAST(sum(1 - y) AS DOUBLE))) AS BIGINT) AS gap_obs
+        FROM e GROUP BY 1),
+      pm AS (SELECT e.event_type, t.b, e.cents,
+          ('0x' || substr(md5('bhf:' || CAST(t.b AS VARCHAR) || ':' ||
+            CAST(e.eid AS VARCHAR)), 1, 15))::BIGINT % 2 AS lbl
+        FROM e CROSS JOIN (SELECT unnest(range(0, 100)) AS b) t),
+      pg AS (SELECT event_type, b,
+          CAST(round(1e6 * (
+            CAST(sum(CASE WHEN lbl = 1 THEN cents ELSE 0 END) AS DOUBLE)
+              / CAST(sum(lbl) AS DOUBLE) -
+            CAST(sum(CASE WHEN lbl = 0 THEN cents ELSE 0 END) AS DOUBLE)
+              / CAST(sum(1 - lbl) AS DOUBLE))) AS BIGINT) AS gap_b
+        FROM pm GROUP BY 1, 2),
+      pv AS (SELECT p.event_type,
+          CAST(max(o.gap_obs) AS BIGINT) AS gap_obs_micros,
+          CAST(round(1e6 * CAST(sum(CASE WHEN abs(p.gap_b) >=
+              abs(o.gap_obs) THEN 1 ELSE 0 END) + 1 AS DOUBLE) /
+            CAST(count(*) + 1 AS DOUBLE)) AS BIGINT) AS p_micros
+        FROM pg p JOIN obs o USING (event_type) GROUP BY 1),
+      rk AS (SELECT event_type, gap_obs_micros, p_micros,
+          CAST(row_number() OVER (ORDER BY p_micros ASC, event_type ASC)
+            AS BIGINT) AS p_rank,
+          CAST(count(*) OVER () AS BIGINT) AS m
+        FROM pv),
+      th AS (SELECT event_type, gap_obs_micros, p_micros, p_rank, m,
+          CAST(round(CAST(p_rank AS DOUBLE) * 50000 /
+            CAST(m AS DOUBLE)) AS BIGINT) AS bh_thresh_micros
+        FROM rk),
+      ks AS (SELECT event_type, gap_obs_micros, p_micros, p_rank,
+          bh_thresh_micros,
+          CAST(coalesce(max(CASE WHEN p_micros <= bh_thresh_micros
+            THEN p_rank END) OVER (), 0) AS BIGINT) AS kstar
+        FROM th)
+      SELECT event_type, gap_obs_micros, p_micros, p_rank,
+        bh_thresh_micros,
+        CAST(CASE WHEN p_rank <= kstar THEN 1 ELSE 0 END AS BIGINT)
+          AS rejected
+      FROM ks""",
+    // Brown–Forsythe on |x − group lower median|, stat29's exact-
+    // sufficient-statistics ANOVA tail (Relational.stat33Levene).
+    "stat33_levene" -> raw"""
+      WITH o AS (SELECT o_orderpriority AS grp, o_orderkey AS okey,
+          CAST(round(o_totalprice) AS BIGINT) AS x FROM orders),
+      med AS (SELECT grp, x AS med FROM (
+          SELECT grp, x, row_number() OVER (PARTITION BY grp
+              ORDER BY x ASC, okey ASC) AS rn,
+            count(*) OVER (PARTITION BY grp) AS n_g
+          FROM o) WHERE rn = (n_g + 1) // 2),
+      z AS (SELECT o.grp, abs(o.x - med.med) AS z
+            FROM o JOIN med USING (grp)),
+      g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+          CAST(sum(z) AS BIGINT) AS s_g, sum(z * z) AS ss_g
+        FROM z GROUP BY 1),
+      gb AS (SELECT n_g, s_g, ss_g,
+          CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) /
+            CAST(n_g AS DOUBLE)) AS BIGINT) AS bterm FROM g),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+          CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(s_g) AS BIGINT) AS s,
+          sum(ss_g) AS ss, CAST(sum(bterm) AS BIGINT) AS bsum FROM gb)
+      SELECT k, n,
+        round((CAST(bsum AS DOUBLE) - CAST(s AS DOUBLE) *
+          CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1e6, 2)
+          AS ssb_mdollar2,
+        round((CAST(ss AS DOUBLE) - CAST(bsum AS DOUBLE)) / 1e6, 2)
+          AS ssw_mdollar2,
+        CAST(round(1e6 *
+          ((CAST(bsum AS DOUBLE) - CAST(s AS DOUBLE) *
+            CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+           CAST(k - 1 AS DOUBLE)) /
+          ((CAST(ss AS DOUBLE) - CAST(bsum AS DOUBLE)) /
+           CAST(n - k AS DOUBLE))) AS BIGINT) AS f_micros
+      FROM t""",
   )
 
   // ---- shared DuckDB oracle fragments ----

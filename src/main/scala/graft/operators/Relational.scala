@@ -2249,4 +2249,132 @@ object Relational {
           (col("n_perms") + 1L).cast("double")).cast("long")
           .as("p_micros"))
   }
+
+  /** `stat32_bh_fdr` — Benjamini–Hochberg false-discovery-rate control
+    * (BH 1995) over one permutation test PER EVENT TYPE: weekend vs
+    * weekday mean event value, [[stat31Permutation]]'s derandomized
+    * Bernoulli-½ relabeling (B = `nPerm`), add-one p estimator. Running
+    * m tests at α each inflates the family-wise false-positive mass;
+    * BH is the standard step-up correction: sort p ascending, k* =
+    * max{i : p_i ≤ i·α/m}, reject ranks ≤ k* — and because the
+    * permutation p-values are exact rationals (k+1)/(B+1) in micro
+    * space, the whole procedure is integer-exact, no CDF anywhere.
+    *
+    * Scale shape: the B×N row expansion folds through ONE map-side-
+    * combinable (type, b) aggregation — only m·B cells shuffle; the
+    * BH step-up runs windows over the m-row p-value frame (m = #event
+    * types, tiny by construction). Output per type: observed gap,
+    * p, BH rank, threshold, and the step-up rejection flag. */
+  def stat32BhFdr(s: SparkSession, dir: String, nPerm: Int = 100,
+                  alphaMicros: Long = 50000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.events(s, dir).select(
+      col("event_id").as("eid"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"),
+      when(dayofweek(col("ts")).isin(1, 7), 1L).otherwise(0L).as("y"))
+    def gap(s1: Column, n1: Column, s0: Column, n0: Column): Column =
+      round(lit(1e6) * (s1.cast("double") / n1.cast("double") -
+        s0.cast("double") / n0.cast("double"))).cast("long")
+    val obs = e.groupBy(col("event_type")).agg(
+      sum(when(col("y") === 1, col("cents")).otherwise(0L)).as("s1"),
+      sum(col("y")).as("n1"),
+      sum(when(col("y") === 0, col("cents")).otherwise(0L)).as("s0"),
+      sum(lit(1L) - col("y")).as("n0"))
+      .select(col("event_type"),
+        gap(col("s1"), col("n1"), col("s0"), col("n0"))
+          .as("gap_obs_micros"))
+    val perm = e
+      .select(col("eid"), col("event_type"), col("cents"),
+        explode(sequence(lit(0), lit(nPerm - 1))).as("b"))
+      .withColumn("lbl", pmod(call_function("md5_base60",
+        concat_ws("", lit("bhf:"), col("b"), lit(":"), col("eid"))),
+        lit(2L)))
+      .groupBy(col("event_type"), col("b"))
+      .agg(
+        sum(when(col("lbl") === 1, col("cents")).otherwise(0L)).as("s1"),
+        sum(col("lbl")).as("n1"),
+        sum(when(col("lbl") === 0, col("cents")).otherwise(0L)).as("s0"),
+        sum(lit(1L) - col("lbl")).as("n0"))
+      .select(col("event_type"),
+        gap(col("s1"), col("n1"), col("s0"), col("n0")).as("gap_b"))
+    val pvals = perm.join(broadcast(obs), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("gap_obs_micros")).as("gap_obs_micros"),
+        count(lit(1)).as("n_perms"),
+        sum(when(abs(col("gap_b")) >= abs(col("gap_obs_micros")), 1L)
+          .otherwise(0L)).as("n_extreme"))
+      .select(col("event_type"), col("gap_obs_micros"),
+        round(lit(1e6) * (col("n_extreme") + 1L).cast("double") /
+          (col("n_perms") + 1L).cast("double")).cast("long")
+          .as("p_micros"))
+    val all = Window.partitionBy(lit(1))
+    val byP = all.orderBy(col("p_micros").asc, col("event_type").asc)
+    pvals
+      .withColumn("p_rank", row_number().over(byP).cast("long"))
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("bh_thresh_micros",
+        round(col("p_rank").cast("double") * alphaMicros /
+          col("m").cast("double")).cast("long"))
+      .withColumn("kstar", coalesce(
+        max(when(col("p_micros") <= col("bh_thresh_micros"),
+          col("p_rank"))).over(all), lit(0L)))
+      .select(col("event_type"), col("gap_obs_micros"), col("p_micros"),
+        col("p_rank"), col("bh_thresh_micros"),
+        when(col("p_rank") <= col("kstar"), 1L).otherwise(0L)
+          .as("rejected"))
+  }
+
+  /** `stat33_levene` — Brown–Forsythe heteroscedasticity test (Levene
+    * 1960, median-centered per Brown & Forsythe 1974): are order-value
+    * SPREADS equal across the five order priorities? stat29's ANOVA
+    * compares means; this is the companion test its equal-variance
+    * assumption rests on — one-way ANOVA run on the absolute
+    * deviations z_ij = |x_ij − med_j| from each group's exact lower
+    * median (the prof5/stat22 median convention, rank-pinned).
+    *
+    * Scale shape: the per-group median is one rank window per group
+    * (the only sort; swap to approx_percentile at larger SF — the
+    * fence semantics survive, the oracle convention doesn't); the
+    * ANOVA tail is stat29's exact sufficient statistics — one
+    * map-side-combinable group rollup, k = 5 cells. x is quantized to
+    * whole DOLLARS (not cents) so Σz² stays long-safe past sf10;
+    * ss accumulates in DECIMAL(38,0) anyway (the eval10 convention)
+    * so even the 100 TB row count cannot overflow the sum. */
+  def stat33Levene(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir).select(
+      col("o_orderpriority").as("grp"), col("o_orderkey").as("okey"),
+      round(col("o_totalprice")).cast("long").as("x"))
+    val wG = Window.partitionBy(col("grp"))
+    val med = o
+      .withColumn("rn", row_number().over(wG
+        .orderBy(col("x").asc, col("okey").asc)))
+      .withColumn("n_g", count(lit(1)).over(wG))
+      .filter(col("rn") === expr("(n_g + 1) div 2"))
+      .select(col("grp"), col("x").as("med"))
+    val z = o.join(broadcast(med), "grp")
+      .select(col("grp"), abs(col("x") - col("med")).as("z"))
+    val grp = z.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_g"), sum(col("z")).as("s_g"),
+        sum((col("z") * col("z")).cast("decimal(38,0)")).as("ss_g"))
+      .select(col("n_g"), col("s_g"), col("ss_g"),
+        round(col("s_g").cast("double") * col("s_g").cast("double") /
+          col("n_g").cast("double")).cast("long").as("bterm"))
+    grp.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("s_g")).as("s"),
+        sum(col("ss_g")).as("ss"), sum(col("bterm")).as("bsum"))
+      .select(col("k"), col("n"),
+        (col("bsum").cast("double") -
+          col("s").cast("double") * col("s").cast("double") /
+            col("n").cast("double")).as("ssb"),
+        (col("ss").cast("double") - col("bsum").cast("double"))
+          .as("ssw"))
+      .select(col("k"), col("n"),
+        round(col("ssb") / 1e6, 2).as("ssb_mdollar2"),
+        round(col("ssw") / 1e6, 2).as("ssw_mdollar2"),
+        round(lit(1e6) * (col("ssb") / (col("k") - 1L).cast("double")) /
+          (col("ssw") / (col("n") - col("k")).cast("double")))
+          .cast("long").as("f_micros"))
+  }
 }
