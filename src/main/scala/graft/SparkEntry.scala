@@ -483,6 +483,8 @@ object SparkEntry {
     "ev26_survival"      -> (EventAnalytics.kmSurvival(_, _)),
     "stat32_bh_fdr"      -> (Relational.stat32BhFdr(_, _)),
     "stat33_levene"      -> (Relational.stat33Levene(_, _)),
+    "ml23_isotonic"      -> (Profiling.isotonicCalibration(_, _)),
+    "priv7_rand_response" -> (Privacy.randResponse(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6235,6 +6237,68 @@ object SparkEntry {
           ((CAST(ss AS DOUBLE) - CAST(bsum AS DOUBLE)) /
            CAST(n - k AS DOUBLE))) AS BIGINT) AS f_micros
       FROM t""",
+    // isotonic calibration via the integer minimax identity
+    // (Profiling.isotonicCalibration): max_j min_k of micro-quantized
+    // interval averages == the micro-quantized exact PAVA fit, since
+    // min/max commute with the nondecreasing round.
+    "ml23_isotonic" -> raw"""
+      WITH sc AS (SELECT
+          CAST(round(1e6 * (1.0 / (1.0 +
+            exp(-(CAST(($embScoreSql) AS DOUBLE) / 1e6))))) AS BIGINT)
+            AS pm,
+          CAST(label % 2 AS BIGINT) AS y
+        FROM embeddings),
+      cells AS (SELECT
+          least(CAST(floor(CAST(pm AS DOUBLE) / 31250.0) AS BIGINT),
+            CAST(31 AS BIGINT)) AS bin,
+          CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+        FROM sc GROUP BY 1),
+      cum AS (SELECT bin, n, pos,
+          CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+          CAST(sum(pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+        FROM cells),
+      ivals AS (SELECT j.bin AS jb, k.bin AS kb,
+          CAST(round(1e6 * CAST(k.cp - j.cp + j.pos AS DOUBLE) /
+            CAST(k.cn - j.cn + j.n AS DOUBLE)) AS BIGINT) AS wavg
+        FROM cum j JOIN cum k ON j.bin <= k.bin),
+      mn AS (SELECT i.bin, v.jb, min(v.wavg) AS mnv
+        FROM cum i JOIN ivals v ON v.jb <= i.bin AND v.kb >= i.bin
+        GROUP BY 1, 2),
+      iso AS (SELECT bin, CAST(max(mnv) AS BIGINT) AS iso_micros
+        FROM mn GROUP BY 1)
+      SELECT c.bin, c.n, c.pos AS n_pos,
+        CAST(round(1e6 * CAST(c.pos AS DOUBLE) / CAST(c.n AS DOUBLE))
+          AS BIGINT) AS raw_micros,
+        iso.iso_micros
+      FROM cum c JOIN iso USING (bin)""",
+    // Warner randomized response (Privacy.randResponse): md5-
+    // derandomized p = 3/4 coin per (type, user), debiased estimator,
+    // true fraction alongside as the utility audit.
+    "priv7_rand_response" -> raw"""
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      ty AS (SELECT DISTINCT event_type FROM events),
+      h AS (SELECT DISTINCT user_id, event_type FROM events),
+      grid AS (SELECT u.user_id, ty.event_type,
+          CASE WHEN h.user_id IS NOT NULL THEN 1 ELSE 0 END AS b
+        FROM u CROSS JOIN ty
+        LEFT JOIN h ON h.user_id = u.user_id
+          AND h.event_type = ty.event_type),
+      rr AS (SELECT event_type, b,
+          (b + CASE WHEN ('0x' || substr(md5('rr:' || event_type ||
+            ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 3
+            THEN 1 ELSE 0 END) % 2 AS r
+        FROM grid)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(b) AS BIGINT) AS true_yes,
+        CAST(sum(r) AS BIGINT) AS reported_yes,
+        CAST(round(1e6 * (CAST(sum(r) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE) - 0.25) / 0.5) AS BIGINT)
+          AS est_frac_micros,
+        CAST(round(1e6 * CAST(sum(b) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE)) AS BIGINT) AS true_frac_micros
+      FROM rr GROUP BY 1""",
   )
 
   // ---- shared DuckDB oracle fragments ----

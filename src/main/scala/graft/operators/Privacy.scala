@@ -285,4 +285,51 @@ object Privacy {
           .as("released_count"),
         col("epsilon_micros"), col("sensitivity"))
   }
+
+  /** `priv7_rand_response` — Warner's randomized response (1965), the
+    * LOCAL-DP mechanism the central mechanisms (priv4 Laplace, priv6
+    * exponential) can't replace: each subject perturbs their OWN bit
+    * before it ever reaches the aggregator, so no trusted curator
+    * exists anywhere. Per event type, the sensitive bit is "this user
+    * has ≥ 1 event of the type"; each (user, type) reports the truth
+    * with p = 3/4 and the flip with 1/4 (ε = ln 3 local DP), then the
+    * aggregate debiases: π̂ = (r/n − (1−p)) / (2p−1). The true count
+    * rides along as the utility audit (same pattern as priv6's true
+    * median) — at real deployment it would not be computable at all.
+    *
+    * Determinism: the coin is md5-derandomized per (type, user), so
+    * both engines flip the same subjects; everything else is integer
+    * counting plus one quantized divide per type row.
+    *
+    * Scale shape: one distinct (user, type) rollup, one user-list ×
+    * k-types grid via a broadcast type frame, one (type) aggregation
+    * — map-side combinable end to end. */
+  def randResponse(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.events(s, dir)
+    val users = e.select(col("user_id")).distinct()
+    val types = broadcast(e.select(col("event_type")).distinct())
+    val has = e.select(col("user_id"), col("event_type")).distinct()
+      .withColumn("b", lit(1L))
+    users.crossJoin(types)
+      .join(has, Seq("user_id", "event_type"), "left")
+      .select(col("user_id"), col("event_type"),
+        coalesce(col("b"), lit(0L)).as("b"))
+      .withColumn("flip",
+        when(pmod(call_function("md5_base60",
+          concat_ws("", lit("rr:"), col("event_type"), lit(":"),
+            col("user_id"))), lit(4L)) === 3L, 1L).otherwise(0L))
+      .withColumn("r",
+        (col("b") + col("flip")) % 2)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("b")).as("true_yes"),
+        sum(col("r")).as("reported_yes"))
+      .select(col("event_type"), col("n"), col("true_yes"),
+        col("reported_yes"),
+        round(lit(1e6) *
+          (col("reported_yes").cast("double") / col("n").cast("double")
+            - 0.25) / 0.5).cast("long").as("est_frac_micros"),
+        round(lit(1e6) * col("true_yes").cast("double") /
+          col("n").cast("double")).cast("long").as("true_frac_micros"))
+  }
 }

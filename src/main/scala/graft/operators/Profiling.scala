@@ -436,6 +436,69 @@ object Profiling {
         col("frac_pos_micros"), col("gap_micros"), col("ece_micros"))
   }
 
+  /** `ml23_isotonic` — isotonic (monotone non-decreasing) calibration
+    * of the ml12 sigmoid scores via the MINIMAX identity: the isotonic
+    * least-squares fit at bin i equals max_{j≤i} min_{k≥i} wavg(j..k)
+    * (Ayer et al. 1955) — the closed form of what PAVA computes by
+    * sequential pooling, restated as pure joins/aggregations because
+    * pool-adjacent-violators is inherently sequential and a shuffle
+    * engine wants set algebra, not a scan. The spec proves the
+    * identity by replaying classic PAVA driver-side and asserting
+    * bit-equality.
+    *
+    * Monotone-rounding argument (why quantizing EARLY is exact here):
+    * round is nondecreasing, and min/max commute with any
+    * nondecreasing function, so max_j min_k round(1e6·w(j,k)) =
+    * round(1e6 · max_j min_k w(j,k)) — the integer minimax over
+    * micro-quantized interval averages IS the micro-quantized exact
+    * fit, not an approximation of it.
+    *
+    * Scale shape: one data-sized map-side-combinable rollup to K = 32
+    * probability bins; the (j,k) interval frame is K(K+1)/2 = 528
+    * rows and the minimax triple ~K³/6 — driver-free, broadcast-only
+    * joins over model-sized frames, same class as the ALS normal
+    * equations. Output per bin: count, positives, raw rate, isotonic
+    * rate. */
+  def isotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val score = embScore
+    val p = lit(1.0) / (lit(1.0) + exp(-(score.cast("double") / lit(1e6))))
+    val all = Window.partitionBy(lit(1)).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cells = Tables.embeddings(s, dir)
+      .select(round(lit(1e6) * p).cast("long").as("pm"),
+        (col("label") % 2).cast("long").as("y"))
+      .withColumn("bin",
+        least(floor(col("pm").cast("double") / 31250.0).cast("long"),
+          lit(31L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .withColumn("cn", sum(col("n")).over(all))
+      .withColumn("cp", sum(col("pos")).over(all))
+      .localCheckpoint(true) // K-row model frame, reused three ways
+    val j = cells.select(col("bin").as("jb"), col("n").as("jn"),
+      col("pos").as("jp"), col("cn").as("jcn"), col("cp").as("jcp"))
+    val k = cells.select(col("bin").as("kb"), col("cn").as("kcn"),
+      col("cp").as("kcp"))
+    // interval j..k weighted average in micros, exact integers in
+    val ivals = j.join(k, col("jb") <= col("kb"))
+      .select(col("jb"), col("kb"),
+        round(lit(1e6) *
+          (col("kcp") - col("jcp") + col("jp")).cast("double") /
+          (col("kcn") - col("jcn") + col("jn")).cast("double"))
+          .cast("long").as("wavg"))
+    val i = cells.select(col("bin"), col("n"), col("pos"))
+    val inner = i.join(ivals,
+        col("jb") <= col("bin") && col("kb") >= col("bin"))
+      .groupBy(col("bin"), col("jb")).agg(min(col("wavg")).as("mn"))
+    val iso = inner.groupBy(col("bin")).agg(max(col("mn")).as("iso_micros"))
+    i.join(iso, "bin")
+      .select(col("bin"), col("n"), col("pos").as("n_pos"),
+        round(lit(1e6) * col("pos").cast("double") /
+          col("n").cast("double")).cast("long").as("raw_micros"),
+        col("iso_micros"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic on the `n_chars`
     * distribution between the md5-split halves — the numeric-drift
     * companion to [[driftPsi]]'s categorical check:

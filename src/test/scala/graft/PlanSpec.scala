@@ -498,6 +498,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("maxscore: UB and θ broadcast to the postings, top-k is " +
+    "TakeOrderedAndProject, pruning adds no data-sized sort") {
+    val p = plan(graft.operators.TextAnalysis.bm25MaxScore(
+      graft.Tables.documents(spark, sf), Seq("spark", "query", "filter")))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only window is the per-term θ ranking, partitioned by term —
+    // never a global single-partition sort of the postings
+    assert(p.contains("Window"), p)
+  }
+
+  test("km survival: one data-sized rollup, windows only over the " +
+    "calendar-bounded day frame") {
+    val p = plan(graft.operators.EventAnalytics.kmSurvival(spark, sf))
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("bh-fdr: the B×N expansion partial-aggregates map-side and " +
+    "the BH windows run over the m-row p frame") {
+    val p = plan(graft.operators.Relational.stat32BhFdr(spark, sf))
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortMergeJoin"), s"obs must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("isotonic: the minimax joins run over broadcast K-row model " +
+    "frames, never a shuffled data-sized join") {
+    val p = plan(graft.operators.Profiling.isotonicCalibration(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("ngram novelty: final join exchanges doc-keyed aggregates, " +
     "not the gram table") {
     val p = plan(graft.operators.TextAnalysis.ngramNovelty(spark, sf))
