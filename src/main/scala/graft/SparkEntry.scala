@@ -485,6 +485,8 @@ object SparkEntry {
     "stat33_levene"      -> (Relational.stat33Levene(_, _)),
     "ml23_isotonic"      -> (Profiling.isotonicCalibration(_, _)),
     "priv7_rand_response" -> (Privacy.randResponse(_, _)),
+    "ts10_holt_winters"  -> (EventAnalytics.holtWinters(_, _)),
+    "graph_ktruss"       -> (Graphs.ktruss(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6299,6 +6301,46 @@ object SparkEntry {
         CAST(round(1e6 * CAST(sum(b) AS DOUBLE) /
           CAST(count(*) AS DOUBLE)) AS BIGINT) AS true_frac_micros
       FROM rr GROUP BY 1""",
+    // Additive Holt–Winters (EventAnalytics.holtWinters): the ts7
+    // level+trend recursion extended with a 7-long seasonal LIST
+    // carried through the recursive CTE; dyadic weights keep every
+    // update integer-exact, // truncates toward zero in both engines.
+    "ts10_holt_winters" -> raw"""
+      WITH RECURSIVE daily AS (SELECT CAST(ts AS DATE) AS d,
+          CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+      idx AS (SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT)
+            AS i, strftime(d, '%Y-%m-%d') AS d, x,
+          x * 1000000 AS xm FROM daily),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+      init AS (SELECT
+          CAST((SELECT sum(xm) FROM idx WHERE i <= 7) // 7 AS BIGINT)
+            AS l0,
+          CAST(((SELECT sum(xm) FROM idx WHERE i > 7 AND i <= 14) -
+            (SELECT sum(xm) FROM idx WHERE i <= 7)) // 49 AS BIGINT)
+            AS b0),
+      hw AS (
+        SELECT CAST(7 AS BIGINT) AS i, '' AS d, CAST(0 AS BIGINT) AS x,
+          l0 AS l, b0 AS b, CAST(0 AS BIGINT) AS sn,
+          (SELECT list(xm - l0 ORDER BY i) FROM idx WHERE i <= 7) AS sl
+        FROM init
+        UNION ALL
+        SELECT o.i, o.d, o.x,
+          (o.xm - h.sl[1] + h.l + h.b) // 2,
+          (3 * h.b + ((o.xm - h.sl[1] + h.l + h.b) // 2 - h.l)) // 4,
+          (3 * h.sl[1] + (o.xm -
+            (o.xm - h.sl[1] + h.l + h.b) // 2)) // 4,
+          list_concat(h.sl[2:7],
+            [(3 * h.sl[1] + (o.xm -
+              (o.xm - h.sl[1] + h.l + h.b) // 2)) // 4])
+        FROM hw h JOIN idx o ON o.i = h.i + 1),
+      lastrow AS (SELECT l + 7 * b + sl[7] AS fc FROM hw
+        WHERE i = (SELECT n FROM nn))
+      SELECT d, x, CAST(l AS BIGINT) AS level_micros,
+        CAST(b AS BIGINT) AS trend_micros,
+        CAST(sn AS BIGINT) AS seasonal_micros,
+        CAST(fc AS BIGINT) AS forecast_h7_micros
+      FROM hw CROSS JOIN lastrow WHERE i >= 8""",
+    "graph_ktruss" -> ktrussSql,
   )
 
   // ---- shared DuckDB oracle fragments ----
@@ -6308,6 +6350,49 @@ object SparkEntry {
     * round count; every round CTE is MATERIALIZED (each is referenced
     * three times — without the hint DuckDB re-inlines the chain
     * exponentially). */
+  /** 6-round 4-truss peel (operators.Graphs.ktruss) over the hub-
+    * concentrated md5 "kt:" graph; per round the support recompute is
+    * the adjacency wedge join on the surviving edge set, and the
+    * final readout re-derives support inside the truss. */
+  private def ktrussSql: String = {
+    val k = 4
+    val rounds = (1 to 6).map { r =>
+      val p = s"e${r - 1}"
+      raw"""adj$r AS (SELECT a AS u, b AS v FROM $p
+          UNION ALL SELECT b, a FROM $p),
+      sup$r AS (SELECT e.a, e.b, count(*) AS sup FROM $p e
+        JOIN adj$r x ON x.u = e.a
+        JOIN adj$r y ON y.u = e.b AND y.v = x.v
+        GROUP BY 1, 2),
+      e$r AS MATERIALIZED (SELECT a, b FROM sup$r
+        WHERE sup >= ${k - 2})"""
+    }.mkString(",\n      ")
+    raw"""
+      WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      dg AS (SELECT doc_id,
+          3 + ('0x' || substr(md5('kt:' || CAST(doc_id AS VARCHAR)),
+            1, 15))::BIGINT % 6 AS outdeg
+        FROM documents),
+      raw0 AS (SELECT doc_id AS src,
+          ('0x' || substr(md5('kt:' || CAST(doc_id AS VARCHAR) || ':' ||
+            CAST(j AS VARCHAR)), 1, 15))::BIGINT %
+            greatest(n // 8, 1) AS dst
+        FROM (SELECT doc_id, unnest(range(0, outdeg)) AS j FROM dg),
+          nn),
+      e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+          greatest(src, dst) AS b
+        FROM raw0 WHERE src <> dst),
+      $rounds,
+      adjF AS (SELECT a AS u, b AS v FROM e6
+        UNION ALL SELECT b, a FROM e6),
+      supF AS (SELECT e.a, e.b, count(*) AS sup FROM e6 e
+        JOIN adjF x ON x.u = e.a
+        JOIN adjF y ON y.u = e.b AND y.v = x.v
+        GROUP BY 1, 2)
+      SELECT e.a, e.b, CAST(coalesce(s.sup, 0) AS BIGINT) AS sup
+      FROM e6 e LEFT JOIN supF s ON s.a = e.a AND s.b = e.b"""
+  }
+
   private def kcoreSql: String = {
     val k = 4
     val rounds = (1 to 10).map { r =>

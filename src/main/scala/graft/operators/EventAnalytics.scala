@@ -1159,6 +1159,64 @@ object EventAnalytics {
         lit(out.last._3 + horizon * out.last._4))
   }
 
+  /** `ts10_holt_winters` — additive Holt–Winters (triple exponential
+    * smoothing) on the daily event count: [[holt]]'s level+trend
+    * recursion extended with a period-`season` seasonal component,
+    * the model that actually fits traffic data (ev14 shows the
+    * day-of-week effect is real; Holt alone chases it as trend
+    * error). Dyadic smoothing weights (α = ½, β = γ = ¼) keep every
+    * update an exact integer expression in micro space — truncated
+    * division matches between engines (verified on negative
+    * operands, which seasonals hit constantly):
+    *
+    *   l_t = (x_t − s_{t−m} + l_{t−1} + b_{t−1}) / 2
+    *   b_t = (3·b_{t−1} + (l_t − l_{t−1})) / 4
+    *   s_t = (3·s_{t−m} + (x_t − l_t)) / 4
+    *
+    * Init: l = mean of week 1, b = (mean week 2 − mean week 1)/m,
+    * s_i = x_i − l for the first week. Emits rows from day m+1 with
+    * the h = 7 forecast l_n + 7·b_n + s_n alongside (the seasonal
+    * index 7 days out is day n's own). Needs ≥ 2m days — degrades to
+    * an empty frame below that, like [[holt]]'s empty-corpus guard.
+    *
+    * Scale shape: identical to ts7 — the series is calendar-bounded
+    * (one map-side-combinable date rollup, ≤ #days rows collected),
+    * so the sequential recursion runs on the driver over a frame
+    * that CANNOT grow with corpus size; the 100 TB cost is the
+    * rollup, not the loop. */
+  def holtWinters(s: SparkSession, dir: String, season: Int = 7,
+                  horizon: Int = 7): DataFrame = {
+    val rows = dailyCounts(s, dir)
+      .select(date_format(col("d"), "yyyy-MM-dd").as("d"), col("x"))
+      .orderBy(col("d")).collect()
+    import s.implicits._
+    if (rows.length < 2 * season)
+      return Seq.empty[(String, Long, Long, Long, Long, Long)]
+        .toDF("d", "x", "level_micros", "trend_micros",
+          "seasonal_micros", "forecast_h7_micros")
+    val xs = rows.map(_.getLong(1) * 1000000L)
+    val sum1 = xs.take(season).sum
+    val sum2 = xs.slice(season, 2 * season).sum
+    var l = sum1 / season
+    var b = (sum2 - sum1) / (season.toLong * season)
+    val sbuf = scala.collection.mutable.Queue(
+      xs.take(season).map(_ - l): _*)
+    val out = (season until rows.length).map { t =>
+      val xm = xs(t)
+      val sm = sbuf.dequeue()
+      val lPrev = l
+      l = (xm - sm + l + b) / 2
+      b = (3 * b + (l - lPrev)) / 4
+      val sNew = (3 * sm + (xm - l)) / 4
+      sbuf.enqueue(sNew)
+      (rows(t).getString(0), rows(t).getLong(1), l, b, sNew)
+    }
+    val fc = out.last._3 + horizon * out.last._4 + sbuf.last
+    out.toDF("d", "x", "level_micros", "trend_micros",
+        "seasonal_micros")
+      .withColumn("forecast_h7_micros", lit(fc))
+  }
+
   /** RFM cell-grid rollup — the SEGMENT-level view beside
     * [[rfmScores]]' per-user scores (ev5 answers "what is this user's
     * RFM?", this answers "how big and how valuable is each segment?"

@@ -847,6 +847,92 @@ object Graphs {
       .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
   }
 
+  /** `graph_ktruss` — bounded k-truss peel (Cohen 2008), the EDGE-
+    * level density backbone beside [[kcore]]'s node-level one:
+    * repeatedly delete edges supported by < k−2 triangles in the
+    * CURRENT subgraph (each deletion can break other edges'
+    * triangles) for `rounds` synchronous passes. The truss is the
+    * stricter community core — a k-core can be triangle-free, a
+    * k-truss cannot — and the r-round peel is well-defined on both
+    * engines whether or not the cascade has converged (peeling is
+    * idempotent after fixpoint, so the early-exit on a stable edge
+    * count changes nothing).
+    *
+    * The kcore fixture graph is too sparse to cascade (one pass kills
+    * every weak edge), so the truss derives its own hub-concentrated
+    * md5 graph: node i emits 3 + (h60("kt:i") mod 6) edges into the
+    * first ⌈N/8⌉ ids — dense enough that removing one edge keeps
+    * breaking neighbors for many rounds. Output: the surviving edges
+    * with their support INSIDE the surviving subgraph.
+    *
+    * Scale shape: per round, support = the standard adjacency wedge
+    * join (the triangle-counting shape, hash-partitioned on node
+    * ids, (node, node) longs only) + one filter; rounds materialize
+    * via eager localCheckpoint with the kcore loop discipline. At a
+    * 100 TB edge set the wedge join is the cost — the same low-
+    * degree-apex ordering [[triangles]] uses applies verbatim. */
+  def ktruss(s: SparkSession, dir: String, k: Int = 4,
+             rounds: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sc = s.sparkContext
+    val preexisting = sc.getPersistentRDDs.keySet
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val raw = docs
+      .crossJoin(broadcast(Tables.documents(s, dir)
+        .agg(count(lit(1)).as("n_docs"))))
+      .select(col("doc_id"), col("n_docs"),
+        explode(sequence(lit(0L),
+          lit(2L) + pmod(call_function("md5_base60",
+            concat(lit("kt:"), col("doc_id"))), lit(6L)))).as("j"))
+      .select(col("doc_id").as("src"),
+        pmod(call_function("md5_base60",
+          concat(lit("kt:"), col("doc_id"), lit(":"), col("j"))),
+          greatest(expr("n_docs DIV 8"), lit(1L))).as("dst"))
+      .filter(col("dst") =!= col("src"))
+    def support(edges: DataFrame): DataFrame = {
+      val adj = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      edges.as("e")
+        .join(adj.as("x"), col("x.u") === col("e.a"))
+        .join(adj.as("y"),
+          col("y.u") === col("e.b") && col("y.v") === col("x.v"))
+        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+        .agg(count(lit(1)).as("sup"))
+    }
+    val finalPath = s"/tmp/graft_stage_ktruss_v1_k${k}_r${rounds}_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    try {
+      var live = raw
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+        .localCheckpoint(true)
+      var n = live.count()
+      var r = 0
+      var done = false
+      while (!done && r < rounds) {
+        val next = support(live)
+          .filter(col("sup") >= k - 2)
+          .select(col("a"), col("b"))
+          .localCheckpoint(true)
+        val nNext = next.count()
+        done = nNext == n
+        live = next
+        n = nNext
+        r += 1
+      }
+      live.join(support(live), Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("sup"), lit(0L)).as("sup"))
+        .write.mode("overwrite").parquet(finalPath)
+    } finally {
+      sc.getPersistentRDDs
+        .filterNot { case (id, _) => preexisting(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
+    s.read.parquet(finalPath).select(col("a"), col("b"), col("sup"))
+  }
+
   /** `graph_betweenness` — sampled, depth-capped betweenness
     * centrality via Brandes' dependency accumulation (Brandes 2001;
     * the k-bounded pivot-sample approximation of Bader et al. / the
