@@ -487,6 +487,9 @@ object SparkEntry {
     "priv7_rand_response" -> (Privacy.randResponse(_, _)),
     "ts10_holt_winters"  -> (EventAnalytics.holtWinters(_, _)),
     "graph_ktruss"       -> (Graphs.ktruss(_, _)),
+    "samp12_horvitz_thompson" -> (Sampling.horvitzThompson(_, _)),
+    "ev27_cuped"         -> (EventAnalytics.cuped(_, _)),
+    "stat34_mcnemar"     -> (Profiling.mcnemar(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6341,6 +6344,88 @@ object SparkEntry {
         CAST(fc AS BIGINT) AS forecast_h7_micros
       FROM hw CROSS JOIN lastrow WHERE i >= 8""",
     "graph_ktruss" -> ktrussSql,
+    // PPS Poisson sampling + Horvitz–Thompson total
+    // (Sampling.horvitzThompson): micro-quantized inclusion
+    // probabilities, md5 coin, per-term rounding before the sum.
+    "samp12_horvitz_thompson" -> raw"""
+      WITH st AS (SELECT CAST(count(*) AS BIGINT) AS n_pop,
+          CAST(sum(n_chars) AS BIGINT) AS true_total FROM documents),
+      s AS (SELECT doc_id, n_chars, n_pop, true_total,
+          CAST(round(CAST(n_pop AS DOUBLE) * 50 / 1000.0) AS BIGINT)
+            AS n_target
+        FROM documents, st),
+      p AS (SELECT doc_id, n_chars, n_pop, true_total,
+          least(1000000, CAST(round(1e6 * CAST(n_target AS DOUBLE) *
+            CAST(n_chars AS DOUBLE) / CAST(true_total AS DOUBLE))
+            AS BIGINT)) AS pm
+        FROM s),
+      f AS (SELECT * FROM p
+        WHERE ('0x' || substr(md5('ht:' || CAST(doc_id AS VARCHAR)),
+          1, 15))::BIGINT % 1000000 < pm),
+      agg AS (SELECT n_pop, CAST(count(*) AS BIGINT) AS n_sampled,
+          true_total,
+          CAST(sum(CAST(round(1e6 * CAST(n_chars AS DOUBLE) /
+            CAST(pm AS DOUBLE)) AS BIGINT)) AS BIGINT) AS ht_total
+        FROM f GROUP BY n_pop, true_total)
+      SELECT n_pop, n_sampled, true_total, ht_total,
+        CAST(round(1e6 * CAST(abs(ht_total - true_total) AS DOUBLE) /
+          CAST(true_total AS DOUBLE)) AS BIGINT) AS rel_err_micros
+      FROM agg""",
+    // CUPED variance reduction (EventAnalytics.cuped): one pass of
+    // exact integer sufficient statistics; the adjusted variance is
+    // the analytic var(Y) − cov²/var(X).
+    "ev27_cuped" -> raw"""
+      WITH pu AS (SELECT user_id,
+          CAST(sum(CASE WHEN dayofmonth(ts) <= 15
+            THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS x,
+          CAST(sum(CASE WHEN dayofmonth(ts) > 15
+            THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM pu),
+      c AS (SELECT n,
+          CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+            / CAST(n AS DOUBLE) AS covxy,
+          CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+            / CAST(n AS DOUBLE) AS varx,
+          CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+            / CAST(n AS DOUBLE) AS vary
+        FROM m)
+      SELECT n,
+        CAST(round(1e6 * covxy / varx) AS BIGINT) AS theta_micros,
+        round(vary / CAST(n AS DOUBLE), 2) AS var_y_cents2,
+        round((vary - covxy * covxy / varx) / CAST(n AS DOUBLE), 2)
+          AS var_adj_cents2,
+        CAST(round(1e6 * covxy * covxy / (varx * vary)) AS BIGINT)
+          AS reduction_micros
+      FROM c""",
+    // McNemar's paired classifier test (Profiling.mcnemar): A = the
+    // shared ml1x score, B = the dims-9–16 twin, continuity-corrected
+    // statistic over the discordant cells only.
+    "stat34_mcnemar" -> raw"""
+      WITH sc AS (SELECT CAST(label % 2 AS BIGINT) AS y,
+          CASE WHEN ($embScoreSql) > 0 THEN 1 ELSE 0 END AS pa,
+          CASE WHEN ($embScoreBSql) > 0 THEN 1 ELSE 0 END AS pb
+        FROM embeddings),
+      r AS (SELECT CASE WHEN pa = y THEN 1 ELSE 0 END AS ra,
+          CASE WHEN pb = y THEN 1 ELSE 0 END AS rb FROM sc),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS b,
+          CAST(sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS c
+        FROM r)
+      SELECT n, b, c,
+        CASE WHEN b + c > 0
+          THEN CAST(round(1e6 * CAST(abs(b - c) - 1 AS DOUBLE) *
+            CAST(abs(b - c) - 1 AS DOUBLE) / CAST(b + c AS DOUBLE))
+            AS BIGINT)
+          ELSE CAST(0 AS BIGINT) END AS chi2_micros
+      FROM t""",
   )
 
   // ---- shared DuckDB oracle fragments ----
@@ -7120,6 +7205,12 @@ object SparkEntry {
     * by ml10/ml11/ml12. DuckDB lists are 1-based where the Spark apply
     * is 0-based: embedding[1..8] here mirrors dims 0–7. */
   private def embScoreSql: String = (1 to 8)
+    .map(k => s"CAST(round(CAST(embedding[$k] AS DOUBLE) * 1e6) AS BIGINT)")
+    .mkString(" + ")
+
+  /** McNemar's "classifier B": the embScore construction over dims
+    * 9–16 (1-based 9..16 here mirrors the Spark 0-based 8..15). */
+  private def embScoreBSql: String = (9 to 16)
     .map(k => s"CAST(round(CAST(embedding[$k] AS DOUBLE) * 1e6) AS BIGINT)")
     .mkString(" + ")
 

@@ -1217,6 +1217,62 @@ object EventAnalytics {
       .withColumn("forecast_h7_micros", lit(fc))
   }
 
+  /** `ev27_cuped` — CUPED variance reduction (Deng et al. 2013), the
+    * experimentation-platform primitive: adjust each user's
+    * experiment-period metric Y by their PRE-period covariate X,
+    * Y' = Y − θ(X − X̄) with θ = cov(X,Y)/var(X), and the metric
+    * variance drops by exactly ρ² — which means an A/B test needs
+    * (1−ρ²)× the sample for the same power. Here X = first-half-of-
+    * month purchase cents per user, Y = second-half cents; the
+    * adjusted variance comes from the ANALYTIC identity var(Y') =
+    * var(Y) − cov²/var(X), so ONE pass of exact sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx², Σy² — integer cents, the stat29
+    * convention) yields θ, both variances, and the reduction; no
+    * second adjusted-data pass exists to drift.
+    *
+    * Scale shape: one user-keyed aggregation over events (map-side
+    * combined), one 1-row moment rollup; Σxy and the squares
+    * accumulate in DECIMAL(38,0) (the eval10 convention) so user
+    * counts at any SF cannot overflow the cross-moments. */
+  def cuped(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val perUser = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(dayofmonth(col("ts")) <= 15,
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("x"),
+        sum(when(dayofmonth(col("ts")) > 15,
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("y"))
+    val m = perUser.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+    m.select(col("n"),
+        (col("sxy").cast("double") - col("sx").cast("double") *
+          col("sy").cast("double") / col("n").cast("double"))
+          .as("covxy"),
+        (col("sxx").cast("double") - col("sx").cast("double") *
+          col("sx").cast("double") / col("n").cast("double"))
+          .as("varx"),
+        (col("syy").cast("double") - col("sy").cast("double") *
+          col("sy").cast("double") / col("n").cast("double"))
+          .as("vary"))
+      .select(col("n"),
+        round(lit(1e6) * col("covxy") / col("varx")).cast("long")
+          .as("theta_micros"),
+        round(col("vary") / col("n").cast("double"), 2)
+          .as("var_y_cents2"),
+        round((col("vary") - col("covxy") * col("covxy") /
+          col("varx")) / col("n").cast("double"), 2)
+          .as("var_adj_cents2"),
+        round(lit(1e6) * col("covxy") * col("covxy") /
+          (col("varx") * col("vary"))).cast("long")
+          .as("reduction_micros"))
+  }
+
   /** RFM cell-grid rollup — the SEGMENT-level view beside
     * [[rfmScores]]' per-user scores (ev5 answers "what is this user's
     * RFM?", this answers "how big and how valuable is each segment?"

@@ -499,6 +499,45 @@ object Profiling {
         col("iso_micros"))
   }
 
+  /** `stat34_mcnemar` — McNemar's paired test (1947) comparing two
+    * classifiers on the SAME examples: classifier A = the shared
+    * ml1x score (dims 1–8), classifier B = the same construction on
+    * dims 9–16, both thresholded at 0. Accuracy deltas on paired
+    * predictions are driven ONLY by the discordant cells — b (A
+    * right, B wrong) and c (A wrong, B right) — and the continuity-
+    * corrected statistic (|b−c|−1)²/(b+c) is χ²₁ under exchangeable
+    * disagreement. The unpaired-test mistake (treating the two
+    * accuracy estimates as independent samples) overstates n by the
+    * concordant mass; this face is the correct pairing.
+    *
+    * Scale shape: one narrow projection + one 1-row aggregation —
+    * four integer cell counts, one quantized divide. */
+  def mcnemar(s: SparkSession, dir: String): DataFrame = {
+    val scoreB = (8 until 16)
+      .map(k => round(col("embedding")(k).cast("double") * 1e6)
+        .cast("long"))
+      .reduce(_ + _)
+    Tables.embeddings(s, dir)
+      .select((col("label") % 2).cast("long").as("y"),
+        when(embScore > 0, 1L).otherwise(0L).as("pa"),
+        when(scoreB > 0, 1L).otherwise(0L).as("pb"))
+      .select(col("y"),
+        (col("pa") === col("y")).cast("long").as("ra"),
+        (col("pb") === col("y")).cast("long").as("rb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ra") === 1 && col("rb") === 0, 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col("ra") === 0 && col("rb") === 1, 1L).otherwise(0L))
+          .as("c"))
+      .select(col("n"), col("b"), col("c"),
+        when(col("b") + col("c") > 0,
+          round(lit(1e6) *
+            (abs(col("b") - col("c")) - 1L).cast("double") *
+            (abs(col("b") - col("c")) - 1L).cast("double") /
+            (col("b") + col("c")).cast("double")).cast("long"))
+          .otherwise(0L).as("chi2_micros"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic on the `n_chars`
     * distribution between the md5-split halves — the numeric-drift
     * companion to [[driftPsi]]'s categorical check:

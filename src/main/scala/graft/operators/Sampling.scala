@@ -296,4 +296,52 @@ object Sampling {
       .orderBy(col("key_micros").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** `samp12_horvitz_thompson` — probability-proportional-to-size
+    * (PPS) Poisson sampling with the Horvitz–Thompson estimator
+    * (1952), the design-based answer to "sample 5% of the corpus but
+    * keep the totals unbiased": document i enters with inclusion
+    * probability π_i ∝ n_chars (capped at 1), and the total-character
+    * estimate Σ_{i∈S} size_i/π_i is unbiased BY CONSTRUCTION, however
+    * skewed the sizes are — where uniform sampling's estimate would
+    * need a variance correction, HT needs none. True total rides
+    * along as the audit (the priv6/priv7 pattern).
+    *
+    * Determinism: π is quantized to micros (pm = ⌊1e6·π⌉), the coin
+    * is md5-derandomized per doc against pm, and each HT term
+    * size·1e6/pm is rounded before the integer sum — both engines
+    * select the identical sample and sum identical longs.
+    *
+    * Scale shape: one broadcast 1-row stats frame, one narrow filter
+    * (no shuffle at all until the final 1-row aggregation), map-side
+    * combinable end to end. */
+  def horvitzThompson(s: SparkSession, dir: String,
+                      targetPermille: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"))
+    val stats = broadcast(d.agg(count(lit(1)).as("n_pop"),
+      sum(col("n_chars")).as("true_total")))
+    d.crossJoin(stats)
+      .withColumn("n_target",
+        round(col("n_pop").cast("double") * targetPermille / 1000.0)
+          .cast("long"))
+      .withColumn("pm", least(lit(1000000L),
+        round(lit(1e6) * col("n_target").cast("double") *
+          col("n_chars").cast("double") /
+          col("true_total").cast("double")).cast("long")))
+      .filter(pmod(call_function("md5_base60",
+        concat(lit("ht:"), col("doc_id"))), lit(1000000L)) < col("pm"))
+      .select(col("n_pop"), col("true_total"),
+        round(lit(1e6) * col("n_chars").cast("double") /
+          col("pm").cast("double")).cast("long").as("term"))
+      .groupBy(col("n_pop"), col("true_total"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("term")).as("ht_total"))
+      .select(col("n_pop"), col("n_sampled"), col("true_total"),
+        col("ht_total"),
+        round(lit(1e6) *
+          abs(col("ht_total") - col("true_total")).cast("double") /
+          col("true_total").cast("double")).cast("long")
+          .as("rel_err_micros"))
+  }
 }
