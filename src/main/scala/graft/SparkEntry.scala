@@ -490,6 +490,8 @@ object SparkEntry {
     "samp12_horvitz_thompson" -> (Sampling.horvitzThompson(_, _)),
     "ev27_cuped"         -> (EventAnalytics.cuped(_, _)),
     "stat34_mcnemar"     -> (Profiling.mcnemar(_, _)),
+    "stat35_cohens_kappa" -> (Profiling.cohensKappa(_, _)),
+    "stat36_theil"       -> (Relational.stat36Theil(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6426,6 +6428,77 @@ object SparkEntry {
             AS BIGINT)
           ELSE CAST(0 AS BIGINT) END AS chi2_micros
       FROM t""",
+    // Cohen's κ over the same classifier pair (Profiling.cohensKappa)
+    "stat35_cohens_kappa" -> raw"""
+      WITH sc AS (SELECT
+          CASE WHEN ($embScoreSql) > 0 THEN 1 ELSE 0 END AS pa,
+          CASE WHEN ($embScoreBSql) > 0 THEN 1 ELSE 0 END AS pb
+        FROM embeddings),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN pa = pb THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_agree,
+          CAST(sum(pa) AS BIGINT) AS a1, CAST(sum(pb) AS BIGINT) AS b1
+        FROM sc)
+      SELECT n, n_agree,
+        CAST(round(1e6 * CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE))
+          AS BIGINT) AS po_micros,
+        CAST(round(1e6 *
+          (CAST(a1 AS DOUBLE) * CAST(b1 AS DOUBLE) +
+            CAST(n - a1 AS DOUBLE) * CAST(n - b1 AS DOUBLE)) /
+          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT)
+          AS pe_micros,
+        CAST(round(1e6 *
+          (CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) -
+            (CAST(a1 AS DOUBLE) * CAST(b1 AS DOUBLE) +
+              CAST(n - a1 AS DOUBLE) * CAST(n - b1 AS DOUBLE)) /
+            (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) /
+          (1.0 -
+            (CAST(a1 AS DOUBLE) * CAST(b1 AS DOUBLE) +
+              CAST(n - a1 AS DOUBLE) * CAST(n - b1 AS DOUBLE)) /
+            (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) AS BIGINT)
+          AS kappa_micros
+      FROM t""",
+    // Theil-T inequality with the within/between decomposition
+    // (Relational.stat36Theil): per-doc terms micro-quantized before
+    // the group integer sum, k-row share/between arithmetic.
+    "stat36_theil" -> raw"""
+      WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x
+        FROM documents),
+      grp AS (SELECT source, CAST(count(*) AS BIGINT) AS n_g,
+          CAST(sum(x) AS BIGINT) AS x_g FROM d GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+          CAST(sum(x_g) AS BIGINT) AS xt FROM grp),
+      w AS (SELECT d.source,
+          CAST(sum(CAST(round(1e6 *
+            (CAST(d.x AS DOUBLE) * CAST(g.n_g AS DOUBLE) /
+              CAST(g.x_g AS DOUBLE)) *
+            ln(CAST(d.x AS DOUBLE) * CAST(g.n_g AS DOUBLE) /
+              CAST(g.x_g AS DOUBLE))) AS BIGINT)) AS BIGINT)
+            AS sum_term
+        FROM d JOIN grp g USING (source) GROUP BY 1),
+      rows_ AS (SELECT g.source, g.n_g,
+          CAST(round(1e6 * CAST(g.x_g AS DOUBLE) /
+            CAST(t.xt AS DOUBLE)) AS BIGINT) AS share_micros,
+          CAST(round(CAST(w.sum_term AS DOUBLE) /
+            CAST(g.n_g AS DOUBLE)) AS BIGINT) AS theil_g_micros,
+          CAST(round((CAST(g.x_g AS DOUBLE) / CAST(t.xt AS DOUBLE)) *
+            CAST(w.sum_term AS DOUBLE) / CAST(g.n_g AS DOUBLE))
+            AS BIGINT) AS within_micros,
+          CAST(round(1e6 *
+            (CAST(g.x_g AS DOUBLE) / CAST(t.xt AS DOUBLE)) *
+            ln((CAST(g.x_g AS DOUBLE) / CAST(t.xt AS DOUBLE)) *
+              CAST(t.n AS DOUBLE) / CAST(g.n_g AS DOUBLE)))
+            AS BIGINT) AS between_micros
+        FROM grp g JOIN w USING (source) CROSS JOIN tot t)
+      SELECT source, n_g, share_micros, theil_g_micros, within_micros,
+        between_micros,
+        CAST(sum(within_micros) OVER () AS BIGINT)
+          AS total_within_micros,
+        CAST(sum(between_micros) OVER () AS BIGINT)
+          AS total_between_micros,
+        CAST(sum(within_micros) OVER () + sum(between_micros) OVER ()
+          AS BIGINT) AS theil_total_micros
+      FROM rows_""",
   )
 
   // ---- shared DuckDB oracle fragments ----

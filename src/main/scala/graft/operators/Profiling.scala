@@ -538,6 +538,51 @@ object Profiling {
           .otherwise(0L).as("chi2_micros"))
   }
 
+  /** `stat35_cohens_kappa` — Cohen's κ (1960) between [[mcnemar]]'s
+    * two classifiers: chance-corrected agreement. Raw agreement p_o
+    * flatters any pair that both predict the majority class; κ
+    * subtracts the agreement p_e the marginals would produce by
+    * chance, κ = (p_o − p_e)/(1 − p_e). Computed from the four
+    * integer cells of the A×B prediction contingency table — one
+    * aggregation, exact until the two quantized divides.
+    *
+    * Scale shape: identical to [[mcnemar]] — narrow projection, one
+    * 1-row rollup. */
+  def cohensKappa(s: SparkSession, dir: String): DataFrame = {
+    val scoreB = (8 until 16)
+      .map(k => round(col("embedding")(k).cast("double") * 1e6)
+        .cast("long"))
+      .reduce(_ + _)
+    Tables.embeddings(s, dir)
+      .select(when(embScore > 0, 1L).otherwise(0L).as("pa"),
+        when(scoreB > 0, 1L).otherwise(0L).as("pb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pa") === col("pb"), 1L).otherwise(0L))
+          .as("n_agree"),
+        sum(col("pa")).as("a1"), sum(col("pb")).as("b1"))
+      .select(col("n"), col("n_agree"),
+        round(lit(1e6) * col("n_agree").cast("double") /
+          col("n").cast("double")).cast("long").as("po_micros"),
+        round(lit(1e6) *
+          (col("a1").cast("double") * col("b1").cast("double") +
+            (col("n") - col("a1")).cast("double") *
+            (col("n") - col("b1")).cast("double")) /
+          (col("n").cast("double") * col("n").cast("double")))
+          .cast("long").as("pe_micros"),
+        round(lit(1e6) *
+          (col("n_agree").cast("double") / col("n").cast("double") -
+            (col("a1").cast("double") * col("b1").cast("double") +
+              (col("n") - col("a1")).cast("double") *
+              (col("n") - col("b1")).cast("double")) /
+            (col("n").cast("double") * col("n").cast("double"))) /
+          (lit(1.0) -
+            (col("a1").cast("double") * col("b1").cast("double") +
+              (col("n") - col("a1")).cast("double") *
+              (col("n") - col("b1")).cast("double")) /
+            (col("n").cast("double") * col("n").cast("double"))))
+          .cast("long").as("kappa_micros"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic on the `n_chars`
     * distribution between the md5-split halves — the numeric-drift
     * companion to [[driftPsi]]'s categorical check:

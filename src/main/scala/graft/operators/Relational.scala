@@ -2377,4 +2377,57 @@ object Relational {
           (col("ssw") / (col("n") - col("k")).cast("double")))
           .cast("long").as("f_micros"))
   }
+
+  /** `stat36_theil` — Theil-T inequality index of document length by
+    * source, WITH its additive decomposition (Theil 1967): T =
+    * Σ_g s_g·T_g (within) + Σ_g s_g·ln(s_g·n/n_g) (between), where
+    * s_g is group g's share of total characters. This is the property
+    * the Gini family (stat12/stat24) structurally lacks — Gini does
+    * not decompose additively by subgroup, so "how much of corpus
+    * length inequality is BETWEEN sources vs WITHIN them" (the
+    * data-mixture budgeting question) needs Theil.
+    *
+    * Determinism: each per-doc term (x·n_g/X_g)·ln(x·n_g/X_g) is
+    * micro-quantized before its group integer sum (the zipf/KM ln
+    * convention); the k-row share/between terms quantize the same
+    * way; every row carries the window-summed within/between/total so
+    * the decomposition is readable per source. n_chars ≥ 1 in this
+    * corpus, so ln never sees 0 (a zero-length doc would need the
+    * x ln x → 0 continuity patch; guard documented, not needed).
+    *
+    * Scale shape: one broadcast k-row group-stats frame joined back
+    * to the data (no shuffle before the group rollup — the join key
+    * is the group), then k-row windows. */
+  def stat36Theil(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars").cast("long").as("x"))
+    val grp = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("x_g"))
+    val tot = grp.agg(sum(col("n_g")).as("n"), sum(col("x_g")).as("xt"))
+    val ratio = col("x").cast("double") * col("n_g").cast("double") /
+      col("x_g").cast("double")
+    val within = d.join(broadcast(grp), "source")
+      .select(col("source"),
+        round(lit(1e6) * ratio * log(ratio)).cast("long").as("term"))
+      .groupBy(col("source")).agg(sum(col("term")).as("sum_term"))
+    val share = col("x_g").cast("double") / col("xt").cast("double")
+    val all = Window.partitionBy(lit(1))
+    grp.join(within, "source").crossJoin(broadcast(tot))
+      .select(col("source"), col("n_g"),
+        round(lit(1e6) * share).cast("long").as("share_micros"),
+        round(col("sum_term").cast("double") /
+          col("n_g").cast("double")).cast("long").as("theil_g_micros"),
+        round(share * col("sum_term").cast("double") /
+          col("n_g").cast("double")).cast("long").as("within_micros"),
+        round(lit(1e6) * share *
+          log(share * col("n").cast("double") /
+            col("n_g").cast("double"))).cast("long").as("between_micros"))
+      .withColumn("total_within_micros",
+        sum(col("within_micros")).over(all))
+      .withColumn("total_between_micros",
+        sum(col("between_micros")).over(all))
+      .withColumn("theil_total_micros",
+        col("total_within_micros") + col("total_between_micros"))
+  }
 }
