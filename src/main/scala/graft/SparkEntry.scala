@@ -492,6 +492,7 @@ object SparkEntry {
     "stat34_mcnemar"     -> (Profiling.mcnemar(_, _)),
     "stat35_cohens_kappa" -> (Profiling.cohensKappa(_, _)),
     "stat36_theil"       -> (Relational.stat36Theil(_, _)),
+    "rec5_slope_one"     -> (Recommend.slopeOne(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6499,6 +6500,42 @@ object SparkEntry {
         CAST(sum(within_micros) OVER () + sum(between_micros) OVER ()
           AS BIGINT) AS theil_total_micros
       FROM rows_""",
+    // Weighted Slope One (Recommend.slopeOne): the deviation matrix
+    // is carried as exact (sumdiff, c) integer pairs; the prediction
+    // numerator Σ(sumdiff + r·c) never divides until the final
+    // per-candidate quantization.
+    "rec5_slope_one" -> raw"""
+      WITH r AS (SELECT o.o_custkey AS cust, l.l_partkey AS item,
+          CAST(round(100 * CAST(sum(CAST(l.l_quantity AS BIGINT))
+            AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS rc
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_partkey % 10 = 0
+        GROUP BY 1, 2),
+      dev AS (SELECT a.item AS j, b.item AS i,
+          CAST(sum(a.rc - b.rc) AS BIGINT) AS sumdiff,
+          CAST(count(*) AS BIGINT) AS c
+        FROM r a JOIN r b ON a.cust = b.cust AND a.item <> b.item
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      hr AS (SELECT * FROM r WHERE cust % 97 = 0),
+      p0 AS (SELECT h.cust, d.j,
+          CAST(sum(d.sumdiff + h.rc * d.c) AS BIGINT) AS num,
+          CAST(sum(d.c) AS BIGINT) AS den
+        FROM hr h JOIN dev d ON d.i = h.item
+        GROUP BY 1, 2),
+      p1 AS (SELECT p0.cust, p0.j, p0.num, p0.den FROM p0
+        LEFT JOIN r ON r.cust = p0.cust AND r.item = p0.j
+        WHERE r.item IS NULL),
+      p2 AS (SELECT cust, j,
+          CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+            AS BIGINT) AS pred_centi,
+          den AS n_support
+        FROM p1),
+      p3 AS (SELECT cust, j, pred_centi, n_support,
+          row_number() OVER (PARTITION BY cust
+            ORDER BY pred_centi DESC, j ASC) AS rk
+        FROM p2)
+      SELECT cust AS custkey, j AS partkey, pred_centi, n_support
+      FROM p3 WHERE rk <= 5""",
   )
 
   // ---- shared DuckDB oracle fragments ----

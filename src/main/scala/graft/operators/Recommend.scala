@@ -119,6 +119,73 @@ object Recommend {
   /** (custkey, l_partkey, r, q1, q2): summed quantities with the
     * md5-derandomized milli-unit item factors attached — the shared
     * input of [[alsUserStep]] and [[alsFitEval]]. */
+  /** `rec5_slope_one` — weighted Slope One prediction (Lemire &
+    * Maclachlan 2005), the deviation-based collaborative filter that
+    * sits between rec1's co-occurrence counting and rec3's latent
+    * factors: learn, per item pair (j, i), the average rating
+    * deviation dev_ji = Σ_u (r_uj − r_ui)/c_ji over co-raters, then
+    * predict r̂_uj = Σ_i (dev_ji + r_ui)·c_ji / Σ_i c_ji over the
+    * items u already rated. Ratings are per-(customer, part) mean
+    * order quantities in centi-units, items bounded to the
+    * partkey ≡ 0 (mod 10) slice so the pair frame stays
+    * items/user-quadratic, not catalog-quadratic.
+    *
+    * THE determinism device: the weighted prediction numerator
+    * Σ (dev_ji + r_ui)·c_ji algebraically equals Σ (sumdiff_ji +
+    * r_ui·c_ji) — so the deviation matrix is stored as the EXACT
+    * integer pair (sumdiff, c) and never divided until the one final
+    * quantized divide per prediction. No FP accumulates anywhere.
+    *
+    * Scale shape: ratings = one (cust, part) rollup; the deviation
+    * matrix = one cust-keyed self-join bounded by items-per-user²;
+    * predictions join the head users' ratings against the pair frame
+    * on the rated item (hash join on item), one (user, candidate)
+    * aggregation, top-5 per user via a user-partitioned rank window.
+    * minSupport ≥ 2 denoises single-co-rater deviations. */
+  def slopeOne(s: SparkSession, dir: String, minSupport: Int = 2,
+               headMod: Int = 97, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ratings = Tables.lineitem(s, dir)
+      .filter(col("l_partkey") % 10 === 0)
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"),
+          col("o_custkey").as("cust")), "l_orderkey")
+      .groupBy(col("cust"), col("l_partkey").as("item"))
+      .agg(sum(col("l_quantity").cast("long")).as("sq"),
+        count(lit(1)).as("cq"))
+      .select(col("cust"), col("item"),
+        round(lit(100) * col("sq").cast("double") /
+          col("cq").cast("double")).cast("long").as("rc"))
+      .localCheckpoint(true) // feeds pairs AND both prediction joins
+    val dev = ratings.as("a")
+      .join(ratings.as("b"), col("a.cust") === col("b.cust"))
+      .filter(col("a.item") =!= col("b.item"))
+      .groupBy(col("a.item").as("j"), col("b.item").as("i"))
+      .agg(sum(col("a.rc") - col("b.rc")).as("sumdiff"),
+        count(lit(1)).as("c"))
+      .filter(col("c") >= minSupport)
+    val headRatings = ratings.filter(col("cust") % headMod === 0)
+    val preds = headRatings
+      .join(dev, col("i") === col("item"))
+      .select(col("cust"), col("j"),
+        (col("sumdiff") + col("rc") * col("c")).as("term"), col("c"))
+      .groupBy(col("cust"), col("j"))
+      .agg(sum(col("term")).as("num"), sum(col("c")).as("den"))
+      // never "predict" an item the user already rated
+      .join(ratings.select(col("cust"), col("item").as("j")),
+        Seq("cust", "j"), "left_anti")
+      .select(col("cust"), col("j"),
+        round(col("num").cast("double") / col("den").cast("double"))
+          .cast("long").as("pred_centi"),
+        col("den").as("n_support"))
+    val byUser = Window.partitionBy(col("cust"))
+      .orderBy(col("pred_centi").desc, col("j").asc)
+    preds.withColumn("rk", row_number().over(byUser))
+      .filter(col("rk") <= topK)
+      .select(col("cust").as("custkey"), col("j").as("partkey"),
+        col("pred_centi"), col("n_support"))
+  }
+
   private def alsRatings(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     def qInit(comp: String): Column =
