@@ -493,6 +493,7 @@ object SparkEntry {
     "stat35_cohens_kappa" -> (Profiling.cohensKappa(_, _)),
     "stat36_theil"       -> (Relational.stat36Theil(_, _)),
     "rec5_slope_one"     -> (Recommend.slopeOne(_, _)),
+    "ml24_cv_stump"      -> (Training.ml24CvStump(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6536,6 +6537,93 @@ object SparkEntry {
         FROM p2)
       SELECT cust AS custkey, j AS partkey, pred_centi, n_support
       FROM p3 WHERE rk <= 5""",
+    // 5-fold CV of the stump via leave-one-fold-out sufficient
+    // statistics (Training.ml24CvStump): training histogram per fold
+    // = totals − fold cells, ml21's sweep per (fold, feature),
+    // held-out error from the winning split's leaf majorities.
+    "ml24_cv_stump" -> raw"""
+      WITH o AS (SELECT o_orderkey, o_totalprice,
+          CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+            AS label,
+          ('0x' || substr(md5('cv:' || CAST(o_orderkey AS VARCHAR)),
+            1, 15))::BIGINT % 5 AS fold
+        FROM orders),
+      lc AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem GROUP BY 1),
+      feats AS (
+        SELECT fold, 'totalprice_k10' AS feature,
+          CAST(floor(o_totalprice / 10000) AS BIGINT) AS bin, label
+        FROM o
+        UNION ALL
+        SELECT o.fold, 'linecount', lc.n_lines, o.label
+        FROM o JOIN lc ON o.o_orderkey = lc.l_orderkey),
+      cells AS (SELECT fold, feature, bin,
+          CAST(count(*) AS BIGINT) AS n_c,
+          CAST(sum(label) AS BIGINT) AS pos_c
+        FROM feats GROUP BY 1, 2, 3),
+      totals AS (SELECT feature, bin, CAST(sum(n_c) AS BIGINT) AS n_t,
+          CAST(sum(pos_c) AS BIGINT) AS pos_t
+        FROM cells GROUP BY 1, 2),
+      fs AS (SELECT DISTINCT fold AS f FROM cells),
+      train AS (SELECT fs.f, t.feature, t.bin,
+          CAST(t.n_t - coalesce(c.n_c, 0) AS BIGINT) AS n_b,
+          CAST(t.pos_t - coalesce(c.pos_c, 0) AS BIGINT) AS pos_b
+        FROM totals t CROSS JOIN fs
+        LEFT JOIN cells c ON c.fold = fs.f AND c.feature = t.feature
+          AND c.bin = t.bin
+        WHERE t.n_t - coalesce(c.n_c, 0) > 0),
+      sw AS (SELECT f, feature, bin,
+          CAST(sum(n_b) OVER (PARTITION BY f, feature
+            ORDER BY bin ASC) AS BIGINT) AS n_l,
+          CAST(sum(pos_b) OVER (PARTITION BY f, feature
+            ORDER BY bin ASC) AS BIGINT) AS pos_l,
+          CAST(sum(n_b) OVER (PARTITION BY f, feature) AS BIGINT) AS n,
+          CAST(sum(pos_b) OVER (PARTITION BY f, feature) AS BIGINT)
+            AS pos
+        FROM train),
+      sc AS (SELECT f, feature, bin, n_l, pos_l, n - n_l AS n_r,
+          pos - pos_l AS pos_r,
+          CAST(round(1e6 * (
+            (1.0 - (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) *
+              (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) -
+              (CAST(n - pos AS DOUBLE) / CAST(n AS DOUBLE)) *
+              (CAST(n - pos AS DOUBLE) / CAST(n AS DOUBLE))) -
+            (CAST(n_l AS DOUBLE) / CAST(n AS DOUBLE)) *
+              (1.0 - (CAST(pos_l AS DOUBLE) / CAST(n_l AS DOUBLE)) *
+                (CAST(pos_l AS DOUBLE) / CAST(n_l AS DOUBLE)) -
+                (CAST(n_l - pos_l AS DOUBLE) / CAST(n_l AS DOUBLE)) *
+                (CAST(n_l - pos_l AS DOUBLE) / CAST(n_l AS DOUBLE))) -
+            (CAST(n - n_l AS DOUBLE) / CAST(n AS DOUBLE)) *
+              (1.0 - (CAST(pos - pos_l AS DOUBLE) /
+                  CAST(n - n_l AS DOUBLE)) *
+                (CAST(pos - pos_l AS DOUBLE) / CAST(n - n_l AS DOUBLE)) -
+                (CAST((n - n_l) - (pos - pos_l) AS DOUBLE) /
+                  CAST(n - n_l AS DOUBLE)) *
+                (CAST((n - n_l) - (pos - pos_l) AS DOUBLE) /
+                  CAST(n - n_l AS DOUBLE))))) AS BIGINT) AS gain_micros
+        FROM sw WHERE n_l < n),
+      best AS (SELECT f, feature AS bfeat, bin AS thr,
+          CASE WHEN pos_l * 2 > n_l THEN 1 ELSE 0 END AS pred_l,
+          CASE WHEN pos_r * 2 > n_r THEN 1 ELSE 0 END AS pred_r,
+          gain_micros
+        FROM (SELECT sc.*, row_number() OVER (PARTITION BY f
+            ORDER BY gain_micros DESC, feature ASC, bin ASC) AS rn
+          FROM sc)
+        WHERE rn = 1),
+      ev AS (SELECT b.f, b.bfeat, b.thr, b.gain_micros, c.n_c,
+          CASE WHEN c.bin <= b.thr
+            THEN CASE WHEN b.pred_l = 1 THEN c.n_c - c.pos_c
+              ELSE c.pos_c END
+            ELSE CASE WHEN b.pred_r = 1 THEN c.n_c - c.pos_c
+              ELSE c.pos_c END END AS err
+        FROM cells c JOIN best b ON c.fold = b.f
+          AND c.feature = b.bfeat)
+      SELECT f AS fold, bfeat AS feature, thr AS threshold_bin,
+        gain_micros, CAST(sum(n_c) AS BIGINT) AS n_test,
+        CAST(sum(err) AS BIGINT) AS n_err,
+        CAST(round(1e6 * CAST(sum(err) AS DOUBLE) /
+          CAST(sum(n_c) AS DOUBLE)) AS BIGINT) AS err_micros
+      FROM ev GROUP BY 1, 2, 3, 4""",
   )
 
   // ---- shared DuckDB oracle fragments ----

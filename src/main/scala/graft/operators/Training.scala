@@ -784,6 +784,119 @@ object Training {
     * window order; each candidate's gain is ONE IEEE expression over
     * those longs, 6dp-rounded to micros; argmax ties break on the
     * smaller threshold. */
+  /** `ml24_cv_stump` — 5-fold cross-validation of the [[ml21Stump]]
+    * classifier via the LEAVE-ONE-FOLD-OUT SUFFICIENT-STATISTICS
+    * trick: one pass builds the (fold, feature, bin) histogram; each
+    * fold's TRAINING histogram is then total−fold — pure k-row-frame
+    * subtraction, so 5 folds cost one data scan, not five. Per fold:
+    * the same gini-gain sweep as ml21 on the training cells, majority
+    * leaf labels from the training side, and the held-out error rate
+    * from joining the winning split back to the fold's own cells.
+    * This is the face that says how OPTIMISTIC ml21's in-sample gain
+    * is — the CV error is the number a modeling pipeline actually
+    * reports.
+    *
+    * Determinism: the histogram cells are exact integer counts, the
+    * sweep replays ml21's pinned windows per (fold, feature), leaf
+    * majority is an integer comparison (ties → class 0), and the one
+    * quantized divide per fold is the error rate. Fold assignment is
+    * md5-derandomized per order key.
+    *
+    * Scale shape: one map-side-combinable (fold, feature, bin)
+    * rollup; everything downstream runs on bins×folds cells — the
+    * grid join, sweeps, and evals never touch data-sized frames
+    * again. */
+  def ml24CvStump(s: SparkSession, dir: String,
+                  nFolds: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(s)
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("label"),
+        pmod(call_function("md5_base60",
+          concat(lit("cv:"), col("o_orderkey"))), lit(nFolds.toLong))
+          .as("fold"))
+    val lc = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+    val feats = o
+      .select(col("fold"), lit("totalprice_k10").as("feature"),
+        floor(col("o_totalprice") / 10000).cast("long").as("bin"),
+        col("label"))
+      .unionByName(o
+        .join(lc, col("o_orderkey") === col("l_orderkey"))
+        .select(col("fold"), lit("linecount").as("feature"),
+          col("n_lines").as("bin"), col("label")))
+    val cells = feats.groupBy(col("fold"), col("feature"), col("bin"))
+      .agg(count(lit(1)).as("n_c"), sum(col("label")).as("pos_c"))
+      .localCheckpoint(true) // grid base + per-fold eval both read it
+    val totals = cells.groupBy(col("feature"), col("bin"))
+      .agg(sum(col("n_c")).as("n_t"), sum(col("pos_c")).as("pos_t"))
+    // training histogram for fold f = totals − fold-f cells
+    val folds = broadcast(
+      cells.select(col("fold")).distinct().withColumnRenamed("fold", "f"))
+    val train = totals.crossJoin(folds)
+      .join(cells.select(col("fold").as("f"), col("feature"),
+        col("bin"), col("n_c"), col("pos_c")),
+        Seq("f", "feature", "bin"), "left")
+      .select(col("f"), col("feature"), col("bin"),
+        (col("n_t") - coalesce(col("n_c"), lit(0L))).as("n_b"),
+        (col("pos_t") - coalesce(col("pos_c"), lit(0L))).as("pos_b"))
+      .filter(col("n_b") > 0)
+    val byFF = Window.partitionBy(col("f"), col("feature"))
+    val sweep = byFF.orderBy(col("bin").asc)
+    val binned = train
+      .withColumn("n_l", sum(col("n_b")).over(sweep))
+      .withColumn("pos_l", sum(col("pos_b")).over(sweep))
+      .withColumn("n", sum(col("n_b")).over(byFF))
+      .withColumn("pos", sum(col("pos_b")).over(byFF))
+      .filter(col("n_l") < col("n"))
+    def gini(p: Column, n: Column): Column =
+      lit(1.0) - (p.cast("double") / n.cast("double")) *
+        (p.cast("double") / n.cast("double")) -
+        ((n - p).cast("double") / n.cast("double")) *
+        ((n - p).cast("double") / n.cast("double"))
+    val nR = col("n") - col("n_l")
+    val posR = col("pos") - col("pos_l")
+    val scored = binned.select(col("f"), col("feature"), col("bin"),
+      col("n_l"), col("pos_l"), nR.as("n_r"), posR.as("pos_r"),
+      round(lit(1e6) * (gini(col("pos"), col("n")) -
+        (col("n_l").cast("double") / col("n").cast("double")) *
+          gini(col("pos_l"), col("n_l")) -
+        (nR.cast("double") / col("n").cast("double")) *
+          gini(posR, nR))).cast("long").as("gain_micros"))
+    val best = scored
+      .withColumn("rn", row_number().over(Window.partitionBy(col("f"))
+        .orderBy(col("gain_micros").desc, col("feature").asc,
+          col("bin").asc)))
+      .filter(col("rn") === 1)
+      .select(col("f"), col("feature"), col("bin").as("thr"),
+        // majority leaf labels from the TRAINING side, ties → 0
+        (col("pos_l") * 2 > col("n_l")).cast("long").as("pred_l"),
+        (col("pos_r") * 2 > col("n_r")).cast("long").as("pred_r"),
+        col("gain_micros"))
+    val bestA = best.select(col("f"), col("feature").as("bfeat"),
+      col("thr"), col("pred_l"), col("pred_r"), col("gain_micros"))
+    cells
+      .join(broadcast(bestA),
+        col("fold") === col("f") && col("feature") === col("bfeat"))
+      .select(col("f"), col("bfeat"), col("thr"), col("gain_micros"),
+        col("n_c"),
+        when(col("bin") <= col("thr"),
+          when(col("pred_l") === 1L, col("n_c") - col("pos_c"))
+            .otherwise(col("pos_c")))
+          .otherwise(
+            when(col("pred_r") === 1L, col("n_c") - col("pos_c"))
+              .otherwise(col("pos_c"))).as("err"))
+      .groupBy(col("f").as("fold"), col("bfeat").as("feature"),
+        col("thr").as("threshold_bin"), col("gain_micros"))
+      .agg(sum(col("n_c")).as("n_test"), sum(col("err")).as("n_err"))
+      .select(col("fold"), col("feature"), col("threshold_bin"),
+        col("gain_micros"), col("n_test"), col("n_err"),
+        round(lit(1e6) * col("n_err").cast("double") /
+          col("n_test").cast("double")).cast("long").as("err_micros"))
+  }
+
   def ml21Stump(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val o = Tables.orders(s, dir)
