@@ -494,6 +494,7 @@ object SparkEntry {
     "stat36_theil"       -> (Relational.stat36Theil(_, _)),
     "rec5_slope_one"     -> (Recommend.slopeOne(_, _)),
     "ml24_cv_stump"      -> (Training.ml24CvStump(_, _)),
+    "ev28_ltv"           -> (EventAnalytics.ltvCurve(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6624,6 +6625,34 @@ object SparkEntry {
         CAST(round(1e6 * CAST(sum(err) AS DOUBLE) /
           CAST(sum(n_c) AS DOUBLE)) AS BIGINT) AS err_micros
       FROM ev GROUP BY 1, 2, 3, 4""",
+    // Cohort LTV curve (EventAnalytics.ltvCurve): ev18's cohort grid
+    // with purchase cents and a cumulative per-user readout.
+    "ev28_ltv" -> raw"""
+      WITH first0 AS (SELECT user_id,
+          min(date_trunc('week', ts)) AS cohort
+        FROM events GROUP BY 1),
+      sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM first0 GROUP BY 1),
+      cells AS (SELECT f.cohort,
+          CAST(date_diff('day', CAST(f.cohort AS DATE),
+            CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT)
+            AS off,
+          CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+            AS spend_cents
+        FROM events e JOIN first0 f USING (user_id)
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2),
+      cum AS (SELECT cohort, off, spend_cents,
+          CAST(sum(spend_cents) OVER (PARTITION BY cohort ORDER BY off
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_cents
+        FROM cells)
+      SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_week,
+        c.off AS week_offset, c.spend_cents, s.cohort_size,
+        CAST(round(1e6 * CAST(c.cum_cents AS DOUBLE) /
+          CAST(s.cohort_size AS DOUBLE)) AS BIGINT)
+          AS cum_ltv_microcents
+      FROM cum c JOIN sizes s USING (cohort)""",
   )
 
   // ---- shared DuckDB oracle fragments ----

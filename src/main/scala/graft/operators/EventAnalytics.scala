@@ -1273,6 +1273,58 @@ object EventAnalytics {
           .as("reduction_micros"))
   }
 
+  /** `ev28_ltv` — cohort lifetime-value curve: [[retention]]'s weekly
+    * cohort grid with MONEY in the cells instead of presence — per
+    * (signup-week cohort, week offset), the cohort's purchase cents
+    * that week and the running cumulative LTV per cohort user. This
+    * is the growth-finance readout retention can't give: two cohorts
+    * with identical retention can pay back acquisition at very
+    * different speeds, and the payback week IS this curve crossing
+    * the CAC line.
+    *
+    * Cohort = week of the user's first event of any type (ev18's
+    * definition, shared deliberately so the two grids join); users
+    * who never purchase still hold down the denominator — dropping
+    * them is the LTV twin of the RFM win-back bug. Weeks where a
+    * cohort spent nothing emit no row; the cumulative at the next
+    * present row is unchanged (adding zero), so the curve stays
+    * exact.
+    *
+    * Scale shape: one distinct (user, week) rollup for cohorts, one
+    * purchase rollup, a user-keyed join, then windows over the
+    * cohort × offset grid — calendar-bounded cells. Exact integer
+    * cents until the one quantized per-user divide. */
+  def ltvCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+    val first0 = e.select(col("user_id"),
+        date_trunc("week", col("ts")).as("wk"))
+      .groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      .localCheckpoint(true) // cohort sizes AND the purchase join
+    val sizes = first0.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val cells = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .join(first0, "user_id")
+      .groupBy(col("cohort"),
+        (datediff(col("wk").cast("date"), col("cohort").cast("date"))
+          / 7).cast("long").as("off"))
+      .agg(sum(col("cents")).as("spend_cents"))
+    val wCum = Window.partitionBy(col("cohort")).orderBy(col("off"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_cents", sum(col("spend_cents")).over(wCum))
+      .join(broadcast(sizes), "cohort")
+      .select(date_format(col("cohort"), "yyyy-MM-dd")
+          .as("cohort_week"),
+        col("off").as("week_offset"), col("spend_cents"),
+        col("cohort_size"),
+        round(lit(1e6) * col("cum_cents").cast("double") /
+          col("cohort_size").cast("double")).cast("long")
+          .as("cum_ltv_microcents"))
+  }
+
   /** RFM cell-grid rollup — the SEGMENT-level view beside
     * [[rfmScores]]' per-user scores (ev5 answers "what is this user's
     * RFM?", this answers "how big and how valuable is each segment?"
