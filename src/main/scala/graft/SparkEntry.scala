@@ -495,6 +495,12 @@ object SparkEntry {
     "rec5_slope_one"     -> (Recommend.slopeOne(_, _)),
     "ml24_cv_stump"      -> (Training.ml24CvStump(_, _)),
     "ev28_ltv"           -> (EventAnalytics.ltvCurve(_, _)),
+    // ---- round-7 continuation, part 6 ----
+    "ev29_did"           -> (EventAnalytics.diffInDiff(_, _)),
+    "stat37_wilcoxon"    -> (Relational.stat37Wilcoxon(_, _)),
+    "ml25_ridge"         -> (Training.ml25Ridge(_, _)),
+    "samp13_priority"    -> (Sampling.prioritySample(_, _)),
+    "ts11_yule_walker"   -> (EventAnalytics.yuleWalkerAr2(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6653,6 +6659,190 @@ object SparkEntry {
           CAST(s.cohort_size AS DOUBLE)) AS BIGINT)
           AS cum_ltv_microcents
       FROM cum c JOIN sizes s USING (cohort)""",
+    // Difference-in-differences (EventAnalytics.diffInDiff): md5-coin
+    // treatment, cuped's pre/post split, per-cell means quantized
+    // BEFORE the integer DiD subtraction.
+    "ev29_did" -> raw"""
+      WITH pu AS (SELECT user_id,
+          CAST(sum(CASE WHEN event_type = 'purchase'
+            AND dayofmonth(ts) <= 15
+            THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS pre,
+          CAST(sum(CASE WHEN event_type = 'purchase'
+            AND dayofmonth(ts) > 15
+            THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS post,
+          ('0x' || substr(md5('did:' || CAST(user_id AS VARCHAR)),
+            1, 15))::BIGINT % 2 AS treat
+        FROM events GROUP BY 1),
+      c AS (SELECT treat, CAST(count(*) AS BIGINT) AS n,
+          CAST(round(1e6 * CAST(sum(pre) AS DOUBLE) /
+            CAST(count(*) AS DOUBLE)) AS BIGINT) AS m_pre,
+          CAST(round(1e6 * CAST(sum(post) AS DOUBLE) /
+            CAST(count(*) AS DOUBLE)) AS BIGINT) AS m_post
+        FROM pu GROUP BY 1),
+      piv AS (SELECT
+          CAST(sum(CASE WHEN treat = 1 THEN n END) AS BIGINT) AS n_treat,
+          CAST(sum(CASE WHEN treat = 0 THEN n END) AS BIGINT) AS n_ctrl,
+          CAST(sum(CASE WHEN treat = 1 THEN m_pre END) AS BIGINT)
+            AS treat_pre_microcents,
+          CAST(sum(CASE WHEN treat = 1 THEN m_post END) AS BIGINT)
+            AS treat_post_microcents,
+          CAST(sum(CASE WHEN treat = 0 THEN m_pre END) AS BIGINT)
+            AS ctrl_pre_microcents,
+          CAST(sum(CASE WHEN treat = 0 THEN m_post END) AS BIGINT)
+            AS ctrl_post_microcents
+        FROM c)
+      SELECT *, (treat_post_microcents - treat_pre_microcents) -
+          (ctrl_post_microcents - ctrl_pre_microcents) AS did_microcents
+      FROM piv""",
+    // Wilcoxon signed-rank (Relational.stat37Wilcoxon): doubled
+    // average ranks (2*min_rank + tie_count - 1) keep the rank algebra
+    // integer-exact; tie-corrected variance assembled as one integer
+    // before the single sqrt.
+    "stat37_wilcoxon" -> raw"""
+      WITH pu AS (SELECT user_id,
+          CAST(sum(CASE WHEN dayofmonth(ts) <= 15
+            THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS x,
+          CAST(sum(CASE WHEN dayofmonth(ts) > 15
+            THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      d0 AS (SELECT y - x AS d, abs(y - x) AS ad FROM pu
+        WHERE y - x <> 0),
+      rk AS (SELECT d,
+          CAST(2 * rank() OVER (ORDER BY ad) +
+            count(*) OVER (PARTITION BY ad) - 1 AS BIGINT) AS r2
+        FROM d0),
+      tg AS (SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT)
+          AS tsum
+        FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM d0
+          GROUP BY ad)),
+      ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT)
+            AS w2_plus
+        FROM rk)
+      SELECT n, w2_plus, tsum,
+        CAST(round(1e6 *
+          CAST(w2_plus - (n * (n + 1)) // 2 AS DOUBLE) /
+          (2.0 * sqrt(CAST(2 * n * (n + 1) * (2 * n + 1) - tsum
+            AS DOUBLE) / 48.0))) AS BIGINT) AS z_micros
+      FROM ag, tg""",
+    // Closed-form ridge (Training.ml25Ridge): one row of exact
+    // sufficient statistics, centered 2x2 Cramer with lambda = n*1e9
+    // micros^2, identical expression tree on both engines.
+    "ml25_ridge" -> raw"""
+      WITH r AS (SELECT
+          CAST(round(1e6 * CAST(embedding[1] AS DOUBLE)) AS BIGINT)
+            AS x1,
+          CAST(round(1e6 * CAST(embedding[2] AS DOUBLE)) AS BIGINT)
+            AS x2,
+          CAST(label AS BIGINT) * 1000000 AS y
+        FROM embeddings),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x1) AS BIGINT) AS sx1,
+          CAST(sum(x2) AS BIGINT) AS sx2,
+          CAST(sum(y) AS BIGINT) AS sy,
+          sum(x1 * x1) AS s11, sum(x2 * x2) AS s22,
+          sum(x1 * x2) AS s12, sum(x1 * y) AS s1y,
+          sum(x2 * y) AS s2y
+        FROM r),
+      c AS (SELECT n, sx1, sx2, sy,
+          CAST(s11 AS DOUBLE) - CAST(sx1 AS DOUBLE) *
+            CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS c11,
+          CAST(s22 AS DOUBLE) - CAST(sx2 AS DOUBLE) *
+            CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE) AS c22,
+          CAST(s12 AS DOUBLE) - CAST(sx1 AS DOUBLE) *
+            CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE) AS c12,
+          CAST(s1y AS DOUBLE) - CAST(sx1 AS DOUBLE) *
+            CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS c1y,
+          CAST(s2y AS DOUBLE) - CAST(sx2 AS DOUBLE) *
+            CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS c2y,
+          CAST(n AS DOUBLE) * 1e9 AS lam
+        FROM m),
+      b AS (SELECT n, sx1, sx2, sy,
+          (c1y * (c22 + lam) - c12 * c2y) /
+            ((c11 + lam) * (c22 + lam) - c12 * c12) AS b1,
+          ((c11 + lam) * c2y - c12 * c1y) /
+            ((c11 + lam) * (c22 + lam) - c12 * c12) AS b2
+        FROM c)
+      SELECT n,
+        CAST(round(1e6 * b1) AS BIGINT) AS coef1_micros,
+        CAST(round(1e6 * b2) AS BIGINT) AS coef2_micros,
+        CAST(round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) -
+          b1 * (CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE)) -
+          b2 * (CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)
+          AS intercept_micros
+      FROM b""",
+    // Priority sampling (Sampling.prioritySample): q = w/u with the
+    // md5 uniform u = (h+1)/2^60, top-k by priority, tau = (k+1)-th,
+    // per-doc estimates max(w, tau) micro-quantized before the sum.
+    "samp13_priority" -> raw"""
+      WITH st AS (SELECT CAST(count(*) AS BIGINT) AS n_pop,
+          CAST(sum(n_chars) AS BIGINT) AS true_total FROM documents),
+      pr AS (SELECT doc_id, n_chars AS w,
+          CAST(n_chars AS DOUBLE) * 1152921504606846976 /
+            CAST(('0x' || substr(md5('ps:' || CAST(doc_id AS VARCHAR)),
+              1, 15))::BIGINT + 1 AS DOUBLE) AS q
+        FROM documents),
+      top AS (SELECT doc_id, w, q,
+          row_number() OVER (ORDER BY q DESC, doc_id) AS rn
+        FROM (SELECT * FROM pr ORDER BY q DESC, doc_id LIMIT 65)),
+      tau AS (SELECT q AS tau FROM top WHERE rn = 65),
+      est AS (SELECT
+          CAST(round(1e6 * greatest(CAST(w AS DOUBLE), tau)) AS BIGINT)
+            AS est_micros,
+          CAST(round(1e6 * tau) AS BIGINT) AS tau_micros
+        FROM top, tau WHERE rn <= 64),
+      ag AS (SELECT tau_micros, CAST(count(*) AS BIGINT) AS n_sampled,
+          CAST(sum(est_micros) AS BIGINT) AS est_total_micros
+        FROM est GROUP BY 1)
+      SELECT n_pop, true_total, n_sampled, tau_micros,
+        est_total_micros,
+        CAST(round(1e6 *
+          abs(CAST(est_total_micros AS DOUBLE) / 1e6 -
+            CAST(true_total AS DOUBLE)) /
+          CAST(true_total AS DOUBLE)) AS BIGINT) AS rel_err_micros
+      FROM ag, st""",
+    // Yule-Walker AR(2) (EventAnalytics.yuleWalkerAr2): lagged-product
+    // sums quantized per term, phi from the closed-form 2x2 solve,
+    // one-step forecast off the last two observations.
+    "ts11_yule_walker" -> raw"""
+      WITH daily AS (SELECT o_orderdate AS day,
+          CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+        FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(y) AS BIGINT) AS sy FROM daily),
+      d2 AS (SELECT y,
+          CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+          lag(y, 1) OVER (ORDER BY day) AS l1,
+          lag(y, 2) OVER (ORDER BY day) AS l2,
+          row_number() OVER (ORDER BY day) AS t, n, sy
+        FROM daily, st),
+      m AS (SELECT n, sy,
+          CAST(sum(CAST(round((CAST(y AS DOUBLE) - mu) *
+            (CAST(y AS DOUBLE) - mu)) AS BIGINT)) AS DOUBLE) AS s0,
+          CAST(sum(CAST(round((CAST(y AS DOUBLE) - mu) *
+            (CAST(l1 AS DOUBLE) - mu)) AS BIGINT)) AS DOUBLE) AS s1,
+          CAST(sum(CAST(round((CAST(y AS DOUBLE) - mu) *
+            (CAST(l2 AS DOUBLE) - mu)) AS BIGINT)) AS DOUBLE) AS s2,
+          max_by(y, t) AS yn, max_by(l1, t) AS yn1
+        FROM d2 GROUP BY 1, 2),
+      ph AS (SELECT n, sy, yn, yn1,
+          s1 * (s0 - s2) / (s0 * s0 - s1 * s1) AS phi1,
+          (s2 * s0 - s1 * s1) / (s0 * s0 - s1 * s1) AS phi2
+        FROM m)
+      SELECT n,
+        CAST(round(1e6 * phi1) AS BIGINT) AS phi1_micros,
+        CAST(round(1e6 * phi2) AS BIGINT) AS phi2_micros,
+        CAST(round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) +
+          phi1 * (CAST(yn AS DOUBLE) -
+            CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) +
+          phi2 * (CAST(yn1 AS DOUBLE) -
+            CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)
+          AS forecast_dollars
+      FROM ph""",
   )
 
   // ---- shared DuckDB oracle fragments ----

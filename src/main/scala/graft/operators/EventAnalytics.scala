@@ -1325,6 +1325,122 @@ object EventAnalytics {
           .as("cum_ltv_microcents"))
   }
 
+  /** `ts11_yule_walker` — AR(2) fit via the Yule-Walker equations
+    * over the daily order-revenue series (stat30's calendar-bounded
+    * fixture), plus the one-step forecast: the autoregressive
+    * counterpart of [[holtWinters]]' smoothing family — HW carries
+    * level/trend/season STATE, an AR model explains today by the last
+    * two days directly, and Yule-Walker is the closed-form moment
+    * solve φ = R⁻¹r (the first two Levinson-Durbin steps). In
+    * sufficient-statistic form with lagged-product sums S₀ S₁ S₂:
+    * φ₁ = S₁(S₀−S₂)/(S₀²−S₁²), φ₂ = (S₂S₀−S₁²)/(S₀²−S₁²), and
+    * x̂ₙ₊₁ = μ + φ₁(xₙ−μ) + φ₂(xₙ₋₁−μ).
+    *
+    * Determinism: the series is exact integer dollars; μ is the one
+    * shared double; every lagged product (x_t−μ)(x_{t−k}−μ) is
+    * rounded to a long BEFORE its sum (the house quantize-then-sum
+    * rule), and the sums accumulate in DECIMAL(38,0) so a 10×-daily-
+    * volume corpus cannot overflow them. Scale shape: one map-side-
+    * combined date rollup, then lag windows over the ≤365-row series
+    * — bounded by the calendar, not the corpus (the stat30/ts9
+    * argument). */
+  def yuleWalkerAr2(s: SparkSession, dir: String,
+                    yr: Int = 1995): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === yr)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(round(col("o_totalprice")).cast("long")).as("y"))
+    val stats = broadcast(daily.agg(count(lit(1)).as("n"),
+      sum(col("y")).as("sy")))
+    val w = Window.orderBy(col("day"))
+    val d2 = daily.crossJoin(stats)
+      .withColumn("mu", col("sy").cast("double") / col("n").cast("double"))
+      .withColumn("l1", lag(col("y"), 1).over(w))
+      .withColumn("l2", lag(col("y"), 2).over(w))
+      .withColumn("t", row_number().over(w))
+    def dev(c: Column): Column = c.cast("double") - col("mu")
+    val m = d2.groupBy(col("n"), col("sy")).agg(
+      sum(round(dev(col("y")) * dev(col("y")))
+        .cast("decimal(38,0)")).as("s0"),
+      sum(round(dev(col("y")) * dev(col("l1")))
+        .cast("decimal(38,0)")).as("s1"),
+      sum(round(dev(col("y")) * dev(col("l2")))
+        .cast("decimal(38,0)")).as("s2"),
+      max_by(col("y"), col("t")).as("yn"),
+      max_by(col("l1"), col("t")).as("yn1"))
+    val muA = col("sy").cast("double") / col("n").cast("double")
+    val s0d = col("s0").cast("double")
+    val s1d = col("s1").cast("double")
+    val s2d = col("s2").cast("double")
+    val den = s0d * s0d - s1d * s1d
+    val phi1 = s1d * (s0d - s2d) / den
+    val phi2 = (s2d * s0d - s1d * s1d) / den
+    m.select(col("n"),
+      round(lit(1e6) * phi1).cast("long").as("phi1_micros"),
+      round(lit(1e6) * phi2).cast("long").as("phi2_micros"),
+      round(muA + phi1 * (col("yn").cast("double") - muA) +
+        phi2 * (col("yn1").cast("double") - muA)).cast("long")
+        .as("forecast_dollars"))
+  }
+
+  /** `ev29_did` — difference-in-differences, the quasi-experimental
+    * sibling of [[cuped]]'s variance reduction (CUPED sharpens a
+    * randomized test; DiD estimates a treatment effect when you only
+    * have pre/post observational cells): users carry an md5-
+    * derandomized treatment flag (the priv7 coin device — both
+    * engines derive the identical assignment through the md5-60
+    * bridge), outcome = purchase cents in the pre (day ≤ 15) vs post
+    * (day > 15) half of the month (cuped's split, shared
+    * deliberately), and the estimator is (T̄post − T̄pre) −
+    * (C̄post − C̄pre) — the parallel-trends subtraction that removes
+    * both the group baseline gap and the common time trend. The
+    * population is ALL users (any event type): never-purchasers hold
+    * the denominator with zero cells — dropping them is the RFM
+    * win-back bug wearing a causal hat.
+    *
+    * Determinism: per-cell means are micro-quantized BEFORE the DiD
+    * subtraction, so the final estimate is pure integer arithmetic on
+    * values both engines already agree on. Scale shape: one user-keyed
+    * aggregation over events (map-side combined), one 2-row cell
+    * rollup, one 1-row pivot — nothing after the first shuffle scales
+    * with the corpus. */
+  def diffInDiff(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.events(s, dir)
+    val cents = round(col("value") * 100).cast("long")
+    val perUser = e.groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase" &&
+          dayofmonth(col("ts")) <= 15, cents).otherwise(0L)).as("pre"),
+        sum(when(col("event_type") === "purchase" &&
+          dayofmonth(col("ts")) > 15, cents).otherwise(0L)).as("post"))
+      .withColumn("treat", pmod(call_function("md5_base60",
+        concat(lit("did:"), col("user_id"))), lit(2L)))
+    val cells = perUser.groupBy(col("treat"))
+      .agg(count(lit(1)).as("n"), sum(col("pre")).as("spre"),
+        sum(col("post")).as("spost"))
+      .select(col("treat"), col("n"),
+        round(lit(1e6) * col("spre").cast("double") /
+          col("n").cast("double")).cast("long").as("m_pre"),
+        round(lit(1e6) * col("spost").cast("double") /
+          col("n").cast("double")).cast("long").as("m_post"))
+    cells.agg(
+        sum(when(col("treat") === 1L, col("n"))).as("n_treat"),
+        sum(when(col("treat") === 0L, col("n"))).as("n_ctrl"),
+        sum(when(col("treat") === 1L, col("m_pre")))
+          .as("treat_pre_microcents"),
+        sum(when(col("treat") === 1L, col("m_post")))
+          .as("treat_post_microcents"),
+        sum(when(col("treat") === 0L, col("m_pre")))
+          .as("ctrl_pre_microcents"),
+        sum(when(col("treat") === 0L, col("m_post")))
+          .as("ctrl_post_microcents"))
+      .withColumn("did_microcents",
+        (col("treat_post_microcents") - col("treat_pre_microcents")) -
+          (col("ctrl_post_microcents") - col("ctrl_pre_microcents")))
+  }
+
   /** RFM cell-grid rollup — the SEGMENT-level view beside
     * [[rfmScores]]' per-user scores (ev5 answers "what is this user's
     * RFM?", this answers "how big and how valuable is each segment?"

@@ -2430,4 +2430,59 @@ object Relational {
       .withColumn("theil_total_micros",
         col("total_within_micros") + col("total_between_micros"))
   }
+
+  /** `stat37_wilcoxon` — Wilcoxon signed-rank test on the paired
+    * per-user (first-half, second-half) purchase cents (ev27_cuped's
+    * pair definition, shared deliberately): the nonparametric twin of
+    * a paired t-test — stat34's McNemar handles paired BINARY
+    * outcomes, this handles paired CONTINUOUS ones without a
+    * normality assumption. Zero differences drop (Wilcoxon's rule);
+    * |d| gets AVERAGE ranks, carried as exact integers by the doubled-
+    * rank identity avg_rank × 2 = 2·min_rank + tie_count − 1 (the
+    * same device both engines compute from rank() + a partition
+    * count, no fractional ranks anywhere). W⁺ is the doubled rank sum
+    * over positive differences; z uses the tie-corrected variance
+    * n(n+1)(2n+1)/24 − Σ(t³−t)/48, assembled as one integer
+    * (2n(n+1)(2n+1) − Σ(t³−t)) before the single sqrt, so the only
+    * doubles are the final quantized ratio.
+    *
+    * Scale shape: one user-keyed aggregation over events (map-side
+    * combined), then a rank window over the USER-cardinality
+    * difference frame — the rfm/ntile argument: at 100 TB of events
+    * the user frame is the small one, and an exact rank test is BY
+    * DEFINITION a global ranking. Σ(t³−t) accumulates as longs
+    * (t ≤ n ≤ user count; fine to ~2M users, then DECIMAL — the
+    * stat29 convention would apply). */
+  def stat37Wilcoxon(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    val d0 = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(when(dayofmonth(col("ts")) <= 15, cents).otherwise(0L))
+          .as("x"),
+        sum(when(dayofmonth(col("ts")) > 15, cents).otherwise(0L))
+          .as("y"))
+      .select((col("y") - col("x")).as("d"),
+        abs(col("y") - col("x")).as("ad"))
+      .filter(col("d") =!= 0L)
+    val ranked = d0
+      .withColumn("mr", rank().over(Window.orderBy(col("ad"))))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("ad"))))
+      .select(col("d"),
+        (lit(2L) * col("mr") + col("cnt") - 1L).as("r2"))
+    val ties = d0.groupBy(col("ad")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")),
+        lit(0L)).as("tsum"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum(when(col("d") > 0, col("r2")).otherwise(0L)).as("w2_plus"))
+      .crossJoin(broadcast(ties))
+      .select(col("n"), col("w2_plus"), col("tsum"),
+        round(lit(1e6) *
+          (col("w2_plus") - expr("n * (n + 1) DIV 2")).cast("double") /
+          (lit(2.0) * sqrt(
+            (lit(2L) * col("n") * (col("n") + 1L) *
+              (lit(2L) * col("n") + 1L) - col("tsum")).cast("double") /
+            lit(48.0)))).cast("long").as("z_micros"))
+  }
 }

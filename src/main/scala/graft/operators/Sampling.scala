@@ -344,4 +344,61 @@ object Sampling {
           col("true_total").cast("double")).cast("long")
           .as("rel_err_micros"))
   }
+
+  /** `samp13_priority` — priority sampling (Duffield, Lund & Thorup
+    * 2007), the FIXED-SIZE unbiased subset-sum sibling of
+    * [[horvitzThompson]]'s Poisson design (HT's sample size is
+    * random; priority sampling pins it at exactly k with near-optimal
+    * variance — within 1/(k−1) of the best possible k-sample
+    * estimator, their main theorem): each doc draws an md5-
+    * derandomized uniform u ∈ (0,1] (u = (h60+1)/2⁶⁰), gets priority
+    * q = w/u, the top-k by q are the sample, and τ = the (k+1)-th
+    * priority turns each sampled weight into the unbiased estimate
+    * max(w, τ).
+    *
+    * Scale shape: the top-(k+1) selection is orderBy+limit —
+    * TakeOrderedAndProject, per-partition heaps + one k-row driver
+    * merge, never a global sort; everything after runs on ≤ k+1 rows.
+    * Determinism: q is one IEEE multiply+divide on exactly-cast
+    * integers (identical in both engines), ties broken by doc_id, and
+    * per-doc estimates are micro-quantized BEFORE the integer total
+    * (the house float-sum rule). Assumes n_pop > k (holds at every
+    * tested SF; a short corpus would return the exact total anyway —
+    * τ undefined means "keep everything"). */
+  def prioritySample(s: SparkSession, dir: String,
+                     k: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").as("w"))
+    val stats = broadcast(d.agg(count(lit(1)).as("n_pop"),
+      sum(col("w")).as("true_total")))
+    val top = d
+      .select(col("doc_id"), col("w"),
+        (col("w").cast("double") * lit(1152921504606846976L) /
+          (call_function("md5_base60",
+            concat(lit("ps:"), col("doc_id"))) + 1L).cast("double"))
+          .as("q"))
+      .orderBy(col("q").desc, col("doc_id")).limit(k + 1)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("q").desc, col("doc_id"))))
+    val tau = broadcast(top.filter(col("rn") === k + 1)
+      .select(col("q").as("tau")))
+    top.filter(col("rn") <= k)
+      .crossJoin(tau)
+      .select(
+        round(lit(1e6) * greatest(col("w").cast("double"), col("tau")))
+          .cast("long").as("est_micros"),
+        round(lit(1e6) * col("tau")).cast("long").as("tau_micros"))
+      .groupBy(col("tau_micros"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("est_micros")).as("est_total_micros"))
+      .crossJoin(stats)
+      .select(col("n_pop"), col("true_total"), col("n_sampled"),
+        col("tau_micros"), col("est_total_micros"),
+        round(lit(1e6) *
+          abs(col("est_total_micros").cast("double") / lit(1e6) -
+            col("true_total").cast("double")) /
+          col("true_total").cast("double")).cast("long")
+          .as("rel_err_micros"))
+  }
 }

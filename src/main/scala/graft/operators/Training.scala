@@ -1041,4 +1041,67 @@ object Training {
         col("r.right_value_micros").as("right_value_micros"),
         col("r.mse_micro2").as("mse_micro2"))
   }
+
+  /** `ml25_ridge` — closed-form ridge regression (Tikhonov /
+    * Hoerl-Kennard) of the embedding label on the first two embedding
+    * dimensions: beside [[linearGd]]'s iterative trajectory, this is
+    * the NORMAL-EQUATIONS path — (XᵀX + λI)β = Xᵀy solved exactly by
+    * 2×2 Cramer on CENTERED second moments (centering absorbs the
+    * intercept, which is then recovered as β₀ = ȳ − β₁x̄₁ − β₂x̄₂).
+    * λ = n·10⁹ micros² (10⁻³ per row in unit² scale), so the
+    * regularization strength is SF-invariant by construction.
+    *
+    * Determinism: ONE pass of exact integer sufficient statistics
+    * (n, Σx, Σy as longs; all five cross-moments in DECIMAL(38,0) —
+    * the ev27 convention, overflow-proof at any SF), then the
+    * centered moments / determinant / coefficients as doubles whose
+    * every input is an exactly-cast integer and whose expression tree
+    * is written identically in both engines (the cuped device);
+    * coefficients quantize to micros only at the end. Scale shape:
+    * one map-side-combined aggregation to a single 9-field row —
+    * nothing else touches the corpus, the textbook "sufficient
+    * statistics beat the data" shape a 100 TB regression needs. */
+  def ml25Ridge(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.embeddings(s, dir)
+      .select(
+        round(lit(1e6) * element_at(col("embedding"), 1).cast("double"))
+          .cast("long").as("x1"),
+        round(lit(1e6) * element_at(col("embedding"), 2).cast("double"))
+          .cast("long").as("x2"),
+        (col("label").cast("long") * 1000000L).as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+        sum(col("y")).as("sy"),
+        sum((col("x1") * col("x1")).cast("decimal(38,0)")).as("s11"),
+        sum((col("x2") * col("x2")).cast("decimal(38,0)")).as("s22"),
+        sum((col("x1") * col("x2")).cast("decimal(38,0)")).as("s12"),
+        sum((col("x1") * col("y")).cast("decimal(38,0)")).as("s1y"),
+        sum((col("x2") * col("y")).cast("decimal(38,0)")).as("s2y"))
+    val nD = col("n").cast("double")
+    def ctr(sab: String, sa: String, sb: String): Column =
+      col(sab).cast("double") -
+        col(sa).cast("double") * col(sb).cast("double") / nD
+    val withM = m.select(col("n"), col("sx1"), col("sx2"), col("sy"),
+      ctr("s11", "sx1", "sx1").as("c11"),
+      ctr("s22", "sx2", "sx2").as("c22"),
+      ctr("s12", "sx1", "sx2").as("c12"),
+      ctr("s1y", "sx1", "sy").as("c1y"),
+      ctr("s2y", "sx2", "sy").as("c2y"),
+      (nD * lit(1e9)).as("lam"))
+    val det = (col("c11") + col("lam")) * (col("c22") + col("lam")) -
+      col("c12") * col("c12")
+    val b1 = (col("c1y") * (col("c22") + col("lam")) -
+      col("c12") * col("c2y")) / det
+    val b2 = ((col("c11") + col("lam")) * col("c2y") -
+      col("c12") * col("c1y")) / det
+    withM
+      .select(col("n"), b1.as("b1"), b2.as("b2"),
+        (col("sy").cast("double") / nD -
+          b1 * (col("sx1").cast("double") / nD) -
+          b2 * (col("sx2").cast("double") / nD)).as("b0"))
+      .select(col("n"),
+        round(lit(1e6) * col("b1")).cast("long").as("coef1_micros"),
+        round(lit(1e6) * col("b2")).cast("long").as("coef2_micros"),
+        round(col("b0")).cast("long").as("intercept_micros"))
+  }
 }
