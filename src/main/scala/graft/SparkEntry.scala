@@ -501,6 +501,7 @@ object SparkEntry {
     "ml25_ridge"         -> (Training.ml25Ridge(_, _)),
     "samp13_priority"    -> (Sampling.prioritySample(_, _)),
     "ts11_yule_walker"   -> (EventAnalytics.yuleWalkerAr2(_, _)),
+    "graph_mst"          -> (Graphs.mst(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6843,6 +6844,7 @@ object SparkEntry {
             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)
           AS forecast_dollars
       FROM ph""",
+    "graph_mst" -> mstSql,
   )
 
   // ---- shared DuckDB oracle fragments ----
@@ -6856,6 +6858,69 @@ object SparkEntry {
     * concentrated md5 "kt:" graph; per round the support recompute is
     * the adjacency wedge join on the surviving edge set, and the
     * final readout re-derives support inside the truss. */
+  /** 16-round Borůvka minimum-spanning-forest oracle (Graphs.mst):
+    * per unrolled round, the per-component min encoded-key selection,
+    * then the EXACT min-label contraction as a recursive reachability
+    * closure over the selected component-level merge edges (the
+    * dedup_clusters reach device — it matches Spark's large-star/
+    * small-star CC bit-for-bit because both are exact min-label CC).
+    * Post-fixpoint rounds select nothing and are identity on labels,
+    * so the fixed 16-round chain equals the early-exiting operator. */
+  private def mstSql: String = {
+    val rounds = (1 to 16).map { r =>
+      val p = r - 1
+      raw"""ce$r AS MATERIALIZED (SELECT e.a, e.b, e.w, e.key,
+          la.c AS ca, lb.c AS cb
+        FROM e JOIN lab$p la ON la.node = e.a
+          JOIN lab$p lb ON lb.node = e.b
+        WHERE la.c <> lb.c),
+      mk$r AS MATERIALIZED (SELECT DISTINCT mk FROM
+        (SELECT c, min(key) AS mk FROM
+          (SELECT ca AS c, key FROM ce$r
+           UNION ALL SELECT cb, key FROM ce$r)
+         GROUP BY c)),
+      sel$r AS MATERIALIZED (SELECT x.a, x.b, x.w, x.ca, x.cb
+        FROM ce$r x JOIN mk$r m ON m.mk = x.key),
+      sym$r AS MATERIALIZED (SELECT ca AS s, cb AS d FROM sel$r
+        UNION ALL SELECT cb, ca FROM sel$r),
+      reach$r AS (SELECT s AS c, s AS rr FROM sym$r
+        UNION
+        SELECT x.c, y.d FROM reach$r x JOIN sym$r y ON y.s = x.rr),
+      nl$r AS MATERIALIZED (SELECT c, min(rr) AS m FROM reach$r
+        GROUP BY c),
+      lab$r AS MATERIALIZED (SELECT l.node, coalesce(n.m, l.c) AS c
+        FROM lab$p l LEFT JOIN nl$r n ON n.c = l.c)"""
+    }.mkString(",\n      ")
+    val sels = (1 to 16).map(r => s"SELECT a, b, w FROM sel$r")
+      .mkString(" UNION ALL ")
+    raw"""
+      WITH RECURSIVE
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      dg AS (SELECT doc_id,
+          1 + ('0x' || substr(md5('mst:' || CAST(doc_id AS VARCHAR)),
+            1, 15))::BIGINT % 4 AS outdeg
+        FROM documents),
+      raw0 AS (SELECT doc_id AS src,
+          ('0x' || substr(md5('mst:' || CAST(doc_id AS VARCHAR) ||
+            ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT % n AS dst
+        FROM (SELECT doc_id, unnest(range(0, outdeg)) AS j FROM dg),
+          nn),
+      und AS (SELECT DISTINCT least(src, dst) AS a,
+          greatest(src, dst) AS b
+        FROM raw0 WHERE src <> dst),
+      e AS MATERIALIZED (SELECT a, b, w,
+          w * 1099511627776 + a * 1048576 + b AS key
+        FROM (SELECT a, b,
+            1 + ('0x' || substr(md5('mw:' || CAST(a AS VARCHAR) ||
+              ':' || CAST(b AS VARCHAR)), 1, 15))::BIGINT % 1000000
+              AS w
+          FROM und)),
+      lab0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS c
+        FROM documents),
+      $rounds
+      SELECT a, b, CAST(w AS BIGINT) AS w FROM ($sels)"""
+  }
+
   private def ktrussSql: String = {
     val k = 4
     val rounds = (1 to 6).map { r =>

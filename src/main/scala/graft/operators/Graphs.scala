@@ -1035,4 +1035,113 @@ object Graphs {
           .values.foreach(_.unpersist(blocking = false))
       }
     }.orderBy(col("bc_micros").desc, col("node").asc)
+
+  /** `graph_mst` — minimum spanning forest via Borůvka (1926; the
+    * distributed-MST algorithm of choice — Kruskal and Prim serialize
+    * on a global edge order / a single frontier, Borůvka's rounds are
+    * embarrassingly parallel and O(log n) many): every component
+    * selects its minimum incident inter-component edge, the selected
+    * edges merge components, repeat. Edges carry the md5-derived
+    * weight w = 1 + h60("mw:a:b") mod 10⁶ over the "mst:" irregular
+    * graph (the kcore derivation device), and comparisons use the
+    * ENCODED TOTAL ORDER key = w·2⁴⁰ + a·2²⁰ + b — a single long both
+    * engines build with integer arithmetic, which tie-breaks equal
+    * weights by (a, b) and therefore makes the forest UNIQUE (the
+    * spec's union-find Kruskal under the same order reproduces it
+    * edge-for-edge). Requires doc_id < 2²⁰ and w < 2²⁰ — both hold by
+    * construction here; a larger id space widens the encoding.
+    *
+    * The within-round contraction (new label = min component label in
+    * each merge tree) is EXACT on both engines: Spark hands the
+    * component-level merge graph — geometrically shrinking, never the
+    * corpus — to [[Dedup.connectedComponents]]' alternating large-
+    * star/small-star loop; the oracle computes the same min-label
+    * closure with one recursive CTE per unrolled round. `rounds` = 16
+    * bounds the outer loop (≥ ⌈log₂ n⌉ for every tested SF); the
+    * Spark side early-exits at the empty-selection fixpoint, and
+    * post-fixpoint rounds are no-ops by idempotence — the ktruss
+    * contract.
+    *
+    * Scale shape: per round, two hash joins of the edge set against
+    * the label map (the Pregel message shape: (node, long) pairs
+    * only), one map-side-combined min per component, one join-back on
+    * the selected keys, and a CC whose input is ≤ one edge per
+    * component. MST output accumulates to staged parquet; nothing
+    * driver-side ever holds edges. */
+  def mst(s: SparkSession, dir: String, rounds: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sc = s.sparkContext
+    val preexisting = sc.getPersistentRDDs.keySet
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val raw = docs
+      .crossJoin(broadcast(Tables.documents(s, dir)
+        .agg(count(lit(1)).as("n_docs"))))
+      .select(col("doc_id"), col("n_docs"),
+        explode(sequence(lit(0L),
+          pmod(call_function("md5_base60",
+            concat(lit("mst:"), col("doc_id"))), lit(4L)))).as("j"))
+      .select(col("doc_id").as("src"),
+        pmod(call_function("md5_base60",
+          concat(lit("mst:"), col("doc_id"), lit(":"), col("j"))),
+          col("n_docs")).as("dst"))
+      .filter(col("dst") =!= col("src"))
+    val edges0 = raw
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .select(col("a"), col("b"),
+        (lit(1L) + pmod(call_function("md5_base60",
+          concat(lit("mw:"), col("a"), lit(":"), col("b"))),
+          lit(1000000L))).as("w"))
+      .select(col("a"), col("b"), col("w"),
+        (col("w") * lit(1099511627776L) +
+          col("a") * lit(1048576L) + col("b")).as("key"))
+    val finalPath = "/tmp/graft_stage_mst_v1_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    try {
+      val edges = edges0.localCheckpoint(true)
+      var lab = docs
+        .select(col("doc_id").as("node"), col("doc_id").as("c"))
+        .localCheckpoint(true)
+      var mstParts = List.empty[DataFrame]
+      var r = 0
+      var done = false
+      while (!done && r < rounds) {
+        val ce = edges
+          .join(lab.select(col("node").as("a"), col("c").as("ca")),
+            Seq("a"))
+          .join(lab.select(col("node").as("b"), col("c").as("cb")),
+            Seq("b"))
+          .filter(col("ca") =!= col("cb"))
+          .localCheckpoint(true)
+        val minKeys = ce.select(col("ca").as("comp"), col("key"))
+          .unionAll(ce.select(col("cb").as("comp"), col("key")))
+          .groupBy(col("comp")).agg(min(col("key")).as("mk"))
+          .select(col("mk")).distinct()
+        val sel = minKeys.join(ce, minKeys("mk") === ce("key"))
+          .select(col("a"), col("b"), col("w"), col("ca"), col("cb"))
+          .localCheckpoint(true)
+        if (sel.isEmpty) done = true
+        else {
+          mstParts ::= sel.select(col("a"), col("b"), col("w"))
+          val ccMap = Dedup.connectedComponents(
+            sel.select(col("ca").as("doc_a"), col("cb").as("doc_b")))
+            .select(col("doc_id").as("c"), col("component").as("cNew"))
+          lab = lab.join(ccMap, Seq("c"), "left")
+            .select(col("node"),
+              coalesce(col("cNew"), col("c")).as("c"))
+            .localCheckpoint(true)
+          r += 1
+        }
+      }
+      mstParts.reduceOption(_ unionAll _)
+        .getOrElse(edges.select(col("a"), col("b"), col("w")).limit(0))
+        .write.mode("overwrite").parquet(finalPath)
+    } finally {
+      sc.getPersistentRDDs
+        .filterNot { case (id, _) => preexisting(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
+    s.read.parquet(finalPath).select(col("a"), col("b"), col("w"))
+  }
 }
