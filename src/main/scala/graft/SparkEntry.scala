@@ -502,6 +502,8 @@ object SparkEntry {
     "samp13_priority"    -> (Sampling.prioritySample(_, _)),
     "ts11_yule_walker"   -> (EventAnalytics.yuleWalkerAr2(_, _)),
     "graph_mst"          -> (Graphs.mst(_, _)),
+    "stat38_friedman"    -> (Profiling.stat38Friedman(_, _)),
+    "graph_diameter"     -> (Graphs.diameter(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6845,6 +6847,86 @@ object SparkEntry {
           AS forecast_dollars
       FROM ph""",
     "graph_mst" -> mstSql,
+    // Friedman rank test (Profiling.stat38Friedman): k = 3 score
+    // projections, doubled average ranks via pairwise CASE compare,
+    // chi2 as a ratio of two integers in doubled-rank space.
+    "stat38_friedman" -> {
+      def scoreSql(dims: Seq[Int]): String = dims
+        .map(k => s"CAST(round(CAST(embedding[${k + 1}] AS DOUBLE) " +
+          s"* 1e6) AS BIGINT)")
+        .mkString(" + ")
+      val sa = scoreSql(0 until 8)
+      val sb = scoreSql(8 until 16)
+      val sc = scoreSql(0 until 16 by 2)
+      raw"""
+      WITH sc0 AS (SELECT ($sa) AS m1, ($sb) AS m2, ($sc) AS m3
+        FROM embeddings),
+      rk AS (SELECT
+          2 * (1 + (CASE WHEN m2 < m1 THEN 1 ELSE 0 END) +
+            (CASE WHEN m3 < m1 THEN 1 ELSE 0 END)) +
+            (CASE WHEN m2 = m1 THEN 1 ELSE 0 END) +
+            (CASE WHEN m3 = m1 THEN 1 ELSE 0 END) AS r1,
+          2 * (1 + (CASE WHEN m1 < m2 THEN 1 ELSE 0 END) +
+            (CASE WHEN m3 < m2 THEN 1 ELSE 0 END)) +
+            (CASE WHEN m1 = m2 THEN 1 ELSE 0 END) +
+            (CASE WHEN m3 = m2 THEN 1 ELSE 0 END) AS r2,
+          2 * (1 + (CASE WHEN m1 < m3 THEN 1 ELSE 0 END) +
+            (CASE WHEN m2 < m3 THEN 1 ELSE 0 END)) +
+            (CASE WHEN m1 = m3 THEN 1 ELSE 0 END) +
+            (CASE WHEN m2 = m3 THEN 1 ELSE 0 END) AS r3
+        FROM sc0),
+      ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(r1) AS BIGINT) AS p1,
+          CAST(sum(r2) AS BIGINT) AS p2,
+          CAST(sum(r3) AS BIGINT) AS p3,
+          CAST(sum(r1 * r1 + r2 * r2 + r3 * r3) AS BIGINT) AS ssq
+        FROM rk)
+      SELECT n, p1, p2, p3,
+        CAST(round(1e6 * 2 * CAST(
+          (p1 - 4 * n) * (p1 - 4 * n) + (p2 - 4 * n) * (p2 - 4 * n) +
+          (p3 - 4 * n) * (p3 - 4 * n) AS DOUBLE) /
+          CAST(ssq - 48 * n AS DOUBLE)) AS BIGINT) AS chi2_micros
+      FROM ag"""
+    },
+    "graph_diameter" -> raw"""
+      WITH RECURSIVE
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      dg AS (SELECT doc_id,
+          1 + ('0x' || substr(md5('kc:' || CAST(doc_id AS VARCHAR)),
+            1, 15))::BIGINT % 5 AS outdeg
+        FROM documents),
+      raw0 AS (SELECT doc_id AS src,
+          ('0x' || substr(md5('kc:' || CAST(doc_id AS VARCHAR) || ':' ||
+            CAST(j AS VARCHAR)), 1, 15))::BIGINT % n AS dst
+        FROM (SELECT doc_id, unnest(range(0, outdeg)) AS j FROM dg),
+          nn),
+      e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+          greatest(src, dst) AS b
+        FROM raw0 WHERE src <> dst),
+      adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e0
+        UNION ALL SELECT b, a FROM e0),
+      s0 AS (SELECT min(doc_id) AS sn FROM documents),
+      r1 AS (SELECT sn AS node, 0 AS d FROM s0
+        UNION
+        SELECT a.v, r.d + 1 FROM r1 r JOIN adj a ON a.u = r.node
+        WHERE r.d < 16),
+      d1 AS MATERIALIZED (SELECT node, CAST(min(d) AS BIGINT) AS dist
+        FROM r1 GROUP BY node),
+      fa AS MATERIALIZED (SELECT node, dist FROM d1
+        ORDER BY dist DESC, node ASC LIMIT 1),
+      r2 AS (SELECT node, 0 AS d FROM fa
+        UNION
+        SELECT a.v, r.d + 1 FROM r2 r JOIN adj a ON a.u = r.node
+        WHERE r.d < 16),
+      d2 AS MATERIALIZED (SELECT node, CAST(min(d) AS BIGINT) AS dist
+        FROM r2 GROUP BY node),
+      fb AS MATERIALIZED (SELECT node, dist FROM d2
+        ORDER BY dist DESC, node ASC LIMIT 1)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM d1) AS n_reached,
+        (SELECT node FROM fa) AS far_a,
+        (SELECT dist FROM fa) AS ecc_a,
+        (SELECT node FROM fb) AS far_b,
+        (SELECT dist FROM fb) AS diameter_lb""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -1144,4 +1144,93 @@ object Graphs {
     }
     s.read.parquet(finalPath).select(col("a"), col("b"), col("w"))
   }
+
+  /** `graph_diameter` — diameter lower bound via the classic DOUBLE
+    * SWEEP (Magnien-Latapy-Habib 2009; the 2-BFS trick behind iFUB):
+    * BFS from a fixed seed, take the farthest node A (its eccentricity
+    * already lower-bounds the diameter), BFS again from A — the
+    * second eccentricity is the double-sweep bound, empirically exact
+    * on most real graphs. Runs over [[kcore]]'s "kc:" md5 graph
+    * (shared deliberately — one fixture, many lenses); seed = min
+    * doc_id, farthest-ties broken by min node. Both sweeps are
+    * depth-16-capped synchronous BFS (≥ the fixture diameter at every
+    * tested SF; the r-round contract is well-defined either way — the
+    * ktruss device), and a node is reachable within the cap on one
+    * engine iff on the other, since a length-L walk exists iff the
+    * shortest path is ≤ L.
+    *
+    * Scale shape: per level one frontier-adjacency hash join + one
+    * anti-join against the visited map — the Pregel BFS shape, (node,
+    * node) longs only; the farthest-node pick is orderBy+limit(1)
+    * (TakeOrderedAndProject); the second sweep seeds from that 1-row
+    * frame by join, no collect anywhere. */
+  def diameter(s: SparkSession, dir: String, maxDepth: Int = 16)
+      : DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sc = s.sparkContext
+    val preexisting = sc.getPersistentRDDs.keySet
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val raw = docs
+      .crossJoin(broadcast(Tables.documents(s, dir)
+        .agg(count(lit(1)).as("n_docs"))))
+      .select(col("doc_id"), col("n_docs"),
+        explode(sequence(lit(0L),
+          pmod(call_function("md5_base60",
+            concat(lit("kc:"), col("doc_id"))), lit(5L)))).as("j"))
+      .select(col("doc_id").as("src"),
+        pmod(call_function("md5_base60",
+          concat(lit("kc:"), col("doc_id"), lit(":"), col("j"))),
+          col("n_docs")).as("dst"))
+      .filter(col("dst") =!= col("src"))
+    val finalPath = "/tmp/graft_stage_diam_v1_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    try {
+      val und = raw
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val adj = und.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint(true)
+      def bfs(seed: DataFrame): DataFrame = {
+        var dist = seed.select(col("node"), lit(0L).as("dist"))
+          .localCheckpoint(true)
+        var r = 0L
+        var done = false
+        while (!done && r < maxDepth) {
+          val next = dist.filter(col("dist") === r)
+            .join(adj, col("node") === col("u"))
+            .select(col("v").as("node")).distinct()
+            .join(dist.select(col("node")), Seq("node"), "left_anti")
+            .select(col("node"), lit(r + 1L).as("dist"))
+          if (next.isEmpty) done = true
+          else {
+            dist = dist.unionAll(next).localCheckpoint(true)
+            r += 1
+          }
+        }
+        dist
+      }
+      val d1 = bfs(docs.agg(min(col("doc_id")).as("node")))
+      val farA = d1.orderBy(col("dist").desc, col("node").asc).limit(1)
+        .localCheckpoint(true)
+      val d2 = bfs(farA.select(col("node")))
+      val farB = d2.orderBy(col("dist").desc, col("node").asc).limit(1)
+      d1.agg(count(lit(1)).as("n_reached"))
+        .crossJoin(farA.select(col("node").as("far_a"),
+          col("dist").as("ecc_a")))
+        .crossJoin(farB.select(col("node").as("far_b"),
+          col("dist").as("diameter_lb")))
+        .select(col("n_reached"), col("far_a"), col("ecc_a"),
+          col("far_b"), col("diameter_lb"))
+        .write.mode("overwrite").parquet(finalPath)
+    } finally {
+      sc.getPersistentRDDs
+        .filterNot { case (id, _) => preexisting(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
+    s.read.parquet(finalPath)
+      .select(col("n_reached"), col("far_a"), col("ecc_a"),
+        col("far_b"), col("diameter_lb"))
+  }
 }

@@ -583,6 +583,61 @@ object Profiling {
           .cast("long").as("kappa_micros"))
   }
 
+  /** `stat38_friedman` — Friedman's rank test (1937) across THREE
+    * paired score projections per embedding row, completing the
+    * paired-comparison ladder: [[mcnemar]] handles 2 paired binary
+    * outcomes, stat37's Wilcoxon 2 paired continuous ones, Friedman
+    * k ≥ 3 (it is the nonparametric repeated-measures ANOVA, and the
+    * standard first step of the Demšar classifier-comparison
+    * protocol). Treatments: score A = dims 1-8 (the shared ml1x
+    * projection), B = dims 9-16 (the stat34 twin), C = the even dims.
+    * Within each row the three scores get average ranks carried as
+    * exact integers by stat37's doubled-rank identity (here computed
+    * by pairwise CASE comparison — no window needed for k = 3), and
+    * the tie-corrected statistic
+    * χ² = (k−1)·Σⱼ(Pⱼ−n(k+1))² / (Σᵢⱼρ²ᵢⱼ − nk(k+1)²) is a ratio of
+    * two INTEGERS in doubled-rank space (the 4× factors cancel), so
+    * the only double is the final quantized divide.
+    *
+    * Scale shape: one narrow projection + one map-side-combined 1-row
+    * rollup over (ρ₁, ρ₂, ρ₃, Σρ²) — no shuffle wider than the
+    * 4-long partials, no window, no join. */
+  def stat38Friedman(s: SparkSession, dir: String): DataFrame = {
+    val scoreC = (0 until 16 by 2)
+      .map(k => round(col("embedding")(k).cast("double") * 1e6)
+        .cast("long"))
+      .reduce(_ + _)
+    val scoreB = (8 until 16)
+      .map(k => round(col("embedding")(k).cast("double") * 1e6)
+        .cast("long"))
+      .reduce(_ + _)
+    def lt(a: Column, b: Column): Column =
+      when(a < b, 1L).otherwise(0L)
+    def eq(a: Column, b: Column): Column =
+      when(a === b, 1L).otherwise(0L)
+    // doubled average rank of x among {x, o1, o2}:
+    // 2*(1 + #{others < x}) + #{others == x}  (+1 -1 cancel)
+    def rho(x: Column, o1: Column, o2: Column): Column =
+      lit(2L) * (lit(1L) + lt(o1, x) + lt(o2, x)) + eq(o1, x) + eq(o2, x)
+    val m = Tables.embeddings(s, dir)
+      .select(embScore.as("m1"), scoreB.as("m2"), scoreC.as("m3"))
+      .select(rho(col("m1"), col("m2"), col("m3")).as("r1"),
+        rho(col("m2"), col("m1"), col("m3")).as("r2"),
+        rho(col("m3"), col("m1"), col("m2")).as("r3"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r1")).as("p1"), sum(col("r2")).as("p2"),
+        sum(col("r3")).as("p3"),
+        sum(col("r1") * col("r1") + col("r2") * col("r2") +
+          col("r3") * col("r3")).as("ssq"))
+    def sq(c: Column): Column = c * c
+    m.select(col("n"), col("p1"), col("p2"), col("p3"),
+      round(lit(1e6) * lit(2L) *
+        (sq(col("p1") - 4L * col("n")) + sq(col("p2") - 4L * col("n")) +
+          sq(col("p3") - 4L * col("n"))).cast("double") /
+        (col("ssq") - 48L * col("n")).cast("double"))
+        .cast("long").as("chi2_micros"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic on the `n_chars`
     * distribution between the md5-split halves — the numeric-drift
     * companion to [[driftPsi]]'s categorical check:
