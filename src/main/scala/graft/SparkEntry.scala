@@ -6356,7 +6356,8 @@ object SparkEntry {
         CAST(b AS BIGINT) AS trend_micros,
         CAST(sn AS BIGINT) AS seasonal_micros,
         CAST(fc AS BIGINT) AS forecast_h7_micros
-      FROM hw CROSS JOIN lastrow WHERE i >= 8""",
+      FROM hw CROSS JOIN lastrow
+      WHERE i >= 8 AND (SELECT n FROM nn) >= 14""",
     "graph_ktruss" -> ktrussSql,
     // PPS Poisson sampling + Horvitz–Thompson total
     // (Sampling.horvitzThompson): micro-quantized inclusion

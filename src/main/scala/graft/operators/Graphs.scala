@@ -1024,7 +1024,7 @@ object Graphs {
           acc = acc :+ dl
           delta = dl
         }
-        acc.reduce(_ unionByName _)
+        acc.reduceOption(_ unionByName _).getOrElse(delta)
           .groupBy(col("node")).agg(sum(col("delta")).as("bc_micros"))
           .orderBy(col("bc_micros").desc, col("node").asc)
           .limit(topK)

@@ -632,9 +632,9 @@ object Profiling {
     def sq(c: Column): Column = c * c
     m.select(col("n"), col("p1"), col("p2"), col("p3"),
       round(lit(1e6) * lit(2L) *
-        (sq(col("p1") - 4L * col("n")) + sq(col("p2") - 4L * col("n")) +
-          sq(col("p3") - 4L * col("n"))).cast("double") /
-        (col("ssq") - 48L * col("n")).cast("double"))
+        (sq(col("p1") - col("n") * 4L) + sq(col("p2") - col("n") * 4L) +
+          sq(col("p3") - col("n") * 4L)).cast("double") /
+        (col("ssq") - col("n") * 48L).cast("double"))
         .cast("long").as("chi2_micros"))
   }
 

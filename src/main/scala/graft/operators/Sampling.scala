@@ -363,8 +363,11 @@ object Sampling {
     * integers (identical in both engines), ties broken by doc_id, and
     * per-doc estimates are micro-quantized BEFORE the integer total
     * (the house float-sum rule). Assumes n_pop > k (holds at every
-    * tested SF; a short corpus would return the exact total anyway —
-    * τ undefined means "keep everything"). */
+    * tested SF); when n_pop ≤ k the (k+1)-th priority row does not
+    * exist, the broadcast τ side is empty, and the query returns ZERO
+    * rows — the oracle SQL has the identical join shape, so parity
+    * holds, but callers wanting the degenerate exact-total answer on
+    * sub-k corpora must special-case it upstream. */
   def prioritySample(s: SparkSession, dir: String,
                      k: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(s)

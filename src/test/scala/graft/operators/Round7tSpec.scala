@@ -53,14 +53,14 @@ class Round7tSpec extends SparkSpec {
       (0 until deg).map(j => (i, md5_60(s"kc:$i:$j") % n))
     }.filter(p => p._1 != p._2)
       .flatMap(p => Seq(p, p.swap)).distinct
-      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSeq }
     def bfs(seed: Long): Map[Long, Long] = {
       val dist = scala.collection.mutable.Map(seed -> 0L)
       var frontier = Seq(seed)
       var d = 0L
       while (frontier.nonEmpty && d < 16) {
-        val next = frontier.flatMap(u => adj.getOrElse(u, Nil))
-          .distinct.filterNot(dist.contains)
+        val next = frontier.flatMap(u => adj.getOrElse(u, Seq.empty[Long]))
+          .distinct.filterNot(v => dist.contains(v))
         next.foreach(v => dist(v) = d + 1)
         frontier = next
         d += 1
