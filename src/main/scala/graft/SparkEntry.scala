@@ -504,6 +504,13 @@ object SparkEntry {
     "graph_mst"          -> (Graphs.mst(_, _)),
     "stat38_friedman"    -> (Profiling.stat38Friedman(_, _)),
     "graph_diameter"     -> (Graphs.diameter(_, _)),
+    // ---- round 8 ----
+    "stat39_jarque_bera" -> (Profiling.stat39JarqueBera(_, _)),
+    "stat40_grubbs"      -> (Profiling.stat40Grubbs(_, _)),
+    "ts12_changepoint"   -> (EventAnalytics.ts12Changepoint(_, _)),
+    "prof6_fd_discovery" -> (Profiling.prof6FdDiscovery(_, _)),
+    "ev30_power_mde"     -> (EventAnalytics.ev30PowerMde(_, _)),
+    "ml26_lda"           -> (Training.ml26Lda(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6928,6 +6935,191 @@ object SparkEntry {
         (SELECT dist FROM fa) AS ecc_a,
         (SELECT node FROM fb) AS far_b,
         (SELECT dist FROM fb) AS diameter_lb""",
+    // Jarque–Bera (Profiling.stat39JarqueBera): exact integer power
+    // sums (Σx⁴ in HUGEINT), then ONE double expression tree written
+    // operation-for-operation like the Spark side.
+    "stat39_jarque_bera" -> raw"""
+      WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS s1,
+          CAST(sum(n_chars * n_chars) AS BIGINT) AS s2,
+          CAST(sum(n_chars * n_chars * n_chars) AS BIGINT) AS s3,
+          sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars * n_chars)
+            AS s4h
+        FROM documents),
+      d AS (SELECT n, s1, s2, s3, s4h,
+          CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+          CAST(n AS DOUBLE) AS nd FROM m),
+      c AS (SELECT n, s1, s2, s3, s4h, nd, mu,
+          CAST(s2 AS DOUBLE) / nd - mu * mu AS m2,
+          CAST(s3 AS DOUBLE) / nd - 3.0 * mu *
+            (CAST(s2 AS DOUBLE) / nd) + 2.0 * mu * mu * mu AS m3,
+          CAST(s4h AS DOUBLE) / nd - 4.0 * mu *
+            (CAST(s3 AS DOUBLE) / nd) + 6.0 * mu * mu *
+            (CAST(s2 AS DOUBLE) / nd) - 3.0 * mu * mu * mu * mu AS m4
+        FROM d),
+      g AS (SELECT n, s1, s2, s3, s4h, nd,
+          m3 / sqrt(m2 * m2 * m2) AS g1, m4 / (m2 * m2) AS g2
+        FROM c)
+      SELECT n, s1, s2,
+        CAST(round(1e6 * g1) AS BIGINT) AS skew_micros,
+        CAST(round(1e6 * g2) AS BIGINT) AS kurt_micros,
+        CAST(round(1e6 * (nd / 6.0 *
+          (g1 * g1 + (g2 - 3.0) * (g2 - 3.0) / 4.0))) AS BIGINT)
+          AS jb_micros
+      FROM g""",
+    // Grubbs' test (Profiling.stat40Grubbs): exact-integer argmax of
+    // |n·x − Σx| picks the candidate; G is the identical double tree.
+    "stat40_grubbs" -> raw"""
+      WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS s1,
+          CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+        FROM documents),
+      cand AS (SELECT doc_id, n_chars, n, s1, s2,
+          abs(n * n_chars - s1) AS dev
+        FROM documents, m
+        ORDER BY dev DESC, doc_id ASC LIMIT 1)
+      SELECT doc_id, n_chars, n,
+        CAST(round(1e6 *
+          (CAST(dev AS DOUBLE) / CAST(n AS DOUBLE)) /
+          sqrt((CAST(s2 AS DOUBLE) -
+            CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) /
+              CAST(n AS DOUBLE)) /
+            (CAST(n AS DOUBLE) - 1.0))) AS BIGINT) AS g_micros
+      FROM cand""",
+    // Binary-segmentation changepoint (EventAnalytics.ts12Changepoint):
+    // the argmax runs over the exact integer floor D²·10⁶ // (n1·n2)
+    // in HUGEINT — BigInt on the Spark side — so the flagged day is
+    // engine-independent; output score de-scales by 10⁶.
+    "ts12_changepoint" -> raw"""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+          CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+      idx AS (SELECT strftime(d, '%Y-%m-%d') AS d, x,
+          CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+          CAST(sum(x) OVER (ORDER BY d) AS BIGINT) AS c FROM daily),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS s FROM daily),
+      sc AS (SELECT d, i AS n1, n - i AS n2, c AS s1, s - c AS s2,
+          (CAST(c AS HUGEINT) * (n - i) -
+            CAST(s - c AS HUGEINT) * i) AS dd
+        FROM idx, tot WHERE i < n),
+      best AS (SELECT d, n1, n2, s1, s2,
+          dd * dd * 1000000 // (CAST(n1 AS HUGEINT) * n2) AS score
+        FROM sc ORDER BY score DESC, d ASC LIMIT 1)
+      SELECT d AS split_day, n1, n2,
+        CAST(CAST(s1 AS HUGEINT) * 1000000 // n1 AS BIGINT)
+          AS mean1_micros,
+        CAST(CAST(s2 AS HUGEINT) * 1000000 // n2 AS BIGINT)
+          AS mean2_micros,
+        CAST(score // 1000000 AS BIGINT) AS score
+      FROM best""",
+    // FD audit (Profiling.prof6FdDiscovery): six candidate FDs over
+    // the orders⋈customer⋈nation frame, violations = Σ(distinct−1).
+    "prof6_fd_discovery" -> raw"""
+      WITH base AS (SELECT o.o_custkey, o.o_orderpriority,
+          o.o_orderstatus, c.c_nationkey, c.c_mktsegment,
+          n.n_name, n.n_regionkey
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      melted AS (
+        SELECT 'nationkey->n_name' AS fd,
+          CAST(c_nationkey AS VARCHAR) AS det, n_name AS dep FROM base
+        UNION ALL SELECT 'n_name->nationkey', n_name,
+          CAST(c_nationkey AS VARCHAR) FROM base
+        UNION ALL SELECT 'nationkey->regionkey',
+          CAST(c_nationkey AS VARCHAR),
+          CAST(n_regionkey AS VARCHAR) FROM base
+        UNION ALL SELECT 'mktsegment->nationkey', c_mktsegment,
+          CAST(c_nationkey AS VARCHAR) FROM base
+        UNION ALL SELECT 'custkey->mktsegment',
+          CAST(o_custkey AS VARCHAR), c_mktsegment FROM base
+        UNION ALL SELECT 'priority->status', o_orderpriority,
+          o_orderstatus FROM base),
+      cls AS (SELECT fd, det,
+          CAST(count(DISTINCT dep) AS BIGINT) AS n_dep,
+          CAST(count(*) AS BIGINT) AS n_rows
+        FROM melted GROUP BY fd, det)
+      SELECT fd, CAST(count(*) AS BIGINT) AS n_classes,
+        CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        CAST(sum(n_dep - 1) AS BIGINT) AS violations,
+        CAST(CASE WHEN sum(n_dep - 1) = 0 THEN 1 ELSE 0 END AS BIGINT)
+          AS fd_holds
+      FROM cls GROUP BY fd""",
+    // Power / MDE (EventAnalytics.ev30PowerMde): exact cents sums,
+    // literal z constants, one mirrored double tree.
+    "ev30_power_mde" -> raw"""
+      WITH m AS (SELECT event_type,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+            AS s1,
+          CAST(sum(CAST(round(value * 100) AS BIGINT) *
+            CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+        FROM events GROUP BY 1),
+      d AS (SELECT event_type, n, s1, n // 2 AS n_arm,
+          CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+          (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+            CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) /
+            (CAST(n AS DOUBLE) - 1.0) AS var
+        FROM m WHERE n >= 2 AND s1 > 0)
+      SELECT event_type, n, n_arm,
+        CAST(round(100.0 * mean) AS BIGINT) AS mean_centicents,
+        round(var, 2) AS var_cents2,
+        CAST(round(1e6 * (2.801585 *
+          sqrt(2.0 * var / CAST(n_arm AS DOUBLE))) / mean) AS BIGINT)
+          AS mde_rel_micros
+      FROM d""",
+    // Fisher LDA (Training.ml26Lda): exact conditional power sums,
+    // Cramer 2x2 within-class solve, identical double tree.
+    "ml26_lda" -> raw"""
+      WITH r AS (SELECT
+          CAST(round(1e6 * CAST(embedding[1] AS DOUBLE)) AS BIGINT)
+            AS x1,
+          CAST(round(1e6 * CAST(embedding[2] AS DOUBLE)) AS BIGINT)
+            AS x2,
+          CAST(label % 2 AS BIGINT) AS y
+        FROM embeddings),
+      m AS (SELECT
+          CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+          CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN y = 0 THEN x1 ELSE 0 END) AS BIGINT)
+            AS a1,
+          CAST(sum(CASE WHEN y = 0 THEN x2 ELSE 0 END) AS BIGINT)
+            AS a2,
+          CAST(sum(CASE WHEN y = 1 THEN x1 ELSE 0 END) AS BIGINT)
+            AS b1,
+          CAST(sum(CASE WHEN y = 1 THEN x2 ELSE 0 END) AS BIGINT)
+            AS b2,
+          sum(x1 * x1) AS s11, sum(x2 * x2) AS s22,
+          sum(x1 * x2) AS s12
+        FROM r),
+      c AS (SELECT n0, n1,
+          CAST(s11 AS DOUBLE) - (CAST(a1 AS DOUBLE) *
+            CAST(a1 AS DOUBLE) / CAST(n0 AS DOUBLE) +
+            CAST(b1 AS DOUBLE) * CAST(b1 AS DOUBLE) /
+            CAST(n1 AS DOUBLE)) AS w11,
+          CAST(s22 AS DOUBLE) - (CAST(a2 AS DOUBLE) *
+            CAST(a2 AS DOUBLE) / CAST(n0 AS DOUBLE) +
+            CAST(b2 AS DOUBLE) * CAST(b2 AS DOUBLE) /
+            CAST(n1 AS DOUBLE)) AS w22,
+          CAST(s12 AS DOUBLE) - (CAST(a1 AS DOUBLE) *
+            CAST(a2 AS DOUBLE) / CAST(n0 AS DOUBLE) +
+            CAST(b1 AS DOUBLE) * CAST(b2 AS DOUBLE) /
+            CAST(n1 AS DOUBLE)) AS w12,
+          CAST(b1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+            CAST(a1 AS DOUBLE) / CAST(n0 AS DOUBLE) AS d1,
+          CAST(b2 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+            CAST(a2 AS DOUBLE) / CAST(n0 AS DOUBLE) AS d2
+        FROM m),
+      w AS (SELECT n0, n1, d1, d2,
+          (w22 * d1 - w12 * d2) / (w11 * w22 - w12 * w12) AS wv1,
+          (w11 * d2 - w12 * d1) / (w11 * w22 - w12 * w12) AS wv2
+        FROM c)
+      SELECT n0, n1,
+        CAST(round(1e12 * wv1) AS BIGINT) AS w1_pico,
+        CAST(round(1e12 * wv2) AS BIGINT) AS w2_pico,
+        CAST(round(1e6 * (wv1 * d1 + wv2 * d2)) AS BIGINT)
+          AS j_micros
+      FROM w""",
   )
 
   // ---- shared DuckDB oracle fragments ----

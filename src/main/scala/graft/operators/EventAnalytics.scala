@@ -1532,4 +1532,96 @@ object EventAnalytics {
           (col("sum_e1").cast("double") / col("n_naive").cast("double")))
           .cast("long").as("mase_micros"))
   }
+
+  /** `ts12_changepoint` — single-changepoint detection on the daily
+    * event-count series by exact binary segmentation: the split t
+    * maximizing the between-segment SSE reduction
+    * (S₁n₂ − S₂n₁)²/(n·n₁·n₂), i.e. the first step of PELT/BinSeg.
+    * The score is compared as the EXACT integer floor
+    * D²·10⁶ div (n₁·n₂) (n constant across splits, dropped; BigInt
+    * driver-side, HUGEINT in the oracle) so the argmax — and the
+    * day it flags — is engine-independent by construction, not by
+    * fp luck; ties break to the earlier day. Segment means are exact
+    * integer-floor micros. The level-shift LOCATOR beside ts6's
+    * CUSUM drift detector (CUSUM says "a shift exists"; this says
+    * "here, and by how much").
+    *
+    * Scale shape: the data-sized stage is the shared dailyCounts
+    * aggregation; the split scan is driver-side over the collected
+    * ≤ #days model (the cusum/mmr convention — model-sized collects
+    * only, never data). */
+  def ts12Changepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = dailyCounts(s, dir)
+      .select(date_format(col("d"), "yyyy-MM-dd").as("d"), col("x"))
+      .orderBy(col("d")).collect()
+    if (rows.length < 2) // one day → no split exists
+      return Seq.empty[(String, Long, Long, Long, Long, Long)]
+        .toDF("split_day", "n1", "n2", "mean1_micros", "mean2_micros",
+          "score")
+    val xs = rows.map(_.getLong(1))
+    val n = xs.length
+    val sTot = xs.map(BigInt(_)).sum
+    var (best, bestScore) = (-1, BigInt(-1))
+    var s1 = BigInt(0)
+    for (i <- 1 until n) { // split after day i-1: n1 = i
+      s1 += xs(i - 1)
+      val (n1, n2) = (BigInt(i), BigInt(n - i))
+      val d = s1 * n2 - (sTot - s1) * n1
+      val score = d * d * 1000000 / (n1 * n2)
+      if (score > bestScore) { best = i; bestScore = score }
+    }
+    val s1b = xs.take(best).map(BigInt(_)).sum
+    Seq((rows(best - 1).getString(0), best.toLong, (n - best).toLong,
+      (s1b * 1000000 / best).toLong,
+      ((sTot - s1b) * 1000000 / (n - best)).toLong,
+      (bestScore / 1000000).toLong)) // de-scale: argmax ran ×10⁶ finer
+      .toDF("split_day", "n1", "n2", "mean1_micros", "mean2_micros",
+        "score")
+  }
+
+  /** `ev30_power_mde` — A/B experiment power analysis per event type:
+    * with the observed variance of per-event `value` (exact cents
+    * sufficient statistics) and a 50/50 split of the observed volume,
+    * the minimum detectable effect at α=0.05 two-sided / 80% power is
+    * MDE = (z_{0.975} + z_{0.8})·√(2s²/n_arm), reported relative to
+    * the mean. The pre-registration face of the experimentation
+    * family (ev22's CI and ev27's CUPED are post-hoc; this is the
+    * "how long must the test run" number, and read beside ev27 it
+    * quantifies how much CUPED shrinks the required run).
+    *
+    * Determinism: the z constants are literals, variance comes from
+    * exact integer cents sums, and the single double expression tree
+    * is mirrored in the oracle; micro-quantized outputs.
+    *
+    * Scale shape: one map-side-combinable groupBy(event_type) — three
+    * power sums per type, a types-sized result. */
+  def ev30PowerMde(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    val m = Tables.events(s, dir)
+      .select(col("event_type"), cents.as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"))
+    val nD = col("n").cast("double")
+    val mean = col("s1").cast("double") / nD
+    val variance = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / nD) /
+      (nD - lit(1.0))
+    val nArm = expr("n DIV 2")
+    // one parsed literal (z_{0.975}+z_{0.8}), never a compile-time sum
+    // — a 1-ulp drift vs the oracle's parsed 2.801585 would leak into
+    // the quantized output
+    val mdeAbs = lit(2.801585) *
+      sqrt(lit(2.0) * variance / nArm.cast("double"))
+    // s1 > 0 guards the relative-MDE divide (a zero-value event type
+    // has no mean to scale by)
+    m.filter(col("n") >= 2L && col("s1") > 0L)
+      .select(col("event_type"), col("n"),
+      nArm.as("n_arm"),
+      round(lit(100.0) * mean).cast("long").as("mean_centicents"),
+      round(variance, 2).as("var_cents2"),
+      round(lit(1e6) * (mdeAbs / mean)).cast("long")
+        .as("mde_rel_micros"))
+  }
 }

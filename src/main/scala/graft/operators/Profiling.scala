@@ -842,4 +842,140 @@ object Profiling {
         when(col("ad") * 10000 > col("mad") * 44478, 1L).otherwise(0L)
           .as("flagged"))
   }
+
+  /** `stat39_jarque_bera` — Jarque–Bera normality test on the
+    * `n_chars` length distribution: JB = n/6·(g₁² + (g₂−3)²/4) from
+    * the exact raw power sums Σx..Σx⁴ (x ≤ ~10⁴ so x⁴ ≤ 10¹⁶ per
+    * term; the Σx⁴ accumulator alone can pass 2⁶³ at scale, so it
+    * sums in DECIMAL(38,0) — DuckDB's HUGEINT twin). Central moments
+    * and the two shape statistics are derived driver-free in ONE
+    * projected expression tree written identically in the oracle, so
+    * every IEEE op lines up 1:1; outputs are micro-quantized.
+    * The "does a Gaussian assumption even apply" pre-check the
+    * parametric stat faces (stat11/stat29/stat33) lean on.
+    *
+    * Scale shape: one narrow scan folding five power sums map-side to
+    * a 1-row frame — no shuffle wider than the partials, no window. */
+  def stat39JarqueBera(s: SparkSession, dir: String): DataFrame = {
+    val x = col("n_chars")
+    val m = Tables.documents(s, dir)
+      .select(x.as("x"), (x * x).as("x2"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(col("x2")).as("s2"), sum(col("x2") * col("x")).as("s3"),
+        sum((col("x2") * col("x2")).cast("decimal(38,0)")).as("s4"))
+    // exact-integer sums → doubles once, identical tree in the oracle
+    // (raw Σx⁴ stays internal: emitting DECIMAL beside the oracle's
+    // HUGEINT would make the compare type-fragile for no signal)
+    m.select(col("n"), col("s1"), col("s2"),
+      round(lit(1e6) * jbExpr(col("n"), col("s1"), col("s2"),
+        col("s3"), col("s4"))._1).cast("long").as("skew_micros"),
+      round(lit(1e6) * jbExpr(col("n"), col("s1"), col("s2"),
+        col("s3"), col("s4"))._2).cast("long").as("kurt_micros"),
+      round(lit(1e6) * jbExpr(col("n"), col("s1"), col("s2"),
+        col("s3"), col("s4"))._3).cast("long").as("jb_micros"))
+  }
+
+  /** Shared JB expression tree: (skewness g₁, kurtosis g₂, JB) as
+    * doubles from the exact integer power sums. Central moments via
+    * mk = E[xᵏ] − binomial expansion around the mean, each written as
+    * the same literal arithmetic the DuckDB oracle uses. */
+  private def jbExpr(n: Column, s1: Column, s2: Column, s3: Column,
+                     s4: Column): (Column, Column, Column) = {
+    val nd = n.cast("double")
+    val mu = s1.cast("double") / nd
+    val m2 = s2.cast("double") / nd - mu * mu
+    val m3 = s3.cast("double") / nd - lit(3.0) * mu *
+      (s2.cast("double") / nd) + lit(2.0) * mu * mu * mu
+    val m4 = s4.cast("double") / nd - lit(4.0) * mu *
+      (s3.cast("double") / nd) + lit(6.0) * mu * mu *
+      (s2.cast("double") / nd) - lit(3.0) * mu * mu * mu * mu
+    val g1 = m3 / sqrt(m2 * m2 * m2)
+    val g2 = m4 / (m2 * m2)
+    val jb = nd / lit(6.0) *
+      (g1 * g1 + (g2 - lit(3.0)) * (g2 - lit(3.0)) / lit(4.0))
+    (g1, g2, jb)
+  }
+
+  /** `stat40_grubbs` — Grubbs' maximum-studentized-deviate outlier
+    * test on `n_chars`: G = max|x − x̄|/s. The candidate is picked by
+    * the EXACT integer argmax of |n·x − Σx| (ties → doc_id asc), so
+    * which document is flagged never depends on floating point; the
+    * statistic itself is then one double expression over exact sums,
+    * micro-quantized. The single-point complement of stat22's
+    * MAD-fence bulk scan: "is the single worst row already
+    * statistically impossible under normality?"
+    *
+    * Scale shape: one scan folds (n, Σx, Σx²) map-side; the argmax is
+    * a second scan ending in TakeOrderedAndProject(1) against the
+    * broadcast 1-row stats — no global sort, no window. */
+  def stat40Grubbs(s: SparkSession, dir: String): DataFrame = {
+    val stats = broadcast(Tables.documents(s, dir)
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2")))
+    val cand = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .crossJoin(stats)
+      .withColumn("dev", abs(col("n") * col("n_chars") - col("s1")))
+      .orderBy(col("dev").desc, col("doc_id").asc)
+      .limit(1)
+    cand.select(col("doc_id"), col("n_chars"), col("n"),
+      round(lit(1e6) * (col("dev").cast("double") / col("n").cast("double")) /
+        sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") /
+            col("n").cast("double")) /
+          (col("n").cast("double") - lit(1.0))))
+        .cast("long").as("g_micros"))
+  }
+
+  /** `prof6_fd_discovery` — functional-dependency audit over the
+    * denormalized orders⋈customer⋈nation frame: for each candidate
+    * determinant→dependent pair, the violation mass
+    * Σ_det (distinct deps − 1) and whether the FD holds exactly.
+    * The schema-inference face of the profiling family: FDs that
+    * hold are join-key/normalization candidates; FDs that almost
+    * hold (small violation count) are data-quality leads. Candidates
+    * cover held-by-construction (nationkey→n_name), held-via-join
+    * (custkey→mktsegment) and expected-to-fail (mktsegment→nation,
+    * priority→status) shapes so both verdicts are exercised.
+    *
+    * Scale shape: ONE scan of the join explodes to 6 (fd, det, dep)
+    * rows per order row, then two map-side-combinable aggs:
+    * (fd, det) distinct-dep counts, then the per-fd rollup — the
+    * join itself broadcasts the dimension side. At 100 TB the
+    * explode factor is the candidate count, linear and column-
+    * pruned (only the referenced columns are read). */
+  def prof6FdDiscovery(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+    val cands = Seq(
+      ("nationkey->n_name", col("c_nationkey").cast("string"),
+        col("n_name")),
+      ("n_name->nationkey", col("n_name"),
+        col("c_nationkey").cast("string")),
+      ("nationkey->regionkey", col("c_nationkey").cast("string"),
+        col("n_regionkey").cast("string")),
+      ("mktsegment->nationkey", col("c_mktsegment"),
+        col("c_nationkey").cast("string")),
+      ("custkey->mktsegment", col("o_custkey").cast("string"),
+        col("c_mktsegment")),
+      ("priority->status", col("o_orderpriority"),
+        col("o_orderstatus")))
+    val melted = base.select(explode(array(cands.map { case (f, d, p) =>
+      struct(lit(f).as("fd"), d.as("det"), p.as("dep"))
+    }: _*)).as("e")).select(col("e.fd"), col("e.det"), col("e.dep"))
+    melted
+      .groupBy(col("fd"), col("det"))
+      .agg(countDistinct(col("dep")).as("n_dep"),
+        count(lit(1)).as("n_rows"))
+      .groupBy(col("fd"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("n_dep") - 1L).as("violations"))
+      .select(col("fd"), col("n_classes"), col("n_rows"),
+        col("violations"),
+        when(col("violations") === 0L, 1L).otherwise(0L).as("fd_holds"))
+  }
 }

@@ -1104,4 +1104,59 @@ object Training {
         round(lit(1e6) * col("b2")).cast("long").as("coef2_micros"),
         round(col("b0")).cast("long").as("intercept_micros"))
   }
+
+  /** `ml26_lda` — Fisher's linear discriminant in closed form on the
+    * first two embedding dimensions (micro-quantized like
+    * [[ml25Ridge]]) against the parity label: w = S_w⁻¹(μ₁ − μ₀)
+    * with the 2×2 within-class scatter inverted by Cramer, plus the
+    * Fisher criterion J = dᵀS_w⁻¹d — the separation the direction
+    * actually achieves. The supervised twin of ml8's PCA power
+    * iteration: same sufficient-statistics discipline, label-aware
+    * axis. Every class moment is an exact integer (DECIMAL(38,0)
+    * cross-products); the matrix solve is ONE double expression tree
+    * mirrored in the oracle; outputs micro-quantized.
+    *
+    * Scale shape: one narrow scan folding 11 conditional power sums
+    * map-side into a single row — no shuffle wider than the partials,
+    * no window, no join; embarrassingly scalable. */
+  def ml26Lda(s: SparkSession, dir: String): DataFrame = {
+    def cls(c: Column, v: Int): Column = when(col("y") === v, c)
+      .otherwise(lit(0L))
+    val m = Tables.embeddings(s, dir)
+      .select(
+        round(lit(1e6) * element_at(col("embedding"), 1).cast("double"))
+          .cast("long").as("x1"),
+        round(lit(1e6) * element_at(col("embedding"), 2).cast("double"))
+          .cast("long").as("x2"),
+        (col("label") % 2).cast("long").as("y"))
+      .agg(
+        sum(when(col("y") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("y") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(cls(col("x1"), 0)).as("a1"), sum(cls(col("x2"), 0)).as("a2"),
+        sum(cls(col("x1"), 1)).as("b1"), sum(cls(col("x2"), 1)).as("b2"),
+        sum((col("x1") * col("x1")).cast("decimal(38,0)")).as("s11"),
+        sum((col("x2") * col("x2")).cast("decimal(38,0)")).as("s22"),
+        sum((col("x1") * col("x2")).cast("decimal(38,0)")).as("s12"))
+    // within-class scatter = total cross-products minus BOTH class
+    // mean corrections: Sw_ab = Σxaxb − (A_a·A_b/n0 + B_a·B_b/n1)
+    val (n0, n1) = (col("n0").cast("double"), col("n1").cast("double"))
+    def sw(tot: String, a: Column, b: Column,
+           a1c: Column, b1c: Column): Column =
+      col(tot).cast("double") -
+        (a.cast("double") * b.cast("double") / n0 +
+          a1c.cast("double") * b1c.cast("double") / n1)
+    val w11 = sw("s11", col("a1"), col("a1"), col("b1"), col("b1"))
+    val w22 = sw("s22", col("a2"), col("a2"), col("b2"), col("b2"))
+    val w12 = sw("s12", col("a1"), col("a2"), col("b1"), col("b2"))
+    val d1 = col("b1").cast("double") / n1 - col("a1").cast("double") / n0
+    val d2 = col("b2").cast("double") / n1 - col("a2").cast("double") / n0
+    val det = w11 * w22 - w12 * w12
+    val wv1 = (w22 * d1 - w12 * d2) / det
+    val wv2 = (w11 * d2 - w12 * d1) / det
+    m.select(col("n0"), col("n1"),
+      round(lit(1e12) * wv1).cast("long").as("w1_pico"),
+      round(lit(1e12) * wv2).cast("long").as("w2_pico"),
+      round(lit(1e6) * (wv1 * d1 + wv2 * d2)).cast("long")
+        .as("j_micros"))
+  }
 }
