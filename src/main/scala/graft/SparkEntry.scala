@@ -511,6 +511,9 @@ object SparkEntry {
     "prof6_fd_discovery" -> (Profiling.prof6FdDiscovery(_, _)),
     "ev30_power_mde"     -> (EventAnalytics.ev30PowerMde(_, _)),
     "ml26_lda"           -> (Training.ml26Lda(_, _)),
+    "samp14_kcenter"     -> (Sampling.kcenterGreedy(_, _)),
+    "ml27_silhouette"    -> (Training.ml27Silhouette(_, _)),
+    "rec6_lift3"         -> (Recommend.rec6Lift3(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7120,6 +7123,69 @@ object SparkEntry {
         CAST(round(1e6 * (wv1 * d1 + wv2 * d2)) AS BIGINT)
           AS j_micros
       FROM w""",
+    // Greedy k-center (Sampling.kcenterGreedy): exact integer-micro
+    // distances, 8 chained argmax rounds, vec_id tie-break.
+    "samp14_kcenter" -> kcenterSql(8),
+    // Simplified silhouette (Training.ml27Silhouette): long-form melt,
+    // integer-micro centroids (one rounded divide of exact sums),
+    // exact integer d², per-point micro quantization before sums.
+    "ml27_silhouette" -> raw"""
+      WITH pts AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+          CAST(i - 1 AS BIGINT) AS dim,
+          CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+            AS x
+        FROM embeddings, unnest(range(1, 65)) AS t(i)),
+      cent AS (SELECT label AS clabel, dim,
+          CAST(round(CAST(sum(x) AS DOUBLE) /
+            CAST(count(*) AS DOUBLE)) AS BIGINT) AS c
+        FROM pts GROUP BY 1, 2),
+      d2 AS (SELECT p.vec_id, p.label, c.clabel,
+          CAST(sum((p.x - c.c) * (p.x - c.c)) AS BIGINT) AS dd
+        FROM pts p JOIN cent c ON p.dim = c.dim
+        GROUP BY 1, 2, 3),
+      ab AS (SELECT vec_id, label,
+          CAST(sum(CASE WHEN clabel = label THEN dd END) AS BIGINT)
+            AS a2,
+          CAST(min(CASE WHEN clabel <> label THEN dd END) AS BIGINT)
+            AS b2
+        FROM d2 GROUP BY 1, 2),
+      sp AS (SELECT label,
+          CAST(round(1e6 * (sqrt(CAST(b2 AS DOUBLE)) -
+            sqrt(CAST(a2 AS DOUBLE))) /
+            greatest(sqrt(CAST(a2 AS DOUBLE)),
+              sqrt(CAST(b2 AS DOUBLE)))) AS BIGINT) AS s_micros
+        FROM ab)
+      SELECT label, CAST(count(*) AS BIGINT) AS n_pts,
+        CAST(round(CAST(sum(s_micros) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_s_micros
+      FROM sp GROUP BY label""",
+    // 3-way brand lift (Recommend.rec6Lift3): basket-bounded triple
+    // join, HUGEINT floor-division micros, (lift desc, triple asc).
+    "rec6_lift3" -> raw"""
+      WITH items AS (SELECT DISTINCT l.l_orderkey AS okey,
+          p.p_brand AS br
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders
+        FROM items),
+      sup AS (SELECT br, CAST(count(*) AS BIGINT) AS n_br
+        FROM items GROUP BY br),
+      t AS (SELECT a.br AS b1, b.br AS b2, c.br AS b3,
+          CAST(count(*) AS BIGINT) AS n_abc
+        FROM items a
+        JOIN items b ON a.okey = b.okey AND a.br < b.br
+        JOIN items c ON b.okey = c.okey AND b.br < c.br
+        GROUP BY 1, 2, 3)
+      SELECT b1, b2, b3, n_abc,
+        CAST(CAST(n_abc AS HUGEINT) * n_orders * n_orders * 1000000 //
+          (CAST(s1.n_br AS HUGEINT) * s2.n_br * s3.n_br) AS BIGINT)
+          AS lift3_micros
+      FROM t
+      JOIN sup s1 ON t.b1 = s1.br
+      JOIN sup s2 ON t.b2 = s2.br
+      JOIN sup s3 ON t.b3 = s3.br
+      CROSS JOIN n
+      ORDER BY lift3_micros DESC, b1 ASC, b2 ASC, b3 ASC
+      LIMIT 20""",
   )
 
   // ---- shared DuckDB oracle fragments ----
@@ -8256,6 +8322,38 @@ object SparkEntry {
         min(cm2.c[1]) AS c0, min(cm2.c[2]) AS c1
       FROM af JOIN cm2 ON af.cell = cm2.cell
       GROUP BY af.cell"""
+
+  /** Greedy k-center replay (Sampling.kcenterGreedy): integer-micro
+    * vectors, exact BIGINT squared distances, per round a min-distance
+    * CTE against the accumulated center set and the (dm DESC, vec_id
+    * ASC) argmax — chained CTEs like kmeansppSql. */
+  private def kcenterSql(k: Int): String = {
+    def l2i(v: String, c: String) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(range(1, 65), i -> ($v[i] - $c[i]) * " +
+        s"($v[i] - $c[i]))), (acc, x) -> acc + x)"
+    val rounds = (1 until k).map { j =>
+      s"""d$j AS (SELECT r.vec_id, r.v,
+          min(${l2i("r.v", "cs.v")}) AS dm
+        FROM r, cs${j - 1} cs GROUP BY r.vec_id, r.v),
+      s$j AS (SELECT vec_id, v, dm FROM d$j
+        ORDER BY dm DESC, vec_id ASC LIMIT 1),
+      cs$j AS (SELECT * FROM cs${j - 1}
+        UNION ALL SELECT CAST($j AS BIGINT), vec_id, v, dm FROM s$j)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH r AS (SELECT vec_id,
+          list_transform(embedding::DOUBLE[],
+            x -> CAST(round(x * 1e6) AS BIGINT)) AS v
+        FROM embeddings),
+      s0 AS (SELECT vec_id, v FROM r ORDER BY vec_id ASC LIMIT 1),
+      cs0 AS (SELECT CAST(0 AS BIGINT) AS idx, vec_id, v,
+          CAST(0 AS BIGINT) AS dm FROM s0),
+      $rounds
+      SELECT idx AS round, vec_id AS center_vec_id,
+        CAST(dm AS BIGINT) AS radius_d2
+      FROM cs${k - 1}"""
+  }
 
   /** The 16 seed-42 Rademacher hyperplanes as a DuckDB list-of-lists
     * literal — the SAME constants Similarity.annLsh ships in its plan. */

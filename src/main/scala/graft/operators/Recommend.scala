@@ -377,4 +377,55 @@ object Recommend {
       .select(col("item"), col("rnk"), col("nbr"), col("n_ab"),
         col("lift_micros"))
   }
+
+  /** `rec6_lift3` — three-way basket synergy at the BRAND level: for
+    * every ordered brand triple b₁<b₂<b₃, lift₃ = P(abc)/(P(a)P(b)P(c))
+    * = n_abc·N²/(n_a·n_b·n_c), top-20 by lift. The third-order signal
+    * [[itemCooccur]]'s pairwise lift provably cannot see (a triple can
+    * be super-additive while every pair looks independent) — and the
+    * brand rollup is what makes the triple space BOUNDED (≤ C(25,3)
+    * combinations) so the face stays populated and sub-quadratic at
+    * every SF, where part-level triples are all support-1 even at
+    * sf0.1.
+    *
+    * Determinism: lift is an exact integer floor division in micros —
+    * the numerator n_abc·N²·10⁶ passes 2⁶³ so it rides DECIMAL(38,0)
+    * (HUGEINT in the oracle); ranked (lift desc, triple asc).
+    *
+    * Scale shape: the triple join is basket-bounded (per-order brand
+    * sets are small by construction — C(b,3) per basket, never corpus-
+    * squared); supports broadcast; the cut is TakeOrderedAndProject. */
+  def rec6Lift3(s: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("br"))
+      .distinct()
+    val nOrders = items.agg(countDistinct(col("okey")).as("n_orders"))
+    val support = items.groupBy(col("br")).agg(count(lit(1)).as("n_br"))
+    val triples = items.as("a")
+      .join(items.as("b"), col("a.okey") === col("b.okey"))
+      .filter(col("a.br") < col("b.br"))
+      .join(items.as("c"), col("b.okey") === col("c.okey"))
+      .filter(col("b.br") < col("c.br"))
+      .groupBy(col("a.br").as("b1"), col("b.br").as("b2"),
+        col("c.br").as("b3"))
+      .agg(count(lit(1)).as("n_abc"))
+    triples
+      .join(broadcast(support.select(col("br").as("b1"),
+        col("n_br").as("n1"))), "b1")
+      .join(broadcast(support.select(col("br").as("b2"),
+        col("n_br").as("n2"))), "b2")
+      .join(broadcast(support.select(col("br").as("b3"),
+        col("n_br").as("n3"))), "b3")
+      .crossJoin(broadcast(nOrders))
+      .select(col("b1"), col("b2"), col("b3"), col("n_abc"),
+        expr("""(CAST(n_abc AS DECIMAL(38,0)) * n_orders * n_orders
+            * 1000000) DIV
+          (CAST(n1 AS DECIMAL(38,0)) * n2 * n3)""")
+          .as("lift3_micros"))
+      .orderBy(col("lift3_micros").desc, col("b1").asc, col("b2").asc,
+        col("b3").asc)
+      .limit(topK)
+  }
 }

@@ -404,4 +404,53 @@ object Sampling {
           col("true_total").cast("double")).cast("long")
           .as("rel_err_micros"))
   }
+
+  /** `samp14_kcenter` — greedy k-center (Gonzalez 1985) coreset
+    * selection over the embedding corpus: start from the min-vec_id
+    * point, then k−1 rounds of "add the point farthest from the
+    * chosen set" — the 2-approximation to the optimal k-cover, and
+    * the diversity-first dual of [[gumbelTopK]]'s importance-first
+    * draw (DSIR picks what matters; k-center picks what SPANS).
+    * Each round also reports the pick's distance — the coverage
+    * radius curve a curation budget is set from.
+    *
+    * Determinism: vectors are micro-quantized longs, so every
+    * distance is an EXACT integer (per-dim diff ≤ 4·10⁶, squared
+    * ×64 dims ≤ 10¹⁵) — the argmax (ties → vec_id asc) is
+    * engine-independent by construction. The DuckDB oracle replays
+    * all k rounds as chained CTEs on the identical integers.
+    *
+    * Scale shape: k driver rounds, each ONE narrow argmax pass
+    * ending in TakeOrderedAndProject(1) against a ≤k-row literal
+    * center model (the kmeansLloyd/kmeanspp collect discipline —
+    * model-sized collects only); distances fold inside the row
+    * pipeline via zip_with + aggregate, zero UDFs, zero joins. */
+  def kcenterGreedy(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 1e6).cast("long")).as("v"))
+    e.cache()
+    try {
+      def d2(c: Seq[Long]): Column =
+        aggregate(zip_with(col("v"), array(c.map(lit): _*),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+      val first = e.orderBy(col("vec_id").asc).limit(1).collect().head
+      var model = Vector((first.getLong(0), 0L,
+        first.getAs[collection.Seq[Long]]("v").toSeq))
+      for (_ <- 1 until k) {
+        val ds = model.map { case (_, _, c) => d2(c) }
+        val dmin = if (ds.size == 1) ds.head else least(ds: _*)
+        val r = e.select(col("vec_id"), col("v"), dmin.as("dm"))
+          .orderBy(col("dm").desc, col("vec_id").asc).limit(1)
+          .collect().head
+        model = model :+ ((r.getLong(0), r.getLong(2),
+          r.getAs[collection.Seq[Long]]("v").toSeq))
+      }
+      model.zipWithIndex
+        .map { case ((id, rad, _), i) => (i.toLong, id, rad) }
+        .toDF("round", "center_vec_id", "radius_d2")
+    } finally e.unpersist(blocking = true)
+  }
 }

@@ -1159,4 +1159,55 @@ object Training {
       round(lit(1e6) * (wv1 * d1 + wv2 * d2)).cast("long")
         .as("j_micros"))
   }
+
+  /** `ml27_silhouette` — simplified (centroid-based) silhouette per
+    * label cluster: a(i) = distance to the own-label centroid,
+    * b(i) = min distance to any other label's centroid,
+    * s(i) = (b − a)/max(a, b). The clustering-quality eval the
+    * sim_kmeans family reports cost for but never validates — and
+    * the centroid form is THE silhouette that survives 100 TB: the
+    * classic all-pairs form is O(n²), this is one centroid model
+    * (labels × dims) against one linear scan.
+    *
+    * Determinism: vectors and centroids are exact integer micros
+    * (centroid = round of one IEEE divide of exact sums), so both
+    * squared distances are exact longs; s(i) takes two sqrt's and one
+    * divide, micro-quantized PER POINT before the integer sum (the
+    * house float-sum rule); the per-label mean is one rounded divide
+    * of exact integers.
+    *
+    * Scale shape: melt to (vec, dim) longs → one (label, dim)
+    * map-side-combined agg builds the ≤ labels×64-row centroid model
+    * → broadcast-join back twice (own + cross), fold per (vec,
+    * label), min per vec, one labels-sized rollup. No window, no
+    * driver round-trips. */
+  def ml27Silhouette(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), col("label"),
+        col("pos").cast("long").as("dim"),
+        round(col("col") * 1e6).cast("long").as("x"))
+    val cent = pts.groupBy(col("label"), col("dim"))
+      .agg(round(sum(col("x")).cast("double") /
+        count(lit(1)).cast("double")).cast("long").as("c"))
+    val d2 = pts.join(broadcast(cent.withColumnRenamed("label", "clabel")),
+        Seq("dim"))
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dd"))
+    val ab = d2.groupBy(col("vec_id"), col("label"))
+      .agg(sum(when(col("clabel") === col("label"), col("dd")))
+          .as("a2"),
+        min(when(col("clabel") =!= col("label"), col("dd"))).as("b2"))
+    val sPt = ab.select(col("label"),
+      round(lit(1e6) * (sqrt(col("b2").cast("double")) -
+        sqrt(col("a2").cast("double"))) /
+        greatest(sqrt(col("a2").cast("double")),
+          sqrt(col("b2").cast("double")))).cast("long").as("s_micros"))
+    sPt.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_pts"), sum(col("s_micros")).as("s_sum"))
+      .select(col("label"), col("n_pts"),
+        round(col("s_sum").cast("double") / col("n_pts").cast("double"))
+          .cast("long").as("mean_s_micros"))
+  }
 }

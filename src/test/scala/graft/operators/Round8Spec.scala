@@ -1,0 +1,188 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-8 batch 1: driver-side replays from first principles for the
+  * changepoint locator, the normality/outlier tests, the FD audit, the
+  * closed-form LDA, the centroid silhouette, greedy k-center and the
+  * 3-way brand lift. */
+class Round8Spec extends SparkSpec {
+
+  private def rnd(x: Double): Long =
+    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+
+  test("ts12 changepoint maximizes between-segment SSE reduction " +
+    "over all splits") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+      .orderBy(col("d")).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    val n = daily.length
+    val tot = daily.map(_._2).map(BigInt(_)).sum
+    // brute-force every split at the CONTRACT precision (the µ-floored
+    // score the operator documents), earlier day wins ties
+    val scores = (1 until n).map { i =>
+      val s1 = daily.take(i).map(_._2).map(BigInt(_)).sum
+      val d = s1 * (n - i) - (tot - s1) * i
+      (i, d * d * 1000000 / (BigInt(i) * (n - i)))
+    }
+    val bestI = scores.maxBy(t => (t._2, -t._1))._1
+    val r = EventAnalytics.ts12Changepoint(spark, sf).collect().head
+    assert(r.getString(0) === daily(bestI - 1)._1)
+    assert(r.getLong(1) === bestI.toLong)
+    assert(r.getLong(2) === (n - bestI).toLong)
+    // means restate exactly
+    val s1 = daily.take(bestI).map(_._2).map(BigInt(_)).sum
+    assert(r.getLong(3) === (s1 * 1000000 / bestI).toLong)
+    assert(r.getLong(4) === ((tot - s1) * 1000000 / (n - bestI)).toLong)
+  }
+
+  test("stat39 JB statistic matches the classic two-pass " +
+    "central-moment computation") {
+    val xs = Tables.documents(spark, sf).select(col("n_chars"))
+      .collect().map(_.getLong(0).toDouble)
+    val n = xs.length
+    val mu = xs.sum / n
+    def cm(k: Int): Double = xs.map(x => math.pow(x - mu, k)).sum / n
+    val g1 = cm(3) / math.pow(cm(2), 1.5)
+    val g2 = cm(4) / (cm(2) * cm(2))
+    val jb = n / 6.0 * (g1 * g1 + (g2 - 3) * (g2 - 3) / 4.0)
+    val r = Profiling.stat39JarqueBera(spark, sf).collect().head
+    assert(r.getLong(0) === n.toLong)
+    // two-pass vs sufficient-statistics agree to micro tolerance
+    assert(math.abs(r.getLong(3) - 1e6 * g1) <= 2)
+    assert(math.abs(r.getLong(4) - 1e6 * g2) <= 2)
+    assert(math.abs(r.getLong(5) - 1e6 * jb) <= 5)
+  }
+
+  test("stat40 Grubbs picks the max-deviation doc and matches the " +
+    "classic statistic") {
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = rows.length
+    val mean = rows.map(_._2).sum.toDouble / n
+    val sd = math.sqrt(
+      rows.map(r => (r._2 - mean) * (r._2 - mean)).sum / (n - 1))
+    val cand = rows.maxBy(r => (math.abs(r._2 - mean), -r._1))
+    val r = Profiling.stat40Grubbs(spark, sf).collect().head
+    assert(r.getLong(0) === cand._1)
+    assert(math.abs(r.getLong(3) -
+      1e6 * math.abs(cand._2 - mean) / sd) <= 2)
+  }
+
+  test("prof6 FD verdicts: join-functional dependencies hold, " +
+    "cross-column ones fail") {
+    val m = Profiling.prof6FdDiscovery(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(m("nationkey->n_name") ===(0L, 1L))
+    assert(m("n_name->nationkey") ===(0L, 1L))
+    assert(m("nationkey->regionkey") ===(0L, 1L))
+    assert(m("custkey->mktsegment") ===(0L, 1L))
+    // dense categorical pairs collide at any realistic SF
+    assert(m("mktsegment->nationkey")._2 === 0L)
+    assert(m("priority->status")._2 === 0L)
+    // violations is the exact Σ(distinct−1) mass, restated for one fd
+    val base = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("c_nationkey").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val viol = base.groupBy(_._1).map(_._2.map(_._2).distinct.size - 1)
+      .sum.toLong
+    assert(m("mktsegment->nationkey")._1 === viol)
+  }
+
+  test("ml26 LDA direction solves Sw w = (mu1 - mu0) and separates " +
+    "the class means") {
+    val r = Training.ml26Lda(spark, sf).collect().head
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("embedding"), col("label")).collect().map { row =>
+        val e = row.getSeq[Float](0)
+        (rnd(1e6 * e(0).toDouble).toDouble,
+          rnd(1e6 * e(1).toDouble).toDouble, row.getInt(1) % 2)
+      }
+    val (c0, c1) = (rows.filter(_._3 == 0), rows.filter(_._3 == 1))
+    def mean(v: Array[(Double, Double, Int)]) =
+      (v.map(_._1).sum / v.length, v.map(_._2).sum / v.length)
+    val (m0, m1) = (mean(c0), mean(c1))
+    def scat(v: Array[(Double, Double, Int)], m: (Double, Double)) =
+      (v.map(p => (p._1 - m._1) * (p._1 - m._1)).sum,
+        v.map(p => (p._2 - m._2) * (p._2 - m._2)).sum,
+        v.map(p => (p._1 - m._1) * (p._2 - m._2)).sum)
+    val (a11, a22, a12) = scat(c0, m0)
+    val (b11, b22, b12) = scat(c1, m1)
+    val (w11, w22, w12) = (a11 + b11, a22 + b22, a12 + b12)
+    val (d1, d2) = (m1._1 - m0._1, m1._2 - m0._2)
+    val det = w11 * w22 - w12 * w12
+    val wv1 = (w22 * d1 - w12 * d2) / det
+    val wv2 = (w11 * d2 - w12 * d1) / det
+    assert(r.getLong(0) === c0.length.toLong)
+    assert(r.getLong(1) === c1.length.toLong)
+    assert(math.abs(r.getLong(2) - 1e12 * wv1) <= 2)
+    assert(math.abs(r.getLong(3) - 1e12 * wv2) <= 2)
+    // Fisher criterion is positive whenever the means differ
+    assert(r.getLong(4) > 0L)
+    // and the projection genuinely separates: wᵀμ₁ > wᵀμ₀
+    assert(wv1 * d1 + wv2 * d2 > 0)
+  }
+
+  test("ml27 silhouette: own-centroid distance below cross-centroid " +
+    "distance on average, scores within [-1e6, 1e6]") {
+    val out = Training.ml27Silhouette(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) >= -1000000L && r.getLong(2) <= 1000000L)
+    }
+    // labels partition the corpus
+    assert(out.map(_.getLong(1)).sum ===
+      Tables.embeddings(spark, sf).count())
+  }
+
+  test("samp14 k-center: radii are non-increasing and every pick is " +
+    "the exact farthest point") {
+    val out = Sampling.kcenterGreedy(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(out.length === 8)
+    val radii = out.drop(1).map(_.getLong(2))
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => b <= a })
+    // brute-force replay of round 1: farthest point from the seed
+    val pts = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(v => rnd(1e6 * v.toDouble)).toArray))
+    val seed = pts.minBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val far = pts.maxBy(p => (d2(p._2, seed._2), -p._1))
+    assert(out(0).getLong(1) === seed._1)
+    assert(out(1).getLong(1) === far._1)
+    assert(out(1).getLong(2) === d2(far._2, seed._2))
+  }
+
+  test("rec6 3-way lift: every reported triple's support and lift " +
+    "restate from the raw baskets") {
+    val baskets = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byOrder = baskets.groupBy(_._1).map { case (o, xs) =>
+      o -> xs.map(_._2).toSet }
+    val n = byOrder.size
+    val sup = baskets.groupBy(_._2).map { case (b, xs) => b -> xs.length }
+    val out = Recommend.rec6Lift3(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (b1, b2, b3) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(b1 < b2 && b2 < b3)
+      val nAbc = byOrder.values
+        .count(s => s(b1) && s(b2) && s(b3)).toLong
+      assert(r.getLong(3) === nAbc)
+      val lift = BigInt(nAbc) * n * n * 1000000 /
+        (BigInt(sup(b1)) * sup(b2) * sup(b3))
+      assert(r.getLong(4) === lift.toLong)
+    }
+  }
+}
