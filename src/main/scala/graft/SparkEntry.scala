@@ -514,6 +514,9 @@ object SparkEntry {
     "samp14_kcenter"     -> (Sampling.kcenterGreedy(_, _)),
     "ml27_silhouette"    -> (Training.ml27Silhouette(_, _)),
     "rec6_lift3"         -> (Recommend.rec6Lift3(_, _)),
+    "inc2_cdc_collapse"  -> (Relational.inc2CdcCollapse(_, _)),
+    "stat41_kruskal"     -> (Profiling.stat41Kruskal(_, _)),
+    "graph_scc"          -> (Graphs.scc(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7186,6 +7189,117 @@ object SparkEntry {
       CROSS JOIN n
       ORDER BY lift3_micros DESC, b1 ASC, b2 ASC, b3 ASC
       LIMIT 20""",
+    // CDC net-effect collapse (Relational.inc2CdcCollapse): the md5
+    // log synthesis as flag-guarded UNION ALL branches, one key
+    // window, net-op rollup.
+    "inc2_cdc_collapse" -> raw"""
+      WITH base AS (SELECT o_orderkey AS key,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS p0,
+          ('0x' || substr(md5('cdc:i:' || CAST(o_orderkey AS VARCHAR)),
+            1, 15))::BIGINT % 1000000 % 2 = 0 AS has_ins,
+          ('0x' || substr(md5('cdc:u:' || CAST(o_orderkey AS VARCHAR)),
+            1, 15))::BIGINT % 1000000 % 3 AS n_upd,
+          ('0x' || substr(md5('cdc:d:' || CAST(o_orderkey AS VARCHAR)),
+            1, 15))::BIGINT % 1000000 % 10 = 0 AS has_del
+        FROM orders),
+      ops AS (
+        SELECT key, CAST(1 AS BIGINT) AS seq, 'insert' AS op,
+          p0 AS price FROM base WHERE has_ins
+        UNION ALL SELECT key, 2, 'update', p0 + 1 FROM base
+          WHERE n_upd >= 1
+        UNION ALL SELECT key, 3, 'update', p0 + 2 FROM base
+          WHERE n_upd >= 2
+        UNION ALL SELECT key, 9, 'delete', NULL FROM base
+          WHERE has_del),
+      net0 AS (SELECT key,
+          first_value(op) OVER (PARTITION BY key ORDER BY seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS first_op,
+          last_value(op) OVER (PARTITION BY key ORDER BY seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS last_op,
+          last_value(price IGNORE NULLS) OVER (PARTITION BY key
+            ORDER BY seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS last_price
+        FROM ops),
+      net AS (SELECT key, CAST(count(*) AS BIGINT) AS n_ops,
+          CASE WHEN first_op = 'insert' AND last_op = 'delete'
+              THEN 'none'
+            WHEN first_op = 'insert' THEN 'insert'
+            WHEN last_op = 'delete' THEN 'delete'
+            ELSE 'update' END AS net_op,
+          CASE WHEN last_op <> 'delete' THEN last_price END
+            AS net_price
+        FROM net0 GROUP BY key, first_op, last_op, last_price)
+      SELECT net_op, CAST(count(*) AS BIGINT) AS n_keys,
+        CAST(sum(n_ops) AS BIGINT) AS n_log_rows,
+        CAST(sum(coalesce(net_price, 0)) AS BIGINT)
+          AS sum_price_cents
+      FROM net GROUP BY net_op""",
+    // Kruskal–Wallis (Profiling.stat41Kruskal): doubled ranks over the
+    // distinct-cents domain, per-group micro terms summed as integers,
+    // exact HUGEINT tie cube.
+    "stat41_kruskal" -> raw"""
+      WITH rows0 AS (SELECT event_type,
+          CAST(round(value * 100) AS BIGINT) AS v FROM events),
+      bytv AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS tgv
+        FROM rows0 GROUP BY 1, 2),
+      byv AS (SELECT v, CAST(count(*) AS BIGINT) AS t
+        FROM rows0 GROUP BY 1),
+      rk AS (SELECT v, t,
+          2 * (CAST(sum(t) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) - t) + t + 1 AS r2
+        FROM byv),
+      grp AS (SELECT event_type,
+          CAST(sum(tgv) AS BIGINT) AS n_g,
+          CAST(sum(tgv * rk.r2) AS BIGINT) AS rs2
+        FROM bytv JOIN rk ON bytv.v = rk.v GROUP BY 1),
+      tot AS (SELECT CAST(sum(t) AS BIGINT) AS nn,
+          sum(CAST(t AS HUGEINT) * t * t - t) AS tsum FROM byv),
+      terms AS (SELECT event_type, n_g, nn, tsum,
+          CAST(round(1e6 * 3.0 *
+            (CAST(rs2 - n_g * (nn + 1) AS DOUBLE) *
+              CAST(rs2 - n_g * (nn + 1) AS DOUBLE)) /
+            (CAST(n_g AS DOUBLE) * CAST(nn AS DOUBLE) *
+              CAST(nn + 1 AS DOUBLE))) AS BIGINT) AS h_term_micros
+        FROM grp, tot)
+      SELECT CAST(count(*) AS BIGINT) AS k_groups, nn AS n,
+        CAST(sum(h_term_micros) AS BIGINT) AS h_micros,
+        CAST(round(1e6 * (1.0 - CAST(tsum AS DOUBLE) /
+          (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) *
+            CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE)))) AS BIGINT)
+          AS tie_c_micros,
+        CAST(round(CAST(CAST(sum(h_term_micros) AS BIGINT) AS DOUBLE) /
+          (1.0 - CAST(tsum AS DOUBLE) /
+            (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) *
+              CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE)))) AS BIGINT)
+          AS h_adj_micros
+      FROM terms GROUP BY nn, tsum""",
+    // SCC (Graphs.scc): recursive-CTE closure on the identical capped
+    // md5 digraph, mutual-pair min labels, per-SCC sizes.
+    "graph_scc" -> raw"""
+      WITH RECURSIVE
+      nodes AS (SELECT doc_id FROM documents WHERE doc_id < 240),
+      dg AS (SELECT doc_id,
+          ('0x' || substr(md5('scc:' || CAST(doc_id AS VARCHAR)),
+            1, 15))::BIGINT % 2 AS extra
+        FROM nodes),
+      raw0 AS (SELECT doc_id AS src,
+          ('0x' || substr(md5('scc:' || CAST(doc_id AS VARCHAR) || ':'
+            || CAST(j AS VARCHAR)), 1, 15))::BIGINT % 240 AS dst
+        FROM (SELECT doc_id, unnest(range(0, extra + 1)) AS j FROM dg)),
+      e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw0
+        WHERE src <> dst),
+      r AS (SELECT doc_id AS src, doc_id AS dst FROM nodes
+        UNION
+        SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src),
+      m AS (SELECT f.src AS u, f.dst AS v
+        FROM r f JOIN r b ON f.src = b.dst AND f.dst = b.src),
+      l AS (SELECT u, min(v) AS scc_label FROM m GROUP BY u)
+      SELECT scc_label, CAST(count(*) AS BIGINT) AS size
+      FROM l GROUP BY scc_label""",
   )
 
   // ---- shared DuckDB oracle fragments ----

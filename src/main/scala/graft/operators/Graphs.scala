@@ -1233,4 +1233,68 @@ object Graphs {
       .select(col("n_reached"), col("far_a"), col("ecc_a"),
         col("far_b"), col("diameter_lb"))
   }
+
+  /** `graph_scc` — strongly connected components of a DIRECTED md5
+    * graph over the capped doc_id range: reachability by
+    * path-doubling (R ← R ∪ R∘R, ⌈log₂ cap⌉ = 8 rounds — a FIXED,
+    * convergence-check-free round count, since 2⁸ ≥ any simple-path
+    * length in a ≤240-node graph), then SCC(u) = min{v : u↔v} from
+    * the closure joined with its transpose. The DIRECTED sibling of
+    * [[connected]]'s undirected components — mutual reachability is
+    * what separates a citation loop from a mere chain, and none of
+    * the existing faces (kcore/ktruss/CC) can see direction.
+    *
+    * The node set is id-capped (the geo3/geo5/dbscan convention): the
+    * closure is quadratic IN THE AUDITED SUBGRAPH by nature — |R| ≤
+    * cap² pairs — so the cap is what keeps both the operator and the
+    * DuckDB oracle's recursive-CTE closure replay bounded at every
+    * SF; at 100 TB this runs per community/domain partition (the
+    * khop/closeness seed-set discipline), never on the full crawl
+    * graph. Every step is exact integer id arithmetic — determinism
+    * is free; each doubling round re-shuffles on the join key only.
+    *
+    * Scale shape per round: one self-join of R hash-partitioned on
+    * the middle node + distinct — Spark's canonical iterative-closure
+    * plan; no windows, no driver loop state beyond the 8 fixed
+    * iterations. */
+  def scc(s: SparkSession, dir: String, cap: Int = 240): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") < cap)
+    val edges = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(0L),
+          pmod(call_function("md5_base60",
+            concat(lit("scc:"), col("doc_id"))), lit(2L)))).as("j"))
+      .select(col("doc_id").as("src"),
+        pmod(call_function("md5_base60",
+          concat(lit("scc:"), col("doc_id"), lit(":"), col("j"))),
+          lit(cap.toLong)).as("dst"))
+      .filter(col("dst") =!= col("src"))
+      .distinct()
+    // reflexive seed: u reaches u — makes the closure monotone and the
+    // mutual-pair join self-inclusive (singletons label themselves)
+    var reach = edges
+      .unionByName(docs.select(col("doc_id").as("src"),
+        col("doc_id").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to 8) { // 2^8 ≥ cap: full transitive closure, exactly
+      reach = reach
+        .unionByName(reach.as("a")
+          .join(reach.as("b"), col("a.dst") === col("b.src"))
+          .select(col("a.src").as("src"), col("b.dst").as("dst")))
+        .distinct()
+        .localCheckpoint(true)
+    }
+    val mutual = reach.as("f")
+      .join(reach.as("r"),
+        col("f.src") === col("r.dst") && col("f.dst") === col("r.src"))
+      .select(col("f.src").as("u"), col("f.dst").as("v"))
+    mutual.groupBy(col("u"))
+      .agg(min(col("v")).as("scc_label"))
+      .groupBy(col("scc_label"))
+      .agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("scc_label").asc)
+  }
 }

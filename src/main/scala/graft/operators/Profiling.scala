@@ -978,4 +978,67 @@ object Profiling {
         col("violations"),
         when(col("violations") === 0L, 1L).otherwise(0L).as("fd_holds"))
   }
+
+  /** `stat41_kruskal` — Kruskal–Wallis H across the event-type groups
+    * on `value` cents, with tie correction: the k-group extension of
+    * stat13's Mann–Whitney (one-way ANOVA on ranks — the
+    * distribution-free sibling of stat29's F). Doubled average ranks
+    * keep everything integer: r₂(v) = 2·#below + t_v + 1 over the
+    * DISTINCT-cents frame, group rank sums R₂g = Σ t_gv·r₂(v), and
+    * H = 3·Σ(R₂g − n_g(N+1))²/(n_g·N(N+1)) in doubled-rank space;
+    * per-group terms are micro-quantized BEFORE the k-row integer sum
+    * (the stat29 convention), then the exact tie factor
+    * C = 1 − Σ(t³−t)/(N³−N) divides once.
+    *
+    * Scale shape: two map-side-combinable aggs — (type, cents) and
+    * (cents) — then ONE window over the ≤ distinct-cents frame (the
+    * stat19/stat33 device: ranks over value DOMAIN, never rows) and a
+    * broadcast join back; no data-sized sort anywhere. */
+  def stat41Kruskal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = round(col("value") * 100).cast("long")
+    val rows = Tables.events(s, dir)
+      .select(col("event_type"), cents.as("v"))
+    val byTypeV = rows.groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("tgv"))
+    val byV = rows.groupBy(col("v")).agg(count(lit(1)).as("t"))
+      .withColumn("cum", sum(col("t")).over(
+        Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("v"), col("t"),
+        (lit(2L) * (col("cum") - col("t")) + col("t") + 1L).as("r2"))
+    val groups = byTypeV.join(broadcast(byV), "v")
+      .groupBy(col("event_type"))
+      .agg(sum(col("tgv")).as("n_g"),
+        sum(col("tgv") * col("r2")).as("rs2"))
+    // t³ passes 2⁶³ when one value dominates a planet-scale corpus —
+    // the cube rides DECIMAL(38,0) (HUGEINT in the oracle)
+    val totals = broadcast(byV.agg(sum(col("t")).as("nn"),
+      sum(col("t").cast("decimal(38,0)") * col("t") * col("t") -
+        col("t")).as("tsum")))
+    val terms = groups.crossJoin(totals)
+      .select(col("event_type"), col("n_g"), col("nn"), col("tsum"),
+        // doubled-rank identity: R̄g−(N+1)/2 = (R₂g−n_g(N+1))/(2n_g);
+        // 12/(N(N+1))·Σ n_g(…)² collapses to the 3/(…) form below
+        round(lit(1e6) * lit(3.0) *
+          ((col("rs2") - col("n_g") * (col("nn") + 1L)).cast("double") *
+            (col("rs2") - col("n_g") * (col("nn") + 1L)).cast("double")) /
+          (col("n_g").cast("double") * col("nn").cast("double") *
+            (col("nn") + 1L).cast("double"))).cast("long")
+          .as("h_term_micros"))
+    terms.groupBy(col("nn"), col("tsum"))
+      .agg(count(lit(1)).as("k_groups"),
+        sum(col("h_term_micros")).as("h_micros"))
+      .select(col("k_groups"), col("nn").as("n"), col("h_micros"),
+        round(lit(1e6) * (lit(1.0) -
+          col("tsum").cast("double") /
+          (col("nn").cast("double") * col("nn").cast("double") *
+            col("nn").cast("double") - col("nn").cast("double"))))
+          .cast("long").as("tie_c_micros"),
+        round(col("h_micros").cast("double") /
+          (lit(1.0) - col("tsum").cast("double") /
+            (col("nn").cast("double") * col("nn").cast("double") *
+              col("nn").cast("double") - col("nn").cast("double"))))
+          .cast("long").as("h_adj_micros"))
+  }
 }

@@ -2485,4 +2485,70 @@ object Relational {
               (lit(2L) * col("n") + 1L) - col("tsum")).cast("double") /
             lit(48.0)))).cast("long").as("z_micros"))
   }
+
+  /** `inc2_cdc_collapse` — CDC net-effect compaction (the Debezium /
+    * Delta change-feed collapse): a checkpoint-window change log with
+    * multiple operations per key folds to ONE net operation —
+    * insert+…+delete ⇒ nothing (the key never existed downstream),
+    * insert+updates ⇒ insert-with-final-image, updates-only ⇒
+    * update-with-final-image, trailing delete without a window-local
+    * insert ⇒ delete. This is the operator that keeps a 100 TB
+    * MERGE target write proportional to the NET key set, not the log
+    * volume. The log derives from orders md5-deterministically (an
+    * optional window-local insert, 0–2 updates shifting the price,
+    * a 1-in-10 delete) so both engines synthesize the identical log.
+    *
+    * Scale shape: one generate-side projection explodes each order
+    * into its ≤4 log rows, then ONE key-partitioned window pass
+    * (min/max seq, last image) and a net-op-sized rollup — the same
+    * shuffle budget as the merge it feeds. All-integer cents. */
+  def inc2CdcCollapse(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    def h(tag: String): Column = pmod(call_function("md5_base60",
+      concat(lit(s"cdc:$tag:"), col("o_orderkey"))), lit(1000000L))
+    val base = Tables.orders(s, dir).select(col("o_orderkey").as("key"),
+      round(col("o_totalprice") * 100).cast("long").as("p0"),
+      (h("i") % 2 === 0).as("has_ins"),
+      (h("u") % 3).cast("int").as("n_upd"),
+      (h("d") % 10 === 0).as("has_del"))
+    // flag-driven slices keep every branch the same struct array type
+    // (a bare array() would be array<null> and break the concat)
+    val ops = base.select(col("key"), explode(concat(
+      slice(array(struct(lit(1L).as("seq"), lit("insert").as("op"),
+          col("p0").as("price"))), lit(1),
+        when(col("has_ins"), 1).otherwise(0)),
+      slice(array(
+        struct(lit(2L).as("seq"), lit("update").as("op"),
+          (col("p0") + 1L).as("price")),
+        struct(lit(3L).as("seq"), lit("update").as("op"),
+          (col("p0") + 2L).as("price"))), lit(1), col("n_upd")),
+      slice(array(struct(lit(9L).as("seq"), lit("delete").as("op"),
+          lit(null).cast("long").as("price"))), lit(1),
+        when(col("has_del"), 1).otherwise(0))))
+      .as("e"))
+      .select(col("key"), col("e.seq"), col("e.op"), col("e.price"))
+    val w = Window.partitionBy(col("key")).orderBy(col("seq"))
+    val net = ops
+      .withColumn("first_op", first(col("op")).over(w))
+      .withColumn("last_op", last(col("op")).over(
+        w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("last_price", last(col("price"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .groupBy(col("key"), col("first_op"), col("last_op"),
+        col("last_price"))
+      .agg(count(lit(1)).as("n_ops"))
+      .select(col("key"), col("n_ops"),
+        when(col("first_op") === "insert" && col("last_op") === "delete",
+          "none")
+          .when(col("first_op") === "insert", "insert")
+          .when(col("last_op") === "delete", "delete")
+          .otherwise("update").as("net_op"),
+        when(col("last_op") =!= "delete", col("last_price"))
+          .otherwise(lit(null).cast("long")).as("net_price"))
+    net.groupBy(col("net_op"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("n_ops")).as("n_log_rows"),
+        sum(coalesce(col("net_price"), lit(0L))).as("sum_price_cents"))
+  }
 }

@@ -162,6 +162,105 @@ class Round8Spec extends SparkSpec {
     assert(out(1).getLong(2) === d2(far._2, seed._2))
   }
 
+  test("inc2 CDC collapse conserves keys and log rows, and the net " +
+    "image matches a sequential replay") {
+    val out = Relational.inc2CdcCollapse(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // replay the log per key sequentially (the semantics CDC collapse
+    // must preserve): apply ops in seq order, keep the final image
+    val keys = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100)
+        .cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var (nKeys, nLog, sumPrice) =
+      (Map.empty[String, Long], Map.empty[String, Long],
+        Map.empty[String, Long])
+    keys.foreach { case (k, p0) =>
+      val hasIns = md5_60(s"cdc:i:$k") % 1000000 % 2 == 0
+      val nUpd = (md5_60(s"cdc:u:$k") % 1000000 % 3).toInt
+      val hasDel = md5_60(s"cdc:d:$k") % 1000000 % 10 == 0
+      val ops = (if (hasIns) Seq(("insert", Some(p0))) else Nil) ++
+        (1 to nUpd).map(i => ("update", Some(p0 + i))) ++
+        (if (hasDel) Seq(("delete", None)) else Nil)
+      if (ops.nonEmpty) {
+        val net =
+          if (ops.head._1 == "insert" && ops.last._1 == "delete") "none"
+          else if (ops.head._1 == "insert") "insert"
+          else if (ops.last._1 == "delete") "delete"
+          else "update"
+        val img = if (ops.last._1 == "delete") 0L
+          else ops.flatMap(_._2).last
+        nKeys = nKeys.updated(net, nKeys.getOrElse(net, 0L) + 1)
+        nLog = nLog.updated(net, nLog.getOrElse(net, 0L) + ops.length)
+        sumPrice =
+          sumPrice.updated(net, sumPrice.getOrElse(net, 0L) + img)
+      }
+    }
+    nKeys.keys.foreach { op =>
+      assert(out(op) ===(nKeys(op), nLog(op), sumPrice(op)), op)
+    }
+    assert(out.keySet === nKeys.keySet)
+  }
+
+  test("stat41 Kruskal-Wallis equals the classic fractional-rank H " +
+    "with tie correction") {
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = rows.length
+    // classic: fractional average ranks over the whole sample
+    val byV = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    val below = byV.keys.toSeq.sorted
+      .scanLeft((0L, 0L)) { case ((_, acc), v) => (v, acc + byV(v)) }
+    val cumBelow = below.sliding(2).map { case Seq((_, a), (v, _)) =>
+      v -> a }.toMap
+    def rank(v: Long): Double = cumBelow(v) + (byV(v) + 1) / 2.0
+    val groups = rows.groupBy(_._1)
+    val h = 12.0 / (n.toDouble * (n + 1)) * groups.values.map { g =>
+      val rbar = g.map(x => rank(x._2)).sum / g.length
+      g.length * (rbar - (n + 1) / 2.0) * (rbar - (n + 1) / 2.0)
+    }.sum
+    val c = 1.0 - byV.values.map(t => t.toDouble * t * t - t).sum /
+      (n.toDouble * n * n - n)
+    val r = Profiling.stat41Kruskal(spark, sf).collect().head
+    assert(r.getLong(0) === groups.size.toLong)
+    assert(r.getLong(1) === n.toLong)
+    // per-group micro-quantization introduces ≤ k/2 micros of drift
+    assert(math.abs(r.getLong(2) - 1e6 * h) <= groups.size)
+    assert(math.abs(r.getLong(4) - 1e6 * h / c) <= 2 * groups.size)
+  }
+
+  test("graph_scc labels agree with a driver Tarjan-free double-DFS " +
+    "on the same digraph") {
+    val cap = 240L
+    val nodes = Tables.documents(spark, sf).select(col("doc_id"))
+      .filter(col("doc_id") < cap).collect().map(_.getLong(0))
+    val edges = nodes.flatMap { u =>
+      val deg = 1 + (md5_60(s"scc:$u") % 2).toInt
+      (0 until deg).map(j => (u, (md5_60(s"scc:$u:$j") % cap).toLong))
+    }.filter(p => p._1 != p._2).distinct
+    val fwd = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val bwd = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    def reach(seed: Long, adj: Map[Long, Array[Long]]): Set[Long] = {
+      var seen = Set(seed); var frontier = List(seed)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(u =>
+          adj.getOrElse(u, Array.empty[Long])).filterNot(seen)
+        seen ++= next; frontier = next.distinct
+      }
+      seen
+    }
+    val labels = nodes.map { u =>
+      u -> (reach(u, fwd) intersect reach(u, bwd)).min
+    }
+    val expected = labels.groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    val got = Graphs.scc(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
   test("rec6 3-way lift: every reported triple's support and lift " +
     "restate from the raw baskets") {
     val baskets = Tables.lineitem(spark, sf)
