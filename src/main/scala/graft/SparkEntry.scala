@@ -517,6 +517,8 @@ object SparkEntry {
     "inc2_cdc_collapse"  -> (Relational.inc2CdcCollapse(_, _)),
     "stat41_kruskal"     -> (Profiling.stat41Kruskal(_, _)),
     "graph_scc"          -> (Graphs.scc(_, _)),
+    "mm9_silence"        -> (Multimodal.mm9Silence(_, _)),
+    "graph_condense"     -> (Graphs.condense(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7300,6 +7302,83 @@ object SparkEntry {
       l AS (SELECT u, min(v) AS scc_label FROM m GROUP BY u)
       SELECT scc_label, CAST(count(*) AS BIGINT) AS size
       FROM l GROUP BY scc_label""",
+    // Audio silence spans (Multimodal.mm9Silence): the payload is the
+    // text bytes by the synthesis rule, so the oracle re-frames text
+    // directly; same integer energies, mean threshold, islands.
+    "mm9_silence" -> raw"""
+      WITH base AS (SELECT doc_id, text,
+          (doc_id % 3 + 1) * 8000 * ((doc_id % 2 + 1) * 2) AS byte_rate,
+          CAST(floor(CAST(length(text) AS DOUBLE) / 64) AS BIGINT)
+            AS nf
+        FROM documents),
+      frames AS (SELECT doc_id, byte_rate, CAST(i AS BIGINT) AS fidx,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(0, 64), j ->
+              CAST(abs(ascii(substr(text,
+                CAST(i * 64 + j + 1 AS INTEGER), 1)) - 32) AS BIGINT))),
+            (acc, x) -> acc + x) AS energy
+        FROM base, unnest(range(0, nf)) AS t(i)
+        WHERE nf > 0),
+      flagged AS (SELECT doc_id, byte_rate, fidx, energy,
+          CAST(CASE WHEN energy * (count(*) OVER w) <
+            (sum(energy) OVER w) THEN 1 ELSE 0 END AS BIGINT) AS silent
+        FROM frames
+        WINDOW w AS (PARTITION BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+      runs AS (SELECT doc_id, CAST(max(run) AS BIGINT) AS longest,
+          CAST(count(*) AS BIGINT) AS nr
+        FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS run
+          FROM (SELECT doc_id, fidx,
+              fidx - row_number() OVER (PARTITION BY doc_id
+                ORDER BY fidx) AS rid
+            FROM flagged WHERE silent = 1)
+          GROUP BY doc_id, rid)
+        GROUP BY doc_id)
+      SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        CAST(sum(f.silent) AS BIGINT) AS n_silent,
+        CAST(sum(f.energy) AS BIGINT) AS total_energy,
+        coalesce(CAST(min(r.longest) AS BIGINT), 0)
+          AS longest_silence_frames,
+        coalesce(CAST(min(r.nr) AS BIGINT), 0) AS n_silent_runs,
+        CAST(sum(f.silent) AS BIGINT) * (64000 // min(f.byte_rate))
+          AS silence_ms
+      FROM flagged f LEFT JOIN runs r ON f.doc_id = r.doc_id
+      GROUP BY f.doc_id""",
+    // Condensation DAG depths (Graphs.condense): the same closure CTE
+    // as graph_scc builds the labels, then a longest-path recursive
+    // CTE over the component DAG (terminates: the DAG is acyclic).
+    "graph_condense" -> raw"""
+      WITH RECURSIVE
+      nodes AS (SELECT doc_id FROM documents WHERE doc_id < 240),
+      dg AS (SELECT doc_id,
+          ('0x' || substr(md5('scc:' || CAST(doc_id AS VARCHAR)),
+            1, 15))::BIGINT % 2 AS extra
+        FROM nodes),
+      raw0 AS (SELECT doc_id AS src,
+          ('0x' || substr(md5('scc:' || CAST(doc_id AS VARCHAR) || ':'
+            || CAST(j AS VARCHAR)), 1, 15))::BIGINT % 240 AS dst
+        FROM (SELECT doc_id, unnest(range(0, extra + 1)) AS j FROM dg)),
+      e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw0
+        WHERE src <> dst),
+      r AS (SELECT doc_id AS src, doc_id AS dst FROM nodes
+        UNION
+        SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src),
+      l AS MATERIALIZED (SELECT f.src AS u, min(f.dst) AS scc_label
+        FROM r f JOIN r b ON f.src = b.dst AND f.dst = b.src
+        GROUP BY f.src),
+      de AS MATERIALIZED (SELECT DISTINCT ls.scc_label AS src,
+          ld.scc_label AS dst
+        FROM e JOIN l ls ON e.src = ls.u JOIN l ld ON e.dst = ld.u
+        WHERE ls.scc_label <> ld.scc_label),
+      p AS (SELECT scc_label AS dst, CAST(0 AS BIGINT) AS len
+          FROM (SELECT DISTINCT scc_label FROM l)
+        UNION
+        SELECT de.dst, p.len + 1 FROM p JOIN de ON p.dst = de.src),
+      depth AS (SELECT dst AS scc_label, CAST(max(len) AS BIGINT)
+          AS depth FROM p GROUP BY dst)
+      SELECT l.scc_label, CAST(count(*) AS BIGINT) AS size, d.depth
+      FROM l JOIN depth d ON l.scc_label = d.scc_label
+      GROUP BY l.scc_label, d.depth""",
   )
 
   // ---- shared DuckDB oracle fragments ----

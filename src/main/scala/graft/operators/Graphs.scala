@@ -1257,11 +1257,18 @@ object Graphs {
     * the middle node + distinct — Spark's canonical iterative-closure
     * plan; no windows, no driver loop state beyond the 8 fixed
     * iterations. */
-  def scc(s: SparkSession, dir: String, cap: Int = 240): DataFrame = {
+  def scc(s: SparkSession, dir: String, cap: Int = 240): DataFrame =
+    sccLabels(s, dir, cap)
+      .groupBy(col("scc_label"))
+      .agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("scc_label").asc)
+
+  /** The capped md5 digraph shared by [[scc]] and [[condense]]. */
+  private def sccEdges(s: SparkSession, dir: String, cap: Int)
+      : DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    Tables.documents(s, dir).select(col("doc_id"))
       .filter(col("doc_id") < cap)
-    val edges = docs
       .select(col("doc_id"),
         explode(sequence(lit(0L),
           pmod(call_function("md5_base60",
@@ -1272,6 +1279,15 @@ object Graphs {
           lit(cap.toLong)).as("dst"))
       .filter(col("dst") =!= col("src"))
       .distinct()
+  }
+
+  /** (node, scc_label) via path-doubling closure + mutual-pair min —
+    * see [[scc]]'s scaladoc for the algorithm and cap rationale. */
+  private def sccLabels(s: SparkSession, dir: String, cap: Int)
+      : DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") < cap)
+    val edges = sccEdges(s, dir, cap)
     // reflexive seed: u reaches u — makes the closure monotone and the
     // mutual-pair join self-inclusive (singletons label themselves)
     var reach = edges
@@ -1293,8 +1309,52 @@ object Graphs {
       .select(col("f.src").as("u"), col("f.dst").as("v"))
     mutual.groupBy(col("u"))
       .agg(min(col("v")).as("scc_label"))
-      .groupBy(col("scc_label"))
-      .agg(count(lit(1)).as("size"))
-      .orderBy(col("size").desc, col("scc_label").asc)
+  }
+
+  /** `graph_condense` — the CONDENSATION of [[scc]]'s digraph: each
+    * strongly connected component collapses to one DAG node, and every
+    * component gets its topological DEPTH — the longest path (in DAG
+    * edges) from any source component — via max-plus path doubling
+    * (L ← max(L, L⊕L), 8 rounds ≥ log₂ of any simple path in a ≤240-
+    * node graph, so the fixpoint is guaranteed, never convergence-
+    * checked). This is the stage-scheduling view of a dependency
+    * graph: depth = the earliest wave a component can run in, and the
+    * max depth is the critical-path length. Same cap discipline and
+    * 100 TB per-partition framing as [[scc]].
+    *
+    * Scale shape per round: one self-join of the (src, dst, len) pair
+    * frame on the middle node + a max-rollup — the scc closure plan
+    * with an integer payload riding along. */
+  def condense(s: SparkSession, dir: String, cap: Int = 240)
+      : DataFrame = {
+    val labels = sccLabels(s, dir, cap).localCheckpoint(true)
+    val dagEdges = sccEdges(s, dir, cap)
+      .join(labels.withColumnRenamed("u", "src")
+        .withColumnRenamed("scc_label", "ls"), "src")
+      .join(labels.withColumnRenamed("u", "dst")
+        .withColumnRenamed("scc_label", "ld"), "dst")
+      .filter(col("ls") =!= col("ld"))
+      .select(col("ls").as("src"), col("ld").as("dst"))
+      .distinct()
+    val comps = labels.select(col("scc_label")).distinct()
+    var paths = dagEdges.select(col("src"), col("dst"), lit(1L).as("len"))
+      .unionByName(comps.select(col("scc_label").as("src"),
+        col("scc_label").as("dst"), lit(0L).as("len")))
+      .groupBy(col("src"), col("dst")).agg(max(col("len")).as("len"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 8) { // max-plus doubling: longest DAG paths, exactly
+      paths = paths
+        .unionByName(paths.as("a")
+          .join(paths.as("b"), col("a.dst") === col("b.src"))
+          .select(col("a.src").as("src"), col("b.dst").as("dst"),
+            (col("a.len") + col("b.len")).as("len")))
+        .groupBy(col("src"), col("dst")).agg(max(col("len")).as("len"))
+        .localCheckpoint(true)
+    }
+    val depth = paths.groupBy(col("dst").as("scc_label"))
+      .agg(max(col("len")).as("depth"))
+    labels.groupBy(col("scc_label")).agg(count(lit(1)).as("size"))
+      .join(depth, "scc_label")
+      .orderBy(col("depth").asc, col("scc_label").asc)
   }
 }

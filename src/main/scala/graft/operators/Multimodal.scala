@@ -358,4 +358,76 @@ object Multimodal {
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** `mm9_silence` — frame-level energy profile + silence-span
+    * detection over the WAV asset's PCM payload (the voice-activity /
+    * dead-air gate of an audio-curation pipeline): the payload after
+    * the 44-byte RIFF header is framed into 64-byte windows, each
+    * frame's energy is the exact integer Σ|byte − 32|, a frame is
+    * SILENT when its energy is strictly below the doc's own mean
+    * (self-normalizing — no corpus-tuned threshold to drift), and
+    * silent runs collapse via gaps-and-islands into the longest-span
+    * and run-count report. Approximate ms ride the synthesized sample
+    * rate (integer floor of 64·1000/byte-rate per frame).
+    *
+    * Like the rest of the mm family the decode is real byte
+    * arithmetic on a synthesized asset: the oracle re-frames the raw
+    * text (≡ the payload by the synthesis rule), so a broken encoder
+    * OR framing fails the hash check.
+    *
+    * Scale shape: frames explode linearly (n_bytes/64 per asset);
+    * both windows partition by doc_id — one shuffle keyed by asset,
+    * then a doc-sized rollup. Energy folds are codegen'd HOFs. */
+  def mm9Silence(s: SparkSession, dir: String, flen: Int = 64)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+    val asset = d.select(col("doc_id"),
+      wavBytes(
+        (pmod(col("doc_id"), lit(2)) + 1).cast("int"),
+        ((pmod(col("doc_id"), lit(3)) + 1) * 8000).cast("int"),
+        col("text").cast("binary")).as("media_bytes"))
+    val payload = substring(col("media_bytes"), 45, 1 << 24)
+      .cast("string")
+    val frames = asset
+      .select(col("doc_id"), payload.as("px"),
+        rdLe32(col("media_bytes"), 29).cast("long").as("byte_rate"))
+      .select(col("doc_id"), col("px"), col("byte_rate"),
+        floor(length(col("px")).cast("double") / flen).cast("long")
+          .as("nf"))
+      .filter(col("nf") > 0)
+      .select(col("doc_id"), col("byte_rate"),
+        posexplode(transform(sequence(lit(0L), col("nf") - 1),
+          i => aggregate(
+            transform(sequence(lit(0), lit(flen - 1)),
+              j => abs(ascii(col("px")
+                .substr((i * flen + j + 1).cast("int"), lit(1)))
+                .cast("long") - 32L)),
+            lit(0L), (acc, x) => acc + x))))
+      .select(col("doc_id"), col("byte_rate"),
+        col("pos").cast("long").as("fidx"), col("col").as("energy"))
+    val wd = Window.partitionBy(col("doc_id"))
+    val flagged = frames
+      .withColumn("total", sum(col("energy")).over(wd))
+      .withColumn("nf", count(lit(1)).over(wd))
+      .withColumn("silent",
+        (col("energy") * col("nf") < col("total")).cast("long"))
+    val runs = flagged.filter(col("silent") === 1L)
+      .withColumn("rid", col("fidx") -
+        row_number().over(wd.orderBy(col("fidx"))))
+      .groupBy(col("doc_id"), col("rid"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("run")).as("longest"), count(lit(1)).as("nr"))
+    flagged.groupBy(col("doc_id"), col("byte_rate"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("silent")).as("n_silent"),
+        sum(col("energy")).as("total_energy"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"), col("n_silent"),
+        col("total_energy"),
+        coalesce(col("longest"), lit(0L)).as("longest_silence_frames"),
+        coalesce(col("nr"), lit(0L)).as("n_silent_runs"),
+        (col("n_silent") * expr(s"${flen}000 DIV byte_rate"))
+          .as("silence_ms"))
+  }
 }

@@ -261,6 +261,52 @@ class Round8Spec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("mm9 silence: frame energies, mean threshold and islands " +
+    "replay for every doc") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, text) =>
+      val nf = text.length / 64
+      if (nf == 0) None else {
+        val energies = (0 until nf).map { i =>
+          text.substring(i * 64, i * 64 + 64)
+            .map(c => math.abs(c.toInt - 32).toLong).sum
+        }
+        val total = energies.sum
+        val silent = energies.map(e => e * nf < total)
+        val runs = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var cur = 0L
+        silent.foreach { s =>
+          if (s) cur += 1
+          else { if (cur > 0) runs += cur; cur = 0 }
+        }
+        if (cur > 0) runs += cur
+        Some(id -> (nf.toLong, silent.count(identity).toLong, total,
+          if (runs.isEmpty) 0L else runs.max))
+      }
+    }.toMap
+    val got = Multimodal.mm9Silence(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got === expected)
+  }
+
+  test("graph_condense: depth-0 components are DAG sources and the " +
+    "component sizes partition graph_scc's") {
+    val cond = Graphs.condense(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sccSizes = Graphs.scc(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cond.map(c => c._1 -> c._2).toMap === sccSizes)
+    // a depth-d component must have an in-neighbor at depth d−1
+    // (longest-path recurrence), and depth 0 must exist
+    val depths = cond.map(c => c._1 -> c._3).toMap
+    assert(depths.values.min === 0L)
+    val dvals = depths.values.toSet
+    (1L to depths.values.max).foreach(d => assert(dvals.contains(d)))
+  }
+
   test("rec6 3-way lift: every reported triple's support and lift " +
     "restate from the raw baskets") {
     val baskets = Tables.lineitem(spark, sf)
