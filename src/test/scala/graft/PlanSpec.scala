@@ -549,4 +549,47 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Filter (size(token_ngrams"), p)
     assert(p.contains("token_ngrams"), p)
   }
+
+  test("round 8: single-pass sufficient-statistics faces never " +
+    "shuffle wider than 1-row partials") {
+    // JB and LDA are one scan + one partial/final agg pair: exactly
+    // one Exchange (of the 1-row partials), no window, no join
+    Seq(Profiling.stat39JarqueBera(spark, sf),
+      Training.ml26Lda(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert("Exchange".r.findAllIn(p).size == 1, p)
+      assert(!p.contains("Window"), p)
+      assert(!p.contains("Join"), p)
+    }
+  }
+
+  test("round 8: Grubbs argmax is TakeOrderedAndProject against " +
+    "broadcast stats, never a global sort") {
+    val p = plan(Profiling.stat40Grubbs(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortExec"), p)
+  }
+
+  test("round 8: FD audit broadcasts both dimensions and keeps one " +
+    "fact scan") {
+    val p = plan(Profiling.prof6FdDiscovery(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Scan parquet".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("round 8: 3-way lift cuts with TakeOrderedAndProject and " +
+    "broadcast supports") {
+    val p = plan(Recommend.rec6Lift3(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("round 8: silhouette centroid model broadcasts back to the " +
+    "melted scan") {
+    val p = plan(Training.ml27Silhouette(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
