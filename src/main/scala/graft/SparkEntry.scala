@@ -519,6 +519,7 @@ object SparkEntry {
     "graph_scc"          -> (Graphs.scc(_, _)),
     "mm9_silence"        -> (Multimodal.mm9Silence(_, _)),
     "graph_condense"     -> (Graphs.condense(_, _)),
+    "ts13_ljung_box"     -> (EventAnalytics.ts13LjungBox(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7379,6 +7380,33 @@ object SparkEntry {
       SELECT l.scc_label, CAST(count(*) AS BIGINT) AS size, d.depth
       FROM l JOIN depth d ON l.scc_label = d.scc_label
       GROUP BY l.scc_label, d.depth""",
+    // Ljung–Box (EventAnalytics.ts13LjungBox): ts3's exact integer
+    // autocovariance devices, one mirrored double tree.
+    "ts13_ljung_box" -> {
+      val lags = (1 to 7).map(k =>
+        s"lag(dv, $k) OVER (ORDER BY d) AS l$k").mkString(", ")
+      val nums = (1 to 7).map(k =>
+        s"CAST(sum(dv * l$k) AS BIGINT) AS num$k").mkString(", ")
+      val terms = (1 to 7).map(k =>
+        s"(CAST(num$k AS DOUBLE) / CAST(den AS DOUBLE)) * " +
+          s"(CAST(num$k AS DOUBLE) / CAST(den AS DOUBLE)) / " +
+          s"(CAST(n AS DOUBLE) - $k.0)").mkString(" + ")
+      raw"""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+          CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx FROM daily),
+      dev AS (SELECT d, n, n * x - sx AS dv FROM daily, st),
+      lagged AS (SELECT n, dv, $lags FROM dev),
+      ag AS (SELECT n, CAST(sum(dv * dv) AS BIGINT) AS den, $nums
+        FROM lagged GROUP BY n)
+      SELECT n,
+        CAST(round(1e6 * CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))
+          AS BIGINT) AS rho1_micros,
+        CAST(round(1e6 * (($terms) * CAST(n AS DOUBLE) *
+          (CAST(n AS DOUBLE) + 2.0))) AS BIGINT) AS q_micros
+      FROM ag"""
+    },
   )
 
   // ---- shared DuckDB oracle fragments ----

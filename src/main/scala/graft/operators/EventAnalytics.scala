@@ -1624,4 +1624,41 @@ object EventAnalytics {
       round(lit(1e6) * (mdeAbs / mean)).cast("long")
         .as("mde_rel_micros"))
   }
+
+  /** `ts13_ljung_box` — the Ljung–Box portmanteau white-noise test on
+    * the daily event-count series: Q = n(n+2)·Σ_{k≤7} ρ̂²ₖ/(n−k),
+    * where each ρ̂ₖ is the SAME exact-integer autocorrelation
+    * numerator/denominator as [[autocorr]] (dv = n·x − Σx devices, no
+    * mean subtraction in fp). The gate a forecasting face (ts7/ts8/
+    * ts10) runs FIRST: a series that fails to reject white noise has
+    * nothing to model. Q and ρ̂₁ are micro-quantized single double
+    * expressions over the exact sums, mirrored in the oracle.
+    *
+    * Scale shape: identical to ts3 — the data-sized stage is the
+    * shared dailyCounts aggregation; seven lag columns over the
+    * ≤ #days frame fold into ONE 1-row aggregate. */
+  def ts13LjungBox(s: SparkSession, dir: String, maxLag: Int = 7)
+      : DataFrame = {
+    val daily = dailyCounts(s, dir)
+    val stats = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val dev = daily.crossJoin(broadcast(stats))
+      .select(col("d"), col("n"), (col("n") * col("x") - col("sx")).as("dv"))
+    val w = Window.orderBy(col("d")) // model-sized frame (≤ #days rows)
+    val lagged = dev.select(col("n") +: col("dv") +:
+      (1 to maxLag).map(k => lag(col("dv"), k).over(w).as(s"l$k")): _*)
+    val agg = lagged.groupBy(col("n")).agg(
+      sum(col("dv") * col("dv")).as("den"),
+      (1 to maxLag).map(k =>
+        sum(col("dv") * col(s"l$k")).as(s"num$k")): _*)
+    val nD = col("n").cast("double")
+    val q = (1 to maxLag).map { k =>
+      (col(s"num$k").cast("double") / col("den").cast("double")) *
+        (col(s"num$k").cast("double") / col("den").cast("double")) /
+        (nD - lit(k.toDouble))
+    }.reduce(_ + _) * nD * (nD + lit(2.0))
+    agg.select(col("n"),
+      round(lit(1e6) * col("num1").cast("double") /
+        col("den").cast("double")).cast("long").as("rho1_micros"),
+      round(lit(1e6) * q).cast("long").as("q_micros"))
+  }
 }

@@ -2502,7 +2502,15 @@ object Relational {
     * into its ≤4 log rows, then ONE key-partitioned window pass
     * (min/max seq, last image) and a net-op-sized rollup — the same
     * shuffle budget as the merge it feeds. All-integer cents. */
-  def inc2CdcCollapse(s: SparkSession, dir: String): DataFrame = {
+  def inc2CdcCollapse(s: SparkSession, dir: String): DataFrame =
+    cdcNet(s, dir)
+      .groupBy(col("net_op"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("n_ops")).as("n_log_rows"),
+        sum(coalesce(col("net_price"), lit(0L))).as("sum_price_cents"))
+
+  /** The synthesized change log of [[inc2CdcCollapse]], exposed for
+    * the streaming parity spec: (key, seq, op, price) rows. */
+  def cdcLog(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     def h(tag: String): Column = pmod(call_function("md5_base60",
       concat(lit(s"cdc:$tag:"), col("o_orderkey"))), lit(1000000L))
@@ -2527,8 +2535,14 @@ object Relational {
         when(col("has_del"), 1).otherwise(0))))
       .as("e"))
       .select(col("key"), col("e.seq"), col("e.op"), col("e.price"))
+    ops
+  }
+
+  /** Per-key net effect of [[cdcLog]] — the frame the streaming twin
+    * must reproduce exactly (EventStreamsSpec pins parity). */
+  def cdcNet(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("key")).orderBy(col("seq"))
-    val net = ops
+    cdcLog(s, dir)
       .withColumn("first_op", first(col("op")).over(w))
       .withColumn("last_op", last(col("op")).over(
         w.rowsBetween(Window.unboundedPreceding,
@@ -2547,8 +2561,5 @@ object Relational {
           .otherwise("update").as("net_op"),
         when(col("last_op") =!= "delete", col("last_price"))
           .otherwise(lit(null).cast("long")).as("net_price"))
-    net.groupBy(col("net_op"))
-      .agg(count(lit(1)).as("n_keys"), sum(col("n_ops")).as("n_log_rows"),
-        sum(coalesce(col("net_price"), lit(0L))).as("sum_price_cents"))
   }
 }

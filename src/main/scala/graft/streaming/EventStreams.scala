@@ -500,4 +500,57 @@ object EventStreams {
       .transformWithState(new SessionProcessor(gapMs),
         TimeMode.None(), OutputMode.Append())
   }
+
+  case class CdcOp(key: Long, seq: Long, op: String, price: Option[Long])
+  // public: the state encoder's generated code constructs it reflectively
+  case class CdcState(firstOp: String, lastOp: String, lastSeq: Long,
+                      lastPrice: Option[Long], nOps: Long)
+  case class CdcNet(key: Long, n_ops: Long, net_op: String,
+                    net_price: Option[Long])
+
+  /** Streaming twin of operators.Relational.inc2CdcCollapse: the CDC
+    * log arrives in micro-batches and each key's net effect is
+    * maintained as constant-size ValueState (first/last op, last
+    * image, op count) — the continuously-maintained MERGE input.
+    * Within a batch rows fold in seq order; across batches the state
+    * carries first/last exactly, so after the log drains the latest
+    * emission per key is BIT-EQUAL to the batch cdcNet frame
+    * (EventStreamsSpec pins it). Update mode: every batch re-emits
+    * the keys it touched with their current net row. */
+  class CdcProcessor extends StatefulProcessor[Long, CdcOp, CdcNet] {
+    @transient private var state: ValueState[CdcState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[CdcState]("cdc",
+        Encoders.product[CdcState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[CdcOp],
+                                 tv: TimerValues): Iterator[CdcNet] = {
+      var st = if (state.exists()) state.get()
+        else CdcState("", "", Long.MinValue, None, 0L)
+      rows.toSeq.sortBy(_.seq).foreach { r =>
+        val first = if (st.nOps == 0L) r.op else st.firstOp
+        val (lastOp, lastSeq) =
+          if (r.seq >= st.lastSeq) (r.op, r.seq)
+          else (st.lastOp, st.lastSeq)
+        val lastPrice = if (r.price.isDefined) r.price else st.lastPrice
+        st = CdcState(first, lastOp, lastSeq, lastPrice, st.nOps + 1)
+      }
+      state.update(st)
+      val net =
+        if (st.firstOp == "insert" && st.lastOp == "delete") "none"
+        else if (st.firstOp == "insert") "insert"
+        else if (st.lastOp == "delete") "delete"
+        else "update"
+      val price = if (st.lastOp == "delete") None else st.lastPrice
+      Iterator.single(CdcNet(key, st.nOps, net, price))
+    }
+  }
+
+  def cdcCollapseStream(ops: Dataset[CdcOp]): Dataset[CdcNet] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(_.key)
+      .transformWithState(new CdcProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -770,4 +770,44 @@ class EventStreamsSpec extends SparkSpec {
       "streamed-generation index diverged from the one-shot scorer")
     assert(want.size == 10)
   }
+
+  test("streaming CDC collapse == batch cdcNet after the log drains") {
+    import graft.operators.Relational
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val log = Relational.cdcLog(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val mem = MemoryStream[(Long, Long, String, Option[Long])]
+    val ops = mem.toDS().map { case (k, seq, op, p) =>
+      EventStreams.CdcOp(k, seq, op, p) }
+    val q = EventStreams.cdcCollapseStream(ops)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("cdc_test").start()
+    try {
+      // three arrival waves split by seq — state must carry first/last
+      // across micro-batches, not just within one
+      mem.addData(log.filter(_._2 <= 1).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(log.filter(r => r._2 > 1 && r._2 < 9).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(log.filter(_._2 >= 9).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // latest emission per key (update mode re-emits on every touch)
+    val streamed = spark.table("cdc_test").as[EventStreams.CdcNet]
+      .collect().groupBy(_.key)
+      .map { case (k, rows) => k -> rows.maxBy(_.n_ops) }
+    val batch = Relational.cdcNet(spark, sf).collect()
+      .map(r => r.getLong(0) -> EventStreams.CdcNet(r.getLong(0),
+        r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(streamed.size === batch.size)
+    batch.foreach { case (k, want) =>
+      assert(streamed(k) === want, s"key $k")
+    }
+  }
 }
