@@ -520,6 +520,8 @@ object SparkEntry {
     "mm9_silence"        -> (Multimodal.mm9Silence(_, _)),
     "graph_condense"     -> (Graphs.condense(_, _)),
     "ts13_ljung_box"     -> (EventAnalytics.ts13LjungBox(_, _)),
+    "prof7_pk_discovery" -> (Profiling.prof7PkDiscovery(_, _)),
+    "ml28_brier"         -> (Profiling.ml28Brier(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7407,6 +7409,71 @@ object SparkEntry {
           (CAST(n AS DOUBLE) + 2.0))) AS BIGINT) AS q_micros
       FROM ag"""
     },
+    // Candidate-key audit (Profiling.prof7PkDiscovery): the prof6
+    // melt device, duplicate mass per candidate column set.
+    "prof7_pk_discovery" -> raw"""
+      WITH melted AS (
+        SELECT 'orderkey' AS cand,
+          CAST(o_orderkey AS VARCHAR) AS k FROM orders
+        UNION ALL SELECT 'custkey', CAST(o_custkey AS VARCHAR)
+          FROM orders
+        UNION ALL SELECT 'orderdate', CAST(o_orderdate AS VARCHAR)
+          FROM orders
+        UNION ALL SELECT 'custkey+orderdate',
+          CAST(o_custkey AS VARCHAR) || '|' ||
+          CAST(o_orderdate AS VARCHAR) FROM orders
+        UNION ALL SELECT 'orderdate+priority',
+          CAST(o_orderdate AS VARCHAR) || '|' || o_orderpriority
+          FROM orders),
+      cls AS (SELECT cand, k, CAST(count(*) AS BIGINT) AS c
+        FROM melted GROUP BY cand, k)
+      SELECT cand, CAST(sum(c) AS BIGINT) AS n_rows,
+        CAST(count(*) AS BIGINT) AS n_distinct,
+        CAST(sum(c - 1) AS BIGINT) AS dup_mass,
+        CAST(CASE WHEN sum(c - 1) = 0 THEN 1 ELSE 0 END AS BIGINT)
+          AS is_key
+      FROM cls GROUP BY cand""",
+    // Brier + Murphy decomposition (Profiling.ml28Brier): exact
+    // integer micro^2 Brier, per-bin terms quantized before the
+    // k-row sums, identical double trees.
+    "ml28_brier" -> raw"""
+      WITH rows0 AS (SELECT
+          CAST(round(1e6 / (1.0 + exp(-(CAST(($embScoreSql) AS DOUBLE)
+            / 1e6)))) AS BIGINT) AS p,
+          CAST(label % 2 AS BIGINT) AS y
+        FROM embeddings),
+      bins AS (SELECT (p * 32) // 1000001 AS bin,
+          CAST(count(*) AS BIGINT) AS n_k,
+          CAST(sum(p) AS BIGINT) AS sp, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum((p - y * 1000000) * (p - y * 1000000)) AS BIGINT)
+            AS ssq
+        FROM rows0 GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_k) AS BIGINT) AS n,
+          CAST(sum(sy) AS BIGINT) AS sy_tot,
+          CAST(sum(ssq) AS BIGINT) AS ssq_tot FROM bins),
+      dv AS (SELECT n, sy_tot, ssq_tot, n_k,
+          CAST(sp AS DOUBLE) / 1000000.0 / CAST(n_k AS DOUBLE) -
+            CAST(sy AS DOUBLE) / CAST(n_k AS DOUBLE) AS d_rel,
+          CAST(sy AS DOUBLE) / CAST(n_k AS DOUBLE) -
+            CAST(sy_tot AS DOUBLE) / CAST(n AS DOUBLE) AS d_res
+        FROM bins, tot),
+      terms AS (SELECT n, sy_tot, ssq_tot,
+          CAST(round(1e6 * (CAST(n_k AS DOUBLE) * d_rel * d_rel))
+            AS BIGINT) AS rel_term,
+          CAST(round(1e6 * (CAST(n_k AS DOUBLE) * d_res * d_res))
+            AS BIGINT) AS res_term
+        FROM dv)
+      SELECT n, CAST(count(*) AS BIGINT) AS k_bins,
+        CAST(round(CAST(ssq_tot AS DOUBLE) /
+          (CAST(n AS DOUBLE) * 1e6)) AS BIGINT) AS brier_micros,
+        CAST(round(CAST(CAST(sum(rel_term) AS BIGINT) AS DOUBLE) /
+          CAST(n AS DOUBLE)) AS BIGINT) AS reliability_micros,
+        CAST(round(CAST(CAST(sum(res_term) AS BIGINT) AS DOUBLE) /
+          CAST(n AS DOUBLE)) AS BIGINT) AS resolution_micros,
+        CAST(round(1e6 * (CAST(sy_tot AS DOUBLE) / CAST(n AS DOUBLE)) *
+          (1.0 - CAST(sy_tot AS DOUBLE) / CAST(n AS DOUBLE)))
+          AS BIGINT) AS uncertainty_micros
+      FROM terms GROUP BY n, sy_tot, ssq_tot""",
   )
 
   // ---- shared DuckDB oracle fragments ----

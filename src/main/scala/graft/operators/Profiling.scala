@@ -979,6 +979,99 @@ object Profiling {
         when(col("violations") === 0L, 1L).otherwise(0L).as("fd_holds"))
   }
 
+  /** `prof7_pk_discovery` — candidate-key (uniqueness) audit over
+    * `orders`, the companion of [[prof6FdDiscovery]]'s FD audit: for
+    * each candidate column set, the duplicate mass n − |distinct| and
+    * the is-key verdict. Single columns and composites are both
+    * exercised so the report shows a real key (o_orderkey), near-keys
+    * (custkey+date) and hopeless ones (date alone) — the
+    * schema-inference signal a 100 TB ingest uses to pick MERGE keys
+    * and bucketing columns.
+    *
+    * Scale shape: one fact scan exploded ×|candidates| (the prof6
+    * device), one map-side-combinable (cand, key) count, one
+    * cand-sized rollup. */
+  def prof7PkDiscovery(s: SparkSession, dir: String): DataFrame = {
+    val cands = Seq(
+      ("orderkey", concat_ws("|", col("o_orderkey"))),
+      ("custkey", concat_ws("|", col("o_custkey"))),
+      ("orderdate", concat_ws("|", col("o_orderdate"))),
+      ("custkey+orderdate",
+        concat_ws("|", col("o_custkey"), col("o_orderdate"))),
+      ("orderdate+priority",
+        concat_ws("|", col("o_orderdate"), col("o_orderpriority"))))
+    Tables.orders(s, dir)
+      .select(explode(array(cands.map { case (nm, k) =>
+        struct(lit(nm).as("cand"), k.as("k")) }: _*)).as("e"))
+      .select(col("e.cand"), col("e.k"))
+      .groupBy(col("cand"), col("k")).agg(count(lit(1)).as("c"))
+      .groupBy(col("cand"))
+      .agg(sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") - 1L).as("dup_mass"))
+      .select(col("cand"), col("n_rows"), col("n_distinct"),
+        col("dup_mass"),
+        when(col("dup_mass") === 0L, 1L).otherwise(0L).as("is_key"))
+  }
+
+  /** `ml28_brier` — Brier score with the Murphy (1973) decomposition
+    * over 32 probability bins: reliability (calibration gap),
+    * resolution (how far bin outcomes move from the base rate) and
+    * uncertainty ȳ(1−ȳ) — the proper-scoring-rule companion of
+    * ml12's calibration table, using the SAME logistic probability
+    * of the shared embedding classifier. Brier itself is EXACT: each
+    * row's (p − y)² accumulates as integer micro² before one divide;
+    * the three decomposition terms quantize per bin BEFORE their
+    * k-row integer sums (the stat29 convention).
+    *
+    * Scale shape: one narrow scan → one 32-bin map-side-combined agg
+    * → a 1-row rollup; no window, no join. */
+  def ml28Brier(s: SparkSession, dir: String): DataFrame = {
+    val pM = round(lit(1e6) /
+      (lit(1.0) + exp(-(embScore.cast("double") / lit(1e6)))))
+      .cast("long")
+    val rows = Tables.embeddings(s, dir)
+      .select(pM.as("p"), (col("label") % 2).cast("long").as("y"))
+    val bins = rows
+      .select(expr("p * 32 DIV 1000001").as("bin"), col("p"), col("y"),
+        ((col("p") - col("y") * 1000000L) *
+          (col("p") - col("y") * 1000000L)).as("sq"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_k"), sum(col("p")).as("sp"),
+        sum(col("y")).as("sy"), sum(col("sq")).as("ssq"))
+    val tot = broadcast(bins.agg(sum(col("n_k")).as("n"),
+      sum(col("sy")).as("sy_tot"), sum(col("ssq")).as("ssq_tot")))
+    val nD = col("n").cast("double")
+    val yBar = col("sy_tot").cast("double") / nD
+    def binDev(a: Column, b: Column): Column = {
+      val d = a.cast("double") / col("n_k").cast("double") - b
+      col("n_k").cast("double") * d * d
+    }
+    val terms = bins.crossJoin(tot)
+      .select(col("n"), col("sy_tot"), col("ssq_tot"),
+        round(lit(1e6) * binDev(col("sp") / lit(1000000L),
+          col("sy").cast("double") / col("n_k").cast("double"))
+          .cast("double")).cast("long").as("rel_term"),
+        round(lit(1e6) * binDev(col("sy"), yBar).cast("double"))
+          .cast("long").as("res_term"))
+    terms.groupBy(col("n"), col("sy_tot"), col("ssq_tot"))
+      .agg(count(lit(1)).as("k_bins"), sum(col("rel_term")).as("rel_sum"),
+        sum(col("res_term")).as("res_sum"))
+      .select(col("n"), col("k_bins"),
+        round(col("ssq_tot").cast("double") /
+          (col("n").cast("double") * lit(1e6))).cast("long")
+          .as("brier_micros"),
+        round(col("rel_sum").cast("double") / col("n").cast("double"))
+          .cast("long").as("reliability_micros"),
+        round(col("res_sum").cast("double") / col("n").cast("double"))
+          .cast("long").as("resolution_micros"),
+        round(lit(1e6) * (col("sy_tot").cast("double") /
+          col("n").cast("double")) *
+          (lit(1.0) - col("sy_tot").cast("double") /
+            col("n").cast("double"))).cast("long")
+          .as("uncertainty_micros"))
+  }
+
   /** `stat41_kruskal` — Kruskal–Wallis H across the event-type groups
     * on `value` cents, with tie correction: the k-group extension of
     * stat13's Mann–Whitney (one-way ANOVA on ranks — the

@@ -307,6 +307,46 @@ class Round8Spec extends SparkSpec {
     (1L to depths.values.max).foreach(d => assert(dvals.contains(d)))
   }
 
+  test("prof7 key verdicts: orderkey is a key, date columns are not, " +
+    "dup mass restates") {
+    val m = Profiling.prof7PkDiscovery(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val n = Tables.orders(spark, sf).count()
+    assert(m("orderkey") ===(n, n, 0L, 1L))
+    assert(m("orderdate")._4 === 0L) // dates repeat at any real volume
+    m.values.foreach { case (rows, distinct, dup, _) =>
+      assert(rows === n)
+      assert(dup === rows - distinct) // conservation
+    }
+  }
+
+  test("ml28 Brier decomposition restates from collected (p, y) rows") {
+    val r = Profiling.ml28Brier(spark, sf).collect().head
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("embedding"), col("label")).collect().map { row =>
+        val e = row.getSeq[Float](0)
+        val score = (0 until 8).map(k => rnd(1e6 * e(k).toDouble)).sum
+        val p = rnd(1e6 / (1.0 + math.exp(-(score.toDouble / 1e6))))
+        (p, (row.getInt(1) % 2).toLong)
+      }
+    val n = rows.length
+    val brier = rows.map { case (p, y) =>
+      (p - y * 1000000L) * (p - y * 1000000L) }.sum.toDouble / (n * 1e6)
+    assert(math.abs(r.getLong(2) - brier) <= 1)
+    // classic unbinned Murphy terms vs the 32-bin report: reliability
+    // and resolution must be close (same bins), uncertainty exact
+    val yBar = rows.map(_._2).sum.toDouble / n
+    assert(r.getLong(5) === rnd(1e6 * yBar * (1 - yBar)))
+    val byBin = rows.groupBy { case (p, _) => p * 32 / 1000001 }
+    val rel = byBin.values.map { g =>
+      val pBar = g.map(_._1).sum.toDouble / 1e6 / g.length
+      val yB = g.map(_._2).sum.toDouble / g.length
+      g.length * (pBar - yB) * (pBar - yB)
+    }.sum / n * 1e6
+    assert(math.abs(r.getLong(3) - rel) <= byBin.size)
+  }
+
   test("rec6 3-way lift: every reported triple's support and lift " +
     "restate from the raw baskets") {
     val baskets = Tables.lineitem(spark, sf)
