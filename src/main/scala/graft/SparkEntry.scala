@@ -522,6 +522,7 @@ object SparkEntry {
     "ts13_ljung_box"     -> (EventAnalytics.ts13LjungBox(_, _)),
     "prof7_pk_discovery" -> (Profiling.prof7PkDiscovery(_, _)),
     "ml28_brier"         -> (Profiling.ml28Brier(_, _)),
+    "tok10_wordpiece"    -> (Training.tok10WordPiece(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7474,6 +7475,10 @@ object SparkEntry {
           (1.0 - CAST(sy_tot AS DOUBLE) / CAST(n AS DOUBLE)))
           AS BIGINT) AS uncertainty_micros
       FROM terms GROUP BY n, sy_tot, ssq_tot""",
+    // WordPiece (Training.tok10WordPiece): the identical greedy fold
+    // as a DuckDB list_reduce over position structs, same vocab
+    // literals (built from the one Scala Seq).
+    "tok10_wordpiece" -> wordpieceSql,
   )
 
   // ---- shared DuckDB oracle fragments ----
@@ -8610,6 +8615,52 @@ object SparkEntry {
         min(cm2.c[1]) AS c0, min(cm2.c[2]) AS c1
       FROM af JOIN cm2 ON af.cell = cm2.cell
       GROUP BY af.cell"""
+
+  /** WordPiece replay (Training.tok10WordPiece): the greedy
+    * longest-match segmentation as a RECURSIVE CTE over the DISTINCT
+    * words (one row per consumed token, multiplicities joined back) —
+    * deliberately NOT list_reduce: DuckDB v1.0.0's vectorized
+    * list_reduce leaks accumulators across rows in a chunk (observed:
+    * 'customer' rows returning other words' tokens at sf0.1), so the
+    * oracle replays the fold with recursion instead. Vocab literals
+    * are built from the one Scala Seq the engine ships. */
+  private def wordpieceSql: String = {
+    def lst(v: Seq[String]) =
+      v.map(t => s"'$t'").mkString("[", ",", "]")
+    val stepCase =
+      s"""CASE WHEN len - np >= 3 AND list_contains(${lst(Training.wpTri)},
+            substr(word, CAST(np + 1 AS INTEGER), 3)) THEN 3
+          WHEN len - np >= 2 AND list_contains(${lst(Training.wpBi)},
+            substr(word, CAST(np + 1 AS INTEGER), 2)) THEN 2
+          ELSE 1 END"""
+    raw"""
+      WITH RECURSIVE
+      w0 AS (SELECT unnest(string_split(regexp_replace(
+          lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS word
+        FROM documents),
+      w2 AS (SELECT word, CAST(count(*) AS BIGINT) AS m
+        FROM w0 WHERE length(word) > 0 GROUP BY word),
+      dw AS (SELECT word, CAST(length(word) AS BIGINT) AS len FROM w2),
+      seg AS (
+        SELECT word, len, CAST(0 AS BIGINT) AS np, '' AS tok FROM dw
+        UNION ALL
+        SELECT word, len, np + $stepCase,
+          substr(word, CAST(np + 1 AS INTEGER), $stepCase)
+        FROM seg WHERE np < len),
+      toks AS (SELECT s.tok, w2.m FROM seg s
+        JOIN w2 ON s.word = w2.word WHERE s.tok <> ''),
+      tot AS (SELECT
+          (SELECT CAST(sum(m) AS BIGINT) FROM w2) AS n_words,
+          (SELECT CAST(sum(m) AS BIGINT) FROM toks) AS n_tokens),
+      cnt AS (SELECT tok AS token, CAST(sum(m) AS BIGINT) AS n
+        FROM toks GROUP BY tok
+        ORDER BY n DESC, token ASC LIMIT 10)
+      SELECT token, n, n_words, n_tokens,
+        CAST((1000000 * n) // n_tokens AS BIGINT) AS share_micros,
+        CAST((1000000 * n_tokens) // n_words AS BIGINT)
+          AS fertility_micros
+      FROM cnt, tot"""
+  }
 
   /** Greedy k-center replay (Sampling.kcenterGreedy): integer-micro
     * vectors, exact BIGINT squared distances, per round a min-distance

@@ -1210,4 +1210,73 @@ object Training {
         round(col("s_sum").cast("double") / col("n_pts").cast("double"))
           .cast("long").as("mean_s_micros"))
   }
+
+  /** The fixed WordPiece vocabulary shared by [[tok10WordPiece]] and
+    * its oracle builder (single chars are implicit — every position
+    * can always consume one char, the [UNK]-free long-tail rule). */
+  val wpTri: Seq[String] = Seq("the", "and", "ing", "ion", "tio",
+    "ent", "ati", "for", "her", "ter", "hat", "tha", "ere", "ate",
+    "his", "con", "res", "ver", "all")
+  val wpBi: Seq[String] = Seq("th", "he", "in", "er", "an", "re",
+    "on", "at", "en", "nd", "ti", "es", "or", "te", "of", "ed",
+    "is", "it", "al", "ar", "st", "to", "nt", "ng", "se", "ha",
+    "as", "ou", "io", "le", "ve", "co", "me", "de", "hi", "ri",
+    "ro", "ic", "ne", "ea", "ra", "ce", "li", "ch", "ll", "be",
+    "ma", "si", "om", "ur")
+
+  /** `tok10_wordpiece` — greedy longest-match WordPiece encoding (the
+    * BERT tokenizer's serving algorithm) against a FIXED literal
+    * vocabulary of tri/bi-grams + implicit single chars: each word is
+    * segmented by one codegen'd `aggregate` fold over its character
+    * positions — at each unconsumed position try the 3-gram, then the
+    * 2-gram, else emit the char — zero UDFs, zero shuffles until the
+    * token rollup. The greedy-matching counterpart of the learned BPE
+    * family (tok1–tok7): BPE *trains* merges; WordPiece *serves* a
+    * vocabulary, and this face measures what a fixed vocab does to
+    * fertility on this corpus. Reports the top-10 tokens by count and
+    * corpus totals (words, tokens, fertility in integer micros).
+    *
+    * Scale shape: one scan → per-word fold (bounded by word length) →
+    * one (token) map-side-combined count + a broadcast totals cross —
+    * the text_tokens plan with a smarter per-row kernel. */
+  def tok10WordPiece(s: SparkSession, dir: String, topK: Int = 10)
+      : DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(split(regexp_replace(lower(col("text")),
+        "[^a-z]+", " "), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("word"), length(col("word")).cast("long").as("len"))
+    def sub(i: Column, l: Int): Column =
+      col("word").substr((i + 1L).cast("int"), lit(l))
+    val fold = aggregate(
+      sequence(lit(0L), col("len") - 1L),
+      struct(lit(0L).as("np"), lit("").as("tk")),
+      (acc, i) => {
+        val np = acc.getField("np")
+        val tk = acc.getField("tk")
+        when(i < np, acc)
+          .when(col("len") - i >= 3L &&
+            array_contains(typedlit(wpTri), sub(i, 3)),
+            struct((i + 3L).as("np"),
+              concat(tk, sub(i, 3), lit(" ")).as("tk")))
+          .when(col("len") - i >= 2L &&
+            array_contains(typedlit(wpBi), sub(i, 2)),
+            struct((i + 2L).as("np"),
+              concat(tk, sub(i, 2), lit(" ")).as("tk")))
+          .otherwise(struct((i + 1L).as("np"),
+            concat(tk, sub(i, 1), lit(" ")).as("tk")))
+      })
+    val toks = words.select(split(trim(fold.getField("tk")), " ")
+        .as("toks"))
+      .select(size(col("toks")).cast("long").as("n_tok"), col("toks"))
+    val totals = broadcast(toks.agg(count(lit(1)).as("n_words"),
+      sum(col("n_tok")).as("n_tokens")))
+    toks.select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(topK)
+      .crossJoin(totals)
+      .select(col("token"), col("n"), col("n_words"), col("n_tokens"),
+        expr("(1000000 * n) DIV n_tokens").as("share_micros"),
+        expr("(1000000 * n_tokens) DIV n_words").as("fertility_micros"))
+  }
 }

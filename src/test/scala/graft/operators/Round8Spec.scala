@@ -347,6 +347,39 @@ class Round8Spec extends SparkSpec {
     assert(math.abs(r.getLong(3) - rel) <= byBin.size)
   }
 
+  test("tok10 WordPiece totals and top tokens restate from a driver " +
+    "greedy tokenizer") {
+    val triS = Training.wpTri.toSet
+    val biS = Training.wpBi.toSet
+    def greedy(w: String): Seq[String] = {
+      var i = 0
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (i < w.length) {
+        if (w.length - i >= 3 && triS(w.substring(i, i + 3))) {
+          out += w.substring(i, i + 3); i += 3
+        } else if (w.length - i >= 2 && biS(w.substring(i, i + 2))) {
+          out += w.substring(i, i + 2); i += 2
+        } else { out += w.substring(i, i + 1); i += 1 }
+      }
+      out.toSeq
+    }
+    val words = Tables.documents(spark, sf).select(col("text"))
+      .collect().flatMap(r =>
+        r.getString(0).toLowerCase.replaceAll("[^a-z]+", " ")
+          .split(" ").filter(_.nonEmpty))
+    val allToks = words.flatMap(greedy)
+    val counts = allToks.groupBy(identity).view.mapValues(_.length.toLong)
+    val top = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(10)
+    val out = Training.tok10WordPiece(spark, sf).collect()
+    assert(out.length === 10)
+    out.zip(top).foreach { case (r, (t, n)) =>
+      assert(r.getString(0) === t)
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === words.length.toLong)
+      assert(r.getLong(3) === allToks.length.toLong)
+    }
+  }
+
   test("rec6 3-way lift: every reported triple's support and lift " +
     "restate from the raw baskets") {
     val baskets = Tables.lineitem(spark, sf)
