@@ -1241,11 +1241,16 @@ object Training {
     * the text_tokens plan with a smarter per-row kernel. */
   def tok10WordPiece(s: SparkSession, dir: String, topK: Int = 10)
       : DataFrame = {
+    // fold over DISTINCT words, multiplicities ride along — the word
+    // domain is vocabulary-bounded while the corpus is not, so the
+    // expensive per-position fold runs |vocab| times, never |corpus|
     val words = Tables.documents(s, dir)
       .select(explode(split(regexp_replace(lower(col("text")),
         "[^a-z]+", " "), " ")).as("word"))
       .filter(length(col("word")) > 0)
-      .select(col("word"), length(col("word")).cast("long").as("len"))
+      .groupBy(col("word")).agg(count(lit(1)).as("m"))
+      .select(col("word"), col("m"),
+        length(col("word")).cast("long").as("len"))
     def sub(i: Column, l: Int): Column =
       col("word").substr((i + 1L).cast("int"), lit(l))
     val fold = aggregate(
@@ -1266,13 +1271,14 @@ object Training {
           .otherwise(struct((i + 1L).as("np"),
             concat(tk, sub(i, 1), lit(" ")).as("tk")))
       })
-    val toks = words.select(split(trim(fold.getField("tk")), " ")
-        .as("toks"))
-      .select(size(col("toks")).cast("long").as("n_tok"), col("toks"))
-    val totals = broadcast(toks.agg(count(lit(1)).as("n_words"),
-      sum(col("n_tok")).as("n_tokens")))
-    toks.select(explode(col("toks")).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val toks = words.select(col("m"),
+        split(trim(fold.getField("tk")), " ").as("toks"))
+      .select(col("m"), size(col("toks")).cast("long").as("n_tok"),
+        col("toks"))
+    val totals = broadcast(toks.agg(sum(col("m")).as("n_words"),
+      sum(col("m") * col("n_tok")).as("n_tokens")))
+    toks.select(col("m"), explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(sum(col("m")).as("n"))
       .orderBy(col("n").desc, col("token").asc).limit(topK)
       .crossJoin(totals)
       .select(col("token"), col("n"), col("n_words"), col("n_tokens"),
