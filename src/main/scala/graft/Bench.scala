@@ -96,8 +96,16 @@ object Bench {
     // FULL warm/cold map plus the OSM phase fragment goes to a file —
     // committed with the round, machine-parseable, the basis for
     // cross-round per-query regression tracking.
+    // The repo file is the sf0.1 BASELINE the cross-round regression
+    // diff reads; a full run at any other SF must not clobber it
+    // (round 7's closing sf0.001 smoke did exactly that and silenced
+    // the next round's diff) — non-canonical SFs default to a
+    // /tmp sidecar instead.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "/root/repo/BENCH_detail.json") // driver cwd varies; repo path doesn't
+      if (sfDir.stripSuffix("/").endsWith("sf0.1"))
+        "/root/repo/BENCH_detail.json" // driver cwd varies; repo doesn't
+      else "/tmp/graft_bench_detail_" +
+        sfDir.replaceAll("[^A-Za-z0-9]", "_") + ".json")
     // prior round's warm times, read BEFORE the overwrite: queries now
     // >2x their recorded warm time (and >0.5s absolute — min-of-N noise
     // floor on sub-second queries) surface as `regressions` instead of
