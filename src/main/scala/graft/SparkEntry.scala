@@ -523,6 +523,7 @@ object SparkEntry {
     "prof7_pk_discovery" -> (Profiling.prof7PkDiscovery(_, _)),
     "ml28_brier"         -> (Profiling.ml28Brier(_, _)),
     "tok10_wordpiece"    -> (Training.tok10WordPiece(_, _)),
+    "ml29_ks"            -> (Profiling.ml29Ks(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7479,6 +7480,29 @@ object SparkEntry {
     // as a DuckDB list_reduce over position structs, same vocab
     // literals (built from the one Scala Seq).
     "tok10_wordpiece" -> wordpieceSql,
+    // Classifier KS (Profiling.ml29Ks): stat19's exact integer
+    // cross-multiplied max over the distinct-score domain.
+    "ml29_ks" -> raw"""
+      WITH sc AS (SELECT ($embScoreSql) AS sm,
+          CAST(label % 2 AS BIGINT) AS y FROM embeddings),
+      bys AS (SELECT sm, CAST(sum(y) AS BIGINT) AS t1,
+          CAST(sum(1 - y) AS BIGINT) AS t0 FROM sc GROUP BY sm),
+      cum AS (SELECT sm,
+          CAST(sum(t1) OVER (ORDER BY sm
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS c1,
+          CAST(sum(t0) OVER (ORDER BY sm
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS c0
+        FROM bys),
+      tot AS (SELECT CAST(sum(t1) AS BIGINT) AS n1,
+          CAST(sum(t0) AS BIGINT) AS n0 FROM bys),
+      best AS (SELECT sm, n0, n1, abs(c1 * n0 - c0 * n1) AS d
+        FROM cum, tot ORDER BY d DESC, sm ASC LIMIT 1)
+      SELECT n0, n1, sm AS ks_at_score,
+        CAST((1000000 * CAST(d AS HUGEINT)) //
+          (CAST(n0 AS HUGEINT) * n1) AS BIGINT) AS ks_micros
+      FROM best""",
   )
 
   // ---- shared DuckDB oracle fragments ----

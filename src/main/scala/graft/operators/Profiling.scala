@@ -1072,6 +1072,42 @@ object Profiling {
           .as("uncertainty_micros"))
   }
 
+  /** `ml29_ks` — the Kolmogorov–Smirnov separation of the shared
+    * classifier's score distributions between classes (the
+    * credit-scoring "KS statistic" reported beside AUC): max over
+    * thresholds of |F₁(t) − F₀(t)|, located at its argmax score.
+    * ENTIRELY exact integers until the final report (the stat19
+    * device): the max runs over |cum₁·n₀ − cum₀·n₁| in longs over the
+    * distinct-score domain, so the argmax threshold and numerator are
+    * engine-independent by construction.
+    *
+    * Scale shape: one (score, y) rollup map-side combined to ≤
+    * |distinct scores| partials, one cumulative window over that
+    * domain frame, one 1-row argmax — never a data-sized sort. */
+  def ml29Ks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = Tables.embeddings(s, dir)
+      .select(embScore.as("sm"), (col("label") % 2).cast("long").as("y"))
+      .groupBy(col("sm"))
+      .agg(sum(col("y")).as("t1"), sum(lit(1L) - col("y")).as("t0"))
+    val w = Window.orderBy(col("sm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byScore
+      .select(col("sm"),
+        sum(col("t1")).over(w).as("c1"), sum(col("t0")).over(w).as("c0"))
+    val tot = broadcast(byScore.agg(sum(col("t1")).as("n1"),
+      sum(col("t0")).as("n0")))
+    cum.crossJoin(tot)
+      .select(col("sm"), col("n0"), col("n1"),
+        abs(col("c1") * col("n0") - col("c0") * col("n1")).as("d"))
+      .orderBy(col("d").desc, col("sm").asc).limit(1)
+      // the scaled numerator passes 2⁶³ at planet-scale class sizes —
+      // DECIMAL(38,0) (HUGEINT in the oracle) keeps the floor exact
+      .select(col("n0"), col("n1"), col("sm").as("ks_at_score"),
+        expr("(1000000 * CAST(d AS DECIMAL(38,0))) DIV (n0 * n1)")
+          .as("ks_micros"))
+  }
+
   /** `stat41_kruskal` — Kruskal–Wallis H across the event-type groups
     * on `value` cents, with tie correction: the k-group extension of
     * stat13's Mann–Whitney (one-way ANOVA on ranks — the

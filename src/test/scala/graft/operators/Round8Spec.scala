@@ -380,6 +380,30 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("ml29 KS equals the brute max CDF gap and sits at the exact " +
+    "argmax threshold") {
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("embedding"), col("label")).collect().map { r =>
+        val e = r.getSeq[Float](0)
+        ((0 until 8).map(k => rnd(1e6 * e(k).toDouble)).sum,
+          r.getInt(1) % 2)
+      }
+    val n1 = rows.count(_._2 == 1).toLong
+    val n0 = rows.length - n1
+    val gaps = rows.map(_._1).distinct.sorted.map { t =>
+      val c1 = rows.count(r => r._1 <= t && r._2 == 1).toLong
+      val c0 = rows.count(r => r._1 <= t && r._2 == 0).toLong
+      (t, math.abs(c1 * n0 - c0 * n1))
+    }
+    val (bestT, bestD) = gaps.maxBy(g => (g._2, -g._1))
+    val r = Profiling.ml29Ks(spark, sf).collect().head
+    assert(r.getLong(0) === n0)
+    assert(r.getLong(1) === n1)
+    assert(r.getLong(2) === bestT)
+    assert(r.getLong(3) === (BigInt(1000000) * bestD / (BigInt(n0) * n1))
+      .toLong)
+  }
+
   test("rec6 3-way lift: every reported triple's support and lift " +
     "restate from the raw baskets") {
     val baskets = Tables.lineitem(spark, sf)
