@@ -524,6 +524,7 @@ object SparkEntry {
     "ml28_brier"         -> (Profiling.ml28Brier(_, _)),
     "tok10_wordpiece"    -> (Training.tok10WordPiece(_, _)),
     "ml29_ks"            -> (Profiling.ml29Ks(_, _)),
+    "geo6_ripley"        -> (Spatial.ripleyK(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7503,6 +7504,39 @@ object SparkEntry {
         CAST((1000000 * CAST(d AS HUGEINT)) //
           (CAST(n0 AS HUGEINT) * n1) AS BIGINT) AS ks_micros
       FROM best""",
+    // Ripley's K (Spatial.ripleyK): quadratic pair oracle (the geo1
+    // shared-oracle convention — the stencil join must be lossless),
+    // conditional counts per radius, mirrored double report.
+    "geo6_ripley" -> raw"""
+      WITH pts AS ($geoPtsSql),
+      pr AS (SELECT (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+        FROM pts a JOIN pts b ON a.id < b.id
+        WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+          <= 4000000::BIGINT * 4000000),
+      cnts AS (SELECT
+          CAST(sum(CASE WHEN d2 <= 1000000::BIGINT * 1000000
+            THEN 1 ELSE 0 END) AS BIGINT) AS c1000000,
+          CAST(sum(CASE WHEN d2 <= 2000000::BIGINT * 2000000
+            THEN 1 ELSE 0 END) AS BIGINT) AS c2000000,
+          CAST(count(*) AS BIGINT) AS c4000000
+        FROM pr),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
+      st AS (
+        SELECT CAST(1000000 AS BIGINT) AS r_micros, n, c1000000
+          AS n_pairs FROM cnts, nn
+        UNION ALL SELECT 2000000, n, c2000000 FROM cnts, nn
+        UNION ALL SELECT 4000000, n, c4000000 FROM cnts, nn)
+      SELECT r_micros, n, n_pairs,
+        CAST(round((2.0e16 * CAST(n_pairs AS DOUBLE)) /
+          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT)
+          AS k_micros2,
+        CAST(round(pi() * CAST(r_micros AS DOUBLE) *
+          CAST(r_micros AS DOUBLE)) AS BIGINT) AS csr_micros2,
+        CAST(round(1e6 * (((2.0e16 * CAST(n_pairs AS DOUBLE)) /
+          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) /
+          (pi() * CAST(r_micros AS DOUBLE) *
+            CAST(r_micros AS DOUBLE)))) AS BIGINT) AS ratio_micros
+      FROM st""",
   )
 
   // ---- shared DuckDB oracle fragments ----

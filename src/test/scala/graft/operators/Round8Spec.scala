@@ -404,6 +404,33 @@ class Round8Spec extends SparkSpec {
       .toLong)
   }
 
+  test("geo6 Ripley pair counts restate from the brute quadratic " +
+    "scan and CSR holds for the uniform cloud") {
+    val pts = Spatial.points(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val rs = Seq(1000000L, 2000000L, 4000000L)
+    val brute = rs.map { r =>
+      var c = 0L
+      for (i <- pts.indices; j <- (i + 1) until pts.length) {
+        val dx = pts(i)._1 - pts(j)._1
+        val dy = pts(i)._2 - pts(j)._2
+        if (dx * dx + dy * dy <= r * r) c += 1
+      }
+      r -> c
+    }.toMap
+    val out = Spatial.ripleyK(spark, sf).collect()
+    assert(out.length === 3)
+    out.foreach { row =>
+      assert(row.getLong(2) === brute(row.getLong(0)))
+      assert(row.getLong(1) === pts.length.toLong)
+      // uniform md5 cloud: the K/CSR ratio sits near 1 — but only
+      // where counts carry signal (at sf0.001's 150 points the 1e6
+      // radius sees single-digit pairs and the ratio is pure noise)
+      if (row.getLong(2) >= 100L)
+        assert(row.getLong(5) > 600000L && row.getLong(5) < 1500000L)
+    }
+  }
+
   test("rec6 3-way lift: every reported triple's support and lift " +
     "restate from the raw baskets") {
     val baskets = Tables.lineitem(spark, sf)
