@@ -1096,9 +1096,13 @@ object Graphs {
       .select(col("a"), col("b"), col("w"),
         (col("w") * lit(1099511627776L) +
           col("a") * lit(1048576L) + col("b")).as("key"))
-    val finalPath = "/tmp/graft_stage_mst_v1_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
-    try {
+    // staged per corpus fingerprint (the sccLabels/betweenness
+    // protocol): the Boruvka rounds run once per (corpus, rounds),
+    // warm calls read the parquet forest
+    val stBase = Staging.base("stage_mst_v2", dir, s"r$rounds",
+      "documents")
+    val finalPath = s"$stBase/data"
+    Staging.buildOnce(stBase) { try {
       val edges = edges0.localCheckpoint(true)
       var lab = docs
         .select(col("doc_id").as("node"), col("doc_id").as("c"))
@@ -1141,7 +1145,7 @@ object Graphs {
       sc.getPersistentRDDs
         .filterNot { case (id, _) => preexisting(id) }
         .values.foreach(_.unpersist(blocking = false))
-    }
+    } }
     s.read.parquet(finalPath).select(col("a"), col("b"), col("w"))
   }
 
@@ -1182,9 +1186,10 @@ object Graphs {
           concat(lit("kc:"), col("doc_id"), lit(":"), col("j"))),
           col("n_docs")).as("dst"))
       .filter(col("dst") =!= col("src"))
-    val finalPath = "/tmp/graft_stage_diam_v1_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
-    try {
+    val stBase = Staging.base("stage_diam_v2", dir, s"d$maxDepth",
+      "documents")
+    val finalPath = s"$stBase/data"
+    Staging.buildOnce(stBase) { try {
       val und = raw
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
@@ -1228,7 +1233,7 @@ object Graphs {
       sc.getPersistentRDDs
         .filterNot { case (id, _) => preexisting(id) }
         .values.foreach(_.unpersist(blocking = false))
-    }
+    } }
     s.read.parquet(finalPath)
       .select(col("n_reached"), col("far_a"), col("ecc_a"),
         col("far_b"), col("diameter_lb"))
