@@ -525,6 +525,7 @@ object SparkEntry {
     "tok10_wordpiece"    -> (Training.tok10WordPiece(_, _)),
     "ml29_ks"            -> (Profiling.ml29Ks(_, _)),
     "geo6_ripley"        -> (Spatial.ripleyK(_, _)),
+    "ts14_seasonal_strength" -> (EventAnalytics.ts14SeasonalStrength(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7537,6 +7538,57 @@ object SparkEntry {
           (pi() * CAST(r_micros AS DOUBLE) *
             CAST(r_micros AS DOUBLE)))) AS BIGINT) AS ratio_micros
       FROM st""",
+    // Seasonal/trend strength (EventAnalytics.ts14SeasonalStrength):
+    // the ts8 decomposition CTEs, exact HUGEINT component sums, two
+    // mirrored double trees.
+    "ts14_seasonal_strength" -> raw"""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+          CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+      tr AS (SELECT d, x,
+          CAST(round(1e6 * CAST(sum(x) OVER w AS DOUBLE) /
+            CAST(count(*) OVER w AS DOUBLE)) AS BIGINT) AS trend_micros
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      dt AS (SELECT *, x * 1000000 - trend_micros AS detr_micros,
+          CAST(date_diff('day', DATE '1970-01-01', d) % 7 AS BIGINT)
+            AS dow
+        FROM tr),
+      se AS (SELECT dow,
+          CAST(round(CAST(sum(detr_micros) AS DOUBLE) / count(*))
+            AS BIGINT) AS seasonal_micros
+        FROM dt GROUP BY 1),
+      comp AS (SELECT
+          CAST(dt.detr_micros - se.seasonal_micros AS BIGINT) AS r,
+          CAST(dt.detr_micros AS BIGINT) AS sr,
+          CAST(dt.trend_micros + dt.detr_micros - se.seasonal_micros
+            AS BIGINT) AS tr
+        FROM dt JOIN se USING (dow)),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(r) AS BIGINT) AS s1r,
+          sum(CAST(r AS HUGEINT) * r) AS s2r,
+          CAST(sum(sr) AS BIGINT) AS s1s,
+          sum(CAST(sr AS HUGEINT) * sr) AS s2s,
+          CAST(sum(tr) AS BIGINT) AS s1t,
+          sum(CAST(tr AS HUGEINT) * tr) AS s2t
+        FROM comp)
+      SELECT n AS n_days,
+        CAST(round(1e6 * greatest(0.0, 1.0 -
+          (CAST(s2r AS DOUBLE) / CAST(n AS DOUBLE) -
+            (CAST(s1r AS DOUBLE) / CAST(n AS DOUBLE)) *
+            (CAST(s1r AS DOUBLE) / CAST(n AS DOUBLE))) /
+          (CAST(s2s AS DOUBLE) / CAST(n AS DOUBLE) -
+            (CAST(s1s AS DOUBLE) / CAST(n AS DOUBLE)) *
+            (CAST(s1s AS DOUBLE) / CAST(n AS DOUBLE)))))
+          AS BIGINT) AS fs_micros,
+        CAST(round(1e6 * greatest(0.0, 1.0 -
+          (CAST(s2r AS DOUBLE) / CAST(n AS DOUBLE) -
+            (CAST(s1r AS DOUBLE) / CAST(n AS DOUBLE)) *
+            (CAST(s1r AS DOUBLE) / CAST(n AS DOUBLE))) /
+          (CAST(s2t AS DOUBLE) / CAST(n AS DOUBLE) -
+            (CAST(s1t AS DOUBLE) / CAST(n AS DOUBLE)) *
+            (CAST(s1t AS DOUBLE) / CAST(n AS DOUBLE)))))
+          AS BIGINT) AS ft_micros
+      FROM m""",
   )
 
   // ---- shared DuckDB oracle fragments ----

@@ -1051,6 +1051,44 @@ object EventAnalytics {
         (col("detr_micros") - col("seasonal_micros")).as("residual_micros"))
   }
 
+  /** `ts14_seasonal_strength` — Hyndman's seasonal- and
+    * trend-strength measures over [[stlDecompose]]'s components:
+    * F_s = max(0, 1 − Var(R)/Var(S+R)) and
+    * F_t = max(0, 1 − Var(R)/Var(T+R)) — the one-number answers to
+    * "is there a season worth modeling" and "is there a trend worth
+    * modeling" that decide whether ts7/ts8/ts10 are even applicable.
+    * All components are the STL face's exact integer micros;
+    * variances come from exact (Σv, Σv², n) population sums and the
+    * two strengths are single mirrored double trees, micro-quantized.
+    *
+    * Scale shape: the data-sized stage is the shared dailyCounts
+    * aggregation inside the STL face; the strengths fold the ≤ #days
+    * component frame into ONE row. */
+  def ts14SeasonalStrength(s: SparkSession, dir: String): DataFrame = {
+    val c = stlDecompose(s, dir)
+      .select(col("residual_micros").as("r"),
+        (col("seasonal_micros") + col("residual_micros")).as("sr"),
+        (col("trend_micros") + col("residual_micros")).as("tr"))
+    val m = c.agg(count(lit(1)).as("n"),
+      sum(col("r")).as("s1r"),
+      sum(col("r").cast("decimal(38,0)") * col("r")).as("s2r"),
+      sum(col("sr")).as("s1s"),
+      sum(col("sr").cast("decimal(38,0)") * col("sr")).as("s2s"),
+      sum(col("tr")).as("s1t"),
+      sum(col("tr").cast("decimal(38,0)") * col("tr")).as("s2t"))
+    val nD = col("n").cast("double")
+    def popVar(s2: String, s1: String): Column =
+      col(s2).cast("double") / nD -
+        (col(s1).cast("double") / nD) * (col(s1).cast("double") / nD)
+    m.select(col("n").as("n_days"),
+      round(lit(1e6) * greatest(lit(0.0),
+        lit(1.0) - popVar("s2r", "s1r") / popVar("s2s", "s1s")))
+        .cast("long").as("fs_micros"),
+      round(lit(1e6) * greatest(lit(0.0),
+        lit(1.0) - popVar("s2r", "s1r") / popVar("s2t", "s1t")))
+        .cast("long").as("ft_micros"))
+  }
+
   /** Per-user event-type entropy — the behavioral-diversity score
     * separating single-action accounts (H = 0: pure scripted traffic,
     * or a user who only ever views) from organically mixed activity;

@@ -431,6 +431,28 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("ts14 strengths restate from the STL components and sit in " +
+    "[0, 1e6]") {
+    val comps = EventAnalytics.stlDecompose(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    def popVar(v: Seq[Double]): Double = {
+      val m = v.sum / v.length
+      v.map(x => x * x).sum / v.length - m * m
+    }
+    val r = comps.map(_._3.toDouble)
+    val sr = comps.map(c => (c._2 + c._3).toDouble)
+    val tr = comps.map(c => (c._1 + c._3).toDouble)
+    val fs = math.max(0.0, 1.0 - popVar(r) / popVar(sr))
+    val ft = math.max(0.0, 1.0 - popVar(r) / popVar(tr))
+    val out = EventAnalytics.ts14SeasonalStrength(spark, sf)
+      .collect().head
+    assert(out.getLong(0) === comps.length.toLong)
+    assert(math.abs(out.getLong(1) - 1e6 * fs) <= 2)
+    assert(math.abs(out.getLong(2) - 1e6 * ft) <= 2)
+    assert(out.getLong(1) >= 0L && out.getLong(1) <= 1000000L)
+    assert(out.getLong(2) >= 0L && out.getLong(2) <= 1000000L)
+  }
+
   test("rec6 3-way lift: every reported triple's support and lift " +
     "restate from the raw baskets") {
     val baskets = Tables.lineitem(spark, sf)
