@@ -7509,7 +7509,8 @@ object SparkEntry {
     // shared-oracle convention — the stencil join must be lossless),
     // conditional counts per radius, mirrored double report.
     "geo6_ripley" -> raw"""
-      WITH pts AS ($geoPtsSql),
+      WITH pts0 AS ($geoPtsSql),
+      pts AS (SELECT * FROM pts0 WHERE id <= 2000),
       pr AS (SELECT (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
         FROM pts a JOIN pts b ON a.id < b.id
         WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)

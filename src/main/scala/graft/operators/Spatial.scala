@@ -237,10 +237,15 @@ object Spatial {
     * predicate and counts are exact integers, the K/CSR/ratio report
     * is one mirrored double tree. */
   def ripleyK(s: SparkSession, dir: String,
-              radiiMicros: Seq[Long] = Seq(1000000L, 2000000L, 4000000L))
+              radiiMicros: Seq[Long] = Seq(1000000L, 2000000L, 4000000L),
+              cap: Long = 2000L)
       : DataFrame = {
     val rMax = radiiMicros.max
-    val p = points(s, dir)
+    // id-capped subsample (the geo5 convention): K's pair count grows
+    // with density SQUARED, so a fixed-size sample of the stationary
+    // cloud is what keeps the estimator linear at any SF — K from a
+    // subsample is statistically unbiased for a homogeneous process
+    val p = points(s, dir).filter(col("id") <= cap)
     val n = broadcast(p.agg(count(lit(1)).as("n")))
     val aggs = radiiMicros.map(r =>
       sum(when(col("dist2") <= r * r, 1L).otherwise(0L)).as(s"c$r"))

@@ -407,6 +407,7 @@ class Round8Spec extends SparkSpec {
   test("geo6 Ripley pair counts restate from the brute quadratic " +
     "scan and CSR holds for the uniform cloud") {
     val pts = Spatial.points(spark, sf)
+      .filter(col("id") <= 2000L)
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     val rs = Seq(1000000L, 2000000L, 4000000L)
     val brute = rs.map { r =>
