@@ -359,10 +359,11 @@ object SparkEntry {
     "ml8_pca_power"     -> (Training.pcaPower(_, _)),
     "graph_sssp"        -> (Graphs.ssspWeighted(_, _)),
     "stat20_approx_quantiles" -> (Sketches.approxQuantiles(_, _)),
-    // production quantile face (sketch only; GK answers are
-    // engine-specific, so no oracle — rows-only check)
+    // production quantile face: GK sketch only (no exact percentile
+    // aggregate anywhere) with the portable rank-error contract as the
+    // output — the oracle asserts the bound holds (the stat20 device)
     "stat28_quantiles_sketch_only" ->
-      (Sketches.approxQuantilesSketchOnly(_, _)),
+      (Sketches.approxQuantilesSketchContract(_, _)),
     "text_tfidf_labels" -> (TextAnalysis.tfidfLabels(_, _)),
     "samp8_epoch_order" -> ((s, dir) =>
       Sampling.epochOrder(s, Tables.documents(s, dir))),
@@ -3775,6 +3776,17 @@ object SparkEntry {
       UNION ALL SELECT CAST(0.5 AS DOUBLE), n_rows, e2, true FROM st
       UNION ALL SELECT CAST(0.75 AS DOUBLE), n_rows, e3, true FROM st
       UNION ALL SELECT CAST(0.9 AS DOUBLE), n_rows, e4, true FROM st""",
+    // GK-only production face (Sketches.approxQuantilesSketchContract):
+    // the sketch answers are engine-specific, so the portable output is
+    // the rank-error contract itself — the oracle asserts it holds.
+    "stat28_quantiles_sketch_only" -> raw"""
+      WITH st AS (SELECT CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem)
+      SELECT CAST(0.25 AS DOUBLE) AS q, n_rows, true AS within_bound
+        FROM st
+      UNION ALL SELECT CAST(0.5 AS DOUBLE), n_rows, true FROM st
+      UNION ALL SELECT CAST(0.75 AS DOUBLE), n_rows, true FROM st
+      UNION ALL SELECT CAST(0.9 AS DOUBLE), n_rows, true FROM st""",
     // per-lang TF-IDF top-5 labels (TextAnalysis.tfidfLabels).
     "text_tfidf_labels" -> raw"""
       WITH tk AS (SELECT doc_id, lang,
@@ -7079,8 +7091,8 @@ object SparkEntry {
       SELECT event_type, n, n_arm,
         CAST(round(100.0 * mean) AS BIGINT) AS mean_centicents,
         round(var, 2) AS var_cents2,
-        CAST(round(1e6 * (2.801585 *
-          sqrt(2.0 * var / CAST(n_arm AS DOUBLE))) / mean) AS BIGINT)
+        CAST(round(1e6 * ((2.801585 *
+          sqrt(2.0 * var / CAST(n_arm AS DOUBLE))) / mean)) AS BIGINT)
           AS mde_rel_micros
       FROM d""",
     // Fisher LDA (Training.ml26Lda): exact conditional power sums,
@@ -7347,7 +7359,7 @@ object SparkEntry {
         coalesce(CAST(min(r.longest) AS BIGINT), 0)
           AS longest_silence_frames,
         coalesce(CAST(min(r.nr) AS BIGINT), 0) AS n_silent_runs,
-        CAST(sum(f.silent) AS BIGINT) * (64000 // min(f.byte_rate))
+        (CAST(sum(f.silent) AS BIGINT) * 64000) // min(f.byte_rate)
           AS silence_ms
       FROM flagged f LEFT JOIN runs r ON f.doc_id = r.doc_id
       GROUP BY f.doc_id""",

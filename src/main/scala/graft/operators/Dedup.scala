@@ -594,7 +594,10 @@ object Dedup {
                    threshold: Double = 0.5): DataFrame = {
     GraftFunctions.register(s)
     def sides(docs: DataFrame): (DataFrame, DataFrame) = {
-      val sh = shingled(docs)
+      // materialize once: the shingle+signature projection feeds BOTH
+      // the band table and the verify join-back — without the cut it
+      // re-evaluates per consumer (the round-8 regression flag)
+      val sh = shingled(docs).localCheckpoint(true)
       val bands = sh
         .select(col("doc_id"), minhashSig(col("sh")).as("sig"))
         .select(col("doc_id"),

@@ -427,7 +427,10 @@ object Multimodal {
         col("total_energy"),
         coalesce(col("longest"), lit(0L)).as("longest_silence_frames"),
         coalesce(col("nr"), lit(0L)).as("n_silent_runs"),
-        (col("n_silent") * expr(s"${flen}000 DIV byte_rate"))
+        // multiply BEFORE the integer floor: the per-frame quotient
+        // floors to 0 whenever byte_rate > frame-bytes·1000 (the
+        // 24 kHz stereo docs), losing every real silent span
+        expr(s"(n_silent * ${flen}000) DIV byte_rate")
           .as("silence_ms"))
   }
 }

@@ -1104,7 +1104,8 @@ object Profiling {
       // the scaled numerator passes 2⁶³ at planet-scale class sizes —
       // DECIMAL(38,0) (HUGEINT in the oracle) keeps the floor exact
       .select(col("n0"), col("n1"), col("sm").as("ks_at_score"),
-        expr("(1000000 * CAST(d AS DECIMAL(38,0))) DIV (n0 * n1)")
+        expr("(1000000 * CAST(d AS DECIMAL(38,0))) DIV " +
+          "(CAST(n0 AS DECIMAL(38,0)) * n1)")
           .as("ks_micros"))
   }
 

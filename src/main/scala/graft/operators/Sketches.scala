@@ -122,6 +122,35 @@ object Sketches {
         col("n_rows"), col("apx_cents"))
   }
 
+  /** Portable contract check for [[approxQuantilesSketchOnly]] — the
+    * driver face of stat28. The GK answers themselves are
+    * engine-specific bytes and never leave the query; what IS portable
+    * is the sketch's rank guarantee (each answer's rank window overlaps
+    * the target rank ± n/accuracy), so the output is the boolean
+    * contract per quantile and the oracle asserts `true` against the
+    * exact ranks (the stat20 device). Unlike stat20 this face keeps
+    * the production scale shape: NO exact `percentile` aggregate
+    * anywhere — the validation scan is a map-side-combinable
+    * conditional sum against the broadcast 4-row sketch frame, so
+    * both stages are bounded-size-partials ahead of one exchange. */
+  def approxQuantilesSketchContract(s: SparkSession, dir: String,
+                                    acc: Int = 1000): DataFrame = {
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    val m = Tables.lineitem(s, dir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("m"))
+    val perQ = approxQuantilesSketchOnly(s, dir, acc)
+    m.crossJoin(broadcast(perQ))
+      .groupBy(col("q"), col("n_rows"), col("apx_cents"))
+      .agg(
+        sum(when(col("m") < col("apx_cents"), 1L).otherwise(0L)).as("lo"),
+        sum(when(col("m") <= col("apx_cents"), 1L).otherwise(0L)).as("hi"))
+      .select(col("q"), col("n_rows"),
+        (col("lo") <= col("q") * col("n_rows") +
+            col("n_rows").cast("double") / acc &&
+          col("hi") >= col("q") * col("n_rows") -
+            col("n_rows").cast("double") / acc).as("within_bound"))
+  }
+
   def approxQuantiles(s: SparkSession, dir: String): DataFrame = {
     val qs = Seq(0.25, 0.5, 0.75, 0.9)
     val acc = 1000

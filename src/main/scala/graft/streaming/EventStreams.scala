@@ -503,8 +503,10 @@ object EventStreams {
 
   case class CdcOp(key: Long, seq: Long, op: String, price: Option[Long])
   // public: the state encoder's generated code constructs it reflectively
-  case class CdcState(firstOp: String, lastOp: String, lastSeq: Long,
-                      lastPrice: Option[Long], nOps: Long)
+  case class CdcState(firstOp: String, firstSeq: Long,
+                      lastOp: String, lastSeq: Long,
+                      lastPrice: Option[Long], priceSeq: Long,
+                      nOps: Long)
   case class CdcNet(key: Long, n_ops: Long, net_op: String,
                     net_price: Option[Long])
 
@@ -527,14 +529,23 @@ object EventStreams {
     override def handleInputRows(key: Long, rows: Iterator[CdcOp],
                                  tv: TimerValues): Iterator[CdcNet] = {
       var st = if (state.exists()) state.get()
-        else CdcState("", "", Long.MinValue, None, 0L)
-      rows.toSeq.sortBy(_.seq).foreach { r =>
-        val first = if (st.nOps == 0L) r.op else st.firstOp
+        else CdcState("", Long.MaxValue, "", Long.MinValue,
+          None, Long.MinValue, 0L)
+      // every facet is seq-guarded, so a lower-seq row arriving in a
+      // later micro-batch folds identically to in-order delivery —
+      // the invariant the batch-parity spec relies on
+      rows.foreach { r =>
+        val (firstOp, firstSeq) =
+          if (r.seq < st.firstSeq) (r.op, r.seq)
+          else (st.firstOp, st.firstSeq)
         val (lastOp, lastSeq) =
           if (r.seq >= st.lastSeq) (r.op, r.seq)
           else (st.lastOp, st.lastSeq)
-        val lastPrice = if (r.price.isDefined) r.price else st.lastPrice
-        st = CdcState(first, lastOp, lastSeq, lastPrice, st.nOps + 1)
+        val (lastPrice, priceSeq) =
+          if (r.price.isDefined && r.seq >= st.priceSeq) (r.price, r.seq)
+          else (st.lastPrice, st.priceSeq)
+        st = CdcState(firstOp, firstSeq, lastOp, lastSeq,
+          lastPrice, priceSeq, st.nOps + 1)
       }
       state.update(st)
       val net =
