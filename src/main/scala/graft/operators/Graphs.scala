@@ -1036,6 +1036,38 @@ object Graphs {
       }
     }.orderBy(col("bc_micros").desc, col("node").asc)
 
+  /** Eager lineage cut that also DISCARDS the origin plan's
+    * statistics. `Dataset.localCheckpoint` preserves the optimized
+    * plan's stats into the replacement LogicalRDD (Spark's
+    * `LogicalRDD.fromDataset` → `rewriteStatsAndConstraints`), and
+    * size-only stats estimate a join as the PRODUCT of its children —
+    * so in an iterative loop whose round tree references the previous
+    * round's checkpoint m ≥ 2 times, the preserved sizeInBytes
+    * compounds as bits_r ≈ m·bits_{r−1}: a doubly-exponential BigInt
+    * that Catalyst's stats visitor then multiplies on the DRIVER at
+    * every subsequent checkpoint (observed: million-bit ToomCook
+    * multiplications pinning the driver for minutes by round ~5).
+    * Re-wrapping the checkpointed RDD through `createDataFrame` drops
+    * the preserved stats, so every round starts from fresh
+    * default-size leaves. The cost is a lazy InternalRow→Row→
+    * InternalRow conversion on consumer reads of the (component- or
+    * contracted-edge-sized, geometrically shrinking) frames. */
+  private def cut(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.localCheckpoint(true).rdd,
+      df.schema)
+
+  /** Partition count for a Borůvka working frame of `n` rows: the
+    * contracted edge set shrinks geometrically, and materializing a
+    * few-thousand-row frame across all `spark.sql.shuffle.partitions`
+    * makes every subsequent round pay one task per empty partition
+    * (measured: ~250 ms/job × ~80 jobs at sf0.1 — the whole build
+    * budget). Scale down with the data, capped at the cluster's
+    * parallelism so a planet-scale round-0 edge set still uses full
+    * width. */
+  private def boruvkaParts(s: SparkSession, n: Long): Int =
+    math.max(1, math.min(s.sparkContext.defaultParallelism,
+      ((n + 49999L) / 50000L).toInt))
+
   /** `graph_mst` — minimum spanning forest via Borůvka (1926; the
     * distributed-MST algorithm of choice — Kruskal and Prim serialize
     * on a global edge order / a single frontier, Borůvka's rounds are
@@ -1051,24 +1083,54 @@ object Graphs {
     * edge-for-edge). Requires doc_id < 2²⁰ and w < 2²⁰ — both hold by
     * construction here; a larger id space widens the encoding.
     *
-    * The within-round contraction (new label = min component label in
-    * each merge tree) is EXACT on both engines: Spark hands the
-    * component-level merge graph — geometrically shrinking, never the
-    * corpus — to [[Dedup.connectedComponents]]' alternating large-
-    * star/small-star loop; the oracle computes the same min-label
-    * closure with one recursive CTE per unrolled round. `rounds` = 16
-    * bounds the outer loop (≥ ⌈log₂ n⌉ for every tested SF); the
-    * Spark side early-exits at the empty-selection fixpoint, and
-    * post-fixpoint rounds are no-ops by idempotence — the ktruss
-    * contract.
+    * The within-round contraction exploits that the selection graph
+    * is a PSEUDOFOREST: every component emits exactly one parent
+    * pointer (the far endpoint of its min edge), and because the
+    * encoded keys strictly decrease along any parent chain until two
+    * components pick the same edge, every merge tree hangs off exactly
+    * one mutual 2-cycle. Breaking the cycle at its min label and
+    * pointer-doubling to the root therefore converges in
+    * ⌈log₂ depth⌉ passes of a components-sized self-join — no nested
+    * connected-components loop (the round-7/8 flagged shape: a full
+    * alternating large/small-star run with 3 eager checkpoints per
+    * inner round, ≈90 synchronous barriers per cold build). The MST
+    * edge set is representative-agnostic (the min key per component
+    * only depends on the PARTITION, not the label values), so the
+    * oracle's min-label recursive-CTE closure reproduces the same
+    * forest edge-for-edge.
     *
-    * Scale shape: per round, two hash joins of the edge set against
-    * the label map (the Pregel message shape: (node, long) pairs
-    * only), one map-side-combined min per component, one join-back on
-    * the selected keys, and a CC whose input is ≤ one edge per
-    * component. MST output accumulates to staged parquet; nothing
-    * driver-side ever holds edges. */
-  def mst(s: SparkSession, dir: String, rounds: Int = 16): DataFrame = {
+    * Between rounds the edge set itself CONTRACTS (true Borůvka):
+    * endpoints are relabeled to their component roots and only the
+    * min-key representative edge per component pair survives — min of
+    * per-pair mins is the pair min, so future selections are
+    * unchanged while the working set shrinks geometrically; no
+    * per-round relabel join against the full corpus edge set, and no
+    * separate node→label map at all. `rounds` = 16 bounds the outer
+    * loop (≥ ⌈log₂ n⌉ for every tested SF); the Spark side early-exits
+    * at the empty-edge-set fixpoint, and post-fixpoint rounds are
+    * no-ops by idempotence — the ktruss contract.
+    *
+    * Scale shape: per round, one map-side-combined min per component
+    * over the contracted edge set, one join-back on the selected keys,
+    * 1–2 pointer-doubling self-joins of the (comp, parent) frame, and
+    * one relabel+min-by contraction — every frame is component-sized
+    * or contracted-edge-sized, both geometrically shrinking. MST
+    * output accumulates to staged parquet.
+    *
+    * HYBRID TAIL: iterative tiny-frame rounds cost a fixed ~0.2 s of
+    * driver planning/codegen per job regardless of data, so once the
+    * contracted edge set fits `localThreshold` rows the remaining MSF
+    * is finished with driver-side Kruskal union-find under the SAME
+    * encoded total order — the unique-forest property makes the two
+    * paths bit-identical (Round7sSpec pins hybrid ≡ pure-distributed
+    * ≡ reference Kruskal). The textbook Borůvka hybrid: on a planet
+    * graph components halve per round, so ~log₂(n/threshold)
+    * distributed rounds run at full cluster width and the tail —
+    * ≤ threshold longs, a bounded model-sized collect per the
+    * collect-the-model convention — replaces up to `rounds` more
+    * synchronous barriers with microseconds on the driver. */
+  def mst(s: SparkSession, dir: String, rounds: Int = 16,
+          localThreshold: Long = 100000L): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val sc = s.sparkContext
     val preexisting = sc.getPersistentRDDs.keySet
@@ -1099,47 +1161,116 @@ object Graphs {
     // staged per corpus fingerprint (the sccLabels/betweenness
     // protocol): the Boruvka rounds run once per (corpus, rounds),
     // warm calls read the parquet forest
-    val stBase = Staging.base("stage_mst_v2", dir, s"r$rounds",
-      "documents")
+    val stBase = Staging.base("stage_mst_v3", dir,
+      s"r${rounds}_t$localThreshold", "documents")
     val finalPath = s"$stBase/data"
     Staging.buildOnce(stBase) { try {
-      val edges = edges0.localCheckpoint(true)
-      var lab = docs
-        .select(col("doc_id").as("node"), col("doc_id").as("c"))
-        .localCheckpoint(true)
+      // contracted edge multigraph: ONE min-key representative edge
+      // per component pair, components start as the nodes themselves
+      var cedges = cut(edges0
+        .select(col("a").as("ca"), col("b").as("cb"),
+          col("a"), col("b"), col("w"), col("key")))
+      var nE = cedges.count()
+      var k = boruvkaParts(s, nE)
+      cedges = cedges.coalesce(k)
       var mstParts = List.empty[DataFrame]
       var r = 0
       var done = false
-      while (!done && r < rounds) {
-        val ce = edges
-          .join(lab.select(col("node").as("a"), col("c").as("ca")),
-            Seq("a"))
-          .join(lab.select(col("node").as("b"), col("c").as("cb")),
-            Seq("b"))
-          .filter(col("ca") =!= col("cb"))
-          .localCheckpoint(true)
-        val minKeys = ce.select(col("ca").as("comp"), col("key"))
-          .unionAll(ce.select(col("cb").as("comp"), col("key")))
+      while (!done && r < rounds && nE > localThreshold) {
+        val minPer = cedges.select(col("ca").as("comp"), col("key"))
+          .unionAll(cedges.select(col("cb").as("comp"), col("key")))
           .groupBy(col("comp")).agg(min(col("key")).as("mk"))
-          .select(col("mk")).distinct()
-        val sel = minKeys.join(ce, minKeys("mk") === ce("key"))
-          .select(col("a"), col("b"), col("w"), col("ca"), col("cb"))
-          .localCheckpoint(true)
-        if (sel.isEmpty) done = true
+        val sel = cut(minPer.select(col("mk")).distinct()
+          .join(cedges, col("mk") === cedges("key"))
+          .select(col("a"), col("b"), col("w"), col("ca"), col("cb"),
+            col("key"))
+          .coalesce(k)) // feeds MST output + parent pointers
+        // an empty selection ⟺ no inter-component edges left
+        if (sel.isEmpty) { done = true }
         else {
           mstParts ::= sel.select(col("a"), col("b"), col("w"))
-          val ccMap = Dedup.connectedComponents(
-            sel.select(col("ca").as("doc_a"), col("cb").as("doc_b")))
-            .select(col("doc_id").as("c"), col("component").as("cNew"))
-          lab = lab.join(ccMap, Seq("c"), "left")
-            .select(col("node"),
-              coalesce(col("cNew"), col("c")).as("c"))
-            .localCheckpoint(true)
+          // pseudoforest contraction: parent = far end of my min edge;
+          // the unique 2-cycle per merge tree breaks at its min label
+          val par0 = minPer
+            .join(sel.select(col("key").as("mk"), col("ca").as("ea"),
+              col("cb").as("eb")), Seq("mk"))
+            .select(col("comp"),
+              when(col("comp") === col("ea"), col("eb"))
+                .otherwise(col("ea")).as("p"))
+          var par = cut(par0
+            .join(par0.select(col("comp").as("p"), col("p").as("gp")),
+              Seq("p"))
+            .select(col("comp"),
+              when(col("gp") === col("comp") && col("comp") < col("p"),
+                col("comp")).otherwise(col("p")).as("p"))
+            .coalesce(k))
+          // pointer doubling: keys strictly decrease along chains, so
+          // depth is small and this settles in 1-2 passes
+          var settled = false
+          while (!settled) {
+            val j = cut(par
+              .join(par.select(col("comp").as("p"), col("p").as("gp")),
+                Seq("p"))
+              .select(col("comp"), col("p"), col("gp"))
+              .coalesce(k))
+            settled = j.filter(col("gp") =!= col("p")).isEmpty
+            par = j.select(col("comp"), col("gp").as("p"))
+          }
+          // relabel endpoints to roots, keep the min-key representative
+          // per surviving component pair (min of mins = pair min)
+          cedges = cut(cedges
+            .join(par.select(col("comp").as("ca"), col("p").as("na")),
+              Seq("ca"))
+            .join(par.select(col("comp").as("cb"), col("p").as("nb")),
+              Seq("cb"))
+            .filter(col("na") =!= col("nb"))
+            .select(least(col("na"), col("nb")).as("ca"),
+              greatest(col("na"), col("nb")).as("cb"),
+              col("a"), col("b"), col("w"), col("key"))
+            .groupBy(col("ca"), col("cb"))
+            .agg(min(struct(col("key"), col("a"), col("b"),
+              col("w"))).as("m"))
+            .select(col("ca"), col("cb"), col("m.a").as("a"),
+              col("m.b").as("b"), col("m.w").as("w"),
+              col("m.key").as("key"))
+            .coalesce(k))
+          nE = cedges.count()
+          k = boruvkaParts(s, nE)
           r += 1
         }
       }
+      if (!done && nE > 0) {
+        // local Kruskal tail over the ≤ threshold contracted edges:
+        // MSF of the contraction = the remaining MSF edges, and the
+        // encoded order makes the choice unique on every path
+        val tail = cedges.select(col("ca"), col("cb"), col("a"),
+          col("b"), col("w"), col("key")).collect()
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var root = x
+          while (parent.getOrElse(root, root) != root)
+            root = parent(root)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val nx = parent(c); parent(c) = root; c = nx
+          }
+          root
+        }
+        val chosen = tail.sortBy(_.getLong(5)).flatMap { row =>
+          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (ra == rb) None
+          else {
+            parent(math.max(ra, rb)) = math.min(ra, rb)
+            Some((row.getLong(2), row.getLong(3), row.getLong(4)))
+          }
+        }.toSeq
+        if (chosen.nonEmpty) {
+          import s.implicits._
+          mstParts ::= chosen.toDF("a", "b", "w")
+        }
+      }
       mstParts.reduceOption(_ unionAll _)
-        .getOrElse(edges.select(col("a"), col("b"), col("w")).limit(0))
+        .getOrElse(edges0.select(col("a"), col("b"), col("w")).limit(0))
         .write.mode("overwrite").parquet(finalPath)
     } finally {
       sc.getPersistentRDDs

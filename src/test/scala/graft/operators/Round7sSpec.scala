@@ -56,4 +56,13 @@ class Round7sSpec extends SparkSpec {
     // no duplicate edges survived the per-round dedup
     assert(got.size === Graphs.mst(spark, sf).count())
   }
+
+  test("pure-distributed Borůvka (localThreshold=0) emits the same " +
+    "forest as the hybrid local-tail path") {
+    val hybrid = Graphs.mst(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dist = Graphs.mst(spark, sf, localThreshold = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dist === hybrid)
+  }
 }
