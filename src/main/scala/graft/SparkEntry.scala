@@ -484,6 +484,8 @@ object SparkEntry {
     "ev26_survival"      -> (EventAnalytics.kmSurvival(_, _)),
     "stat32_bh_fdr"      -> (Relational.stat32BhFdr(_, _)),
     "stat33_levene"      -> (Relational.stat33Levene(_, _)),
+    // sketch-median 100 TB face of stat33 (the stat28 contract device)
+    "stat42_levene_sketch" -> (Relational.stat42LeveneSketch(_, _)),
     "ml23_isotonic"      -> (Profiling.isotonicCalibration(_, _)),
     "priv7_rand_response" -> (Privacy.randResponse(_, _)),
     "ts10_holt_winters"  -> (EventAnalytics.holtWinters(_, _)),
@@ -6256,6 +6258,14 @@ object SparkEntry {
         CAST(CASE WHEN p_rank <= kstar THEN 1 ELSE 0 END AS BIGINT)
           AS rejected
       FROM ks""",
+    // GK-median production face of stat33 (Relational
+    // .stat42LeveneSketch): the sketch centers are engine-specific, so
+    // the portable output is the per-group rank-error contract and the
+    // oracle asserts it holds (the stat28 device).
+    "stat42_levene_sketch" -> raw"""
+      SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n_g,
+        true AS within_bound
+      FROM orders GROUP BY 1""",
     // Brown–Forsythe on |x − group lower median|, stat29's exact-
     // sufficient-statistics ANOVA tail (Relational.stat33Levene).
     "stat33_levene" -> raw"""

@@ -2378,6 +2378,40 @@ object Relational {
           .cast("long").as("f_micros"))
   }
 
+  /** `stat42_levene_sketch` — the 100 TB face of [[stat33Levene]]'s
+    * per-group median (the scaladoc'd swap stat33 owes): group centers
+    * come from `approx_percentile` — per-partition Greenwald–Khanna
+    * sketches of bounded size merged through one exchange — instead of
+    * the exact rank window, so NOTHING data-sized is ever sorted
+    * (PlanSpec asserts no Window/Sort in the plan). Brown–Forsythe is
+    * robust to the center as long as it sits within the median's rank
+    * neighborhood, which is exactly the GK guarantee; since the sketch
+    * answers themselves are engine-specific, the portable output is
+    * the stat28 contract — each group's center verified to sit within
+    * rank n_g/2 ± n_g/accuracy by a map-side-combinable conditional
+    * sum against the broadcast k-row center frame (a scan, never a
+    * sort). A production caller composes the ANOVA tail of stat33 on
+    * |x − center| unchanged. */
+  def stat42LeveneSketch(s: SparkSession, dir: String,
+                         acc: Int = 1000): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderpriority").as("grp"),
+      round(col("o_totalprice")).cast("long").as("x"))
+    val med = o.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_g"),
+        expr(s"approx_percentile(x, 0.5D, $acc)").as("amed"))
+    o.join(broadcast(med), "grp")
+      .groupBy(col("grp"), col("n_g"), col("amed"))
+      .agg(
+        sum(when(col("x") < col("amed"), 1L).otherwise(0L)).as("lo"),
+        sum(when(col("x") <= col("amed"), 1L).otherwise(0L)).as("hi"))
+      .select(col("grp"), col("n_g"),
+        (col("lo") <= lit(0.5) * col("n_g") +
+            col("n_g").cast("double") / acc &&
+          col("hi") >= lit(0.5) * col("n_g") -
+            col("n_g").cast("double") / acc).as("within_bound"))
+  }
+
   /** `stat36_theil` — Theil-T inequality index of document length by
     * source, WITH its additive decomposition (Theil 1967): T =
     * Σ_g s_g·T_g (within) + Σ_g s_g·ln(s_g·n/n_g) (between), where

@@ -373,6 +373,23 @@ class PlanSpec extends SparkSpec {
       s"exact percentile leaked into the production path:\n$p")
   }
 
+  test("stat42's sketch-median Levene face never sorts or windows " +
+      "data: GK partials + broadcast join-back only") {
+    val df = Relational.stat42LeveneSketch(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // group centers come from per-partition GK sketch partials
+    assert("partial_approx_percentile".r.findFirstIn(p).isDefined,
+      s"no map-side partial sketch aggregate:\n$p")
+    // the whole point of the face: no rank window, no data-sized sort
+    assert(!p.contains("Window"), s"window leaked into the plan:\n$p")
+    assert(!p.contains("Sort"), s"sort leaked into the plan:\n$p")
+    // the k-row center frame joins back as a broadcast, never a SMJ
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected a broadcast join-back:\n$p")
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // AQE prints codegen spans only in the FINAL plan — execute first
     val df = Relational.q1PricingSummary(spark, sf)
