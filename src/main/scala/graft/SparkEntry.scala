@@ -133,6 +133,9 @@ object SparkEntry {
     "sim_ann_ivf_compacted" -> (Similarity.annIvfCompacted(_, _)),
     "sim_ann_lsh_compacted" -> (Similarity.annLshCompacted(_, _)),
     "sim_ann_sq"        -> (Similarity.annScalarQuant(_, _)),
+    // 1-bit sign codes + Hamming shortlist (the quantization ladder's
+    // cheapest rung)
+    "sim_ann_bq"        -> (Similarity.annBinaryQuant(_, _)),
     "sim_near_dup"      -> (Similarity.embNearDup(_, _)),
     "sim_centroids"     -> (Similarity.labelCentroids(_, _)),
     "sim_near_dup_lsh"  -> (Similarity.nearDupLsh(_, _)),
@@ -717,6 +720,7 @@ object SparkEntry {
            ON e.value >= t.lo AND e.value < t.hi
          GROUP BY t.tier""",
     "sim_ann_sq" -> sqAnnSql,
+    "sim_ann_bq" -> bqAnnSql,
     "w2_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
          sum(l_quantity) OVER (PARTITION BY l_suppkey
@@ -7976,6 +7980,33 @@ object SparkEntry {
       SELECT s.vec_id,
         round(list_cosine_similarity(s.embedding::DOUBLE[],
           q.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM short s, q
+      ORDER BY cos_sim DESC, s.vec_id ASC LIMIT 10"""
+
+  /** BQ ANN (Similarity.annBinaryQuant): sign bits packed as two
+    * 32-bit halves (no BIGINT sign-bit traffic), Hamming shortlist,
+    * exact-cosine rerank — the sqAnnSql shape with bit_count. */
+  private def bqAnnSql: String = raw"""
+      WITH e AS (SELECT vec_id, embedding,
+               embedding::DOUBLE[] AS v FROM embeddings),
+      enc AS (SELECT vec_id, embedding,
+               CAST(list_sum(list_transform(range(0, 32), i ->
+                 CASE WHEN v[i + 1] > 0 THEN (1::BIGINT << i)
+                      ELSE 0 END)) AS BIGINT) AS c_lo,
+               CAST(list_sum(list_transform(range(0, 32), i ->
+                 CASE WHEN v[i + 33] > 0 THEN (1::BIGINT << i)
+                      ELSE 0 END)) AS BIGINT) AS c_hi
+             FROM e),
+      q AS (SELECT embedding AS qe, c_lo AS q_lo, c_hi AS q_hi
+            FROM enc WHERE vec_id = 0),
+      short AS (SELECT enc.vec_id, enc.embedding,
+                 CAST(bit_count(xor(c_lo, q_lo)) +
+                   bit_count(xor(c_hi, q_hi)) AS BIGINT) AS hamming
+                FROM enc, q WHERE vec_id <> 0
+                ORDER BY hamming ASC, vec_id ASC LIMIT 50)
+      SELECT s.vec_id,
+        round(list_cosine_similarity(s.embedding::DOUBLE[],
+          q.qe::DOUBLE[]), 6) AS cos_sim
       FROM short s, q
       ORDER BY cos_sim DESC, s.vec_id ASC LIMIT 10"""
 

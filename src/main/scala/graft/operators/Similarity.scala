@@ -642,6 +642,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** `sim_ann_bq` — 1-bit (sign) binary-quantization ANN, the missing
+    * extreme of the quantization ladder (SQ8 → PQ → BQ): each 64-dim
+    * vector compresses to its 64 SIGN BITS, packed as two 32-bit
+    * halves so neither engine touches the BIGINT sign bit; the scan
+    * ranks by Hamming distance to the query's code (two bit_count XORs
+    * — the cheapest possible vector scorer) and the top `shortlist`
+    * re-rank with exact cosine. Sign agreement is a monotone proxy for
+    * angular similarity (Goemans–Williamson: P[sign match] =
+    * 1 − θ/π per dimension), which is why 1-bit codes power the coarse
+    * pass of modern retrieval stacks at 64× compression of float32.
+    *
+    * Determinism: the sign predicate compares the SAME parquet doubles
+    * in both engines; codes are exact integers, Hamming ties break on
+    * vec_id, and the rerank is the family's shared 6dp cosine.
+    *
+    * Scale shape: encoding is a zero-shuffle narrow map; at 100 TB the
+    * scan reads 8-byte codes instead of 256-byte vectors and the
+    * shortlist alone touches full embeddings (the annPq convention).
+    * TakeOrderedAndProject keeps both top-k passes heap-bounded. */
+  def annBinaryQuant(s: SparkSession, dir: String, k: Int = 10,
+                     shortlist: Int = 50): DataFrame = {
+    GraftFunctions.register(s)
+    def half(v: Column, off: Int): Column =
+      aggregate(
+        transform(sequence(lit(0), lit(31)),
+          i => when(element_at(v.cast("array<double>"), i + off + 1) > 0,
+            call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x)
+    val e = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"),
+        half(col("embedding"), 0).as("c_lo"),
+        half(col("embedding"), 32).as("c_hi"))
+    val q = queryVec(s, dir).select(col("q"),
+      half(col("q"), 0).as("q_lo"), half(col("q"), 32).as("q_hi"))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"), col("q"),
+        (bit_count(col("c_lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("c_hi").bitwiseXOR(col("q_hi"))))
+          .cast("long").as("hamming"))
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+      .limit(shortlist)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Product-quantized ANN (IVF-PQ's compression half): the 64-dim space
     * splits into M=8 subspaces of 8 dims; each subspace gets a 16-entry
     * codebook (deterministic sample init — corpus vectors 1..16, the

@@ -26,4 +26,41 @@ class Round9Spec extends SparkSpec {
       assert(got(g)._2, s"rank contract violated for $g")
     }
   }
+
+  test("sim_ann_bq replays from first principles: sign codes, Hamming " +
+    "shortlist, exact cosine rerank") {
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val qv = rows.find(_._1 == 0L).get._2
+    def code(v: Array[Double]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      (0 until 32).foreach { i =>
+        if (v(i) > 0) lo |= (1L << i)
+        if (v(i + 32) > 0) hi |= (1L << i)
+      }
+      (lo, hi)
+    }
+    val (qlo, qhi) = code(qv)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = rows.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        val (lo, hi) = code(v)
+        (id, v, java.lang.Long.bitCount(lo ^ qlo) +
+          java.lang.Long.bitCount(hi ^ qhi))
+      }
+      .sortBy { case (id, _, h) => (h, id) }.take(50)
+      .map { case (id, v, _) =>
+        (id, BigDecimal(cos(v, qv)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, c) => (-c, id) }.take(10).toSeq
+    val got = Similarity.annBinaryQuant(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expected)
+  }
 }
