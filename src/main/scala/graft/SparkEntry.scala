@@ -529,6 +529,8 @@ object SparkEntry {
     "prof7_pk_discovery" -> (Profiling.prof7PkDiscovery(_, _)),
     "ml28_brier"         -> (Profiling.ml28Brier(_, _)),
     "tok10_wordpiece"    -> (Training.tok10WordPiece(_, _)),
+    // unigram-LM Viterbi segmentation (the third tokenizer family)
+    "tok11_unigram"      -> (Training.tok11Unigram(_, _)),
     "ml29_ks"            -> (Profiling.ml29Ks(_, _)),
     "geo6_ripley"        -> (Spatial.ripleyK(_, _)),
     "ts14_seasonal_strength" -> (EventAnalytics.ts14SeasonalStrength(_, _)),
@@ -7508,6 +7510,7 @@ object SparkEntry {
     // as a DuckDB list_reduce over position structs, same vocab
     // literals (built from the one Scala Seq).
     "tok10_wordpiece" -> wordpieceSql,
+    "tok11_unigram" -> unigramSql,
     // Classifier KS (Profiling.ml29Ks): stat19's exact integer
     // cross-multiplied max over the distinct-score domain.
     "ml29_ks" -> raw"""
@@ -8823,6 +8826,82 @@ object SparkEntry {
         CAST((1000000 * n) // n_tokens AS BIGINT) AS share_micros,
         CAST((1000000 * n_tokens) // n_words AS BIGINT)
           AS fertility_micros
+      FROM cnt, tot"""
+  }
+
+  /** Unigram Viterbi replay (Training.tok11Unigram): chained-CTE DP
+    * unrolled to the ugMaxLen cap — per position the candidate
+    * char/bi/tri endings encode as (score + OFF)·8 + pieceLen so one
+    * integer `greatest` applies the exact (score, length) tie-break in
+    * all-positive arithmetic — then a recursive CTE backtracks the
+    * recorded piece lengths (no aggregates in the recursive term). */
+  private def unigramSql: String = {
+    def lst(v: Seq[String]) =
+      v.map(t => s"'$t'").mkString("[", ",", "]")
+    val off = 100000000L
+    val ch = Training.ugCharMicros
+    val bi = Training.ugBiMicros
+    val tri = Training.ugTriMicros
+    val L = Training.ugMaxLen
+    val steps = (1 to L).map { i =>
+      val c1 = s"(s_${i - 1} + ($off)) * 8 + ($ch) * 8 + 1"
+      val c2 =
+        if (i < 2) "0"
+        else s"""COALESCE(CASE WHEN list_contains(${lst(Training.wpBi)},
+             substr(word, ${i - 1}, 2))
+           THEN (s_${i - 2} + ($off)) * 8 + ($bi) * 8 + 2 END, 0)"""
+      val c3 =
+        if (i < 3) "0"
+        else s"""COALESCE(CASE WHEN list_contains(${lst(Training.wpTri)},
+             substr(word, ${i - 2}, 3))
+           THEN (s_${i - 3} + ($off)) * 8 + ($tri) * 8 + 3 END, 0)"""
+      s"""d$i AS (SELECT *,
+           CASE WHEN len >= $i THEN greatest($c1, $c2, $c3) END AS c_$i,
+           c_$i // 8 - $off AS s_$i, c_$i % 8 AS p_$i
+         FROM d${i - 1})"""
+    }.mkString(",\n      ")
+    val plCase = (1 to L).map(i => s"WHEN $i THEN d.p_$i")
+      .mkString("CASE b.pos ", " ", " END")
+    val sLen = (1 to L).map(i => s"WHEN $i THEN s_$i")
+      .mkString("CASE len ", " ", " END")
+    raw"""
+      WITH RECURSIVE
+      w0 AS (SELECT unnest(string_split(regexp_replace(
+          lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS word
+        FROM documents),
+      w2 AS (SELECT word, CAST(count(*) AS BIGINT) AS m
+        FROM w0 WHERE length(word) BETWEEN 1 AND $L GROUP BY word),
+      d0 AS (SELECT word, m, CAST(length(word) AS BIGINT) AS len,
+          CAST(0 AS BIGINT) AS s_0
+        FROM w2),
+      $steps,
+      dp AS (SELECT *, $sLen AS s_len FROM d$L),
+      bt AS (
+        SELECT word, m, len AS pos, '' AS toks FROM dp
+        UNION ALL
+        SELECT b.word, b.m, b.pos - ($plCase),
+          substr(b.word, CAST(b.pos - ($plCase) + 1 AS INTEGER),
+            CAST(($plCase) AS INTEGER)) || ' ' || b.toks
+        FROM bt b JOIN dp d USING (word)
+        WHERE b.pos > 0),
+      segd AS (SELECT word, m, trim(toks) AS toks
+        FROM bt WHERE pos = 0),
+      tk AS (SELECT m, unnest(string_split(toks, ' ')) AS token
+        FROM segd),
+      tot AS (SELECT
+          (SELECT CAST(sum(m) AS BIGINT) FROM segd) AS n_words,
+          (SELECT CAST(sum(m *
+             len(string_split(toks, ' '))) AS BIGINT) FROM segd)
+            AS n_tokens,
+          (SELECT CAST(sum(m * s_len) AS BIGINT) FROM dp) AS ll_micros),
+      cnt AS (SELECT token, CAST(sum(m) AS BIGINT) AS n
+        FROM tk GROUP BY token
+        ORDER BY n DESC, token ASC LIMIT 10)
+      SELECT token, n, n_words, n_tokens,
+        CAST((1000000 * n) // n_tokens AS BIGINT) AS share_micros,
+        CAST((1000000 * n_tokens) // n_words AS BIGINT)
+          AS fertility_micros,
+        ll_micros
       FROM cnt, tot"""
   }
 

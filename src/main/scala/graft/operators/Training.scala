@@ -1285,4 +1285,103 @@ object Training {
         expr("(1000000 * n) DIV n_tokens").as("share_micros"),
         expr("(1000000 * n_tokens) DIV n_words").as("fertility_micros"))
   }
+
+  /** Unigram piece log-probabilities in integer micros (ln p scaled by
+    * 1e6, negative): single chars always available, the tok10 bi/tri
+    * vocabularies as longer pieces. The spread makes longer pieces win
+    * when present (tri −5.5 < 3 chars −9.0) while keeping genuine
+    * Viterbi-vs-greedy divergences (e.g. "ther": the+r = t+her = −8.5,
+    * the longer-last-piece tie-break picks t+her where tok10's greedy
+    * longest-match takes the+r). */
+  val ugCharMicros: Long = -3000000L
+  val ugBiMicros: Long = -4500000L
+  val ugTriMicros: Long = -5500000L
+
+  /** Max word length the unigram DP segments — longer words are
+    * excluded from the rollup in BOTH engines (the fixed unroll depth
+    * of the oracle's chained-CTE DP). */
+  val ugMaxLen: Int = 16
+
+  /** `tok11_unigram` — unigram-LM (SentencePiece) serving segmentation:
+    * each word takes the GLOBALLY most likely piece decomposition by
+    * Viterbi max-sum DP over the fixed scored vocabulary, not tok10's
+    * greedy longest-match — the defining difference of the third
+    * tokenizer family (BPE trains merges, WordPiece serves greedily,
+    * unigram decodes a per-word global optimum). DP state is built by
+    * one codegen'd `aggregate` fold appending (bestScore, pieceLen)
+    * per position — candidates are char/bigram/trigram endings, max by
+    * (score, length) via struct `greatest` — and a second bounded fold
+    * backtracks the argmax segmentation. Reports tok10's shape (top-K
+    * pieces, totals, fertility) plus the corpus log-likelihood
+    * `ll_micros` = Σ m·score(word), the quantity unigram training
+    * optimizes.
+    *
+    * Scale shape: identical to tok10 — per-DISTINCT-word folds bounded
+    * by [[ugMaxLen]], one map-side-combined piece rollup, broadcast
+    * totals; the corpus is scanned once. */
+  def tok11Unigram(s: SparkSession, dir: String, topK: Int = 10)
+      : DataFrame = {
+    val neg = lit(Long.MinValue / 4)
+    val words = Tables.documents(s, dir)
+      .select(explode(split(regexp_replace(lower(col("text")),
+        "[^a-z]+", " "), " ")).as("word"))
+      .filter(length(col("word")) > 0 &&
+        length(col("word")) <= ugMaxLen)
+      .groupBy(col("word")).agg(count(lit(1)).as("m"))
+      .select(col("word"), col("m"),
+        length(col("word")).cast("long").as("len"))
+    // dp(p) for p = 0..len lives at array index p+1: (best score of
+    // word[1..p], length of the piece that ends there)
+    def entry(dp: Column, p: Column) =
+      element_at(dp, (p + 1L).cast("int"))
+    val dpFold = aggregate(
+      sequence(lit(1L), col("len")),
+      array(struct(lit(0L).as("sc"), lit(0L).as("pl"))),
+      (acc, i) => {
+        val c1 = struct(
+          (entry(acc, i - 1L).getField("sc") + ugCharMicros).as("sc"),
+          lit(1L).as("pl"))
+        val c2 = when(i >= 2L && array_contains(typedlit(wpBi),
+            col("word").substr((i - 1L).cast("int"), lit(2))),
+          struct((entry(acc, i - 2L).getField("sc") + ugBiMicros)
+            .as("sc"), lit(2L).as("pl")))
+          .otherwise(struct(neg.as("sc"), lit(0L).as("pl")))
+        val c3 = when(i >= 3L && array_contains(typedlit(wpTri),
+            col("word").substr((i - 2L).cast("int"), lit(3))),
+          struct((entry(acc, i - 3L).getField("sc") + ugTriMicros)
+            .as("sc"), lit(3L).as("pl")))
+          .otherwise(struct(neg.as("sc"), lit(0L).as("pl")))
+        concat(acc, array(greatest(c1, c2, c3)))
+      })
+    val withDp = words.withColumn("dp", dpFold)
+      .withColumn("score", entry(col("dp"), col("len")).getField("sc"))
+    // backtrack: at most `len` jumps of the recorded piece lengths
+    val backFold = aggregate(
+      sequence(lit(1L), col("len")),
+      struct(col("len").as("pos"), lit("").as("tk")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val pl = entry(col("dp"), pos).getField("pl")
+        when(pos <= 0L, acc)
+          .otherwise(struct((pos - pl).as("pos"),
+            concat(col("word").substr((pos - pl + 1L).cast("int"),
+              pl.cast("int")), lit(" "), acc.getField("tk")).as("tk")))
+      })
+    val toks = withDp
+      .select(col("m"), col("score"),
+        split(trim(backFold.getField("tk")), " ").as("toks"))
+      .select(col("m"), col("score"),
+        size(col("toks")).cast("long").as("n_tok"), col("toks"))
+    val totals = broadcast(toks.agg(sum(col("m")).as("n_words"),
+      sum(col("m") * col("n_tok")).as("n_tokens"),
+      sum(col("m") * col("score")).as("ll_micros")))
+    toks.select(col("m"), explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(sum(col("m")).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(topK)
+      .crossJoin(totals)
+      .select(col("token"), col("n"), col("n_words"), col("n_tokens"),
+        expr("(1000000 * n) DIV n_tokens").as("share_micros"),
+        expr("(1000000 * n_tokens) DIV n_words").as("fertility_micros"),
+        col("ll_micros"))
+  }
 }

@@ -63,4 +63,67 @@ class Round9Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got === expected)
   }
+
+  private def viterbi(word: String): (Long, Seq[String]) = {
+    val n = word.length
+    // dp(p) = (best score of word[0,p), piece length chosen at p)
+    val dp = Array.fill(n + 1)((Long.MinValue / 4, 0))
+    dp(0) = (0L, 0)
+    (1 to n).foreach { i =>
+      var best = (dp(i - 1)._1 + Training.ugCharMicros, 1)
+      if (i >= 2 && Training.wpBi.contains(word.substring(i - 2, i))) {
+        val c = (dp(i - 2)._1 + Training.ugBiMicros, 2)
+        if (c._1 > best._1 || (c._1 == best._1 && c._2 > best._2))
+          best = c
+      }
+      if (i >= 3 && Training.wpTri.contains(word.substring(i - 3, i))) {
+        val c = (dp(i - 3)._1 + Training.ugTriMicros, 3)
+        if (c._1 > best._1 || (c._1 == best._1 && c._2 > best._2))
+          best = c
+      }
+      dp(i) = best
+    }
+    var pos = n
+    var toks = List.empty[String]
+    while (pos > 0) {
+      val pl = dp(pos)._2
+      toks ::= word.substring(pos - pl, pos)
+      pos -= pl
+    }
+    (dp(n)._1, toks)
+  }
+
+  test("tok11 unigram: Viterbi DP replay reproduces top-10 pieces, " +
+    "totals and corpus log-likelihood") {
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(regexp_replace(lower(col("text")),
+        "[^a-z]+", " "), " ")).as("w"))
+      .filter(length(col("w")).between(1, Training.ugMaxLen))
+      .groupBy(col("w")).agg(count(lit(1)).as("m")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val segs = words.map { case (w, m) =>
+      val (sc, toks) = viterbi(w); (w, m, sc, toks)
+    }
+    val nWords = words.map(_._2).sum
+    val nTokens = segs.map { case (_, m, _, t) => m * t.length }.sum
+    val ll = segs.map { case (_, m, sc, _) => m * sc }.sum
+    val top = segs.flatMap { case (_, m, _, t) => t.map(_ -> m) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (tok, n) => (-n, tok) }.take(10)
+    val got = Training.tok11Unigram(spark, sf).collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq === top)
+    val h = got.head
+    assert(h.getLong(2) === nWords)
+    assert(h.getLong(3) === nTokens)
+    assert(h.getLong(4) === 1000000L * top.head._2 / nTokens)
+    assert(h.getLong(5) === 1000000L * nTokens / nWords)
+    assert(h.getLong(6) === ll)
+  }
+
+  test("tok11 diverges from tok10's greedy where the global optimum " +
+    "needs a shorter first piece (the 'ther' case)") {
+    // greedy longest-match takes the+r; Viterbi's equal-score
+    // longer-last-piece tie-break lands on t+her
+    assert(viterbi("ther")._2 === Seq("t", "her"))
+  }
 }
