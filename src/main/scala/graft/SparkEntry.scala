@@ -337,6 +337,8 @@ object SparkEntry {
     // ---- spatial: grid-cell bucketed candidate joins ----
     "geo1_radius_pairs" -> (Spatial.radiusPairs(_, _)),
     "geo2_cell_density" -> (Spatial.cellDensity(_, _)),
+    // Getis-Ord Gi* hotspot z-scores over the sparse cell grid
+    "geo7_gi_star"      -> (Spatial.giStar(_, _)),
     "geo3_knn_join"     -> (Spatial.knnJoin(_, _)),
     "geo4_grid_knn"     -> (Spatial.gridKnn(_, _)),
     "geo5_dbscan"       -> (Spatial.dbscan(_, _)),
@@ -1599,6 +1601,38 @@ object SparkEntry {
         CAST(count(*) AS BIGINT) AS n_points
       FROM pts GROUP BY 1, 2
       ORDER BY n_points DESC, cx ASC, cy ASC LIMIT 15""",
+    // Getis-Ord Gi* hotspots (Spatial.giStar): sparse 3x3 stencil
+    // sums z-scored against the global cell distribution, identical
+    // double tree, micro-quantized.
+    "geo7_gi_star" -> raw"""
+      WITH pts AS ($geoPtsSql),
+      cells AS (SELECT x // 2000000 AS cx, y // 2000000 AS cy,
+          CAST(count(*) AS BIGINT) AS n
+        FROM pts GROUP BY 1, 2),
+      hood AS (SELECT c.cx + o.dx AS tx, c.cy + o.dy AS ty,
+          CAST(sum(c.n) AS BIGINT) AS s_sum,
+          CAST(count(*) AS BIGINT) AS w_cells
+        FROM cells c, (SELECT dxy // 3 - 1 AS dx, dxy % 3 - 1 AS dy
+          FROM (SELECT unnest(range(0, 9)) AS dxy)) o
+        GROUP BY 1, 2),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+          CAST(sum(n) AS BIGINT) AS sn,
+          CAST(sum(n * n) AS BIGINT) AS sn2
+        FROM cells)
+      SELECT c.cx, c.cy, c.n AS n_points, h.w_cells, h.s_sum,
+        CAST(round(1e6 * ((CAST(h.s_sum AS DOUBLE) -
+            CAST(h.w_cells AS DOUBLE) *
+              (CAST(sn AS DOUBLE) / CAST(nc AS DOUBLE))) /
+          (sqrt(CAST(sn2 AS DOUBLE) / CAST(nc AS DOUBLE) -
+              (CAST(sn AS DOUBLE) / CAST(nc AS DOUBLE)) *
+              (CAST(sn AS DOUBLE) / CAST(nc AS DOUBLE))) *
+            sqrt((CAST(nc AS DOUBLE) * CAST(h.w_cells AS DOUBLE) -
+                CAST(h.w_cells AS DOUBLE) * CAST(h.w_cells AS DOUBLE)) /
+              (CAST(nc AS DOUBLE) - 1.0))))) AS BIGINT) AS gi_micros
+      FROM cells c
+      JOIN hood h ON c.cx = h.tx AND c.cy = h.ty, tot
+      WHERE nc > 1 AND nc * sn2 - sn * sn > 0
+      ORDER BY gi_micros DESC, c.cx ASC, c.cy ASC LIMIT 10""",
     // kNN join (Spatial.knnJoin): 5 nearest neighbors per query point,
     // integer-distance ranking with id tie-breaks.
     "geo3_knn_join" -> raw"""
@@ -2986,7 +3020,8 @@ object SparkEntry {
     "eval2_ann_recall" -> raw"""
       SELECT m.method, CAST(count(*) AS BIGINT) AS hits,
              round(count(*) / 10.0, 4) AS recall_at_10
-      FROM (          SELECT 'ivf' AS method, vec_id FROM ($ivfSql)
+      FROM (          SELECT 'bq' AS method, vec_id FROM ($bqAnnSql)
+            UNION ALL SELECT 'ivf' AS method, vec_id FROM ($ivfSql)
             UNION ALL SELECT 'ivfpq' AS method, vec_id FROM ($ivfPqSql)
             UNION ALL SELECT 'ivfpq_idx' AS method, vec_id FROM ($ivfPqSql)
             UNION ALL SELECT 'lsh' AS method, vec_id FROM ($lshAnnSql)

@@ -1177,6 +1177,7 @@ object Similarity {
     // centroid aggregation per method
     val cents = centLiteral(quantizer(Tables.embeddings(s, dir)).collect())
     val shortlists = Seq(
+      ("bq", annBinaryQuant(s, dir)),
       ("ivf", annIvf(s, dir, sharedCents = Some(cents))),
       ("ivfpq", annIvfPq(s, dir, sharedCents = Some(cents))),
       ("ivfpq_idx", annIvfPqIndexed(s, dir)),

@@ -141,6 +141,62 @@ object Spatial {
       .orderBy(col("n_points").desc, col("cx").asc, col("cy").asc)
       .limit(15)
 
+  /** `geo7_gi_star` — Getis–Ord Gi* hotspot detection over the grid
+    * cells (Getis & Ord 1992, the ArcGIS "Hot Spot Analysis"
+    * statistic): for every non-empty cell, z-score the 3×3-stencil
+    * neighborhood count sum S_i against its expectation under the
+    * global cell distribution — Gi* = (S_i − W_i·x̄) /
+    * (s·√((N·W_i − W_i²)/(N−1))) with W_i = the number of EXISTING
+    * cells in the stencil (sparse-grid convention: empty cells are not
+    * in the universe). geo2 ranks raw density; Gi* asks whether a
+    * cell's NEIGHBORHOOD is anomalously dense given the whole map —
+    * the statistically-calibrated hotspot list.
+    *
+    * Determinism: S_i, W_i, N, Σn, Σn² are exact integers; the single
+    * double expression tree is mirrored in the oracle and the output
+    * micro-quantizes. Cells with zero global variance are filtered by
+    * the exact integer predicate N·Σn² − (Σn)² > 0 before any divide.
+    *
+    * Scale shape: one map-side-combinable rollup of the point cloud to
+    * the cell domain, then everything is cell-domain-sized — a 9-way
+    * offset explode + equi-join on the cell key (the radiusPairs
+    * stencil device), one broadcast 1-row stats frame, and a
+    * TakeOrderedAndProject top-K. */
+  def giStar(s: SparkSession, dir: String, rMicros: Long = 2000000L,
+             topK: Int = 10): DataFrame = {
+    val cells = points(s, dir)
+      .groupBy(floor(col("x") / rMicros).cast("long").as("cx"),
+        floor(col("y") / rMicros).cast("long").as("cy"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds stencil both sides + global stats
+    val offs = array((for { dx <- -1 to 1; dy <- -1 to 1 } yield
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val hood = cells
+      .select(explode(offs).as("o"), col("cx"), col("cy"), col("n"))
+      .select((col("cx") + col("o.dx")).as("tx"),
+        (col("cy") + col("o.dy")).as("ty"), col("n"))
+      .groupBy(col("tx"), col("ty"))
+      .agg(sum(col("n")).as("s_sum"), count(lit(1)).as("w_cells"))
+    val tot = broadcast(cells.agg(count(lit(1)).as("nc"),
+      sum(col("n")).as("sn"), sum(col("n") * col("n")).as("sn2")))
+    val ncD = col("nc").cast("double")
+    val wD = col("w_cells").cast("double")
+    val mean = col("sn").cast("double") / ncD
+    val sd = sqrt(col("sn2").cast("double") / ncD - mean * mean)
+    val den = sd * sqrt((ncD * wD - wD * wD) / (ncD - lit(1.0)))
+    cells
+      .join(hood, col("cx") === col("tx") && col("cy") === col("ty"))
+      .crossJoin(tot)
+      .filter(col("nc") > 1L &&
+        col("nc") * col("sn2") - col("sn") * col("sn") > 0L)
+      .select(col("cx"), col("cy"), col("n").as("n_points"),
+        col("w_cells"), col("s_sum"),
+        round(lit(1e6) * ((col("s_sum").cast("double") - wD * mean) /
+          den)).cast("long").as("gi_micros"))
+      .orderBy(col("gi_micros").desc, col("cx").asc, col("cy").asc)
+      .limit(topK)
+  }
+
   /** k nearest neighbors for each query point (customers with
     * custkey ≡ 7 mod 150 — a deterministic model-sized query set):
     * broadcast the queries, scan the corpus once, rank by squared

@@ -126,4 +126,34 @@ class Round9Spec extends SparkSpec {
     // longer-last-piece tie-break lands on t+her
     assert(viterbi("ther")._2 === Seq("t", "her"))
   }
+
+  test("geo7 Gi* replays from first principles over the sparse cell " +
+    "grid") {
+    val cells = Spatial.points(spark, sf)
+      .select(floor(col("x") / 2000000L).cast("long"),
+        floor(col("y") / 2000000L).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nc = cells.size.toLong
+    val sn = cells.values.sum
+    val sn2 = cells.values.map(n => n * n).sum
+    val mean = sn.toDouble / nc
+    val sd = math.sqrt(sn2.toDouble / nc - mean * mean)
+    val expected = cells.keys.map { case (cx, cy) =>
+      val nbrs = for {
+        dx <- -1 to 1; dy <- -1 to 1
+        n <- cells.get((cx + dx, cy + dy))
+      } yield n
+      val w = nbrs.length.toDouble
+      val sSum = nbrs.sum
+      val den = sd * math.sqrt((nc * w - w * w) / (nc - 1.0))
+      val gi = math.round(1e6 * ((sSum - w * mean) / den))
+      ((cx, cy), (nbrs.length.toLong, sSum, gi))
+    }.toSeq
+      .sortBy { case ((cx, cy), (_, _, gi)) => (-gi, cx, cy) }.take(10)
+    val got = Spatial.giStar(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(3), r.getLong(4), r.getLong(5)))).toSeq
+    assert(got === expected)
+  }
 }
