@@ -120,6 +120,11 @@ object SparkEntry {
     "dedup_cross_near"  -> ((s, dir) =>
       Dedup.nearDupCross(s, Tables.documents(s, dir),
         Fixtures.crawlBatch(Tables.documents(s, dir)))),
+    // same classification against the staged per-fingerprint history
+    // index (bands partitioned by band, probe-only batch work)
+    "dedup_cross_near_indexed" -> ((s, dir) =>
+      Dedup.nearDupCrossIndexed(s, Tables.documents(s, dir),
+        Fixtures.crawlBatch(Tables.documents(s, dir)), dir)),
     // ---- training-data pipeline: similarity search ----
     "sim_ann_brute"     -> (Similarity.annBruteForce(_, _)),
     "sim_ann_lsh"       -> (Similarity.annLsh(_, _)),
@@ -1479,29 +1484,11 @@ object SparkEntry {
     // Fixtures.crawlBatch), candidates are history×batch band matches
     // only, verified with exact shingle Jaccard before the per-doc
     // rollup.
-    "dedup_cross_near" -> raw"""
-      WITH base AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 2000000 AS doc_id, text FROM documents
-          WHERE doc_id % 5 = 0
-        UNION ALL
-        SELECT doc_id + 3000000 AS doc_id, text || ' edit v2' AS text
-        FROM documents WHERE doc_id % 7 = 0),
-      $minhashChainSql,
-      cand AS (SELECT DISTINCT h.doc_id AS hist_doc, n.doc_id AS doc_id
-               FROM bands h JOIN bands n ON h.band = n.band
-                 AND h.band_key = n.band_key
-               WHERE h.doc_id < 2000000 AND n.doc_id >= 2000000),
-      v AS (SELECT c.doc_id,
-              CAST(len(list_intersect(hs.sh, bs.sh)) AS DOUBLE) /
-                len(list_distinct(list_concat(hs.sh, bs.sh))) AS j
-            FROM cand c
-            JOIN sg hs ON hs.doc_id = c.hist_doc
-            JOIN sg bs ON bs.doc_id = c.doc_id)
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dups,
-        round(max(j), 4) AS best_jaccard
-      FROM v WHERE j >= 0.5 GROUP BY doc_id""",
+    "dedup_cross_near" -> crossNearSql,
+    // the staged-history variant is bit-equal to the in-session form
+    // (same shingles, same bands, same verify) — one shared oracle,
+    // like sim_ann_ivf / sim_ann_ivf_indexed
+    "dedup_cross_near_indexed" -> crossNearSql,
     "sim_near_dup_lsh" -> raw"""
       WITH sb AS (SELECT vec_id,
               list_transform($planesSql, pl ->
@@ -8863,6 +8850,33 @@ object SparkEntry {
           AS fertility_micros
       FROM cnt, tot"""
   }
+
+  /** Cross-corpus near-dup (Dedup.nearDupCross + its staged-index
+    * twin): history ∪ crawl-batch shingle/band chain, banded candidate
+    * equi-join, exact-Jaccard verify, per-batch-doc rollup. */
+  private def crossNearSql: String = raw"""
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text FROM documents
+          WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id, text || ' edit v2' AS text
+        FROM documents WHERE doc_id % 7 = 0),
+      $minhashChainSql,
+      cand AS (SELECT DISTINCT h.doc_id AS hist_doc, n.doc_id AS doc_id
+               FROM bands h JOIN bands n ON h.band = n.band
+                 AND h.band_key = n.band_key
+               WHERE h.doc_id < 2000000 AND n.doc_id >= 2000000),
+      v AS (SELECT c.doc_id,
+              CAST(len(list_intersect(hs.sh, bs.sh)) AS DOUBLE) /
+                len(list_distinct(list_concat(hs.sh, bs.sh))) AS j
+            FROM cand c
+            JOIN sg hs ON hs.doc_id = c.hist_doc
+            JOIN sg bs ON bs.doc_id = c.doc_id)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dups,
+        round(max(j), 4) AS best_jaccard
+      FROM v WHERE j >= 0.5 GROUP BY doc_id"""
 
   /** Unigram Viterbi replay (Training.tok11Unigram): chained-CTE DP
     * unrolled to the ugMaxLen cap — per position the candidate

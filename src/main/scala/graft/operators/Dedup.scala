@@ -593,23 +593,33 @@ object Dedup {
   def nearDupCross(s: SparkSession, history: DataFrame, batch: DataFrame,
                    threshold: Double = 0.5): DataFrame = {
     GraftFunctions.register(s)
-    def sides(docs: DataFrame): (DataFrame, DataFrame) = {
-      // materialize once: the shingle+signature projection feeds BOTH
-      // the band table and the verify join-back — without the cut it
-      // re-evaluates per consumer (the round-8 regression flag)
-      val sh = shingled(docs).localCheckpoint(true)
-      val bands = sh
-        .select(col("doc_id"), minhashSig(col("sh")).as("sig"))
-        .select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), lit(3)),
-            b => concat_ws("_", slice(col("sig"), b * 4 + 1, lit(4))))))
-        .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
-      (sh, bands)
-    }
-    val (hSh, hBands) = sides(history)
-    val (bSh, bBands) = sides(batch)
-    // bare id pairs before the wide shingle arrays join back — the
-    // minhashLsh discipline (arrays never enter the candidate shuffle)
+    val (hSh, hBands) = nearDupSides(history)
+    val (bSh, bBands) = nearDupSides(batch)
+    nearDupClassify(hSh, hBands, bSh, bBands, threshold)
+  }
+
+  /** One side's (shingles, band table) for the cross-corpus near-dup
+    * faces — materialized once because the shingle+signature
+    * projection feeds BOTH the band table and the verify join-back
+    * (the round-8 regression flag). */
+  private def nearDupSides(docs: DataFrame): (DataFrame, DataFrame) = {
+    val sh = shingled(docs).localCheckpoint(true)
+    (sh, nearDupBands(sh))
+  }
+
+  private def nearDupBands(sh: DataFrame): DataFrame = sh
+    .select(col("doc_id"), minhashSig(col("sh")).as("sig"))
+    .select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => concat_ws("_", slice(col("sig"), b * 4 + 1, lit(4))))))
+    .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+
+  /** The shared candidate-then-verify tail: bare id pairs before the
+    * wide shingle arrays join back — the minhashLsh discipline (arrays
+    * never enter the candidate shuffle). */
+  private def nearDupClassify(hSh: DataFrame, hBands: DataFrame,
+                              bSh: DataFrame, bBands: DataFrame,
+                              threshold: Double): DataFrame = {
     val cand = hBands
       .select(col("doc_id").as("hist_doc"), col("band"), col("band_key"))
       .join(bBands, Seq("band", "band_key"))
@@ -625,6 +635,32 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dups"),
         round(max(col("j_raw")), 4).as("best_jaccard"))
+  }
+
+  /** [[nearDupCross]] against a PERSISTED history index — the staged
+    * realization of the scaladoc's 100 TB claim (the bm25Indexed
+    * pattern): the history's shingle frame and minhash band table are
+    * built once per corpus fingerprint and written as parquet, bands
+    * partitioned by `band` so a probe reads only matched band
+    * directories; each arriving batch computes only its own
+    * signatures. Result contract is bit-equal to [[nearDupCross]]
+    * (same oracle SQL), which Round9Spec pins. */
+  def nearDupCrossIndexed(s: SparkSession, history: DataFrame,
+                          batch: DataFrame, dir: String,
+                          threshold: Double = 0.5): DataFrame = {
+    GraftFunctions.register(s)
+    val base = Staging.base("neardup_index_v1", dir, "", "documents")
+    Staging.buildOnce(base) {
+      val sh = shingled(history).localCheckpoint(true)
+      sh.write.mode("overwrite").parquet(s"$base/shingles")
+      nearDupBands(sh).write.mode("overwrite")
+        .partitionBy("band").parquet(s"$base/bands")
+    }
+    val hSh = s.read.parquet(s"$base/shingles")
+    val hBands = s.read.parquet(s"$base/bands")
+      .select(col("doc_id"), col("band").cast("int"), col("band_key"))
+    val (bSh, bBands) = nearDupSides(batch)
+    nearDupClassify(hSh, hBands, bSh, bBands, threshold)
   }
 
   /** 60-bit SimHash per document: per-token md5-60 hash, each bit votes

@@ -501,6 +501,28 @@ object EventStreams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Sessionization via Spark's BUILT-IN `session_window` aggregation —
+    * the declarative twin of [[sessionize]]'s transformWithState
+    * processor, kept beside it deliberately: the built-in merges events
+    * within `gapMs` of each other exactly like SessionProcessor's
+    * `t − last < gap` rule, but closes sessions on the WATERMARK
+    * passing session end (processor: on the next in-key event past the
+    * gap), so the two faces bracket the API surface a user picks from.
+    * EventStreamsSpec pins batch session_window ≡ the gaps-and-islands
+    * SQL composition, and streamed rows ≡ the watermark-closed subset.
+    * State is Spark-managed per (user, session) — bounded by the gap,
+    * no custom state code. */
+  def sessionizeBuiltin(events: Dataset[SessionEvent],
+                        gapMs: Long = 30 * 60 * 1000L): DataFrame =
+    events.toDF()
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMs milliseconds"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("n_events"), col("first_ts"),
+        col("last_ts"))
+
   case class CdcOp(key: Long, seq: Long, op: String, price: Option[Long])
   // public: the state encoder's generated code constructs it reflectively
   case class CdcState(firstOp: String, firstSeq: Long,

@@ -127,6 +127,17 @@ class Round9Spec extends SparkSpec {
     assert(viterbi("ther")._2 === Seq("t", "her"))
   }
 
+  test("dedup_cross_near_indexed: the staged-history index classifies " +
+    "bit-identically to the in-session form") {
+    val docs = Tables.documents(spark, sf)
+    val batch = Fixtures.crawlBatch(docs)
+    val want = Dedup.nearDupCross(spark, docs, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Dedup.nearDupCrossIndexed(spark, docs, batch, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+  }
+
   test("geo7 Gi* replays from first principles over the sparse cell " +
     "grid") {
     val cells = Spatial.points(spark, sf)

@@ -286,6 +286,53 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("built-in session_window: batch equals the gaps-and-islands " +
+    "composition; streamed rows are the watermark-closed subset") {
+    import graft.operators.Relational
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val data = Seq((1L, 0L, "a"), (1L, 10000L, "b"), (1L, 700000L, "c"),
+      (1L, 720000L, "d"), (1L, 9000000L, "e"),
+      (2L, 0L, "x"), (2L, 30000L, "y"), (2L, 10000000L, "z"))
+    val gapMs = 60000L
+    def toEvents(ds: org.apache.spark.sql.Dataset[(Long, Long, String)]) =
+      ds.map { case (u, ms, et) =>
+        EventStreams.SessionEvent(u, new java.sql.Timestamp(ms), et) }
+    // batch face of the SAME query: all sessions, no watermark close
+    val batchSw = EventStreams.sessionizeBuiltin(
+        toEvents(data.toDS()), gapMs).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime, r.getTimestamp(3).getTime)).toSet
+    // cross-validate the built-in against the SQL window composition
+    val batchDf = data.toDF("user_id", "ms", "et")
+      .select(col("user_id"), timestamp_millis(col("ms")).as("ts"),
+        col("ms").as("event_id"))
+    def parseMs(s: String) = java.time.LocalDateTime
+      .parse(s, java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val gi = Relational.sessionizeEvents(batchDf, gapMin = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        parseMs(r.getString(3)), parseMs(r.getString(4)))).toSet
+    assert(batchSw === gi)
+    // streaming: emitted rows are exactly the sessions the final
+    // watermark (= max event time) has passed
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = EventStreams.sessionizeBuiltin(toEvents(mem.toDS()), gapMs)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_builtin").start()
+    try { mem.addData(data: _*); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("sess_builtin").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime, r.getTimestamp(3).getTime)).toSet
+    val wm = data.map(_._2).max
+    val closed = batchSw.filter { case (_, _, _, last) => last + gapMs <= wm }
+    assert(streamed === closed)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming RFM state + batch rank == the full batch RFM operator") {
     import graft.operators.EventAnalytics
     import spark.implicits._
