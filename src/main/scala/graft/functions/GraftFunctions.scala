@@ -45,7 +45,9 @@ object GraftFunctions {
       if (es.length > 2) es(2).eval().asInstanceOf[Boolean] else true)),
     // sliding-window minima over array<bigint> (winnowing selection)
     "rolling_min" -> (es => RollingMin(es(0),
-      es(1).eval().asInstanceOf[Number].intValue)))
+      es(1).eval().asInstanceOf[Number].intValue)),
+    // unigram-LM Viterbi segmentation of one word (tok11's kernel)
+    "unigram_segment" -> (es => UnigramSegment(es.head)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -153,3 +153,109 @@ case class RollingMin(child: Expression, w: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): RollingMin =
     copy(child = c)
 }
+
+/** The unigram-LM piece vocabulary and scores — single source of truth
+  * shared by the [[UnigramSegment]] kernel, the operators
+  * (Training.tok10/tok11), the specs and the DuckDB oracle builders.
+  * Log-probabilities are integer micros (ln p · 1e6, negative); the
+  * spread makes longer pieces win when present while keeping genuine
+  * Viterbi-vs-greedy divergences (see Training.tok11Unigram).
+  */
+object UnigramVocab {
+  val tri: Seq[String] = Seq("the", "and", "ing", "ion", "tio",
+    "ent", "ati", "for", "her", "ter", "hat", "tha", "ere", "ate",
+    "his", "con", "res", "ver", "all")
+  val bi: Seq[String] = Seq("th", "he", "in", "er", "an", "re",
+    "on", "at", "en", "nd", "ti", "es", "or", "te", "of", "ed",
+    "is", "it", "al", "ar", "st", "to", "nt", "ng", "se", "ha",
+    "as", "ou", "io", "le", "ve", "co", "me", "de", "hi", "ri",
+    "ro", "ic", "ne", "ea", "ra", "ce", "li", "ch", "ll", "be",
+    "ma", "si", "om", "ur")
+  val charMicros: Long = -3000000L
+  val biMicros: Long = -4500000L
+  val triMicros: Long = -5500000L
+
+  private[functions] val biSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](); bi.foreach(s.add); s
+  }
+  private[functions] val triSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](); tri.foreach(s.add); s
+  }
+}
+
+/** Eval kernel for [[UnigramSegment]] — top-level object so whole-stage
+  * codegen calls the static forwarder directly. */
+object UnigramImpl {
+  /** Viterbi max-sum segmentation of one word under [[UnigramVocab]]:
+    * dp(p) = best (score, pieceLen) ending at position p, candidates
+    * are the char / vocab-bigram / vocab-trigram endings, ties prefer
+    * the LONGER piece. Returns the space-joined pieces; the word score
+    * reconstructs exactly from piece lengths (len-k pieces carry the
+    * k-gram score by construction). One O(len) pass with two scalar
+    * arrays — the higher-order-function fold this replaces allocated
+    * an array-of-structs accumulator per position (measured 27.9 s →
+    * sub-second for the sf0.1 distinct-word frame). */
+  def segment(word: UTF8String): UTF8String = {
+    val s = word.toString
+    val n = s.length
+    if (n == 0) return UTF8String.fromString("")
+    val sc = new Array[Long](n + 1)
+    val pl = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var bestSc = sc(i - 1) + UnigramVocab.charMicros
+      var bestPl = 1
+      if (i >= 2 && UnigramVocab.biSet.contains(s.substring(i - 2, i))) {
+        val c = sc(i - 2) + UnigramVocab.biMicros
+        if (c > bestSc || (c == bestSc && 2 > bestPl)) {
+          bestSc = c; bestPl = 2
+        }
+      }
+      if (i >= 3 && UnigramVocab.triSet.contains(s.substring(i - 3, i))) {
+        val c = sc(i - 3) + UnigramVocab.triMicros
+        if (c > bestSc || (c == bestSc && 3 > bestPl)) {
+          bestSc = c; bestPl = 3
+        }
+      }
+      sc(i) = bestSc
+      pl(i) = bestPl
+      i += 1
+    }
+    var pos = n
+    var pieces = List.empty[String]
+    while (pos > 0) {
+      pieces ::= s.substring(pos - pl(pos), pos)
+      pos -= pl(pos)
+    }
+    UTF8String.fromString(pieces.mkString(" "))
+  }
+}
+
+/** `unigram_segment(word)` — the native Viterbi kernel behind
+  * Training.tok11Unigram; see [[UnigramImpl.segment]]. */
+case class UnigramSegment(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unigram_segment"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("unigram_segment expects string")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    UnigramImpl.segment(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.UnigramImpl.segment($c)")
+
+  override protected def withNewChildInternal(c: Expression): UnigramSegment =
+    copy(child = c)
+}

@@ -1214,15 +1214,10 @@ object Training {
   /** The fixed WordPiece vocabulary shared by [[tok10WordPiece]] and
     * its oracle builder (single chars are implicit — every position
     * can always consume one char, the [UNK]-free long-tail rule). */
-  val wpTri: Seq[String] = Seq("the", "and", "ing", "ion", "tio",
-    "ent", "ati", "for", "her", "ter", "hat", "tha", "ere", "ate",
-    "his", "con", "res", "ver", "all")
-  val wpBi: Seq[String] = Seq("th", "he", "in", "er", "an", "re",
-    "on", "at", "en", "nd", "ti", "es", "or", "te", "of", "ed",
-    "is", "it", "al", "ar", "st", "to", "nt", "ng", "se", "ha",
-    "as", "ou", "io", "le", "ve", "co", "me", "de", "hi", "ri",
-    "ro", "ic", "ne", "ea", "ra", "ce", "li", "ch", "ll", "be",
-    "ma", "si", "om", "ur")
+  // single source of truth lives beside the native kernel; these
+  // aliases keep the operator/oracle/spec call sites stable
+  val wpTri: Seq[String] = graft.functions.UnigramVocab.tri
+  val wpBi: Seq[String] = graft.functions.UnigramVocab.bi
 
   /** `tok10_wordpiece` — greedy longest-match WordPiece encoding (the
     * BERT tokenizer's serving algorithm) against a FIXED literal
@@ -1293,9 +1288,9 @@ object Training {
     * Viterbi-vs-greedy divergences (e.g. "ther": the+r = t+her = −8.5,
     * the longer-last-piece tie-break picks t+her where tok10's greedy
     * longest-match takes the+r). */
-  val ugCharMicros: Long = -3000000L
-  val ugBiMicros: Long = -4500000L
-  val ugTriMicros: Long = -5500000L
+  val ugCharMicros: Long = graft.functions.UnigramVocab.charMicros
+  val ugBiMicros: Long = graft.functions.UnigramVocab.biMicros
+  val ugTriMicros: Long = graft.functions.UnigramVocab.triMicros
 
   /** Max word length the unigram DP segments — longer words are
     * excluded from the rollup in BOTH engines (the fixed unroll depth
@@ -1307,70 +1302,40 @@ object Training {
     * Viterbi max-sum DP over the fixed scored vocabulary, not tok10's
     * greedy longest-match — the defining difference of the third
     * tokenizer family (BPE trains merges, WordPiece serves greedily,
-    * unigram decodes a per-word global optimum). DP state is built by
-    * one codegen'd `aggregate` fold appending (bestScore, pieceLen)
-    * per position — candidates are char/bigram/trigram endings, max by
-    * (score, length) via struct `greatest` — and a second bounded fold
-    * backtracks the argmax segmentation. Reports tok10's shape (top-K
-    * pieces, totals, fertility) plus the corpus log-likelihood
-    * `ll_micros` = Σ m·score(word), the quantity unigram training
-    * optimizes.
+    * unigram decodes a per-word global optimum). The DP runs in the
+    * native codegen'd `unigram_segment` kernel
+    * ([[graft.functions.UnigramImpl.segment]]) — one O(len) pass with
+    * two scalar arrays per DISTINCT word; candidates are
+    * char/bigram/trigram endings, max by (score, length). The word
+    * score reconstructs exactly from the returned piece lengths (a
+    * len-k piece carries the k-gram score by construction). Reports
+    * tok10's shape (top-K pieces, totals, fertility) plus the corpus
+    * log-likelihood `ll_micros` = Σ m·score(word), the quantity
+    * unigram training optimizes.
     *
-    * Scale shape: identical to tok10 — per-DISTINCT-word folds bounded
-    * by [[ugMaxLen]], one map-side-combined piece rollup, broadcast
-    * totals; the corpus is scanned once. */
+    * Scale shape: identical to tok10 — one native kernel call per
+    * DISTINCT word bounded by [[ugMaxLen]], one map-side-combined
+    * piece rollup, broadcast totals; the corpus is scanned once. */
   def tok11Unigram(s: SparkSession, dir: String, topK: Int = 10)
       : DataFrame = {
-    val neg = lit(Long.MinValue / 4)
+    graft.functions.GraftFunctions.register(s)
     val words = Tables.documents(s, dir)
       .select(explode(split(regexp_replace(lower(col("text")),
         "[^a-z]+", " "), " ")).as("word"))
       .filter(length(col("word")) > 0 &&
         length(col("word")) <= ugMaxLen)
       .groupBy(col("word")).agg(count(lit(1)).as("m"))
-      .select(col("word"), col("m"),
-        length(col("word")).cast("long").as("len"))
-    // dp(p) for p = 0..len lives at array index p+1: (best score of
-    // word[1..p], length of the piece that ends there)
-    def entry(dp: Column, p: Column) =
-      element_at(dp, (p + 1L).cast("int"))
-    val dpFold = aggregate(
-      sequence(lit(1L), col("len")),
-      array(struct(lit(0L).as("sc"), lit(0L).as("pl"))),
-      (acc, i) => {
-        val c1 = struct(
-          (entry(acc, i - 1L).getField("sc") + ugCharMicros).as("sc"),
-          lit(1L).as("pl"))
-        val c2 = when(i >= 2L && array_contains(typedlit(wpBi),
-            col("word").substr((i - 1L).cast("int"), lit(2))),
-          struct((entry(acc, i - 2L).getField("sc") + ugBiMicros)
-            .as("sc"), lit(2L).as("pl")))
-          .otherwise(struct(neg.as("sc"), lit(0L).as("pl")))
-        val c3 = when(i >= 3L && array_contains(typedlit(wpTri),
-            col("word").substr((i - 2L).cast("int"), lit(3))),
-          struct((entry(acc, i - 3L).getField("sc") + ugTriMicros)
-            .as("sc"), lit(3L).as("pl")))
-          .otherwise(struct(neg.as("sc"), lit(0L).as("pl")))
-        concat(acc, array(greatest(c1, c2, c3)))
-      })
-    val withDp = words.withColumn("dp", dpFold)
-      .withColumn("score", entry(col("dp"), col("len")).getField("sc"))
-    // backtrack: at most `len` jumps of the recorded piece lengths
-    val backFold = aggregate(
-      sequence(lit(1L), col("len")),
-      struct(col("len").as("pos"), lit("").as("tk")),
-      (acc, _) => {
-        val pos = acc.getField("pos")
-        val pl = entry(col("dp"), pos).getField("pl")
-        when(pos <= 0L, acc)
-          .otherwise(struct((pos - pl).as("pos"),
-            concat(col("word").substr((pos - pl + 1L).cast("int"),
-              pl.cast("int")), lit(" "), acc.getField("tk")).as("tk")))
-      })
-    val toks = withDp
-      .select(col("m"), col("score"),
-        split(trim(backFold.getField("tk")), " ").as("toks"))
-      .select(col("m"), col("score"),
+    val pieceScore = (t: Column) =>
+      when(length(t) === 1, ugCharMicros)
+        .when(length(t) === 2, ugBiMicros)
+        .otherwise(ugTriMicros)
+    val toks = words
+      .select(col("m"),
+        split(call_function("unigram_segment", col("word")), " ")
+          .as("toks"))
+      .select(col("m"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + pieceScore(t))
+          .as("score"),
         size(col("toks")).cast("long").as("n_tok"), col("toks"))
     val totals = broadcast(toks.agg(sum(col("m")).as("n_words"),
       sum(col("m") * col("n_tok")).as("n_tokens"),
