@@ -141,6 +141,8 @@ object SparkEntry {
     // 1-bit sign codes + Hamming shortlist (the quantization ladder's
     // cheapest rung)
     "sim_ann_bq"        -> (Similarity.annBinaryQuant(_, _)),
+    // staged code table: the scan reads 8-byte codes, not vectors
+    "sim_ann_bq_indexed" -> (Similarity.annBinaryQuantIndexed(_, _)),
     "sim_near_dup"      -> (Similarity.embNearDup(_, _)),
     "sim_centroids"     -> (Similarity.labelCentroids(_, _)),
     "sim_near_dup_lsh"  -> (Similarity.nearDupLsh(_, _)),
@@ -488,6 +490,8 @@ object SparkEntry {
     "prof5_partition_anomaly" -> (Profiling.partitionAnomaly(_, _)),
     "ev25_absorption"    -> (EventAnalytics.markovAbsorption(_, _)),
     // ---- round-7 continuation, part 5 ----
+    // MRR of the BM25 ranking over the fixed two-term query battery
+    "ret7_mrr"           -> (Retrieval.mrr(_, _)),
     "ret6_maxscore"      -> ((s, dir) =>
       TextAnalysis.bm25MaxScore(Tables.documents(s, dir),
         Seq("spark", "query", "filter"))),
@@ -730,6 +734,9 @@ object SparkEntry {
          GROUP BY t.tier""",
     "sim_ann_sq" -> sqAnnSql,
     "sim_ann_bq" -> bqAnnSql,
+    // the persisted code table is bit-identical to the in-session BQ
+    // (same codes, same tie-breaks) — one shared oracle
+    "sim_ann_bq_indexed" -> bqAnnSql,
     "w2_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
          sum(l_quantity) OVER (PARTITION BY l_suppkey
@@ -1331,6 +1338,7 @@ object SparkEntry {
     // (TextAnalysis.bm25MaxScore — θ and UB compared in the exact
     // micro-integer contribution space)
     "ret6_maxscore" -> bm25Sql,
+    "ret7_mrr" -> mrrSql,
     // fusion arms replay each arm's own oracle kernel at armK=20 —
     // ret2's dense arm is the IVF probe replay (approximation mirrored
     // exactly, not approximated twice)
@@ -8330,6 +8338,44 @@ object SparkEntry {
         count(*) AS n_terms
       FROM contrib GROUP BY doc_id
       ORDER BY score DESC, doc_id ASC LIMIT $k"""
+
+  /** MRR oracle (Retrieval.mrr): per query the bm25SqlPred ranking,
+    * strict two-term coverage relevance, first-relevant rank and
+    * integer reciprocal-rank micros; MRR = the integer mean. */
+  private def mrrSql: String = {
+    val perQ = Retrieval.MrrQueries.map { case (qid, _) =>
+      s"""SELECT CAST($qid AS BIGINT) AS query_id,
+           (SELECT CAST(count(*) AS BIGINT) FROM rk$qid) AS n_ranked,
+           CAST(COALESCE((SELECT min(rank) FROM rk$qid
+             JOIN rel$qid USING (doc_id)), 0) AS BIGINT)
+             AS first_rel_rank"""
+    }
+    val ctes = Retrieval.MrrQueries.map { case (qid, qts) =>
+      val inList = qts.map(t => s"'$t'").mkString("(", ", ", ")")
+      s"""rk$qid AS (SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         FROM (${bm25SqlPred(s"term IN $inList", 10)})),
+       rel$qid AS (SELECT doc_id FROM (
+           SELECT doc_id, count(DISTINCT term) AS cov
+           FROM (SELECT doc_id, unnest(list_filter(
+               string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS term
+             FROM documents)
+           WHERE term IN $inList GROUP BY doc_id)
+         WHERE cov = ${qts.size})"""
+    }.mkString(",\n      ")
+    raw"""
+      WITH $ctes,
+      perq AS (${perQ.mkString("\n      UNION ALL ")}),
+      withrr AS (SELECT query_id, n_ranked, first_rel_rank,
+          CAST(CASE WHEN first_rel_rank > 0
+            THEN 1000000 // first_rel_rank ELSE 0 END AS BIGINT)
+            AS rr_micros
+        FROM perq)
+      SELECT query_id, n_ranked, first_rel_rank, rr_micros,
+        CAST((SELECT sum(rr_micros) FROM withrr)
+          // ${Retrieval.MrrQueries.size} AS BIGINT) AS mrr_micros
+      FROM withrr"""
+  }
 
   /** NDCG@10 oracle (TextAnalysis.ndcgBm25): the bm25Sql ranking as a
     * CTE, graded relevance from distinct-term coverage, and the

@@ -325,4 +325,58 @@ object Retrieval {
             .cast("long").as("jaccard_micros"))
     }.reduce(_.unionAll(_)).orderBy(col("pair").asc)
   }
+
+  /** The fixed two-term query set for [[mrr]] — literal in both
+    * engines. Two-term queries keep the metric non-degenerate: a
+    * single-term BM25 ranking trivially puts a relevant (term-bearing)
+    * doc at rank 1, while here relevance demands BOTH terms and the
+    * ranking may prefer a one-term-heavy doc. */
+  val MrrQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "query"),
+    2L -> Seq("query", "filter"),
+    3L -> Seq("spark", "filter"))
+
+  /** `ret7_mrr` — Mean Reciprocal Rank of the BM25 ranking over the
+    * fixed query battery: per query, the rank of the FIRST document
+    * containing every query term (the strict-coverage relevance
+    * signal ndcgBm25 grades gradually), rr = 1/rank in exact integer
+    * micros (1e6 DIV rank), and MRR = the integer mean across
+    * queries — the metric retrieval dashboards quote beside NDCG.
+    * Queries with no covered doc in the top-k contribute rr = 0 (the
+    * standard convention).
+    *
+    * Scale shape: per query one BM25 TakeOrdered shortlist (≤ k rows)
+    * joined to the coverage frame (one filtered explode + distinct,
+    * the postings shape); the battery unions q·k rows. */
+  def mrr(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nq = MrrQueries.size.toLong
+    val perQ = MrrQueries.map { case (qid, qts) =>
+      val rel = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text")))
+          .as("term"))
+        .filter(col("term").isin(qts: _*))
+        .select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("cov"))
+        .filter(col("cov") === qts.size.toLong)
+        .select(col("doc_id"), lit(1L).as("relevant"))
+      TextAnalysis.bm25(docs, qts, k)
+        .withColumn("rank", row_number().over(Window.partitionBy(lit(1))
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .join(rel, Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_ranked"),
+          coalesce(min(when(col("relevant") === 1L, col("rank"))),
+            lit(0L)).as("first_rel_rank"))
+        .select(lit(qid).as("query_id"), col("n_ranked"),
+          col("first_rel_rank"),
+          when(col("first_rel_rank") > 0L,
+            expr("1000000 DIV first_rel_rank")).otherwise(lit(0L))
+            .as("rr_micros"))
+    }.reduce(_ unionAll _)
+    val all = Window.partitionBy(lit(1))
+    perQ.select(col("query_id"), col("n_ranked"),
+      col("first_rel_rank"), col("rr_micros"),
+      (sum(col("rr_micros")).over(all) / nq).cast("long")
+        .as("mrr_micros"))
+  }
 }

@@ -661,21 +661,24 @@ object Similarity {
     * scan reads 8-byte codes instead of 256-byte vectors and the
     * shortlist alone touches full embeddings (the annPq convention).
     * TakeOrderedAndProject keeps both top-k passes heap-bounded. */
+  /** One 32-bit half of the 64 sign bits, as a long (bits `off` to
+    * `off+31`) — shared by the in-session and staged BQ faces. */
+  private def bqHalf(v: Column, off: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(31)),
+        i => when(element_at(v.cast("array<double>"), i + off + 1) > 0,
+          call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+
   def annBinaryQuant(s: SparkSession, dir: String, k: Int = 10,
                      shortlist: Int = 50): DataFrame = {
     GraftFunctions.register(s)
-    def half(v: Column, off: Int): Column =
-      aggregate(
-        transform(sequence(lit(0), lit(31)),
-          i => when(element_at(v.cast("array<double>"), i + off + 1) > 0,
-            call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-        lit(0L), (acc, x) => acc + x)
     val e = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("embedding"),
-        half(col("embedding"), 0).as("c_lo"),
-        half(col("embedding"), 32).as("c_hi"))
+        bqHalf(col("embedding"), 0).as("c_lo"),
+        bqHalf(col("embedding"), 32).as("c_hi"))
     val q = queryVec(s, dir).select(col("q"),
-      half(col("q"), 0).as("q_lo"), half(col("q"), 32).as("q_hi"))
+      bqHalf(col("q"), 0).as("q_lo"), bqHalf(col("q"), 32).as("q_hi"))
     e.crossJoin(broadcast(q))
       .select(col("vec_id"), col("embedding"), col("q"),
         (bit_count(col("c_lo").bitwiseXOR(col("q_lo"))) +
@@ -683,6 +686,43 @@ object Similarity {
           .cast("long").as("hamming"))
       .orderBy(col("hamming").asc, col("vec_id").asc)
       .limit(shortlist)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** [[annBinaryQuant]] against a PERSISTED code table — the staged
+    * realization of BQ's 100 TB claim: the (vec_id, c_lo, c_hi) sign
+    * codes are built once per corpus fingerprint and written as
+    * parquet (8 bytes of code per 256-byte float32 vector — the 32×
+    * compression is what the coarse scan actually reads); the Hamming
+    * scan touches ONLY the code table and full embeddings join back
+    * for the shortlist rerank alone. Bit-equal to the in-session face
+    * (same codes, same tie-breaks — shared oracle, Round9Spec pin). */
+  def annBinaryQuantIndexed(s: SparkSession, dir: String, k: Int = 10,
+                            shortlist: Int = 50): DataFrame = {
+    GraftFunctions.register(s)
+    val base = Staging.base("bq_index_v1", dir, "", "embeddings")
+    Staging.buildOnce(base) {
+      Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), bqHalf(col("embedding"), 0).as("c_lo"),
+          bqHalf(col("embedding"), 32).as("c_hi"))
+        .write.mode("overwrite").parquet(s"$base/codes")
+    }
+    val q = queryVec(s, dir).select(col("q"),
+      bqHalf(col("q"), 0).as("q_lo"), bqHalf(col("q"), 32).as("q_hi"))
+    val short = s.read.parquet(s"$base/codes")
+      .crossJoin(broadcast(q.select(col("q_lo"), col("q_hi"))))
+      .select(col("vec_id"),
+        (bit_count(col("c_lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("c_hi").bitwiseXOR(col("q_hi"))))
+          .cast("long").as("hamming"))
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+      .limit(shortlist)
+    short
+      .join(Tables.embeddings(s, dir), "vec_id")
+      .crossJoin(broadcast(q.select(col("q"))))
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("q")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)

@@ -138,6 +138,41 @@ class Round9Spec extends SparkSpec {
     assert(got === want)
   }
 
+  test("sim_ann_bq_indexed: the persisted code table answers " +
+    "bit-identically to the in-session BQ") {
+    val want = Similarity.annBinaryQuant(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = Similarity.annBinaryQuantIndexed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === want)
+  }
+
+  test("ret7 MRR replays from first principles: first strict-coverage " +
+    "hit per query, integer reciprocal ranks, integer mean") {
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("tk"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[String](1).filter(_.nonEmpty).toSet).toMap
+    val expected = Retrieval.MrrQueries.map { case (qid, qts) =>
+      val ranked = TextAnalysis.bm25(
+        Tables.documents(spark, sf), qts, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (id, sc) => (-sc, id) }
+      val firstRel = ranked.zipWithIndex.collectFirst {
+        case ((id, _), i) if qts.forall(toks(id).contains) => i + 1L
+      }.getOrElse(0L)
+      (qid, ranked.length.toLong, firstRel,
+        if (firstRel > 0) 1000000L / firstRel else 0L)
+    }
+    val mrrExp = expected.map(_._4).sum / Retrieval.MrrQueries.size
+    val got = Retrieval.mrr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq === expected)
+    assert(got.forall(_._5 == mrrExp))
+  }
+
   test("geo7 Gi* replays from first principles over the sparse cell " +
     "grid") {
     val cells = Spatial.points(spark, sf)
