@@ -492,6 +492,8 @@ object SparkEntry {
     // ---- round-7 continuation, part 5 ----
     // MRR of the BM25 ranking over the fixed two-term query battery
     "ret7_mrr"           -> (Retrieval.mrr(_, _)),
+    // one-shot Gumbel-max DP top-k (k sequential exponential mechs)
+    "priv8_dp_topk"      -> (Privacy.dpTopK(_, _)),
     "ret6_maxscore"      -> ((s, dir) =>
       TextAnalysis.bm25MaxScore(Tables.documents(s, dir),
         Seq("spark", "query", "filter"))),
@@ -1339,6 +1341,27 @@ object SparkEntry {
     // micro-integer contribution space)
     "ret6_maxscore" -> bm25Sql,
     "ret7_mrr" -> mrrSql,
+    // one-shot Gumbel top-k (Privacy.dpTopK): distinct-doc utility,
+    // md5-derandomized Gumbel, micro-quantized key, k winners.
+    "priv8_dp_topk" -> raw"""
+      WITH dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        FROM (SELECT DISTINCT doc_id, unnest(list_filter(
+            string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+          FROM documents)
+        GROUP BY token),
+      sc AS (SELECT token, df,
+          round(0.5 * CAST(df AS DOUBLE), 6) AS s6,
+          round(-ln(-ln((('0x' || substr(md5('dpt:' || token), 1, 15))
+              ::BIGINT % 1000000 + 0.5) / 1000000.0)), 6) AS g6
+        FROM dfs),
+      key AS (SELECT token, df,
+          CAST(round(1e6 * (s6 + g6)) AS BIGINT) AS key_micros
+        FROM sc)
+      SELECT CAST(row_number() OVER (ORDER BY key_micros DESC,
+          token ASC) AS BIGINT) AS rank,
+        token, df AS true_df, key_micros,
+        CAST(1000000 AS BIGINT) AS epsilon_micros
+      FROM key ORDER BY key_micros DESC, token ASC LIMIT 10""",
     // fusion arms replay each arm's own oracle kernel at armK=20 —
     // ret2's dense arm is the IVF probe replay (approximation mirrored
     // exactly, not approximated twice)

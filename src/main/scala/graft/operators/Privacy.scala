@@ -286,6 +286,52 @@ object Privacy {
         col("epsilon_micros"), col("sensitivity"))
   }
 
+  /** `priv8_dp_topk` — one-shot DP top-k via the Gumbel-max trick
+    * (Durfee & Rogers 2019: adding Gumbel noise to the utilities and
+    * taking the top k is EXACTLY k sequential exponential mechanisms,
+    * in one pass): release the k "heaviest" tokens where utility =
+    * distinct-document frequency (sensitivity 1 — a document
+    * contributes at most once per token), noisy score = (ε/2)·df +
+    * Gumbel. The DP sibling of text_heavy_hitters: same question, a
+    * formally private answer. True dfs ride along as the utility
+    * audit (the priv6 convention; a real deployment would not emit
+    * them).
+    *
+    * Determinism: the Gumbel draw is md5-derandomized per token (the
+    * priv4/priv6 device), 6dp-rounded, summed as one micro-quantized
+    * key both engines compare identically.
+    *
+    * Scale shape: one distinct (doc, token) rollup (the postings
+    * shape), a map-side-combinable token count, TakeOrderedAndProject
+    * for the k winners — nothing bigger than the token domain ever
+    * shuffles. */
+  def dpTopK(s: SparkSession, dir: String, k: Int = 10,
+             epsilonMicros: Long = 1000000L): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val eps = epsilonMicros.toDouble / 1e6
+    val dfs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val u = (pmod(call_function("md5_base60",
+        concat(lit("dpt:"), col("token"))), lit(1000000L))
+      .cast("double") + lit(0.5)) / lit(1000000.0)
+    dfs
+      .withColumn("s6", round(lit(eps / 2.0) * col("df").cast("double"), 6))
+      .withColumn("g6", round(-log(-log(u)), 6))
+      .withColumn("key_micros",
+        round(lit(1e6) * (col("s6") + col("g6"))).cast("long"))
+      .orderBy(col("key_micros").desc, col("token").asc)
+      .limit(k)
+      .select(
+        row_number().over(Window.partitionBy(lit(1))
+          .orderBy(col("key_micros").desc, col("token").asc))
+          .cast("long").as("rank"),
+        col("token"), col("df").as("true_df"), col("key_micros"),
+        lit(epsilonMicros).as("epsilon_micros"))
+  }
+
   /** `priv7_rand_response` — Warner's randomized response (1965), the
     * LOCAL-DP mechanism the central mechanisms (priv4 Laplace, priv6
     * exponential) can't replace: each subject perturbs their OWN bit

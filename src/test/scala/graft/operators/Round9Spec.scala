@@ -173,6 +173,36 @@ class Round9Spec extends SparkSpec {
     assert(got.forall(_._5 == mrrExp))
   }
 
+  test("priv8 DP top-k replays from first principles: Gumbel-noised " +
+    "distinct-doc utilities, k winners in key order") {
+    val dfs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("tk"))
+      .collect()
+      .flatMap(r => r.getSeq[String](1).filter(_.nonEmpty).distinct
+        .map(t => (r.getLong(0), t)))
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    def md60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = dfs.toSeq.map { case (tok, df) =>
+      val u = (math.floorMod(md60("dpt:" + tok), 1000000L) + 0.5) / 1e6
+      val key = math.round(1e6 *
+        (r6(0.5 * df) + r6(-math.log(-math.log(u)))))
+      (tok, df, key)
+    }.sortBy { case (tok, _, key) => (-key, tok) }.take(10)
+      .zipWithIndex
+      .map { case ((tok, df, key), i) => (i + 1L, tok, df, key) }
+    val got = Privacy.dpTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === expected)
+  }
+
   test("geo7 Gi* replays from first principles over the sparse cell " +
     "grid") {
     val cells = Spatial.points(spark, sf)
