@@ -469,12 +469,16 @@ object Dedup {
       Integer.toHexString(pairs.queryExecution.analyzed.semanticHash())
     var rounds = 0
     try {
-      var cur = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .filter(col("src") =!= col("dst")).distinct()
-        .localCheckpoint(true)
+      // Lineage.cut, not bare localCheckpoint: each star round's tree
+      // references `cur` several times, so preserved stats would
+      // compound doubly-exponentially across rounds (the round-9
+      // Borůvka finding — see Lineage)
+      var cur = Lineage.cut(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .filter(col("src") =!= col("dst")).distinct())
       var done = cur.isEmpty
       while (!done && rounds < maxIter) {
-        val next = smallStar(largeStar(cur)).localCheckpoint(true)
+        val next = Lineage.cut(smallStar(largeStar(cur)))
         // && short-circuits: the except anti-join runs only on the
         // (rare) rounds where the cardinality already matches
         done = next.count() == cur.count() && next.except(cur).isEmpty

@@ -260,17 +260,19 @@ object Graphs {
         val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
           .union(und.select(col("b").as("node"), col("a").as("nbr")))
           .localCheckpoint(true)
-        var settled = s.range(1).select(lit(seed).as("node"),
-          lit(0L).as("dist")).localCheckpoint(true)
+        // loop-carried frames go through Lineage.cut: settled appears
+        // twice per round (anti-join + union), so preserved checkpoint
+        // stats would compound across hops (see Lineage)
+        var settled = Lineage.cut(s.range(1).select(lit(seed).as("node"),
+          lit(0L).as("dist")))
         var frontier = settled
         for (h <- 1 to maxHops) {
-          frontier = frontier
+          frontier = Lineage.cut(frontier
             .join(nbrs, "node")
             .select(col("nbr").as("node")).distinct()
             .join(settled.select(col("node")), Seq("node"), "left_anti")
-            .select(col("node"), lit(h.toLong).as("dist"))
-            .localCheckpoint(true)
-          settled = settled.unionByName(frontier).localCheckpoint(true)
+            .select(col("node"), lit(h.toLong).as("dist")))
+          settled = Lineage.cut(settled.unionByName(frontier))
         }
         settled.write.mode("overwrite").parquet(finalPath)
       } finally {
@@ -324,18 +326,18 @@ object Graphs {
         val seeds = Tables.documents(s, dir)
           .filter(pmod(col("doc_id"), lit(seedMod.toLong)) === 0L)
           .select(col("doc_id").as("seed"))
-        var settled = seeds
-          .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
-          .localCheckpoint(true)
+        // Lineage.cut on the loop-carried frames (settled appears
+        // twice per round — see Lineage)
+        var settled = Lineage.cut(seeds
+          .select(col("seed"), col("seed").as("node"), lit(0L).as("dist")))
         var frontier = settled
         for (h <- 1 to maxHops) {
-          frontier = frontier.join(nbrs, "node")
+          frontier = Lineage.cut(frontier.join(nbrs, "node")
             .select(col("seed"), col("nbr").as("node")).distinct()
             .join(settled.select(col("seed"), col("node")),
               Seq("seed", "node"), "left_anti")
-            .select(col("seed"), col("node"), lit(h.toLong).as("dist"))
-            .localCheckpoint(true)
-          settled = settled.unionByName(frontier).localCheckpoint(true)
+            .select(col("seed"), col("node"), lit(h.toLong).as("dist")))
+          settled = Lineage.cut(settled.unionByName(frontier))
         }
         settled.filter(col("dist") > 0)
           .groupBy(col("seed"))
@@ -445,8 +447,10 @@ object Graphs {
           .select(col("src"), col("dst"),
             (lit(1L) + (col("src") + col("dst")) % 7).as("w"))
           .localCheckpoint(true)
-        var best = s.range(1).select(lit(seed).as("node"),
-          lit(0L).as("cost")).localCheckpoint(true)
+        // Lineage.cut on the loop-carried frames (best appears twice
+        // per round: the improvement probe and the union — see Lineage)
+        var best = Lineage.cut(s.range(1).select(lit(seed).as("node"),
+          lit(0L).as("cost")))
         var frontier = best
         for (_ <- 1 to maxHops) {
           val relaxed = frontier
@@ -454,14 +458,12 @@ object Graphs {
             .select(col("dst").as("node"),
               (col("cost") + col("w")).as("cost"))
             .groupBy("node").agg(min("cost").as("cost"))
-          frontier = relaxed
+          frontier = Lineage.cut(relaxed
             .join(best.withColumnRenamed("cost", "old"), Seq("node"), "left")
             .filter(col("old").isNull || col("cost") < col("old"))
-            .select(col("node"), col("cost"))
-            .localCheckpoint(true)
-          best = best.unionByName(frontier)
-            .groupBy("node").agg(min("cost").as("cost"))
-            .localCheckpoint(true)
+            .select(col("node"), col("cost")))
+          best = Lineage.cut(best.unionByName(frontier)
+            .groupBy("node").agg(min("cost").as("cost")))
         }
         best.write.mode("overwrite").parquet(finalPath)
       } finally {
@@ -810,11 +812,13 @@ object Graphs {
     val finalPath = s"/tmp/graft_stage_kcore_v1_k${k}_" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
     try {
-      var live = raw
+      // Lineage.cut: each peel round references `live` four times
+      // (degree rollup both sides + two semi-joins), so preserved
+      // checkpoint stats would compound across rounds (see Lineage)
+      var live = Lineage.cut(raw
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
       var n = live.count()
       var r = 0
       var done = false
@@ -824,11 +828,10 @@ object Graphs {
           .groupBy(col("node")).agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k)
           .select(col("node"))
-        val next = live
+        val next = Lineage.cut(live
           .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
           .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
-          .select(col("a"), col("b"))
-          .localCheckpoint(true)
+          .select(col("a"), col("b")))
         val nNext = next.count()
         done = nNext == n
         live = next
@@ -902,19 +905,19 @@ object Graphs {
     val finalPath = s"/tmp/graft_stage_ktruss_v1_k${k}_r${rounds}_" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
     try {
-      var live = raw
+      // Lineage.cut: support() references `live` three times per
+      // round (edge + both adjacency roles — see Lineage)
+      var live = Lineage.cut(raw
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
       var n = live.count()
       var r = 0
       var done = false
       while (!done && r < rounds) {
-        val next = support(live)
+        val next = Lineage.cut(support(live)
           .filter(col("sup") >= k - 2)
-          .select(col("a"), col("b"))
-          .localCheckpoint(true)
+          .select(col("a"), col("b")))
         val nNext = next.count()
         done = nNext == n
         live = next
@@ -983,15 +986,15 @@ object Graphs {
         var settled = levels(0).select(col("seed"), col("node"))
           .localCheckpoint(true)
         for (_ <- 1 to maxDepth) {
-          val nxt = levels.last.join(nbrs, "node")
+          // Lineage.cut: settled appears twice per level (anti-join
+          // + union) — see Lineage
+          val nxt = Lineage.cut(levels.last.join(nbrs, "node")
             .select(col("seed"), col("nbr").as("node"), col("sigma"))
             .join(settled, Seq("seed", "node"), "left_anti")
             .groupBy(col("seed"), col("node"))
-            .agg(sum(col("sigma")).as("sigma"))
-            .localCheckpoint(true)
-          settled = settled
-            .unionByName(nxt.select(col("seed"), col("node")))
-            .localCheckpoint(true)
+            .agg(sum(col("sigma")).as("sigma")))
+          settled = Lineage.cut(settled
+            .unionByName(nxt.select(col("seed"), col("node"))))
           levels = levels :+ nxt
         }
         // backward: delta(h) carries only nonzero-dependency nodes;
@@ -1020,9 +1023,8 @@ object Graphs {
                 .cast("long").as("term"))
             .groupBy(col("seed"), col("node"))
             .agg(sum(col("term")).as("delta"))
-            .localCheckpoint(true)
-          acc = acc :+ dl
-          delta = dl
+          acc = acc :+ Lineage.cut(dl)
+          delta = acc.last
         }
         acc.reduceOption(_ unionByName _).getOrElse(delta)
           .groupBy(col("node")).agg(sum(col("delta")).as("bc_micros"))
@@ -1036,25 +1038,9 @@ object Graphs {
       }
     }.orderBy(col("bc_micros").desc, col("node").asc)
 
-  /** Eager lineage cut that also DISCARDS the origin plan's
-    * statistics. `Dataset.localCheckpoint` preserves the optimized
-    * plan's stats into the replacement LogicalRDD (Spark's
-    * `LogicalRDD.fromDataset` → `rewriteStatsAndConstraints`), and
-    * size-only stats estimate a join as the PRODUCT of its children —
-    * so in an iterative loop whose round tree references the previous
-    * round's checkpoint m ≥ 2 times, the preserved sizeInBytes
-    * compounds as bits_r ≈ m·bits_{r−1}: a doubly-exponential BigInt
-    * that Catalyst's stats visitor then multiplies on the DRIVER at
-    * every subsequent checkpoint (observed: million-bit ToomCook
-    * multiplications pinning the driver for minutes by round ~5).
-    * Re-wrapping the checkpointed RDD through `createDataFrame` drops
-    * the preserved stats, so every round starts from fresh
-    * default-size leaves. The cost is a lazy InternalRow→Row→
-    * InternalRow conversion on consumer reads of the (component- or
-    * contracted-edge-sized, geometrically shrinking) frames. */
-  private def cut(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(df.localCheckpoint(true).rdd,
-      df.schema)
+  /** See [[Lineage.cut]] — the loop-carried checkpoint that discards
+    * preserved stats (the round-9 Borůvka finding). */
+  private def cut(df: DataFrame): DataFrame = Lineage.cut(df)
 
   /** Partition count for a Borůvka working frame of `n` rows: the
     * contracted edge set shrinks geometrically, and materializing a
@@ -1329,8 +1315,9 @@ object Graphs {
         .unionAll(und.select(col("b").as("u"), col("a").as("v")))
         .localCheckpoint(true)
       def bfs(seed: DataFrame): DataFrame = {
-        var dist = seed.select(col("node"), lit(0L).as("dist"))
-          .localCheckpoint(true)
+        // Lineage.cut: dist appears twice per round (frontier filter
+        // + anti-join) — see Lineage
+        var dist = Lineage.cut(seed.select(col("node"), lit(0L).as("dist")))
         var r = 0L
         var done = false
         while (!done && r < maxDepth) {
@@ -1341,7 +1328,7 @@ object Graphs {
             .select(col("node"), lit(r + 1L).as("dist"))
           if (next.isEmpty) done = true
           else {
-            dist = dist.unionAll(next).localCheckpoint(true)
+            dist = Lineage.cut(dist.unionAll(next))
             r += 1
           }
         }
@@ -1441,23 +1428,23 @@ object Graphs {
     val edges = sccEdges(s, dir, cap)
     // reflexive seed: u reaches u — makes the closure monotone and the
     // mutual-pair join self-inclusive (singletons label themselves)
-    var reach = edges
+    var reach = Lineage.cut(edges
       .unionByName(docs.select(col("doc_id").as("src"),
         col("doc_id").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     // 2^8 ≥ cap bounds the rounds; the closure is MONOTONE, so an
     // unchanged pair count IS the fixpoint — exact early exit (the
     // count is one action on the ≤cap² checkpointed frame)
     var prev = reach.count()
     var done = false
     for (_ <- 1 to 8 if !done) {
-      reach = reach
+      // Lineage.cut: path doubling references `reach` three times
+      // per round — see Lineage
+      reach = Lineage.cut(reach
         .unionByName(reach.as("a")
           .join(reach.as("b"), col("a.dst") === col("b.src"))
           .select(col("a.src").as("src"), col("b.dst").as("dst")))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
       val cur = reach.count()
       done = cur == prev
       prev = cur
@@ -1496,24 +1483,25 @@ object Graphs {
       .select(col("ls").as("src"), col("ld").as("dst"))
       .distinct()
     val comps = labels.select(col("scc_label")).distinct()
-    var paths = dagEdges.select(col("src"), col("dst"), lit(1L).as("len"))
-      .unionByName(comps.select(col("scc_label").as("src"),
-        col("scc_label").as("dst"), lit(0L).as("len")))
-      .groupBy(col("src"), col("dst")).agg(max(col("len")).as("len"))
-      .localCheckpoint(true)
+    var paths = Lineage.cut(
+      dagEdges.select(col("src"), col("dst"), lit(1L).as("len"))
+        .unionByName(comps.select(col("scc_label").as("src"),
+          col("scc_label").as("dst"), lit(0L).as("len")))
+        .groupBy(col("src"), col("dst")).agg(max(col("len")).as("len")))
     // max-plus doubling: longest DAG paths; monotone in Σlen, so an
     // unchanged total is the exact fixpoint (same device as the
     // closure above — lengths only ever grow on an acyclic DAG)
     var prev = -1L
     var done = false
     for (_ <- 1 to 8 if !done) {
-      paths = paths
+      // Lineage.cut: max-plus doubling references `paths` three
+      // times per round — see Lineage
+      paths = Lineage.cut(paths
         .unionByName(paths.as("a")
           .join(paths.as("b"), col("a.dst") === col("b.src"))
           .select(col("a.src").as("src"), col("b.dst").as("dst"),
             (col("a.len") + col("b.len")).as("len")))
-        .groupBy(col("src"), col("dst")).agg(max(col("len")).as("len"))
-        .localCheckpoint(true)
+        .groupBy(col("src"), col("dst")).agg(max(col("len")).as("len")))
       val cur = paths.agg(sum(col("len")).cast("long"))
         .collect().head.getLong(0)
       done = cur == prev

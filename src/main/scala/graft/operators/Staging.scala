@@ -20,6 +20,31 @@ package graft.operators
   *    the marker check is idempotent: rebuilding identical content
   *    over a still-read directory is benign (same input ⇒ same bytes).
   */
+/** Eager lineage cut for ITERATIVE loops that also DISCARDS the origin
+  * plan's statistics. `Dataset.localCheckpoint` preserves the optimized
+  * plan's stats into the replacement LogicalRDD (SPARK-39834:
+  * `LogicalRDD.fromDataset` → `rewriteStatsAndConstraints`), and
+  * size-only stats estimate a join as the PRODUCT of its children — so
+  * a loop whose round tree references the previous round's checkpoint
+  * m ≥ 2 times compounds the stored sizeInBytes as
+  * bits_r ≈ m·bits_{r−1}: a doubly-exponential BigInt that Catalyst's
+  * stats visitor multiplies on the DRIVER at every subsequent
+  * checkpoint (observed in round 9's Borůvka rewrite: million-bit
+  * ToomCook multiplications pinning the driver for minutes by inner
+  * round ~5). Re-wrapping the checkpointed RDD through
+  * `createDataFrame` drops the preserved stats so every round starts
+  * from fresh default-size leaves; the cost is a lazy
+  * InternalRow→Row→InternalRow conversion on consumer reads of the
+  * loop-carried (label-, frontier- or contracted-edge-sized) frames.
+  * One-shot multi-consumer checkpoints can keep plain
+  * `localCheckpoint(true)` — they cannot compound. */
+private[operators] object Lineage {
+  def cut(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.sparkSession.createDataFrame(df.localCheckpoint(true).rdd,
+      df.schema)
+}
+
 private[operators] object Staging {
 
   def fingerprint(dir: String, table: String): String = {
