@@ -464,11 +464,27 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("id"))).distinct()
     // keyed by the edge set's semantic hash — see minhashLsh's staging
     // note (a second cc over different pairs must not clobber the
-    // parquet a still-live earlier result plan reads)
+    // parquet a still-live earlier result plan reads) — PLUS the
+    // source-file fingerprint, so file-backed builds can be reused
+    // across calls (the Staging protocol: a regenerated corpus changes
+    // the fingerprint and lands in a different directory)
+    val srcFiles = pairs.inputFiles.sorted
+    val fp = srcFiles.map { f =>
+      val fl = new java.io.File(new java.net.URI(f).getPath)
+      fl.length() ^ java.lang.Long.rotateLeft(fl.lastModified(), 21)
+    }.foldLeft(0L)(_ ^ _)
     val finalPath = "/tmp/graft_stage_cc_" +
-      Integer.toHexString(pairs.queryExecution.analyzed.semanticHash())
+      Integer.toHexString(pairs.queryExecution.analyzed.semanticHash()) +
+      "_" + java.lang.Long.toHexString(fp)
+    // file-backed edge sets reuse a completed build (warm calls skip
+    // the whole star loop); purely in-memory inputs (specs, ad-hoc
+    // frames) have no fingerprint to trust and always rebuild —
+    // exactly the pre-staging semantics, including the round count
+    // the convergence spec asserts on
+    val marker = new java.io.File(s"$finalPath/_built")
+    val reusable = srcFiles.nonEmpty && marker.exists()
     var rounds = 0
-    try {
+    if (!reusable) try {
       // Lineage.cut, not bare localCheckpoint: each star round's tree
       // references `cur` several times, so preserved stats would
       // compound doubly-exponentially across rounds (the round-9
@@ -486,6 +502,7 @@ object Dedup {
         rounds += 1
       }
       cur.write.mode("overwrite").parquet(finalPath)
+      if (srcFiles.nonEmpty) marker.createNewFile()
     } finally {
       sc.getPersistentRDDs
         .filterNot { case (id, _) => preexisting(id) }
