@@ -390,6 +390,19 @@ class PlanSpec extends SparkSpec {
       s"expected a broadcast join-back:\n$p")
   }
 
+  test("sim_ann_bq keeps both top-k passes heap-bounded: " +
+      "TakeOrderedAndProject, never a global sort") {
+    val df = Similarity.annBinaryQuant(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k heaps:\n$p")
+    assert(!"(?m)^\\s*[+:-]*\\s*\\*?\\(?\\d*\\)?\\s*Sort ".r
+      .findFirstIn(p).isDefined,
+      s"global sort leaked into the BQ plan:\n$p")
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // AQE prints codegen spans only in the FINAL plan — execute first
     val df = Relational.q1PricingSummary(spark, sf)
