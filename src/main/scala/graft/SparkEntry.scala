@@ -50,6 +50,8 @@ object SparkEntry {
       Relational.merge2Scd2(snap, Fixtures.orderUpdates(snap), "o_orderkey")
     }),
     "zorder1_layout" -> (Packing.zorderBlocks(_, _)),
+    // Hilbert-curve sibling: tighter block boxes, same contract
+    "zorder2_hilbert" -> (Packing.hilbertBlocks(_, _)),
     "w1_top_order_per_customer" -> (Relational.w1TopOrderPerCustomer(_, _)),
     "w1b_top_order_maxby" -> (Relational.w1bTopOrderMaxBy(_, _)),
     "w1c_top_order_strategy" -> (Relational.w1cTopOrderStrategy(_, _)),
@@ -529,6 +531,8 @@ object SparkEntry {
     "ts12_changepoint"   -> (EventAnalytics.ts12Changepoint(_, _)),
     "prof6_fd_discovery" -> (Profiling.prof6FdDiscovery(_, _)),
     "ev30_power_mde"     -> (EventAnalytics.ev30PowerMde(_, _)),
+    // difference-in-differences 2x2 with the shared estimate riding
+    "ev31_did"           -> (EventAnalytics.ev31Did(_, _)),
     "ml26_lda"           -> (Training.ml26Lda(_, _)),
     "samp14_kcenter"     -> (Sampling.kcenterGreedy(_, _)),
     "ml27_silhouette"    -> (Training.ml27Silhouette(_, _)),
@@ -694,6 +698,7 @@ object SparkEntry {
            min(y) AS y_min, max(y) AS y_max
          FROM z GROUP BY z_block"""
     },
+    "zorder2_hilbert" -> hilbertSql,
     "stat3_footer_stats" ->
       """SELECT count(*) AS n_orders,
          round(CAST(min(o_totalprice) AS DOUBLE), 2) AS min_price,
@@ -7141,6 +7146,36 @@ object SparkEntry {
         CAST(CASE WHEN sum(n_dep - 1) = 0 THEN 1 ELSE 0 END AS BIGINT)
           AS fd_holds
       FROM cls GROUP BY fd""",
+    // DiD 2x2 (EventAnalytics.ev31Did): integer midpoint time split,
+    // exact cents cell sums, one mirrored double tree for the estimate.
+    "ev31_did" -> raw"""
+      WITH e AS (SELECT
+          CAST(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+            AS treated,
+          CAST(epoch(ts) AS BIGINT) AS sec,
+          CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      rng AS (SELECT (min(sec) + max(sec)) // 2 AS mid FROM e),
+      cells AS (SELECT treated,
+          CAST(CASE WHEN sec >= mid THEN 1 ELSE 0 END AS BIGINT) AS post,
+          CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+        FROM e, rng GROUP BY 1, 2),
+      did AS (SELECT CAST(round(1e6 * (
+          (max(CASE WHEN treated = 1 AND post = 1
+             THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) -
+           max(CASE WHEN treated = 1 AND post = 0
+             THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END)) -
+          (max(CASE WHEN treated = 0 AND post = 1
+             THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) -
+           max(CASE WHEN treated = 0 AND post = 0
+             THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END))))
+          AS BIGINT) AS did_micros
+        FROM cells)
+      SELECT treated, post, n, s AS sum_cents,
+        CAST(round(100.0 * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          AS BIGINT) AS mean_centicents,
+        did_micros
+      FROM cells, did""",
     // Power / MDE (EventAnalytics.ev30PowerMde): exact cents sums,
     // literal z constants, one mirrored double tree.
     "ev30_power_mde" -> raw"""
@@ -8946,6 +8981,49 @@ object SparkEntry {
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dups,
         round(max(j), 4) AS best_jaccard
       FROM v WHERE j >= 0.5 GROUP BY doc_id"""
+
+  /** Hilbert layout replay (Packing.hilbertBlocks): the 16-step
+    * reflection/rotation recurrence as chained CTEs — the zorder1
+    * quantization, then per step the rx/ry bits, the d increment and
+    * the conditional reflect+swap, exactly the Spark projection
+    * chain. */
+  private def hilbertSql: String = {
+    val steps = (15 to 0 by -1).map { i =>
+      val sb = 1L << i
+      s"""h$i AS (SELECT x, y,
+           CASE WHEN ry = 0 THEN CASE WHEN rx = 1
+             THEN 65535 - hy ELSE hy END ELSE hx END AS hx,
+           CASE WHEN ry = 0 THEN CASE WHEN rx = 1
+             THEN 65535 - hx ELSE hx END ELSE hy END AS hy,
+           hd
+         FROM (SELECT x, y, hx, hy,
+             CASE WHEN (hx & $sb) <> 0 THEN 1 ELSE 0 END AS rx,
+             CASE WHEN (hy & $sb) <> 0 THEN 1 ELSE 0 END AS ry,
+             hd + CAST(${sb * sb} AS BIGINT) * xor(
+               3 * CASE WHEN (hx & $sb) <> 0 THEN 1 ELSE 0 END,
+               CASE WHEN (hy & $sb) <> 0 THEN 1 ELSE 0 END) AS hd
+           FROM h${i + 1}))"""
+    }.mkString(",\n      ")
+    raw"""
+      WITH mx AS (SELECT max(l_orderkey) AS x_max,
+          max(l_partkey) AS y_max FROM lineitem),
+      h16 AS (SELECT
+          CAST(floor(CAST(l_orderkey AS DOUBLE) * 65535 / x_max)
+            AS BIGINT) AS x,
+          CAST(floor(CAST(l_partkey AS DOUBLE) * 65535 / y_max)
+            AS BIGINT) AS y,
+          CAST(floor(CAST(l_orderkey AS DOUBLE) * 65535 / x_max)
+            AS BIGINT) AS hx,
+          CAST(floor(CAST(l_partkey AS DOUBLE) * 65535 / y_max)
+            AS BIGINT) AS hy,
+          CAST(0 AS BIGINT) AS hd
+        FROM lineitem, mx),
+      $steps
+      SELECT hd >> 26 AS h_block, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+        CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+      FROM h0 GROUP BY 1"""
+  }
 
   /** Unigram Viterbi replay (Training.tok11Unigram): chained-CTE DP
     * unrolled to the ugMaxLen cap — per position the candidate

@@ -1663,6 +1663,50 @@ object EventAnalytics {
         .as("mde_rel_micros"))
   }
 
+  /** `ev31_did` — difference-in-differences over the event stream, the
+    * causal-inference face beside ev22's intervals and ev30's power:
+    * users split into treated (even id) and control, time splits at
+    * the exact integer midpoint of the observed epoch-second range,
+    * and the DiD estimate is (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post −
+    * ȳ_C,pre) — the parallel-trends-adjusted effect an A/B readout
+    * quotes when assignment isn't randomized over time. Emits the
+    * four cells (n, exact cents sum, mean centicents) with the shared
+    * DiD in micros on every row (the ev30 readout convention).
+    *
+    * Determinism: cell sums are exact integer cents; the midpoint is
+    * an integer DIV; the DiD double tree divides four exact sums and
+    * is mirrored in the oracle; micro-quantized.
+    *
+    * Scale shape: one broadcast 1-row range frame, one map-side-
+    * combinable groupBy over 4 cells, one 1-row conditional pivot —
+    * the ev30 shape with a time split riding along. */
+  def ev31Did(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      (col("user_id") % 2 === 0).cast("long").as("treated"),
+      col("ts").cast("long").as("sec"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val rng = broadcast(e.agg(min(col("sec")).as("lo"),
+      max(col("sec")).as("hi"))
+      .select(expr("(lo + hi) DIV 2").as("mid")))
+    val cells = e.crossJoin(rng)
+      .select(col("treated"),
+        (col("sec") >= col("mid")).cast("long").as("post"), col("cents"))
+      .groupBy(col("treated"), col("post"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    def m(t: Int, p: Int) =
+      max(when(col("treated") === t && col("post") === p,
+        col("s").cast("double") / col("n").cast("double")))
+    val did = broadcast(cells.agg(
+      round(lit(1e6) * ((m(1, 1) - m(1, 0)) - (m(0, 1) - m(0, 0))))
+        .cast("long").as("did_micros")))
+    cells.crossJoin(did)
+      .select(col("treated"), col("post"), col("n"),
+        col("s").as("sum_cents"),
+        round(lit(100.0) * col("s").cast("double") /
+          col("n").cast("double")).cast("long").as("mean_centicents"),
+        col("did_micros"))
+  }
+
   /** `ts13_ljung_box` — the Ljung–Box portmanteau white-noise test on
     * the daily event-count series: Q = n(n+2)·Σ_{k≤7} ρ̂²ₖ/(n−k),
     * where each ρ̂ₖ is the SAME exact-integer autocorrelation

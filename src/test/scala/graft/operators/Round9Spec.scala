@@ -203,6 +203,70 @@ class Round9Spec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("zorder2 Hilbert keys replay the reflection/rotation recurrence " +
+    "and block boxes restate from the key groups") {
+    val keys = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (xm, ym) = (keys.map(_._1).max, keys.map(_._2).max)
+    def xy2d(x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var i = 15
+      while (i >= 0) {
+        val sb = 1L << i
+        val rx = if ((x & sb) != 0) 1L else 0L
+        val ry = if ((y & sb) != 0) 1L else 0L
+        d += sb * sb * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = 65535L - x; y = 65535L - y }
+          val t = x; x = y; y = t
+        }
+        i -= 1
+      }
+      d
+    }
+    val expected = keys.map { case (kx, ky) =>
+      val x = math.floor(kx.toDouble * 65535 / xm).toLong
+      val y = math.floor(ky.toDouble * 65535 / ym).toLong
+      (xy2d(x, y) >> 26, x, y)
+    }.groupBy(_._1).map { case (b, g) =>
+      (b, (g.length.toLong, g.map(_._2).min, g.map(_._2).max,
+        g.map(_._3).min, g.map(_._3).max))
+    }
+    val got = Packing.hilbertBlocks(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expected)
+  }
+
+  test("ev31 DiD replays from first principles: integer midpoint " +
+    "split, exact cell means, mirrored estimate") {
+    val rows = Tables.events(spark, sf)
+      .select((col("user_id") % 2 === 0).cast("long"),
+        col("ts").cast("long"),
+        round(col("value") * 100).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mid = (rows.map(_._2).min + rows.map(_._2).max) / 2
+    val cells = rows.groupBy(r => (r._1, if (r._2 >= mid) 1L else 0L))
+      .map { case (k, g) => k -> (g.length.toLong, g.map(_._3).sum) }
+    def mean(t: Long, p: Long) = {
+      val (n, sv) = cells((t, p)); sv.toDouble / n
+    }
+    val did = math.round(1e6 *
+      ((mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))))
+    val out = EventAnalytics.ev31Did(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out.keySet === cells.keySet)
+    cells.foreach { case (k, (n, sv)) =>
+      val (gn, gs, gm, gd) = out(k)
+      assert(gn === n && gs === sv)
+      assert(gm === math.round(100.0 * sv.toDouble / n))
+      assert(gd === did)
+    }
+  }
+
   test("geo7 Gi* replays from first principles over the sparse cell " +
     "grid") {
     val cells = Spatial.points(spark, sf)
