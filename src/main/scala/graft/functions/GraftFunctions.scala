@@ -47,7 +47,9 @@ object GraftFunctions {
     "rolling_min" -> (es => RollingMin(es(0),
       es(1).eval().asInstanceOf[Number].intValue)),
     // unigram-LM Viterbi segmentation of one word (tok11's kernel)
-    "unigram_segment" -> (es => UnigramSegment(es.head)))
+    "unigram_segment" -> (es => UnigramSegment(es.head)),
+    // Hilbert-curve key on the 16-bit grid (zorder2's kernel)
+    "hilbert_key" -> (es => HilbertKey(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

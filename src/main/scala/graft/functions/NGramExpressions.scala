@@ -259,3 +259,58 @@ case class UnigramSegment(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): UnigramSegment =
     copy(child = c)
 }
+
+/** Eval kernel for [[HilbertKey]]. */
+object HilbertImpl {
+  /** The classic iterative Hilbert xy→d recurrence (reflection +
+    * swap per bit, 16-bit grid): the inherently SEQUENTIAL per-bit
+    * state made a 33-projection Spark chain of it (4.2 s warm over the
+    * sf0.1 lineitem scan); one fused loop per row keeps it inside
+    * whole-stage codegen like the other vector kernels. */
+  def key(x0: Long, y0: Long): Long = {
+    var x = x0
+    var y = y0
+    var d = 0L
+    var i = 15
+    while (i >= 0) {
+      val s = 1L << i
+      val rx = if ((x & s) != 0L) 1L else 0L
+      val ry = if ((y & s) != 0L) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) { x = 65535L - x; y = 65535L - y }
+        val t = x; x = y; y = t
+      }
+      i -= 1
+    }
+    d
+  }
+}
+
+/** `hilbert_key(x, y)` — the native Hilbert-curve key behind
+  * Packing.hilbertBlocks; see [[HilbertImpl.key]]. */
+case class HilbertKey(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure("hilbert_key expects two bigint arguments")
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hilbert_key"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HilbertImpl.key(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (x, y) => s"graft.functions.HilbertImpl.key($x, $y)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): HilbertKey = copy(left = l, right = r)
+}

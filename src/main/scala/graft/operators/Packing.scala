@@ -99,50 +99,29 @@ object Packing {
     * predicates skip more files). The xy→d transform is the classic
     * reflection/rotation recurrence (Hilbert 1891; the standard
     * iterative formulation) over the same 16-bit quantized grid as
-    * zorder1: 16 statically-unrolled steps, each a PROJECTION step
-    * creating fresh (hx, hy, hd) attributes — plain integer CASE
-    * arithmetic inside whole-stage codegen, with a projection boundary
-    * per step so no expression tree compounds (the DP-unroll device
-    * tok11's oracle uses, applied Spark-side). Same block rollup and
-    * bounding-box contract as zorder1, so the two layouts' box
-    * tightness is directly comparable.
+    * zorder1, computed by the native codegen'd `hilbert_key` kernel
+    * (graft.functions.HilbertImpl) — the recurrence's per-bit state is
+    * inherently sequential, and a 33-projection column-chain form of
+    * it cost 4.2 s warm at sf0.1 where the fused per-row loop is one
+    * pass. Same block rollup and bounding-box contract as zorder1, so
+    * the two layouts' box tightness is directly comparable.
     *
     * Scale shape: identical to zorder1 — narrow per-row arithmetic,
     * ONE groupBy on the block id; at 100 TB the same Hilbert key
     * feeds repartitionByRange for the physical layout. */
   def hilbertBlocks(s: SparkSession, dir: String,
                     blockBits: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val li = Tables.lineitem(s, dir)
     val keys = li.select(col("l_orderkey").as("x"), col("l_partkey").as("y"))
     val maxes = keys.agg(max(col("x")).as("x_max"), max(col("y")).as("y_max"))
     def quant(c: Column, m: Column): Column =
       floor(c.cast("double") * 65535d / m).cast("long")
-    var df = keys.crossJoin(broadcast(maxes))
+    keys.crossJoin(broadcast(maxes))
       .select(quant(col("x"), col("x_max")).as("x"),
         quant(col("y"), col("y_max")).as("y"))
-      .withColumn("hx", col("x")).withColumn("hy", col("y"))
-      .withColumn("hd", lit(0L))
-    for (i <- 15 to 0 by -1) {
-      val sBit = 1L << i
-      val rx = (col("hx").bitwiseAND(lit(sBit)) =!= 0L).cast("long")
-      val ry = (col("hy").bitwiseAND(lit(sBit)) =!= 0L).cast("long")
-      df = df
-        .withColumn("rx", rx).withColumn("ry", ry)
-        .withColumn("hd", col("hd") +
-          lit(sBit * sBit) *
-            (lit(3L) * col("rx")).bitwiseXOR(col("ry")).cast("long"))
-      // reflection + swap only in the ry = 0 branch (the recurrence's
-      // rotate); both new coordinates read the OLD pair, so they move
-      // in one multi-column projection
-      df = df.withColumns(Map(
-        "hx" -> when(col("ry") === 0L,
-          when(col("rx") === 1L, lit(65535L) - col("hy"))
-            .otherwise(col("hy"))).otherwise(col("hx")),
-        "hy" -> when(col("ry") === 0L,
-          when(col("rx") === 1L, lit(65535L) - col("hx"))
-            .otherwise(col("hx"))).otherwise(col("hy"))))
-    }
-    df.groupBy(shiftright(col("hd"), 32 - blockBits).as("h_block"))
+      .withColumn("hd", call_function("hilbert_key", col("x"), col("y")))
+      .groupBy(shiftright(col("hd"), 32 - blockBits).as("h_block"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("x")).as("x_min"), max(col("x")).as("x_max"),
         min(col("y")).as("y_min"), max(col("y")).as("y_max"))
