@@ -64,6 +64,20 @@ object Bench {
         spark.sparkContext.cancelAllJobs()
         "\"osm_failed\":true"
     }
+    // streaming throughput faces (StreamBench): measured AFTER the OSM
+    // phases on the still-fresh JVM, skipped for dev subsets; own
+    // budget, degrades to a marker alone
+    val stream = if (only.isDefined) "\"stream_skipped\":true" else try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future(graft.streaming.StreamBench.run(spark, sfDir)), 300.seconds)
+    } catch {
+      case _: Throwable =>
+        spark.sparkContext.cancelAllJobs()
+        "\"stream_failed\":true"
+    }
     spark.catalog.clearCache() // no OSM residue in the first query's cold time
     val benchQueries = only match {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
@@ -120,9 +134,16 @@ object Bench {
       else root.get("queries").fields().asScala
         .map(e => e.getKey -> e.getValue.get("warm").asDouble()).toMap
     } catch { case _: Throwable => Map.empty }
+    // gate: >1.5x AND >0.3s (round 9's 2x+0.5s let a 1.70x/1.3s tok10
+    // slowdown through silently). Known-noisy faces — multi-arm eval
+    // composites whose min-of-N still swings with host load — keep the
+    // old loose gate instead of a blind pass.
+    val noisy = Set("eval2_ann_recall", "eval8_fusion_overlap",
+      "eval9_prf_shift")
     val regressions = results.flatMap { case (k, _, w) =>
+      val (mul, abs) = if (noisy(k)) (2.0, 0.5) else (1.5, 0.3)
       prior.get(k).collect {
-        case p if p >= 0 && w >= 0 && w > 2 * p && w - p > 0.5 =>
+        case p if p >= 0 && w >= 0 && w > mul * p && w - p > abs =>
           k -> (p, w)
       }
     }
@@ -139,7 +160,7 @@ object Bench {
     // Full-detail line: every query + every OSM phase. Too long to be
     // machine-parsed from a 2000-char output tail, but the judge reads
     // the tail by eye and most of this line stays visible in it.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"n_failed":$nFailed,"failed":$failed,$osm,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"n_failed":$nFailed,"failed":$failed,$osm,$stream,"queries":$qs,"sf":"$sfDir"}""")
     // the durable per-query artifact (see detailPath comment above).
     // A SPARK_GRAFT_ONLY dev subset must not clobber the committed
     // full-battery baseline — subset runs only write when an explicit
@@ -150,7 +171,7 @@ object Bench {
       }.mkString("{", ",", "}")
       val out = s"""{"sf":"$sfDir","total":$total,"cold_total":$coldTotal,""" +
         s""""n_failed":$nFailed,"failed":$failed,"regressions":$regJson,""" +
-        s"""$osm,"queries":$qDetail}""" + "\n"
+        s"""$osm,$stream,"queries":$qDetail}""" + "\n"
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         out.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[detail] $e") }
@@ -162,6 +183,6 @@ object Bench {
       .map { case (k, _, w) => s"\"" + k + "\":" + r3(w) }.mkString("{", ",", "}")
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"n_failed":$nFailed,"regressions":$regJson,$osm,"queries":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"n_failed":$nFailed,"regressions":$regJson,$osm,$stream,"queries":$slowest,"sf":"$sfDir"}""")
   }
 }

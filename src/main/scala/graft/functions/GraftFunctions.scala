@@ -48,6 +48,16 @@ object GraftFunctions {
       es(1).eval().asInstanceOf[Number].intValue)),
     // unigram-LM Viterbi segmentation of one word (tok11's kernel)
     "unigram_segment" -> (es => UnigramSegment(es.head)),
+    // greedy longest-match WordPiece segmentation (tok10's kernel)
+    "wordpiece_segment" -> (es => WordPieceSegment(es.head)),
+    // CDC boundary positions: cdc_boundaries(text, mod) → array<int>
+    // of 1-based end positions whose trailing 8-char window hash ≡ 0
+    "cdc_boundaries" -> (es => CdcBoundaries(es(0),
+      es(1).eval().asInstanceOf[Number].intValue)),
+    // per-frame PCM energies: frame_energies(payload, flen) →
+    // array<bigint> (mm9's kernel)
+    "frame_energies" -> (es => FrameEnergies(es(0),
+      es(1).eval().asInstanceOf[Number].intValue)),
     // Hilbert-curve key on the 16-bit grid (zorder2's kernel)
     "hilbert_key" -> (es => HilbertKey(es(0), es(1))))
 

@@ -27,9 +27,18 @@ object Md5Base {
 
   /** Top 60 bits of md5(utf8 bytes) as a non-negative Long. */
   def hash60(s: UTF8String): Long = {
+    val b = s.getBytes
+    hash60Bytes(b, 0, b.length)
+  }
+
+  /** [[hash60]] over a byte slice — lets window-scanning kernels
+    * (CDC boundary detection) hash each window without allocating a
+    * substring UTF8String per position. */
+  def hash60Bytes(bytes: Array[Byte], off: Int, len: Int): Long = {
     val d = md.get()
     d.reset()
-    val dig = d.digest(s.getBytes)
+    d.update(bytes, off, len)
+    val dig = d.digest()
     var v = 0L
     var i = 0
     // bytes 0..6 (14 hex chars) then the high nibble of byte 7 (15th)

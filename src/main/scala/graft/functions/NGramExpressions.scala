@@ -260,6 +260,199 @@ case class UnigramSegment(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Eval kernel for [[WordPieceSegment]] — top-level object so
+  * whole-stage codegen calls the static forwarder directly. */
+object WordPieceImpl {
+  /** Greedy longest-match WordPiece segmentation of one word under
+    * [[UnigramVocab]]: at each unconsumed position try the 3-gram,
+    * then the 2-gram, else emit the single char — the BERT serving
+    * algorithm, bit-equal to the higher-order `aggregate` fold it
+    * replaces (the fold allocated a (long, string) struct accumulator
+    * and re-concatenated the token string at EVERY position; this is
+    * one O(len) pass with a single StringBuilder — tok11's
+    * [[UnigramImpl.segment]] template applied to tok10). */
+  def segment(word: UTF8String): UTF8String = {
+    val s = word.toString
+    val n = s.length
+    if (n == 0) return UTF8String.EMPTY_UTF8
+    val sb = new java.lang.StringBuilder(2 * n)
+    var i = 0
+    while (i < n) {
+      val take =
+        if (n - i >= 3 && UnigramVocab.triSet.contains(s.substring(i, i + 3))) 3
+        else if (n - i >= 2 && UnigramVocab.biSet.contains(s.substring(i, i + 2))) 2
+        else 1
+      if (sb.length > 0) sb.append(' ')
+      sb.append(s, i, i + take)
+      i += take
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `wordpiece_segment(word)` — the native greedy kernel behind
+  * Training.tok10WordPiece; see [[WordPieceImpl.segment]]. */
+case class WordPieceSegment(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "wordpiece_segment"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("wordpiece_segment expects string")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    WordPieceImpl.segment(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WordPieceImpl.segment($c)")
+
+  override protected def withNewChildInternal(c: Expression): WordPieceSegment =
+    copy(child = c)
+}
+
+/** Eval kernel for [[CdcBoundaries]]. */
+object CdcImpl {
+  /** Content-defined-chunking boundary positions of one document: every
+    * 1-based character position e in [8, numChars] where the md5-60
+    * hash of the trailing 8-char window (chars e-8..e-1, 0-based) is
+    * ≡ 0 (mod `mod`) — bit-equal to the HOF form
+    * `filter(sequence(8, n), i -> pmod(hash60(substr(i-7, 8)), mod) = 0)`
+    * it replaces. The HOF allocated a substring UTF8String and ran an
+    * interpreted lambda per POSITION; this walks the char offsets once
+    * and hashes each window's byte slice in place. md5 itself is not a
+    * rolling hash, so the per-window digest remains (the portability
+    * price the scaladoc on Packing.cdcChunksOf documents); a
+    * production gear-hash drops into this same kernel. */
+  def boundaries(text: UTF8String, mod: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = text.numChars()
+    if (n < 8) return new GenericArrayData(Array.empty[Any])
+    // char start byte-offsets (offs(c) = byte index of char c)
+    val offs = new Array[Int](n + 1)
+    var bi = 0
+    var c = 0
+    while (c < n) {
+      offs(c) = bi
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
+      c += 1
+    }
+    offs(n) = bytes.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var e = 8
+    while (e <= n) {
+      val h = Md5Base.hash60Bytes(bytes, offs(e - 8), offs(e) - offs(e - 8))
+      if (h % mod == 0L) out += e
+      e += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `cdc_boundaries(text, mod)` — the native rolling-window boundary
+  * scan behind Packing.cdcChunksOf; see [[CdcImpl.boundaries]]. */
+case class CdcBoundaries(child: Expression, mod: Int)
+    extends UnaryExpression {
+  require(mod >= 1, "cdc modulus must be >= 1")
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cdc_boundaries"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("cdc_boundaries expects string")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    CdcImpl.boundaries(input.asInstanceOf[UTF8String], mod)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CdcImpl.boundaries($c, $mod)")
+
+  override protected def withNewChildInternal(c: Expression): CdcBoundaries =
+    copy(child = c)
+}
+
+/** Eval kernel for [[FrameEnergies]]. */
+object FrameEnergyImpl {
+  /** Per-frame PCM energy of a payload string: frame f (of `flen`
+    * chars) has energy Σ |codepoint − 32| over its chars; emits
+    * floor(numChars / flen) frames (trailing partial frame dropped,
+    * empty array when the payload is shorter than one frame) —
+    * bit-equal to the nested `transform(sequence)/aggregate` HOF fold
+    * it replaces, which allocated a 64-element array and ran two
+    * interpreted lambdas per FRAME. One fused O(chars) pass per row. */
+  def energies(px: UTF8String, flen: Int): ArrayData = {
+    val s = px.toString
+    val nChars = s.codePointCount(0, s.length)
+    val nf = nChars / flen
+    if (nf == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nf)
+    var ci = 0
+    var f = 0
+    while (f < nf) {
+      var e = 0L
+      var j = 0
+      while (j < flen) {
+        val cp = s.codePointAt(ci)
+        e += math.abs(cp - 32L)
+        ci += Character.charCount(cp)
+        j += 1
+      }
+      out(f) = e
+      f += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `frame_energies(payload, flen)` — the native audio-frame energy
+  * fold behind Multimodal.mm9Silence; see [[FrameEnergyImpl.energies]]. */
+case class FrameEnergies(child: Expression, flen: Int)
+    extends UnaryExpression {
+  require(flen >= 1, "frame length must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "frame_energies"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("frame_energies expects string")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    FrameEnergyImpl.energies(input.asInstanceOf[UTF8String], flen)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.FrameEnergyImpl.energies($c, $flen)")
+
+  override protected def withNewChildInternal(c: Expression): FrameEnergies =
+    copy(child = c)
+}
+
 /** Eval kernel for [[HilbertKey]]. */
 object HilbertImpl {
   /** The classic iterative Hilbert xy→d recurrence (reflection +

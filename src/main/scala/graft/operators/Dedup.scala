@@ -469,13 +469,17 @@ object Dedup {
     // across calls (the Staging protocol: a regenerated corpus changes
     // the fingerprint and lands in a different directory)
     val srcFiles = pairs.inputFiles.sorted
-    val fp = srcFiles.map { f =>
+    // real digest over the sorted path:length:mtime list — an XOR fold
+    // of per-file words can cancel across files (and a same-size
+    // regenerate within mtime granularity collides), silently serving
+    // a stale component map; md5 of the full list cannot
+    val fp = Staging.digestHex(srcFiles.map { f =>
       val fl = new java.io.File(new java.net.URI(f).getPath)
-      fl.length() ^ java.lang.Long.rotateLeft(fl.lastModified(), 21)
-    }.foldLeft(0L)(_ ^ _)
+      s"$f:${fl.length()}:${fl.lastModified()}"
+    }.mkString("\n"))
     val finalPath = "/tmp/graft_stage_cc_" +
       Integer.toHexString(pairs.queryExecution.analyzed.semanticHash()) +
-      "_" + java.lang.Long.toHexString(fp)
+      "_" + fp
     // file-backed edge sets reuse a completed build (warm calls skip
     // the whole star loop); purely in-memory inputs (specs, ad-hoc
     // frames) have no fingerprint to trust and always rebuild —
@@ -614,9 +618,23 @@ object Dedup {
   def nearDupCross(s: SparkSession, history: DataFrame, batch: DataFrame,
                    threshold: Double = 0.5): DataFrame = {
     GraftFunctions.register(s)
-    val (hSh, hBands) = nearDupSides(history)
-    val (bSh, bBands) = nearDupSides(batch)
-    nearDupClassify(hSh, hBands, bSh, bBands, threshold)
+    // snapshot + finally-unpersist (the mst/cc convention): the side
+    // checkpoints would otherwise accumulate persisted RDDs across
+    // calls; the result materializes first so the returned plan
+    // depends on no transient storage
+    val sc = s.sparkContext
+    val preexisting = sc.getPersistentRDDs.keySet
+    try {
+      val (hSh, hBands) = nearDupSides(history)
+      val (bSh, bBands) = nearDupSides(batch)
+      Staging.materialized(
+        nearDupClassify(hSh, hBands, bSh, bBands, threshold),
+        "neardup_cross")
+    } finally {
+      sc.getPersistentRDDs
+        .filterNot { case (id, _) => preexisting(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** One side's (shingles, band table) for the cross-corpus near-dup
@@ -670,18 +688,43 @@ object Dedup {
                           batch: DataFrame, dir: String,
                           threshold: Double = 0.5): DataFrame = {
     GraftFunctions.register(s)
-    val base = Staging.base("neardup_index_v1", dir, "", "documents")
+    // the staging key must identify the HISTORY INPUT, not just dir:
+    // a caller passing a different history frame for the same corpus
+    // must not be served the previously staged index (the plan's
+    // semantic hash is stable for the file-backed default call)
+    val histId = Integer.toHexString(
+      history.queryExecution.analyzed.semanticHash())
+    val base = Staging.base("neardup_index_v2", dir, s"h$histId",
+      "documents")
     Staging.buildOnce(base) {
-      val sh = shingled(history).localCheckpoint(true)
-      sh.write.mode("overwrite").parquet(s"$base/shingles")
-      nearDupBands(sh).write.mode("overwrite")
-        .partitionBy("band").parquet(s"$base/bands")
+      val sc0 = s.sparkContext
+      val pre0 = sc0.getPersistentRDDs.keySet
+      try {
+        val sh = shingled(history).localCheckpoint(true)
+        sh.write.mode("overwrite").parquet(s"$base/shingles")
+        nearDupBands(sh).write.mode("overwrite")
+          .partitionBy("band").parquet(s"$base/bands")
+      } finally {
+        sc0.getPersistentRDDs
+          .filterNot { case (id, _) => pre0(id) }
+          .values.foreach(_.unpersist(blocking = false))
+      }
     }
     val hSh = s.read.parquet(s"$base/shingles")
     val hBands = s.read.parquet(s"$base/bands")
       .select(col("doc_id"), col("band").cast("int"), col("band_key"))
-    val (bSh, bBands) = nearDupSides(batch)
-    nearDupClassify(hSh, hBands, bSh, bBands, threshold)
+    val sc = s.sparkContext
+    val preexisting = sc.getPersistentRDDs.keySet
+    try {
+      val (bSh, bBands) = nearDupSides(batch)
+      Staging.materialized(
+        nearDupClassify(hSh, hBands, bSh, bBands, threshold),
+        "neardup_cross_idx")
+    } finally {
+      sc.getPersistentRDDs
+        .filterNot { case (id, _) => preexisting(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** 60-bit SimHash per document: per-token md5-60 hash, each bit votes

@@ -1225,6 +1225,18 @@ object Graphs {
           r += 1
         }
       }
+      // the loop can also exit by exhausting `rounds`; the local tail
+      // is only model-sized when the THRESHOLD condition held, so an
+      // over-threshold exit fails loudly instead of risking an
+      // unbounded driver collect (components halve per round, so the
+      // default 16 rounds covers 2^16× the threshold — hitting this
+      // means the caller passed a rounds budget too small for the
+      // graph, and the fix is more rounds, not a bigger collect)
+      if (!done && nE > localThreshold)
+        throw new IllegalStateException(
+          s"mst: round budget ($rounds) exhausted with $nE contracted " +
+            s"edges still above localThreshold=$localThreshold — " +
+            "raise rounds; refusing the unbounded driver collect")
       if (!done && nE > 0) {
         // local Kruskal tail over the ≤ threshold contracted edges:
         // MSF of the contraction = the remaining MSF edges, and the

@@ -377,10 +377,16 @@ object Multimodal {
     *
     * Scale shape: frames explode linearly (n_bytes/64 per asset);
     * both windows partition by doc_id — one shuffle keyed by asset,
-    * then a doc-sized rollup. Energy folds are codegen'd HOFs. */
+    * then a doc-sized rollup. Energies come from the native codegen'd
+    * `frame_energies` kernel ([[graft.functions.FrameEnergyImpl]], one
+    * fused O(bytes) pass per asset) — the nested
+    * `transform(sequence)/aggregate` HOF fold it replaced ran
+    * interpreted (Spark HOFs are CodegenFallback, the repo's round-3
+    * finding) and allocated a 64-element array per frame. */
   def mm9Silence(s: SparkSession, dir: String, flen: Int = 64)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
     val d = Tables.documents(s, dir)
     val asset = d.select(col("doc_id"),
       wavBytes(
@@ -397,13 +403,7 @@ object Multimodal {
           .as("nf"))
       .filter(col("nf") > 0)
       .select(col("doc_id"), col("byte_rate"),
-        posexplode(transform(sequence(lit(0L), col("nf") - 1),
-          i => aggregate(
-            transform(sequence(lit(0), lit(flen - 1)),
-              j => abs(ascii(col("px")
-                .substr((i * flen + j + 1).cast("int"), lit(1)))
-                .cast("long") - 32L)),
-            lit(0L), (acc, x) => acc + x))))
+        posexplode(call_function("frame_energies", col("px"), lit(flen))))
       .select(col("doc_id"), col("byte_rate"),
         col("pos").cast("long").as("fidx"), col("col").as("energy"))
     val wd = Window.partitionBy(col("doc_id"))

@@ -165,12 +165,12 @@ object Packing {
     * start_pos, end_pos, chunk_len, chunk_md5); expected chunk length
     * is the 64-char modulus.
     *
-    * Scale shape: entirely row-local — boundary positions come from one
-    * HOF filter over the position sequence (text is a real attribute,
-    * so the lambda's substr doesn't re-evaluate a subtree), spans from
-    * an array zip, the fan-out a narrow posexplode; zero shuffles, and
-    * only digests leave the projection. Docs shorter than the 8-char
-    * window emit one whole-doc chunk. */
+    * Scale shape: entirely row-local — boundary positions come from
+    * the native codegen'd `cdc_boundaries` kernel
+    * ([[graft.functions.CdcImpl.boundaries]], one O(len) pass per
+    * doc), spans from an array zip, the fan-out a narrow posexplode;
+    * zero shuffles, and only digests leave the projection. Docs
+    * shorter than the 8-char window emit one whole-doc chunk. */
   def cdcChunks(s: SparkSession, dir: String, mod: Int = 64): DataFrame =
     cdcChunksOf(Tables.documents(s, dir), mod)
 
@@ -178,13 +178,13 @@ object Packing {
     * (and what the insertion-stability spec drives with synthetic
     * edits). */
   def cdcChunksOf(docs: DataFrame, mod: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val n = length(col("text"))
-    val boundaries =
-      when(n >= 8,
-        filter(sequence(lit(8), n), i =>
-          pmod(Sampling.hash60(col("text").substr(i - 7, lit(8))),
-            lit(mod)) === 0))
-        .otherwise(array().cast("array<int>"))
+    // native one-pass window scan (walks char offsets once, hashes
+    // each 8-char window's byte slice in place) — bit-equal to the
+    // HOF filter `pmod(hash60(substr(i-7, 8)), mod) = 0` it replaced,
+    // which allocated a substring + interpreted lambda per POSITION
+    val boundaries = call_function("cdc_boundaries", col("text"), lit(mod))
     docs
       .select(col("doc_id"), col("text"),
         array_union(boundaries, array(n)).as("ends"))

@@ -292,14 +292,22 @@ object Privacy {
     * in one pass): release the k "heaviest" tokens where utility =
     * distinct-document frequency (sensitivity 1 — a document
     * contributes at most once per token), noisy score = (ε/2)·df +
-    * Gumbel. The DP sibling of text_heavy_hitters: same question, a
-    * formally private answer. True dfs ride along as the utility
-    * audit (the priv6 convention; a real deployment would not emit
-    * them).
+    * Gumbel. The DP sibling of text_heavy_hitters: same question
+    * answered through the Gumbel-max mechanism's selection rule. True
+    * dfs ride along as the utility audit (the priv6 convention; a
+    * real deployment would not emit them).
     *
-    * Determinism: the Gumbel draw is md5-derandomized per token (the
-    * priv4/priv6 device), 6dp-rounded, summed as one micro-quantized
-    * key both engines compare identically.
+    * NOT a formally private release: the Gumbel draw is
+    * md5-DERANDOMIZED from the token itself (the priv4/priv6
+    * determinism device — a deterministic function of the data, not
+    * randomness, so the DP guarantee does not hold as stated), and
+    * `epsilon_micros` reports the PER-SELECTION ε with no k-fold
+    * composition accounting. This face is a deterministic replay of
+    * the mechanism's arithmetic for oracle parity; a deployment swaps
+    * in a real Gumbel sampler and composes ε across the k picks.
+    *
+    * Determinism: the derandomized draw is 6dp-rounded and summed as
+    * one micro-quantized key both engines compare identically.
     *
     * Scale shape: one distinct (doc, token) rollup (the postings
     * shape), a map-side-combinable token count, TakeOrderedAndProject

@@ -1211,7 +1211,16 @@ object Similarity {
     * shows up as a missing or low row here, not as silent bad
     * neighbors downstream. */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
-    val truth = broadcast(annBruteForce(s, dir).select(col("vec_id")))
+    // the exact top-10 truth is a pure function of (corpus, query) —
+    // stage it once per embeddings fingerprint (the CC/MST/BQ staging
+    // convention) so the nine-method harness reads a 10-row parquet
+    // instead of re-running the brute-force scan every invocation
+    val truthBase = Staging.base("ann_truth_v1", dir, "", "embeddings")
+    Staging.buildOnce(truthBase) {
+      annBruteForce(s, dir).select(col("vec_id"))
+        .write.mode("overwrite").parquet(s"$truthBase/truth")
+    }
+    val truth = broadcast(s.read.parquet(s"$truthBase/truth"))
     // the IVF-family coarse quantizer is one model — collect it once and
     // hand the literal to both methods instead of re-running the
     // centroid aggregation per method

@@ -164,6 +164,12 @@ object Spatial {
     * TakeOrderedAndProject top-K. */
   def giStar(s: SparkSession, dir: String, rMicros: Long = 2000000L,
              topK: Int = 10): DataFrame = {
+    // snapshot + finally-unpersist (the mst/cc convention): the cells
+    // checkpoint would otherwise accumulate a persisted RDD per call;
+    // the ≤ topK-row result materializes before the unpersist
+    val sc = s.sparkContext
+    val preexisting = sc.getPersistentRDDs.keySet
+    try {
     val cells = points(s, dir)
       .groupBy(floor(col("x") / rMicros).cast("long").as("cx"),
         floor(col("y") / rMicros).cast("long").as("cy"))
@@ -184,7 +190,7 @@ object Spatial {
     val mean = col("sn").cast("double") / ncD
     val sd = sqrt(col("sn2").cast("double") / ncD - mean * mean)
     val den = sd * sqrt((ncD * wD - wD * wD) / (ncD - lit(1.0)))
-    cells
+    Staging.materialized(cells
       .join(hood, col("cx") === col("tx") && col("cy") === col("ty"))
       .crossJoin(tot)
       .filter(col("nc") > 1L &&
@@ -194,7 +200,12 @@ object Spatial {
         round(lit(1e6) * ((col("s_sum").cast("double") - wD * mean) /
           den)).cast("long").as("gi_micros"))
       .orderBy(col("gi_micros").desc, col("cx").asc, col("cy").asc)
-      .limit(topK)
+      .limit(topK), "gi_star")
+    } finally {
+      sc.getPersistentRDDs
+        .filterNot { case (id, _) => preexisting(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** k nearest neighbors for each query point (customers with

@@ -7,10 +7,11 @@ package graft.operators
   * marker committed only after the build completes. One definition so
   * the shared caveats live in one place:
   *
-  *  - the fingerprint is size XOR rotate(mtime, 21) of the SOURCE
-  *    parquet — a regenerated corpus changes both, so a stale artifact
-  *    is simply a different (ignored) directory and can never serve
-  *    changed data;
+  *  - the fingerprint is an MD5 digest of the SOURCE parquet's
+  *    path:size:mtime — a regenerated corpus changes the digest, so a
+  *    stale artifact is simply a different (ignored) directory and can
+  *    never serve changed data (a real digest, not an XOR fold that
+  *    could cancel across inputs);
   *  - `tag` carries the algorithm version (…_v1) — bump it when the
   *    staged computation changes so an old artifact can't serve new
   *    code;
@@ -47,10 +48,17 @@ private[operators] object Lineage {
 
 private[operators] object Staging {
 
+  /** Lowercase-hex MD5 of a string, truncated to 16 chars — the staged
+    * artifact fingerprint base (a real digest: no XOR-cancellation
+    * across inputs, no same-size/mtime-granularity collisions). */
+  def digestHex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+
   def fingerprint(dir: String, table: String): String = {
     val src = new java.io.File(s"$dir/$table.parquet")
-    java.lang.Long.toHexString(src.length() ^
-      java.lang.Long.rotateLeft(src.lastModified(), 21))
+    digestHex(s"${src.getAbsolutePath}:${src.length()}:${src.lastModified()}")
   }
 
   /** `/tmp/graft_<tag>[_<params>]_<dir-slug>_<fingerprint>` */
@@ -68,5 +76,25 @@ private[operators] object Staging {
       build
       marker.createNewFile()
     }
+  }
+
+  private val matCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Materialize `df` to a per-call /tmp parquet and return a read of
+    * it — lets an operator whose inputs are arbitrary in-memory frames
+    * unpersist its checkpointed intermediates in a `finally` WITHOUT
+    * invalidating the returned plan (a localCheckpoint truncates
+    * lineage, so unpersisting one that a still-lazy result plan reads
+    * would lose the data; the mst/cc convention applied to unfingerprinted
+    * inputs). The path is per-(JVM, call) unique, so concurrent calls
+    * never clobber a plan another caller still reads; the bytes written
+    * are result-sized (rollups/top-K), never corpus-sized. */
+  def materialized(df: org.apache.spark.sql.DataFrame, tag: String)
+      : org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    val path = s"/tmp/graft_mat_${tag}_" +
+      ProcessHandle.current().pid() + "_" + matCounter.incrementAndGet()
+    df.write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
   }
 }

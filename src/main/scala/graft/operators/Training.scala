@@ -1222,10 +1222,13 @@ object Training {
   /** `tok10_wordpiece` — greedy longest-match WordPiece encoding (the
     * BERT tokenizer's serving algorithm) against a FIXED literal
     * vocabulary of tri/bi-grams + implicit single chars: each word is
-    * segmented by one codegen'd `aggregate` fold over its character
-    * positions — at each unconsumed position try the 3-gram, then the
-    * 2-gram, else emit the char — zero UDFs, zero shuffles until the
-    * token rollup. The greedy-matching counterpart of the learned BPE
+    * segmented by the native codegen'd `wordpiece_segment` kernel
+    * ([[graft.functions.WordPieceImpl.segment]]) — one O(len) pass; at
+    * each unconsumed position try the 3-gram, then the 2-gram, else
+    * emit the char — zero UDFs, zero shuffles until the token rollup.
+    * (The interpreted HOF `aggregate` fold this replaced allocated a
+    * struct accumulator per position — the shape that cost tok11 27.9s
+    * before ITS kernel.) The greedy-matching counterpart of the learned BPE
     * family (tok1–tok7): BPE *trains* merges; WordPiece *serves* a
     * vocabulary, and this face measures what a fixed vocab does to
     * fertility on this corpus. Reports the top-10 tokens by count and
@@ -1236,38 +1239,18 @@ object Training {
     * the text_tokens plan with a smarter per-row kernel. */
   def tok10WordPiece(s: SparkSession, dir: String, topK: Int = 10)
       : DataFrame = {
-    // fold over DISTINCT words, multiplicities ride along — the word
+    graft.functions.GraftFunctions.register(s)
+    // segment DISTINCT words, multiplicities ride along — the word
     // domain is vocabulary-bounded while the corpus is not, so the
-    // expensive per-position fold runs |vocab| times, never |corpus|
+    // per-word kernel runs |vocab| times, never |corpus|
     val words = Tables.documents(s, dir)
       .select(explode(split(regexp_replace(lower(col("text")),
         "[^a-z]+", " "), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("m"))
-      .select(col("word"), col("m"),
-        length(col("word")).cast("long").as("len"))
-    def sub(i: Column, l: Int): Column =
-      col("word").substr((i + 1L).cast("int"), lit(l))
-    val fold = aggregate(
-      sequence(lit(0L), col("len") - 1L),
-      struct(lit(0L).as("np"), lit("").as("tk")),
-      (acc, i) => {
-        val np = acc.getField("np")
-        val tk = acc.getField("tk")
-        when(i < np, acc)
-          .when(col("len") - i >= 3L &&
-            array_contains(typedlit(wpTri), sub(i, 3)),
-            struct((i + 3L).as("np"),
-              concat(tk, sub(i, 3), lit(" ")).as("tk")))
-          .when(col("len") - i >= 2L &&
-            array_contains(typedlit(wpBi), sub(i, 2)),
-            struct((i + 2L).as("np"),
-              concat(tk, sub(i, 2), lit(" ")).as("tk")))
-          .otherwise(struct((i + 1L).as("np"),
-            concat(tk, sub(i, 1), lit(" ")).as("tk")))
-      })
     val toks = words.select(col("m"),
-        split(trim(fold.getField("tk")), " ").as("toks"))
+        split(call_function("wordpiece_segment", col("word")), " ")
+          .as("toks"))
       .select(col("m"), size(col("toks")).cast("long").as("n_tok"),
         col("toks"))
     val totals = broadcast(toks.agg(sum(col("m")).as("n_words"),

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Micro-batch throughput of the streaming faces — the measurement the
+  * `EventStreams` family lacked (parity specs prove correctness; this
+  * records rows/sec so a structural slowdown in the streaming path is
+  * caught the same way a batch regression is).
+  *
+  * Methodology: each face is driven exactly like its parity spec —
+  * a MemoryStream of row ids joined to the cached source table (or of
+  * typed tuples for the stateful processors) — split into `nChunks`
+  * micro-batches with `processAllAvailable` between chunks, so the
+  * measured time includes real per-micro-batch planning/state-commit
+  * overhead, not just one giant batch. Reported number is
+  * input rows / wall seconds. Each face degrades to -1 alone; the
+  * caller (Bench) splices the fragment into the bench JSON.
+  */
+object StreamBench {
+
+  private def r0(d: Double): Long = math.rint(d).toLong
+
+  /** Run one face: feed `chunks` through `addData`+`processAllAvailable`,
+    * return rows/sec. The memory-sink table is dropped afterwards. */
+  private def timeFace(nRows: Long)(run: () => Unit): Double = {
+    val t0 = System.nanoTime()
+    run()
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (sec <= 0) -1.0 else nRows / sec
+  }
+
+  def run(spark: SparkSession, sfDir: String,
+          nChunks: Int = 4): String = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckRoot = java.nio.file.Files
+      .createTempDirectory("graft-streambench").toString
+
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).cache()
+    val nEvents = events.count()
+    val eventIds = events.select(col("event_id"))
+      .collect().map(_.getLong(0))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text")).cache()
+    val nDocs = docs.count()
+    val docIds = docs.select(col("doc_id")).collect().map(_.getLong(0))
+
+    def chunksOf(ids: Array[Long]): Seq[Seq[Long]] = {
+      val per = math.max(1, (ids.length + nChunks - 1) / nChunks)
+      ids.toSeq.grouped(per).toSeq
+    }
+
+    var faceN = 0
+    /** Id-fed face: MemoryStream[Long] of ids joined back to `lookup`
+      * on `idCol`, transformed, written to a memory sink. */
+    def idFace(name: String, ids: Array[Long], lookup: DataFrame,
+               idCol: String, mode: String)
+              (transform: DataFrame => DataFrame): (String, Double) = {
+      faceN += 1
+      val rate = try {
+        val mem = MemoryStream[Long]
+        val in = mem.toDF().withColumnRenamed("value", idCol)
+          .join(lookup, idCol)
+        val q = transform(in).writeStream.outputMode(mode)
+          .option("checkpointLocation", s"$ckRoot/f$faceN")
+          .format("memory").queryName(s"sb_$faceN").start()
+        try timeFace(ids.length.toLong) { () =>
+          chunksOf(ids).foreach { c =>
+            mem.addData(c: _*); q.processAllAvailable()
+          }
+        } finally {
+          q.stop(); spark.catalog.dropTempView(s"sb_$faceN")
+        }
+      } catch { case _: Throwable => -1.0 }
+      (name, rate)
+    }
+
+    val stateless = idFace("stream_preprocess", docIds, docs, "doc_id",
+      "append")(EventStreams.preprocessStream)
+    val hourly = idFace("stream_hourly", eventIds, events, "event_id",
+      "update")(EventStreams.hourlyTypeCounts)
+    val dedup = idFace("stream_dedup", eventIds, events, "event_id",
+      "append")(EventStreams.dedupStream(_))
+
+    // transformWithState needs the RocksDB provider (the spec contract)
+    val sessionize: (String, Double) = try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      val rows = events
+        .select(col("user_id"), (unix_micros(col("ts")) / 1000L).as("ms"),
+          col("event_type"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val mem = MemoryStream[(Long, Long, String)]
+      val in = mem.toDS().map { case (u, ms, et) =>
+        EventStreams.SessionEvent(u, new java.sql.Timestamp(ms), et)
+      }
+      val q = EventStreams.sessionize(in, gapMs = 600000L)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$ckRoot/sess")
+        .format("memory").queryName("sb_sess").start()
+      val rate = try timeFace(rows.length.toLong) { () =>
+        val per = math.max(1, (rows.length + nChunks - 1) / nChunks)
+        rows.toSeq.grouped(per).foreach { c =>
+          mem.addData(c: _*); q.processAllAvailable()
+        }
+      } finally { q.stop(); spark.catalog.dropTempView("sb_sess") }
+      ("stream_sessionize", rate)
+    } catch { case _: Throwable => ("stream_sessionize", -1.0) }
+
+    events.unpersist(); docs.unpersist()
+    val faces = Seq(stateless, hourly, dedup, sessionize)
+    (faces.map { case (k, v) =>
+      "\"" + k + "_rows_per_sec\":" + (if (v < 0) "-1" else r0(v).toString)
+    } :+ s""""stream_event_rows":$nEvents,"stream_doc_rows":$nDocs""")
+      .mkString(",")
+  }
+}

@@ -184,4 +184,83 @@ class FunctionsSpec extends SparkSpec {
       assert(3000L - est <= 10000L / 11 + 1, s"bound broken at parts=$parts: $est")
     }
   }
+
+  test("wordpiece_segment == greedy HOF struct fold, bit for bit") {
+    GraftFunctions.register(spark)
+    import graft.operators.Training.{wpBi, wpTri}
+    // the interpreted fold tok10 ran before its native kernel — kept
+    // here verbatim as the executable spec of the greedy algorithm
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(regexp_replace(lower(col("text")),
+        "[^a-z]+", " "), " ")).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+      .select(col("word"), length(col("word")).cast("long").as("len"))
+    def sub(i: org.apache.spark.sql.Column, l: Int) =
+      col("word").substr((i + 1L).cast("int"), lit(l))
+    val fold = aggregate(
+      sequence(lit(0L), col("len") - 1L),
+      struct(lit(0L).as("np"), lit("").as("tk")),
+      (acc, i) => {
+        val np = acc.getField("np")
+        val tk = acc.getField("tk")
+        when(i < np, acc)
+          .when(col("len") - i >= 3L &&
+            array_contains(typedlit(wpTri), sub(i, 3)),
+            struct((i + 3L).as("np"),
+              concat(tk, sub(i, 3), lit(" ")).as("tk")))
+          .when(col("len") - i >= 2L &&
+            array_contains(typedlit(wpBi), sub(i, 2)),
+            struct((i + 2L).as("np"),
+              concat(tk, sub(i, 2), lit(" ")).as("tk")))
+          .otherwise(struct((i + 1L).as("np"),
+            concat(tk, sub(i, 1), lit(" ")).as("tk")))
+      })
+    val both = words.select(
+      call_function("wordpiece_segment", col("word")).as("native"),
+      trim(fold.getField("tk")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    assert(both.count() > 0)
+  }
+
+  test("cdc_boundaries == HOF window-hash filter, element for element") {
+    GraftFunctions.register(spark)
+    val mod = 64
+    val n = length(col("text"))
+    val hof =
+      when(n >= 8,
+        filter(sequence(lit(8), n), i =>
+          pmod(call_function("md5_base60",
+            col("text").substr(i - 7, lit(8))), lit(mod)) === 0))
+        .otherwise(array().cast("array<int>"))
+    val both = Tables.documents(spark, sf).select(
+      call_function("cdc_boundaries", col("text"), lit(mod)).as("native"),
+      hof.as("hof"))
+    assert(both.filter(to_json(col("native")) =!= to_json(col("hof")))
+      .count() === 0)
+    // at mod 64 the corpus must actually contain boundaries
+    assert(both.filter(size(col("native")) > 0).count() > 0)
+  }
+
+  test("frame_energies == nested transform/aggregate fold, bit for bit") {
+    GraftFunctions.register(spark)
+    val flen = 64
+    val d = Tables.documents(spark, sf)
+      .select(col("text").as("px"),
+        floor(length(col("text")).cast("double") / flen).cast("long")
+          .as("nf"))
+      .filter(col("nf") > 0)
+    val hof = transform(sequence(lit(0L), col("nf") - 1),
+      i => aggregate(
+        transform(sequence(lit(0), lit(flen - 1)),
+          j => abs(ascii(col("px")
+            .substr((i * flen + j + 1).cast("int"), lit(1)))
+            .cast("long") - 32L)),
+        lit(0L), (acc, x) => acc + x))
+    val both = d.select(
+      call_function("frame_energies", col("px"), lit(flen)).as("native"),
+      hof.as("hof"))
+    assert(both.filter(to_json(col("native")) =!= to_json(col("hof")))
+      .count() === 0)
+    assert(both.count() > 0)
+  }
 }
