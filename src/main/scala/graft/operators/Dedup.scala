@@ -618,22 +618,16 @@ object Dedup {
   def nearDupCross(s: SparkSession, history: DataFrame, batch: DataFrame,
                    threshold: Double = 0.5): DataFrame = {
     GraftFunctions.register(s)
-    // snapshot + finally-unpersist (the mst/cc convention): the side
-    // checkpoints would otherwise accumulate persisted RDDs across
-    // calls; the result materializes first so the returned plan
-    // depends on no transient storage
-    val sc = s.sparkContext
-    val preexisting = sc.getPersistentRDDs.keySet
-    try {
+    // resultOnce owns the snapshot → build → materialize →
+    // finally-unpersist cycle: the side checkpoints no longer
+    // accumulate across calls, file-backed (history, batch) pairs
+    // reuse a completed classification, and the returned plan depends
+    // on no transient storage
+    Staging.resultOnce("neardup_cross_v1",
+      s"t${math.round(threshold * 10000)}", Seq(history, batch)) {
       val (hSh, hBands) = nearDupSides(history)
       val (bSh, bBands) = nearDupSides(batch)
-      Staging.materialized(
-        nearDupClassify(hSh, hBands, bSh, bBands, threshold),
-        "neardup_cross")
-    } finally {
-      sc.getPersistentRDDs
-        .filterNot { case (id, _) => preexisting(id) }
-        .values.foreach(_.unpersist(blocking = false))
+      nearDupClassify(hSh, hBands, bSh, bBands, threshold)
     }
   }
 
@@ -713,17 +707,10 @@ object Dedup {
     val hSh = s.read.parquet(s"$base/shingles")
     val hBands = s.read.parquet(s"$base/bands")
       .select(col("doc_id"), col("band").cast("int"), col("band_key"))
-    val sc = s.sparkContext
-    val preexisting = sc.getPersistentRDDs.keySet
-    try {
+    Staging.resultOnce("neardup_cross_idx_v1",
+      s"t${math.round(threshold * 10000)}", Seq(history, batch)) {
       val (bSh, bBands) = nearDupSides(batch)
-      Staging.materialized(
-        nearDupClassify(hSh, hBands, bSh, bBands, threshold),
-        "neardup_cross_idx")
-    } finally {
-      sc.getPersistentRDDs
-        .filterNot { case (id, _) => preexisting(id) }
-        .values.foreach(_.unpersist(blocking = false))
+      nearDupClassify(hSh, hBands, bSh, bBands, threshold)
     }
   }
 

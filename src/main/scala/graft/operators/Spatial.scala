@@ -190,7 +190,7 @@ object Spatial {
     val mean = col("sn").cast("double") / ncD
     val sd = sqrt(col("sn2").cast("double") / ncD - mean * mean)
     val den = sd * sqrt((ncD * wD - wD * wD) / (ncD - lit(1.0)))
-    Staging.materialized(cells
+    Staging.materializedLocal(cells
       .join(hood, col("cx") === col("tx") && col("cy") === col("ty"))
       .crossJoin(tot)
       .filter(col("nc") > 1L &&
@@ -200,7 +200,7 @@ object Spatial {
         round(lit(1e6) * ((col("s_sum").cast("double") - wD * mean) /
           den)).cast("long").as("gi_micros"))
       .orderBy(col("gi_micros").desc, col("cx").asc, col("cy").asc)
-      .limit(topK), "gi_star")
+      .limit(topK), topK)
     } finally {
       sc.getPersistentRDDs
         .filterNot { case (id, _) => preexisting(id) }

@@ -94,7 +94,80 @@ private[operators] object Staging {
     val s = df.sparkSession
     val path = s"/tmp/graft_mat_${tag}_" +
       ProcessHandle.current().pid() + "_" + matCounter.incrementAndGet()
-    df.write.mode("overwrite").parquet(path)
+    // one output file: the payload is rollup-sized, so the 32-task
+    // write/read round trip would cost more than the data (measured
+    // +0.3-1.0s per call on sub-second faces)
+    df.coalesce(1).write.mode("overwrite").parquet(path)
     s.read.parquet(path)
+  }
+
+  /** [[materialized]] with cross-call reuse for PURELY FILE-BACKED
+    * inputs (the ccWithRounds convention), owning the whole
+    * snapshot → build → materialize → finally-unpersist cycle: when
+    * every leaf of every input is a file relation, the result is
+    * staged once per (tag, params, input plans, source-file digest)
+    * and warm calls read the parquet WITHOUT running `build` (so the
+    * expensive checkpointed intermediates are never even created);
+    * any in-memory leaf (specs' LocalRelations, streaming
+    * micro-batches' LogicalRDDs) has no fingerprint to trust and
+    * falls back to per-call materialization — always fresh, exactly
+    * the pre-staging semantics. Either way, every RDD `build`
+    * persists is unpersisted before return and the returned plan
+    * depends on no transient storage. */
+  def resultOnce(tag: String, params: String,
+                 inputs: Seq[org.apache.spark.sql.DataFrame])
+                (build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = inputs.head.sparkSession
+    val leaves = inputs.flatMap(_.queryExecution.analyzed.collectLeaves())
+    val fileBacked = leaves.nonEmpty && leaves.forall { l =>
+      val n = l.getClass.getSimpleName
+      n == "LogicalRelation" || n == "DataSourceV2Relation"
+    }
+    val files = inputs.flatMap(_.inputFiles).sorted
+    val path =
+      if (!fileBacked || files.isEmpty) None
+      else {
+        val fp = digestHex((files.map { f =>
+          val fl = new java.io.File(new java.net.URI(f).getPath)
+          s"$f:${fl.length()}:${fl.lastModified()}"
+        } ++ inputs.map(i =>
+          "plan:" + i.queryExecution.analyzed.semanticHash())).mkString("\n"))
+        Some(s"/tmp/graft_res_${tag}_${params}_$fp")
+      }
+    path match {
+      case Some(p) if new java.io.File(s"$p/_built").exists() =>
+        s.read.parquet(s"$p/data")
+      case _ =>
+        val sc = s.sparkContext
+        val preexisting = sc.getPersistentRDDs.keySet
+        try {
+          val df = build
+          path match {
+            case Some(p) =>
+              df.coalesce(1).write.mode("overwrite").parquet(s"$p/data")
+              new java.io.File(s"$p/_built").createNewFile()
+              s.read.parquet(s"$p/data")
+            case None => materialized(df, tag)
+          }
+        } finally {
+          sc.getPersistentRDDs
+            .filterNot { case (id, _) => preexisting(id) }
+            .values.foreach(_.unpersist(blocking = false))
+        }
+    }
+  }
+
+  /** [[materialized]] for results BOUNDED at a driver-safe row count
+    * (top-K faces): collect the rows and rebuild a local DataFrame —
+    * no filesystem round trip at all. Fails loudly if the bound was a
+    * lie rather than silently collecting a corpus. */
+  def materializedLocal(df: org.apache.spark.sql.DataFrame, maxRows: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"materializedLocal: result exceeded the declared $maxRows-row bound")
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
   }
 }
