@@ -393,6 +393,7 @@ object SparkEntry {
     "text_kn_bigrams"   -> (TextAnalysis.knBigrams(_, _)),
     "text_kn_doc_score" -> (TextAnalysis.knDocScore(_, _)),
     "chunk2_cdc"        -> (Packing.cdcChunks(_, _)),
+    "chunk3_cdc_dedup"  -> (Packing.cdcDedup(_, _)),
     "stat21_hll_overlap" -> (Relational.stat21HllOverlap(_, _)),
     "samp9_curriculum"  -> ((s, dir) =>
       Sampling.curriculumOrder(s, Tables.documents(s, dir))),
@@ -4160,6 +4161,38 @@ object SparkEntry {
         md5(substr(t.text, CAST(sp.s + 1 AS BIGINT),
           CAST(sp.e - sp.s AS BIGINT))) AS chunk_md5
       FROM spans sp JOIN base t USING (doc_id) WHERE sp.e > sp.s""",
+    // Chunk-level dedup (Packing.cdcDedup): the chunk2 boundary chain
+    // verbatim, then one digest rollup + totals + pinned top-15.
+    "chunk3_cdc_dedup" -> raw"""
+      WITH base AS (SELECT doc_id, text, len(text) AS n FROM documents),
+      pos AS (SELECT doc_id, text, n, unnest(range(8, n + 1)) AS i
+        FROM base WHERE n >= 8),
+      b AS (SELECT doc_id, i FROM pos
+        WHERE ('0x' || substr(md5(substr(text, CAST(i - 7 AS BIGINT), 8)),
+          1, 15))::BIGINT % 64 = 0),
+      ends AS (SELECT doc_id, i AS e FROM b
+        UNION SELECT doc_id, n FROM base),
+      spans AS (SELECT doc_id, e,
+          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS s
+        FROM ends),
+      ch AS (SELECT sp.doc_id, CAST(sp.e - sp.s AS BIGINT) AS chunk_len,
+          md5(substr(t.text, CAST(sp.s + 1 AS BIGINT),
+            CAST(sp.e - sp.s AS BIGINT))) AS chunk_md5
+        FROM spans sp JOIN base t USING (doc_id) WHERE sp.e > sp.s),
+      g AS (SELECT chunk_md5, CAST(max(chunk_len) AS BIGINT) AS chunk_len,
+          CAST(count(*) AS BIGINT) AS n_occurrences,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM ch GROUP BY 1),
+      gg AS (SELECT *, CAST((n_occurrences - 1) * chunk_len AS BIGINT)
+          AS saved_bytes FROM g),
+      tot AS (SELECT CAST(sum(n_occurrences) AS BIGINT) AS n_chunks,
+          CAST(count(*) AS BIGINT) AS n_unique_chunks,
+          CAST(sum(saved_bytes) AS BIGINT) AS total_saved_bytes FROM gg)
+      SELECT t.chunk_md5, t.chunk_len, t.n_occurrences, t.n_docs,
+        t.saved_bytes, tot.n_chunks, tot.n_unique_chunks,
+        tot.total_saved_bytes
+      FROM (SELECT * FROM gg WHERE n_occurrences > 1
+        ORDER BY n_occurrences DESC, chunk_md5 LIMIT 15) t, tot""",
     "stat21_hll_overlap" -> raw"""
       WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
       n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd

@@ -202,4 +202,42 @@ object Packing {
         md5(col("text").substr(col("col.s") + 1, col("col.e") - col("col.s"))
           .cast("binary")).as("chunk_md5"))
   }
+
+  /** `chunk3_cdc_dedup` — cross-document CHUNK-level deduplication,
+    * the operation content-defined chunking exists FOR (rsync/LBFS/
+    * data-domain dedup, and sub-document dedup in training corpora): a
+    * boilerplate paragraph pasted into many documents dedups at the
+    * chunk granularity even when every containing document is unique,
+    * because CDC boundaries re-align after any insertion. Reports the
+    * topK most-repeated chunks (digest, length, occurrence and
+    * distinct-doc counts, bytes saved by storing one copy) with the
+    * corpus totals riding along (the tok10 convention): total chunk
+    * count, unique chunk count, and the total dedup savings.
+    *
+    * Scale shape: [[cdcChunks]] emits digests + lengths only (text
+    * never leaves the per-document projection), the rollup is one
+    * map-side-combinable groupBy on the 32-char digest, totals are a
+    * 1-row broadcast, and the topK is TakeOrderedAndProject — nothing
+    * bigger than the unique-chunk domain ever shuffles. Ties at the
+    * topK boundary pin on (n_occurrences desc, chunk_md5 asc). */
+  def cdcDedup(s: SparkSession, dir: String, mod: Int = 64,
+               topK: Int = 15): DataFrame = {
+    val g = cdcChunks(s, dir, mod)
+      .select(col("chunk_md5"), col("chunk_len"), col("doc_id"))
+      .groupBy(col("chunk_md5"))
+      .agg(max(col("chunk_len")).as("chunk_len"),
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .select(col("chunk_md5"), col("chunk_len"), col("n_occurrences"),
+        col("n_docs"),
+        ((col("n_occurrences") - 1L) * col("chunk_len")).as("saved_bytes"))
+    val totals = broadcast(g.agg(
+      sum(col("n_occurrences")).as("n_chunks"),
+      count(lit(1)).as("n_unique_chunks"),
+      sum(col("saved_bytes")).as("total_saved_bytes")))
+    g.filter(col("n_occurrences") > 1L)
+      .orderBy(col("n_occurrences").desc, col("chunk_md5").asc)
+      .limit(topK)
+      .crossJoin(totals)
+  }
 }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-10 pins: the chunk-level CDC dedup face replays from a
+  * driver recomputation, the mst round-budget guard fails loudly, and
+  * the resultOnce/materializedLocal leak fixes leave no persisted RDDs
+  * behind. */
+class Round10Spec extends SparkSpec {
+
+  /** Driver restatement of the md5-60 window hash + boundary rule the
+    * cdc_boundaries kernel implements. */
+  private def chunksOfText(text: String, mod: Int = 64): Seq[(Int, Int)] = {
+    val n = text.length
+    val ends = ((8 to n).filter { e =>
+      md5_60(text.substring(e - 8, e)) % mod == 0
+    } :+ n).distinct.sorted
+    val starts = 0 +: ends.dropRight(1)
+    starts.zip(ends).filter { case (s, e) => e > s }
+  }
+
+  test("chunk3_cdc_dedup restates from a driver chunk-and-group replay") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val chunks = docs.flatMap { case (id, t) =>
+      chunksOfText(t).map { case (s, e) => (id, t.substring(s, e)) }
+    }
+    def hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byDigest = chunks.groupBy { case (_, c) => hex(c) }
+    val want = byDigest.map { case (d, occ) =>
+      d -> (occ.head._2.length.toLong, occ.length.toLong,
+        occ.map(_._1).distinct.length.toLong)
+    }
+    val wantTop = want.toSeq.filter(_._2._2 > 1)
+      .sortBy { case (d, (_, n, _)) => (-n, d) }.take(15)
+    val nChunks = chunks.length.toLong
+    val nUnique = want.size.toLong
+    val saved = want.values.map { case (len, n, _) => (n - 1) * len }.sum
+
+    val got = Packing.cdcDedup(spark, sf).collect()
+    assert(got.length === wantTop.length)
+    assert(got.length > 0, "corpus must contain duplicated chunks")
+    got.zip(wantTop).foreach { case (r, (d, (len, n, nd))) =>
+      assert(r.getAs[String]("chunk_md5") === d)
+      assert(r.getAs[Long]("chunk_len") === len)
+      assert(r.getAs[Long]("n_occurrences") === n)
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("saved_bytes") === (n - 1) * len)
+      assert(r.getAs[Long]("n_chunks") === nChunks)
+      assert(r.getAs[Long]("n_unique_chunks") === nUnique)
+      assert(r.getAs[Long]("total_saved_bytes") === saved)
+    }
+  }
+
+  test("mst fails loudly when the round budget exhausts above the " +
+    "local threshold instead of collecting an unbounded edge set") {
+    val e = intercept[IllegalStateException] {
+      Graphs.mst(spark, sf, rounds = 0, localThreshold = 0L)
+    }
+    assert(e.getMessage.contains("round budget"))
+  }
+
+  test("giStar and nearDupCross leave no persisted RDDs behind " +
+    "(the accumulating-checkpoint leak)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    Spatial.giStar(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    Dedup.nearDupCross(spark, docs, Fixtures.crawlBatch(docs)).collect()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persistent RDDs: $leaked")
+  }
+
+  test("resultOnce serves in-memory inputs fresh per call (no stale " +
+    "reuse across different batches)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val hist = docs.toSeq.toDF("doc_id", "text")
+    // batch 1: exact copies of two history docs; batch 2: disjoint junk
+    val b1 = Seq((1000001L, docs(0)._2), (1000002L, docs(1)._2))
+      .toDF("doc_id", "text")
+    val b2 = Seq((1000003L, "zzz qqq xxx yyy www vvv uuu ttt sss rrr"))
+      .toDF("doc_id", "text")
+    val r1 = Dedup.nearDupCross(spark, hist, b1).collect()
+    val r2 = Dedup.nearDupCross(spark, hist, b2).collect()
+    assert(r1.map(_.getLong(0)).toSet === Set(1000001L, 1000002L))
+    assert(r2.isEmpty, "a stale staged result served the wrong batch")
+  }
+}
