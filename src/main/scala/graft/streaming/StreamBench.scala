@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object StreamBench {
 
+  /** Dev driver: run the streaming faces alone against a testdata dir. */
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println("{" +
+      run(spark, args.headOption.getOrElse("/root/testdata/sf0.001")) + "}")
+    spark.stop()
+  }
+
   private def r0(d: Double): Long = math.rint(d).toLong
 
   /** Run one face: feed `chunks` through `addData`+`processAllAvailable`,
@@ -76,7 +89,9 @@ object StreamBench {
         } finally {
           q.stop(); spark.catalog.dropTempView(s"sb_$faceN")
         }
-      } catch { case _: Throwable => -1.0 }
+      } catch { case e: Throwable =>
+        System.err.println(s"[streambench] $name: $e"); -1.0
+      }
       (name, rate)
     }
 
@@ -93,8 +108,8 @@ object StreamBench {
         "org.apache.spark.sql.execution.streaming.state." +
           "RocksDBStateStoreProvider")
       val rows = events
-        .select(col("user_id"), (unix_micros(col("ts")) / 1000L).as("ms"),
-          col("event_type"))
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 1000").as("ms"), col("event_type"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
       val mem = MemoryStream[(Long, Long, String)]
       val in = mem.toDS().map { case (u, ms, et) =>
@@ -111,7 +126,10 @@ object StreamBench {
         }
       } finally { q.stop(); spark.catalog.dropTempView("sb_sess") }
       ("stream_sessionize", rate)
-    } catch { case _: Throwable => ("stream_sessionize", -1.0) }
+    } catch { case e: Throwable =>
+      System.err.println(s"[streambench] stream_sessionize: $e")
+      ("stream_sessionize", -1.0)
+    }
 
     events.unpersist(); docs.unpersist()
     val faces = Seq(stateless, hourly, dedup, sessionize)
