@@ -337,6 +337,7 @@ object SparkEntry {
     "ret2_rrf_indexed"   -> (Retrieval.rrfFusionIndexed(_, _)),
     "ret3_hybrid_minmax" -> (Retrieval.hybridMinMax(_, _)),
     "ret4_prf_rm3"       -> (Retrieval.prfRm3(_, _)),
+    "ret4_prf_rm3_indexed" -> (Retrieval.prfRm3Indexed(_, _)),
     "eval8_fusion_overlap" -> (Retrieval.fusionOverlap(_, _)),
     "eval9_prf_shift"    -> (Retrieval.prfShift(_, _)),
     "text_textrank"      -> (TextAnalysis.textrank(_, _)),
@@ -1378,6 +1379,10 @@ object SparkEntry {
     // Retrieval.prfRm3's integer-micro relevance weights, then the
     // shared bm25 kernel runs with the widened predicate
     "ret4_prf_rm3" -> prfRm3Sql,
+    // the staged-index serving twin is bit-equal by construction and
+    // grades against the SAME mirrored SQL — hash equality per round is
+    // a standing proof the postings index serves the exact RM3 answer
+    "ret4_prf_rm3_indexed" -> prfRm3Sql,
     // PRF ablation: rank shift between the seed-only and RM3-expanded
     // top-10 lists (Retrieval.prfShift)
     "eval9_prf_shift" -> raw"""

@@ -155,6 +155,56 @@ object Retrieval {
     TextAnalysis.bm25(docs, seed ++ expTerms, k)
   }
 
+  /** `ret4_prf_rm3_indexed` — the serving realization [[prfRm3]]'s
+    * scaladoc promises: EVERY phase reads the persisted term-bucketed
+    * BM25 postings index (built once per corpus fingerprint by
+    * bm25Indexed); the corpus text is never tokenized. Feedback and
+    * final retrievals are statically partition-pruned index reads; the
+    * relevance weights come from the feedback docs' postings rows
+    * (tf and dl are index columns — one columnar scan of (doc_id,
+    * term, tf, dl), no text); candidate-term document frequency is a
+    * count of postings rows per term (postings are distinct (doc,
+    * term) pairs by construction — identical to the in-session
+    * distinct). Bit-equal to [[prfRm3]], graded against the SAME
+    * oracle, so hash equality is a standing proof the index serves the
+    * exact RM3 answer. The sf1 soak motivated it: the in-session face
+    * scales linearly but pays 3 corpus tokenizations (15.2s at sf1);
+    * this reads postings columns only. A 100 TB deployment adds a
+    * doc-bucketed postings sidecar so the feedback-doc probe prunes
+    * too — the one remaining full-postings scan here. */
+  def prfRm3Indexed(s: SparkSession, dir: String,
+                    seed: Seq[String] = Seq("spark", "query", "filter"),
+                    fbK: Int = 10, expand: Int = 5, k: Int = 10,
+                    buckets: Int = 64): DataFrame = {
+    // runs the seed retrieval AND (first call per fingerprint) builds
+    // the postings index this face reads
+    val fb = TextAnalysis.bm25Indexed(s, dir, seed, fbK).select("doc_id")
+    val base = Staging.base("bm25_index_v1", dir, s"b$buckets",
+      "documents")
+    val post = s.read.parquet(s"$base/postings")
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    val fw = post.join(broadcast(fb), "doc_id")
+      .select(col("term"),
+        round(lit(1e6) * col("tf").cast("double") /
+          col("dl").cast("double")).cast("long").as("c"))
+      .groupBy(col("term")).agg(sum(col("c")).as("relw"))
+    val df = post.join(broadcast(fw.select(col("term"))), "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = s.read.parquet(s"$base/stats").collect().head
+      .getAs[Long]("n")
+    val idf = df.select(col("term"),
+      round(log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6)
+        .as("idf"))
+    val expTerms = fw.join(idf, "term")
+      .filter(!col("term").isin(seed: _*))
+      .select(col("term"),
+        round(col("idf") * col("relw")).cast("long").as("wt_micros"))
+      .orderBy(col("wt_micros").desc, col("term").asc)
+      .limit(expand)
+      .collect().map(_.getString(0)).toSeq
+    TextAnalysis.bm25Indexed(s, dir, seed ++ expTerms, k)
+  }
+
   /** `eval9_prf_shift` — the PRF ablation readout (eval8's twin for
     * the expansion half): how far does RM3 move the top-10? One row:
     * docs shared by the seed-only and expanded lists, docs only the

@@ -75,6 +75,16 @@ class Round10Spec extends SparkSpec {
     assert(leaked.isEmpty, s"leaked persistent RDDs: $leaked")
   }
 
+  test("prfRm3Indexed == prfRm3 bit for bit (the postings index serves " +
+    "the exact RM3 answer)") {
+    val want = Retrieval.prfRm3(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val got = Retrieval.prfRm3Indexed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(want.nonEmpty)
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("resultOnce serves in-memory inputs fresh per call (no stale " +
     "reuse across different batches)") {
     import spark.implicits._
