@@ -168,40 +168,84 @@ object Retrieval {
     * distinct). Bit-equal to [[prfRm3]], graded against the SAME
     * oracle, so hash equality is a standing proof the index serves the
     * exact RM3 answer. The sf1 soak motivated it: the in-session face
-    * scales linearly but pays 3 corpus tokenizations (15.2s at sf1);
-    * this reads postings columns only. A 100 TB deployment adds a
-    * doc-bucketed postings sidecar so the feedback-doc probe prunes
-    * too — the one remaining full-postings scan here. */
+    * scales linearly but pays 3 corpus tokenizations (15.2s at sf1).
+    * EVERY read here is statically pruned: the feedback retrieval and
+    * final retrieval prune term buckets, the feedback-doc probe prunes
+    * a doc-bucketed postings sidecar (built once per fingerprint FROM
+    * the term index), and the candidate-df read prunes term buckets
+    * again because the candidate list is driver-resident by then. The
+    * in-between arithmetic (relevance weights × idf, top-`expand`) is
+    * a model-sized driver finish quantized at the same boundaries as
+    * the distributed face. Per query: O(seed terms + fbK doc buckets +
+    * candidate-term buckets) partitions read, zero corpus scans. */
   def prfRm3Indexed(s: SparkSession, dir: String,
                     seed: Seq[String] = Seq("spark", "query", "filter"),
                     fbK: Int = 10, expand: Int = 5, k: Int = 10,
                     buckets: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     // runs the seed retrieval AND (first call per fingerprint) builds
-    // the postings index this face reads
-    val fb = TextAnalysis.bm25Indexed(s, dir, seed, fbK).select("doc_id")
+    // the term-bucketed postings index
+    val fbIds = TextAnalysis.bm25Indexed(s, dir, seed, fbK)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq // ≤fbK
     val base = Staging.base("bm25_index_v1", dir, s"b$buckets",
       "documents")
-    val post = s.read.parquet(s"$base/postings")
-      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
-    val fw = post.join(broadcast(fb), "doc_id")
+    // doc-bucketed sidecar of the SAME postings rows (built once per
+    // fingerprint FROM the term-bucketed index — no re-tokenization):
+    // the feedback-doc probe is doc-major, so without it the probe
+    // scans every term bucket
+    val docBase = Staging.base("rm3_docpost_v1", dir, s"b$buckets",
+      "documents")
+    Staging.buildOnce(docBase) {
+      s.read.parquet(s"$base/postings")
+        .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+        .withColumn("db", pmod(call_function("md5_base60",
+          col("doc_id").cast("string")), lit(buckets.toLong)))
+        .write.mode("overwrite").partitionBy("db")
+        .parquet(s"$docBase/postings")
+    }
+    val dbs = fbIds.map(id => math.floorMod(
+      graft.functions.Md5Base.hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(id.toString)),
+      buckets.toLong)).distinct
+    // feedback docs' term distributions: a ≤fbK-bucket pruned read;
+    // relevance weights collect to the driver (bounded by the feedback
+    // docs' combined vocabulary — fbK × doc length, model-sized)
+    val relw = s.read.parquet(s"$docBase/postings")
+      .filter(col("db").isin(dbs: _*) && col("doc_id").isin(fbIds: _*))
       .select(col("term"),
         round(lit(1e6) * col("tf").cast("double") /
           col("dl").cast("double")).cast("long").as("c"))
       .groupBy(col("term")).agg(sum(col("c")).as("relw"))
-    val df = post.join(broadcast(fw.select(col("term"))), "term")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // candidate-term document frequency: a term-bucket pruned read of
+    // the main index (candidate terms are known driver-side now), df =
+    // postings rows per term (postings are distinct (doc, term) pairs)
+    val cand = relw.keySet.toSeq.sorted
+    val tbs = cand.map(t => math.floorMod(
+      graft.functions.Md5Base.hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)),
+      buckets.toLong)).distinct
+    val dfMap = s.read.parquet(s"$base/postings")
+      .filter(col("tb").isin(tbs: _*) && col("term").isin(cand: _*))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val n = s.read.parquet(s"$base/stats").collect().head
       .getAs[Long]("n")
-    val idf = df.select(col("term"),
-      round(log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6)
-        .as("idf"))
-    val expTerms = fw.join(idf, "term")
-      .filter(!col("term").isin(seed: _*))
-      .select(col("term"),
-        round(col("idf") * col("relw")).cast("long").as("wt_micros"))
-      .orderBy(col("wt_micros").desc, col("term").asc)
-      .limit(expand)
-      .collect().map(_.getString(0)).toSeq
+    // model-sized driver finish, HALF_UP at the same two rounding
+    // boundaries the distributed face quantizes at (6dp idf, 0dp
+    // weight) — bit-equal by construction, Round10Spec pins it
+    def r6(d: Double): Double = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expTerms = cand.filterNot(seed.contains)
+      .map { t =>
+        val df = dfMap(t).toDouble
+        val idf = r6(math.log((n - df + 0.5) / (df + 0.5) + 1.0))
+        val wt = BigDecimal(idf * relw(t).toDouble)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        (t, wt)
+      }
+      .sortBy { case (t, wt) => (-wt, t) }
+      .take(expand).map(_._1)
     TextAnalysis.bm25Indexed(s, dir, seed ++ expTerms, k)
   }
 
