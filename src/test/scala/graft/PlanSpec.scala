@@ -622,4 +622,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("tok10/chunk2: the per-row work runs in the native kernels, " +
+      "no interpreted HOF lambdas left in the hot path") {
+    val pTok = plan(Training.tok10WordPiece(spark, sf))
+    assert(pTok.contains("wordpiece_segment"),
+      s"tok10 lost its native kernel:\n$pTok")
+    assert(!pTok.contains("lambdafunction"),
+      s"tok10 still carries an interpreted HOF:\n$pTok")
+    val pCdc = plan(Packing.cdcChunks(spark, sf))
+    assert(pCdc.contains("cdc_boundaries"),
+      s"chunk2 lost its native kernel:\n$pCdc")
+    // the per-CHARACTER scan is the kernel; the only HOF left is the
+    // boundary-count-sized span zip (zip_with over ends/starts) and
+    // the per-CHUNK digest projection — assert the per-position
+    // filter-over-sequence lambda specifically is gone
+    assert(!pCdc.contains("filter(sequence"),
+      s"chunk2 still scans windows via a per-position filter lambda:\n$pCdc")
+  }
+
+  test("mm9: frame energies come from the native kernel") {
+    val p = plan(Multimodal.mm9Silence(spark, sf))
+    assert(p.contains("frame_energies"),
+      s"mm9 lost its native kernel:\n$p")
+  }
+
+  test("ret4 indexed: the final retrieval statically prunes the " +
+      "term-bucketed postings index; results identical to prfRm3") {
+    val df = Retrieval.prfRm3Indexed(spark, sf)
+    val p = plan(df)
+    assert("PartitionFilters: \\[tb#\\d+ IN".r.findFirstIn(p).isDefined,
+      s"no static partition pruning on the postings scan:\n$p")
+    // the corpus text is never tokenized on the serving path: the
+    // returned plan must read parquet indices only, no documents scan
+    assert(!p.contains("documents.parquet"),
+      s"the serving plan still scans the corpus:\n$p")
+  }
 }
