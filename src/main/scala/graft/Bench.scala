@@ -83,9 +83,35 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None        => SparkEntry.queries
     }
+    // prior warm times and the regression gate are needed INSIDE the
+    // measurement loop now (see targeted re-measure below), so the
+    // baseline is read up front — detailPath is only written at the end
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      if (sfDir.stripSuffix("/").endsWith("sf0.1"))
+        "/root/repo/BENCH_detail.json" // driver cwd varies; repo doesn't
+      else "/tmp/graft_bench_detail_" +
+        sfDir.replaceAll("[^A-Za-z0-9]", "_") + ".json")
+    val prior: Map[String, Double] = try {
+      import scala.jdk.CollectionConverters._
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(new java.io.File(detailPath))
+      if (root.get("sf").asText() != sfDir) Map.empty
+      else root.get("queries").fields().asScala
+        .map(e => e.getKey -> e.getValue.get("warm").asDouble()).toMap
+    } catch { case _: Throwable => Map.empty }
+    // gate: >1.5x AND >0.3s (round 9's 2x+0.5s let a 1.70x/1.3s tok10
+    // slowdown through silently). Known-noisy faces — multi-arm eval
+    // composites whose min-of-N still swings with host load — keep the
+    // old loose gate instead of a blind pass.
+    val noisy = Set("eval2_ann_recall", "eval8_fusion_overlap",
+      "eval9_prf_shift")
+    def wouldFlag(k: String, w: Double): Boolean = {
+      val (mul, abs) = if (noisy(k)) (2.0, 0.5) else (1.5, 0.3)
+      prior.get(k).exists(p => p >= 0 && w >= 0 && w > mul * p && w - p > abs)
+    }
     val results = benchQueries.toSeq.map { case (name, fn) =>
       val cold = once(fn)
-      val warm = if (cold < 0) -1.0
+      val warm0 = if (cold < 0) -1.0
       else {
         val w1 = once(fn)
         val w2 = once(fn)
@@ -96,6 +122,14 @@ object Bench {
         if (best > 2.0) { val w3 = once(fn); if (w3 >= 0) math.min(best, w3) else best }
         else best
       }
+      // targeted re-measure before flagging: on this shared host a
+      // sub-second face's min-of-2 can still catch two bad draws
+      // (observed: three same-HEAD runs flagged three DISJOINT sets of
+      // untouched queries). Noise only ever INFLATES a warm time, so
+      // extra min-runs converge to steady state; a real regression
+      // survives all of them. Only suspected faces pay the extra runs.
+      val warm = if (!wouldFlag(name, warm0)) warm0
+      else (warm0 +: Seq(once(fn), once(fn)).filter(_ >= 0)).min
       // cache hygiene: a query may legitimately cache intermediates
       // (checkpoint-the-intermediate pattern); dropping them between
       // queries keeps one query's storage from polluting the next
@@ -115,37 +149,8 @@ object Bench {
     // (round 7's closing sf0.001 smoke did exactly that and silenced
     // the next round's diff) — non-canonical SFs default to a
     // /tmp sidecar instead.
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      if (sfDir.stripSuffix("/").endsWith("sf0.1"))
-        "/root/repo/BENCH_detail.json" // driver cwd varies; repo doesn't
-      else "/tmp/graft_bench_detail_" +
-        sfDir.replaceAll("[^A-Za-z0-9]", "_") + ".json")
-    // prior round's warm times, read BEFORE the overwrite: queries now
-    // >2x their recorded warm time (and >0.5s absolute — min-of-N noise
-    // floor on sub-second queries) surface as `regressions` instead of
-    // relying on a judge's by-eye diff of truncated tails.
-    // prior must be the SAME sf: diffing an sf0.01 record against an
-    // sf0.1 run would flood (or mask) the regression list
-    val prior: Map[String, Double] = try {
-      import scala.jdk.CollectionConverters._
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val root = om.readTree(new java.io.File(detailPath))
-      if (root.get("sf").asText() != sfDir) Map.empty
-      else root.get("queries").fields().asScala
-        .map(e => e.getKey -> e.getValue.get("warm").asDouble()).toMap
-    } catch { case _: Throwable => Map.empty }
-    // gate: >1.5x AND >0.3s (round 9's 2x+0.5s let a 1.70x/1.3s tok10
-    // slowdown through silently). Known-noisy faces — multi-arm eval
-    // composites whose min-of-N still swings with host load — keep the
-    // old loose gate instead of a blind pass.
-    val noisy = Set("eval2_ann_recall", "eval8_fusion_overlap",
-      "eval9_prf_shift")
     val regressions = results.flatMap { case (k, _, w) =>
-      val (mul, abs) = if (noisy(k)) (2.0, 0.5) else (1.5, 0.3)
-      prior.get(k).collect {
-        case p if p >= 0 && w >= 0 && w > mul * p && w - p > abs =>
-          k -> (p, w)
-      }
+      if (wouldFlag(k, w)) Some(k -> (prior(k), w)) else None
     }
     val regJson = regressions.map { case (k, (p, w)) =>
       s"\"" + k + s"\":{\"prev\":${r3(p)},\"now\":${r3(w)}}"
