@@ -180,6 +180,7 @@ object SparkEntry {
     "filter_dsir"       -> (TextAnalysis.dsirWeights(_, _)),
     "text_heavy_hitters" -> (TextAnalysis.heavyHitters(_, _)),
     "pack1_sequences"   -> (Packing.packSequences(_, _)),
+    "pack2_length_buckets" -> (Packing.lengthBuckets(_, _)),
     "chunk1_rag"        -> (Packing.ragChunks(_, _)),
     "s9_partitioned_sink" -> (Audits.s9PartitionedSink(_, _)),
     "pipe1_preprocess"  -> (Preprocess.pipeline(_, _)),
@@ -1173,6 +1174,44 @@ object SparkEntry {
         CAST(max(CASE WHEN cum_prev + n_tokens > (seq_id + 1) * 256
           THEN 1 ELSE 0 END) AS BIGINT) AS spans_next
       FROM sq GROUP BY source, seq_id""",
+    // Length-bucketed batching waste (Packing.lengthBuckets): exact
+    // ntile quantile split, fixed-size batches in (len, doc_id) order,
+    // per-batch padding to its own max, riding b=1 baseline totals
+    "pack2_length_buckets" -> raw"""
+      WITH d AS (SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0)) AS BIGINT) AS len
+        FROM documents),
+      b8 AS (SELECT doc_id, len,
+          CAST(ntile(8) OVER (ORDER BY len, doc_id) AS BIGINT) AS bucket
+        FROM d),
+      r8 AS (SELECT *, row_number() OVER (PARTITION BY bucket
+          ORDER BY len, doc_id) AS rk FROM b8),
+      g8 AS (SELECT bucket, (rk - 1) // 32 AS batch_id,
+          CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS sum_len,
+          CAST(max(len) * count(*) AS BIGINT) AS padded
+        FROM r8 GROUP BY 1, 2),
+      pb AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS n_docs,
+          CAST(count(*) AS BIGINT) AS n_batches,
+          CAST(sum(sum_len) AS BIGINT) AS sum_tokens,
+          CAST(sum(padded) AS BIGINT) AS padded_tokens
+        FROM g8 GROUP BY 1),
+      t8 AS (SELECT CAST(sum(padded) AS BIGINT) AS padded_total FROM g8),
+      r1 AS (SELECT doc_id, len, row_number() OVER (ORDER BY doc_id)
+          AS rk FROM d),
+      g1 AS (SELECT (rk - 1) // 32 AS batch_id,
+          CAST(max(len) * count(*) AS BIGINT) AS padded
+        FROM r1 GROUP BY 1),
+      t1 AS (SELECT CAST(sum(padded) AS BIGINT) AS padded_naive_total
+        FROM g1)
+      SELECT pb.bucket, pb.n_docs, pb.n_batches, pb.sum_tokens,
+        pb.padded_tokens,
+        CAST((1000000 * (pb.padded_tokens - pb.sum_tokens))
+          // pb.padded_tokens AS BIGINT) AS waste_micros,
+        t8.padded_total, t1.padded_naive_total,
+        CAST((1000000 * (t1.padded_naive_total - t8.padded_total))
+          // t1.padded_naive_total AS BIGINT) AS bucketing_savings_micros
+      FROM pb, t8, t1""",
     "chunk1_rag" -> raw"""
       WITH toks AS (SELECT doc_id,
           list_filter(string_split_regex(lower(text), '\s+'),

@@ -52,6 +52,69 @@ object Packing {
           (col("seq_id") + 1) * budget).cast("long")).as("spans_next"))
   }
 
+  /** `pack2_length_buckets` — length-bucketed batching with
+    * padding-waste accounting, the dynamic-batching layout between
+    * cleaning and training: documents are split into `buckets`
+    * length-quantile buckets, each bucket forms fixed-`batch`-doc
+    * batches in (length, doc_id) order, and every batch pads its
+    * members to its own max length. Reports per bucket: doc/batch
+    * counts, real vs padded token totals and the waste share — plus
+    * the headline riding along (the tok10 totals convention): padded
+    * totals bucketed vs NAIVE batching (fixed batches in arrival
+    * doc_id order, the no-layout default every training loader starts
+    * from), i.e. what length-bucketing saves. All integer arithmetic;
+    * ties pin on doc_id.
+    *
+    * Scale shape: the token count is a narrow per-row projection; the
+    * quantile split follows the samp9 convention (exact ntile for
+    * auditability/oracle parity — at 100 TB the cuts come from one
+    * model-sized percentile sketch broadcast into a narrow bucketing
+    * map, and batch formation is per-bucket-partition, exactly the
+    * per-shard independence packSequences documents); the rollups are
+    * map-side-combinable; totals are 1-row broadcasts. */
+  def lengthBuckets(s: SparkSession, dir: String, buckets: Int = 8,
+                    batch: Int = 32): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      size(TextAnalysis.tokens(lower(col("text")))).cast("long").as("len"))
+    // per-(bucket, batch) padded/actual token counts at a bucket count
+    def batches(nb: Int): DataFrame =
+      d.withColumn("bucket", ntile(nb).over(
+          Window.orderBy(col("len").asc, col("doc_id").asc)).cast("long"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("bucket"))
+          .orderBy(col("len").asc, col("doc_id").asc)))
+        .withColumn("batch_id", expr(s"(rk - 1) div $batch"))
+        .groupBy(col("bucket"), col("batch_id"))
+        .agg(count(lit(1)).as("n"), sum(col("len")).as("sum_len"),
+          (max(col("len")) * count(lit(1))).as("padded"))
+    val b = batches(buckets)
+    val perBucket = b.groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_batches"),
+        sum(col("sum_len")).as("sum_tokens"),
+        sum(col("padded")).as("padded_tokens"))
+    val tot = broadcast(b.agg(sum(col("padded")).as("padded_total")))
+    // naive baseline: fixed batches in ARRIVAL (doc_id) order — no
+    // length layout at all (a length-sorted single bucket would be
+    // OPTIMAL batching, not a baseline)
+    val naive = broadcast(
+      d.withColumn("rk", row_number().over(Window.partitionBy(lit(1))
+          .orderBy(col("doc_id").asc)))
+        .withColumn("batch_id", expr(s"(rk - 1) div $batch"))
+        .groupBy(col("batch_id"))
+        .agg((max(col("len")) * count(lit(1))).as("padded"))
+        .agg(sum(col("padded")).as("padded_naive_total")))
+    perBucket
+      .select(col("bucket"), col("n_docs"), col("n_batches"),
+        col("sum_tokens"), col("padded_tokens"),
+        expr("(1000000 * (padded_tokens - sum_tokens)) DIV padded_tokens")
+          .as("waste_micros"))
+      .crossJoin(tot).crossJoin(naive)
+      .select(col("bucket"), col("n_docs"), col("n_batches"),
+        col("sum_tokens"), col("padded_tokens"), col("waste_micros"),
+        col("padded_total"), col("padded_naive_total"),
+        expr("(1000000 * (padded_naive_total - padded_total)) DIV " +
+          "padded_naive_total").as("bucketing_savings_micros"))
+  }
+
   /** Z-order (Morton) clustering blocks — the multi-dimensional data-
     * layout primitive behind Delta/Iceberg `OPTIMIZE ZORDER BY`: rows
     * whose 16-bit (x, y) coordinates interleave to nearby Z-values are

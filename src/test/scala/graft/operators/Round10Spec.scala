@@ -56,6 +56,38 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("pack2 length buckets restate from a driver batch-and-pad replay") {
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split("\\s+").count(_.nonEmpty).toLong))
+      .sortBy { case (id, len) => (len, id) }
+    def padded(rows: Seq[(Long, Long)], batch: Int): (Long, Long) =
+      rows.grouped(batch).map { g =>
+        (g.map(_._2).sum, g.map(_._2).max * g.length)
+      }.foldLeft((0L, 0L)) { case ((s, p), (gs, gp)) => (s + gs, p + gp) }
+    // SQL-standard ntile: first (n mod b) buckets get the extra row
+    val n = lens.length
+    val (base, extra) = (n / 8, n % 8)
+    val cuts = (0 to 8).map(i => i * base + math.min(i, extra))
+    val byBucket = (0 until 8).map(i => lens.slice(cuts(i), cuts(i + 1)))
+    val wantPadded = byBucket.map(b => padded(b.toSeq, 32))
+    val got = Packing.lengthBuckets(spark, sf).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    assert(got.length === 8)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("n_docs") === byBucket(i).length.toLong)
+      assert(r.getAs[Long]("sum_tokens") === wantPadded(i)._1)
+      assert(r.getAs[Long]("padded_tokens") === wantPadded(i)._2)
+      assert(r.getAs[Long]("padded_total") === wantPadded.map(_._2).sum)
+      // naive baseline: arrival (doc_id) order, no length layout
+      assert(r.getAs[Long]("padded_naive_total") ===
+        padded(lens.sortBy(_._1).toSeq, 32)._2)
+      assert(r.getAs[Long]("bucketing_savings_micros") > 0L,
+        "length-bucketing must beat arrival-order batching")
+    }
+  }
+
   test("mst fails loudly when the round budget exhausts above the " +
     "local threshold instead of collecting an unbounded edge set") {
     val e = intercept[IllegalStateException] {
