@@ -181,6 +181,7 @@ object SparkEntry {
     "text_heavy_hitters" -> (TextAnalysis.heavyHitters(_, _)),
     "pack1_sequences"   -> (Packing.packSequences(_, _)),
     "pack2_length_buckets" -> (Packing.lengthBuckets(_, _)),
+    "pack3_fim"         -> (Packing.fimTransform(_, _)),
     "chunk1_rag"        -> (Packing.ragChunks(_, _)),
     "s9_partitioned_sink" -> (Audits.s9PartitionedSink(_, _)),
     "pipe1_preprocess"  -> (Preprocess.pipeline(_, _)),
@@ -1174,6 +1175,41 @@ object SparkEntry {
         CAST(max(CASE WHEN cum_prev + n_tokens > (seq_id + 1) * 256
           THEN 1 ELSE 0 END) AS BIGINT) AS spans_next
       FROM sq GROUP BY source, seq_id""",
+    // FIM transform (Packing.fimTransform): md5-derived apply-coin and
+    // cut points, PSM re-serialization digest replayed with explicit
+    // || concatenation (= Spark's concat_ws with empties preserved)
+    "pack3_fim" -> raw"""
+      WITH d AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0) AS tk
+        FROM documents),
+      n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM d),
+      c AS (SELECT *,
+          ('0x' || substr(md5('fimr:' || CAST(doc_id AS VARCHAR)), 1, 15))
+            ::BIGINT % 100 AS coin,
+          ('0x' || substr(md5('fim1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+            ::BIGINT % (n + 1) AS c1,
+          ('0x' || substr(md5('fim2:' || CAST(doc_id AS VARCHAR)), 1, 15))
+            ::BIGINT % (n + 1) AS c2
+        FROM n),
+      s AS (SELECT doc_id, tk, n, (coin < 50 AND n >= 3) AS applied,
+          least(c1, c2) AS lo, greatest(c1, c2) AS hi FROM c)
+      SELECT doc_id, n AS n_tokens,
+        CAST(CASE WHEN applied THEN 1 ELSE 0 END AS BIGINT) AS fim_applied,
+        CAST(CASE WHEN applied THEN lo ELSE n END AS BIGINT) AS n_prefix,
+        CAST(CASE WHEN applied THEN hi - lo ELSE 0 END AS BIGINT)
+          AS n_middle,
+        CAST(CASE WHEN applied THEN n - hi ELSE 0 END AS BIGINT)
+          AS n_suffix,
+        md5(CASE WHEN applied THEN
+            '<PRE> ' ||
+            coalesce(array_to_string(list_slice(tk, 1, lo), ' '), '') ||
+            ' <SUF> ' ||
+            coalesce(array_to_string(list_slice(tk, hi + 1, n), ' '), '') ||
+            ' <MID> ' ||
+            coalesce(array_to_string(list_slice(tk, lo + 1, hi), ' '), '')
+          ELSE array_to_string(tk, ' ') END) AS psm_digest
+      FROM s""",
     // Length-bucketed batching waste (Packing.lengthBuckets): exact
     // ntile quantile split, fixed-size batches in (len, doc_id) order,
     // per-batch padding to its own max, riding b=1 baseline totals

@@ -115,6 +115,51 @@ object Packing {
           "padded_naive_total").as("bucketing_savings_micros"))
   }
 
+  /** `pack3_fim` — fill-in-the-middle (FIM) training transform
+    * (Bavarian et al. 2022, "Efficient Training of Language Models to
+    * Fill in the Middle"): for a deterministic ~`ratePct`% of
+    * documents, two cut points split the token stream into (prefix,
+    * middle, suffix) and the document is re-serialized in PSM order —
+    * prefix, suffix, middle — behind sentinel tokens, teaching the
+    * model to infill; the rest pass through unchanged. Cut points and
+    * the apply-coin are md5-derived pure functions of doc_id (the
+    * sampling-coin convention), so the exact same split reproduces on
+    * any engine, any re-run, any backfill — auditability a random FIM
+    * pass lacks. Emits the per-doc manifest: segment token counts and
+    * the md5 digest of the re-serialized PSM text (so a broken slice
+    * OR reorder fails the hash check).
+    *
+    * Scale shape: a pure narrow projection — md5 coin, two integer
+    * mods, three `slice`s of the once-computed token attribute, one
+    * digest; zero shuffles, zero RNG state, whole row-pipeline. */
+  def fimTransform(s: SparkSession, dir: String,
+                   ratePct: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    def h(tag: String): Column = call_function("md5_base60",
+      concat(lit(tag), col("doc_id").cast("string")))
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("tk"))
+      .select(col("doc_id"), col("tk"),
+        size(col("tk")).cast("long").as("n"))
+    val applied = pmod(h("fimr:"), lit(100L)) < ratePct && col("n") >= 3L
+    val c1 = pmod(h("fim1:"), col("n") + 1L)
+    val c2 = pmod(h("fim2:"), col("n") + 1L)
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val pre = slice(col("tk"), lit(1), lo.cast("int"))
+    val mid = slice(col("tk"), (lo + 1L).cast("int"), (hi - lo).cast("int"))
+    val suf = slice(col("tk"), (hi + 1L).cast("int"), (col("n") - hi).cast("int"))
+    val psm = concat_ws(" ", lit("<PRE>"), concat_ws(" ", pre),
+      lit("<SUF>"), concat_ws(" ", suf), lit("<MID>"), concat_ws(" ", mid))
+    d.select(col("doc_id"), col("n").as("n_tokens"),
+      applied.cast("long").as("fim_applied"),
+      when(applied, lo).otherwise(col("n")).as("n_prefix"),
+      when(applied, hi - lo).otherwise(0L).as("n_middle"),
+      when(applied, col("n") - hi).otherwise(0L).as("n_suffix"),
+      md5(when(applied, psm).otherwise(concat_ws(" ", col("tk")))
+        .cast("binary")).as("psm_digest"))
+  }
+
   /** Z-order (Morton) clustering blocks — the multi-dimensional data-
     * layout primitive behind Delta/Iceberg `OPTIMIZE ZORDER BY`: rows
     * whose 16-bit (x, y) coordinates interleave to nearby Z-values are

@@ -88,6 +88,43 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("pack3 FIM restates from a driver split-and-reorder replay") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = docs.map { case (id, text) =>
+      val tk = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val n = tk.length.toLong
+      val applied = md5_60(s"fimr:$id") % 100 < 50 && n >= 3
+      val c1 = md5_60(s"fim1:$id") % (n + 1)
+      val c2 = md5_60(s"fim2:$id") % (n + 1)
+      val (lo, hi) = (math.min(c1, c2).toInt, math.max(c1, c2).toInt)
+      val psm =
+        if (!applied) tk.mkString(" ")
+        else "<PRE> " + tk.take(lo).mkString(" ") +
+          " <SUF> " + tk.drop(hi).mkString(" ") +
+          " <MID> " + tk.slice(lo, hi).mkString(" ")
+      id -> (n, if (applied) 1L else 0L,
+        if (applied) lo.toLong else n,
+        if (applied) (hi - lo).toLong else 0L,
+        if (applied) n - hi else 0L, hex(psm))
+    }.toMap
+    val got = Packing.fimTransform(spark, sf).collect()
+    assert(got.length === want.size)
+    // the face must actually exercise both arms
+    assert(got.count(_.getAs[Long]("fim_applied") == 1L) > 0)
+    assert(got.count(_.getAs[Long]("fim_applied") == 0L) > 0)
+    got.foreach { r =>
+      val w = want(r.getAs[Long]("doc_id"))
+      assert((r.getAs[Long]("n_tokens"), r.getAs[Long]("fim_applied"),
+        r.getAs[Long]("n_prefix"), r.getAs[Long]("n_middle"),
+        r.getAs[Long]("n_suffix"), r.getAs[String]("psm_digest")) === w)
+    }
+  }
+
   test("mst fails loudly when the round budget exhausts above the " +
     "local threshold instead of collecting an unbounded edge set") {
     val e = intercept[IllegalStateException] {
