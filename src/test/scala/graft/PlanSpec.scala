@@ -647,6 +647,14 @@ class PlanSpec extends SparkSpec {
       s"mm9 lost its native kernel:\n$p")
   }
 
+  test("pack3 FIM is a zero-shuffle narrow projection") {
+    val p = plan(Packing.fimTransform(spark, sf))
+    assert(!p.contains("Exchange"),
+      s"the FIM transform must not shuffle:\n$p")
+    assert(p.contains("md5_base60"),
+      s"FIM coin/cuts must come from the native hash kernel:\n$p")
+  }
+
   test("ret4 indexed: the final retrieval statically prunes the " +
       "term-bucketed postings index; results identical to prfRm3") {
     val df = Retrieval.prfRm3Indexed(spark, sf)
