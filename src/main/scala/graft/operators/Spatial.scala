@@ -235,6 +235,117 @@ object Spatial {
     ranked
   }
 
+  /** EXACT kNN served from a PERSISTED cell-bucketed point index — the
+    * geo twin of `TextAnalysis.bm25Indexed`'s "index once, query many"
+    * path, and the serving fix for [[knnJoin]]'s O(Q·N) broadcast scan
+    * (whose window ranks Q·N candidate rows: the 2.9× sf1 soak
+    * constant). The index stages, once per corpus fingerprint:
+    * (a) the point cloud PARTITIONED by `pcell` (5×5 blocks of g-sized
+    * grid cells — ≤ 100 directories at any SF, since the cell domain
+    * is fixed by DomainMicros/g, not by row count), with the fine
+    * `cell` id riding along for parquet min/max skipping; (b) a
+    * per-cell count sidecar (≤ (Domain/g)² = 2,500 rows — bounded by
+    * GEOMETRY, constant in corpus size); (c) the model-sized query
+    * point list.
+    *
+    * Query path: collect the two bounded sidecars, then for EACH query
+    * run the textbook exact ring expansion DRIVER-SIDE over cell
+    * counts (≤ 2,500 × Q integer ops): take non-empty cells in
+    * increasing exact min-distance until they hold ≥ k+1 points (+1
+    * absorbs the query's own corpus row), bound the kth-NN distance by
+    * the max far-corner distance D² of the taken cells, and keep every
+    * cell with minDist² ≤ D² — a candidate set that provably contains
+    * all true top-k (any point outside is farther than k already-seen
+    * points). The distributed read then carries a STATIC IN-filter on
+    * the partition column (only candidate pcell directories are
+    * touched) plus the fine cell IN-filter (row-group skipping), and
+    * the equi-join on `cell` against the broadcast (qid, cell)
+    * candidate list replaces the Q·N nested loop — the window ranks
+    * ~Q·k·ring rows instead of Q·N. Bit-equal to [[knnJoin]]
+    * (Round11Spec pin); graded against the SAME oracle SQL.
+    *
+    * All distance math is exact BIGINT (coords < 1e8 ⇒ dist² < 2e16),
+    * including the driver-side ring bounds — no float drift between
+    * the pruning decision and the distributed predicate. */
+  def knnJoinIndexed(s: SparkSession, dir: String, k: Int = 5,
+                     g: Long = 2000000L): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cellsPerAxis = (DomainMicros / g).toInt // 50 at the default g
+    val base = Staging.base("geo_knn_index_v1", dir, s"g$g", "customer")
+    Staging.buildOnce(base) {
+      val p = points(s, dir)
+        .withColumn("cx", floor(col("x") / g).cast("long"))
+        .withColumn("cy", floor(col("y") / g).cast("long"))
+        .withColumn("cell", col("cx") * cellsPerAxis + col("cy"))
+        .withColumn("pcell", floor(col("cx") / 5L) * 20L +
+          floor(col("cy") / 5L))
+      p.write.mode("overwrite").partitionBy("pcell")
+        .parquet(s"$base/points")
+      p.groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/cells")
+      p.filter(pmod(col("id"), lit(150L)) === 7L && col("id") < 15000L)
+        .select(col("id").as("qid"), col("x").as("qx"), col("y").as("qy"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/qpoints")
+    }
+    // both sidecars are bounded by construction (geometry / the query
+    // id cap), so the collects are model-sized at any corpus scale
+    val cellRows = s.read.parquet(s"$base/cells").collect()
+      .map(r => (r.getAs[Long]("cx"), r.getAs[Long]("cy"),
+        r.getAs[Long]("n")))
+    require(cellRows.length <= cellsPerAxis * cellsPerAxis,
+      "cell sidecar exceeded the geometric bound")
+    val qRows = s.read.parquet(s"$base/qpoints").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("qx"),
+        r.getAs[Long]("qy")))
+    def axisGap(q: Long, c: Long): Long = { // 0 inside the cell's span
+      val lo = c * g; val hi = lo + g - 1
+      if (q < lo) lo - q else if (q > hi) q - hi else 0L
+    }
+    def axisFar(q: Long, c: Long): Long = { // to the farther edge
+      val lo = c * g; val hi = lo + g - 1
+      math.max(math.abs(q - lo), math.abs(q - hi))
+    }
+    val cand: Seq[(Long, Long, Long, Long)] = qRows.toSeq.flatMap {
+      case (qid, qx, qy) =>
+        val byMin = cellRows.map { case (cx, cy, n) =>
+          val mn = { val dx = axisGap(qx, cx); val dy = axisGap(qy, cy)
+            dx * dx + dy * dy }
+          val mx = { val dx = axisFar(qx, cx); val dy = axisFar(qy, cy)
+            dx * dx + dy * dy }
+          (cx, cy, n, mn, mx)
+        }.sortBy { case (cx, cy, _, mn, _) => (mn, cx, cy) }
+        var acc = 0L; var d2 = Long.MaxValue; var i = 0
+        // ≥ k+1 points within max-corner distance d2 ⇒ the true kth-NN
+        // (self excluded) is no farther than d2
+        while (i < byMin.length && acc <= k.toLong) {
+          acc += byMin(i)._3
+          if (acc > k.toLong) d2 = byMin.take(i + 1).map(_._5).max
+          i += 1
+        }
+        byMin.filter(_._4 <= d2).map { case (cx, cy, _, _, _) =>
+          (qid, qx, qy, cx * cellsPerAxis + cy) }
+    }
+    import s.implicits._
+    val candDf = cand.toDF("qid", "qx", "qy", "cell")
+    val candCells = cand.map(_._4).distinct.sorted
+    val candPcells = candCells
+      .map(c => (c / cellsPerAxis / 5L) * 20L + (c % cellsPerAxis) / 5L)
+      .distinct.sorted
+    s.read.parquet(s"$base/points")
+      .filter(col("pcell").isin(candPcells: _*)) // static partition prune
+      .filter(col("cell").isin(candCells: _*))   // row-group skipping
+      .join(broadcast(candDf), "cell")
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        dist2(col("qx"), col("qy"), col("x"), col("y")).as("dist2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("dist2").asc, col("id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("id").as("neighbor_id"), col("dist2"),
+        col("rn").cast("long").as("knn_rank"))
+  }
+
   /** `geo5_dbscan` — DBSCAN density clustering over the point cloud
     * (Ester et al. 1996): a point with ≥ `minPts` neighbors within `r`
     * (itself included) is CORE; core points within `r` of each other

@@ -73,9 +73,13 @@ object Training {
     val w =
       try {
         val feats = feats0.localCheckpoint(true)
-        val n = feats.count()
         val xs = Seq("x1", "x2", "x3", "x4")
         var w = Array(0L, 0L, 0L, 0L)
+        // n rides along in every step's aggregate row instead of its
+        // own up-front count() job: the loop is driver-job-count bound
+        // (8 synchronous steps over a 4-long-column checkpoint), so one
+        // fewer round trip is a direct ~11% fixed-cost cut
+        var n = -1L
         for (_ <- 1 to iters) {
           val dot = xs.zipWithIndex
             .map { case (c, j) => lit(w(j)) * col(c) }
@@ -84,8 +88,10 @@ object Training {
           val g = feats.select(resid +: xs.map(col): _*)
             .select(xs.map(c =>
               sum(round(col("r").cast("double") * col(c) / lit(1e6))
-                .cast("long")).as(s"g_$c")): _*)
+                .cast("long")).as(s"g_$c")) :+
+              count(lit(1)).as("n"): _*)
             .head()
+          n = g.getLong(4)
           w = Array.tabulate(4)(j => w(j) - rnd(lr * g.getLong(j).toDouble / n))
         }
         w

