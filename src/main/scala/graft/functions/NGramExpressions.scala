@@ -397,7 +397,15 @@ object FrameEnergyImpl {
     * empty array when the payload is shorter than one frame) —
     * bit-equal to the nested `transform(sequence)/aggregate` HOF fold
     * it replaces, which allocated a 64-element array and ran two
-    * interpreted lambdas per FRAME. One fused O(chars) pass per row. */
+    * interpreted lambdas per FRAME. One fused O(chars) pass per row.
+    *
+    * ASCII-ONLY parity caveat: the HOF twin uses `ascii()`, which
+    * returns the FIRST UTF-8 BYTE of a multi-byte char, while this
+    * kernel uses the codepoint — they agree on every ASCII char
+    * (payloads here are base64-ish ASCII by construction,
+    * Multimodal.mm9Silence) and diverge on any non-ASCII payload. A
+    * non-ASCII corpus must either re-pin parity against a
+    * first-byte twin or switch the kernel to hash the first byte. */
   def energies(px: UTF8String, flen: Int): ArrayData = {
     val s = px.toString
     val nChars = s.codePointCount(0, s.length)

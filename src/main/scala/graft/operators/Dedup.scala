@@ -470,9 +470,11 @@ object Dedup {
     // the fingerprint and lands in a different directory)
     val srcFiles = pairs.inputFiles.sorted
     // real digest over the sorted path:length:mtime list — an XOR fold
-    // of per-file words can cancel across files (and a same-size
-    // regenerate within mtime granularity collides), silently serving
-    // a stale component map; md5 of the full list cannot
+    // of per-file words can cancel ACROSS files; md5 of the full list
+    // cannot. (It still keys on metadata only: a file regenerated with
+    // identical length within the mtime granularity collides — if that
+    // staleness case matters for a deployment, fold a content sample
+    // into the fingerprint.)
     val fp = Staging.digestHex(srcFiles.map { f =>
       val fl = new java.io.File(new java.net.URI(f).getPath)
       s"$f:${fl.length()}:${fl.lastModified()}"

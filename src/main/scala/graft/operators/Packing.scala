@@ -348,4 +348,70 @@ object Packing {
       .limit(topK)
       .crossJoin(totals)
   }
+
+  /** `pack4_binpack` — sharded best-fit-decreasing token bin packing
+    * (Johnson 1973's BFD, the 11/9·OPT classic), the layout most
+    * production pretraining pipelines use to fill fixed-`capacity`
+    * context windows with whole documents: within each shard, docs are
+    * taken longest-first and each goes into the FULLEST already-open
+    * bin it still fits (ties → earliest-opened bin), else opens a new
+    * bin. pack2's fixed 32-doc batches pad to the batch max; BFD packs
+    * variable doc counts per bin, so the waste accounting here is
+    * capacity residue (Σ max(0, C − load)), not padding.
+    *
+    * Scale shape: global BFD is inherently sequential with
+    * corpus-sized state (the open-bin table grows with tokens/C), so
+    * the scale unit is the SHARD — an exact `ntile` split on
+    * (len desc, doc_id) for oracle-replayable determinism (at 100 TB
+    * the cuts come from a percentile sketch and shards = partitions).
+    * Each shard packs independently inside one `mapGroups` task —
+    * genuinely imperative per-group logic, the documented exception to
+    * expression-only operators — holding shard-sized state; parallelism
+    * is the shard count. The DuckDB oracle replays the IDENTICAL
+    * algorithm as a recursive CTE over per-shard doc ranks carrying the
+    * open-bin load list as a LIST column (list_filter/list_aggregate
+    * pick the best bin, list_slice splices the update — every slice
+    * coalesced: empty-range list_slice is NULL, not []).
+    *
+    * All-integer outputs; per-shard rows with corpus totals riding
+    * along (the tok10 totals convention). */
+  def binPack(s: SparkSession, dir: String, shards: Int = 8,
+              capacity: Long = 256L): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+        size(TextAnalysis.tokens(lower(col("text")))).cast("long").as("len"))
+      .withColumn("shard", ntile(shards).over(
+        Window.orderBy(col("len").desc, col("doc_id").asc)).cast("long"))
+    val perShard = d.select(col("shard"), col("len"), col("doc_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        // shard-sized state only: docs sorted longest-first, open-bin
+        // loads scanned per doc (BFD's intrinsic cost)
+        val docs = it.toArray.sortBy { case (_, len, id) => (-len, id) }
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+        docs.foreach { case (_, len, _) =>
+          var best = -1
+          var i = 0
+          while (i < loads.length) {
+            if (loads(i) + len <= capacity &&
+              (best < 0 || loads(i) > loads(best))) best = i
+            i += 1
+          }
+          if (best >= 0) loads(best) += len else loads += len
+        }
+        (shard, docs.length.toLong, docs.map(_._2).sum,
+          loads.length.toLong,
+          loads.map(l => math.max(0L, capacity - l)).sum)
+      }
+      .toDF("shard", "n_docs", "sum_tokens", "n_bins", "waste_tokens")
+    val tot = broadcast(perShard.agg(sum(col("n_bins")).as("total_bins"),
+      sum(col("waste_tokens")).as("total_waste")))
+    perShard.crossJoin(tot)
+      .select(col("shard"), col("n_docs"), col("sum_tokens"),
+        col("n_bins"), col("waste_tokens"),
+        expr(s"(1000000 * sum_tokens) DIV (n_bins * $capacity)")
+          .as("util_micros"),
+        col("total_bins"), col("total_waste"))
+  }
 }

@@ -30,15 +30,15 @@ object Preprocess {
       when(col("lang") === lang, lit(pct)).otherwise(acc)
     }
     val t = col("text")
-    // one projection computes every per-document signal
+    // one projection computes every per-document signal; the PII
+    // counts + scrub digest come from ONE fused native scan
+    val pii = TextAnalysis.piiScan(s, t)
     val enriched = Fixtures.withPii(Tables.documents(s, dir)).select(
       col("doc_id"), col("lang"),
       TextAnalysis.gopherKeep(t).as("keep"),
-      md5(TextAnalysis.redact(t).cast("binary")).as("redacted_hash"),
-      (TextAnalysis.piiCount(t, TextAnalysis.UrlRe) +
-        TextAnalysis.piiCount(t, TextAnalysis.EmailRe) +
-        TextAnalysis.piiCount(t, TextAnalysis.Ipv4Re) +
-        TextAnalysis.piiCount(t, TextAnalysis.PhoneRe)).as("n_pii"),
+      md5(pii.getField("redacted").cast("binary")).as("redacted_hash"),
+      (pii.getField("n_urls") + pii.getField("n_emails") +
+        pii.getField("n_ips") + pii.getField("n_phones")).as("n_pii"),
       (Sampling.bucket100(col("doc_id")) < rate).cast("long").as("in_sample"))
     // exact dedup on the REDACTED content: smallest doc_id per content
     // group survives; only (digest, id) pairs reach the exchange

@@ -249,6 +249,43 @@ object Retrieval {
     TextAnalysis.bm25Indexed(s, dir, seed ++ expTerms, k)
   }
 
+  /** `ret8_multi_rrf_indexed` — three-arm reciprocal-rank fusion
+    * served ENTIRELY from the persisted indexes (eval8's arm family
+    * composed with ret4's pruning): (1) the seed-query BM25 arm reads
+    * the term-bucketed postings index, (2) the RM3-EXPANDED query arm
+    * runs [[prfRm3Indexed]]'s fully-pruned PRF path at armK — fusion
+    * and expansion composed, the "RM3 as one arm of a hybrid stack"
+    * shape production rankers deploy, (3) the dense arm reads the
+    * cell-partitioned IVF index at nprobe=3. Every read is statically
+    * pruned (term buckets / doc buckets / IVF cells); per query the
+    * whole fused ranking costs O(arm buckets) partitions, zero corpus
+    * scans. Each arm ranks by its own pinned (score desc, id asc)
+    * top-armK ordering; RRF sums round(1e6/(60+rank)) integer micros
+    * over present arms (absent arm → 0), re-ranks, top-k. The oracle
+    * composes the arms' own mirrored SQL — the IVF arm's approximation
+    * is replayed exactly, not fudged. */
+  def multiRrfIndexed(s: SparkSession, dir: String,
+                      terms: Seq[String] = Seq("spark", "query", "filter"),
+                      armK: Int = 20, k: Int = 10): DataFrame = {
+    val seed = ranked(TextAnalysis.bm25Indexed(s, dir, terms, armK),
+      "doc_id", "score", "seed_rank")
+    val prf = ranked(prfRm3Indexed(s, dir, terms, k = armK),
+      "doc_id", "score", "prf_rank")
+    val dense = ranked(Similarity.annIvfIndexed(s, dir, armK)
+      .select(col("vec_id"), col("cos_sim")),
+      "vec_id", "cos_sim", "dense_rank")
+    seed.join(prf, Seq("doc_id"), "full_outer")
+      .join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("seed_rank"), col("prf_rank"),
+        col("dense_rank"),
+        (coalesce(rrfMicros(col("seed_rank")), lit(0L)) +
+          coalesce(rrfMicros(col("prf_rank")), lit(0L)) +
+          coalesce(rrfMicros(col("dense_rank")), lit(0L)))
+          .as("rrf_micros"))
+      .orderBy(col("rrf_micros").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** `eval9_prf_shift` — the PRF ablation readout (eval8's twin for
     * the expansion half): how far does RM3 move the top-10? One row:
     * docs shared by the seed-only and expanded lists, docs only the

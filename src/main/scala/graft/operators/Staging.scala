@@ -50,7 +50,10 @@ private[operators] object Staging {
 
   /** Lowercase-hex MD5 of a string, truncated to 16 chars — the staged
     * artifact fingerprint base (a real digest: no XOR-cancellation
-    * across inputs, no same-size/mtime-granularity collisions). */
+    * across inputs). The fingerprint string itself is still
+    * metadata-only (path:size:mtime) — a file regenerated with
+    * identical length within the mtime granularity collides; fold a
+    * content sample in if that staleness case matters. */
   def digestHex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
@@ -98,8 +101,33 @@ private[operators] object Staging {
     // write/read round trip would cost more than the data (measured
     // +0.3-1.0s per call on sub-second faces)
     df.coalesce(1).write.mode("overwrite").parquet(path)
+    // per-call scratch, never reused across JVMs (pid+counter key):
+    // reap it at JVM exit so bench/spec runs (3+ calls per in-memory
+    // face) don't grow /tmp for the life of the host. Result plans
+    // only live within this JVM, so exit-time deletion is safe.
+    reapOnExit(path)
     s.read.parquet(path)
   }
+
+  private lazy val reapHookInstalled: java.util.concurrent.ConcurrentLinkedQueue[String] = {
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = q.poll()
+      while (p != null) {
+        try {
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          if (Files.exists(Path.of(p)))
+            Files.walk(Path.of(p)).sorted(Comparator.reverseOrder())
+              .forEach(f => { Files.deleteIfExists(f); () })
+        } catch { case _: Throwable => () }
+        p = q.poll()
+      }
+    }, "graft-mat-reaper"))
+    q
+  }
+
+  private def reapOnExit(path: String): Unit = reapHookInstalled.add(path)
 
   /** [[materialized]] with cross-call reuse for PURELY FILE-BACKED
     * inputs (the ccWithRounds convention), owning the whole

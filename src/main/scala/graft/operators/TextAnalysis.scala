@@ -141,32 +141,62 @@ object TextAnalysis {
       UrlRe, "<URL>"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** The whole PII battery (4 counts on the original text + the
+    * precedence-ordered scrub) as ONE struct column via the native
+    * `pii_scan` kernel ([[graft.functions.PiiImpl.scan]]) —
+    * match-for-match equal to the stacked [[piiCount]]/[[redact]]
+    * regex exprs it replaces (bit-equality pinned in FunctionsSpec,
+    * which keeps the regex forms as the executable reference). The
+    * regex battery re-ran a backtracking state machine per pattern per
+    * row — the slowest per-row path in the engine and the streaming
+    * preprocess bottleneck; the kernel is 8 allocation-light ASCII
+    * scans. */
+  def piiScan(s: SparkSession, t: Column): Column = {
+    graft.functions.GraftFunctions.register(s)
+    call_function("pii_scan", t)
+  }
+
   /** PII redaction: count and scrub URLs, emails, IPv4s and phone
     * numbers; counts are taken on the original text. A pure narrow
-    * projection — regex state machines inside whole-stage codegen, no
-    * shuffle, linear scale-out. The redacted text is emitted as an md5
-    * digest so the full transform is hash-checkable without shipping
-    * the body. */
+    * projection — one fused native scan ([[piiScan]]) inside
+    * whole-stage codegen, no shuffle, linear scale-out. The redacted
+    * text is emitted as an md5 digest so the full transform is
+    * hash-checkable without shipping the body. */
   def piiRedact(docs: DataFrame): DataFrame = {
-    val t = col("text")
+    val p = piiScan(docs.sparkSession, col("text"))
     docs.select(col("doc_id"),
-      piiCount(t, UrlRe).as("n_urls"), piiCount(t, EmailRe).as("n_emails"),
-      piiCount(t, Ipv4Re).as("n_ips"), piiCount(t, PhoneRe).as("n_phones"),
-      md5(redact(t).cast("binary")).as("redacted_hash"))
+      p.getField("n_urls").as("n_urls"),
+      p.getField("n_emails").as("n_emails"),
+      p.getField("n_ips").as("n_ips"),
+      p.getField("n_phones").as("n_phones"),
+      md5(p.getField("redacted").cast("binary")).as("redacted_hash"))
+  }
+
+  /** The Gopher battery's integer sufficient statistics as ONE struct
+    * column via the native `gopher_scan` kernel
+    * ([[graft.functions.GopherImpl.scan]]) — exact twin of the
+    * interpreted-HOF/5×split stack it replaces (bit-equality pinned in
+    * FunctionsSpec). Only integers cross the kernel boundary; every
+    * float ratio and HALF_UP rounding stays in the same Catalyst
+    * expressions as before. */
+  def gopherStats(s: SparkSession, t: Column): Column = {
+    graft.functions.GraftFunctions.register(s)
+    call_function("gopher_scan", t)
   }
 
   /** The fused Gopher keep decision as one column expression (same
     * rounded comparisons as [[gopherFilter]]'s flags) — for pipelines
-    * that gate on quality without materializing the per-rule report. */
+    * that gate on quality without materializing the per-rule report.
+    * Callers must have registered graft functions ([[gopherStats]]
+    * does it when given the session). */
   def gopherKeep(t: Column): Column = {
-    val toks = tokens(t)
-    val nWords = size(toks).cast("long")
-    val meanLen = round(aggregate(toks, lit(0L), (a, x) => a + length(x))
+    val g = call_function("gopher_scan", t)
+    val nWords = g.getField("n_words")
+    val meanLen = round(g.getField("sum_len")
       .cast("double") / nWords, 4)
-    val alphaFrac = round(size(filter(toks, x => x.rlike("[A-Za-z]")))
+    val alphaFrac = round(g.getField("n_alpha")
       .cast("double") / nWords, 4)
-    val nStop = occ(t, "the") + occ(t, "a") + occ(t, "of") +
-      occ(t, "in") + occ(t, "to")
+    val nStop = g.getField("n_stop")
     (nWords >= 50 && nWords <= 100000 && meanLen >= 3 && meanLen <= 10 &&
       alphaFrac >= 0.8 && nStop >= 2).cast("long")
   }
@@ -175,17 +205,15 @@ object TextAnalysis {
     * count bounds, mean-word-length bounds, alphabetic-word fraction,
     * stopword presence — each emitted as its own flag plus the combined
     * keep decision, so downstream can both filter and report per-rule
-    * rejection rates. One narrow projection; the token array is built
-    * once and every signal folds over it inside codegen. */
+    * rejection rates. One narrow projection; the integer stats come
+    * from one native `gopher_scan` pass ([[gopherStats]]) and the
+    * ratio/rounding arithmetic runs in codegen. */
   def gopherFilter(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val nWords = size(toks).cast("long")
-    val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
-      .cast("double") / nWords
-    val alphaFrac = size(filter(toks, t => t.rlike("[A-Za-z]")))
-      .cast("double") / nWords
-    val nStop = occ(col("text"), "the") + occ(col("text"), "a") +
-      occ(col("text"), "of") + occ(col("text"), "in") + occ(col("text"), "to")
+    val g = gopherStats(docs.sparkSession, col("text"))
+    val nWords = g.getField("n_words")
+    val meanLen = g.getField("sum_len").cast("double") / nWords
+    val alphaFrac = g.getField("n_alpha").cast("double") / nWords
+    val nStop = g.getField("n_stop")
     docs.select(col("doc_id"), nWords.as("n_words"),
         round(meanLen, 4).as("mean_word_len"),
         round(alphaFrac, 4).as("alpha_frac"), nStop.as("n_stop"))

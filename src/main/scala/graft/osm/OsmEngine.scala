@@ -84,15 +84,72 @@ object OsmEngine {
   val waySchema: StructType = StructType(attrFields(
     StructField("tag", tagType), StructField("nd", ndType)))
 
+  /** Transparent-archive ingest (the reference's find_file,
+    * openstreet_kolkata.py:15-35, reads `.zip` and `.bz2` downloads in
+    * place; README.md:35-39 makes decompression part of the documented
+    * workflow):
+    *
+    *  - `.bz2` needs no shim — Hadoop's BZip2Codec decompresses
+    *    `spark.read.format("xml")` input natively (exercised by
+    *    OsmIngestSpec's committed `example.osm.bz2` fixture). Caveat:
+    *    a bz2 stream decodes through ONE codec stream, and the
+    *    parallel range-split path (OsmXmlSplit) requires UNCOMPRESSED
+    *    input — at scale, decompress once or use the PBF source.
+    *  - `.zip` is not a Hadoop codec at all, so the entry is unpacked
+    *    once to a fingerprint-keyed temp file (the reference's own
+    *    semantics — extract, then parse) and the XML read runs on the
+    *    extracted copy. The archive must hold one `.osm` entry (or a
+    *    single entry of any name) — the Mapzen metro-extract download
+    *    shape the reference consumed. */
+  def unpackIfArchive(path: String): String =
+    if (!path.toLowerCase.endsWith(".zip")) path
+    else {
+      val arc = new java.io.File(path)
+      require(arc.isFile, s"no such archive: $path")
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${arc.getAbsolutePath}:${arc.length()}:${arc.lastModified()}"
+          .getBytes("UTF-8"))
+        .take(8).map(b => "%02x".format(b)).mkString
+      val dir = new java.io.File(s"/tmp/graft_osmzip_$dig")
+      val marker = new java.io.File(dir, "_built")
+      if (!marker.exists()) {
+        dir.mkdirs()
+        val zf = new java.util.zip.ZipFile(arc)
+        try {
+          import scala.jdk.CollectionConverters._
+          val entries = zf.entries().asScala.filterNot(_.isDirectory).toSeq
+          require(entries.nonEmpty, s"empty zip archive: $path")
+          val entry = entries
+            .find(_.getName.toLowerCase.endsWith(".osm"))
+            .getOrElse {
+              require(entries.length == 1,
+                s"ambiguous zip (no .osm entry, ${entries.length} files): " +
+                  path)
+              entries.head
+            }
+          val out = new java.io.File(dir,
+            new java.io.File(entry.getName).getName)
+          val in = zf.getInputStream(entry)
+          try java.nio.file.Files.copy(in, out.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          finally in.close()
+          marker.createNewFile()
+        } finally zf.close()
+      }
+      dir.listFiles().filter(_.getName != "_built").head.getAbsolutePath
+    }
+
   /** One rowTag read. Explicit schema: everything stays a string, exactly
     * like the reference (only lat/lon are ever cast, :487) — and an
-    * explicit schema skips the inference pass over the file. */
+    * explicit schema skips the inference pass over the file.
+    * Accepts `.osm`, `.osm.bz2` (Hadoop codec) and `.osm.zip`
+    * (unpacked once — see [[unpackIfArchive]]). */
   def read(spark: SparkSession, path: String, rowTag: String): DataFrame = {
     val schema = if (rowTag == "node") nodeSchema else waySchema
     spark.read.format("xml")
       .option("rowTag", rowTag)
       .schema(schema)
-      .load(path)
+      .load(unpackIfArchive(path))
   }
 
   def readNodes(spark: SparkSession, path: String): DataFrame =

@@ -25,6 +25,12 @@ import org.apache.spark.sql.types._
   * entity unescape) that emits the exact all-string schema of the
   * built-in source, asserted row-identical in OsmXmlSplitSpec, so
   * shape/audits/queries run unchanged downstream.
+  *
+  * UNCOMPRESSED INPUT ONLY: byte-offset probing cannot seek inside a
+  * compressed stream, so `.osm.bz2`/`.osm.zip` must go through
+  * `OsmEngine.read` (single-stream bz2 codec / one-time zip unpack —
+  * see OsmEngine.unpackIfArchive) or be decompressed first; at scale
+  * the PBF source is the compressed-AND-splittable path.
   */
 object OsmXmlSplit {
 

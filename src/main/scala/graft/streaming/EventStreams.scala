@@ -159,13 +159,16 @@ object EventStreams {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     import graft.operators.{Sampling, TextAnalysis}
     val t = col("text")
+    // the PII counts + scrub digest come from ONE fused native scan
+    // (pii_scan) — the stacked per-pattern regex battery this replaces
+    // was the streaming hot path's bottleneck (1.4-2k docs/s vs the
+    // 10k+ events/s of the stateful faces)
+    val pii = TextAnalysis.piiScan(docs.sparkSession, t)
     docs.select(col("doc_id"), col("lang"),
       TextAnalysis.gopherKeep(t).as("keep"),
-      md5(TextAnalysis.redact(t).cast("binary")).as("redacted_hash"),
-      (TextAnalysis.piiCount(t, TextAnalysis.UrlRe) +
-        TextAnalysis.piiCount(t, TextAnalysis.EmailRe) +
-        TextAnalysis.piiCount(t, TextAnalysis.Ipv4Re) +
-        TextAnalysis.piiCount(t, TextAnalysis.PhoneRe)).as("n_pii"),
+      md5(pii.getField("redacted").cast("binary")).as("redacted_hash"),
+      (pii.getField("n_urls") + pii.getField("n_emails") +
+        pii.getField("n_ips") + pii.getField("n_phones")).as("n_pii"),
       (Sampling.bucket100(col("doc_id")) < 20).cast("long").as("in_sample"))
   }
 

@@ -263,4 +263,78 @@ class FunctionsSpec extends SparkSpec {
       .count() === 0)
     assert(both.count() > 0)
   }
+
+  test("pii_scan == stacked regex battery, match for match " +
+    "(adversarial strings + PII-augmented corpus)") {
+    GraftFunctions.register(spark)
+    import graft.operators.TextAnalysis._
+    import spark.implicits._
+    // every backtracking / boundary edge the hand scanners resolve:
+    // URL 's' commit, email greedy-domain shrink + run-level retry,
+    // IPv4 group backtrack + \b on both ends, phone \b, sequential
+    // redaction interplay, non-ASCII neighbors of every class
+    val adversarial = Seq(
+      "visit https://ex.com/a?b=1 or http://x now",
+      "httpss://x http:// http://  https://", // no valid URL tails
+      "HTTP://nope http://t",
+      "a@b.comhttp://x.org tail",     // URL replace changes the email match
+      "a@b.co.uk j@k.l.mn x a@@b.com a@b. a@b.c",
+      "%+-.a@b-c.de2f ...@... -a@b.cd- a@b.cd.e",
+      "1.2.3.4 12.34.56.789 1234.5.6.7 999.999.999.9999",
+      "1.2.3.4.5 a1.2.3.4 0.0.0.0- 1.2.3.45-6789 12.3.4.56",
+      "call 555-1234 x555-1234 555-12345 -555-1234 555-1234-",
+      "mixed bob@ex.co.uk at 10.0.0.1 dials 555-0000 via http://h.i",
+      "héllo@ü.com über 1.2.3.4 😀 http://a 😀",
+      "", " ", "http", "@", "1.2.3.", "555-123"
+    ).toDF("text")
+    val corpus = graft.operators.Fixtures
+      .withPii(Tables.documents(spark, sf)).select(col("text"))
+    val t = col("text")
+    val p = call_function("pii_scan", t)
+    val both = adversarial.unionByName(corpus).select(
+      p.getField("n_urls").as("ku"), piiCount(t, UrlRe).as("ru"),
+      p.getField("n_emails").as("ke"), piiCount(t, EmailRe).as("re"),
+      p.getField("n_ips").as("ki"), piiCount(t, Ipv4Re).as("ri"),
+      p.getField("n_phones").as("kp"), piiCount(t, PhoneRe).as("rp"),
+      p.getField("redacted").as("kr"), redact(t).as("rr"))
+    assert(both.filter(col("ku") =!= col("ru") || col("ke") =!= col("re") ||
+      col("ki") =!= col("ri") || col("kp") =!= col("rp") ||
+      col("kr") =!= col("rr")).count() === 0)
+    // the corpus must actually exercise every pattern
+    assert(both.filter(col("ku") > 0).count() > 0)
+    assert(both.filter(col("ke") > 0).count() > 0)
+    assert(both.filter(col("ki") > 0).count() > 0)
+    assert(both.filter(col("kp") > 0).count() > 0)
+  }
+
+  test("gopher_scan == HOF/split stat battery, value for value") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    def occ(c: org.apache.spark.sql.Column, w: String) =
+      (size(split(c, s" $w ")) - 1).cast("long")
+    val adversarial = Seq(
+      " the the a a of in to ",          // overlap + edge stopwords
+      "x\ty\nz w\f v\r u",          // every \s class char
+      "😀😀 ab😀cd xyz",                  // codepoint vs UTF-16 lengths
+      "", " ", "the", " the", "the ", "a the a the a",
+      "word " * 60                         // a passing-length doc
+    ).toDF("text")
+    val t = col("text")
+    val g = call_function("gopher_scan", t)
+    val toksC = filter(split(t, "\\s+"), x => length(x) > 0)
+    val both = adversarial
+      .unionByName(Tables.documents(spark, sf).select(t))
+      .select(
+        g.getField("n_words").as("kw"), size(toksC).cast("long").as("rw"),
+        g.getField("sum_len").as("kl"),
+        aggregate(toksC, lit(0L), (a, x) => a + length(x)).as("rl"),
+        g.getField("n_alpha").as("ka"),
+        size(filter(toksC, x => x.rlike("[A-Za-z]"))).cast("long").as("ra"),
+        g.getField("n_stop").as("ks"),
+        (occ(t, "the") + occ(t, "a") + occ(t, "of") + occ(t, "in") +
+          occ(t, "to")).as("rs"))
+    assert(both.filter(col("kw") =!= col("rw") || col("kl") =!= col("rl") ||
+      col("ka") =!= col("ra") || col("ks") =!= col("rs")).count() === 0)
+    assert(both.filter(col("ks") > 0).count() > 0)
+  }
 }

@@ -36,6 +36,51 @@ class Round11Spec extends SparkSpec {
       "the indexed face must not fall back to the Q x N nested loop")
   }
 
+  test("pack4 binpack restates from a driver best-fit-decreasing replay") {
+    val C = 256L
+    val lens = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split("\\s+").count(_.nonEmpty).toLong))
+      .sortBy { case (id, len) => (-len, id) }
+    // SQL-standard ntile over (len desc, doc_id): first (n mod 8)
+    // shards get the extra row
+    val n = lens.length
+    val (base, extra) = (n / 8, n % 8)
+    val cuts = (0 to 8).map(i => i * base + math.min(i, extra))
+    val want = (0 until 8).map { s =>
+      val part = lens.slice(cuts(s), cuts(s + 1))
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+      part.foreach { case (_, len) =>
+        var best = -1
+        for (i <- loads.indices)
+          if (loads(i) + len <= C && (best < 0 || loads(i) > loads(best)))
+            best = i
+        if (best >= 0) loads(best) += len else loads += len
+      }
+      (s + 1L, part.length.toLong, part.map(_._2).sum,
+        loads.length.toLong, loads.map(l => math.max(0L, C - l)).sum)
+    }
+    val got = Packing.binPack(spark, sf).collect()
+      .sortBy(_.getAs[Long]("shard"))
+    assert(got.length === 8)
+    got.zip(want).foreach { case (r, (sh, nd, st, nb, w)) =>
+      assert(r.getAs[Long]("shard") === sh)
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("sum_tokens") === st)
+      assert(r.getAs[Long]("n_bins") === nb)
+      assert(r.getAs[Long]("waste_tokens") === w)
+      assert(r.getAs[Long]("util_micros") ===
+        (1000000L * st) / (nb * C))
+      assert(r.getAs[Long]("total_bins") === want.map(_._4).sum)
+      assert(r.getAs[Long]("total_waste") === want.map(_._5).sum)
+      // BFD must never waste MORE than one bin's capacity per shard
+      // beyond the fractional optimum — a sanity bound, not the
+      // approximation proof
+      assert(r.getAs[Long]("n_bins") >= (st + C - 1) / C)
+    }
+  }
+
   test("gdLoop trains the same weights after folding count into the " +
     "gradient job (ml1/ml9 regression guard)") {
     // restates the full-batch GD loop driver-side from the same
