@@ -298,6 +298,23 @@ object Dedup {
     s.read.parquet(shPath)
   }
 
+  /** (doc_id, sig, band, band_key) rows — the shingle→MinHash→band
+    * kernel as a STATELESS narrow projection, shared with the
+    * streaming within-stream near-dup face
+    * ([[graft.streaming.EventStreams.nearDupStream]]): a streaming
+    * micro-batch runs the identical expressions, so stream and batch
+    * bucket identically by construction. (No staging here — a
+    * streaming plan cannot read per-call scratch parquet.) */
+  def bandSignatureRows(s: SparkSession, docs: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    shingled(docs)
+      .select(col("doc_id"), minhashSig(col("sh")).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => concat_ws("_", slice(col("sig"), b * 4 + 1, lit(4))))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+  }
+
   /** Banded LSH candidate pairs from a (doc_id, sig) frame — 4 bands ×
     * 4 rows, equi-join on (band, band_key), ordered distinct pairs.
     * THE candidate generator shared by [[minhashLsh]],

@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ListState, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface. The reference is batch-only (SURVEY.md
@@ -273,6 +273,80 @@ object EventStreams {
           batch.toDF()), id, base)
       }
       .start()
+
+  // public: the state/row encoders construct these reflectively
+  case class BandRow(band_bucket: String, doc_id: Long, sig: Seq[Long])
+  case class BandMember(doc_id: Long, sig: Seq[Long])
+  case class NearDupHit(doc_id: Long, dup_of: Long, band: Long,
+                        agree16: Long)
+
+  /** Per-band-bucket state for [[nearDupStream]]: every signature ever
+    * seen in this bucket. Grows with the bucket's population — that is
+    * the contract of dedup-against-everything (the batch LSH index has
+    * the same footprint); a production deployment bounds it with
+    * TTLConfig (dedup horizon) or a per-bucket cap. */
+  class BandDedupProcessor(minAgree: Int)
+      extends StatefulProcessor[String, BandRow, NearDupHit] {
+    @transient private var seen: ListState[BandMember] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[BandMember]("seen",
+        Encoders.product[BandMember], TTLConfig.NONE)
+
+    override def handleInputRows(bucket: String, rows: Iterator[BandRow],
+                                 tv: TimerValues): Iterator[NearDupHit] = {
+      val band = bucket.takeWhile(_ != ':').toLong
+      var out = List.empty[NearDupHit]
+      // intra-batch arrivals process in doc_id order so replays and the
+      // batch parity replay agree on who is "earlier"
+      val fresh = rows.toSeq.sortBy(_.doc_id)
+      var earlier = seen.get().toList
+      fresh.foreach { r =>
+        earlier.foreach { m =>
+          val agree = r.sig.zip(m.sig).count { case (a, b) => a == b }
+          if (agree >= minAgree)
+            out ::= NearDupHit(r.doc_id, m.doc_id, band, agree.toLong)
+        }
+        earlier ::= BandMember(r.doc_id, r.sig)
+        seen.appendValue(BandMember(r.doc_id, r.sig))
+      }
+      out.reverseIterator
+    }
+  }
+
+  /** WITHIN-STREAM near-duplicate detection — the stateful twin of
+    * the batch `dedup_minhash_lsh` face, and the piece
+    * [[nearDupDocStream]] (arrivals vs a STATIC history) cannot cover:
+    * every arriving document is checked against ALL previously arrived
+    * documents. The stateless head is the exact batch kernel
+    * ([[graft.operators.Dedup.bandSignatureRows]]: 3-token shingles →
+    * native 16-minima MinHash → 4 bands of 4), so stream and batch
+    * bucket identically; the stream then keys by (band, band_key) and
+    * keeps per-bucket signature lists as `transformWithState`
+    * ListState — a hit is emitted when a new signature agrees with a
+    * stored one on ≥ `minAgree`/16 rows (12/16 ≈ Jaccard 0.75). Hits
+    * are CANDIDATE EDGES, at-least-once across bands (a pair sharing
+    * two buckets emits per band, each row tagged with its band) —
+    * exact-verify/cluster stays a downstream batch step, same as the
+    * batch face.
+    *
+    * Scale: per-bucket state is the bucket's signature list (the
+    * batch LSH index's footprint, sharded by the state store); the
+    * per-arrival cost is |bucket| signature comparisons — the same
+    * candidate work the batch equi-join pays, paid incrementally.
+    * Parity with a driver replay over the same arrival order is pinned
+    * in EventStreamsSpec. */
+  def nearDupStream(s: SparkSession, docs: DataFrame,
+                    minAgree: Int = 12): Dataset[NearDupHit] = {
+    import s.implicits._
+    graft.operators.Dedup.bandSignatureRows(s, docs)
+      .select(concat_ws(":", col("band"), col("band_key"))
+        .as("band_bucket"), col("doc_id"), col("sig"))
+      .as[BandRow]
+      .groupByKey(_.band_bucket)
+      .transformWithState(new BandDedupProcessor(minAgree),
+        TimeMode.None(), OutputMode.Append())
+  }
 
   /** Streaming INDEX ingestion — the missing arrival half of the
     * BM25 LSM story (batch faces: text_bm25_incremental builds a

@@ -158,6 +158,30 @@ object StreamBench {
     } catch { case e: Throwable =>
       System.err.println(s"[streambench] stream_sessionize: $e")
       ("stream_sessionize", -1.0)
+    }
+
+    // within-stream near-dup: banded MinHash per-bucket ListState —
+    // the heaviest stateful face (per-arrival shingle+sig projection
+    // plus |bucket| signature comparisons)
+    val neardup: (String, Double) = try {
+      val rows = docs.select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val mem = MemoryStream[(Long, String)]
+      val in = mem.toDF().toDF("doc_id", "text")
+      val q = EventStreams.nearDupStream(spark, in)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$ckRoot/nd")
+        .format("memory").queryName("sb_nd").start()
+      val rate = try timeFace(rows.length.toLong) { () =>
+        val per = math.max(1, (rows.length + nChunks - 1) / nChunks)
+        rows.toSeq.grouped(per).foreach { c =>
+          mem.addData(c: _*); q.processAllAvailable()
+        }
+      } finally { q.stop(); spark.catalog.dropTempView("sb_nd") }
+      ("stream_neardup", rate)
+    } catch { case e: Throwable =>
+      System.err.println(s"[streambench] stream_neardup: $e")
+      ("stream_neardup", -1.0)
     } finally {
       priorProvider match {
         case Some(v) => spark.conf.set(providerKey, v)
@@ -174,7 +198,7 @@ object StreamBench {
       Files.walk(Path.of(ckRoot)).sorted(Comparator.reverseOrder())
         .forEach(p => Files.deleteIfExists(p))
     } catch { case _: Throwable => () }
-    val faces = Seq(stateless, hourly, dedup, sessionize)
+    val faces = Seq(stateless, hourly, dedup, sessionize, neardup)
     (faces.map { case (k, v) =>
       "\"" + k + "_rows_per_sec\":" + (if (v < 0) "-1" else r0(v).toString)
     } :+ s""""stream_event_rows":$nEvents,"stream_doc_rows":$nDocs""")

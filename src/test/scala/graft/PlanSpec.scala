@@ -666,4 +666,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("documents.parquet"),
       s"the serving plan still scans the corpus:\n$p")
   }
+
+  test("pii/gopher: the per-row text battery runs in the native " +
+      "kernels — no regex stacks or interpreted HOFs in the hot path") {
+    val pPii = plan(TextAnalysis.piiRedact(
+      Fixtures.withPii(graft.Tables.documents(spark, sf))))
+    assert(pPii.contains("pii_scan"),
+      s"text_pii_redact lost its native kernel:\n$pPii")
+    assert(!pPii.contains("regexp_extract_all") &&
+      !pPii.contains("regexp_replace"),
+      s"text_pii_redact still carries regex expressions:\n$pPii")
+    // (the plan TEXT prints one pii_scan per projected field; runtime
+    // whole-stage codegen subexpression-eliminates the deterministic
+    // call to once per row — the kernel-vs-regex timing in
+    // BENCH_detail is the observable)
+    assert(pPii.contains("*(1) Project"), // the codegen-stage star
+      s"the pii projection fell out of codegen (CSE needs it):\n$pPii")
+    val pGo = plan(TextAnalysis.gopherFilter(graft.Tables.documents(spark, sf)))
+    assert(pGo.contains("gopher_scan"),
+      s"filter_gopher lost its native kernel:\n$pGo")
+    assert(!pGo.contains("lambdafunction"),
+      s"filter_gopher still carries an interpreted HOF:\n$pGo")
+  }
+
+  test("geo3 indexed: the corpus read statically prunes cell-block " +
+      "partitions; no broadcast nested loop") {
+    val p = plan(Spatial.knnJoinIndexed(spark, sf))
+    assert("PartitionFilters: \\[pcell#\\d+ IN".r.findFirstIn(p).isDefined,
+      s"no static partition pruning on the point-index scan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the indexed kNN fell back to the Q x N nested loop:\n$p")
+    assert(!p.contains("customer.parquet"),
+      s"the serving plan still scans the corpus table:\n$p")
+  }
 }

@@ -857,4 +857,60 @@ class EventStreamsSpec extends SparkSpec {
       assert(streamed(k) === want, s"key $k")
     }
   }
+
+  test("within-stream near-dup == driver banded replay over the same " +
+      "arrival order (transformWithState ListState)") {
+    import graft.Tables
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // corpus slice + exact clones + one shuffled near-clone so hits at
+    // BOTH full and partial agreement exist
+    val docs0 = Tables.documents(spark, sf).limit(40)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val extra = Seq(
+      (900001L, docs0(0)._2),          // exact clone → 16/16 everywhere
+      (900002L, docs0(1)._2),
+      (900003L, docs0(2)._2 + " extra tail tokens appended here"))
+    val feed = (docs0.toSeq ++ extra).sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = EventStreams.nearDupStream(spark, stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_test").start()
+    try {
+      feed.grouped((feed.size + 3) / 4).foreach { c =>
+        mem.addData(c: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("neardup_test").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Long]("band"), r.getAs[Long]("agree16"))).sorted.toSeq
+    // driver replay: the SAME band rows from the batch kernel, grouped
+    // by bucket, pairs in doc_id order with agreement >= 12
+    val bandRows = graft.operators.Dedup.bandSignatureRows(spark,
+        feed.toDF("doc_id", "text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Seq[Long]]("sig"),
+        r.getAs[Int]("band").toLong, r.getAs[String]("band_key")))
+    val want = bandRows.groupBy { case (_, _, b, k) => (b, k) }.toSeq
+      .flatMap { case ((b, _), members) =>
+        val sorted = members.sortBy(_._1)
+        for {
+          j <- sorted.indices
+          i <- 0 until j
+          agree = sorted(j)._2.zip(sorted(i)._2)
+            .count { case (x, y) => x == y }
+          if agree >= 12
+        } yield (sorted(j)._1, sorted(i)._1, b, agree.toLong)
+      }.sorted
+    assert(got.nonEmpty, "the clone feed must produce near-dup hits")
+    assert(got.exists(_._4 == 16L), "an exact clone must agree 16/16")
+    assert(got === want)
+    // the partial clone must surface with sub-16 agreement in at least
+    // one band OR full agreement (depending on shingle overlap) — but
+    // it must be detected
+    assert(got.exists(h => h._1 == 900003L))
+  }
 }
