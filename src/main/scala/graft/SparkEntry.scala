@@ -408,8 +408,15 @@ object SparkEntry {
     "graph_hits"        -> (Graphs.hits(_, _)),
     "text_kn_bigrams"   -> (TextAnalysis.knBigrams(_, _)),
     "text_kn_doc_score" -> (TextAnalysis.knDocScore(_, _)),
+    // train-once/score-many split of the same face (round 11): the
+    // staged model makes scoring one tokenization + one model join
+    "text_kn_doc_score_indexed" -> (TextAnalysis.knDocScoreIndexed(_, _)),
+    // CCNet head/middle/tail perplexity bucketing over the staged model
+    "text_ccnet_buckets" -> (TextAnalysis.ccnetBuckets(_, _)),
     "chunk2_cdc"        -> (Packing.cdcChunks(_, _)),
     "chunk3_cdc_dedup"  -> (Packing.cdcDedup(_, _)),
+    // round-11: TextTiling lexical-cohesion chunker (semantic chunking)
+    "chunk4_texttile"   -> (Packing.textTile(_, _)),
     "stat21_hll_overlap" -> (Relational.stat21HllOverlap(_, _)),
     "samp9_curriculum"  -> ((s, dir) =>
       Sampling.curriculumOrder(s, Tables.documents(s, dir))),
@@ -4276,39 +4283,29 @@ object SparkEntry {
     // kn_bigrams model un-truncated, scored back onto each document's
     // bigrams; log-probs quantize to micro-nats before the per-doc
     // mean.
-    "text_kn_doc_score" -> raw"""
-      WITH t AS (SELECT doc_id,
-          list_filter(string_split_regex(lower(text), '\s+'),
-            x -> len(x) > 0) AS toks
-        FROM documents),
-      dp AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
-        FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
-              FROM t)),
-      m AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-        FROM dp GROUP BY w1, w2),
-      h AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
-          CAST(count(*) AS BIGINT) AS fw_types FROM m GROUP BY w1),
-      tl AS (SELECT w2, CAST(count(*) AS BIGINT) AS bw_types
-        FROM m GROUP BY w2),
-      tot AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM m),
-      sc AS (SELECT w1, w2,
-          greatest(CAST(round(1e6 * ((CAST(c12 AS DOUBLE) - 0.75) /
-              CAST(c1 AS DOUBLE) +
-            0.75 * CAST(fw_types AS DOUBLE) / CAST(c1 AS DOUBLE) *
-              (CAST(bw_types AS DOUBLE) / CAST(t_types AS DOUBLE))))
-            AS BIGINT), 1) AS pkn_micros
-        FROM m JOIN h USING (w1) JOIN tl USING (w2), tot),
-      lp AS (SELECT dp.doc_id,
-          CAST(round(ln(CAST(pkn_micros AS DOUBLE) / 1e6) * 1e6)
-            AS BIGINT) AS lp_micro
-        FROM dp JOIN sc USING (w1, w2))
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        round(CAST(sum(lp_micro) AS DOUBLE) /
-          (count(*) * 1e6), 6) AS mean_kn_logprob,
-        CAST(CASE WHEN round(CAST(sum(lp_micro) AS DOUBLE) /
-          (count(*) * 1e6), 6) < -7.0 THEN 1 ELSE 0 END AS BIGINT)
-          AS high_perplexity
-      FROM lp GROUP BY doc_id""",
+    "text_kn_doc_score" -> knDocScoreSql,
+    // bit-equal staged-model twin (TextAnalysis.knDocScoreIndexed):
+    // same model arithmetic, same scoring tail, one oracle
+    "text_kn_doc_score_indexed" -> knDocScoreSql,
+    // CCNet bucketing (TextAnalysis.ccnetBuckets): the shared KN
+    // doc-score subquery, ranked by fluency into ntile(3) thirds,
+    // rolled up per bucket in exact integer micros
+    "text_ccnet_buckets" -> raw"""
+      WITH kd AS (${knDocScoreSql}),
+      b AS (SELECT *,
+          CAST(ntile(3) OVER (ORDER BY mean_kn_logprob DESC, doc_id)
+            AS BIGINT) AS bucket,
+          CAST(round(mean_kn_logprob * 1e6) AS BIGINT) AS lp_micros
+        FROM kd),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS total_docs FROM b)
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+        CAST(sum(lp_micros) AS BIGINT) AS sum_lp_micros,
+        max(mean_kn_logprob) AS best_logprob,
+        min(mean_kn_logprob) AS worst_logprob,
+        CAST((1000000 * count(*)) // tot.total_docs AS BIGINT)
+          AS share_micros
+      FROM b, tot GROUP BY bucket, tot.total_docs""",
     "chunk2_cdc" -> raw"""
       WITH base AS (SELECT doc_id, text, len(text) AS n FROM documents),
       pos AS (SELECT doc_id, text, n, unnest(range(8, n + 1)) AS i
@@ -4361,6 +4358,45 @@ object SparkEntry {
         tot.total_saved_bytes
       FROM (SELECT * FROM gg WHERE n_occurrences > 1
         ORDER BY n_occurrences DESC, chunk_md5 LIMIT 15) t, tot""",
+    // TextTiling chunker (Packing.textTile): 12-token blocks as sets,
+    // adjacent-block Jaccard in integer micros, boundary where
+    // cohesion < 0.2; the window-sum chunk ids equal the Spark side's
+    // boundary-array fold (both are "1 + boundaries before block").
+    "chunk4_texttile" -> raw"""
+      WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0) AS tk
+        FROM documents),
+      n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_toks,
+          greatest(CAST(ceil(len(tk) / 12.0) AS BIGINT), 1) AS ns
+        FROM t),
+      segs AS (SELECT doc_id, i,
+          list_distinct(tk[i * 12 + 1 : i * 12 + 12]) AS st
+        FROM (SELECT doc_id, tk, unnest(range(0, ns)) AS i FROM n)),
+      sims AS (SELECT a.doc_id, a.i,
+          CAST(round(1e6 * len(list_intersect(a.st, b.st)) /
+            len(list_distinct(list_concat(a.st, b.st)))) AS BIGINT) AS jac
+        FROM segs a JOIN segs b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      fl AS (SELECT s.doc_id, s.i,
+          CASE WHEN m.jac < 200000 THEN 1 ELSE 0 END AS b
+        FROM segs s LEFT JOIN sims m
+          ON m.doc_id = s.doc_id AND m.i = s.i - 1),
+      cid AS (SELECT doc_id, i,
+          CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY i) + 1 AS BIGINT)
+            AS c
+        FROM fl),
+      ch AS (SELECT doc_id, c AS chunk_idx, min(i) AS s, max(i) AS e,
+          CAST(count(*) AS BIGINT) AS n_segs
+        FROM cid GROUP BY doc_id, c)
+      SELECT ch.doc_id, ch.chunk_idx,
+        CAST(ch.s * 12 + 1 AS BIGINT) AS start_tok,
+        CAST(least(n.n_toks, (ch.e + 1) * 12) - ch.s * 12 AS BIGINT)
+          AS n_tokens,
+        ch.n_segs,
+        md5(array_to_string(
+          n.tk[ch.s * 12 + 1 : least(n.n_toks, (ch.e + 1) * 12)], ' '))
+          AS chunk_md5
+      FROM ch JOIN n USING (doc_id)""",
     "stat21_hll_overlap" -> raw"""
       WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
       n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd
@@ -8167,6 +8203,44 @@ object SparkEntry {
         mmr AS mmr_micros FROM s1
       $union"""
   }
+
+  /** KN doc-score oracle — shared by text_kn_doc_score (in-session
+    * model) and text_kn_doc_score_indexed (staged model): the two
+    * faces are bit-equal by construction (one model arithmetic, one
+    * scoring tail in TextAnalysis), so one SQL covers both. */
+  private def knDocScoreSql: String = raw"""
+      WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0) AS toks
+        FROM documents),
+      dp AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+              FROM t)),
+      m AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM dp GROUP BY w1, w2),
+      h AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+          CAST(count(*) AS BIGINT) AS fw_types FROM m GROUP BY w1),
+      tl AS (SELECT w2, CAST(count(*) AS BIGINT) AS bw_types
+        FROM m GROUP BY w2),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM m),
+      sc AS (SELECT w1, w2,
+          greatest(CAST(round(1e6 * ((CAST(c12 AS DOUBLE) - 0.75) /
+              CAST(c1 AS DOUBLE) +
+            0.75 * CAST(fw_types AS DOUBLE) / CAST(c1 AS DOUBLE) *
+              (CAST(bw_types AS DOUBLE) / CAST(t_types AS DOUBLE))))
+            AS BIGINT), 1) AS pkn_micros
+        FROM m JOIN h USING (w1) JOIN tl USING (w2), tot),
+      lp AS (SELECT dp.doc_id,
+          CAST(round(ln(CAST(pkn_micros AS DOUBLE) / 1e6) * 1e6)
+            AS BIGINT) AS lp_micro
+        FROM dp JOIN sc USING (w1, w2))
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        round(CAST(sum(lp_micro) AS DOUBLE) /
+          (count(*) * 1e6), 6) AS mean_kn_logprob,
+        CAST(CASE WHEN round(CAST(sum(lp_micro) AS DOUBLE) /
+          (count(*) * 1e6), 6) < -7.0 THEN 1 ELSE 0 END AS BIGINT)
+          AS high_perplexity
+      FROM lp GROUP BY doc_id"""
 
   private def bruteAnnSql: String = bruteAnnSqlK(10)
 

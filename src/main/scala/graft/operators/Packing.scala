@@ -414,4 +414,67 @@ object Packing {
           .as("util_micros"),
         col("total_bins"), col("total_waste"))
   }
+
+  /** `chunk4_texttile` — lexical-cohesion topic segmentation
+    * (TextTiling, Hearst CL'97 — the linguistic ancestor of today's
+    * "semantic chunking" RAG splitters): the token stream is cut into
+    * fixed `w`-token blocks, adjacent blocks are compared as SETS
+    * (Jaccard in integer micros), and a chunk boundary falls wherever
+    * cohesion dips below `thetaMicros` — so chunks follow topic shifts
+    * instead of [[ragChunks]]' blind stride. Real TextTiling smooths a
+    * depth score; the threshold-on-valley form keeps the same boundary
+    * semantics with exact integer arithmetic (1e6·|A∩B|/|A∪B| never
+    * lands on a representable .5 for block sets ≤ 2w, so HALF_UP vs
+    * HALF_EVEN cannot diverge — same argument as the repo's other
+    * micro-quantized ratios).
+    *
+    * Scale shape: the whole face is ONE narrow projection per document
+    * (token split, block sets, adjacent Jaccards, boundary fold,
+    * chunk fan-out via posexplode) — zero shuffles, zero joins, no
+    * window; only (doc_id, idx, counts, md5) leave the projection.
+    * The 100 TB cost is exactly one corpus scan. */
+  def textTile(s: SparkSession, dir: String, w: Int = 12,
+               thetaMicros: Long = 200000L): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val jac = (a: Column, b: Column) =>
+      round(lit(1e6) * size(array_intersect(a, b)) /
+        size(array_union(a, b))).cast("long")
+    val toks = d.select(col("doc_id"),
+      TextAnalysis.tokens(lower(col("text"))).as("tk"))
+    val withSegs = toks
+      .withColumn("n_toks", size(col("tk")))
+      .withColumn("ns",
+        greatest(ceil(col("n_toks") / lit(w.toDouble)).cast("int"), lit(1)))
+      .withColumn("segs", transform(sequence(lit(0), col("ns") - 1),
+        i => array_distinct(slice(col("tk"), i * w + 1, lit(w)))))
+      // sims(i) = cohesion between blocks i and i+1; guard ns == 1
+      // (Spark sequence(0, -1) would DESCEND, not return empty)
+      .withColumn("sims", when(col("ns") > 1,
+        transform(sequence(lit(0), col("ns") - 2),
+          i => jac(element_at(col("segs"), i + 1),
+            element_at(col("segs"), i + 2))))
+        .otherwise(array().cast("array<bigint>")))
+      // boundary AFTER block i wherever cohesion < theta (whole
+      // expression guarded on ns > 1: sequence(0, -1) descends and an
+      // element_at(sims, 0) inside the lambda would throw under ANSI)
+      .withColumn("bnds", when(col("ns") > 1,
+        filter(sequence(lit(0), col("ns") - 2),
+          i => element_at(col("sims"), i + 1) < thetaMicros))
+        .otherwise(array().cast("array<int>")))
+      .withColumn("starts", concat(array(lit(0)),
+        transform(col("bnds"), b => b + 1)))
+      .withColumn("ends", concat(col("bnds"), array(col("ns") - 1)))
+    withSegs
+      .select(col("doc_id"), col("tk"), col("n_toks"),
+        posexplode(arrays_zip(col("starts").as("s"), col("ends").as("e"))))
+      .select(col("doc_id"),
+        (col("pos") + 1).cast("long").as("chunk_idx"),
+        (col("col.s") * w + 1).cast("long").as("start_tok"),
+        (least(col("n_toks"), (col("col.e") + 1) * w) - col("col.s") * w)
+          .cast("long").as("n_tokens"),
+        (col("col.e") - col("col.s") + 1).cast("long").as("n_segs"),
+        md5(concat_ws(" ", slice(col("tk"), col("col.s") * w + 1,
+          least(col("n_toks"), (col("col.e") + 1) * w) - col("col.s") * w))
+          .cast("binary")).as("chunk_md5"))
+  }
 }

@@ -1617,18 +1617,32 @@ object TextAnalysis {
     * partitioning- and fold-order-independent. */
   def knDocScore(s: SparkSession, dir: String, d: Double = 0.75,
                  highPerpNats: Double = -7.0): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val docPairs = docs
+    val docPairs = knDocPairs(Tables.documents(s, dir))
+    knScoreDocs(docPairs, knScoredModel(docPairs, d), highPerpNats)
+  }
+
+  /** The per-document (doc_id, w1, w2) bigram stream both KN doc-score
+    * faces tokenize from — ONE definition so the staged model and the
+    * in-session model fold identical pairs. */
+  private def knDocPairs(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), bigramPairs(tokens(lower(col("text")))).as("ps"))
       .select(col("doc_id"), explode(col("ps")).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+  /** The trained KN model frame (w1, w2, pkn_micros): one map-side
+    * combined pair aggregation plus model-sized stat broadcasts —
+    * shared verbatim by [[knDocScore]] (in-session) and
+    * [[knDocScoreIndexed]] (staged once per corpus), so both faces'
+    * probabilities are the same integers. */
+  private def knScoredModel(docPairs: DataFrame, d: Double): DataFrame = {
     val model = docPairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
     val heads = model.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("fw_types"))
     val tails = model.groupBy(col("w2")).agg(count(lit(1)).as("bw_types"))
     val total = model.agg(count(lit(1)).as("t_types"))
-    val scored = model
+    model
       .join(broadcast(heads), Seq("w1"))
       .join(broadcast(tails), Seq("w2"))
       .crossJoin(broadcast(total))
@@ -1642,6 +1656,13 @@ object TextAnalysis {
               (col("bw_types").cast("double") /
                 col("t_types").cast("double")))).cast("long"), lit(1L))
           .as("pkn_micros"))
+  }
+
+  /** Score each document's bigrams under a (w1, w2, pkn_micros) model
+    * frame — the join shuffles on the bigram key; log-probs quantize
+    * to micro-nats before the per-doc sum (fold-order independent). */
+  private def knScoreDocs(docPairs: DataFrame, scored: DataFrame,
+                          highPerpNats: Double): DataFrame =
     docPairs.join(scored, Seq("w1", "w2"))
       .select(col("doc_id"),
         round(log(col("pkn_micros").cast("double") / 1e6) * 1e6, 0)
@@ -1652,6 +1673,71 @@ object TextAnalysis {
           (count(lit(1)).cast("double") * 1e6), 6).as("mean_kn_logprob"))
       .withColumn("high_perplexity",
         (col("mean_kn_logprob") < highPerpNats).cast("long"))
+
+  /** [[knDocScore]] over a PERSISTED KN model — the ret4/bm25 "train
+    * once, score many" split applied to the round's slowest soak face.
+    * The in-session face pays the model build (two corpus
+    * tokenizations: one under the pair aggregation, one under the
+    * score join — Spark recomputes the shared docPairs subtree) on
+    * EVERY run; here the scored (w1, w2, pkn_micros) frame stages once
+    * per (corpus fingerprint, D) and a scoring run is ONE corpus
+    * tokenization plus a shuffle join against the staged model. A
+    * 100 TB pipeline scores arriving shards against yesterday's model
+    * exactly this way (CCNet trains KenLM offline, filters online).
+    * Bit-equal to [[knDocScore]] — same model arithmetic
+    * ([[knScoredModel]]), same scoring tail ([[knScoreDocs]]) — so
+    * both share one oracle; the equality is pinned in Round11Spec. */
+  def knDocScoreIndexed(s: SparkSession, dir: String, d: Double = 0.75,
+                        highPerpNats: Double = -7.0): DataFrame = {
+    val base = Staging.base("kn_model_v1", dir,
+      s"d${math.round(d * 100)}", "documents")
+    Staging.buildOnce(base) {
+      knScoredModel(knDocPairs(Tables.documents(s, dir)), d)
+        // the model is vocab²-bounded (sublinear in corpus size); a
+        // handful of files keeps the scoring join's scan cheap without
+        // a single-writer bottleneck at build time
+        .coalesce(4)
+        .write.mode("overwrite").parquet(s"$base/model")
+    }
+    knScoreDocs(knDocPairs(Tables.documents(s, dir)),
+      s.read.parquet(s"$base/model"), highPerpNats)
+  }
+
+  /** `text_ccnet_buckets` — CCNet's perplexity bucketing (Wenzek et
+    * al., LREC 2020: score every document under a target-domain LM,
+    * split the corpus into head/middle/tail thirds by perplexity, keep
+    * head+middle — the filter behind CCNet/LLaMA pretraining data).
+    * Here the LM is the staged KN bigram model ([[knDocScoreIndexed]]
+    * — the "train KenLM offline, bucket online" split CCNet itself
+    * uses), rank is by mean log-prob DESC (head = most fluent), and
+    * the face emits the per-bucket rollup a pipeline acts on: doc
+    * count, bigram mass, exact log-prob mass in micro-nats, fluency
+    * range, doc share.
+    *
+    * Scale: scoring is the indexed face's one-tokenization join; the
+    * ntile ranks the DOC-LEVEL rollup (3 longs/doc — orders of
+    * magnitude below the corpus), exact for oracle parity per the
+    * samp9 convention. A 100 TB run would replace the exact global
+    * sort with approx-quantile cutoffs — same bucket semantics, two
+    * threshold literals instead of a rank. */
+  def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("mean_kn_logprob").desc, col("doc_id").asc)
+    val b = knDocScoreIndexed(s, dir)
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .withColumn("lp_micros",
+        round(col("mean_kn_logprob") * 1e6).cast("long"))
+    val tot = broadcast(b.agg(count(lit(1)).as("total_docs")))
+    b.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("sum_bigrams"),
+        sum(col("lp_micros")).as("sum_lp_micros"),
+        max(col("mean_kn_logprob")).as("best_logprob"),
+        min(col("mean_kn_logprob")).as("worst_logprob"))
+      .crossJoin(tot)
+      .select(col("bucket"), col("n_docs"), col("sum_bigrams"),
+        col("sum_lp_micros"), col("best_logprob"), col("worst_logprob"),
+        expr("(1000000 * n_docs) DIV total_docs").as("share_micros"))
   }
 
   def knBigrams(s: SparkSession, dir: String, k: Int = 200,

@@ -81,6 +81,94 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("knDocScoreIndexed == knDocScore bit for bit (the staged KN " +
+    "model scores identically to the in-session model)") {
+    val key = (r: org.apache.spark.sql.Row) => r.getAs[Long]("doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("mean_kn_logprob"),
+        r.getAs[Long]("high_perplexity")))
+      .sortBy(_._1)
+    val want = rows(TextAnalysis.knDocScore(spark, sf))
+    val got = rows(TextAnalysis.knDocScoreIndexed(spark, sf))
+    assert(want.nonEmpty)
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("textTile restates from a plain-Scala TextTiling replay") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val w = 12
+    val want = docs.flatMap { case (id, text) =>
+      val tk = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val ns = math.max(1, math.ceil(tk.length / 12.0).toInt)
+      val segs = (0 until ns).map(i =>
+        tk.slice(i * w, math.min(tk.length, i * w + w)).distinct.toSet)
+      val sims = (0 until ns - 1).map { i =>
+        val (a, b) = (segs(i), segs(i + 1))
+        math.rint(1e6 * (a & b).size / (a | b).size).toLong
+      }
+      val bnds = (0 until ns - 1).filter(i => sims(i) < 200000L)
+      val starts = 0 +: bnds.map(_ + 1)
+      val ends = bnds :+ (ns - 1)
+      starts.zip(ends).zipWithIndex.map { case ((s0, e0), c) =>
+        val nTok = math.min(tk.length, (e0 + 1) * w) - s0 * w
+        val body = tk.slice(s0 * w, s0 * w + nTok).mkString(" ")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(body.getBytes("UTF-8")).map(x => f"$x%02x").mkString
+        (id, c + 1L, s0 * w + 1L, nTok.toLong, e0 - s0 + 1L, md)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = Packing.textTile(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_segs"), r.getAs[String]("chunk_md5")))
+      .sortBy(t => (t._1, t._2))
+    assert(got.nonEmpty)
+    // the corpus must exercise both outcomes or theta pins nothing
+    assert(got.exists(_._2 > 1L), "no doc ever split — theta pins nothing")
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("textTile is one shuffle-free projection (no Exchange in the plan)") {
+    val plan = Packing.textTile(spark, sf).queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"TextTiling must stay a narrow per-doc projection, found: $exchanges")
+  }
+
+  test("ccnetBuckets restates from knDocScore + a driver ntile replay") {
+    val scored = TextAnalysis.knDocScore(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("mean_kn_logprob")))
+      .sortBy { case (id, _, lp) => (-lp, id) }
+    val n = scored.length
+    val (base, extra) = (n / 3, n % 3)
+    val cuts = (0 to 3).map(i => i * base + math.min(i, extra))
+    val want = (0 until 3).map { b =>
+      val part = scored.slice(cuts(b), cuts(b + 1))
+      (b + 1L, part.length.toLong, part.map(_._2).sum,
+        part.map(t => math.rint(t._3 * 1e6).toLong).sum,
+        part.map(_._3).max, part.map(_._3).min,
+        1000000L * part.length / n)
+    }
+    val rows = TextAnalysis.ccnetBuckets(spark, sf).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    assert(rows.length === 3)
+    rows.zip(want).foreach { case (r, (b, nd, sb, lp, mx, mn, sh)) =>
+      assert(r.getAs[Long]("bucket") === b)
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("sum_bigrams") === sb)
+      assert(r.getAs[Long]("sum_lp_micros") === lp)
+      assert(r.getAs[Double]("best_logprob") === mx)
+      assert(r.getAs[Double]("worst_logprob") === mn)
+      assert(r.getAs[Long]("share_micros") === sh)
+    }
+  }
+
   test("gdLoop trains the same weights after folding count into the " +
     "gradient job (ml1/ml9 regression guard)") {
     // restates the full-batch GD loop driver-side from the same
