@@ -572,6 +572,8 @@ object SparkEntry {
     "tok10_wordpiece"    -> (Training.tok10WordPiece(_, _)),
     // unigram-LM Viterbi segmentation (the third tokenizer family)
     "tok11_unigram"      -> (Training.tok11Unigram(_, _)),
+    // round-11: BPE-dropout subword regularization (rule-granular coin)
+    "tok12_bpe_dropout"  -> (Training.tok12BpeDropout(_, _)),
     "ml29_ks"            -> (Profiling.ml29Ks(_, _)),
     "geo6_ripley"        -> (Spatial.ripleyK(_, _)),
     "ts14_seasonal_strength" -> (EventAnalytics.ts14SeasonalStrength(_, _)),
@@ -3170,6 +3172,51 @@ object SparkEntry {
       FROM (SELECT *, row_number() OVER (PARTITION BY word, is_oov
               ORDER BY it DESC) AS rk FROM ap)
       WHERE rk = 1""",
+    // BPE-dropout (Training.tok12BpeDropout): tok4's recursive rule
+    // replay carrying a SECOND segmentation whose per-(word, rule)
+    // application is gated by the md5 sampling coin, plus the dropped
+    // count and the corpus-mass token overhead.
+    "tok12_bpe_dropout" -> raw"""
+      $bpeSql,
+      rules AS (SELECT DISTINCT iter AS it, ' ' || pair || ' ' AS pat,
+                       ' ' || merged || ' ' AS rep
+                FROM bpe WHERE iter >= 1),
+      ap AS (
+        SELECT 0 AS it, word, cnt,
+               ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS seg,
+               ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS segd,
+               CAST(0 AS BIGINT) AS nd
+        FROM vocab0
+        UNION ALL
+        SELECT a.it + 1, a.word, a.cnt,
+               replace(replace(replace(a.seg, r.pat, r.rep), r.pat, r.rep),
+                 r.pat, r.rep),
+               CASE WHEN ('0x' || substr(md5('bd1_' || r.it || ':' ||
+                   a.word), 1, 15))::BIGINT % 10 < 3
+                 THEN a.segd
+                 ELSE replace(replace(replace(a.segd, r.pat, r.rep),
+                   r.pat, r.rep), r.pat, r.rep) END,
+               a.nd + CASE WHEN ('0x' || substr(md5('bd1_' || r.it ||
+                   ':' || a.word), 1, 15))::BIGINT % 10 < 3
+                 THEN 1 ELSE 0 END
+        FROM ap a JOIN rules r ON r.it = a.it + 1
+        WHERE a.it < 10),
+      fin AS (SELECT word, cnt,
+               CAST(len(string_split(trim(seg), ' ')) AS BIGINT) AS n_tok,
+               CAST(len(string_split(trim(segd), ' ')) AS BIGINT)
+                 AS n_tok_drop,
+               nd AS n_rules_dropped
+              FROM (SELECT *, row_number() OVER (PARTITION BY word
+                      ORDER BY it DESC) AS rk FROM ap)
+              WHERE rk = 1),
+      tot AS (SELECT CAST(sum(cnt * n_tok) AS BIGINT) AS base_tokens,
+                     CAST(sum(cnt * n_tok_drop) AS BIGINT) AS drop_tokens
+              FROM fin)
+      SELECT fin.word, fin.cnt, fin.n_tok, fin.n_tok_drop,
+             fin.n_rules_dropped, tot.base_tokens, tot.drop_tokens,
+             CAST(round(1e6 * tot.drop_tokens / tot.base_tokens)
+               AS BIGINT) AS overhead_micros
+      FROM fin, tot""",
     // Per-source exact-order-statistic filter, all-integer cutoff
     // (TextAnalysis.qualityAdaptive).
     "text_quality_adaptive" -> raw"""

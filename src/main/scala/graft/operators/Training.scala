@@ -366,6 +366,66 @@ object Training {
         size(split(trim(folded), " ")).cast("long").as("n_tok"))
   }
 
+  /** `tok12_bpe_dropout` — BPE-dropout subword regularization
+    * (Provilkov et al., ACL 2020): during ENCODING each learned merge
+    * is stochastically skipped, so one word yields varied
+    * segmentations and the model sees its subword lattice instead of
+    * one canonical split. This face is the RULE-granular variant —
+    * one coin per (word, rule) from the repo's md5 sampling-coin
+    * convention (`md5_60("bd1_<iter>:<word>") mod 10 < pTenths`),
+    * replayable on any engine; the paper's per-OCCURRENCE coin needs
+    * per-match randomness inside a string scan that no engine's
+    * deterministic builtins expose — same regularization signal,
+    * coarser grain, honestly labeled. Emits the per-word dual
+    * encoding (canonical n_tok vs dropout n_tok_drop, rules dropped)
+    * with the corpus-mass token overhead riding along (dropout only
+    * ever splits COARSER, so overhead ≥ 1e6 micros by construction —
+    * the spec asserts both).
+    *
+    * Scale shape: the merge table is the staged KB-scale model
+    * ([[bpeRun]] — train once per corpus); both encodings fold as one
+    * narrow 30-replace + coin projection over the vocab-bounded
+    * distinct-word frame; the rollup is a 1-row broadcast. */
+  def tok12BpeDropout(s: SparkSession, dir: String, merges: Int = 10,
+                      pTenths: Int = 3): DataFrame = {
+    GraftFunctions.register(s)
+    val (rules, vocab) = bpeRun(s, dir, merges)((r, v) => (r, v))
+    val seg0 = concat(lit(" "),
+      regexp_replace(col("word"), "(.)", "$1 "))
+    def apply3(c: Column, pair: String, merged: String): Column = {
+      val pat = lit(" " + pair + " ")
+      val rep = lit(" " + merged + " ")
+      def once(x: Column): Column = call_function("replace", x, pat, rep)
+      once(once(once(c)))
+    }
+    def coin(it: Int): Column =
+      pmod(call_function("md5_base60",
+        concat(lit(s"bd1_$it:"), col("word"))), lit(10L)) <
+        lit(pTenths.toLong)
+    val base = rules.foldLeft(seg0) { case (c, (_, pair, merged, _)) =>
+      apply3(c, pair, merged)
+    }
+    val dropped = rules.foldLeft(seg0) { case (c, (it, pair, merged, _)) =>
+      when(coin(it), c).otherwise(apply3(c, pair, merged))
+    }
+    val nDropped = rules
+      .map { case (it, _, _, _) => when(coin(it), 1L).otherwise(0L) }
+      .reduce(_ + _)
+    val perWord = vocab.select(col("word"), col("cnt"),
+      size(split(trim(base), " ")).cast("long").as("n_tok"),
+      size(split(trim(dropped), " ")).cast("long").as("n_tok_drop"),
+      nDropped.as("n_rules_dropped"))
+    val tot = broadcast(perWord.agg(
+      sum(col("cnt") * col("n_tok")).as("base_tokens"),
+      sum(col("cnt") * col("n_tok_drop")).as("drop_tokens")))
+    perWord.crossJoin(tot)
+      .select(col("word"), col("cnt"), col("n_tok"), col("n_tok_drop"),
+        col("n_rules_dropped"), col("base_tokens"), col("drop_tokens"),
+        round(lit(1e6) * col("drop_tokens").cast("double") /
+          col("base_tokens").cast("double")).cast("long")
+          .as("overhead_micros"))
+  }
+
   /** Shared merge loop with a PERSISTED model (the tokenizer twin of
     * [[Similarity.annIvfIndexed]]'s index registry): the first call
     * for a corpus trains — one vocabulary pass, `merges` synchronous

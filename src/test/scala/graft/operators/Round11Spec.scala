@@ -169,6 +169,36 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("tok12 bpe-dropout only ever splits coarser, changes something, " +
+    "and its rollup restates from the per-word rows") {
+    val rows = Training.tok12BpeDropout(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // dropping a merge can only leave a word MORE split, never less
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tok_drop") >= r.getAs[Long]("n_tok"),
+        s"dropout coarsened ${r.getAs[String]("word")}")
+    }
+    // the coin must actually fire on this corpus or the face pins nothing
+    assert(rows.exists(r =>
+      r.getAs[Long]("n_tok_drop") > r.getAs[Long]("n_tok")))
+    assert(rows.exists(r => r.getAs[Long]("n_rules_dropped") > 0L))
+    // a word with every rule dropped is fully character-split
+    rows.filter(_.getAs[Long]("n_rules_dropped") == 10L).foreach { r =>
+      assert(r.getAs[Long]("n_tok_drop") ===
+        r.getAs[String]("word").length.toLong)
+    }
+    // totals and overhead restate from the per-word rows
+    val base = rows.map(r => r.getAs[Long]("cnt") * r.getAs[Long]("n_tok")).sum
+    val drop = rows.map(r =>
+      r.getAs[Long]("cnt") * r.getAs[Long]("n_tok_drop")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("base_tokens") === base)
+      assert(r.getAs[Long]("drop_tokens") === drop)
+      assert(r.getAs[Long]("overhead_micros") ===
+        math.rint(1e6 * drop / base).toLong)
+    }
+  }
+
   test("gdLoop trains the same weights after folding count into the " +
     "gradient job (ml1/ml9 regression guard)") {
     // restates the full-batch GD loop driver-side from the same
