@@ -1646,7 +1646,8 @@ object TextAnalysis {
       .join(broadcast(heads), Seq("w1"))
       .join(broadcast(tails), Seq("w2"))
       .crossJoin(broadcast(total))
-      .select(col("w1"), col("w2"),
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("fw_types"), col("bw_types"), col("t_types"),
         // greatest(…, 1) guards the log against a micro-rounded zero
         // (only reachable when a head exceeds ~4M occurrences)
         greatest(round(lit(1e6) * (
@@ -1688,8 +1689,18 @@ object TextAnalysis {
     * ([[knScoredModel]]), same scoring tail ([[knScoreDocs]]) — so
     * both share one oracle; the equality is pinned in Round11Spec. */
   def knDocScoreIndexed(s: SparkSession, dir: String, d: Double = 0.75,
-                        highPerpNats: Double = -7.0): DataFrame = {
-    val base = Staging.base("kn_model_v1", dir,
+                        highPerpNats: Double = -7.0): DataFrame =
+    knScoreDocs(knDocPairs(Tables.documents(s, dir)),
+      stagedKnModel(s, dir, d), highPerpNats)
+
+  /** The staged KN model: (w1, w2, c12, c1, fw_types, bw_types,
+    * t_types, pkn_micros), built once per (corpus fingerprint, D) —
+    * v2 carries the full sufficient statistics so every KN face
+    * (doc scoring, the top-k bigram report) serves from one
+    * artifact. */
+  private def stagedKnModel(s: SparkSession, dir: String,
+                            d: Double): DataFrame = {
+    val base = Staging.base("kn_model_v2", dir,
       s"d${math.round(d * 100)}", "documents")
     Staging.buildOnce(base) {
       knScoredModel(knDocPairs(Tables.documents(s, dir)), d)
@@ -1699,9 +1710,29 @@ object TextAnalysis {
         .coalesce(4)
         .write.mode("overwrite").parquet(s"$base/model")
     }
-    knScoreDocs(knDocPairs(Tables.documents(s, dir)),
-      s.read.parquet(s"$base/model"), highPerpNats)
+    s.read.parquet(s"$base/model")
   }
+
+  /** [[knBigrams]] served from the STAGED model: the top-k bigram
+    * report re-derives the UNGUARDED pkn_micros (knBigrams' exact
+    * expression) from the staged integer statistics — same exact
+    * inputs, same IEEE expression, so the report is bit-equal to the
+    * in-session face (Round11Spec pin) and shares its oracle; the
+    * corpus is not rescanned at all. */
+  def knBigramsIndexed(s: SparkSession, dir: String, k: Int = 200,
+                       d: Double = 0.75): DataFrame =
+    stagedKnModel(s, dir, d)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("fw_types"), col("bw_types"), col("t_types"),
+        round(lit(1e6) * (
+          (col("c12").cast("double") - lit(d)) / col("c1").cast("double") +
+            lit(d) * col("fw_types").cast("double") /
+              col("c1").cast("double") *
+              (col("bw_types").cast("double") /
+                col("t_types").cast("double"))))
+          .cast("long").as("pkn_micros"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(k)
 
   /** `text_ccnet_buckets` — CCNet's perplexity bucketing (Wenzek et
     * al., LREC 2020: score every document under a target-domain LM,

@@ -95,6 +95,19 @@ class Round11Spec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("knBigramsIndexed == knBigrams bit for bit (the staged model's " +
+    "statistics re-derive the exact report)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("c12"), r.getAs[Long]("c1"),
+        r.getAs[Long]("fw_types"), r.getAs[Long]("bw_types"),
+        r.getAs[Long]("t_types"), r.getAs[Long]("pkn_micros")))
+    val want = rows(TextAnalysis.knBigrams(spark, sf))
+    val got = rows(TextAnalysis.knBigramsIndexed(spark, sf))
+    assert(want.nonEmpty)
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("textTile restates from a plain-Scala TextTiling replay") {
     val docs = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
