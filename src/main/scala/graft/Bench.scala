@@ -78,9 +78,11 @@ object Bench {
         // cancelAllJobs only kills in-flight jobs — the feeder thread
         // would resume addData/processAllAvailable and submit new
         // micro-batches CONCURRENTLY with the query measurement loop.
-        // Stopping the active queries makes the feeder's next call
-        // throw, so the orphaned Future dies instead of polluting
-        // every subsequent timing.
+        // Stopping the active queries fails the CURRENT face; the
+        // abort flag makes every REMAINING face short-circuit to -1,
+        // so the orphaned Future winds down instead of starting fresh
+        // queries alongside the batch measurements.
+        graft.streaming.StreamBench.abort()
         spark.sparkContext.cancelAllJobs()
         spark.streams.active.foreach(q =>
           try q.stop() catch { case _: Throwable => () })

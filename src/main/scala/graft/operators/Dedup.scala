@@ -307,24 +307,28 @@ object Dedup {
     * streaming plan cannot read per-call scratch parquet.) */
   def bandSignatureRows(s: SparkSession, docs: DataFrame): DataFrame = {
     GraftFunctions.register(s)
-    shingled(docs)
-      .select(col("doc_id"), minhashSig(col("sh")).as("sig"))
-      .select(col("doc_id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          b => concat_ws("_", slice(col("sig"), b * 4 + 1, lit(4))))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+    bandKeys(shingled(docs)
+      .select(col("doc_id"), minhashSig(col("sh")).as("sig")),
+      col("doc_id"), col("sig"))
   }
+
+  /** THE 4-band × 4-slot MinHash band explode over a `sig` column —
+    * one definition shared by the batch LSH candidate generator, the
+    * cross-corpus near-dup sides, and (via [[bandSignatureRows]]) the
+    * streaming within-stream face, so every banded consumer buckets
+    * identically by construction. `keep` = the columns to carry. */
+  private def bandKeys(withSig: DataFrame, keep: Column*): DataFrame =
+    withSig
+      .select(keep :+ posexplode(transform(sequence(lit(0), lit(3)),
+        b => concat_ws("_", slice(col("sig"), b * 4 + 1, lit(4))))): _*)
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
 
   /** Banded LSH candidate pairs from a (doc_id, sig) frame — 4 bands ×
     * 4 rows, equi-join on (band, band_key), ordered distinct pairs.
     * THE candidate generator shared by [[minhashLsh]],
     * [[minhashErrorProfile]] and [[dedupThresholdCurve]]. */
   private def bandedCandidates(sigs: DataFrame): DataFrame = {
-    val bands = sigs
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          b => concat_ws("_", slice(col("sig"), b * 4 + 1, lit(4))))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+    val bands = bandKeys(sigs, col("doc_id"))
     bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"),
         col("band_key")), Seq("band", "band_key"))
@@ -659,12 +663,9 @@ object Dedup {
     (sh, nearDupBands(sh))
   }
 
-  private def nearDupBands(sh: DataFrame): DataFrame = sh
-    .select(col("doc_id"), minhashSig(col("sh")).as("sig"))
-    .select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => concat_ws("_", slice(col("sig"), b * 4 + 1, lit(4))))))
-    .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+  private def nearDupBands(sh: DataFrame): DataFrame =
+    bandKeys(sh.select(col("doc_id"), minhashSig(col("sh")).as("sig")),
+      col("doc_id"))
 
   /** The shared candidate-then-verify tail: bare id pairs before the
     * wide shingle arrays join back — the minhashLsh discipline (arrays

@@ -400,20 +400,16 @@ object Recommend {
     * data-sized shuffles and the round-10 soak's 2.7× constant; the
     * basket-explode form halved the sf1 time bit-identically.) */
   def rec6Lift3(s: SparkSession, dir: String, topK: Int = 20): DataFrame = {
-    val items = Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("okey"), col("p_brand").as("br"))
     // triple enumeration was two okey self-joins over a pre-distincted
     // pair frame — FIVE corpus scans and three data-sized shuffles
     // across the branches, the round-10 soak's 2.7x constant. Now the
     // corpus is scanned ONCE into a per-order brand-set rollup
-    // (collect_set dedups in the agg) that is checkpointed and feeds
-    // all three consumers: triples via a narrow C(b,3) combination
-    // explode (basket-bounded, never corpus-squared), supports and the
-    // order count as order-cardinality re-aggregations. The top-K
-    // result detaches via materializedLocal so the checkpoint
-    // unpersists before return (the mst/cc snapshot convention).
+    // (collect_set dedups in the agg) that is cached and feeds all
+    // three consumers: triples via a narrow C(b,3) combination explode
+    // (basket-bounded, never corpus-squared), supports and the order
+    // count as order-cardinality re-aggregations. The top-K result
+    // detaches via materializedLocal so the cache unpersists before
+    // return (the mst/cc snapshot convention).
     val sc = s.sparkContext
     val preexisting = sc.getPersistentRDDs.keySet
     try {
@@ -421,52 +417,73 @@ object Recommend {
       // job populates the cache and the other two reuse it — no extra
       // blocking materialization pass (inputs are file-backed, so the
       // kept lineage is harmless); unpersisted in the finally
-      val baskets = items.groupBy(col("okey"))
-        .agg(sort_array(collect_set(col("br"))).as("brs"))
-        .persist()
-      val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
-      val support = baskets
-        .select(explode(col("brs")).as("br"))
-        .groupBy(col("br")).agg(count(lit(1)).as("n_br"))
-      val combos = {
-        val a = col("brs")
-        val n = size(a)
-        when(n >= 3, flatten(flatten(
-          transform(sequence(lit(0), n - 3), i =>
-            transform(sequence(i + 1, n - 2), j =>
-              transform(sequence(j + 1, n - 1), k =>
-                struct(element_at(a, i + 1).as("b1"),
-                  element_at(a, j + 1).as("b2"),
-                  element_at(a, k + 1).as("b3"))))))))
-          .otherwise(array()
-            .cast("array<struct<b1:string,b2:string,b3:string>>"))
-      }
-      val triples = baskets
-        .select(explode(combos).as("t"))
-        .groupBy(col("t.b1").as("b1"), col("t.b2").as("b2"),
-          col("t.b3").as("b3"))
-        .agg(count(lit(1)).as("n_abc"))
-      val result = triples
-        .join(broadcast(support.select(col("br").as("b1"),
-          col("n_br").as("n1"))), "b1")
-        .join(broadcast(support.select(col("br").as("b2"),
-          col("n_br").as("n2"))), "b2")
-        .join(broadcast(support.select(col("br").as("b3"),
-          col("n_br").as("n3"))), "b3")
-        .crossJoin(broadcast(nOrders))
-        .select(col("b1"), col("b2"), col("b3"), col("n_abc"),
-          expr("""(CAST(n_abc AS DECIMAL(38,0)) * n_orders * n_orders
-              * 1000000) DIV
-            (CAST(n1 AS DECIMAL(38,0)) * n2 * n3)""")
-            .as("lift3_micros"))
-        .orderBy(col("lift3_micros").desc, col("b1").asc, col("b2").asc,
-          col("b3").asc)
-        .limit(topK)
-      Staging.materializedLocal(result, topK)
+      Staging.materializedLocal(
+        lift3Tail(lift3Baskets(s, dir).persist(), topK), topK)
     } finally {
       sc.getPersistentRDDs
         .filterNot { case (id, _) => preexisting(id) }
         .values.foreach(_.unpersist(blocking = false))
     }
   }
+
+  /** The per-order sorted brand-set rollup rec6 fans out from. */
+  private def lift3Baskets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("br"))
+      .groupBy(col("okey"))
+      .agg(sort_array(collect_set(col("br"))).as("brs"))
+
+  /** The lift3 computation over a baskets frame — shared by the
+    * production face (cached baskets) and [[lift3PlanFace]] (uncached,
+    * so PlanSpec can assert the physical shape the detached local
+    * result hides). */
+  private def lift3Tail(baskets: DataFrame, topK: Int): DataFrame = {
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val support = baskets
+      .select(explode(col("brs")).as("br"))
+      .groupBy(col("br")).agg(count(lit(1)).as("n_br"))
+    val combos = {
+      val a = col("brs")
+      val n = size(a)
+      when(n >= 3, flatten(flatten(
+        transform(sequence(lit(0), n - 3), i =>
+          transform(sequence(i + 1, n - 2), j =>
+            transform(sequence(j + 1, n - 1), k =>
+              struct(element_at(a, i + 1).as("b1"),
+                element_at(a, j + 1).as("b2"),
+                element_at(a, k + 1).as("b3"))))))))
+        .otherwise(array()
+          .cast("array<struct<b1:string,b2:string,b3:string>>"))
+    }
+    val triples = baskets
+      .select(explode(combos).as("t"))
+      .groupBy(col("t.b1").as("b1"), col("t.b2").as("b2"),
+        col("t.b3").as("b3"))
+      .agg(count(lit(1)).as("n_abc"))
+    triples
+      .join(broadcast(support.select(col("br").as("b1"),
+        col("n_br").as("n1"))), "b1")
+      .join(broadcast(support.select(col("br").as("b2"),
+        col("n_br").as("n2"))), "b2")
+      .join(broadcast(support.select(col("br").as("b3"),
+        col("n_br").as("n3"))), "b3")
+      .crossJoin(broadcast(nOrders))
+      .select(col("b1"), col("b2"), col("b3"), col("n_abc"),
+        expr("""(CAST(n_abc AS DECIMAL(38,0)) * n_orders * n_orders
+            * 1000000) DIV
+          (CAST(n1 AS DECIMAL(38,0)) * n2 * n3)""")
+          .as("lift3_micros"))
+      .orderBy(col("lift3_micros").desc, col("b1").asc, col("b2").asc,
+        col("b3").asc)
+      .limit(topK)
+  }
+
+  /** The UNCACHED lazy lift3 plan, for plan-shape assertions only —
+    * same construction code as the production face. */
+  private[graft] def lift3PlanFace(s: SparkSession, dir: String,
+                                   topK: Int = 20): DataFrame =
+    lift3Tail(lift3Baskets(s, dir), topK)
+
 }

@@ -270,7 +270,16 @@ object Spatial {
   def knnJoinIndexed(s: SparkSession, dir: String, k: Int = 5,
                      g: Long = 2000000L): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val cellsPerAxis = (DomainMicros / g).toInt // 50 at the default g
+    // ceil, not floor: coords reach DomainMicros-1, so with a g that
+    // does not divide the domain a floor'd axis count would collide
+    // cell ids across rows (cx reaches floor((Domain-1)/g) inclusive)
+    // and the pcell decode below would prune TRUE neighbors' partitions
+    val cellsPerAxis = ((DomainMicros + g - 1) / g).toInt // 50 at default g
+    // the 5x5 pcell block layout uses a fixed x20 row stride, which is
+    // collision-free only while the axis holds <= 100 cells
+    require(g >= 1000000L && g <= DomainMicros,
+      s"g=$g outside the supported range [1e6, $DomainMicros] for the " +
+        "fixed 5x5/x20 pcell layout")
     val base = Staging.base("geo_knn_index_v1", dir, s"g$g", "customer")
     Staging.buildOnce(base) {
       val p = points(s, dir)

@@ -1700,8 +1700,10 @@ object TextAnalysis {
     * artifact. */
   private def stagedKnModel(s: SparkSession, dir: String,
                             d: Double): DataFrame = {
-    val base = Staging.base("kn_model_v2", dir,
-      s"d${math.round(d * 100)}", "documents")
+    // the discount is part of the cache key EXACTLY (the other staged
+    // models' b$buckets/g$g convention): a rounded key would serve a
+    // d=0.75 model to a d=0.752 caller with no error
+    val base = Staging.base("kn_model_v2", dir, s"d$d", "documents")
     Staging.buildOnce(base) {
       knScoredModel(knDocPairs(Tables.documents(s, dir)), d)
         // the model is vocab²-bounded (sublinear in corpus size); a
@@ -1758,14 +1760,17 @@ object TextAnalysis {
       .withColumn("bucket", ntile(3).over(w).cast("long"))
       .withColumn("lp_micros",
         round(col("mean_kn_logprob") * 1e6).cast("long"))
-    val tot = broadcast(b.agg(count(lit(1)).as("total_docs")))
+    // total_docs folds over the 3-ROW bucket rollup, not the scored
+    // frame — a broadcast agg on `b` would re-run the whole scoring
+    // pipeline (tokenize + model join + global sort) a second time
     b.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_bigrams")).as("sum_bigrams"),
         sum(col("lp_micros")).as("sum_lp_micros"),
         max(col("mean_kn_logprob")).as("best_logprob"),
         min(col("mean_kn_logprob")).as("worst_logprob"))
-      .crossJoin(tot)
+      .withColumn("total_docs",
+        sum(col("n_docs")).over(Window.partitionBy(lit(1))))
       .select(col("bucket"), col("n_docs"), col("sum_bigrams"),
         col("sum_lp_micros"), col("best_logprob"), col("worst_logprob"),
         expr("(1000000 * n_docs) DIV total_docs").as("share_micros"))

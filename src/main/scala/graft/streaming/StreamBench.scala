@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object StreamBench {
 
+  /** Cooperative abort: set by Bench when its stream-phase Await times
+    * out. Stopping the active query only kills the CURRENT face (each
+    * face catches its own failure and returns -1) — without this flag
+    * the orphaned feeder thread would proceed to start and feed every
+    * REMAINING face concurrently with the batch measurement loop.
+    * Reset at the top of each run(). */
+  @volatile private var abortFlag = false
+  def abort(): Unit = { abortFlag = true }
+
   /** Dev driver: run the streaming faces alone against a testdata dir. */
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -49,6 +58,7 @@ object StreamBench {
           nChunks: Int = 4): String = {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    abortFlag = false
     val ckRoot = java.nio.file.Files
       .createTempDirectory("graft-streambench").toString
 
@@ -63,37 +73,58 @@ object StreamBench {
     val nDocs = docs.count()
     val docIds = docs.select(col("doc_id")).collect().map(_.getLong(0))
 
-    def chunksOf(ids: Array[Long]): Seq[Seq[Long]] = {
-      val per = math.max(1, (ids.length + nChunks - 1) / nChunks)
-      ids.toSeq.grouped(per).toSeq
-    }
-
     var faceN = 0
-    /** Id-fed face: MemoryStream[Long] of ids joined back to `lookup`
-      * on `idCol`, transformed, written to a memory sink. */
-    def idFace(name: String, ids: Array[Long], lookup: DataFrame,
-               idCol: String, mode: String)
-              (transform: DataFrame => DataFrame): (String, Double) = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    /** Payload-fed face: a MemoryStream of typed rows built into a
+      * streaming frame by `build`, written to a memory sink, fed in
+      * nChunks micro-batches. Owns the RocksDB provider set/restore
+      * when the face needs transformWithState (no cross-face conf
+      * coupling), and short-circuits to -1 when Bench aborted the
+      * stream phase. */
+    def payloadFace[T](name: String, rows: Seq[T], mode: String,
+                       rocksDb: Boolean = false)
+                      (build: MemoryStream[T] => DataFrame)
+                      (implicit enc: org.apache.spark.sql.Encoder[T])
+        : (String, Double) = {
+      if (abortFlag) return (name, -1.0)
       faceN += 1
+      val view = s"sb_$faceN"
+      val prior = spark.conf.getOption(providerKey)
       val rate = try {
-        val mem = MemoryStream[Long]
-        val in = mem.toDF().withColumnRenamed("value", idCol)
-          .join(lookup, idCol)
-        val q = transform(in).writeStream.outputMode(mode)
+        if (rocksDb) spark.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        val mem = MemoryStream[T]
+        val q = build(mem).writeStream.outputMode(mode)
           .option("checkpointLocation", s"$ckRoot/f$faceN")
-          .format("memory").queryName(s"sb_$faceN").start()
-        try timeFace(ids.length.toLong) { () =>
-          chunksOf(ids).foreach { c =>
+          .format("memory").queryName(view).start()
+        try timeFace(rows.length.toLong) { () =>
+          val per = math.max(1, (rows.length + nChunks - 1) / nChunks)
+          rows.grouped(per).foreach { c =>
             mem.addData(c: _*); q.processAllAvailable()
           }
         } finally {
-          q.stop(); spark.catalog.dropTempView(s"sb_$faceN")
+          q.stop(); spark.catalog.dropTempView(view)
         }
       } catch { case e: Throwable =>
         System.err.println(s"[streambench] $name: $e"); -1.0
+      } finally {
+        if (rocksDb) prior match {
+          case Some(v) => spark.conf.set(providerKey, v)
+          case None    => spark.conf.unset(providerKey)
+        }
       }
       (name, rate)
     }
+    /** Id-fed face: MemoryStream[Long] of ids joined back to `lookup`
+      * on `idCol` — the harness shape for faces whose input is the
+      * cached source table. */
+    def idFace(name: String, ids: Array[Long], lookup: DataFrame,
+               idCol: String, mode: String)
+              (transform: DataFrame => DataFrame): (String, Double) =
+      payloadFace[Long](name, ids.toSeq, mode)(mem =>
+        transform(mem.toDF().withColumnRenamed("value", idCol)
+          .join(lookup, idCol)))
 
     // documents arrive IN the stream (the landing-zone shape the face
     // models: files land → scrub/score/stamp → append) — feeding ids
@@ -101,93 +132,41 @@ object StreamBench {
     // harness join, not the transform, and at 1.25k docs/batch the
     // per-batch replan dominated (measured ~1.6-1.9k docs/s; the
     // payload feed isolates the fused pii_scan/gopher_scan projection)
-    val stateless: (String, Double) = try {
-      val rows = docs.select(col("doc_id"), col("lang"), col("text"))
-        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-      val mem = MemoryStream[(Long, String, String)]
-      val in = mem.toDF().toDF("doc_id", "lang", "text")
-      val q = EventStreams.preprocessStream(in)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$ckRoot/pre")
-        .format("memory").queryName("sb_pre").start()
-      val rate = try timeFace(rows.length.toLong) { () =>
-        val per = math.max(1, (rows.length + nChunks - 1) / nChunks)
-        rows.toSeq.grouped(per).foreach { c =>
-          mem.addData(c: _*); q.processAllAvailable()
-        }
-      } finally { q.stop(); spark.catalog.dropTempView("sb_pre") }
-      ("stream_preprocess", rate)
-    } catch { case e: Throwable =>
-      System.err.println(s"[streambench] stream_preprocess: $e")
-      ("stream_preprocess", -1.0)
-    }
+    val stateless = payloadFace(
+      "stream_preprocess",
+      docs.select(col("doc_id"), col("lang"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq,
+      "append")(mem =>
+      EventStreams.preprocessStream(
+        mem.toDF().toDF("doc_id", "lang", "text")))
     val hourly = idFace("stream_hourly", eventIds, events, "event_id",
       "update")(EventStreams.hourlyTypeCounts)
     val dedup = idFace("stream_dedup", eventIds, events, "event_id",
       "append")(EventStreams.dedupStream(_))
 
-    // transformWithState needs the RocksDB provider (the spec
-    // contract); the prior value is restored afterwards so the
-    // session-wide provider choice never leaks into whatever runs
-    // next on the shared session
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val priorProvider = spark.conf.getOption(providerKey)
-    val sessionize: (String, Double) = try {
-      spark.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state." +
-          "RocksDBStateStoreProvider")
-      val rows = events
-        .select(col("user_id"),
+    // transformWithState faces: RocksDB provider set/restored INSIDE
+    // payloadFace per face (the spec contract)
+    val sessionize = payloadFace(
+      "stream_sessionize",
+      events.select(col("user_id"),
           expr("unix_micros(ts) div 1000").as("ms"), col("event_type"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-      val mem = MemoryStream[(Long, Long, String)]
-      val in = mem.toDS().map { case (u, ms, et) =>
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq,
+      "append", rocksDb = true)(mem =>
+      EventStreams.sessionize(mem.toDS().map { case (u, ms, et) =>
         EventStreams.SessionEvent(u, new java.sql.Timestamp(ms), et)
-      }
-      val q = EventStreams.sessionize(in, gapMs = 600000L)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$ckRoot/sess")
-        .format("memory").queryName("sb_sess").start()
-      val rate = try timeFace(rows.length.toLong) { () =>
-        val per = math.max(1, (rows.length + nChunks - 1) / nChunks)
-        rows.toSeq.grouped(per).foreach { c =>
-          mem.addData(c: _*); q.processAllAvailable()
-        }
-      } finally { q.stop(); spark.catalog.dropTempView("sb_sess") }
-      ("stream_sessionize", rate)
-    } catch { case e: Throwable =>
-      System.err.println(s"[streambench] stream_sessionize: $e")
-      ("stream_sessionize", -1.0)
-    }
+      }, gapMs = 600000L).toDF())
 
     // within-stream near-dup: banded MinHash per-bucket ListState —
     // the heaviest stateful face (per-arrival shingle+sig projection
     // plus |bucket| signature comparisons)
-    val neardup: (String, Double) = try {
-      val rows = docs.select(col("doc_id"), col("text"))
-        .collect().map(r => (r.getLong(0), r.getString(1)))
-      val mem = MemoryStream[(Long, String)]
-      val in = mem.toDF().toDF("doc_id", "text")
-      val q = EventStreams.nearDupStream(spark, in)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$ckRoot/nd")
-        .format("memory").queryName("sb_nd").start()
-      val rate = try timeFace(rows.length.toLong) { () =>
-        val per = math.max(1, (rows.length + nChunks - 1) / nChunks)
-        rows.toSeq.grouped(per).foreach { c =>
-          mem.addData(c: _*); q.processAllAvailable()
-        }
-      } finally { q.stop(); spark.catalog.dropTempView("sb_nd") }
-      ("stream_neardup", rate)
-    } catch { case e: Throwable =>
-      System.err.println(s"[streambench] stream_neardup: $e")
-      ("stream_neardup", -1.0)
-    } finally {
-      priorProvider match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None    => spark.conf.unset(providerKey)
-      }
-    }
+    val neardup = payloadFace(
+      "stream_neardup",
+      docs.select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq,
+      "append", rocksDb = true)(mem =>
+      EventStreams.nearDupStream(spark,
+        mem.toDF().toDF("doc_id", "text")).toDF())
 
     events.unpersist(); docs.unpersist()
     // the per-run checkpoint tree is dev/bench scratch — delete it so

@@ -610,10 +610,20 @@ class PlanSpec extends SparkSpec {
   }
 
   test("round 8: 3-way lift cuts with TakeOrderedAndProject and " +
-    "broadcast supports") {
-    val p = plan(Recommend.rec6Lift3(spark, sf))
+    "broadcast supports; the served face is a detached local top-K") {
+    // the production face detaches its <=20-row result via
+    // materializedLocal (so the cached basket rollup can unpersist),
+    // which hides the physical shape — assert it on the shared
+    // uncached plan face instead
+    val p = plan(Recommend.lift3PlanFace(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    // exactly ONE data-sized shuffle: the per-order basket rollup
+    // (the triple-domain agg + broadcast subqueries are bounded)
+    assert(p.contains("collect_set"), p)
+    val served = plan(Recommend.rec6Lift3(spark, sf))
+    assert(served.contains("LocalTableScan") ||
+      served.contains("Scan ExistingRDD"), served)
   }
 
   test("round 8: silhouette centroid model broadcasts back to the " +
@@ -698,5 +708,22 @@ class PlanSpec extends SparkSpec {
       s"the indexed kNN fell back to the Q x N nested loop:\n$p")
     assert(!p.contains("customer.parquet"),
       s"the serving plan still scans the corpus table:\n$p")
+  }
+
+  test("kn indexed: doc scoring tokenizes the corpus ONCE and joins " +
+      "the staged model; the bigram report never scans the corpus") {
+    val score = plan(
+      graft.operators.TextAnalysis.knDocScoreIndexed(spark, sf))
+    val docScans = "documents\\.parquet".r.findAllIn(score).length
+    assert(docScans == 1,
+      s"expected exactly one documents scan, found $docScans:\n$score")
+    assert(score.contains("graft_kn_model_v2"),
+      s"the scoring join does not read the staged model:\n$score")
+    val report = plan(
+      graft.operators.TextAnalysis.knBigramsIndexed(spark, sf))
+    assert(!report.contains("documents.parquet"),
+      s"the staged bigram report still rescans the corpus:\n$report")
+    assert(report.contains("TakeOrdered"),
+      s"the top-k cut is not a TakeOrderedAndProject:\n$report")
   }
 }

@@ -11,8 +11,6 @@ class Round11Spec extends SparkSpec {
 
   test("knnJoinIndexed == knnJoin bit for bit (the cell index serves " +
     "the exact kNN answer)") {
-    val key = (r: org.apache.spark.sql.Row) =>
-      (r.getAs[Long]("qid"), r.getAs[Long]("knn_rank"))
     val want = Spatial.knnJoin(spark, sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"),
         r.getAs[Long]("dist2"), r.getAs[Long]("knn_rank")))
@@ -21,6 +19,18 @@ class Round11Spec extends SparkSpec {
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"),
         r.getAs[Long]("dist2"), r.getAs[Long]("knn_rank")))
       .sortBy(t => (t._1, t._4))
+    assert(want.nonEmpty)
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("knnJoinIndexed stays exact for a g that does not divide the " +
+    "domain (ceil'd axis count; the floor'd form collided cell ids)") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("dist2"), r.getAs[Long]("knn_rank")))
+      .sortBy(t => (t._1, t._4))
+    val want = key(Spatial.knnJoin(spark, sf))
+    val got = key(Spatial.knnJoinIndexed(spark, sf, k = 5, g = 3000000L))
     assert(want.nonEmpty)
     assert(got.toSeq === want.toSeq)
   }
@@ -83,7 +93,6 @@ class Round11Spec extends SparkSpec {
 
   test("knDocScoreIndexed == knDocScore bit for bit (the staged KN " +
     "model scores identically to the in-session model)") {
-    val key = (r: org.apache.spark.sql.Row) => r.getAs[Long]("doc_id")
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
         r.getAs[Double]("mean_kn_logprob"),
