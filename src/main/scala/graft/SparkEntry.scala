@@ -75,6 +75,8 @@ object SparkEntry {
     "d3_date_battery" -> (Relational.d3DateBattery(_, _)),
     "w6_rank_battery" -> (Relational.w6RankBattery(_, _)),
     "asof_event_orders" -> (AsOf.asofEventOrders(_, _)),
+    // round-11: as-of with a staleness bound (merge_asof tolerance)
+    "asof2_tolerance"   -> (AsOf.asofEventOrdersTolerance(_, _)),
     // ---- reference audit surface (SURVEY §2b) ----
     "a1_group_count"    -> (Audits.a1GroupCount(_, _)),
     "a2_key_buckets"    -> (Audits.a2KeyBuckets(_, _)),
@@ -857,6 +859,17 @@ object SparkEntry {
          (SELECT o.o_orderkey FROM orders o
           WHERE o.o_custkey % 15 = e.user_id % 15 AND o.o_orderdate <= e.ts
           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_orderkey
+         FROM events e""",
+    // tolerance-bounded as-of (AsOf.asofEventOrdersTolerance): the
+    // subquery's lower bound mirrors the carry-then-nullify window
+    // (the most recent match being stale implies no in-window match)
+    "asof2_tolerance" ->
+      """SELECT e.event_id,
+         (SELECT o.o_orderkey FROM orders o
+          WHERE o.o_custkey % 15 = e.user_id % 15 AND o.o_orderdate <= e.ts
+            AND o.o_orderdate >= e.ts - INTERVAL 8200 DAY
+          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
+           AS last_orderkey_fresh
          FROM events e""",
     "a1_group_count" ->
       "SELECT source, count(*) AS n FROM documents GROUP BY source",

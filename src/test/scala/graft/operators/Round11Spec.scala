@@ -191,6 +191,32 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("asof2 tolerance nulls exactly the stale matches of the " +
+    "unbounded as-of (and both outcomes occur)") {
+    val tolMs = 8200L * 24 * 3600 * 1000
+    val eventTs = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    val orderTs = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderdate").cast("timestamp"))
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    val unbounded = AsOf.asofEventOrders(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val got = AsOf.asofEventOrdersTolerance(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got.keySet === unbounded.keySet)
+    // fresh matches agree with the unbounded face; stale ones null out
+    got.foreach { case (eid, m) =>
+      val want = unbounded(eid).filter(ok =>
+        orderTs(ok) >= eventTs(eid) - tolMs)
+      assert(m === want, s"event $eid")
+    }
+    assert(got.values.exists(_.isDefined), "no fresh match — vacuous")
+    assert(got.values.exists(_.isEmpty), "no stale match — vacuous")
+  }
+
   test("tok12 bpe-dropout only ever splits coarser, changes something, " +
     "and its rollup restates from the per-word rows") {
     val rows = Training.tok12BpeDropout(spark, sf).collect()
