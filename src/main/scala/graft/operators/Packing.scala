@@ -66,22 +66,30 @@ object Packing {
     * ties pin on doc_id.
     *
     * Scale shape: the token count is a narrow per-row projection; the
-    * quantile split follows the samp9 convention (exact ntile for
-    * auditability/oracle parity — at 100 TB the cuts come from one
-    * model-sized percentile sketch broadcast into a narrow bucketing
-    * map, and batch formation is per-bucket-partition, exactly the
-    * per-shard independence packSequences documents); the rollups are
-    * map-side-combinable; totals are 1-row broadcasts. */
+    * quantile split and batch ranks both derive from ONE scalable
+    * exact global rank ([[Ranking.withGlobalRank]] — range partitions
+    * + offset broadcast, no single-partition window) via closed-form
+    * ntile arithmetic, bit-identical to the window form they replaced;
+    * the rollups are map-side-combinable; totals are 1-row
+    * broadcasts. */
   def lengthBuckets(s: SparkSession, dir: String, buckets: Int = 8,
                     batch: Int = 32): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"),
       size(TextAnalysis.tokens(lower(col("text")))).cast("long").as("len"))
-    // per-(bucket, batch) padded/actual token counts at a bucket count
+    // per-(bucket, batch) padded/actual token counts at a bucket count.
+    // One scalable global rank (Ranking.withGlobalRank — range
+    // partitions + offset broadcast, no single-partition sort) yields
+    // BOTH the ntile bucket (closed-form ntileOfRank) and the
+    // rank-within-bucket (rank − tileStart + 1), replacing the global
+    // ntile window AND the second partitioned row_number — bit-equal
+    // because (len, doc_id) is totally tie-broken.
     def batches(nb: Int): DataFrame =
-      d.withColumn("bucket", ntile(nb).over(
-          Window.orderBy(col("len").asc, col("doc_id").asc)).cast("long"))
-        .withColumn("rk", row_number().over(Window.partitionBy(col("bucket"))
-          .orderBy(col("len").asc, col("doc_id").asc)))
+      Ranking.withGlobalRank(d, "rn", "n_total",
+          Seq(col("len").asc, col("doc_id").asc))
+        .withColumn("bucket",
+          Ranking.ntileOfRank(col("rn"), col("n_total"), nb))
+        .withColumn("rk", col("rn") -
+          Ranking.tileStart(col("bucket"), col("n_total"), nb) + lit(1L))
         .withColumn("batch_id", expr(s"(rk - 1) div $batch"))
         .groupBy(col("bucket"), col("batch_id"))
         .agg(count(lit(1)).as("n"), sum(col("len")).as("sum_len"),
@@ -96,8 +104,7 @@ object Packing {
     // length layout at all (a length-sorted single bucket would be
     // OPTIMAL batching, not a baseline)
     val naive = broadcast(
-      d.withColumn("rk", row_number().over(Window.partitionBy(lit(1))
-          .orderBy(col("doc_id").asc)))
+      Ranking.withGlobalRank(d, "rk", "n_total", Seq(col("doc_id").asc))
         .withColumn("batch_id", expr(s"(rk - 1) div $batch"))
         .groupBy(col("batch_id"))
         .agg((max(col("len")) * count(lit(1))).as("padded"))
@@ -361,9 +368,10 @@ object Packing {
     *
     * Scale shape: global BFD is inherently sequential with
     * corpus-sized state (the open-bin table grows with tokens/C), so
-    * the scale unit is the SHARD — an exact `ntile` split on
-    * (len desc, doc_id) for oracle-replayable determinism (at 100 TB
-    * the cuts come from a percentile sketch and shards = partitions).
+    * the scale unit is the SHARD — an exact ntile split on
+    * (len desc, doc_id) computed scalably ([[Ranking.withGlobalRank]]
+    * + closed-form tile arithmetic, no single-partition window; at
+    * 100 TB shards = partitions).
     * Each shard packs independently inside one `mapGroups` task —
     * genuinely imperative per-group logic, the documented exception to
     * expression-only operators — holding shard-sized state; parallelism
@@ -378,10 +386,16 @@ object Packing {
   def binPack(s: SparkSession, dir: String, shards: Int = 8,
               capacity: Long = 256L): DataFrame = {
     import s.implicits._
-    val d = Tables.documents(s, dir).select(col("doc_id"),
-        size(TextAnalysis.tokens(lower(col("text")))).cast("long").as("len"))
-      .withColumn("shard", ntile(shards).over(
-        Window.orderBy(col("len").desc, col("doc_id").asc)).cast("long"))
+    // shard split: scalable exact ntile (global rank via range
+    // partitions + closed-form tile arithmetic — no single-partition
+    // window; bit-equal, (len desc, doc_id) is totally tie-broken)
+    val d = Ranking.withGlobalRank(
+        Tables.documents(s, dir).select(col("doc_id"),
+          size(TextAnalysis.tokens(lower(col("text"))))
+            .cast("long").as("len")),
+        "rn", "n_total", Seq(col("len").desc, col("doc_id").asc))
+      .withColumn("shard",
+        Ranking.ntileOfRank(col("rn"), col("n_total"), shards))
     val perShard = d.select(col("shard"), col("len"), col("doc_id"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)

@@ -412,14 +412,23 @@ object Recommend {
     // return (the mst/cc snapshot convention).
     val sc = s.sparkContext
     val preexisting = sc.getPersistentRDDs.keySet
+    // lazy persist, not an eager localCheckpoint: the first consumer
+    // job populates the cache and the other two reuse it — no extra
+    // blocking materialization pass (inputs are file-backed, so the
+    // kept lineage is harmless); unpersisted in the finally
+    val baskets = lift3Baskets(s, dir).persist()
     try {
-      // lazy persist, not an eager localCheckpoint: the first consumer
-      // job populates the cache and the other two reuse it — no extra
-      // blocking materialization pass (inputs are file-backed, so the
-      // kept lineage is harmless); unpersisted in the finally
-      Staging.materializedLocal(
-        lift3Tail(lift3Baskets(s, dir).persist(), topK), topK)
+      Staging.materializedLocal(lift3Tail(baskets, topK), topK)
     } finally {
+      // Dataset.unpersist is the one that removes the CacheManager
+      // entry keyed on the plan — without it the entry survives with
+      // its buffer dropped, so later persist() calls on the same plan
+      // no-op against a dead entry and the rollup recomputes for all
+      // three consumers (and the stale InMemoryRelation could be
+      // substituted into any later matching plan). The RDD diff stays
+      // as a belt-and-suspenders sweep for anything else the jobs
+      // pinned.
+      baskets.unpersist(blocking = false)
       sc.getPersistentRDDs
         .filterNot { case (id, _) => preexisting(id) }
         .values.foreach(_.unpersist(blocking = false))

@@ -147,23 +147,24 @@ object Sampling {
     * order must still decorrelate batches). Emits every doc with its
     * stage and global curriculum position.
     *
-    * Scale shape: ntile here ranks the corpus in one window — at 100 TB
-    * the stage boundary comes from approx_percentile cutoffs broadcast
-    * as a literal (the ml5 robust-scale pattern) and the global position
-    * from (stage-size partials → offset join), identical output
-    * contract. Fully deterministic: both orderings are totally
-    * tie-broken, no RNG state anywhere. */
+    * Scale shape: both global orderings run through
+    * [[Ranking.withGlobalRank]] — range-repartitioned local sorts plus
+    * a parts-row offset broadcast, NO single-partition window — and the
+    * stage split is [[Ranking.ntileOfRank]]'s closed-form ntile
+    * arithmetic, bit-identical to `ntile().over(Window.orderBy(...))`
+    * because both orderings are totally tie-broken. Fully
+    * deterministic: no RNG state anywhere. */
   def curriculumOrder(s: SparkSession, docs: DataFrame,
                       stages: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs.select(col("doc_id"), col("n_chars"))
-      .withColumn("stage", ntile(stages).over(
-        Window.orderBy(col("n_chars").asc, col("doc_id").asc)).cast("long"))
+    val ranked = Ranking.withGlobalRank(
+      docs.select(col("doc_id"), col("n_chars")), "rn", "n",
+      Seq(col("n_chars").asc, col("doc_id").asc))
+      .withColumn("stage", Ranking.ntileOfRank(col("rn"), col("n"), stages))
       .withColumn("shuffle_key",
         hash60(concat(lit("cur:"), col("doc_id").cast("string"))))
-      .withColumn("position", row_number().over(
-        Window.orderBy(col("stage").asc, col("shuffle_key").asc,
-          col("doc_id").asc)).cast("long"))
+    Ranking.withGlobalRank(ranked, "position", "n2",
+      Seq(col("stage").asc, col("shuffle_key").asc, col("doc_id").asc))
       .select(col("doc_id"), col("n_chars"), col("stage"),
         col("shuffle_key"), col("position"))
   }

@@ -280,7 +280,7 @@ object Spatial {
     require(g >= 1000000L && g <= DomainMicros,
       s"g=$g outside the supported range [1e6, $DomainMicros] for the " +
         "fixed 5x5/x20 pcell layout")
-    val base = Staging.base("geo_knn_index_v1", dir, s"g$g", "customer")
+    val base = Staging.base("geo_knn_index_v2", dir, s"g$g", "customer")
     Staging.buildOnce(base) {
       val p = points(s, dir)
         .withColumn("cx", floor(col("x") / g).cast("long"))

@@ -1748,16 +1748,20 @@ object TextAnalysis {
     * range, doc share.
     *
     * Scale: scoring is the indexed face's one-tokenization join; the
-    * ntile ranks the DOC-LEVEL rollup (3 longs/doc — orders of
-    * magnitude below the corpus), exact for oracle parity per the
-    * samp9 convention. A 100 TB run would replace the exact global
-    * sort with approx-quantile cutoffs — same bucket semantics, two
-    * threshold literals instead of a rank. */
+    * tercile split is EXACT and scale-safe — [[Ranking.withGlobalRank]]
+    * range-partitions the per-doc rollup (no single-partition sort)
+    * and [[Ranking.ntileOfRank]] turns rank into the bucket in closed
+    * form, bit-identical to the ntile window it replaced. */
   def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("mean_kn_logprob").desc, col("doc_id").asc)
-    val b = knDocScoreIndexed(s, dir)
-      .withColumn("bucket", ntile(3).over(w).cast("long"))
+    // bucket split: scalable exact ntile (Ranking.withGlobalRank's
+    // range-partitioned rank + closed-form tile arithmetic — no
+    // single-partition sort of the per-doc frame; bit-equal, the
+    // ordering is doc_id tie-broken)
+    val b = Ranking.withGlobalRank(knDocScoreIndexed(s, dir),
+        "__rn", "__n",
+        Seq(col("mean_kn_logprob").desc, col("doc_id").asc))
+      .withColumn("bucket", Ranking.ntileOfRank(col("__rn"), col("__n"), 3))
       .withColumn("lp_micros",
         round(col("mean_kn_logprob") * 1e6).cast("long"))
     // total_docs folds over the 3-ROW bucket rollup, not the scored

@@ -217,15 +217,23 @@ class Round11Spec extends SparkSpec {
     assert(got.values.exists(_.isEmpty), "no stale match — vacuous")
   }
 
-  test("tok12 bpe-dropout only ever splits coarser, changes something, " +
-    "and its rollup restates from the per-word rows") {
+  test("tok12 bpe-dropout adds token overhead in aggregate, changes " +
+    "something, and its rollup restates from the per-word rows") {
     val rows = Training.tok12BpeDropout(spark, sf).collect()
     assert(rows.nonEmpty)
-    // dropping a merge can only leave a word MORE split, never less
-    rows.foreach { r =>
-      assert(r.getAs[Long]("n_tok_drop") >= r.getAs[Long]("n_tok"),
-        s"dropout coarsened ${r.getAs[String]("word")}")
-    }
+    // NOTE: per-word n_tok_drop >= n_tok is NOT a structural guarantee
+    // of merge dropout — skipping an early merge can unblock later
+    // merges that apply MORE times, yielding fewer tokens than the
+    // canonical segmentation (e.g. rules "b c","a b","c d" over
+    // "a b c d": 3 tokens canonical, 2 with rule 1 dropped). It holds
+    // for this corpus's 10 learned rules, so we pin it EMPIRICALLY as
+    // a weighted aggregate (the quantity tok12 actually reports) and
+    // count any per-word violations rather than hard-failing on one.
+    val coarsened = rows.count(r =>
+      r.getAs[Long]("n_tok_drop") < r.getAs[Long]("n_tok"))
+    assert(coarsened === 0,
+      s"$coarsened words coarsened under dropout — corpus/merge-table " +
+        "change broke the empirical pin; re-derive the expected rows")
     // the coin must actually fire on this corpus or the face pins nothing
     assert(rows.exists(r =>
       r.getAs[Long]("n_tok_drop") > r.getAs[Long]("n_tok")))
