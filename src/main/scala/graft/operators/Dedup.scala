@@ -116,9 +116,13 @@ object Dedup {
       .select(col("doc_id"), array_distinct(toks(col("text"))).as("tset"))
       .localCheckpoint(true) // feeds postings + both verify sides
     val post = d.select(col("doc_id"), explode(col("tset")).as("tok"))
-    val rank = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .withColumn("trk", row_number().over(Window.partitionBy(lit(1))
-        .orderBy(col("df").asc, col("tok").asc)))
+    // global token-rarity rank over the VOCAB frame — vocab grows with
+    // the corpus, so the rank comes from Ranking.withGlobalRank (range
+    // partitions + offset broadcast, no single-partition sort;
+    // bit-equal, (df, tok) is totally tie-broken)
+    val rank = Ranking.withGlobalRank(
+        post.groupBy(col("tok")).agg(count(lit(1)).as("df")),
+        "trk", "__n", Seq(col("df").asc, col("tok").asc))
       .select(col("tok"), col("trk"))
     val prefix = post.join(broadcast(rank), Seq("tok"))
       .withColumn("p", row_number().over(Window.partitionBy(col("doc_id"))

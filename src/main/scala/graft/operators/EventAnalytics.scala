@@ -249,13 +249,14 @@ object EventAnalytics {
   /** RFM (recency / frequency / monetary) customer scoring — the
     * segmentation aggregate every telemetry warehouse ships. One
     * hash-aggregate per user builds the three metrics; the quartile
-    * scoring (ntile) then ranks the aggregated USER dimension, not the
-    * event stream — the single-partition sort is over one row per user,
-    * bounded by the entity count however many events arrive. Recency is
-    * measured against the corpus max timestamp via a whole-frame window
-    * over the same aggregated rows (no second scan); monetary sums as
-    * exact decimal; every ntile ordering carries a user_id tie-break so
-    * the quartile boundaries are engine-independent.
+    * scoring then ranks the aggregated USER dimension, not the event
+    * stream — and because the entity frame itself grows with the user
+    * population, the ranks come from [[Ranking.withGlobalRank]]'s
+    * range-partitioned exact rank plus closed-form ntile arithmetic
+    * (no single-partition sort anywhere). Recency is measured against
+    * the corpus max timestamp via a broadcast 1-row aggregate;
+    * monetary sums as exact decimal; every ordering carries a user_id
+    * tie-break so the quartile boundaries are engine-independent.
     */
   def rfmScores(s: SparkSession, dir: String): DataFrame =
     rfmRank(Tables.events(s, dir)
@@ -273,18 +274,35 @@ object EventAnalytics {
     * metrics incrementally, and this batch layer ranks the entity
     * dimension at serving time. */
   def rfmRank(perUser: DataFrame): DataFrame = {
-    val wAll = Window.partitionBy()
-    def quartile(ord: org.apache.spark.sql.Column*) =
-      ntile(4).over(Window.orderBy(ord: _*)).cast("long")
-    perUser
+    // checkpointed once: the recency anchor and the three rank passes
+    // all read the entity frame; without the cut each would recompute
+    // the caller's aggregation lineage
+    val pu = perUser.localCheckpoint(true)
+    // entity frames grow with the user population, so the quartiles
+    // come from graft.operators.Ranking's scalable exact rank (range
+    // partitions + closed-form ntile arithmetic) instead of ntile over
+    // a single-partition window — bit-identical, every ordering
+    // user_id tie-broken; the recency anchor is a broadcast 1-row agg
+    // instead of a whole-frame window
+    def quartile(d: DataFrame, name: String,
+                 ord: org.apache.spark.sql.Column*) =
+      Ranking.withGlobalRank(d, "__rn", "__n", ord)
+        .withColumn(name, Ranking.ntileOfRank(col("__rn"), col("__n"), 4))
+        .drop("__rn", "__n")
+    val base = pu
+      .crossJoin(broadcast(pu.agg(max(col("last_us")).as("__max_us"))))
       .withColumn("recency_days",
-        ((max(col("last_us")).over(wAll) - col("last_us")) /
+        ((col("__max_us") - col("last_us")) /
           (86400L * 1000000L)).cast("long"))
+      .drop("__max_us")
+    val scored = quartile(
+      quartile(
+        quartile(base, "r_score", col("last_us").desc, col("user_id").asc),
+        "f_score", col("frequency").desc, col("user_id").asc),
+      "m_score", col("monetary").desc, col("user_id").asc)
+    scored
       .select(col("user_id"), col("recency_days"), col("frequency"),
-        col("monetary"),
-        quartile(col("last_us").desc, col("user_id").asc).as("r_score"),
-        quartile(col("frequency").desc, col("user_id").asc).as("f_score"),
-        quartile(col("monetary").desc, col("user_id").asc).as("m_score"))
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"))
       .withColumn("segment", concat(col("r_score"), col("f_score"),
         col("m_score")))
   }
@@ -1519,16 +1537,20 @@ object EventAnalytics {
         datediff(col("max_day"), col("last_day")).cast("long")
           .as("recency_days"),
         col("frequency"), col("monetary_cents"))
-    val rQ = Window.partitionBy(lit(1))
-      .orderBy(col("recency_days").asc, col("user_id").asc)
-    val fQ = Window.partitionBy(lit(1))
-      .orderBy(col("frequency").desc, col("user_id").asc)
-    val mQ = Window.partitionBy(lit(1))
-      .orderBy(col("monetary_cents").desc, col("user_id").asc)
-    perUser
-      .withColumn("r_q", ntile(5).over(rQ).cast("long"))
-      .withColumn("f_q", ntile(5).over(fQ).cast("long"))
-      .withColumn("m_q", ntile(5).over(mQ).cast("long"))
+    // quintiles over the entity frame via the scalable exact rank
+    // (Ranking.withGlobalRank + closed-form ntile — no
+    // single-partition window; bit-identical, user_id tie-broken)
+    def quintile(d: DataFrame, name: String,
+                 ord: org.apache.spark.sql.Column*) =
+      Ranking.withGlobalRank(d, "__rn", "__n", ord)
+        .withColumn(name, Ranking.ntileOfRank(col("__rn"), col("__n"), 5))
+        .drop("__rn", "__n")
+    quintile(
+      quintile(
+        quintile(perUser, "r_q",
+          col("recency_days").asc, col("user_id").asc),
+        "f_q", col("frequency").desc, col("user_id").asc),
+      "m_q", col("monetary_cents").desc, col("user_id").asc)
       .groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("monetary_cents")).as("cell_monetary_cents"))

@@ -74,8 +74,12 @@ object Packing {
     * broadcasts. */
   def lengthBuckets(s: SparkSession, dir: String, buckets: Int = 8,
                     batch: Int = 32): DataFrame = {
+    // checkpointed: the range-rank's sampling pass and shuffle would
+    // otherwise each re-run the tokenization, for both the bucketed
+    // and the naive-baseline rank
     val d = Tables.documents(s, dir).select(col("doc_id"),
-      size(TextAnalysis.tokens(lower(col("text")))).cast("long").as("len"))
+        size(TextAnalysis.tokens(lower(col("text")))).cast("long").as("len"))
+      .localCheckpoint(true)
     // per-(bucket, batch) padded/actual token counts at a bucket count.
     // One scalable global rank (Ranking.withGlobalRank — range
     // partitions + offset broadcast, no single-partition sort) yields
@@ -392,7 +396,8 @@ object Packing {
     val d = Ranking.withGlobalRank(
         Tables.documents(s, dir).select(col("doc_id"),
           size(TextAnalysis.tokens(lower(col("text"))))
-            .cast("long").as("len")),
+            .cast("long").as("len"))
+          .localCheckpoint(true), // tokenize once, not per rank job
         "rn", "n_total", Seq(col("len").desc, col("doc_id").asc))
       .withColumn("shard",
         Ranking.ntileOfRank(col("rn"), col("n_total"), shards))

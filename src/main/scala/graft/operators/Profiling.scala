@@ -783,11 +783,15 @@ object Profiling {
   def liftDeciles(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val score = embScore
-    val dec = Tables.embeddings(s, dir)
-      .select(score.as("sm"), (col("label") % 2).cast("long").as("y"),
-        col("vec_id"))
-      .withColumn("decile", ntile(10).over(Window.partitionBy(lit(1))
-        .orderBy(col("sm").desc, col("vec_id").asc)).cast("long"))
+    // decile split over the full row frame — scalable exact ntile
+    // (Ranking.withGlobalRank + closed-form tile arithmetic, no
+    // single-partition window; bit-equal, vec_id tie-broken)
+    val dec = Ranking.withGlobalRank(
+        Tables.embeddings(s, dir)
+          .select(score.as("sm"), (col("label") % 2).cast("long").as("y"),
+            col("vec_id")),
+        "__rn", "__n", Seq(col("sm").desc, col("vec_id").asc))
+      .withColumn("decile", Ranking.ntileOfRank(col("__rn"), col("__n"), 10))
     val cells = dec.groupBy(col("decile"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
     cells

@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Exact global ordering WITHOUT a single-partition sort — the scale
   * fix for the `Window.orderBy(...)` (no partitionBy) family. A global
@@ -11,23 +11,32 @@ import org.apache.spark.sql.functions._
   * point for corpus-sized ones. This helper computes the IDENTICAL
   * 1-based global rank in three scale-safe steps:
   *
-  *   1. `repartitionByRange` on the sort key — Spark's RangePartitioner
-  *      guarantees every row in partition i orders before every row in
-  *      partition i+1 (the same mechanism a distributed ORDER BY uses),
-  *      with corpus/`parts` rows per task;
-  *   2. a PARTITIONED window ranks rows locally within each range
-  *      partition (each task sorts only its slice);
-  *   3. per-partition counts — a `parts`-row frame — prefix-sum into
-  *      offsets and broadcast back; global rank = offset + local rank.
+  *   1. `repartitionByRange` + `sortWithinPartitions` on the sort key —
+  *      Spark's RangePartitioner guarantees every row in partition i
+  *      orders before every row in partition i+1 (the same mechanism a
+  *      distributed ORDER BY uses), with corpus/`parts` rows per task;
+  *   2. one lightweight job counts rows per partition BY READING THE
+  *      SHUFFLE FILES (no recompute) — a `parts`-length array on the
+  *      driver, prefix-summed into offsets plus the total;
+  *   3. a per-partition map stamps rank = offset(i) + local position —
+  *      the RDD zipWithIndex device, kept as `mapPartitionsWithIndex`
+  *      so the offset base and the total row count ride along. The
+  *      imperative escape is justified the same way pack4's per-shard
+  *      packer is: no declarative form exists that reuses the range
+  *      partitioning without a second exchange (a window partitioned
+  *      on `spark_partition_id()` re-shuffles what is already placed).
   *
-  * The result is bit-identical to
-  * `row_number().over(Window.orderBy(sort))` whenever the sort key is
-  * TOTALLY tie-broken (every call site here tie-breaks on a unique id;
-  * with ties the rank would depend on which side of a range boundary a
-  * tie lands — don't use it untied). The sampled range bounds vary
-  * run-to-run, but correctness never depends on WHERE the cuts fall,
-  * only on the ordering invariant, so the output is deterministic even
-  * though the partitioning isn't.
+  * Cost per call: ONE exchange (the range shuffle; its input runs
+  * twice — once for range-bound sampling, once for the write — so
+  * feed it a checkpointed/file-backed frame, not a deep DAG) plus two
+  * shuffle-file reads (count job, stamp job). The result is
+  * bit-identical to `row_number().over(Window.orderBy(sort))` whenever
+  * the sort key is TOTALLY tie-broken (every call site here tie-breaks
+  * on a unique id; with ties the rank would depend on which side of a
+  * range boundary a tie lands — don't use it untied). The sampled
+  * range bounds vary run-to-run, but correctness never depends on
+  * WHERE the cuts fall, only on the ordering invariant, so the output
+  * is deterministic even though the partitioning isn't.
   *
   * `ntile` never needs a second pass: Spark's ntile(k) over n rows
   * gives the first n%k tiles ceil(n/k) rows and the rest floor(n/k) —
@@ -45,30 +54,30 @@ private[graft] object Ranking {
 
   /** Adds `rankCol` = the exact 1-based global rank of each row under
     * `sort`, and `nCol` = the total row count (both LONG), without any
-    * single-partition stage. `sort` must be totally tie-broken. */
+    * single-partition stage. `sort` must be totally tie-broken.
+    * EAGER: runs the range shuffle and the partition-count job at call
+    * time (the localCheckpoint convention — acceptable inside
+    * `queries()` builders, which are invoked per run). */
   def withGlobalRank(df: DataFrame, rankCol: String, nCol: String,
                      sort: Seq[Column], parts: Int = 32): DataFrame = {
-    val parted = df.repartitionByRange(parts, sort: _*)
-      .withColumn("__rk_pid", spark_partition_id())
-    val local = parted.withColumn("__rk_lrn",
-      row_number().over(
-        Window.partitionBy(col("__rk_pid")).orderBy(sort: _*))
-        .cast("long"))
-    // parts-row frame: counts → exclusive prefix offsets + the total.
-    // The window here orders a ≤`parts`-row frame — bounded, not
-    // corpus-sized — so the single partition is by construction tiny.
-    val offsets = parted.groupBy(col("__rk_pid"))
-      .agg(count(lit(1)).as("__rk_cnt"))
-      .withColumn("__rk_off",
-        coalesce(sum(col("__rk_cnt")).over(
-          Window.orderBy(col("__rk_pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn(nCol,
-        sum(col("__rk_cnt")).over(Window.partitionBy(lit(1))))
-      .select(col("__rk_pid"), col("__rk_off"), col(nCol))
-    local.join(broadcast(offsets), Seq("__rk_pid"))
-      .withColumn(rankCol, col("__rk_off") + col("__rk_lrn"))
-      .drop("__rk_pid", "__rk_lrn", "__rk_off")
+    val s = df.sparkSession
+    val sorted = df.repartitionByRange(parts, sort: _*)
+      .sortWithinPartitions(sort: _*)
+    val rdd = sorted.rdd // captured ONCE so every job below reuses the
+                         // same shuffle output instead of re-planning
+    val counts = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)),
+        preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _) // offsets(i) = rows before i
+    val n = offsets.last
+    val stamped = rdd.mapPartitionsWithIndex { (i, it) =>
+      var r = offsets(i)
+      it.map { row => r += 1L; Row.fromSeq(row.toSeq :+ r :+ n) }
+    }
+    s.createDataFrame(stamped,
+      sorted.schema.add(rankCol, LongType, nullable = false)
+        .add(nCol, LongType, nullable = false))
   }
 
   /** The bucket `ntile(k)` assigns to 1-based rank `rn` of `n` rows:

@@ -1756,9 +1756,11 @@ object Relational {
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
         .as("cents"))
-    val w = Window.orderBy(col("cents").asc, col("o_custkey").asc)
-    perCust
-      .withColumn("i", row_number().over(w).cast("long"))
+    // rank over the customer entity frame — scalable exact rank
+    // (Ranking.withGlobalRank: range partitions + offset broadcast, no
+    // single-partition sort; bit-equal, o_custkey tie-broken)
+    Ranking.withGlobalRank(perCust, "i", "__n",
+        Seq(col("cents").asc, col("o_custkey").asc))
       // Σi·xᵢ approaches Long range near sf1 (~1.5M customers × ~5e7
       // cents) — accumulate as DECIMAL(38,0) (exact 128-bit, like the
       // oracle's HUGEINT) and convert to double only for the one final
@@ -2009,13 +2011,14 @@ object Relational {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(round(col("value") * 100).cast("long")).as("cents"))
-    val rA = Window.partitionBy(lit(1))
-      .orderBy(col("n_events").asc, col("user_id").asc)
-    val rB = Window.partitionBy(lit(1))
-      .orderBy(col("cents").asc, col("user_id").asc)
-    perUser
-      .withColumn("ra", row_number().over(rA).cast("long"))
-      .withColumn("rb", row_number().over(rB).cast("long"))
+      .localCheckpoint(true) // one events scan for both rank passes
+    // both rank orders over the user entity frame — two scalable exact
+    // rank passes (no single-partition sorts; bit-equal, user_id
+    // tie-broken)
+    Ranking.withGlobalRank(
+        Ranking.withGlobalRank(perUser, "ra", "__na",
+          Seq(col("n_events").asc, col("user_id").asc)),
+        "rb", "__nb", Seq(col("cents").asc, col("user_id").asc))
       .agg(count(lit(1)).as("n_users"),
         sum((col("ra") - col("rb")) * (col("ra") - col("rb")))
           .as("sum_d2"))
@@ -2044,10 +2047,10 @@ object Relational {
     val perUser = Tables.events(s, dir)
       .groupBy(col("user_id"))
       .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-    val rk = Window.partitionBy(lit(1))
-      .orderBy(col("cents").asc, col("user_id").asc)
-    perUser
-      .withColumn("i", row_number().over(rk).cast("long"))
+    // rank over the user entity frame — scalable exact rank (no
+    // single-partition sort; bit-equal, user_id tie-broken)
+    Ranking.withGlobalRank(perUser, "i", "__n",
+        Seq(col("cents").asc, col("user_id").asc))
       .agg(count(lit(1)).as("n_users"),
         sum(col("cents")).as("total_cents"),
         sum(col("i") * col("cents")).as("rank_weighted_cents"))
@@ -2499,13 +2502,23 @@ object Relational {
       .select((col("y") - col("x")).as("d"),
         abs(col("y") - col("x")).as("ad"))
       .filter(col("d") =!= 0L)
-    val ranked = d0
-      .withColumn("mr", rank().over(Window.orderBy(col("ad"))))
-      .withColumn("cnt",
-        count(lit(1)).over(Window.partitionBy(col("ad"))))
+      // feeds the |d| histogram AND the midrank join-back
+      .localCheckpoint(true)
+    // doubled midranks from the |d| HISTOGRAM (the stat13
+    // Mann–Whitney device): rank() over ad = cum_prev + 1 and the tie
+    // count = t both come from one cumulative window over the
+    // DOMAIN-sized distinct-|d| frame, so
+    // r2 = 2·mr + cnt − 1 = 2·cum_prev + t + 1 — the row-level
+    // entity-sized rank window is gone, and the same histogram folds
+    // the tie-correction sum.
+    val adHist = d0.groupBy(col("ad")).agg(count(lit(1)).as("t"))
+    val adCum = adHist.withColumn("cum_prev",
+      coalesce(sum(col("t")).over(Window.orderBy(col("ad"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val ranked = d0.join(adCum, "ad")
       .select(col("d"),
-        (lit(2L) * col("mr") + col("cnt") - 1L).as("r2"))
-    val ties = d0.groupBy(col("ad")).agg(count(lit(1)).as("t"))
+        (lit(2L) * col("cum_prev") + col("t") + 1L).as("r2"))
+    val ties = adHist
       .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")),
         lit(0L)).as("tsum"))
     ranked.agg(count(lit(1)).as("n"),

@@ -1965,9 +1965,15 @@ object TextAnalysis {
     val freqs = Tables.documents(s, dir)
       .select(explode(tokens(lower(col("text")))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    // the curve only reads ranks ≤ maxK, and the cumulative sum at
+    // rank r involves exactly the rows ranked ≤ r — so select the
+    // top-maxK FIRST (orderBy+limit = TakeOrdered, a distributed
+    // heap) and run the two-expression window over that maxK-row
+    // model frame instead of the corpus vocabulary
     val rankW = Window.partitionBy(lit(1))
       .orderBy(col("freq").desc, col("tok").asc)
     val cum = freqs
+      .orderBy(col("freq").desc, col("tok").asc).limit(maxK)
       .withColumn("rk", row_number().over(rankW).cast("long"))
       .withColumn("cum", sum(col("freq")).over(rankW))
     cum.filter(col("rk") % step === 0 && col("rk") <= maxK)
