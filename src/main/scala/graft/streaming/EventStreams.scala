@@ -280,12 +280,18 @@ object EventStreams {
   case class NearDupHit(doc_id: Long, dup_of: Long, band: Long,
                         agree16: Long)
 
-  /** Per-band-bucket state for [[nearDupStream]]: every signature ever
-    * seen in this bucket. Grows with the bucket's population — that is
-    * the contract of dedup-against-everything (the batch LSH index has
-    * the same footprint); a production deployment bounds it with
-    * TTLConfig (dedup horizon) or a per-bucket cap. */
-  class BandDedupProcessor(minAgree: Int)
+  /** Per-band-bucket state for [[nearDupStream]]: the most recent
+    * `capPerBucket` signatures seen in this bucket, insertion-ordered.
+    * The cap is the DEDUP HORIZON: an arrival is compared against the
+    * (at most `capPerBucket`) most recent members at batch start plus
+    * the batch's own earlier arrivals; after each batch the list is
+    * trimmed FIFO back to the cap, so for a forever-stream both the
+    * per-bucket state and the O(|bucket|) per-arrival comparisons are
+    * hard-bounded. A member older than the horizon is evicted and can
+    * no longer match — exactly the near-dup-within-a-window contract
+    * a production dedup runs (`Int.MaxValue` restores
+    * dedup-against-everything, the batch LSH index's footprint). */
+  class BandDedupProcessor(minAgree: Int, capPerBucket: Int)
       extends StatefulProcessor[String, BandRow, NearDupHit] {
     @transient private var seen: ListState[BandMember] = _
 
@@ -300,16 +306,24 @@ object EventStreams {
       // intra-batch arrivals process in doc_id order so replays and the
       // batch parity replay agree on who is "earlier"
       val fresh = rows.toSeq.sortBy(_.doc_id)
-      var earlier = seen.get().toList
+      // state list is insertion-ordered (oldest first); ≤ cap by the
+      // end-of-batch trim invariant below
+      var members = seen.get().toList
       fresh.foreach { r =>
-        earlier.foreach { m =>
+        members.foreach { m =>
           val agree = r.sig.zip(m.sig).count { case (a, b) => a == b }
           if (agree >= minAgree)
             out ::= NearDupHit(r.doc_id, m.doc_id, band, agree.toLong)
         }
-        earlier ::= BandMember(r.doc_id, r.sig)
-        seen.appendValue(BandMember(r.doc_id, r.sig))
+        members = members :+ BandMember(r.doc_id, r.sig)
       }
+      if (members.length > capPerBucket)
+        // horizon eviction: one bounded rewrite replaces the list with
+        // its newest-cap suffix
+        seen.put(members.takeRight(capPerBucket).toArray)
+      else
+        // common case: append-only, no rewrite of the stored prefix
+        fresh.foreach(r => seen.appendValue(BandMember(r.doc_id, r.sig)))
       out.reverseIterator
     }
   }
@@ -330,21 +344,24 @@ object EventStreams {
     * exact-verify/cluster stays a downstream batch step, same as the
     * batch face.
     *
-    * Scale: per-bucket state is the bucket's signature list (the
-    * batch LSH index's footprint, sharded by the state store); the
-    * per-arrival cost is |bucket| signature comparisons — the same
-    * candidate work the batch equi-join pays, paid incrementally.
-    * Parity with a driver replay over the same arrival order is pinned
-    * in EventStreamsSpec. */
+    * Scale: per-bucket state is the bucket's newest-`capPerBucket`
+    * signature suffix (the dedup horizon — see
+    * [[BandDedupProcessor]]), sharded by the state store; the
+    * per-arrival cost is min(|bucket|, cap) signature comparisons —
+    * the batch equi-join's candidate work, paid incrementally and
+    * hard-bounded for a forever-stream. Parity with a driver replay
+    * over the same arrival order, and the FIFO eviction contract at a
+    * small cap, are pinned in EventStreamsSpec. */
   def nearDupStream(s: SparkSession, docs: DataFrame,
-                    minAgree: Int = 12): Dataset[NearDupHit] = {
+                    minAgree: Int = 12,
+                    capPerBucket: Int = 4096): Dataset[NearDupHit] = {
     import s.implicits._
     graft.operators.Dedup.bandSignatureRows(s, docs)
       .select(concat_ws(":", col("band"), col("band_key"))
         .as("band_bucket"), col("doc_id"), col("sig"))
       .as[BandRow]
       .groupByKey(_.band_bucket)
-      .transformWithState(new BandDedupProcessor(minAgree),
+      .transformWithState(new BandDedupProcessor(minAgree, capPerBucket),
         TimeMode.None(), OutputMode.Append())
   }
 

@@ -81,8 +81,15 @@ object StreamBench {
       * when the face needs transformWithState (no cross-face conf
       * coupling), and short-circuits to -1 when Bench aborted the
       * stream phase. */
+    /** `warmup` rows, when non-empty, are fed (in the same chunk
+      * grain) and fully processed BEFORE the clock starts — the
+      * steady-state methodology for faces whose first batches are
+      * dominated by one-time costs (plan + codegen + sink/state
+      * setup): the timed figure is then the MARGINAL micro-batch rate,
+      * the number a capacity plan actually needs. Faces without
+      * warmup keep the cold first batch in the measurement. */
     def payloadFace[T](name: String, rows: Seq[T], mode: String,
-                       rocksDb: Boolean = false)
+                       rocksDb: Boolean = false, warmup: Seq[T] = Nil)
                       (build: MemoryStream[T] => DataFrame)
                       (implicit enc: org.apache.spark.sql.Encoder[T])
         : (String, Double) = {
@@ -98,11 +105,15 @@ object StreamBench {
         val q = build(mem).writeStream.outputMode(mode)
           .option("checkpointLocation", s"$ckRoot/f$faceN")
           .format("memory").queryName(view).start()
-        try timeFace(rows.length.toLong) { () =>
-          val per = math.max(1, (rows.length + nChunks - 1) / nChunks)
-          rows.grouped(per).foreach { c =>
+        def feed(payload: Seq[T]): Unit = {
+          val per = math.max(1, (payload.length + nChunks - 1) / nChunks)
+          payload.grouped(per).foreach { c =>
             mem.addData(c: _*); q.processAllAvailable()
           }
+        }
+        try {
+          if (warmup.nonEmpty) feed(warmup)
+          timeFace(rows.length.toLong)(() => feed(rows))
         } finally {
           q.stop(); spark.catalog.dropTempView(view)
         }
@@ -131,12 +142,25 @@ object StreamBench {
     // and re-joining the static corpus per micro-batch measured the
     // harness join, not the transform, and at 1.25k docs/batch the
     // per-batch replan dominated (measured ~1.6-1.9k docs/s; the
-    // payload feed isolates the fused pii_scan/gopher_scan projection)
-    val stateless = payloadFace(
-      "stream_preprocess",
+    // payload feed isolates the fused pii_scan/gopher_scan projection).
+    // STEADY-STATE: the corpus is fed once untimed (plan + codegen +
+    // sink setup land there), then the measured feed is the corpus
+    // replicated `prepRep`× under fresh doc_ids — the marginal
+    // micro-batch rate over 4·prepRep batches, which is what the
+    // transform sustains once the query is hot (the batch twin of the
+    // same projection runs >20k docs/s; a cold 4-batch feed mostly
+    // measured fixed per-query setup).
+    val docPayload =
       docs.select(col("doc_id"), col("lang"), col("text")).collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq,
-      "append")(mem =>
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val prepRep = 3
+    val idSpan = if (docPayload.isEmpty) 1L
+      else docPayload.map(_._1).max + 1L
+    val prepMeasured = (1 to prepRep).flatMap(k =>
+      docPayload.map { case (id, l, t) => (id + k * idSpan, l, t) })
+    val stateless = payloadFace(
+      "stream_preprocess", prepMeasured, "append",
+      warmup = docPayload)(mem =>
       EventStreams.preprocessStream(
         mem.toDF().toDF("doc_id", "lang", "text")))
     val hourly = idFace("stream_hourly", eventIds, events, "event_id",

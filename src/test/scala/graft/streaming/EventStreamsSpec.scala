@@ -913,4 +913,40 @@ class EventStreamsSpec extends SparkSpec {
     // it must be detected
     assert(got.exists(h => h._1 == 900003L))
   }
+
+  test("near-dup dedup horizon: capPerBucket=2 keeps within-horizon " +
+      "hits and FIFO-evicts beyond it") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // four exact clones arriving in four separate batches: identical
+    // signatures, so every band's bucket sees docs 1,2,3,4 in order.
+    // With cap=2 the state after doc 3 is [2,3] — doc 4 must match 2
+    // and 3 but NOT the evicted doc 1.
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = EventStreams.nearDupStream(spark, stream, capPerBucket = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_cap_test").start()
+    try {
+      Seq(1L, 2L, 3L, 4L).foreach { id =>
+        mem.addData((id, text)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("neardup_cap_test").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Long]("band"), r.getAs[Long]("agree16"))).toSeq
+    val pairs = got.map(h => (h._1, h._2)).distinct.sorted
+    // within-horizon hits: unchanged vs the unbounded contract
+    assert(pairs === Seq((2L, 1L), (3L, 1L), (3L, 2L), (4L, 2L),
+      (4L, 3L)), s"got $pairs")
+    // beyond-horizon: (4,1) is exactly the evicted pair
+    assert(!pairs.contains((4L, 1L)))
+    // exact clones agree 16/16 in every band; all 4 bands fire for
+    // each surviving pair
+    assert(got.forall(_._4 == 16L))
+    assert(got.size === pairs.size * 4, s"per-band fan-out: $got")
+  }
 }
