@@ -86,21 +86,20 @@ object Sketches {
     * sketch's internal answers are engine-specific and never leave the
     * query; a GK regression flips the flag and fails the hash check.
     *
-    * EVAL FACE — NOT a production path. The exact `percentile` half of
-    * the aggregation buffers the whole column per group (a
-    * memory-unbounded aggregate) and exists ONLY to validate the
-    * sketch's rank contract at oracle scale; at 100 TB swap in
-    * [[approxQuantilesSketchOnly]], which keeps the Greenwald–Khanna
-    * sketch alone — mergeable bounded-size partials ahead of a single
-    * exchange, plan-asserted shuffle-bounded in PlanSpec (the same
-    * swap-at-scale convention as timeToConvert's percentile and the
-    * stat2 HLL-vs-exact check).
+    * The exact half no longer buffers the column: it is computed from
+    * a domain-sized cents histogram (cumulative counts over distinct
+    * values) with Spark's own interpolation expression replayed on
+    * top — bit-equal to the `percentile` aggregate it replaced, but
+    * every stage is a bounded partial ahead of one exchange, so the
+    * face is servable at scale, not just a gate-SF validation. The
+    * pure-sketch serving face remains [[approxQuantilesSketchOnly]] /
+    * the stat28 contract.
     *
-    * Scale shape: one aggregation computes all exact+approx quantiles,
-    * then one more scan folds the four rank windows as conditional
-    * sums against the broadcast 4-row frame. Values micro-quantize to
-    * cents, so the exact quantile interpolation lands on exact binary
-    * fractions (ml5 precedent). */
+    * Scale shape: one (cents → count) rollup + one GK-sketch scan;
+    * the four rank windows fold as conditional sums over the SAME
+    * histogram against the broadcast 4-row frame. Values
+    * micro-quantize to cents, so the exact quantile interpolation
+    * lands on exact binary fractions (ml5 precedent). */
   /** The PRODUCTION quantile path stat20 validates: `approx_percentile`
     * alone — per-partition GK sketches of bounded size (~accuracy
     * entries) merge through ONE exchange; no exact percentile, no
@@ -152,28 +151,58 @@ object Sketches {
   }
 
   def approxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val qs = Seq(0.25, 0.5, 0.75, 0.9)
     val acc = 1000
     val m = Tables.lineitem(s, dir)
       .select(round(col("l_extendedprice") * 100).cast("long").as("m"))
     val qArr = qs.map(q => s"${q}D").mkString("array(", ", ", ")")
+    // The exact side used to be Spark's `percentile` — a
+    // memory-unbounded aggregate buffering the whole column. It is now
+    // the DOMAIN-histogram device (the stat22/stat41 convention): one
+    // map-side-combinable (cents → count) rollup, a cumulative window
+    // over the ≤ distinct-cents frame, and Spark's own interpolation
+    // formula — value(r) = min cents with cum ≥ r+1 at the 0-based
+    // ranks floor/ceil of position = (n−1)·q, then
+    // (higher−pos)·v_lo + (pos−lower)·v_hi, the exact IEEE expression
+    // Percentile.getPercentile evaluates — so the output is bit-equal
+    // to the old aggregate (and to the oracle's quantile_cont) while
+    // every stage is bounded-partial ahead of one exchange. The
+    // rank-contract check folds over the same histogram.
+    val hist = m.groupBy(col("m")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("m"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val one = m.agg(
       count(lit(1)).as("n_rows"),
-      expr(s"percentile(m, $qArr)").as("exact"),
       expr(s"approx_percentile(m, $qArr, $acc)").as("apx"))
-    val perQ = one.select(col("n_rows"),
-      posexplode(arrays_zip(col("exact"), col("apx"))).as(Seq("qi", "z")))
-      .select(col("n_rows"), col("qi"),
-        col("z.exact").as("exact_cents"),
-        col("z.apx").as("apx_cents"))
-    m.crossJoin(broadcast(perQ))
-      .groupBy(col("qi"), col("n_rows"), col("exact_cents"),
-        col("apx_cents"))
-      .agg(
-        sum(when(col("m") < col("apx_cents"), 1L).otherwise(0L)).as("lo"),
-        sum(when(col("m") <= col("apx_cents"), 1L).otherwise(0L)).as("hi"))
+    val qf = one.select(col("n_rows"),
+        posexplode(col("apx")).as(Seq("qi", "apx_cents")))
       .withColumn("q",
         element_at(array(qs.map(lit): _*), col("qi").cast("int") + 1))
+      .withColumn("pos", (col("n_rows") - 1L).cast("double") * col("q"))
+      .withColumn("rlo", floor(col("pos")).cast("long"))
+      .withColumn("rhi", ceil(col("pos")).cast("long"))
+    // ONE pass over (histogram × broadcast 4-row quantile frame) folds
+    // the floor/ceil order-statistic lookups AND the rank-contract
+    // counts together, so the histogram is consumed exactly once
+    val folded = hist.crossJoin(broadcast(qf))
+      .groupBy(col("qi"), col("q"), col("n_rows"), col("apx_cents"),
+        col("pos"), col("rlo"), col("rhi"))
+      .agg(
+        min(when(col("cum") >= col("rlo") + 1L, col("m"))).as("v_lo"),
+        min(when(col("cum") >= col("rhi") + 1L, col("m"))).as("v_hi"),
+        sum(when(col("m") < col("apx_cents"), col("c")).otherwise(0L))
+          .as("lo"),
+        sum(when(col("m") <= col("apx_cents"), col("c")).otherwise(0L))
+          .as("hi"))
+    folded
+      .withColumn("exact_cents",
+        when(col("rhi") === col("rlo"), col("v_lo").cast("double"))
+          .otherwise(
+            (col("rhi").cast("double") - col("pos")) *
+              col("v_lo").cast("double") +
+            (col("pos") - col("rlo").cast("double")) *
+              col("v_hi").cast("double")))
       .select(col("q"), col("n_rows"), col("exact_cents"),
         (col("lo") <= col("q") * col("n_rows") +
             col("n_rows").cast("double") / acc &&
