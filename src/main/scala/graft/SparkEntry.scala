@@ -77,6 +77,10 @@ object SparkEntry {
     "asof_event_orders" -> (AsOf.asofEventOrders(_, _)),
     // round-11: as-of with a staleness bound (merge_asof tolerance)
     "asof2_tolerance"   -> (AsOf.asofEventOrdersTolerance(_, _)),
+    // round-12: merge_asof's other two directions on the
+    // orders/shipdates pairing (both sides populated corpus-wide)
+    "asof3_forward"     -> (AsOf.asofOrderShipForward(_, _)),
+    "asof4_nearest"     -> (AsOf.asofOrderShipNearest(_, _)),
     // ---- reference audit surface (SURVEY §2b) ----
     "a1_group_count"    -> (Audits.a1GroupCount(_, _)),
     "a2_key_buckets"    -> (Audits.a2KeyBuckets(_, _)),
@@ -871,6 +875,45 @@ object SparkEntry {
           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
            AS last_orderkey_fresh
          FROM events e""",
+    // forward as-of (AsOf.asofOrderShipForward): earliest shipment at
+    // or after the order date; ties pin to the smallest lineitem id
+    "asof3_forward" ->
+      """WITH li AS (SELECT l_suppkey % 15 AS k, l_shipdate AS ts,
+           CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS lid
+           FROM lineitem)
+         SELECT o.o_orderkey,
+          (SELECT lid FROM li
+           WHERE li.k = o.o_custkey % 15 AND li.ts >= o.o_orderdate
+           ORDER BY li.ts ASC, li.lid ASC LIMIT 1) AS next_lid
+         FROM orders o""",
+    // nearest as-of (AsOf.asofOrderShipNearest): backward (<=, ties ->
+    // largest lid) vs strictly-later forward (ties -> smallest lid) by
+    // |day distance|; equal distance pins to the backward match
+    "asof4_nearest" ->
+      """WITH li AS (SELECT l_suppkey % 15 AS k, l_shipdate AS ts,
+           CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS lid
+           FROM lineitem),
+         c AS (SELECT o.o_orderkey, o.o_orderdate AS ots,
+           (SELECT {'ts': ts, 'lid': lid} FROM li
+            WHERE li.k = o.o_custkey % 15 AND li.ts <= o.o_orderdate
+            ORDER BY li.ts DESC, li.lid DESC LIMIT 1) AS b,
+           (SELECT {'ts': ts, 'lid': lid} FROM li
+            WHERE li.k = o.o_custkey % 15 AND li.ts > o.o_orderdate
+            ORDER BY li.ts ASC, li.lid ASC LIMIT 1) AS f
+          FROM orders o)
+         SELECT o_orderkey,
+           CASE WHEN b IS NULL THEN f.lid WHEN f IS NULL THEN b.lid
+                WHEN date_diff('day', b.ts, ots) <=
+                     date_diff('day', ots, f.ts) THEN b.lid
+                ELSE f.lid END AS nearest_lid,
+           CAST(CASE WHEN b IS NULL THEN date_diff('day', ots, f.ts)
+                WHEN f IS NULL THEN date_diff('day', b.ts, ots)
+                WHEN date_diff('day', b.ts, ots) <=
+                     date_diff('day', ots, f.ts)
+                THEN date_diff('day', b.ts, ots)
+                ELSE date_diff('day', ots, f.ts) END AS BIGINT)
+             AS dist_days
+         FROM c""",
     "a1_group_count" ->
       "SELECT source, count(*) AS n FROM documents GROUP BY source",
     "a2_key_buckets" ->

@@ -88,4 +88,90 @@ object AsOf {
           col("ts") - expr(s"INTERVAL $tolDays DAYS"), col("m.okey"))
           .as("last_orderkey_fresh"))
   }
+
+  /** The probe(orders)/lookup(lineitem shipdates) tagged union the
+    * FORWARD and NEAREST faces share: these two directions need
+    * lookup rows on BOTH sides of every probe to be non-vacuous, and
+    * shipdates interleave with order dates corpus-wide (the
+    * events/orders pairing of the backward faces has a 20-year gap —
+    * forward from an event would never match). `lid` is the lineitem's
+    * total-order id (l_orderkey·10 + l_linenumber, linenumber ≤ 7) so
+    * every tie rule is pinned. */
+  private def orderShipTagged(s: SparkSession, dir: String): DataFrame = {
+    val ship = Tables.lineitem(s, dir).select(
+      (col("l_suppkey") % 15).as("k"), col("l_shipdate").as("ts"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("lid"),
+      lit(null).cast("long").as("o_orderkey"))
+    val probes = Tables.orders(s, dir).select(
+      (col("o_custkey") % 15).as("k"), col("o_orderdate").as("ts"),
+      lit(null).cast("long").as("lid"), col("o_orderkey"))
+    ship.withColumn("side", lit(0))
+      .unionByName(probes.withColumn("side", lit(1)))
+  }
+
+  /** `asof3_forward` — merge_asof's `direction='forward'`: for each
+    * order, the EARLIEST shipment with ship ts ≥ the order date in its
+    * bucket (ties on ts → smallest lid). Same single-shuffle
+    * union+window plan as the backward face, run over the REVERSED
+    * ordering with a growing [unboundedPreceding, currentRow] frame —
+    * NOT `first` over [currentRow, unboundedFollowing]: Spark's
+    * unbounded-FOLLOWING frame re-evaluates its aggregate from
+    * scratch per row (O(n²) per partition — measured minutes at
+    * sf0.1), while the growing frame is incremental. In reversed
+    * (ts desc) order, side ASC puts a ts-equal shipment BEFORE the
+    * probe, keeping `≥` semantics, and `last` lands on the earliest
+    * shipment (smallest lid on ties, via lid desc). */
+  def asofOrderShipForward(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("ts").desc, col("side").asc,
+        col("lid").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orderShipTagged(s, dir)
+      .withColumn("next_lid",
+        last(col("lid"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("o_orderkey"), col("next_lid"))
+  }
+
+  /** `asof4_nearest` — merge_asof's `direction='nearest'`: the closer
+    * of the backward carry (ship ≤ order date; ties → LARGEST lid,
+    * the backward face's rule) and the strictly-later forward carry
+    * (ship > order date; ties → smallest lid), by |day distance|;
+    * equal distances pin to the BACKWARD match (the merge_asof
+    * convention this library documents). Both carries are GROWING
+    * [unboundedPreceding, currentRow] frames (incremental — the
+    * unbounded-following form re-evaluates per row, O(n²) per
+    * partition): backward over (ts asc, side asc) so ts-equal
+    * shipments land in the backward frame (distance 0, which wins
+    * every comparison), forward over the reversed (ts desc,
+    * side desc) so only strictly-later shipments precede the probe.
+    * One shuffle, two sorts of the same exchange. Emits the winning
+    * lid and its exact day distance. */
+  def asofOrderShipNearest(s: SparkSession, dir: String): DataFrame = {
+    val wB = Window.partitionBy(col("k"))
+      .orderBy(col("ts").asc, col("side").asc,
+        col("lid").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("k"))
+      .orderBy(col("ts").desc, col("side").desc,
+        col("lid").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = when(col("side") === 0,
+      struct(col("ts").as("mts"), col("lid").as("mlid")))
+    val db = datediff(col("ts"), col("b.mts")).cast("long")
+    val df_ = datediff(col("f.mts"), col("ts")).cast("long")
+    orderShipTagged(s, dir)
+      .withColumn("b", last(m, ignoreNulls = true).over(wB))
+      .withColumn("f", last(m, ignoreNulls = true).over(wF))
+      .filter(col("side") === 1)
+      .select(col("o_orderkey"),
+        when(col("b").isNull, col("f.mlid"))
+          .when(col("f").isNull, col("b.mlid"))
+          .when(db <= df_, col("b.mlid"))
+          .otherwise(col("f.mlid")).as("nearest_lid"),
+        when(col("b").isNull, df_)
+          .when(col("f").isNull, db)
+          .when(db <= df_, db)
+          .otherwise(df_).as("dist_days"))
+  }
 }

@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-12 pins: the as-of family's forward/nearest tie rules against
+  * a driver replay, the scalable exact rank's equivalence to the
+  * window forms it replaced, and the single-partition-window audit's
+  * plan guarantees. */
+class Round12Spec extends SparkSpec {
+
+  /** Driver-side replay of the orders/shipdates pairing: every
+    * (k, ship ts, lid) lookup and (k, order ts, okey) probe collected
+    * once; the expected matches re-derived with explicit tie rules. */
+  private lazy val shipRows =
+    graft.Tables.lineitem(spark, sf)
+      .select((col("l_suppkey") % 15).as("k"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("ts"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
+          .as("lid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+  private lazy val orderRows =
+    graft.Tables.orders(spark, sf)
+      .select((col("o_custkey") % 15).as("k"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ts"),
+        col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+  test("asof3_forward == driver replay: earliest ship ts >= order ts, " +
+    "ties to the smallest lid") {
+    val byK = shipRows.groupBy(_._1)
+    val want = orderRows.map { case (k, ots, okey) =>
+      val cand = byK.getOrElse(k, Array.empty)
+        .filter(_._2 >= ots)
+      okey -> (if (cand.isEmpty) None
+               else Some(cand.minBy(c => (c._2, c._3))._3))
+    }.toMap
+    val got = AsOf.asofOrderShipForward(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got.size === want.size)
+    assert(got === want)
+    // the tie rule must actually be exercised: some order date carries
+    // more than one same-day shipment in its bucket
+    val tied = orderRows.exists { case (k, ots, _) =>
+      byK.getOrElse(k, Array.empty).count(_._2 == ots) > 1
+    }
+    assert(tied, "no same-day shipment tie in the corpus — vacuous pin")
+  }
+
+  test("asof4_nearest == driver replay: backward <= (ties largest " +
+    "lid) vs strictly-later forward (ties smallest lid), equal " +
+    "distance pins backward") {
+    // both sides are midnight-aligned micros, so day distances divide
+    // exactly
+    val dayUs = 86400L * 1000000L
+    val byK = shipRows.groupBy(_._1)
+    val want = orderRows.map { case (k, ots, okey) =>
+      val cand = byK.getOrElse(k, Array.empty)
+      val b = cand.filter(_._2 <= ots) match {
+        case a if a.isEmpty => None
+        case a => Some(a.maxBy(c => (c._2, c._3)))
+      }
+      val f = cand.filter(_._2 > ots) match {
+        case a if a.isEmpty => None
+        case a => Some(a.minBy(c => (c._2, c._3)))
+      }
+      val (lid, dist) = (b, f) match {
+        case (Some(bb), None) => (bb._3, (ots - bb._2) / dayUs)
+        case (None, Some(ff)) => (ff._3, (ff._2 - ots) / dayUs)
+        case (Some(bb), Some(ff)) =>
+          val db = (ots - bb._2) / dayUs
+          val df = (ff._2 - ots) / dayUs
+          if (db <= df) (bb._3, db) else (ff._3, df)
+        case (None, None) => (-1L, -1L)
+      }
+      okey -> (lid, dist)
+    }.toMap
+    val got = AsOf.asofOrderShipNearest(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        // an empty bucket (possible at tiny SF: few suppliers) yields
+        // a NULL match — encoded (-1, -1) like the replay
+        (if (r.isNullAt(1)) (-1L, -1L)
+         else (r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size === want.size)
+    want.foreach { case (okey, w) =>
+      assert(got(okey) === w, s"order $okey")
+    }
+    // both directions must win somewhere, and a distance-0 (same-day)
+    // match must exist, or the comparison logic is untested
+    val dists = got.values.map(_._2)
+    assert(dists.exists(_ == 0L), "no same-day nearest match")
+    val fwdWins = orderRows.exists { case (k, ots, okey) =>
+      val cand = byK.getOrElse(k, Array.empty)
+      cand.exists(_._2 <= ots) && cand.exists(_._2 > ots) && {
+        val bb = cand.filter(_._2 <= ots).maxBy(c => (c._2, c._3))
+        val ff = cand.filter(_._2 > ots).minBy(c => (c._2, c._3))
+        (ff._2 - ots) < (ots - bb._2)
+      }
+    }
+    assert(fwdWins, "forward never wins — vacuous direction choice")
+  }
+
+  test("withGlobalRank + ntileOfRank == the window forms, on an " +
+    "adversarial frame (ties only in the value, n % k != 0)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // 103 rows, 7 tiles (103 = 7*14 + 5), heavy value ties broken by id
+    val df = (1 to 103).map(i => (i.toLong, (i % 9).toLong))
+      .toDF("id", "v")
+    val want = df
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("v").asc, col("id").asc)).cast("long"))
+      .withColumn("t", ntile(7).over(
+        Window.orderBy(col("v").asc, col("id").asc)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val ranked = Ranking.withGlobalRank(df, "rn", "n",
+      Seq(col("v").asc, col("id").asc), parts = 5)
+    val got = ranked
+      .withColumn("t", Ranking.ntileOfRank(col("rn"), col("n"), 7))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("rn"),
+        r.getAs[Long]("t")))
+      .sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+    // tileStart inverts ntileOfRank: rank-within-tile restates the
+    // partitioned row_number
+    val wantRk = df
+      .withColumn("t", ntile(7).over(
+        Window.orderBy(col("v").asc, col("id").asc)).cast("long"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("t"))
+        .orderBy(col("v").asc, col("id").asc)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+    val gotRk = ranked
+      .withColumn("t", Ranking.ntileOfRank(col("rn"), col("n"), 7))
+      .withColumn("rk",
+        col("rn") - Ranking.tileStart(col("t"), col("n"), 7) + lit(1L))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("rk")))
+      .sortBy(_._1)
+    assert(gotRk.toSeq === wantRk.toSeq)
+  }
+
+  test("converted rank faces plan with NO single-partition sort over " +
+    "the entity frame (no Window above a corpus-sized child)") {
+    // the physical plan must not contain a WindowExec at all for the
+    // pure-rank faces (the global window was the only one they had)
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val gini = plan(Relational.stat24Gini(spark, sf))
+    assert(!gini.contains("Window"), gini)
+    val spear = plan(Relational.stat27Spearman(spark, sf))
+    assert(!spear.contains("Window"), spear)
+    val lift = plan(Profiling.liftDeciles(spark, sf))
+    assert(!lift.contains("Window"), lift)
+  }
+}
