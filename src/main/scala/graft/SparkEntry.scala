@@ -373,6 +373,9 @@ object SparkEntry {
     "geo3_knn_join_indexed" -> (Spatial.knnJoinIndexed(_, _)),
     "geo4_grid_knn"     -> (Spatial.gridKnn(_, _)),
     "geo5_dbscan"       -> (Spatial.dbscan(_, _)),
+    // round-12: point-in-polygon join (exact integer ray-cast on
+    // grid-cell candidates)
+    "geo8_polygon_contains" -> (Spatial.polygonContains(_, _)),
     // ---- round-6 continuation ----
     "ml7_target_encode" -> (Training.targetEncode(_, _)),
     "ml20_woe_iv" -> (Training.ml20WoeIv(_, _)),
@@ -1804,6 +1807,48 @@ object SparkEntry {
       FROM pts a JOIN pts b ON a.id < b.id
       WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
         <= 2000000::BIGINT * 2000000""",
+    // Point-in-polygon join (Spatial.polygonContains): the oracle
+    // replays polygon construction (md5-coined octagons) and the
+    // division-free even-odd ray-cast over bbox candidates — the
+    // grid-cell stencil is pure candidate generation, so the bbox
+    // join is an equivalent (slower) candidate set.
+    "geo8_polygon_contains" -> raw"""
+      WITH pts AS ($geoPtsSql),
+      pol AS (SELECT s_suppkey AS pid,
+        ('0x' || substr(md5('gpx:' || s_suppkey), 1, 15))::BIGINT
+          % 100000000 AS cx,
+        ('0x' || substr(md5('gpy:' || s_suppkey), 1, 15))::BIGINT
+          % 100000000 AS cy,
+        1000000 + ('0x' || substr(md5('gpr:' || s_suppkey), 1, 15))::BIGINT
+          % 3000001 AS r
+        FROM supplier),
+      pol2 AS (SELECT pid, cx, cy, r, (r * 70711) // 100000 AS a
+        FROM pol),
+      vert AS (SELECT pid, cx, cy, r,
+        [{'x': cx + r, 'y': cy}, {'x': cx + a, 'y': cy + a},
+         {'x': cx, 'y': cy + r}, {'x': cx - a, 'y': cy + a},
+         {'x': cx - r, 'y': cy}, {'x': cx - a, 'y': cy - a},
+         {'x': cx, 'y': cy - r}, {'x': cx + a, 'y': cy - a}] AS vs
+        FROM pol2),
+      edge AS (SELECT pid, cx, cy, r,
+        vs[i].x AS x1, vs[i].y AS y1,
+        vs[(i % 8) + 1].x AS x2, vs[(i % 8) + 1].y AS y2
+        FROM vert, range(1, 9) t(i)),
+      cr AS (SELECT e.pid, q.id,
+        CASE WHEN (e.y1 > q.y) != (e.y2 > q.y) AND
+          (CASE WHEN e.y2 - e.y1 > 0
+            THEN (q.x - e.x1) * (e.y2 - e.y1)
+               < (q.y - e.y1) * (e.x2 - e.x1)
+            ELSE (q.x - e.x1) * (e.y2 - e.y1)
+               > (q.y - e.y1) * (e.x2 - e.x1) END)
+          THEN 1 ELSE 0 END AS c
+        FROM edge e JOIN pts q
+          ON abs(q.x - e.cx) <= e.r AND abs(q.y - e.cy) <= e.r),
+      ins AS (SELECT pid, id FROM cr GROUP BY pid, id
+        HAVING sum(c) % 2 = 1)
+      SELECT pid, CAST(count(*) AS BIGINT) AS n_inside,
+        CAST(sum(id) AS BIGINT) AS sum_ids
+      FROM ins GROUP BY pid""",
     // DBSCAN over the capped cloud (Spatial.dbscan): quadratic radius
     // join, degree threshold, transitive closure over core-core edges
     // (min-id labels — the dedup_clusters reach pattern), border

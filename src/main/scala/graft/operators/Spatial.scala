@@ -451,4 +451,79 @@ object Spatial {
       round(csr).cast("long").as("csr_micros2"),
       round(lit(1e6) * (k / csr)).cast("long").as("ratio_micros"))
   }
+
+  /** `geo8_polygon_contains` — point-in-polygon join: which points
+    * fall inside which polygon footprints. The OSM-flavored closer the
+    * reference's data model implies but never computes: its ways carry
+    * ordered `node_refs` (openstreet_kolkata.py:523-526) — polygons in
+    * waiting — and its README's building/amenity analysis is exactly
+    * "nodes inside building footprints". Here the footprints are
+    * deterministic octagons (one per supplier: md5-coined center and
+    * radius r ∈ [1e6, 4e6], a = ⌊r·70711/100000⌋ the 45° offset) so
+    * the DuckDB oracle can replay polygon construction AND the
+    * ray-cast bit-for-bit in integers.
+    *
+    * Scale shape: the grid-cell stencil this file's joins share —
+    * each polygon explodes to the ≤(2r/g+2)² cells of its bbox, each
+    * point maps to its ONE home cell, the equi-join on the cell key
+    * generates candidates (a point meets a polygon through exactly one
+    * cell, so no dedup pass), a cheap bbox filter trims, and the exact
+    * even-odd ray-cast runs only on the sliver. All arithmetic is
+    * BIGINT: the crossing test compares cross-multiplied products
+    * (≤ ~1.04e16 ≪ 2⁶³) with the division eliminated by sign-split —
+    * no floating point anywhere, so membership can never drift between
+    * engines. At 100 TB both sides shuffle once on the cell key; dense
+    * cells are ordinary hot keys (AQE skew-join). */
+  def polygonContains(s: SparkSession, dir: String,
+                      g: Long = 2000000L): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cpa = (DomainMicros + g - 1) / g
+    def h(salt: String, m: Long): Column =
+      pmod(call_function("md5_base60",
+        concat(lit(salt), col("s_suppkey").cast("string"))), lit(m))
+    val pol = Tables.supplier(s, dir).select(
+        col("s_suppkey").as("pid"),
+        h("gpx:", DomainMicros).as("cx"),
+        h("gpy:", DomainMicros).as("cy"),
+        (lit(1000000L) + h("gpr:", 3000001L)).as("r"))
+      .withColumn("a", expr("(r * 70711) DIV 100000"))
+    val polCells = pol
+      .withColumn("bx0", expr(s"greatest(cx - r, 0L) DIV $g"))
+      .withColumn("bx1",
+        expr(s"least(cx + r, ${DomainMicros - 1}L) DIV $g"))
+      .withColumn("by0", expr(s"greatest(cy - r, 0L) DIV $g"))
+      .withColumn("by1",
+        expr(s"least(cy + r, ${DomainMicros - 1}L) DIV $g"))
+      .withColumn("cellx", explode(sequence(col("bx0"), col("bx1"))))
+      .withColumn("celly", explode(sequence(col("by0"), col("by1"))))
+      .select(col("pid"), col("cx"), col("cy"), col("r"), col("a"),
+        (col("cellx") * cpa + col("celly")).as("cell"))
+    val pts = points(s, dir)
+      .withColumn("cell", expr(s"(x DIV $g) * $cpa + (y DIV $g)"))
+    val px = col("x"); val py = col("y")
+    val cxc = col("cx"); val cyc = col("cy")
+    val r = col("r"); val a = col("a")
+    val verts: Seq[(Column, Column)] = Seq(
+      (cxc + r, cyc), (cxc + a, cyc + a), (cxc, cyc + r),
+      (cxc - a, cyc + a), (cxc - r, cyc), (cxc - a, cyc - a),
+      (cxc, cyc - r), (cxc + a, cyc - a))
+    // even-odd crossing per edge, division-free: px < x1 + (py−y1)·
+    // (x2−x1)/(y2−y1) cross-multiplied by d = y2−y1 with the
+    // comparison flipped when d < 0 (d ≠ 0 whenever the edge straddles
+    // the ray, which the straddle test guarantees)
+    val crossings = verts.indices.map { i =>
+      val (x1, y1) = verts(i)
+      val (x2, y2) = verts((i + 1) % verts.size)
+      val d = y2 - y1
+      val lhs = (px - x1) * d
+      val rhs = (py - y1) * (x2 - x1)
+      when(((y1 > py) =!= (y2 > py)) &&
+        (when(d > 0, lhs < rhs).otherwise(lhs > rhs)), 1L).otherwise(0L)
+    }
+    pts.join(polCells, "cell")
+      .filter(abs(px - cxc) <= r && abs(py - cyc) <= r)
+      .filter(pmod(crossings.reduce(_ + _), lit(2L)) === 1L)
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("n_inside"), sum(col("id")).as("sum_ids"))
+  }
 }

@@ -140,6 +140,44 @@ class Round12Spec extends SparkSpec {
     assert(gotRk.toSeq === wantRk.toSeq)
   }
 
+  test("geo8 polygon-contains: the cell stencil is lossless (bit-equal " +
+    "to the degenerate one-cell grid) and the ray-cast prunes inside " +
+    "the bbox") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val got = key(Spatial.polygonContains(spark, sf))
+    // g = the whole domain → one cell → candidates are the full bbox
+    // join; identical output proves the stencil loses no candidate
+    val want = key(Spatial.polygonContains(spark, sf, g = Spatial.DomainMicros))
+    assert(got.nonEmpty)
+    assert(got.toSeq === want.toSeq)
+    // the octagon must genuinely prune bbox corners: total contained
+    // count is strictly below the bbox candidate count (area ratio
+    // π-ish < 1), or the ray-cast is vacuous
+    graft.functions.GraftFunctions.register(spark)
+    def coin(salt: String, m: Long) =
+      pmod(call_function("md5_base60",
+        concat(lit(salt), col("s_suppkey").cast("string"))), lit(m))
+    val pol = graft.Tables.supplier(spark, sf).select(
+      coin("gpx:", Spatial.DomainMicros).as("cx"),
+      coin("gpy:", Spatial.DomainMicros).as("cy"),
+      (lit(1000000L) + coin("gpr:", 3000001L)).as("r"))
+    val bboxHits = Spatial.points(spark, sf).crossJoin(pol)
+      .filter(abs(col("x") - col("cx")) <= col("r") &&
+        abs(col("y") - col("cy")) <= col("r"))
+      .count()
+    val contained = got.map(_._2).sum
+    assert(contained > 0, "no contained point anywhere")
+    assert(contained < bboxHits,
+      s"ray-cast pruned nothing: $contained of $bboxHits")
+    val plan = Spatial.polygonContains(spark, sf)
+      .queryExecution.executedPlan.toString
+    // candidates come from an equi-join on the cell key, never a
+    // cartesian
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("cell"), plan)
+  }
+
   test("converted rank faces plan with NO single-partition sort over " +
     "the entity frame (no Window above a corpus-sized child)") {
     // the physical plan must not contain a WindowExec at all for the
