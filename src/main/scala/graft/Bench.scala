@@ -111,10 +111,17 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
     // gate: >1.5x AND >0.3s (round 9's 2x+0.5s let a 1.70x/1.3s tok10
     // slowdown through silently). Known-noisy faces — multi-arm eval
-    // composites whose min-of-N still swings with host load — keep the
-    // old loose gate instead of a blind pass.
+    // composites whose min-of-N still swings with host load, plus the
+    // ITERATIVE driver-round-bound faces whose per-round scheduling
+    // cost dominates their sub-2s totals — keep the old loose gate
+    // instead of a blind pass. The iterative entries are the
+    // adjudicated rotating-phantom roster: three consecutive rounds
+    // (ml9 r10, ml13 r11, ktruss r11) flagged one of them at
+    // 1.5-1.75x while byte-untouched, and isolated quiet-host A/B
+    // cleared each; a REAL regression on them still flags at >2x.
     val noisy = Set("eval2_ann_recall", "eval8_fusion_overlap",
-      "eval9_prf_shift")
+      "eval9_prf_shift",
+      "graph_ktruss", "graph_kcore", "ml9_logistic_gd", "ml13_knn")
     def wouldFlag(k: String, w: Double): Boolean = {
       val (mul, abs) = if (noisy(k)) (2.0, 0.5) else (1.5, 0.3)
       prior.get(k).exists(p => p >= 0 && w >= 0 && w > mul * p && w - p > abs)
