@@ -140,6 +140,22 @@ class Round12Spec extends SparkSpec {
     assert(gotRk.toSeq === wantRk.toSeq)
   }
 
+  test("asof forward/nearest plan with ONE exchange (the union is " +
+    "partitioned once; nearest's two carries are two sorts of the " +
+    "same shuffle, no unbounded-following frame)") {
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val fwd = plan(AsOf.asofOrderShipForward(spark, sf))
+    assert(fwd.split("Exchange").length - 1 === 1, fwd)
+    val near = plan(AsOf.asofOrderShipNearest(spark, sf))
+    assert(near.split("Exchange").length - 1 === 1, near)
+    // both carries must be growing frames — the unbounded-following
+    // form is O(n^2) per partition (re-evaluated per row)
+    assert(!near.contains("unboundedfollowing"),
+      near.linesIterator.filter(_.contains("windowspecdefinition"))
+        .mkString("\n"))
+  }
+
   test("geo8 polygon-contains: the cell stencil is lossless (bit-equal " +
     "to the degenerate one-cell grid) and the ray-cast prunes inside " +
     "the bbox") {
