@@ -192,6 +192,8 @@ object SparkEntry {
     "chunk1_rag"        -> (Packing.ragChunks(_, _)),
     "s9_partitioned_sink" -> (Audits.s9PartitionedSink(_, _)),
     "pipe1_preprocess"  -> (Preprocess.pipeline(_, _)),
+    // round-12: CCNet-ordered funnel (quality → dedup → LM terciles)
+    "pipe2_ccnet_funnel" -> (Preprocess.ccnetFunnel(_, _)),
     // ---- training-data pipeline: multimodal plumbing ----
     "mm1_decode"        -> (Multimodal.decodeFeatures(_, _)),
     "mm2_frames"        -> (Multimodal.frameSample(_, _)),
@@ -1441,6 +1443,58 @@ object SparkEntry {
         CAST(len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
         md5($redactSql) AS redacted_hash
       FROM p""",
+    // CCNet-ordered funnel (Preprocess.ccnetFunnel): quality gate →
+    // normalized-exact dedup among survivors → KN perplexity terciles
+    // (keep head+middle), per-lang survivor counts + token budget.
+    // The kd subquery nests knDocScoreSql's own WITH (the ccnet
+    // precedent); its inner `t` shadows nothing — ours is `t0`.
+    "pipe2_ccnet_funnel" -> raw"""
+      WITH t0 AS (SELECT doc_id, lang, text,
+          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk,
+          (len(string_split(text, ' the ')) - 1) +
+          (len(string_split(text, ' a ')) - 1) +
+          (len(string_split(text, ' of ')) - 1) +
+          (len(string_split(text, ' in ')) - 1) +
+          (len(string_split(text, ' to ')) - 1) AS stop_n
+        FROM documents),
+      g AS (SELECT doc_id, lang,
+          CASE WHEN len(tk) BETWEEN 50 AND 100000
+            AND round(CAST(list_sum(list_transform(tk, x -> len(x)))
+              AS DOUBLE) / len(tk), 4) BETWEEN 3 AND 10
+            AND round(CAST(len(list_filter(tk,
+              x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tk), 4)
+              >= 0.8
+            AND stop_n >= 2 THEN 1 ELSE 0 END AS keep,
+          md5(trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0)) AS BIGINT) AS n_tok
+        FROM t0),
+      c AS (SELECT min(doc_id) AS doc_id FROM g WHERE keep = 1
+        GROUP BY norm_hash),
+      surv AS (SELECT g.doc_id, g.lang, g.n_tok
+        FROM g JOIN c ON g.doc_id = c.doc_id),
+      kd AS ($knDocScoreSql),
+      sc AS (SELECT surv.doc_id, surv.lang, surv.n_tok,
+          kd.mean_kn_logprob
+        FROM surv JOIN kd ON kd.doc_id = surv.doc_id),
+      b AS (SELECT *, CAST(ntile(3) OVER
+          (ORDER BY mean_kn_logprob DESC, doc_id) AS BIGINT) AS bucket
+        FROM sc),
+      kept AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_dedup,
+          CAST(sum(CASE WHEN bucket <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_ppl_kept,
+          CAST(sum(CASE WHEN bucket <= 2 THEN n_tok ELSE 0 END)
+            AS BIGINT) AS tokens_kept
+        FROM b GROUP BY lang),
+      raw0 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(keep) AS BIGINT) AS n_quality
+        FROM g GROUP BY lang)
+      SELECT raw0.lang, n_docs, n_quality,
+        CAST(coalesce(n_dedup, 0) AS BIGINT) AS n_dedup,
+        CAST(coalesce(n_ppl_kept, 0) AS BIGINT) AS n_ppl_kept,
+        CAST(coalesce(tokens_kept, 0) AS BIGINT) AS tokens_kept
+      FROM raw0 LEFT JOIN kept ON raw0.lang = kept.lang""",
     "pipe1_preprocess" -> raw"""
       WITH aug AS ($piiAugSql),
       t AS (SELECT doc_id, lang,

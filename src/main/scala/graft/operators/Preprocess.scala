@@ -60,4 +60,64 @@ object Preprocess {
             col("in_sample") === 1, 1L).otherwise(0L))
           .cast("long").as("n_final"))
   }
+
+  /** `pipe2_ccnet_funnel` — the CCNet/LLaMA-style pipeline ORDER as
+    * one composed plan: quality gate → exact dedup among the quality
+    * survivors → perplexity terciles over the deduped set, keeping
+    * head+middle (Wenzek LREC'20 runs exactly this sequence; pipe1
+    * composes the orthogonal PII/sampling half). Emits the per-lang
+    * FUNNEL — the stage-by-stage survivor counts plus the final token
+    * budget — which is the report a data-curation run signs off on.
+    *
+    * Composition notes: the quality signal is the native one-pass
+    * `gopher_scan`; the dedup key is [[Dedup.normHash]] (canonical =
+    * min doc_id per hash, computed among quality survivors — dedup
+    * AFTER filtering, so a low-quality early copy cannot shadow a
+    * clean later one); the LM gate scores survivors with the staged
+    * corpus-trained KN model ([[TextAnalysis.knDocScoreIndexed]] —
+    * CCNet's "train the LM offline, bucket online" split) and the
+    * tercile split is [[Ranking]]'s scalable exact ntile over
+    * (mean logprob desc, doc_id). ONE corpus text scan feeds the
+    * quality+hash+token projection; everything downstream moves
+    * digests, longs and the model join — no second text scan.
+    *
+    * Scale shape: narrow fused projection → digest-keyed aggregation →
+    * model-join + range-rank (no single-partition stage) → per-lang
+    * rollup. All counts exact longs; tokens_kept is the Σ token count
+    * of the final set — the number a token-budget plan consumes. */
+  def ccnetFunnel(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = col("text")
+    val enriched = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.gopherKeep(t).as("keep"),
+        Dedup.normHash(t).as("norm_hash"),
+        size(TextAnalysis.tokens(lower(t))).cast("long").as("n_tok"))
+      .localCheckpoint(true) // one text scan; three consumers below
+    val canon = enriched.filter(col("keep") === 1L)
+      .groupBy(col("norm_hash"))
+      .agg(min(col("doc_id")).as("canon_id"))
+    val surv = enriched.filter(col("keep") === 1L)
+      .join(canon, enriched("doc_id") === canon("canon_id"))
+      .select(col("doc_id"), col("lang"), col("n_tok"))
+    val scored = surv.join(
+      TextAnalysis.knDocScoreIndexed(s, dir)
+        .select(col("doc_id"), col("mean_kn_logprob")), "doc_id")
+    val bucketed = Ranking.withGlobalRank(scored, "__rn", "__n",
+        Seq(col("mean_kn_logprob").desc, col("doc_id").asc))
+      .withColumn("bucket",
+        Ranking.ntileOfRank(col("__rn"), col("__n"), 3))
+    val kept = bucketed.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_dedup"),
+        sum(when(col("bucket") <= 2L, 1L).otherwise(0L)).as("n_ppl_kept"),
+        sum(when(col("bucket") <= 2L, col("n_tok")).otherwise(0L))
+          .as("tokens_kept"))
+    enriched.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_quality"))
+      .join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("n_quality"),
+        coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+        coalesce(col("n_ppl_kept"), lit(0L)).as("n_ppl_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+  }
 }

@@ -194,6 +194,27 @@ class Round12Spec extends SparkSpec {
     assert(plan.contains("cell"), plan)
   }
 
+  test("pipe2 funnel: stage counts are monotone, the tercile keep is " +
+    "exactly n - n/3, and every stage drops someone") {
+    val rows = Preprocess.ccnetFunnel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nd, nq, ndd, np) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_quality"), r.getAs[Long]("n_dedup"),
+        r.getAs[Long]("n_ppl_kept"))
+      assert(nq <= nd && ndd <= nq && np <= ndd, s"$r")
+    }
+    val nDedup = rows.map(_.getAs[Long]("n_dedup")).sum
+    val nKept = rows.map(_.getAs[Long]("n_ppl_kept")).sum
+    // ntile(3) keeps tiles 1-2 = n - floor(n/3) rows exactly
+    assert(nKept === nDedup - nDedup / 3, s"$nKept of $nDedup")
+    // non-vacuity: the quality gate and the tercile gate both bite
+    assert(rows.map(_.getAs[Long]("n_docs")).sum >
+      rows.map(_.getAs[Long]("n_quality")).sum)
+    assert(nKept < nDedup)
+    assert(rows.map(_.getAs[Long]("tokens_kept")).sum > 0L)
+  }
+
   test("converted rank faces plan with NO single-partition sort over " +
     "the entity frame (no Window above a corpus-sized child)") {
     // the physical plan must not contain a WindowExec at all for the
