@@ -103,6 +103,9 @@ object Preprocess {
     val scored = surv.join(
       TextAnalysis.knDocScoreIndexed(s, dir)
         .select(col("doc_id"), col("mean_kn_logprob")), "doc_id")
+      // cut before ranking: the rank helper executes its input twice
+      // (size probe + rank plan); the scored rollup is doc-level
+      .localCheckpoint(true)
     val bucketed = Ranking.withGlobalRank(scored, "__rn", "__n",
         Seq(col("mean_kn_logprob").desc, col("doc_id").asc))
       .withColumn("bucket",

@@ -52,15 +52,40 @@ private[graft] object Ranking {
     ((a - pmod(a, d)) / d).cast("long")
   }
 
+  /** Frames at or below this row count take the single-partition
+    * window path: one task sorting ≤4M narrow rows beats the
+    * distributed plan's sampling pass + count job + extra scheduling,
+    * and the output is bit-identical either way — the same
+    * size-driven physical choice Spark itself makes between broadcast
+    * and shuffle joins (and the same 4M envelope TopKPerKey's partial
+    * phase budgets). Above it, the range-stamp path serves. */
+  val SmallFrameRows: Long = 4000000L
+
   /** Adds `rankCol` = the exact 1-based global rank of each row under
     * `sort`, and `nCol` = the total row count (both LONG), without any
-    * single-partition stage. `sort` must be totally tie-broken.
-    * EAGER: runs the range shuffle and the partition-count job at call
-    * time (the localCheckpoint convention — acceptable inside
-    * `queries()` builders, which are invoked per run). */
+    * corpus-sized single-partition stage. `sort` must be totally
+    * tie-broken. EAGER: runs a count (and, on the large path, the
+    * range shuffle and partition-count job) at call time (the
+    * localCheckpoint convention — acceptable inside `queries()`
+    * builders, which are invoked per run); feed it a
+    * checkpointed/file-backed frame, not a deep DAG, since the size
+    * probe and the rank plan each execute the input once. */
   def withGlobalRank(df: DataFrame, rankCol: String, nCol: String,
-                     sort: Seq[Column], parts: Int = 32): DataFrame = {
+                     sort: Seq[Column], parts: Int = 32,
+                     smallThreshold: Long = SmallFrameRows): DataFrame = {
     val s = df.sparkSession
+    val total = df.count()
+    if (total <= smallThreshold) {
+      // small frame: the global window IS the cheap plan, and by the
+      // bit-equality contract the choice is invisible to the result.
+      // The single partition here is ≤ smallThreshold rows BY THE
+      // GUARD, never corpus-sized.
+      import org.apache.spark.sql.expressions.Window
+      return df
+        .withColumn(rankCol,
+          row_number().over(Window.orderBy(sort: _*)).cast("long"))
+        .withColumn(nCol, lit(total))
+    }
     val sorted = df.repartitionByRange(parts, sort: _*)
       .sortWithinPartitions(sort: _*)
     val rdd = sorted.rdd // captured ONCE so every job below reuses the

@@ -1758,7 +1758,11 @@ object TextAnalysis {
     // range-partitioned rank + closed-form tile arithmetic — no
     // single-partition sort of the per-doc frame; bit-equal, the
     // ordering is doc_id tie-broken)
-    val b = Ranking.withGlobalRank(knDocScoreIndexed(s, dir),
+    // checkpointed: the rank helper's size probe and the rank plan
+    // each execute their input once — cut the scoring pipeline
+    // (tokenize + model join) to a doc-level rollup first
+    val b = Ranking.withGlobalRank(
+        knDocScoreIndexed(s, dir).localCheckpoint(true),
         "__rn", "__n",
         Seq(col("mean_kn_logprob").desc, col("doc_id").asc))
       .withColumn("bucket", Ranking.ntileOfRank(col("__rn"), col("__n"), 3))

@@ -116,7 +116,7 @@ class Round12Spec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
     val ranked = Ranking.withGlobalRank(df, "rn", "n",
-      Seq(col("v").asc, col("id").asc), parts = 5)
+      Seq(col("v").asc, col("id").asc), parts = 5, smallThreshold = 0L)
     val got = ranked
       .withColumn("t", Ranking.ntileOfRank(col("rn"), col("n"), 7))
       .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("rn"),
@@ -215,17 +215,26 @@ class Round12Spec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("tokens_kept")).sum > 0L)
   }
 
-  test("converted rank faces plan with NO single-partition sort over " +
-    "the entity frame (no Window above a corpus-sized child)") {
-    // the physical plan must not contain a WindowExec at all for the
-    // pure-rank faces (the global window was the only one they had)
-    def plan(df: org.apache.spark.sql.DataFrame): String =
-      df.queryExecution.executedPlan.toString
-    val gini = plan(Relational.stat24Gini(spark, sf))
-    assert(!gini.contains("Window"), gini)
-    val spear = plan(Relational.stat27Spearman(spark, sf))
-    assert(!spear.contains("Window"), spear)
-    val lift = plan(Profiling.liftDeciles(spark, sf))
-    assert(!lift.contains("Window"), lift)
+  test("the rank helper is size-adaptive: the distributed path plans " +
+    "with NO WindowExec, the small-frame path takes the bounded " +
+    "window, and both are bit-equal") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, (i % 7).toLong))
+      .toDF("id", "v")
+    val srt = Seq(col("v").asc, col("id").asc)
+    // forced distributed path: zero WindowExec anywhere — the rank is
+    // the range-stamp plan the serving faces take above the threshold
+    val big = Ranking.withGlobalRank(df, "rn", "n", srt, parts = 4,
+      smallThreshold = 0L)
+    assert(!big.queryExecution.executedPlan.toString.contains("Window"),
+      big.queryExecution.executedPlan.toString)
+    // default path on a tiny frame: the bounded single-partition
+    // window (≤ SmallFrameRows by the guard, never corpus-sized)
+    val small = Ranking.withGlobalRank(df, "rn", "n", srt)
+    assert(small.queryExecution.executedPlan.toString.contains("Window"))
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("rn"),
+        r.getAs[Long]("n"))).sortBy(_._1).toSeq
+    assert(key(big) === key(small))
   }
 }
