@@ -110,23 +110,21 @@ object Bench {
         .map(e => e.getKey -> e.getValue.get("warm").asDouble()).toMap
     } catch { case _: Throwable => Map.empty }
     // gate: >1.5x AND >0.3s (round 9's 2x+0.5s let a 1.70x/1.3s tok10
-    // slowdown through silently). Known-noisy faces — multi-arm eval
-    // composites whose min-of-N still swings with host load, plus the
-    // ITERATIVE driver-round-bound faces whose per-round scheduling
-    // cost dominates their sub-2s totals — keep the old loose gate
-    // instead of a blind pass. The iterative entries are the
-    // adjudicated rotating-phantom roster: three consecutive rounds
-    // (ml9 r10, ml13 r11, ktruss r11) flagged one of them at
-    // 1.5-1.75x while byte-untouched, and isolated quiet-host A/B
-    // cleared each; a REAL regression on them still flags at >2x.
+    // slowdown through silently). Known-noisy faces — the multi-arm
+    // eval composites whose min-of-N still swings with host load —
+    // keep the old loose gate instead of a blind pass. The iterative
+    // rotating-phantom roster (ml9/ml13/ktruss/kcore) that round 12
+    // parked here is back on the STRICT gate: the end-of-battery
+    // confirmation pass below is the noise adjudicator now, so the
+    // loose multiplier (which would also pass a real 1.5-2x
+    // regression unflagged) is no longer the only defense.
     val noisy = Set("eval2_ann_recall", "eval8_fusion_overlap",
-      "eval9_prf_shift",
-      "graph_ktruss", "graph_kcore", "ml9_logistic_gd", "ml13_knn")
+      "eval9_prf_shift")
     def wouldFlag(k: String, w: Double): Boolean = {
       val (mul, abs) = if (noisy(k)) (2.0, 0.5) else (1.5, 0.3)
       prior.get(k).exists(p => p >= 0 && w >= 0 && w > mul * p && w - p > abs)
     }
-    val results = benchQueries.toSeq.map { case (name, fn) =>
+    val measured = benchQueries.toSeq.map { case (name, fn) =>
       val cold = once(fn)
       val warm0 = if (cold < 0) -1.0
       else {
@@ -153,6 +151,26 @@ object Bench {
       // measurement — the JVM-state artifact that inflated round 1.
       spark.catalog.clearCache()
       (name, cold, warm)
+    }
+    // END-OF-BATTERY CONFIRMATION: a face that still flags after its
+    // in-loop re-measure gets two more runs HERE, after every other
+    // query has executed — a different time window, minutes away from
+    // whatever contention burst inflated the original draws. Keep the
+    // min (noise only ever inflates). Rationale: rounds 9-12 each spent
+    // their opening on adjudicating flags that every isolated quiet-host
+    // A/B cleared as host noise — one loaded stretch during the battery
+    // could mint 17 flags at once on byte-untouched code (r12). A real
+    // regression is time-invariant and survives this pass; a
+    // contention artifact does not. Only still-flagging faces pay.
+    val results = measured.map { case (name, cold, warm0) =>
+      if (!wouldFlag(name, warm0)) (name, cold, warm0)
+      else {
+        val reruns = Seq(once(benchQueries(name)), once(benchQueries(name)))
+          .filter(_ >= 0)
+        spark.catalog.clearCache()
+        (name, cold,
+          if (reruns.isEmpty) warm0 else math.min(warm0, reruns.min))
+      }
     }
     val qs = results.map { case (k, _, w) => s"\"" + k + "\":" + r3(w) }
       .mkString("{", ",", "}")

@@ -1537,6 +1537,13 @@ object EventAnalytics {
         datediff(col("max_day"), col("last_day")).cast("long")
           .as("recency_days"),
         col("frequency"), col("monetary_cents"))
+      // withGlobalRank executes its input per call (size probe + rank
+      // plan), and the three quintile passes NEST — each checkpoints
+      // here so a pass re-reads the previous pass's materialized
+      // user-cardinality rows instead of re-running every earlier rank
+      // plan plus the crossJoin (up to ~6-9 lineage executions when
+      // left lazy — the rfmRank/pipe2 calling convention)
+      .localCheckpoint(true)
     // quintiles over the entity frame via the scalable exact rank
     // (Ranking.withGlobalRank + closed-form ntile — no
     // single-partition window; bit-identical, user_id tie-broken)
@@ -1545,6 +1552,7 @@ object EventAnalytics {
       Ranking.withGlobalRank(d, "__rn", "__n", ord)
         .withColumn(name, Ranking.ntileOfRank(col("__rn"), col("__n"), 5))
         .drop("__rn", "__n")
+        .localCheckpoint(true)
     quintile(
       quintile(
         quintile(perUser, "r_q",

@@ -280,6 +280,12 @@ object Spatial {
     require(g >= 1000000L && g <= DomainMicros,
       s"g=$g outside the supported range [1e6, $DomainMicros] for the " +
         "fixed 5x5/x20 pcell layout")
+    // v2: the cellsPerAxis floor→ceil fix above changes the staged
+    // `cell` ids whenever g does not divide DomainMicros, so any v1
+    // artifact built before the fix could serve stale cell ids for a
+    // non-default g (at the default g=2e6 the content is byte-identical
+    // — the bump buys correctness for the non-dividing case, at the
+    // cost of one rebuild of identical bytes at the default)
     val base = Staging.base("geo_knn_index_v2", dir, s"g$g", "customer")
     Staging.buildOnce(base) {
       val p = points(s, dir)

@@ -306,21 +306,46 @@ object EventStreams {
       // intra-batch arrivals process in doc_id order so replays and the
       // batch parity replay agree on who is "earlier"
       val fresh = rows.toSeq.sortBy(_.doc_id)
-      // state list is insertion-ordered (oldest first); ≤ cap by the
-      // end-of-batch trim invariant below
-      var members = seen.get().toList
-      fresh.foreach { r =>
-        members.foreach { m =>
-          val agree = r.sig.zip(m.sig).count { case (a, b) => a == b }
-          if (agree >= minAgree)
-            out ::= NearDupHit(r.doc_id, m.doc_id, band, agree.toLong)
+      // The per-arrival hot loop runs over PRIMITIVE sig arrays, not the
+      // encoder's Seq[Long]: the previous sig.zip(...).count allocated a
+      // tuple per minhash row per member pair and always walked all 16
+      // rows. Unboxed arrays + a mismatch budget fix both — two random
+      // signatures disagree on row 0 with overwhelming probability, so
+      // the expected cost per non-duplicate pair is ~(16-minAgree)+1
+      // primitive compares and zero allocation. `agreeOrNeg` is exact
+      // (no fingerprinting), so hit semantics and the batch parity pin
+      // are untouched.
+      def agreeOrNeg(a: Array[Long], b: Array[Long]): Int = {
+        val n = math.min(a.length, b.length) // zip-truncation semantics
+        val maxMiss = n - minAgree // agree can still reach minAgree
+        var miss = 0
+        var agree = 0
+        var i = 0
+        while (i < n && miss <= maxMiss) {
+          if (a(i) == b(i)) agree += 1 else miss += 1
+          i += 1
         }
-        members = members :+ BandMember(r.doc_id, r.sig)
+        if (miss > maxMiss) -1 else agree
       }
-      if (members.length > capPerBucket)
+      // state list is insertion-ordered (oldest first); ≤ cap by the
+      // end-of-batch trim invariant below. Materialized once per batch
+      // as (doc_id, sig-array) pairs so the per-arrival scan touches no
+      // boxed collections.
+      var ids = seen.get().map(m => (m.doc_id, m.sig.toArray)).toBuffer
+      fresh.foreach { r =>
+        val sig = r.sig.toArray
+        ids.foreach { case (mid, msig) =>
+          val agree = agreeOrNeg(sig, msig)
+          if (agree >= minAgree)
+            out ::= NearDupHit(r.doc_id, mid, band, agree.toLong)
+        }
+        ids += ((r.doc_id, sig))
+      }
+      if (ids.length > capPerBucket)
         // horizon eviction: one bounded rewrite replaces the list with
         // its newest-cap suffix
-        seen.put(members.takeRight(capPerBucket).toArray)
+        seen.put(ids.takeRight(capPerBucket)
+          .map { case (id, s) => BandMember(id, s.toSeq) }.toArray)
       else
         // common case: append-only, no rewrite of the stored prefix
         fresh.foreach(r => seen.appendValue(BandMember(r.doc_id, r.sig)))

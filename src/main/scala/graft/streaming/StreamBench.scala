@@ -66,12 +66,9 @@ object StreamBench {
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value")).cache()
     val nEvents = events.count()
-    val eventIds = events.select(col("event_id"))
-      .collect().map(_.getLong(0))
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("text")).cache()
     val nDocs = docs.count()
-    val docIds = docs.select(col("doc_id")).collect().map(_.getLong(0))
 
     var faceN = 0
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
@@ -105,12 +102,20 @@ object StreamBench {
         val q = build(mem).writeStream.outputMode(mode)
           .option("checkpointLocation", s"$ckRoot/f$faceN")
           .format("memory").queryName(view).start()
-        def feed(payload: Seq[T]): Unit = {
-          val per = math.max(1, (payload.length + nChunks - 1) / nChunks)
-          payload.grouped(per).foreach { c =>
+        // ONE micro-batch grain per face, fixed by the warmup payload
+        // (or the measured payload when there is no warmup): warmup and
+        // measured feeds then run at the SAME batch size, so the timed
+        // figure is the marginal rate at the warmed grain — a measured
+        // payload larger than the warmup becomes MORE batches, not
+        // bigger ones (bigger ones would amortize per-batch overhead
+        // the warmup never saw and overstate the rate).
+        val grain = math.max(1,
+          ((if (warmup.nonEmpty) warmup.length else rows.length)
+            + nChunks - 1) / nChunks)
+        def feed(payload: Seq[T]): Unit =
+          payload.grouped(grain).foreach { c =>
             mem.addData(c: _*); q.processAllAvailable()
           }
-        }
         try {
           if (warmup.nonEmpty) feed(warmup)
           timeFace(rows.length.toLong)(() => feed(rows))
@@ -127,16 +132,6 @@ object StreamBench {
       }
       (name, rate)
     }
-    /** Id-fed face: MemoryStream[Long] of ids joined back to `lookup`
-      * on `idCol` — the harness shape for faces whose input is the
-      * cached source table. */
-    def idFace(name: String, ids: Array[Long], lookup: DataFrame,
-               idCol: String, mode: String)
-              (transform: DataFrame => DataFrame): (String, Double) =
-      payloadFace[Long](name, ids.toSeq, mode)(mem =>
-        transform(mem.toDF().withColumnRenamed("value", idCol)
-          .join(lookup, idCol)))
-
     // documents arrive IN the stream (the landing-zone shape the face
     // models: files land → scrub/score/stamp → append) — feeding ids
     // and re-joining the static corpus per micro-batch measured the
@@ -145,10 +140,11 @@ object StreamBench {
     // payload feed isolates the fused pii_scan/gopher_scan projection).
     // STEADY-STATE: the corpus is fed once untimed (plan + codegen +
     // sink setup land there), then the measured feed is the corpus
-    // replicated `prepRep`× under fresh doc_ids — the marginal
-    // micro-batch rate over 4·prepRep batches, which is what the
-    // transform sustains once the query is hot (the batch twin of the
-    // same projection runs >20k docs/s; a cold 4-batch feed mostly
+    // replicated `prepRep`× under fresh doc_ids — 4·prepRep measured
+    // micro-batches at the warmup grain (payloadFace derives the chunk
+    // size from the warmup payload), the marginal rate the transform
+    // sustains once the query is hot (the batch twin of the same
+    // projection runs >20k docs/s; a cold 4-batch feed mostly
     // measured fixed per-query setup).
     val docPayload =
       docs.select(col("doc_id"), col("lang"), col("text")).collect()
@@ -163,20 +159,52 @@ object StreamBench {
       warmup = docPayload)(mem =>
       EventStreams.preprocessStream(
         mem.toDF().toDF("doc_id", "lang", "text")))
-    val hourly = idFace("stream_hourly", eventIds, events, "event_id",
-      "update")(EventStreams.hourlyTypeCounts)
-    val dedup = idFace("stream_dedup", eventIds, events, "event_id",
-      "append")(EventStreams.dedupStream(_))
+    // STEADY-STATE for the stateful event faces (hourly / dedup /
+    // sessionize), same methodology as stream_preprocess: a warmup
+    // quarter of the corpus is fed untimed at original timestamps
+    // (plan + codegen + sink + state-store setup land there), then the
+    // measured feed is the FULL corpus with event_ids offset past the
+    // id span and timestamps shifted past the warmup range plus the
+    // watermark delay — the shape of a forever-stream's steady state:
+    // query hot, fresh keys arriving, event time advancing so the
+    // watermark keeps evicting what the warmup left behind. (The
+    // previous cold id-join feed measured one-time setup as much as
+    // the transform — these faces halved on the loaded r12 driver
+    // host while the warmed preprocess face held.)
+    val eventRows = events
+      .select(col("event_id"), expr("unix_micros(ts)").as("us"),
+        col("user_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSeq
+    val evIdSpan = if (eventRows.isEmpty) 1L
+      else eventRows.map(_._1).max + 1L
+    // 3h > the 2h hourlyTypeCounts/dedupStream watermark delay, so no
+    // measured row is late relative to the warmup's high-water mark
+    val evShiftUs = (if (eventRows.isEmpty) 0L
+      else eventRows.map(_._2).max - eventRows.map(_._2).min) +
+      3L * 3600 * 1000000
+    val evWarm = eventRows.take(eventRows.length / 4)
+    val evMeasured = eventRows.map { case (id, us, u, et, v) =>
+      (id + evIdSpan, us + evShiftUs, u, et, v) }
+    def eventDf(mem: MemoryStream[(Long, Long, Long, String, Double)])
+        : DataFrame =
+      mem.toDF().toDF("event_id", "us", "user_id", "event_type", "value")
+        .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val hourly = payloadFace("stream_hourly", evMeasured, "update",
+      warmup = evWarm)(mem => EventStreams.hourlyTypeCounts(eventDf(mem)))
+    val dedup = payloadFace("stream_dedup", evMeasured, "append",
+      warmup = evWarm)(mem => EventStreams.dedupStream(eventDf(mem)))
 
     // transformWithState faces: RocksDB provider set/restored INSIDE
     // payloadFace per face (the spec contract)
+    val sessWarm = evWarm.map { case (_, us, u, et, _) =>
+      (u, us / 1000, et) }
+    val sessMeasured = evMeasured.map { case (_, us, u, et, _) =>
+      (u, us / 1000, et) }
     val sessionize = payloadFace(
-      "stream_sessionize",
-      events.select(col("user_id"),
-          expr("unix_micros(ts) div 1000").as("ms"), col("event_type"))
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq,
-      "append", rocksDb = true)(mem =>
+      "stream_sessionize", sessMeasured,
+      "append", rocksDb = true, warmup = sessWarm)(mem =>
       EventStreams.sessionize(mem.toDS().map { case (u, ms, et) =>
         EventStreams.SessionEvent(u, new java.sql.Timestamp(ms), et)
       }, gapMs = 600000L).toDF())

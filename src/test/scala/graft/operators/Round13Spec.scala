@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-13 pins: the hard-negative miner's physical plan (the one
+  * TopKPerKey-shaped face that had no plan assertion), and the
+  * near-dup stream's horizon-cap headroom at gate scale (the guard
+  * that keeps the 4096 default from silently becoming a recall loss
+  * as fixtures grow). */
+class Round13Spec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("sim_hard_negatives: broadcast anchor scan + TopKPerKey heap, " +
+    "no global sort, no Window") {
+    val p = plan(Similarity.hardNegatives(spark, sf))
+    // anchors (≤10 rows at every SF) must come in as a broadcast —
+    // the corpus side is never shuffled for the join
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"anchor side not broadcast:\n$p")
+    // the per-anchor top-k rank filter must compile through the custom
+    // heap exec (partial before the exchange, final after), replacing
+    // Window/WindowGroupLimit and every sort they would plan
+    assert(p.contains("TopKPerKey (partial)"), s"no map-side heap:\n$p")
+    assert(p.contains("TopKPerKey (final)"), s"strategy did not fire:\n$p")
+    assert(!p.contains("Window"), s"rank fell back to a window:\n$p")
+    assert(!p.contains("Sort "), s"heap exec must remove all sorts:\n$p")
+  }
+
+  test("nearDupStream horizon: gate-scale band buckets sit far below " +
+    "the 4096 default cap") {
+    // The capPerBucket=4096 default is a dedup HORIZON: members beyond
+    // it are evicted and can no longer match. That is the documented
+    // forever-stream contract, but at gate scale the stream face must
+    // still be equivalent to dedup-against-everything (the batch LSH
+    // index) — which holds exactly while no band bucket outgrows the
+    // cap. Pin the headroom with the batch kernel the stream head
+    // shares, so fixture growth that erodes it fails loudly instead of
+    // silently losing recall.
+    val docs = graft.Tables.documents(spark, sf)
+    val maxBucket = Dedup.bandSignatureRows(spark, docs)
+      .groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).collect()(0).getLong(0)
+    assert(maxBucket > 0)
+    assert(maxBucket <= 4096 / 4,
+      s"largest band bucket ($maxBucket docs) is within 4x of the " +
+        "4096 stream horizon — stream/batch parity at gate scale is " +
+        "about to stop holding; raise capPerBucket or shrink the fixture")
+  }
+}
