@@ -98,6 +98,10 @@ object SparkEntry {
     "c1_fix_suffix"     -> (Cleaning.c1FixSuffix(_, _)),
     "c2_fix_lang"       -> (Cleaning.c2FixLang(_, _)),
     "r1_reshape"        -> (Cleaning.r1Reshape(_, _)),
+    // round-13: the node_refs join the reference stores keys for but
+    // never runs (§2f) — way assembly + the README highway table in km
+    "r3_way_assembly"   -> (Audits.r3WayAssembly(_, _)),
+    "r4_highway_length" -> (Audits.r4HighwayLength(_, _)),
     // ---- reference query surface (§2e) ----
     "oq1_distinct_users" -> (Audits.oq1DistinctUsers(_, _)),
     "oq2_type_counts"   -> (Audits.oq2TypeCounts(_, _)),
@@ -1000,6 +1004,60 @@ object SparkEntry {
          n_chars AS created_len,
          CAST(n_chars AS DOUBLE) AS pos_0, lang AS tag_lang
          FROM documents""",
+    "r3_way_assembly" ->
+      """WITH ways AS (
+           SELECT doc_id AS way_id,
+                  unnest(range(doc_id + 1, doc_id + 2 + (doc_id % 7))) AS ref
+           FROM documents WHERE doc_id % 5 = 0),
+         nodes AS (
+           SELECT doc_id AS ref,
+                  (doc_id * 1000003) % 180000000 AS lat_m,
+                  (doc_id * 998244353) % 360000000 AS lon_m
+           FROM documents WHERE doc_id % 5 <> 0)
+         SELECT w.way_id, count(*) AS n_refs,
+           count(n.lat_m) AS n_resolved,
+           CASE WHEN count(n.lat_m) > 0 THEN
+             CAST(floor(CAST(sum(n.lat_m) AS DOUBLE) / count(n.lat_m))
+                  AS BIGINT) END AS centroid_lat_m,
+           CASE WHEN count(n.lat_m) > 0 THEN
+             CAST(floor(CAST(sum(n.lon_m) AS DOUBLE) / count(n.lat_m))
+                  AS BIGINT) END AS centroid_lon_m
+         FROM ways w LEFT JOIN nodes n ON w.ref = n.ref
+         GROUP BY w.way_id""",
+    "r4_highway_length" ->
+      """WITH ways AS (
+           SELECT doc_id AS way_id,
+             CASE doc_id % 6 WHEN 0 THEN 'primary' WHEN 1 THEN 'secondary'
+               WHEN 2 THEN 'residential' WHEN 3 THEN 'service'
+               WHEN 4 THEN 'footway' ELSE 'cycleway' END AS htype,
+             unnest(range(doc_id + 1, doc_id + 2 + (doc_id % 7))) AS ref
+           FROM documents WHERE doc_id % 5 = 0),
+         nodes AS (
+           SELECT doc_id AS ref,
+                  (doc_id * 1000003) % 180000000 AS lat_m,
+                  (doc_id * 998244353) % 360000000 AS lon_m
+           FROM documents WHERE doc_id % 5 <> 0),
+         -- refs are consecutive ascending ids, so ORDER BY ref replays
+         -- the Spark side's ORDER BY pos exactly
+         laged AS (
+           SELECT w.way_id, w.htype, n.lat_m, n.lon_m,
+             lag(n.lat_m) OVER (PARTITION BY w.way_id ORDER BY w.ref)
+               AS plat,
+             lag(n.lon_m) OVER (PARTITION BY w.way_id ORDER BY w.ref)
+               AS plon
+           FROM ways w JOIN nodes n ON w.ref = n.ref),
+         seg AS (
+           SELECT way_id, htype,
+             CAST(round(sqrt(CAST((lat_m - plat) * (lat_m - plat) +
+               (lon_m - plon) * (lon_m - plon) AS DOUBLE))) AS BIGINT)
+               AS seg_um
+           FROM laged WHERE plat IS NOT NULL)
+         SELECT htype, count(DISTINCT way_id) AS n_ways,
+           count(*) AS n_segments,
+           CAST(sum(seg_um) AS BIGINT) AS length_um,
+           CAST(CAST(sum(seg_um) AS BIGINT) AS DOUBLE) * 1.11195e-4
+             AS length_km
+         FROM seg GROUP BY htype""",
     "oq1_distinct_users" ->
       """SELECT count(*) AS distinct_users FROM
          (SELECT DISTINCT CASE WHEN doc_id % 9 = 0 THEN NULL ELSE source END

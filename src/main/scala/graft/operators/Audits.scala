@@ -337,4 +337,108 @@ object Audits {
       sum(coalesce(col("n_chars"), lit(0L))).as("sum_nchars"),
       sum(length(col("text")).cast("long")).as("sum_textlen"))
   }
+
+  /** The synthetic way/node split the R3/R4 faces share — the
+    * documents table recast as the reference's element model
+    * (openstreet_kolkata.py:523-526 stores node_refs exactly for the
+    * join these faces run). Every doc_id ≡ 0 (mod 5) is a "way" whose
+    * node_refs are the next 1-8 consecutive ids; every other doc_id is
+    * a "node" at a deterministic integer micro-degree position. Refs
+    * that land on another way's id (or past the corpus) stay
+    * unresolved — the left-outer nulls the assembly must account, same
+    * as a planet extract whose ways cite nodes outside the bbox. */
+  private def wayFrames(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val d = Tables.documents(s, dir).select(col("doc_id"))
+    val ways = d.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("way_id"),
+        sequence(col("doc_id") + 1,
+          col("doc_id") + 1 + col("doc_id") % 7).as("node_refs"))
+    val nodes = d.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("ref"),
+        (col("doc_id") * 1000003L % 180000000L).as("lat_m"),
+        (col("doc_id") * 998244353L % 360000000L).as("lon_m"))
+    (ways, nodes)
+  }
+
+  /** R3 way assembly ([[graft.osm.OsmEngine.wayNodeJoin]]'s semantics
+    * on the driver tables, so the one OSM operator that was
+    * golden-only gets a DuckDB oracle): explode each way's node_refs,
+    * equi-join the node set, and report per-way resolution stats plus
+    * the centroid of the resolved positions. Centroids are integer
+    * micro-degrees — the positions are exact BIGINTs, so the sums are
+    * fold-order-free and the single floor(sum/n) division is one fixed
+    * IEEE expression per row (sum ≤ 8·3.6e8 is double-exact).
+    *
+    * Scale shape: explode is a narrow map; the join shuffles
+    * (ref, way_id) pairs against the node table on ref — the canonical
+    * planet way-assembly job (~109 GB PBF: a few billion such pairs,
+    * hash-partitioned); the rollup is a map-side-combined hash agg on
+    * way_id. */
+  def r3WayAssembly(s: SparkSession, dir: String): DataFrame = {
+    val (ways, nodes) = wayFrames(s, dir)
+    ways.select(col("way_id"), explode(col("node_refs")).as("ref"))
+      .join(nodes, Seq("ref"), "left_outer")
+      .groupBy(col("way_id"))
+      .agg(count(lit(1)).as("n_refs"),
+        count(col("lat_m")).as("n_resolved"),
+        sum(col("lat_m")).as("sum_lat"),
+        sum(col("lon_m")).as("sum_lon"))
+      .select(col("way_id"), col("n_refs"), col("n_resolved"),
+        when(col("n_resolved") > 0,
+          floor(col("sum_lat").cast("double") / col("n_resolved"))
+            .cast("long")).as("centroid_lat_m"),
+        when(col("n_resolved") > 0,
+          floor(col("sum_lon").cast("double") / col("n_resolved"))
+            .cast("long")).as("centroid_lon_m"))
+  }
+
+  /** R4 highway length by type — the README's top-highways table
+    * (openstreet_kolkata.py:642-652) upgraded from tag COUNTS to
+    * assembled KILOMETERS: resolve each way's nodes, reassemble the
+    * polyline in ref order (posexplode + per-way ordered window — the
+    * ordered-array step R3's order-free centroid skips), take planar
+    * micro-degree segment lengths between consecutive RESOLVED nodes
+    * (unresolved refs skip, the standard partial-extract choice), and
+    * roll up by highway class.
+    *
+    * Determinism: each segment is round(sqrt of an integer sum) — the
+    * sqrt is one correctly-rounded IEEE op on an exact integer, and a
+    * .5 tie is impossible up close (round-half-up and half-away agree
+    * for positives even when sqrt lands on one), so segments are exact
+    * BIGINT micro-degrees and every downstream sum is integer. The km
+    * readout is a single multiply by the 111.195 km/degree constant on
+    * the exact integer total.
+    *
+    * Scale shape: identical join to R3 plus a lag window PARTITIONED
+    * BY way_id (bounded ≤8-row frames, hash-distributed — never a
+    * global sort) and a 6-group rollup. */
+  def r4HighwayLength(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (ways, nodes) = wayFrames(s, dir)
+    val typed = ways.withColumn("htype",
+      element_at(lit(Array("primary", "secondary", "residential",
+        "service", "footway", "cycleway")),
+        (col("way_id") % 6 + 1).cast("int")))
+    val resolved = typed
+      .select(col("way_id"), col("htype"),
+        posexplode(col("node_refs")).as(Seq("pos", "ref")))
+      .join(nodes, Seq("ref"))
+    val w = Window.partitionBy(col("way_id")).orderBy(col("pos"))
+    val seg = resolved
+      .withColumn("plat", lag(col("lat_m"), 1).over(w))
+      .withColumn("plon", lag(col("lon_m"), 1).over(w))
+      .filter(col("plat").isNotNull)
+      .select(col("way_id"), col("htype"),
+        round(sqrt(((col("lat_m") - col("plat")) *
+            (col("lat_m") - col("plat")) +
+          (col("lon_m") - col("plon")) * (col("lon_m") - col("plon")))
+            .cast("double"))).cast("long").as("seg_um"))
+    seg.groupBy(col("htype"))
+      .agg(countDistinct(col("way_id")).as("n_ways"),
+        count(lit(1)).as("n_segments"),
+        sum(col("seg_um")).as("length_um"))
+      .withColumn("length_km",
+        col("length_um").cast("double") * lit(1.11195e-4))
+  }
 }

@@ -29,6 +29,37 @@ class Round13Spec extends SparkSpec {
     assert(!p.contains("Sort "), s"heap exec must remove all sorts:\n$p")
   }
 
+  test("r3/r4 way assembly: hash join on ref, rollup on way_id/htype, " +
+    "no global sort, no cartesian") {
+    val p3 = plan(Audits.r3WayAssembly(spark, sf))
+    // the explode→join is an equi-join on ref (shuffled or broadcast,
+    // never a nested-loop scan of the node set)
+    assert(!p3.contains("CartesianProduct") &&
+      !p3.contains("BroadcastNestedLoopJoin"), p3)
+    assert(p3.contains("HashAggregate"), p3)
+    assert(!p3.contains("Sort [way_id"), s"centroid rollup must not sort:\n$p3")
+    val p4 = plan(Audits.r4HighwayLength(spark, sf))
+    assert(!p4.contains("CartesianProduct") &&
+      !p4.contains("BroadcastNestedLoopJoin"), p4)
+    // the polyline window is PARTITIONED by way_id (bounded ≤8-row
+    // frames): its sort must be partition-local, never global
+    assert(!p4.matches("(?s).*Sort \\[[^\\]]*\\], true,.*"),
+      s"global sort leaked into the polyline reassembly:\n$p4")
+  }
+
+  test("r4 determinism: segment quantization is stable under " +
+    "re-evaluation and column order") {
+    val a = Audits.r4HighwayLength(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val b = Audits.r4HighwayLength(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(a.nonEmpty && a.sameElements(b))
+    // every htype present: the 6-class rollup is exercised, not vacuous
+    assert(a.map(_._1).toSet.size === 6, a.map(_._1).mkString(","))
+  }
+
   test("nearDupStream horizon: gate-scale band buckets sit far below " +
     "the 4096 default cap") {
     // The capPerBucket=4096 default is a dedup HORIZON: members beyond
