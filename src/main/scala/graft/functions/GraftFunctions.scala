@@ -16,6 +16,11 @@ object GraftFunctions {
     "plane_sig"     -> (es => PlaneSignature(es(0), es(1))),
     "simhash60"     -> (es => SimHash60(es.head)),
     "md5_base60"    -> (es => Md5Base60(es.head)),
+    // even-odd ray-cast against the geo8 octagon (see OctagonContains:
+    // the declarative 8-edge CASE tree blew HotSpot's JIT method limit
+    // inside the candidate join's condition)
+    "octagon_contains" -> (es =>
+      OctagonContains(es(0), es(1), es(2), es(3), es(4))),
     "minhash_sig16" -> (es => MinHashSig(es.head, 16)),
     // Spark ships bloom-filter expressions for its runtime join filters
     // but does not register them as SQL functions; graft exposes them

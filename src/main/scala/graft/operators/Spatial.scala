@@ -481,9 +481,8 @@ object Spatial {
     * engines. At 100 TB both sides shuffle once on the cell key; dense
     * cells are ordinary hot keys (AQE skew-join). */
   def polygonContains(s: SparkSession, dir: String,
-                      g: Long = 2000000L): DataFrame = {
+                      gridMicros: Long = 0L): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val cpa = (DomainMicros + g - 1) / g
     def h(salt: String, m: Long): Column =
       pmod(call_function("md5_base60",
         concat(lit(salt), col("s_suppkey").cast("string"))), lit(m))
@@ -492,7 +491,27 @@ object Spatial {
         h("gpx:", DomainMicros).as("cx"),
         h("gpy:", DomainMicros).as("cy"),
         (lit(1000000L) + h("gpr:", 3000001L)).as("r"))
-      .withColumn("a", expr("(r * 70711) DIV 100000"))
+    // DENSITY-ADAPTIVE cell size (gridMicros = 0; an explicit value
+    // pins it for tests): the candidate sliver scales with
+    // (2r̄ + 2g)² — each cell inflates every polygon's effective bbox
+    // by ~g per side — while the polygon explode volume scales with
+    // (2r̄/g + 2)². For point-heavy corpora the sliver dominates, so g
+    // tracks the MEASURED mean radius at r̄/4 (cost near-optimal for
+    // both terms: ~²⁵⁄₁₆ bbox inflation, ≤100 cells/polygon), clamped
+    // to [2.5e5, 2e6]. The probe is a one-row aggregate over the
+    // polygon dim — model-sized at any corpus scale, the same
+    // self-sizing convention as Ranking.withGlobalRank. A fixed g=2e6
+    // was ~2x more candidate volume at sf1 on these radii, and
+    // polygon-dense corpora (bigger r̄, more polygons) only widen that
+    // gap. Changing g never moves results: the grid only generates
+    // candidates, membership is decided by the bbox + ray-cast.
+    val g = if (gridMicros > 0) gridMicros else {
+      val row = pol.agg(sum(col("r")), count(lit(1))).collect()(0)
+      val rBar = if (row.getLong(1) == 0) 2500000L
+        else row.getLong(0) / row.getLong(1)
+      math.max(250000L, math.min(2000000L, rBar / 4))
+    }
+    val cpa = (DomainMicros + g - 1) / g
     val polCells = pol
       .withColumn("bx0", expr(s"greatest(cx - r, 0L) DIV $g"))
       .withColumn("bx1",
@@ -502,33 +521,22 @@ object Spatial {
         expr(s"least(cy + r, ${DomainMicros - 1}L) DIV $g"))
       .withColumn("cellx", explode(sequence(col("bx0"), col("bx1"))))
       .withColumn("celly", explode(sequence(col("by0"), col("by1"))))
-      .select(col("pid"), col("cx"), col("cy"), col("r"), col("a"),
+      .select(col("pid"), col("cx"), col("cy"), col("r"),
         (col("cellx") * cpa + col("celly")).as("cell"))
     val pts = points(s, dir)
       .withColumn("cell", expr(s"(x DIV $g) * $cpa + (y DIV $g)"))
     val px = col("x"); val py = col("y")
     val cxc = col("cx"); val cyc = col("cy")
-    val r = col("r"); val a = col("a")
-    val verts: Seq[(Column, Column)] = Seq(
-      (cxc + r, cyc), (cxc + a, cyc + a), (cxc, cyc + r),
-      (cxc - a, cyc + a), (cxc - r, cyc), (cxc - a, cyc - a),
-      (cxc, cyc - r), (cxc + a, cyc - a))
-    // even-odd crossing per edge, division-free: px < x1 + (py−y1)·
-    // (x2−x1)/(y2−y1) cross-multiplied by d = y2−y1 with the
-    // comparison flipped when d < 0 (d ≠ 0 whenever the edge straddles
-    // the ray, which the straddle test guarantees)
-    val crossings = verts.indices.map { i =>
-      val (x1, y1) = verts(i)
-      val (x2, y2) = verts((i + 1) % verts.size)
-      val d = y2 - y1
-      val lhs = (px - x1) * d
-      val rhs = (py - y1) * (x2 - x1)
-      when(((y1 > py) =!= (y2 > py)) &&
-        (when(d > 0, lhs < rhs).otherwise(lhs > rhs)), 1L).otherwise(0L)
-    }
+    val r = col("r")
+    // even-odd crossing battery as ONE native kernel
+    // (functions.OctagonContains): the former inline 8-edge CASE tree
+    // was semantically identical but, fused into the join condition,
+    // generated a method past HotSpot's JIT size limit — the whole
+    // candidate sliver then evaluated interpreted (~12 of geo8's 13 s
+    // at sf1). Same division-free BIGINT arithmetic, same edge order.
     pts.join(polCells, "cell")
       .filter(abs(px - cxc) <= r && abs(py - cyc) <= r)
-      .filter(pmod(crossings.reduce(_ + _), lit(2L)) === 1L)
+      .filter(call_function("octagon_contains", px, py, cxc, cyc, r))
       .groupBy(col("pid"))
       .agg(count(lit(1)).as("n_inside"), sum(col("id")).as("sum_ids"))
   }

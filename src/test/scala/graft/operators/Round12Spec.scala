@@ -164,7 +164,8 @@ class Round12Spec extends SparkSpec {
     val got = key(Spatial.polygonContains(spark, sf))
     // g = the whole domain → one cell → candidates are the full bbox
     // join; identical output proves the stencil loses no candidate
-    val want = key(Spatial.polygonContains(spark, sf, g = Spatial.DomainMicros))
+    val want = key(Spatial.polygonContains(spark, sf,
+      gridMicros = Spatial.DomainMicros))
     assert(got.nonEmpty)
     assert(got.toSeq === want.toSeq)
     // the octagon must genuinely prune bbox corners: total contained

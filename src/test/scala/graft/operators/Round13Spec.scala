@@ -60,6 +60,42 @@ class Round13Spec extends SparkSpec {
     assert(a.map(_._1).toSet.size === 6, a.map(_._1).mkString(","))
   }
 
+  test("octagon_contains kernel == the retired declarative 8-edge " +
+    "CASE tree, point for point") {
+    // the native kernel replaced an inline Column expression purely for
+    // compiled shape (the CASE tree blew HotSpot's JIT method limit in
+    // the join condition); this pin re-derives that retired form and
+    // holds the kernel to it on a dense probe grid around one octagon
+    import org.apache.spark.sql.Column
+    graft.functions.GraftFunctions.register(spark)
+    val (cx0, cy0, r0) = (50000000L, 50000000L, 2345678L)
+    val pts = spark.range(0, 10000).toDF("i")
+      .select((lit(cx0 - 3000000L) + (col("i") % 100) * 60000L).as("x"),
+        (lit(cy0 - 3000000L) + expr("i div 100") * 60000L).as("y"))
+    val px = col("x"); val py = col("y")
+    val cxc = lit(cx0); val cyc = lit(cy0); val r = lit(r0)
+    val a = lit(r0 * 70711L / 100000L)
+    val verts: Seq[(Column, Column)] = Seq(
+      (cxc + r, cyc), (cxc + a, cyc + a), (cxc, cyc + r),
+      (cxc - a, cyc + a), (cxc - r, cyc), (cxc - a, cyc - a),
+      (cxc, cyc - r), (cxc + a, cyc - a))
+    val crossings = verts.indices.map { i =>
+      val (x1, y1) = verts(i)
+      val (x2, y2) = verts((i + 1) % verts.size)
+      val d = y2 - y1
+      val lhs = (px - x1) * d
+      val rhs = (py - y1) * (x2 - x1)
+      when(((y1 > py) =!= (y2 > py)) &&
+        (when(d > 0, lhs < rhs).otherwise(lhs > rhs)), 1L).otherwise(0L)
+    }
+    val cmp = pts.select(
+      (pmod(crossings.reduce(_ + _), lit(2L)) === 1L).as("legacy"),
+      call_function("octagon_contains", px, py, cxc, cyc, r).as("kernel"))
+    assert(cmp.filter(col("legacy") =!= col("kernel")).count() === 0L)
+    val inside = cmp.filter(col("kernel")).count()
+    assert(inside > 0 && inside < 10000, s"vacuous probe grid: $inside")
+  }
+
   test("nearDupStream horizon: gate-scale band buckets sit far below " +
     "the 4096 default cap") {
     // The capPerBucket=4096 default is a dedup HORIZON: members beyond
