@@ -102,16 +102,14 @@ object StreamBench {
         val q = build(mem).writeStream.outputMode(mode)
           .option("checkpointLocation", s"$ckRoot/f$faceN")
           .format("memory").queryName(view).start()
-        // ONE micro-batch grain per face, fixed by the warmup payload
-        // (or the measured payload when there is no warmup): warmup and
-        // measured feeds then run at the SAME batch size, so the timed
-        // figure is the marginal rate at the warmed grain — a measured
-        // payload larger than the warmup becomes MORE batches, not
-        // bigger ones (bigger ones would amortize per-batch overhead
-        // the warmup never saw and overstate the rate).
-        val grain = math.max(1,
-          ((if (warmup.nonEmpty) warmup.length else rows.length)
-            + nChunks - 1) / nChunks)
+        // ONE micro-batch grain per face, fixed by the MEASURED payload:
+        // warmup and measured feeds run at the SAME batch size (a
+        // smaller warmup is simply fewer batches), so the timed figure
+        // is the marginal rate at exactly the grain that was warmed —
+        // the r12 methodology fed measured batches 3x the warmup grain,
+        // which amortized per-batch overhead the warmup never saw and
+        // overstated the rate.
+        val grain = math.max(1, (rows.length + nChunks - 1) / nChunks)
         def feed(payload: Seq[T]): Unit =
           payload.grouped(grain).foreach { c =>
             mem.addData(c: _*); q.processAllAvailable()
