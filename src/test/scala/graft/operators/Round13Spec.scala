@@ -96,6 +96,17 @@ class Round13Spec extends SparkSpec {
     assert(inside > 0 && inside < 10000, s"vacuous probe grid: $inside")
   }
 
+  test("rank-filter faces plan through the heap exec STANDALONE " +
+    "(strategy registered at the face, not inherited from siblings)") {
+    // the knnClassify lesson generalized: every Filter(rn<=k)-shaped
+    // face must register TopKPerKeyStrategy itself, or a standalone
+    // caller silently gets the WindowGroupLimit + sorts fallback
+    val p1 = plan(EventAnalytics.streaks(spark, sf))
+    val p2 = plan(Privacy.dpMedian(spark, sf))
+    assert(p1.contains("TopKPerKey (final)"), s"streaks argmax:\n$p1")
+    assert(p2.contains("TopKPerKey (final)"), s"dpMedian argmax:\n$p2")
+  }
+
   test("nearDupStream horizon: gate-scale band buckets sit far below " +
     "the 4096 default cap") {
     // The capPerBucket=4096 default is a dedup HORIZON: members beyond
