@@ -15,6 +15,7 @@ tables, sorts columns by name and rows by all columns, and compares.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -64,8 +65,12 @@ def compare(name, spark_df, oracle_df):
 def main(out_dir, sf_dir, names=None):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single files; ScaleUp soak dirs are
+        # Spark-written DIRECTORIES of part files — glob those
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle_sql = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = 0
     if names:
