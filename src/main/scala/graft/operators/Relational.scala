@@ -271,8 +271,17 @@ object Relational {
     */
   def w2RunningSum(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
+    // l_quantity closes the tie-break: the synthetic corpus contains
+    // duplicate (l_orderkey, l_linenumber) pairs, including full
+    // (suppkey, shipdate, okey, lineno) tie GROUPS — caught by the
+    // first sf1-scale oracle sweep, where a tie group with unequal
+    // quantities makes the running-sum multiset depend on which peer
+    // the engine scans first. With quantity in the order, any
+    // remaining peers contribute identical increments, so the output
+    // multiset is total-order-determined again.
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
       sum(col("l_quantity")).over(w).as("running_qty"))
