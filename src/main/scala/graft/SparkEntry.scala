@@ -9548,10 +9548,19 @@ object SparkEntry {
         SELECT doc_id + 3000000 AS doc_id, text || ' edit v2' AS text
         FROM documents WHERE doc_id % 7 = 0),
       $minhashChainSql,
+      -- history/batch membership comes from the data, NOT an id
+      -- threshold: the old `doc_id < 2000000` split assumed base ids
+      -- stay below the +2e6 batch offset, which holds at every driver
+      -- SF but broke on the sparse-id 10x soak corpus (history ids
+      -- reach ~6.5e6 there and silently leaked into the batch side).
+      -- Batch ids can never collide with history ids (the +2e6/+3e6
+      -- offsets are not congruent to any replica offset), so an
+      -- anti-membership test is exact.
       cand AS (SELECT DISTINCT h.doc_id AS hist_doc, n.doc_id AS doc_id
                FROM bands h JOIN bands n ON h.band = n.band
                  AND h.band_key = n.band_key
-               WHERE h.doc_id < 2000000 AND n.doc_id >= 2000000),
+               WHERE h.doc_id IN (SELECT doc_id FROM documents)
+                 AND n.doc_id NOT IN (SELECT doc_id FROM documents)),
       v AS (SELECT c.doc_id,
               CAST(len(list_intersect(hs.sh, bs.sh)) AS DOUBLE) /
                 len(list_distinct(list_concat(hs.sh, bs.sh))) AS j

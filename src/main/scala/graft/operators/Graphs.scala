@@ -60,6 +60,17 @@ object Graphs {
     * the duplicate edge is kept — deterministically — as double
     * weight). */
   def linkEdges(s: SparkSession, dir: String): DataFrame = {
+    // FIXTURE ASSUMPTION (documented by the sf1 oracle sweep, SURVEY
+    // §22.10): the synthetic `(doc_id + k) % n_docs` wiring assumes
+    // doc_ids are contiguous [0, n_docs) — true of every driver corpus
+    // by construction. On a sparse id space (the 10x ScaleUp soak, or
+    // any production corpus) the modulus mints phantom endpoints; the
+    // graph KERNELS downstream are id-agnostic (joins/aggregations
+    // over whatever edge table arrives), so a real deployment feeds
+    // real edges and never sees this. A rank-space rewire (dst = id at
+    // rank (rank(src)+k) % n, rank == id on contiguous corpora, so
+    // driver hashes would not move) is the charter-clean fix if the
+    // synthetic graph ever needs to run on sparse ids.
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     // N rides along as a broadcast 1-row frame — no driver round-trip
     docs
