@@ -153,7 +153,7 @@ object Bench {
       (name, cold, warm)
     }
     // END-OF-BATTERY CONFIRMATION: a face that still flags after its
-    // in-loop re-measure gets two more runs HERE, after every other
+    // in-loop re-measure gets a cold+warm+warm replay HERE, after every other
     // query has executed — a different time window, minutes away from
     // whatever contention burst inflated the original draws. Keep the
     // min (noise only ever inflates). Rationale: rounds 9-12 each spent
@@ -162,11 +162,21 @@ object Bench {
     // could mint 17 flags at once on byte-untouched code (r12). A real
     // regression is time-invariant and survives this pass; a
     // contention artifact does not. Only still-flagging faces pay.
+    // Methodology note: the reruns MIRROR the in-loop protocol — one
+    // discarded cold run (plan re-analysis + codegen after the battery's
+    // clearCache), then two warm runs that are the only values allowed
+    // to fold into the warm figure. Folding the cold rerun itself in
+    // (the pre-r14 shape) could let a quiet-host COLD time that beat
+    // the inflated warm0 become the durable warm artifact and next
+    // round's baseline — mixing methodologies in the warm column.
     val results = measured.map { case (name, cold, warm0) =>
       if (!wouldFlag(name, warm0)) (name, cold, warm0)
       else {
-        val reruns = Seq(once(benchQueries(name)), once(benchQueries(name)))
-          .filter(_ >= 0)
+        val coldRerun = once(benchQueries(name)) // discarded: not warm
+        val reruns =
+          if (coldRerun < 0) Seq.empty[Double]
+          else Seq(once(benchQueries(name)), once(benchQueries(name)))
+            .filter(_ >= 0)
         spark.catalog.clearCache()
         (name, cold,
           if (reruns.isEmpty) warm0 else math.min(warm0, reruns.min))

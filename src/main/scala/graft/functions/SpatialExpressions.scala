@@ -57,27 +57,43 @@ case class OctagonContains(px: Expression, py: Expression,
 }
 
 object OctagonContains {
+  /** One even-odd edge test: does the ray from (px, py) cross the edge
+    * (cx+x1o, cy+y1o) → (cx+x2o, cy+y2o)? Same cross-multiplied
+    * division-free comparison as the retired CASE tree. Tiny and
+    * monomorphic so HotSpot inlines all 8 call sites into
+    * [[contains]]. */
+  @inline private def edge(px: Long, py: Long, cx: Long, cy: Long,
+                           x1o: Long, y1o: Long,
+                           x2o: Long, y2o: Long): Int = {
+    val y1 = cy + y1o
+    val y2 = cy + y2o
+    if ((y1 > py) != (y2 > py)) {
+      val x1 = cx + x1o
+      val d = y2 - y1
+      val lhs = (px - x1) * d
+      val rhs = (py - y1) * ((cx + x2o) - x1)
+      if (if (d > 0) lhs < rhs else lhs > rhs) 1 else 0
+    } else 0
+  }
+
   /** The kernel both eval paths share (static forwarder makes it
     * callable from generated Java). Identical integer operations to
-    * the retired declarative CASE tree, edge order and all. */
+    * the retired declarative CASE tree, edge order and all — the 8
+    * edges are unrolled (no per-invocation vertex arrays: this runs
+    * once per candidate-join row, and escape analysis was not
+    * guaranteed to elide the allocations under the generated-code
+    * call shape). */
   def contains(px: Long, py: Long, cx: Long, cy: Long, r: Long): Boolean = {
     val a = r * 70711L / 100000L
-    val ox = Array(r, a, 0L, -a, -r, -a, 0L, a)
-    val oy = Array(0L, a, r, a, 0L, -a, -r, -a)
     var cross = 0
-    var i = 0
-    while (i < 8) {
-      val y1 = cy + oy(i)
-      val y2 = cy + oy((i + 1) & 7)
-      if ((y1 > py) != (y2 > py)) {
-        val x1 = cx + ox(i)
-        val d = y2 - y1
-        val lhs = (px - x1) * d
-        val rhs = (py - y1) * ((cx + ox((i + 1) & 7)) - x1)
-        if (if (d > 0) lhs < rhs else lhs > rhs) cross += 1
-      }
-      i += 1
-    }
+    cross += edge(px, py, cx, cy, r, 0L, a, a)    // E  → NE
+    cross += edge(px, py, cx, cy, a, a, 0L, r)    // NE → N
+    cross += edge(px, py, cx, cy, 0L, r, -a, a)   // N  → NW
+    cross += edge(px, py, cx, cy, -a, a, -r, 0L)  // NW → W
+    cross += edge(px, py, cx, cy, -r, 0L, -a, -a) // W  → SW
+    cross += edge(px, py, cx, cy, -a, -a, 0L, -r) // SW → S
+    cross += edge(px, py, cx, cy, 0L, -r, a, -a)  // S  → SE
+    cross += edge(px, py, cx, cy, a, -a, r, 0L)   // SE → E
     (cross & 1) == 1
   }
 }

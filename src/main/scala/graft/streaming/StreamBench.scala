@@ -138,9 +138,12 @@ object StreamBench {
     // payload feed isolates the fused pii_scan/gopher_scan projection).
     // STEADY-STATE: the corpus is fed once untimed (plan + codegen +
     // sink setup land there), then the measured feed is the corpus
-    // replicated `prepRep`× under fresh doc_ids — 4·prepRep measured
-    // micro-batches at the warmup grain (payloadFace derives the chunk
-    // size from the warmup payload), the marginal rate the transform
+    // replicated `prepRep`× under fresh doc_ids — nChunks measured
+    // micro-batches at the shared grain (payloadFace derives the
+    // chunk size from the MEASURED payload — nChunks batches of
+    // prepRep·corpus/nChunks rows — and the warmup corpus feeds at
+    // that same grain in proportionally fewer batches), the marginal
+    // rate the transform
     // sustains once the query is hot (the batch twin of the same
     // projection runs >20k docs/s; a cold 4-batch feed mostly
     // measured fixed per-query setup).
