@@ -4250,23 +4250,14 @@ object SparkEntry {
     // over the derived link graph, weight = 1 + (src+dst) % 7; the
     // recursion enumerates ≤8-edge paths and takes the min per node.
     "graph_sssp" -> raw"""
-      WITH RECURSIVE
-      nn AS (SELECT count(*) AS n_docs FROM documents),
-      edges AS (
-        SELECT src, dst, 1 + (src + dst) % 7 AS w FROM (
-          SELECT doc_id AS src, (doc_id + 1) % n_docs AS dst
-            FROM documents, nn
-          UNION ALL SELECT doc_id, (doc_id + 2) % n_docs
-            FROM documents, nn
-          UNION ALL SELECT doc_id, (doc_id * doc_id + 3) % n_docs
-            FROM documents, nn)
-        WHERE src <> dst),
+      WITH RECURSIVE $graphEdgesSql,
+      wedges AS (SELECT src, dst, 1 + (src + dst) % 7 AS w FROM edges),
       bf AS (
         SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost,
           0 AS depth
         UNION
         SELECT e.dst, bf.cost + e.w, bf.depth + 1
-        FROM bf JOIN edges e ON bf.node = e.src
+        FROM bf JOIN wedges e ON bf.node = e.src
         WHERE bf.depth < 8)
       SELECT node, CAST(min(cost) AS BIGINT) AS cost
       FROM bf GROUP BY node""",
@@ -7489,11 +7480,16 @@ object SparkEntry {
           1 + ('0x' || substr(md5('kc:' || CAST(doc_id AS VARCHAR)),
             1, 15))::BIGINT % 5 AS outdeg
         FROM documents),
-      raw0 AS (SELECT doc_id AS src,
-          ('0x' || substr(md5('kc:' || CAST(doc_id AS VARCHAR) || ':' ||
-            CAST(j AS VARCHAR)), 1, 15))::BIGINT % n AS dst
-        FROM (SELECT doc_id, unnest(range(0, outdeg)) AS j FROM dg),
-          nn),
+      rkm AS (SELECT doc_id,
+          row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+        FROM documents),
+      raw0 AS (SELECT r.src, d.doc_id AS dst
+        FROM (SELECT doc_id AS src,
+            ('0x' || substr(md5('kc:' || CAST(doc_id AS VARCHAR) ||
+              ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT % n AS dst_rnk
+          FROM (SELECT doc_id, unnest(range(0, outdeg)) AS j FROM dg),
+            nn) r
+        JOIN rkm d ON d.rnk = r.dst_rnk),
       e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
           greatest(src, dst) AS b
         FROM raw0 WHERE src <> dst),
@@ -7891,15 +7887,22 @@ object SparkEntry {
     // md5 digraph, mutual-pair min labels, per-SCC sizes.
     "graph_scc" -> raw"""
       WITH RECURSIVE
-      nodes AS (SELECT doc_id FROM documents WHERE doc_id < 240),
+      rkm AS (SELECT doc_id,
+          row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+        FROM documents),
+      nodes AS (SELECT doc_id FROM rkm WHERE rnk < 240),
       dg AS (SELECT doc_id,
           ('0x' || substr(md5('scc:' || CAST(doc_id AS VARCHAR)),
             1, 15))::BIGINT % 2 AS extra
         FROM nodes),
-      raw0 AS (SELECT doc_id AS src,
-          ('0x' || substr(md5('scc:' || CAST(doc_id AS VARCHAR) || ':'
-            || CAST(j AS VARCHAR)), 1, 15))::BIGINT % 240 AS dst
-        FROM (SELECT doc_id, unnest(range(0, extra + 1)) AS j FROM dg)),
+      raw0 AS (SELECT r.src, d.doc_id AS dst
+        FROM (SELECT doc_id AS src,
+            ('0x' || substr(md5('scc:' || CAST(doc_id AS VARCHAR) ||
+              ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT % 240
+              AS dst_rnk
+          FROM (SELECT doc_id, unnest(range(0, extra + 1)) AS j
+            FROM dg)) r
+        JOIN rkm d ON d.rnk = r.dst_rnk),
       e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw0
         WHERE src <> dst),
       r AS (SELECT doc_id AS src, doc_id AS dst FROM nodes
@@ -7957,15 +7960,22 @@ object SparkEntry {
     // CTE over the component DAG (terminates: the DAG is acyclic).
     "graph_condense" -> raw"""
       WITH RECURSIVE
-      nodes AS (SELECT doc_id FROM documents WHERE doc_id < 240),
+      rkm AS (SELECT doc_id,
+          row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+        FROM documents),
+      nodes AS (SELECT doc_id FROM rkm WHERE rnk < 240),
       dg AS (SELECT doc_id,
           ('0x' || substr(md5('scc:' || CAST(doc_id AS VARCHAR)),
             1, 15))::BIGINT % 2 AS extra
         FROM nodes),
-      raw0 AS (SELECT doc_id AS src,
-          ('0x' || substr(md5('scc:' || CAST(doc_id AS VARCHAR) || ':'
-            || CAST(j AS VARCHAR)), 1, 15))::BIGINT % 240 AS dst
-        FROM (SELECT doc_id, unnest(range(0, extra + 1)) AS j FROM dg)),
+      raw0 AS (SELECT r.src, d.doc_id AS dst
+        FROM (SELECT doc_id AS src,
+            ('0x' || substr(md5('scc:' || CAST(doc_id AS VARCHAR) ||
+              ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT % 240
+              AS dst_rnk
+          FROM (SELECT doc_id, unnest(range(0, extra + 1)) AS j
+            FROM dg)) r
+        JOIN rkm d ON d.rnk = r.dst_rnk),
       e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw0
         WHERE src <> dst),
       r AS (SELECT doc_id AS src, doc_id AS dst FROM nodes
@@ -8247,11 +8257,16 @@ object SparkEntry {
           1 + ('0x' || substr(md5('mst:' || CAST(doc_id AS VARCHAR)),
             1, 15))::BIGINT % 4 AS outdeg
         FROM documents),
-      raw0 AS (SELECT doc_id AS src,
-          ('0x' || substr(md5('mst:' || CAST(doc_id AS VARCHAR) ||
-            ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT % n AS dst
-        FROM (SELECT doc_id, unnest(range(0, outdeg)) AS j FROM dg),
-          nn),
+      rkm AS (SELECT doc_id,
+          row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+        FROM documents),
+      raw0 AS (SELECT r.src, d.doc_id AS dst
+        FROM (SELECT doc_id AS src,
+            ('0x' || substr(md5('mst:' || CAST(doc_id AS VARCHAR) ||
+              ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT % n AS dst_rnk
+          FROM (SELECT doc_id, unnest(range(0, outdeg)) AS j FROM dg),
+            nn) r
+        JOIN rkm d ON d.rnk = r.dst_rnk),
       und AS (SELECT DISTINCT least(src, dst) AS a,
           greatest(src, dst) AS b
         FROM raw0 WHERE src <> dst),
@@ -8287,12 +8302,17 @@ object SparkEntry {
           3 + ('0x' || substr(md5('kt:' || CAST(doc_id AS VARCHAR)),
             1, 15))::BIGINT % 6 AS outdeg
         FROM documents),
-      raw0 AS (SELECT doc_id AS src,
-          ('0x' || substr(md5('kt:' || CAST(doc_id AS VARCHAR) || ':' ||
-            CAST(j AS VARCHAR)), 1, 15))::BIGINT %
-            greatest(n // 8, 1) AS dst
-        FROM (SELECT doc_id, unnest(range(0, outdeg)) AS j FROM dg),
-          nn),
+      rkm AS (SELECT doc_id,
+          row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+        FROM documents),
+      raw0 AS (SELECT r.src, d.doc_id AS dst
+        FROM (SELECT doc_id AS src,
+            ('0x' || substr(md5('kt:' || CAST(doc_id AS VARCHAR) ||
+              ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT %
+              greatest(n // 8, 1) AS dst_rnk
+          FROM (SELECT doc_id, unnest(range(0, outdeg)) AS j FROM dg),
+            nn) r
+        JOIN rkm d ON d.rnk = r.dst_rnk),
       e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
           greatest(src, dst) AS b
         FROM raw0 WHERE src <> dst),
@@ -8323,10 +8343,16 @@ object SparkEntry {
           1 + ('0x' || substr(md5('kc:' || CAST(doc_id AS VARCHAR)),
             1, 15))::BIGINT % 5 AS outdeg
         FROM documents),
-      raw0 AS (SELECT doc_id AS src,
-          ('0x' || substr(md5('kc:' || CAST(doc_id AS VARCHAR) || ':' ||
-            CAST(j AS VARCHAR)), 1, 15))::BIGINT % n AS dst
-        FROM (SELECT doc_id, unnest(range(0, outdeg)) AS j FROM dg), nn),
+      rkm AS (SELECT doc_id,
+          row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+        FROM documents),
+      raw0 AS (SELECT r.src, d.doc_id AS dst
+        FROM (SELECT doc_id AS src,
+            ('0x' || substr(md5('kc:' || CAST(doc_id AS VARCHAR) ||
+              ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT % n AS dst_rnk
+          FROM (SELECT doc_id, unnest(range(0, outdeg)) AS j FROM dg),
+            nn) r
+        JOIN rkm d ON d.rnk = r.dst_rnk),
       e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
           greatest(src, dst) AS b
         FROM raw0 WHERE src <> dst),
@@ -8341,18 +8367,22 @@ object SparkEntry {
   private def lpaSql: String = raw"""
       WITH RECURSIVE
       nn AS (SELECT count(*) AS n_docs FROM documents),
+      rkm AS (SELECT doc_id,
+          row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+        FROM documents),
       be AS (
-        SELECT doc_id AS src,
-               (doc_id - doc_id % 50) + (doc_id % 50 + 1) % 50 AS dst
-        FROM documents
+        SELECT doc_id AS src, rnk,
+               (rnk - rnk % 50) + (rnk % 50 + 1) % 50 AS dst_rnk
+        FROM rkm
         UNION ALL
-        SELECT doc_id, (doc_id - doc_id % 50) + (doc_id % 50 + 2) % 50
-        FROM documents
+        SELECT doc_id, rnk, (rnk - rnk % 50) + (rnk % 50 + 2) % 50
+        FROM rkm
         UNION ALL
-        SELECT doc_id, (doc_id + 350) % n_docs
-        FROM documents, nn WHERE doc_id % 50 = 0),
-      beo AS (SELECT src, dst FROM be, nn
-              WHERE dst <> src AND dst < n_docs),
+        SELECT doc_id, rnk, (rnk + 350) % n_docs
+        FROM rkm, nn WHERE rnk % 50 = 0),
+      beo AS (SELECT b.src, d.doc_id AS dst
+              FROM be b, nn JOIN rkm d ON d.rnk = b.dst_rnk
+              WHERE b.dst_rnk <> b.rnk AND b.dst_rnk < n_docs),
       und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
               FROM beo),
       nbrs AS (SELECT a AS node, b AS nbr FROM und
@@ -9175,20 +9205,29 @@ object SparkEntry {
 
   /** The derived link graph (operators.Graphs.linkEdges) as a CTE
     * fragment shared by graph_pagerank and graph_triangles: ring edges
-    * (i+1, i+2) plus a quadratic-residue hub edge, self-loops removed.
+    * (rank+1, rank+2) plus a quadratic-residue hub edge in RANK space
+    * (row_number over doc_id), mapped back to real ids — the r14
+    * rewire that keeps the synthetic graph id-space-clean on sparse
+    * corpora; rank == doc_id on contiguous driver corpora, so hashes
+    * are unchanged. Self-loops removed.
     * Plain UNION ALL (no unnest) — DuckDB's binder hits an internal
     * error re-inlining an unnest-projection CTE referenced down a long
     * chain. */
   private def graphEdgesSql: String = raw"""
       nn AS (SELECT count(*) AS n_docs FROM documents),
+      idrk AS (SELECT doc_id,
+               row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+             FROM documents),
       alledges AS (
-        SELECT doc_id AS src, (doc_id + 1) % n_docs AS dst
-        FROM documents, nn
+        SELECT doc_id AS src, rnk, (rnk + 1) % n_docs AS dst_rnk
+        FROM idrk, nn
         UNION ALL
-        SELECT doc_id, (doc_id + 2) % n_docs FROM documents, nn
+        SELECT doc_id, rnk, (rnk + 2) % n_docs FROM idrk, nn
         UNION ALL
-        SELECT doc_id, (doc_id * doc_id + 3) % n_docs FROM documents, nn),
-      edges AS (SELECT src, dst FROM alledges WHERE dst <> src)"""
+        SELECT doc_id, rnk, (rnk * rnk + 3) % n_docs FROM idrk, nn),
+      edges AS (SELECT a.src, d.doc_id AS dst
+                FROM alledges a JOIN idrk d ON d.rnk = a.dst_rnk
+                WHERE a.dst_rnk <> a.rnk)"""
 
   /** The classifier-score sum (first 8 embedding dims in micros) shared
     * by ml10/ml11/ml12. DuckDB lists are 1-based where the Spark apply

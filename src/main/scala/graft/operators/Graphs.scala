@@ -59,31 +59,59 @@ object Graphs {
     * Out-degree is 2 or 3 (a quadratic dst may collide with a ring dst;
     * the duplicate edge is kept — deterministically — as double
     * weight). */
-  def linkEdges(s: SparkSession, dir: String): DataFrame = {
-    // FIXTURE ASSUMPTION (documented by the sf1 oracle sweep, SURVEY
-    // §22.10): the synthetic `(doc_id + k) % n_docs` wiring assumes
-    // doc_ids are contiguous [0, n_docs) — true of every driver corpus
-    // by construction. On a sparse id space (the 10x ScaleUp soak, or
-    // any production corpus) the modulus mints phantom endpoints; the
-    // graph KERNELS downstream are id-agnostic (joins/aggregations
-    // over whatever edge table arrives), so a real deployment feeds
-    // real edges and never sees this. A rank-space rewire (dst = id at
-    // rank (rank(src)+k) % n, rank == id on contiguous corpora, so
-    // driver hashes would not move) is the charter-clean fix if the
-    // synthetic graph ever needs to run on sparse ids.
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
-    // N rides along as a broadcast 1-row frame — no driver round-trip
-    docs
-      .crossJoin(broadcast(Tables.documents(s, dir)
-        .agg(count(lit(1)).as("n_docs"))))
-      .select(col("doc_id"), col("n_docs"),
-        explode(array(
-          (col("doc_id") + 1) % col("n_docs"),
-          (col("doc_id") + 2) % col("n_docs"),
-          (col("doc_id") * col("doc_id") + 3) % col("n_docs"))).as("dst"))
-      .filter(col("dst") =!= col("doc_id"))
-      .select(col("doc_id").as("src"), col("dst"))
-  }
+  /** Dense-rank frame for the synthetic generators (the r14 rank-space
+    * rewire): (doc_id, rnk, n_docs) with rnk = 0-based rank under
+    * ORDER BY doc_id. On contiguous [0, n_docs) driver corpora
+    * rnk == doc_id, so every generator that draws neighbors in rank
+    * space and maps back through [[rankToId]] emits the bit-identical
+    * edge set it did in id space — while on sparse ids (soak/
+    * production corpora) no modulus can mint a phantom endpoint.
+    * EAGER (count + rank pass + localCheckpoint at call time): call it
+    * inside a staged build or an already-eager loop body, never on a
+    * warm read path. */
+  private def rankedDocs(s: SparkSession, dir: String): DataFrame =
+    Ranking.withGlobalRank(
+        Tables.documents(s, dir).select(col("doc_id")),
+        "rnk1", "n_docs", Seq(col("doc_id")))
+      .select(col("doc_id"), (col("rnk1") - 1L).as("rnk"), col("n_docs"))
+      .localCheckpoint(true)
+
+  /** The rank → id map of [[rankedDocs]] output, keyed for a
+    * `join(_, "dst_rnk")` that keeps edge multiplicity (the map is
+    * bijective). */
+  private def rankToId(ranked: DataFrame): DataFrame =
+    ranked.select(col("rnk").as("dst_rnk"), col("doc_id").as("dst"))
+
+  def linkEdges(s: SparkSession, dir: String): DataFrame =
+    // RANK-SPACE wiring (the §22.10 rewire): the ring/quadratic
+    // neighbors are computed on each document's dense rank under
+    // ORDER BY doc_id, then mapped back to real ids — so every
+    // endpoint is a real doc_id on ANY id space. On contiguous
+    // [0, n_docs) corpora rank == doc_id and the edge multiset is
+    // bit-identical to the retired `(doc_id + k) % n_docs` form
+    // (driver hashes unmoved); on sparse ids (the 10x ScaleUp soak,
+    // any production corpus) the modulus no longer mints phantom
+    // endpoints. Out-degree stays 2 or 3 (a quadratic dst may collide
+    // with a ring dst; the duplicate edge is kept as double weight).
+    // Staged per corpus fingerprint: the rank pass (an eager count +
+    // range-stamp above 4M rows) runs once per corpus, and the ~15
+    // consuming faces read the materialized edge table — also the
+    // 100 TB shape (derive once, reuse across every downstream
+    // kernel).
+    staged(s, dir, "edges", "rank") { finalPath =>
+      val ranked = rankedDocs(s, dir)
+      val byRank = rankToId(ranked)
+      ranked
+        .select(col("doc_id").as("src"), col("rnk"),
+          explode(array(
+            (col("rnk") + 1) % col("n_docs"),
+            (col("rnk") + 2) % col("n_docs"),
+            (col("rnk") * col("rnk") + 3) % col("n_docs"))).as("dst_rnk"))
+        .filter(col("dst_rnk") =!= col("rnk")) // self-loop, rank space
+        .join(byRank, "dst_rnk") // rank → id; bijective, keeps dups
+        .select(col("src"), col("dst"))
+        .write.parquet(finalPath)
+    }
 
   /** PageRank, `iters` synchronous rounds at damping 0.85, rank mass in
     * integer micros (initial mass 1e6/N per node). Output:
@@ -493,19 +521,24 @@ object Graphs {
     * precedent as linkEdges: both engines derive the identical edge
     * set. */
   def blockEdges(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
-    val base = (col("doc_id") - pmod(col("doc_id"), lit(50L)))
-    docs
-      .crossJoin(broadcast(Tables.documents(s, dir)
-        .agg(count(lit(1)).as("n_docs"))))
-      .select(col("doc_id"), col("n_docs"),
+    // 50-node blocks formed on the dense RANK, mapped back to real ids
+    // (r14 rewire — see [[rankedDocs]]; rnk == doc_id on contiguous
+    // corpora, so the block graph is unchanged there). EAGER (rank
+    // pass): callers are the staged LPA build and modularity's
+    // per-call rollup, both already eager.
+    val ranked = rankedDocs(s, dir)
+    val base = (col("rnk") - pmod(col("rnk"), lit(50L)))
+    ranked
+      .select(col("doc_id"), col("rnk"), col("n_docs"),
         explode(array(
-          base + pmod(pmod(col("doc_id"), lit(50L)) + 1, lit(50L)),
-          base + pmod(pmod(col("doc_id"), lit(50L)) + 2, lit(50L)),
-          when(pmod(col("doc_id"), lit(50L)) === 0,
-            pmod(col("doc_id") + 350, col("n_docs")))
-            .otherwise(col("doc_id")))).as("dst"))
-      .filter(col("dst") =!= col("doc_id") && col("dst") < col("n_docs"))
+          base + pmod(pmod(col("rnk"), lit(50L)) + 1, lit(50L)),
+          base + pmod(pmod(col("rnk"), lit(50L)) + 2, lit(50L)),
+          when(pmod(col("rnk"), lit(50L)) === 0,
+            pmod(col("rnk") + 350, col("n_docs")))
+            .otherwise(col("rnk")))).as("dst_rnk"))
+      .filter(col("dst_rnk") =!= col("rnk") &&
+        col("dst_rnk") < col("n_docs"))
+      .join(rankToId(ranked), "dst_rnk")
       .select(col("doc_id").as("src"), col("dst"))
   }
 
@@ -528,7 +561,7 @@ object Graphs {
     * order-independent, and byte-identical in the DuckDB
     * recursive-CTE replay. */
   def communities(s: SparkSession, dir: String, iters: Int = 15): DataFrame =
-    staged(s, dir, "lpa", s"$iters") { finalPath =>
+    staged(s, dir, "lpa", s"${iters}_rk") { finalPath =>
     val sc = s.sparkContext
     val preexisting = sc.getPersistentRDDs.keySet
     try {
@@ -807,10 +840,11 @@ object Graphs {
     graft.functions.GraftFunctions.register(s)
     val sc = s.sparkContext
     val preexisting = sc.getPersistentRDDs.keySet
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
-    val raw = docs
-      .crossJoin(broadcast(Tables.documents(s, dir)
-        .agg(count(lit(1)).as("n_docs"))))
+    // md5 degrees/neighbors drawn in RANK space and mapped to real ids
+    // (the r14 rewire — see [[rankedDocs]]); the peel below is already
+    // eager per call, so the rank pass adds one count to a loop of them
+    val ranked = rankedDocs(s, dir)
+    val raw = ranked
       .select(col("doc_id"), col("n_docs"),
         explode(sequence(lit(0L),
           pmod(call_function("md5_base60",
@@ -818,9 +852,11 @@ object Graphs {
       .select(col("doc_id").as("src"),
         pmod(call_function("md5_base60",
           concat(lit("kc:"), col("doc_id"), lit(":"), col("j"))),
-          col("n_docs")).as("dst"))
+          col("n_docs")).as("dst_rnk"))
+      .join(rankToId(ranked), "dst_rnk")
+      .select(col("src"), col("dst"))
       .filter(col("dst") =!= col("src"))
-    val finalPath = s"/tmp/graft_stage_kcore_v1_k${k}_" +
+    val finalPath = s"/tmp/graft_stage_kcore_v2_k${k}_" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
     try {
       // Lineage.cut: each peel round references `live` four times
@@ -890,10 +926,11 @@ object Graphs {
     graft.functions.GraftFunctions.register(s)
     val sc = s.sparkContext
     val preexisting = sc.getPersistentRDDs.keySet
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
-    val raw = docs
-      .crossJoin(broadcast(Tables.documents(s, dir)
-        .agg(count(lit(1)).as("n_docs"))))
+    // hub-concentrated draws land in the first ⌈N/8⌉ RANKS, mapped to
+    // real ids (the r14 rewire — see [[rankedDocs]]); the truss peel is
+    // already eager per call, so the rank pass is marginal
+    val ranked = rankedDocs(s, dir)
+    val raw = ranked
       .select(col("doc_id"), col("n_docs"),
         explode(sequence(lit(0L),
           lit(2L) + pmod(call_function("md5_base60",
@@ -901,7 +938,9 @@ object Graphs {
       .select(col("doc_id").as("src"),
         pmod(call_function("md5_base60",
           concat(lit("kt:"), col("doc_id"), lit(":"), col("j"))),
-          greatest(expr("n_docs DIV 8"), lit(1L))).as("dst"))
+          greatest(expr("n_docs DIV 8"), lit(1L))).as("dst_rnk"))
+      .join(rankToId(ranked), "dst_rnk")
+      .select(col("src"), col("dst"))
       .filter(col("dst") =!= col("src"))
     def support(edges: DataFrame): DataFrame = {
       val adj = edges.select(col("a").as("u"), col("b").as("v"))
@@ -913,7 +952,7 @@ object Graphs {
         .groupBy(col("e.a").as("a"), col("e.b").as("b"))
         .agg(count(lit(1)).as("sup"))
     }
-    val finalPath = s"/tmp/graft_stage_ktruss_v1_k${k}_r${rounds}_" +
+    val finalPath = s"/tmp/graft_stage_ktruss_v2_k${k}_r${rounds}_" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
     try {
       // Lineage.cut: support() references `live` three times per
@@ -1131,20 +1170,29 @@ object Graphs {
     graft.functions.GraftFunctions.register(s)
     val sc = s.sparkContext
     val preexisting = sc.getPersistentRDDs.keySet
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
-    val raw = docs
-      .crossJoin(broadcast(Tables.documents(s, dir)
-        .agg(count(lit(1)).as("n_docs"))))
-      .select(col("doc_id"), col("n_docs"),
-        explode(sequence(lit(0L),
+    // md5 coins draw the OUT-NEIGHBOR IN RANK SPACE (the r14 rewire,
+    // same device as linkEdges): dst = the id at rank md5 % n, so
+    // every endpoint is a real doc_id on any id space; rank == doc_id
+    // on contiguous driver corpora, so the edge set (and every weight,
+    // which hashes the REAL ids) is unchanged there. `def`, not `val`:
+    // the eager rank pass must only run inside the staged build, never
+    // on a warm read-the-forest call.
+    def raw = {
+      val ranked = rankedDocs(s, dir)
+      ranked
+        .select(col("doc_id"), col("n_docs"),
+          explode(sequence(lit(0L),
+            pmod(call_function("md5_base60",
+              concat(lit("mst:"), col("doc_id"))), lit(4L)))).as("j"))
+        .select(col("doc_id").as("src"),
           pmod(call_function("md5_base60",
-            concat(lit("mst:"), col("doc_id"))), lit(4L)))).as("j"))
-      .select(col("doc_id").as("src"),
-        pmod(call_function("md5_base60",
-          concat(lit("mst:"), col("doc_id"), lit(":"), col("j"))),
-          col("n_docs")).as("dst"))
-      .filter(col("dst") =!= col("src"))
-    val edges0 = raw
+            concat(lit("mst:"), col("doc_id"), lit(":"), col("j"))),
+            col("n_docs")).as("dst_rnk"))
+        .join(rankToId(ranked), "dst_rnk")
+        .select(col("src"), col("dst"))
+        .filter(col("dst") =!= col("src"))
+    }
+    def edges0 = raw
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
@@ -1158,7 +1206,7 @@ object Graphs {
     // staged per corpus fingerprint (the sccLabels/betweenness
     // protocol): the Boruvka rounds run once per (corpus, rounds),
     // warm calls read the parquet forest
-    val stBase = Staging.base("stage_mst_v3", dir,
+    val stBase = Staging.base("stage_mst_v4", dir,
       s"r${rounds}_t$localThreshold", "documents")
     val finalPath = s"$stBase/data"
     Staging.buildOnce(stBase) { try {
@@ -1313,20 +1361,24 @@ object Graphs {
     graft.functions.GraftFunctions.register(s)
     val sc = s.sparkContext
     val preexisting = sc.getPersistentRDDs.keySet
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
-    val raw = docs
-      .crossJoin(broadcast(Tables.documents(s, dir)
-        .agg(count(lit(1)).as("n_docs"))))
-      .select(col("doc_id"), col("n_docs"),
-        explode(sequence(lit(0L),
+    // same "kc:" fixture as kcore, drawn in RANK space (r14 rewire).
+    // `def`: the eager rank pass must only run inside the staged build
+    def raw = {
+      val ranked = rankedDocs(s, dir)
+      ranked
+        .select(col("doc_id"), col("n_docs"),
+          explode(sequence(lit(0L),
+            pmod(call_function("md5_base60",
+              concat(lit("kc:"), col("doc_id"))), lit(5L)))).as("j"))
+        .select(col("doc_id").as("src"),
           pmod(call_function("md5_base60",
-            concat(lit("kc:"), col("doc_id"))), lit(5L)))).as("j"))
-      .select(col("doc_id").as("src"),
-        pmod(call_function("md5_base60",
-          concat(lit("kc:"), col("doc_id"), lit(":"), col("j"))),
-          col("n_docs")).as("dst"))
-      .filter(col("dst") =!= col("src"))
-    val stBase = Staging.base("stage_diam_v2", dir, s"d$maxDepth",
+            concat(lit("kc:"), col("doc_id"), lit(":"), col("j"))),
+            col("n_docs")).as("dst_rnk"))
+        .join(rankToId(ranked), "dst_rnk")
+        .select(col("src"), col("dst"))
+        .filter(col("dst") =!= col("src"))
+    }
+    val stBase = Staging.base("stage_diam_v3", dir, s"d$maxDepth",
       "documents")
     val finalPath = s"$stBase/data"
     Staging.buildOnce(stBase) { try {
@@ -1357,7 +1409,8 @@ object Graphs {
         }
         dist
       }
-      val d1 = bfs(docs.agg(min(col("doc_id")).as("node")))
+      val d1 = bfs(Tables.documents(s, dir)
+        .agg(min(col("doc_id")).as("node")))
       val farA = d1.orderBy(col("dist").desc, col("node").asc).limit(1)
         .localCheckpoint(true)
       val d2 = bfs(farA.select(col("node")))
@@ -1413,8 +1466,12 @@ object Graphs {
   private def sccEdges(s: SparkSession, dir: String, cap: Int)
       : DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    Tables.documents(s, dir).select(col("doc_id"))
-      .filter(col("doc_id") < cap)
+    // the cap selects the `cap` LOWEST-RANKED docs and draws dsts in
+    // rank space [0, cap) (r14 rewire — rnk == doc_id on contiguous
+    // corpora); md5 keys still hash the REAL ids. EAGER (rank pass) —
+    // both callers are already-eager fixpoint loops.
+    val ranked = rankedDocs(s, dir)
+    ranked.filter(col("rnk") < cap)
       .select(col("doc_id"),
         explode(sequence(lit(0L),
           pmod(call_function("md5_base60",
@@ -1422,7 +1479,9 @@ object Graphs {
       .select(col("doc_id").as("src"),
         pmod(call_function("md5_base60",
           concat(lit("scc:"), col("doc_id"), lit(":"), col("j"))),
-          lit(cap.toLong)).as("dst"))
+          lit(cap.toLong)).as("dst_rnk"))
+      .join(rankToId(ranked), "dst_rnk")
+      .select(col("src"), col("dst"))
       .filter(col("dst") =!= col("src"))
       .distinct()
   }
@@ -1435,7 +1494,7 @@ object Graphs {
     * downstream-of-an-expensive-fixpoint operator uses. */
   private def sccLabels(s: SparkSession, dir: String, cap: Int)
       : DataFrame = {
-    val basePath = Staging.base("scc_labels_v1", dir, s"cap$cap",
+    val basePath = Staging.base("scc_labels_v2", dir, s"cap$cap",
       "documents")
     Staging.buildOnce(basePath) {
       sccLabelsCompute(s, dir, cap).write.mode("overwrite")
