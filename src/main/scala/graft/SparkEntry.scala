@@ -867,12 +867,18 @@ object SparkEntry {
          trim('  x  ') AS trimmed,
          string_split(c_name, '#')[1] AS name_prefix
          FROM customer""",
+    // native ASOF JOIN, exact under the face's tie-break: only the max
+    // o_orderkey per (key, orderdate) can ever win "latest date, then
+    // largest key", so the per-(k, d) reduction makes the build side
+    // unique on (k, d) and ASOF deterministic — and spill-free at sf1,
+    // where the correlated-subquery form's sorter temp died on disk
+    // (>79 GB; SURVEY §22.10's oracle-infra limit, removed r14).
     "asof_event_orders" ->
-      """SELECT e.event_id,
-         (SELECT o.o_orderkey FROM orders o
-          WHERE o.o_custkey % 15 = e.user_id % 15 AND o.o_orderdate <= e.ts
-          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_orderkey
-         FROM events e""",
+      """WITH od AS (SELECT o_custkey % 15 AS k, o_orderdate AS d,
+           max(o_orderkey) AS ok FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, od.ok AS last_orderkey
+         FROM events e ASOF LEFT JOIN od
+           ON od.k = e.user_id % 15 AND od.d <= e.ts""",
     // tolerance-bounded as-of (AsOf.asofEventOrdersTolerance): the
     // subquery's lower bound mirrors the carry-then-nullify window
     // (the most recent match being stale implies no in-window match)
@@ -6410,17 +6416,22 @@ object SparkEntry {
       WITH lc AS (SELECT l_orderkey,
           CAST(count(*) AS BIGINT) AS bin2
         FROM lineitem GROUP BY 1),
-      base AS (SELECT CAST(floor(o_totalprice / 10000) AS BIGINT)
-            AS bin1, lc.bin2,
+      base AS MATERIALIZED (SELECT
+          CAST(floor(o_totalprice / 10000) AS BIGINT) AS bin1, lc.bin2,
           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
         FROM orders JOIN lc ON orders.o_orderkey = lc.l_orderkey),
-      st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      st AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
           CAST(round(1e6 * CAST(sum(y) AS DOUBLE) /
             CAST(count(*) AS DOUBLE)) AS BIGINT) AS f0
         FROM base),
-      r1 AS (SELECT bin1, bin2,
-          CAST(y * 1000000 - (SELECT f0 FROM st) AS BIGINT) AS r1
-        FROM base),
+      -- one-row frames enter as CROSS JOINS, never per-row scalar
+      -- subqueries: the subquery form re-derived the whole upstream
+      -- chain PER PROBE ROW at sf1 (>79 GB of sorter temp, the
+      -- oracle-infra death SURVEY §22.10 recorded); the join form is
+      -- the same arithmetic on the same one row, 0.4 s at sf1
+      r1 AS MATERIALIZED (SELECT bin1, bin2,
+          CAST(y * 1000000 - st.f0 AS BIGINT) AS r1
+        FROM base, st),
       b1 AS (SELECT bin1, CAST(count(*) AS BIGINT) AS n_b,
           CAST(sum(r1) AS BIGINT) AS s_b
         FROM r1 GROUP BY 1),
@@ -6430,7 +6441,7 @@ object SparkEntry {
           CAST(sum(n_b) OVER () AS BIGINT) AS n,
           CAST(sum(s_b) OVER () AS BIGINT) AS s
         FROM b1),
-      best1 AS (SELECT bin1 AS t1,
+      best1 AS MATERIALIZED (SELECT bin1 AS t1,
           CAST(round(0.5 * CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE))
             AS BIGINT) AS lv1l,
           CAST(round(0.5 * CAST(s - s_l AS DOUBLE) /
@@ -6441,11 +6452,10 @@ object SparkEntry {
           CAST(s - s_l AS DOUBLE) * CAST(s - s_l AS DOUBLE) /
             CAST(n - n_l AS DOUBLE) DESC, bin1 ASC
         LIMIT 1),
-      r2 AS (SELECT bin2, r1,
-          CAST(r1 - CASE WHEN bin1 <= (SELECT t1 FROM best1)
-            THEN (SELECT lv1l FROM best1)
-            ELSE (SELECT lv1r FROM best1) END AS BIGINT) AS r2
-        FROM r1),
+      r2 AS MATERIALIZED (SELECT bin2, r1,
+          CAST(r1 - CASE WHEN bin1 <= best1.t1
+            THEN best1.lv1l ELSE best1.lv1r END AS BIGINT) AS r2
+        FROM r1, best1),
       b2 AS (SELECT bin2, CAST(count(*) AS BIGINT) AS n_b,
           CAST(sum(r2) AS BIGINT) AS s_b
         FROM r2 GROUP BY 1),
@@ -6455,7 +6465,7 @@ object SparkEntry {
           CAST(sum(n_b) OVER () AS BIGINT) AS n,
           CAST(sum(s_b) OVER () AS BIGINT) AS s
         FROM b2),
-      best2 AS (SELECT bin2 AS t2,
+      best2 AS MATERIALIZED (SELECT bin2 AS t2,
           CAST(round(0.5 * CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE))
             AS BIGINT) AS lv2l,
           CAST(round(0.5 * CAST(s - s_l AS DOUBLE) /
@@ -6467,29 +6477,26 @@ object SparkEntry {
             CAST(n - n_l AS DOUBLE) DESC, bin2 ASC
         LIMIT 1),
       r3 AS (SELECT r1, r2,
-          CAST(r2 - CASE WHEN bin2 <= (SELECT t2 FROM best2)
-            THEN (SELECT lv2l FROM best2)
-            ELSE (SELECT lv2r FROM best2) END AS BIGINT) AS r3
-        FROM r2),
-      ms AS (SELECT
+          CAST(r2 - CASE WHEN bin2 <= best2.t2
+            THEN best2.lv2l ELSE best2.lv2r END AS BIGINT) AS r3
+        FROM r2, best2),
+      ms AS MATERIALIZED (SELECT
           CAST(round(CAST(sum(r1 * r1) AS DOUBLE) /
-            CAST((SELECT n FROM st) AS DOUBLE)) AS BIGINT) AS m0,
+            CAST(st.n AS DOUBLE)) AS BIGINT) AS m0,
           CAST(round(CAST(sum(r2 * r2) AS DOUBLE) /
-            CAST((SELECT n FROM st) AS DOUBLE)) AS BIGINT) AS m1,
+            CAST(st.n AS DOUBLE)) AS BIGINT) AS m1,
           CAST(round(CAST(sum(r3 * r3) AS DOUBLE) /
-            CAST((SELECT n FROM st) AS DOUBLE)) AS BIGINT) AS m2
-        FROM r3)
+            CAST(st.n AS DOUBLE)) AS BIGINT) AS m2
+        FROM r3, st GROUP BY st.n)
       SELECT CAST(0 AS BIGINT) AS step, 'const_f0' AS feature,
         CAST(-1 AS BIGINT) AS threshold_bin,
-        (SELECT f0 FROM st) AS left_value_micros,
-        (SELECT f0 FROM st) AS right_value_micros,
-        (SELECT m0 FROM ms) AS mse_micro2
+        st.f0 AS left_value_micros, st.f0 AS right_value_micros,
+        ms.m0 AS mse_micro2
+      FROM st, ms
       UNION ALL SELECT CAST(1 AS BIGINT), 'totalprice_k10',
-        (SELECT t1 FROM best1), (SELECT lv1l FROM best1),
-        (SELECT lv1r FROM best1), (SELECT m1 FROM ms)
+        best1.t1, best1.lv1l, best1.lv1r, ms.m1 FROM best1, ms
       UNION ALL SELECT CAST(2 AS BIGINT), 'linecount',
-        (SELECT t2 FROM best2), (SELECT lv2l FROM best2),
-        (SELECT lv2r FROM best2), (SELECT m2 FROM ms)""",
+        best2.t2, best2.lv2l, best2.lv2r, ms.m2 FROM best2, ms""",
     // Persisted co-occurrence index roundtrip
     // (Recommend.cooccurIndexed): the oracle recomputes everything
     // from scratch — hash equality proves the index lossless.
