@@ -9522,7 +9522,7 @@ object SparkEntry {
   private def kmeansSql: String = raw"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       cinit AS (SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS c
-                FROM e WHERE vec_id < 8),
+                FROM e ORDER BY vec_id LIMIT 8),
       a1 AS (${kmeansAssignSql("cinit")}),
       cm1 AS (${kmeansUpdateSql("a1")}),
       a2 AS (${kmeansAssignSql("cm1")}),

@@ -1032,7 +1032,11 @@ object Similarity {
         (count(lit(1)).cast("double") * 1e6), 6)
     var model: Seq[(Int, Seq[Double])] = Nil
     try {
-      model = e.filter(col("vec_id") < k)
+      // seeds = the k SMALLEST vec_ids (identical to the retired
+      // `vec_id < k` on contiguous corpora, never empty on sparse id
+      // spaces — the r14 id-robustness convention); cell ids stay the
+      // seeds' real vec_ids
+      model = e.orderBy(col("vec_id")).limit(k)
         .select(col("vec_id"), transform(col("v"), x => round(x, 6)).as("c"))
         .collect()
         .map(r => (r.getLong(0).toInt, r.getAs[collection.Seq[Double]]("c").toSeq))
