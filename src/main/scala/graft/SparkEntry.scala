@@ -882,53 +882,66 @@ object SparkEntry {
     // tolerance-bounded as-of (AsOf.asofEventOrdersTolerance): the
     // subquery's lower bound mirrors the carry-then-nullify window
     // (the most recent match being stale implies no in-window match)
+    // backward ASOF + staleness nullify: the unbounded most-recent
+    // match being stale implies no in-window match exists (any other
+    // candidate is older still), so the CASE is exact — and the
+    // correlated form's sf1 sorter spill is gone
     "asof2_tolerance" ->
-      """SELECT e.event_id,
-         (SELECT o.o_orderkey FROM orders o
-          WHERE o.o_custkey % 15 = e.user_id % 15 AND o.o_orderdate <= e.ts
-            AND o.o_orderdate >= e.ts - INTERVAL 8200 DAY
-          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
-           AS last_orderkey_fresh
-         FROM events e""",
+      """WITH od AS (SELECT o_custkey % 15 AS k, o_orderdate AS d,
+           max(o_orderkey) AS ok FROM orders GROUP BY 1, 2)
+         SELECT e.event_id,
+           CASE WHEN od.d >= e.ts - INTERVAL 8200 DAY THEN od.ok
+           END AS last_orderkey_fresh
+         FROM events e ASOF LEFT JOIN od
+           ON od.k = e.user_id % 15 AND od.d <= e.ts""",
     // forward as-of (AsOf.asofOrderShipForward): earliest shipment at
     // or after the order date; ties pin to the smallest lineitem id
+    // forward ASOF JOIN, exact under "earliest ts, then smallest lid":
+    // only the min lid per (key, ts) can win, so the reduction makes
+    // the build side unique on (k, ts) and ASOF deterministic — the
+    // asof_event_orders device, applied after this replay's correlated
+    // form died on sorter temp at the r14 sf1 sweep
     "asof3_forward" ->
-      """WITH li AS (SELECT l_suppkey % 15 AS k, l_shipdate AS ts,
-           CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS lid
-           FROM lineitem)
-         SELECT o.o_orderkey,
-          (SELECT lid FROM li
-           WHERE li.k = o.o_custkey % 15 AND li.ts >= o.o_orderdate
-           ORDER BY li.ts ASC, li.lid ASC LIMIT 1) AS next_lid
-         FROM orders o""",
+      """WITH lim AS (SELECT l_suppkey % 15 AS k, l_shipdate AS ts,
+           min(CAST(l_orderkey * 10 + l_linenumber AS BIGINT)) AS lid
+           FROM lineitem GROUP BY 1, 2)
+         SELECT o.o_orderkey, lim.lid AS next_lid
+         FROM orders o ASOF LEFT JOIN lim
+           ON lim.k = o.o_custkey % 15 AND lim.ts >= o.o_orderdate""",
     // nearest as-of (AsOf.asofOrderShipNearest): backward (<=, ties ->
     // largest lid) vs strictly-later forward (ties -> smallest lid) by
     // |day distance|; equal distance pins to the backward match
+    // two ASOF arms (backward ties -> max lid per date, forward ties
+    // -> min lid per date, each reduction making its build side unique
+    // on (k, ts)), joined 1:1 on the order key — replaces two
+    // correlated LIMIT-1 subqueries per order row
     "asof4_nearest" ->
-      """WITH li AS (SELECT l_suppkey % 15 AS k, l_shipdate AS ts,
-           CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS lid
-           FROM lineitem),
-         c AS (SELECT o.o_orderkey, o.o_orderdate AS ots,
-           (SELECT {'ts': ts, 'lid': lid} FROM li
-            WHERE li.k = o.o_custkey % 15 AND li.ts <= o.o_orderdate
-            ORDER BY li.ts DESC, li.lid DESC LIMIT 1) AS b,
-           (SELECT {'ts': ts, 'lid': lid} FROM li
-            WHERE li.k = o.o_custkey % 15 AND li.ts > o.o_orderdate
-            ORDER BY li.ts ASC, li.lid ASC LIMIT 1) AS f
-          FROM orders o)
-         SELECT o_orderkey,
-           CASE WHEN b IS NULL THEN f.lid WHEN f IS NULL THEN b.lid
-                WHEN date_diff('day', b.ts, ots) <=
-                     date_diff('day', ots, f.ts) THEN b.lid
-                ELSE f.lid END AS nearest_lid,
-           CAST(CASE WHEN b IS NULL THEN date_diff('day', ots, f.ts)
-                WHEN f IS NULL THEN date_diff('day', b.ts, ots)
-                WHEN date_diff('day', b.ts, ots) <=
-                     date_diff('day', ots, f.ts)
-                THEN date_diff('day', b.ts, ots)
-                ELSE date_diff('day', ots, f.ts) END AS BIGINT)
+      """WITH bb AS (SELECT l_suppkey % 15 AS k, l_shipdate AS ts,
+           max(CAST(l_orderkey * 10 + l_linenumber AS BIGINT)) AS lid
+           FROM lineitem GROUP BY 1, 2),
+         ff AS (SELECT l_suppkey % 15 AS k, l_shipdate AS ts,
+           min(CAST(l_orderkey * 10 + l_linenumber AS BIGINT)) AS lid
+           FROM lineitem GROUP BY 1, 2),
+         cb AS (SELECT o.o_orderkey, o.o_orderdate AS ots,
+             bb.ts AS bts, bb.lid AS blid
+           FROM orders o ASOF LEFT JOIN bb
+             ON bb.k = o.o_custkey % 15 AND bb.ts <= o.o_orderdate),
+         cf AS (SELECT o.o_orderkey, ff.ts AS fts, ff.lid AS flid
+           FROM orders o ASOF LEFT JOIN ff
+             ON ff.k = o.o_custkey % 15 AND ff.ts > o.o_orderdate)
+         SELECT cb.o_orderkey,
+           CASE WHEN bts IS NULL THEN flid WHEN fts IS NULL THEN blid
+                WHEN date_diff('day', bts, ots) <=
+                     date_diff('day', ots, fts) THEN blid
+                ELSE flid END AS nearest_lid,
+           CAST(CASE WHEN bts IS NULL THEN date_diff('day', ots, fts)
+                WHEN fts IS NULL THEN date_diff('day', bts, ots)
+                WHEN date_diff('day', bts, ots) <=
+                     date_diff('day', ots, fts)
+                THEN date_diff('day', bts, ots)
+                ELSE date_diff('day', ots, fts) END AS BIGINT)
              AS dist_days
-         FROM c""",
+         FROM cb JOIN cf ON cb.o_orderkey = cf.o_orderkey""",
     "a1_group_count" ->
       "SELECT source, count(*) AS n FROM documents GROUP BY source",
     "a2_key_buckets" ->
