@@ -841,24 +841,31 @@ object Graphs {
     val sc = s.sparkContext
     val preexisting = sc.getPersistentRDDs.keySet
     // md5 degrees/neighbors drawn in RANK space and mapped to real ids
-    // (the r14 rewire — see [[rankedDocs]]); the peel below is already
-    // eager per call, so the rank pass adds one count to a loop of them
-    val ranked = rankedDocs(s, dir)
-    val raw = ranked
-      .select(col("doc_id"), col("n_docs"),
-        explode(sequence(lit(0L),
+    // (the r14 rewire — see [[rankedDocs]]). `def`: the eager rank pass
+    // and the peel run only inside the staged build.
+    def raw = {
+      val ranked = rankedDocs(s, dir)
+      ranked
+        .select(col("doc_id"), col("n_docs"),
+          explode(sequence(lit(0L),
+            pmod(call_function("md5_base60",
+              concat(lit("kc:"), col("doc_id"))), lit(5L)))).as("j"))
+        .select(col("doc_id").as("src"),
           pmod(call_function("md5_base60",
-            concat(lit("kc:"), col("doc_id"))), lit(5L)))).as("j"))
-      .select(col("doc_id").as("src"),
-        pmod(call_function("md5_base60",
-          concat(lit("kc:"), col("doc_id"), lit(":"), col("j"))),
-          col("n_docs")).as("dst_rnk"))
-      .join(rankToId(ranked), "dst_rnk")
-      .select(col("src"), col("dst"))
-      .filter(col("dst") =!= col("src"))
-    val finalPath = s"/tmp/graft_stage_kcore_v2_k${k}_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
-    try {
+            concat(lit("kc:"), col("doc_id"), lit(":"), col("j"))),
+            col("n_docs")).as("dst_rnk"))
+        .join(rankToId(ranked), "dst_rnk")
+        .select(col("src"), col("dst"))
+        .filter(col("dst") =!= col("src"))
+    }
+    // staged per (corpus fingerprint, k, rounds) — the mst/diameter
+    // protocol (r14): the peel fixpoint runs once per corpus, warm
+    // calls read the surviving edge set. Previously this face rebuilt
+    // the peel on EVERY call into an overwrite path.
+    val stBase = Staging.base("stage_kcore_v3", dir, s"k${k}_r$rounds",
+      "documents")
+    val finalPath = s"$stBase/data"
+    Staging.buildOnce(stBase) { try {
       // Lineage.cut: each peel round references `live` four times
       // (degree rollup both sides + two semi-joins), so preserved
       // checkpoint stats would compound across rounds (see Lineage)
@@ -890,7 +897,7 @@ object Graphs {
       sc.getPersistentRDDs
         .filterNot { case (id, _) => preexisting(id) }
         .values.foreach(_.unpersist(blocking = false))
-    }
+    } }
     val core = s.read.parquet(finalPath)
     core.select(col("a").as("node"))
       .unionAll(core.select(col("b").as("node")))
@@ -927,21 +934,23 @@ object Graphs {
     val sc = s.sparkContext
     val preexisting = sc.getPersistentRDDs.keySet
     // hub-concentrated draws land in the first ⌈N/8⌉ RANKS, mapped to
-    // real ids (the r14 rewire — see [[rankedDocs]]); the truss peel is
-    // already eager per call, so the rank pass is marginal
-    val ranked = rankedDocs(s, dir)
-    val raw = ranked
-      .select(col("doc_id"), col("n_docs"),
-        explode(sequence(lit(0L),
-          lit(2L) + pmod(call_function("md5_base60",
-            concat(lit("kt:"), col("doc_id"))), lit(6L)))).as("j"))
-      .select(col("doc_id").as("src"),
-        pmod(call_function("md5_base60",
-          concat(lit("kt:"), col("doc_id"), lit(":"), col("j"))),
-          greatest(expr("n_docs DIV 8"), lit(1L))).as("dst_rnk"))
-      .join(rankToId(ranked), "dst_rnk")
-      .select(col("src"), col("dst"))
-      .filter(col("dst") =!= col("src"))
+    // real ids (the r14 rewire — see [[rankedDocs]]). `def`: the eager
+    // rank pass and the truss peel run only inside the staged build.
+    def raw = {
+      val ranked = rankedDocs(s, dir)
+      ranked
+        .select(col("doc_id"), col("n_docs"),
+          explode(sequence(lit(0L),
+            lit(2L) + pmod(call_function("md5_base60",
+              concat(lit("kt:"), col("doc_id"))), lit(6L)))).as("j"))
+        .select(col("doc_id").as("src"),
+          pmod(call_function("md5_base60",
+            concat(lit("kt:"), col("doc_id"), lit(":"), col("j"))),
+            greatest(expr("n_docs DIV 8"), lit(1L))).as("dst_rnk"))
+        .join(rankToId(ranked), "dst_rnk")
+        .select(col("src"), col("dst"))
+        .filter(col("dst") =!= col("src"))
+    }
     def support(edges: DataFrame): DataFrame = {
       val adj = edges.select(col("a").as("u"), col("b").as("v"))
         .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
@@ -952,9 +961,13 @@ object Graphs {
         .groupBy(col("e.a").as("a"), col("e.b").as("b"))
         .agg(count(lit(1)).as("sup"))
     }
-    val finalPath = s"/tmp/graft_stage_ktruss_v2_k${k}_r${rounds}_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
-    try {
+    // staged per (corpus fingerprint, k, rounds) — the mst/diameter
+    // protocol (r14): the truss cascade runs once per corpus, warm
+    // calls read the surviving edges + support
+    val stBase = Staging.base("stage_ktruss_v3", dir, s"k${k}_r$rounds",
+      "documents")
+    val finalPath = s"$stBase/data"
+    Staging.buildOnce(stBase) { try {
       // Lineage.cut: support() references `live` three times per
       // round (edge + both adjacency roles — see Lineage)
       var live = Lineage.cut(raw
@@ -982,7 +995,7 @@ object Graphs {
       sc.getPersistentRDDs
         .filterNot { case (id, _) => preexisting(id) }
         .values.foreach(_.unpersist(blocking = false))
-    }
+    } }
     s.read.parquet(finalPath).select(col("a"), col("b"), col("sup"))
   }
 
@@ -1555,6 +1568,14 @@ object Graphs {
     * with an integer payload riding along. */
   def condense(s: SparkSession, dir: String, cap: Int = 240)
       : DataFrame = {
+    // staged per (corpus fingerprint, cap) — the max-plus doubling
+    // fixpoint runs once per corpus (r14; previously per call); the
+    // ordering is applied AFTER the parquet read since files don't
+    // carry it
+    val stBase = Staging.base("stage_cond_v1", dir, s"cap$cap",
+      "documents")
+    val finalPath = s"$stBase/data"
+    Staging.buildOnce(stBase) {
     val labels = sccLabels(s, dir, cap).localCheckpoint(true)
     val dagEdges = sccEdges(s, dir, cap)
       .join(labels.withColumnRenamed("u", "src")
@@ -1593,6 +1614,10 @@ object Graphs {
       .agg(max(col("len")).as("depth"))
     labels.groupBy(col("scc_label")).agg(count(lit(1)).as("size"))
       .join(depth, "scc_label")
+      .write.mode("overwrite").parquet(finalPath)
+    }
+    s.read.parquet(finalPath)
+      .select(col("scc_label"), col("size"), col("depth"))
       .orderBy(col("depth").asc, col("scc_label").asc)
   }
 }
