@@ -183,6 +183,16 @@ object Retrieval {
                     fbK: Int = 10, expand: Int = 5, k: Int = 10,
                     buckets: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // The RM3 expansion MODEL (the ≤`expand` expanded terms) is a pure
+    // function of (corpus, seed, fbK, expand, buckets) — staged once
+    // per fingerprint (r14), so warm calls skip the whole feedback
+    // probe (seed retrieval + doc-bucket read + df read + stats read,
+    // four driver round-trips) and pay only the expanded retrieval,
+    // which IS the query. ret4/ret8/eval9 all ride this model.
+    val mBase = Staging.base("rm3_model_v1", dir,
+      s"${seed.mkString("-")}_f${fbK}_e${expand}_b$buckets",
+      "documents")
+    Staging.buildOnce(mBase) {
     // runs the seed retrieval AND (first call per fingerprint) builds
     // the term-bucketed postings index
     val fbIds = TextAnalysis.bm25Indexed(s, dir, seed, fbK)
@@ -236,7 +246,7 @@ object Retrieval {
     // weight) — bit-equal by construction, Round10Spec pins it
     def r6(d: Double): Double = BigDecimal(d)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val expTerms = cand.filterNot(seed.contains)
+    val expModel = cand.filterNot(seed.contains)
       .map { t =>
         val df = dfMap(t).toDouble
         val idf = r6(math.log((n - df + 0.5) / (df + 0.5) + 1.0))
@@ -246,6 +256,13 @@ object Retrieval {
       }
       .sortBy { case (t, wt) => (-wt, t) }
       .take(expand).map(_._1)
+    import s.implicits._
+    expModel.zipWithIndex
+      .toDF("term", "ord") // ord preserves the selection ranking
+      .coalesce(1).write.mode("overwrite").parquet(s"$mBase/terms")
+    }
+    val expTerms = s.read.parquet(s"$mBase/terms")
+      .orderBy(col("ord")).collect().map(_.getString(0)).toSeq
     TextAnalysis.bm25Indexed(s, dir, seed ++ expTerms, k)
   }
 
