@@ -833,9 +833,14 @@ object Dedup {
     val tk = col("tk")
     val spans = when(size(tk) >= n, array_distinct(spanHashes(tk, n)))
       .otherwise(array(md5(concat_ws(" ", tk))))
+    // materialized once: the tokenize+hash+explode projection feeds
+    // BOTH the doc-frequency rollup and the join-back (the round-8
+    // nearDupSides discipline — without this the corpus tokenization
+    // runs twice in one plan)
     val docSpans = docs
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .select(col("doc_id"), explode(spans).as("span"))
+      .localCheckpoint(true)
     val spanDf = docSpans.groupBy(col("span"))
       .agg(count(lit(1)).as("df")) // distinct-per-doc ⇒ count == doc freq
     docSpans.join(spanDf, "span")
