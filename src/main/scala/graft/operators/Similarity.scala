@@ -136,7 +136,8 @@ object Similarity {
     * amortized across the query session — exactly the FAISS-style
     * "index build then probe" split annIvfIndexed/bm25Indexed use. */
   def annLshIndexed(s: SparkSession, dir: String, k: Int = 10,
-                    bits: Int = 16, bands: Int = 4): DataFrame = {
+                    bits: Int = 16, bands: Int = 4,
+                    probeBands: Int = Int.MaxValue): DataFrame = {
     GraftFunctions.register(s)
     val w = bits / bands
     // v1 = plane-seed/band-arithmetic version — bump on semantic change
@@ -152,10 +153,14 @@ object Similarity {
     }
     // the query's band values, collected driver-side (4 ints — a
     // model-sized collect) so the index read is a static OR-of-equalities
-    // over BOTH partition columns
+    // over BOTH partition columns. probeBands < bands probes only the
+    // first b bands — the same knob annLsh exposes (lshBandCurve sweeps
+    // it against THIS reader since r14); a dropped band just removes
+    // its partition directories from the static filter.
     val qBands = queryVec(s, dir)
       .select(posexplode(bandVals(sigBits(col("q"), bits), bands, w)))
       .collect().map(r => (r.getInt(0), r.getInt(1)))
+      .filter(_._1 < math.min(probeBands, bands))
     val probe = qBands.map { case (b, v) =>
       col("band") === b && col("bval") === v
     }.reduce(_ || _)
@@ -1214,17 +1219,22 @@ object Similarity {
     * banding/probing collapses (the round-1 zero-recall defect class)
     * shows up as a missing or low row here, not as silent bad
     * neighbors downstream. */
-  def annRecall(s: SparkSession, dir: String): DataFrame = {
-    // the exact top-10 truth is a pure function of (corpus, query) —
-    // stage it once per embeddings fingerprint (the CC/MST/BQ staging
-    // convention) so the nine-method harness reads a 10-row parquet
-    // instead of re-running the brute-force scan every invocation
+  /** The exact top-10 truth id set, staged once per embeddings
+    * fingerprint (a pure function of (corpus, query) — the CC/MST/BQ
+    * staging convention). Shared by every recall harness (eval2's
+    * nine-method table, the IVF and LSH depth curves, the freshness
+    * eval) so none of them re-runs the brute-force scan per call. */
+  private def truthStaged(s: SparkSession, dir: String): DataFrame = {
     val truthBase = Staging.base("ann_truth_v1", dir, "", "embeddings")
     Staging.buildOnce(truthBase) {
       annBruteForce(s, dir).select(col("vec_id"))
         .write.mode("overwrite").parquet(s"$truthBase/truth")
     }
-    val truth = broadcast(s.read.parquet(s"$truthBase/truth"))
+    s.read.parquet(s"$truthBase/truth")
+  }
+
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = broadcast(truthStaged(s, dir))
     // each method's top-10 shortlist is ALSO a pure function of
     // (corpus, method params) — stage the whole (method, vec_id) union
     // once per embeddings fingerprint, so a warm harness run is a
@@ -1274,7 +1284,7 @@ object Similarity {
   def ivfRecallCurve(s: SparkSession, dir: String,
                      probes: Seq[Int] = 1 to 4): DataFrame = {
     import s.implicits._
-    val truth = broadcast(annBruteForce(s, dir).select(col("vec_id")))
+    val truth = broadcast(truthStaged(s, dir))
     val cents = centLiteral(quantizer(Tables.embeddings(s, dir)).collect())
     val hits = probes.map { np =>
       annIvf(s, dir, nprobe = np, sharedCents = Some(cents))
@@ -1301,9 +1311,13 @@ object Similarity {
   def lshBandCurve(s: SparkSession, dir: String,
                    depths: Seq[Int] = 1 to 4): DataFrame = {
     import s.implicits._
-    val truth = broadcast(annBruteForce(s, dir).select(col("vec_id")))
+    val truth = broadcast(truthStaged(s, dir))
     val hits = depths.map { b =>
-      annLsh(s, dir, probeBands = b)
+      // the staged banded index serves every depth (bit-identical to
+      // annLsh(probeBands = b) — same planes, band arithmetic, dedup,
+      // tie-break); pre-r14 this face recomputed the corpus signature
+      // projection once PER DEPTH
+      annLshIndexed(s, dir, probeBands = b)
         .select(lit(b.toLong).as("n_bands"), col("vec_id"))
     }.reduce(_ unionByName _)
       .join(truth, "vec_id")
@@ -1331,7 +1345,7 @@ object Similarity {
     * so a zero-recall variant still emits. */
   def indexFreshness(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val truth = broadcast(annBruteForce(s, dir).select(col("vec_id")))
+    val truth = broadcast(truthStaged(s, dir))
     val e = Tables.embeddings(s, dir)
     val splitAt = e.agg(max(col("vec_id"))).head().getLong(0) / 2
     val variants = Seq(
