@@ -1007,15 +1007,14 @@ object Similarity {
   def kmeansLloyd(s: SparkSession, dir: String, k: Int = 8,
                   iters: Int = 2): DataFrame = {
     GraftFunctions.register(s)
-    // cache: the corpus feeds iters+1 INTERNAL jobs (init collect, one
-    // assignment+update collect per round) — without it each round
-    // re-reads and re-casts the parquet. Unpersisted in the finally
-    // below, so no storage outlives the call (a long-lived session must
-    // not accumulate cached corpora); only the final one-pass summary
-    // recomputes from parquet.
+    // cache (inside the staged build only): the corpus feeds iters+1
+    // TRAINING jobs (init collect, one assignment+update collect per
+    // round) — without it each round re-reads and re-casts the
+    // parquet. Unpersisted in the build's finally, so no storage
+    // outlives the call; the final one-pass summary recomputes from
+    // parquet.
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    e.cache()
     // squared-L2 to each centroid of a literal model via the native
     // codegen'd L2Squared kernel (the HOF zip_with/aggregate form is
     // CodegenFallback — interpreted — and dominated the runtime),
@@ -1035,31 +1034,50 @@ object Similarity {
     def microMean(x: Column): Column =
       round(sum(round(x * 1e6, 0).cast("long")).cast("double") /
         (count(lit(1)).cast("double") * 1e6), 6)
-    var model: Seq[(Int, Seq[Double])] = Nil
-    try {
-      // seeds = the k SMALLEST vec_ids (identical to the retired
-      // `vec_id < k` on contiguous corpora, never empty on sparse id
-      // spaces — the r14 id-robustness convention); cell ids stay the
-      // seeds' real vec_ids
-      model = e.orderBy(col("vec_id")).limit(k)
-        .select(col("vec_id"), transform(col("v"), x => round(x, 6)).as("c"))
-        .collect()
-        .map(r => (r.getLong(0).toInt, r.getAs[collection.Seq[Double]]("c").toSeq))
-        .sortBy(_._1).toSeq
-      for (_ <- 1 to iters) {
-        model = e
-          .select(array_min(dists(model)(col("v"))).getField("cell").as("cell"),
-            posexplode(col("v")))
-          .groupBy(col("cell"), col("pos"))
-          .agg(microMean(col("col")).as("m"))
-          .groupBy(col("cell"))
-          .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-            .getField("m").as("c"))
+    // the TRAINED model is a pure function of (corpus, k, iters) —
+    // staged once per embeddings fingerprint (r14, the train-once/
+    // score-many split): warm calls skip the Lloyd rounds and pay only
+    // the final assignment scan, which IS the query
+    val mBase = Staging.base("kmeans_model_v1", dir, s"k${k}_i$iters",
+      "embeddings")
+    Staging.buildOnce(mBase) {
+      e.cache()
+      var m: Seq[(Int, Seq[Double])] = Nil
+      try {
+        // seeds = the k SMALLEST vec_ids (identical to the retired
+        // `vec_id < k` on contiguous corpora, never empty on sparse id
+        // spaces — the r14 id-robustness convention); cell ids stay the
+        // seeds' real vec_ids
+        m = e.orderBy(col("vec_id")).limit(k)
+          .select(col("vec_id"),
+            transform(col("v"), x => round(x, 6)).as("c"))
           .collect()
-          .map(r => (r.getInt(0), r.getAs[collection.Seq[Double]]("c").toSeq))
+          .map(r => (r.getLong(0).toInt,
+            r.getAs[collection.Seq[Double]]("c").toSeq))
           .sortBy(_._1).toSeq
-      }
-    } finally e.unpersist(blocking = true)
+        for (_ <- 1 to iters) {
+          m = e
+            .select(array_min(dists(m)(col("v"))).getField("cell")
+              .as("cell"), posexplode(col("v")))
+            .groupBy(col("cell"), col("pos"))
+            .agg(microMean(col("col")).as("m"))
+            .groupBy(col("cell"))
+            .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+              .getField("m").as("c"))
+            .collect()
+            .map(r => (r.getInt(0),
+              r.getAs[collection.Seq[Double]]("c").toSeq))
+            .sortBy(_._1).toSeq
+        }
+      } finally e.unpersist(blocking = true)
+      import s.implicits._
+      m.toDF("cell", "c")
+        .coalesce(1).write.mode("overwrite").parquet(s"$mBase/model")
+    }
+    val model: Seq[(Int, Seq[Double])] =
+      s.read.parquet(s"$mBase/model").orderBy(col("cell")).collect()
+        .map(r => (r.getInt(0),
+          r.getAs[collection.Seq[Double]]("c").toSeq)).toSeq
     // final assignment + per-cluster summary (sizes, mean cost, first
     // two centroid coordinates as a spot-check of the model itself)
     val c0 = model.map { case (cell, c) =>
