@@ -474,19 +474,34 @@ object Retrieval {
           .select(col("vec_id").as("doc_id"))),
       ("3_rrf_vs_indexed", rrfFusionIndexed(s, dir).select("doc_id")),
       ("4_rrf_vs_minmax", minMaxFuse(bm20, dn20, 10).select("doc_id")))
-    val nA = broadcast(r1.agg(count(lit(1)).as("n_a"))
-      .localCheckpoint(true))
-    arms.map { case (name, other) =>
-      val o = other.localCheckpoint(true) // referenced twice below
-      r1.join(broadcast(o), "doc_id")
-        .agg(count(lit(1)).as("n_common"))
-        .crossJoin(nA)
-        .crossJoin(broadcast(o.agg(count(lit(1)).as("n_b"))))
-        .select(lit(name).as("pair"), col("n_common"),
-          round(lit(1e6) * col("n_common").cast("double") /
-            (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-            .cast("long").as("jaccard_micros"))
-    }.reduce(_.unionAll(_)).orderBy(col("pair").asc)
+    // model-sized driver finish (r14): every list is ≤10 ids, so the
+    // overlap/Jaccard readout is pure arithmetic on collected K-row
+    // models — the prfRm3Indexed collect discipline. The distributed
+    // work (the four retrievals above) is unchanged; the pre-r14
+    // per-arm join+crossJoin chain spent ~10 tiny jobs computing
+    // set intersections of 10-row lists. Same HALF_UP rounding as the
+    // retired round() column, same null on an empty union.
+    val aIds = r1.collect().map(_.getLong(0)).toSet
+    val rows = arms.map { case (name, other) =>
+      val bIds = other.collect().map(_.getLong(0))
+      val common = bIds.count(aIds.contains).toLong
+      val denom = aIds.size.toLong + bIds.length - common
+      val jac: java.lang.Long =
+        if (denom == 0L) null
+        else Long.box(BigDecimal(1e6 * common.toDouble / denom.toDouble)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      org.apache.spark.sql.Row(name, common, jac)
+    }
+    s.createDataFrame(
+      s.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pair",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_common",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("jaccard_micros",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+      .orderBy(col("pair").asc)
   }
 
   /** The fixed two-term query set for [[mrr]] — literal in both
