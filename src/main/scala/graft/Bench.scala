@@ -143,14 +143,15 @@ object Bench {
       // untouched queries). Noise only ever INFLATES a warm time, so
       // extra min-runs converge to steady state; a real regression
       // survives all of them. Only suspected faces pay the extra runs.
-      val warm = if (!wouldFlag(name, warm0)) warm0
+      val flaggedInLoop = wouldFlag(name, warm0)
+      val warm = if (!flaggedInLoop) warm0
       else (warm0 +: Seq(once(fn), once(fn)).filter(_ >= 0)).min
       // cache hygiene: a query may legitimately cache intermediates
       // (checkpoint-the-intermediate pattern); dropping them between
       // queries keeps one query's storage from polluting the next
       // measurement — the JVM-state artifact that inflated round 1.
       spark.catalog.clearCache()
-      (name, cold, warm)
+      (name, cold, warm, flaggedInLoop)
     }
     // END-OF-BATTERY CONFIRMATION: a face that still flags after its
     // in-loop re-measure gets a cold+warm+warm replay HERE, after every other
@@ -169,8 +170,8 @@ object Bench {
     // (the pre-r14 shape) could let a quiet-host COLD time that beat
     // the inflated warm0 become the durable warm artifact and next
     // round's baseline — mixing methodologies in the warm column.
-    val results = measured.map { case (name, cold, warm0) =>
-      if (!wouldFlag(name, warm0)) (name, cold, warm0)
+    val results = measured.map { case (name, cold, warm0, flaggedInLoop) =>
+      if (!wouldFlag(name, warm0)) (name, cold, warm0, flaggedInLoop)
       else {
         val coldRerun = once(benchQueries(name)) // discarded: not warm
         val reruns =
@@ -179,10 +180,11 @@ object Bench {
             .filter(_ >= 0)
         spark.catalog.clearCache()
         (name, cold,
-          if (reruns.isEmpty) warm0 else math.min(warm0, reruns.min))
+          if (reruns.isEmpty) warm0 else math.min(warm0, reruns.min),
+          true)
       }
     }
-    val qs = results.map { case (k, _, w) => s"\"" + k + "\":" + r3(w) }
+    val qs = results.map { case (k, _, w, _) => s"\"" + k + "\":" + r3(w) }
       .mkString("{", ",", "}")
     // The round's durable per-query artifact: the driver keeps only a
     // ~2000-char stdout tail (≈75 of 290 entries survive it), so the
@@ -194,12 +196,27 @@ object Bench {
     // (round 7's closing sf0.001 smoke did exactly that and silenced
     // the next round's diff) — non-canonical SFs default to a
     // /tmp sidecar instead.
-    val regressions = results.flatMap { case (k, _, w) =>
+    val regressions = results.flatMap { case (k, _, w, _) =>
       if (wouldFlag(k, w)) Some(k -> (prior(k), w)) else None
     }
     val regJson = regressions.map { case (k, (p, w)) =>
       s"\"" + k + s"\":{\"prev\":${r3(p)},\"now\":${r3(w)}}"
     }.mkString("{", ",", "}")
+    // Confirmation-gate observability (r13 item 5): which faces flagged
+    // at ANY stage of this battery and how they adjudicated.
+    // `n_confirmed` = still flagging after the end-of-battery replay
+    // (these ARE the `regressions` entries); `cleared` = flagged
+    // in-loop or at confirmation entry but fell back under the gate
+    // after extra runs — the silent adjudications. A creeping slowdown
+    // that keeps "just surviving" confirmation is now visible as a
+    // recurring name in `cleared` across rounds.
+    val confirmedNames = regressions.map(_._1).toSet
+    val clearedNames = results.collect {
+      case (k, _, w, true) if !wouldFlag(k, w) => k }
+    val confJson = s""""n_confirmed":${confirmedNames.size},""" +
+      s""""n_cleared":${clearedNames.size},""" +
+      s""""cleared":${clearedNames.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")}"""
     val total = r3(results.map(_._3).filter(_ >= 0).sum)
     val coldTotal = r3(results.map(_._2).filter(_ >= 0).sum)
     // failures are explicit: a throwing query must not read as a speedup.
@@ -210,18 +227,18 @@ object Bench {
     // Full-detail line: every query + every OSM phase. Too long to be
     // machine-parsed from a 2000-char output tail, but the judge reads
     // the tail by eye and most of this line stays visible in it.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"n_failed":$nFailed,"failed":$failed,$osm,$stream,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"n_failed":$nFailed,"failed":$failed,$confJson,$osm,$stream,"queries":$qs,"sf":"$sfDir"}""")
     // the durable per-query artifact (see detailPath comment above).
     // A SPARK_GRAFT_ONLY dev subset must not clobber the committed
     // full-battery baseline — subset runs only write when an explicit
     // detail path was given.
     if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_DETAIL")) try {
-      val qDetail = results.map { case (k, c, w) =>
+      val qDetail = results.map { case (k, c, w, _) =>
         s"\"" + k + s"\":{\"cold\":${r3(c)},\"warm\":${r3(w)}}"
       }.mkString("{", ",", "}")
       val out = s"""{"sf":"$sfDir","total":$total,"cold_total":$coldTotal,""" +
         s""""n_failed":$nFailed,"failed":$failed,"regressions":$regJson,""" +
-        s"""$osm,$stream,"queries":$qDetail}""" + "\n"
+        s"""$confJson,$osm,$stream,"queries":$qDetail}""" + "\n"
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         out.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[detail] $e") }
@@ -230,9 +247,9 @@ object Bench {
     // parser gets one short, complete, spec-shaped JSON line. `queries`
     // carries the slowest entries — the ones a grader acts on.
     val slowest = results.filter(_._3 >= 0).sortBy(-_._3).take(12)
-      .map { case (k, _, w) => s"\"" + k + "\":" + r3(w) }.mkString("{", ",", "}")
+      .map { case (k, _, w, _) => s"\"" + k + "\":" + r3(w) }.mkString("{", ",", "}")
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"n_failed":$nFailed,"regressions":$regJson,$osm,$stream,"queries":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"n_failed":$nFailed,"regressions":$regJson,$confJson,$osm,$stream,"queries":$slowest,"sf":"$sfDir"}""")
   }
 }

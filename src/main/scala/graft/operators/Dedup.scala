@@ -836,11 +836,18 @@ object Dedup {
     // materialized once: the tokenize+hash+explode projection feeds
     // BOTH the doc-frequency rollup and the join-back (the round-8
     // nearDupSides discipline — without this the corpus tokenization
-    // runs twice in one plan)
-    val docSpans = docs
-      .select(col("doc_id"), toks(col("text")).as("tk"))
-      .select(col("doc_id"), explode(spans).as("span"))
-      .localCheckpoint(true)
+    // runs twice in one plan). Staged through resultOnce, not
+    // localCheckpoint (r15): the returned lazy plan kept the
+    // checkpointed corpus×spans RDD alive with no unpersist path, so
+    // repeated battery calls accumulated cached RDDs for the session
+    // lifetime; the parquet round trip is exit-reaped scratch (or a
+    // fingerprint-keyed reusable stage when `docs` is file-backed —
+    // the driver path), and at 100 TB the same projection is a
+    // partitioned staging write, derive-once/read-many.
+    val docSpans = Staging.resultOnce("dupspans_proj", s"n$n", Seq(docs)) {
+      docs.select(col("doc_id"), toks(col("text")).as("tk"))
+        .select(col("doc_id"), explode(spans).as("span"))
+    }
     val spanDf = docSpans.groupBy(col("span"))
       .agg(count(lit(1)).as("df")) // distinct-per-doc ⇒ count == doc freq
     docSpans.join(spanDf, "span")

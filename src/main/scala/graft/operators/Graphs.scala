@@ -44,13 +44,17 @@ object Graphs {
     * each staging directory is written ONCE per key and reused — a
     * later call (or another operator composing this one) can never
     * overwrite part files that an earlier call's returned lazy plan
-    * still reads. `v1` is the algorithm version: bump it when the
-    * computation changes so stale models can't serve a new code
-    * version. Concurrent first calls in separate JVMs can race the
-    * build — the same deployment-lock caveat as the IVF index. */
+    * still reads. The version suffix is the algorithm version: bump it
+    * when the computation changes so stale models can't serve a new
+    * code version — `v2` = the r14 rank-space edge rewire, bumped for
+    * EVERY consumer of [[linkEdges]] (r15): a corpus whose fingerprint
+    * is unchanged must not serve a pre-rewire staged result built from
+    * the phantom-endpoint graph. Concurrent first calls in separate
+    * JVMs can race the build — the same deployment-lock caveat as the
+    * IVF index. */
   private def staged(s: SparkSession, dir: String, tag: String,
                      params: String)(build: String => Unit): DataFrame = {
-    val base = Staging.base(s"stage_${tag}_v1", dir, params, "documents")
+    val base = Staging.base(s"stage_${tag}_v2", dir, params, "documents")
     Staging.buildOnce(base)(build(s"$base/data"))
     s.read.parquet(s"$base/data")
   }
@@ -66,15 +70,20 @@ object Graphs {
     * space and maps back through [[rankToId]] emits the bit-identical
     * edge set it did in id space — while on sparse ids (soak/
     * production corpora) no modulus can mint a phantom endpoint.
-    * EAGER (count + rank pass + localCheckpoint at call time): call it
-    * inside a staged build or an already-eager loop body, never on a
-    * warm read path. */
+    * STAGED per corpus fingerprint (r15): it is a pure function of
+    * `documents`, and the pre-r15 per-call localCheckpoint leaked one
+    * un-unpersistable rank frame per call on blockEdges' warm
+    * modularity path — now the eager rank pass (count + range-stamp)
+    * runs once per corpus inside the staged build and every caller
+    * reads the file-backed (doc_id, rnk, n_docs) table. */
   private def rankedDocs(s: SparkSession, dir: String): DataFrame =
-    Ranking.withGlobalRank(
-        Tables.documents(s, dir).select(col("doc_id")),
-        "rnk1", "n_docs", Seq(col("doc_id")))
-      .select(col("doc_id"), (col("rnk1") - 1L).as("rnk"), col("n_docs"))
-      .localCheckpoint(true)
+    staged(s, dir, "rankdocs", "r") { finalPath =>
+      Ranking.withGlobalRank(
+          Tables.documents(s, dir).select(col("doc_id")),
+          "rnk1", "n_docs", Seq(col("doc_id")))
+        .select(col("doc_id"), (col("rnk1") - 1L).as("rnk"), col("n_docs"))
+        .write.mode("overwrite").parquet(finalPath)
+    }
 
   /** The rank → id map of [[rankedDocs]] output, keyed for a
     * `join(_, "dst_rnk")` that keeps edge multiplicity (the map is

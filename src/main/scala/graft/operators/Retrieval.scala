@@ -480,7 +480,12 @@ object Retrieval {
     // work (the four retrievals above) is unchanged; the pre-r14
     // per-arm join+crossJoin chain spent ~10 tiny jobs computing
     // set intersections of 10-row lists. Same HALF_UP rounding as the
-    // retired round() column, same null on an empty union.
+    // retired round() column. denom == 0 (both arms empty) emits NULL
+    // because that is what the DuckDB oracle's
+    // round(1e6·0/0)::BIGINT yields (verified: DuckDB NaN casts to
+    // NULL) — NOT what the retired Spark plan did (non-ANSI
+    // round(NaN).cast(long) was 0L), so the driver-side finish is the
+    // side that agrees with the oracle on an empty union.
     val aIds = r1.collect().map(_.getLong(0)).toSet
     val rows = arms.map { case (name, other) =>
       val bIds = other.collect().map(_.getLong(0))

@@ -93,11 +93,30 @@ object StreamBench {
       if (abortFlag) return (name, -1.0)
       faceN += 1
       val view = s"sb_$faceN"
-      val prior = spark.conf.getOption(providerKey)
+      // transformWithState faces run under the production state-store
+      // posture, set per face and restored after (no cross-face conf
+      // coupling): RocksDB provider (required by transformWithState),
+      // CHANGELOG checkpointing (commit uploads the batch's delta, not
+      // a full SST snapshot — the per-batch fixed term that dominated
+      // stream_neardup's r14 rate; see NearDupProbe), no no-data
+      // micro-batches (TimeMode.None faces have no timers to fire, so
+      // the extra empty batch after every feed only re-commits every
+      // state store), and state partitions SIZED TO THE FEED (each of
+      // the N stores commits per batch, so N scales the fixed term —
+      // 32 session partitions over 1-4k-doc micro-batches halved the
+      // measured rate vs 8; a real deployment sizes this knob to
+      // per-batch volume exactly the same way).
+      val twsConfs: Seq[(String, String)] = if (!rocksDb) Nil else Seq(
+        providerKey ->
+          ("org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider"),
+        ("spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled") -> "true",
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "8")
+      val prior = twsConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
       val rate = try {
-        if (rocksDb) spark.conf.set(providerKey,
-          "org.apache.spark.sql.execution.streaming.state." +
-            "RocksDBStateStoreProvider")
+        twsConfs.foreach { case (k, v) => spark.conf.set(k, v) }
         val mem = MemoryStream[T]
         val q = build(mem).writeStream.outputMode(mode)
           .option("checkpointLocation", s"$ckRoot/f$faceN")
@@ -123,9 +142,9 @@ object StreamBench {
       } catch { case e: Throwable =>
         System.err.println(s"[streambench] $name: $e"); -1.0
       } finally {
-        if (rocksDb) prior match {
-          case Some(v) => spark.conf.set(providerKey, v)
-          case None    => spark.conf.unset(providerKey)
+        prior.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None)    => spark.conf.unset(k)
         }
       }
       (name, rate)
@@ -210,14 +229,25 @@ object StreamBench {
         EventStreams.SessionEvent(u, new java.sql.Timestamp(ms), et)
       }, gapMs = 600000L).toDF())
 
-    // within-stream near-dup: banded MinHash per-bucket ListState —
-    // the heaviest stateful face (per-arrival shingle+sig projection
-    // plus |bucket| signature comparisons)
+    // within-stream near-dup: banded MinHash per-bucket ListState.
+    // Fed EXACTLY like its doc-face sibling stream_preprocess: a
+    // quarter-corpus warmup (plan + codegen + RocksDB setup + the
+    // first state-store commits land untimed), then prepRep× the
+    // corpus under fresh doc_ids at the shared grain — the r14 cold
+    // single-corpus feed divided ~0.4s/batch of fixed micro-batch
+    // machinery by 1.25k-doc batches and read 1k docs/s for a face
+    // whose compare term is ~3% of wall (NearDupProbe decomposition,
+    // SURVEY §24): the steady-state feed measures the marginal rate
+    // the state layout actually sustains. Replica texts are exact
+    // dups of the warmed buckets' members, so the measured feed does
+    // STRICTLY MORE per-bucket compare work than the cold one.
+    val ndWarm = docPayload.map { case (id, _, t) => (id, t) }
+      .take(docPayload.length / 4)
+    val ndMeasured = (1 to prepRep).flatMap(k =>
+      docPayload.map { case (id, _, t) => (id + k * idSpan, t) })
     val neardup = payloadFace(
-      "stream_neardup",
-      docs.select(col("doc_id"), col("text")).collect()
-        .map(r => (r.getLong(0), r.getString(1))).toSeq,
-      "append", rocksDb = true)(mem =>
+      "stream_neardup", ndMeasured,
+      "append", rocksDb = true, warmup = ndWarm)(mem =>
       EventStreams.nearDupStream(spark,
         mem.toDF().toDF("doc_id", "text")).toDF())
 
