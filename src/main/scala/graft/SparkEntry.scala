@@ -102,6 +102,9 @@ object SparkEntry {
     // never runs (§2f) — way assembly + the README highway table in km
     "r3_way_assembly"   -> (Audits.r3WayAssembly(_, _)),
     "r4_highway_length" -> (Audits.r4HighwayLength(_, _)),
+    // round-15: the <relation> element the reference drops at :466 —
+    // typed member resolution + two-hop multipolygon assembly
+    "r5_relation_members" -> (Audits.r5RelationMembers(_, _)),
     // ---- reference query surface (§2e) ----
     "oq1_distinct_users" -> (Audits.oq1DistinctUsers(_, _)),
     "oq2_type_counts"   -> (Audits.oq2TypeCounts(_, _)),
@@ -1077,6 +1080,70 @@ object SparkEntry {
            CAST(CAST(sum(seg_um) AS BIGINT) AS DOUBLE) * 1.11195e-4
              AS length_km
          FROM seg GROUP BY htype""",
+    "r5_relation_members" ->
+      """WITH rels AS (
+           SELECT doc_id AS rel_id FROM documents WHERE doc_id % 9 = 0),
+         ways AS (
+           SELECT doc_id AS way_id FROM documents WHERE doc_id % 5 = 0),
+         nodes AS (
+           SELECT doc_id AS ref,
+                  (doc_id * 1000003) % 180000000 AS lat_m,
+                  (doc_id * 998244353) % 360000000 AS lon_m
+           FROM documents WHERE doc_id % 5 <> 0),
+         members AS (
+           SELECT rel_id, 'way' AS mtype, rel_id - (rel_id % 5) AS ref,
+                  'outer' AS role FROM rels
+           UNION ALL SELECT rel_id, 'way', rel_id - (rel_id % 5) + 5,
+                  'inner' FROM rels
+           UNION ALL SELECT rel_id, 'node', rel_id + 1, 'admin_centre'
+                  FROM rels
+           UNION ALL SELECT rel_id, 'node', rel_id + 2, 'label' FROM rels),
+         wm AS (
+           SELECT m.rel_id, m.role, w.way_id
+           FROM members m LEFT JOIN ways w ON m.ref = w.way_id
+           WHERE m.mtype = 'way'),
+         wstats AS (
+           SELECT rel_id, count(*) AS n_way_members,
+                  count(way_id) AS n_resolved_ways
+           FROM wm GROUP BY rel_id),
+         wrefs AS (
+           SELECT rel_id, role,
+                  unnest(range(way_id + 1, way_id + 2 + (way_id % 7)))
+                    AS nref
+           FROM wm WHERE way_id IS NOT NULL),
+         pts AS (
+           SELECT w.rel_id, w.role, n.lat_m, n.lon_m
+           FROM wrefs w JOIN nodes n ON w.nref = n.ref),
+         pstats AS (
+           SELECT rel_id,
+             CAST(sum(CASE WHEN role = 'outer' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_outer_points,
+             CAST(sum(CASE WHEN role = 'inner' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_inner_points,
+             CAST(sum(CASE WHEN role = 'outer' THEN lat_m END)
+               AS BIGINT) AS sum_lat,
+             CAST(sum(CASE WHEN role = 'outer' THEN lon_m END)
+               AS BIGINT) AS sum_lon
+           FROM pts GROUP BY rel_id),
+         nstats AS (
+           SELECT m.rel_id, count(*) AS n_node_members,
+                  count(n.lat_m) AS n_resolved_nodes
+           FROM members m LEFT JOIN nodes n ON m.ref = n.ref
+           WHERE m.mtype = 'node' GROUP BY m.rel_id)
+         SELECT r.rel_id, w.n_way_members, w.n_resolved_ways,
+           n.n_node_members, n.n_resolved_nodes,
+           COALESCE(p.n_outer_points, 0) AS n_outer_points,
+           COALESCE(p.n_inner_points, 0) AS n_inner_points,
+           CASE WHEN COALESCE(p.n_outer_points, 0) > 0 THEN
+             CAST(floor(CAST(p.sum_lat AS DOUBLE) / p.n_outer_points)
+                  AS BIGINT) END AS centroid_lat_m,
+           CASE WHEN COALESCE(p.n_outer_points, 0) > 0 THEN
+             CAST(floor(CAST(p.sum_lon AS DOUBLE) / p.n_outer_points)
+                  AS BIGINT) END AS centroid_lon_m
+         FROM rels r
+         JOIN wstats w ON r.rel_id = w.rel_id
+         JOIN nstats n ON r.rel_id = n.rel_id
+         LEFT JOIN pstats p ON r.rel_id = p.rel_id""",
     "oq1_distinct_users" ->
       """SELECT count(*) AS distinct_users FROM
          (SELECT DISTINCT CASE WHEN doc_id % 9 = 0 THEN NULL ELSE source END

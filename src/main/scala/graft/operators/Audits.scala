@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's audit surface (SURVEY.md §2b) re-expressed over the
@@ -440,5 +440,79 @@ object Audits {
         sum(col("seg_um")).as("length_um"))
       .withColumn("length_km",
         col("length_um").cast("double") * lit(1.11195e-4))
+  }
+
+  /** R5 relation assembly — the `<relation>` completion of the element
+    * model the way R3/R4 completed ways (the reference DROPS relations
+    * at openstreet_kolkata.py:466; the PBF reader already parses them
+    * — graft.osm.pbf.PbfSource.relations — and
+    * [[graft.osm.OsmEngine.relationMembers]] is this operator's
+    * real-OSM twin). The synthetic model mirrors a multipolygon:
+    * every doc_id ≡ 0 (mod 9) is a relation with four TYPED members —
+    * two way members (roles outer/inner, refs snapped to the way id
+    * grid) and two node members (admin_centre/label) — so the face
+    * exercises the primitive the reference never had: member-role
+    * explode + TYPE-SCOPED resolution (a way ref must only match a
+    * way, a node ref only a node) + the two-hop assembly
+    * relation → member way → way nodes → coordinates. Unresolved
+    * members stay counted, never dropped (left joins — the partial-
+    * extract posture of R3), and the centroid is the OUTER ring's
+    * floor(sum/n) in exact integer micro-degrees (sums ≤ 16·1.8e8
+    * are double-exact; same IEEE shape as R3).
+    *
+    * Scale shape: the member explode is a narrow map; both resolution
+    * hops are hash equi-joins on long refs (the planet multipolygon-
+    * assembly job — relations × members against the way table, then
+    * member-way refs against the node table); all three rollups are
+    * map-side-combined hash aggs on rel_id. No window, no sort. */
+  def r5RelationMembers(s: SparkSession, dir: String): DataFrame = {
+    val (ways, nodes) = wayFrames(s, dir)
+    val rels = Tables.documents(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 9 === 0)
+      .select(col("doc_id").as("rel_id"))
+    def member(mtype: String, ref: Column, role: String): Column =
+      struct(lit(mtype).as("mtype"), ref.as("ref"), lit(role).as("role"))
+    val members = rels.select(col("rel_id"), explode(array(
+        member("way", col("rel_id") - col("rel_id") % 5, "outer"),
+        member("way", col("rel_id") - col("rel_id") % 5 + 5, "inner"),
+        member("node", col("rel_id") + 1, "admin_centre"),
+        member("node", col("rel_id") + 2, "label"))).as("m"))
+      .select(col("rel_id"), col("m.mtype"), col("m.ref"), col("m.role"))
+    // hop 1: way members resolve ONLY against ways (type-scoped)
+    val wm = members.filter(col("mtype") === "way")
+      .join(ways.withColumnRenamed("way_id", "ref"), Seq("ref"), "left_outer")
+    val wStats = wm.groupBy(col("rel_id"))
+      .agg(count(lit(1)).as("n_way_members"),
+        count(col("node_refs")).as("n_resolved_ways"))
+    // hop 2: resolved member ways explode their refs against nodes
+    val pts = wm.filter(col("node_refs").isNotNull)
+      .select(col("rel_id"), col("role"), explode(col("node_refs")).as("nref"))
+      .join(nodes.withColumnRenamed("ref", "nref"), Seq("nref"))
+    val pStats = pts.groupBy(col("rel_id"))
+      .agg(sum(when(col("role") === "outer", 1L).otherwise(0L))
+          .as("n_outer_points"),
+        sum(when(col("role") === "inner", 1L).otherwise(0L))
+          .as("n_inner_points"),
+        sum(when(col("role") === "outer", col("lat_m"))).as("sum_lat"),
+        sum(when(col("role") === "outer", col("lon_m"))).as("sum_lon"))
+    // node members resolve ONLY against nodes
+    val nStats = members.filter(col("mtype") === "node")
+      .join(nodes, Seq("ref"), "left_outer")
+      .groupBy(col("rel_id"))
+      .agg(count(lit(1)).as("n_node_members"),
+        count(col("lat_m")).as("n_resolved_nodes"))
+    rels.join(wStats, Seq("rel_id"))
+      .join(nStats, Seq("rel_id"))
+      .join(pStats, Seq("rel_id"), "left_outer")
+      .select(col("rel_id"), col("n_way_members"), col("n_resolved_ways"),
+        col("n_node_members"), col("n_resolved_nodes"),
+        coalesce(col("n_outer_points"), lit(0L)).as("n_outer_points"),
+        coalesce(col("n_inner_points"), lit(0L)).as("n_inner_points"),
+        when(coalesce(col("n_outer_points"), lit(0L)) > 0,
+          floor(col("sum_lat").cast("double") / col("n_outer_points"))
+            .cast("long")).as("centroid_lat_m"),
+        when(coalesce(col("n_outer_points"), lit(0L)) > 0,
+          floor(col("sum_lon").cast("double") / col("n_outer_points"))
+            .cast("long")).as("centroid_lon_m"))
   }
 }

@@ -31,7 +31,8 @@ object OsmBench {
                           pbfShapeColdSec: Double = -1.0,
                           xsShapeColdSec: Double = -1.0,
                           pbfQueriesColdSec: Double = -1.0,
-                          queriesColdSec: Double = -1.0) {
+                          queriesColdSec: Double = -1.0,
+                          builtinShapeSec: Double = -1.0) {
     def json: String =
       f""""osm_mb":$mb%.1f,"osm_audit_sec":$auditSec%.2f,""" +
         f""""osm_shape_sec":$shapeSec%.2f,"osm_queries_sec":$queriesSec%.2f,""" +
@@ -46,7 +47,8 @@ object OsmBench {
         f""""osm_pbf_shape_cold_sec":$pbfShapeColdSec%.2f,""" +
         f""""osm_xmlsplit_shape_cold_sec":$xsShapeColdSec%.2f,""" +
         f""""osm_pbf_queries_cold_sec":$pbfQueriesColdSec%.2f,""" +
-        f""""osm_queries_cold_sec":$queriesColdSec%.2f"""
+        f""""osm_queries_cold_sec":$queriesColdSec%.2f,""" +
+        f""""osm_builtin_shape_sec":$builtinShapeSec%.2f"""
   }
 
   private def time(f: => Unit): Double = {
@@ -184,22 +186,26 @@ object OsmBench {
     // not splittable — that seriality is the finding). It runs on the
     // quarter-scale slice so it ALWAYS completes inside budget on a
     // contended host (rounds 3 and 4 recorded -1 at full size);
-    // osm_shape_sec is the linear byte-ratio extrapolation to the full
-    // file, with the raw slice measurement recorded alongside. The
-    // parallel paths above are the engine's numbers; this phase is the
-    // baseline being beaten.
+    // osm_builtin_shape_sec is the linear byte-ratio extrapolation to
+    // the full file, with the raw slice measurement recorded
+    // alongside. r15: the split reader is now the DEFAULT ingest
+    // (OsmEngine.elements routes plain .osm through OsmXmlSplit), so
+    // osm_shape_sec — "the shape time users get" — is the full-file
+    // split number; this serial phase is the retired default kept as
+    // the verification twin and the baseline being beaten.
     val sliceShapeSec = budgeted(spark, 100, -1.0) {
-      time(OsmEngine.shape(OsmEngine.elements(spark, xmlSlicePath)).count())
+      time(OsmEngine.shape(
+        OsmEngine.builtinElements(spark, xmlSlicePath)).count())
     }
-    val shapeSec =
+    val builtinShapeSec =
       if (sliceShapeSec < 0 || sliceMb <= 0) -1.0
       else sliceShapeSec * mb / sliceMb
 
-    Result(mb, auditSec, shapeSec, queriesSec, xsRows,
+    Result(mb, auditSec, xsShapeSec, queriesSec, xsRows,
       pbfMb, pbfShapeSec, pbfQueriesSec, pbfRows, xsShapeSec, xsRows,
       dsv2ShapeSec, dsv2Rows, sliceMb, sliceShapeSec,
       pbfDecodeSec, pbfShapeColdSec, xsShapeColdSec,
-      pbfQueriesColdSec, queriesColdSec)
+      pbfQueriesColdSec, queriesColdSec, builtinShapeSec)
   }
 
   def main(args: Array[String]): Unit = {

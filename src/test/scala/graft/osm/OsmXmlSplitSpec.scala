@@ -26,7 +26,7 @@ class OsmXmlSplitSpec extends SparkSpec {
   test("range-parallel parse is row-identical to the builtin xml source") {
     val split = OsmXmlSplit.elements(spark, path, targetSplitBytes = 64 << 10)
     assert(split.rdd.getNumPartitions > 1, "must actually parallelize")
-    val a = OsmEngine.shape(OsmEngine.elements(spark, path))
+    val a = OsmEngine.shape(OsmEngine.builtinElements(spark, path))
       .toJSON.collect().sorted
     val b = OsmEngine.shape(split).toJSON.collect().sorted
     assert(a.length === b.length)
@@ -59,7 +59,7 @@ class OsmXmlSplitSpec extends SparkSpec {
     dir.mkdirs()
     val f = new java.io.File(dir, "handmade.osm")
     java.nio.file.Files.writeString(f.toPath, doc)
-    val a = OsmEngine.shape(OsmEngine.elements(spark, f.getPath))
+    val a = OsmEngine.shape(OsmEngine.builtinElements(spark, f.getPath))
       .toJSON.collect().sorted
     val b = OsmEngine.shape(OsmXmlSplit.elements(spark, f.getPath))
       .toJSON.collect().sorted

@@ -125,6 +125,47 @@ class PbfSpec extends SparkSpec {
     assert(PbfSource.elements(spark, p).count() === 0)
   }
 
+  test("R5 relationMembers: typed resolution over a mixed PBF fixture " +
+    "(way ref only matches a way, relation members resolve against " +
+    "relations, unresolved members counted)") {
+    val dir = new java.io.File("target/tmp")
+    dir.mkdirs()
+    val p = new java.io.File(dir, "relmembers.osm.pbf").getPath
+    import PbfWriter._
+    val ts = 1488326400000L
+    // node 17 and way 42 exist; way 42 also CONTAINS node 17. Member
+    // refs: node 17 (hit), way 42 (hit), relation 7 (miss — no such
+    // relation), and for rel 901 way 42 again. Crucially there is NO
+    // node 42 and NO way 17 — a type-blind join would still resolve
+    // them, so the expected counts below pin the type scoping.
+    val nodes = Seq(PbfNode(17L, 1000000000L, 2000000000L,
+      Seq("amenity" -> "school"), 1, ts, 5L, 9L, "user_9",
+      visible = true))
+    val ways = Seq(PbfWay(42L, Seq(17L), Seq("highway" -> "primary"),
+      1, ts, 6L, 9L, "user_9", visible = true))
+    val rels = Seq(
+      PbfRelation(900L, Seq(PbfMember(0, 17L, "stop"),
+        PbfMember(1, 42L, "path"), PbfMember(2, 7L, "")),
+        Seq("type" -> "route"), 1, ts, 7L, 9L, "user_9", visible = true),
+      PbfRelation(901L, Seq(PbfMember(1, 42L, "outer"),
+        PbfMember(2, 900L, "subarea")),
+        Seq("type" -> "multipolygon"), 1, ts, 8L, 9L, "user_9",
+        visible = true))
+    PbfWriter.write(p, nodes, ways, 4000, rels)
+    val shaped = OsmEngine.shape(PbfSource.elements(spark, p))
+    val out = OsmEngine
+      .relationMembers(PbfSource.relations(spark, p), shaped)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getString(6))).toMap
+    // rel 900: 3 members, 2 resolved (node 17, way 42; relation 7
+    // unresolved), roles sorted with the empty role first
+    assert(out("900") === ((3L, 2L, 1L, 1L, 1L, ",path,stop")))
+    // rel 901: way 42 resolves; relation member 900 resolves against
+    // the RELATIONS frame (super-relation), not the shaped elements
+    assert(out("901") === ((2L, 2L, 1L, 0L, 1L, "outer,subarea")))
+  }
+
   test("PBF audits: A4 user counts match the XML path") {
     val pbfElems = PbfSource.elements(spark, xmlPath + ".pbf")
     val xmlCounts = OsmEngine.auditUsers(OsmEngine.elements(spark, xmlPath))
