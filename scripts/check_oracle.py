@@ -62,7 +62,25 @@ def compare(name, spark_df, oracle_df):
     return None
 
 
-def main(out_dir, sf_dir, names=None):
+def record(spark_df, oracle_df):
+    """Driver-shaped per-query record (the CORRECTNESS_r*.json schema):
+    rows/schema/hash flags computed independently so a partial failure
+    still reports what DID match."""
+    rec = {"rows_match": len(spark_df) == len(oracle_df),
+           "schema_match":
+               sorted(spark_df.columns) == sorted(oracle_df.columns),
+           "hash_match": False,
+           "spark_rows": len(spark_df), "oracle_rows": len(oracle_df),
+           "err": None}
+    if rec["rows_match"] and rec["schema_match"]:
+        err = compare("", spark_df, oracle_df)
+        rec["hash_match"] = err is None
+        if err:
+            rec["err"] = err
+    return rec
+
+
+def main(out_dir, sf_dir, names=None, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         # driver testdata ships single files; ScaleUp soak dirs are
@@ -73,6 +91,7 @@ def main(out_dir, sf_dir, names=None):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle_sql = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = 0
+    records = {}
     if names:
         keep = {n.strip() for n in names.split(",") if n.strip()}
         unknown = keep - set(oracle_sql)
@@ -88,12 +107,20 @@ def main(out_dir, sf_dir, names=None):
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
         except Exception as ex:
             print(f"FAIL {name}: no spark result ({str(ex)[:100]})")
+            records[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": -1,
+                             "oracle_rows": -1,
+                             "err": f"no spark result: {str(ex)[:100]}"}
             fail += 1
             continue
         try:
             oracle_df = con.execute(sql).fetchdf()
         except Exception as ex:
             print(f"FAIL {name}: oracle error {str(ex)[:200]}")
+            records[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False,
+                             "spark_rows": len(spark_df), "oracle_rows": -1,
+                             "err": f"oracle error: {str(ex)[:200]}"}
             fail += 1
             continue
         # dtype reconciliation: float-coerce ONLY when one side is already
@@ -113,17 +140,27 @@ def main(out_dir, sf_dir, names=None):
                             oracle_df[c] = oracle_df[c].astype("int64")
                 except (TypeError, ValueError):
                     pass
-        err = compare(name, spark_df, oracle_df)
-        if err:
-            print(f"FAIL {name}: {err}")
+        rec = record(spark_df, oracle_df)
+        records[name] = rec
+        if not (rec["rows_match"] and rec["schema_match"]
+                and rec["hash_match"]):
+            print(f"FAIL {name}: {rec['err'] or 'rows/schema mismatch'}")
             fail += 1
         else:
             print(f"ok   {name} ({len(spark_df)} rows)")
             ok += 1
     print(f"\n{ok} ok, {fail} fail")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=1, sort_keys=True)
     return 1 if fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2],
-                  sys.argv[3] if len(sys.argv) > 3 else None))
+    args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+    json_out = None
+    for a in sys.argv[1:]:
+        if a.startswith("--json="):
+            json_out = a.split("=", 1)[1]
+    sys.exit(main(args[0], args[1],
+                  args[2] if len(args) > 2 else None, json_out))

@@ -492,39 +492,34 @@ object Spatial {
         h("gpy:", DomainMicros).as("cy"),
         (lit(1000000L) + h("gpr:", 3000001L)).as("r"))
     // DENSITY-ADAPTIVE cell size (gridMicros = 0; an explicit value
-    // pins it for tests): the candidate sliver scales with
-    // (2r̄ + 2g)² — each cell inflates every polygon's effective bbox
-    // by ~g per side — while the polygon explode volume scales with
-    // (2r̄/g + 2)². For point-heavy corpora the sliver dominates, so g
-    // tracks the MEASURED mean radius at r̄/4 (cost near-optimal for
-    // both terms: ~²⁵⁄₁₆ bbox inflation, ≤100 cells/polygon), clamped
-    // to [2.5e5, 2e6]. The probe is a one-row aggregate over the
-    // polygon dim — model-sized at any corpus scale, the same
-    // self-sizing convention as Ranking.withGlobalRank. A fixed g=2e6
-    // was ~2x more candidate volume at sf1 on these radii, and
-    // polygon-dense corpora (bigger r̄, more polygons) only widen that
-    // gap. Changing g never moves results: the grid only generates
+    // pins it for tests): g tracks the MEASURED mean radius at r̄,
+    // clamped to [2.5e5, 4e6]. The probe is a one-row aggregate over
+    // the polygon dim — model-sized at any corpus scale, the same
+    // self-sizing convention as Ranking.withGlobalRank.
+    //
+    // WHY r̄ and not the candidate-minimizing r̄/4 (the pre-r15
+    // default): two costs trade off — the candidate sliver scales
+    // with (2r̄ + 2g)² per polygon, the cell explode + join-build
+    // volume with (2r̄/g + 2)². When candidate evaluation was an
+    // interpreted CASE tree (pre-r13) the sliver dominated and r̄/4
+    // was right; the native octagon kernel made a candidate cost ~ns,
+    // so the shuffled/built cell rows now bind. The r15 measured
+    // sweep at sf10 (GeoGridSweep, SURVEY §24 — 200k polygons, 10M
+    // points, 289M true matches, true matches INVARIANT across g by
+    // construction): g=500k → 12.9M cell rows/482M candidates/56.6s;
+    // g=r̄/4=624k → 53.7s; g=1e6 → 51.8s; g=2e6 → 1.25M cells/750M
+    // candidates/40.9s; g=4e6 → 0.5M cells/1.20B candidates/45.2s —
+    // U-shaped wall, minimum near g ≈ 0.8·r̄, candidate volume 2.5x
+    // the floor there and still cheaper than the finer grids' explode.
+    // Changing g never moves results: the grid only generates
     // candidates, membership is decided by the bbox + ray-cast.
     val g = if (gridMicros > 0) gridMicros else {
       val row = pol.agg(sum(col("r")), count(lit(1))).collect()(0)
       val rBar = if (row.getLong(1) == 0) 2500000L
         else row.getLong(0) / row.getLong(1)
-      math.max(250000L, math.min(2000000L, rBar / 4))
+      math.max(250000L, math.min(4000000L, rBar))
     }
-    val cpa = (DomainMicros + g - 1) / g
-    val polCells = pol
-      .withColumn("bx0", expr(s"greatest(cx - r, 0L) DIV $g"))
-      .withColumn("bx1",
-        expr(s"least(cx + r, ${DomainMicros - 1}L) DIV $g"))
-      .withColumn("by0", expr(s"greatest(cy - r, 0L) DIV $g"))
-      .withColumn("by1",
-        expr(s"least(cy + r, ${DomainMicros - 1}L) DIV $g"))
-      .withColumn("cellx", explode(sequence(col("bx0"), col("bx1"))))
-      .withColumn("celly", explode(sequence(col("by0"), col("by1"))))
-      .select(col("pid"), col("cx"), col("cy"), col("r"),
-        (col("cellx") * cpa + col("celly")).as("cell"))
-    val pts = points(s, dir)
-      .withColumn("cell", expr(s"(x DIV $g) * $cpa + (y DIV $g)"))
+    val (pts, polCells) = cellJoinSides(s, dir, pol, g)
     val px = col("x"); val py = col("y")
     val cxc = col("cx"); val cyc = col("cy")
     val r = col("r")
@@ -539,5 +534,58 @@ object Spatial {
       .filter(call_function("octagon_contains", px, py, cxc, cyc, r))
       .groupBy(col("pid"))
       .agg(count(lit(1)).as("n_inside"), sum(col("id")).as("sum_ids"))
+  }
+
+  /** The two sides of geo8's cell equi-join at cell size `g` — shared
+    * by [[polygonContains]] and the [[polygonGridProfile]] diagnostic
+    * so the profiled candidate volume is BY CONSTRUCTION the volume
+    * the serving face pays. */
+  private def cellJoinSides(s: SparkSession, dir: String, pol: DataFrame,
+                            g: Long): (DataFrame, DataFrame) = {
+    val cpa = (DomainMicros + g - 1) / g
+    val polCells = pol
+      .withColumn("bx0", expr(s"greatest(cx - r, 0L) DIV $g"))
+      .withColumn("bx1",
+        expr(s"least(cx + r, ${DomainMicros - 1}L) DIV $g"))
+      .withColumn("by0", expr(s"greatest(cy - r, 0L) DIV $g"))
+      .withColumn("by1",
+        expr(s"least(cy + r, ${DomainMicros - 1}L) DIV $g"))
+      .withColumn("cellx", explode(sequence(col("bx0"), col("bx1"))))
+      .withColumn("celly", explode(sequence(col("by0"), col("by1"))))
+      .select(col("pid"), col("cx"), col("cy"), col("r"),
+        (col("cellx") * cpa + col("celly")).as("cell"))
+    val pts = points(s, dir)
+      .withColumn("cell", expr(s"(x DIV $g) * $cpa + (y DIV $g)"))
+    (pts, polCells)
+  }
+
+  /** Grid-knob diagnostic for geo8 (SURVEY §24 sweep): at cell size
+    * `g`, the cost ledger of the cell join — polygon cell-explode
+    * volume, candidate pairs out of the equi-join, bbox survivors, and
+    * true ray-cast matches (g-invariant by construction: the grid only
+    * GENERATES candidates). One row; each count is an aggregate over
+    * the same frames the face joins. */
+  def polygonGridProfile(s: SparkSession, dir: String,
+                         gridMicros: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    def h(salt: String, m: Long): Column =
+      pmod(call_function("md5_base60",
+        concat(lit(salt), col("s_suppkey").cast("string"))), lit(m))
+    val pol = Tables.supplier(s, dir).select(
+        col("s_suppkey").as("pid"),
+        h("gpx:", DomainMicros).as("cx"),
+        h("gpy:", DomainMicros).as("cy"),
+        (lit(1000000L) + h("gpr:", 3000001L)).as("r"))
+    val (pts, polCells) = cellJoinSides(s, dir, pol, gridMicros)
+    val cand = pts.join(polCells, "cell")
+    val bbox = cand.filter(abs(col("x") - col("cx")) <= col("r") &&
+      abs(col("y") - col("cy")) <= col("r"))
+    val trueMatches = bbox.filter(call_function("octagon_contains",
+      col("x"), col("y"), col("cx"), col("cy"), col("r")))
+    import s.implicits._
+    Seq((gridMicros, polCells.count(), cand.count(), bbox.count(),
+        trueMatches.count()))
+      .toDF("grid_micros", "n_pol_cells", "n_candidates",
+        "n_bbox_survivors", "n_true_matches")
   }
 }

@@ -168,4 +168,83 @@ object OsmXmlSplit {
     }
     out.result()
   }
+
+  /** `<relation>` elements in [[graft.osm.pbf.PbfSource.relationSchema]],
+    * parsed range-parallel — the XML-path feeder of
+    * [[OsmEngine.relationMembers]] (r15; the PBF path decodes relations
+    * natively, and with this the plain-XML default ingest serves the
+    * full element model too). Same split index, same line decoder, same
+    * all-string discipline; node/way elements are skipped here exactly
+    * as [[elements]] skips relations, so one file scan per element
+    * family — at planet scale each is its own range-parallel job over
+    * the same byte ranges. */
+  def relations(spark: SparkSession, path: String,
+                targetSplitBytes: Long = 16L << 20): DataFrame = {
+    val ranges = splitRanges(path, targetSplitBytes)
+    val par = math.max(1, math.min(ranges.size,
+      spark.sparkContext.defaultParallelism))
+    val rdd = spark.sparkContext.parallelize(ranges, par).mapPartitions {
+      it =>
+        it.flatMap { case (start, end) =>
+          val raf = new RandomAccessFile(path, "r")
+          try {
+            raf.seek(start)
+            val buf = new Array[Byte]((end - start).toInt)
+            raf.readFully(buf)
+            parseRelationLines(new String(buf, StandardCharsets.UTF_8))
+          } finally raf.close()
+        }
+    }
+    spark.createDataFrame(rdd, graft.osm.pbf.PbfSource.relationSchema)
+  }
+
+  private val relAttrOrder = Seq("id", "visible", "version", "changeset",
+    "timestamp", "user", "uid")
+
+  private[osm] def parseRelationLines(text: String): Seq[Row] = {
+    val out = Seq.newBuilder[Row]
+    val lines = text.linesIterator
+    while (lines.hasNext) {
+      val line = lines.next()
+      ElementStart.findFirstMatchIn(line) match {
+        case Some(m) if m.group(1) == "relation" =>
+          val attrs = Attr.findAllMatchIn(line)
+            .map(a => a.group(1) -> unescape(a.group(2))).toMap
+          val tags = Seq.newBuilder[Row]
+          val members = Seq.newBuilder[Row]
+          if (!line.trim.endsWith("/>")) {
+            var done = false
+            while (!done && lines.hasNext) {
+              val t = lines.next().trim
+              if (t.startsWith("</relation>")) done = true
+              else if (t.startsWith("<member")) {
+                val ca = Attr.findAllMatchIn(t)
+                  .map(a => a.group(1) -> unescape(a.group(2))).toMap
+                members += Row(ca.getOrElse("type", null),
+                  ca.getOrElse("ref", null), ca.getOrElse("role", null))
+              } else if (t.startsWith("<tag")) {
+                val ca = Attr.findAllMatchIn(t)
+                  .map(a => a.group(1) -> unescape(a.group(2))).toMap
+                tags += Row(ca.getOrElse("k", null), ca.getOrElse("v", null))
+              }
+            }
+          }
+          val a = relAttrOrder.map(attrs.get(_).orNull)
+          val tagSeq = tags.result()
+          val memberSeq = members.result()
+          out += Row(a(0), a(1), a(2), a(3), a(4), a(5), a(6),
+            if (tagSeq.isEmpty) null else tagSeq,
+            if (memberSeq.isEmpty) null else memberSeq)
+        case Some(other) => // node/way: skip its children here
+          val tpe = other.group(1)
+          if (!line.trim.endsWith("/>")) {
+            var done = false
+            while (!done && lines.hasNext)
+              if (lines.next().contains(s"</$tpe>")) done = true
+          }
+        case None => // prolog / <osm> / </osm> / stray child — skip
+      }
+    }
+    out.result()
+  }
 }

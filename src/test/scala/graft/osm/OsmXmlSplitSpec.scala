@@ -68,6 +68,55 @@ class OsmXmlSplitSpec extends SparkSpec {
       s"builtin:\n${a.mkString("\n")}\nsplit:\n${b.mkString("\n")}")
   }
 
+  test("XML relations parse in the PBF relationSchema and feed " +
+    "relationMembers identically to the PBF path") {
+    import org.apache.spark.sql.Row
+    val doc =
+      """<?xml version='1.0' encoding='UTF-8'?>
+        |<osm version="0.6" generator="hand">
+        |  <node id="17" visible="true" version="1" changeset="9" timestamp="2017-03-01T00:00:00Z" user="user_9" uid="9" lat="1.0" lon="2.0">
+        |    <tag k="amenity" v="school"/>
+        |  </node>
+        |  <way id="42" visible="true" version="1" changeset="9" timestamp="2017-03-01T00:00:00Z" user="user_9" uid="9">
+        |    <nd ref="17"/>
+        |    <tag k="highway" v="primary"/>
+        |  </way>
+        |  <relation id="900" visible="true" version="1" changeset="55" timestamp="2017-03-01T00:00:00Z" user="user_9" uid="9">
+        |    <member type="node" ref="17" role="stop"/>
+        |    <member type="way" ref="42" role="path"/>
+        |    <member type="relation" ref="7" role=""/>
+        |    <tag k="type" v="route"/>
+        |  </relation>
+        |  <relation id="901" visible="true" version="1" changeset="56" timestamp="2017-03-01T00:00:00Z" user="user_9" uid="9">
+        |    <member type="way" ref="42" role="outer"/>
+        |    <member type="relation" ref="900" role="subarea"/>
+        |    <tag k="type" v="multipolygon"/>
+        |  </relation>
+        |</osm>
+        |""".stripMargin
+    val dir = new java.io.File("target/tmp")
+    dir.mkdirs()
+    val f = new java.io.File(dir, "handmade_rels.osm")
+    java.nio.file.Files.writeString(f.toPath, doc)
+    val rels = OsmXmlSplit.relations(spark, f.getPath)
+    assert(rels.schema === graft.osm.pbf.PbfSource.relationSchema)
+    val r900 = rels.filter("_id = '900'").collect()(0)
+    assert(r900.getAs[String]("_user") === "user_9")
+    assert(r900.getAs[String]("_timestamp") === "2017-03-01T00:00:00Z")
+    assert(r900.getAs[collection.Seq[Row]]("member")
+      .map(m => (m.getString(0), m.getString(1), m.getString(2))) ===
+      Seq(("node", "17", "stop"), ("way", "42", "path"),
+        ("relation", "7", "")))
+    // the assembly operator gives the same readout whichever path fed
+    // it — XML relations here, the PBF fixture in PbfSpec
+    val shaped = OsmEngine.shape(OsmXmlSplit.elements(spark, f.getPath))
+    val out = OsmEngine.relationMembers(rels, shaped)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(6))).toMap
+    assert(out("900") === ((3L, 2L, ",path,stop")))
+    assert(out("901") === ((2L, 2L, "outer,subarea")))
+  }
+
   test("XML entity unescape matches the builtin parser's semantics") {
     assert(OsmXmlSplit.unescape(
       "a &amp; b &lt;c&gt; &quot;d&quot; &apos;e&apos; &#65;") ===
