@@ -280,19 +280,28 @@ object TextAnalysis {
     if (distinct) array_distinct(g) else g
   }
 
-  /** Adjacent (w1, w2) token pairs as structs. zip_with over two
-    * shifted slices evaluates the token array a constant number of
-    * times per row — the `transform(sequence…, i -> element_at(toks,
-    * i))` form it replaces re-evaluates an inlined tokenizer per
-    * element under the explode-inferred size filter (same O(tokens²)
-    * trap as [[grams]]). */
-  private def bigramPairs(toks: Column): Column =
-    when(size(toks) >= 2,
-      zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+  /** The exploded (w1, w2) bigram stream of a token column, via the
+    * native one-pass [[grams]] kernel: 2-grams space-join to exactly
+    * "w1 w2" (tokens are whitespace-free — split on \s+ — so the gram
+    * has exactly one space) and the two substring_index calls are a
+    * bijection back to the pair. The zip_with-over-shifted-slices form
+    * this replaces referenced its token-array child ~5 times per
+    * occurrence, and the expression occurs ~3× once
+    * InferFiltersFromGenerate copies it into the pre-explode size
+    * filter — harmless on a materialized attribute, but wherever
+    * Catalyst INLINES the tokenizer (the fused knDocPairs projection,
+    * alias substitution under predicate pushdown) every one of those
+    * ~15 references re-ran split+filter over the raw text. token_ngrams
+    * evaluates its child exactly once wherever the plan moves it, so
+    * the scan stage pays 2 tokenizer passes (filter + project), not 15
+    * — the [[grams]] precedent applied to the bigram faces.
+    * Empty/short docs: n=2, wholeShort=false emits [] for <2 tokens,
+    * exactly the retired `when(size<2).otherwise([])` branch. */
+  private def bigramExplode(df: DataFrame, toks: Column,
+                            carry: Column*): DataFrame =
+    df.select(carry :+ explode(grams(toks, 2, distinct = false)).as("g"): _*)
+      .select(carry :+ substring_index(col("g"), " ", 1).as("w1")
+        :+ substring_index(col("g"), " ", -1).as("w2"): _*)
 
   /** BM25 retrieval scoring: rank documents against a bag of query
     * terms (k1=1.2, b=0.75 — the classic constants, kept as literals so
@@ -526,9 +535,7 @@ object TextAnalysis {
     // corpus-sized exploded bigram stream (the largest frame in the
     // job; pinning it in executor memory is the round-1 bench
     // artifact the minhash staging comment documents)
-    val bigAll = docs.select(toksCol.as("toks"))
-      .select(explode(bigramPairs(col("toks"))).as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bigAll = bigramExplode(docs, toksCol)
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
       .localCheckpoint(true) // vocab²-bounded model, feeds filter + B
@@ -1552,11 +1559,7 @@ object TextAnalysis {
                     lowQualityNats: Double = -4.0): DataFrame = {
     val d = Tables.documents(s, dir)
     val toksCol = tokens(lower(col("text")))
-    val withPairs = d.select(col("doc_id"), toksCol.as("toks"))
-      .select(col("doc_id"), bigramPairs(col("toks")).as("pairs"))
-    val pairs = withPairs
-      .select(col("doc_id"), explode(col("pairs")).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val pairs = bigramExplode(d, toksCol, col("doc_id"))
     val model = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
     val heads = model.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
@@ -1625,10 +1628,7 @@ object TextAnalysis {
     * faces tokenize from — ONE definition so the staged model and the
     * in-session model fold identical pairs. */
   private def knDocPairs(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), bigramPairs(tokens(lower(col("text")))).as("ps"))
-      .select(col("doc_id"), explode(col("ps")).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    bigramExplode(docs, tokens(lower(col("text"))), col("doc_id"))
 
   /** The trained KN model frame (w1, w2, pkn_micros): one map-side
     * combined pair aggregation plus model-sized stat broadcasts —
@@ -1788,10 +1788,7 @@ object TextAnalysis {
                 d: Double = 0.75): DataFrame = {
     val docs = Tables.documents(s, dir)
     val toksCol = tokens(lower(col("text")))
-    val pairs = docs.select(toksCol.as("toks"))
-      .select(bigramPairs(col("toks")).as("ps"))
-      .select(explode(col("ps")).as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val pairs = bigramExplode(docs, toksCol)
     val model = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
     // per-head totals and forward type counts share one aggregation
