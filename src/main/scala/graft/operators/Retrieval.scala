@@ -534,16 +534,22 @@ object Retrieval {
   def mrr(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val docs = Tables.documents(s, dir)
     val nq = MrrQueries.size.toLong
+    // ONE corpus scan for the whole battery: every query's BM25 arm
+    // and coverage frame derive from a shared bm25Base over the UNION
+    // of the battery's terms (bm25From re-filters per query, so
+    // tf/df/idf are bit-identical to the per-query scan it replaces —
+    // the before shape paid 2 corpus tokenizations per query, 6 total)
+    val unionTerms = MrrQueries.flatMap(_._2).distinct
+    val base = TextAnalysis.bm25Base(docs, unionTerms)
     val perQ = MrrQueries.map { case (qid, qts) =>
-      val rel = docs
-        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text")))
-          .as("term"))
+      val rel = base
+        .select(col("doc_id"), explode(col("mt")).as("term"))
         .filter(col("term").isin(qts: _*))
         .select(col("doc_id"), col("term")).distinct()
         .groupBy(col("doc_id")).agg(count(lit(1)).as("cov"))
         .filter(col("cov") === qts.size.toLong)
         .select(col("doc_id"), lit(1L).as("relevant"))
-      TextAnalysis.bm25(docs, qts, k)
+      TextAnalysis.bm25From(base, qts, k)
         .withColumn("rank", row_number().over(Window.partitionBy(lit(1))
           .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
         .join(rel, Seq("doc_id"), "left")

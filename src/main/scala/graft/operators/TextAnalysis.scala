@@ -315,11 +315,38 @@ object TextAnalysis {
     * 6dp-quantized and summed as integer micros, so the final score is
     * independent of partition summation order (the float-sum lesson
     * from k-means); top-k plans as TakeOrderedAndProject. */
-  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame = {
-    val tk = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
-    val dl = tk.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
-    val tf = tk.select(col("doc_id"), explode(col("tk")).as("term"))
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame =
+    bm25From(bm25Base(docs, terms), terms, k)
+
+  /** One-corpus-scan base for the in-session BM25 family: per document
+    * its exact token length and its query-term postings. Every BM25
+    * statistic (dl, corpus stats, per-(doc, term) tf, df) derives from
+    * this narrow (doc_id, dl, matched-tokens) frame, eagerly
+    * checkpointed. The retired shape referenced the tokenizing subtree
+    * once per statistic AND once per join consumer, which Catalyst
+    * expands into INDEPENDENT scans — ret6_maxscore's physical plan
+    * read documents.parquet 40 times, re-running split+filter over the
+    * full text each time (plans/r15/ret6_maxscore_before.txt). One
+    * scan computes everything; downstream frames are postings-sized.
+    * At 100 TB the staged bm25Indexed path replaces even that single
+    * scan — this is the in-session twin's minimal-pass form, the
+    * guide-§8 "decide on small rows" split. */
+  private[operators] def bm25Base(docs: DataFrame,
+                                  terms: Seq[String]): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        filter(col("tk"), t => t.isin(terms: _*)).as("mt"))
+      .localCheckpoint(true)
+
+  /** The BM25 scoring kernel over a [[bm25Base]] frame. `terms` may be
+    * a SUBSET of the base's terms (the mrr battery shares one base
+    * across its queries): the explode re-filters, so tf/df/idf are
+    * bit-identical to a per-query base. */
+  private[operators] def bm25From(base: DataFrame, terms: Seq[String],
+                                  k: Int): DataFrame = {
+    val dl = base.select(col("doc_id"), col("dl"))
+    val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
+    val tf = base.select(col("doc_id"), explode(col("mt")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -372,11 +399,15 @@ object TextAnalysis {
     * exact, never an FP-rounding gamble. */
   def bm25MaxScore(docs: DataFrame, terms: Seq[String], k: Int = 10)
       : DataFrame = {
-    val tk = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
-    val dl = tk.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
-    val tf = tk.select(col("doc_id"), explode(col("tk")).as("term"))
-      .filter(col("term").isin(terms: _*))
+    // one corpus scan (the bm25Base discipline): contrib is referenced
+    // by the UB, θ, survivor and final-score branches — each expansion
+    // used to re-read and re-tokenize the corpus (40 scans in the
+    // before plan); now each re-derives from the checkpointed base's
+    // postings-sized frames
+    val base = bm25Base(docs, terms)
+    val dl = base.select(col("doc_id"), col("dl"))
+    val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
+    val tf = base.select(col("doc_id"), explode(col("mt")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
@@ -702,9 +733,12 @@ object TextAnalysis {
                k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    // same tokenization as bm25 (exact-case tokens)
-    val rel = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .filter(col("t").isin(terms: _*))
+    // same tokenization as bm25 (exact-case tokens); the relevance
+    // frame and the BM25 ranking share ONE corpus scan via bm25Base
+    // (the explode of matched tokens ≡ the retired corpus explode
+    // filtered to `terms`)
+    val base = bm25Base(docs, terms)
+    val rel = base.select(col("doc_id"), explode(col("mt")).as("t"))
       .select(col("doc_id"), col("t")).distinct()
       .groupBy(col("doc_id"))
       .agg(least(count(lit(1)), lit(3L)).as("rel"))
@@ -726,7 +760,7 @@ object TextAnalysis {
       .filter(col("irank") <= k)
       .agg(sum(gainOf(col("rel")) * discOf(col("irank")))
         .as("idcg_micros"))
-    bm25(docs, terms, k)
+    bm25From(base, terms, k)
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .join(rel, Seq("doc_id"), "left")
       .select(col("rank"), col("doc_id"),
