@@ -72,7 +72,11 @@ object GraftFunctions {
     // Gopher quality integer stats: gopher_scan(text) →
     // struct(n_words, sum_len, n_alpha, n_stop); ratios/rounding stay
     // in Catalyst so derived signals are structurally bit-equal
-    "gopher_scan" -> (es => GopherScan(es.head)))
+    "gopher_scan" -> (es => GopherScan(es.head)),
+    // 26-letter histogram of the lowercased text: letter_counts(text)
+    // → array<bigint>(26) — one pass, replaces charEntropy's 26-regex
+    // battery bit-for-bit
+    "letter_counts" -> (es => LetterCounts(es.head)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

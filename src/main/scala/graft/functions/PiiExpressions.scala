@@ -365,3 +365,57 @@ object GopherScan {
     StructField("n_alpha", LongType, nullable = false),
     StructField("n_stop", LongType, nullable = false)))
 }
+
+/** Eval kernel for [[LetterCounts]]. */
+object LetterCountsImpl {
+  /** The 26-letter histogram of the LOWERCASED text — bit-equal to the
+    * 26-term `length(lower(text)) − length(regexp_replace(lower(text),
+    * c, ""))` battery it replaces (each removed char is exactly one
+    * char of the lowercased string, so the length delta IS the
+    * codepoint count), but one O(bytes) pass instead of 26 regex
+    * passes + 52 `lower()` evaluations per row. ASCII a–z bytes in
+    * UTF-8 are always standalone lead bytes, so counting raw bytes of
+    * the lowercased string is exact for any input. */
+  def counts(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val out = new Array[Long](26)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= 'a'.toByte && b <= 'z'.toByte) out(b - 'a'.toByte) += 1L
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** `letter_counts(text)` → array<bigint>(26) — the native letter
+  * histogram behind TextAnalysis.charEntropy; see
+  * [[LetterCountsImpl.counts]]. */
+case class LetterCounts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "letter_counts"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("letter_counts expects string")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    LetterCountsImpl.counts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.LetterCountsImpl.counts($c)")
+
+  override protected def withNewChildInternal(c: Expression): LetterCounts =
+    copy(child = c)
+}

@@ -753,7 +753,11 @@ object Dedup {
     * chunk equality, verify with bit_count(xor). */
   def simhashPairs(s: SparkSession, docs: DataFrame,
                    maxHamming: Int = 10): DataFrame = {
-    val sh = simhash(s, docs)
+    // checkpointed: the banded self-join references this frame on BOTH
+    // sides, and each reference re-ran tokenize+simhash60 over the
+    // corpus (2 scans; the fingerprint is 16 bytes/row — the guide-§8
+    // lightweight proxy, computed once and joined twice)
+    val sh = simhash(s, docs).localCheckpoint(true)
     val banded = sh.select(col("doc_id"), col("simhash"),
         posexplode(transform(sequence(lit(0), lit(3)),
           b => call_function("shiftright", col("simhash"), b * 15)

@@ -340,8 +340,12 @@ object Multimodal {
       when(luma(r * 11 + c) > luma(r * 11 + c + 1),
         lit(1L << (r * 10 + c))).otherwise(lit(0L)))
       .reduce(_ + _)
+    // checkpointed: the banded self-join references this frame on BOTH
+    // sides — each reference re-ran the 66-md5 grid per row (132
+    // kernels/row); one evaluation, 16-byte rows joined twice
     val ph = Tables.documents(s, dir)
       .select(col("doc_id"), phash.as("phash"))
+      .localCheckpoint(true)
     val bands = ph.select(col("doc_id"), col("phash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("phash"), 15 * b).bitwiseAND(lit(32767L))): _*))
