@@ -40,6 +40,9 @@ object GraftFunctions {
       es(1).eval().asInstanceOf[Number].intValue)),
     // table-generating function (Generator): one output row per
     // n-token shingle, streamed — no per-document shingle array
+    // streaming ordered-triple generator (rec6_lift3's combination
+    // explode): one row per i<j<k triple of the sorted brand set
+    "combo3_gen" -> (es => Combo3Generator(es.head)),
     "shingle_gen" -> (es => ShingleGenerator(es(0),
       es(1).eval().asInstanceOf[Number].intValue)),
     // native n-gram constructor: token_ngrams(tk, n [, wholeShort])

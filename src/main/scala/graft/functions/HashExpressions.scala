@@ -233,3 +233,52 @@ object MinHashSig {
   def aParam(i: Int): Long = 2L * i * 104729L + 1L
   def bParam(i: Int): Long = i * 7919L
 }
+
+/** Streaming ordered-triple generator over a SORTED DISTINCT string
+  * array: one output row (b1, b2, b3) per index triple i<j<k — the
+  * combination explode behind rec6_lift3. The nested
+  * `transform(sequence…)³ + flatten²` HOF form it replaces ran three
+  * interpreted lambda layers and MATERIALIZED the full C(b,3) struct
+  * array per basket before exploding it (~1.1k structs for a 20-brand
+  * basket); this streams the triples without allocating the array.
+  * <3 elements emits nothing — exactly the retired
+  * `when(n >= 3, …).otherwise([])` branch. */
+case class Combo3Generator(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("combo3_gen expects array<string>")
+    }
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("b1", StringType),
+      StructField("b2", StringType), StructField("b3", StringType)))
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null) return Nil
+    val n = arr.numElements()
+    if (n < 3) return Nil
+    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+      private var i = 0
+      private var j = 1
+      private var k = 2
+      override def hasNext: Boolean = i <= n - 3
+      override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+        val row = org.apache.spark.sql.catalyst.InternalRow(
+          arr.getUTF8String(i), arr.getUTF8String(j), arr.getUTF8String(k))
+        k += 1
+        if (k > n - 1) { j += 1; k = j + 1 }
+        if (j > n - 2) { i += 1; j = i + 1; k = j + 1 }
+        row
+      }
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Combo3Generator =
+    copy(child = c)
+}

@@ -467,23 +467,17 @@ object Recommend {
     val support = baskets
       .select(explode(col("brs")).as("br"))
       .groupBy(col("br")).agg(count(lit(1)).as("n_br"))
-    val combos = {
-      val a = col("brs")
-      val n = size(a)
-      when(n >= 3, flatten(flatten(
-        transform(sequence(lit(0), n - 3), i =>
-          transform(sequence(i + 1, n - 2), j =>
-            transform(sequence(j + 1, n - 1), k =>
-              struct(element_at(a, i + 1).as("b1"),
-                element_at(a, j + 1).as("b2"),
-                element_at(a, k + 1).as("b3"))))))))
-        .otherwise(array()
-          .cast("array<struct<b1:string,b2:string,b3:string>>"))
-    }
+    // native streaming combination generator (combo3_gen): the nested
+    // transform³+flatten² HOF form ran three interpreted lambda layers
+    // and materialized the full C(b,3) struct array per basket before
+    // exploding it; the Generator streams identical (b1, b2, b3) rows
+    // (i<j<k over the sorted set, <3 brands emits nothing)
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
     val triples = baskets
-      .select(explode(combos).as("t"))
-      .groupBy(col("t.b1").as("b1"), col("t.b2").as("b2"),
-        col("t.b3").as("b3"))
+      .select(call_function("combo3_gen", col("brs"))
+        .as(Seq("b1", "b2", "b3")))
+      .groupBy(col("b1"), col("b2"), col("b3"))
       .agg(count(lit(1)).as("n_abc"))
     triples
       .join(broadcast(support.select(col("br").as("b1"),

@@ -737,10 +737,18 @@ object Training {
         (Sampling.bucket100(col("doc_id")) < 50).as("is_train"))
     val trainTok = docs.filter(col("is_train"))
       .select(col("lang"), explode(col("tk")).as("tok"))
+    // checkpointed: the model frame is referenced by the n_l rollup,
+    // the vocab count AND the scorer's broadcast join — each expansion
+    // re-scanned and re-tokenized the train half (3 corpus scans); the
+    // frame is vocab-sized
     val model = trainTok.groupBy(col("lang"), col("tok"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val nl = model.groupBy(col("lang")).agg(sum(col("c")).as("n_l"))
-    val vocab = trainTok.agg(countDistinct(col("tok")).as("v"))
+    // V from the model frame, not a second corpus tokenization:
+    // distinct tokens of the train half ≡ distinct tok over the
+    // (lang, tok) model rows — same integer by construction
+    val vocab = model.agg(countDistinct(col("tok")).as("v"))
     val priors = docs.filter(col("is_train"))
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
       .crossJoin(broadcast(
