@@ -65,7 +65,7 @@ object Similarity {
   /** The planes as a literal array column — shipped in the plan, zero
     * per-row hashing, tiny codegen footprint, identical everywhere. */
   private def planeLits(bits: Int): Column =
-    array(planeValues(bits).map(p => array(p.map(lit): _*)): _*)
+    ModelLit.mat(planeValues(bits))
 
   /** Per-plane sign bits of v (1 if dot > 0 else 0) via the native
     * codegen'd PlaneSignature kernel — one fused nested loop per row
@@ -161,10 +161,44 @@ object Similarity {
       .select(posexplode(bandVals(sigBits(col("q"), bits), bands, w)))
       .collect().map(r => (r.getInt(0), r.getInt(1)))
       .filter(_._1 < math.min(probeBands, bands))
+    annLshProbe(s, dir, s.read.parquet(s"$base/bands"), qBands, k)
+  }
+
+  /** The staged band index + collected query band values — the two
+    * one-time pieces [[annLshIndexed]] derives per call, exposed so a
+    * multi-depth sweep ([[lshBandCurve]]) pays the collect job and the
+    * partitioned-directory listing once instead of once per depth. */
+  private def lshIndexParts(s: SparkSession, dir: String, bits: Int = 16,
+                            bands: Int = 4): (Array[(Int, Int)], DataFrame) = {
+    GraftFunctions.register(s)
+    val w = bits / bands
+    val base = Staging.base("lsh_index_v1", dir, s"b${bits}x$bands",
+      "embeddings")
+    Staging.buildOnce(base) {
+      Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          posexplode(bandVals(sigBits(col("embedding"), bits), bands, w)))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bval"))
+        .write.mode("overwrite").partitionBy("band", "bval")
+        .parquet(s"$base/bands")
+    }
+    val qBands = queryVec(s, dir)
+      .select(posexplode(bandVals(sigBits(col("q"), bits), bands, w)))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    (qBands, s.read.parquet(s"$base/bands"))
+  }
+
+  /** The probe/score/dedup/top-k tail of [[annLshIndexed]] over an
+    * already-listed index frame and already-collected band values —
+    * bit-identical to the one-shot form by construction (same static
+    * filter, same cosine, same distinct + tie-broken top-k). */
+  private def annLshProbe(s: SparkSession, dir: String, bandsDf: DataFrame,
+                          qBands: Array[(Int, Int)],
+                          k: Int = 10): DataFrame = {
     val probe = qBands.map { case (b, v) =>
       col("band") === b && col("bval") === v
     }.reduce(_ || _)
-    s.read.parquet(s"$base/bands")
+    bandsDf
       .filter(probe)
       .crossJoin(broadcast(queryVec(s, dir)))
       .select(col("vec_id"),
@@ -407,10 +441,9 @@ object Similarity {
   /** K collected model rows → one literal array<struct<cell,centroid>>
     * (the broadcast-the-model pattern). */
   private def centLiteral(rows: Array[org.apache.spark.sql.Row]): Column =
-    array(rows.sortBy(_.getAs[Int]("cell")).map { r =>
-      struct(lit(r.getAs[Int]("cell")).as("cell"),
-        array(r.getSeq[Double](1).map(lit): _*).as("centroid"))
-    }.toIndexedSeq: _*)
+    ModelLit.cells(rows.sortBy(_.getAs[Int]("cell")).toIndexedSeq
+      .map(r => (r.getAs[Int]("cell"), r.getSeq[Double](1))),
+      "cell", "centroid")
 
   /** Quantizer literal for a corpus (slice) — the collected model as a
     * shippable Column; spec/harness access to the private
@@ -762,18 +795,25 @@ object Similarity {
         transform(col("embedding").cast("array<double>"), x => round(x, 6))
           .as("v"))
       .collect().sortBy(_.getLong(0))
-    def book(mi: Int): Column = array(cbRows.zipWithIndex.map { case (r, j) =>
-      struct(lit(j).as("j"),
-        array(r.getSeq[Double](1).slice(mi * dsub, (mi + 1) * dsub)
-          .map(lit): _*).as("c"))
-    }.toIndexedSeq: _*)
+    def book(mi: Int): Column = ModelLit.cells(
+      cbRows.zipWithIndex.toIndexedSeq.map { case (r, j) =>
+        (j, r.getSeq[Double](1).slice(mi * dsub, (mi + 1) * dsub))
+      }, "j", "c")
     def subv(v: Column, mi: Int): Column = slice(v, mi * dsub + 1, dsub)
     def dist(a: Column, b: Column): Column =
       round(call_function("l2_sq", a, b), 6)
-    // encode: per subspace, the nearest codeword id (tie → lower id)
-    def codes(v: Column): Column = array((0 until m).map { mi =>
+    // encode: per subspace, the nearest codeword id (tie → lower id).
+    // The subspace slices are MATERIALIZED as a per-row column first
+    // (r16): a lambda body is re-evaluated per array element, so
+    // subv(cast(embedding)) inlined here re-ran the 64-float→double
+    // cast + slice once per CODEWORD (ksub × m = 128× per row); the
+    // `subs` projection pays it once per row and the lambda reads a
+    // bound column — same values, same distances, same codes.
+    def subsOf(v: Column): Column =
+      array((0 until m).map(mi => subv(v, mi)): _*)
+    def codes(subs: Column): Column = array((0 until m).map { mi =>
       array_min(transform(book(mi), c =>
-        struct(dist(subv(v, mi), c.getField("c")).as("d"),
+        struct(dist(element_at(subs, mi + 1), c.getField("c")).as("d"),
           c.getField("j").as("j")))).getField("j")
     }: _*)
     // ADC table: query distance to every codeword of every subspace
@@ -784,7 +824,9 @@ object Similarity {
       .select(col("q"), dts(col("q").cast("array<double>")).as("dt"))
     e.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("embedding"),
-        codes(col("embedding").cast("array<double>")).as("code"))
+        subsOf(col("embedding").cast("array<double>")).as("subs"))
+      .select(col("vec_id"), col("embedding"),
+        codes(col("subs")).as("code"))
       .crossJoin(broadcast(q))
       // ADC score: 8 table lookups, summed as exact integer micros
       .select(col("vec_id"), col("embedding"), col("q"),
@@ -845,19 +887,24 @@ object Similarity {
     val dists: Column => Column = distsTo(cents)
     def cellOf(v: Column): Column = pqCellOf(cents)(v)
     def resid(v: Column, cell: Column): Column = pqResid(cents)(v, cell)
-    private def book(mi: Int): Column = array(
+    private def book(mi: Int): Column = ModelLit.cells(
       cbRows.zipWithIndex.map { case (r, j) =>
-        struct(lit(j).as("j"),
-          array(r.getSeq[Double](1).slice(mi * dsub, (mi + 1) * dsub)
-            .map(lit): _*).as("c"))
-      }: _*)
+        (j, r.getSeq[Double](1).slice(mi * dsub, (mi + 1) * dsub))
+      }, "j", "c")
     private def subv(v: Column, mi: Int): Column =
       slice(v, mi * dsub + 1, dsub)
     private def dist(a: Column, b: Column): Column =
       round(call_function("l2_sq", a, b), 6)
-    def codes(rv: Column): Column = array((0 until m).map { mi =>
+    /** The residual's subspace slices as ONE per-row column — a lambda
+      * body re-evaluates per element, so inlining the residual into
+      * [[codes]] re-ran the zip_with residual + slice once per codeword
+      * (ksub × m = 128× per row); materializing the slices pays the
+      * residual once per row. Same slices, same distances, same codes. */
+    def subsOf(rv: Column): Column =
+      array((0 until m).map(mi => subv(rv, mi)): _*)
+    def codes(subs: Column): Column = array((0 until m).map { mi =>
       array_min(transform(book(mi), c =>
-        struct(dist(subv(rv, mi), c.getField("c")).as("d"),
+        struct(dist(element_at(subs, mi + 1), c.getField("c")).as("d"),
           c.getField("j").as("j")))).getField("j")
     }: _*)
     def dts(rv: Column): Column = array((0 until m).map { mi =>
@@ -904,8 +951,9 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         kit.cellOf(col("embedding")).as("cell"))
       .join(broadcast(probes), "cell")
-      .withColumn("code",
-        kit.codes(kit.resid(col("embedding"), col("cell"))))
+      .withColumn("rv", kit.resid(col("embedding"), col("cell")))
+      .withColumn("subs", kit.subsOf(col("rv")))
+      .withColumn("code", kit.codes(col("subs")))
       .select(col("vec_id"), col("embedding"), col("q"),
         (aggregate(zip_with(col("code"), col("dt"),
           (c, t) => element_at(t, (c + 1).cast("int"))), lit(0L),
@@ -952,8 +1000,10 @@ object Similarity {
       e.filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("embedding"),
           kit.cellOf(col("embedding")).as("cell"))
-        .withColumn("code",
-          kit.codes(kit.resid(col("embedding"), col("cell"))))
+        .withColumn("rv", kit.resid(col("embedding"), col("cell")))
+        .withColumn("subs", kit.subsOf(col("rv")))
+        .withColumn("code", kit.codes(col("subs")))
+        .select("vec_id", "embedding", "code", "cell")
         .write.mode("overwrite").partitionBy("cell").parquet(s"$base/cells")
     }
     val cents = centLiteral(
@@ -1020,13 +1070,10 @@ object Similarity {
     // CodegenFallback — interpreted — and dominated the runtime),
     // rounded so the argmin decision is reproducible on any engine that
     // folds left-to-right in double
-    def dists(model: Seq[(Int, Seq[Double])])(v: Column): Column = {
-      val cents = array(model.map { case (cell, c) =>
-        struct(lit(cell).as("cell"), array(c.map(lit): _*).as("c")) }: _*)
-      transform(cents, c =>
+    def dists(model: Seq[(Int, Seq[Double])])(v: Column): Column =
+      transform(ModelLit.cells(model, "cell", "c"), c =>
         struct(round(call_function("l2_sq", v, c.getField("c")), 6)
           .as("dist"), c.getField("cell").as("cell")))
-    }
     // order-independent mean: sum exact integer micros (6dp quantized),
     // divide once — float summation order differs between engines (and
     // between Spark's own partitionings), and a ~1e-12 drift can flip a
@@ -1133,8 +1180,7 @@ object Similarity {
       }
       model = Seq(pick(gumbel(0)))
       for (j <- 1 until k) {
-        val cents = array(model.map { case (_, c) =>
-          array(c.map(lit): _*) }: _*)
+        val cents = ModelLit.mat(model.map(_._2))
         val d2min = array_min(transform(cents, c =>
           round(call_function("l2_sq", col("v"), c), 6)))
         model = model :+ pick(
@@ -1142,8 +1188,9 @@ object Similarity {
       }
     } finally e.unpersist(blocking = true)
     // report: each chosen center with its final D² partition
-    val cents = array(model.zipWithIndex.map { case ((_, c), i) =>
-      struct(lit(i.toLong).as("cell"), array(c.map(lit): _*).as("c")) }: _*)
+    val cents = ModelLit.cellsL(
+      model.zipWithIndex.map { case ((_, c), i) => (i.toLong, c) },
+      "cell", "c")
     val assign = array_min(transform(cents, c =>
       struct(round(call_function("l2_sq", col("v"), c.getField("c")), 6)
         .as("dist"), c.getField("cell").as("cell"))))
@@ -1330,12 +1377,16 @@ object Similarity {
                    depths: Seq[Int] = 1 to 4): DataFrame = {
     import s.implicits._
     val truth = broadcast(truthStaged(s, dir))
+    // ONE query-band collect and ONE partitioned-index listing serve
+    // every depth (r16): the per-arm annLshIndexed call re-collected
+    // the identical 4 query band values and re-listed the partitioned
+    // index directory once PER DEPTH — 4 driver jobs + 4 file listings
+    // for one job's worth of information. Each arm below applies the
+    // same static band filter annLshIndexed builds from the same
+    // collected values, so results stay bit-identical per depth.
+    val (qBands, bandsDf) = lshIndexParts(s, dir)
     val hits = depths.map { b =>
-      // the staged banded index serves every depth (bit-identical to
-      // annLsh(probeBands = b) — same planes, band arithmetic, dedup,
-      // tie-break); pre-r14 this face recomputed the corpus signature
-      // projection once PER DEPTH
-      annLshIndexed(s, dir, probeBands = b)
+      annLshProbe(s, dir, bandsDf, qBands.filter(_._1 < b))
         .select(lit(b.toLong).as("n_bands"), col("vec_id"))
     }.reduce(_ unionByName _)
       .join(truth, "vec_id")
