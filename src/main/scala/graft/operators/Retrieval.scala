@@ -456,24 +456,50 @@ object Retrieval {
     // the exact dense top-20 stages once per embeddings fingerprint
     // (the eval2 truth convention) — the eval face stops re-running a
     // corpus tokenization and a brute-force scan per invocation
-    val bm20 = TextAnalysis.bm25Indexed(s, dir,
-      Seq("spark", "query", "filter"), 20).localCheckpoint(true)
+    // Job overlap (r16, guide §2.6): this face is a chain of ≤10-row
+    // jobs — two arm materializations, the fused list, four arm
+    // collects — that ran strictly sequentially, so its wall time was
+    // the SUM of eight tiny jobs' latencies on an otherwise idle
+    // scheduler. Staged builds (the postings index via bm25Indexed,
+    // the brute-force top-20) stay sequential BEFORE the parallel
+    // section so no two threads can race one build directory; the
+    // pure-compute pieces then overlap. Each arm's rows are unchanged
+    // — only the submission order is concurrent, and the output rows
+    // are assembled in the fixed arm order.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val bm20df = TextAnalysis.bm25Indexed(s, dir,
+      Seq("spark", "query", "filter"), 20) // builds postings if missing
     val dnBase = Staging.base("ann_brute_v1", dir, "k20", "embeddings")
     Staging.buildOnce(dnBase) {
       Similarity.annBruteForce(s, dir, 20).select("vec_id", "cos_sim")
         .coalesce(1).write.mode("overwrite").parquet(s"$dnBase/top")
     }
-    val dn20 = s.read.parquet(s"$dnBase/top").localCheckpoint(true)
-    val r1 = rrfFuse(bm20, dn20, 10).select("doc_id").localCheckpoint(true)
-    val arms: Seq[(String, DataFrame)] = Seq(
-      ("1_rrf_vs_bm25",
-        bm20.orderBy(col("score").desc, col("doc_id").asc).limit(10)
-          .select("doc_id")),
-      ("2_rrf_vs_dense",
-        dn20.orderBy(col("cos_sim").desc, col("vec_id").asc).limit(10)
-          .select(col("vec_id").as("doc_id"))),
-      ("3_rrf_vs_indexed", rrfFusionIndexed(s, dir).select("doc_id")),
-      ("4_rrf_vs_minmax", minMaxFuse(bm20, dn20, 10).select("doc_id")))
+    val fBm = Future(bm20df.localCheckpoint(true))
+    val fDn = Future(s.read.parquet(s"$dnBase/top").localCheckpoint(true))
+    // arm 3 is an independent served stack (its own staged artifacts
+    // were built by its first construction in this JVM or a prior run;
+    // its postings dir is the one bm25Indexed just ensured above)
+    val fArm3 = Future(rrfFusionIndexed(s, dir).select("doc_id")
+      .collect().map(_.getLong(0)))
+    val bm20 = Await.result(fBm, Duration.Inf)
+    val dn20 = Await.result(fDn, Duration.Inf)
+    val fR1 = Future(rrfFuse(bm20, dn20, 10).select("doc_id")
+      .collect().map(_.getLong(0)).toSet)
+    val fArm1 = Future(
+      bm20.orderBy(col("score").desc, col("doc_id").asc).limit(10)
+        .select("doc_id").collect().map(_.getLong(0)))
+    val fArm2 = Future(
+      dn20.orderBy(col("cos_sim").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id").as("doc_id")).collect().map(_.getLong(0)))
+    val fArm4 = Future(minMaxFuse(bm20, dn20, 10).select("doc_id")
+      .collect().map(_.getLong(0)))
+    val arms: Seq[(String, Array[Long])] = Seq(
+      ("1_rrf_vs_bm25", Await.result(fArm1, Duration.Inf)),
+      ("2_rrf_vs_dense", Await.result(fArm2, Duration.Inf)),
+      ("3_rrf_vs_indexed", Await.result(fArm3, Duration.Inf)),
+      ("4_rrf_vs_minmax", Await.result(fArm4, Duration.Inf)))
     // model-sized driver finish (r14): every list is ≤10 ids, so the
     // overlap/Jaccard readout is pure arithmetic on collected K-row
     // models — the prfRm3Indexed collect discipline. The distributed
@@ -486,9 +512,8 @@ object Retrieval {
     // NULL) — NOT what the retired Spark plan did (non-ANSI
     // round(NaN).cast(long) was 0L), so the driver-side finish is the
     // side that agrees with the oracle on an empty union.
-    val aIds = r1.collect().map(_.getLong(0)).toSet
-    val rows = arms.map { case (name, other) =>
-      val bIds = other.collect().map(_.getLong(0))
+    val aIds = Await.result(fR1, Duration.Inf)
+    val rows = arms.map { case (name, bIds) =>
       val common = bIds.count(aIds.contains).toLong
       val denom = aIds.size.toLong + bIds.length - common
       val jac: java.lang.Long =

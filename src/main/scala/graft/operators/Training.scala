@@ -729,7 +729,6 @@ object Training {
     * per-lang penalty quantizes ONCE on the model frame and scales by
     * exact token counts; argmax ties break on lang ascending. */
   def naiveBayes(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = (c: Column) =>
       filter(split(lower(c), "\\s+"), t => length(t) > 0)
     val docs = Tables.documents(s, dir)
@@ -775,12 +774,19 @@ object Training {
       .select(col("doc_id"), col("lang_true"), col("lang"),
         (coalesce(col("s1"), lit(0L)) - col("n_toks") * col("pen_micros") +
           col("prior_micros")).as("score_micros"))
-    val rk = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score_micros").desc, col("lang").asc)
+    // argmax via min(struct): struct ordering compares field-by-field,
+    // so min over (-score, lang) picks the highest score with ties to
+    // the ascending lang — the exact (score desc, lang asc) row_number
+    // window this replaces (same UTF8 binary string order), but as a
+    // map-side-combinable aggregate instead of a shuffle + sort +
+    // window over the full doc×lang grid (guide §2.3: aggregate before
+    // you shuffle). Negation cannot overflow: scores are micro-nats of
+    // token log-sums, |score| ≪ 2^63.
     scored
-      .withColumn("rn", row_number().over(rk))
-      .filter(col("rn") === 1)
-      .groupBy(col("lang_true"), col("lang").as("lang_pred"))
+      .groupBy(col("doc_id"), col("lang_true"))
+      .agg(min(struct((-col("score_micros")).as("neg"),
+        col("lang").as("lang"))).getField("lang").as("lang_pred"))
+      .groupBy(col("lang_true"), col("lang_pred"))
       .agg(count(lit(1)).as("n"))
   }
 
