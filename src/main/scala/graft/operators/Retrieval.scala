@@ -88,11 +88,21 @@ object Retrieval {
     * replay) — approximation replayed exactly, not fudged. */
   def rrfFusionIndexed(s: SparkSession, dir: String,
                        terms: Seq[String] = Seq("spark", "query", "filter"),
-                       armK: Int = 20, k: Int = 10): DataFrame =
-    rrfFuse(
-      TextAnalysis.bm25Indexed(s, dir, terms, armK),
-      Similarity.annIvfIndexed(s, dir, armK).select("vec_id", "cos_sim"),
-      k)
+                       armK: Int = 20, k: Int = 10): DataFrame = {
+    // arm constructions each run model-sized driver jobs (index stats /
+    // quantizer / probe-cell collects); the two arms touch DISJOINT
+    // staged directories (bm25_index vs ivf_index), so their
+    // constructions overlap safely (guide §2.6) — the fused frame is
+    // built from the same two arm frames either way
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fSparse = Future(TextAnalysis.bm25Indexed(s, dir, terms, armK))
+    val fDense = Future(
+      Similarity.annIvfIndexed(s, dir, armK).select("vec_id", "cos_sim"))
+    rrfFuse(Await.result(fSparse, Duration.Inf),
+      Await.result(fDense, Duration.Inf), k)
+  }
 
   /** `ret4_prf_rm3` — RM3-style pseudo-relevance feedback, the
     * query-EXPANSION half of the retrieval stack (fusion widens the
@@ -284,13 +294,24 @@ object Retrieval {
   def multiRrfIndexed(s: SparkSession, dir: String,
                       terms: Seq[String] = Seq("spark", "query", "filter"),
                       armK: Int = 20, k: Int = 10): DataFrame = {
+    // the seed arm constructs FIRST and alone: it ensures the shared
+    // postings index exists, so the PRF arm (which reads the same
+    // postings inside prfRm3Indexed) can never race its build
+    // directory; the PRF and dense constructions — each a chain of
+    // model-sized collects over disjoint staged dirs — then overlap
+    // (guide §2.6). Arm frames and the fused result are unchanged.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val seed = ranked(TextAnalysis.bm25Indexed(s, dir, terms, armK),
       "doc_id", "score", "seed_rank")
-    val prf = ranked(prfRm3Indexed(s, dir, terms, k = armK),
-      "doc_id", "score", "prf_rank")
-    val dense = ranked(Similarity.annIvfIndexed(s, dir, armK)
+    val fPrf = Future(ranked(prfRm3Indexed(s, dir, terms, k = armK),
+      "doc_id", "score", "prf_rank"))
+    val fDense = Future(ranked(Similarity.annIvfIndexed(s, dir, armK)
       .select(col("vec_id"), col("cos_sim")),
-      "vec_id", "cos_sim", "dense_rank")
+      "vec_id", "cos_sim", "dense_rank"))
+    val prf = Await.result(fPrf, Duration.Inf)
+    val dense = Await.result(fDense, Duration.Inf)
     seed.join(prf, Seq("doc_id"), "full_outer")
       .join(dense, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("seed_rank"), col("prf_rank"),
