@@ -31,6 +31,9 @@ private[operators] object ModelLit {
   /** `Seq[Double]` → one literal `array<double>` node. */
   def vec(xs: Seq[Double]): Column = typedlit(xs)
 
+  /** `Seq[Long]` → one literal `array<bigint>` node. */
+  def vecL(xs: Seq[Long]): Column = typedlit(xs)
+
   /** `Seq[Seq[Double]]` → one literal `array<array<double>>` node. */
   def mat(xss: Seq[Seq[Double]]): Column = typedlit(xss.map(_.toSeq))
 

@@ -435,7 +435,7 @@ object Sampling {
     e.cache()
     try {
       def d2(c: Seq[Long]): Column =
-        aggregate(zip_with(col("v"), array(c.map(lit): _*),
+        aggregate(zip_with(col("v"), ModelLit.vecL(c),
           (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
       val first = e.orderBy(col("vec_id").asc).limit(1).collect().head
       var model = Vector((first.getLong(0), 0L,

@@ -405,8 +405,21 @@ object Training {
     val base = rules.foldLeft(seg0) { case (c, (_, pair, merged, _)) =>
       apply3(c, pair, merged)
     }
+    // dropout via a CONDITIONAL PATTERN, not a conditional branch:
+    // `when(coin, c).otherwise(apply3(c, …))` referenced the
+    // accumulated tree TWICE per rule, so 10 rules built a 2^10-copy
+    // expression tree (~100k nodes) that dominated analysis, codegen
+    // AND execution. Swapping the rule's pattern for a string that
+    // cannot occur in a segmentation (NUL — segs are space-joined
+    // [a-z] runs) makes the dropped round's replace an exact identity,
+    // so each rule adds 3 linear replace nodes and the output strings
+    // are byte-identical to the branching form.
     val dropped = rules.foldLeft(seg0) { case (c, (it, pair, merged, _)) =>
-      when(coin(it), c).otherwise(apply3(c, pair, merged))
+      val pat = when(coin(it), lit("\u0000"))
+        .otherwise(lit(" " + pair + " "))
+      val rep = lit(" " + merged + " ")
+      def once(x: Column): Column = call_function("replace", x, pat, rep)
+      once(once(once(c)))
     }
     val nDropped = rules
       .map { case (it, _, _, _) => when(coin(it), 1L).otherwise(0L) }
