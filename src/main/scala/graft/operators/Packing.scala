@@ -474,11 +474,18 @@ object Packing {
             element_at(col("segs"), i + 2))))
         .otherwise(array().cast("array<bigint>")))
       // boundary AFTER block i wherever cohesion < theta (whole
-      // expression guarded on ns > 1: sequence(0, -1) descends and an
-      // element_at(sims, 0) inside the lambda would throw under ANSI)
+      // expression guarded on ns > 1: sequence(0, -1) descends). The
+      // sims reference sits in the HOF's INPUT, not its lambda body:
+      // the former `element_at(sims, i+1)` per filter element let
+      // CollapseProject inline the whole cohesion transform into the
+      // lambda, recomputing the O(ns·w) sims array once per candidate
+      // boundary — O(ns²·w) jaccard work per document (visible in the
+      // before plan: the transform nested inside the filter lambda).
+      // zip_with evaluates its inputs once per row; the kept positions
+      // and their order are identical.
       .withColumn("bnds", when(col("ns") > 1,
-        filter(sequence(lit(0), col("ns") - 2),
-          i => element_at(col("sims"), i + 1) < thetaMicros))
+        filter(zip_with(col("sims"), sequence(lit(0), col("ns") - 2),
+          (sv, i) => when(sv < thetaMicros, i)), x => x.isNotNull))
         .otherwise(array().cast("array<int>")))
       .withColumn("starts", concat(array(lit(0)),
         transform(col("bnds"), b => b + 1)))
